@@ -1,0 +1,397 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One named query: a Spark DataFrame program plus (optionally) the
+  * equivalent ANSI SQL for the DuckDB oracle. Column names and row
+  * content must match exactly between the two.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  /** Exact-arithmetic helper: synthetic money/quantity columns are doubles
+    * with <=2 decimals; summing doubles is order-dependent, so both engines
+    * aggregate in decimal (exact, associative) and cast the final value to
+    * double — bit-identical across Spark and DuckDB.
+    */
+  def dec(c: Column): Column = c.cast("decimal(18,4)")
+}
+
+/** Relational operator pack over the TESTDATA star schema.
+  *
+  * Coverage map to SURVEY.md §2 (reference ops re-expressed on the
+  * synthetic tables): scans S5/S7/S9, projections P1-P5, filters F1-F4,
+  * joins J1-J4 (left/equi, broadcast), aggregations A1-A5
+  * (dropDuplicates, collect_set, countDistinct), §2.7 engine
+  * capabilities (window, sort/limit, set ops, rollup, pivot), and the
+  * scalar-function inventory of §2.8.
+  */
+object Relational {
+  import Q.dec
+
+  val all: Seq[Q] = Seq(
+    // A2/A3-style hash aggregation with partial (map-side) combine.
+    // TPC-H Q1 shape: wide agg over the fact table, tiny group count.
+    Q(
+      "q1_agg",
+      (s, dir) => {
+        val l = graft.Tables.lineitem(s, dir)
+        l.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast("double").as("sum_disc_price"),
+            (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)).cast("double"))
+              .as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+             |  COUNT(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // F1-F3 + P1: filter + per-row computed projection. The date and
+    // discount predicates reach the parquet scan as PushedFilters.
+    Q(
+      "q2_filter_project",
+      (s, dir) => {
+        val l = graft.Tables.lineitem(s, dir)
+        l.where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+            col("l_discount") > lit(0.05))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast("double").as("net_price"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS net_price
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount > 0.05
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // J1-style left-outer equi-join on a key column list.
+    Q(
+      "q3_join_left",
+      (s, dir) => {
+        val o = graft.Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey").as("c_custkey"), col("o_totalprice"))
+        val c = graft.Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        o.join(c, Seq("c_custkey"), "left")
+          .select(col("o_orderkey"), col("c_custkey"), col("o_totalprice"),
+            col("c_name"), col("c_mktsegment"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice, c_name, c_mktsegment
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Multi-way join: fact ⋈ orders ⋈ customer ⋈ nation ⋈ region with
+    // explicit broadcast of the small dimensions (TPC-H Q5 shape).
+    Q(
+      "q4_join_multi",
+      (s, dir) => {
+        val l = graft.Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val o = graft.Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        val c = graft.Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        val n = graft.Tables.nation(s, dir)
+        val r = graft.Tables.region(s, dir)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // A1: dropDuplicates on a column subset == DISTINCT over those cols.
+    Q(
+      "q5_distinct",
+      (s, dir) => {
+        graft.Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_linestatus"))
+          .dropDuplicates(Seq("l_returnflag", "l_linestatus"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // A4: global agg + multi-column exact countDistinct ×3 (Expand-based).
+    Q(
+      "q6_count_distinct",
+      (s, dir) => {
+        graft.Tables.lineitem(s, dir).agg(
+          countDistinct(col("l_orderkey")).as("cd_orders"),
+          countDistinct(col("l_orderkey"), col("l_linenumber")).as("cd_lineitems"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("cd_partsupp"))
+      },
+      Some("""SELECT
+             |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS cd_orders,
+             |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS cd_lineitems,
+             |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)) AS cd_partsupp""".stripMargin)),
+
+    // A2/A3: collect_set folded per group, canonicalized with sort_array
+    // (reference: ImportVcfToDataLakeByRanges.java:64-76; determinism
+    // deviation documented in SURVEY §7).
+    Q(
+      "q7_collect_set",
+      (s, dir) => {
+        val c = graft.Tables.customer(s, dir).select(col("c_mktsegment"), col("c_nationkey"))
+        val n = graft.Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(sort_array(collect_set(col("n_name"))).as("nations"),
+            count(lit(1)).as("n_customers"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment,
+             |  list_sort(list(DISTINCT n_name)) AS nations,
+             |  COUNT(*) AS n_customers
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // §2.7 window functions: deterministic top-3 orders per customer.
+    Q(
+      "q8_window_topn",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        graft.Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 3)
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // §2.7 global sort + limit (top-K with tie-break).
+    Q(
+      "q9_topk",
+      (s, dir) => {
+        graft.Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // §2.7 set operations: (click ∩ purchase) \ error users.
+    Q(
+      "q10_setops",
+      (s, dir) => {
+        val e = graft.Tables.events(s, dir)
+        def users(t: String): DataFrame =
+          e.where(col("event_type") === t).select(col("user_id"))
+        val noisy = e.where(col("event_type") === "error")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .where(col("n") >= 15).select(col("user_id"))
+        users("click").intersect(users("purchase")).except(noisy)
+          .orderBy(col("user_id"))
+      },
+      Some("""(SELECT user_id FROM events WHERE event_type = 'click'
+             | INTERSECT
+             | SELECT user_id FROM events WHERE event_type = 'purchase')
+             |EXCEPT
+             |SELECT user_id FROM events WHERE event_type = 'error'
+             |GROUP BY user_id HAVING COUNT(*) >= 15
+             |ORDER BY user_id""".stripMargin)),
+
+    // F2: when/otherwise chain (the AlphaMissense-decode idiom, M:212-228).
+    Q(
+      "q11_case_when",
+      (s, dir) => {
+        graft.Tables.orders(s, dir)
+          .withColumn("price_band",
+            when(col("o_totalprice") < 10000, "small")
+              .when(col("o_totalprice") < 100000, "medium")
+              .otherwise("large"))
+          .groupBy(col("price_band"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast("double").as("total"))
+          .orderBy(col("price_band"))
+      },
+      Some("""SELECT
+             |  CASE WHEN o_totalprice < 10000 THEN 'small'
+             |       WHEN o_totalprice < 100000 THEN 'medium'
+             |       ELSE 'large' END AS price_band,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+             |FROM orders GROUP BY 1 ORDER BY price_band""".stripMargin)),
+
+    // §2.8 scalar string functions: concat/upper/trim/split/
+    // substring_index/regexp_replace (all call sites cited in SURVEY).
+    Q(
+      "q12_string_funcs",
+      (s, dir) => {
+        graft.Tables.part(s, dir)
+          .select(
+            col("p_partkey"),
+            upper(col("p_brand")).as("brand_u"),
+            split(col("p_type"), " ").getItem(0).as("type_head"),
+            substring_index(col("p_name"), " ", 2).as("name_2w"),
+            regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+            concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+             |  UPPER(p_brand) AS brand_u,
+             |  split_part(p_type, ' ', 1) AS type_head,
+             |  array_to_string(list_slice(string_split(p_name, ' '), 1, 2), ' ') AS name_2w,
+             |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+             |  p_brand || '#' || p_type AS brand_type
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // D5: manual range bucketing — floor(key/width) (the "ByRanges"
+    // scheme, PARTITION_SIZE idiom at M:18/M:75).
+    Q(
+      "q13_bucket",
+      (s, dir) => {
+        graft.Tables.orders(s, dir)
+          .withColumn("price_bucket", floor(col("o_totalprice") / 1000).cast("long"))
+          .groupBy(col("price_bucket"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("price_bucket"))
+      },
+      Some("""SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_bucket,
+             |  COUNT(*) AS n_orders
+             |FROM orders GROUP BY 1 ORDER BY price_bucket""".stripMargin)),
+
+    // Time-bucketed aggregation over the events table (batch analog of a
+    // tumbling window; streaming variant lives in graft.streaming).
+    Q(
+      "q14_events_hourly",
+      (s, dir) => {
+        graft.Tables.events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec(col("value"))).cast("double").as("sum_value"))
+          .orderBy(col("hour"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY hour""".stripMargin)),
+
+    // Left-semi / left-anti joins (EXISTS / NOT EXISTS).
+    Q(
+      "q15_semi_anti",
+      (s, dir) => {
+        val c = graft.Tables.customer(s, dir).select(col("c_custkey"))
+        val o = graft.Tables.orders(s, dir).select(col("o_custkey"))
+        val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .withColumn("status", lit("has_orders"))
+        val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .withColumn("status", lit("no_orders"))
+        semi.union(anti).orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, 'has_orders' AS status FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |UNION ALL
+             |SELECT c_custkey, 'no_orders' AS status FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Engine capability: ROLLUP grouping sets (§2.6 note).
+    Q(
+      "q16_rollup",
+      (s, dir) => {
+        val c = graft.Tables.customer(s, dir).select(col("c_mktsegment"), col("c_nationkey"))
+        val n = graft.Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("c_mktsegment"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"))
+          .select(
+            coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            col("n_customers"))
+          .orderBy(col("segment"), col("nation"))
+      },
+      Some("""SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+             |  COALESCE(n_name, 'ALL') AS nation,
+             |  COUNT(*) AS n_customers
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP (c_mktsegment, n_name)
+             |ORDER BY segment, nation""".stripMargin)),
+
+    // Engine capability: pivot with an explicit value list.
+    Q(
+      "q17_pivot",
+      (s, dir) => {
+        graft.Tables.events(s, dir)
+          .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .count()
+          .na.fill(0L)
+          .orderBy(col("day"))
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             |  COUNT(*) FILTER (event_type = 'click') AS click,
+             |  COUNT(*) FILTER (event_type = 'error') AS error,
+             |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+             |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+             |  COUNT(*) FILTER (event_type = 'view') AS view
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // S9: file-provenance-as-data via input_file_name() (reference M:87
+    // derives the sample id from the file basename).
+    Q(
+      "q18_provenance",
+      (s, dir) => {
+        graft.Tables.lineitem(s, dir)
+          .select(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file_name"))
+          .distinct()
+          .orderBy(col("file_name"))
+      },
+      Some("SELECT 'lineitem.parquet' AS file_name")),
+
+    // Semi-structured extraction from a JSON string column.
+    Q(
+      "q19_json_extract",
+      (s, dir) => {
+        graft.Tables.events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).cast("long").as("sum_k"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS BIGINT) AS sum_k,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}
