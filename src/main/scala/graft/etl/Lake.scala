@@ -1,0 +1,91 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Assembly + sinks for the position-bucketed variant data lake.
+  *
+  * Behavior reference: ImportVcfToDataLakeByRanges.java:43-79 (assembly),
+  * :127-138 (lake write), :155-157 (status write).
+  */
+object Lake {
+
+  /** Lake partition granularity in genome positions (reference M:18). */
+  val PartitionSize = 100000
+
+  /** Output file size governance (reference M:19). */
+  val MaxRecordsPerFile = 25000
+
+  /** Full pipeline: VCF glob → annotated, per-position `entries` rows.
+    *
+    * Join strategy at scale: the annotation tables are *not* hinted
+    * broadcast — dbSNP/gnomAD are billion-row datasets in production, so
+    * the joins shuffle on (chrom,pos[,ref,alt]) and AQE converts to
+    * broadcast at runtime when a side is actually small (as in tests).
+    * All four joins + both aggregations share the same leading key
+    * (chrom,pos), so Spark reuses the child partitioning instead of
+    * reshuffling between stages.
+    *
+    * Determinism deviation (documented, SURVEY §7): both collect_set
+    * results are wrapped in sort_array — same set, fixed order — so lake
+    * output is byte-stable run-to-run.
+    */
+  def build(spark: SparkSession, inputPath: String, impactPath: String,
+            dbSnpPath: String, t2t: Boolean, gnomadPath: String,
+            alphaPath: String): DataFrame = {
+    val variants = Vcf.mutations(spark, inputPath)
+    val annotated = variants
+      .join(Annotations.impact(spark, impactPath), Seq("chrom", "pos", "ref", "alt"), "left")
+      .join(Annotations.dbSnp(spark, dbSnpPath, t2t), Seq("chrom", "pos", "ref", "alt"), "left")
+      .join(Annotations.gnomad(spark, gnomadPath), Seq("chrom", "pos", "ref", "alt"), "left")
+    val withAlpha = Annotations.attachAlpha(annotated, alphaPath)
+
+    // Per-variant: fold per-sample rows into hom/het evidence arrays.
+    // collect_set also drops the nulls produced by the when-gating in
+    // Vcf.mutations (reference M:64-66 relies on the same property).
+    val annKeys = Seq("chrom", "pos", "ref", "alt", "impact", "dbSNP",
+      "gnomad_an", "gnomad_ac", "gnomad_nhomalt", "hg38_coordinate", "alphamissense")
+    val perVariant = withAlpha
+      .groupBy(annKeys.map(col): _*)
+      .agg(
+        sort_array(collect_set(col("hom_ev"))).as("hom"),
+        sort_array(collect_set(col("het_ev"))).as("het"))
+
+    // Per-position: fold alleles into the `entries` array and derive the
+    // range-partitioning bucket (the "ByRanges" scheme, M:74-76).
+    perVariant
+      .withColumn("resp", struct(
+        col("ref"), col("alt"), col("impact"), col("dbSNP"),
+        col("gnomad_an"), col("gnomad_ac"), col("gnomad_nhomalt"),
+        col("hg38_coordinate"), col("alphamissense"), col("hom"), col("het")))
+      .withColumn("pos_bucket", floor(col("pos") / lit(PartitionSize)))
+      .groupBy(col("chrom"), col("pos_bucket"), col("pos"))
+      .agg(sort_array(collect_set(col("resp"))).as("entries"))
+  }
+
+  /** Hive-partitioned lake write: one shuffle to co-locate each
+    * (chrom, pos_bucket) directory's rows in one task, rows clustered by
+    * pos within files (an addition over the reference — parquet min/max
+    * stats then prune row groups for downstream point queries, the E3
+    * contract in SURVEY §3), capped file sizes.
+    *
+    * At 100 TB: switch mode to dynamic partition overwrite
+    * (`spark.sql.sources.partitionOverwriteMode=dynamic`) so a per-batch
+    * ingest doesn't wipe the whole lake (SURVEY §7); the static overwrite
+    * here matches the reference contract (M:133).
+    */
+  def write(df: DataFrame, outputPath: String): Unit =
+    df.repartition(col("chrom"), col("pos_bucket"))
+      .sortWithinPartitions(col("chrom"), col("pos_bucket"), col("pos"))
+      .write
+      .option("maxRecordsPerFile", MaxRecordsPerFile)
+      .mode(SaveMode.Overwrite)
+      .partitionBy("chrom", "pos_bucket")
+      .parquet(outputPath)
+
+  /** Single-file JSON append — an accumulating ingest log (M:155-157).
+    * coalesce(1) is fine: the status DataFrame is one row.
+    */
+  def writeStatus(df: DataFrame, statusPath: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Append).json(statusPath)
+}
