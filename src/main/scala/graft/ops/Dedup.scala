@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact (hash groupBy), MinHash+LSH (shingle → K min-hashes
+  * → banded bucket self-join), exact n-gram Jaccard verification, and
+  * SimHash sketches.
+  *
+  * Scale design: every stage is a hash shuffle on bounded keys — shingle
+  * explosion is linear in corpus bytes; the LSH band join only pairs
+  * documents sharing a band bucket, avoiding the O(n²) all-pairs
+  * comparison entirely. Skewed buckets (boilerplate shingles) should be
+  * capped at the caller (drop buckets with > maxBucket docs) — at 100 TB
+  * a single viral page must not create a quadratic bucket.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash; survivor = min(id) for
+    * determinism (contrast dropDuplicates' arbitrary survivor).
+    */
+  def exactGroups(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.groupBy(md5(col(text)).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(id)).as("keep_id"))
+
+  /** Distinct (id, shingle) pairs — the input of both MinHash and exact
+    * Jaccard. Distinct early: shrinks everything downstream.
+    */
+  def shingleSet(docs: DataFrame, id: String, text: String, n: Int): DataFrame =
+    docs.select(col(id), explode(TextOps.charShingles(col(text), n)).as("sh"))
+      .distinct()
+
+  /** K-permutation MinHash signature, one row per document. Each
+    * "permutation" is the lexicographic min of md5(shingle + "#" + k) —
+    * a uniform hash per k, reproducible in any engine with md5. One
+    * shuffle (groupBy id) computes all K mins via partial aggregation.
+    */
+  def minhashSignature(shingles: DataFrame, id: String, k: Int): DataFrame =
+    shingles.groupBy(col(id))
+      .agg(
+        min(md5(concat(col("sh"), lit("#0")))).as("h0"),
+        (1 until k).map(i =>
+          min(md5(concat(col("sh"), lit(s"#$i")))).as(s"h$i")): _*)
+
+  /** LSH banding: signature split into bands of `r` hashes; band key =
+    * md5 of the concatenated band slice. Docs sharing any band key are
+    * candidate duplicates.
+    */
+  def lshBands(sig: DataFrame, id: String, k: Int, r: Int): DataFrame = {
+    require(k % r == 0, s"k=$k must be divisible by band size r=$r")
+    val bands = (0 until k / r).map { b =>
+      sig.select(
+        col(id),
+        lit(b).cast("long").as("band"),
+        md5(concat((b * r until (b + 1) * r).map(i => col(s"h$i")): _*)).as("band_hash"))
+    }
+    bands.reduce(_.unionAll(_))
+  }
+
+  /** Candidate pairs (a < b) from band-bucket collisions. The self-join
+    * shuffles on (band, band_hash) — each bucket pairs locally.
+    */
+  def candidatePairs(bands: DataFrame, id: String): DataFrame =
+    bands.select(col("band"), col("band_hash"), col(id).as("doc_a"))
+      .join(
+        bands.select(col("band"), col("band_hash"), col(id).as("doc_b")),
+        Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
+  /** Exact n-gram Jaccard for candidate pairs: |A∩B| via a shingle
+    * equi-join, |A∪B| = |A|+|B|-|A∩B|. Returns pairs with
+    * jaccard >= minJaccard (rounded to 4 dp — integer counts divided in
+    * double, identical in any engine).
+    */
+  def jaccardVerify(cand: DataFrame, shingles: DataFrame, id: String,
+                    minJaccard: Double): DataFrame = {
+    val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(shingles.select(col(id).as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(shingles.select(col(id).as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = round(
+      col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4)
+    inter
+      .join(sizes.select(col(id).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col(id).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** SimHash sketch: `bits`-bit fingerprint where bit j is the sign of
+    * sum over token OCCURRENCES of ±1 (the j-th md5 bit of the token).
+    * Near-identical documents differ in few bits (compare via hamming
+    * distance on the bitstring). One explode + one groupBy shuffle.
+    */
+  def simhash(docs: DataFrame, id: String, text: String, bits: Int): DataFrame = {
+    require(bits <= 32, "md5 hex has 32 digits")
+    val toks = docs.select(col(id),
+      explode(TextOps.tokens(col(text))).as("tok"))
+    val sums = toks.groupBy(col(id))
+      .agg(
+        sum(when(TextOps.md5Bit(col("tok"), 1), 1).otherwise(-1)).as("b1"),
+        (2 to bits).map(j =>
+          sum(when(TextOps.md5Bit(col("tok"), j), 1).otherwise(-1)).as(s"b$j")): _*)
+    sums.select(col(id),
+      concat((1 to bits).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*)
+        .as("simhash"))
+  }
+}

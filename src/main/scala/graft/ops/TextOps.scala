@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the LLM-data-pipeline operators.
+  *
+  * Everything here is built from codegen'd Catalyst expressions — no
+  * UDFs — so the hot path stays inside whole-stage codegen and the same
+  * logic is expressible in ANSI SQL for the correctness oracle.
+  *
+  * Cross-engine determinism contract: hashes are md5 hex strings
+  * (identical in every engine), folds are index-ascending, and ratios are
+  * exact integer counts divided in double precision.
+  */
+object TextOps {
+
+  /** Whitespace tokenization over lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Character n-gram shingles, one per start offset; texts shorter than
+    * `n` yield their single truncated tail (same semantics as SQL
+    * substring past end-of-string).
+    */
+  def charShingles(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
+      i => text.substr(i, lit(n)))
+
+  /** Canonical form for content fingerprinting: lowercase, alnum only. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9]", "")
+
+  /** Content fingerprint of the canonical form. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** How many tokens fall in `stops` (with duplicates). */
+  def stopwordCount(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stops: _*)))
+
+  /** High bit of the j-th (1-based) hex digit of md5(token) — the
+    * deterministic "random" bit used by the SimHash sketch.
+    */
+  def md5Bit(token: Column, j: Int): Column =
+    substring(md5(token), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level dense-vector primitives over `array<float>` embedding
+  * columns — UDF-free (zip_with/aggregate are codegen-friendly Catalyst
+  * expressions, and the same fold is expressible in ANSI SQL).
+  *
+  * Determinism contract: elements are widened float→double (exact), the
+  * reduction is a LEFT FOLD in index order with initial 0.0 — IEEE
+  * addition applied in a fixed order is bit-reproducible across engines,
+  * unlike parallel/tree reductions.
+  */
+object VectorOps {
+
+  /** Elementwise product in double precision. */
+  private def products(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x.cast("double") * y.cast("double"))
+
+  /** dot(a, b) as an index-ascending left fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(products(a, b), lit(0.0), (acc, p) => acc + p)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic random-hyperplane (sign) sketch for cosine LSH:
+    * bit p = [ sum_i w(p,i) * v_i > 0 ] with pseudo-random weights
+    * w(p,i) = ±1 derived from md5("p-i") — reproducible in any engine
+    * with md5, no RNG state to ship.
+    */
+  def hyperplaneSketch(v: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val signedTerms = zip_with(v, sequence(lit(1), size(v)), (x, i) => {
+        val w = substring(md5(concat(lit(s"$p-"), i.cast("string"))), 1, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f")
+        when(w, x.cast("double")).otherwise(-x.cast("double"))
+      })
+      val proj = aggregate(signedTerms, lit(0.0), (acc, t) => acc + t)
+      when(proj > 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+}

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedup, Similarity, TextOps}
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables, each paired with a DuckDB oracle that mirrors
+  * the md5-hash/left-fold determinism contract of graft.ops.
+  */
+object LlmOps {
+
+  private val ShingleN = 8
+  private val MinhashK = 8
+  private val BandR = 2
+  private val SimhashBits = 16
+  private val hiHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+  private val hiHexSql = hiHex.map(h => s"'$h'").mkString(", ")
+  private val stops = Seq("the", "a", "of", "and", "to", "in")
+
+  // ---- shared oracle SQL fragments ----
+
+  /** Distinct (doc_id, shingle) set, 8-char shingles. */
+  private val shSql =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, greatest(length(text)-$ShingleN+2, 2)),
+       |      i -> substring(text, CAST(i AS INT), $ShingleN))) AS sh
+       |  FROM documents)""".stripMargin
+
+  private val sigSql = {
+    val mins = (0 until MinhashK)
+      .map(k => s"min(md5(sh||'#$k')) AS h$k").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  private val bandsSql = {
+    val rows = (0 until MinhashK / BandR).map { b =>
+      val slice = (b * BandR until (b + 1) * BandR).map(i => s"h$i").mkString("||")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band, md5($slice) AS band_hash FROM sig"
+    }
+    s"bands AS (${rows.mkString(" UNION ALL ")})"
+  }
+
+  private val candSql =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b USING (band, band_hash)
+      |  WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  /** Left-fold dot product — the exact cross-engine contract of
+    * VectorOps.dot (index-ascending, double precision).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  private def projSql(p: Int): String =
+    s"list_reduce(list_transform(range(1, len(embedding)+1), " +
+      s"i -> CASE WHEN substring(md5('$p-'||i), 1, 1) IN ($hiHexSql) " +
+      s"THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END), (x,y) -> x+y)"
+
+  private def tokSql = s"string_split_regex(lower(text), '\\s+')"
+
+  val all: Seq[Q] = Seq(
+
+    Q(
+      "q20_dedup_exact",
+      (s, dir) => Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("content_hash")),
+      Some("""SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+
+    Q(
+      "q21_minhash_pairs",
+      (s, dir) => {
+        val sh = Dedup.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleN)
+        val sig = Dedup.minhashSignature(sh, "doc_id", MinhashK)
+        Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", MinhashK, BandR), "doc_id")
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $shSql, $sigSql, $bandsSql, $candSql
+              |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q(
+      "q22_minhash_jaccard",
+      (s, dir) => {
+        val sh = Dedup.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleN)
+        val sig = Dedup.minhashSignature(sh, "doc_id", MinhashK)
+        val cand = Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", MinhashK, BandR), "doc_id")
+        Dedup.jaccardVerify(cand, sh, "doc_id", 0.2)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $shSql, $sigSql, $bandsSql, $candSql,
+              |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+              |  FROM cand c
+              |  JOIN sh a ON a.doc_id = c.doc_a
+              |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+              |  GROUP BY c.doc_a, c.doc_b)
+              |SELECT doc_a, doc_b,
+              |  round(CAST(i AS DOUBLE)/CAST(sa.sz + sb.sz - i AS DOUBLE), 4) AS jaccard
+              |FROM inter
+              |JOIN sizes sa ON sa.doc_id = doc_a
+              |JOIN sizes sb ON sb.doc_id = doc_b
+              |WHERE round(CAST(i AS DOUBLE)/CAST(sa.sz + sb.sz - i AS DOUBLE), 4) >= 0.2
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q(
+      "q23_simhash",
+      (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", SimhashBits)
+        .orderBy(col("doc_id")),
+      Some {
+        val sums = (1 to SimhashBits).map(j =>
+          s"SUM(CASE WHEN substring(md5(tok), $j, 1) IN ($hiHexSql) THEN 1 ELSE -1 END) AS b$j")
+          .mkString(", ")
+        val bitsExpr = (1 to SimhashBits).map(j =>
+          s"(CASE WHEN b$j > 0 THEN '1' ELSE '0' END)").mkString("||")
+        s"""WITH t AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+           |s AS (SELECT doc_id, $sums FROM t GROUP BY doc_id)
+           |SELECT doc_id, $bitsExpr AS simhash FROM s ORDER BY doc_id""".stripMargin
+      }),
+
+    Q(
+      "q24_embed_neardup",
+      (s, dir) => Similarity.bruteForcePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.35)
+        .orderBy(col("vec_a"), col("vec_b")),
+      Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |  ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+              |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    Q(
+      "q25_ann_topk",
+      (s, dir) => Similarity.topK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10),
+      Some(s"""SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cos_sim
+              |FROM embeddings e,
+              |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+              |WHERE e.vec_id <> 0
+              |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin)),
+
+    Q(
+      "q26_ann_lsh",
+      (s, dir) => Similarity.lshPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 4, 0.35)
+        .orderBy(col("vec_a"), col("vec_b")),
+      Some {
+        val bucket = (0 until 4).map(p =>
+          s"(CASE WHEN ${projSql(p)} > 0 THEN '1' ELSE '0' END)").mkString("||")
+        s"""WITH sk AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+           |FROM sk a JOIN sk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+           |ORDER BY vec_a, vec_b""".stripMargin
+      }),
+
+    Q(
+      "q27_text_stats",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val nTok = size(toks).cast("double")
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          round(TextOps.stopwordCount(toks, stops).cast("double") / nTok, 4).as("stop_ratio"),
+          round(length(col("text")).cast("double") / nTok, 4).as("chars_per_token"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stopList = stops.map(t => s"'$t'").mkString(", ")
+        s"""SELECT doc_id,
+           |  len($tokSql) AS n_tokens,
+           |  round(CAST(len(list_filter($tokSql, t -> list_contains([$stopList], t))) AS DOUBLE)
+           |        / CAST(len($tokSql) AS DOUBLE), 4) AS stop_ratio,
+           |  round(CAST(length(text) AS DOUBLE) / CAST(len($tokSql) AS DOUBLE), 4) AS chars_per_token
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    Q(
+      "q28_lang_id",
+      (s, dir) => {
+        val markers = Seq(
+          "en" -> Seq("the", "and", "of", "to"),
+          "es" -> Seq("el", "la", "de", "que"),
+          "de" -> Seq("der", "die", "und", "ist"),
+          "fr" -> Seq("le", "les", "et", "dans"))
+        val toks = TextOps.tokens(col("text"))
+        val scored = Tables.documents(s, dir).select(
+          col("doc_id") +: col("lang") +:
+            markers.map { case (l, ms) =>
+              TextOps.stopwordCount(toks, ms).cast("long").as(s"s_$l")
+            }: _*)
+        scored.withColumn("pred_lang",
+          when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr")), "en")
+            .when(col("s_es") >= greatest(col("s_de"), col("s_fr")), "es")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def score(ms: Seq[String]) = {
+          val l = ms.map(t => s"'$t'").mkString(", ")
+          s"len(list_filter($tokSql, t -> list_contains([$l], t)))"
+        }
+        s"""SELECT doc_id, lang,
+           |  ${score(Seq("the", "and", "of", "to"))} AS s_en,
+           |  ${score(Seq("el", "la", "de", "que"))} AS s_es,
+           |  ${score(Seq("der", "die", "und", "ist"))} AS s_de,
+           |  ${score(Seq("le", "les", "et", "dans"))} AS s_fr,
+           |  CASE WHEN ${score(Seq("the", "and", "of", "to"))} >= greatest(${score(Seq("el", "la", "de", "que"))}, ${score(Seq("der", "die", "und", "ist"))}, ${score(Seq("le", "les", "et", "dans"))}) THEN 'en'
+           |       WHEN ${score(Seq("el", "la", "de", "que"))} >= greatest(${score(Seq("der", "die", "und", "ist"))}, ${score(Seq("le", "les", "et", "dans"))}) THEN 'es'
+           |       WHEN ${score(Seq("der", "die", "und", "ist"))} >= ${score(Seq("le", "les", "et", "dans"))} THEN 'de'
+           |       ELSE 'fr' END AS pred_lang
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    Q(
+      "q29_fingerprint",
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        sha2(col("text"), 256).as("content_sha256"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+             |  sha256(text) AS content_sha256,
+             |  strlen(text) AS n_bytes
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

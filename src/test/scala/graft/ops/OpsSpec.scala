@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Library-level specs for the dedup / similarity operators with planted
+  * duplicates and known-geometry vectors (the oracle gate covers the
+  * synthetic-table scale; these pin the semantics).
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumped over the lazy dog"), // near dup
+    (4L, "completely different content about spark engines"))
+    .toDF("doc_id", "text")
+
+  test("exactGroups: identical texts collapse, survivor is min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length === 3)
+    val dup = g.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhash LSH: exact dups collide in every band, unrelated docs never") {
+    val sh = Dedup.shingleSet(docs, "doc_id", "text", 8)
+    val sig = Dedup.minhashSignature(sh, "doc_id", 8)
+    val cand = Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", 8, 2), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("jaccardVerify: identical docs score 1.0, near dups score high") {
+    val sh = Dedup.shingleSet(docs, "doc_id", "text", 8)
+    val sig = Dedup.minhashSignature(sh, "doc_id", 8)
+    val cand = Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", 8, 2), "doc_id")
+    val jac = Dedup.jaccardVerify(cand, sh, "doc_id", 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((1L, 2L)) === 1.0)
+    jac.get((1L, 3L)).foreach(j => assert(j > 0.5 && j < 1.0))
+  }
+
+  test("simhash: identical docs get identical sketches; near dups are close") {
+    val fp = Dedup.simhash(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L).length === 16)
+    val hamming13 = fp(1L).zip(fp(3L)).count { case (a, b) => a != b }
+    val hamming14 = fp(1L).zip(fp(4L)).count { case (a, b) => a != b }
+    assert(hamming13 < hamming14)
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+    (2L, Array(0.9f, 0.1f, 0.0f)),   // near 0
+    (3L, Array(0.0f, 0.0f, 1.0f)))   // orthogonal to 0
+    .toDF("vec_id", "embedding")
+
+  test("cosine geometry: identical=1, orthogonal=0") {
+    val sims = Similarity.bruteForcePairs(vecs, "vec_id", "embedding", -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sims((0L, 1L)) === 1.0)
+    assert(sims((0L, 3L)) === 0.0)
+    assert(sims((0L, 2L)) > 0.99)
+  }
+
+  test("topK: nearest neighbours in order, probe excluded") {
+    val top = Similarity.topK(vecs, "vec_id", "embedding", 0L, 2).collect()
+    assert(top.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(top(0).getDouble(1) === 1.0)
+  }
+
+  test("LSH similarity: identical vectors share a bucket and survive re-rank") {
+    val pairs = Similarity.lshPairs(vecs, "vec_id", "embedding", 4, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+}
