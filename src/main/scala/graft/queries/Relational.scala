@@ -378,6 +378,64 @@ object Relational {
       },
       Some("SELECT 'lineitem.parquet' AS file_name")),
 
+    // Batch sessionization: gaps-and-islands with lag + running sum
+    // (30-minute inactivity gap). The streaming variant lives in
+    // graft.streaming as a session_window / flatMapGroupsWithState.
+    Q(
+      "q30_sessionize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapSec = 1800L
+        val newSession = when(
+          lag(col("ts"), 1).over(w).isNull ||
+            col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long") > gapSec, 1L)
+          .otherwise(0L)
+        graft.Tables.events(s, dir)
+          .withColumn("new_sess", newSession)
+          .withColumn("session_id",
+            sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("sess_start"),
+            max(col("ts")).as("sess_end"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sessions AS (
+             |  SELECT user_id, event_id, ts,
+             |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM flagged)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |  MIN(ts) AS sess_start, MAX(ts) AS sess_end
+             |FROM sessions GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // Exact percentiles (sort-based, deterministic linear interpolation).
+    Q(
+      "q31_percentiles",
+      (s, dir) => {
+        graft.Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Semi-structured extraction from a JSON string column.
     Q(
       "q19_json_extract",

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming transforms over the events schema
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference system is batch-only (SURVEY §2.9); these provide the
+  * streaming engine capabilities its categories map to: tumbling /
+  * sliding / session windows with event-time watermarks, and arbitrary
+  * stateful processing via flatMapGroupsWithState.
+  *
+  * Scale notes: all aggregations key on (window, event_type) or user_id —
+  * state is bounded by watermark expiry; shuffle partitioning follows the
+  * group keys so state store access is local to each task. For very hot
+  * keys (a viral user_id), pre-aggregate per trigger with a salted key
+  * and fold the salt out in a second stage.
+  */
+object EventStreams {
+
+  /** Tumbling one-hour counts with a watermark: late rows beyond
+    * `lateness` are dropped, closed windows emit exactly once in append
+    * mode.
+    */
+  def hourlyByType(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding windows: 1-hour span advancing every 15 minutes. */
+  def slidingVolume(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+
+  /** Native session windows: 30-minute inactivity gap per user —
+    * the streaming analog of the batch q30_sessionize query.
+    */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+                   lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("s.start").as("sess_start"),
+        col("s.end").as("sess_end"), col("n_events"), col("sum_value"))
+
+  // ---- arbitrary stateful processing ----
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running totals via explicit state — the
+    * mapGroupsWithState shape for logic window aggregates can't express
+    * (counters, custom machines). Emits the updated total per user per
+    * trigger (Update mode).
+    */
+  def runningTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserRunning(userId,
+            prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Output mode expected by runningTotals sinks. */
+  val runningTotalsMode: OutputMode = OutputMode.Update()
+}

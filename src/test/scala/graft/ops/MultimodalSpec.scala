@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def fakeMedia = {
+    import spark.implicits._
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47) ++ Array.tabulate(200)(i => (i % 251).toByte)
+    val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++ Array.tabulate(150)(i => (i % 13).toByte)
+    val wav = "RIFF".getBytes ++ Array.tabulate(100)(i => (i % 7).toByte)
+    val junk = Array.tabulate(50)(i => i.toByte)
+    Seq((1L, png), (2L, jpg), (3L, wav), (4L, junk)).toDF("media_id", "content")
+  }
+
+  test("media metadata: magic-byte sniffing, sizes, digests — no decode") {
+    val meta = Multimodal.withMediaMeta(fakeMedia).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[String]("format"), r.getAs[Long]("n_bytes"))).toMap
+    assert(meta(1L) === ("png", 204L))
+    assert(meta(2L) === ("jpeg", 154L))
+    assert(meta(3L) === ("riff-wav", 104L))
+    assert(meta(4L)._1 === "unknown")
+  }
+
+  test("batched feature extraction is deterministic and complete") {
+    val f1 = Multimodal.extractFeatures(fakeMedia, dim = 8, batchSize = 2).collect()
+      .map(m => m.media_id -> m.features.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(fakeMedia.repartition(3), dim = 8, batchSize = 64)
+      .collect().map(m => m.media_id -> m.features.toSeq).toMap
+    assert(f1.keySet === Set(1L, 2L, 3L, 4L))
+    assert(f1.values.forall(_.length == 8))
+    // partitioning/batching must not change results
+    assert(f1 === f2)
+  }
+
+  test("frame sampling yields k fixed-width deterministic slices") {
+    val frames = Multimodal.sampleFrames(fakeMedia.where("media_id = 1"), k = 4, frameBytes = 16)
+      .collect()
+    assert(frames.length === 4)
+    assert(frames.map(_.getAs[Array[Byte]]("frame").length).forall(_ == 16))
+    val again = Multimodal.sampleFrames(fakeMedia.where("media_id = 1"), k = 4, frameBytes = 16)
+      .collect().map(_.getAs[Array[Byte]]("frame").toSeq)
+    assert(frames.map(_.getAs[Array[Byte]]("frame").toSeq).toSeq === again.toSeq)
+  }
+}

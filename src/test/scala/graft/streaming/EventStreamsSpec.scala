@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming specs driven through MemoryStream with real micro-batch
+  * execution (processAllAvailable), asserting on in-memory sinks.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  import EventStreams.Event
+
+  test("tumbling window with watermark emits closed windows once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.hourlyByType(in.toDF(), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    try {
+      // hour 0 fills, then an event far past it advances the watermark
+      in.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 1, "click", 2.0),
+        Event(3, ts(30), 2, "view", 3.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts(200), 1, "click", 4.0)) // watermark → 03:10
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_type, n_events, sum_value FROM hourly ORDER BY event_type").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ===
+        Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("session windows close after the inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.userSessions(in.toDF(), gap = "30 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then 60 min silence,
+      // then another event (second session)
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 1.0),
+        Event(3, ts(70), 1, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts(600), 2, "click", 0.0)) // advance watermark far
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events FROM sessions WHERE user_id = 1 ORDER BY sess_start").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        Seq((1L, 2L), (1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.runningTotals(in.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(EventStreams.runningTotalsMode).start()
+    try {
+      in.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(2), 1, "view", 3.0))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT n_events, total_value FROM running WHERE user_id = 1 ORDER BY n_events DESC LIMIT 1")
+        .collect()(0)
+      assert(last.getLong(0) === 3L)
+      assert(last.getDouble(1) === 6.0)
+    } finally q.stop()
+  }
+}
