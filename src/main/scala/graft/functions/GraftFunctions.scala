@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration + Column API for graft's native expressions.
+  *
+  * Use from SQL via `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `GraftFunctions.register(spark)` on an existing session), or from
+  * the DataFrame DSL via the `Column` wrappers.
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[VecDot].getName, null, name, usage, "", "", "",
+      "array_funcs", "4.0.0", "", "built-in")
+
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float vectors in double precision"),
+      (e: Seq[Expression]) => VecDot(e(0), e(1))),
+    (FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float vectors"),
+      (e: Seq[Expression]) => VecCosine(e(0), e(1))))
+
+  /** For spark.sql.extensions. */
+  def inject(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+
+  /** Imperative registration on a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, fnInfo, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, fnInfo, builder)
+    }
+
+  // ---- DataFrame DSL wrappers ----
+  // Resolved through the function registry (public API), so callers must
+  // have run register(spark) / the extension — Similarity does this
+  // automatically.
+
+  def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  def vec_cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+}
+
+/** Entry point for `spark.sql.extensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}

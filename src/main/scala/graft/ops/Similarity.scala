@@ -25,6 +25,7 @@ object Similarity {
     */
   def bruteForcePairs(emb: DataFrame, id: String, vec: String,
                       minCos: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val a = emb.select(col(id).as("vec_a"), col(vec).as("va"))
     val b = emb.select(col(id).as("vec_b"), col(vec).as("vb"))
     a.crossJoin(b)
@@ -40,6 +41,7 @@ object Similarity {
     */
   def topK(emb: DataFrame, id: String, vec: String, queryId: Long,
            k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val probe = emb.where(col(id) === queryId).select(col(vec).as("qv"))
     emb.where(col(id) =!= queryId)
       .crossJoin(broadcast(probe))
@@ -52,6 +54,7 @@ object Similarity {
   /** Near-neighbour pairs via sign-LSH buckets + exact re-rank. */
   def lshPairs(emb: DataFrame, id: String, vec: String, planes: Int,
                minCos: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val sk = emb.select(col(id), col(vec),
       hyperplaneSketch(col(vec), planes).as("bucket"))
     val a = sk.select(col("bucket"), col(id).as("vec_a"), col(vec).as("va"))

@@ -18,13 +18,23 @@ object VectorOps {
   private def products(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => x.cast("double") * y.cast("double"))
 
-  /** dot(a, b) as an index-ascending left fold. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b) as a declarative index-ascending left fold — the readable
+    * reference implementation of the numeric contract. Higher-order
+    * functions are interpreted (no codegen), so the hot paths use the
+    * bit-identical native expression instead; OpsSpec asserts equality.
+    */
+  private[ops] def dotFold(a: Column, b: Column): Column =
     aggregate(products(a, b), lit(0.0), (acc, p) => acc + p)
+
+  /** dot(a, b) — native codegen'd loop, same fold order as dotFold. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vec_dot(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine (native expression). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vec_cosine(a, b)
 
   /** Deterministic random-hyperplane (sign) sketch for cosine LSH:
     * bit p = [ sum_i w(p,i) * v_i > 0 ] with pseudo-random weights

@@ -78,7 +78,8 @@ object LlmOps {
       "q21_minhash_pairs",
       (s, dir) => {
         val sh = Dedup.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleN)
-        val sig = Dedup.minhashSignature(sh, "doc_id", MinhashK)
+        // the band self-join references sig twice — materialize once
+        val sig = Dedup.minhashSignature(sh, "doc_id", MinhashK).persist()
         Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", MinhashK, BandR), "doc_id")
           .orderBy(col("doc_a"), col("doc_b"))
       },
@@ -88,8 +89,10 @@ object LlmOps {
     Q(
       "q22_minhash_jaccard",
       (s, dir) => {
-        val sh = Dedup.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleN)
-        val sig = Dedup.minhashSignature(sh, "doc_id", MinhashK)
+        // sh feeds the signature AND both sides of the intersection join
+        // (4 references) — materialize once instead of re-exploding
+        val sh = Dedup.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleN).persist()
+        val sig = Dedup.minhashSignature(sh, "doc_id", MinhashK).persist()
         val cand = Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", MinhashK, BandR), "doc_id")
         Dedup.jaccardVerify(cand, sh, "doc_id", 0.2)
           .orderBy(col("doc_a"), col("doc_b"))

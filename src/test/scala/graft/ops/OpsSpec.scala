@@ -75,6 +75,38 @@ class OpsSpec extends AnyFunSuite {
     assert(top(0).getDouble(1) === 1.0)
   }
 
+  test("native vec_dot/vec_cosine are bit-identical to the declarative fold") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val data = Seq.tabulate(50)(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "a", "b")
+    val cmp = data.select(
+      VectorOps.dot(col("a"), col("b")).as("native"),
+      VectorOps.dotFold(col("a"), col("b")).as("fold"),
+      VectorOps.cosine(col("a"), col("b")).as("cos_native"),
+      (VectorOps.dotFold(col("a"), col("b")) /
+        (sqrt(VectorOps.dotFold(col("a"), col("a"))) *
+          sqrt(VectorOps.dotFold(col("b"), col("b"))))).as("cos_fold"))
+      .collect()
+    cmp.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("vec_dot is available from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val v = spark.sql(
+      "SELECT vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").collect()(0).getDouble(0)
+    assert(v === 1.0)
+  }
+
   test("LSH similarity: identical vectors share a bucket and survive re-rank") {
     val pairs = Similarity.lshPairs(vecs, "vec_id", "embedding", 4, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
