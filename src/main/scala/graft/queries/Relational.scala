@@ -436,6 +436,24 @@ object Relational {
              |  COUNT(*) AS n
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // §2.9 UDAF capability: typed Aggregator — deterministic BOUNDED
+    // collect_set (state never exceeds the bound, even in map-side
+    // partials; SURVEY §7's 100 TB candidate).
+    Q(
+      "q32_bounded_set",
+      (s, dir) => {
+        val bounded = udaf(graft.functions.BoundedSortedSetAgg(5))
+        graft.Tables.customer(s, dir)
+          .groupBy(col("c_mktsegment"))
+          .agg(bounded(col("c_name")).as("first_names"),
+            count(lit(1)).as("n_customers"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment,
+             |  list_sort(list(DISTINCT c_name))[1:5] AS first_names,
+             |  COUNT(*) AS n_customers
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Semi-structured extraction from a JSON string column.
     Q(
       "q19_json_extract",
