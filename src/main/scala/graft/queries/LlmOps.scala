@@ -222,6 +222,22 @@ object LlmOps {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // Multimodal plumbing through the gate: documents' text bytes stand
+    // in for media payloads; the batched mapPartitions feature extractor
+    // (stub codec) runs distributed. No SQL oracle — mapPartitions is
+    // not SQL-expressible — so the driver records a rows-only check.
+    Q(
+      "q33_media_features",
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+        graft.ops.Multimodal.extractFeatures(media, dim = 8)
+          .toDF("media_id", "features")
+          .select(col("media_id"), round(element_at(col("features"), 1), 6).as("f0"))
+          .orderBy(col("media_id"))
+      },
+      None),
+
     Q(
       "q29_fingerprint",
       (s, dir) => Tables.documents(s, dir).select(
