@@ -69,19 +69,23 @@ object Lake {
     * stats then prune row groups for downstream point queries, the E3
     * contract in SURVEY §3), capped file sizes.
     *
-    * At 100 TB: switch mode to dynamic partition overwrite
-    * (`spark.sql.sources.partitionOverwriteMode=dynamic`) so a per-batch
-    * ingest doesn't wipe the whole lake (SURVEY §7); the static overwrite
-    * here matches the reference contract (M:133).
+    * `dynamicOverwrite = false` reproduces the reference contract
+    * (M:133: the whole output path is replaced). At 100 TB a per-batch
+    * ingest must NOT wipe the lake — `dynamicOverwrite = true` switches
+    * to partition-level overwrite: only the (chrom, pos_bucket)
+    * directories present in this batch are replaced (SURVEY §7).
     */
-  def write(df: DataFrame, outputPath: String): Unit =
-    df.repartition(col("chrom"), col("pos_bucket"))
+  def write(df: DataFrame, outputPath: String,
+            dynamicOverwrite: Boolean = false): Unit = {
+    val writer = df.repartition(col("chrom"), col("pos_bucket"))
       .sortWithinPartitions(col("chrom"), col("pos_bucket"), col("pos"))
       .write
       .option("maxRecordsPerFile", MaxRecordsPerFile)
+      .option("partitionOverwriteMode", if (dynamicOverwrite) "dynamic" else "static")
       .mode(SaveMode.Overwrite)
       .partitionBy("chrom", "pos_bucket")
-      .parquet(outputPath)
+    writer.parquet(outputPath)
+  }
 
   /** Single-file JSON append — an accumulating ingest log (M:155-157).
     * coalesce(1) is fine: the status DataFrame is one row.

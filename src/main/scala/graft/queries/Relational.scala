@@ -436,6 +436,33 @@ object Relational {
              |  COUNT(*) AS n
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Array construction + higher-order functions over aggregated arrays
+    // (slice / transform / left-fold aggregate). Quantities are
+    // integer-valued doubles, so sums are exact in any order.
+    Q(
+      "q34_array_hof",
+      (s, dir) => {
+        graft.Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(col("l_quantity"))).as("qtys"))
+          .select(
+            col("l_orderkey"),
+            size(col("qtys")).cast("long").as("n_items"),
+            slice(col("qtys"), 1, 3).as("smallest3"),
+            transform(col("qtys"), x => x * 2).as("doubled"),
+            aggregate(col("qtys"), lit(0.0), (a, x) => a + x).as("total_qty"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""WITH a AS (
+             |  SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+             |  FROM lineitem GROUP BY l_orderkey)
+             |SELECT l_orderkey,
+             |  len(qtys) AS n_items,
+             |  qtys[1:3] AS smallest3,
+             |  list_transform(qtys, x -> x * 2) AS doubled,
+             |  list_reduce(qtys, (acc, x) -> acc + x) AS total_qty
+             |FROM a ORDER BY l_orderkey""".stripMargin)),
+
     // §2.9 UDAF capability: typed Aggregator — deterministic BOUNDED
     // collect_set (state never exceeds the bound, even in map-side
     // partials; SURVEY §7's 100 TB candidate).

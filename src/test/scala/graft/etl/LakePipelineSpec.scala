@@ -100,6 +100,23 @@ class LakePipelineSpec extends AnyFunSuite {
     assert(entry.forall(_.isNullAt(1)))
   }
 
+  test("dynamic partition overwrite replaces only the batch's partitions") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("lakeDyn").toString
+    def batch(chrom: String, pos: Int) = Seq((chrom, pos.toLong / Lake.PartitionSize, pos, "x"))
+      .toDF("chrom", "pos_bucket", "pos", "payload")
+    Lake.write(batch("chr1", 100), out)
+    Lake.write(batch("chr2", 200), out, dynamicOverwrite = true)
+    val back = spark.read.parquet(out)
+    // static overwrite would have wiped chr1; dynamic must keep it
+    assert(back.select("chrom").as[String].collect().toSet === Set("chr1", "chr2"))
+    // overwriting chr1's bucket replaces, not appends
+    Lake.write(batch("chr1", 105), out, dynamicOverwrite = true)
+    val after = spark.read.parquet(out).where("chrom = 'chr1'")
+    assert(after.count() === 1)
+    assert(after.select("pos").as[Int].collect().toSeq === Seq(105))
+  }
+
   test("status: exact distinct counts and sample provenance") {
     val status = Vcf.status(spark, hg19Vcfs)
     val row = status.collect()(0)
