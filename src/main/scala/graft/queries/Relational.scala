@@ -40,21 +40,26 @@ object Relational {
       "q1_agg",
       (s, dir) => {
         val l = graft.Tables.lineitem(s, dir)
+        // Large-magnitude money sums stay DECIMAL end-to-end: casting a
+        // decimal whose unscaled value exceeds 2^53 to double is
+        // correctly-rounded in Spark (BigDecimal) but double-rounded in
+        // DuckDB (int128→double, then /10^scale) — observed 1-ulp
+        // divergence at sf0.1. Exact decimals compare exactly.
         l.groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+            sum(dec(col("l_quantity"))).as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).as("sum_base_price"),
             sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-              .cast("double").as("sum_disc_price"),
+              .as("sum_disc_price"),
             (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)).cast("double"))
               .as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+             |  SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+             |  SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+             |  SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
              |  COUNT(*) AS count_order
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -117,11 +122,11 @@ object Relational {
           .where(col("r_name") === "ASIA")
           .groupBy(col("n_name"))
           .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast("double").as("revenue"))
+            .as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
       Some("""SELECT n_name,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+             |  SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -242,7 +247,7 @@ object Relational {
               .otherwise("large"))
           .groupBy(col("price_band"))
           .agg(count(lit(1)).as("n_orders"),
-            sum(dec(col("o_totalprice"))).cast("double").as("total"))
+            sum(dec(col("o_totalprice"))).as("total"))
           .orderBy(col("price_band"))
       },
       Some("""SELECT
@@ -250,7 +255,7 @@ object Relational {
              |       WHEN o_totalprice < 100000 THEN 'medium'
              |       ELSE 'large' END AS price_band,
              |  COUNT(*) AS n_orders,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+             |  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
              |FROM orders GROUP BY 1 ORDER BY price_band""".stripMargin)),
 
     // §2.8 scalar string functions: concat/upper/trim/split/
