@@ -23,7 +23,18 @@ object GraftFunctions {
       (e: Seq[Expression]) => VecDot(e(0), e(1))),
     (FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float vectors"),
-      (e: Seq[Expression]) => VecCosine(e(0), e(1))))
+      (e: Seq[Expression]) => VecCosine(e(0), e(1))),
+    (FunctionIdentifier("char_shingles"),
+      info("char_shingles", "char_shingles(text, n) - array of character n-gram shingles"),
+      (e: Seq[Expression]) => {
+        val n = e(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"char_shingles(text, n): n must be an integer literal, got $other")
+        }
+        CharShingles(e(0), n)
+      }))
 
   /** For spark.sql.extensions. */
   def inject(ext: SparkSessionExtensions): Unit =
@@ -43,6 +54,9 @@ object GraftFunctions {
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def vec_cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+
+  def char_shingles(text: Column, n: Int): Column =
+    call_function("char_shingles", text, org.apache.spark.sql.functions.lit(n))
 }
 
 /** Entry point for `spark.sql.extensions`. */

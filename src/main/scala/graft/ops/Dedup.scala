@@ -27,9 +27,11 @@ object Dedup {
   /** Distinct (id, shingle) pairs — the input of both MinHash and exact
     * Jaccard. Distinct early: shrinks everything downstream.
     */
-  def shingleSet(docs: DataFrame, id: String, text: String, n: Int): DataFrame =
+  def shingleSet(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col(id), explode(TextOps.charShingles(col(text), n)).as("sh"))
       .distinct()
+  }
 
   /** K-permutation MinHash signature, one row per document. Each
     * "permutation" is the lexicographic min of md5(shingle + "#" + k) —

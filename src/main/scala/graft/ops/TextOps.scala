@@ -20,12 +20,20 @@ object TextOps {
 
   /** Character n-gram shingles, one per start offset; texts shorter than
     * `n` yield their single truncated tail (same semantics as SQL
-    * substring past end-of-string).
+    * substring past end-of-string). Declarative reference version —
+    * interpreted per element; hot paths use the bit-identical native
+    * CharShingles expression via Dedup.shingleSet.
     */
-  def charShingles(text: Column, n: Int): Column =
+  def charShinglesHof(text: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
       i => text.substr(i, lit(n)))
+
+  /** Native codegen'd shingles (requires GraftFunctions registration —
+    * DataFrame-level callers like Dedup.shingleSet handle that).
+    */
+  def charShingles(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.char_shingles(text, n)
 
   /** Canonical form for content fingerprinting: lowercase, alnum only. */
   def normalized(text: Column): Column =

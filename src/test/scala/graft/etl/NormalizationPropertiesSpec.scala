@@ -110,4 +110,19 @@ class NormalizationPropertiesSpec extends AnyFunSuite {
       assert(sh.forall(_.length <= 5))
     }
   }
+
+  test("native char_shingles equals the declarative HOF (incl. multibyte, empty)") {
+    import spark.implicits._
+    val texts = sample(Gen.listOfN(200, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(40)),
+      Gen.listOfN(10, Gen.oneOf("é", "汉", "a", "🙂", " ")).map(_.mkString),
+      Gen.const(""), Gen.const("ab")))) // shorter than n
+    val diff = texts.toDF("text")
+      .select(
+        graft.ops.TextOps.charShingles(col("text"), 8).as("native"),
+        graft.ops.TextOps.charShinglesHof(col("text"), 8).as("hof"))
+      .where(not(col("native") === col("hof")))
+      .count()
+    assert(diff === 0)
+  }
 }
