@@ -51,6 +51,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) coarse quantization: every vector is assigned
+    * to its most-similar of `k` centroids. The codebook here is the `k`
+    * lowest-id vectors — a deterministic stand-in for a trained k-means
+    * codebook; the operator shape (broadcast codebook → one argmax pass
+    * → shuffle on cell id) is identical with real centroids.
+    */
+  def ivfAssign(emb: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val cents = emb.orderBy(col(id)).limit(k)
+      .select(col(id).as("cent_id"), col(vec).as("cvec"))
+    val w = Window.partitionBy(col(id)).orderBy(col("cell_sim").desc, col("cent_id"))
+    emb.crossJoin(broadcast(cents))
+      .select(col(id), col(vec), col("cent_id"),
+        cosine(col(vec), col("cvec")).as("cell_sim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(id), col(vec), col("cent_id").as("cell"))
+  }
+
+  /** ANN top-k via IVF: rank cells against the probe vector, scan only
+    * the `nprobe` best cells, exact-cosine re-rank inside them. With
+    * nprobe = k this degrades gracefully to exact brute force (asserted
+    * in OpsSpec); at scale each query touches ~nprobe/k of the data.
+    */
+  def ivfTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
+              topK: Int, cells: Int, nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val assigned = ivfAssign(emb, id, vec, cells)
+    val probe = emb.where(col(id) === queryId).select(col(vec).as("qv"))
+    val probeCells = assigned.select(col("cell"), col(vec)).distinct()
+      .join(broadcast(emb.orderBy(col(id)).limit(cells)
+        .select(col(id).as("cell"), col(vec).as("cvec"))), Seq("cell"))
+      .select(col("cell"), col("cvec")).distinct()
+      .crossJoin(broadcast(probe))
+      .select(col("cell"), cosine(col("cvec"), col("qv")).as("cell_sim"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+      .limit(nprobe)
+    assigned
+      .join(broadcast(probeCells.select(col("cell"))), Seq("cell"))
+      .where(col(id) =!= queryId)
+      .crossJoin(broadcast(probe))
+      .select(col(id), round(cosine(col(vec), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(id))
+      .limit(topK)
+  }
+
   /** Near-neighbour pairs via sign-LSH buckets + exact re-rank. */
   def lshPairs(emb: DataFrame, id: String, vec: String, planes: Int,
                minCos: Double): DataFrame = {

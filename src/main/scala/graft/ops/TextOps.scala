@@ -51,4 +51,15 @@ object TextOps {
     */
   def md5Bit(token: Column, j: Int): Column =
     substring(md5(token), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")
+
+  /** Polynomial rolling hash over characters: h = (h*31 + codepoint)
+    * mod (2^31-1), folded left-to-right from 0. Values stay < 2^36, so
+    * 64-bit integer arithmetic is exact — identical in any engine.
+    * (Declarative HOF fold: one pass per document, cold path.)
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(charShinglesHof(text, 1), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + c, lit(2147483647L)))
 }

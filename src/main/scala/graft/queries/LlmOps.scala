@@ -167,20 +167,40 @@ object LlmOps {
       (s, dir) => {
         val toks = TextOps.tokens(col("text"))
         val nTok = size(toks).cast("double")
+        val nChars = length(col("text")).cast("double")
+        // BPE-ish pre-tokenization: letter runs / digit runs / single
+        // punctuation marks, the shape of GPT-style byte-pair pre-splits
+        val bpe = regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+        val punctRatio = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+          .cast("double") / nChars
+        val stopRatio = TextOps.stopwordCount(toks, stops).cast("double") / nTok
         Tables.documents(s, dir).select(
           col("doc_id"),
           size(toks).cast("long").as("n_tokens"),
-          round(TextOps.stopwordCount(toks, stops).cast("double") / nTok, 4).as("stop_ratio"),
-          round(length(col("text")).cast("double") / nTok, 4).as("chars_per_token"))
+          bpe.cast("long").as("n_bpe_tokens"),
+          round(stopRatio, 4).as("stop_ratio"),
+          round(punctRatio, 4).as("punct_ratio"),
+          round(nChars / nTok, 4).as("chars_per_token"),
+          // composite quality score: stopword presence up, punctuation
+          // soup down, degenerate token lengths down
+          round(stopRatio * lit(2.0) - punctRatio * lit(5.0) +
+            when(nChars / nTok >= 3 && nChars / nTok <= 12, 1.0).otherwise(0.0), 4)
+            .as("quality_score"))
           .orderBy(col("doc_id"))
       },
       Some {
         val stopList = stops.map(t => s"'$t'").mkString(", ")
+        val stopR = s"CAST(len(list_filter($tokSql, t -> list_contains([$stopList], t))) AS DOUBLE) / CAST(len($tokSql) AS DOUBLE)"
+        val punctR = s"CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+        val cpt = s"CAST(length(text) AS DOUBLE) / CAST(len($tokSql) AS DOUBLE)"
         s"""SELECT doc_id,
            |  len($tokSql) AS n_tokens,
-           |  round(CAST(len(list_filter($tokSql, t -> list_contains([$stopList], t))) AS DOUBLE)
-           |        / CAST(len($tokSql) AS DOUBLE), 4) AS stop_ratio,
-           |  round(CAST(length(text) AS DOUBLE) / CAST(len($tokSql) AS DOUBLE), 4) AS chars_per_token
+           |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           |  round($stopR, 4) AS stop_ratio,
+           |  round($punctR, 4) AS punct_ratio,
+           |  round($cpt, 4) AS chars_per_token,
+           |  round($stopR * 2.0 - $punctR * 5.0 +
+           |        (CASE WHEN $cpt >= 3 AND $cpt <= 12 THEN 1.0 ELSE 0.0 END), 4) AS quality_score
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
@@ -222,6 +242,16 @@ object LlmOps {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // IVF ANN through the gate (rows-only: the deterministic stand-in
+    // codebook makes results reproducible, but the cell-ranking plan is
+    // not worth mirroring in SQL — correctness is pinned by the
+    // nprobe=cells ≡ brute-force equivalence in OpsSpec).
+    Q(
+      "q35_ann_ivf",
+      (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, topK = 10, cells = 16, nprobe = 4),
+      None),
+
     // Multimodal plumbing through the gate: documents' text bytes stand
     // in for media payloads; the batched mapPartitions feature extractor
     // (stub codec) runs distributed. No SQL oracle — mapPartitions is
@@ -244,11 +274,17 @@ object LlmOps {
         col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"),
         sha2(col("text"), 256).as("content_sha256"),
+        TextOps.rollingHash(col("text")).as("rolling_hash"),
         octet_length(col("text")).cast("long").as("n_bytes"))
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
              |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
              |  sha256(text) AS content_sha256,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(text)+1),
+             |        i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+             |    (acc, c) -> (acc * 31 + c) % 2147483647) AS rolling_hash,
              |  strlen(text) AS n_bytes
              |FROM documents ORDER BY doc_id""".stripMargin))
   )

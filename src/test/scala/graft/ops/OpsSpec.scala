@@ -107,6 +107,26 @@ class OpsSpec extends AnyFunSuite {
     assert(v === 1.0)
   }
 
+  test("IVF with nprobe = cells equals exact brute-force top-k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val many = Seq.tabulate(60)(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.topK(many, "vec_id", "embedding", 3L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivfAll = Similarity.ivfTopK(many, "vec_id", "embedding", 3L,
+      topK = 5, cells = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivfAll === exact)
+    // narrow probe returns a subset of valid neighbours, ranked
+    val ivf1 = Similarity.ivfTopK(many, "vec_id", "embedding", 3L,
+      topK = 5, cells = 8, nprobe = 2)
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(ivf1.nonEmpty && ivf1.size <= 5)
+    assert(ivf1.toSet.subsetOf(
+      Similarity.topK(many, "vec_id", "embedding", 3L, 60).collect().map(_.getLong(0)).toSet))
+  }
+
   test("LSH similarity: identical vectors share a bucket and survive re-rank") {
     val pairs = Similarity.lshPairs(vecs, "vec_id", "embedding", 4, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
