@@ -23,9 +23,20 @@ def main():
         oracles = json.load(f)
 
     failures, passed = [], []
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    present = sorted(d for d in os.listdir(out_dir)
+                     if os.path.isdir(os.path.join(out_dir, d)))
+    # authoritative name list: the Verify-written manifest (covers queries
+    # that crashed before writing anything); fall back to dirs + oracles
+    manifest = os.path.join(out_dir, "queries.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            names = sorted(json.load(f))
+    else:
+        names = sorted(set(present) | set(oracles))
     for name in names:
+        if name not in present:
+            failures.append((name, "query produced NO output (failed in Verify?)"))
+            continue
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             failures.append((name, "no spark output parquet")); continue
@@ -45,6 +56,11 @@ def main():
         a = spark_df[sc]; b = oracle_df[oc]
         if len(a) != len(b):
             failures.append((name, f"row count: spark={len(a)} oracle={len(b)}"))
+            continue
+        dtype_mismatch = [c for c in sc if str(a[c].dtype) != str(b[c].dtype)]
+        if dtype_mismatch:
+            failures.append((name, "dtypes differ: " + "; ".join(
+                f"{c}: spark={a[c].dtype} oracle={b[c].dtype}" for c in dtype_mismatch)))
             continue
         try:
             import pandas as pd

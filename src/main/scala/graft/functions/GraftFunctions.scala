@@ -13,19 +13,19 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[VecDot].getName, null, name, usage, "", "", "",
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "", "", "",
       "array_funcs", "4.0.0", "", "built-in")
 
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
-      info("vec_dot", "vec_dot(a, b) - dot product of two float vectors in double precision"),
+      info(classOf[VecDot], "vec_dot", "vec_dot(a, b) - dot product of two float vectors in double precision"),
       (e: Seq[Expression]) => VecDot(e(0), e(1))),
     (FunctionIdentifier("vec_cosine"),
-      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float vectors"),
+      info(classOf[VecCosine], "vec_cosine", "vec_cosine(a, b) - cosine similarity of two float vectors"),
       (e: Seq[Expression]) => VecCosine(e(0), e(1))),
     (FunctionIdentifier("char_shingles"),
-      info("char_shingles", "char_shingles(text, n) - array of character n-gram shingles"),
+      info(classOf[CharShingles], "char_shingles", "char_shingles(text, n) - array of character n-gram shingles"),
       (e: Seq[Expression]) => {
         val n = e(1).eval() match {
           case i: Int => i

@@ -81,10 +81,14 @@ object Similarity {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val assigned = ivfAssign(emb, id, vec, cells)
     val probe = emb.where(col(id) === queryId).select(col(vec).as("qv"))
-    val probeCells = assigned.select(col("cell"), col(vec)).distinct()
-      .join(broadcast(emb.orderBy(col(id)).limit(cells)
-        .select(col(id).as("cell"), col(vec).as("cvec"))), Seq("cell"))
-      .select(col("cell"), col("cvec")).distinct()
+    // rank only NON-EMPTY cells against the probe: duplicate codebook
+    // vectors leave their cells empty (ties assign to the lowest id),
+    // and an empty cell at the top of the ranking would silently burn
+    // nprobe budget
+    val activeCells = assigned.select(col("cell")).distinct()
+    val probeCells = emb.orderBy(col(id)).limit(cells)
+      .select(col(id).as("cell"), col(vec).as("cvec"))
+      .join(activeCells, Seq("cell"), "left_semi")
       .crossJoin(broadcast(probe))
       .select(col("cell"), cosine(col("cvec"), col("qv")).as("cell_sim"))
       .orderBy(col("cell_sim").desc, col("cell"))

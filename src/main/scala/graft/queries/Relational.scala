@@ -391,10 +391,13 @@ object Relational {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val gapSec = 1800L
+        // gap comparison in integer MICROSECONDS on both sides: casting
+        // timestamps to whole seconds would widen the boundary to a
+        // 1-second disagreement window vs the oracle's fractional epoch
+        val gapMicros = 1800L * 1000000L
         val newSession = when(
           lag(col("ts"), 1).over(w).isNull ||
-            col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long") > gapSec, 1L)
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapMicros, 1L)
           .otherwise(0L)
         graft.Tables.events(s, dir)
           .withColumn("new_sess", newSession)
@@ -409,7 +412,7 @@ object Relational {
       Some("""WITH flagged AS (
              |  SELECT user_id, event_id, ts,
              |    CASE WHEN lag(ts) OVER w IS NULL
-             |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
              |         THEN 1 ELSE 0 END AS new_sess
              |  FROM events
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
