@@ -95,6 +95,30 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** End-to-end near-duplicate removal — the operation a training-data
+    * pipeline actually runs: exact dups collapse by content hash, then
+    * MinHash+LSH candidates verified by exact Jaccard mark near-dups,
+    * and within each verified pair the LOWER id survives (greedy policy:
+    * a document is dropped iff some lower-id document is near-identical
+    * to it; deterministic, one pass, no transitive-closure iteration —
+    * chains A~B~C with A≁C keep A and C).
+    */
+  def deduplicate(docs: DataFrame, id: String, text: String,
+                  n: Int = 8, k: Int = 8, r: Int = 2,
+                  minJaccard: Double = 0.5): DataFrame = {
+    val exactSurvivors = docs
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col(text))).orderBy(col(id))))
+      .where(col("__rn") === 1).drop("__rn")
+    val sh = shingleSet(exactSurvivors, id, text, n)
+    val sig = minhashSignature(sh, id, k)
+    val cand = candidatePairs(lshBands(sig, id, k, r), id)
+    val nearDups = jaccardVerify(cand, sh, id, minJaccard)
+      .select(col("doc_b").as(id)).distinct()
+    exactSurvivors.join(nearDups, Seq(id), "left_anti")
+  }
+
   /** SimHash sketch: `bits`-bit fingerprint where bit j is the sign of
     * sum over token OCCURRENCES of ±1 (the j-th md5 bit of the token).
     * Near-identical documents differ in few bits (compare via hamming

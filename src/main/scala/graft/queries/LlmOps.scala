@@ -242,6 +242,43 @@ object LlmOps {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // The end-to-end dedup OPERATION (corpus in → surviving corpus out):
+    // exact-hash collapse, MinHash+LSH candidates, Jaccard-verified
+    // near-dups dropped greedily (lower id survives).
+    Q(
+      "q36_dedup_corpus",
+      (s, dir) => Dedup.deduplicate(Tables.documents(s, dir), "doc_id", "text",
+        minJaccard = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH exact AS (
+              |  SELECT * FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              |    FROM documents) t
+              |  WHERE rn = 1),
+              |sh AS (
+              |  SELECT DISTINCT doc_id,
+              |    unnest(list_transform(range(1, greatest(length(text)-$ShingleN+2, 2)),
+              |      i -> substring(text, CAST(i AS INT), $ShingleN))) AS sh
+              |  FROM exact),
+              |${sigSql}, ${bandsSql}, ${candSql},
+              |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+              |  FROM cand c
+              |  JOIN sh a ON a.doc_id = c.doc_a
+              |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+              |  GROUP BY c.doc_a, c.doc_b),
+              |drops AS (
+              |  SELECT DISTINCT doc_b AS doc_id
+              |  FROM inter
+              |  JOIN sizes sa ON sa.doc_id = doc_a
+              |  JOIN sizes sb ON sb.doc_id = doc_b
+              |  WHERE round(CAST(i AS DOUBLE)/CAST(sa.sz + sb.sz - i AS DOUBLE), 4) >= 0.5)
+              |SELECT doc_id, lang, source FROM exact
+              |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+              |ORDER BY doc_id""".stripMargin)),
+
     // IVF ANN through the gate (rows-only: the deterministic stand-in
     // codebook makes results reproducible, but the cell-ranking plan is
     // not worth mirroring in SQL — correctness is pinned by the

@@ -352,6 +352,25 @@ object Relational {
              |GROUP BY ROLLUP (c_mktsegment, n_name)
              |ORDER BY segment, nation""".stripMargin)),
 
+    // Engine capability: CUBE grouping sets (all 4 key combinations).
+    Q(
+      "q37_cube",
+      (s, dir) => {
+        graft.Tables.orders(s, dir)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n_orders"))
+          .orderBy(col("status"), col("priority"))
+      },
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             |  COALESCE(o_orderpriority, 'ALL') AS priority,
+             |  COUNT(*) AS n_orders
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
     // Engine capability: pivot with an explicit value list.
     Q(
       "q17_pivot",

@@ -44,6 +44,14 @@ class OpsSpec extends AnyFunSuite {
     jac.get((1L, 3L)).foreach(j => assert(j > 0.5 && j < 1.0))
   }
 
+  test("deduplicate: exact dup and near dup drop, min id survives, distinct doc kept") {
+    val survivors = Dedup.deduplicate(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // doc 2 is an exact dup of 1, doc 3 a near dup (jaccard ~0.7) — both
+    // drop; 1 (lowest id) and the unrelated 4 survive
+    assert(survivors === Set(1L, 4L))
+  }
+
   test("simhash: identical docs get identical sketches; near dups are close") {
     val fp = Dedup.simhash(docs, "doc_id", "text", 16)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
