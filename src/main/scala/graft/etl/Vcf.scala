@@ -70,7 +70,9 @@ object Vcf {
     val evidence = struct(
       sampleId(col("src_file")).as("id"),
       expr("try_cast(qual AS FLOAT)").as("qual"),
-      split(col("last"), ":").getItem(1).as("ad"))
+      // get() not getItem(): a bare "0/1" genotype has no AD token and
+      // ANSI getItem throws on out-of-bounds where 2.4 returned null
+      get(split(col("last"), ":"), lit(1)).as("ad"))
     raw(spark, inputPath)
       .select(
         split(col("chrom"), "_").getItem(0).as("chrom"),

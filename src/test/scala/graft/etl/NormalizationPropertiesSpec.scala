@@ -111,6 +111,28 @@ class NormalizationPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed rows don't crash the pipeline (ANSI-safe ingest)") {
+    val dir = Files.createTempDirectory("badvcf")
+    val lines = Seq(
+      "##header",
+      "chr1\t100\t.\tA\tG\t50.0\tPASS\tx\tGT\t1/1:3,4:7",   // good
+      "chr2\tNOTANUMBER\t.\tA\tG\tqual?\tPASS\tx\tGT\t0/1", // bad pos+qual
+      "chr3\t300",                                          // truncated line
+      "chr4\t400\t.\tC\tT\t.\tPASS\tx\tGT\t1/1")            // VCF missing-qual '.'
+    Files.write(Paths.get(dir.toString, "BAD.vcf"),
+      String.join("\n", lines: _*).getBytes)
+    val out = Vcf.mutations(spark, dir.toString).collect()
+    assert(out.length === 4)
+    val byChrom = out.map(r => r.getAs[String]("chrom") -> r).toMap
+    assert(byChrom("chr1").getAs[Int]("pos") === 100)
+    assert(byChrom("chr2").isNullAt(byChrom("chr2").fieldIndex("pos")))
+    assert(byChrom("chr3").isNullAt(byChrom("chr3").fieldIndex("pos")) ||
+      byChrom("chr3").getAs[Int]("pos") === 300) // truncated: ref/alt null, pos parses
+    // '.' QUAL must become null qual in the evidence struct, not throw
+    val ev4 = byChrom("chr4").getStruct(byChrom("chr4").fieldIndex("hom_ev"))
+    assert(ev4.isNullAt(ev4.fieldIndex("qual")))
+  }
+
   test("native char_shingles equals the declarative HOF (incl. multibyte, empty)") {
     import spark.implicits._
     val texts = sample(Gen.listOfN(200, Gen.oneOf(
