@@ -32,7 +32,8 @@ object Lake {
     */
   def build(spark: SparkSession, inputPath: String, impactPath: String,
             dbSnpPath: String, t2t: Boolean, gnomadPath: String,
-            alphaPath: String): DataFrame = {
+            alphaPath: String,
+            partitionSize: Int = PartitionSize): DataFrame = {
     val variants = Vcf.mutations(spark, inputPath)
     val annotated = variants
       .join(Annotations.impact(spark, impactPath), Seq("chrom", "pos", "ref", "alt"), "left")
@@ -58,7 +59,7 @@ object Lake {
         col("ref"), col("alt"), col("impact"), col("dbSNP"),
         col("gnomad_an"), col("gnomad_ac"), col("gnomad_nhomalt"),
         col("hg38_coordinate"), col("alphamissense"), col("hom"), col("het")))
-      .withColumn("pos_bucket", floor(col("pos") / lit(PartitionSize)))
+      .withColumn("pos_bucket", floor(col("pos") / lit(partitionSize)))
       .groupBy(col("chrom"), col("pos_bucket"), col("pos"))
       .agg(sort_array(collect_set(col("resp"))).as("entries"))
   }

@@ -62,15 +62,35 @@ object Dedup {
 
   /** Candidate pairs (a < b) from band-bucket collisions. The self-join
     * shuffles on (band, band_hash) — each bucket pairs locally.
+    *
+    * `maxBucket` is the 100 TB safety valve: a band bucket with B docs
+    * produces B² pairs, so one boilerplate shingle pattern (a viral
+    * page, a template) can go quadratic. Buckets larger than the cap
+    * are dropped — their members are near-certainly caught again in
+    * another band, and a bucket that big is boilerplate, not a dup
+    * cluster worth pairing exhaustively. None (default) keeps exact
+    * LSH semantics for oracle parity.
     */
-  def candidatePairs(bands: DataFrame, id: String): DataFrame =
-    bands.select(col("band"), col("band_hash"), col(id).as("doc_a"))
+  def candidatePairs(bands: DataFrame, id: String,
+                     maxBucket: Option[Int] = None): DataFrame = {
+    val capped = maxBucket match {
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        bands
+          .withColumn("__bsz", count(lit(1))
+            .over(Window.partitionBy(col("band"), col("band_hash"))))
+          .where(col("__bsz") <= cap)
+          .drop("__bsz")
+      case None => bands
+    }
+    capped.select(col("band"), col("band_hash"), col(id).as("doc_a"))
       .join(
-        bands.select(col("band"), col("band_hash"), col(id).as("doc_b")),
+        capped.select(col("band"), col("band_hash"), col(id).as("doc_b")),
         Seq("band", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+  }
 
   /** Exact n-gram Jaccard for candidate pairs: |A∩B| via a shingle
     * equi-join, |A∪B| = |A|+|B|-|A∩B|. Returns pairs with

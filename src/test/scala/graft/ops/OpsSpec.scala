@@ -34,6 +34,21 @@ class OpsSpec extends AnyFunSuite {
     assert(!cand.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("candidatePairs maxBucket drops boilerplate buckets, keeps small ones") {
+    import spark.implicits._
+    // 12 identical docs (one giant bucket) + one small dup pair
+    val many = ((1 to 12).map(i => (i.toLong, "the same boilerplate text repeated here")) ++
+      Seq((100L, "a unique snowflake document xyz"), (101L, "a unique snowflake document xyz")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(many, "doc_id", "text", 8)
+    val bands = Dedup.lshBands(Dedup.minhashSignature(sh, "doc_id", 8), "doc_id", 8, 2)
+    val uncapped = Dedup.candidatePairs(bands, "doc_id").count()
+    val capped = Dedup.candidatePairs(bands, "doc_id", maxBucket = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === 12 * 11 / 2 + 1) // quadratic bucket + the pair
+    assert(capped === Set((100L, 101L))) // boilerplate gone, real pair kept
+  }
+
   test("jaccardVerify: identical docs score 1.0, near dups score high") {
     val sh = Dedup.shingleSet(docs, "doc_id", "text", 8)
     val sig = Dedup.minhashSignature(sh, "doc_id", 8)
