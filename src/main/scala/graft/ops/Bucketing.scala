@@ -18,17 +18,24 @@ object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(!table.contains("."),
+      "writeBucketed takes a simple table name in the current database")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // an orphaned location (e.g. from a killed run) blocks managed-table
-    // creation even after DROP — clear it
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    // creation even after DROP — clear it. The catalog lowercases
+    // managed locations; only a local file: warehouse can be probed this
+    // way (remote warehouses surface the collision at saveAsTable).
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    if (warehouse.startsWith("file:") || warehouse.startsWith("/")) {
+      val loc = new java.io.File(
+        warehouse.stripPrefix("file:"), table.toLowerCase(java.util.Locale.ROOT))
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
       }
-      rm(loc)
     }
     val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")

@@ -76,11 +76,15 @@ object Dedup {
     val capped = maxBucket match {
       case Some(cap) =>
         import org.apache.spark.sql.expressions.Window
+        // persisted: the filtered result feeds BOTH sides of the
+        // self-join below, and the windowed bucket count is exactly the
+        // cost the cap exists to avoid paying twice
         bands
           .withColumn("__bsz", count(lit(1))
             .over(Window.partitionBy(col("band"), col("band_hash"))))
           .where(col("__bsz") <= cap)
           .drop("__bsz")
+          .persist()
       case None => bands
     }
     capped.select(col("band"), col("band_hash"), col(id).as("doc_a"))
@@ -117,23 +121,36 @@ object Dedup {
 
   /** End-to-end near-duplicate removal — the operation a training-data
     * pipeline actually runs: exact dups collapse by content hash, then
-    * MinHash+LSH candidates verified by exact Jaccard mark near-dups,
-    * and within each verified pair the LOWER id survives (greedy policy:
-    * a document is dropped iff some lower-id document is near-identical
-    * to it; deterministic, one pass, no transitive-closure iteration —
-    * chains A~B~C with A≁C keep A and C).
+    * MinHash+LSH candidates verified by exact Jaccard mark near-dups.
+    * Drop policy: a document is dropped iff it is the HIGHER-id member
+    * of ANY verified near-dup pair — deterministic, one pass, no
+    * transitive-closure iteration. Note the chain consequence: for
+    * A~B~C with A≁C, both B and C drop (C pairs with B even though B
+    * itself drops); a connected-components pass would keep C at the
+    * cost of iterative joins.
+    *
+    * `maxBucket` plumbs the LSH bucket cap through (see
+    * candidatePairs) — the guard a 100 TB corpus needs against
+    * boilerplate-driven quadratic buckets.
+    *
+    * The reused intermediates (exact survivors, shingles, signatures)
+    * are persisted for the duration of the job — each feeds 2-8 plan
+    * branches; callers running inside a larger session can
+    * `spark.catalog.clearCache()` afterwards.
     */
   def deduplicate(docs: DataFrame, id: String, text: String,
                   n: Int = 8, k: Int = 8, r: Int = 2,
-                  minJaccard: Double = 0.5): DataFrame = {
+                  minJaccard: Double = 0.5,
+                  maxBucket: Option[Int] = None): DataFrame = {
     val exactSurvivors = docs
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(md5(col(text))).orderBy(col(id))))
       .where(col("__rn") === 1).drop("__rn")
-    val sh = shingleSet(exactSurvivors, id, text, n)
-    val sig = minhashSignature(sh, id, k)
-    val cand = candidatePairs(lshBands(sig, id, k, r), id)
+      .persist()
+    val sh = shingleSet(exactSurvivors, id, text, n).persist()
+    val sig = minhashSignature(sh, id, k).persist()
+    val cand = candidatePairs(lshBands(sig, id, k, r), id, maxBucket)
     val nearDups = jaccardVerify(cand, sh, id, minJaccard)
       .select(col("doc_b").as(id)).distinct()
     exactSurvivors.join(nearDups, Seq(id), "left_anti")

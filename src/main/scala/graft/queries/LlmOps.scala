@@ -20,13 +20,19 @@ object LlmOps {
 
   // ---- shared oracle SQL fragments ----
 
-  /** Distinct (doc_id, shingle) set, 8-char shingles. */
-  private val shSql =
+  /** Distinct (doc_id, shingle) set, 8-char shingles, over `from`.
+    * Single source of truth for the shingle semantics that must stay
+    * bit-identical to the native CharShingles expression (including the
+    * shorter-than-n truncated-tail case).
+    */
+  private def shSqlFrom(from: String): String =
     s"""sh AS (
        |  SELECT DISTINCT doc_id,
        |    unnest(list_transform(range(1, greatest(length(text)-$ShingleN+2, 2)),
        |      i -> substring(text, CAST(i AS INT), $ShingleN))) AS sh
-       |  FROM documents)""".stripMargin
+       |  FROM $from)""".stripMargin
+
+  private val shSql = shSqlFrom("documents")
 
   private val sigSql = {
     val mins = (0 until MinhashK)
@@ -256,11 +262,7 @@ object LlmOps {
               |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
               |    FROM documents) t
               |  WHERE rn = 1),
-              |sh AS (
-              |  SELECT DISTINCT doc_id,
-              |    unnest(list_transform(range(1, greatest(length(text)-$ShingleN+2, 2)),
-              |      i -> substring(text, CAST(i AS INT), $ShingleN))) AS sh
-              |  FROM exact),
+              |${shSqlFrom("exact")},
               |${sigSql}, ${bandsSql}, ${candSql},
               |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
               |inter AS (
