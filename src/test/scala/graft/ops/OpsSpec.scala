@@ -67,6 +67,33 @@ class OpsSpec extends AnyFunSuite {
     assert(survivors === Set(1L, 4L))
   }
 
+  test("duplicateClusters: chains merge transitively, min id labels the cluster") {
+    import spark.implicits._
+    // edges: 1~2, 2~3 (chain), 10~11 (separate), 20 isolated (absent)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("deduplicateTransitive keeps one survivor per chain cluster") {
+    import spark.implicits._
+    // 5~6~7 is a near-dup chain (6 bridges 5 and 7)
+    val chain = Seq(
+      (5L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj"),
+      (6L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii zzzz"),
+      (7L, "qqqq bbbb cccc dddd eeee ffff gggg hhhh iiii zzzz"),
+      (9L, "totally different content that matches none of the others"))
+      .toDF("doc_id", "text")
+    val greedy = Dedup.deduplicate(chain, "doc_id", "text", minJaccard = 0.3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val transitive = Dedup.deduplicateTransitive(chain, "doc_id", "text", minJaccard = 0.3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // both keep the cluster min + the unrelated doc
+    assert(transitive === Set(5L, 9L))
+    assert(greedy === Set(5L, 9L))
+  }
+
   test("simhash: identical docs get identical sketches; near dups are close") {
     val fp = Dedup.simhash(docs, "doc_id", "text", 16)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
