@@ -490,6 +490,21 @@ object Relational {
              |  list_reduce(qtys, (acc, x) -> acc + x) AS total_qty
              |FROM a ORDER BY l_orderkey""".stripMargin)),
 
+    // Approximate aggregates — the 100 TB fallbacks for exact
+    // count-distinct/percentiles (SURVEY §2.6 note). Rows-only: HLL and
+    // KLL sketch internals differ across engines by design, so there is
+    // no hash-matchable oracle; the exact counterparts (q6, q31) anchor
+    // correctness.
+    Q(
+      "q38_approx",
+      (s, dir) => {
+        graft.Tables.lineitem(s, dir).agg(
+          approx_count_distinct(col("l_orderkey")).as("acd_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+          count(lit(1)).as("n"))
+      },
+      None),
+
     // §2.9 UDAF capability: typed Aggregator — deterministic BOUNDED
     // collect_set (state never exceeds the bound, even in map-side
     // partials; SURVEY §7's 100 TB candidate).
