@@ -84,6 +84,38 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: a real implementation decodes, resamples to
+    * `targetW`×`targetH`, and re-encodes. The deterministic fake keeps
+    * the payload head and a proportional stride sample of the body so
+    * output size tracks the target dimensions — exercising the real
+    * plumbing (binary in/binary out through mapPartitions batches,
+    * metadata columns updated).
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int,
+             batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val targetBytes = math.max(targetW * targetH / 64, 16)
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          // STUB: stride-sample down to ~targetBytes, keeping the magic
+          // header so format sniffing still works on the output
+          val out =
+            if (bytes.length <= targetBytes) bytes
+            else {
+              val head = bytes.take(8)
+              val stride = math.max((bytes.length - 8) / (targetBytes - 8), 1)
+              head ++ (8 until bytes.length by stride).take(targetBytes - 8)
+                .map(bytes(_)).toArray
+            }
+          (id, out, targetW, targetH)
+        })
+      }
+      .toDF("media_id", "content", "width", "height")
+  }
+
   /** Deterministic frame sampling for video-like payloads: `k` evenly
     * spaced fixed-width byte slices per payload (a real implementation
     * would seek to keyframes). Pure exprs — no UDF.

@@ -52,6 +52,24 @@ object TextOps {
   def md5Bit(token: Column, j: Int): Column =
     substring(md5(token), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")
 
+  /** Non-overlapping occurrences of a literal substring, via
+    * length-delta of replace-all — integer-exact in any engine, no
+    * regex. (count = (len - len_without) / len(pat).)
+    */
+  def substringCount(text: Column, pat: String): Column = {
+    require(pat.nonEmpty)
+    ((length(text) - length(replace(text, lit(pat), lit("")))) / lit(pat.length))
+      .cast("long")
+  }
+
+  /** Character n-gram language-ID heuristic: each language scores by
+    * the total count of its characteristic n-grams; argmax with a fixed
+    * tiebreak order. Returns (scores..., predicted) columns — the
+    * profiles travel with the caller so the oracle can mirror exactly.
+    */
+  def langNgramScore(text: Column, ngrams: Seq[String]): Column =
+    ngrams.map(substringCount(text, _)).reduce(_ + _)
+
   /** Polynomial rolling hash over characters: h = (h*31 + codepoint)
     * mod (2^31-1), folded left-to-right from 0. Values stay < 2^36, so
     * 64-bit integer arithmetic is exact — identical in any engine.

@@ -248,6 +248,45 @@ object LlmOps {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // Language-ID via character n-gram profiles (the n-gram heuristic
+    // companion to q28's stopword markers): counts are replace-based
+    // substring occurrences — integer-exact, no regex dialect risk.
+    Q(
+      "q39_lang_ngram",
+      (s, dir) => {
+        val profiles = Seq(
+          "en" -> Seq(" th", "he ", "ing"),
+          "es" -> Seq(" el", " de", "os "),
+          "de" -> Seq("sch", "der", "ein"),
+          "fr" -> Seq(" le", "es ", "ent"))
+        val t = lower(col("text"))
+        val scored = Tables.documents(s, dir).select(
+          col("doc_id") +: col("lang") +:
+            profiles.map { case (l, ngs) =>
+              TextOps.langNgramScore(t, ngs).as(s"ng_$l")
+            }: _*)
+        scored.withColumn("pred_lang",
+          when(col("ng_en") >= greatest(col("ng_es"), col("ng_de"), col("ng_fr")), "en")
+            .when(col("ng_es") >= greatest(col("ng_de"), col("ng_fr")), "es")
+            .when(col("ng_de") >= col("ng_fr"), "de")
+            .otherwise("fr"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def cnt(ng: String) =
+          s"CAST((length(lower(text)) - length(replace(lower(text), '$ng', ''))) / ${ng.length} AS BIGINT)"
+        def score(ngs: Seq[String]) = ngs.map(cnt).mkString("(", " + ", ")")
+        val en = score(Seq(" th", "he ", "ing")); val es = score(Seq(" el", " de", "os "))
+        val de = score(Seq("sch", "der", "ein")); val fr = score(Seq(" le", "es ", "ent"))
+        s"""SELECT doc_id, lang,
+           |  $en AS ng_en, $es AS ng_es, $de AS ng_de, $fr AS ng_fr,
+           |  CASE WHEN $en >= greatest($es, $de, $fr) THEN 'en'
+           |       WHEN $es >= greatest($de, $fr) THEN 'es'
+           |       WHEN $de >= $fr THEN 'de'
+           |       ELSE 'fr' END AS pred_lang
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
     // The end-to-end dedup OPERATION (corpus in → surviving corpus out):
     // exact-hash collapse, MinHash+LSH candidates, Jaccard-verified
     // near-dups dropped greedily (lower id survives).

@@ -35,6 +35,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1 === f2)
   }
 
+  test("resize stub: size tracks target, format survives, deterministic") {
+    val small = Multimodal.resize(fakeMedia, 32, 32)
+    val rows = small.collect().map(r => r.getAs[Long]("media_id") ->
+      r.getAs[Array[Byte]]("content")).toMap
+    assert(rows(1L).length === 32 * 32 / 64)
+    // magic bytes survive → sniffing still identifies the format
+    val sniffed = Multimodal.withMediaMeta(small.where("media_id = 1")).collect()(0)
+    assert(sniffed.getAs[String]("format") === "png")
+    assert(small.columns.toSeq === Seq("media_id", "content", "width", "height"))
+    val again = Multimodal.resize(fakeMedia, 32, 32).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("content").toSeq).toMap
+    assert(again(2L) === rows(2L).toSeq)
+  }
+
   test("frame sampling yields k fixed-width deterministic slices") {
     val frames = Multimodal.sampleFrames(fakeMedia.where("media_id = 1"), k = 4, frameBytes = 16)
       .collect()
