@@ -34,6 +34,18 @@ object GraftFunctions {
             s"char_shingles(text, n): n must be an integer literal, got $other")
         }
         CharShingles(e(0), n)
+      }),
+    (FunctionIdentifier("minhash_hashes"),
+      info(classOf[MinhashHashes], "minhash_hashes",
+        "minhash_hashes(sh, k) - array of md5(sh||'#i') for i < k"),
+      (e: Seq[Expression]) => {
+        val k = e(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_hashes(sh, k): k must be an integer literal, got $other")
+        }
+        MinhashHashes(e(0), k)
       }))
 
   /** For spark.sql.extensions. */
@@ -57,6 +69,9 @@ object GraftFunctions {
 
   def char_shingles(text: Column, n: Int): Column =
     call_function("char_shingles", text, org.apache.spark.sql.functions.lit(n))
+
+  def minhash_hashes(sh: Column, k: Int): Column =
+    call_function("minhash_hashes", sh, org.apache.spark.sql.functions.lit(k))
 }
 
 /** Entry point for `spark.sql.extensions`. */

@@ -36,14 +36,21 @@ object Dedup {
   /** K-permutation MinHash signature, one row per document. Each
     * "permutation" is the lexicographic min of md5(shingle + "#" + k) —
     * a uniform hash per k, reproducible in any engine with md5. One
-    * shuffle (groupBy id) computes all K mins via partial aggregation.
+    * shuffle (groupBy id) computes all K mins via partial aggregation;
+    * the K seeded digests come from ONE fused native expression
+    * (MinhashHashes) instead of K concat+md5 trees.
     */
-  def minhashSignature(shingles: DataFrame, id: String, k: Int): DataFrame =
-    shingles.groupBy(col(id))
+  def minhashSignature(shingles: DataFrame, id: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(shingles.sparkSession)
+    shingles
+      .select(col(id),
+        graft.functions.GraftFunctions.minhash_hashes(col("sh"), k).as("__hs"))
+      .groupBy(col(id))
       .agg(
-        min(md5(concat(col("sh"), lit("#0")))).as("h0"),
+        min(element_at(col("__hs"), 1)).as("h0"),
         (1 until k).map(i =>
-          min(md5(concat(col("sh"), lit(s"#$i")))).as(s"h$i")): _*)
+          min(element_at(col("__hs"), i + 1)).as(s"h$i")): _*)
+  }
 
   /** LSH banding: signature split into bands of `r` hashes; band key =
     * md5 of the concatenated band slice. Docs sharing any band key are

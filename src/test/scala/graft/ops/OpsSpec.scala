@@ -34,6 +34,19 @@ class OpsSpec extends AnyFunSuite {
     assert(!cand.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("minhash_hashes equals the per-k md5(concat) formula exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val strs = Seq.tabulate(200)(_ => rnd.alphanumeric.take(rnd.nextInt(12) + 1).mkString)
+      .toDF("sh")
+    val diff = strs.select(
+      graft.functions.GraftFunctions.minhash_hashes(col("sh"), 8).as("fused"),
+      array((0 until 8).map(i => md5(concat(col("sh"), lit(s"#$i")))): _*).as("ref"))
+      .where(not(col("fused") === col("ref")))
+      .count()
+    assert(diff === 0)
+  }
+
   test("candidatePairs maxBucket drops boilerplate buckets, keeps small ones") {
     import spark.implicits._
     // 12 identical docs (one giant bucket) + one small dup pair
