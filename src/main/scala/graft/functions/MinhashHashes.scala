@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * in the signature aggregation.
   */
 case class MinhashHashes(child: Expression, k: Int) extends UnaryExpression {
-  require(k > 0 && k <= 64)
+  require(k > 0, s"minhash_hashes: k must be positive, got $k")
 
   override def prettyName: String = "minhash_hashes"
 
@@ -43,8 +43,12 @@ object MinhashHashes {
   private val digests = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
   private val hexChars = "0123456789abcdef".toCharArray
-  private val suffixes: Array[Array[Byte]] =
+  private val cachedSuffixes: Array[Array[Byte]] =
     Array.tabulate(64)(i => s"#$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def suffix(i: Int): Array[Byte] =
+    if (i < cachedSuffixes.length) cachedSuffixes(i)
+    else s"#$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   private def hex(bytes: Array[Byte]): UTF8String = {
     val out = new Array[Byte](bytes.length * 2)
@@ -66,7 +70,7 @@ object MinhashHashes {
     while (i < k) {
       md.reset()
       md.update(base)
-      md.update(suffixes(i))
+      md.update(suffix(i))
       out(i) = hex(md.digest())
       i += 1
     }

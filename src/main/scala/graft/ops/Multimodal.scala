@@ -72,6 +72,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("content"))
+      .where(col("content").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition init happens HERE in a real decoder (load model,
@@ -97,6 +98,7 @@ object Multimodal {
     import spark.implicits._
     val targetBytes = math.max(targetW * targetH / 64, 16)
     media.select(col("media_id").cast("long"), col("content"))
+      .where(col("content").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap(_.map { case (id, bytes) =>

@@ -58,7 +58,10 @@ object TextOps {
     */
   def substringCount(text: Column, pat: String): Column = {
     require(pat.nonEmpty)
-    ((length(text) - length(replace(text, lit(pat), lit("")))) / lit(pat.length))
+    // divide by CODE POINTS, not UTF-16 units — length() counts code
+    // points, so a non-BMP pattern char would halve the count otherwise
+    val patLen = pat.codePointCount(0, pat.length)
+    ((length(text) - length(replace(text, lit(pat), lit("")))) / lit(patLen))
       .cast("long")
   }
 

@@ -24,6 +24,7 @@ class PushdownSpec extends AnyFunSuite {
   test("MIN/MAX/COUNT aggregates push down to parquet footers when enabled") {
     // aggregate pushdown is a DSv2 feature: route parquet through v2
     val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    val prevAgg = spark.conf.get("spark.sql.parquet.aggregatePushdown")
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     spark.conf.set("spark.sql.sources.useV1SourceList", "")
     try {
@@ -34,7 +35,7 @@ class PushdownSpec extends AnyFunSuite {
         s"aggregate not pushed:\n$plan")
       assert(df.collect()(0).getLong(2) === 6000L)
     } finally {
-      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", prevAgg)
       spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
     }
   }
@@ -47,7 +48,11 @@ class PushdownSpec extends AnyFunSuite {
       .write.mode("overwrite").partitionBy("chrom", "pos_bucket").parquet(out)
     val q = spark.read.parquet(out).where(col("chrom") === "b")
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("chrom"))
+    // the predicate must be INSIDE the PartitionFilters bracket — a bare
+    // 'PartitionFilters: []' metadata line appears on every partitioned
+    // scan and would make a contains-only check vacuous
+    assert("PartitionFilters: \\[[^\\]]*chrom[^\\]]*= b".r.findFirstIn(plan).isDefined,
+      s"chrom predicate not in PartitionFilters:\n$plan")
     assert(q.count() === 1)
   }
 }
