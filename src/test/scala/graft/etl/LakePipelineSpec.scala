@@ -100,6 +100,21 @@ class LakePipelineSpec extends AnyFunSuite {
     assert(entry.forall(_.isNullAt(1)))
   }
 
+  test("typed facade reads the lake with full fidelity") {
+    val out = Files.createTempDirectory("lakeTyped").toString
+    Lake.write(hg19Lake, out)
+    val typed = model.readLake(spark, out)
+    assert(typed.count() === 1622)
+    val at = typed.filter(p => p.chrom == "chr1" && p.pos == 11301714).collect()
+    assert(at.length === 1)
+    val entry = at(0).entries.head
+    assert(entry.impact.contains("missense"))
+    assert(entry.alphamissense.contains(0.92))
+    assert(at(0).pos_bucket === 11301714L / Lake.PartitionSize)
+    // evidence structs survive the round-trip typed
+    assert((entry.hom ++ entry.het).forall(_.id.startsWith("SRR")))
+  }
+
   test("dynamic partition overwrite replaces only the batch's partitions") {
     import spark.implicits._
     val out = Files.createTempDirectory("lakeDyn").toString
