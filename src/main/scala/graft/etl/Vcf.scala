@@ -35,19 +35,46 @@ object Vcf {
     "_c0" -> "chrom", "_c1" -> "pos", "_c3" -> "ref",
     "_c4" -> "alt", "_c5" -> "qual", "_c9" -> "last")
 
-  /** Raw parsed VCF rows with provenance. Header lines (`#...`) are
-    * dropped before tokenizing (M:112 — a hand-rolled pushdown worth
-    * keeping: the string filter is far cheaper than the parse).
+  /** Tokenize + rename (src_file, value) rows — shared by the direct
+    * glob path and the splittable landing path, so both parse
+    * identically by construction.
     */
-  def raw(spark: SparkSession, inputPath: String): DataFrame = {
-    val parsed = spark.read.text(inputPath)
-      .where(!col("value").like("#%"))
+  private def parseLines(lines: DataFrame): DataFrame = {
+    val parsed = lines
       .select(
-        input_file_name().as("src_file"),
+        col("src_file"),
         from_csv(col("value"), vcfColumns, Map("sep" -> "\t")).as("r"))
       .select(col("src_file") +: vcfColumns.fieldNames.toSeq.map(n => col(s"r.$n")): _*)
     renames.foldLeft(parsed) { case (df, (from, to)) => df.withColumnRenamed(from, to) }
   }
+
+  /** Raw parsed VCF rows with provenance. Header lines (`#...`) are
+    * dropped before tokenizing (M:112 — a hand-rolled pushdown worth
+    * keeping: the string filter is far cheaper than the parse).
+    */
+  def raw(spark: SparkSession, inputPath: String): DataFrame =
+    parseLines(
+      spark.read.text(inputPath)
+        .where(!col("value").like("#%"))
+        .select(input_file_name().as("src_file"), col("value")))
+
+  /** Landing stage for 100 TB ingest: gzip VCFs are NON-splittable (one
+    * task per file, however large), so production ingest first lands
+    * raw data lines + provenance into splittable snappy parquet. The
+    * landing write parallelizes per input file; everything downstream
+    * of the landing table parallelizes per parquet split.
+    */
+  def land(spark: SparkSession, inputPath: String, landingPath: String): Unit =
+    spark.read.text(inputPath)
+      .where(!col("value").like("#%"))
+      .select(input_file_name().as("src_file"), col("value"))
+      .write.mode("overwrite").parquet(landingPath)
+
+  /** Same rows as raw(), read from a landed table instead of the VCF
+    * glob — identical parse by construction (shared parseLines).
+    */
+  def rawFromLanding(spark: SparkSession, landingPath: String): DataFrame =
+    parseLines(spark.read.parquet(landingPath))
 
   /** Sample accession = file basename up to the first `.` (M:87 —
     * file-provenance-as-data).
@@ -65,7 +92,14 @@ object Vcf {
     *    (M:86, quirk preserved);
     *  - multi-allelic ALT strings ride through unsplit.
     */
-  def mutations(spark: SparkSession, inputPath: String): DataFrame = {
+  def mutations(spark: SparkSession, inputPath: String): DataFrame =
+    normalize(raw(spark, inputPath))
+
+  /** mutations() over a landed table (see land()). */
+  def mutationsFromLanding(spark: SparkSession, landingPath: String): DataFrame =
+    normalize(rawFromLanding(spark, landingPath))
+
+  private def normalize(rawRows: DataFrame): DataFrame = {
     val isHom = col("last").startsWith("1/1")
     val evidence = struct(
       sampleId(col("src_file")).as("id"),
@@ -73,7 +107,7 @@ object Vcf {
       // get() not getItem(): a bare "0/1" genotype has no AD token and
       // ANSI getItem throws on out-of-bounds where 2.4 returned null
       get(split(col("last"), ":"), lit(1)).as("ad"))
-    raw(spark, inputPath)
+    rawRows
       .select(
         split(col("chrom"), "_").getItem(0).as("chrom"),
         expr("try_cast(pos AS INT)").as("pos"),

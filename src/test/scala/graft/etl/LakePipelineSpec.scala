@@ -132,6 +132,17 @@ class LakePipelineSpec extends AnyFunSuite {
     assert(after.select("pos").as[Int].collect().toSeq === Seq(105))
   }
 
+  test("landing stage preserves rows and parse exactly (splittable ingest)") {
+    val landing = Files.createTempDirectory("landing").toString + "/lines"
+    Vcf.land(spark, hg19Vcfs, landing)
+    val direct = Vcf.mutations(spark, hg19Vcfs)
+    val landed = Vcf.mutationsFromLanding(spark, landing)
+    assert(landed.count() === direct.count())
+    // full content equality both directions
+    assert(landed.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(landed).count() === 0)
+  }
+
   test("status: exact distinct counts and sample provenance") {
     val status = Vcf.status(spark, hg19Vcfs)
     val row = status.collect()(0)
