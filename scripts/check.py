@@ -64,13 +64,11 @@ def main():
             continue
         try:
             import pandas as pd
+            # Deliberately NO canonicalization of array cells: the driver's
+            # comparator sorts raw frames and crashes on ndarray cells, so
+            # gate queries must serialize arrays (array_join / to_json).
+            # Keeping this strict means local-green == driver-green.
             def canon(df):
-                df = df.copy()
-                for c in df.columns:
-                    if df[c].dtype == object:
-                        df[c] = df[c].map(
-                            lambda v: tuple(v) if isinstance(v, (list, tuple))
-                            else (tuple(v.tolist()) if hasattr(v, "tolist") and not isinstance(v, str) else v))
                 return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
             a2, b2 = canon(a), canon(b)
             eq = a2.equals(b2)
