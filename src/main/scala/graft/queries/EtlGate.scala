@@ -1,0 +1,286 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Fixtures, Lake, Vcf}
+
+/** Correctness-gate entries for the reference's own ETL product: the
+  * VCF → annotate → two-level-fold → partitioned-lake pipeline
+  * (ImportVcfToDataLakeByRanges.java:43-79) run end-to-end on the
+  * reference's checked-in fixtures, with a full DuckDB re-derivation as
+  * the oracle.
+  *
+  * These queries ignore the scale-factor dir argument — their input is
+  * the genomic fixture set (absolute paths, see graft.etl.Fixtures), the
+  * same on the Spark and DuckDB sides.
+  *
+  * Serialization contract (both sides, so results hash-match):
+  *  - nested evidence struct → "id|qual|ad" with qual emitted as a
+  *    DECIMAL(10,2) string (scale-pinned — float-to-string shortest-repr
+  *    is not contractual across engines);
+  *  - struct arrays → elements serialized, string-deduped, string-sorted,
+  *    joined — sorting the SERIALIZED strings on both sides sidesteps
+  *    Spark struct-comparison vs DuckDB row-comparison order differences;
+  *  - every nullable field wrapped in coalesce(_, '∅') so fields can't
+  *    shift position (concat_ws silently skips bare nulls in BOTH
+  *    engines, which would make distinct structs collide).
+  */
+object EtlGate {
+
+  /** Null sentinel for serialized fields. */
+  private val S = "∅"
+
+  private def str(c: Column): Column = coalesce(c.cast("string"), lit(S))
+
+  /** Evidence struct → "id|qual|ad" (qual scale-pinned, see scaladoc). */
+  private def evStr(e: Column): Column =
+    concat_ws("|",
+      str(e.getField("id")),
+      str(e.getField("qual").cast("decimal(10,2)")),
+      str(e.getField("ad")))
+
+  /** Serialize, string-dedup, string-sort, join an array column. */
+  private def packStrings(arr: Column, sep: String): Column =
+    array_join(sort_array(array_distinct(arr)), sep)
+
+  /** Lake row → (chrom, pos_bucket, pos, entries-as-string). */
+  private def serializeLake(lake: DataFrame): DataFrame = {
+    val entryStr = (en: Column) =>
+      concat_ws("|",
+        str(en.getField("ref")), str(en.getField("alt")),
+        str(en.getField("impact")), str(en.getField("dbSNP")),
+        str(en.getField("gnomad_an")), str(en.getField("gnomad_ac")),
+        str(en.getField("gnomad_nhomalt")), str(en.getField("hg38_coordinate")),
+        str(en.getField("alphamissense").cast("decimal(5,2)")),
+        packStrings(transform(en.getField("hom"), evStr(_)), ","),
+        packStrings(transform(en.getField("het"), evStr(_)), ","))
+    lake.select(
+      col("chrom"),
+      // partition-column read-back infers int32; the oracle computes BIGINT
+      col("pos_bucket").cast("long").as("pos_bucket"),
+      col("pos"),
+      packStrings(transform(col("entries"), entryStr), ";").as("entries"))
+      .orderBy(col("chrom"), col("pos_bucket"), col("pos"))
+  }
+
+  // ---------------- DuckDB oracle fragments ----------------
+
+  /** Tolerant all-varchar VCF scan with provenance, mirroring Vcf.raw:
+    * `#`-prefixed lines filtered BEFORE tokenization, sample id = file
+    * basename up to the first dot. quote='' because VCF meta lines
+    * contain unbalanced quotes that must not trigger CSV quoting.
+    */
+  private def sqlVcfRaw(glob: String): String =
+    s"""SELECT split_part(split_part(filename, '/', -1), '.', 1) AS sample_id,
+       |  column00 AS chrom, column01 AS pos, column03 AS ref, column04 AS alt,
+       |  column05 AS qual, column09 AS last
+       |FROM read_csv('$glob', sep='\t', header=false, all_varchar=true,
+       |  filename=true, quote='',
+       |  column_names=['column00','column01','column02','column03','column04','column05','column06','column07','column08','column09'])
+       |WHERE column00 NOT LIKE '#%'""".stripMargin
+
+  /** Mirror of Vcf.normalize + the evidence serialization contract. */
+  private def sqlNorm(vcfGlob: String): String =
+    s"""WITH vcf_raw AS (
+       |${sqlVcfRaw(vcfGlob)}
+       |),
+       |norm AS (
+       |  SELECT split_part(chrom, '_', 1) AS chrom,
+       |    try_cast(pos AS INTEGER) AS pos, ref, alt,
+       |    last LIKE '1/1%' AS is_hom,
+       |    concat_ws('|', sample_id,
+       |      coalesce(CAST(CAST(try_cast(qual AS REAL) AS DECIMAL(10,2)) AS VARCHAR), '$S'),
+       |      coalesce(string_split(last, ':')[2], '$S')) AS ev
+       |  FROM vcf_raw
+       |)""".stripMargin
+
+  /** Full DuckDB re-derivation of Lake.build + serializeLake.
+    *
+    * @param dbSnpSql  oracle fragment producing (chrom,pos,ref,alt,dbSNP)
+    * @param gnomadSel oracle fragment producing the gnomad annotation side
+    */
+  private def sqlLake(vcfGlob: String, impactGlob: String, dbSnpSql: String,
+                      gnomadSql: String, alphaDir: String): String =
+    s"""${sqlNorm(vcfGlob)},
+       |impact AS (
+       |  SELECT DISTINCT 'chr' || upper(CHROM) AS chrom, try_cast(POS AS INTEGER) AS pos,
+       |    REF AS ref, ALT AS alt, trim(IMPACT) AS impact
+       |  FROM read_csv('$impactGlob', sep='\t', header=true, all_varchar=true)
+       |),
+       |dbsnp AS (
+       |$dbSnpSql
+       |),
+       |gnomad AS (
+       |$gnomadSql
+       |),
+       |alpha AS (
+       |  SELECT 'chr' || upper(split_part(split_part(filename, '/', -1), '.', 1)) AS chrom,
+       |    CAST(POS AS INTEGER) AS pos, A, C, G, T
+       |  FROM read_parquet('$alphaDir/*.parquet', filename=true)
+       |),
+       |annotated AS (
+       |  SELECT n.*, i.impact, d.dbSNP, g.gnomad_an, g.gnomad_ac, g.gnomad_nhomalt,
+       |    g.hg38_coordinate,
+       |    CASE
+       |      WHEN n.ref='A' AND a.A=0 AND n.alt='C' THEN a.C
+       |      WHEN n.ref='A' AND a.A=0 AND n.alt='G' THEN a.G
+       |      WHEN n.ref='A' AND a.A=0 AND n.alt='T' THEN a.T
+       |      WHEN n.ref='C' AND a.C=0 AND n.alt='A' THEN a.A
+       |      WHEN n.ref='C' AND a.C=0 AND n.alt='G' THEN a.G
+       |      WHEN n.ref='C' AND a.C=0 AND n.alt='T' THEN a.T
+       |      WHEN n.ref='G' AND a.G=0 AND n.alt='A' THEN a.A
+       |      WHEN n.ref='G' AND a.G=0 AND n.alt='C' THEN a.C
+       |      WHEN n.ref='G' AND a.G=0 AND n.alt='T' THEN a.T
+       |      WHEN n.ref='T' AND a.T=0 AND n.alt='A' THEN a.A
+       |      WHEN n.ref='T' AND a.T=0 AND n.alt='C' THEN a.C
+       |      WHEN n.ref='T' AND a.T=0 AND n.alt='G' THEN a.G
+       |    END AS alphamissense
+       |  FROM norm n
+       |  LEFT JOIN impact i USING (chrom, pos, ref, alt)
+       |  LEFT JOIN dbsnp d USING (chrom, pos, ref, alt)
+       |  LEFT JOIN gnomad g USING (chrom, pos, ref, alt)
+       |  LEFT JOIN alpha a USING (chrom, pos)
+       |),
+       |per_variant AS (
+       |  SELECT chrom, pos, ref, alt, impact, dbSNP, gnomad_an, gnomad_ac,
+       |    gnomad_nhomalt, hg38_coordinate, alphamissense,
+       |    coalesce(array_to_string(list_sort(list_distinct(list(ev) FILTER (is_hom))), ','), '') AS hom,
+       |    coalesce(array_to_string(list_sort(list_distinct(list(ev) FILTER (NOT is_hom))), ','), '') AS het
+       |  FROM annotated
+       |  GROUP BY ALL
+       |),
+       |entry_rows AS (
+       |  SELECT chrom, CAST(floor(pos / 100000.0) AS BIGINT) AS pos_bucket, pos,
+       |    concat_ws('|',
+       |      coalesce(ref, '$S'), coalesce(alt, '$S'), coalesce(impact, '$S'),
+       |      coalesce(dbSNP, '$S'),
+       |      coalesce(CAST(gnomad_an AS VARCHAR), '$S'),
+       |      coalesce(CAST(gnomad_ac AS VARCHAR), '$S'),
+       |      coalesce(CAST(gnomad_nhomalt AS VARCHAR), '$S'),
+       |      coalesce(hg38_coordinate, '$S'),
+       |      coalesce(CAST(CAST(alphamissense AS DECIMAL(5,2)) AS VARCHAR), '$S'),
+       |      hom, het) AS entry
+       |  FROM per_variant
+       |)
+       |SELECT chrom, pos_bucket, pos,
+       |  array_to_string(list_sort(list_distinct(list(entry))), ';') AS entries
+       |FROM entry_rows
+       |GROUP BY chrom, pos_bucket, pos
+       |ORDER BY chrom, pos_bucket, pos""".stripMargin
+
+  /** hg19/hg38 dbSNP: positional TSV with `#` header filter (S4). */
+  private def sqlDbSnpTsv(path: String): String =
+    s"""  SELECT 'chr' || upper(column00) AS chrom, try_cast(column01 AS INTEGER) AS pos,
+       |    column02 AS ref, column03 AS alt, column04 AS dbSNP
+       |  FROM read_csv('$path', sep='\t', header=false, all_varchar=true, quote='',
+       |    column_names=['column00','column01','column02','column03','column04'])
+       |  WHERE column00 NOT LIKE '#%'""".stripMargin
+
+  /** T2T dbSNP: parquet files whose CHROM column physically conflicts
+    * across files (int64 vs string) — the reader must skip it and
+    * re-derive chrom from the file name, `c`-removal quirk included
+    * (ImportVcfToDataLakeByRanges.java:163-180).
+    */
+  private def sqlDbSnpT2t(glob: String): String =
+    s"""  SELECT 'chr' || upper(replace(split_part(split_part(split_part(filename, '/', -1), '.', 1), '_', 1), 'c', '')) AS chrom,
+       |    CAST(POS AS INTEGER) AS pos, REF AS ref, ALT AS alt, SNP AS dbSNP
+       |  FROM read_parquet('$glob', filename=true, union_by_name=true)""".stripMargin
+
+  /** gnomAD parquet; `withHg38=false` models the declared-but-absent
+    * hg38_coordinates column (reads as NULL, S5 tolerance).
+    */
+  private def sqlGnomad(dir: String): String =
+    s"""  SELECT 'chr' || upper(replace(split_part(split_part(split_part(filename, '/', -1), '.', 1), '_', 1), 'c', '')) AS chrom,
+       |    CAST(POS AS INTEGER) AS pos, REF AS ref, ALT AS alt,
+       |    gnomad_an, gnomad_ac, gnomad_nhomalt, CAST(NULL AS VARCHAR) AS hg38_coordinate
+       |  FROM read_parquet('$dir/*.parquet', filename=true)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // S1 (glob + gzip text scan), S2 (from_csv over lines), F1 (header
+    // prefix filter), S9 (provenance), P1/P2 (normalize projections):
+    // one flattened row per (variant, sample) with zygosity + evidence.
+    Q(
+      "q40_vcf_normalize",
+      (s, _) => {
+        val m = Vcf.mutations(s, Fixtures.hg19Vcfs)
+        val ev = coalesce(col("hom_ev"), col("het_ev"))
+        m.select(
+          col("chrom"), col("pos"), col("ref"), col("alt"),
+          when(col("hom_ev").isNotNull, lit("hom")).otherwise(lit("het")).as("zygosity"),
+          ev.getField("id").as("sample_id"),
+          str(ev.getField("qual").cast("decimal(10,2)")).as("qual"),
+          str(ev.getField("ad")).as("ad"))
+          .orderBy(col("chrom"), col("pos"), col("ref"), col("alt"), col("sample_id"))
+      },
+      Some(
+        s"""${sqlNorm(Fixtures.hg19Vcfs + "*.vcf.gz")}
+           |SELECT chrom, pos, ref, alt,
+           |  CASE WHEN is_hom THEN 'hom' ELSE 'het' END AS zygosity,
+           |  split_part(ev, '|', 1) AS sample_id,
+           |  split_part(ev, '|', 2) AS qual,
+           |  split_part(ev, '|', 3) AS ad
+           |FROM norm
+           |ORDER BY chrom, pos, ref, alt, sample_id""".stripMargin)),
+
+    // The reference's whole product (hg19 branch): parse → 4 left joins
+    // → per-variant fold → per-position fold → PARTITIONED LAKE WRITE →
+    // read-back (K1, D1, D3, D4, D5 run inside the query; golden anchor
+    // 1622 rows, ImportVcfToDataLakeByRangesTest.java:37).
+    Q(
+      "q41_lake_entries",
+      (s, _) => {
+        val lake = Lake.build(s, Fixtures.hg19Vcfs, Fixtures.hg19Impact,
+          Fixtures.hg19DbSnp, t2t = false, Fixtures.gnomadHg38, Fixtures.alphaHg19)
+        val out = Files.createTempDirectory("graft-gate-lake").toString
+        Lake.write(lake, out)
+        serializeLake(s.read.parquet(out))
+      },
+      Some(sqlLake(
+        Fixtures.hg19Vcfs + "*.vcf.gz", Fixtures.hg19Impact,
+        sqlDbSnpTsv(Fixtures.hg19DbSnp), sqlGnomad(Fixtures.gnomadHg38),
+        Fixtures.alphaHg19))),
+
+    // T2T branch: uncompressed VCF, parquet dbSNP with the conflicting
+    // CHROM column skipped (S5 explicit schema) and chrom re-derived
+    // from the file name (`c`-removal quirk), gnomAD without
+    // hg38_coordinates (absent-column tolerance).
+    Q(
+      "q42_lake_t2t",
+      (s, _) => {
+        val lake = Lake.build(s, Fixtures.t2tVcfs, Fixtures.t2tImpact,
+          Fixtures.t2tDbSnp, t2t = true, Fixtures.gnomadT2t, Fixtures.alphaT2t)
+        val out = Files.createTempDirectory("graft-gate-lake-t2t").toString
+        Lake.write(lake, out)
+        serializeLake(s.read.parquet(out))
+      },
+      Some(sqlLake(
+        Fixtures.t2tVcfs, Fixtures.t2tImpact,
+        sqlDbSnpT2t(Fixtures.t2tDbSnp + ".parquet"),
+        sqlGnomad(Fixtures.gnomadT2t), Fixtures.alphaT2t))),
+
+    // A4 (multi-column exact countDistinct ×3) + K2/D2/S8: the status
+    // row round-trips through the single-file JSON append log before
+    // being emitted (timestamp dropped — inherently non-hashable).
+    Q(
+      "q43_status",
+      (s, _) => {
+        val status = Vcf.status(s, Fixtures.hg19Vcfs)
+        val log = Files.createTempDirectory("graft-gate-status").toString + "/log"
+        Lake.writeStatus(status, log)
+        s.read.json(log)
+          .select(col("coordinates_num"), col("mutations_num"), col("samples_num"))
+      },
+      Some(
+        s"""WITH vcf_raw AS (
+           |${sqlVcfRaw(Fixtures.hg19Vcfs + "*.vcf.gz")}
+           |)
+           |SELECT
+           |  COUNT(DISTINCT chrom || '|' || pos) AS coordinates_num,
+           |  COUNT(DISTINCT chrom || '|' || pos || '|' || ref || '|' || alt) AS mutations_num,
+           |  COUNT(DISTINCT sample_id) AS samples_num
+           |FROM vcf_raw""".stripMargin)))
+}

@@ -4,25 +4,29 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.SparkSession
 
-/** Checked-in reference fixtures (read-only) + synthesis of the two
+/** Checked-in reference fixtures (read-only) + synthesis of the
   * datasets the reference tests require but never committed (FIXTURES.md
   * §6-7: AlphaMissense parquet per chromosome, T2T gnomAD parquet).
+  * Fixtures also needed by the ETL correctness gate are committed under
+  * `fixtures/` (see graft.etl.Fixtures + FixtureGen) and read from
+  * there; synthesis remains only for test-local variants the gate
+  * doesn't use (hg38 alpha).
   */
 object GenomicFixtures {
-  val refInput = "/root/reference/src/test/resources/input"
+  val refInput: String = Fixtures.refInput
 
-  val hg19Vcfs = s"$refInput/*/hg19/"
-  val hg38Vcfs = s"$refInput/*/hg38/"
-  val t2tVcfs = s"$refInput/CHM13V2/batches/*/chm13v2.0/*"
-  val hg19Impact = s"$refInput/*/Impact/impacts.hg19.csv"
-  val hg38Impact = s"$refInput/*/Impact/impacts.hg38.csv"
-  val t2tImpact = s"$refInput/CHM13V2/Impact/*"
-  val hg19DbSnp = s"$refInput/dbSNP/dbSNP.hg19.tsv"
-  val hg38DbSnp = s"$refInput/dbSNP/dbSNP.hg38.tsv"
-  val t2tDbSnp = s"$refInput/CHM13V2/dbSNP/*"
-  val gnomadHg38 = s"$refInput/gnomad/hg-38"
+  val hg19Vcfs = Fixtures.hg19Vcfs
+  val hg38Vcfs = Fixtures.hg38Vcfs
+  val t2tVcfs = Fixtures.t2tVcfs
+  val hg19Impact = Fixtures.hg19Impact
+  val hg38Impact = Fixtures.hg38Impact
+  val t2tImpact = Fixtures.t2tImpact
+  val hg19DbSnp = Fixtures.hg19DbSnp
+  val hg38DbSnp = Fixtures.hg38DbSnp
+  val t2tDbSnp = Fixtures.t2tDbSnp
+  val gnomadHg38 = Fixtures.gnomadHg38
 
-  private def writeSingleParquet(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+  def writeSingleParquet(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
                                  destDir: Path, fileName: String): Unit = {
     val tmp = Files.createTempDirectory("graft-fixture").toString
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -48,19 +52,4 @@ object GenomicFixtures {
     dir
   }
 
-  /** T2T gnomAD: same reader as hg38 gnomAD (schema of FIXTURES.md §5)
-    * but WITHOUT hg38_coordinates — exercising the declared-but-absent
-    * column tolerance path.
-    */
-  def synthesizeT2tGnomad(spark: SparkSession, dir: String): String = {
-    import spark.implicits._
-    // alleles match the real variants in SRR581526-small.vcf so the
-    // (chrom,pos,ref,alt) join actually annotates
-    val df = Seq(
-      (805837L, "C", "A", 1000L, 42L, 3L),
-      (730107L, "T", "C", 2000L, 7L, 0L))
-      .toDF("POS", "REF", "ALT", "gnomad_an", "gnomad_ac", "gnomad_nhomalt")
-    writeSingleParquet(spark, df, Paths.get(dir), "c1_r1.parquet")
-    dir
-  }
 }

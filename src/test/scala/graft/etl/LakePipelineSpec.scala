@@ -15,20 +15,15 @@ class LakePipelineSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
   import GenomicFixtures._
 
-  private lazy val alphaHg19 = synthesizeAlpha(spark,
-    Files.createTempDirectory("alpha19").toString,
-    Seq(
-      // chr1:11301714 ref=A: decode for alt=G must yield 0.92
-      ("1", 11301714L, 0.0, 0.31, 0.92, 0.18),
-      ("1", 11301715L, 0.0, 0.5, 0.5, 0.5)))
+  // Committed fixture (fixtures/alpha/hg-19, via FixtureGen's
+  // predecessor): chr1:11301714 ref=A decodes alt=G → 0.92
+  private lazy val alphaHg19 = Fixtures.alphaHg19
 
   private lazy val alphaHg38 = synthesizeAlpha(spark,
     Files.createTempDirectory("alpha38").toString,
     Seq(("1", 162778659L, 0.0, 0.2, 0.4, 0.6)))
 
-  private lazy val alphaT2t = synthesizeAlpha(spark,
-    Files.createTempDirectory("alphaT2T").toString,
-    Seq(("1", 805837L, 0.1, 0.2, 0.0, 0.4)))
+  private lazy val alphaT2t = Fixtures.alphaT2t
 
   private lazy val hg19Lake = Lake.build(spark, hg19Vcfs, hg19Impact,
     hg19DbSnp, t2t = false, gnomadHg38, alphaHg19)
@@ -81,10 +76,8 @@ class LakePipelineSpec extends AnyFunSuite {
   }
 
   test("T2T branch: parquet dbSNP, chrom-from-filename, absent-column tolerance") {
-    val gnomadT2t = synthesizeT2tGnomad(spark,
-      Files.createTempDirectory("gnomadT2T").toString)
     val lakeT2t = Lake.build(spark, t2tVcfs, t2tImpact, t2tDbSnp,
-      t2t = true, gnomadT2t, alphaT2t)
+      t2t = true, Fixtures.gnomadT2t, alphaT2t)
     val out = Files.createTempDirectory("lakeT2T").toString
     Lake.write(lakeT2t, out)
     val back = spark.read.parquet(out)
