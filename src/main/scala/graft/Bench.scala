@@ -16,17 +16,28 @@ object Bench {
     // Timing steady-state matches how the engine runs on a real cluster.
     val warmDir = "/root/testdata/sf0.001"
     val canWarm = new java.io.File(warmDir).isDirectory && warmDir != sfDir
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (canWarm) {
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
-        spark.catalog.clearCache()
+    // The ETL gate queries (EtlGate pack) run on fixed genomic fixtures
+    // and ignore the SF dir — timing them under an "sf0.1" label would
+    // be noise, not signal. The SF-driven packs are the benchmark.
+    val etlNames = queries.EtlGate.all.map(_.name).toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => etlNames.contains(name) }
+      .map { case (name, fn) =>
+        if (canWarm) {
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+        }
+        // min of two timed runs: one contended run (GC pause, another
+        // process's burst) must not read as a 2x regression
+        val dt = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val t = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          t
+        }.min
+        name -> dt
       }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> dt
-    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

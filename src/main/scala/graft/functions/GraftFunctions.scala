@@ -35,17 +35,17 @@ object GraftFunctions {
         }
         CharShingles(e(0), n)
       }),
-    (FunctionIdentifier("minhash_hashes"),
-      info(classOf[MinhashHashes], "minhash_hashes",
-        "minhash_hashes(sh, k) - array of md5(sh||'#i') for i < k"),
+    (FunctionIdentifier("minhash_mixes"),
+      info(classOf[MinhashMixes], "minhash_mixes",
+        "minhash_mixes(sh, k) - array of (a_i*h+b_i) mod 2^31-1 for i < k, h = 60-bit md5 prefix"),
       (e: Seq[Expression]) => {
         val k = e(1).eval() match {
           case i: Int => i
           case l: Long => l.toInt
           case other => throw new IllegalArgumentException(
-            s"minhash_hashes(sh, k): k must be an integer literal, got $other")
+            s"minhash_mixes(sh, k): k must be an integer literal, got $other")
         }
-        MinhashHashes(e(0), k)
+        MinhashMixes(e(0), k)
       }))
 
   /** For spark.sql.extensions. */
@@ -70,8 +70,8 @@ object GraftFunctions {
   def char_shingles(text: Column, n: Int): Column =
     call_function("char_shingles", text, org.apache.spark.sql.functions.lit(n))
 
-  def minhash_hashes(sh: Column, k: Int): Column =
-    call_function("minhash_hashes", sh, org.apache.spark.sql.functions.lit(k))
+  def minhash_mixes(sh: Column, k: Int): Column =
+    call_function("minhash_mixes", sh, org.apache.spark.sql.functions.lit(k))
 }
 
 /** Entry point for `spark.sql.extensions`. */

@@ -34,17 +34,19 @@ object Dedup {
   }
 
   /** K-permutation MinHash signature, one row per document. Each
-    * "permutation" is the lexicographic min of md5(shingle + "#" + k) —
-    * a uniform hash per k, reproducible in any engine with md5. One
+    * "permutation" is the min over shingles of (a_k·h + b_k) mod 2^31-1
+    * where h is the 60-bit md5 prefix of the shingle — ONE digest per
+    * distinct (doc, shingle), K integer mixes, all BIGINT-reproducible
+    * in any engine (see graft.functions.Minhash for the contract). One
     * shuffle (groupBy id) computes all K mins via partial aggregation;
-    * the K seeded digests come from ONE fused native expression
-    * (MinhashHashes) instead of K concat+md5 trees.
+    * the fused native expression (MinhashMixes) avoids K digest trees
+    * and all hex-string materialization on the hot path.
     */
   def minhashSignature(shingles: DataFrame, id: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(shingles.sparkSession)
     shingles
       .select(col(id),
-        graft.functions.GraftFunctions.minhash_hashes(col("sh"), k).as("__hs"))
+        graft.functions.GraftFunctions.minhash_mixes(col("sh"), k).as("__hs"))
       .groupBy(col(id))
       .agg(
         min(element_at(col("__hs"), 1)).as("h0"),
@@ -52,8 +54,26 @@ object Dedup {
           min(element_at(col("__hs"), i + 1)).as(s"h$i")): _*)
   }
 
+  /** Signature straight from documents, skipping the distinct shuffle:
+    * min() is idempotent over repeated shingles, so explode → mix →
+    * min-aggregate equals minhashSignature(shingleSet(...)) exactly
+    * (spec-asserted) while shuffling only the map-side partial minima
+    * (K longs per doc per partition) instead of millions of distinct
+    * (doc, shingle) rows. Use when the shingle set is NOT also needed
+    * downstream (signature-only pipelines); when Jaccard verification
+    * follows, build shingleSet once and share it.
+    */
+  def minhashSignatureDirect(docs: DataFrame, id: String, text: String,
+                             n: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    minhashSignature(
+      docs.select(col(id), explode(TextOps.charShingles(col(text), n)).as("sh")),
+      id, k)
+  }
+
   /** LSH banding: signature split into bands of `r` hashes; band key =
-    * md5 of the concatenated band slice. Docs sharing any band key are
+    * the band slice joined as a delimited string (plain equality key —
+    * hashing it again would buy nothing). Docs sharing any band key are
     * candidate duplicates.
     */
   def lshBands(sig: DataFrame, id: String, k: Int, r: Int): DataFrame = {
@@ -62,7 +82,9 @@ object Dedup {
       sig.select(
         col(id),
         lit(b).cast("long").as("band"),
-        md5(concat((b * r until (b + 1) * r).map(i => col(s"h$i")): _*)).as("band_hash"))
+        concat_ws("|",
+          (b * r until (b + 1) * r).map(i => col(s"h$i").cast("string")): _*)
+          .as("band_hash"))
     }
     bands.reduce(_.unionAll(_))
   }
@@ -72,35 +94,55 @@ object Dedup {
     *
     * `maxBucket` is the 100 TB safety valve: a band bucket with B docs
     * produces B² pairs, so one boilerplate shingle pattern (a viral
-    * page, a template) can go quadratic. Buckets larger than the cap
-    * are dropped — their members are near-certainly caught again in
-    * another band, and a bucket that big is boilerplate, not a dup
-    * cluster worth pairing exhaustively. None (default) keeps exact
-    * LSH semantics for oracle parity.
+    * page, a template) can go quadratic. Buckets over the cap degrade
+    * to a CHAIN — consecutive pairs in id order, O(B) edges — instead
+    * of being dropped outright: a cluster of near-identical documents
+    * collides in EVERY band, so a flat drop would lose the whole
+    * cluster, while the chain keeps it connected for greedy and
+    * transitive dedup at linear cost. None (default) keeps exact LSH
+    * semantics.
     */
   def candidatePairs(bands: DataFrame, id: String,
                      maxBucket: Option[Int] = None): DataFrame = {
-    val capped = maxBucket match {
+    val full = maxBucket match {
       case Some(cap) =>
-        import org.apache.spark.sql.expressions.Window
-        // persisted: the filtered result feeds BOTH sides of the
-        // self-join below, and the windowed bucket count is exactly the
-        // cost the cap exists to avoid paying twice
-        bands
-          .withColumn("__bsz", count(lit(1))
-            .over(Window.partitionBy(col("band"), col("band_hash"))))
-          .where(col("__bsz") <= cap)
-          .drop("__bsz")
-          .persist()
-      case None => bands
+        // bucket sizes via aggregation + two skinny joins rather than a
+        // window over the fat rows: the aggregate is one row per bucket,
+        // composes as a pure plan (nothing to persist → nothing to
+        // leak), and the over-cap key list is tiny BY CONSTRUCTION
+        // (buckets > cap are rare) — broadcast it so the chain branch
+        // costs one broadcast probe, not a shuffle
+        val sizes = bands.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("__bsz"))
+        val small = bands.join(
+          sizes.where(col("__bsz") <= cap).select(col("band"), col("band_hash")),
+          Seq("band", "band_hash"), "left_semi")
+        val chained = bands.join(
+          broadcast(sizes.where(col("__bsz") > cap)
+            .select(col("band"), col("band_hash"))),
+          Seq("band", "band_hash"))
+          .withColumn("__nxt",
+            lead(col(id), 1).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("band"), col("band_hash")).orderBy(col(id))))
+          .where(col("__nxt").isNotNull)
+          .select(col(id).as("doc_a"), col("__nxt").as("doc_b"))
+        val smallPairs = small
+          .select(col("band"), col("band_hash"), col(id).as("doc_a"))
+          .join(
+            small.select(col("band"), col("band_hash"), col(id).as("doc_b")),
+            Seq("band", "band_hash"))
+          .where(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+        smallPairs.unionAll(chained)
+      case None =>
+        bands.select(col("band"), col("band_hash"), col(id).as("doc_a"))
+          .join(
+            bands.select(col("band"), col("band_hash"), col(id).as("doc_b")),
+            Seq("band", "band_hash"))
+          .where(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
     }
-    capped.select(col("band"), col("band_hash"), col(id).as("doc_a"))
-      .join(
-        capped.select(col("band"), col("band_hash"), col(id).as("doc_b")),
-        Seq("band", "band_hash"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    full.distinct()
   }
 
   /** Exact n-gram Jaccard for candidate pairs: |A∩B| via a shingle

@@ -13,6 +13,7 @@ object LlmOps {
   private val ShingleN = 8
   private val MinhashK = 8
   private val BandR = 2
+  private val MaxBucket = 32
   private val SimhashBits = 16
   private val hiHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
   private val hiHexSql = hiHex.map(h => s"'$h'").mkString(", ")
@@ -34,25 +35,57 @@ object LlmOps {
 
   private val shSql = shSqlFrom("documents")
 
+  /** The minhash mix contract of graft.functions.Minhash in DuckDB:
+    * two 60-bit md5 bases, v_k = (a_k·h1 + b_k·h2 + c_k) mod 2^61-1
+    * with INT128 (HUGEINT) widening for the multiplies. Constants come
+    * from the SAME Scala definitions the native expression uses — one
+    * source of truth.
+    */
   private val sigSql = {
+    import graft.functions.Minhash.{P, a, b, c}
     val mins = (0 until MinhashK)
-      .map(k => s"min(md5(sh||'#$k')) AS h$k").mkString(", ")
-    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+      .map(k =>
+        s"min(CAST((${a(k)}::HUGEINT * h1 + ${b(k)}::HUGEINT * h2 + ${c(k)}) % $P AS BIGINT)) AS h$k")
+      .mkString(", ")
+    s"""shh AS (SELECT doc_id, ('0x'||substr(md5(sh),1,15))::BIGINT AS h1,
+       |  ('0x'||substr(md5(sh),16,15))::BIGINT AS h2 FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id)""".stripMargin
   }
 
   private val bandsSql = {
     val rows = (0 until MinhashK / BandR).map { b =>
-      val slice = (b * BandR until (b + 1) * BandR).map(i => s"h$i").mkString("||")
-      s"SELECT doc_id, CAST($b AS BIGINT) AS band, md5($slice) AS band_hash FROM sig"
+      val slice = (b * BandR until (b + 1) * BandR)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString("||'|'||")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band, $slice AS band_hash FROM sig"
     }
     s"bands AS (${rows.mkString(" UNION ALL ")})"
   }
 
+  /** Candidate pairs WITH the boilerplate-bucket cap (maxBucket): a band
+    * bucket of B docs yields B² pairs, and a single common shingle
+    * winning a band minimum routinely creates buckets of 10%+ of the
+    * corpus — the cap is part of the operator's production semantics,
+    * so the gate runs it and the oracle mirrors it. Over-cap buckets
+    * degrade to consecutive-pair chains (see Dedup.candidatePairs).
+    */
   private val candSql =
-    """cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b USING (band, band_hash)
-      |  WHERE a.doc_id < b.doc_id)""".stripMargin
+    s"""bsized AS (
+       |  SELECT b.*, bsz FROM bands b JOIN (
+       |    SELECT band, band_hash, COUNT(*) AS bsz FROM bands
+       |    GROUP BY band, band_hash) s USING (band, band_hash)),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM (SELECT * FROM bsized WHERE bsz <= $MaxBucket) a
+       |    JOIN (SELECT * FROM bsized WHERE bsz <= $MaxBucket) b
+       |      USING (band, band_hash)
+       |    WHERE a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT doc_id AS doc_a, nxt AS doc_b FROM (
+       |      SELECT doc_id,
+       |        lead(doc_id) OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS nxt
+       |      FROM bsized WHERE bsz > $MaxBucket)
+       |    WHERE nxt IS NOT NULL))""".stripMargin
 
   /** Left-fold dot product — the exact cross-engine contract of
     * VectorOps.dot (index-ascending, double precision).
@@ -83,10 +116,13 @@ object LlmOps {
     Q(
       "q21_minhash_pairs",
       (s, dir) => {
-        val sh = Dedup.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleN)
-        // the band self-join references sig twice — materialize once
-        val sig = Dedup.minhashSignature(sh, "doc_id", MinhashK).persist()
-        Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", MinhashK, BandR), "doc_id")
+        // signature-only pipeline: the direct path skips the distinct
+        // shuffle (min is idempotent over repeated shingles); the band
+        // self-join references sig several times — materialize once
+        val sig = Dedup.minhashSignatureDirect(Tables.documents(s, dir),
+          "doc_id", "text", ShingleN, MinhashK).persist()
+        Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", MinhashK, BandR), "doc_id",
+          maxBucket = Some(MaxBucket))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""WITH $shSql, $sigSql, $bandsSql, $candSql
@@ -99,7 +135,8 @@ object LlmOps {
         // (4 references) — materialize once instead of re-exploding
         val sh = Dedup.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleN).persist()
         val sig = Dedup.minhashSignature(sh, "doc_id", MinhashK).persist()
-        val cand = Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", MinhashK, BandR), "doc_id")
+        val cand = Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", MinhashK, BandR), "doc_id",
+          maxBucket = Some(MaxBucket))
         Dedup.jaccardVerify(cand, sh, "doc_id", 0.2)
           .orderBy(col("doc_a"), col("doc_b"))
       },
@@ -293,7 +330,7 @@ object LlmOps {
     Q(
       "q36_dedup_corpus",
       (s, dir) => Dedup.deduplicate(Tables.documents(s, dir), "doc_id", "text",
-        minJaccard = 0.5)
+        minJaccard = 0.5, maxBucket = Some(MaxBucket))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id")),
       Some(s"""WITH exact AS (

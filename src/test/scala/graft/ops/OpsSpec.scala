@@ -14,7 +14,11 @@ class OpsSpec extends AnyFunSuite {
   private lazy val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
     (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
-    (3L, "the quick brown fox jumped over the lazy dog"), // near dup
+    // near dup of 1: a pure suffix edit keeps ~90% of shingles shared, so
+    // every reasonable LSH family catches the pair (a mid-string edit at
+    // jaccard ~0.6 is a legitimate ~15% LSH miss at k=8, r=2 — too
+    // coin-flippy to pin in a spec)
+    (3L, "the quick brown fox jumps over the lazy dogs"),
     (4L, "completely different content about spark engines"))
     .toDF("doc_id", "text")
 
@@ -34,20 +38,38 @@ class OpsSpec extends AnyFunSuite {
     assert(!cand.exists { case (a, b) => b == 4L || a == 4L })
   }
 
-  test("minhash_hashes equals the per-k md5(concat) formula exactly") {
+  test("minhash_mixes equals the declarative md5-prefix mix formula exactly") {
     import spark.implicits._
+    import graft.functions.Minhash.{P, a, b, c}
     val rnd = new scala.util.Random(11)
     val strs = Seq.tabulate(200)(_ => rnd.alphanumeric.take(rnd.nextInt(12) + 1).mkString)
       .toDF("sh")
+    // same formula the DuckDB oracle runs, spelled in Spark builtins —
+    // decimal(38,0) stands in for the oracle's HUGEINT (the ~122-bit
+    // products exceed long; 38 digits hold them exactly)
+    def base(from: Int) =
+      conv(substring(md5(col("sh")), from, 15), 16, 10).cast("decimal(38,0)")
+    val (h1, h2) = (base(1), base(16))
     val diff = strs.select(
-      graft.functions.GraftFunctions.minhash_hashes(col("sh"), 8).as("fused"),
-      array((0 until 8).map(i => md5(concat(col("sh"), lit(s"#$i")))): _*).as("ref"))
+      graft.functions.GraftFunctions.minhash_mixes(col("sh"), 8).as("fused"),
+      array((0 until 8).map(i =>
+        ((lit(a(i)).cast("decimal(38,0)") * h1 + lit(b(i)).cast("decimal(38,0)") * h2
+          + lit(c(i))) % lit(P)).cast("long")): _*)
+        .as("ref"))
       .where(not(col("fused") === col("ref")))
       .count()
     assert(diff === 0)
   }
 
-  test("candidatePairs maxBucket drops boilerplate buckets, keeps small ones") {
+  test("minhashSignatureDirect equals the via-shingleSet signature exactly") {
+    val viaSet = Dedup.minhashSignature(
+      Dedup.shingleSet(docs, "doc_id", "text", 8), "doc_id", 8)
+    val direct = Dedup.minhashSignatureDirect(docs, "doc_id", "text", 8, 8)
+    assert(direct.exceptAll(viaSet).count() === 0)
+    assert(viaSet.exceptAll(direct).count() === 0)
+  }
+
+  test("candidatePairs maxBucket chains boilerplate buckets, keeps small ones") {
     import spark.implicits._
     // 12 identical docs (one giant bucket) + one small dup pair
     val many = ((1 to 12).map(i => (i.toLong, "the same boilerplate text repeated here")) ++
@@ -59,7 +81,11 @@ class OpsSpec extends AnyFunSuite {
     val capped = Dedup.candidatePairs(bands, "doc_id", maxBucket = Some(5))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped === 12 * 11 / 2 + 1) // quadratic bucket + the pair
-    assert(capped === Set((100L, 101L))) // boilerplate gone, real pair kept
+    // quadratic blowup gone, but the identical-doc cluster stays
+    // CONNECTED via the consecutive chain (it collides in every band, so
+    // a flat drop would lose it entirely), and the real pair survives
+    val chain = (1 to 11).map(i => (i.toLong, i.toLong + 1)).toSet
+    assert(capped === chain + ((100L, 101L)))
   }
 
   test("jaccardVerify: identical docs score 1.0, near dups score high") {
