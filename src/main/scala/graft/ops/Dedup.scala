@@ -211,17 +211,25 @@ object Dedup {
     * together even when A≁C directly — the transitive semantics
     * `deduplicate`'s greedy policy trades away).
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * adopts the smallest label among itself and its neighbours;
-    * converges in O(diameter) rounds, each one join + one aggregate.
-    * Labels persist per round and the loop stops when no label changed
-    * (classic Hash-to-Min shape; at 100 TB cap iterations and checkpoint
-    * every few rounds to keep lineage short).
+    * Algorithm: min-label propagation WITH pointer jumping — each round
+    * every node adopts the least of (its label, its neighbours' labels,
+    * its label's label). The grandparent hop halves label-forest depth
+    * per round, so convergence is O(log diameter) rounds, not
+    * O(diameter) — a 10,000-link chain settles in ~15 rounds
+    * (spec-asserted) where plain propagation would need 10,000.
+    *
+    * Each round is two joins + ONE action: the convergence probe rides
+    * the same aggregate that materializes the round's labels (no
+    * separate join + count pass). Lineage is truncated by an eager
+    * localCheckpoint every `checkpointInterval` rounds — without it the
+    * plan doubles per round and the driver's analysis/codegen time,
+    * not the data, becomes the bottleneck at scale.
     *
     * Returns (id, cluster) for every id appearing in `pairs`; documents
     * with no near-dup edge are their own cluster and are absent.
     */
-  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 40,
+                        checkpointInterval: Int = 5): DataFrame = {
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
@@ -229,6 +237,9 @@ object Dedup {
       .distinct()
       .withColumn("cluster", col("id"))
       .persist()
+    // the DataFrame actually holding this round's cache/checkpoint —
+    // labels is a projection over it, so unpersist must target this one
+    var materialized = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -236,14 +247,28 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "doc_b"), Seq("doc_b"))
         .groupBy(col("doc_a").as("id"))
         .agg(min(col("cluster")).as("n_min"))
-      val next = labels.join(neighbourMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
-        .where(col("cluster") =!= col("prev")).limit(1).count()
-      labels.unpersist()
-      labels = next
+      // pointer jump: label's label (labels self-joined on cluster = id;
+      // every label IS some node's id, and ids are unique — no fanout)
+      val grandparent = labels
+        .select(col("id").as("cluster"), col("cluster").as("__gp"))
+      val stepped = labels
+        .join(neighbourMin, Seq("id"), "left")
+        .join(grandparent, Seq("cluster"), "left")
+        .select(col("id"), col("cluster").as("__prev"),
+          least(
+            col("cluster"),
+            least(coalesce(col("n_min"), col("cluster")),
+              coalesce(col("__gp"), col("cluster")))).as("cluster"))
+      val next =
+        if ((iter + 1) % checkpointInterval == 0) stepped.localCheckpoint()
+        else stepped.persist()
+      // single action: materializes next AND answers "did anything move?"
+      val changed = next
+        .agg(count(when(col("cluster") =!= col("__prev"), lit(1))).as("n"))
+        .head().getLong(0)
+      materialized.unpersist()
+      materialized = next
+      labels = next.select(col("id"), col("cluster"))
       converged = changed == 0
       iter += 1
     }

@@ -115,6 +115,24 @@ class OpsSpec extends AnyFunSuite {
     assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicateClusters: 10k-link chain converges in O(log diameter) rounds") {
+    import spark.implicits._
+    val n = 10000
+    // worst-case topology for label propagation: one path 0-1-2-...-n
+    val chain = (0 until n).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val t0 = System.nanoTime()
+    val clusters = Dedup.duplicateClusters(chain)
+    val wrong = clusters.where(col("cluster") =!= 0L).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // plain O(diameter) propagation would need 10,000 rounds and an
+    // un-checkpointed loop would die on plan blowup long before that;
+    // pointer jumping + localCheckpoint settles the whole chain to
+    // cluster 0 within the default 40-round budget
+    assert(wrong === 0)
+    assert(clusters.count() === n + 1)
+    assert(secs < 120.0)
+  }
+
   test("deduplicateTransitive keeps one survivor per chain cluster") {
     import spark.implicits._
     // 5~6~7 is a near-dup chain (6 bridges 5 and 7)
