@@ -51,25 +51,57 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF (inverted-file) coarse quantization: every vector is assigned
-    * to its most-similar of `k` centroids. The codebook here is the `k`
-    * lowest-id vectors — a deterministic stand-in for a trained k-means
-    * codebook; the operator shape (broadcast codebook → one argmax pass
-    * → shuffle on cell id) is identical with real centroids.
+  /** IVF codebook: a hash-ordered sample of `k` stored vectors — the
+    * md5-of-id order is deterministic yet independent of id assignment
+    * and data order, unlike a lowest-id prefix which inherits whatever
+    * structure ids carry — refined by ONE Lloyd step (each seed replaced
+    * by the element-wise mean of the vectors assigned to it). One step
+    * moves seeds to local density centers, which is what cell ranking
+    * needs; full k-means training buys little for a coarse quantizer.
+    *
+    * Result: (cell, cvec) with `cell` = the seed vector's id. Tiny by
+    * construction (k rows) — callers broadcast it. At 100 TB the
+    * codebook is trained once and PERSISTED as a table, not recomputed
+    * per query; these operators recompute it for self-containment.
     */
-  def ivfAssign(emb: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+  def ivfCodebook(emb: DataFrame, id: String, vec: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
+    val seeds = emb
+      .orderBy(md5(col(id).cast("string")), col(id))
+      .limit(k)
+      .select(col(id).as("cell"), col(vec).as("cvec"))
+    assignTo(emb, id, vec, seeds)
+      .select(col("cell"), posexplode(col(vec)))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m").cast("float")).as("cvec"))
+  }
+
+  /** Nearest-cell assignment against a (cell, cvec) codebook; ties break
+    * to the lowest cell id for determinism.
+    */
+  private def assignTo(emb: DataFrame, id: String, vec: String,
+                       codebook: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = emb.orderBy(col(id)).limit(k)
-      .select(col(id).as("cent_id"), col(vec).as("cvec"))
-    val w = Window.partitionBy(col(id)).orderBy(col("cell_sim").desc, col("cent_id"))
-    emb.crossJoin(broadcast(cents))
-      .select(col(id), col(vec), col("cent_id"),
+    val w = Window.partitionBy(col(id)).orderBy(col("cell_sim").desc, col("cell"))
+    emb.crossJoin(broadcast(codebook))
+      .select(col(id), col(vec), col("cell"),
         cosine(col(vec), col("cvec")).as("cell_sim"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col(id), col(vec), col("cent_id").as("cell"))
+      .select(col(id), col(vec), col("cell"))
   }
+
+  /** IVF (inverted-file) coarse quantization: every vector is assigned
+    * to its most-similar of `k` trained centroids (see ivfCodebook).
+    * Shape: broadcast codebook → one argmax pass — no shuffle until a
+    * consumer groups by cell.
+    */
+  def ivfAssign(emb: DataFrame, id: String, vec: String, k: Int): DataFrame =
+    assignTo(emb, id, vec, ivfCodebook(emb, id, vec, k))
 
   /** ANN top-k via IVF: rank cells against the probe vector, scan only
     * the `nprobe` best cells, exact-cosine re-rank inside them. With
@@ -79,15 +111,14 @@ object Similarity {
   def ivfTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
               topK: Int, cells: Int, nprobe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val assigned = ivfAssign(emb, id, vec, cells)
+    val codebook = ivfCodebook(emb, id, vec, cells)
+    val assigned = assignTo(emb, id, vec, codebook)
     val probe = emb.where(col(id) === queryId).select(col(vec).as("qv"))
-    // rank only NON-EMPTY cells against the probe: duplicate codebook
-    // vectors leave their cells empty (ties assign to the lowest id),
-    // and an empty cell at the top of the ranking would silently burn
-    // nprobe budget
+    // rank only NON-EMPTY cells against the probe: a cell can lose all
+    // members after refinement, and an empty cell at the top of the
+    // ranking would silently burn nprobe budget
     val activeCells = assigned.select(col("cell")).distinct()
-    val probeCells = emb.orderBy(col(id)).limit(cells)
-      .select(col(id).as("cell"), col(vec).as("cvec"))
+    val probeCells = codebook
       .join(activeCells, Seq("cell"), "left_semi")
       .crossJoin(broadcast(probe))
       .select(col("cell"), cosine(col("cvec"), col("qv")).as("cell_sim"))
