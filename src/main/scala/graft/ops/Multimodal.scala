@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus feature extraction shaped for a
   * 1000-executor cluster.
   *
-  * The Spark-side plumbing — schema, batching, partitioning, codegen'd
-  * metadata exprs — is real and tested; the codec call itself is a
-  * clearly-marked STUB (this container has no image/audio libraries):
-  * swap `stubDecode` for an actual decoder without touching anything
-  * else.
+  * Codec: images (PNG/JPEG/GIF/BMP) decode for real via `javax.imageio`
+  * — the readers ship with the JDK, no native dependencies — and
+  * features/resize derive from actual pixels. Payloads ImageIO cannot
+  * read (audio/video formats, corrupt bytes) fall back to the labeled
+  * deterministic STUB, preserving the full-pipeline behavior for
+  * non-image modalities until their codecs are slotted in.
   *
   * Scale notes:
   *  - payload bytes stay columnar end-to-end (parquet binary chunks);
@@ -23,6 +24,44 @@ import org.apache.spark.sql.functions._
   *    layout, so a few giant media files can't skew task runtimes.
   */
 object Multimodal {
+
+  // offscreen BufferedImage work needs no display; pin headless so
+  // executors never probe for one
+  System.setProperty("java.awt.headless", "true")
+
+  /** Pure-JVM image decode. None ⇒ not an ImageIO-readable image —
+    * callers fall back to the stub path.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** Pixel-derived feature vector: a `dim`-bin luminance histogram
+    * (ITU-R 601 weights), normalized by pixel count. Deterministic for
+    * a given decoded image; a real embedding model slots in at the same
+    * call site.
+    */
+  def luminanceHistogram(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        val bin = math.min((lum * dim / 256.0).toInt, dim - 1)
+        out(bin) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    var d = 0
+    while (d < dim) { out(d) /= n; d += 1 }
+    out
+  }
 
   /** Content sniffing + integrity metadata as pure codegen'd expressions
     * (no decode): magic-byte format detection, byte size, digest.
@@ -40,10 +79,9 @@ object Multimodal {
           .otherwise("unknown"))
   }
 
-  /** STUB for the actual codec: a real implementation would decode the
-    * image/audio payload and run a feature extractor. This deterministic
-    * fake derives `dim` floats from a rolling hash of the bytes so tests
-    * can assert exact plumbing behavior.
+  /** STUB for the non-image codecs (audio/video): derives `dim` floats
+    * from a rolling hash of the bytes — deterministic, so tests can
+    * assert exact plumbing behavior until a real decoder slots in.
     */
   def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -62,6 +100,8 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, features: Array[Float])
 
   /** Batched distributed decode: (media_id, content) → feature vectors.
+    * Real images yield pixel-derived luminance histograms; everything
+    * else falls back to the labeled stub.
     *
     * `batchSize` mirrors a Pandas-UDF batch: the decoder context is
     * created once per partition (think: model load), then records flow
@@ -75,22 +115,26 @@ object Multimodal {
       .where(col("content").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition init happens HERE in a real decoder (load model,
-        // open codec context); the stub needs none.
+        // per-partition init happens HERE for decoders that need it
+        // (model load, codec context); ImageIO readers are stateless.
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes) =>
-            MediaFeatures(id, stubDecode(bytes, dim))
+            val features = decodeImage(bytes) match {
+              case Some(img) => luminanceHistogram(img, dim)
+              case None => stubDecode(bytes, dim)
+            }
+            MediaFeatures(id, features)
           }
         }
       }
   }
 
-  /** STUB resize: a real implementation decodes, resamples to
-    * `targetW`×`targetH`, and re-encodes. The deterministic fake keeps
-    * the payload head and a proportional stride sample of the body so
-    * output size tracks the target dimensions — exercising the real
-    * plumbing (binary in/binary out through mapPartitions batches,
-    * metadata columns updated).
+  /** Resize. ImageIO-readable payloads are decoded, bilinearly resampled
+    * to `targetW`×`targetH`, and re-encoded as PNG (format-normalizing
+    * resize, as ingestion pipelines typically do). Unreadable payloads
+    * take the deterministic STUB path — head + proportional stride
+    * sample so output size tracks the target — keeping the plumbing
+    * testable for modalities whose codec isn't wired yet.
     */
   def resize(media: DataFrame, targetW: Int, targetH: Int,
              batchSize: Int = 64): DataFrame = {
@@ -102,16 +146,30 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
-          // STUB: stride-sample down to ~targetBytes, keeping the magic
-          // header so format sniffing still works on the output
-          val out =
-            if (bytes.length <= targetBytes) bytes
-            else {
-              val head = bytes.take(8)
-              val stride = math.max((bytes.length - 8) / (targetBytes - 8), 1)
-              head ++ (8 until bytes.length by stride).take(targetBytes - 8)
-                .map(bytes(_)).toArray
-            }
+          val out = decodeImage(bytes) match {
+            case Some(img) =>
+              val scaled = new java.awt.image.BufferedImage(
+                targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = scaled.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, targetW, targetH, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(scaled, "png", bos)
+              bos.toByteArray
+            case None =>
+              // STUB: stride-sample down to ~targetBytes, keeping the
+              // magic header so format sniffing still works
+              if (bytes.length <= targetBytes) bytes
+              else {
+                val head = bytes.take(8)
+                val stride = math.max((bytes.length - 8) / (targetBytes - 8), 1)
+                head ++ (8 until bytes.length by stride).take(targetBytes - 8)
+                  .map(bytes(_)).toArray
+              }
+          }
           (id, out, targetW, targetH)
         })
       }

@@ -49,6 +49,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again(2L) === rows(2L).toSeq)
   }
 
+  /** A real PNG: left half black, right half white, encoded by ImageIO. */
+  private def realPng(w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG payloads decode to pixel-derived features, not the stub") {
+    import spark.implicits._
+    val media = Seq((10L, realPng())).toDF("media_id", "content")
+    val f = Multimodal.extractFeatures(media, dim = 4).collect()(0).features
+    // half the pixels are pure black (bin 0), half pure white (last bin)
+    assert(f.toSeq === Seq(0.5f, 0.0f, 0.0f, 0.5f))
+    // and NOT the rolling-hash stub value for the same bytes
+    assert(f.toSeq !== Multimodal.stubDecode(realPng(), 4).toSeq)
+  }
+
+  test("real PNG resize re-samples pixels: output decodes at target dims") {
+    import spark.implicits._
+    val media = Seq((11L, realPng(16, 8))).toDF("media_id", "content")
+    val out = Multimodal.resize(media, 4, 4).collect()(0)
+      .getAs[Array[Byte]]("content")
+    val back = Multimodal.decodeImage(out).get
+    assert(back.getWidth === 4 && back.getHeight === 4)
+    // resampled content keeps the black/white halves
+    assert((back.getRGB(0, 0) & 0xffffff) === 0x000000)
+    assert((back.getRGB(3, 0) & 0xffffff) === 0xffffff)
+    // the re-encoded output is itself a sniffable PNG
+    val sniffed = Multimodal.withMediaMeta(
+      Multimodal.resize(media, 4, 4)).collect()(0)
+    assert(sniffed.getAs[String]("format") === "png")
+  }
+
   test("frame sampling yields k fixed-width deterministic slices") {
     val frames = Multimodal.sampleFrames(fakeMedia.where("media_id = 1"), k = 4, frameBytes = 16)
       .collect()
