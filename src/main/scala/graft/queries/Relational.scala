@@ -15,8 +15,11 @@ final case class Q(
 object Q {
   /** Exact-arithmetic helper: synthetic money/quantity columns are doubles
     * with <=2 decimals; summing doubles is order-dependent, so both engines
-    * aggregate in decimal (exact, associative) and cast the final value to
-    * double — bit-identical across Spark and DuckDB.
+    * aggregate in decimal (exact, associative). Decimal AGGREGATES are then
+    * emitted as scale-pinned STRINGS (a decimal→double cast double-rounds
+    * in DuckDB and raw decimal columns hash-mismatch the comparator — see
+    * q1); the double cast remains only for ratio columns like avg_qty,
+    * whose operands stay in exactly-representable range.
     */
   def dec(c: Column): Column = c.cast("decimal(18,4)")
 }
@@ -483,7 +486,12 @@ object Relational {
             size(col("qtys")).cast("long").as("n_items"),
             // array cells crash the driver comparator's pandas sort, so
             // the HOF results are serialized; elements are integer-valued
-            // doubles, which both engines render identically ("74.0")
+            // doubles <= 200, which both engines render identically
+            // ("74.0"). Magnitude bound matters: at >= 1e7 Spark's
+            // Double.toString switches to scientific notation while
+            // DuckDB stays positional — for price-scale columns, cast
+            // elements through a pinned decimal before stringifying
+            // instead of copying this pattern
             array_join(transform(slice(col("qtys"), 1, 3), x => x.cast("string")), "|")
               .as("smallest3"),
             array_join(transform(col("qtys"), x => (x * 2).cast("string")), "|")

@@ -88,6 +88,15 @@ class OpsSpec extends AnyFunSuite {
     assert(capped === chain + ((100L, 101L)))
   }
 
+  test("candidatePairs owns its lifecycle: no pinned storage left behind") {
+    spark.catalog.clearCache()
+    val sh = Dedup.shingleSet(docs, "doc_id", "text", 8)
+    val bands = Dedup.lshBands(Dedup.minhashSignature(sh, "doc_id", 8), "doc_id", 8, 2)
+    Dedup.candidatePairs(bands, "doc_id", maxBucket = Some(5)).count()
+    // the bucket cap composes as a pure plan — nothing persists
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("jaccardVerify: identical docs score 1.0, near dups score high") {
     val sh = Dedup.shingleSet(docs, "doc_id", "text", 8)
     val sig = Dedup.minhashSignature(sh, "doc_id", 8)
