@@ -37,7 +37,8 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("minhash_mixes"),
       info(classOf[MinhashMixes], "minhash_mixes",
-        "minhash_mixes(sh, k) - array of (a_i*h+b_i) mod 2^31-1 for i < k, h = 60-bit md5 prefix"),
+        "minhash_mixes(sh, k) - array of (a_i*h1+b_i*h2+c_i) mod 2^61-1 for i < k, " +
+          "h1/h2 = the two 60-bit md5 hex-prefix bases of sh"),
       (e: Seq[Expression]) => {
         val k = e(1).eval() match {
           case i: Int => i

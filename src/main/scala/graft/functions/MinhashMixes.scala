@@ -92,7 +92,8 @@ object Minhash {
   * mixes — no hex-string materialization at all on the hot path.
   */
 case class MinhashMixes(child: Expression, k: Int) extends UnaryExpression {
-  require(k > 0, s"minhash_mixes: k must be positive, got $k")
+  require(k > 0 && k <= MinhashMixes.MaxK,
+    s"minhash_mixes: k must be in [1, ${MinhashMixes.MaxK}], got $k")
 
   override def prettyName: String = "minhash_mixes"
 
@@ -140,16 +141,22 @@ object MinhashMixes {
     val out = new Array[Long](k)
     i = 0
     while (i < k) {
-      if (i < as.length) out(i) = Minhash.mix(as(i), h1, bs(i), h2, cs(i))
-      else out(i) = Minhash.mix(Minhash.a(i), h1, Minhash.b(i), h2, Minhash.c(i))
+      out(i) = Minhash.mix(as(i), h1, bs(i), h2, cs(i))
       i += 1
     }
     new GenericArrayData(out)
   }
 
-  // mix constants precomputed for the common k range (a()/b()/c() run
-  // BigInt math — fine at class load, not per row)
-  private val as: Array[Long] = Array.tabulate(64)(Minhash.a)
-  private val bs: Array[Long] = Array.tabulate(64)(Minhash.b)
-  private val cs: Array[Long] = Array.tabulate(64)(Minhash.c)
+  /** Permutation-count ceiling: the coefficient tables below cover every
+    * legal k, so the hot path never falls back to per-row BigInt/digest
+    * coefficient derivation. 256 permutations is far beyond any banding
+    * scheme in practice.
+    */
+  val MaxK = 256
+
+  // mix constants precomputed for the full legal k range (a()/b()/c()
+  // run BigInt math — fine at class load, not per row)
+  private val as: Array[Long] = Array.tabulate(MaxK)(Minhash.a)
+  private val bs: Array[Long] = Array.tabulate(MaxK)(Minhash.b)
+  private val cs: Array[Long] = Array.tabulate(MaxK)(Minhash.c)
 }

@@ -34,10 +34,11 @@ object Dedup {
   }
 
   /** K-permutation MinHash signature, one row per document. Each
-    * "permutation" is the min over shingles of (a_k·h + b_k) mod 2^31-1
-    * where h is the 60-bit md5 prefix of the shingle — ONE digest per
-    * distinct (doc, shingle), K integer mixes, all BIGINT-reproducible
-    * in any engine (see graft.functions.Minhash for the contract). One
+    * "permutation" is the min over shingles of
+    * (a_k·h1 + b_k·h2 + c_k) mod 2^61-1 where h1/h2 are two 60-bit md5
+    * bases of the shingle — ONE digest per distinct (doc, shingle), K
+    * integer mixes, all BIGINT/INT128-reproducible in any engine (see
+    * graft.functions.Minhash for the contract). One
     * shuffle (groupBy id) computes all K mins via partial aggregation;
     * the fused native expression (MinhashMixes) avoids K digest trees
     * and all hex-string materialization on the hot path.
@@ -273,7 +274,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    // hand back a self-contained checkpoint and release the last round's
+    // cache entry: a projection over a persisted plan can't be
+    // unpersisted by callers (sameResult fails against the cached plan),
+    // so without this every call would pin one dataset forever.
+    // Checkpoint blocks are reference-tracked and GC'd with the RDD.
+    val result = labels.localCheckpoint()
+    materialized.unpersist()
+    result
   }
 
   /** deduplicate with transitive-cluster semantics: one survivor (the

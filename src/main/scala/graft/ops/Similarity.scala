@@ -111,7 +111,13 @@ object Similarity {
   def ivfTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
               topK: Int, cells: Int, nprobe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val codebook = ivfCodebook(emb, id, vec, cells)
+    // eager checkpoint: the codebook subtree (full assign pass + Lloyd
+    // averaging) feeds three consumers and its float-mean is
+    // partition-order-dependent — materializing the k rows ONCE makes
+    // every consumer see the same centroids and pays the training cost
+    // once per call. Checkpoint blocks are GC'd with the RDD (nothing
+    // pinned in the cache manager).
+    val codebook = ivfCodebook(emb, id, vec, cells).localCheckpoint()
     val assigned = assignTo(emb, id, vec, codebook)
     val probe = emb.where(col(id) === queryId).select(col(vec).as("qv"))
     // rank only NON-EMPTY cells against the probe: a cell can lose all

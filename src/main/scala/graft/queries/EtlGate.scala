@@ -33,6 +33,22 @@ object EtlGate {
   /** Null sentinel for serialized fields. */
   private val S = "∅"
 
+  /** Scratch dir for the gate's write→read-back round trips, removed
+    * recursively on JVM exit so repeated verification rounds don't
+    * accumulate orphaned lake copies under /tmp.
+    */
+  private def scratchDir(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   private def str(c: Column): Column = coalesce(c.cast("string"), lit(S))
 
   /** Evidence struct → "id|qual|ad" (qual scale-pinned, see scaladoc). */
@@ -75,6 +91,7 @@ object EtlGate {
     */
   private def sqlVcfRaw(glob: String): String =
     s"""SELECT split_part(split_part(filename, '/', -1), '.', 1) AS sample_id,
+       |  filename AS src_file,
        |  column00 AS chrom, column01 AS pos, column03 AS ref, column04 AS alt,
        |  column05 AS qual, column09 AS last
        |FROM read_csv('$glob', sep='\t', header=false, all_varchar=true,
@@ -98,6 +115,14 @@ object EtlGate {
        |)""".stripMargin
 
   /** Full DuckDB re-derivation of Lake.build + serializeLake.
+    *
+    * Oracle fidelity note: the impact CTE uses SELECT DISTINCT over the
+    * full row where the Spark side runs dropDuplicates on the 4-column
+    * key with an arbitrary survivor (reference quirk, A1). These agree
+    * because the reference's data contract guarantees duplicate impact
+    * rows across batches carry the SAME trimmed IMPACT value (its own
+    * test asserts this) — if that contract ever breaks, this oracle
+    * fans out where Spark picks one row, and the mismatch points here.
     *
     * @param dbSnpSql  oracle fragment producing (chrom,pos,ref,alt,dbSNP)
     * @param gnomadSel oracle fragment producing the gnomad annotation side
@@ -235,7 +260,7 @@ object EtlGate {
       (s, _) => {
         val lake = Lake.build(s, Fixtures.hg19Vcfs, Fixtures.hg19Impact,
           Fixtures.hg19DbSnp, t2t = false, Fixtures.gnomadHg38, Fixtures.alphaHg19)
-        val out = Files.createTempDirectory("graft-gate-lake").toString
+        val out = scratchDir("graft-gate-lake")
         Lake.write(lake, out)
         serializeLake(s.read.parquet(out))
       },
@@ -253,7 +278,7 @@ object EtlGate {
       (s, _) => {
         val lake = Lake.build(s, Fixtures.t2tVcfs, Fixtures.t2tImpact,
           Fixtures.t2tDbSnp, t2t = true, Fixtures.gnomadT2t, Fixtures.alphaT2t)
-        val out = Files.createTempDirectory("graft-gate-lake-t2t").toString
+        val out = scratchDir("graft-gate-lake-t2t")
         Lake.write(lake, out)
         serializeLake(s.read.parquet(out))
       },
@@ -269,7 +294,7 @@ object EtlGate {
       "q43_status",
       (s, _) => {
         val status = Vcf.status(s, Fixtures.hg19Vcfs)
-        val log = Files.createTempDirectory("graft-gate-status").toString + "/log"
+        val log = scratchDir("graft-gate-status") + "/log"
         Lake.writeStatus(status, log)
         s.read.json(log)
           .select(col("coordinates_num"), col("mutations_num"), col("samples_num"))
@@ -281,6 +306,6 @@ object EtlGate {
            |SELECT
            |  COUNT(DISTINCT chrom || '|' || pos) AS coordinates_num,
            |  COUNT(DISTINCT chrom || '|' || pos || '|' || ref || '|' || alt) AS mutations_num,
-           |  COUNT(DISTINCT sample_id) AS samples_num
+           |  COUNT(DISTINCT src_file) AS samples_num
            |FROM vcf_raw""".stripMargin)))
 }
