@@ -39,14 +39,16 @@ class NormalizationPropertiesSpec extends AnyFunSuite {
 
   private lazy val rows = sample(Gen.listOfN(300, rowGen))
 
-  private lazy val parsed = {
+  private lazy val vcfDir = {
     val dir = Files.createTempDirectory("propvcf")
     val lines = Seq("##fileformat=VCFv4.2", "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS") ++
       rows.map(r => s"${r.chrom}\t${r.pos}\t.\t${r.ref}\t${r.alt}\t${r.qual}\tPASS\tAC=1\tGT:AD:DP\t${r.gt}:${r.ad}:7")
     Files.write(Paths.get(dir.toString, "PROPSAMPLE.vcf"),
       String.join("\n", lines: _*).getBytes)
-    Vcf.mutations(spark, dir.toString).collect()
+    dir
   }
+
+  private lazy val parsed = Vcf.mutations(spark, vcfDir.toString).collect()
 
   test("header lines are dropped; every data row survives") {
     assert(parsed.length === rows.length)
@@ -95,6 +97,30 @@ class NormalizationPropertiesSpec extends AnyFunSuite {
       col("pos") < col("bucket") * Lake.PartitionSize ||
         col("pos") >= (col("bucket") + 1) * Lake.PartitionSize).count()
     assert(violations === 0)
+  }
+
+  test("literal csv(Dataset[String]) API parses identically to the from_csv path") {
+    // The reference's exact API shape (S2): DataFrameReader.csv over a
+    // Dataset of lines. Tokenization must match graft's from_csv
+    // re-derivation column for column...
+    import spark.implicits._
+    val lines = spark.read.text(vcfDir.toString + "/*.vcf")
+      .where(!col("value").like("#%")).as[String]
+    val literal = spark.read.option("sep", "\t").csv(lines)
+      .select(col("_c0"), col("_c1"), col("_c3"), col("_c4"), col("_c5"), col("_c9"))
+    val derived = Vcf.raw(spark, vcfDir.toString + "/*.vcf")
+      .select(col("chrom"), col("pos"), col("ref"), col("alt"), col("qual"), col("last"))
+    assert(literal.exceptAll(derived).count() === 0)
+    assert(derived.exceptAll(literal).count() === 0)
+    // ...and the provenance the reference leaned on (M:87) does survive
+    // this plan shape in Spark 4: the text FileScan stays beneath the
+    // second reader, so input_file_name() still resolves. graft captures
+    // src_file as a real column anyway — provenance by construction,
+    // robust to upstreams where input_file_name() is undefined (cached
+    // or shuffled datasets), instead of by plan-shape accident.
+    val prov = spark.read.option("sep", "\t").csv(lines)
+      .select(input_file_name()).distinct().as[String].collect()
+    assert(prov.length === 1 && prov(0).endsWith("PROPSAMPLE.vcf"))
   }
 
   test("charShingles yields max(len-n+1, 1) shingles of width <= n") {
