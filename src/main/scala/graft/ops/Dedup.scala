@@ -146,25 +146,27 @@ object Dedup {
     full.distinct()
   }
 
-  /** Exact n-gram Jaccard for candidate pairs: |A∩B| via a shingle
-    * equi-join, |A∪B| = |A|+|B|-|A∩B|. Returns pairs with
+  /** Exact n-gram Jaccard for candidate pairs: each side's shingle SET
+    * rides as one array row, |A∩B| = size(array_intersect), |A∪B| =
+    * |A|+|B|-|A∩B|. Two joins against the compact per-doc array table
+    * replace the exploded shingle equi-join, whose intermediate was
+    * |cand| × avg-shingles rows (tens of millions at sf0.1) — the
+    * per-row set intersection does the same work with no shuffle of it.
+    * A doc's shingle array is bounded by its text length, so per-row
+    * memory stays small at any corpus scale. Returns pairs with
     * jaccard >= minJaccard (rounded to 4 dp — integer counts divided in
     * double, identical in any engine).
     */
   def jaccardVerify(cand: DataFrame, shingles: DataFrame, id: String,
                     minJaccard: Double): DataFrame = {
-    val sizes = shingles.groupBy(col(id)).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(shingles.select(col(id).as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(shingles.select(col(id).as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    val sets = shingles.groupBy(col(id)).agg(collect_set(col("sh")).as("shs"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
     val jac = round(
-      col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4)
-    inter
-      .join(sizes.select(col(id).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col(id).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      inter.cast("double") /
+        (size(col("sa")) + size(col("sb")) - inter).cast("double"), 4)
+    cand
+      .join(sets.select(col(id).as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
+      .join(sets.select(col(id).as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }

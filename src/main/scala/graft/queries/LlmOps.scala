@@ -141,19 +141,16 @@ object LlmOps {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""WITH $shSql, $sigSql, $bandsSql, $candSql,
-              |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-              |inter AS (
-              |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-              |  FROM cand c
-              |  JOIN sh a ON a.doc_id = c.doc_a
-              |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-              |  GROUP BY c.doc_a, c.doc_b)
-              |SELECT doc_a, doc_b,
-              |  round(CAST(i AS DOUBLE)/CAST(sa.sz + sb.sz - i AS DOUBLE), 4) AS jaccard
-              |FROM inter
-              |JOIN sizes sa ON sa.doc_id = doc_a
-              |JOIN sizes sb ON sb.doc_id = doc_b
-              |WHERE round(CAST(i AS DOUBLE)/CAST(sa.sz + sb.sz - i AS DOUBLE), 4) >= 0.2
+              |lists AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY doc_id),
+              |scored AS (
+              |  SELECT doc_a, doc_b,
+              |    round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+              |          CAST(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS DOUBLE), 4) AS jaccard
+              |  FROM cand
+              |  JOIN lists a ON a.doc_id = doc_a
+              |  JOIN lists b ON b.doc_id = doc_b)
+              |SELECT doc_a, doc_b, jaccard FROM scored
+              |WHERE jaccard >= 0.2
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
     Q(
@@ -340,19 +337,14 @@ object LlmOps {
               |  WHERE rn = 1),
               |${shSqlFrom("exact")},
               |${sigSql}, ${bandsSql}, ${candSql},
-              |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-              |inter AS (
-              |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
-              |  FROM cand c
-              |  JOIN sh a ON a.doc_id = c.doc_a
-              |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-              |  GROUP BY c.doc_a, c.doc_b),
+              |lists AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY doc_id),
               |drops AS (
               |  SELECT DISTINCT doc_b AS doc_id
-              |  FROM inter
-              |  JOIN sizes sa ON sa.doc_id = doc_a
-              |  JOIN sizes sb ON sb.doc_id = doc_b
-              |  WHERE round(CAST(i AS DOUBLE)/CAST(sa.sz + sb.sz - i AS DOUBLE), 4) >= 0.5)
+              |  FROM cand
+              |  JOIN lists a ON a.doc_id = doc_a
+              |  JOIN lists b ON b.doc_id = doc_b
+              |  WHERE round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+              |        CAST(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS DOUBLE), 4) >= 0.5)
               |SELECT doc_id, lang, source FROM exact
               |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
               |ORDER BY doc_id""".stripMargin)),
