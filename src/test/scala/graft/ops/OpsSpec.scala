@@ -243,6 +243,15 @@ class OpsSpec extends AnyFunSuite {
       Similarity.topK(many, "vec_id", "embedding", 3L, 60).collect().map(_.getLong(0)).toSet))
   }
 
+  test("ivfAssign: every vector lands in exactly one codebook cell") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("vec_id").distinct().count() === emb.count())
+    val cells = assigned.select("cell").distinct().count()
+    assert(cells > 1 && cells <= 8)
+  }
+
   test("IVF recall@10 >= 0.9 at a 12.5% scan on clustered vectors") {
     import spark.implicits._
     // planted clusters — the data a coarse quantizer exists FOR: 16
