@@ -61,6 +61,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows overlap and the watermark drops too-late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.slidingVolume(in.toDF(), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sliding").outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(35), 1, "click", 5.0))
+      q.processAllAvailable()
+      in.addData(Event(2, ts(300), 1, "click", 1.0)) // watermark → 04:50
+      q.processAllAvailable()
+      // an event at 00:05 is now far behind the watermark: its windows
+      // are closed and it must NOT resurrect them
+      in.addData(Event(3, ts(5), 1, "click", 100.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts(600), 1, "click", 0.0)) // flush everything
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, n_events FROM sliding ORDER BY window_start")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+      // the 00:35 event emitted one row per overlapping 15-min slide
+      assert(rows.count(_._1.startsWith("2024-01-01 00:")) >= 3)
+      // every event is temporally isolated → no window ever merges two,
+      // and in append mode the late event can't re-emit a closed window
+      assert(rows.forall(_._2 == 1L))
+      // the late 00:05 event's exclusive windows (23:15/23:30 starts)
+      // must not exist; only 23:45 (shared with the 00:35 event) may
+      assert(rows.count(_._1.startsWith("2023-12-31 23:")) === 1)
+    } finally q.stop()
+  }
+
   test("transformWithState dedups replayed events across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
