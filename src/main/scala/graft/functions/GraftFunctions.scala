@@ -47,6 +47,18 @@ object GraftFunctions {
             s"minhash_mixes(sh, k): k must be an integer literal, got $other")
         }
         MinhashMixes(e(0), k)
+      }),
+    (FunctionIdentifier("hyperplane_sketch"),
+      info(classOf[HyperplaneSketch], "hyperplane_sketch",
+        "hyperplane_sketch(v, planes) - sign-bitstring of planes md5-derived hyperplane projections"),
+      (e: Seq[Expression]) => {
+        val planes = e(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_sketch(v, planes): planes must be an integer literal, got $other")
+        }
+        HyperplaneSketch(e(0), planes)
       }))
 
   /** For spark.sql.extensions. */
@@ -73,6 +85,9 @@ object GraftFunctions {
 
   def minhash_mixes(sh: Column, k: Int): Column =
     call_function("minhash_mixes", sh, org.apache.spark.sql.functions.lit(k))
+
+  def hyperplane_sketch(v: Column, planes: Int): Column =
+    call_function("hyperplane_sketch", v, org.apache.spark.sql.functions.lit(planes))
 }
 
 /** Entry point for `spark.sql.extensions`. */

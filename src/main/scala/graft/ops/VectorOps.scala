@@ -39,9 +39,19 @@ object VectorOps {
   /** Deterministic random-hyperplane (sign) sketch for cosine LSH:
     * bit p = [ sum_i w(p,i) * v_i > 0 ] with pseudo-random weights
     * w(p,i) = ±1 derived from md5("p-i") — reproducible in any engine
-    * with md5, no RNG state to ship.
+    * with md5, no RNG state to ship. Native expression: the declarative
+    * form below re-derives the CONSTANT weight matrix by md5 per row
+    * per element (millions of digests per scan); the native one caches
+    * it per (planes, dim) and fuses the projections (bit-identical,
+    * spec-asserted).
     */
-  def hyperplaneSketch(v: Column, planes: Int): Column = {
+  def hyperplaneSketch(v: Column, planes: Int): Column =
+    graft.functions.GraftFunctions.hyperplane_sketch(v, planes)
+
+  /** The readable declarative reference of the sketch contract — used
+    * by the equality spec, not the hot path.
+    */
+  private[ops] def hyperplaneSketchFold(v: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val signedTerms = zip_with(v, sequence(lit(1), size(v)), (x, i) => {
         val w = substring(md5(concat(lit(s"$p-"), i.cast("string"))), 1, 1)

@@ -404,8 +404,14 @@ object Relational {
     Q(
       "q18_provenance",
       (s, dir) => {
+        // distinct the per-file-constant BEFORE deriving from it: the
+        // regexp then runs once per file instead of once per row of the
+        // fact table (provenance harvesting at 100 TB = millions of
+        // files but billions of rows)
         graft.Tables.lineitem(s, dir)
-          .select(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file_name"))
+          .select(input_file_name().as("f"))
+          .distinct()
+          .select(regexp_extract(col("f"), "([^/]+)$", 1).as("file_name"))
           .distinct()
           .orderBy(col("file_name"))
       },

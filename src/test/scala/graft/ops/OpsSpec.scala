@@ -243,6 +243,16 @@ class OpsSpec extends AnyFunSuite {
       Similarity.topK(many, "vec_id", "embedding", 3L, 60).collect().map(_.getLong(0)).toSet))
   }
 
+  test("native hyperplane_sketch equals the declarative md5-weight fold exactly") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val diff = emb.select(
+      VectorOps.hyperplaneSketch(col("embedding"), 16).as("native"),
+      VectorOps.hyperplaneSketchFold(col("embedding"), 16).as("ref"))
+      .where(col("native") =!= col("ref")).count()
+    assert(diff === 0)
+  }
+
   test("ivfAssign: every vector lands in exactly one codebook cell") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
