@@ -160,13 +160,17 @@ object Dedup {
   def jaccardVerify(cand: DataFrame, shingles: DataFrame, id: String,
                     minJaccard: Double): DataFrame = {
     val sets = shingles.groupBy(col(id)).agg(collect_set(col("sh")).as("shs"))
-    val inter = size(array_intersect(col("sa"), col("sb")))
     val jac = round(
-      inter.cast("double") /
-        (size(col("sa")) + size(col("sb")) - inter).cast("double"), 4)
+      col("__inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("__inter")).cast("double"), 4)
     cand
       .join(sets.select(col(id).as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
       .join(sets.select(col(id).as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
+      .withColumn("__inter", size(array_intersect(col("sa"), col("sb"))))
+      // pairs must SHARE a shingle — the structural contract the old
+      // shingle equi-join gave for free; without it, minJaccard <= 0
+      // would emit every disjoint LSH candidate as (a, b, 0.0)
+      .where(col("__inter") > 0)
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }

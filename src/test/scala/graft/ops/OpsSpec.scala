@@ -253,6 +253,17 @@ class OpsSpec extends AnyFunSuite {
     assert(diff === 0)
   }
 
+  test("hyperplane_sketch null element null-propagates to the all-zero sketch") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), CAST(2.0 AS FLOAT)) AS embedding")
+    val row = df.select(
+      VectorOps.hyperplaneSketch(col("embedding"), 8).as("native"),
+      VectorOps.hyperplaneSketchFold(col("embedding"), 8).as("ref")).collect()(0)
+    assert(row.getString(0) === "00000000")
+    assert(row.getString(0) === row.getString(1))
+  }
+
   test("ivfAssign: every vector lands in exactly one codebook cell") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
