@@ -393,6 +393,27 @@ object LlmOps {
              |        i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
              |    (acc, c) -> (acc * 31 + c) % 2147483647) AS rolling_hash,
              |  strlen(text) AS n_bytes
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Skew-salted two-stage aggregation (§2.10 extension): the salt
+    // spreads a hot key over `salts` reducers, the second stage folds it
+    // out — and because the aggregate runs in DECIMAL (associative), the
+    // result is bit-equal to the oracle's plain one-stage GROUP BY, which
+    // is exactly the operator's correctness contract.
+    Q(
+      "q44_skew_salted",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("v", col("value").cast("decimal(18,4)"))
+        graft.ops.Skew.saltedAgg(e, "event_type", 8,
+          Seq(sum(col("v")).as("__p"), count(lit(1)).as("__c")),
+          Seq(sum(col("__p")).cast("string").as("sum_value"),
+            sum(col("__c")).as("n_events")))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS sum_value,
+             |  COUNT(*) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
