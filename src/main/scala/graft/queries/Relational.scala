@@ -562,6 +562,34 @@ object Relational {
       Some("""SELECT event_type,
              |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS BIGINT) AS sum_k,
              |  COUNT(*) AS n
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // §2.10 bucketed co-location through the gate: both sides are
+    // written bucketed on the join key (the one-shuffle-at-ingest
+    // pattern), then joined and aggregated — the join itself runs with
+    // no Exchange (asserted in BucketingSpec); here the ORACLE pins that
+    // the zero-shuffle path returns exactly what the plain join does.
+    Q(
+      "q45_bucketed_join",
+      (s, dir) => {
+        val o = graft.Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val c = graft.Tables.customer(s, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        graft.ops.Bucketing.writeBucketed(o, "gate_orders_bucketed", "o_custkey", 8)
+        graft.ops.Bucketing.writeBucketed(c, "gate_customer_bucketed", "o_custkey", 8)
+        s.table("gate_orders_bucketed")
+          .join(s.table("gate_customer_bucketed"), Seq("o_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            sum(dec(col("o_totalprice"))).cast("string").as("sum_price"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS sum_price,
+             |  COUNT(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }
