@@ -590,6 +590,34 @@ object Relational {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS sum_price,
              |  COUNT(*) AS n_orders
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // AS-OF join (operator Spark lacks; ops.AsOf implements it as
+    // tag + union + one window pass — no per-key cross product). The
+    // oracle is DuckDB's NATIVE ASOF JOIN, so the gate pins our window
+    // formulation against an independent first-class implementation,
+    // inclusive-boundary semantics included.
+    Q(
+      "q46_asof_join",
+      (s, dir) => {
+        val e = graft.Tables.events(s, dir)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("pval"))
+        graft.ops.AsOf.asofJoin(clicks, purchases, "user_id", "ts", "pval",
+          as = "last_purchase")
+          .select(col("event_id"), col("user_id"), col("last_purchase"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH l AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |r AS (
+             |  SELECT user_id, ts, max(value) AS pval FROM events
+             |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+             |SELECT l.event_id, l.user_id, r.pval AS last_purchase
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin))
   )
 }

@@ -311,6 +311,23 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.intersect(ivf).size >= 8)
   }
 
+  test("asofJoin: inclusive boundary, carry-forward, and null before first right row") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // before any right row → null
+      (2L, 20L, 100L), // exactly AT a right row ts → sees it (inclusive)
+      (3L, 25L, 100L), // between right rows → carries the 20 one
+      (4L, 40L, 100L), // after the last → carries the 30 one
+      (5L, 15L, 200L)) // other key: right rows of key 100 invisible
+      .toDF("id", "t", "k")
+    val right = Seq((20L, 100L, "a"), (30L, 100L, "b"))
+      .toDF("t", "k", "v")
+    val out = AsOf.asofJoin(left, right, "k", "t", "v", as = "last_v")
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("last_v"))).toMap
+    assert(out === Map(
+      1L -> None, 2L -> Some("a"), 3L -> Some("a"), 4L -> Some("b"), 5L -> None))
+  }
+
   test("LSH similarity: identical vectors share a bucket and survive re-rank") {
     val pairs = Similarity.lshPairs(vecs, "vec_id", "embedding", 4, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
