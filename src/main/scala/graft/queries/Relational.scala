@@ -618,6 +618,34 @@ object Relational {
              |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
              |SELECT l.event_id, l.user_id, r.pval AS last_purchase
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-             |ORDER BY l.event_id""".stripMargin))
+             |ORDER BY l.event_id""".stripMargin)),
+
+    // Range (interval-containment) join via bin replication (ops.
+    // RangeJoin) — the scale path for a predicate Spark would otherwise
+    // plan as a nested loop. The oracle runs the plain BETWEEN theta
+    // join, pinning that the binned equi-join + residual filter finds
+    // exactly the same pairs. unit price = extendedprice/quantity is
+    // the same IEEE division in both engines, so the BETWEEN boundary
+    // decisions are bit-identical.
+    Q(
+      "q47_range_join",
+      (s, dir) => {
+        val pts = graft.Tables.lineitem(s, dir)
+          .select((col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+        val bands = graft.Tables.part(s, dir)
+          .groupBy(col("p_brand"))
+          .agg(min(col("p_retailprice")).as("lo"), max(col("p_retailprice")).as("hi"))
+        graft.ops.RangeJoin.binned(pts, bands, "unit_price", "lo", "hi", binWidth = 1.0)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_in_band"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH bands AS (
+             |  SELECT p_brand, min(p_retailprice) AS lo, max(p_retailprice) AS hi
+             |  FROM part GROUP BY p_brand)
+             |SELECT p_brand, COUNT(*) AS n_in_band
+             |FROM lineitem JOIN bands
+             |  ON l_extendedprice / l_quantity BETWEEN lo AND hi
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
   )
 }

@@ -328,6 +328,25 @@ class OpsSpec extends AnyFunSuite {
       1L -> None, 2L -> Some("a"), 3L -> Some("a"), 4L -> Some("b"), 5L -> None))
   }
 
+  test("binned range join equals the naive BETWEEN join, boundaries inclusive") {
+    import spark.implicits._
+    val pts = Seq(0.5, 1.0, 2.5, 3.0, 7.9, 10.0).toDF("p")
+    // ranges straddle bin boundaries and nest/overlap
+    val ranges = Seq(("a", 1.0, 3.0), ("b", 2.5, 2.6), ("c", 0.0, 10.0), ("d", 8.0, 9.0))
+      .toDF("name", "lo", "hi")
+    val binned = RangeJoin.binned(pts, ranges, "p", "lo", "hi", binWidth = 2.0)
+      .select(col("p"), col("name"))
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSet
+    val naive = pts.join(ranges, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select(col("p"), col("name"))
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSet
+    assert(binned === naive)
+    // spot the inclusive boundaries: 1.0 at a's lo, 3.0 at a's hi, 10.0 at c's hi
+    assert(binned.contains((1.0, "a")) && binned.contains((3.0, "a")))
+    assert(binned.contains((10.0, "c")))
+    assert(!binned.exists { case (p, n) => n == "d" && p != 8.0 && p != 9.0 })
+  }
+
   test("LSH similarity: identical vectors share a bucket and survive re-rank") {
     val pairs = Similarity.lshPairs(vecs, "vec_id", "embedding", 4, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
