@@ -26,6 +26,8 @@ object RangeJoin {
   def binned(points: DataFrame, ranges: DataFrame, pointCol: String,
              loCol: String, hiCol: String, binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(!(points.columns ++ ranges.columns).contains("__bin"),
+      "binned reserves the helper column name __bin")
     val p = points.withColumn("__bin",
       floor(col(pointCol) / binWidth).cast("long"))
     val r = ranges.withColumn("__bin",

@@ -404,7 +404,7 @@ object LlmOps {
       "q44_skew_salted",
       (s, dir) => {
         val e = Tables.events(s, dir)
-          .withColumn("v", col("value").cast("decimal(18,4)"))
+          .withColumn("v", Q.dec(col("value")))
         graft.ops.Skew.saltedAgg(e, "event_type", 8,
           Seq(sum(col("v")).as("__p"), count(lit(1)).as("__c")),
           Seq(sum(col("__p")).cast("string").as("sum_value"),

@@ -328,6 +328,22 @@ class OpsSpec extends AnyFunSuite {
       1L -> None, 2L -> Some("a"), 3L -> Some("a"), 4L -> Some("b"), 5L -> None))
   }
 
+  test("asofJoin: matched null payload stays null; null keys/ts never match") {
+    import spark.implicits._
+    val left = Seq((1L, 30L, java.lang.Long.valueOf(100L)), (2L, 5L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "t", "k")
+    // ts=20 has a NULL payload: SQL ASOF matches it and yields null, not
+    // the older "a"; the null-key right row must never leak anywhere
+    val right = Seq(
+      (10L, java.lang.Long.valueOf(100L), "a"),
+      (20L, java.lang.Long.valueOf(100L), null.asInstanceOf[String]),
+      (1L, null.asInstanceOf[java.lang.Long], "leak"))
+      .toDF("t", "k", "v")
+    val out = AsOf.asofJoin(left, right, "k", "t", "v", as = "last_v")
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("last_v"))).toMap
+    assert(out === Map(1L -> None, 2L -> None))
+  }
+
   test("binned range join equals the naive BETWEEN join, boundaries inclusive") {
     import spark.implicits._
     val pts = Seq(0.5, 1.0, 2.5, 3.0, 7.9, 10.0).toDF("p")
