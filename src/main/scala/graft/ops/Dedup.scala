@@ -24,14 +24,27 @@ object Dedup {
     docs.groupBy(md5(col(text)).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(id)).as("keep_id"))
 
-  /** Distinct (id, shingle) pairs — the input of both MinHash and exact
-    * Jaccard. Distinct early: shrinks everything downstream.
+  /** One row per document with its DISTINCT shingle array — the
+    * zero-shuffle form of the shingle set: dedup happens per row
+    * (array_distinct), not via a cluster-wide distinct. A doc's array
+    * is bounded by its text length, so row width stays small at any
+    * corpus scale.
     */
-  def shingleSet(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+  def shingleArrays(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col(id), explode(TextOps.charShingles(col(text), n)).as("sh"))
-      .distinct()
+    docs.select(col(id),
+      array_distinct(TextOps.charShingles(col(text), n)).as("shs"))
   }
+
+  /** Distinct (id, shingle) pairs — the input of both MinHash and exact
+    * Jaccard. Derived by exploding the per-doc distinct arrays: same
+    * rows a global .distinct() would produce (ids differ across docs,
+    * so cross-doc duplicates were never merged anyway) WITHOUT the
+    * multi-million-row distinct shuffle.
+    */
+  def shingleSet(docs: DataFrame, id: String, text: String, n: Int): DataFrame =
+    shingleArrays(docs, id, text, n)
+      .select(col(id), explode(col("shs")).as("sh"))
 
   /** K-permutation MinHash signature, one row per document. Each
     * "permutation" is the min over shingles of
@@ -158,8 +171,17 @@ object Dedup {
     * double, identical in any engine).
     */
   def jaccardVerify(cand: DataFrame, shingles: DataFrame, id: String,
-                    minJaccard: Double): DataFrame = {
-    val sets = shingles.groupBy(col(id)).agg(collect_set(col("sh")).as("shs"))
+                    minJaccard: Double): DataFrame =
+    jaccardVerifySets(cand,
+      shingles.groupBy(col(id)).agg(collect_set(col("sh")).as("shs")),
+      id, minJaccard)
+
+  /** jaccardVerify over precomputed per-doc distinct shingle ARRAYS
+    * (see shingleArrays) — skips re-folding exploded rows back into
+    * sets when the caller already has them.
+    */
+  def jaccardVerifySets(cand: DataFrame, sets: DataFrame, id: String,
+                        minJaccard: Double): DataFrame = {
     val jac = round(
       col("__inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("__inter")).cast("double"), 4)
@@ -204,10 +226,11 @@ object Dedup {
           .partitionBy(md5(col(text))).orderBy(col(id))))
       .where(col("__rn") === 1).drop("__rn")
       .persist()
-    val sh = shingleSet(exactSurvivors, id, text, n).persist()
-    val sig = minhashSignature(sh, id, k).persist()
+    val sets = shingleArrays(exactSurvivors, id, text, n).persist()
+    val sig = minhashSignature(
+      sets.select(col(id), explode(col("shs")).as("sh")), id, k).persist()
     val cand = candidatePairs(lshBands(sig, id, k, r), id, maxBucket)
-    val nearDups = jaccardVerify(cand, sh, id, minJaccard)
+    val nearDups = jaccardVerifySets(cand, sets, id, minJaccard)
       .select(col("doc_b").as(id)).distinct()
     exactSurvivors.join(nearDups, Seq(id), "left_anti")
   }
@@ -304,10 +327,11 @@ object Dedup {
           .partitionBy(md5(col(text))).orderBy(col(id))))
       .where(col("__rn") === 1).drop("__rn")
       .persist()
-    val sh = shingleSet(exactSurvivors, id, text, n).persist()
-    val sig = minhashSignature(sh, id, k).persist()
+    val sets = shingleArrays(exactSurvivors, id, text, n).persist()
+    val sig = minhashSignature(
+      sets.select(col(id), explode(col("shs")).as("sh")), id, k).persist()
     val cand = candidatePairs(lshBands(sig, id, k, r), id, maxBucket)
-    val verified = jaccardVerify(cand, sh, id, minJaccard)
+    val verified = jaccardVerifySets(cand, sets, id, minJaccard)
     val drops = duplicateClusters(verified)
       .where(col("id") =!= col("cluster"))
       .select(col("id").as(id))

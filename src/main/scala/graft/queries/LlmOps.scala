@@ -131,13 +131,17 @@ object LlmOps {
     Q(
       "q22_minhash_jaccard",
       (s, dir) => {
-        // sh feeds the signature AND both sides of the intersection join
-        // (4 references) — materialize once instead of re-exploding
-        val sh = Dedup.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleN).persist()
-        val sig = Dedup.minhashSignature(sh, "doc_id", MinhashK).persist()
+        // the per-doc distinct shingle ARRAYS feed the signature (via a
+        // cheap explode) and the verification joins — materialize once;
+        // no cluster-wide distinct shuffle anywhere in the chain
+        val sets = Dedup.shingleArrays(Tables.documents(s, dir), "doc_id", "text", ShingleN)
+          .persist()
+        val sig = Dedup.minhashSignature(
+          sets.select(col("doc_id"), explode(col("shs")).as("sh")), "doc_id", MinhashK)
+          .persist()
         val cand = Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", MinhashK, BandR), "doc_id",
           maxBucket = Some(MaxBucket))
-        Dedup.jaccardVerify(cand, sh, "doc_id", 0.2)
+        Dedup.jaccardVerifySets(cand, sets, "doc_id", 0.2)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""WITH $shSql, $sigSql, $bandsSql, $candSql,
