@@ -20,8 +20,13 @@ object Bench {
     // and ignore the SF dir — timing them under an "sf0.1" label would
     // be noise, not signal. The SF-driven packs are the benchmark.
     val etlNames = queries.EtlGate.all.map(_.name).toSet
+    // SPARK_GRAFT_ONLY=q21,q22 restricts the run — for focused A/B
+    // profiling of one query family without the full-suite wall-clock.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => etlNames.contains(name) }
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
         if (canWarm) {
           try fn(spark, warmDir).count() catch { case _: Throwable => () }

@@ -37,6 +37,21 @@ object Tables {
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** The text/embedding tables are COMPUTE-AMPLIFIED: a 300-byte text
+    * row fans out into ~300 shingles × K hash mixes, and an embedding
+    * row into dim-length dot products — work per input byte is 100×+
+    * that of the relational tables. When the parquet scan under-splits
+    * (small files / few row groups — one 600 KB file reads as ONE
+    * partition), every core but one idles through the expensive map
+    * side. Fan out to the cluster's parallelism BEFORE the heavy
+    * expressions; the guard makes it a no-op at real scale, where the
+    * scan already yields thousands of splits and a blanket repartition
+    * would be a pointless full-table shuffle.
+    */
+  private def fanout(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = fanout(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = fanout(load(s, d, "embeddings"))
 }

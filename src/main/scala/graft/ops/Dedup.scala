@@ -46,6 +46,24 @@ object Dedup {
     shingleArrays(docs, id, text, n)
       .select(col(id), explode(col("shs")).as("sh"))
 
+  /** Per-doc distinct shingle sets in HASHED form: each shingle mapped
+    * to its 64-bit xxhash64 before the per-row distinct. This is the
+    * representation Jaccard verification wants at scale — set
+    * cardinalities (and hence Jaccard) survive the hashing with
+    * collision probability ~|shingles|²/2⁶⁴ per doc (≈1e-15 for
+    * real documents; Broder's original shingling hashes shingles to
+    * fixed-width tokens for exactly this reason), while the rows the
+    * verification joins shuffle are ~3× smaller than string arrays and
+    * array_intersect compares primitives instead of UTF8 strings. The
+    * distinct itself also dedups longs, not strings.
+    */
+  def shingleHashArrays(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(id),
+      array_distinct(transform(TextOps.charShingles(col(text), n), s => xxhash64(s)))
+        .as("shl"))
+  }
+
   /** K-permutation MinHash signature, one row per document. Each
     * "permutation" is the min over shingles of
     * (a_k·h1 + b_k·h2 + c_k) mod 2^61-1 where h1/h2 are two 60-bit md5
@@ -120,26 +138,20 @@ object Dedup {
                      maxBucket: Option[Int] = None): DataFrame = {
     val full = maxBucket match {
       case Some(cap) =>
-        // bucket sizes via aggregation + two skinny joins rather than a
-        // window over the fat rows: the aggregate is one row per bucket,
-        // composes as a pure plan (nothing to persist → nothing to
-        // leak), and the over-cap key list is tiny BY CONSTRUCTION
-        // (buckets > cap are rare) — broadcast it so the chain branch
-        // costs one broadcast probe, not a shuffle
-        val sizes = bands.groupBy(col("band"), col("band_hash"))
-          .agg(count(lit(1)).as("__bsz"))
-        val small = bands.join(
-          sizes.where(col("__bsz") <= cap).select(col("band"), col("band_hash")),
-          Seq("band", "band_hash"), "left_semi")
-        val chained = bands.join(
-          broadcast(sizes.where(col("__bsz") > cap)
-            .select(col("band"), col("band_hash"))),
-          Seq("band", "band_hash"))
-          .withColumn("__nxt",
-            lead(col(id), 1).over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("band"), col("band_hash")).orderBy(col(id))))
-          .where(col("__nxt").isNotNull)
-          .select(col(id).as("doc_a"), col("__nxt").as("doc_b"))
+        // ONE shuffle on (band, band_hash) serves the whole branch: the
+        // unordered count window sizes every bucket and the ordered lead
+        // window precomputes each row's chain successor over the same
+        // partitioning, so both the under-cap pair branch and the
+        // over-cap chain branch are narrow filters over `sized`. The
+        // self-join's keys equal the window partitioning, so its two
+        // sides canonicalize to the SAME exchange subtree and Spark
+        // reuses it — no per-branch re-shuffles, no persist to leak.
+        val byBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))
+        val sized = bands
+          .withColumn("__bsz", count(lit(1)).over(byBucket))
+          .withColumn("__nxt", lead(col(id), 1).over(byBucket.orderBy(col(id))))
+        val small = sized.where(col("__bsz") <= cap)
         val smallPairs = small
           .select(col("band"), col("band_hash"), col(id).as("doc_a"))
           .join(
@@ -147,6 +159,9 @@ object Dedup {
             Seq("band", "band_hash"))
           .where(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"))
+        val chained = sized
+          .where(col("__bsz") > cap && col("__nxt").isNotNull)
+          .select(col(id).as("doc_a"), col("__nxt").as("doc_b"))
         smallPairs.unionAll(chained)
       case None =>
         bands.select(col("band"), col("band_hash"), col(id).as("doc_a"))
@@ -178,16 +193,33 @@ object Dedup {
 
   /** jaccardVerify over precomputed per-doc distinct shingle ARRAYS
     * (see shingleArrays) — skips re-folding exploded rows back into
-    * sets when the caller already has them.
+    * sets when the caller already has them. The string arrays are
+    * mapped to 64-bit hashes BEFORE the joins (map-side, pre-shuffle):
+    * Jaccard only needs cardinalities, which hashing preserves (see
+    * shingleHashArrays), and the two verification joins then shuffle
+    * skinny long arrays instead of the full shingle text.
     */
   def jaccardVerifySets(cand: DataFrame, sets: DataFrame, id: String,
-                        minJaccard: Double): DataFrame = {
+                        minJaccard: Double): DataFrame =
+    jaccardVerifyHashed(cand,
+      sets.select(col(id),
+        transform(col("shs"), s => xxhash64(s)).as("shl")),
+      id, minJaccard)
+
+  /** Jaccard verification over per-doc HASHED shingle sets (see
+    * shingleHashArrays): |A∩B| = size(array_intersect) over long
+    * arrays, |A∪B| = |A|+|B|-|A∩B|. Two joins against the compact
+    * per-doc array table; a doc's array is bounded by its text length,
+    * so per-row memory stays small at any corpus scale.
+    */
+  def jaccardVerifyHashed(cand: DataFrame, hsets: DataFrame, id: String,
+                          minJaccard: Double): DataFrame = {
     val jac = round(
       col("__inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("__inter")).cast("double"), 4)
     cand
-      .join(sets.select(col(id).as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
-      .join(sets.select(col(id).as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
+      .join(hsets.select(col(id).as("doc_a"), col("shl").as("sa")), Seq("doc_a"))
+      .join(hsets.select(col(id).as("doc_b"), col("shl").as("sb")), Seq("doc_b"))
       .withColumn("__inter", size(array_intersect(col("sa"), col("sb"))))
       // pairs must SHARE a shingle — the structural contract the old
       // shingle equi-join gave for free; without it, minJaccard <= 0
@@ -211,10 +243,14 @@ object Dedup {
     * candidatePairs) — the guard a 100 TB corpus needs against
     * boilerplate-driven quadratic buckets.
     *
-    * The reused intermediates (exact survivors, shingles, signatures)
-    * are persisted for the duration of the job — each feeds 2-8 plan
-    * branches; callers running inside a larger session can
-    * `spark.catalog.clearCache()` afterwards.
+    * The reused intermediates (exact survivors, hashed shingle sets,
+    * signatures) are persisted for the duration of the job — each feeds
+    * 2-8 plan branches; callers running inside a larger session can
+    * `spark.catalog.clearCache()` afterwards. The shingle text is
+    * scanned twice (signature via the direct path, verification via the
+    * hashed sets) — recomputing the cheap codegen'd shingle expression
+    * beats persisting the full shingle-string arrays, which at corpus
+    * scale is a multiple of the corpus itself in cache.
     */
   def deduplicate(docs: DataFrame, id: String, text: String,
                   n: Int = 8, k: Int = 8, r: Int = 2,
@@ -226,11 +262,10 @@ object Dedup {
           .partitionBy(md5(col(text))).orderBy(col(id))))
       .where(col("__rn") === 1).drop("__rn")
       .persist()
-    val sets = shingleArrays(exactSurvivors, id, text, n).persist()
-    val sig = minhashSignature(
-      sets.select(col(id), explode(col("shs")).as("sh")), id, k).persist()
+    val hsets = shingleHashArrays(exactSurvivors, id, text, n).persist()
+    val sig = minhashSignatureDirect(exactSurvivors, id, text, n, k).persist()
     val cand = candidatePairs(lshBands(sig, id, k, r), id, maxBucket)
-    val nearDups = jaccardVerifySets(cand, sets, id, minJaccard)
+    val nearDups = jaccardVerifyHashed(cand, hsets, id, minJaccard)
       .select(col("doc_b").as(id)).distinct()
     exactSurvivors.join(nearDups, Seq(id), "left_anti")
   }
@@ -327,11 +362,10 @@ object Dedup {
           .partitionBy(md5(col(text))).orderBy(col(id))))
       .where(col("__rn") === 1).drop("__rn")
       .persist()
-    val sets = shingleArrays(exactSurvivors, id, text, n).persist()
-    val sig = minhashSignature(
-      sets.select(col(id), explode(col("shs")).as("sh")), id, k).persist()
+    val hsets = shingleHashArrays(exactSurvivors, id, text, n).persist()
+    val sig = minhashSignatureDirect(exactSurvivors, id, text, n, k).persist()
     val cand = candidatePairs(lshBands(sig, id, k, r), id, maxBucket)
-    val verified = jaccardVerifySets(cand, sets, id, minJaccard)
+    val verified = jaccardVerifyHashed(cand, hsets, id, minJaccard)
     val drops = duplicateClusters(verified)
       .where(col("id") =!= col("cluster"))
       .select(col("id").as(id))

@@ -131,17 +131,18 @@ object LlmOps {
     Q(
       "q22_minhash_jaccard",
       (s, dir) => {
-        // the per-doc distinct shingle ARRAYS feed the signature (via a
-        // cheap explode) and the verification joins — materialize once;
-        // no cluster-wide distinct shuffle anywhere in the chain
-        val sets = Dedup.shingleArrays(Tables.documents(s, dir), "doc_id", "text", ShingleN)
-          .persist()
-        val sig = Dedup.minhashSignature(
-          sets.select(col("doc_id"), explode(col("shs")).as("sh")), "doc_id", MinhashK)
+        // hashed shingle sets for verification + direct-path signature:
+        // the shingle expression runs twice (cheap, codegen'd) so the
+        // persisted intermediates stay skinny — long arrays and K-long
+        // signatures, never the shingle strings; no cluster-wide
+        // distinct shuffle anywhere in the chain
+        val docs = Tables.documents(s, dir)
+        val hsets = Dedup.shingleHashArrays(docs, "doc_id", "text", ShingleN).persist()
+        val sig = Dedup.minhashSignatureDirect(docs, "doc_id", "text", ShingleN, MinhashK)
           .persist()
         val cand = Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", MinhashK, BandR), "doc_id",
           maxBucket = Some(MaxBucket))
-        Dedup.jaccardVerifySets(cand, sets, "doc_id", 0.2)
+        Dedup.jaccardVerifyHashed(cand, hsets, "doc_id", 0.2)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""WITH $shSql, $sigSql, $bandsSql, $candSql,
