@@ -14,7 +14,7 @@ import graft.{queries => qp}
 object SparkEntry {
 
   private def packs: Seq[qp.Q] =
-    qp.Relational.all ++ qp.LlmOps.all ++ qp.EtlGate.all
+    qp.Relational.all ++ qp.LlmOps.all ++ qp.Corpus.all ++ qp.EtlGate.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-governance operators for training-data pipelines: repetition
+  * detection (Gopher-style quality signals), benchmark-contamination
+  * measurement via word n-gram overlap, and deterministic hash-based
+  * dataset splits.
+  *
+  * Scale design: everything is linear in corpus tokens and shuffles
+  * only on document-id keys with full partial aggregation; the one join
+  * against external data (the benchmark n-gram set) broadcasts, because
+  * eval suites are megabytes while the corpus is terabytes.
+  */
+object CorpusOps {
+
+  /** Word-level repetition signals per document — the quality filters
+    * the Gopher/MassiveText pipeline applies before training:
+    * `distinct_ratio` (distinct tokens / tokens; low = repetitive),
+    * `top_unigram_frac` and `top_bigram_frac` (share of the most
+    * frequent unigram/bigram; high = degenerate loops). The scalar
+    * ratios come straight from per-row array ops (no shuffle); only the
+    * two top-gram modes need an explode → count → max, each fully
+    * partial-aggregated on (id, gram) then id.
+    */
+  def repetitionStats(docs: DataFrame, id: String, text: String): DataFrame = {
+    val base = docs.select(col(id), TextOps.tokens(col(text)).as("toks"))
+    val scalars = base.select(
+      col(id),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    val topUni = base
+      .select(col(id), explode(col("toks")).as("tok"))
+      .groupBy(col(id), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id)).agg(max(col("c")).as("top_uni"))
+    val topBi = base
+      .select(col(id), explode(TextOps.wordNgrams(col("toks"), 2)).as("g"))
+      .groupBy(col(id), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id)).agg(max(col("c")).as("top_bi"))
+    scalars
+      .join(topUni, Seq(id), "left")
+      .join(topBi, Seq(id), "left")
+      .select(
+        col(id),
+        col("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("distinct_ratio"),
+        round(coalesce(col("top_uni"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 4).as("top_unigram_frac"),
+        // single-token docs have no bigrams: NULL, not 0/0
+        round(coalesce(col("top_bi"), lit(0L)).cast("double") /
+          nullif(col("n_tokens") - lit(1L), lit(0L)).cast("double"), 4)
+          .as("top_bigram_frac"))
+  }
+
+  /** Benchmark contamination: for each corpus document, the fraction of
+    * its word `n`-grams that appear anywhere in `bench` (the held-out
+    * eval suite). The benchmark's distinct gram set is BROADCAST — eval
+    * suites are small by construction, so the corpus-side scan never
+    * shuffles its grams; counting hits is a map-side broadcast probe
+    * plus one partial-aggregated groupBy on the doc id. Documents with
+    * fewer than `n` tokens have no grams and are absent from the
+    * output.
+    */
+  def ngramContamination(corpus: DataFrame, bench: DataFrame,
+                         id: String, text: String, n: Int): DataFrame = {
+    def grams(d: DataFrame): DataFrame = d.select(
+      col(id),
+      explode(TextOps.wordNgrams(TextOps.tokens(col(text)), n)).as("g"))
+    val benchGrams = grams(bench).select(col("g")).distinct()
+      .withColumn("__hit", lit(1))
+    grams(corpus)
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_contaminated"))
+      .select(
+        col(id), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 4)
+          .as("contamination_frac"))
+  }
+
+  /** Deterministic train/val/test assignment from a hash of the id —
+    * the split must be a pure function of the document (stable across
+    * runs, machines, and repartitioning), never `rand()`. Bucket =
+    * first 16 md5 bits mod 10 → `train` (<8), `val` (8), `test` (9);
+    * 65536 % 10 ≠ 0 makes the skew ~0.01%, irrelevant against exact
+    * reproducibility. Pure per-row expressions — no shuffle.
+    */
+  def deterministicSplit(docs: DataFrame, id: String): DataFrame = {
+    val bucket = (conv(substring(md5(col(id).cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10).as("bucket")
+    docs.withColumn("split",
+      when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+  }
+}

@@ -35,6 +35,37 @@ object TextOps {
   def charShingles(text: Column, n: Int): Column =
     graft.functions.GraftFunctions.char_shingles(text, n)
 
+  /** Word n-grams as space-joined strings over a token array; fewer
+    * than `n` tokens yields an empty array (NOT a truncated gram —
+    * contamination checks must never match partial grams).
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** PII patterns shared by the redactor, its counts, and the SQL
+    * oracle — deliberately restricted to syntax RE2 and Java regex
+    * interpret identically (char classes, bounded repetition, \b).
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Scrub emails, then phone numbers, then IPv4 addresses (the order
+    * matters: the placeholders contain no digits or dots, so later
+    * passes cannot re-match earlier replacements). Pure codegen'd
+    * regexp_replace chain — runs inside whole-stage codegen.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
   /** Canonical form for content fingerprinting: lowercase, alnum only. */
   def normalized(text: Column): Column =
     regexp_replace(lower(text), "[^a-z0-9]", "")

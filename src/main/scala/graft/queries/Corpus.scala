@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{CorpusOps, TextOps}
+
+/** Corpus-governance query pack: repetition detection, PII scrubbing,
+  * benchmark contamination, deterministic splits, and the composed
+  * quality-filter pipeline — the operations a training-data pipeline
+  * runs between raw ingest and tokenization. Every query carries a
+  * DuckDB oracle built from the same constants.
+  */
+object Corpus {
+
+  private val ContaminationN = 3
+  private val BenchCutoff = 50L
+
+  val all: Seq[Q] = Seq(
+
+    // Gopher-style repetition signals: distinct-token ratio plus the
+    // share of the most frequent unigram / bigram. Low distinct ratio
+    // or a dominant gram marks degenerate (loop-generated) text.
+    Q(
+      "q48_repetition",
+      (s, dir) => CorpusOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, ${LlmOps.tokSql} AS t FROM documents),
+              |scalars AS (
+              |  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct
+              |  FROM toks),
+              |uni AS (
+              |  SELECT doc_id, max(c) AS top_uni FROM (
+              |    SELECT doc_id, tok, count(*) AS c
+              |    FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              |    GROUP BY doc_id, tok)
+              |  GROUP BY doc_id),
+              |bi AS (
+              |  SELECT doc_id, max(c) AS top_bi FROM (
+              |    SELECT doc_id, g, count(*) AS c
+              |    FROM (SELECT doc_id,
+              |            unnest(list_transform(range(1, len(t)),
+              |              i -> t[i] || ' ' || t[i+1])) AS g
+              |          FROM toks WHERE len(t) >= 2)
+              |    GROUP BY doc_id, g)
+              |  GROUP BY doc_id)
+              |SELECT s.doc_id, n_tokens,
+              |  round(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS distinct_ratio,
+              |  round(CAST(coalesce(top_uni, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS top_unigram_frac,
+              |  round(CAST(coalesce(top_bi, 0) AS DOUBLE) /
+              |        CAST(nullif(n_tokens - 1, 0) AS DOUBLE), 4) AS top_bigram_frac
+              |FROM scalars s
+              |LEFT JOIN uni USING (doc_id)
+              |LEFT JOIN bi USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // PII scrubbing: the corpus has no native PII, so each doc is
+    // augmented with a deterministic synthetic contact line (email,
+    // phone, IPv4 derived from doc_id) — the redactor then has real
+    // work whose output both engines must reproduce byte-identically
+    // (compared via md5 of the scrubbed text).
+    Q(
+      "q49_pii_scrub",
+      (s, dir) => {
+        val aug = concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"), lit(" end"))
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          regexp_count(aug, lit(TextOps.EmailRe)).cast("long").as("n_emails"),
+          regexp_count(aug, lit(TextOps.PhoneRe)).cast("long").as("n_phones"),
+          regexp_count(aug, lit(TextOps.Ipv4Re)).cast("long").as("n_ips"),
+          md5(TextOps.redactPii(aug)).as("redacted_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val augSql = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+          "'@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+          "' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || " +
+          "CAST((doc_id * 7) % 256 AS VARCHAR) || ' end'"
+        // DuckDB standard strings keep backslashes literal, so the Java
+        // regex text embeds verbatim (no quotes appear in the patterns)
+        val email = TextOps.EmailRe
+        val phone = TextOps.PhoneRe
+        val ip = TextOps.Ipv4Re
+        s"""WITH aug AS (SELECT doc_id, $augSql AS a FROM documents)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(a, '$email')) AS n_emails,
+           |  len(regexp_extract_all(a, '$phone')) AS n_phones,
+           |  len(regexp_extract_all(a, '$ip')) AS n_ips,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(a,
+           |    '$email', '<EMAIL>', 'g'),
+           |    '$phone', '<PHONE>', 'g'),
+           |    '$ip', '<IP>', 'g')) AS redacted_hash
+           |FROM aug ORDER BY doc_id""".stripMargin
+      }),
+
+    // Benchmark contamination: docs 0..49 stand in for the held-out
+    // eval suite; every other document reports what fraction of its
+    // word 3-grams leak from it. The benchmark gram set broadcasts —
+    // the 100 TB-side scan never shuffles its grams.
+    Q(
+      "q50_contamination",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        CorpusOps.ngramContamination(
+          docs.where(col("doc_id") >= BenchCutoff),
+          docs.where(col("doc_id") < BenchCutoff),
+          "doc_id", "text", ContaminationN)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, ${LlmOps.tokSql} AS t FROM documents),
+              |grams AS (
+              |  SELECT doc_id, unnest(list_transform(range(1, len(t) - ${ContaminationN - 2}),
+              |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+              |  FROM toks WHERE len(t) >= $ContaminationN),
+              |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < $BenchCutoff)
+              |SELECT doc_id, count(*) AS n_grams,
+              |  count(*) FILTER (g IN (SELECT g FROM bench)) AS n_contaminated,
+              |  round(CAST(count(*) FILTER (g IN (SELECT g FROM bench)) AS DOUBLE) /
+              |        CAST(count(*) AS DOUBLE), 4) AS contamination_frac
+              |FROM grams WHERE doc_id >= $BenchCutoff
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic hash split: assignment is a pure function of the
+    // doc id (stable across runs/machines/partitioning — never rand()).
+    Q(
+      "q51_split_assign",
+      (s, dir) => CorpusOps.deterministicSplit(Tables.documents(s, dir), "doc_id")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"), col("split")),
+      Some("""WITH b AS (
+             |  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 AS bucket
+             |  FROM documents)
+             |SELECT lang,
+             |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+             |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    // The composed quality-filter pipeline (C4/Gopher shape): token
+    // count, stopword ratio, punctuation ratio, and chars-per-token
+    // thresholds; per-language survival rates.
+    Q(
+      "q52_quality_filter",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val nTok = size(toks).cast("double")
+        val nChars = length(col("text")).cast("double")
+        val stopRatio = TextOps.stopwordCount(toks, LlmOps.stops).cast("double") / nTok
+        val punctRatio = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+          .cast("double") / nChars
+        val cpt = nChars / nTok
+        val keep = size(toks).geq(10) && size(toks).leq(1000) &&
+          stopRatio.geq(0.01) && punctRatio.leq(0.3) &&
+          cpt.geq(3.0) && cpt.leq(12.0)
+        Tables.documents(s, dir)
+          .select(col("lang"), keep.as("keep"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), count(when(col("keep"), 1)).as("n_keep"))
+          .select(col("lang"), col("n_docs"), col("n_keep"),
+            round(col("n_keep").cast("double") / col("n_docs").cast("double"), 4)
+              .as("keep_rate"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val stopList = LlmOps.stops.map(t => s"'$t'").mkString(", ")
+        val tok = LlmOps.tokSql
+        val stopR = s"CAST(len(list_filter($tok, t -> list_contains([$stopList], t))) AS DOUBLE) / CAST(len($tok) AS DOUBLE)"
+        val punctR = s"CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+        val cpt = s"CAST(length(text) AS DOUBLE) / CAST(len($tok) AS DOUBLE)"
+        s"""WITH k AS (
+           |  SELECT lang,
+           |    (len($tok) >= 10 AND len($tok) <= 1000 AND
+           |     $stopR >= 0.01 AND $punctR <= 0.3 AND
+           |     $cpt >= 3.0 AND $cpt <= 12.0) AS keep
+           |  FROM documents)
+           |SELECT lang, count(*) AS n_docs, count(*) FILTER (keep) AS n_keep,
+           |  round(CAST(count(*) FILTER (keep) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS keep_rate
+           |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+      })
+  )
+}

@@ -17,7 +17,7 @@ object LlmOps {
   private val SimhashBits = 16
   private val hiHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
   private val hiHexSql = hiHex.map(h => s"'$h'").mkString(", ")
-  private val stops = Seq("the", "a", "of", "and", "to", "in")
+  private[queries] val stops = Seq("the", "a", "of", "and", "to", "in")
 
   // ---- shared oracle SQL fragments ----
 
@@ -102,7 +102,7 @@ object LlmOps {
       s"i -> CASE WHEN substring(md5('$p-'||i), 1, 1) IN ($hiHexSql) " +
       s"THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END), (x,y) -> x+y)"
 
-  private def tokSql = s"string_split_regex(lower(text), '\\s+')"
+  private[queries] def tokSql = s"string_split_regex(lower(text), '\\s+')"
 
   val all: Seq[Q] = Seq(
 

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the corpus-governance operators (the oracle gate
+  * covers synthetic-table scale; these fix the edge cases).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  test("repetitionStats: degenerate loop text scores high, varied text low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),                 // one token repeated
+      (2L, "a b c d e f g h"),                     // all distinct
+      (3L, "x")                                    // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.repetitionStats(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_tokens") === 4L)
+    assert(r(1L).getAs[Double]("distinct_ratio") === 0.25)
+    assert(r(1L).getAs[Double]("top_unigram_frac") === 1.0)
+    assert(r(1L).getAs[Double]("top_bigram_frac") === 1.0) // "spam spam" ×3 / 3
+    assert(r(2L).getAs[Double]("distinct_ratio") === 1.0)
+    assert(r(2L).getAs[Double]("top_unigram_frac") === 0.125)
+    // a single-token doc has no bigram denominator — NULL, not 0/0
+    assert(r(3L).isNullAt(r(3L).fieldIndex("top_bigram_frac")))
+  }
+
+  test("ngramContamination: copied doc is fully contaminated, disjoint doc is absent-of-hits") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // exact copy → frac 1.0
+      (2L, "alpha beta gamma unrelated tail"), // shares exactly 1 of 3 grams
+      (3L, "zeta eta theta iota kappa"),       // disjoint → frac 0.0
+      (4L, "too short")                        // < n tokens → absent
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.ngramContamination(corpus, bench, "doc_id", "text", 3)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("contamination_frac") === 1.0)
+    assert(r(2L).getAs[Long]("n_contaminated") === 1L)
+    assert(r(2L).getAs[Double]("contamination_frac") === 0.3333)
+    assert(r(3L).getAs[Double]("contamination_frac") === 0.0)
+    assert(!r.contains(4L))
+  }
+
+  test("deterministicSplit: stable across runs and repartitioning, ~80/10/10") {
+    val docs = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val once = CorpusOps.deterministicSplit(docs, "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val again = CorpusOps.deterministicSplit(docs.repartition(7), "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once === again)
+    val counts = once.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("val") < 200)
+    assert(counts("test") > 50 && counts("test") < 200)
+  }
+
+  test("redactPii scrubs emails, phones, and IPv4 but not plain text") {
+    val r = Seq((1L, "mail a.b@x.co or +1-555-0100 at 10.0.0.1 versus v1.2 and fee 3.50"))
+      .toDF("id", "t")
+      .select(TextOps.redactPii(col("t"))).head().getString(0)
+    assert(r === "mail <EMAIL> or <PHONE> at <IP> versus v1.2 and fee 3.50")
+  }
+}
