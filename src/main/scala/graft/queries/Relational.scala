@@ -666,6 +666,73 @@ object Relational {
              |SELECT p_brand, COUNT(*) AS n_in_band
              |FROM lineitem JOIN bands
              |  ON l_extendedprice / l_quantity BETWEEN lo AND hi
-             |GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // Ranking/distribution window suite: ntile, percent_rank,
+    // cume_dist, lag, and a RANGE frame over a day-number sort key
+    // (trailing 7-day count). The ranked windows order by the UNIQUE
+    // o_orderkey — ranking over a tied sort key is engine-arbitrary and
+    // can never hash-match; the RANGE frame orders by the tied day
+    // number precisely because frames (unlike ranks) are
+    // peer-insensitive. lag passes the stored double through untouched
+    // (no arithmetic → no float-determinism risk).
+    Q(
+      "q53_window_suite",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byKey = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+        val byDay = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("__day"))
+          .rangeBetween(-7, Window.currentRow)
+        graft.Tables.orders(s, dir)
+          .withColumn("__day", datediff(col("o_orderdate"), lit("1970-01-01")))
+          .select(
+            col("o_orderkey"), col("o_orderstatus"),
+            ntile(4).over(byKey).cast("long").as("quartile"),
+            round(percent_rank().over(byKey), 6).as("pct_rank"),
+            round(cume_dist().over(byKey), 6).as("cum_dist"),
+            lag(col("o_totalprice"), 1).over(byKey).as("prev_price"),
+            count(lit(1)).over(byDay).as("trailing_7d"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  ntile(4) OVER w AS quartile,
+             |  round(percent_rank() OVER w, 6) AS pct_rank,
+             |  round(cume_dist() OVER w, 6) AS cum_dist,
+             |  lag(o_totalprice, 1) OVER w AS prev_price,
+             |  count(*) OVER (PARTITION BY o_orderstatus
+             |    ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+             |    RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS trailing_7d
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // GROUPING SETS — the general form rollup/cube (q16/q37) specialize;
+    // grouping() flags distinguish "NULL because aggregated" from data
+    // NULLs. Money sums follow the decimal→string emit convention.
+    Q(
+      "q54_grouping_sets",
+      (s, dir) => {
+        val o = graft.Tables.orders(s, dir)
+        o.groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+            count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast("string").as("sum_price"))
+          .orderBy(col("g_status"), col("g_priority"),
+            col("o_orderstatus"), col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS sum_price
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+             |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin))
   )
 }

@@ -52,6 +52,40 @@ object EventStreams {
       .select(col("user_id"), col("s.start").as("sess_start"),
         col("s.end").as("sess_end"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join — click-to-purchase attribution: each
+    * purchase joins the SAME USER's clicks that happened in the
+    * preceding `horizon`. Both sides carry watermarks and the join
+    * condition bounds event-time distance in BOTH directions, so the
+    * state store can expire rows once the watermark passes the horizon
+    * — without the time bound, stream-stream join state grows forever.
+    * Shuffles on user_id; state access stays task-local.
+    */
+  def attributedPurchases(clicks: DataFrame, purchases: DataFrame,
+                          horizon: String = "1 hour",
+                          lateness: String = "30 minutes"): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", lateness)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", lateness)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
+  /** Stream-static enrichment: the static dimension is re-read per
+    * micro-batch and broadcast — no state, no watermark needed; the
+    * 100 TB/day stream never shuffles for the join.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   // ---- arbitrary stateful processing ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,

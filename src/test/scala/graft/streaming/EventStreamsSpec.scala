@@ -120,6 +120,46 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join attributes purchases to in-horizon clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.attributedPurchases(clicks.toDF(), purchases.toDF(),
+      horizon = "1 hour", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(1, ts(0), 1, "click", 0.0),     // user 1 clicks at 00:00
+        Event(2, ts(0), 2, "click", 0.0))     // user 2 clicks at 00:00
+      purchases.addData(
+        Event(10, ts(30), 1, "purchase", 9.0),  // 30 min after user 1's click: attributed
+        Event(11, ts(90), 2, "purchase", 5.0))  // 90 min after user 2's click: outside horizon
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT purchase_id, click_id, user_id, purchase_value FROM attrib ORDER BY purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(rows === Seq((10L, 1L, 1L, 9.0)))
+    } finally q.stop()
+  }
+
+  test("stream-static broadcast enrichment joins without state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "trial")).toDF("user_id", "tier")
+    val q = EventStreams.enrichWithDim(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 3, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, tier FROM enriched ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+      // user 3 has no dim row: left join keeps the event with a null tier
+      assert(rows === Seq((1L, Some("gold")), (2L, None)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
