@@ -93,4 +93,52 @@ object Lake {
     */
   def writeStatus(df: DataFrame, statusPath: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Append).json(statusPath)
+
+  /** Small-file compaction for the hive-partitioned lake. Incremental
+    * ingest with dynamic partition overwrite accretes files per
+    * (chrom, pos_bucket) directory — genome-uniform sparse batches are
+    * the worst case, touching every partition with a sliver each — and
+    * at 100 TB the resulting file-count explosion dominates scan
+    * planning and NameNode/listing cost long before data size does.
+    *
+    * Metadata-only detection: partition directories are selected from
+    * the file listing alone (count vs ceil(bytes/targetBytes)) — no
+    * data is read for well-compacted partitions. Each selected
+    * directory is rewritten alone: read (partition-pruned by
+    * construction), coalesce to the target count, re-sort by pos within
+    * files (restores row-group pruning for point lookups), pin via an
+    * eager localCheckpoint — the plan must not reference the files the
+    * overwrite is about to delete — and overwrite just that directory.
+    *
+    * Returns (directory, filesBefore, filesAfter) per compacted
+    * partition.
+    */
+  def compact(spark: SparkSession, lakePath: String,
+              targetBytes: Long = 128L * 1024 * 1024): Seq[(String, Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(lakePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val partitionDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .flatMap(c => fs.listStatus(c.getPath)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("=")))
+    partitionDirs.toSeq.flatMap { p =>
+      val files = fs.listStatus(p.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val want = math.max(1L,
+        math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toLong).toInt
+      if (files.length <= want) None
+      else {
+        val compacted = spark.read.parquet(p.getPath.toString)
+          .coalesce(want)
+          .sortWithinPartitions(col("pos"))
+          .localCheckpoint(true)
+        compacted.write.mode(SaveMode.Overwrite).parquet(p.getPath.toString)
+        val after = fs.listStatus(p.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        Some((p.getPath.toString, files.length, after))
+      }
+    }
+  }
 }
