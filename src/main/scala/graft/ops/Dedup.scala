@@ -24,6 +24,19 @@ object Dedup {
     docs.groupBy(md5(col(text)).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(id)).as("keep_id"))
 
+  /** The min-id row per content hash, as a HASH AGGREGATE: min_by
+    * keeps the whole survivor row with partial (map-side) combine and
+    * no sort — the row_number-window formulation shuffles the same
+    * bytes but then SORTS every partition just to pick rank 1. Ids are
+    * unique, so the min_by choice is deterministic.
+    */
+  private def exactSurvivorRows(docs: DataFrame, id: String, text: String): DataFrame = {
+    val cols = docs.columns
+    docs.groupBy(md5(col(text)).as("__h"))
+      .agg(min_by(struct(cols.map(col): _*), col(id)).as("__r"))
+      .select(cols.map(c => col(s"__r.$c")): _*)
+  }
+
   /** One row per document with its DISTINCT shingle array — the
     * zero-shuffle form of the shingle set: dedup happens per row
     * (array_distinct), not via a cluster-wide distinct. A doc's array
@@ -256,12 +269,7 @@ object Dedup {
                   n: Int = 8, k: Int = 8, r: Int = 2,
                   minJaccard: Double = 0.5,
                   maxBucket: Option[Int] = None): DataFrame = {
-    val exactSurvivors = docs
-      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(md5(col(text))).orderBy(col(id))))
-      .where(col("__rn") === 1).drop("__rn")
-      .persist()
+    val exactSurvivors = exactSurvivorRows(docs, id, text).persist()
     val hsets = shingleHashArrays(exactSurvivors, id, text, n).persist()
     val sig = minhashSignatureDirect(exactSurvivors, id, text, n, k).persist()
     val cand = candidatePairs(lshBands(sig, id, k, r), id, maxBucket)
@@ -356,12 +364,7 @@ object Dedup {
                             n: Int = 8, k: Int = 8, r: Int = 2,
                             minJaccard: Double = 0.5,
                             maxBucket: Option[Int] = None): DataFrame = {
-    val exactSurvivors = docs
-      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(md5(col(text))).orderBy(col(id))))
-      .where(col("__rn") === 1).drop("__rn")
-      .persist()
+    val exactSurvivors = exactSurvivorRows(docs, id, text).persist()
     val hsets = shingleHashArrays(exactSurvivors, id, text, n).persist()
     val sig = minhashSignatureDirect(exactSurvivors, id, text, n, k).persist()
     val cand = candidatePairs(lshBands(sig, id, k, r), id, maxBucket)
