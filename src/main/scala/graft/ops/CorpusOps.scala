@@ -82,6 +82,34 @@ object CorpusOps {
           .as("contamination_frac"))
   }
 
+  /** Sliding-window document chunking — the tokenization-prep step
+    * that turns long documents into training samples: chunks of `size`
+    * tokens starting every `size - overlap` tokens, so consecutive
+    * chunks share `overlap` tokens and every token is covered; the
+    * final chunk may run short. Pure per-row array ops (sequence →
+    * explode → slice): no shuffle, fully codegen'd, linear in corpus
+    * tokens — chunk_id derives arithmetically from the start offset so
+    * no ordering primitive is needed.
+    */
+  def chunk(docs: DataFrame, id: String, text: String,
+            size: Int, overlap: Int): DataFrame = {
+    require(size > overlap && overlap >= 0,
+      s"need size > overlap >= 0, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    docs.select(col(id), TextOps.tokens(col(text)).as("toks"))
+      .select(col(id), col("toks"),
+        explode(sequence(lit(1),
+          greatest(org.apache.spark.sql.functions.size(col("toks")) - lit(overlap), lit(1)),
+          lit(stride))).as("s"))
+      .select(
+        col(id),
+        ((col("s") - 1) / stride).cast("long").as("chunk_id"),
+        least(lit(size),
+          org.apache.spark.sql.functions.size(col("toks")) - col("s") + 1)
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("s"), lit(size))).as("chunk_text"))
+  }
+
   /** Deterministic train/val/test assignment from a hash of the id —
     * the split must be a pure function of the document (stable across
     * runs, machines, and repartitioning), never `rand()`. Bucket =

@@ -143,6 +143,27 @@ object Corpus {
              |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
 
+    // Sliding-window chunking: 40-token chunks, 8-token overlap —
+    // every token covered, consecutive chunks share the overlap, final
+    // chunk may run short. chunk_text rides whole so the gate hashes
+    // the actual chunk payloads, not just counts.
+    Q(
+      "q55_chunking",
+      (s, dir) => CorpusOps.chunk(Tables.documents(s, dir), "doc_id", "text",
+        size = 40, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, ${LlmOps.tokSql} AS t FROM documents),
+              |starts AS (
+              |  SELECT doc_id, t,
+              |    unnest(range(1, greatest(len(t) - 8, 1) + 1, 32)) AS s
+              |  FROM toks)
+              |SELECT doc_id,
+              |  CAST((s - 1) / 32 AS BIGINT) AS chunk_id,
+              |  least(40, len(t) - s + 1) AS n_chunk_tokens,
+              |  array_to_string(t[s:s+39], ' ') AS chunk_text
+              |FROM starts ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // The composed quality-filter pipeline (C4/Gopher shape): token
     // count, stopword ratio, punctuation ratio, and chars-per-token
     // thresholds; per-language survival rates.

@@ -58,6 +58,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(counts("test") > 50 && counts("test") < 200)
   }
 
+  test("chunk: full coverage, overlap sharing, short tail, short doc") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b")                              // shorter than one chunk
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.chunk(docs, "doc_id", "text", size = 4, overlap = 1)
+      .collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("chunk_id")) ->
+        (x.getAs[Long]("n_chunk_tokens"), x.getAs[String]("chunk_text"))).toMap
+    // stride 3 → starts 1,4,7: chunks [1-4],[4-7],[7-10]
+    assert(r((1L, 0L)) === (4L, "t1 t2 t3 t4"))
+    assert(r((1L, 1L)) === (4L, "t4 t5 t6 t7"))
+    assert(r((1L, 2L)) === (4L, "t7 t8 t9 t10"))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(r((1L, 0L))._2.split(" ").last === r((1L, 1L))._2.split(" ").head)
+    // a doc shorter than one chunk yields a single short chunk
+    assert(r((2L, 0L)) === (2L, "a b"))
+    assert(r.size === 4)
+  }
+
   test("redactPii scrubs emails, phones, and IPv4 but not plain text") {
     val r = Seq((1L, "mail a.b@x.co or +1-555-0100 at 10.0.0.1 versus v1.2 and fee 3.50"))
       .toDF("id", "t")
