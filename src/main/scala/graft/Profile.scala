@@ -28,6 +28,32 @@ object Profile {
     val avgLen = docs.agg(avg(length(col("text")))).head().getDouble(0)
     println(s"PROFILE docs=$n avgLen=$avgLen")
 
+    // STRESS=K: dedup scaling check — replicate the corpus K× with
+    // per-replica perturbed text (dense near-dup clusters, the LSH
+    // worst case the bucket cap exists for) and compare wall-clock of
+    // the full dedup at 1× vs K×.
+    sys.env.get("STRESS").map(_.toInt).foreach { k =>
+      def dedupTime(d: org.apache.spark.sql.DataFrame): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val out = graft.ops.Dedup.deduplicate(d, "doc_id", "text",
+          minJaccard = 0.5, maxBucket = Some(32)).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"PROFILE dedup n=${d.count()}%-8d survivors=$out%-8d $t%8.2f s")
+        t
+      }
+      val t1 = dedupTime(docs)
+      val big = (0 until k).map(i =>
+        docs.select(
+          (col("doc_id") * k + i).as("doc_id"),
+          concat(col("text"), lit(s" replica$i")).as("text")))
+        .reduce(_.unionAll(_))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val tk = dedupTime(big)
+      println(f"PROFILE stress ${k}x scaling factor = ${tk / t1}%.1f (ideal $k.0, quadratic ${k * k}.0)")
+      spark.stop(); sys.exit(0)
+    }
+
     // warm JIT
     Dedup.shingleArrays(docs, "doc_id", "text", 8).count()
 
