@@ -82,6 +82,22 @@ object CorpusOps {
           .as("contamination_frac"))
   }
 
+  /** Inverted index over the corpus: one row per term with its
+    * document frequency and a CAPPED ascending posting list (the cap
+    * bounds row width — a stopword's postings would otherwise be the
+    * whole corpus in one row). One explode of per-row DISTINCT tokens
+    * (no corpus-wide distinct) and one partial-aggregated groupBy on
+    * the term — linear, and the shuffle carries (term, id) pairs only.
+    */
+  def invertedIndex(docs: DataFrame, id: String, text: String,
+                    maxPostings: Int): DataFrame =
+    docs.select(col(id),
+      explode(array_distinct(TextOps.tokens(col(text)))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        slice(sort_array(collect_set(col(id))), 1, maxPostings).as("postings"))
+
   /** Sliding-window document chunking — the tokenization-prep step
     * that turns long documents into training samples: chunks of `size`
     * tokens starting every `size - overlap` tokens, so consecutive

@@ -143,6 +143,24 @@ object Corpus {
              |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
 
+    // Inverted index: term -> df + first-10 ascending postings (the
+    // cap is the operator's row-width bound; arrays serialize via the
+    // proven join-as-string recipe for the comparator).
+    Q(
+      "q56_inverted_index",
+      (s, dir) => CorpusOps.invertedIndex(Tables.documents(s, dir), "doc_id", "text",
+        maxPostings = 10)
+        .select(col("term"), col("df"),
+          array_join(transform(col("postings"), p => p.cast("string")), "|")
+            .as("postings"))
+        .orderBy(col("term")),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, unnest(list_distinct(${LlmOps.tokSql})) AS term
+              |  FROM documents)
+              |SELECT term, count(*) AS df,
+              |  array_to_string(list_sort(list(doc_id))[1:10], '|') AS postings
+              |FROM t GROUP BY term ORDER BY term""".stripMargin)),
+
     // Sliding-window chunking: 40-token chunks, 8-token overlap —
     // every token covered, consecutive chunks share the overlap, final
     // chunk may run short. chunk_text rides whole so the gate hashes

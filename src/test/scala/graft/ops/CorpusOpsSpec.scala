@@ -58,6 +58,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(counts("test") > 50 && counts("test") < 200)
   }
 
+  test("invertedIndex: per-doc distinct terms, df counts, capped ascending postings") {
+    val docs = Seq(
+      (3L, "apple banana apple"), // duplicate token counts once per doc
+      (1L, "apple cherry"),
+      (2L, "apple")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.invertedIndex(docs, "doc_id", "text", maxPostings = 2)
+      .collect()
+      .map(x => x.getAs[String]("term") ->
+        (x.getAs[Long]("df"), x.getAs[Seq[Long]]("postings"))).toMap
+    assert(r("apple") === (3L, Seq(1L, 2L))) // df counts all 3; postings capped at 2, ascending
+    assert(r("banana") === (1L, Seq(3L)))
+    assert(r("cherry") === (1L, Seq(1L)))
+  }
+
   test("chunk: full coverage, overlap sharing, short tail, short doc") {
     val docs = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
