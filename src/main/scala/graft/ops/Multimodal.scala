@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus feature extraction shaped for a
   * 1000-executor cluster.
   *
-  * Codec: images (PNG/JPEG/GIF/BMP) decode for real via `javax.imageio`
-  * — the readers ship with the JDK, no native dependencies — and
-  * features/resize derive from actual pixels. Payloads ImageIO cannot
-  * read (audio/video formats, corrupt bytes) fall back to the labeled
-  * deterministic STUB, preserving the full-pipeline behavior for
-  * non-image modalities until their codecs are slotted in.
+  * Codecs: images (PNG/JPEG/GIF/BMP) decode for real via
+  * `javax.imageio`, audio (WAV/PCM and anything the JDK's sampled-audio
+  * SPI converts) via `javax.sound.sampled` — both ship with the JDK, no
+  * native dependencies — and features derive from actual pixels /
+  * samples. Payloads neither codec reads (video formats, corrupt
+  * bytes) fall back to the labeled deterministic STUB, preserving the
+  * full-pipeline behavior until a video codec is slotted in.
   *
   * Scale notes:
   *  - payload bytes stay columnar end-to-end (parquet binary chunks);
@@ -79,7 +80,59 @@ object Multimodal {
           .otherwise("unknown"))
   }
 
-  /** STUB for the non-image codecs (audio/video): derives `dim` floats
+  /** Pure-JVM audio decode via the JDK's sampled-audio SPI (WAV/PCM,
+    * AU, AIFF): mono-folded samples in [-1, 1]. None ⇒ not decodable
+    * audio — callers fall back to the stub path.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[Array[Double]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        fmt.getSampleRate, 16, fmt.getChannels, true, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+      val raw = pcm.readAllBytes()
+      val ch = target.getChannels
+      val nFrames = raw.length / (2 * ch)
+      val out = new Array[Double](nFrames)
+      var i = 0
+      while (i < nFrames) {
+        var s = 0.0
+        var c = 0
+        while (c < ch) {
+          val idx = (i * ch + c) * 2
+          s += (((raw(idx + 1) & 0xff) << 8) | (raw(idx) & 0xff)).toShort / 32768.0
+          c += 1
+        }
+        out(i) = s / ch
+        i += 1
+      }
+      if (nFrames == 0) None else Some(out)
+    } catch { case _: Exception => None }
+
+  /** Sample-derived audio features: the RMS energy envelope over `dim`
+    * equal time windows — deterministic for decoded samples, the audio
+    * analog of the image luminance histogram. A real embedding model
+    * slots in at the same call site.
+    */
+  def rmsEnvelope(samples: Array[Double], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = samples.length
+    var d = 0
+    while (d < dim) {
+      val from = (n.toLong * d / dim).toInt
+      val until = math.max((n.toLong * (d + 1) / dim).toInt, from + 1)
+      var acc = 0.0
+      var i = from
+      while (i < until && i < n) { acc += samples(i) * samples(i); i += 1 }
+      out(d) = math.sqrt(acc / math.max(math.min(until, n) - from, 1)).toFloat
+      d += 1
+    }
+    out
+  }
+
+  /** STUB for the codecs the JDK lacks (video): derives `dim` floats
     * from a rolling hash of the bytes — deterministic, so tests can
     * assert exact plumbing behavior until a real decoder slots in.
     */
@@ -100,8 +153,9 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, features: Array[Float])
 
   /** Batched distributed decode: (media_id, content) → feature vectors.
-    * Real images yield pixel-derived luminance histograms; everything
-    * else falls back to the labeled stub.
+    * Real images yield pixel-derived luminance histograms, real audio
+    * yields sample-derived RMS envelopes; everything else falls back to
+    * the labeled stub.
     *
     * `batchSize` mirrors a Pandas-UDF batch: the decoder context is
     * created once per partition (think: model load), then records flow
@@ -121,7 +175,10 @@ object Multimodal {
           batch.map { case (id, bytes) =>
             val features = decodeImage(bytes) match {
               case Some(img) => luminanceHistogram(img, dim)
-              case None => stubDecode(bytes, dim)
+              case None => decodeAudio(bytes) match {
+                case Some(samples) => rmsEnvelope(samples, dim)
+                case None => stubDecode(bytes, dim)
+              }
             }
             MediaFeatures(id, features)
           }

@@ -86,6 +86,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sniffed.getAs[String]("format") === "png")
   }
 
+  /** A real WAV: 16-bit mono PCM sine at half amplitude. */
+  private def realWav(freqHz: Double = 440.0, ms: Int = 100,
+                      rate: Float = 8000f): Array[Byte] = {
+    val n = (rate * ms / 1000).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * freqHz * i / rate) * 16384).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV payloads decode to sample-derived features, not the stub") {
+    import spark.implicits._
+    val wav = realWav()
+    // decoded samples round-trip the sine
+    val samples = Multimodal.decodeAudio(wav).get
+    assert(samples.length === 800)
+    assert(math.abs(samples.map(s => s * s).sum / samples.length - 0.125) < 0.01) // RMS² of 0.5-amp sine
+    // features through the distributed path: flat RMS envelope ≈ 0.3536
+    val media = Seq((20L, wav)).toDF("media_id", "content")
+    val f = Multimodal.extractFeatures(media, dim = 4).collect()(0).features
+    assert(f.forall(b => b > 0.33f && b < 0.38f), f.toSeq.toString)
+    assert(f.toSeq !== Multimodal.stubDecode(wav, 4).toSeq)
+    // sniffing agrees it's a RIFF container
+    val sniffed = Multimodal.withMediaMeta(media).collect()(0)
+    assert(sniffed.getAs[String]("format") === "riff-wav")
+    // text bytes must never accidentally decode as audio
+    assert(Multimodal.decodeAudio("just some text".getBytes).isEmpty)
+  }
+
   test("frame sampling yields k fixed-width deterministic slices") {
     val frames = Multimodal.sampleFrames(fakeMedia.where("media_id = 1"), k = 4, frameBytes = 16)
       .collect()
