@@ -126,6 +126,24 @@ object CorpusOps {
         concat_ws(" ", slice(col("toks"), col("s"), lit(size))).as("chunk_text"))
   }
 
+  /** Deterministic stratified sample: the `perStratum` smallest rows
+    * per stratum in md5-of-id order — a pseudo-random but perfectly
+    * reproducible pick (same rows on any run, machine, or partition
+    * layout; `df.sample()` is none of those). One shuffle on the
+    * stratum key; rank-k selection per group. Eval-set construction is
+    * the use case: the sample must be stable across pipeline reruns or
+    * the benchmark silently drifts.
+    */
+  def stratifiedSample(docs: DataFrame, stratum: String, id: String,
+                       perStratum: Int): DataFrame =
+    docs
+      .withColumn("__rnd", md5(col(id).cast("string")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(stratum)).orderBy(col("__rnd"), col(id))))
+      .where(col("__rn") <= perStratum)
+      .drop("__rnd", "__rn")
+
   /** Deterministic train/val/test assignment from a hash of the id —
     * the split must be a pure function of the document (stable across
     * runs, machines, and repartitioning), never `rand()`. Bucket =

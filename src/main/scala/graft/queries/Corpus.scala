@@ -182,6 +182,21 @@ object Corpus {
               |  array_to_string(t[s:s+39], ' ') AS chunk_text
               |FROM starts ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // Deterministic stratified sample: 20 docs per language in
+    // md5-of-id order — reproducible eval-set construction (sample()
+    // is neither cross-run nor cross-partitioning stable).
+    Q(
+      "q57_stratified_sample",
+      (s, dir) => CorpusOps.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id")),
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin)),
+
     // The composed quality-filter pipeline (C4/Gopher shape): token
     // count, stopword ratio, punctuation ratio, and chars-per-token
     // thresholds; per-language survival rates.

@@ -668,6 +668,35 @@ object Relational {
              |  ON l_extendedprice / l_quantity BETWEEN lo AND hi
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    // FULL OUTER join — the one join type the inventory lacked: both
+    // sides filtered so each has nations the other misses, and the
+    // grouped counts ride through null-producing sides. coalesce on
+    // the key makes the output key total.
+    Q(
+      "q58_full_outer",
+      (s, dir) => {
+        val c = graft.Tables.customer(s, dir)
+          .where(col("c_mktsegment") === "BUILDING")
+          .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+        val su = graft.Tables.supplier(s, dir)
+          .where(col("s_acctbal") > 4500)
+          .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+        c.join(su, col("ck") === col("sk"), "full_outer")
+          .select(
+            coalesce(col("ck"), col("sk")).as("nationkey"),
+            col("n_cust"), col("n_supp"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""WITH c AS (
+             |  SELECT c_nationkey AS ck, COUNT(*) AS n_cust FROM customer
+             |  WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+             |s AS (
+             |  SELECT s_nationkey AS sk, COUNT(*) AS n_supp FROM supplier
+             |  WHERE s_acctbal > 4500 GROUP BY 1)
+             |SELECT coalesce(ck, sk) AS nationkey, n_cust, n_supp
+             |FROM c FULL OUTER JOIN s ON ck = sk
+             |ORDER BY nationkey""".stripMargin)),
+
     // Ranking/distribution window suite: ntile, percent_rank,
     // cume_dist, lag, and a RANGE frame over a day-number sort key
     // (trailing 7-day count). The ranked windows order by the UNIQUE
