@@ -47,11 +47,24 @@ object Tables {
     * expressions; the guard makes it a no-op at real scale, where the
     * scan already yields thousands of splits and a blanket repartition
     * would be a pointless full-table shuffle.
+    *
+    * The split-count probe (`df.rdd.getNumPartitions`) forces physical
+    * planning of the scan, so its verdict is cached per (path, target):
+    * the files under a table path don't change within a session, and
+    * repeated loads would otherwise re-plan the same scan every query.
+    * (The verdict also depends on parquet split-sizing confs; the cache
+    * assumes those are stable per session, which the builder guarantees.)
     */
-  private def fanout(df: DataFrame): DataFrame = {
+  private val fanoutVerdict =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def fanout(df: DataFrame, path: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val need = fanoutVerdict.computeIfAbsent(
+      s"$path@$target", _ => df.rdd.getNumPartitions < target)
+    if (need) df.repartition(target) else df
   }
-  def documents(s: SparkSession, d: String): DataFrame  = fanout(load(s, d, "documents"))
-  def embeddings(s: SparkSession, d: String): DataFrame = fanout(load(s, d, "embeddings"))
+  def documents(s: SparkSession, d: String): DataFrame =
+    fanout(load(s, d, "documents"), s"$d/documents.parquet")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    fanout(load(s, d, "embeddings"), s"$d/embeddings.parquet")
 }

@@ -103,18 +103,41 @@ object Lake {
     *
     * Metadata-only detection: partition directories are selected from
     * the file listing alone (count vs ceil(bytes/targetBytes)) — no
-    * data is read for well-compacted partitions. Each selected
-    * directory is rewritten alone: read (partition-pruned by
-    * construction), coalesce to the target count, re-sort by pos within
-    * files (restores row-group pruning for point lookups), pin via an
-    * eager localCheckpoint — the plan must not reference the files the
-    * overwrite is about to delete — and overwrite just that directory.
+    * data is read for well-compacted partitions.
+    *
+    * Crash safety — the rewrite never has a window where committed data
+    * exists only in volatile storage (the earlier design's
+    * localCheckpoint + in-place Overwrite lost the partition if an
+    * executor died mid-write):
+    *   1. the compacted copy is written to a dot-prefixed temp dir
+    *      INSIDE the partition (hidden paths are invisible to
+    *      Spark/Hive readers, so concurrent reads stay correct);
+    *   2. the copy is verified (row count in == row count out) while
+    *      the originals are still untouched — a failed or short write
+    *      aborts here with the partition intact;
+    *   3. the swap is metadata-only renames: originals move to a
+    *      hidden trash dir, new files move in, trash is deleted. A
+    *      crash at any point leaves every row on durable storage (at
+    *      worst split across the hidden dirs, recoverable by hand —
+    *      never silently gone).
+    *
+    * File-count target: a directory of many tiny files typically
+    * bin-packs into fewer scan splits than `want`, and coalesce can
+    * only reduce — so when the scan yields fewer partitions than the
+    * target, the rewrite range-repartitions on pos instead (the same
+    * sort the coalesce path pays in sortWithinPartitions), which both
+    * hits the file-count target exactly and range-clusters pos across
+    * files for row-group AND file-level min/max pruning.
+    *
+    * `failpoint` is a test seam invoked after verification, before the
+    * swap — production callers leave the default no-op.
     *
     * Returns (directory, filesBefore, filesAfter) per compacted
     * partition.
     */
   def compact(spark: SparkSession, lakePath: String,
-              targetBytes: Long = 128L * 1024 * 1024): Seq[(String, Int, Int)] = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              failpoint: String => Unit = _ => ()): Seq[(String, Int, Int)] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(lakePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -130,14 +153,42 @@ object Lake {
         math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toLong).toInt
       if (files.length <= want) None
       else {
-        val compacted = spark.read.parquet(p.getPath.toString)
-          .coalesce(want)
-          .sortWithinPartitions(col("pos"))
-          .localCheckpoint(true)
-        compacted.write.mode(SaveMode.Overwrite).parquet(p.getPath.toString)
-        val after = fs.listStatus(p.getPath)
+        val dir = p.getPath
+        val tmp = new Path(dir, ".compact_tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+
+        // 1. write the compacted copy beside the originals (hidden dir)
+        val src = spark.read.parquet(dir.toString)
+        val shaped =
+          if (src.rdd.getNumPartitions < want) src.repartitionByRange(want, col("pos"))
+          else src.coalesce(want)
+        shaped.sortWithinPartitions(col("pos"))
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+
+        // 2. verify the copy before touching any original file
+        val newFiles = fs.listStatus(tmp)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val rowsIn = src.count()
+        val rowsOut = spark.read.parquet(tmp.toString).count()
+        if (rowsOut != rowsIn || newFiles.isEmpty) {
+          fs.delete(tmp, true)
+          throw new IllegalStateException(
+            s"compact verification failed for $dir: $rowsIn rows in, $rowsOut out — originals untouched")
+        }
+        failpoint(dir.toString)
+
+        // 3. metadata-only swap: originals → hidden trash, copy → live, trash gone
+        val trash = new Path(dir, ".compact_old")
+        if (fs.exists(trash)) fs.delete(trash, true)
+        fs.mkdirs(trash)
+        files.foreach(f => fs.rename(f.getPath, new Path(trash, f.getPath.getName)))
+        newFiles.foreach(f => fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+        fs.delete(trash, true)
+        fs.delete(tmp, true)
+
+        val after = fs.listStatus(dir)
           .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        Some((p.getPath.toString, files.length, after))
+        Some((dir.toString, files.length, after))
       }
     }
   }

@@ -83,20 +83,31 @@ object CorpusOps {
   }
 
   /** Inverted index over the corpus: one row per term with its
-    * document frequency and a CAPPED ascending posting list (the cap
-    * bounds row width — a stopword's postings would otherwise be the
-    * whole corpus in one row). One explode of per-row DISTINCT tokens
-    * (no corpus-wide distinct) and one partial-aggregated groupBy on
-    * the term — linear, and the shuffle carries (term, id) pairs only.
+    * document frequency and a CAPPED ascending posting list — the
+    * `maxPostings` smallest ids per term. The cap is enforced BEFORE
+    * the fold: (term, id) pairs are ranked by a streaming
+    * `row_number()` window and only in-cap ids enter `collect_set`, so
+    * a stopword's aggregation buffer holds at most `maxPostings` ids —
+    * at 100 TB the old post-agg `slice` would have buffered the whole
+    * corpus in one term's agg state. `df` still counts every pair. One
+    * explode of per-row DISTINCT tokens (no corpus-wide distinct), one
+    * shuffle on the term shared by the window and the groupBy (Catalyst
+    * reuses the exchange — the window's sort-by-id state is streaming,
+    * never a full posting list).
     */
   def invertedIndex(docs: DataFrame, id: String, text: String,
-                    maxPostings: Int): DataFrame =
+                    maxPostings: Int): DataFrame = {
+    val byTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col(id))
     docs.select(col(id),
       explode(array_distinct(TextOps.tokens(col(text)))).as("term"))
+      .withColumn("__rk", row_number().over(byTerm))
       .groupBy(col("term"))
       .agg(
         count(lit(1)).as("df"),
-        slice(sort_array(collect_set(col(id))), 1, maxPostings).as("postings"))
+        sort_array(collect_set(when(col("__rk") <= maxPostings, col(id))))
+          .as("postings"))
+  }
 
   /** Sliding-window document chunking — the tokenization-prep step
     * that turns long documents into training samples: chunks of `size`

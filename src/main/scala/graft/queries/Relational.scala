@@ -525,15 +525,30 @@ object Relational {
     // Approximate aggregates — the 100 TB fallbacks for exact
     // count-distinct/percentiles (SURVEY §2.6 note). Rows-only: HLL and
     // KLL sketch internals differ across engines by design, so there is
-    // no hash-matchable oracle; the exact counterparts (q6, q31) anchor
-    // correctness.
+    // no hash-matchable oracle. The row is SELF-EVIDENCING instead:
+    // each sketch value is emitted beside its exact counterpart and a
+    // relative error, so the gate's rows-only entry still shows the
+    // approximation is tight (HLL default rsd 5%; KLL at accuracy 1000
+    // lands within 1/1000 rank of the true median).
     Q(
       "q38_approx",
       (s, dir) => {
         graft.Tables.lineitem(s, dir).agg(
           approx_count_distinct(col("l_orderkey")).as("acd_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .cast("double").as("p50_price"),
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)")
+            .as("exact_p50_price"),
           count(lit(1)).as("n"))
+          .select(
+            col("acd_orders"), col("exact_orders"),
+            round(abs(col("acd_orders") - col("exact_orders"))
+              .cast("double") / col("exact_orders"), 4).as("acd_rel_err"),
+            col("p50_price"), col("exact_p50_price"),
+            round(abs(col("p50_price") - col("exact_p50_price"))
+              / col("exact_p50_price"), 4).as("p50_rel_err"),
+            col("n"))
       },
       None),
 
@@ -699,7 +714,9 @@ object Relational {
 
     // Ranking/distribution window suite: ntile, percent_rank,
     // cume_dist, lag, and a RANGE frame over a day-number sort key
-    // (trailing 7-day count). The ranked windows order by the UNIQUE
+    // (trailing 7-day count: 6 preceding days plus the current one —
+    // RANGE -6..current spans exactly 7 calendar days inclusive).
+    // The ranked windows order by the UNIQUE
     // o_orderkey — ranking over a tied sort key is engine-arbitrary and
     // can never hash-match; the RANGE frame orders by the tied day
     // number precisely because frames (unlike ranks) are
@@ -712,7 +729,7 @@ object Relational {
         val byKey = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
         val byDay = Window.partitionBy(col("o_orderstatus"))
           .orderBy(col("__day"))
-          .rangeBetween(-7, Window.currentRow)
+          .rangeBetween(-6, Window.currentRow)
         graft.Tables.orders(s, dir)
           .withColumn("__day", datediff(col("o_orderdate"), lit("1970-01-01")))
           .select(
@@ -731,7 +748,7 @@ object Relational {
              |  lag(o_totalprice, 1) OVER w AS prev_price,
              |  count(*) OVER (PARTITION BY o_orderstatus
              |    ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
-             |    RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS trailing_7d
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS trailing_7d
              |FROM orders
              |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
              |ORDER BY o_orderkey""".stripMargin)),

@@ -41,4 +41,68 @@ class CompactionSpec extends AnyFunSuite {
     // idempotent: a second pass finds nothing to do
     assert(Lake.compact(spark, dir, targetBytes = 1L << 30).isEmpty)
   }
+
+  test("compact hits the file-count target even when the scan bin-packs tiny files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact-target").toString + "/lake"
+    // one partition directory, 12 tiny files — Spark's scan bin-packs
+    // these into far fewer splits than the byte-derived target, which
+    // the old coalesce-only rewrite silently undershot
+    (0 until 1200).map(i => ("chr1", 0L, i, s"payload$i" * 40))
+      .toDF("chrom", "pos_bucket", "pos", "payload")
+      .repartition(12).write.partitionBy("chrom", "pos_bucket").parquet(dir)
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pDir = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).flatMap(c => fs.listStatus(c.getPath).filter(_.isDirectory))
+      .head.getPath
+    val bytes = fs.listStatus(pDir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    // pick targetBytes so want is ~4 (strictly between 1 and filesBefore)
+    val target = bytes / 4 + 1
+    val want = math.ceil(bytes.toDouble / target).toInt
+    assert(want > 1 && want < 12, s"fixture should target a middle count, got $want")
+
+    val expected = spark.read.parquet(dir).orderBy(col("pos")).collect().toSeq
+    val report = Lake.compact(spark, dir, targetBytes = target)
+    assert(report.size === 1)
+    assert(report.head._3 === want, s"filesAfter should equal the target $want: $report")
+    assert(spark.read.parquet(dir).orderBy(col("pos")).collect().toSeq === expected)
+  }
+
+  test("a failure after write but before swap leaves the originals fully intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact-crash").toString + "/lake"
+    (0 until 300).map(i => ("chr1", 0L, i, s"payload$i"))
+      .toDF("chrom", "pos_bucket", "pos", "payload")
+      .repartition(5).write.partitionBy("chrom", "pos_bucket").parquet(dir)
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def liveFiles: Set[String] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).toSeq.flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s))
+      walk(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.toString)
+        .filter(n => n.endsWith(".parquet") && !n.contains("/."))
+        .toSet
+    }
+    val originals = liveFiles
+    val expected = spark.read.parquet(dir).orderBy(col("pos")).collect().toSeq
+
+    // simulated crash between verification and swap
+    val boom = intercept[RuntimeException] {
+      Lake.compact(spark, dir, targetBytes = 1L << 30,
+        failpoint = _ => throw new RuntimeException("simulated crash"))
+    }
+    assert(boom.getMessage === "simulated crash")
+    assert(liveFiles === originals, "every original file must survive the crash")
+    assert(spark.read.parquet(dir).orderBy(col("pos")).collect().toSeq === expected,
+      "the partition must still read back exactly (hidden temp dir ignored)")
+
+    // a later clean pass recovers: stale temp dir is replaced, swap completes
+    val report = Lake.compact(spark, dir, targetBytes = 1L << 30)
+    assert(report.size === 1 && report.head._3 === 1)
+    assert(spark.read.parquet(dir).orderBy(col("pos")).collect().toSeq === expected)
+  }
 }
