@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * Codecs: images (PNG/JPEG/GIF/BMP) decode for real via
   * `javax.imageio`, audio (WAV/PCM and anything the JDK's sampled-audio
-  * SPI converts) via `javax.sound.sampled` — both ship with the JDK, no
-  * native dependencies — and features derive from actual pixels /
-  * samples. Payloads neither codec reads (video formats, corrupt
-  * bytes) fall back to the labeled deterministic STUB, preserving the
-  * full-pipeline behavior until a video codec is slotted in.
+  * SPI converts) via `javax.sound.sampled`, and motion payloads whose
+  * frames ImageIO can iterate (animated GIF — the one motion format
+  * with a pure-JVM decoder) yield real composited frames via
+  * `decodeFrames` — all ship with the JDK, no native dependencies —
+  * and features derive from actual pixels / samples. Payloads no JDK
+  * codec reads (MPEG-family video, corrupt bytes) fall back to the
+  * labeled deterministic STUB, preserving the full-pipeline behavior
+  * until a native codec is slotted in.
   *
   * Scale notes:
   *  - payload bytes stay columnar end-to-end (parquet binary chunks);
@@ -75,6 +78,7 @@ object Multimodal {
       .withColumn("format",
         when(magic.startsWith("89504E47"), "png")
           .when(magic.startsWith("FFD8FF"), "jpeg")
+          .when(magic.startsWith("47494638"), "gif")
           .when(magic.startsWith("52494646"), "riff-wav")
           .when(magic.startsWith("00000018") || magic.startsWith("00000020"), "mp4")
           .otherwise("unknown"))
@@ -233,19 +237,128 @@ object Multimodal {
       .toDF("media_id", "content", "width", "height")
   }
 
-  /** Deterministic frame sampling for video-like payloads: `k` evenly
-    * spaced fixed-width byte slices per payload (a real implementation
-    * would seek to keyframes). Pure exprs — no UDF.
+  /** Multi-frame decode for motion payloads ImageIO can iterate —
+    * animated GIF in a stock JDK. Frames are composited cumulatively
+    * onto a canvas at each frame's (left, top) offset, because GIF
+    * frames after the first are typically partial deltas; the returned
+    * images are full-canvas snapshots, one per source frame. The canvas
+    * is sized by the first frame (the GIF logical screen in practice);
+    * later frames that overflow it are clipped. Disposal methods beyond
+    * draw-over are not modeled — fine for feature extraction, not an
+    * archival renderer. None ⇒ no ImageIO reader claims the payload —
+    * callers fall back to the stub path (true MPEG lands here: no
+    * pure-JVM decoder exists).
+    */
+  def decodeFrames(bytes: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            if (n < 1) None
+            else {
+              var canvas: java.awt.image.BufferedImage = null
+              val out = (0 until n).map { i =>
+                val frame = reader.read(i)
+                val (ox, oy) = frameOffset(reader, i)
+                if (canvas == null)
+                  canvas = new java.awt.image.BufferedImage(
+                    frame.getWidth + ox, frame.getHeight + oy,
+                    java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = canvas.createGraphics()
+                g.drawImage(frame, ox, oy, null)
+                g.dispose()
+                val snap = new java.awt.image.BufferedImage(
+                  canvas.getWidth, canvas.getHeight,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val gs = snap.createGraphics()
+                gs.drawImage(canvas, 0, 0, null)
+                gs.dispose()
+                snap
+              }
+              Some(out)
+            }
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => None }
+
+  /** A frame's placement on the logical screen, from the GIF image
+    * descriptor in the reader's per-frame metadata; (0, 0) for formats
+    * without placement metadata.
+    */
+  private def frameOffset(reader: javax.imageio.ImageReader, i: Int): (Int, Int) =
+    try {
+      val md = reader.getImageMetadata(i)
+      val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val desc = tree.getElementsByTagName("ImageDescriptor")
+      if (desc.getLength == 0) (0, 0)
+      else {
+        val e = desc.item(0).asInstanceOf[org.w3c.dom.Element]
+        (e.getAttribute("imageLeftPosition").toInt,
+          e.getAttribute("imageTopPosition").toInt)
+      }
+    } catch { case _: Exception => (0, 0) }
+
+  final case class SampledFrame(media_id: Long, frame_idx: Int,
+                                frame: Array[Byte], width: Int, height: Int,
+                                decoded: Boolean)
+
+  /** Deterministic frame sampling for video-like payloads: up to `k`
+    * evenly spaced frames per payload. Payloads ImageIO can read yield
+    * REAL frames — `decodeFrames` composites the animation and the
+    * sampler picks `k` evenly spaced source frames (all of them when
+    * the payload has fewer than `k`), re-encoded as PNG with
+    * `frame_idx` = the source frame number and `decoded` = true. A
+    * still image is its own single frame. Payloads no JDK codec reads
+    * (true MPEG) take the labeled STUB path: `k` evenly spaced
+    * `frameBytes`-wide byte slices, `decoded` = false — same plumbing,
+    * swap the decoder when a native codec arrives.
+    *
+    * Decode runs batched in `mapPartitions` at the codec boundary,
+    * like `extractFeatures`; payload bytes stay columnar throughout.
     */
   def sampleFrames(media: DataFrame, k: Int, frameBytes: Int = 32,
-                   contentCol: String = "content"): DataFrame = {
-    val n = octet_length(col(contentCol))
-    media
-      .withColumn("frame_idx", explode(sequence(lit(0), lit(k - 1))))
-      .withColumn("offset",
-        (col("frame_idx") * greatest((n - lit(frameBytes)) / lit(math.max(k - 1, 1)), lit(1)) + lit(1))
-          .cast("int"))
-      .withColumn("frame", substring(col(contentCol), col("offset"), lit(frameBytes)))
-      .drop("offset")
+                   batchSize: Int = 64): Dataset[SampledFrame] = {
+    require(k > 0, s"need k > 0, got $k")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .where(col("content").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
+          decodeFrames(bytes) match {
+            case Some(frames) =>
+              val n = frames.length
+              val idxs =
+                if (k >= n) 0 until n
+                else (0 until k).map(i => (i.toLong * (n - 1) / (k - 1)).toInt)
+              idxs.map { i =>
+                val img = frames(i)
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "png", bos)
+                SampledFrame(id, i, bos.toByteArray,
+                  img.getWidth, img.getHeight, decoded = true)
+              }
+            case None =>
+              val len = bytes.length
+              val step = math.max((len - frameBytes) / math.max(k - 1, 1), 1)
+              (0 until k).map { i =>
+                val from = math.min(i * step, math.max(len - 1, 0))
+                SampledFrame(id, i,
+                  bytes.slice(from, math.min(from + frameBytes, len)),
+                  -1, -1, decoded = false)
+              }
+          }
+        })
+      }
   }
 }

@@ -380,6 +380,40 @@ object LlmOps {
       },
       None),
 
+    // Frame sampling through the gate. Documents' text bytes are not
+    // ImageIO-readable, so every payload takes the deterministic STUB
+    // path (k evenly spaced byte slices) — which IS SQL-expressible:
+    // the corpus is pure ASCII (octet_length == length at every SF), so
+    // DuckDB's 1-based char substring reproduces the byte slices and
+    // md5 hashes them comparably. The REAL decoded path (animated GIF →
+    // composited frames) is pinned by MultimodalSpec — no SQL oracle
+    // can re-run a JVM codec.
+    Q(
+      "q59_frame_sample",
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+        graft.ops.Multimodal.sampleFrames(media, k = 4, frameBytes = 16)
+          .toDF()
+          .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+            md5(col("frame")).as("frame_md5"), col("decoded"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id AS media_id, i AS frame_idx, text,
+             |    strlen(text) AS len,
+             |    greatest((strlen(text) - 16) // 3, 1) AS step
+             |  FROM documents, (SELECT unnest(range(0, 4)) AS i)),
+             |o AS (
+             |  SELECT media_id, frame_idx, text, len,
+             |    least(frame_idx * step, greatest(len - 1, 0)) AS frm
+             |  FROM f)
+             |SELECT media_id, frame_idx,
+             |  md5(substring(text, CAST(frm + 1 AS INT),
+             |    CAST(least(frm + 16, len) - frm AS INT))) AS frame_md5,
+             |  false AS decoded
+             |FROM o ORDER BY media_id, frame_idx""".stripMargin)),
+
     Q(
       "q29_fingerprint",
       (s, dir) => Tables.documents(s, dir).select(

@@ -124,13 +124,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio("just some text".getBytes).isEmpty)
   }
 
-  test("frame sampling yields k fixed-width deterministic slices") {
+  test("frame sampling yields k fixed-width deterministic slices on the stub path") {
+    // media_id 1 is magic bytes + garbage — no ImageIO reader claims it
     val frames = Multimodal.sampleFrames(fakeMedia.where("media_id = 1"), k = 4, frameBytes = 16)
       .collect()
     assert(frames.length === 4)
-    assert(frames.map(_.getAs[Array[Byte]]("frame").length).forall(_ == 16))
+    assert(frames.forall(!_.decoded))
+    assert(frames.map(_.frame.length).forall(_ == 16))
     val again = Multimodal.sampleFrames(fakeMedia.where("media_id = 1"), k = 4, frameBytes = 16)
-      .collect().map(_.getAs[Array[Byte]]("frame").toSeq)
-    assert(frames.map(_.getAs[Array[Byte]]("frame").toSeq).toSeq === again.toSeq)
+      .collect().map(_.frame.toSeq)
+    assert(frames.map(_.frame.toSeq).toSeq === again.toSeq)
+  }
+
+  /** A real animated GIF: one solid web-safe color per frame (web-safe
+    * grays survive the GIF writer's palette exactly).
+    */
+  private def animatedGif(colors: Seq[Int], w: Int = 8, h: Int = 8): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(c))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  test("animated GIF payloads yield real decoded frames, evenly sampled") {
+    import spark.implicits._
+    val colors = Seq(0x000000, 0x333333, 0x666666, 0x999999, 0xcccccc)
+    val gif = animatedGif(colors)
+    // the decoder sees every source frame with its pixels intact
+    val decoded = Multimodal.decodeFrames(gif).get
+    assert(decoded.length === 5)
+    assert(decoded.map(_.getRGB(4, 4) & 0xffffff) === colors)
+    // sniffing agrees it's a GIF
+    val media = Seq((30L, gif)).toDF("media_id", "content")
+    assert(Multimodal.withMediaMeta(media).collect()(0)
+      .getAs[String]("format") === "gif")
+    // k=3 over 5 frames picks source frames 0, 2, 4 — real pixels, not slices
+    val frames = Multimodal.sampleFrames(media, k = 3).collect().sortBy(_.frame_idx)
+    assert(frames.length === 3)
+    assert(frames.forall(_.decoded))
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    assert(frames.forall(f => f.width === 8 && f.height === 8))
+    val pixels = frames.map(f => Multimodal.decodeImage(f.frame).get.getRGB(4, 4) & 0xffffff)
+    assert(pixels.toSeq === Seq(colors(0), colors(2), colors(4)))
+    // a still image is its own single real frame
+    val still = Multimodal.sampleFrames(
+      Seq((31L, realPng())).toDF("media_id", "content"), k = 4).collect()
+    assert(still.length === 1 && still(0).decoded && still(0).frame_idx === 0)
   }
 }
