@@ -168,4 +168,88 @@ object CorpusOps {
     docs.withColumn("split",
       when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
   }
+
+  /** One row per line of every document: (id, line_no, line), the
+    * shared explode of the line-level operators below.
+    */
+  private def lines(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id),
+      posexplode(split(col(text), "\n")).as(Seq("line_no", "line")))
+
+  /** Corpus-wide exact LINE dedup (CCNet-style): every distinct line
+    * survives exactly once, at its first occurrence — smallest
+    * (id, line_no) — and documents are rebuilt from their surviving
+    * lines in original order. Boilerplate (headers, nav bars, license
+    * blocks) that repeats across billions of pages is what this kills
+    * at training-data scale, where document-level dedup can't see it.
+    *
+    * Shape: one shuffle on the line text with a partial-aggregated
+    * min-struct (a hot boilerplate line folds map-side — no skewed sort,
+    * no window over a billion-row partition), then one shuffle on the
+    * doc id to reassemble; the rebuild buffer is bounded by a single
+    * document's surviving lines. Output keeps every input doc (docs
+    * whose lines all lost elsewhere come back empty).
+    */
+  def dedupLines(docs: DataFrame, id: String, text: String): DataFrame = {
+    val survivors = lines(docs, id, text)
+      .groupBy(col("line"))
+      .agg(min(struct(col(id).as("__id"), col("line_no"))).as("first"))
+      .select(col("first.__id").as(id), col("first.line_no").as("line_no"),
+        col("line"))
+    val rebuilt = survivors
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("line_no"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("text_deduped"))
+    docs
+      .select(col(id),
+        size(split(col(text), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id), col("n_lines"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
+  /** Boilerplate-line removal: a line present in more than `maxDocs`
+    * DISTINCT documents is navigation/chrome, not content — strip every
+    * occurrence from every document (unlike [[dedupLines]], which keeps
+    * the first). The doc-frequency pass is an exact count-distinct per
+    * line, partial-aggregated on (line, id) then line, and the verdict
+    * joins back as a broadcast when the boilerplate set is small —
+    * which it is by construction: lines over the threshold are FEW
+    * distinct strings (that's what makes them boilerplate), even though
+    * their occurrences dominate the corpus.
+    */
+  def stripBoilerplate(docs: DataFrame, id: String, text: String,
+                       maxDocs: Long): DataFrame = {
+    val l = lines(docs, id, text)
+    val boiler = l.select(col("line"), col(id))
+      .distinct()
+      .groupBy(col("line"))
+      .agg(count(lit(1)).as("line_df"))
+      .where(col("line_df") > maxDocs)
+      .select(col("line"))
+    val kept = l
+      .join(broadcast(boiler).withColumn("__boiler", lit(1)), Seq("line"), "left")
+      .where(col("__boiler").isNull)
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("line_no"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("text_stripped"))
+    docs
+      .select(col(id),
+        size(split(col(text), "\n")).cast("long").as("n_lines"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), col("n_lines"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("text_stripped"), lit("")).as("text_stripped"))
+  }
 }

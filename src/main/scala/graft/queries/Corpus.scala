@@ -15,6 +15,40 @@ object Corpus {
   private val ContaminationN = 3
   private val BenchCutoff = 50L
 
+  /** The corpus has no newlines, so the line-level operators (q60/q61)
+    * run over a constructed multi-line view: each document becomes 5
+    * lines of 8 tokens (the tiny synthetic vocabulary makes 8-token
+    * lines repeat heavily across documents — exactly the boilerplate
+    * shape the operators exist for). Both engines build the view from
+    * the same token arrays.
+    */
+  private def multilineDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat_ws("\n",
+        (0 until 5).map(i => concat_ws(" ", slice(toks, 1 + 8 * i, 8))): _*)
+        .as("text"))
+  }
+
+  private val multilineSql =
+    s"""toks AS (SELECT doc_id, ${LlmOps.tokSql} AS t FROM documents),
+       |ml AS (
+       |  -- array_to_string of an EMPTY slice is NULL in DuckDB (Spark's
+       |  -- concat_ws gives '') -> coalesce each line (determinism memo)
+       |  SELECT doc_id,
+       |    coalesce(array_to_string(t[1:8], ' '), '')   || chr(10) ||
+       |    coalesce(array_to_string(t[9:16], ' '), '')  || chr(10) ||
+       |    coalesce(array_to_string(t[17:24], ' '), '') || chr(10) ||
+       |    coalesce(array_to_string(t[25:32], ' '), '') || chr(10) ||
+       |    coalesce(array_to_string(t[33:40], ' '), '') AS text
+       |  FROM toks),
+       |l AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, len(string_split(text, chr(10))))) AS line_no,
+       |    unnest(string_split(text, chr(10))) AS line
+       |  FROM ml)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Gopher-style repetition signals: distinct-token ratio plus the
@@ -196,6 +230,57 @@ object Corpus {
              |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
              |  FROM documents)
              |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin)),
+
+    // Corpus-wide exact line dedup (CCNet-style): every distinct line
+    // survives once, at its smallest (doc_id, line_no); documents are
+    // rebuilt from surviving lines in order. Doc-level dedup can't see
+    // cross-document boilerplate — this is the operator that does.
+    Q(
+      "q60_line_dedup",
+      (s, dir) => CorpusOps.dedupLines(multilineDocs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $multilineSql,
+              |surv AS (
+              |  SELECT doc_id, line_no, line FROM l
+              |  QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1),
+              |reb AS (
+              |  SELECT doc_id, count(*) AS n_lines_kept,
+              |    string_agg(line, chr(10) ORDER BY line_no) AS text_deduped
+              |  FROM surv GROUP BY doc_id)
+              |SELECT m.doc_id,
+              |  CAST(len(string_split(m.text, chr(10))) AS BIGINT) AS n_lines,
+              |  CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+              |  coalesce(r.text_deduped, '') AS text_deduped
+              |FROM ml m LEFT JOIN reb r USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Boilerplate-line removal: a line in more than 3 DISTINCT docs is
+    // chrome, not content — every occurrence goes (dedupLines keeps the
+    // first; this keeps none). The boilerplate set is few distinct
+    // strings by construction, so the verdict joins back broadcast.
+    Q(
+      "q61_boilerplate",
+      (s, dir) => CorpusOps.stripBoilerplate(multilineDocs(s, dir), "doc_id", "text",
+        maxDocs = 3)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $multilineSql,
+              |boiler AS (
+              |  SELECT line FROM (
+              |    SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY line)
+              |  WHERE line_df > 3),
+              |kept AS (
+              |  SELECT doc_id, line_no, line FROM l
+              |  WHERE line NOT IN (SELECT line FROM boiler)),
+              |reb AS (
+              |  SELECT doc_id, count(*) AS n_lines_kept,
+              |    string_agg(line, chr(10) ORDER BY line_no) AS text_stripped
+              |  FROM kept GROUP BY doc_id)
+              |SELECT m.doc_id,
+              |  CAST(len(string_split(m.text, chr(10))) AS BIGINT) AS n_lines,
+              |  CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+              |  coalesce(r.text_stripped, '') AS text_stripped
+              |FROM ml m LEFT JOIN reb r USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
 
     // The composed quality-filter pipeline (C4/Gopher shape): token
     // count, stopword ratio, punctuation ratio, and chars-per-token

@@ -99,4 +99,46 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select(TextOps.redactPii(col("t"))).head().getString(0)
     assert(r === "mail <EMAIL> or <PHONE> at <IP> versus v1.2 and fee 3.50")
   }
+
+  test("dedupLines: first occurrence survives, docs rebuild in order, empty docs kept") {
+    val docs = Seq(
+      (1L, "header\nunique one\nfooter"),
+      (2L, "header\nunique two\nfooter"),  // header+footer lose to doc 1
+      (3L, "header\nfooter"),              // loses every line
+      (4L, "unique two\nsolo")             // "unique two" lost to doc 2
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.dedupLines(docs, "doc_id", "text")
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_lines"), x.getAs[Long]("n_lines_kept"),
+          x.getAs[String]("text_deduped"))).toMap
+    assert(r(1L) === ((3L, 3L, "header\nunique one\nfooter")))
+    assert(r(2L) === ((3L, 1L, "unique two")))
+    assert(r(3L) === ((2L, 0L, "")))
+    assert(r(4L) === ((2L, 1L, "solo")))
+    // stable under repartitioning (survivor = smallest (id, line_no), not luck)
+    val again = CorpusOps.dedupLines(docs.repartition(7), "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text_deduped")).toMap
+    assert(again === r.map { case (k, v) => k -> v._3 })
+  }
+
+  test("stripBoilerplate: over-threshold lines vanish everywhere, content survives") {
+    val docs = Seq(
+      (1L, "nav bar\nreal content a\ncopyright"),
+      (2L, "nav bar\nreal content b\ncopyright"),
+      (3L, "nav bar\nreal content c\ncopyright"),
+      (4L, "nav bar\nnav bar\nonly here")   // duplicate INSIDE one doc counts once for df
+    ).toDF("doc_id", "text")
+    // "nav bar" df=4, "copyright" df=3 → both > 2; content lines df=1
+    val r = CorpusOps.stripBoilerplate(docs, "doc_id", "text", maxDocs = 2)
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_lines_kept"), x.getAs[String]("text_stripped"))).toMap
+    assert(r(1L) === ((1L, "real content a")))
+    assert(r(2L) === ((1L, "real content b")))
+    assert(r(3L) === ((1L, "real content c")))
+    assert(r(4L) === ((1L, "only here"))) // both nav-bar copies stripped
+    // unlike dedupLines, NO occurrence survives — not even the first
+    assert(!r.values.exists(_._2.contains("nav bar")))
+  }
 }
