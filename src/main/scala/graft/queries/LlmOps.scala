@@ -158,6 +158,48 @@ object LlmOps {
               |WHERE jaccard >= 0.2
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Duplicate-cluster assignment: connected components over the
+    // verified near-dup graph (q22's edges), every doc labeled with the
+    // MINIMUM id reachable through near-dup edges. The Spark side is
+    // the O(log diameter) pointer-jumping loop; the oracle reaches the
+    // same fixpoint declaratively with a recursive CTE (min id over the
+    // transitive closure) — tractable because near-dup components are
+    // small even when the corpus isn't.
+    Q(
+      "q62_dup_clusters",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val hsets = Dedup.shingleHashArrays(docs, "doc_id", "text", ShingleN).persist()
+        val sig = Dedup.minhashSignatureDirect(docs, "doc_id", "text", ShingleN, MinhashK)
+          .persist()
+        val cand = Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", MinhashK, BandR), "doc_id",
+          maxBucket = Some(MaxBucket))
+        val verified = Dedup.jaccardVerifyHashed(cand, hsets, "doc_id", 0.2)
+        Dedup.duplicateClusters(verified)
+          .select(col("id").cast("long").as("doc_id"),
+            col("cluster").cast("long").as("cluster"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $shSql, $sigSql, $bandsSql, $candSql,
+              |lists AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY doc_id),
+              |scored AS (
+              |  SELECT doc_a, doc_b,
+              |    round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+              |          CAST(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS DOUBLE), 4) AS jaccard
+              |  FROM cand
+              |  JOIN lists a ON a.doc_id = doc_a
+              |  JOIN lists b ON b.doc_id = doc_b),
+              |ver AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.2),
+              |e AS (SELECT doc_a, doc_b FROM ver
+              |      UNION ALL SELECT doc_b, doc_a FROM ver),
+              |cc AS (
+              |  SELECT DISTINCT doc_a AS id, doc_a AS comp FROM e
+              |  UNION
+              |  SELECT e.doc_b AS id, cc.comp AS comp
+              |  FROM cc JOIN e ON cc.id = e.doc_a)
+              |SELECT id AS doc_id, min(comp) AS cluster
+              |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     Q(
       "q23_simhash",
       (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", SimhashBits)
