@@ -154,4 +154,34 @@ object Similarity {
       .where(col("cos_sim") >= minCos)
       .distinct()
   }
+
+  /** Per-vector int8 scalar quantization — the 4× storage/bandwidth cut
+    * an embedding store takes before ANN indexing: each vector maps to
+    * codes round((v-lo)·255/(hi-lo)) against its own [lo, hi] range,
+    * plus the range itself for dequantization and the max absolute
+    * reconstruction error as the quality signal. Pure per-row array
+    * expressions in double (min/max are order-independent; every op is
+    * a fixed IEEE expression tree, so any engine reproduces it bit-for-
+    * bit) — no shuffle, fully parallel, linear in corpus size. Constant
+    * vectors (hi == lo) quantize to code 0 with zero error.
+    */
+  def quantizeInt8(emb: DataFrame, id: String, vec: String): DataFrame = {
+    val x = transform(col(vec), v => v.cast("double"))
+    emb
+      .select(col(id), x.as("x"))
+      .select(col(id), col("x"),
+        array_min(col("x")).as("lo"), array_max(col("x")).as("hi"))
+      .select(col(id), col("x"), col("lo"), col("hi"),
+        transform(col("x"), v =>
+          when(col("hi") === col("lo"), lit(0L)).otherwise(
+            round((v - col("lo")) * 255.0 / (col("hi") - col("lo"))).cast("long")))
+          .as("codes"))
+      .select(
+        col(id),
+        size(col("x")).cast("long").as("n_dims"),
+        col("lo"), col("hi"), col("codes"),
+        array_max(zip_with(col("x"), col("codes"), (v, q) =>
+          abs(v - (col("lo") + q.cast("double") * (col("hi") - col("lo")) / 255.0))))
+          .as("max_abs_err"))
+  }
 }

@@ -66,6 +66,22 @@ object TextOps {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  /** BPE-ish pre-tokenization pattern (GPT-2 shape, lookahead-free so
+    * RE2 and Java regex match identically — probed on both): common
+    * contractions, then space-prefixed letter runs / digit runs /
+    * punctuation runs, then bare whitespace. Token COUNT under this
+    * pattern is the budgeting estimate a training pipeline uses before
+    * the real tokenizer runs — whitespace counts undershoot badly on
+    * punctuation- or digit-heavy text.
+    */
+  val BpeishRe = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+
+  /** Number of BPE-ish pre-tokens (see [[BpeishRe]]); pure codegen'd
+    * regexp count, no explode.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit(BpeishRe)).cast("long")
+
   /** Canonical form for content fingerprinting: lowercase, alnum only. */
   def normalized(text: Column): Column =
     regexp_replace(lower(text), "[^a-z0-9]", "")

@@ -15,6 +15,24 @@ object Corpus {
   private val ContaminationN = 3
   private val BenchCutoff = 50L
 
+  /** The corpus is lowercase words and spaces only, so operators that
+    * need digits/punctuation to be interesting (PII scrub q49, BPE-ish
+    * token counting q63) run over a deterministic augmented view: each
+    * doc gains a contact line derived from its id. Same construction
+    * on both engines.
+    */
+  private def augText = concat(
+    col("text"), lit(" contact user"), col("doc_id").cast("string"),
+    lit("@example.com or +1-555-"),
+    lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+    lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+    lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"), lit(" end"))
+
+  private val augSql = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+    "'@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+    "' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || " +
+    "CAST((doc_id * 7) % 256 AS VARCHAR) || ' end'"
+
   /** The corpus has no newlines, so the line-level operators (q60/q61)
     * run over a constructed multi-line view: each document becomes 5
     * lines of 8 tokens (the tiny synthetic vocabulary makes 8-token
@@ -96,12 +114,7 @@ object Corpus {
     Q(
       "q49_pii_scrub",
       (s, dir) => {
-        val aug = concat(
-          col("text"), lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com or +1-555-"),
-          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
-          lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
-          lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"), lit(" end"))
+        val aug = augText
         Tables.documents(s, dir).select(
           col("doc_id"),
           regexp_count(aug, lit(TextOps.EmailRe)).cast("long").as("n_emails"),
@@ -111,10 +124,6 @@ object Corpus {
           .orderBy(col("doc_id"))
       },
       Some {
-        val augSql = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
-          "'@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
-          "' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || " +
-          "CAST((doc_id * 7) % 256 AS VARCHAR) || ' end'"
         // DuckDB standard strings keep backslashes literal, so the Java
         // regex text embeds verbatim (no quotes appear in the patterns)
         val email = TextOps.EmailRe
@@ -230,6 +239,33 @@ object Corpus {
              |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
              |  FROM documents)
              |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin)),
+
+    // Token budgeting: whitespace count vs BPE-ish pre-token count
+    // (GPT-2-shape regex, RE2/Java-identical) over the augmented view —
+    // the contact line's digits/punctuation is where the two estimates
+    // diverge, as they do on real web text.
+    Q(
+      "q63_token_count",
+      (s, dir) => {
+        val aug = augText
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(TextOps.tokens(aug)).cast("long").as("n_ws_tokens"),
+          TextOps.bpeishTokenCount(aug).as("n_bpeish"),
+          round(TextOps.bpeishTokenCount(aug).cast("double") /
+            size(TextOps.tokens(aug)).cast("double"), 4).as("bpeish_per_ws"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val pat = TextOps.BpeishRe.replace("'", "''")
+        s"""WITH aug AS (SELECT doc_id, $augSql AS a FROM documents)
+           |SELECT doc_id,
+           |  len(string_split_regex(lower(a), '\\s+')) AS n_ws_tokens,
+           |  len(regexp_extract_all(lower(a), '$pat')) AS n_bpeish,
+           |  round(CAST(len(regexp_extract_all(lower(a), '$pat')) AS DOUBLE) /
+           |        CAST(len(string_split_regex(lower(a), '\\s+')) AS DOUBLE), 4) AS bpeish_per_ws
+           |FROM aug ORDER BY doc_id""".stripMargin
+      }),
 
     // Corpus-wide exact line dedup (CCNet-style): every distinct line
     // survives once, at its smallest (doc_id, line_no); documents are

@@ -225,6 +225,38 @@ object LlmOps {
               |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
               |ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // Int8 scalar quantization of the embedding store (4× bandwidth cut
+    // before ANN): per-vector [lo, hi] range codes + max reconstruction
+    // error. Codes hash via the array-serialization recipe; lo/hi ride
+    // raw — float32→double promotion and array min/max are exact, and
+    // the error expression is one fixed IEEE tree on both engines.
+    Q(
+      "q64_quantize",
+      (s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("n_dims"), col("lo"), col("hi"),
+          md5(array_join(transform(col("codes"), c => c.cast("string")), "|"))
+            .as("codes_md5"),
+          round(col("max_abs_err"), 6).as("max_abs_err"))
+        .orderBy(col("vec_id")),
+      Some("""WITH x AS (
+             |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+             |  FROM embeddings),
+             |m AS (
+             |  SELECT vec_id, x,
+             |    list_aggregate(x, 'min') AS lo, list_aggregate(x, 'max') AS hi
+             |  FROM x),
+             |q AS (
+             |  SELECT vec_id, x, lo, hi,
+             |    list_transform(x, v -> CASE WHEN hi = lo THEN 0
+             |      ELSE CAST(round((v - lo) * 255.0 / (hi - lo)) AS BIGINT) END) AS codes
+             |  FROM m)
+             |SELECT vec_id, CAST(len(x) AS BIGINT) AS n_dims, lo, hi,
+             |  md5(array_to_string(codes, '|')) AS codes_md5,
+             |  round(list_aggregate(list_transform(range(1, len(x) + 1),
+             |    i -> abs(x[i] - (lo + CAST(codes[i] AS DOUBLE) * (hi - lo) / 255.0))),
+             |    'max'), 6) AS max_abs_err
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
     Q(
       "q25_ann_topk",
       (s, dir) => Similarity.topK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10),

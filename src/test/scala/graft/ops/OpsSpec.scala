@@ -363,6 +363,25 @@ class OpsSpec extends AnyFunSuite {
     assert(!binned.exists { case (p, n) => n == "d" && p != 8.0 && p != 9.0 })
   }
 
+  test("quantizeInt8: codes span 0..255, round-trip error within half a step, constant vector is exact") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0.0f, 0.5f, 1.0f)),            // evenly spread
+      (2L, Array(3.0f, 3.0f, 3.0f)),            // constant: hi == lo
+      (3L, Array(-2.0f, 0.0f, 2.0f))            // negative lo
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .collect().map(x => x.getAs[Long]("vec_id") -> x).toMap
+    assert(r(1L).getAs[Seq[Long]]("codes") === Seq(0L, 128L, 255L))
+    assert(r(1L).getAs[Double]("lo") === 0.0 && r(1L).getAs[Double]("hi") === 1.0)
+    assert(r(2L).getAs[Seq[Long]]("codes") === Seq(0L, 0L, 0L))
+    assert(r(2L).getAs[Double]("max_abs_err") === 0.0)
+    assert(r(3L).getAs[Seq[Long]]("codes") === Seq(0L, 128L, 255L))
+    // error bound: half a quantization step = (hi-lo)/255/2
+    assert(r(1L).getAs[Double]("max_abs_err") <= 1.0 / 255 / 2 + 1e-12)
+    assert(r(3L).getAs[Double]("max_abs_err") <= 4.0 / 255 / 2 + 1e-12)
+  }
+
   test("LSH similarity: identical vectors share a bucket and survive re-rank") {
     val pairs = Similarity.lshPairs(vecs, "vec_id", "embedding", 4, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
