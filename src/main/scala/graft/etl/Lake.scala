@@ -192,4 +192,132 @@ object Lake {
       }
     }
   }
+
+  /** Key-level upsert (merge-into) for the hive-partitioned lake:
+    * rows in `updates` replace lake rows with the same key; new keys
+    * append; untouched partitions are never read, rewritten, or listed
+    * past partition pruning. The operation the reference's append-only
+    * ingest can't express — re-delivered batches and corrections need
+    * it at 100 TB, where "rebuild the lake" is not an option.
+    *
+    * Scale shape: the lake side is filtered to affected partitions via
+    * a broadcast semi-join on the partition columns — the update batch
+    * is small against the lake by definition, and the join on partition
+    * columns lets dynamic partition pruning drop unaffected directories
+    * at the scan. The merge is one hash shuffle of (affected ∪ updates)
+    * on the key; updates win collisions outright (no version column —
+    * the batch IS the newer truth, matching the reference's
+    * re-delivery contract where duplicates agree).
+    *
+    * `updates` must be key-unique — verified up front (a batch with
+    * two rows for one key has no deterministic winner, and silently
+    * picking one would be data-dependent nondeterminism).
+    *
+    * Crash safety, same contract as [[compact]]: merged partitions are
+    * written to a hidden temp dir inside the lake, verified (row count
+    * == distinct-key count, every update key present), then swapped
+    * into place with metadata-only renames. A crash at any point
+    * leaves every committed row on durable storage. `failpoint` is the
+    * test seam between verification and swap.
+    *
+    * Returns (partitionDir, filesSwappedIn) per affected partition.
+    */
+  def upsert(spark: SparkSession, lakePath: String, updates: DataFrame,
+             partitionCols: Seq[String] = Seq("chrom", "pos_bucket"),
+             keyCols: Seq[String] = Seq("chrom", "pos_bucket", "pos"),
+             failpoint: String => Unit = _ => ()): Seq[(String, Int)] = {
+    import org.apache.hadoop.fs.Path
+    require(keyCols.startsWith(partitionCols) || partitionCols.forall(keyCols.contains),
+      "partition columns must be part of the key")
+    val root = new Path(lakePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val nUpd = updates.count()
+    val nUpdKeys = updates.select(keyCols.map(col): _*).distinct().count()
+    if (nUpd != nUpdKeys)
+      throw new IllegalArgumentException(
+        s"updates are not key-unique on ${keyCols.mkString(",")}: $nUpd rows, $nUpdKeys keys")
+
+    if (!fs.exists(root)) {
+      write(updates, lakePath, dynamicOverwrite = false)
+      return fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(c => fs.listStatus(c.getPath).filter(_.isDirectory))
+        .map(p => (p.getPath.toString,
+          fs.listStatus(p.getPath).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))))
+        .toSeq
+    }
+
+    // lake side: affected partitions only (broadcast semi-join on the
+    // partition cols → dynamic partition pruning at the scan); partition
+    // columns read back as inferred types, so align them to the update
+    // batch's schema before the union
+    val updSchema = updates.schema
+    val existingRaw = spark.read.parquet(lakePath)
+    val existing = existingRaw.select(updSchema.fieldNames.map(n =>
+      col(n).cast(updSchema(n).dataType)): _*)
+    val affected = existing.join(
+      broadcast(updates.select(partitionCols.map(col): _*).distinct()),
+      partitionCols, "left_semi")
+
+    // merge: updates win key collisions outright
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("__src").desc)
+    val merged = affected.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+      .withColumn("__rn", row_number().over(byKey))
+      .where(col("__rn") === 1)
+      .drop("__src", "__rn")
+
+    // 1. write merged partitions to a hidden temp dir inside the lake
+    val tmp = new Path(root, ".upsert_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    merged.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
+      .write
+      .option("maxRecordsPerFile", MaxRecordsPerFile)
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(tmp.toString)
+
+    // 2. verify the merged copy while the live lake is untouched
+    val out = spark.read.parquet(tmp.toString)
+    val rowsOut = out.count()
+    val keysOut = out.select(keyCols.map(col): _*).distinct().count()
+    val updKeysOut = out.join(broadcast(updates.select(keyCols.map(col): _*)),
+      keyCols, "left_semi").count()
+    if (rowsOut != keysOut || updKeysOut != nUpdKeys) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"upsert verification failed for $lakePath: $rowsOut rows / $keysOut keys, " +
+          s"$updKeysOut of $nUpdKeys update keys present — lake untouched")
+    }
+    failpoint(lakePath)
+
+    // 3. metadata-only swap, one affected partition directory at a time
+    val tmpParts = fs.listStatus(tmp)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .flatMap(c => fs.listStatus(c.getPath).filter(s =>
+        s.isDirectory && s.getPath.getName.contains("=")))
+    val report = tmpParts.toSeq.map { p =>
+      val rel = new Path(p.getPath.getParent.getName, p.getPath.getName)
+      val live = new Path(root, rel)
+      fs.mkdirs(live.getParent)
+      val trash = new Path(live, ".upsert_old")
+      if (fs.exists(trash)) fs.delete(trash, true)
+      if (fs.exists(live)) {
+        fs.mkdirs(trash)
+        fs.listStatus(live)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach(f => fs.rename(f.getPath, new Path(trash, f.getPath.getName)))
+      } else fs.mkdirs(live)
+      val moved = fs.listStatus(p.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      moved.foreach(f => fs.rename(f.getPath, new Path(live, f.getPath.getName)))
+      fs.delete(trash, true)
+      (live.toString, moved.length)
+    }
+    fs.delete(tmp, true)
+    report
+  }
 }

@@ -164,7 +164,12 @@ object LlmOps {
     // the O(log diameter) pointer-jumping loop; the oracle reaches the
     // same fixpoint declaratively with a recursive CTE (min id over the
     // transitive closure) — tractable because near-dup components are
-    // small even when the corpus isn't.
+    // small even when the corpus isn't. Bench note: most of this
+    // query's wall time at toy SF is the iterative loop's fixed
+    // per-round job latency (a few rounds × scheduling/AQE overhead on
+    // KB-sized labels), the same family as q22/q36's stage latency — at
+    // real scale rounds cost compute, and O(log diameter) rounds is the
+    // optimum, so the loop is not tuned for the toy numbers.
     Q(
       "q62_dup_clusters",
       (s, dir) => {
