@@ -303,8 +303,13 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 40,
                         checkpointInterval: Int = 5): DataFrame = {
-    val edges = pairs.select(col("doc_a"), col("doc_b"))
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // symmetrize via ONE scan + explode — a unionAll of pairs with its
+    // swap would run the (expensive) upstream pair-producing plan twice
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a"), col("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("__e"))
+      .select(col("__e.doc_a").as("doc_a"), col("__e.doc_b").as("doc_b"))
       .persist()
     var labels = edges.select(col("doc_a").as("id"))
       .distinct()
