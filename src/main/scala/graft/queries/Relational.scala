@@ -406,6 +406,65 @@ object Relational {
              |  COUNT(*) FILTER (event_type = 'view') AS view
              |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
 
+    // Unpivot (melt) — the inverse of q17's pivot: wide per-part
+    // metrics to long (metric, value) rows. Values pass through
+    // untouched (stored doubles, no arithmetic), names come from the
+    // column list on both engines.
+    Q(
+      "q65_unpivot",
+      (s, dir) => {
+        graft.Tables.part(s, dir)
+          .select(col("p_partkey"),
+            col("p_size").cast("double").as("size"),
+            col("p_retailprice").as("retailprice"))
+          .unpivot(Array(col("p_partkey")),
+            Array(col("size"), col("retailprice")), "metric", "value")
+          .orderBy(col("p_partkey"), col("metric"))
+      },
+      Some("""SELECT p_partkey, metric, value FROM (
+             |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+             |         p_retailprice AS retailprice
+             |  FROM part)
+             |UNPIVOT (value FOR metric IN (size, retailprice))
+             |ORDER BY p_partkey, metric""".stripMargin)),
+
+    // Map-typed columns + map higher-order functions: per-user
+    // event-type counts as a MAP, filtered (map_filter) and re-scaled
+    // (transform_values), then serialized through the sorted-entries
+    // recipe. The oracle mirrors the VALUES relationally — DuckDB's MAP
+    // dialect differs, but the gate pins semantics, not storage.
+    Q(
+      "q66_map_funcs",
+      (s, dir) => {
+        val m = map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("cnt")))))
+        graft.Tables.events(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("user_id"))
+          .agg(m.as("m"))
+          .select(
+            col("user_id"),
+            size(col("m")).cast("long").as("n_types"),
+            coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+            array_join(
+              transform(
+                map_entries(transform_values(
+                  map_filter(col("m"), (_, v) => v >= 2), (_, v) => v * 10)),
+                e => concat_ws(":", e.getField("key"), e.getField("value"))),
+              "|").as("hot_types"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, count(*) AS cnt
+             |  FROM events GROUP BY user_id, event_type)
+             |SELECT user_id,
+             |  count(*) AS n_types,
+             |  coalesce(min(cnt) FILTER (event_type = 'click'), 0) AS clicks,
+             |  coalesce(string_agg(event_type || ':' || CAST(cnt * 10 AS VARCHAR), '|'
+             |    ORDER BY event_type) FILTER (cnt >= 2), '') AS hot_types
+             |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // S9: file-provenance-as-data via input_file_name() (reference M:87
     // derives the sample id from the file basename).
     Q(
