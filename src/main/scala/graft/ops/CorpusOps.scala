@@ -169,6 +169,40 @@ object CorpusOps {
       when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
   }
 
+  /** Span-level duplication signal (the "deduplicating training data"
+    * diagnostic): for every document, how many of its rolling `n`-token
+    * spans also occur in at least one OTHER document. Doc-level dedup
+    * misses partially-copied text and quote-heavy pages; this measures
+    * them. Documents shorter than `n` tokens have no spans and are
+    * absent, like [[ngramContamination]].
+    *
+    * Shape: one explode to rolling spans, a distinct + count to get
+    * each span's document frequency (partial-aggregated on the span),
+    * and one shuffle join of spans against the df≥2 set on the span
+    * key — the duplicated-span set is corpus-sized in the worst case,
+    * so it does NOT broadcast; this is the standard passage-dedup
+    * shuffle and it scales linearly in corpus tokens.
+    */
+  def duplicatedPassages(docs: DataFrame, id: String, text: String,
+                         n: Int): DataFrame = {
+    val grams = docs.select(col(id),
+      explode(TextOps.wordNgrams(TextOps.tokens(col(text)), n)).as("g"))
+    val dupSpans = grams.select(col(id), col("g")).distinct()
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2)
+      .select(col("g"), lit(1).as("__dup"))
+    grams
+      .join(dupSpans, Seq("g"), "left")
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(col("__dup")).as("n_dup_spans"))
+      .select(col(id), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans").cast("double"), 4)
+          .as("dup_frac"))
+  }
+
   /** One row per line of every document: (id, line_no, line), the
     * shared explode of the line-level operators below.
     */

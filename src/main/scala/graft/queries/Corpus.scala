@@ -240,6 +240,30 @@ object Corpus {
              |  FROM documents)
              |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin)),
 
+    // Span-level duplication: fraction of each doc's rolling 10-token
+    // spans that also occur in another document — the partial-copy /
+    // quotation signal doc-level dedup misses.
+    Q(
+      "q67_dup_passages",
+      (s, dir) => CorpusOps.duplicatedPassages(Tables.documents(s, dir),
+        "doc_id", "text", n = 10)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, ${LlmOps.tokSql} AS t FROM documents),
+              |grams AS (
+              |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 8),
+              |    i -> array_to_string(t[i:i+9], ' '))) AS g
+              |  FROM toks WHERE len(t) >= 10),
+              |dup AS (
+              |  SELECT g FROM (
+              |    SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+              |  WHERE df >= 2)
+              |SELECT doc_id, count(*) AS n_spans,
+              |  count(*) FILTER (g IN (SELECT g FROM dup)) AS n_dup_spans,
+              |  round(CAST(count(*) FILTER (g IN (SELECT g FROM dup)) AS DOUBLE) /
+              |        CAST(count(*) AS DOUBLE), 4) AS dup_frac
+              |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Token budgeting: whitespace count vs BPE-ish pre-token count
     // (GPT-2-shape regex, RE2/Java-identical) over the augmented view —
     // the contact line's digits/punctuation is where the two estimates

@@ -100,6 +100,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r === "mail <EMAIL> or <PHONE> at <IP> versus v1.2 and fee 3.50")
   }
 
+  test("duplicatedPassages: shared spans count, unique text doesn't, short docs absent") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // spans: "a b c","b c d","c d e","d e f"
+      (2L, "x y a b c d z"), // shares "a b c" and "b c d" with doc 1
+      (3L, "p q r s"),       // fully unique
+      (4L, "t u")            // < n tokens → absent
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.duplicatedPassages(docs, "doc_id", "text", n = 3)
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_spans"), x.getAs[Long]("n_dup_spans"),
+          x.getAs[Double]("dup_frac"))).toMap
+    assert(r(1L) === ((4L, 2L, 0.5)))
+    assert(r(2L) === ((5L, 2L, 0.4)))
+    assert(r(3L) === ((2L, 0L, 0.0)))
+    assert(!r.contains(4L))
+  }
+
   test("dedupLines: first occurrence survives, docs rebuild in order, empty docs kept") {
     val docs = Seq(
       (1L, "header\nunique one\nfooter"),
