@@ -176,17 +176,22 @@ object CorpusOps {
     * them. Documents shorter than `n` tokens have no spans and are
     * absent, like [[ngramContamination]].
     *
-    * Shape: one explode to rolling spans, a distinct + count to get
-    * each span's document frequency (partial-aggregated on the span),
-    * and one shuffle join of spans against the df≥2 set on the span
-    * key — the duplicated-span set is corpus-sized in the worst case,
-    * so it does NOT broadcast; this is the standard passage-dedup
-    * shuffle and it scales linearly in corpus tokens.
+    * Shape: one explode to rolling spans — each immediately replaced by
+    * a 60-bit md5 prefix, so every downstream shuffle carries 8-byte
+    * longs instead of ~6·n-byte strings (a collision mislabels one span
+    * in ~2⁶⁰, noise against a corpus-level fraction) — then a distinct
+    * + count for each span's document frequency (partial-aggregated on
+    * the span) and one shuffle join of spans against the df≥2 set. The
+    * duplicated-span set is corpus-sized in the worst case, so it does
+    * NOT broadcast; this is the standard passage-dedup shuffle and it
+    * scales linearly in corpus tokens.
     */
   def duplicatedPassages(docs: DataFrame, id: String, text: String,
                          n: Int): DataFrame = {
     val grams = docs.select(col(id),
-      explode(TextOps.wordNgrams(TextOps.tokens(col(text)), n)).as("g"))
+      explode(TextOps.wordNgrams(TextOps.tokens(col(text)), n)).as("__gs"))
+      .select(col(id),
+        conv(substring(md5(col("__gs")), 1, 15), 16, 10).cast("long").as("g"))
     val dupSpans = grams.select(col(id), col("g")).distinct()
       .groupBy(col("g"))
       .agg(count(lit(1)).as("__df"))

@@ -252,7 +252,7 @@ object Corpus {
               |  SELECT doc_id, ${LlmOps.tokSql} AS t FROM documents),
               |grams AS (
               |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 8),
-              |    i -> array_to_string(t[i:i+9], ' '))) AS g
+              |    i -> ('0x' || substr(md5(array_to_string(t[i:i+9], ' ')), 1, 15))::BIGINT)) AS g
               |  FROM toks WHERE len(t) >= 10),
               |dup AS (
               |  SELECT g FROM (
