@@ -208,6 +208,83 @@ object CorpusOps {
           .as("dup_frac"))
   }
 
+  /** Bigram language-model fluency scoring (the CCNet quality signal):
+    * train add-k-smoothed bigram statistics on `train`, then score every
+    * document in `docs` by the average negative log-likelihood of its
+    * bigrams, -ln((c(w1 w2)+k) / (c(w1)+k·V)). Low avg_nll = fluent,
+    * in-distribution text; high = gibberish, boilerplate, or
+    * out-of-language — the standard cheap perplexity proxy a pipeline
+    * filters on before paying for a neural scorer. Documents with fewer
+    * than two tokens have no bigrams and are absent, like
+    * [[ngramContamination]].
+    *
+    * Scale shape: unigram/bigram counts are partial-aggregated shuffles
+    * on the gram key; the vocabulary size rides along as a broadcast
+    * single row (never a driver collect); scoring is two shuffle joins
+    * of corpus grams against the model (model tables are corpus-sized
+    * in the worst case, so they do NOT broadcast) and one
+    * partial-aggregated fold on the doc id. Everything is linear in
+    * corpus tokens. At 100 TB the model is trained once and persisted;
+    * this operator recomputes it for self-containment.
+    *
+    * Determinism: counts are exact integers; the only floating-point is
+    * the per-gram ln and the final avg, rounded to 4 decimals — far
+    * wider than the ~1e-13 cross-engine summation-order noise.
+    */
+  def bigramLmScore(docs: DataFrame, train: DataFrame, id: String,
+                    text: String, k: Double): DataFrame = {
+    val trainToks = train.select(TextOps.tokens(col(text)).as("toks"))
+    val uni = trainToks.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val big = trainToks.select(explode(TextOps.wordNgrams(col("toks"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    docs
+      .select(col(id),
+        explode(TextOps.wordNgrams(TextOps.tokens(col(text)), 2)).as("g"))
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .join(big, Seq("g"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(id),
+        (-log((coalesce(col("c2"), lit(0L)).cast("double") + lit(k)) /
+          (coalesce(col("c1"), lit(0L)).cast("double") + lit(k) * col("__v"))))
+          .as("nll"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("avg_nll"))
+  }
+
+  /** Temperature-based stratum rebalancing — the multilingual mixing
+    * step (alpha-sampling): each stratum (language) is downsampled at
+    * rate (n_min/n_stratum)^(1-alpha), so the smallest stratum keeps
+    * everything and head strata shrink toward balance; alpha = 1 keeps
+    * the natural distribution, alpha = 0 forces uniform. The keep/drop
+    * decision is a pure function of the row id (first 24 md5 bits as a
+    * uniform in [0,1)) — stable across runs, machines, and partition
+    * layouts, unlike `df.sample`.
+    *
+    * One partial-aggregated shuffle for stratum counts; the per-stratum
+    * rate table is strata-sized (tiny) and broadcasts back; the
+    * keep/drop pass is per-row expressions. Output keeps every input
+    * column plus the stratum's `keep_rate`.
+    */
+  def temperatureSample(docs: DataFrame, stratum: String, id: String,
+                        alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"need 0 <= alpha <= 1, got $alpha")
+    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n_stratum"))
+    val minN = counts.agg(min(col("n_stratum")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(stratum), col("n_stratum"),
+        pow(col("__nmin").cast("double") / col("n_stratum").cast("double"),
+          1.0 - alpha).as("keep_rate"))
+    val u = conv(substring(md5(col(id).cast("string")), 1, 6), 16, 10)
+      .cast("long").cast("double") / lit(16777216.0)
+    docs
+      .join(broadcast(rates), Seq(stratum))
+      .where(u < col("keep_rate"))
+      .drop("n_stratum")
+  }
+
   /** One row per line of every document: (id, line_no, line), the
     * shared explode of the line-level operators below.
     */

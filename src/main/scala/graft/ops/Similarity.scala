@@ -66,18 +66,105 @@ object Similarity {
     */
   def ivfCodebook(emb: DataFrame, id: String, vec: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val seeds = emb
+    lloydStep(emb, id, vec, hashSeeds(emb, id, vec, k))
+  }
+
+  /** Deterministic seed pick: the `k` stored vectors first in
+    * md5-of-id order (see ivfCodebook's rationale).
+    */
+  private def hashSeeds(emb: DataFrame, id: String, vec: String,
+                        k: Int): DataFrame =
+    emb
       .orderBy(md5(col(id).cast("string")), col(id))
       .limit(k)
       .select(col(id).as("cell"), col(vec).as("cvec"))
-    assignTo(emb, id, vec, seeds)
+
+  /** One Lloyd iteration: assign every vector to its nearest centroid,
+    * replace each centroid by the element-wise mean of its members.
+    * The mean is computed in double and truncated to FLOAT — the
+    * truncation is the cross-engine determinism contract (it absorbs
+    * the ~1e-15 summation-order noise of a distributed average, so any
+    * engine reproducing the same assignment reproduces the same
+    * centroid bits). Cells that lose every member disappear.
+    */
+  private def lloydStep(emb: DataFrame, id: String, vec: String,
+                        centroids: DataFrame): DataFrame =
+    assignTo(emb, id, vec, centroids)
       .select(col("cell"), posexplode(col(vec)))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("col")).as("m"))
+      .agg(avg(col("col").cast("double")).as("m"))
       .groupBy(col("cell"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m").cast("float")).as("cvec"))
+
+  /** K-means codebook: md5-ordered seeds refined by `iters` full Lloyd
+    * iterations (ivfCodebook is the iters = 1 special case). Each
+    * round's centroids are eagerly checkpointed: the next assignment
+    * pass, and every downstream consumer, must see ONE materialized set
+    * of centroid bits, not re-execute a partition-order-dependent
+    * average per consumer. At 100 TB each iteration is one broadcast
+    * argmax pass over the corpus plus a (cell, dim)-keyed partial
+    * aggregation — k·d doubles of state — and the trained codebook
+    * would be persisted as a table, not recomputed per query.
+    */
+  def kmeansCodebook(emb: DataFrame, id: String, vec: String, k: Int,
+                     iters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    var centroids = hashSeeds(emb, id, vec, k).localCheckpoint()
+    for (_ <- 0 until iters)
+      centroids = lloydStep(emb, id, vec, centroids).localCheckpoint()
+    centroids
+  }
+
+  /** Corpus clustering: every vector labeled with its k-means cell and
+    * the cosine similarity to that cell's centroid (rounded to 6, like
+    * every exposed similarity). The foundation for cluster-local
+    * operators — semantic dedup below, per-cluster sampling, cluster
+    * summarization. One broadcast argmax pass after training.
+    */
+  def kmeansAssign(emb: DataFrame, id: String, vec: String, k: Int,
+                   iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codebook = kmeansCodebook(emb, id, vec, k, iters)
+    val w = Window.partitionBy(col(id)).orderBy(col("cell_sim").desc, col("cell"))
+    emb.crossJoin(broadcast(codebook))
+      .select(col(id), col("cell"),
+        cosine(col(vec), col("cvec")).as("cell_sim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(id), col("cell"), round(col("cell_sim"), 6).as("cell_sim"))
+  }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus with
+    * k-means, then inside each cluster drop every vector that has a
+    * LOWER-id near-duplicate (cosine >= minCos) — the same greedy
+    * smallest-id-survives rule as the text dedup chain (Dedup.scala),
+    * here over embedding geometry, which catches paraphrases and
+    * re-encodings that exact/MinHash dedup cannot see. Survivors keep
+    * every input column.
+    *
+    * Scale shape: the pairwise scan is confined WITHIN a cell — the
+    * clustering is what makes semantic dedup tractable (cells of m
+    * vectors cost m² against the corpus's n², and near-duplicates land
+    * in the same cell because they are near the same centroid. A pair
+    * straddling a cell boundary is missed; that is the documented
+    * SemDeDup trade-off, priced by the cluster count). One shuffle on
+    * the cell id for the self-join, one left_anti on the vector id.
+    */
+  def semanticDedup(emb: DataFrame, id: String, vec: String, k: Int,
+                    iters: Int, minCos: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val codebook = kmeansCodebook(emb, id, vec, k, iters)
+    val assigned = assignTo(emb, id, vec, codebook)
+    val a = assigned.select(col("cell"), col(id).as("__ka"), col(vec).as("__va"))
+    val b = assigned.select(col("cell"), col(id).as("__kb"), col(vec).as("__vb"))
+    val losers = a.join(b, Seq("cell"))
+      .where(col("__ka") < col("__kb") &&
+        round(cosine(col("__va"), col("__vb")), 6) >= minCos)
+      .select(col("__kb").as(id))
+      .distinct()
+    emb.join(losers, Seq(id), "left_anti")
   }
 
   /** Nearest-cell assignment against a (cell, cvec) codebook; ties break

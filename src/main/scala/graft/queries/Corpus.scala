@@ -382,6 +382,61 @@ object Corpus {
            |SELECT lang, count(*) AS n_docs, count(*) FILTER (keep) AS n_keep,
            |  round(CAST(count(*) FILTER (keep) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS keep_rate
            |FROM k GROUP BY lang ORDER BY lang""".stripMargin
-      })
+      }),
+
+    // Bigram LM fluency scoring (CCNet shape): the model is trained on
+    // the corpus itself — self-scoring flags outlier documents whose
+    // bigrams are rare against the corpus distribution.
+    Q(
+      "q68_lm_score",
+      (s, dir) => CorpusOps.bigramLmScore(
+        Tables.documents(s, dir), Tables.documents(s, dir),
+        "doc_id", "text", k = 0.5)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (SELECT doc_id, ${LlmOps.tokSql} AS t FROM documents),
+              |grams AS (
+              |  SELECT doc_id,
+              |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+              |  FROM toks WHERE len(t) >= 2),
+              |uni AS (
+              |  SELECT tok AS w1, count(*) AS c1
+              |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+              |big AS (SELECT g, count(*) AS c2 FROM grams GROUP BY g),
+              |v AS (SELECT count(*) AS vc FROM uni)
+              |SELECT doc_id, count(*) AS n_bigrams,
+              |  round(avg(-ln((c2 + 0.5) / (c1 + 0.5 * vc))), 4) AS avg_nll
+              |FROM (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM grams)
+              |JOIN big USING (g)
+              |JOIN uni USING (w1)
+              |CROSS JOIN v
+              |GROUP BY doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Temperature-based language rebalancing (alpha-sampling, alpha=0.5):
+    // per-language keep rates (n_min/n_lang)^0.5, decided by md5-of-id.
+    Q(
+      "q69_temp_sample",
+      (s, dir) => CorpusOps.temperatureSample(
+        Tables.documents(s, dir), "lang", "doc_id", alpha = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          round(min(col("keep_rate")), 4).as("keep_rate"))
+        .orderBy(col("lang")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+             |m AS (SELECT min(n_stratum) AS nmin FROM c),
+             |r AS (
+             |  SELECT lang,
+             |    pow(CAST(nmin AS DOUBLE) / CAST(n_stratum AS DOUBLE), 0.5) AS keep_rate
+             |  FROM c CROSS JOIN m),
+             |kept AS (
+             |  SELECT d.lang, d.doc_id, r.keep_rate
+             |  FROM documents d JOIN r USING (lang)
+             |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS DOUBLE)
+             |        / 16777216.0 < keep_rate)
+             |SELECT lang, count(*) AS n_kept,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+             |  round(min(keep_rate), 4) AS keep_rate
+             |FROM kept GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

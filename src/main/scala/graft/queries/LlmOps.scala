@@ -97,6 +97,49 @@ object LlmOps {
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
+  /** Unrounded cosine — used where the value feeds an argmax, which
+    * must compare full-precision doubles exactly like the Spark side.
+    */
+  private def cosRawSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** The k-means contract of Similarity.kmeansCodebook/kmeansAssign in
+    * DuckDB CTEs: md5-ordered seeds, `iters` Lloyd rounds (argmax-cosine
+    * assignment, per-dimension double mean truncated to FLOAT), final
+    * assignment `af(vec_id, cell, cell_sim)` against the last centroids.
+    * The FLOAT truncation after each mean is what makes the iteration
+    * cross-engine deterministic: it absorbs summation-order noise before
+    * the next round's argmax consumes the centroids.
+    */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    def assign(cents: String, out: String, withSim: Boolean): String = {
+      val sim = if (withSim) s", round(cos, 6) AS cell_sim" else ""
+      s"""$out AS (
+         |  SELECT vec_id, embedding, cell$sim FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      ${cosRawSql("e.embedding", "c.cvec")} AS cos,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosRawSql("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    def mean(assigned: String, out: String): String =
+      s"""$out AS (
+         |  SELECT cell, list(CAST(m AS FLOAT) ORDER BY i) AS cvec FROM (
+         |    SELECT cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+         |    FROM $assigned, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+         |    GROUP BY cell, i)
+         |  GROUP BY cell)""".stripMargin
+    val seeds =
+      s"""c0 AS (
+         |  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)""".stripMargin
+    val rounds = (1 to iters).flatMap(i =>
+      Seq(assign(s"c${i - 1}", s"a$i", withSim = false), mean(s"a$i", s"c$i")))
+    (Seq(seeds) ++ rounds :+ assign(s"c$iters", "af", withSim = true))
+      .mkString(",\n")
+  }
+
   private def projSql(p: Int): String =
     s"list_reduce(list_transform(range(1, len(embedding)+1), " +
       s"i -> CASE WHEN substring(md5('$p-'||i), 1, 1) IN ($hiHexSql) " +
@@ -532,6 +575,46 @@ object LlmOps {
       Some("""SELECT event_type,
              |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS sum_value,
              |  COUNT(*) AS n_events
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Corpus clustering: k-means (md5 seeds + 2 full Lloyd rounds) with
+    // the whole iteration — seeds, argmax assignment, float-truncated
+    // centroid means — replicated in the oracle, so the gate pins the
+    // trained clustering itself, not just its shape.
+    Q(
+      "q70_kmeans",
+      (s, dir) => Similarity.kmeansAssign(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          round(avg(col("cell_sim")), 4).as("avg_cos"),
+          min(col("vec_id")).as("min_member"))
+        .orderBy(col("cell")),
+      Some(s"""WITH ${kmeansSql(k = 8, iters = 2)}
+              |SELECT cell, count(*) AS n_members,
+              |  round(avg(cell_sim), 4) AS avg_cos,
+              |  min(vec_id) AS min_member
+              |FROM af GROUP BY cell ORDER BY cell""".stripMargin)),
+
+    // SemDeDup: drop every vector with a lower-id near-duplicate
+    // (cosine >= 0.35) inside its k-means cell; survivors keep their
+    // row. The pairwise scan is cell-local — that containment is the
+    // operator's scale story, and the oracle replays it exactly.
+    Q(
+      "q71_semantic_dedup",
+      (s, dir) => Similarity.semanticDedup(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2, minCos = 0.35)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id")),
+      Some(s"""WITH ${kmeansSql(k = 8, iters = 2)},
+              |losers AS (
+              |  SELECT DISTINCT b.vec_id
+              |  FROM af a JOIN af b
+              |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35)
+              |SELECT e.vec_id, e.label FROM embeddings e
+              |WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)
+              |ORDER BY e.vec_id""".stripMargin))
   )
 }

@@ -159,4 +159,49 @@ class CorpusOpsSpec extends AnyFunSuite {
     // unlike dedupLines, NO occurrence survives — not even the first
     assert(!r.values.exists(_._2.contains("nav bar")))
   }
+
+  test("bigramLmScore: repeated in-distribution bigrams score low, rare ones high") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // only bigrams "a b"/"b a" — the corpus mode
+      (2L, "a b"),           // single common bigram
+      (3L, "x y"),           // bigram seen once, unigram "x" seen once
+      (4L, "solo")           // 1 token → no bigrams → absent
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.bigramLmScore(docs, docs, "doc_id", "text", k = 0.5)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_bigrams"), x.getAs[Double]("avg_nll"))).toMap
+    // model: V=5 distinct unigrams; c("a b")=4, c(a)=4 → nll(a b)=-ln(4.5/6.5)
+    val nllAb = -math.log(4.5 / 6.5)
+    val nllBa = -math.log(2.5 / 6.5)   // c("b a")=2, c(b)=4
+    val nllXy = -math.log(1.5 / 3.5)   // c("x y")=1, c(x)=1
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L) === ((5L, r4((3 * nllAb + 2 * nllBa) / 5))))
+    assert(r(2L) === ((1L, r4(nllAb))))
+    assert(r(3L) === ((1L, r4(nllXy))))
+    assert(!r.contains(4L))
+    assert(r(3L)._2 > r(2L)._2) // rare bigram scores worse than the mode
+  }
+
+  test("temperatureSample: smallest stratum survives whole; rates follow (nmin/n)^(1-alpha); deterministic") {
+    val docs = ((0L until 400L).map(i => (i, "en")) ++
+      (400L until 500L).map(i => (i, "fr")) ++
+      (500L until 525L).map(i => (i, "sw"))).toDF("doc_id", "lang")
+    val r = CorpusOps.temperatureSample(docs, "lang", "doc_id", alpha = 0.5)
+    val kept = r.collect().map(x => (x.getAs[String]("lang"), x.getAs[Long]("doc_id")))
+    val byLang = kept.groupBy(_._1).view.mapValues(_.length).toMap
+    // smallest stratum: rate (25/25)^0.5 = 1 → every row kept
+    assert(byLang("sw") === 25)
+    // head stratum: rate (25/400)^0.5 = 0.25 → binomial(400, .25), wide bound
+    assert(byLang("en") > 50 && byLang("en") < 150)
+    val rates = r.select(col("lang"), col("keep_rate")).distinct().collect()
+      .map(x => x.getAs[String]("lang") -> x.getAs[Double]("keep_rate")).toMap
+    assert(rates("sw") === 1.0)
+    assert(rates("en") === 0.25)
+    assert(rates("fr") === 0.5)
+    // pure function of the id: same rows on a different partition layout
+    val again = CorpusOps.temperatureSample(docs.repartition(7), "lang", "doc_id", 0.5)
+      .collect().map(x => (x.getAs[String]("lang"), x.getAs[Long]("doc_id")))
+    assert(again.sorted.toSeq === kept.sorted.toSeq)
+  }
 }

@@ -387,4 +387,49 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("kmeans: total assignment, axis clusters separate, deterministic across layouts") {
+    import spark.implicits._
+    // three tight clusters along coordinate axes, 12 vectors each; the
+    // id range starts at 24 so the 3 smallest-md5 seeds (27, 59, 43)
+    // land on three DIFFERENT axes — k-means converges to axis clusters
+    val emb = (24L until 60L).map { i =>
+      val axis = (i % 3).toInt
+      val base = Array(0.02f * i, 0.02f * i, 0.02f * i)
+      base(axis) += 10f
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 3, iters = 2)
+      .collect()
+    assert(r.length === 36)                       // every vector exactly once
+    assert(r.map(_.getAs[Long]("cell")).distinct.length === 3)
+    // cosine clustering must separate the axes: same-axis vectors share a cell
+    val cellOf = r.map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("cell")).toMap
+    // 24 % 3 == 0, so ids 24/25/26 represent axes 0/1/2
+    (24L until 60L).foreach(i => assert(cellOf(i) === cellOf(24L + (i % 3))))
+    assert(r.forall(_.getAs[Double]("cell_sim") > 0.9))
+    val again = Similarity.kmeansAssign(
+      emb.repartition(7), "vec_id", "embedding", 3, 2)
+      .collect().map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("cell")).toMap
+    assert(again === cellOf)
+  }
+
+  test("semanticDedup: lower-id near-duplicate survives, higher-id copy drops, distinct vectors stay") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f), "a"),
+      (2L, Array(0.999f, 0.001f, 0f), "a"),   // near-dup of 1 → dropped
+      (3L, Array(0f, 1f, 0f), "b"),
+      (4L, Array(0f, 0f, 1f), "c"),
+      (5L, Array(0f, 0.999f, 0.001f), "b")    // near-dup of 3 → dropped
+    ).toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      k = 3, iters = 2, minCos = 0.99)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(kept === Set(1L, 3L, 4L))
+    // survivors keep their full row (label column intact)
+    val labels = Similarity.semanticDedup(emb, "vec_id", "embedding", 3, 2, 0.99)
+      .collect().map(x => x.getAs[Long]("vec_id") -> x.getAs[String]("label")).toMap
+    assert(labels === Map(1L -> "a", 3L -> "b", 4L -> "c"))
+  }
 }
