@@ -285,6 +285,77 @@ object CorpusOps {
       .drop("n_stratum")
   }
 
+  /** BM25 ranked retrieval (Lucene-shape formula): score every document
+    * containing at least one of `terms` by
+    * sum_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)), with
+    * idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)). The query-side answer
+    * to the [[invertedIndex]]: corpus inspection ("find the docs about
+    * X") without an external search engine.
+    *
+    * Scale shape: corpus stats (N, avgdl) are one partial-aggregated
+    * row broadcast along; per-term df only for the QUERY terms (the
+    * explode is pre-filtered with isin, so the shuffle carries query
+    * hits, not the corpus vocabulary); tf is a partial-aggregated
+    * groupBy on (doc, term); the df table is |terms| rows and
+    * broadcasts. Linear in corpus tokens, no driver collect.
+    *
+    * Determinism: counts are exact; ln/divisions are fixed expression
+    * trees; the per-doc sum spans ≤ |terms| values → rounding to 4
+    * decimals absorbs summation-order noise.
+    */
+  def bm25(docs: DataFrame, id: String, text: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val toks = docs.select(col(id), TextOps.tokens(col(text)).as("toks"))
+    val lens = toks.select(col(id), size(col("toks")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("__n"),
+      avg(col("dl")).as("__avgdl"))
+    val hits = toks
+      .select(col(id), explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+    val tf = hits.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val df = hits.select(col(id), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(df), Seq("term"))
+      .join(lens, Seq(id))
+      .crossJoin(broadcast(stats))
+      .select(col(id),
+        (log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+          .as("s"))
+      .groupBy(col(id))
+      .agg(round(sum(col("s")), 4).as("bm25"))
+  }
+
+  /** Sequence packing — the tokenization-prep step that concatenates
+    * documents into fixed-size training bins: documents are laid out
+    * in id order and each is assigned to the bin where its first token
+    * lands (the concat-then-chunk mapping). Packing is SHARD-LOCAL:
+    * documents are grouped into deterministic shards of `shardDocs`
+    * consecutive ids and bins never cross shards — the global-cumsum
+    * formulation would funnel the corpus through one partition, while
+    * shard-local packing is one window per shard, embarrassingly
+    * parallel, at the cost of at most one underfull final bin per
+    * shard. All-integer arithmetic: bit-exact in any engine.
+    */
+  def packSequences(docs: DataFrame, id: String, text: String,
+                    binTokens: Int, shardDocs: Int): DataFrame = {
+    require(binTokens > 0 && shardDocs > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(id))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(id),
+        floor(col(id) / lit(shardDocs)).as("shard"),
+        size(TextOps.tokens(col(text))).cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(id), col("shard"), col("n_tokens"), col("offset"),
+        (col("shard") * lit(1000000L) + floor(col("offset") / lit(binTokens)))
+          .as("bin_id"))
+  }
+
   /** One row per line of every document: (id, line_no, line), the
     * shared explode of the line-level operators below.
     */

@@ -437,6 +437,59 @@ object Corpus {
              |SELECT lang, count(*) AS n_kept,
              |  min(doc_id) AS min_id, max(doc_id) AS max_id,
              |  round(min(keep_rate), 4) AS keep_rate
-             |FROM kept GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // BM25 ranked retrieval for a 3-term query, top 20 by rounded score
+    // (rounded-score ordering keeps the cut deterministic cross-engine).
+    Q(
+      "q72_bm25",
+      (s, dir) => CorpusOps.bm25(Tables.documents(s, dir), "doc_id", "text",
+        Seq("join", "dup", "window"), k1 = 1.2, b = 0.75)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20),
+      Some(s"""WITH toks AS (SELECT doc_id, ${LlmOps.tokSql} AS t FROM documents),
+              |lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+              |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+              |hits AS (
+              |  SELECT doc_id, tok AS term
+              |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              |  WHERE tok IN ('join', 'dup', 'window')),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY doc_id, term),
+              |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM hits) GROUP BY term)
+              |SELECT doc_id,
+              |  round(sum(
+              |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+              |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+              |FROM tf
+              |JOIN df USING (term)
+              |JOIN lens USING (doc_id)
+              |CROSS JOIN stats
+              |GROUP BY doc_id
+              |ORDER BY bm25 DESC, doc_id
+              |LIMIT 20""".stripMargin)),
+
+    // Sequence packing: shard-local concat-then-chunk bin assignment,
+    // summarized per bin. All-integer — exact in any engine.
+    Q(
+      "q73_seq_pack",
+      (s, dir) => CorpusOps.packSequences(Tables.documents(s, dir), "doc_id", "text",
+        binTokens = 512, shardDocs = 100)
+        .groupBy(col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("offset")).as("last_offset"))
+        .orderBy(col("bin_id")),
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, doc_id // 100 AS shard,
+              |    len(${LlmOps.tokSql}) AS n_tokens
+              |  FROM documents),
+              |off AS (
+              |  SELECT doc_id, shard, n_tokens,
+              |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+              |  FROM base)
+              |SELECT shard * 1000000 + "offset" // 512 AS bin_id,
+              |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+              |  min(doc_id) AS first_doc, max("offset") AS last_offset
+              |FROM off GROUP BY 1 ORDER BY bin_id""".stripMargin))
   )
 }

@@ -204,4 +204,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(x => (x.getAs[String]("lang"), x.getAs[Long]("doc_id")))
     assert(again.sorted.toSeq === kept.sorted.toSeq)
   }
+
+  test("bm25: tf raises score with diminishing returns, rare terms outweigh common, non-hits absent") {
+    val docs = Seq(
+      (1L, "join join join pad pad pad pad pad"),   // tf=3 for "join"
+      (2L, "join pad pad pad pad pad pad pad"),     // tf=1, same length
+      (3L, "rare pad pad pad pad pad pad pad"),     // tf=1 of the rarer term
+      (4L, "pad pad pad pad pad pad pad pad")       // no query terms → absent
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.bm25(docs, "doc_id", "text", Seq("join", "rare"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("bm25")).toMap
+    assert(!r.contains(4L))
+    assert(r(1L) > r(2L))              // higher tf, same dl → higher score
+    assert(r(1L) < 3 * r(2L))          // but sub-linear (saturation)
+    assert(r(3L) > r(2L))              // df=1 term beats df=2 term at equal tf/dl
+    // pin one value: N=4, avgdl=8, dl=8 → len norm = 1; df(join)=2
+    // idf = ln(1 + 2.5/2.5) = ln 2; tf=1 → s = ln2 * 2.2/(1 + 1.2)
+    val expect = BigDecimal(math.log(2.0) * 2.2 / 2.2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(2L) === expect)
+  }
+
+  test("packSequences: id-order offsets, straddlers bin by start, bins never cross shards") {
+    // 3-token docs, bin of 8 tokens, shard of 4 docs
+    val docs = (0L until 8L).map(i => (i, "tok tok tok")).toDF("doc_id", "text")
+    val r = CorpusOps.packSequences(docs, "doc_id", "text", binTokens = 8, shardDocs = 4)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("shard"), x.getAs[Long]("offset"), x.getAs[Long]("bin_id"))).toMap
+    // shard 0: offsets 0,3,6,9 → bins 0,0,0,1 (doc 2 straddles 6..9 → bin of start 6)
+    assert(r(0L) === ((0L, 0L, 0L)))
+    assert(r(1L) === ((0L, 3L, 0L)))
+    assert(r(2L) === ((0L, 6L, 0L)))
+    assert(r(3L) === ((0L, 9L, 1L)))
+    // shard 1 restarts at offset 0 — packing never crosses the shard line
+    assert(r(4L) === ((1L, 0L, 1000000L)))
+    assert(r(7L) === ((1L, 9L, 1000001L)))
+  }
 }
