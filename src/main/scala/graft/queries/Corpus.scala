@@ -490,6 +490,53 @@ object Corpus {
               |SELECT shard * 1000000 + "offset" // 512 AS bin_id,
               |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
               |  min(doc_id) AS first_doc, max("offset") AS last_offset
-              |FROM off GROUP BY 1 ORDER BY bin_id""".stripMargin))
+              |FROM off GROUP BY 1 ORDER BY bin_id""".stripMargin)),
+
+    // CCNet head/middle/tail tiers: per-language ntile(3) over the
+    // bigram-LM score (q68's signal composed with a ranking window) —
+    // the bucketing CCNet uses to keep "head" (most fluent) data.
+    Q(
+      "q74_ppl_tiers",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val scored = CorpusOps.bigramLmScore(docs, docs, "doc_id", "text", k = 0.5)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("avg_nll"), col("doc_id"))
+        scored
+          .withColumn("t", ntile(3).over(w))
+          .withColumn("tier",
+            when(col("t") === 1, "head").when(col("t") === 2, "middle")
+              .otherwise("tail"))
+          .groupBy(col("lang"), col("tier"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("avg_nll")), 4).as("mean_nll"),
+            min(col("doc_id")).as("min_id"))
+          .orderBy(col("lang"), col("tier"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${LlmOps.tokSql} AS t FROM documents),
+              |grams AS (
+              |  SELECT doc_id,
+              |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+              |  FROM toks WHERE len(t) >= 2),
+              |uni AS (
+              |  SELECT tok AS w1, count(*) AS c1
+              |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+              |big AS (SELECT g, count(*) AS c2 FROM grams GROUP BY g),
+              |v AS (SELECT count(*) AS vc FROM uni),
+              |scored AS (
+              |  SELECT doc_id, round(avg(-ln((c2 + 0.5) / (c1 + 0.5 * vc))), 4) AS avg_nll
+              |  FROM (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM grams)
+              |  JOIN big USING (g) JOIN uni USING (w1) CROSS JOIN v
+              |  GROUP BY doc_id),
+              |tiered AS (
+              |  SELECT d.lang, s.avg_nll,  s.doc_id,
+              |    ntile(3) OVER (PARTITION BY d.lang ORDER BY s.avg_nll, s.doc_id) AS t
+              |  FROM scored s JOIN documents d USING (doc_id))
+              |SELECT lang,
+              |  CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle' ELSE 'tail' END AS tier,
+              |  count(*) AS n_docs, round(avg(avg_nll), 4) AS mean_nll,
+              |  min(doc_id) AS min_id
+              |FROM tiered GROUP BY 1, 2 ORDER BY lang, tier""".stripMargin))
   )
 }
