@@ -124,10 +124,12 @@ object Lake {
     * File-count target: a directory of many tiny files typically
     * bin-packs into fewer scan splits than `want`, and coalesce can
     * only reduce — so when the scan yields fewer partitions than the
-    * target, the rewrite range-repartitions on pos instead (the same
-    * sort the coalesce path pays in sortWithinPartitions), which both
-    * hits the file-count target exactly and range-clusters pos across
-    * files for row-group AND file-level min/max pruning.
+    * target, the rewrite range-repartitions on the `clusterBy` columns
+    * instead (the same sort the coalesce path pays in
+    * sortWithinPartitions), which both hits the file-count target
+    * exactly and range-clusters the sort key across files for
+    * row-group AND file-level min/max pruning. `clusterBy` defaults to
+    * the genomic lake's `pos`; other lakes pass their own sort key.
     *
     * `failpoint` is a test seam invoked after verification, before the
     * swap — production callers leave the default no-op.
@@ -137,6 +139,7 @@ object Lake {
     */
   def compact(spark: SparkSession, lakePath: String,
               targetBytes: Long = 128L * 1024 * 1024,
+              clusterBy: Seq[String] = Seq("pos"),
               failpoint: String => Unit = _ => ()): Seq[(String, Int, Int)] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(lakePath)
@@ -159,10 +162,11 @@ object Lake {
 
         // 1. write the compacted copy beside the originals (hidden dir)
         val src = spark.read.parquet(dir.toString)
+        val cluster = clusterBy.map(col)
         val shaped =
-          if (src.rdd.getNumPartitions < want) src.repartitionByRange(want, col("pos"))
+          if (src.rdd.getNumPartitions < want) src.repartitionByRange(want, cluster: _*)
           else src.coalesce(want)
-        shaped.sortWithinPartitions(col("pos"))
+        shaped.sortWithinPartitions(cluster: _*)
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
 
         // 2. verify the copy before touching any original file

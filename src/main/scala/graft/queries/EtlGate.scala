@@ -307,5 +307,82 @@ object EtlGate {
            |  COUNT(DISTINCT chrom || '|' || pos) AS coordinates_num,
            |  COUNT(DISTINCT chrom || '|' || pos || '|' || ref || '|' || alt) AS mutations_num,
            |  COUNT(DISTINCT src_file) AS samples_num
-           |FROM vcf_raw""".stripMargin)))
+           |FROM vcf_raw""".stripMargin)),
+
+    // Lake compaction under the oracle: write a many-tiny-files
+    // two-level lake from `documents` (unlike the fixture-driven gates
+    // above, this one DOES read the sf dir), run the crash-safe
+    // compact, and hash the read-back content against DuckDB computing
+    // the same aggregates from the source table directly — compaction
+    // must be invisible to every reader. The order-independent md5
+    // checksum over text pins row content, not just counts;
+    // CompactionSpec separately pins the file-count mechanics.
+    Q(
+      "q75_compact_roundtrip",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-compact") + "/lake"
+        graft.Tables.documents(s, dir)
+          .withColumn("pb", pmod(col("doc_id"), lit(3L)))
+          .repartition(col("lang"), col("pb"))
+          .write.option("maxRecordsPerFile", 10)
+          .partitionBy("lang", "pb").parquet(out)
+        val report = Lake.compact(s, out, targetBytes = Long.MaxValue,
+          clusterBy = Seq("doc_id"))
+        require(report.nonEmpty, "compaction gate must actually compact")
+        s.read.parquet(out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Lake upsert under the oracle: build a lake from `documents`,
+    // merge a batch that rewrites every 10th document (n_chars → -1)
+    // and adds a shifted-id copy of every 100th, then hash the merged
+    // read-back against DuckDB replaying the merge relationally. Pins
+    // update-wins collision semantics, new-key appends, and untouched
+    // rows — through the real partition-pruned rename-swap path.
+    Q(
+      "q76_upsert_roundtrip",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-upsert") + "/lake"
+        val docs = graft.Tables.documents(s, dir)
+          .withColumn("pb", pmod(col("doc_id"), lit(3L)))
+        docs.repartition(col("lang"), col("pb"))
+          .write.partitionBy("lang", "pb").parquet(out)
+        val updates = docs.where(pmod(col("doc_id"), lit(10L)) === 0)
+          .withColumn("n_chars", lit(-1L))
+          .unionByName(
+            docs.where(pmod(col("doc_id"), lit(100L)) === 0)
+              .withColumn("doc_id", col("doc_id") + lit(1000000L))
+              .withColumn("pb", pmod(col("doc_id"), lit(3L)))
+              .withColumn("n_chars", lit(-1L)))
+        Lake.upsert(s, out, updates,
+          partitionCols = Seq("lang", "pb"),
+          keyCols = Seq("lang", "pb", "doc_id"))
+        s.read.parquet(out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH merged AS (
+             |  SELECT lang,
+             |    CASE WHEN doc_id % 10 = 0 THEN -1 ELSE n_chars END AS n_chars,
+             |    doc_id
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT lang, -1 AS n_chars, doc_id + 1000000 AS doc_id
+             |  FROM documents WHERE doc_id % 100 = 0)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  max(doc_id) AS max_id
+             |FROM merged GROUP BY lang ORDER BY lang""".stripMargin)))
 }
