@@ -380,6 +380,69 @@ object Dedup {
     exactSurvivors.join(drops, Seq(id), "left_anti")
   }
 
+  /** Incremental ingest dedup: drop every `batch` document that is an
+    * exact or near duplicate of the existing `corpus` — the operation a
+    * continuously-fed pipeline runs on each new crawl batch, where
+    * re-deduplicating the whole corpus per batch is not an option.
+    * Survivors keep every batch column. Batch-internal duplicates are
+    * out of scope (run [[deduplicate]] on the batch first).
+    *
+    * Shape: an exact pass first (anti-join of content md5 against the
+    * corpus fingerprint set — no shingle work for verbatim recrawls,
+    * the common case), then cross-side LSH: band collisions BETWEEN
+    * batch and corpus signatures (never corpus×corpus — the corpus side
+    * is only probed), verified by exact Jaccard over hashed shingle
+    * sets. At 100 TB the corpus signatures/fingerprints are maintained
+    * as persisted tables, not recomputed per batch; this operator
+    * recomputes them for self-containment.
+    *
+    * `maxBucket` caps each band bucket PER SIDE to its lowest-id
+    * members: a boilerplate bucket is a near-identical cluster, so its
+    * retained representatives still catch matching batch docs, while a
+    * batch doc ranked past the cap in EVERY one of its bands can be
+    * missed — the documented recall trade for bounded work (the
+    * within-corpus chain trick does not apply: membership, not
+    * connectivity, is the question here).
+    */
+  def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame, id: String,
+                         text: String, n: Int = 8, k: Int = 8, r: Int = 2,
+                         minJaccard: Double = 0.5,
+                         maxBucket: Option[Int] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val corpusFp = corpus.select(md5(col(text)).as("__fp")).distinct()
+    val fresh = batch.withColumn("__fp", md5(col(text)))
+      .join(corpusFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+      .persist()
+    def capped(bands: DataFrame): DataFrame = maxBucket match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash")).orderBy(col(id))
+        bands.withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= cap).drop("__rk")
+      case None => bands
+    }
+    val bBands = capped(lshBands(minhashSignatureDirect(fresh, id, text, n, k), id, k, r))
+      .select(col("band"), col("band_hash"), col(id).as("__bid"))
+    val cBands = capped(lshBands(minhashSignatureDirect(corpus, id, text, n, k), id, k, r))
+      .select(col("band"), col("band_hash"), col(id).as("__cid"))
+    val cand = bBands.join(cBands, Seq("band", "band_hash"))
+      .select(col("__bid"), col("__cid")).distinct()
+    val bH = shingleHashArrays(fresh, id, text, n)
+      .select(col(id).as("__bid"), col("shl").as("sb"))
+    val cH = shingleHashArrays(corpus, id, text, n)
+      .select(col(id).as("__cid"), col("shl").as("sa"))
+    val drops = cand
+      .join(bH, Seq("__bid")).join(cH, Seq("__cid"))
+      .withColumn("__inter", size(array_intersect(col("sa"), col("sb"))))
+      .where(col("__inter") > 0)
+      .where(round(col("__inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("__inter")).cast("double"), 4)
+        >= minJaccard)
+      .select(col("__bid").as(id)).distinct()
+    fresh.join(drops, Seq(id), "left_anti")
+  }
+
   /** SimHash sketch: `bits`-bit fingerprint where bit j is the sign of
     * sum over token OCCURRENCES of ±1 (the j-th md5 bit of the token).
     * Near-identical documents differ in few bits (compare via hamming

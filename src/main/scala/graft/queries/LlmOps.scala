@@ -97,6 +97,39 @@ object LlmOps {
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
+  /** Prefixed minhash CTE chain for a second shingle source: mirrors
+    * shSql/sigSql/bandsSql (same constants, same mix contract) with
+    * every CTE named `<p>sh`/`<p>shh`/`<p>sig`/`<p>bands`, plus the
+    * per-side bucket cap of Dedup.dedupAgainstCorpus as
+    * `<p>cb` (row_number <= cap per (band, band_hash), id order).
+    */
+  private def minhashSideSqlFor(p: String, from: String, cap: Int): String = {
+    import graft.functions.Minhash.{P, a, b, c}
+    val mins = (0 until MinhashK)
+      .map(k =>
+        s"min(CAST((${a(k)}::HUGEINT * h1 + ${b(k)}::HUGEINT * h2 + ${c(k)}) % $P AS BIGINT)) AS h$k")
+      .mkString(", ")
+    val bandRows = (0 until MinhashK / BandR).map { bI =>
+      val slice = (bI * BandR until (bI + 1) * BandR)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString("||'|'||")
+      s"SELECT doc_id, CAST($bI AS BIGINT) AS band, $slice AS band_hash FROM ${p}sig"
+    }
+    s"""${p}sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, greatest(length(text)-$ShingleN+2, 2)),
+       |      i -> substring(text, CAST(i AS INT), $ShingleN))) AS sh
+       |  FROM $from),
+       |${p}shh AS (SELECT doc_id, ('0x'||substr(md5(sh),1,15))::BIGINT AS h1,
+       |  ('0x'||substr(md5(sh),16,15))::BIGINT AS h2 FROM ${p}sh),
+       |${p}sig AS (SELECT doc_id, $mins FROM ${p}shh GROUP BY doc_id),
+       |${p}bands AS (${bandRows.mkString(" UNION ALL ")}),
+       |${p}cb AS (
+       |  SELECT doc_id, band, band_hash FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rk
+       |    FROM ${p}bands)
+       |  WHERE rk <= $cap)""".stripMargin
+  }
+
   /** Unrounded cosine — used where the value feeds an argmax, which
     * must compare full-precision doubles exactly like the Spark side.
     */
@@ -615,6 +648,61 @@ object LlmOps {
               |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35)
               |SELECT e.vec_id, e.label FROM embeddings e
               |WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)
-              |ORDER BY e.vec_id""".stripMargin))
+              |ORDER BY e.vec_id""".stripMargin)),
+
+    // Incremental ingest dedup: a synthetic crawl batch (verbatim
+    // recrawls, near-dup prefix-trims, genuinely fresh docs — all
+    // derived deterministically from the corpus itself) deduplicated
+    // AGAINST the corpus; the oracle replays the exact pass and the
+    // cross-side LSH+Jaccard with both sides' minhash chains.
+    Q(
+      "q77_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def cls(m: Int) = docs.where(pmod(col("doc_id"), lit(10L)) === m)
+        val batch = cls(1)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            expr("substring(text, 11)").as("text"))
+          .unionByName(cls(2)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+          .unionByName(cls(3)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(lit("zq "), md5(col("text")), lit(" fresh doc")).as("text")))
+        Dedup.dedupAgainstCorpus(batch, docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", n = ShingleN, k = MinhashK, r = BandR,
+          minJaccard = 0.5, maxBucket = Some(MaxBucket))
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH batch AS (
+              |  SELECT doc_id + 2000000 AS doc_id, substring(text, 11) AS text
+              |  FROM documents WHERE doc_id % 10 = 1
+              |  UNION ALL
+              |  SELECT doc_id + 2000000 AS doc_id, text
+              |  FROM documents WHERE doc_id % 10 = 2
+              |  UNION ALL
+              |  SELECT doc_id + 2000000 AS doc_id, 'zq ' || md5(text) || ' fresh doc' AS text
+              |  FROM documents WHERE doc_id % 10 = 3),
+              |fresh AS (
+              |  SELECT * FROM batch
+              |  WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)),
+              |${minhashSideSqlFor("b", "fresh", MaxBucket)},
+              |${minhashSideSqlFor("c", "documents", MaxBucket)},
+              |cand AS (
+              |  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+              |  FROM bcb b JOIN ccb c USING (band, band_hash)),
+              |bl AS (SELECT doc_id, list(sh) AS shs FROM bsh GROUP BY doc_id),
+              |cl AS (SELECT doc_id, list(sh) AS shs FROM csh GROUP BY doc_id),
+              |drops AS (
+              |  SELECT DISTINCT bid FROM cand
+              |  JOIN bl ON bl.doc_id = bid
+              |  JOIN cl ON cl.doc_id = cid
+              |  WHERE len(list_intersect(bl.shs, cl.shs)) > 0
+              |    AND round(CAST(len(list_intersect(bl.shs, cl.shs)) AS DOUBLE) /
+              |          CAST(len(bl.shs) + len(cl.shs)
+              |               - len(list_intersect(bl.shs, cl.shs)) AS DOUBLE), 4) >= 0.5)
+              |SELECT doc_id FROM fresh
+              |WHERE doc_id NOT IN (SELECT bid FROM drops)
+              |ORDER BY doc_id""".stripMargin))
   )
 }

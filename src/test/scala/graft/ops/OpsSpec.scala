@@ -388,6 +388,28 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("dedupAgainstCorpus: verbatim recrawl and near-dup drop, fresh doc survives") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different corpus content about query engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again"), // verbatim → exact drop
+      (102L, "the quick brown fox jumps over the lazy dog again and again!"), // near → LSH drop
+      (103L, "zq entirely novel text with no shingle overlap whatsoever")     // fresh → survives
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text",
+      minJaccard = 0.5, maxBucket = Some(32))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(103L))
+    // corpus is only probed — nothing from it appears in the output
+    // and an empty batch stays empty
+    val none = Dedup.dedupAgainstCorpus(batch.where(lit(false)), corpus,
+      "doc_id", "text").collect()
+    assert(none.isEmpty)
+  }
+
   test("kmeans: total assignment, axis clusters separate, deterministic across layouts") {
     import spark.implicits._
     // three tight clusters along coordinate axes, 12 vectors each; the
