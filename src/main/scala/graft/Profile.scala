@@ -54,6 +54,63 @@ object Profile {
       spark.stop(); sys.exit(0)
     }
 
+    // SEMSTRESS=K: semantic-dedup scaling check — replicate the
+    // embedding table K× with per-replica perturbed vectors (every
+    // original spawns a K-member near-identical cluster) and scale the
+    // cell count with the corpus (cells ∝ n keeps per-cell population
+    // constant — the knob that makes cell-local pairwise linear).
+    sys.env.get("SEMSTRESS").map(_.toInt).foreach { k =>
+      val emb = Tables.embeddings(spark, sfDir)
+      def semTime(d: org.apache.spark.sql.DataFrame, cells: Int): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val out = graft.ops.Similarity.semanticDedup(d, "vec_id", "embedding",
+          k = cells, iters = 2, minCos = 0.99).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"PROFILE semdedup n=${d.count()}%-8d cells=$cells%-5d survivors=$out%-8d $t%8.2f s")
+        t
+      }
+      val t1 = semTime(emb, 8)
+      val big = (0 until k).map(i =>
+        emb.select(
+          (col("vec_id") * k + i).as("vec_id"),
+          transform(col("embedding"), x => (x + lit(i * 1e-4f)).cast("float"))
+            .as("embedding"),
+          col("label")))
+        .reduce(_.unionAll(_))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val tk = semTime(big, 8 * k)
+      println(f"PROFILE semstress ${k}x scaling factor = ${tk / t1}%.1f (ideal $k.0, quadratic ${k * k}.0)")
+      spark.stop(); sys.exit(0)
+    }
+
+    // INCSTRESS=K: incremental-dedup scaling check — batch replicated
+    // K× against the fixed corpus; the corpus-side model cost is paid
+    // once, so wall-clock should grow sublinearly in K.
+    sys.env.get("INCSTRESS").map(_.toInt).foreach { k =>
+      def incTime(b: org.apache.spark.sql.DataFrame): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val out = graft.ops.Dedup.dedupAgainstCorpus(b, docs, "doc_id", "text",
+          minJaccard = 0.5, maxBucket = Some(32)).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"PROFILE incdedup batch=${b.count()}%-8d survivors=$out%-8d $t%8.2f s")
+        t
+      }
+      val batch1 = docs.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" recrawl")).as("text"))
+      val t1 = incTime(batch1)
+      val bigBatch = (0 until k).map(i =>
+        docs.select(
+          (col("doc_id") * k + i + 2000000L).as("doc_id"),
+          concat(col("text"), lit(s" recrawl$i")).as("text")))
+        .reduce(_.unionAll(_))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val tk = incTime(bigBatch)
+      println(f"PROFILE incstress ${k}x scaling factor = ${tk / t1}%.1f (ideal $k.0)")
+      spark.stop(); sys.exit(0)
+    }
+
     // warm JIT
     Dedup.shingleArrays(docs, "doc_id", "text", 8).count()
 
