@@ -9,14 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * Codecs: images (PNG/JPEG/GIF/BMP) decode for real via
   * `javax.imageio`, audio (WAV/PCM and anything the JDK's sampled-audio
-  * SPI converts) via `javax.sound.sampled`, and motion payloads whose
-  * frames ImageIO can iterate (animated GIF — the one motion format
-  * with a pure-JVM decoder) yield real composited frames via
-  * `decodeFrames` — all ship with the JDK, no native dependencies —
-  * and features derive from actual pixels / samples. Payloads no JDK
-  * codec reads (MPEG-family video, corrupt bytes) fall back to the
-  * labeled deterministic STUB, preserving the full-pipeline behavior
-  * until a native codec is slotted in.
+  * SPI converts) via `javax.sound.sampled`, and motion payloads decode
+  * real frames via `decodeFrames` on two container paths — animated GIF
+  * (ImageIO frame iterator + compositing) and MJPEG-in-AVI (RIFF chunk
+  * walk + per-frame JPEG decode) — all shipping with the JDK, no native
+  * dependencies; features derive from actual pixels / samples. Payloads
+  * no JDK codec reads (MPEG-family video, corrupt bytes) fall back to
+  * the labeled deterministic STUB, preserving the full-pipeline
+  * behavior until a native codec is slotted in.
   *
   * Scale notes:
   *  - payload bytes stay columnar end-to-end (parquet binary chunks);
@@ -72,6 +72,8 @@ object Multimodal {
     */
   def withMediaMeta(df: DataFrame, contentCol: String = "content"): DataFrame = {
     val magic = upper(hex(substring(col(contentCol), 1, 4)))
+    // RIFF is a container — bytes 9-12 carry the actual form type
+    val riffType = upper(hex(substring(col(contentCol), 9, 4)))
     df
       .withColumn("n_bytes", octet_length(col(contentCol)).cast("long"))
       .withColumn("sha", sha2(col(contentCol), 256))
@@ -79,7 +81,10 @@ object Multimodal {
         when(magic.startsWith("89504E47"), "png")
           .when(magic.startsWith("FFD8FF"), "jpeg")
           .when(magic.startsWith("47494638"), "gif")
-          .when(magic.startsWith("52494646"), "riff-wav")
+          .when(magic.startsWith("52494646"),
+            when(riffType === lit("57415645"), "riff-wav")     // "WAVE"
+              .when(riffType === lit("41564920"), "riff-avi")  // "AVI "
+              .otherwise("riff"))
           .when(magic.startsWith("00000018") || magic.startsWith("00000020"), "mp4")
           .otherwise("unknown"))
   }
@@ -237,19 +242,68 @@ object Multimodal {
       .toDF("media_id", "content", "width", "height")
   }
 
-  /** Multi-frame decode for motion payloads ImageIO can iterate —
-    * animated GIF in a stock JDK. Frames are composited cumulatively
-    * onto a canvas at each frame's (left, top) offset, because GIF
-    * frames after the first are typically partial deltas; the returned
-    * images are full-canvas snapshots, one per source frame. The canvas
-    * is sized by the first frame (the GIF logical screen in practice);
-    * later frames that overflow it are clipped. Disposal methods beyond
-    * draw-over are not modeled — fine for feature extraction, not an
-    * archival renderer. None ⇒ no ImageIO reader claims the payload —
-    * callers fall back to the stub path (true MPEG lands here: no
-    * pure-JVM decoder exists).
+  /** Multi-frame decode for motion payloads: animated GIF via the
+    * ImageIO frame iterator, MJPEG-in-AVI via the RIFF walk below —
+    * the two motion formats a stock JDK can decode for real. None ⇒
+    * neither path claims the payload — callers fall back to the stub
+    * (true MPEG lands there: no pure-JVM decoder exists).
     */
   def decodeFrames(bytes: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] =
+    imageIoFrames(bytes).orElse(aviMjpegFrames(bytes))
+
+  /** AVI (RIFF) walk for Motion-JPEG streams: every video-data chunk
+    * (`##dc`/`##db`) inside a `movi` (or `rec `) LIST whose payload
+    * starts with the JPEG SOI marker decodes as a standalone frame —
+    * MJPEG is intra-only, so no compositing is involved. Defensive
+    * against truncated/corrupt containers (malformed sizes end the walk
+    * with whatever frames were already recovered). None ⇒ not a
+    * RIFF/AVI payload or no decodable frame inside.
+    */
+  private def aviMjpegFrames(
+      bytes: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] = {
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val frames = IndexedSeq.newBuilder[java.awt.image.BufferedImage]
+    def walk(from: Long, until: Long, inMovi: Boolean): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = fourcc(off.toInt)
+        val sz = u32(off.toInt + 4)
+        val dataOff = off + 8
+        if (dataOff + sz > until) return // malformed size: stop here
+        if (id == "LIST" && sz >= 4) {
+          val listType = fourcc(dataOff.toInt)
+          if (listType == "movi" || listType == "rec ")
+            walk(dataOff + 4, dataOff + sz, inMovi = true)
+        } else if (inMovi && sz >= 2 &&
+          (id.regionMatches(true, 2, "dc", 0, 2) || id.regionMatches(true, 2, "db", 0, 2)) &&
+          (bytes(dataOff.toInt) & 0xff) == 0xff && (bytes(dataOff.toInt + 1) & 0xff) == 0xd8) {
+          decodeImage(java.util.Arrays.copyOfRange(
+            bytes, dataOff.toInt, (dataOff + sz).toInt)).foreach(frames += _)
+        }
+        off = dataOff + sz + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, math.min(bytes.length.toLong, 8 + u32(4)), inMovi = false)
+    val out = frames.result()
+    if (out.isEmpty) None else Some(out)
+  }
+
+  /** ImageIO multi-frame path (animated GIF in a stock JDK). Frames are
+    * composited cumulatively onto a canvas at each frame's (left, top)
+    * offset, because GIF frames after the first are typically partial
+    * deltas; the returned images are full-canvas snapshots, one per
+    * source frame. The canvas is sized by the first frame (the GIF
+    * logical screen in practice); later frames that overflow it are
+    * clipped. Disposal methods beyond draw-over are not modeled — fine
+    * for feature extraction, not an archival renderer.
+    */
+  private def imageIoFrames(
+      bytes: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] =
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))

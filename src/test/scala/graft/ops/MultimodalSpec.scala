@@ -20,7 +20,8 @@ class MultimodalSpec extends AnyFunSuite {
         (r.getAs[String]("format"), r.getAs[Long]("n_bytes"))).toMap
     assert(meta(1L) === ("png", 204L))
     assert(meta(2L) === ("jpeg", 154L))
-    assert(meta(3L) === ("riff-wav", 104L))
+    // RIFF magic but neither a WAVE nor an AVI form type → bare container
+    assert(meta(3L) === ("riff", 104L))
     assert(meta(4L)._1 === "unknown")
   }
 
@@ -185,5 +186,59 @@ class MultimodalSpec extends AnyFunSuite {
     val still = Multimodal.sampleFrames(
       Seq((31L, realPng())).toDF("media_id", "content"), k = 4).collect()
     assert(still.length === 1 && still(0).decoded && still(0).frame_idx === 0)
+  }
+
+  /** Minimal MJPEG-in-AVI: RIFF("AVI ", LIST(hdrl, avih), LIST(movi,
+    * 00dc JPEG chunks)) with word-aligned chunks — the structure any
+    * MJPEG-producing capture tool emits.
+    */
+  private def mjpegAvi(colors: Seq[Int], w: Int = 16, h: Int = 12): Array[Byte] = {
+    def le32(n: Int) = Array[Byte](n.toByte, (n >> 8).toByte, (n >> 16).toByte, (n >> 24).toByte)
+    def chunk(id: String, data: Array[Byte]) =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(tpe: String, payload: Array[Byte]) =
+      chunk("LIST", tpe.getBytes("US-ASCII") ++ payload)
+    val jpegs = colors.map { c =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(c)); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi", jpegs.map(j => chunk("00dc", j)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("MJPEG AVI payloads yield real decoded frames; corrupt AVI falls back to the stub") {
+    import spark.implicits._
+    val colors = Seq(0x202020, 0x808080, 0xe0e0e0)
+    val avi = mjpegAvi(colors)
+    val decoded = Multimodal.decodeFrames(avi).get
+    assert(decoded.length === 3)
+    // JPEG is lossy: solid-gray frames decode within a few counts
+    decoded.zip(colors).foreach { case (img, c) =>
+      assert(img.getWidth === 16 && img.getHeight === 12)
+      assert(math.abs((img.getRGB(8, 6) & 0xff) - (c & 0xff)) <= 4)
+    }
+    // sniffing separates the AVI form from WAV's
+    val media = Seq((40L, avi)).toDF("media_id", "content")
+    assert(Multimodal.withMediaMeta(media).collect()(0)
+      .getAs[String]("format") === "riff-avi")
+    // the distributed sampler returns real frames for every source frame
+    val frames = Multimodal.sampleFrames(media, k = 8).collect().sortBy(_.frame_idx)
+    assert(frames.length === 3 && frames.forall(_.decoded))
+    val pix = frames.map(f => Multimodal.decodeImage(f.frame).get.getRGB(8, 6) & 0xff)
+    pix.zip(colors).foreach { case (p, c) => assert(math.abs(p - (c & 0xff)) <= 4) }
+    // truncating the movi list mid-chunk loses the tail frames but never throws;
+    // chopping into the very first JPEG leaves nothing decodable → stub path
+    val headOnly = avi.take(avi.length / 8)
+    val stubbed = Multimodal.sampleFrames(
+      Seq((41L, headOnly)).toDF("media_id", "content"), k = 2).collect()
+    assert(stubbed.forall(!_.decoded))
   }
 }
