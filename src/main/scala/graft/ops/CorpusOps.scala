@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Corpus-governance operators for training-data pipelines: repetition
@@ -283,6 +283,47 @@ object CorpusOps {
       .join(broadcast(rates), Seq(stratum))
       .where(u < col("keep_rate"))
       .drop("n_stratum")
+  }
+
+  /** Compression-ratio quality signal (the Gopher/RefinedWeb
+    * repetitiveness proxy): deflate each document and report
+    * compressed/raw byte sizes. Highly repetitive or templated text
+    * compresses far below natural prose; near-random text barely
+    * compresses — both tails are filter candidates. DEFLATE has no SQL
+    * mirror, so this is a spec-pinned, rows-only operator (like the
+    * media codecs), and for the same reason it runs as batched
+    * `mapPartitions` at the codec boundary: one `Deflater` per
+    * partition, reset per document — amortized native-buffer setup,
+    * bounded task memory, no shuffle anywhere. Deterministic for a
+    * fixed level on a given JDK (and pinned by relative ordering, not
+    * absolute sizes, in the spec).
+    */
+  final case class CompressionSignal(doc_id: Long, n_bytes: Long,
+                                     deflate_bytes: Long, ratio: Double)
+
+  def compressionSignals(docs: DataFrame, id: String, text: String,
+                         level: Int = 6, batchSize: Int = 256): Dataset[CompressionSignal] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long"), col(text))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        rows.grouped(batchSize).flatMap(_.map { case (docId, t) =>
+          val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          val ratio =
+            if (raw.length == 0) 1.0
+            else BigDecimal(out.toDouble / raw.length)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          CompressionSignal(docId, raw.length.toLong, out, ratio)
+        })
+      }
   }
 
   /** BM25 ranked retrieval (Lucene-shape formula): score every document

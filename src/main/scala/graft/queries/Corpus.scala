@@ -537,6 +537,20 @@ object Corpus {
               |  CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle' ELSE 'tail' END AS tier,
               |  count(*) AS n_docs, round(avg(avg_nll), 4) AS mean_nll,
               |  min(doc_id) AS min_id
-              |FROM tiered GROUP BY 1, 2 ORDER BY lang, tier""".stripMargin))
+              |FROM tiered GROUP BY 1, 2 ORDER BY lang, tier""".stripMargin)),
+
+    // Compression-ratio quality signal. DEFLATE has no SQL mirror
+    // (rows-only by nature, like the media codecs); the row carries its
+    // own evidence — raw sizes are oracle-comparable via n_chars, and
+    // the ratio column is bounded (0, ~1.05] by construction. The spec
+    // pins ordering (repetitive < prose < incompressible).
+    Q(
+      "q78_compression",
+      (s, dir) => CorpusOps.compressionSignals(
+        Tables.documents(s, dir), "doc_id", "text")
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("deflate_bytes"), col("ratio"))
+        .orderBy(col("doc_id")),
+      None)
   )
 }

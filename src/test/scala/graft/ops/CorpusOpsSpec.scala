@@ -205,6 +205,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again.sorted.toSeq === kept.sorted.toSeq)
   }
 
+  test("compressionSignals: repetitive < prose < incompressible, deterministic, exact sizes") {
+    val repetitive = "spam " * 200
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders across a field of alternating wildflowers before returning home " * 3
+    val rnd = new scala.util.Random(42)
+    val noise = (0 until 1000).map(_ => (rnd.nextInt(94) + 33).toChar).mkString
+    val docs = Seq((1L, repetitive), (2L, prose), (3L, noise), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.compressionSignals(docs, "doc_id", "text")
+      .collect().map(c => c.doc_id -> c).toMap
+    assert(r(1L).n_bytes === 1000L)
+    assert(r(1L).ratio < 0.1)                  // degenerate loops collapse
+    assert(r(1L).ratio < r(2L).ratio)          // prose compresses less
+    assert(r(2L).ratio < r(3L).ratio)          // noise barely compresses
+    assert(r(4L) === CorpusOps.CompressionSignal(4L, 0L, r(4L).deflate_bytes, 1.0))
+    // batching and partitioning must not change results
+    val again = CorpusOps.compressionSignals(docs.repartition(3), "doc_id", "text",
+      batchSize = 1).collect().map(c => c.doc_id -> c).toMap
+    assert(again === r)
+  }
+
   test("bm25: tf raises score with diminishing returns, rare terms outweigh common, non-hits absent") {
     val docs = Seq(
       (1L, "join join join pad pad pad pad pad"),   // tf=3 for "join"
