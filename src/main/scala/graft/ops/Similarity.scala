@@ -124,17 +124,9 @@ object Similarity {
     * summarization. One broadcast argmax pass after training.
     */
   def kmeansAssign(emb: DataFrame, id: String, vec: String, k: Int,
-                   iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val codebook = kmeansCodebook(emb, id, vec, k, iters)
-    val w = Window.partitionBy(col(id)).orderBy(col("cell_sim").desc, col("cell"))
-    emb.crossJoin(broadcast(codebook))
-      .select(col(id), col("cell"),
-        cosine(col(vec), col("cvec")).as("cell_sim"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+                   iters: Int): DataFrame =
+    assignDetail(emb, id, vec, kmeansCodebook(emb, id, vec, k, iters))
       .select(col(id), col("cell"), round(col("cell_sim"), 6).as("cell_sim"))
-  }
 
   /** SemDeDup-style semantic deduplication: cluster the corpus with
     * k-means, then inside each cluster drop every vector that has a
@@ -168,10 +160,12 @@ object Similarity {
   }
 
   /** Nearest-cell assignment against a (cell, cvec) codebook; ties break
-    * to the lowest cell id for determinism.
+    * to the lowest cell id for determinism. Keeps the winning
+    * similarity (unrounded) — callers that don't need it project it
+    * away.
     */
-  private def assignTo(emb: DataFrame, id: String, vec: String,
-                       codebook: DataFrame): DataFrame = {
+  private def assignDetail(emb: DataFrame, id: String, vec: String,
+                           codebook: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(id)).orderBy(col("cell_sim").desc, col("cell"))
     emb.crossJoin(broadcast(codebook))
@@ -179,8 +173,12 @@ object Similarity {
         cosine(col(vec), col("cvec")).as("cell_sim"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col(id), col(vec), col("cell"))
+      .select(col(id), col(vec), col("cell"), col("cell_sim"))
   }
+
+  private def assignTo(emb: DataFrame, id: String, vec: String,
+                       codebook: DataFrame): DataFrame =
+    assignDetail(emb, id, vec, codebook).select(col(id), col(vec), col("cell"))
 
   /** IVF (inverted-file) coarse quantization: every vector is assigned
     * to its most-similar of `k` trained centroids (see ivfCodebook).
