@@ -183,6 +183,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(3L)._2 > r(2L)._2) // rare bigram scores worse than the mode
   }
 
+  test("bigramLmScore: out-of-vocabulary bigrams against a separate training set") {
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")   // V=2, c(a b)=2, c(a)=2
+    val score = Seq(
+      (10L, "a b"),      // in-vocab: -ln((2+.5)/(2+.5*2))
+      (11L, "q z")       // fully OOV: c2=0, c1=0 → -ln(.5/(.5*2))
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.bigramLmScore(score, train, "doc_id", "text", k = 0.5)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("avg_nll")).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(10L) === r4(-math.log(2.5 / 3.0)))
+    assert(r(11L) === r4(-math.log(0.5 / 1.0)))  // smoothing floor, finite
+    assert(r(11L) > r(10L))                      // OOV text scores strictly worse
+  }
+
   test("temperatureSample: smallest stratum survives whole; rates follow (nmin/n)^(1-alpha); deterministic") {
     val docs = ((0L until 400L).map(i => (i, "en")) ++
       (400L until 500L).map(i => (i, "fr")) ++
