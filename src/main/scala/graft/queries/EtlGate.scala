@@ -384,5 +384,56 @@ object EtlGate {
              |SELECT lang, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  max(doc_id) AS max_id
-             |FROM merged GROUP BY lang ORDER BY lang""".stripMargin)))
+             |FROM merged GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ORC sink/source round-trip (Spark-native columnar alternative to
+    // parquet — same partitionBy/predicate-pushdown machinery). DuckDB
+    // has no ORC reader, so the oracle pins the read-back CONTENT from
+    // the source table directly: the round trip must be invisible.
+    Q(
+      "q79_orc_roundtrip",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-orc") + "/docs_orc"
+        graft.Tables.documents(s, dir)
+          .write.mode("overwrite").partitionBy("lang").orc(out)
+        s.read.orc(out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // CSV sink/source round-trip with explicit read schema (the export
+    // format downstream spreadsheet/legacy consumers ask for).
+    // multiLine + quoting on both legs so embedded delimiters and
+    // newlines survive; the content checksum proves byte fidelity.
+    Q(
+      "q80_csv_roundtrip",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-csv") + "/docs_csv"
+        graft.Tables.documents(s, dir)
+          .write.mode("overwrite")
+          .option("header", "true").option("multiLine", "true")
+          .csv(out)
+        s.read
+          .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+          .option("header", "true").option("multiLine", "true")
+          .csv(out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)))
 }
