@@ -650,6 +650,28 @@ object LlmOps {
               |WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)
               |ORDER BY e.vec_id""".stripMargin)),
 
+    // The SQL-text API form: the same near-dup scan as q24 expressed as
+    // a `spark.sql` string over a temp view, with the NATIVE registered
+    // vec_cosine expression resolved by name — pins that the SQL
+    // registration path produces bit-identical results to the
+    // DataFrame/Column path (which q24 gates), under the same oracle.
+    Q(
+      "q81_sql_native",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_v")
+        s.sql("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                |  round(vec_cosine(a.embedding, b.embedding), 6) AS cos_sim
+                |FROM embeddings_v a JOIN embeddings_v b ON a.vec_id < b.vec_id
+                |WHERE round(vec_cosine(a.embedding, b.embedding), 6) >= 0.35
+                |ORDER BY vec_a, vec_b""".stripMargin)
+      },
+      Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |  ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+              |ORDER BY vec_a, vec_b""".stripMargin)),
+
     // Incremental ingest dedup: a synthetic crawl batch (verbatim
     // recrawls, near-dup prefix-trims, genuinely fresh docs — all
     // derived deterministically from the corpus itself) deduplicated
