@@ -838,6 +838,48 @@ object Relational {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS sum_price
              |FROM orders
              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
-             |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin))
+             |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // Declarative data-quality validation (Deequ/dbt-tests shape):
+    // row predicates fold into one shared scan, uniqueness is a
+    // count-distinct, referential integrity a left-anti count. The
+    // rule mix includes both passing and failing rules so the gate
+    // pins real violation counts, not a wall of zeros.
+    Q(
+      "q82_validation",
+      (s, dir) => {
+        import graft.ops.Validation
+        import graft.ops.Validation.{ForeignKey, Predicate, Unique}
+        Validation.check(graft.Tables.orders(s, dir), Seq(
+          Predicate("totalprice_positive", col("o_totalprice") > 0),
+          Predicate("totalprice_under_400k", col("o_totalprice") < 400000),
+          Predicate("status_open_or_final", col("o_orderstatus").isin("O", "F")),
+          Unique("orderkey_unique", Seq("o_orderkey")),
+          ForeignKey("custkey_fk", Seq("o_custkey"),
+            graft.Tables.customer(s, dir), Seq("c_custkey"))))
+          .orderBy(col("rule"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'totalprice_positive' AS rule, count(*) AS n_checked,
+             |    CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'totalprice_under_400k', count(*),
+             |    CAST(sum(CASE WHEN o_totalprice < 400000 THEN 0 ELSE 1 END) AS BIGINT)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'status_open_or_final', count(*),
+             |    CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F') THEN 0 ELSE 1 END) AS BIGINT)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'orderkey_unique', count(*),
+             |    count(*) - count(DISTINCT o_orderkey)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'custkey_fk', count(*),
+             |    CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer)
+             |              THEN 0 ELSE 1 END) AS BIGINT)
+             |  FROM orders)
+             |ORDER BY rule""".stripMargin))
   )
 }

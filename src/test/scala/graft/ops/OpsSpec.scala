@@ -388,6 +388,28 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("validation: null-hostile predicates, duplicate counting, orphan and null FKs") {
+    import spark.implicits._
+    import Validation.{ForeignKey, Predicate, Unique}
+    val facts = Seq(
+      (1L, Option(10L), Option(5.0)),
+      (2L, Option(10L), Option(-1.0)),  // predicate violation
+      (2L, Option(20L), None),          // dup key + null metric (violation)
+      (3L, Option(99L), Option(1.0)),   // orphan FK
+      (4L, None, Option(2.0))           // null FK → violation
+    ).toDF("id", "dim_id", "metric")
+    val dim = Seq((10L, "a"), (20L, "b")).toDF("d_id", "d_name")
+    val r = Validation.check(facts, Seq(
+      Predicate("metric_positive", col("metric") > 0),
+      Unique("id_unique", Seq("id")),
+      ForeignKey("dim_fk", Seq("dim_id"), dim, Seq("d_id"))))
+      .collect().map(x => x.getAs[String]("rule") ->
+        (x.getAs[Long]("n_checked"), x.getAs[Long]("n_violations"))).toMap
+    assert(r("metric_positive") === ((5L, 2L))) // -1 AND the null both violate
+    assert(r("id_unique") === ((5L, 1L)))       // one extra occurrence of id=2
+    assert(r("dim_fk") === ((5L, 2L)))          // orphan 99 + null key
+  }
+
   test("dedupAgainstCorpus: verbatim recrawl and near-dup drop, fresh doc survives") {
     import spark.implicits._
     val corpus = Seq(
