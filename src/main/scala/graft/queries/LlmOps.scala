@@ -650,6 +650,30 @@ object LlmOps {
               |WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)
               |ORDER BY e.vec_id""".stripMargin)),
 
+    // Cluster-balanced (diversity) sampling: the SemDeDup companion —
+    // an eval/train subset drawn evenly across k-means cells instead of
+    // at corpus random, via the deterministic md5-rank stratified
+    // sampler with the CELL as the stratum. Oracle replays clustering
+    // + per-cell ranking.
+    Q(
+      "q83_cluster_sample",
+      (s, dir) => {
+        val assigned = Similarity.kmeansAssign(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2)
+        graft.ops.CorpusOps.stratifiedSample(
+          assigned.select(col("vec_id"), col("cell")), "cell", "vec_id",
+          perStratum = 5)
+          .orderBy(col("cell"), col("vec_id"))
+      },
+      Some(s"""WITH ${kmeansSql(k = 8, iters = 2)},
+              |ranked AS (
+              |  SELECT cell, vec_id,
+              |    row_number() OVER (PARTITION BY cell
+              |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              |  FROM af)
+              |SELECT vec_id, cell FROM ranked WHERE rn <= 5
+              |ORDER BY cell, vec_id""".stripMargin)),
+
     // The SQL-text API form: the same near-dup scan as q24 expressed as
     // a `spark.sql` string over a temp view, with the NATIVE registered
     // vec_cosine expression resolved by name — pins that the SQL
