@@ -153,4 +153,59 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
+
+  // ---- streaming ingest dedup against a static corpus ----
+
+  final case class Doc(doc_id: Long, text: String)
+
+  /** First document per content fingerprint passes; later stream
+    * occurrences (same batch or any later batch) drop. Same contract
+    * as FirstSeenDedup, keyed on the md5 fingerprint string.
+    */
+  class FirstFingerprintWins
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Doc), Doc] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Doc)],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Doc] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        rows.take(1).map(_._2)
+      }
+    }
+  }
+
+  /** Streaming incremental ingest dedup — the stream analog of
+    * `Dedup.dedupAgainstCorpus`'s exact pass: a document stream drops
+    * payloads whose content fingerprint already exists in the STATIC
+    * corpus (stream-static broadcast anti-join — stateless, the corpus
+    * fingerprint table is re-read per micro-batch so a growing corpus
+    * is picked up without restarts) or was already seen earlier in the
+    * stream itself (transformWithState keyed on the fingerprint —
+    * first occurrence wins across micro-batches and replays). State is
+    * one boolean per distinct surviving fingerprint; a production
+    * deployment bounds it with a TTL sized to the recrawl window.
+    */
+  def streamDedupAgainstCorpus(docs: Dataset[Doc], corpus: DataFrame,
+                               text: String): Dataset[Doc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val corpusFp = corpus.select(md5(col(text)).as("__fp")).distinct()
+    docs.toDF()
+      .withColumn("__fp", md5(col("text")))
+      .join(broadcast(corpusFp), Seq("__fp"), "left_anti")
+      .select(col("__fp"), struct(col("doc_id"), col("text")).as("doc"))
+      .as[(String, Doc)]
+      .groupByKey(_._1)
+      .transformWithState(new FirstFingerprintWins,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

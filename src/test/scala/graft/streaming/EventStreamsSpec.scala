@@ -160,6 +160,41 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream dedup vs static corpus: recrawls drop, in-stream dups drop once, fresh docs pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.Doc
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val corpus = Seq((100L, "existing corpus document")).toDF("doc_id", "text")
+    val in = MemoryStream[Doc]
+    val q = EventStreams.streamDedupAgainstCorpus(in.toDS(), corpus, "text")
+      .writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Doc(1, "existing corpus document"),  // verbatim recrawl → drops
+        Doc(2, "a genuinely new document"),  // passes
+        Doc(3, "a genuinely new document"))  // same-batch dup → drops
+      q.processAllAvailable()
+      // later batch: replay of doc 2's content, plus another fresh doc
+      in.addData(Doc(4, "a genuinely new document"), Doc(5, "another new one"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM ingest_dedup ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      // exactly one survivor per distinct content not already in the corpus
+      assert(ids.toSet === Set(2L, 5L) || ids.toSet === Set(3L, 5L))
+      assert(ids.length === 2)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
