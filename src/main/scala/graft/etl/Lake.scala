@@ -242,14 +242,31 @@ object Lake {
       throw new IllegalArgumentException(
         s"updates are not key-unique on ${keyCols.mkString(",")}: $nUpd rows, $nUpdKeys keys")
 
+    // leaf partition directories at ANY partitionBy depth: descend
+    // through `col=value` levels until the children are data files
+    def partitionLeaves(base: Path): Seq[Path] = {
+      def descend(p: Path): Seq[Path] = {
+        val kids = fs.listStatus(p)
+          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        if (kids.isEmpty) Seq(p) else kids.toSeq.flatMap(k => descend(k.getPath))
+      }
+      descend(base).filterNot(_ == base)
+    }
+
     if (!fs.exists(root)) {
-      write(updates, lakePath, dynamicOverwrite = false)
-      return fs.listStatus(root)
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-        .flatMap(c => fs.listStatus(c.getPath).filter(_.isDirectory))
-        .map(p => (p.getPath.toString,
-          fs.listStatus(p.getPath).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))))
-        .toSeq
+      // first batch: a plain partitioned write on the CALLER's
+      // partition columns (Lake.write is the genomic-schema writer —
+      // hard-coded chrom/pos_bucket — and must not be assumed here)
+      updates.repartition(partitionCols.map(col): _*)
+        .sortWithinPartitions(keyCols.map(col): _*)
+        .write
+        .option("maxRecordsPerFile", MaxRecordsPerFile)
+        .mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*)
+        .parquet(lakePath)
+      return partitionLeaves(root)
+        .map(p => (p.toString,
+          fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))))
     }
 
     // lake side: affected partitions only (broadcast semi-join on the
@@ -299,12 +316,12 @@ object Lake {
     failpoint(lakePath)
 
     // 3. metadata-only swap, one affected partition directory at a time
-    val tmpParts = fs.listStatus(tmp)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .flatMap(c => fs.listStatus(c.getPath).filter(s =>
-        s.isDirectory && s.getPath.getName.contains("=")))
-    val report = tmpParts.toSeq.map { p =>
-      val rel = new Path(p.getPath.getParent.getName, p.getPath.getName)
+    // (leaves found at whatever depth partitionCols produced)
+    val tmpParts = partitionLeaves(tmp)
+    val tmpQualified = fs.makeQualified(tmp).toString
+    val report = tmpParts.map { p =>
+      val rel = fs.makeQualified(p).toString
+        .stripPrefix(tmpQualified).stripPrefix("/")
       val live = new Path(root, rel)
       fs.mkdirs(live.getParent)
       val trash = new Path(live, ".upsert_old")
@@ -315,7 +332,7 @@ object Lake {
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .foreach(f => fs.rename(f.getPath, new Path(trash, f.getPath.getName)))
       } else fs.mkdirs(live)
-      val moved = fs.listStatus(p.getPath)
+      val moved = fs.listStatus(p)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       moved.foreach(f => fs.rename(f.getPath, new Path(live, f.getPath.getName)))
       fs.delete(trash, true)

@@ -291,10 +291,10 @@ object CorpusOps {
     * compresses far below natural prose; near-random text barely
     * compresses — both tails are filter candidates. DEFLATE has no SQL
     * mirror, so this is a spec-pinned, rows-only operator (like the
-    * media codecs), and for the same reason it runs as batched
+    * media codecs), and for the same reason it runs as
     * `mapPartitions` at the codec boundary: one `Deflater` per
-    * partition, reset per document — amortized native-buffer setup,
-    * bounded task memory, no shuffle anywhere. Deterministic for a
+    * partition (native buffers released at task end), reset per
+    * document — amortized setup, no shuffle anywhere. Deterministic for a
     * fixed level on a given JDK (and pinned by relative ordering, not
     * absolute sizes, in the spec).
     */
@@ -302,15 +302,19 @@ object CorpusOps {
                                      deflate_bytes: Long, ratio: Double)
 
   def compressionSignals(docs: DataFrame, id: String, text: String,
-                         level: Int = 6, batchSize: Int = 256): Dataset[CompressionSignal] = {
+                         level: Int = 6): Dataset[CompressionSignal] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(id).cast("long"), col(text))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(level)
+        // Deflater holds NATIVE zlib buffers — release them when the
+        // task ends, not when the GC eventually finalizes
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
-        rows.grouped(batchSize).flatMap(_.map { case (docId, t) =>
+        rows.map { case (docId, t) =>
           val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           deflater.reset()
           deflater.setInput(raw)
@@ -322,7 +326,7 @@ object CorpusOps {
             else BigDecimal(out.toDouble / raw.length)
               .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
           CompressionSignal(docId, raw.length.toLong, out, ratio)
-        })
+        }
       }
   }
 
@@ -393,7 +397,10 @@ object CorpusOps {
         size(TextOps.tokens(col(text))).cast("long").as("n_tokens"))
       .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(id), col("shard"), col("n_tokens"), col("offset"),
-        (col("shard") * lit(1000000L) + floor(col("offset") / lit(binTokens)))
+        // collision-free by construction at any shard token total
+        // (a shard×multiplier encoding overflows or collides once a
+        // shard holds more bins than the multiplier)
+        concat(col("shard"), lit(":"), floor(col("offset") / lit(binTokens)))
           .as("bin_id"))
   }
 
@@ -404,10 +411,11 @@ object CorpusOps {
     docs.select(col(id),
       posexplode(split(col(text), "\n")).as(Seq("line_no", "line")))
 
-  /** Corpus-wide exact LINE dedup (CCNet-style): every distinct line
-    * survives exactly once, at its first occurrence — smallest
-    * (id, line_no) — and documents are rebuilt from their surviving
-    * lines in original order. Boilerplate (headers, nav bars, license
+  /** Corpus-wide exact LINE dedup (CCNet-style): every distinct
+    * NON-BLANK line survives exactly once, at its first occurrence —
+    * smallest (id, line_no) — blank lines always survive (they are
+    * paragraph structure, not content), and documents are rebuilt from
+    * their surviving lines in original order. Boilerplate (headers, nav bars, license
     * blocks) that repeats across billions of pages is what this kills
     * at training-data scale, where document-level dedup can't see it.
     *
@@ -419,11 +427,18 @@ object CorpusOps {
     * whose lines all lost elsewhere come back empty).
     */
   def dedupLines(docs: DataFrame, id: String, text: String): DataFrame = {
-    val survivors = lines(docs, id, text)
+    val l = lines(docs, id, text)
+    // blank (whitespace-only) lines are STRUCTURE, not content — they
+    // separate paragraphs in every document, so they are exempt from
+    // the corpus-wide competition (else every blank line but the
+    // global first would vanish, destroying formatting corpus-wide)
+    val blank = trim(col("line")) === ""
+    val survivors = l.where(!blank)
       .groupBy(col("line"))
       .agg(min(struct(col(id).as("__id"), col("line_no"))).as("first"))
       .select(col("first.__id").as(id), col("first.line_no").as("line_no"),
         col("line"))
+      .unionByName(l.where(blank).select(col(id), col("line_no"), col("line")))
     val rebuilt = survivors
       .groupBy(col(id))
       .agg(
@@ -455,14 +470,20 @@ object CorpusOps {
   def stripBoilerplate(docs: DataFrame, id: String, text: String,
                        maxDocs: Long): DataFrame = {
     val l = lines(docs, id, text)
-    val boiler = l.select(col("line"), col(id))
+    // blank lines are paragraph structure, never boilerplate (their df
+    // is the corpus by definition); no broadcast HINT on the verdict
+    // set — it is small for sane thresholds, but an adversarial
+    // maxDocs makes it corpus-sized and a forced broadcast would OOM
+    // the driver, so the optimizer (AQE) picks the join side
+    val boiler = l.where(trim(col("line")) =!= "")
+      .select(col("line"), col(id))
       .distinct()
       .groupBy(col("line"))
       .agg(count(lit(1)).as("line_df"))
       .where(col("line_df") > maxDocs)
       .select(col("line"))
     val kept = l
-      .join(broadcast(boiler).withColumn("__boiler", lit(1)), Seq("line"), "left")
+      .join(boiler.withColumn("__boiler", lit(1)), Seq("line"), "left")
       .where(col("__boiler").isNull)
       .groupBy(col(id))
       .agg(

@@ -247,9 +247,25 @@ object Multimodal {
     * the two motion formats a stock JDK can decode for real. None ⇒
     * neither path claims the payload — callers fall back to the stub
     * (true MPEG lands there: no pure-JVM decoder exists).
+    *
+    * Materializes EVERY frame — fine for inspection and small
+    * payloads; the distributed sampler uses [[sampledFrames]], which
+    * bounds memory by the selection instead.
     */
   def decodeFrames(bytes: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] =
-    imageIoFrames(bytes).orElse(aviMjpegFrames(bytes))
+    sampledFrames(bytes, n => 0 until n).map(_.map(_._2))
+
+  /** Frame decode bounded by a selection: `pick(n)` names the sorted
+    * source-frame indices to return, and only those frames are
+    * materialized — a 5,000-frame payload sampled at k = 4 holds one
+    * compositing canvas plus 4 snapshots, never 5,000 (GIF deltas up
+    * to the last picked index are still DECODED forward onto the
+    * canvas, as the format requires, but not retained; AVI frames are
+    * independent JPEGs, so unpicked chunks are never decoded at all).
+    */
+  def sampledFrames(bytes: Array[Byte], pick: Int => IndexedSeq[Int])
+      : Option[IndexedSeq[(Int, java.awt.image.BufferedImage)]] =
+    imageIoFrames(bytes, pick).orElse(aviMjpegFrames(bytes, pick))
 
   /** AVI (RIFF) walk for Motion-JPEG streams: every video-data chunk
     * (`##dc`/`##db`) inside a `movi` (or `rec `) LIST whose payload
@@ -259,15 +275,16 @@ object Multimodal {
     * with whatever frames were already recovered). None ⇒ not a
     * RIFF/AVI payload or no decodable frame inside.
     */
-  private def aviMjpegFrames(
-      bytes: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] = {
+  private def aviMjpegFrames(bytes: Array[Byte], pick: Int => IndexedSeq[Int])
+      : Option[IndexedSeq[(Int, java.awt.image.BufferedImage)]] = {
     def fourcc(off: Int): String =
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     def u32(off: Int): Long =
       (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
         ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
     if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
-    val frames = IndexedSeq.newBuilder[java.awt.image.BufferedImage]
+    // pass 1: chunk offsets only — nothing decodes yet
+    val chunks = IndexedSeq.newBuilder[(Int, Int)] // (dataOff, size)
     def walk(from: Long, until: Long, inMovi: Boolean): Unit = {
       var off = from
       while (off + 8 <= until) {
@@ -282,15 +299,20 @@ object Multimodal {
         } else if (inMovi && sz >= 2 &&
           (id.regionMatches(true, 2, "dc", 0, 2) || id.regionMatches(true, 2, "db", 0, 2)) &&
           (bytes(dataOff.toInt) & 0xff) == 0xff && (bytes(dataOff.toInt + 1) & 0xff) == 0xd8) {
-          decodeImage(java.util.Arrays.copyOfRange(
-            bytes, dataOff.toInt, (dataOff + sz).toInt)).foreach(frames += _)
+          chunks += ((dataOff.toInt, sz.toInt))
         }
         off = dataOff + sz + (sz & 1) // chunks are word-aligned
       }
     }
     walk(12, math.min(bytes.length.toLong, 8 + u32(4)), inMovi = false)
-    val out = frames.result()
-    if (out.isEmpty) None else Some(out)
+    val all = chunks.result()
+    if (all.isEmpty) return None
+    // pass 2: decode ONLY the picked chunks — MJPEG frames are independent
+    val out = pick(all.length).filter(i => i >= 0 && i < all.length).flatMap { i =>
+      val (off, sz) = all(i)
+      decodeImage(java.util.Arrays.copyOfRange(bytes, off, off + sz)).map(i -> _)
+    }
+    if (out.isEmpty) None else Some(out.toIndexedSeq)
   }
 
   /** ImageIO multi-frame path (animated GIF in a stock JDK). Frames are
@@ -302,8 +324,8 @@ object Multimodal {
     * clipped. Disposal methods beyond draw-over are not modeled — fine
     * for feature extraction, not an archival renderer.
     */
-  private def imageIoFrames(
-      bytes: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] =
+  private def imageIoFrames(bytes: Array[Byte], pick: Int => IndexedSeq[Int])
+      : Option[IndexedSeq[(Int, java.awt.image.BufferedImage)]] =
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -317,26 +339,37 @@ object Multimodal {
             val n = reader.getNumImages(true)
             if (n < 1) None
             else {
-              var canvas: java.awt.image.BufferedImage = null
-              val out = (0 until n).map { i =>
-                val frame = reader.read(i)
-                val (ox, oy) = frameOffset(reader, i)
-                if (canvas == null)
-                  canvas = new java.awt.image.BufferedImage(
-                    frame.getWidth + ox, frame.getHeight + oy,
-                    java.awt.image.BufferedImage.TYPE_INT_RGB)
-                val g = canvas.createGraphics()
-                g.drawImage(frame, ox, oy, null)
-                g.dispose()
-                val snap = new java.awt.image.BufferedImage(
-                  canvas.getWidth, canvas.getHeight,
-                  java.awt.image.BufferedImage.TYPE_INT_RGB)
-                val gs = snap.createGraphics()
-                gs.drawImage(canvas, 0, 0, null)
-                gs.dispose()
-                snap
+              val wanted = pick(n).filter(i => i >= 0 && i < n).distinct.sorted
+              if (wanted.isEmpty) None
+              else {
+                // composite forward to the LAST wanted frame (GIF frames
+                // are deltas), snapshotting only the picked indices —
+                // memory is one canvas + |wanted| snapshots, not n
+                var canvas: java.awt.image.BufferedImage = null
+                val wantedSet = wanted.toSet
+                val out = IndexedSeq.newBuilder[(Int, java.awt.image.BufferedImage)]
+                (0 to wanted.last).foreach { i =>
+                  val frame = reader.read(i)
+                  val (ox, oy) = frameOffset(reader, i)
+                  if (canvas == null)
+                    canvas = new java.awt.image.BufferedImage(
+                      frame.getWidth + ox, frame.getHeight + oy,
+                      java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g = canvas.createGraphics()
+                  g.drawImage(frame, ox, oy, null)
+                  g.dispose()
+                  if (wantedSet.contains(i)) {
+                    val snap = new java.awt.image.BufferedImage(
+                      canvas.getWidth, canvas.getHeight,
+                      java.awt.image.BufferedImage.TYPE_INT_RGB)
+                    val gs = snap.createGraphics()
+                    gs.drawImage(canvas, 0, 0, null)
+                    gs.dispose()
+                    out += ((i, snap))
+                  }
+                }
+                Some(out.result())
               }
-              Some(out)
             }
           } finally reader.dispose()
         }
@@ -388,15 +421,14 @@ object Multimodal {
       .where(col("content").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        // evenly spaced source indices; k = 1 picks the first frame
+        def even(n: Int): IndexedSeq[Int] =
+          if (k >= n) 0 until n
+          else (0 until k).map(i => (i.toLong * (n - 1) / math.max(k - 1, 1)).toInt)
         rows.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
-          decodeFrames(bytes) match {
+          sampledFrames(bytes, even) match {
             case Some(frames) =>
-              val n = frames.length
-              val idxs =
-                if (k >= n) 0 until n
-                else (0 until k).map(i => (i.toLong * (n - 1) / (k - 1)).toInt)
-              idxs.map { i =>
-                val img = frames(i)
+              frames.map { case (i, img) =>
                 val bos = new java.io.ByteArrayOutputStream()
                 javax.imageio.ImageIO.write(img, "png", bos)
                 SampledFrame(id, i, bos.toByteArray,

@@ -40,22 +40,28 @@ object Validation {
     */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
+    require(rules.map(_.name).distinct.length == rules.length,
+      "rule names must be unique")
     val predicates = rules.collect { case p: Predicate => p }
-    // one pass for every predicate rule + the shared row count
+    // one pass for every predicate rule + the shared row count;
+    // violation columns are aliased by POSITION, not rule name — a
+    // name with dots/backticks must not break column resolution
+    val predIdx = predicates.zipWithIndex.toMap
     val predAgg =
       if (predicates.isEmpty) None
       else Some(df.agg(
         count(lit(1)).as("__n"),
-        predicates.map(p =>
+        predicates.zipWithIndex.map { case (p, i) =>
           sum(when(coalesce(p.cond, lit(false)), 0L).otherwise(1L))
-            .as(s"__v_${p.name}")): _*))
+            .as(s"__v_$i")
+        }: _*))
     val spark = df.sparkSession
     import spark.implicits._
     val results: Seq[DataFrame] = rules.map {
       case p: Predicate =>
         predAgg.get.select(lit(p.name).as("rule"),
           col("__n").as("n_checked"),
-          coalesce(col(s"__v_${p.name}"), lit(0L)).as("n_violations"))
+          coalesce(col(s"__v_${predIdx(p)}"), lit(0L)).as("n_violations"))
       case u: Unique =>
         df.agg(count(lit(1)).as("__n"),
           count_distinct(struct(u.cols.map(col): _*)).as("__d"))

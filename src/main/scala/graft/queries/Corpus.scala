@@ -301,8 +301,10 @@ object Corpus {
         .orderBy(col("doc_id")),
       Some(s"""WITH $multilineSql,
               |surv AS (
-              |  SELECT doc_id, line_no, line FROM l
-              |  QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1),
+              |  SELECT doc_id, line_no, line FROM l WHERE trim(line) <> ''
+              |  QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1
+              |  UNION ALL
+              |  SELECT doc_id, line_no, line FROM l WHERE trim(line) = ''),
               |reb AS (
               |  SELECT doc_id, count(*) AS n_lines_kept,
               |    string_agg(line, chr(10) ORDER BY line_no) AS text_deduped
@@ -326,7 +328,8 @@ object Corpus {
       Some(s"""WITH $multilineSql,
               |boiler AS (
               |  SELECT line FROM (
-              |    SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY line)
+              |    SELECT line, count(DISTINCT doc_id) AS line_df FROM l
+              |    WHERE trim(line) <> '' GROUP BY line)
               |  WHERE line_df > 3),
               |kept AS (
               |  SELECT doc_id, line_no, line FROM l
@@ -487,7 +490,7 @@ object Corpus {
               |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
               |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
               |  FROM base)
-              |SELECT shard * 1000000 + "offset" // 512 AS bin_id,
+              |SELECT shard || ':' || ("offset" // 512) AS bin_id,
               |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
               |  min(doc_id) AS first_doc, max("offset") AS last_offset
               |FROM off GROUP BY 1 ORDER BY bin_id""".stripMargin)),

@@ -108,4 +108,28 @@ class UpsertSpec extends AnyFunSuite {
     assert(report.nonEmpty)
     assert(readBack(dir) === Map(("chr1", 0L, 100) -> "v1"))
   }
+
+  test("upsert works at single-level (non-genomic) partitioning: fresh write then merge") {
+    // regression: the fresh-lake branch hard-coded the genomic writer
+    // (crashed on foreign schemas) and the swap walk assumed exactly
+    // two partition levels (single-level merges were silent no-ops)
+    val dir = Files.createTempDirectory("upsert-1lvl").toString + "/lake"
+    def df(rows: Seq[(String, Long, String)]) =
+      rows.toDF("lang", "doc_id", "payload")
+    val first = Lake.upsert(spark, dir,
+      df(Seq(("en", 1L, "v1"), ("fr", 2L, "v1"))),
+      partitionCols = Seq("lang"), keyCols = Seq("lang", "doc_id"))
+    assert(first.nonEmpty)
+    val second = Lake.upsert(spark, dir,
+      df(Seq(("en", 1L, "v2"), ("en", 3L, "v1"))),   // rewrite + new key
+      partitionCols = Seq("lang"), keyCols = Seq("lang", "doc_id"))
+    assert(second.nonEmpty)
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")) ->
+        r.getAs[String]("payload")).toMap
+    assert(rows === Map(
+      ("en", 1L) -> "v2",   // update won the collision
+      ("en", 3L) -> "v1",   // new key appended
+      ("fr", 2L) -> "v1"))  // untouched partition intact
+  }
 }

@@ -138,6 +138,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     val again = CorpusOps.dedupLines(docs.repartition(7), "doc_id", "text")
       .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text_deduped")).toMap
     assert(again === r.map { case (k, v) => k -> v._3 })
+    // blank lines are paragraph STRUCTURE: exempt from the corpus-wide
+    // competition — every doc keeps its own, not just the global first
+    val blanky = Seq((1L, "para a\n\npara b"), (2L, "para c\n\npara d"))
+      .toDF("doc_id", "text")
+    val b = CorpusOps.dedupLines(blanky, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text_deduped")).toMap
+    assert(b(1L) === "para a\n\npara b")
+    assert(b(2L) === "para c\n\npara d")
   }
 
   test("stripBoilerplate: over-threshold lines vanish everywhere, content survives") {
@@ -235,9 +243,9 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(1L).ratio < r(2L).ratio)          // prose compresses less
     assert(r(2L).ratio < r(3L).ratio)          // noise barely compresses
     assert(r(4L) === CorpusOps.CompressionSignal(4L, 0L, r(4L).deflate_bytes, 1.0))
-    // batching and partitioning must not change results
-    val again = CorpusOps.compressionSignals(docs.repartition(3), "doc_id", "text",
-      batchSize = 1).collect().map(c => c.doc_id -> c).toMap
+    // partitioning must not change results
+    val again = CorpusOps.compressionSignals(docs.repartition(3), "doc_id", "text")
+      .collect().map(c => c.doc_id -> c).toMap
     assert(again === r)
   }
 
@@ -266,14 +274,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     val docs = (0L until 8L).map(i => (i, "tok tok tok")).toDF("doc_id", "text")
     val r = CorpusOps.packSequences(docs, "doc_id", "text", binTokens = 8, shardDocs = 4)
       .collect().map(x => x.getAs[Long]("doc_id") ->
-        (x.getAs[Long]("shard"), x.getAs[Long]("offset"), x.getAs[Long]("bin_id"))).toMap
+        (x.getAs[Long]("shard"), x.getAs[Long]("offset"), x.getAs[String]("bin_id"))).toMap
     // shard 0: offsets 0,3,6,9 → bins 0,0,0,1 (doc 2 straddles 6..9 → bin of start 6)
-    assert(r(0L) === ((0L, 0L, 0L)))
-    assert(r(1L) === ((0L, 3L, 0L)))
-    assert(r(2L) === ((0L, 6L, 0L)))
-    assert(r(3L) === ((0L, 9L, 1L)))
+    assert(r(0L) === ((0L, 0L, "0:0")))
+    assert(r(1L) === ((0L, 3L, "0:0")))
+    assert(r(2L) === ((0L, 6L, "0:0")))
+    assert(r(3L) === ((0L, 9L, "0:1")))
     // shard 1 restarts at offset 0 — packing never crosses the shard line
-    assert(r(4L) === ((1L, 0L, 1000000L)))
-    assert(r(7L) === ((1L, 9L, 1000001L)))
+    // (the shard:bin key cannot collide across shards at ANY bin count)
+    assert(r(4L) === ((1L, 0L, "1:0")))
+    assert(r(7L) === ((1L, 9L, "1:1")))
   }
 }

@@ -186,6 +186,10 @@ class MultimodalSpec extends AnyFunSuite {
     val still = Multimodal.sampleFrames(
       Seq((31L, realPng())).toDF("media_id", "content"), k = 4).collect()
     assert(still.length === 1 && still(0).decoded && still(0).frame_idx === 0)
+    // k = 1 on a multi-frame payload picks the first frame (regression:
+    // the even-spacing formula used to divide by k - 1 = 0)
+    val one = Multimodal.sampleFrames(media, k = 1).collect()
+    assert(one.length === 1 && one(0).decoded && one(0).frame_idx === 0)
   }
 
   /** Minimal MJPEG-in-AVI: RIFF("AVI ", LIST(hdrl, avih), LIST(movi,
