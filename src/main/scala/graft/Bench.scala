@@ -24,13 +24,30 @@ object Bench {
     // profiling of one query family without the full-suite wall-clock.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Cross-query state hygiene. clearCache() only drops SQL-cache-manager
+    // entries (df.persist); localCheckpoint blocks (dup_clusters, kmeans,
+    // semantic_dedup, cluster_sample) register at the RDD level and are
+    // otherwise freed only when the ContextCleaner GCs the RDD object —
+    // in a 75-query single-JVM run they accreted until queries sorted
+    // late in the run read up to 20x their isolated time (BENCH_r06:
+    // q83 25.3s polluted vs 1.23s isolated). Unpersist EVERY persistent
+    // RDD explicitly (the DataFrames are dead between queries, so the
+    // blocks are pure garbage), then give the JVM a GC + a beat for the
+    // ContextCleaner to drain broadcast/accumulator refs.
+    def scrub(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+      Thread.sleep(100)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => etlNames.contains(name) }
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
         if (canWarm) {
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
-          spark.catalog.clearCache()
+          scrub()
         }
         // min of two timed runs: one contended run (GC pause, another
         // process's burst) must not read as a 2x regression
@@ -38,7 +55,7 @@ object Bench {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           val t = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
+          scrub()
           t
         }.min
         name -> dt

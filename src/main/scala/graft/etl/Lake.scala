@@ -94,6 +94,24 @@ object Lake {
   def writeStatus(df: DataFrame, statusPath: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Append).json(statusPath)
 
+  /** Leaf data directories of a (possibly) hive-partitioned table at
+    * ANY partition depth: descend through `col=value` levels until a
+    * directory has no such children. An UNPARTITIONED root is its own
+    * single leaf — callers treat it as one partition, so maintenance
+    * ops work on flat tables too instead of silently no-opping.
+    * Hidden dirs (temp/trash) never match the `col=` shape.
+    */
+  private def partitionLeaves(fs: org.apache.hadoop.fs.FileSystem,
+                              base: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    def descend(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val kids = fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (kids.isEmpty) Seq(p) else kids.toSeq.flatMap(k => descend(k.getPath))
+    }
+    descend(base)
+  }
+
   /** Small-file compaction for the hive-partitioned lake. Incremental
     * ingest with dynamic partition overwrite accretes files per
     * (chrom, pos_bucket) directory — genome-uniform sparse batches are
@@ -121,6 +139,22 @@ object Lake {
     *      worst split across the hidden dirs, recoverable by hand —
     *      never silently gone).
     *
+    * ==Storage contract (read this before deploying)==
+    * The swap's safety rests on `FileSystem.rename` being a METADATA
+    * operation: cheap, and never a window where the bytes exist only
+    * in flight. That holds on HDFS, local disks, and hierarchical
+    * cloud stores (ABFS with HNS, GCS). On S3-CLASS OBJECT STORES
+    * rename is client-side copy+delete — slow at 128 MB files and, if
+    * the process dies mid-copy, a partition can transiently hold both
+    * old and new copies of a row (duplicate reads until cleaned). On
+    * such stores run compact/upsert through a table format with a
+    * manifest commit (Iceberg/Delta/Hudi) or against an HDFS-like
+    * layer; this implementation deliberately does not reimplement a
+    * commit protocol the ecosystem already provides.
+    *
+    * Partition discovery walks `col=value` levels at ANY depth (shared
+    * with [[upsert]]); an unpartitioned table compacts as one leaf.
+    *
     * File-count target: a directory of many tiny files typically
     * bin-packs into fewer scan splits than `want`, and coalesce can
     * only reduce — so when the scan yields fewer partitions than the
@@ -145,18 +179,14 @@ object Lake {
     val root = new Path(lakePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
-    val partitionDirs = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .flatMap(c => fs.listStatus(c.getPath)
-        .filter(s => s.isDirectory && s.getPath.getName.contains("=")))
-    partitionDirs.toSeq.flatMap { p =>
-      val files = fs.listStatus(p.getPath)
+    partitionLeaves(fs, root).flatMap { leaf =>
+      val files = fs.listStatus(leaf)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       val want = math.max(1L,
         math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toLong).toInt
       if (files.length <= want) None
       else {
-        val dir = p.getPath
+        val dir = leaf
         val tmp = new Path(dir, ".compact_tmp")
         if (fs.exists(tmp)) fs.delete(tmp, true)
 
@@ -231,6 +261,10 @@ object Lake {
              keyCols: Seq[String] = Seq("chrom", "pos_bucket", "pos"),
              failpoint: String => Unit = _ => ()): Seq[(String, Int)] = {
     import org.apache.hadoop.fs.Path
+    require(partitionCols.nonEmpty,
+      "upsert needs a partitioned lake (the affected-partition pruning and " +
+        "per-directory swap key on the partition columns); for flat tables " +
+        "rewrite-and-swap the whole table instead")
     require(keyCols.startsWith(partitionCols) || partitionCols.forall(keyCols.contains),
       "partition columns must be part of the key")
     val root = new Path(lakePath)
@@ -241,17 +275,6 @@ object Lake {
     if (nUpd != nUpdKeys)
       throw new IllegalArgumentException(
         s"updates are not key-unique on ${keyCols.mkString(",")}: $nUpd rows, $nUpdKeys keys")
-
-    // leaf partition directories at ANY partitionBy depth: descend
-    // through `col=value` levels until the children are data files
-    def partitionLeaves(base: Path): Seq[Path] = {
-      def descend(p: Path): Seq[Path] = {
-        val kids = fs.listStatus(p)
-          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-        if (kids.isEmpty) Seq(p) else kids.toSeq.flatMap(k => descend(k.getPath))
-      }
-      descend(base).filterNot(_ == base)
-    }
 
     if (!fs.exists(root)) {
       // first batch: a plain partitioned write on the CALLER's
@@ -264,7 +287,7 @@ object Lake {
         .mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*)
         .parquet(lakePath)
-      return partitionLeaves(root)
+      return partitionLeaves(fs, root)
         .map(p => (p.toString,
           fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))))
     }
@@ -316,14 +339,15 @@ object Lake {
     failpoint(lakePath)
 
     // 3. metadata-only swap, one affected partition directory at a time
-    // (leaves found at whatever depth partitionCols produced)
-    val tmpParts = partitionLeaves(tmp)
+    // (leaves found at whatever depth partitionCols produced; an
+    // unpartitioned merge has the tmp root itself as its single leaf)
+    val tmpParts = partitionLeaves(fs, tmp)
     val tmpQualified = fs.makeQualified(tmp).toString
     val report = tmpParts.map { p =>
       val rel = fs.makeQualified(p).toString
         .stripPrefix(tmpQualified).stripPrefix("/")
-      val live = new Path(root, rel)
-      fs.mkdirs(live.getParent)
+      val live = if (rel.isEmpty) root else new Path(root, rel)
+      if (!rel.isEmpty) fs.mkdirs(live.getParent)
       val trash = new Path(live, ".upsert_old")
       if (fs.exists(trash)) fs.delete(trash, true)
       if (fs.exists(live)) {

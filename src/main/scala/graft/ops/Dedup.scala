@@ -256,14 +256,24 @@ object Dedup {
     * candidatePairs) — the guard a 100 TB corpus needs against
     * boilerplate-driven quadratic buckets.
     *
-    * The reused intermediates (exact survivors, hashed shingle sets,
-    * signatures) are persisted for the duration of the job — each feeds
-    * 2-8 plan branches; callers running inside a larger session can
-    * `spark.catalog.clearCache()` afterwards. The shingle text is
-    * scanned twice (signature via the direct path, verification via the
-    * hashed sets) — recomputing the cheap codegen'd shingle expression
-    * beats persisting the full shingle-string arrays, which at corpus
-    * scale is a multiple of the corpus itself in cache.
+    * ==Caching contract==
+    * Nothing stays cached after the call. The reused intermediates
+    * (exact survivors, hashed shingle sets, signatures — each feeding
+    * 2-8 plan branches) are persisted only while the DROP-ID LIST is
+    * computed: that list is ids-only (orders of magnitude smaller than
+    * the corpus), so it is materialized eagerly via localCheckpoint
+    * while the caches are hot, then every intermediate is unpersisted
+    * before returning — a long-lived ingest session calling this per
+    * batch accretes nothing (the checkpoint blocks are
+    * reference-tracked and GC'd when the returned plan is dropped).
+    * The price is one recompute of the exact-survivor aggregation when
+    * the caller's action runs the final anti-join — one scan + one
+    * hash shuffle, the right trade against pinning corpus-sized caches
+    * across an unbounded session. The shingle text is likewise scanned
+    * twice (signature via the direct path, verification via the hashed
+    * sets) — recomputing the cheap codegen'd shingle expression beats
+    * persisting the full shingle-string arrays, which at corpus scale
+    * is a multiple of the corpus itself in cache.
     */
   def deduplicate(docs: DataFrame, id: String, text: String,
                   n: Int = 8, k: Int = 8, r: Int = 2,
@@ -273,8 +283,11 @@ object Dedup {
     val hsets = shingleHashArrays(exactSurvivors, id, text, n).persist()
     val sig = minhashSignatureDirect(exactSurvivors, id, text, n, k).persist()
     val cand = candidatePairs(lshBands(sig, id, k, r), id, maxBucket)
+    // eager: one job computes the small drop list through the hot caches
     val nearDups = jaccardVerifyHashed(cand, hsets, id, minJaccard)
       .select(col("doc_b").as(id)).distinct()
+      .localCheckpoint()
+    sig.unpersist(); hsets.unpersist(); exactSurvivors.unpersist()
     exactSurvivors.join(nearDups, Seq(id), "left_anti")
   }
 
@@ -362,8 +375,11 @@ object Dedup {
   }
 
   /** deduplicate with transitive-cluster semantics: one survivor (the
-    * minimum id) per connected near-dup cluster. Costs O(diameter)
-    * extra rounds over the greedy `deduplicate`.
+    * minimum id) per connected near-dup cluster. Costs O(log diameter)
+    * extra rounds over the greedy `deduplicate`. Same caching contract
+    * as [[deduplicate]]: duplicateClusters' returned label table is a
+    * small self-contained checkpoint, so every corpus-sized
+    * intermediate unpersists before this returns.
     */
   def deduplicateTransitive(docs: DataFrame, id: String, text: String,
                             n: Int = 8, k: Int = 8, r: Int = 2,
@@ -374,9 +390,12 @@ object Dedup {
     val sig = minhashSignatureDirect(exactSurvivors, id, text, n, k).persist()
     val cand = candidatePairs(lshBands(sig, id, k, r), id, maxBucket)
     val verified = jaccardVerifyHashed(cand, hsets, id, minJaccard)
+    // duplicateClusters materializes its (small) label table eagerly
+    // through the hot caches and hands back a checkpoint
     val drops = duplicateClusters(verified)
       .where(col("id") =!= col("cluster"))
       .select(col("id").as(id))
+    sig.unpersist(); hsets.unpersist(); exactSurvivors.unpersist()
     exactSurvivors.join(drops, Seq(id), "left_anti")
   }
 
@@ -410,10 +429,15 @@ object Dedup {
                          maxBucket: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(batch.sparkSession)
     val corpusFp = corpus.select(md5(col(text)).as("__fp")).distinct()
+    // `fresh` feeds three consumers (bands, shingle hashes, final
+    // anti-join) and is deliberately NOT persisted — nothing to leak in
+    // a long-lived per-batch ingest session. The recompute is one
+    // skinny batch scan per consumer, and the expensive corpus-side
+    // fingerprint aggregation appears as an IDENTICAL exchange subtree
+    // in all three plans, so Spark's ReuseExchange computes it once.
     val fresh = batch.withColumn("__fp", md5(col(text)))
       .join(corpusFp, Seq("__fp"), "left_anti")
       .drop("__fp")
-      .persist()
     def capped(bands: DataFrame): DataFrame = maxBucket match {
       case Some(cap) =>
         val w = org.apache.spark.sql.expressions.Window

@@ -185,13 +185,20 @@ object EventStreams {
   /** Streaming incremental ingest dedup — the stream analog of
     * `Dedup.dedupAgainstCorpus`'s exact pass: a document stream drops
     * payloads whose content fingerprint already exists in the STATIC
-    * corpus (stream-static broadcast anti-join — stateless, the corpus
+    * corpus (stream-static anti-join — stateless, the corpus
     * fingerprint table is re-read per micro-batch so a growing corpus
     * is picked up without restarts) or was already seen earlier in the
     * stream itself (transformWithState keyed on the fingerprint —
     * first occurrence wins across micro-batches and replays). State is
     * one boolean per distinct surviving fingerprint; a production
     * deployment bounds it with a TTL sized to the recrawl window.
+    *
+    * Join strategy is deliberately LEFT TO THE OPTIMIZER (same call as
+    * the batch twin, Dedup.dedupAgainstCorpus): at the 100 TB north
+    * star the corpus fingerprint set is billions of rows — a forced
+    * broadcast would OOM the driver — so the anti-join must be free to
+    * shuffle; AQE broadcasts at runtime when the set is actually small
+    * (tests, young corpora).
     */
   def streamDedupAgainstCorpus(docs: Dataset[Doc], corpus: DataFrame,
                                text: String): Dataset[Doc] = {
@@ -200,7 +207,7 @@ object EventStreams {
     val corpusFp = corpus.select(md5(col(text)).as("__fp")).distinct()
     docs.toDF()
       .withColumn("__fp", md5(col("text")))
-      .join(broadcast(corpusFp), Seq("__fp"), "left_anti")
+      .join(corpusFp, Seq("__fp"), "left_anti")
       .select(col("__fp"), struct(col("doc_id"), col("text")).as("doc"))
       .as[(String, Doc)]
       .groupByKey(_._1)

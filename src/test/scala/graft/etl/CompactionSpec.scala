@@ -71,6 +71,52 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).orderBy(col("pos")).collect().toSeq === expected)
   }
 
+  test("compact discovers partitions at any depth — 1-level, 3-level, and unpartitioned") {
+    import spark.implicits._
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    def parquetCount(p: String): Int = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(fsConf)
+      def walk(q: org.apache.hadoop.fs.Path): Int =
+        fs.listStatus(q).map { s =>
+          if (s.isDirectory && !s.getPath.getName.startsWith(".")) walk(s.getPath)
+          else if (s.isFile && s.getPath.getName.endsWith(".parquet")) 1
+          else 0
+        }.sum
+      walk(path)
+    }
+    val df = (0 until 200).map(i => (s"chr${i % 2 + 1}", (i % 2).toLong, i, s"p$i"))
+      .toDF("chrom", "pos_bucket", "pos", "payload")
+
+    // 1-level layout — the old walker expected exactly two levels and
+    // silently returned no work here
+    val one = Files.createTempDirectory("compact-1l").toString + "/lake"
+    df.repartition(5).write.partitionBy("chrom").parquet(one)
+    val expected1 = spark.read.parquet(one).orderBy(col("pos")).collect().toSeq
+    val r1 = Lake.compact(spark, one, targetBytes = 1L << 30)
+    assert(r1.nonEmpty && r1.forall { case (_, b, a) => b > 1 && a === 1 })
+    assert(spark.read.parquet(one).orderBy(col("pos")).collect().toSeq === expected1)
+
+    // 3-level layout
+    val three = Files.createTempDirectory("compact-3l").toString + "/lake"
+    df.withColumn("third", col("pos") % 2)
+      .repartition(5).write.partitionBy("chrom", "pos_bucket", "third").parquet(three)
+    val expected3 = spark.read.parquet(three).orderBy(col("pos")).collect().toSeq
+    val r3 = Lake.compact(spark, three, targetBytes = 1L << 30)
+    assert(r3.nonEmpty && r3.forall { case (_, b, a) => b > 1 && a === 1 })
+    assert(spark.read.parquet(three).orderBy(col("pos")).collect().toSeq === expected3)
+
+    // unpartitioned table — the root itself is the single leaf
+    val flat = Files.createTempDirectory("compact-0l").toString + "/lake"
+    df.repartition(5).write.parquet(flat)
+    assert(parquetCount(flat) === 5)
+    val expected0 = spark.read.parquet(flat).orderBy(col("pos")).collect().toSeq
+    val r0 = Lake.compact(spark, flat, targetBytes = 1L << 30, clusterBy = Seq("pos"))
+    assert(r0.size === 1 && r0.head._2 === 5 && r0.head._3 === 1)
+    assert(parquetCount(flat) === 1)
+    assert(spark.read.parquet(flat).orderBy(col("pos")).collect().toSeq === expected0)
+  }
+
   test("a failure after write but before swap leaves the originals fully intact") {
     import spark.implicits._
     val dir = Files.createTempDirectory("compact-crash").toString + "/lake"

@@ -160,6 +160,38 @@ class OpsSpec extends AnyFunSuite {
     assert(greedy === Set(5L, 9L))
   }
 
+  test("dedup pipelines leave no cached RDDs behind (long-lived session hygiene)") {
+    import spark.implicits._
+    // the operators unpersist every corpus-sized intermediate before
+    // returning; the only surviving blocks are the small drop-list /
+    // label checkpoints, which are reference-tracked and reclaimed by
+    // the ContextCleaner once the returned plan is dropped — so after
+    // dropping the results and a GC beat, the persistent-RDD map must
+    // return to its pre-call state
+    def leaksAfter(baseline: Set[Int])(body: => Unit): Set[Int] = {
+      body
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var extra = spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline
+      while (extra.nonEmpty && System.nanoTime() < deadline) {
+        System.gc(); Thread.sleep(200)
+        extra = spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline
+      }
+      extra
+    }
+    val base = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    assert(leaksAfter(base) {
+      Dedup.deduplicate(docs, "doc_id", "text", minJaccard = 0.5).count()
+    }.isEmpty, "deduplicate leaked cached RDDs")
+    assert(leaksAfter(base) {
+      Dedup.deduplicateTransitive(docs, "doc_id", "text", minJaccard = 0.5).count()
+    }.isEmpty, "deduplicateTransitive leaked cached RDDs")
+    assert(leaksAfter(base) {
+      val batch = Seq((100L, "some fresh batch document text never seen before"))
+        .toDF("doc_id", "text")
+      Dedup.dedupAgainstCorpus(batch, docs, "doc_id", "text").count()
+    }.isEmpty, "dedupAgainstCorpus leaked cached RDDs")
+  }
+
   test("simhash: identical docs get identical sketches; near dups are close") {
     val fp = Dedup.simhash(docs, "doc_id", "text", 16)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
