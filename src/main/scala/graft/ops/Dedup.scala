@@ -429,15 +429,16 @@ object Dedup {
                          maxBucket: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(batch.sparkSession)
     val corpusFp = corpus.select(md5(col(text)).as("__fp")).distinct()
-    // `fresh` feeds three consumers (bands, shingle hashes, final
-    // anti-join) and is deliberately NOT persisted — nothing to leak in
-    // a long-lived per-batch ingest session. The recompute is one
-    // skinny batch scan per consumer, and the expensive corpus-side
-    // fingerprint aggregation appears as an IDENTICAL exchange subtree
-    // in all three plans, so Spark's ReuseExchange computes it once.
+    // Caching contract, same as [[deduplicate]]: `fresh` feeds three
+    // consumers (bands, shingle hashes, final anti-join), so it is
+    // persisted only while the SMALL drop-id list is materialized
+    // eagerly below, then unpersisted before returning — a long-lived
+    // per-batch ingest session accretes nothing. The caller's action
+    // recomputes `fresh` once (batch scan + fingerprint anti-join).
     val fresh = batch.withColumn("__fp", md5(col(text)))
       .join(corpusFp, Seq("__fp"), "left_anti")
       .drop("__fp")
+      .persist()
     def capped(bands: DataFrame): DataFrame = maxBucket match {
       case Some(cap) =>
         val w = org.apache.spark.sql.expressions.Window
@@ -464,6 +465,8 @@ object Dedup {
         (size(col("sa")) + size(col("sb")) - col("__inter")).cast("double"), 4)
         >= minJaccard)
       .select(col("__bid").as(id)).distinct()
+      .localCheckpoint()
+    fresh.unpersist()
     fresh.join(drops, Seq(id), "left_anti")
   }
 

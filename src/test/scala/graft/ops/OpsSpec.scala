@@ -168,13 +168,20 @@ class OpsSpec extends AnyFunSuite {
     // the ContextCleaner once the returned plan is dropped — so after
     // dropping the results and a GC beat, the persistent-RDD map must
     // return to its pre-call state
+    // the sample MUST live in its own method frame: getPersistentRDDs
+    // returns a strong-ref snapshot of Spark's weak-values registry, and
+    // a snapshot lingering in the polling frame's local slot across the
+    // System.gc() call would itself keep the RDD alive (verified by
+    // heap dump: java_frame -> Map1.value1 -> RDD)
+    def extras(baseline: Set[Int]): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline
     def leaksAfter(baseline: Set[Int])(body: => Unit): Set[Int] = {
       body
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      var extra = spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline
+      var extra = extras(baseline)
       while (extra.nonEmpty && System.nanoTime() < deadline) {
         System.gc(); Thread.sleep(200)
-        extra = spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline
+        extra = extras(baseline)
       }
       extra
     }
