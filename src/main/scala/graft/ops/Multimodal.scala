@@ -85,8 +85,38 @@ object Multimodal {
             when(riffType === lit("57415645"), "riff-wav")     // "WAVE"
               .when(riffType === lit("41564920"), "riff-avi")  // "AVI "
               .otherwise("riff"))
-          .when(magic.startsWith("00000018") || magic.startsWith("00000020"), "mp4")
+          // ISO-BMFF: the 'ftyp' box name at bytes 5-8, not the
+          // size-box heuristic (box size varies)
+          .when(upper(hex(substring(col(contentCol), 5, 4))) === lit("66747970"), "mp4")
+          .when(magic === lit("000001BA"), "mpeg-ps")   // MPEG program stream pack header
+          .when(magic === lit("000001B3"), "mpeg-video") // MPEG video sequence header
           .otherwise("unknown"))
+  }
+
+  /** JVM-side magic-byte sniff, the row-scope twin of [[withMediaMeta]]
+    * — used where a decoder needs the format label inside mapPartitions
+    * (e.g. typing WHY a payload took the stub path).
+    */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    def at(off: Int, magic: String): Boolean =
+      bytes.length >= off + magic.length &&
+        magic.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          .zipWithIndex.forall { case (b, i) => bytes(off + i) == b }
+    def hexAt(off: Int, hexMagic: String): Boolean = {
+      val m = hexMagic.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      bytes.length >= off + m.length &&
+        m.zipWithIndex.forall { case (b, i) => bytes(off + i) == b }
+    }
+    if (hexAt(0, "89504E47")) "png"
+    else if (hexAt(0, "FFD8FF")) "jpeg"
+    else if (at(0, "GIF8")) "gif"
+    else if (at(0, "RIFF") && at(8, "WAVE")) "riff-wav"
+    else if (at(0, "RIFF") && at(8, "AVI ")) "riff-avi"
+    else if (at(0, "RIFF")) "riff"
+    else if (at(4, "ftyp")) "mp4"
+    else if (hexAt(0, "000001BA")) "mpeg-ps"
+    else if (hexAt(0, "000001B3")) "mpeg-video"
+    else "unknown"
   }
 
   /** Pure-JVM audio decode via the JDK's sampled-audio SPI (WAV/PCM,
@@ -255,17 +285,23 @@ object Multimodal {
   def decodeFrames(bytes: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] =
     sampledFrames(bytes, n => 0 until n).map(_.map(_._2))
 
-  /** Frame decode bounded by a selection: `pick(n)` names the sorted
+  /** Frame decode bounded by a selection: `pick(n)` names the
     * source-frame indices to return, and only those frames are
     * materialized — a 5,000-frame payload sampled at k = 4 holds one
     * compositing canvas plus 4 snapshots, never 5,000 (GIF deltas up
     * to the last picked index are still DECODED forward onto the
     * canvas, as the format requires, but not retained; AVI frames are
     * independent JPEGs, so unpicked chunks are never decoded at all).
+    *
+    * The selection is normalized ONCE here — out-of-range dropped,
+    * de-duplicated, ascending — so both container paths honor the same
+    * contract regardless of what `pick` returns.
     */
   def sampledFrames(bytes: Array[Byte], pick: Int => IndexedSeq[Int])
-      : Option[IndexedSeq[(Int, java.awt.image.BufferedImage)]] =
-    imageIoFrames(bytes, pick).orElse(aviMjpegFrames(bytes, pick))
+      : Option[IndexedSeq[(Int, java.awt.image.BufferedImage)]] = {
+    val normalized = (n: Int) => pick(n).filter(i => i >= 0 && i < n).distinct.sorted
+    imageIoFrames(bytes, normalized).orElse(aviMjpegFrames(bytes, normalized))
+  }
 
   /** AVI (RIFF) walk for Motion-JPEG streams: every video-data chunk
     * (`##dc`/`##db`) inside a `movi` (or `rec `) LIST whose payload
@@ -307,8 +343,9 @@ object Multimodal {
     walk(12, math.min(bytes.length.toLong, 8 + u32(4)), inMovi = false)
     val all = chunks.result()
     if (all.isEmpty) return None
-    // pass 2: decode ONLY the picked chunks — MJPEG frames are independent
-    val out = pick(all.length).filter(i => i >= 0 && i < all.length).flatMap { i =>
+    // pass 2: decode ONLY the picked chunks — MJPEG frames are
+    // independent (selection already normalized by sampledFrames)
+    val out = pick(all.length).flatMap { i =>
       val (off, sz) = all(i)
       decodeImage(java.util.Arrays.copyOfRange(bytes, off, off + sz)).map(i -> _)
     }
@@ -339,7 +376,8 @@ object Multimodal {
             val n = reader.getNumImages(true)
             if (n < 1) None
             else {
-              val wanted = pick(n).filter(i => i >= 0 && i < n).distinct.sorted
+              // selection already normalized by sampledFrames
+              val wanted = pick(n)
               if (wanted.isEmpty) None
               else {
                 // composite forward to the LAST wanted frame (GIF frames
@@ -396,18 +434,27 @@ object Multimodal {
 
   final case class SampledFrame(media_id: Long, frame_idx: Int,
                                 frame: Array[Byte], width: Int, height: Int,
-                                decoded: Boolean)
+                                decoded: Boolean, reason: String)
 
   /** Deterministic frame sampling for video-like payloads: up to `k`
     * evenly spaced frames per payload. Payloads ImageIO can read yield
     * REAL frames — `decodeFrames` composites the animation and the
     * sampler picks `k` evenly spaced source frames (all of them when
     * the payload has fewer than `k`), re-encoded as PNG with
-    * `frame_idx` = the source frame number and `decoded` = true. A
-    * still image is its own single frame. Payloads no JDK codec reads
-    * (true MPEG) take the labeled STUB path: `k` evenly spaced
-    * `frameBytes`-wide byte slices, `decoded` = false — same plumbing,
-    * swap the decoder when a native codec arrives.
+    * `frame_idx` = the source frame number, `decoded` = true and
+    * `reason` = null. A still image is its own single frame.
+    *
+    * ==Capability boundary==
+    * Payloads no JDK codec reads — true MPEG video above all: no
+    * pure-JVM MPEG decoder exists, and this library takes no native
+    * dependencies — take the labeled STUB path: `k` evenly spaced
+    * `frameBytes`-wide byte slices with `decoded` = false and `reason`
+    * = `no_jvm_codec:<sniffed format>` (e.g. `no_jvm_codec:mpeg-ps`).
+    * The typed rejection is the routing contract: a pipeline filters
+    * `decoded = false` rows and sends them by `reason`'s format tag to
+    * an external transcode stage, while the plumbing (schema,
+    * batching, partitioning) is identical for both paths — swap the
+    * decoder when a native codec arrives.
     *
     * Decode runs batched in `mapPartitions` at the codec boundary,
     * like `extractFeatures`; payload bytes stay columnar throughout.
@@ -432,16 +479,17 @@ object Multimodal {
                 val bos = new java.io.ByteArrayOutputStream()
                 javax.imageio.ImageIO.write(img, "png", bos)
                 SampledFrame(id, i, bos.toByteArray,
-                  img.getWidth, img.getHeight, decoded = true)
+                  img.getWidth, img.getHeight, decoded = true, reason = null)
               }
             case None =>
               val len = bytes.length
               val step = math.max((len - frameBytes) / math.max(k - 1, 1), 1)
+              val reason = s"no_jvm_codec:${sniffFormat(bytes)}"
               (0 until k).map { i =>
                 val from = math.min(i * step, math.max(len - 1, 0))
                 SampledFrame(id, i,
                   bytes.slice(from, math.min(from + frameBytes, len)),
-                  -1, -1, decoded = false)
+                  -1, -1, decoded = false, reason = reason)
               }
           }
         })

@@ -551,7 +551,7 @@ object LlmOps {
         graft.ops.Multimodal.sampleFrames(media, k = 4, frameBytes = 16)
           .toDF()
           .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-            md5(col("frame")).as("frame_md5"), col("decoded"))
+            md5(col("frame")).as("frame_md5"), col("decoded"), col("reason"))
           .orderBy(col("media_id"), col("frame_idx"))
       },
       Some("""WITH f AS (
@@ -566,7 +566,8 @@ object LlmOps {
              |SELECT media_id, frame_idx,
              |  md5(substring(text, CAST(frm + 1 AS INT),
              |    CAST(least(frm + 16, len) - frm AS INT))) AS frame_md5,
-             |  false AS decoded
+             |  false AS decoded,
+             |  'no_jvm_codec:unknown' AS reason
              |FROM o ORDER BY media_id, frame_idx""".stripMargin)),
 
     Q(

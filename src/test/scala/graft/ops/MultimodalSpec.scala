@@ -245,4 +245,42 @@ class MultimodalSpec extends AnyFunSuite {
       Seq((41L, headOnly)).toDF("media_id", "content"), k = 2).collect()
     assert(stubbed.forall(!_.decoded))
   }
+
+  test("both frame decoders honor one normalized pick contract") {
+    val gif = animatedGif(Seq(0x000000, 0x333333, 0x666666, 0x999999, 0xcccccc))
+    val avi = mjpegAvi(Seq(0x202020, 0x808080, 0xe0e0e0, 0x404040, 0xc0c0c0))
+    // duplicated, unsorted, out-of-range picks normalize identically on
+    // both container paths: dropped / deduped / ascending
+    val messy = (_: Int) => IndexedSeq(4, 0, 4, -1, 2, 99, 0)
+    Seq(gif, avi).foreach { payload =>
+      val got = Multimodal.sampledFrames(payload, messy).get.map(_._1)
+      assert(got === IndexedSeq(0, 2, 4), "picks must be distinct, sorted, in-range")
+    }
+  }
+
+  test("MPEG payloads take the typed-rejection path: decoded=false + format-tagged reason") {
+    import spark.implicits._
+    // an MPEG program stream pack header (00 00 01 BA) + filler — the
+    // payload class with no pure-JVM decoder; the contract is a typed
+    // rejection a pipeline can route to an external transcode stage
+    val mpeg = Array[Byte](0x00, 0x00, 0x01, 0xBA.toByte) ++
+      Array.fill[Byte](200)(0x5a)
+    val media = Seq((50L, mpeg)).toDF("media_id", "content")
+    assert(Multimodal.withMediaMeta(media).collect()(0)
+      .getAs[String]("format") === "mpeg-ps")
+    assert(Multimodal.sniffFormat(mpeg) === "mpeg-ps")
+    val frames = Multimodal.sampleFrames(media, k = 3).collect()
+    assert(frames.length === 3)
+    assert(frames.forall(f => !f.decoded && f.reason === "no_jvm_codec:mpeg-ps"))
+    // real decodes carry no reason; ISO-BMFF sniffs as mp4 via ftyp
+    val gifFrames = Multimodal.sampleFrames(
+      Seq((51L, animatedGif(Seq(0x333333)))).toDF("media_id", "content"), k = 1).collect()
+    assert(gifFrames.forall(f => f.decoded && f.reason == null))
+    val mp4 = Array[Byte](0, 0, 0, 0x18) ++ "ftypisom".getBytes("US-ASCII") ++
+      Array.fill[Byte](100)(1)
+    assert(Multimodal.sniffFormat(mp4) === "mp4")
+    val mp4Frames = Multimodal.sampleFrames(
+      Seq((52L, mp4)).toDF("media_id", "content"), k = 2).collect()
+    assert(mp4Frames.forall(f => !f.decoded && f.reason === "no_jvm_codec:mp4"))
+  }
 }
