@@ -24,6 +24,16 @@ object Validation {
 
   /** Key uniqueness: every duplicated occurrence beyond the first
     * counts as a violation (so n_violations = n_rows - n_distinct_keys).
+    *
+    * Null-key semantics (pinned): keys compare with NULL-SAFE tuple
+    * equality — SQL's IS NOT DISTINCT FROM — so rows whose key columns
+    * are (partially) null form real key groups and a second all-null
+    * key counts as a violation, exactly what `count_distinct(struct)`
+    * computes. This deliberately differs from bare SQL
+    * `count(DISTINCT col)`, which silently DROPS null keys and would
+    * report a table of all-null keys as perfectly unique. The
+    * cross-engine mirror is `count(DISTINCT ROW(cols...))` (the row
+    * constructor is never null, so nothing drops).
     */
   final case class Unique(name: String, cols: Seq[String]) extends Rule
 

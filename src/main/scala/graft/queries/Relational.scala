@@ -873,7 +873,9 @@ object Relational {
              |  FROM orders
              |  UNION ALL
              |  SELECT 'orderkey_unique', count(*),
-             |    count(*) - count(DISTINCT o_orderkey)
+             |    -- ROW() mirrors Unique's pinned null-safe key equality:
+             |    -- a bare count(DISTINCT col) would drop null keys
+             |    count(*) - count(DISTINCT ROW(o_orderkey))
              |  FROM orders
              |  UNION ALL
              |  SELECT 'custkey_fk', count(*),

@@ -449,6 +449,25 @@ class OpsSpec extends AnyFunSuite {
     assert(r("dim_fk") === ((5L, 2L)))          // orphan 99 + null key
   }
 
+  test("validation: Unique pins null-safe key equality — null keys form real groups") {
+    import spark.implicits._
+    import Validation.Unique
+    // keys 1,2,2,null,null: the dup 2 AND the second null each violate;
+    // bare SQL count(DISTINCT col) would drop nulls and report 3
+    val t = Seq(Option(1L), Option(2L), Option(2L), None, None).toDF("k")
+    val r = Validation.check(t, Seq(Unique("k_unique", Seq("k"))))
+      .collect()(0)
+    assert(r.getAs[Long]("n_checked") === 5L)
+    assert(r.getAs[Long]("n_violations") === 2L)
+    // composite keys: (1,null) == (1,null) under null-safe equality
+    val c = Seq((Option(1L), None), (Option(1L), None), (Option(1L), Option(2L)))
+      .asInstanceOf[Seq[(Option[Long], Option[Long])]]
+      .toDF("a", "b")
+    val rc = Validation.check(c, Seq(Unique("ab_unique", Seq("a", "b"))))
+      .collect()(0)
+    assert(rc.getAs[Long]("n_violations") === 1L)
+  }
+
   test("dedupAgainstCorpus: verbatim recrawl and near-dup drop, fresh doc survives") {
     import spark.implicits._
     val corpus = Seq(
