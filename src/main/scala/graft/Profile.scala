@@ -111,6 +111,52 @@ object Profile {
       spark.stop(); sys.exit(0)
     }
 
+    // LAKESTRESS=K: lake write/read scaling check — build the annotated
+    // lake from the reference fixtures, amplify the pre-write table to
+    // K/10× and K× (per-replica position shift: buckets mostly overlap,
+    // so rows-per-partition-directory grow ~linearly — the shape that
+    // stresses the D1 repartition shuffle, the D5 bucket derivation,
+    // maxRecordsPerFile splitting, and point-lookup pruning on the way
+    // back). Reports the big/base wall-clock ratio vs the ideal 10.
+    sys.env.get("LAKESTRESS").map(_.toInt).foreach { k =>
+      import graft.etl.{Fixtures, Lake}
+      val base = math.max(k / 10, 1)
+      val lake = Lake.build(spark, Fixtures.hg19Vcfs, Fixtures.hg19Impact,
+        Fixtures.hg19DbSnp, t2t = false, Fixtures.gnomadHg38, Fixtures.alphaHg19)
+        .persist()
+      println(s"PROFILE lake rows = ${lake.count()}")
+      def amplified(times: Int): org.apache.spark.sql.DataFrame =
+        (0 until times).map(i =>
+          lake.withColumn("pos", (col("pos") + lit(i.toLong * 1000L)).cast("long"))
+            .withColumn("pos_bucket", floor(col("pos") / lit(Lake.PartitionSize))))
+          .reduce(_.unionAll(_))
+      val probeKey = lake.select(col("chrom"), col("pos_bucket")).head()
+      def roundTrip(times: Int): Double = {
+        val df = amplified(times).persist()
+        val rows = df.count() // materialize OUTSIDE the timed window
+        val out = java.nio.file.Files.createTempDirectory("lakeprofile").toString + "/lake"
+        val t0 = System.nanoTime()
+        Lake.write(df, out)
+        val full = spark.read.parquet(out).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        // point lookup must prune to one partition directory regardless
+        // of lake size — timed separately
+        val t1 = System.nanoTime()
+        val probe = spark.read.parquet(out)
+          .where(col("chrom") === probeKey.getString(0) &&
+            col("pos_bucket") === probeKey.getLong(1))
+          .count()
+        val tProbe = (System.nanoTime() - t1) / 1e9
+        println(f"PROFILE lake ${times}x rows=$rows read=$full write+readback $t%8.2f s  point-probe($probe rows) $tProbe%6.3f s")
+        df.unpersist()
+        t
+      }
+      val t1 = roundTrip(base)
+      val tk = roundTrip(k)
+      println(f"PROFILE lakestress ${k}x/${base}x scaling factor = ${tk / t1}%.1f (ideal ${k / base}.0)")
+      spark.stop(); sys.exit(0)
+    }
+
     // warm JIT
     Dedup.shingleArrays(docs, "doc_id", "text", 8).count()
 

@@ -109,13 +109,44 @@ object Similarity {
     * would be persisted as a table, not recomputed per query.
     */
   def kmeansCodebook(emb: DataFrame, id: String, vec: String, k: Int,
-                     iters: Int): DataFrame = {
+                     iters: Int): DataFrame =
+    kmeansCodebook(emb, id, vec, k, iters, cacheKey = None)
+
+  /** kmeansCodebook with the PERSISTED-TABLE pattern scoped to one
+    * session: when `cacheKey` identifies the training corpus (caller's
+    * contract — e.g. the table path), the trained codebook's literal
+    * rows are memoized on the driver and every later consumer with the
+    * same (key, k, iters) reuses them instead of retraining. A codebook
+    * is k·dim floats BY CONSTRUCTION — driver-resident is its natural
+    * home at any corpus scale (it gets broadcast for assignment
+    * anyway), and the literal re-materialization is immune to cache
+    * eviction and block scrubs. Training is float-truncation
+    * deterministic, so memoized and freshly-trained bits are identical
+    * (spec-asserted).
+    */
+  def kmeansCodebook(emb: DataFrame, id: String, vec: String, k: Int,
+                     iters: Int, cacheKey: Option[String]): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    var centroids = hashSeeds(emb, id, vec, k).localCheckpoint()
-    for (_ <- 0 until iters)
-      centroids = lloydStep(emb, id, vec, centroids).localCheckpoint()
-    centroids
+    def train(): DataFrame = {
+      var centroids = hashSeeds(emb, id, vec, k).localCheckpoint()
+      for (_ <- 0 until iters)
+        centroids = lloydStep(emb, id, vec, centroids).localCheckpoint()
+      centroids
+    }
+    cacheKey match {
+      case None => train()
+      case Some(key) =>
+        val rows = codebookCache.computeIfAbsent(s"$key|k=$k|iters=$iters",
+          _ => train().collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq)
+        val spark = emb.sparkSession
+        import spark.implicits._
+        rows.toDF("cell", "cvec")
+    }
   }
+
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Float])]]()
 
   /** Corpus clustering: every vector labeled with its k-means cell and
     * the cosine similarity to that cell's centroid (rounded to 6, like
@@ -124,8 +155,8 @@ object Similarity {
     * summarization. One broadcast argmax pass after training.
     */
   def kmeansAssign(emb: DataFrame, id: String, vec: String, k: Int,
-                   iters: Int): DataFrame =
-    assignDetail(emb, id, vec, kmeansCodebook(emb, id, vec, k, iters))
+                   iters: Int, cacheKey: Option[String] = None): DataFrame =
+    assignDetail(emb, id, vec, kmeansCodebook(emb, id, vec, k, iters, cacheKey))
       .select(col(id), col("cell"), round(col("cell_sim"), 6).as("cell_sim"))
 
   /** SemDeDup-style semantic deduplication: cluster the corpus with
@@ -145,9 +176,10 @@ object Similarity {
     * the cell id for the self-join, one left_anti on the vector id.
     */
   def semanticDedup(emb: DataFrame, id: String, vec: String, k: Int,
-                    iters: Int, minCos: Double): DataFrame = {
+                    iters: Int, minCos: Double,
+                    cacheKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val codebook = kmeansCodebook(emb, id, vec, k, iters)
+    val codebook = kmeansCodebook(emb, id, vec, k, iters, cacheKey)
     val assigned = assignTo(emb, id, vec, codebook)
     val a = assigned.select(col("cell"), col(id).as("__ka"), col(vec).as("__va"))
     val b = assigned.select(col("cell"), col(id).as("__kb"), col(vec).as("__vb"))

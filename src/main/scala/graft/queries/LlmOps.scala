@@ -614,11 +614,15 @@ object LlmOps {
     // Corpus clustering: k-means (md5 seeds + 2 full Lloyd rounds) with
     // the whole iteration — seeds, argmax assignment, float-truncated
     // centroid means — replicated in the oracle, so the gate pins the
-    // trained clustering itself, not just its shape.
+    // trained clustering itself, not just its shape. q70/q71/q83 share
+    // ONE trained codebook per corpus dir (the persisted-trained-table
+    // production pattern, via Similarity's driver-side memo) — training
+    // is deterministic, so sharing changes nothing the oracle can see.
     Q(
       "q70_kmeans",
       (s, dir) => Similarity.kmeansAssign(
-        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2)
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2,
+        cacheKey = Some(s"$dir/embeddings"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_members"),
           round(avg(col("cell_sim")), 4).as("avg_cos"),
@@ -638,7 +642,7 @@ object LlmOps {
       "q71_semantic_dedup",
       (s, dir) => Similarity.semanticDedup(
         Tables.embeddings(s, dir), "vec_id", "embedding",
-        k = 8, iters = 2, minCos = 0.35)
+        k = 8, iters = 2, minCos = 0.35, cacheKey = Some(s"$dir/embeddings"))
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id")),
       Some(s"""WITH ${kmeansSql(k = 8, iters = 2)},
@@ -660,7 +664,8 @@ object LlmOps {
       "q83_cluster_sample",
       (s, dir) => {
         val assigned = Similarity.kmeansAssign(
-          Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2)
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2,
+          cacheKey = Some(s"$dir/embeddings"))
         graft.ops.CorpusOps.stratifiedSample(
           assigned.select(col("vec_id"), col("cell")), "cell", "vec_id",
           perStratum = 5)

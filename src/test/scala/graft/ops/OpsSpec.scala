@@ -516,6 +516,34 @@ class OpsSpec extends AnyFunSuite {
     assert(again === cellOf)
   }
 
+  test("kmeans codebook memo: shared codebook is bit-identical to fresh training") {
+    import spark.implicits._
+    val emb = (24L until 60L).map { i =>
+      val axis = (i % 3).toInt
+      val base = Array(0.02f * i, 0.02f * i, 0.02f * i)
+      base(axis) += 10f
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val fresh = rows(Similarity.kmeansCodebook(emb, "vec_id", "embedding", 3, 2))
+    val key = Some(s"opspec-memo-${System.nanoTime()}")
+    val first = rows(Similarity.kmeansCodebook(emb, "vec_id", "embedding", 3, 2, key))
+    // second call with the same key must NOT retrain — feed a corrupted
+    // frame and expect the memoized (correct) codebook back
+    val poisoned = emb.withColumn("embedding",
+      org.apache.spark.sql.functions.array(lit(1f), lit(2f), lit(3f)))
+    val second = rows(Similarity.kmeansCodebook(poisoned, "vec_id", "embedding", 3, 2, key))
+    assert(first === fresh, "memoized training must equal fresh training bit-for-bit")
+    assert(second === fresh, "same cacheKey must reuse, not retrain")
+    // and consumers agree end-to-end
+    val viaMemo = Similarity.kmeansAssign(emb, "vec_id", "embedding", 3, 2, key)
+      .collect().map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("cell")).toMap
+    val viaFresh = Similarity.kmeansAssign(emb, "vec_id", "embedding", 3, 2)
+      .collect().map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("cell")).toMap
+    assert(viaMemo === viaFresh)
+  }
+
   test("semanticDedup: lower-id near-duplicate survives, higher-id copy drops, distinct vectors stay") {
     import spark.implicits._
     val emb = Seq(
