@@ -125,11 +125,17 @@ object Profile {
         Fixtures.hg19DbSnp, t2t = false, Fixtures.gnomadHg38, Fixtures.alphaHg19)
         .persist()
       println(s"PROFILE lake rows = ${lake.count()}")
+      // ONE plan branch (explode), not a times-way union: a union of
+      // hundreds of replicas makes the PLAN itself the bottleneck
+      // (multi-MB task binaries, minutes of codegen) and measures the
+      // profiler, not the engine
       def amplified(times: Int): org.apache.spark.sql.DataFrame =
-        (0 until times).map(i =>
-          lake.withColumn("pos", (col("pos") + lit(i.toLong * 1000L)).cast("long"))
-            .withColumn("pos_bucket", floor(col("pos") / lit(Lake.PartitionSize))))
-          .reduce(_.unionAll(_))
+        lake
+          .select(col("chrom"), col("pos"), col("entries"),
+            explode(sequence(lit(0L), lit(times - 1L))).as("__i"))
+          .withColumn("pos", (col("pos") + col("__i") * lit(1000L)).cast("long"))
+          .withColumn("pos_bucket", floor(col("pos") / lit(Lake.PartitionSize)))
+          .drop("__i")
       val probeKey = lake.select(col("chrom"), col("pos_bucket")).head()
       def roundTrip(times: Int): Double = {
         val df = amplified(times).persist()
