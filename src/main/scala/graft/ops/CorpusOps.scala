@@ -82,6 +82,30 @@ object CorpusOps {
           .as("contamination_frac"))
   }
 
+  /** Corpus-wide frequent n-gram mining — the boilerplate-phrase
+    * detector: the `k` word n-grams with the most total occurrences,
+    * each with its document frequency. The output FEEDS the cleaning
+    * ops above (a mined top list becomes the drop set for boilerplate
+    * stripping, or the shingle blacklist that keeps LSH buckets from
+    * going quadratic on template text).
+    *
+    * Scale shape: one explode (linear in corpus tokens) → one hash
+    * groupBy on the gram with map-side partial counts → the global
+    * top-k is orderBy+limit, which Spark plans as TakeOrderedAndProject
+    * — a per-partition heap of k rows merged on the driver
+    * (partitions × k rows), never a full sort shuffle of the distinct
+    * gram table. Ties rank deterministically (count desc, gram asc).
+    */
+  def frequentNgrams(docs: DataFrame, id: String, text: String,
+                     n: Int, k: Int): DataFrame =
+    docs.select(col(id),
+      explode(TextOps.wordNgrams(TextOps.tokens(col(text)), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col(id)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+
   /** Inverted index over the corpus: one row per term with its
     * document frequency and a CAPPED ascending posting list — the
     * `maxPostings` smallest ids per term. The cap is enforced BEFORE

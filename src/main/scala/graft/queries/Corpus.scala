@@ -169,6 +169,28 @@ object Corpus {
               |FROM grams WHERE doc_id >= $BenchCutoff
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Frequent n-gram mining: the top-k bigram phrases by total
+    // occurrences (ties broken by gram text) with per-gram document
+    // frequency — the mined boilerplate list that seeds line/shingle
+    // blacklists. Spark's plan is explode → partial-agg groupBy →
+    // TakeOrderedAndProject (per-partition heap, no full sort shuffle);
+    // the oracle replays the same counts declaratively.
+    Q(
+      "q84_frequent_ngrams",
+      (s, dir) => CorpusOps.frequentNgrams(
+        Tables.documents(s, dir), "doc_id", "text", n = 2, k = 25),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, ${LlmOps.tokSql} AS t FROM documents),
+              |grams AS (
+              |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+              |    i -> t[i] || ' ' || t[i+1])) AS gram
+              |  FROM toks WHERE len(t) >= 2)
+              |SELECT gram, count(*) AS n_occurrences,
+              |  count(DISTINCT doc_id) AS n_docs
+              |FROM grams GROUP BY gram
+              |ORDER BY n_occurrences DESC, gram
+              |LIMIT 25""".stripMargin)),
+
     // Deterministic hash split: assignment is a pure function of the
     // doc id (stable across runs/machines/partitioning — never rand()).
     Q(

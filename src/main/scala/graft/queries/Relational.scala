@@ -742,6 +742,30 @@ object Relational {
              |  ON l_extendedprice / l_quantity BETWEEN lo AND hi
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    // Fuzzy (edit-distance <= 1) key join via deletion-neighborhood
+    // blocking (ops.FuzzyJoin) — the entity-resolution join. The
+    // oracle runs the naive quadratic levenshtein theta-join on the
+    // probe x table cross space, pinning that the blocked equi-join +
+    // exact verify finds exactly the same pairs; Spark's plan is the
+    // linear explode + one hash shuffle that survives corpus scale.
+    Q(
+      "q85_fuzzy_join",
+      (s, dir) => {
+        val names = graft.Tables.customer(s, dir).select(col("c_name"))
+        val probe = names.orderBy(col("c_name")).limit(100)
+          .select(col("c_name").as("name_a"))
+        graft.ops.FuzzyJoin.editDistance1Join(
+          probe, "name_a", names.select(col("c_name").as("name_b")), "name_b")
+          .where(col("name_a") < col("name_b"))
+          .orderBy(col("name_a"), col("name_b"))
+      },
+      Some("""WITH probe AS (
+             |  SELECT c_name AS name_a FROM customer ORDER BY c_name LIMIT 100)
+             |SELECT name_a, c_name AS name_b, levenshtein(name_a, c_name) AS dist
+             |FROM probe JOIN customer
+             |  ON name_a < c_name AND levenshtein(name_a, c_name) <= 1
+             |ORDER BY name_a, name_b""".stripMargin)),
+
     // FULL OUTER join — the one join type the inventory lacked: both
     // sides filtered so each has nations the other misses, and the
     // grouped counts ride through null-producing sides. coalesce on

@@ -427,6 +427,37 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("fuzzy join: blocking finds exactly the levenshtein<=1 pairs") {
+    import spark.implicits._
+    val left = Seq("kitten", "spark", "a", "", "same", null)
+      .toDF("lk")
+    val right = Seq(
+      "kitten",   // identical            -> dist 0
+      "kittens",  // one insertion        -> dist 1
+      "kitte",    // one deletion         -> dist 1
+      "mitten",   // one substitution     -> dist 1
+      "mittens",  // two edits            -> excluded
+      "spurk",    // one substitution     -> dist 1
+      "b",        // substitution on len1 -> dist 1 (vs "a"), insertion vs ""
+      "same")
+      .toDF("rk")
+    val got = FuzzyJoin.editDistance1Join(left, "lk", right, "rk")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val expected = Set(
+      ("kitten", "kitten", 0L), ("kitten", "kittens", 1L),
+      ("kitten", "kitte", 1L), ("kitten", "mitten", 1L),
+      ("spark", "spurk", 1L),
+      ("a", "b", 1L), ("", "b", 1L),
+      ("same", "same", 0L))
+    assert(got === expected)
+    // oracle equivalence on this fixture: the naive cross join agrees
+    val naive = left.where(col("lk").isNotNull).crossJoin(right)
+      .where(levenshtein(col("lk"), col("rk")) <= 1)
+      .select(col("lk"), col("rk"), levenshtein(col("lk"), col("rk")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === naive)
+  }
+
   test("validation: null-hostile predicates, duplicate counting, orphan and null FKs") {
     import spark.implicits._
     import Validation.{ForeignKey, Predicate, Unique}
