@@ -112,6 +112,36 @@ object Lake {
     descend(base)
   }
 
+  /** Metadata-only lake inventory: one row per partition leaf with its
+    * parquet file count, total bytes, largest file, and whether
+    * [[compact]] would rewrite it at `targetBytes` — the operational
+    * signal a maintenance scheduler polls to decide WHEN to compact
+    * without reading a byte of data. Pure driver-side listing, same
+    * cost class as compact's own detection pass; at 100 TB the listing
+    * is per-partition and incremental (poll the partitions a batch
+    * just touched, not the whole lake).
+    */
+  def inventory(spark: SparkSession, lakePath: String,
+                targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(lakePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows =
+      if (!fs.exists(root)) Seq.empty
+      else partitionLeaves(fs, root).map { leaf =>
+        val files = fs.listStatus(leaf)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val bytes = files.map(_.getLen).sum
+        val want = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
+        (leaf.toString, files.length.toLong, bytes,
+          if (files.isEmpty) 0L else files.map(_.getLen).max,
+          files.length > want)
+      }
+    import spark.implicits._
+    rows.toDF("partition_dir", "n_files", "total_bytes", "max_file_bytes",
+      "needs_compaction")
+  }
+
   /** Small-file compaction for the hive-partitioned lake. Incremental
     * ingest with dynamic partition overwrite accretes files per
     * (chrom, pos_bucket) directory — genome-uniform sparse batches are

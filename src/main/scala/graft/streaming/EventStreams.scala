@@ -182,6 +182,45 @@ object EventStreams {
     }
   }
 
+  /** Continuous lake maintenance: every micro-batch key-level-upserted
+    * into a hive-partitioned lake via foreachBatch — the streaming
+    * front door to `Lake.upsert`, turning the batch merge-into
+    * operator into an always-on ingest path (re-delivered keys
+    * overwrite, new keys append, untouched partitions never rewritten).
+    *
+    * `versionCol` resolves WITHIN-batch key collisions (retransmitted
+    * rows in one trigger): the row with the max version wins, ties
+    * broken by the full row for determinism. Without it, a batch
+    * carrying duplicate keys fails `Lake.upsert`'s key-unique
+    * precondition by design — silent nondeterministic winners are
+    * worse than a loud retry.
+    *
+    * Exactly-once note: foreachBatch gives at-least-once batch
+    * delivery; the upsert itself is idempotent for identical replays
+    * (same keys, same rows → same lake state), which is the practical
+    * exactly-once a keyed sink needs.
+    */
+  def upsertSink(stream: DataFrame, lakePath: String,
+                 partitionCols: Seq[String], keyCols: Seq[String],
+                 versionCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val unique = versionCol match {
+          case Some(v) =>
+            val cols = batch.columns
+            batch.groupBy(keyCols.map(col): _*)
+              .agg(max_by(struct(cols.map(col): _*),
+                struct(col(v) +: cols.map(col): _*)).as("__r"))
+              .select(cols.map(c => col(s"__r.$c")): _*)
+          case None => batch
+        }
+        if (!unique.isEmpty)
+          graft.etl.Lake.upsert(batch.sparkSession, lakePath, unique,
+            partitionCols, keyCols)
+        ()
+    }
+
   /** Streaming incremental ingest dedup — the stream analog of
     * `Dedup.dedupAgainstCorpus`'s exact pass: a document stream drops
     * payloads whose content fingerprint already exists in the STATIC

@@ -71,6 +71,31 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).orderBy(col("pos")).collect().toSeq === expected)
   }
 
+  test("inventory reports fragmentation metadata-only and agrees with compact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("inventory").toString + "/lake"
+    (0 until 400).map(i => (s"chr${i % 2 + 1}", (i % 4).toLong, i, s"payload$i"))
+      .toDF("chrom", "pos_bucket", "pos", "payload")
+      .repartition(6).write.partitionBy("chrom", "pos_bucket").parquet(dir)
+
+    val inv = Lake.inventory(spark, dir, targetBytes = 1L << 30).collect()
+    assert(inv.length === 4) // 2 chroms x 2 buckets
+    assert(inv.forall(_.getAs[Long]("n_files") > 1))
+    assert(inv.forall(_.getAs[Boolean]("needs_compaction")))
+    assert(inv.forall(r => r.getAs[Long]("total_bytes") >= r.getAs[Long]("max_file_bytes")))
+
+    // compact exactly the partitions inventory flagged; a fresh
+    // inventory then reports nothing left to do
+    val report = Lake.compact(spark, dir, targetBytes = 1L << 30)
+    assert(report.map(_._1).toSet ===
+      inv.map(_.getAs[String]("partition_dir")).toSet)
+    val after = Lake.inventory(spark, dir, targetBytes = 1L << 30).collect()
+    assert(after.forall(r => !r.getAs[Boolean]("needs_compaction")))
+    assert(after.forall(_.getAs[Long]("n_files") === 1))
+    // missing lake → empty inventory, not an error
+    assert(Lake.inventory(spark, dir + "-nope").isEmpty)
+  }
+
   test("compact discovers partitions at any depth — 1-level, 3-level, and unpartitioned") {
     import spark.implicits._
     val fsConf = spark.sparkContext.hadoopConfiguration
