@@ -120,18 +120,24 @@ object Dedup {
     * the band slice joined as a delimited string (plain equality key —
     * hashing it again would buy nothing). Docs sharing any band key are
     * candidate duplicates.
+    *
+    * One explode, not a k/r-way union: the union form scans the
+    * signature relation once PER BAND (4 scans at k=8, r=2 — cache
+    * reads when persisted, full recomputes when not), while the
+    * explode emits all bands in a single pass and keeps the band
+    * fan-out inside one codegen stage.
     */
   def lshBands(sig: DataFrame, id: String, k: Int, r: Int): DataFrame = {
     require(k % r == 0, s"k=$k must be divisible by band size r=$r")
-    val bands = (0 until k / r).map { b =>
-      sig.select(
-        col(id),
-        lit(b).cast("long").as("band"),
+    val bandStructs = (0 until k / r).map { b =>
+      struct(
+        lit(b.toLong).as("band"),
         concat_ws("|",
           (b * r until (b + 1) * r).map(i => col(s"h$i").cast("string")): _*)
           .as("band_hash"))
     }
-    bands.reduce(_.unionAll(_))
+    sig.select(col(id), explode(array(bandStructs: _*)).as("__b"))
+      .select(col(id), col("__b.band").as("band"), col("__b.band_hash").as("band_hash"))
   }
 
   /** Candidate pairs (a < b) from band-bucket collisions. The self-join
