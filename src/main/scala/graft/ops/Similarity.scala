@@ -195,17 +195,30 @@ object Similarity {
     * to the lowest cell id for determinism. Keeps the winning
     * similarity (unrounded) — callers that don't need it project it
     * away.
+    *
+    * ZERO-shuffle shape: a codebook is k·dim floats by construction,
+    * so it collects to the driver and the argmax folds into a per-row
+    * expression over k literal centroids — one map-only pass, no n×k
+    * row blowup, nothing to sort. (The previous shape crossJoined the
+    * broadcast codebook and ranked with a per-id window: n×k rows
+    * shuffled through a sort just to pick each row's max.) array_max
+    * compares structs lexicographically — (cell_sim, -cell) encodes
+    * "max similarity, ties to the LOWEST cell".
     */
   private def assignDetail(emb: DataFrame, id: String, vec: String,
                            codebook: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(id)).orderBy(col("cell_sim").desc, col("cell"))
-    emb.crossJoin(broadcast(codebook))
-      .select(col(id), col(vec), col("cell"),
-        cosine(col(vec), col("cvec")).as("cell_sim"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(id), col(vec), col("cell"), col("cell_sim"))
+    val cells = codebook.select(col("cell"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cells.nonEmpty, "empty codebook")
+    val scored = array(cells.map { case (cell, cvec) =>
+      struct(
+        cosine(col(vec), typedLit(cvec)).as("cell_sim"),
+        lit(-cell).as("neg_cell"),
+        lit(cell).as("cell"))
+    }: _*)
+    emb.select(col(id), col(vec), array_max(scored).as("__w"))
+      .select(col(id), col(vec),
+        col("__w.cell").as("cell"), col("__w.cell_sim").as("cell_sim"))
   }
 
   private def assignTo(emb: DataFrame, id: String, vec: String,

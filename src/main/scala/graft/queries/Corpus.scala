@@ -520,6 +520,14 @@ object Corpus {
     // CCNet head/middle/tail tiers: per-language ntile(3) over the
     // bigram-LM score (q68's signal composed with a ranking window) —
     // the bucketing CCNet uses to keep "head" (most fluent) data.
+    // Scale note: ntile funnels each language through ONE window
+    // partition (fine at gate SF, a sort bottleneck when one language
+    // is most of a 100 TB corpus). The production variant computes the
+    // two tercile BOUNDARIES per language with approx_percentile (one
+    // partial-aggregated pass, k·2 doubles of state) and assigns tiers
+    // by comparison — same buckets up to boundary ties, no global
+    // sort. The gate keeps exact ntile because the oracle must match
+    // row-for-row, which approximate boundaries cannot guarantee.
     Q(
       "q74_ppl_tiers",
       (s, dir) => {
