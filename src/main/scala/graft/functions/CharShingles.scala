@@ -41,16 +41,23 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
     new GenericArrayData(arr)
   }
 
+  // freshName for every local: a second char_shingles in the same
+  // codegen scope would redeclare fixed names and Janino's
+  // "Redefinition of local variable" drops the stage to interpreted
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      val count = ctx.freshName("count")
+      val arr = ctx.freshName("arr")
+      val i = ctx.freshName("i")
       s"""
-         |int count = java.lang.Math.max($c.numChars() - ${n - 1}, 1);
-         |UTF8String[] arr = new UTF8String[count];
-         |for (int i = 0; i < count; i++) {
-         |  arr[i] = $c.substringSQL(i + 1, $n);
+         |int $count = java.lang.Math.max($c.numChars() - ${n - 1}, 1);
+         |UTF8String[] $arr = new UTF8String[$count];
+         |for (int $i = 0; $i < $count; $i++) {
+         |  $arr[$i] = $c.substringSQL($i + 1, $n);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(arr);
-       """.stripMargin)
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): CharShingles =
     copy(child = newChild)

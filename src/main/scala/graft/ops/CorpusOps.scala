@@ -278,6 +278,38 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("avg_nll"))
   }
 
+  /** CCNet head/middle/tail tier assignment by APPROXIMATE per-stratum
+    * tercile boundaries — the 100 TB shape of the exact-ntile tiers in
+    * q74_ppl_tiers. Exact ntile funnels each language through ONE
+    * window partition (a sort bottleneck when one language is most of
+    * the corpus); here the two boundaries per stratum come from
+    * `percentile_approx` — one partial-aggregated pass, ~accuracy
+    * doubles of sketch state per stratum, no sort anywhere — and each
+    * row's tier is a comparison against its stratum's broadcast
+    * boundaries. Agrees with exact ntile away from boundary ties
+    * (spec-asserted on separated bands); rows AT an approximated
+    * boundary can land one tier off — the documented price, irrelevant
+    * to a quality cut that keeps "head" by the million.
+    *
+    * Output: every input column plus `tier` ('head' = lowest third of
+    * `score`, then 'middle', 'tail').
+    */
+  def pplTiersApprox(scored: DataFrame, stratum: String, score: String,
+                     accuracy: Int = 10000): DataFrame = {
+    val bounds = scored.groupBy(col(stratum))
+      .agg(percentile_approx(col(score),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("__b"))
+      .select(col(stratum),
+        col("__b").getItem(0).as("__b1"), col("__b").getItem(1).as("__b2"))
+    scored
+      .join(broadcast(bounds), Seq(stratum))
+      .withColumn("tier",
+        when(col(score) <= col("__b1"), "head")
+          .when(col(score) <= col("__b2"), "middle")
+          .otherwise("tail"))
+      .drop("__b1", "__b2")
+  }
+
   /** Temperature-based stratum rebalancing — the multilingual mixing
     * step (alpha-sampling): each stratum (language) is downsampled at
     * rate (n_min/n_stratum)^(1-alpha), so the smallest stratum keeps

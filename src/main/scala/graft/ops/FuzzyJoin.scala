@@ -36,6 +36,24 @@ object FuzzyJoin {
     array_union(array(s), deletions)
   }
 
+  /** The depth-2 deletion neighborhood: s, every single-character
+    * deletion, and every two-character deletion (positions i < j).
+    * Quadratic in key LENGTH — ~1 + n + n²/2 variants for an n-char
+    * key, ~200 for a 20-char name — which is the price of distance-2
+    * blocking and still linear in corpus size. Codegen'd HOFs, no UDF.
+    */
+  private[ops] def deletionVariants2(s: Column): Column = {
+    val dels2 = when(length(s) >= 2,
+      flatten(transform(sequence(lit(1), length(s) - 1), i =>
+        transform(sequence(i + lit(1), length(s)), j =>
+          concat(
+            s.substr(lit(1), i - lit(1)),
+            s.substr(i + lit(1), j - i - lit(1)),
+            s.substr(j + lit(1), length(s)))))))
+      .otherwise(array().cast("array<string>"))
+    array_union(deletionVariants(s), dels2)
+  }
+
   /** All (leftKey, rightKey, dist) pairs with levenshtein <= 1 between
     * the two tables' key columns, distinct, nulls dropped. `leftKey`
     * and `rightKey` name the OUTPUT columns too, so they must differ —
@@ -50,17 +68,62 @@ object FuzzyJoin {
     * block on longer keys or pre-partition by length there.
     */
   def editDistance1Join(left: DataFrame, leftKey: String,
-                        right: DataFrame, rightKey: String): DataFrame = {
+                        right: DataFrame, rightKey: String): DataFrame =
+    editDistanceJoin(left, leftKey, right, rightKey, maxDist = 1)
+
+  /** Generalized fuzzy key join: all (leftKey, rightKey, dist) pairs
+    * with levenshtein <= `maxDist`, distinct, nulls dropped.
+    *
+    * `maxDist` is LIMITED TO 1 or 2 at this API: the deletion-
+    * neighborhood guarantee (strings within edit distance d share a
+    * depth-d deletion variant) holds for any d, but the neighborhood
+    * size grows as n^d per key and variant-sharing between DISTINCT
+    * keys grows with it — beyond d=2 the blocking stops pruning and
+    * the join degenerates toward the quadratic scan it exists to
+    * avoid. Sharing a depth-d variant only bounds the true distance by
+    * 2d, so the exact `levenshtein` verify is what keeps the result
+    * exact at either depth.
+    */
+  def editDistanceJoin(left: DataFrame, leftKey: String,
+                       right: DataFrame, rightKey: String,
+                       maxDist: Int): DataFrame = {
     require(leftKey != rightKey,
       s"output columns collide: alias one side (got '$leftKey' twice)")
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2 (got $maxDist) — deeper neighborhoods stop blocking")
+    def hood(c: Column) =
+      if (maxDist == 1) deletionVariants(c) else deletionVariants2(c)
     val l = left.select(col(leftKey)).where(col(leftKey).isNotNull).distinct()
-      .select(col(leftKey), explode(deletionVariants(col(leftKey))).as("__v"))
+      .select(col(leftKey), explode(hood(col(leftKey))).as("__v"))
     val r = right.select(col(rightKey)).where(col(rightKey).isNotNull).distinct()
-      .select(col(rightKey), explode(deletionVariants(col(rightKey))).as("__v"))
+      .select(col(rightKey), explode(hood(col(rightKey))).as("__v"))
     l.join(r, Seq("__v"))
       .select(col(leftKey), col(rightKey))
       .distinct()
       .withColumn("dist", levenshtein(col(leftKey), col(rightKey)).cast("long"))
-      .where(col("dist") <= 1)
+      .where(col("dist") <= maxDist)
+  }
+
+  /** ROW-CARRYING fuzzy join — the entity-resolution output shape: every
+    * (left row, right row) pair whose keys are within `maxDist`, with
+    * ALL columns of both rows plus `dist`. The key-pair kernel above
+    * dedups each side before blocking, so this adds exactly two hash
+    * equi-joins to fan the matched key pairs back out to their rows —
+    * the pair set is the small side by construction (distinct fuzzy
+    * matches) and the planner broadcasts it when it fits, so neither
+    * corpus-sized side moves more than once.
+    *
+    * Column names must be disjoint across the two inputs (checked) —
+    * the output carries both rows side by side.
+    */
+  def fuzzyJoinRows(left: DataFrame, leftKey: String,
+                    right: DataFrame, rightKey: String,
+                    maxDist: Int = 1): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"column collision between sides: ${overlap.mkString(", ")} — alias before joining")
+    val pairs = editDistanceJoin(left, leftKey, right, rightKey, maxDist)
+    left.join(pairs, Seq(leftKey)).join(right, Seq(rightKey))
+      .select((left.columns ++ right.columns).map(col) :+ col("dist"): _*)
   }
 }

@@ -123,6 +123,18 @@ object Similarity {
     * eviction and block scrubs. Training is float-truncation
     * deterministic, so memoized and freshly-trained bits are identical
     * (spec-asserted).
+    *
+    * ==Staleness contract== The memo keys on the CALLER-SUPPLIED string
+    * plus (k, iters) only — it never fingerprints the data (a
+    * fingerprint would cost a corpus pass, defeating the memo). If the
+    * data under a key changes, the same key returns the STALE codebook
+    * by design, exactly like a persisted codebook table that hasn't
+    * been retrained. Callers ingesting mutable paths must version the
+    * key (e.g. append the snapshot/batch id) or call
+    * [[clearCodebookCache]] after a data change. The memo holds at most
+    * [[codebookCacheCap]] codebooks, least-recently-used evicted — a
+    * long-lived service training over an unbounded stream of corpus
+    * keys cannot accrete driver memory.
     */
   def kmeansCodebook(emb: DataFrame, id: String, vec: String, k: Int,
                      iters: Int, cacheKey: Option[String]): DataFrame = {
@@ -145,14 +157,43 @@ object Similarity {
     }
   }
 
+  /** Upper bound on memoized codebooks. 64 × (a few-MB codebook) is
+    * comfortably driver-resident; beyond it the eldest (LRU) entry is
+    * evicted and a later request simply retrains — correctness is
+    * unaffected because training is deterministic.
+    */
+  val codebookCacheCap = 64
+
+  // access-ordered LinkedHashMap = LRU; the synchronized wrapper also
+  // synchronizes computeIfAbsent, so concurrent trainings of the SAME
+  // key serialize (each key trains once). Concurrent trainings of
+  // different keys also serialize — acceptable for a driver-side memo
+  // whose hit path is a map lookup.
   private val codebookCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Float])]]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[(Long, Array[Float])]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[(Long, Array[Float])]]): Boolean =
+          size() > codebookCacheCap
+      })
+
+  /** Drop every memoized codebook — the invalidation hook for callers
+    * whose corpus changed under a previously-used cacheKey (see the
+    * staleness contract on [[kmeansCodebook]]).
+    */
+  def clearCodebookCache(): Unit = codebookCache.clear()
+
+  private[graft] def codebookCacheSize: Int = codebookCache.size()
 
   /** Corpus clustering: every vector labeled with its k-means cell and
     * the cosine similarity to that cell's centroid (rounded to 6, like
     * every exposed similarity). The foundation for cluster-local
     * operators — semantic dedup below, per-cluster sampling, cluster
     * summarization. One broadcast argmax pass after training.
+    * `cacheKey` memoizes training per corpus — see the staleness
+    * contract on [[kmeansCodebook]]: a reused key returns the codebook
+    * trained on the data as it WAS; version the key or
+    * [[clearCodebookCache]] when the corpus changes.
     */
   def kmeansAssign(emb: DataFrame, id: String, vec: String, k: Int,
                    iters: Int, cacheKey: Option[String] = None): DataFrame =
@@ -174,6 +215,9 @@ object Similarity {
     * straddling a cell boundary is missed; that is the documented
     * SemDeDup trade-off, priced by the cluster count). One shuffle on
     * the cell id for the self-join, one left_anti on the vector id.
+    * `cacheKey` staleness: same contract as [[kmeansCodebook]] — a
+    * reused key clusters TODAY's vectors against a codebook trained on
+    * the key's ORIGINAL data; version the key when the corpus changes.
     */
   def semanticDedup(emb: DataFrame, id: String, vec: String, k: Int,
                     iters: Int, minCos: Double,
@@ -191,25 +235,63 @@ object Similarity {
     emb.join(losers, Seq(id), "left_anti")
   }
 
+  /** Above this k·dim the literal-fold assignment hands off to the
+    * broadcast-join path: k·dim literal floats inflate the serialized
+    * plan/task binary linearly and, past Janino's 64 KB method limit,
+    * kick the projection out of whole-stage codegen into interpreted
+    * evaluation — the literal fold's win becomes a cliff. 10⁴ floats
+    * keeps the generated method comfortably under the limit (measured:
+    * k=8·dim=32 at gate; k=64·dim=160 crosses the threshold in specs).
+    */
+  val literalFoldMaxFloats = 10000L
+
   /** Nearest-cell assignment against a (cell, cvec) codebook; ties break
     * to the lowest cell id for determinism. Keeps the winning
     * similarity (unrounded) — callers that don't need it project it
-    * away.
+    * away. An EMPTY codebook (trained on an empty corpus / micro-batch)
+    * yields the empty result in the output schema — assignment of
+    * nothing is nothing, not an error.
     *
-    * ZERO-shuffle shape: a codebook is k·dim floats by construction,
-    * so it collects to the driver and the argmax folds into a per-row
-    * expression over k literal centroids — one map-only pass, no n×k
-    * row blowup, nothing to sort. (The previous shape crossJoined the
-    * broadcast codebook and ranked with a per-id window: n×k rows
-    * shuffled through a sort just to pick each row's max.) array_max
-    * compares structs lexicographically — (cell_sim, -cell) encodes
-    * "max similarity, ties to the LOWEST cell".
+    * Two plans, chosen by codebook size, identical results
+    * (spec-asserted):
+    *
+    *  - '''literal fold''' (k·dim ≤ [[literalFoldMaxFloats]]): the
+    *    codebook collects to the driver and the argmax folds into a
+    *    per-row expression over k literal centroids — ZERO shuffle, no
+    *    n×k row blowup, nothing to sort. array_max compares structs
+    *    lexicographically — (cell_sim, -cell) encodes "max similarity,
+    *    ties to the LOWEST cell".
+    *  - '''broadcast argmax''' (above the threshold — SemDeDup-scale k
+    *    in the thousands): broadcast-join the codebook, then ONE hash
+    *    aggregation picks each row's best cell with max_by. Map-side
+    *    partial aggregation collapses the n×k scored rows back to n
+    *    within each scan partition, so the single shuffle moves ~n
+    *    rows, and there is no window sort anywhere (the pre-r7 shape
+    *    ranked n×k rows through a per-id window). Degrades gracefully
+    *    in k: plan size is constant, state per group is one struct.
     */
   private def assignDetail(emb: DataFrame, id: String, vec: String,
                            codebook: DataFrame): DataFrame = {
-    val cells = codebook.select(col("cell"), col("cvec")).collect()
+    val cb = codebook.select(col("cell"), col("cvec"))
+    // k and dim are two cheap actions against a localCheckpointed or
+    // memoized codebook (k rows by construction)
+    val k = cb.count()
+    if (k == 0)
+      emb.limit(0).select(col(id), col(vec),
+        lit(null).cast("long").as("cell"),
+        lit(null).cast("double").as("cell_sim"))
+    else {
+      val dim = cb.select(size(col("cvec"))).head().getInt(0)
+      if (k * dim <= literalFoldMaxFloats) assignLiteral(emb, id, vec, cb)
+      else assignBroadcast(emb, id, vec, cb)
+    }
+  }
+
+  /** Literal-fold assignment (small codebook; see [[assignDetail]]). */
+  private[graft] def assignLiteral(emb: DataFrame, id: String, vec: String,
+                                   cb: DataFrame): DataFrame = {
+    val cells = cb.select(col("cell"), col("cvec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    require(cells.nonEmpty, "empty codebook")
     val scored = array(cells.map { case (cell, cvec) =>
       struct(
         cosine(col(vec), typedLit(cvec)).as("cell_sim"),
@@ -219,6 +301,38 @@ object Similarity {
     emb.select(col(id), col(vec), array_max(scored).as("__w"))
       .select(col(id), col(vec),
         col("__w.cell").as("cell"), col("__w.cell_sim").as("cell_sim"))
+  }
+
+  /** Broadcast-argmax assignment (large codebook; see [[assignDetail]]).
+    * Assumes unique ids (every Similarity entry point's contract): the
+    * aggregate emits one row per id, where the literal fold emits one
+    * row per input row — identical under the contract.
+    */
+  private[graft] def assignBroadcast(emb: DataFrame, id: String, vec: String,
+                                     cb: DataFrame): DataFrame =
+    emb
+      .crossJoin(broadcast(cb.select(col("cell").as("__cbc"), col("cvec").as("__cbv"))))
+      .select(col(id), col(vec), col("__cbc"),
+        cosine(col(vec), col("__cbv")).as("__s"))
+      .groupBy(col(id))
+      .agg(max_by(
+        struct(col("__cbc").as("cell"), col("__s").as("cell_sim"),
+          col(vec).as("v")),
+        struct(col("__s"), (-col("__cbc")).as("nc"))).as("__w"))
+      .select(col(id), col("__w.v").as(vec),
+        col("__w.cell").as("cell"), col("__w.cell_sim").as("cell_sim"))
+
+  /** Nearest-cell assignment against an EXTERNALLY-trained (cell, cvec)
+    * codebook — the persisted-codebook deployment path ([[kmeansCodebook]]
+    * trains once, a table stores the k·dim floats, every later job
+    * assigns against the stored rows without retraining). Plan choice,
+    * tie-breaking, and the empty-codebook contract are [[assignDetail]]'s.
+    */
+  def assignToCodebook(emb: DataFrame, id: String, vec: String,
+                       codebook: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    assignDetail(emb, id, vec, codebook)
+      .select(col(id), col("cell"), round(col("cell_sim"), 6).as("cell_sim"))
   }
 
   private def assignTo(emb: DataFrame, id: String, vec: String,

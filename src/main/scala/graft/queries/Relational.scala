@@ -766,6 +766,35 @@ object Relational {
              |  ON name_a < c_name AND levenshtein(name_a, c_name) <= 1
              |ORDER BY name_a, name_b""".stripMargin)),
 
+    // ROW-CARRYING fuzzy join at distance 2 (ops.FuzzyJoin.fuzzyJoinRows)
+    // — the entity-resolution output: matched ROWS with payload columns
+    // from both sides, not just key pairs, over the depth-2 deletion
+    // neighborhood. Oracle is again the naive quadratic levenshtein
+    // theta-join, certifying both the d=2 blocking (no pair missed) and
+    // the fan-out back to rows (payloads land on the right pairs).
+    Q(
+      "q86_fuzzy_join_rows",
+      (s, dir) => {
+        val c = graft.Tables.customer(s, dir)
+        val probe = c.orderBy(col("c_name")).limit(100)
+          .select(col("c_custkey").as("a_key"), col("c_name").as("name_a"),
+            col("c_mktsegment").as("seg_a"))
+        val full = c.select(col("c_custkey").as("b_key"), col("c_name").as("name_b"))
+        graft.ops.FuzzyJoin.fuzzyJoinRows(probe, "name_a", full, "name_b", maxDist = 2)
+          .where(col("name_a") < col("name_b"))
+          .select(col("a_key"), col("name_a"), col("seg_a"),
+            col("b_key"), col("name_b"), col("dist"))
+          .orderBy(col("name_a"), col("name_b"))
+      },
+      Some("""WITH probe AS (
+             |  SELECT c_custkey AS a_key, c_name AS name_a, c_mktsegment AS seg_a
+             |  FROM customer ORDER BY c_name LIMIT 100)
+             |SELECT a_key, name_a, seg_a, c_custkey AS b_key, c_name AS name_b,
+             |  levenshtein(name_a, c_name) AS dist
+             |FROM probe JOIN customer
+             |  ON name_a < c_name AND levenshtein(name_a, c_name) <= 2
+             |ORDER BY name_a, name_b""".stripMargin)),
+
     // FULL OUTER join — the one join type the inventory lacked: both
     // sides filtered so each has nations the other misses, and the
     // grouped counts ride through null-producing sides. coalesce on

@@ -125,15 +125,25 @@ object EventStreams {
     * retransmission window) and composes with custom emission logic.
     * Requires the RocksDB state store provider (set
     * spark.sql.streaming.stateStore.providerClass).
+    *
+    * `ttl` bounds state: a fingerprint the state store hasn't seen for
+    * longer than the TTL expires (native transformWithState TTL — the
+    * store reaps it, no timer logic here), and the NEXT occurrence is
+    * re-admitted as if new. That is the deliberate memory/exactness
+    * trade at 100 TB/day: size the TTL to the retransmission (or
+    * recrawl) window and state stays proportional to the window, not
+    * the stream's lifetime. No TTL = exact forever, unbounded state.
     */
-  class FirstSeenDedup extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Event] {
+  class FirstSeenDedup(ttl: Option[java.time.Duration] = None)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Event] {
     @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
 
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       seen = getHandle.getValueState[Boolean]("seen",
         org.apache.spark.sql.Encoders.scalaBoolean,
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        ttl.map(org.apache.spark.sql.streaming.TTLConfig(_))
+          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Event] = {
@@ -145,12 +155,19 @@ object EventStreams {
     }
   }
 
-  def dedupByEventId(events: Dataset[Event]): Dataset[Event] = {
+  /** TTL state requires processing-time semantics; untimed state keeps
+    * TimeMode.None. Shared by both stateful dedup entry points.
+    */
+  private def timeModeFor(ttl: Option[java.time.Duration]) =
+    if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+    else org.apache.spark.sql.streaming.TimeMode.None()
+
+  def dedupByEventId(events: Dataset[Event],
+                     ttl: Option[java.time.Duration] = None): Dataset[Event] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.event_id)
-      .transformWithState(new FirstSeenDedup,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new FirstSeenDedup(ttl), timeModeFor(ttl),
         OutputMode.Append())
   }
 
@@ -160,9 +177,11 @@ object EventStreams {
 
   /** First document per content fingerprint passes; later stream
     * occurrences (same batch or any later batch) drop. Same contract
-    * as FirstSeenDedup, keyed on the md5 fingerprint string.
+    * as FirstSeenDedup, keyed on the md5 fingerprint string, including
+    * the TTL bound (expired fingerprints re-admit — size the TTL to
+    * the recrawl window).
     */
-  class FirstFingerprintWins
+  class FirstFingerprintWins(ttl: Option[java.time.Duration] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Doc), Doc] {
     @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
 
@@ -170,7 +189,8 @@ object EventStreams {
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       seen = getHandle.getValueState[Boolean]("seen",
         org.apache.spark.sql.Encoders.scalaBoolean,
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        ttl.map(org.apache.spark.sql.streaming.TTLConfig(_))
+          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
 
     override def handleInputRows(key: String, rows: Iterator[(String, Doc)],
                                  timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Doc] = {
@@ -215,9 +235,17 @@ object EventStreams {
               .select(cols.map(c => col(s"__r.$c")): _*)
           case None => batch
         }
-        if (!unique.isEmpty)
-          graft.etl.Lake.upsert(batch.sparkSession, lakePath, unique,
-            partitionCols, keyCols)
+        // persist for the trigger's lifetime: the isEmpty probe plus
+        // Lake.upsert's own actions (key-unique count, merge write,
+        // verification joins) evaluate this frame ~6 times — without
+        // the pin each action would replay the dedup aggregation over
+        // the micro-batch
+        unique.persist()
+        try {
+          if (!unique.isEmpty)
+            graft.etl.Lake.upsert(batch.sparkSession, lakePath, unique,
+              partitionCols, keyCols)
+        } finally unique.unpersist()
         ()
     }
 
@@ -229,8 +257,9 @@ object EventStreams {
     * is picked up without restarts) or was already seen earlier in the
     * stream itself (transformWithState keyed on the fingerprint —
     * first occurrence wins across micro-batches and replays). State is
-    * one boolean per distinct surviving fingerprint; a production
-    * deployment bounds it with a TTL sized to the recrawl window.
+    * one boolean per distinct surviving fingerprint; pass `ttl` sized
+    * to the recrawl window to bound it (expired fingerprints re-admit
+    * the next occurrence — EventStreamsSpec pins the behavior).
     *
     * Join strategy is deliberately LEFT TO THE OPTIMIZER (same call as
     * the batch twin, Dedup.dedupAgainstCorpus): at the 100 TB north
@@ -240,7 +269,8 @@ object EventStreams {
     * (tests, young corpora).
     */
   def streamDedupAgainstCorpus(docs: Dataset[Doc], corpus: DataFrame,
-                               text: String): Dataset[Doc] = {
+                               text: String,
+                               ttl: Option[java.time.Duration] = None): Dataset[Doc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val corpusFp = corpus.select(md5(col(text)).as("__fp")).distinct()
@@ -250,8 +280,7 @@ object EventStreams {
       .select(col("__fp"), struct(col("doc_id"), col("text")).as("doc"))
       .as[(String, Doc)]
       .groupByKey(_._1)
-      .transformWithState(new FirstFingerprintWins,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new FirstFingerprintWins(ttl), timeModeFor(ttl),
         OutputMode.Append())
   }
 }

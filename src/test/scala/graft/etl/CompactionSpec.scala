@@ -96,6 +96,35 @@ class CompactionSpec extends AnyFunSuite {
     assert(Lake.inventory(spark, dir + "-nope").isEmpty)
   }
 
+  test("partitionLeaves: parallel walk equals a serial reference walk on a 300-leaf tree") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("leafwalk").toString + "/lake"
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 12 x 25 = 300 leaves, built directly on the filesystem — the walk
+    // is metadata-only, so the fixture needs structure, not data
+    val leaves = for { a <- 0 until 12; b <- 0 until 25 }
+      yield new Path(root, s"a=$a/b=$b")
+    leaves.foreach { p =>
+      fs.mkdirs(p)
+      fs.createNewFile(new Path(p, "part-00000.parquet"))
+    }
+    // hidden maintenance dirs and their contents must stay invisible
+    fs.mkdirs(new Path(root, ".compact_tmp/x=1"))
+    fs.mkdirs(new Path(root, "a=0/.upsert_old"))
+    // the pre-parallelization walk, verbatim, as the reference
+    def serial(p: Path): Seq[Path] = {
+      val kids = fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (kids.isEmpty) Seq(p) else kids.toSeq.flatMap(k => serial(k.getPath))
+    }
+    val expected = serial(root).map(_.toString).sorted
+    assert(expected.length === 300)
+    val found = Lake.inventory(spark, dir).collect()
+      .map(_.getAs[String]("partition_dir")).toSeq.sorted
+    assert(found === expected)
+  }
+
   test("compact discovers partitions at any depth — 1-level, 3-level, and unpartitioned") {
     import spark.implicits._
     val fsConf = spark.sparkContext.hadoopConfiguration

@@ -285,4 +285,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(4L) === ((1L, 0L, "1:0")))
     assert(r(7L) === ((1L, 9L, "1:1")))
   }
+
+  test("pplTiersApprox agrees with exact ntile away from boundary ties") {
+    import org.apache.spark.sql.expressions.Window
+    // two strata, 30 rows each, scores in three SEPARATED bands of ten
+    // (gaps >> within-band spread): every tercile boundary falls in a
+    // gap, so the approximate-boundary comparison must reproduce exact
+    // ntile row-for-row — any disagreement is an operator bug, not an
+    // approximation tie
+    val rows = for {
+      lang <- Seq("en", "de")
+      i <- 0 until 30
+    } yield (lang, (if (lang == "en") 0L else 100L) + i,
+      (i / 10) * 50.0 + (i % 10) * 0.1 + (if (lang == "de") 7.0 else 0.0))
+    val scored = rows.toDF("lang", "doc_id", "avg_nll")
+    val approx = CorpusOps.pplTiersApprox(scored, "lang", "avg_nll")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("tier")).toMap
+    val w = Window.partitionBy(col("lang")).orderBy(col("avg_nll"), col("doc_id"))
+    val exact = scored
+      .withColumn("t", ntile(3).over(w))
+      .withColumn("tier", when(col("t") === 1, "head")
+        .when(col("t") === 2, "middle").otherwise("tail"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("tier")).toMap
+    assert(approx === exact)
+    // and the plan carries no window/sort — that is the point of it
+    val plan = CorpusOps.pplTiersApprox(scored, "lang", "avg_nll")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"approx tiers must not plan a window:\n$plan")
+  }
 }

@@ -521,6 +521,37 @@ class OpsSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("fuzzyJoinRows: distance-2 typos matched, payload columns carried, far strings excluded") {
+    import spark.implicits._
+    val a = Seq((1L, "spark engine", "L")).toDF("a_id", "a_name", "a_tag")
+    val b = Seq(
+      (10L, "spark engine", "exact"),     // dist 0
+      (11L, "spark enine", "one-del"),    // dist 1
+      (12L, "sprk enine", "two-del"),     // dist 2
+      (13L, "spark enginexy", "two-ins"), // dist 2
+      (14L, "scala", "far")               // excluded
+    ).toDF("b_id", "b_name", "b_tag")
+    val out = FuzzyJoin.fuzzyJoinRows(a, "a_name", b, "b_name", maxDist = 2).collect()
+    val distByB = out.map(r => r.getAs[Long]("b_id") -> r.getAs[Long]("dist")).toMap
+    assert(distByB === Map(10L -> 0L, 11L -> 1L, 12L -> 2L, 13L -> 2L))
+    // both sides' payloads ride along
+    assert(out.forall(_.getAs[String]("a_tag") == "L"))
+    assert(out.find(_.getAs[Long]("b_id") == 12L).get.getAs[String]("b_tag") === "two-del")
+    // the d=1 kernel keeps its tighter contract on the same data
+    val d1 = FuzzyJoin.editDistanceJoin(a, "a_name", b, "b_name", maxDist = 1)
+      .collect().map(_.getAs[String]("b_name")).toSet
+    assert(d1 === Set("spark engine", "spark enine"))
+    // depth > 2 is a loud error, not a silent quadratic plan
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistanceJoin(a, "a_name", b, "b_name", maxDist = 3)
+    }
+    // colliding column names refuse loudly (the output carries both rows)
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.fuzzyJoinRows(a, "a_name",
+        b.withColumnRenamed("b_tag", "a_tag"), "b_name", 1)
+    }
+  }
+
   test("kmeans: total assignment, axis clusters separate, deterministic across layouts") {
     import spark.implicits._
     // three tight clusters along coordinate axes, 12 vectors each; the
@@ -573,6 +604,81 @@ class OpsSpec extends AnyFunSuite {
     val viaFresh = Similarity.kmeansAssign(emb, "vec_id", "embedding", 3, 2)
       .collect().map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("cell")).toMap
     assert(viaMemo === viaFresh)
+  }
+
+  test("assignment paths: literal fold and broadcast argmax agree at k=64, neither plans a window") {
+    import spark.implicits._
+    // dim=160, k=64 → k·dim = 10240, past literalFoldMaxFloats: the
+    // dispatched plan must be the broadcast argmax. Deterministic
+    // pseudo-random geometry; cells 5 and 9 share one centroid so the
+    // tie-to-lowest-cell rule is exercised, not just documented.
+    val dim = 160
+    def vecOf(seed: Long): Array[Float] =
+      Array.tabulate(dim)(j => (((seed * 2654435761L + j * 40503L) % 1000L) / 1000.0f) + 0.01f)
+    val emb = (0L until 200L).map(i => (i, vecOf(i))).toDF("vec_id", "embedding")
+    val cbRows = (0L until 64L).map(c => (c, vecOf(if (c == 9L) 5000L + 5L else 5000L + c)))
+    val cb = cbRows.toDF("cell", "cvec")
+    def byId(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cell"), r.getAs[Double]("cell_sim"))).toMap
+    val lit0 = Similarity.assignLiteral(emb, "vec_id", "embedding", cb)
+    val bc0 = Similarity.assignBroadcast(emb, "vec_id", "embedding", cb)
+    assert(byId(lit0) === byId(bc0),
+      "literal-fold and broadcast-argmax assignments must be bit-identical")
+    // no row may ever resolve a tie to cell 9 (its twin, 5, is lower)
+    assert(!bc0.collect().exists(_.getAs[Long]("cell") == 9L))
+    // neither shape sorts: a window Exchange was the pre-r7 regression
+    Seq(lit0, bc0).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"assignment must not plan a window:\n$plan")
+    }
+    // dispatch: the public entry picks broadcast above the threshold
+    // (a join appears in the plan) and the literal fold below it
+    val bigPlan = Similarity.assignToCodebook(emb, "vec_id", "embedding", cb)
+      .queryExecution.executedPlan.toString
+    assert(bigPlan.contains("Join"), s"k·dim>threshold must broadcast-join:\n$bigPlan")
+    val smallCb = cbRows.take(8).toDF("cell", "cvec")
+    val smallPlan = Similarity.assignToCodebook(emb, "vec_id", "embedding", smallCb)
+      .queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("Join"), s"small codebook must stay a map-only fold:\n$smallPlan")
+    // and the dispatched big-k result is the common answer
+    assert(byId(Similarity.assignToCodebook(emb, "vec_id", "embedding", cb))
+      === byId(bc0.select(col("vec_id"), col("cell"), round(col("cell_sim"), 6).as("cell_sim"))))
+  }
+
+  test("empty corpus: assignment and semantic dedup return empty, not a crash") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val none = emb.where(lit(false))
+    val assigned = Similarity.kmeansAssign(none, "vec_id", "embedding", k = 3, iters = 1)
+    assert(assigned.columns.toSeq === Seq("vec_id", "cell", "cell_sim"))
+    assert(assigned.count() === 0)
+    assert(Similarity.semanticDedup(none, "vec_id", "embedding", 3, 1, 0.9).count() === 0)
+    // an empty EXTERNAL codebook (k rows lost to refinement upstream)
+    // also degrades to empty rather than require-crashing
+    val emptyCb = Seq.empty[(Long, Array[Float])].toDF("cell", "cvec")
+    assert(Similarity.assignToCodebook(emb, "vec_id", "embedding", emptyCb).count() === 0)
+  }
+
+  test("codebookCache: capped with LRU eviction, evicted keys retrain to identical bits") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    Similarity.clearCodebookCache()
+    val fresh = Similarity.kmeansCodebook(emb, "vec_id", "embedding", 1, 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    (0 until Similarity.codebookCacheCap + 6).foreach { i =>
+      Similarity.kmeansCodebook(emb, "vec_id", "embedding", 1, 0,
+        Some(s"cap-spec-$i")).count()
+    }
+    assert(Similarity.codebookCacheSize <= Similarity.codebookCacheCap,
+      "memo must stay bounded after more distinct keys than the cap")
+    // key 0 was evicted (LRU); re-requesting it retrains — and training
+    // determinism makes the retrained bits identical to fresh
+    val retrained = Similarity.kmeansCodebook(emb, "vec_id", "embedding", 1, 0,
+      Some("cap-spec-0")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(retrained === fresh)
+    Similarity.clearCodebookCache()
   }
 
   test("semanticDedup: lower-id near-duplicate survives, higher-id copy drops, distinct vectors stay") {

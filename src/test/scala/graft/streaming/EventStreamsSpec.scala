@@ -120,6 +120,59 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup state TTL: an expired fingerprint re-admits the next occurrence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.Doc
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val corpus = Seq((100L, "existing corpus document")).toDF("doc_id", "text")
+    val in = MemoryStream[Doc]
+    // Two processing-time realities shape this test. (1) The engine
+    // must keep running batches with NO new data (TTL reaping fires on
+    // them), so the default 0ms trigger busy-loops — pace it. (2) For
+    // the same reason shouldRunAnotherBatch never goes false, so
+    // processAllAvailable() NEVER RETURNS for a TTL'd query — drive
+    // the test by polling the sink for the expected state instead.
+    val q = EventStreams.streamDedupAgainstCorpus(in.toDS(), corpus, "text",
+      ttl = Some(java.time.Duration.ofSeconds(5)))
+      .writeStream.format("memory").queryName("ttl_dedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250))
+      .outputMode("append").start()
+    def sinkIds: Seq[Long] = spark.sql("SELECT doc_id FROM ttl_dedup ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    def awaitSink(n: Int): Seq[Long] = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var ids = sinkIds
+      while (ids.length < n && System.nanoTime() < deadline) {
+        Thread.sleep(200); ids = sinkIds
+      }
+      ids
+    }
+    try {
+      // same-batch dup (and a corpus recrawl): exactly one survivor
+      in.addData(Doc(1, "volatile page content"), Doc(2, "volatile page content"),
+        Doc(3, "existing corpus document"))
+      val first = awaitSink(1)
+      assert(first.length === 1, s"one survivor per content expected, got $first")
+      // outlive the TTL, then recrawl the same content: the expired
+      // fingerprint must RE-ADMIT it (without TTL this would drop
+      // forever — the non-TTL test above pins that contract)
+      Thread.sleep(8000)
+      in.addData(Doc(4, "volatile page content"))
+      val after = awaitSink(2)
+      assert(after.length === 2, s"post-expiry occurrence must re-admit, got $after")
+      assert(after.last === 4L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join attributes purchases to in-horizon clicks only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
