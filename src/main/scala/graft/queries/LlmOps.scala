@@ -680,6 +680,45 @@ object LlmOps {
               |SELECT vec_id, cell FROM ranked WHERE rn <= 5
               |ORDER BY cell, vec_id""".stripMargin)),
 
+    // Assignment against a PERSISTED codebook at production k: 200
+    // cells × dim 64 = 12,800 floats — past Similarity's literal-fold
+    // threshold, so the GATE exercises the broadcast-join + max_by
+    // argmax path end-to-end (the OpsSpec path-equivalence case covers
+    // semantics; this pins it against DuckDB's windowed argmax on the
+    // same cells). The codebook here is the md5-ordered seed prefix
+    // for self-containment; production reads a trained table. The
+    // oracle hoists per-vector norms — numerically identical to the
+    // one-pass cosine (same accumulations, same final expression),
+    // ~8× fewer list folds over the 200-cell cross space.
+    Q(
+      "q87_codebook_assign",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cb = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(200)
+          .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+        Similarity.assignToCodebook(e, "vec_id", "embedding", cb)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH cb AS (
+              |  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+              |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 200),
+              |en AS (SELECT vec_id, embedding,
+              |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+              |cn AS (SELECT cell, cvec,
+              |  sqrt(${dotSql("cvec", "cvec")}) AS nrm FROM cb),
+              |scored AS (
+              |  SELECT e.vec_id, c.cell,
+              |    ${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.nrm) AS cos
+              |  FROM en e CROSS JOIN cn c),
+              |best AS (
+              |  SELECT vec_id, cell, cos,
+              |    row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY cos DESC, cell) AS rn
+              |  FROM scored)
+              |SELECT vec_id, cell, round(cos, 6) AS cell_sim
+              |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
     // The SQL-text API form: the same near-dup scan as q24 expressed as
     // a `spark.sql` string over a temp view, with the NATIVE registered
     // vec_cosine expression resolved by name — pins that the SQL
