@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.etl.{Fixtures, Lake, Vcf}
+import graft.etl.{Fixtures, Lake, ManifestLake, Vcf}
 
 /** Correctness-gate entries for the reference's own ETL product: the
   * VCF → annotate → two-level-fold → partitioned-lake pipeline
@@ -385,6 +385,47 @@ object EtlGate {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  max(doc_id) AS max_id
              |FROM merged GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Manifest-committed lake under the oracle: the object-store commit
+    // path end-to-end — fragmented v1 write, an appending v2 commit, a
+    // compacting v3 commit, then vacuum to the current version — and
+    // the read-back content must hash-match DuckDB replaying (documents
+    // ∪ appended slice) directly. Pins that immutable-files + atomic
+    // manifest pointer is invisible to readers across every lifecycle
+    // step; ManifestLakeSpec separately pins versioning/crash/vacuum
+    // mechanics.
+    Q(
+      "q88_manifest_roundtrip",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-manifest") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+        ManifestLake.write(s, docs.repartition(6), out, Seq("lang"))
+        val extra = docs.where(pmod(col("doc_id"), lit(50L)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(3000000L))
+        ManifestLake.write(s, extra, out, Seq("lang"), replace = false)
+        val report = ManifestLake.compact(s, out, targetBytes = Long.MaxValue,
+          clusterBy = Seq("doc_id"))
+        require(report.nonEmpty, "manifest gate must actually compact")
+        ManifestLake.vacuum(s, out, keepVersions = 1)
+        ManifestLake.read(s, out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t AS (
+             |  SELECT lang, n_chars, text, doc_id FROM documents
+             |  UNION ALL
+             |  SELECT lang, n_chars, text, doc_id + 3000000 AS doc_id
+             |  FROM documents WHERE doc_id % 50 = 0)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ORC sink/source round-trip (Spark-native columnar alternative to
     // parquet — same partitionBy/predicate-pushdown machinery). DuckDB

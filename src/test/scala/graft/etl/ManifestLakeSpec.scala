@@ -1,0 +1,114 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ManifestLake: immutable data files + atomic small-manifest commit —
+  * the object-store path where Lake.compact/upsert's rename-swap
+  * contract does not hold. Pins: versioned visibility (uncommitted and
+  * superseded data is invisible), append vs replace, compaction under
+  * manifest with old-version readability, crash-orphan invisibility,
+  * and vacuum's referenced-files-survive guarantee.
+  */
+class ManifestLakeSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(tag).toString + "/table"
+
+  test("write → read round-trip, partitioned; append accretes, replace supersedes") {
+    import spark.implicits._
+    val dir = freshDir("mlake")
+    val v1 = (0 until 100).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    assert(ManifestLake.write(spark, v1, dir, Seq("chrom")) === 1L)
+    val r1 = ManifestLake.read(spark, dir)
+    assert(r1.count() === 100)
+    // partition column survives the per-commit basePath read
+    assert(r1.select("chrom").distinct().collect().map(_.getString(0)).sorted
+      === Array("chr1", "chr2"))
+
+    val more = (100 until 130).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    assert(ManifestLake.write(spark, more, dir, Seq("chrom"), replace = false) === 2L)
+    assert(ManifestLake.read(spark, dir).count() === 130)
+    // v1 stays readable as published (time travel / in-flight scans)
+    assert(ManifestLake.readVersion(spark, dir, 1L).count() === 100)
+
+    val fresh = Seq(("chr9", 1L, "only")).toDF("chrom", "pos", "payload")
+    assert(ManifestLake.write(spark, fresh, dir, Seq("chrom")) === 3L)
+    val r3 = ManifestLake.read(spark, dir).collect()
+    assert(r3.length === 1 && r3.head.getAs[String]("payload") === "only")
+  }
+
+  test("unpublished data is invisible: a crash before manifest publish changes nothing") {
+    import spark.implicits._
+    val dir = freshDir("mlake-crash")
+    val df = (0 until 50).map(i => ("chr1", i.toLong, s"p$i")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, df, dir, Seq("chrom"))
+    val before = ManifestLake.read(spark, dir).orderBy(col("pos")).collect().toSeq
+
+    // simulate a committer that crashed after writing its data files
+    // but before publishing: drop files straight into a next-version
+    // data dir with NO manifest
+    val orphan = new org.apache.hadoop.fs.Path(dir, "data/v000099")
+    (51 until 60).map(i => ("chr1", i.toLong, s"ghost$i")).toDF("chrom", "pos", "payload")
+      .write.partitionBy("chrom").parquet(orphan.toString)
+
+    assert(ManifestLake.currentVersion(spark, dir) === Some(1L))
+    assert(ManifestLake.read(spark, dir).orderBy(col("pos")).collect().toSeq === before)
+
+    // vacuum deletes the orphans; the live version is untouched
+    val removed = ManifestLake.vacuum(spark, dir, keepVersions = 1)
+    assert(removed.exists(_.contains("v000099")), s"orphans should be vacuumed: $removed")
+    assert(ManifestLake.read(spark, dir).orderBy(col("pos")).collect().toSeq === before)
+  }
+
+  test("compact under manifest: fewer files, same rows, old version still readable, vacuum reclaims") {
+    import spark.implicits._
+    val dir = freshDir("mlake-compact")
+    val df = (0 until 400).map(i => (s"chr${i % 2 + 1}", i.toLong, s"payload$i"))
+      .toDF("chrom", "pos", "payload")
+    // fragment: 6-way repartition before the partitioned write
+    ManifestLake.write(spark, df.repartition(6), dir, Seq("chrom"))
+    val expected = ManifestLake.read(spark, dir).orderBy(col("pos")).collect().toSeq
+
+    val report = ManifestLake.compact(spark, dir, targetBytes = 1L << 30,
+      clusterBy = Seq("pos"))
+    assert(report.nonEmpty)
+    assert(report.forall { case (_, b, a) => b > 1 && a === 1 })
+
+    // content identical at v2, and v1 (the fragmented layout) still serves
+    assert(ManifestLake.read(spark, dir).orderBy(col("pos")).collect().toSeq === expected)
+    assert(ManifestLake.readVersion(spark, dir, 1L).orderBy(col("pos"))
+      .collect().toSeq === expected)
+
+    // idempotent: nothing left to compact
+    assert(ManifestLake.compact(spark, dir, targetBytes = 1L << 30).isEmpty)
+
+    // vacuum to the current version only: superseded v1 files go, the
+    // compacted data still reads identically
+    val removed = ManifestLake.vacuum(spark, dir, keepVersions = 1)
+    assert(removed.nonEmpty)
+    assert(ManifestLake.read(spark, dir).orderBy(col("pos")).collect().toSeq === expected)
+  }
+
+  test("missing and empty tables read as empty; an empty manifest version is defined") {
+    import spark.implicits._
+    val dir = freshDir("mlake-empty")
+    // no table at all
+    assert(ManifestLake.currentVersion(spark, dir) === None)
+    assert(ManifestLake.read(spark, dir).count() === 0)
+    // a published version whose manifest lists nothing (a replace with
+    // an empty frame) is a defined state: the table IS empty at v2 and
+    // v1 remains readable underneath
+    val df = Seq(("chr1", 1L, "a")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, df, dir, Seq("chrom"))
+    ManifestLake.write(spark, df.where(lit(false)), dir, Seq("chrom"))
+    assert(ManifestLake.currentVersion(spark, dir) === Some(2L))
+    assert(ManifestLake.read(spark, dir).count() === 0)
+    assert(ManifestLake.readVersion(spark, dir, 1L).count() === 1)
+  }
+}
