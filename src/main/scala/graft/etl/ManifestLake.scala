@@ -150,16 +150,13 @@ object ManifestLake {
     v
   }
 
-  /** Read a specific published version (time travel / in-flight scans). */
-  def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
-    val (fs, root) = fsFor(spark, path)
-    val files = readManifest(fs, root, v)
-    if (files.isEmpty)
-      return spark.emptyDataFrame
-    // group by per-commit dir so partition-column discovery gets one
-    // basePath per group; align later groups to the first group's
-    // schema (partition values are directory strings — per-group
-    // inference may type them differently)
+  /** Read an explicit live-file set: one basePath per per-commit dir so
+    * partition-column discovery works, later groups aligned to the
+    * first group's schema (partition values are directory strings —
+    * per-group inference may type them differently).
+    */
+  private def readFiles(spark: SparkSession, root: Path,
+                        files: Seq[String]): DataFrame = {
     val groups = files.groupBy(_.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
     val frames = groups.map { case (commitDir, fls) =>
       spark.read
@@ -170,6 +167,14 @@ object ManifestLake {
       val cols = a.schema.fields.map(f => col(f.name).cast(f.dataType))
       a.unionByName(b.select(cols: _*))
     }
+  }
+
+  /** Read a specific published version (time travel / in-flight scans). */
+  def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
+    val (fs, root) = fsFor(spark, path)
+    val files = readManifest(fs, root, v)
+    if (files.isEmpty) spark.emptyDataFrame
+    else readFiles(spark, root, files)
   }
 
   /** Read the table at its highest published version. */
@@ -236,6 +241,102 @@ object ManifestLake {
     val untouched = live.filterNot(f => rewritten.contains(partOf(f)))
     publish(fs, root, newV, untouched ++ stagedFiles(fs, root, commitDir))
     report
+  }
+
+  /** Key-level upsert (merge-into) under manifest commit — the
+    * object-store twin of [[Lake.upsert]]: rows in `updates` replace
+    * live rows with the same key, new keys append, and only the
+    * AFFECTED partitions' data is rewritten — untouched partitions'
+    * files carry into the new manifest by reference, zero I/O. The
+    * merge becomes visible atomically when the manifest publishes; a
+    * crash at any earlier point leaves the table at the previous
+    * version (plus invisible orphans for [[vacuum]]).
+    *
+    * Affected partitions resolve from the UPDATE BATCH's partition
+    * values rendered through Spark's own partition-path escaping, so
+    * the dir names match what partitioned writes produced. `updates`
+    * must be key-unique and its partition values non-null (both
+    * checked — same loud-failure stance as Lake.upsert).
+    *
+    * Returns the published version.
+    */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+             partitionCols: Seq[String], keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    require(partitionCols.nonEmpty,
+      "manifest upsert needs a partitioned table (affected-partition " +
+        "pruning keys on the partition columns); replace flat tables wholesale")
+    require(partitionCols.forall(keyCols.contains),
+      "partition columns must be part of the key")
+    val (fs, root) = fsFor(spark, path)
+    val nUpd = updates.count()
+    val nUpdKeys = updates.select(keyCols.map(col): _*).distinct().count()
+    if (nUpd != nUpdKeys)
+      throw new IllegalArgumentException(
+        s"updates are not key-unique on ${keyCols.mkString(",")}: $nUpd rows, $nUpdKeys keys")
+    val v = currentVersion(spark, path).getOrElse(0L)
+    if (v == 0L) return write(spark, updates, path, partitionCols)
+
+    // affected partition dirs, rendered exactly as partitioned writes
+    // render them (one small collect — bounded by the batch's partition
+    // spread, which is small against the lake by definition)
+    val partRows = updates
+      .select(partitionCols.map(c => col(c).cast("string").as(c)): _*)
+      .distinct().collect()
+    require(partRows.forall(r => partitionCols.indices.forall(i => !r.isNullAt(i))),
+      "null partition values are not supported by the manifest upsert")
+    val affectedDirs = partRows.map(r =>
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        s"${escapePathName(c)}=${escapePathName(r.getString(i))}"
+      }.mkString("/")).toSet
+
+    val live = readManifest(fs, root, v)
+    def partOf(rel: String): String =
+      rel.split("/").drop(2).dropRight(1).mkString("/")
+    val (affectedFiles, untouched) = live.partition(f => affectedDirs.contains(partOf(f)))
+
+    // merge: updates win key collisions outright (the batch is the
+    // newer truth) — same shape as Lake.upsert's merge
+    val updSchema = updates.schema
+    val merged =
+      if (affectedFiles.isEmpty) updates
+      else {
+        val affected = readFiles(spark, root, affectedFiles)
+          .select(updSchema.fieldNames.map(n =>
+            col(n).cast(updSchema(n).dataType)): _*)
+        val byKey = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*).orderBy(col("__src").desc)
+        affected.withColumn("__src", lit(0))
+          .unionByName(updates.withColumn("__src", lit(1)))
+          .withColumn("__rn", row_number().over(byKey))
+          .where(col("__rn") === 1)
+          .drop("__src", "__rn")
+      }
+
+    val newV = v + 1
+    val commitDir = new Path(root, f"$DataDir/v$newV%06d")
+    merged.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(commitDir.toString)
+
+    // verify the staged merge while it is invisible: key-unique and
+    // every update key present
+    val out = spark.read.parquet(commitDir.toString)
+    val rowsOut = out.count()
+    val keysOut = out.select(keyCols.map(col): _*).distinct().count()
+    val updKeysOut = out.join(broadcast(updates.select(keyCols.map(col): _*)),
+      keyCols.toSeq, "left_semi").count()
+    if (rowsOut != keysOut || updKeysOut != nUpdKeys) {
+      fs.delete(commitDir, true)
+      throw new IllegalStateException(
+        s"manifest upsert verification failed for $path: $rowsOut rows / " +
+          s"$keysOut keys, $updKeysOut of $nUpdKeys update keys staged — " +
+          s"table still at v$v")
+    }
+    publish(fs, root, newV, untouched ++ stagedFiles(fs, root, commitDir))
+    newV
   }
 
   /** Delete everything no published-and-kept manifest references:

@@ -427,6 +427,49 @@ object EtlGate {
              |  max(doc_id) AS max_id
              |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Manifest upsert under the oracle: q76's merge (every 10th doc
+    // rewritten, every 100th added under a shifted id) replayed through
+    // the OBJECT-STORE commit path — affected partitions rewritten into
+    // a new version, untouched partitions carried by reference, the
+    // merge visible only at manifest publish. Same relational oracle as
+    // q76: the commit mechanics must be invisible to readers.
+    Q(
+      "q89_manifest_upsert",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-mupsert") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .withColumn("pb", pmod(col("doc_id"), lit(3L)))
+        ManifestLake.write(s, docs, out, Seq("lang", "pb"))
+        val updates = docs.where(pmod(col("doc_id"), lit(10L)) === 0)
+          .withColumn("n_chars", lit(-1L))
+          .unionByName(
+            docs.where(pmod(col("doc_id"), lit(100L)) === 0)
+              .withColumn("doc_id", col("doc_id") + lit(1000000L))
+              .withColumn("pb", pmod(col("doc_id"), lit(3L)))
+              .withColumn("n_chars", lit(-1L)))
+        ManifestLake.upsert(s, out, updates,
+          partitionCols = Seq("lang", "pb"),
+          keyCols = Seq("lang", "pb", "doc_id"))
+        ManifestLake.read(s, out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH merged AS (
+             |  SELECT lang,
+             |    CASE WHEN doc_id % 10 = 0 THEN -1 ELSE n_chars END AS n_chars,
+             |    doc_id
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT lang, -1 AS n_chars, doc_id + 1000000 AS doc_id
+             |  FROM documents WHERE doc_id % 100 = 0)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  max(doc_id) AS max_id
+             |FROM merged GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ORC sink/source round-trip (Spark-native columnar alternative to
     // parquet — same partitionBy/predicate-pushdown machinery). DuckDB
     // has no ORC reader, so the oracle pins the read-back CONTENT from

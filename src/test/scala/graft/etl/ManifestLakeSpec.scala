@@ -95,6 +95,59 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(ManifestLake.read(spark, dir).orderBy(col("pos")).collect().toSeq === expected)
   }
 
+  test("upsert under manifest: updates win, new keys append, untouched partitions carry by reference") {
+    import spark.implicits._
+    val dir = freshDir("mlake-upsert")
+    val base = (0 until 90).map(i => (s"chr${i % 3 + 1}", i.toLong, s"old$i"))
+      .toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, base, dir, Seq("chrom"))
+    val v1Files = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, "_manifest/v000001.list"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList finally in.close()
+    }
+
+    // touch chr1 only: rewrite pos 0, add pos 1000; chr2/chr3 untouched
+    val updates = Seq(("chr1", 0L, "NEW"), ("chr1", 1000L, "ADDED"))
+      .toDF("chrom", "pos", "payload")
+    val v = ManifestLake.upsert(spark, dir, updates,
+      partitionCols = Seq("chrom"), keyCols = Seq("chrom", "pos"))
+    assert(v === 2L)
+
+    val now = ManifestLake.read(spark, dir)
+    assert(now.count() === 91) // 90 + 1 new key
+    val byKey = now.collect()
+      .map(r => (r.getAs[String]("chrom"), r.getAs[Long]("pos")) -> r.getAs[String]("payload"))
+      .toMap
+    assert(byKey(("chr1", 0L)) === "NEW")
+    assert(byKey(("chr1", 1000L)) === "ADDED")
+    assert(byKey(("chr1", 3L)) === "old3")   // untouched key in the touched partition
+    assert(byKey(("chr2", 1L)) === "old1")   // untouched partition intact
+
+    // untouched partitions carried BY REFERENCE: their v1 file paths
+    // appear verbatim in v2's manifest (zero rewrite I/O)
+    val v2Files = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, "_manifest/v000002.list"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList finally in.close()
+    }
+    val untouchedV1 = v1Files.filterNot(_.contains("chrom=chr1"))
+    assert(untouchedV1.nonEmpty && untouchedV1.forall(v2Files.contains))
+    assert(!v2Files.exists(f => f.contains("chrom=chr1") && f.contains("v000001")))
+
+    // the pre-merge version still serves
+    assert(ManifestLake.readVersion(spark, dir, 1L).count() === 90)
+
+    // non-key-unique batches refuse loudly
+    intercept[IllegalArgumentException] {
+      ManifestLake.upsert(spark, dir,
+        Seq(("chr1", 7L, "a"), ("chr1", 7L, "b")).toDF("chrom", "pos", "payload"),
+        Seq("chrom"), Seq("chrom", "pos"))
+    }
+  }
+
   test("missing and empty tables read as empty; an empty manifest version is defined") {
     import spark.implicits._
     val dir = freshDir("mlake-empty")
