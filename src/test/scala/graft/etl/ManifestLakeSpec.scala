@@ -148,6 +148,24 @@ class ManifestLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest reads keep partition pruning: a partition filter reaches the scan") {
+    import spark.implicits._
+    val dir = freshDir("mlake-prune")
+    val df = (0 until 60).map(i => (s"chr${i % 3 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, df, dir, Seq("chrom"))
+    val filtered = ManifestLake.read(spark, dir).where(col("chrom") === "chr2")
+    assert(filtered.count() === 20)
+    // the partition filter must prune at the file index, not post-scan:
+    // explicit-file-list reads still carry hive partition columns via
+    // basePath, so Catalyst can push the partition predicate
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("chrom"),
+      s"partition filter should prune at the scan:\n$plan")
+  }
+
   test("missing and empty tables read as empty; an empty manifest version is defined") {
     import spark.implicits._
     val dir = freshDir("mlake-empty")
