@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   *     `data/v<N>/…` (hive-partitioned inside it), and stay there for
   *     their whole life;
   *   - a commit is the publication of ONE SMALL manifest file
-  *     `_manifest/v<N>.list` — newline-separated root-relative paths of
-  *     every live data file. Readers resolve the highest published
-  *     version and read exactly those files: data written by a crashed
-  *     or in-flight commit is INVISIBLE because no manifest names it;
+  *     `_manifest/v<N>.list` — one `<bytes>\t<relpath>` line per live
+  *     data file (sizes ride along so maintenance decisions never
+  *     stat a file). Readers resolve the highest published version
+  *     and read exactly those files: data written by a crashed or
+  *     in-flight commit is INVISIBLE because no manifest names it;
   *   - the manifest itself is staged hidden and renamed into place.
   *     On HDFS that rename is atomic; on S3-class stores it is a
   *     copy+delete of a KILOBYTE object — object PUT/copy is atomic
@@ -72,10 +73,23 @@ object ManifestLake {
       .maxOption
   }
 
-  /** Root-relative live file paths of version `v` (sorted, stable). */
-  private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] = {
+  /** One live data file: root-relative path plus its size. Sizes live
+    * IN the manifest so maintenance decisions (compaction detection)
+    * read zero file metadata — "the manifest IS the listing" has to
+    * include the one attribute the decisions need, or every poll
+    * degenerates into a per-file getFileStatus walk.
+    */
+  final case class LiveFile(bytes: Long, path: String)
+
+  /** Live files of version `v`. Line format: `<bytes>\t<relpath>`. */
+  private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[LiveFile] = {
     val in = fs.open(manifestPath(root, v))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      .filter(_.nonEmpty)
+      .map { line =>
+        val i = line.indexOf('\t')
+        LiveFile(line.substring(0, i).toLong, line.substring(i + 1))
+      }
     finally in.close()
   }
 
@@ -83,12 +97,13 @@ object ManifestLake {
     * The rename target is a kilobyte object — see the class doc for why
     * this is the one rename the object-store path can afford.
     */
-  private def publish(fs: FileSystem, root: Path, v: Long, files: Seq[String]): Unit = {
+  private def publish(fs: FileSystem, root: Path, v: Long, files: Seq[LiveFile]): Unit = {
     val dir = new Path(root, ManifestDir)
     fs.mkdirs(dir)
     val tmp = new Path(dir, f".tmp-v$v%06d.list")
     val out = fs.create(tmp, true)
-    try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((files.sortBy(_.path)
+      .map(f => s"${f.bytes}\t${f.path}").mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val target = manifestPath(root, v)
     if (fs.exists(target) || !fs.rename(tmp, target)) {
@@ -99,15 +114,18 @@ object ManifestLake {
     }
   }
 
-  /** All parquet files under a per-commit data dir, root-relative. */
-  private def stagedFiles(fs: FileSystem, root: Path, commitDir: Path): Seq[String] = {
+  /** All parquet files under a per-commit data dir, root-relative, with
+    * sizes straight off the listing (no extra RPCs).
+    */
+  private def stagedFiles(fs: FileSystem, root: Path, commitDir: Path): Seq[LiveFile] = {
     val rootQ = fs.makeQualified(root).toString
     val it = fs.listFiles(commitDir, true)
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[LiveFile]
     while (it.hasNext) {
       val f = it.next()
       if (f.isFile && f.getPath.getName.endsWith(".parquet"))
-        out += fs.makeQualified(f.getPath).toString.stripPrefix(rootQ).stripPrefix("/")
+        out += LiveFile(f.getLen,
+          fs.makeQualified(f.getPath).toString.stripPrefix(rootQ).stripPrefix("/"))
     }
     out.result()
   }
@@ -174,7 +192,7 @@ object ManifestLake {
     val (fs, root) = fsFor(spark, path)
     val files = readManifest(fs, root, v)
     if (files.isEmpty) spark.emptyDataFrame
-    else readFiles(spark, root, files)
+    else readFiles(spark, root, files.map(_.path))
   }
 
   /** Read the table at its highest published version. */
@@ -188,9 +206,11 @@ object ManifestLake {
     * file count exceeds ceil(bytes/targetBytes) are rewritten into
     * `data/v<N>/` and the new manifest carries (untouched ∪ rewritten);
     * the OLD files are not touched — still serving v(N-1) scans until
-    * [[vacuum]]. Detection is metadata-only over the manifest (no
-    * listing walk at all — the manifest IS the listing, which is the
-    * other thing this layout buys at 720k-leaf scale).
+    * [[vacuum]]. Detection reads ZERO file metadata: sizes live in the
+    * manifest, so deciding what to compact is a pure in-memory fold
+    * over it — the manifest IS the listing, which is the other thing
+    * this layout buys at 720k-leaf scale (the rename-swap lake's
+    * detection pass lists every partition per poll).
     *
     * Returns (partitionRelDir, filesBefore, filesAfter) per rewritten
     * partition.
@@ -205,9 +225,9 @@ object ManifestLake {
     // partition key = the hive dirs between data/v…/ and the file name
     def partOf(rel: String): String =
       rel.split("/").drop(2).dropRight(1).mkString("/")
-    val byPart = live.groupBy(partOf)
+    val byPart = live.groupBy(f => partOf(f.path))
     val plans = byPart.toSeq.sortBy(_._1).flatMap { case (part, fls) =>
-      val bytes = fls.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
+      val bytes = fls.map(_.bytes).sum
       val want = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
       if (fls.length <= want) None else Some((part, fls, want))
     }
@@ -215,7 +235,7 @@ object ManifestLake {
     val newV = v + 1
     val commitDir = new Path(root, f"$DataDir/v$newV%06d")
     val report = plans.map { case (part, fls, want) =>
-      val src = spark.read.parquet(fls.map(f => new Path(root, f).toString): _*)
+      val src = spark.read.parquet(fls.map(f => new Path(root, f.path).toString): _*)
       val cluster = clusterBy.filter(src.columns.contains).map(col)
       // same file-count-target stance as Lake.compact: when the scan
       // bin-packs below the target, coalesce can only undershoot — range-
@@ -238,7 +258,7 @@ object ManifestLake {
       (part, fls.length, stagedFiles(fs, root, dest).length)
     }
     val rewritten = plans.map(_._1).toSet
-    val untouched = live.filterNot(f => rewritten.contains(partOf(f)))
+    val untouched = live.filterNot(f => rewritten.contains(partOf(f.path)))
     publish(fs, root, newV, untouched ++ stagedFiles(fs, root, commitDir))
     report
   }
@@ -293,7 +313,7 @@ object ManifestLake {
     val live = readManifest(fs, root, v)
     def partOf(rel: String): String =
       rel.split("/").drop(2).dropRight(1).mkString("/")
-    val (affectedFiles, untouched) = live.partition(f => affectedDirs.contains(partOf(f)))
+    val (affectedFiles, untouched) = live.partition(f => affectedDirs.contains(partOf(f.path)))
 
     // merge: updates win key collisions outright (the batch is the
     // newer truth) — same shape as Lake.upsert's merge
@@ -301,7 +321,7 @@ object ManifestLake {
     val merged =
       if (affectedFiles.isEmpty) updates
       else {
-        val affected = readFiles(spark, root, affectedFiles)
+        val affected = readFiles(spark, root, affectedFiles.map(_.path))
           .select(updSchema.fieldNames.map(n =>
             col(n).cast(updSchema(n).dataType)): _*)
         val byKey = org.apache.spark.sql.expressions.Window
@@ -356,7 +376,7 @@ object ManifestLake {
       .sorted
     if (versions.isEmpty) return Seq.empty
     val keep = versions.takeRight(keepVersions)
-    val liveAcrossKept = keep.flatMap(readManifest(fs, root, _)).toSet
+    val liveAcrossKept = keep.flatMap(readManifest(fs, root, _)).map(_.path).toSet
     val dataRoot = new Path(root, DataDir)
     val removed = Seq.newBuilder[String]
     if (fs.exists(dataRoot)) {

@@ -101,12 +101,16 @@ class ManifestLakeSpec extends AnyFunSuite {
     val base = (0 until 90).map(i => (s"chr${i % 3 + 1}", i.toLong, s"old$i"))
       .toDF("chrom", "pos", "payload")
     ManifestLake.write(spark, base, dir, Seq("chrom"))
-    val v1Files = {
+    // manifest lines are `<bytes>\t<relpath>` — compare by path
+    def manifestPaths(name: String): List[String] = {
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(new org.apache.hadoop.fs.Path(dir, "_manifest/v000001.list"))
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList finally in.close()
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"_manifest/$name"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        .filter(_.nonEmpty).map(_.split("\t").last)
+      finally in.close()
     }
+    val v1Files = manifestPaths("v000001.list")
 
     // touch chr1 only: rewrite pos 0, add pos 1000; chr2/chr3 untouched
     val updates = Seq(("chr1", 0L, "NEW"), ("chr1", 1000L, "ADDED"))
@@ -127,12 +131,7 @@ class ManifestLakeSpec extends AnyFunSuite {
 
     // untouched partitions carried BY REFERENCE: their v1 file paths
     // appear verbatim in v2's manifest (zero rewrite I/O)
-    val v2Files = {
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(new org.apache.hadoop.fs.Path(dir, "_manifest/v000002.list"))
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList finally in.close()
-    }
+    val v2Files = manifestPaths("v000002.list")
     val untouchedV1 = v1Files.filterNot(_.contains("chrom=chr1"))
     assert(untouchedV1.nonEmpty && untouchedV1.forall(v2Files.contains))
     assert(!v2Files.exists(f => f.contains("chrom=chr1") && f.contains("v000001")))
