@@ -282,13 +282,29 @@ object ManifestLake {
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
              partitionCols: Seq[String], keyCols: Seq[String]): Long = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     require(partitionCols.nonEmpty,
       "manifest upsert needs a partitioned table (affected-partition " +
         "pruning keys on the partition columns); replace flat tables wholesale")
     require(partitionCols.forall(keyCols.contains),
       "partition columns must be part of the key")
     val (fs, root) = fsFor(spark, path)
+    // the batch feeds ~5 actions (key-unique check, partition collect,
+    // merge write, verification joins) — pin it for the call's lifetime
+    // so each action reuses one evaluation instead of replaying the
+    // caller's upstream plan
+    updates.persist()
+    try {
+      upsertPinned(spark, fs, root, path, updates, partitionCols, keyCols)
+    } finally {
+      updates.unpersist()
+      ()
+    }
+  }
+
+  private def upsertPinned(spark: SparkSession, fs: FileSystem, root: Path,
+                           path: String, updates: DataFrame,
+                           partitionCols: Seq[String], keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     val nUpd = updates.count()
     val nUpdKeys = updates.select(keyCols.map(col): _*).distinct().count()
     if (nUpd != nUpdKeys)

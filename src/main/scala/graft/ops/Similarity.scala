@@ -307,6 +307,14 @@ object Similarity {
     * Assumes unique ids (every Similarity entry point's contract): the
     * aggregate emits one row per id, where the literal fold emits one
     * row per input row — identical under the contract.
+    *
+    * Plan note: max_by's buffer carries a struct (the winning row +
+    * vector), which hash aggregation can't hold in a mutable buffer —
+    * Spark plans SortAggregate, i.e. a LOCAL per-partition sort on the
+    * id before the partial combine. That sort is over each partition's
+    * n_local×k scored rows, collapses them to n_local before the one
+    * hash exchange, and is not a window/global sort — the shape the
+    * pre-r7 implementation was rewritten to avoid.
     */
   private[graft] def assignBroadcast(emb: DataFrame, id: String, vec: String,
                                      cb: DataFrame): DataFrame =
