@@ -391,6 +391,42 @@ object Similarity {
       .limit(topK)
   }
 
+  /** k-NN GRAPH over sign-LSH buckets: every vector's top-`k` most
+    * similar BUCKET-MATES by exact cosine, ranked. The neighbor-graph
+    * primitive downstream of which cluster dedup, diversity pruning,
+    * and retrieval evaluation sit — lshPairs answers "which pairs are
+    * close", this answers "who are each vector's closest k".
+    *
+    * Scale shape: one shuffle on the bucket for the candidate join
+    * (collision probability (1-θ/π)^planes), then a per-`src` ranking
+    * window whose partitions are BUCKET-BOUNDED — each vector ranks at
+    * most (its bucket size - 1) candidates, so there is no global sort
+    * and no single-partition funnel; `planes` prices bucket size
+    * against recall exactly as in lshPairs. Neighbors in OTHER buckets
+    * are missed — the documented LSH trade; raise recall by lowering
+    * `planes` or unioning rotations.
+    *
+    * Determinism: ranking orders by the ROUNDED cosine (ties broken by
+    * ascending neighbor id), so rank boundaries are exact decimal
+    * comparisons any engine reproduces.
+    */
+  def knnGraph(emb: DataFrame, id: String, vec: String, planes: Int,
+               k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val sk = emb.select(col(id), col(vec),
+      hyperplaneSketch(col(vec), planes).as("__bucket"))
+    val a = sk.select(col("__bucket"), col(id).as("src"), col(vec).as("__va"))
+    val b = sk.select(col("__bucket"), col(id).as("dst"), col(vec).as("__vb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
+    a.join(b, Seq("__bucket"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(cosine(col("__va"), col("__vb")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Near-neighbour pairs via sign-LSH buckets + exact re-rank. */
   def lshPairs(emb: DataFrame, id: String, vec: String, planes: Int,
                minCos: Double): DataFrame = {

@@ -362,6 +362,33 @@ object LlmOps {
            |ORDER BY vec_a, vec_b""".stripMargin
       }),
 
+    // k-NN graph over the same sign-LSH buckets as q26: per-vector
+    // top-3 bucket-mates by exact cosine. The oracle replays the
+    // hyperplane signs and ranks with the same rounded-cosine ordering
+    // — pinning both the candidate containment (bucket) and the
+    // per-src ranking cutoff.
+    Q(
+      "q90_knn_graph",
+      (s, dir) => Similarity.knnGraph(Tables.embeddings(s, dir),
+        "vec_id", "embedding", planes = 4, k = 3)
+        .orderBy(col("src"), col("rank")),
+      Some {
+        val bucket = (0 until 4).map(p =>
+          s"(CASE WHEN ${projSql(p)} > 0 THEN '1' ELSE '0' END)").mkString("||")
+        s"""WITH sk AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+           |cand AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst,
+           |    ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+           |  FROM sk a JOIN sk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+           |ranked AS (
+           |  SELECT src, dst, cos_sim,
+           |    row_number() OVER (PARTITION BY src
+           |      ORDER BY cos_sim DESC, dst) AS rank
+           |  FROM cand)
+           |SELECT src, dst, cos_sim, rank FROM ranked WHERE rank <= 3
+           |ORDER BY src, rank""".stripMargin
+      }),
+
     Q(
       "q27_text_stats",
       (s, dir) => {

@@ -521,6 +521,29 @@ class OpsSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("knnGraph: identical twins rank first, degree bounded by k") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f)),   // twin of 1
+      (3L, Array(0f, 1f, 0f)),
+      (4L, Array(0f, 1f, 0f)),   // twin of 3
+      (5L, Array(0.9f, 0.1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", planes = 2, k = 2)
+      .collect()
+    // degree never exceeds k
+    assert(g.groupBy(_.getAs[Long]("src")).forall(_._2.length <= 2))
+    val top = g.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("src") -> (r.getAs[Long]("dst"), r.getAs[Double]("cos_sim")))
+      .toMap
+    // identical vectors share a bucket trivially and cosine 1.0 ranks first
+    assert(top(1L) === ((2L, 1.0)))
+    assert(top(2L) === ((1L, 1.0)))
+    assert(top(3L) === ((4L, 1.0)))
+    assert(top(4L) === ((3L, 1.0)))
+  }
+
   test("fuzzyJoinRows: distance-2 typos matched, payload columns carried, far strings excluded") {
     import spark.implicits._
     val a = Seq((1L, "spark engine", "L")).toDF("a_id", "a_name", "a_tag")
