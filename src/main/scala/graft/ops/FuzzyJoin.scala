@@ -83,21 +83,41 @@ object FuzzyJoin {
     * avoid. Sharing a depth-d variant only bounds the true distance by
     * 2d, so the exact `levenshtein` verify is what keeps the result
     * exact at either depth.
+    *
+    * `maxBucket` is the skew kill-switch, same contract as the LSH
+    * chain's bucket cap (Dedup.candidatePairs): a VARIANT shared by
+    * more than `maxBucket` distinct keys on a side is truncated to its
+    * first `maxBucket` keys in md5-of-key order (deterministic,
+    * key-assignment-independent). Short keys make such variants — ""
+    * is in every 1-character key's neighborhood — and one hot variant
+    * otherwise costs |l|·|r| candidate rows. The price is RECALL on
+    * exactly those degenerate keys (a pair can only be missed if every
+    * variant it shares is hot), and the default None stays exact —
+    * which is what the oracle gate certifies.
     */
   def editDistanceJoin(left: DataFrame, leftKey: String,
                        right: DataFrame, rightKey: String,
-                       maxDist: Int): DataFrame = {
+                       maxDist: Int,
+                       maxBucket: Option[Int] = None): DataFrame = {
     require(leftKey != rightKey,
       s"output columns collide: alias one side (got '$leftKey' twice)")
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2 (got $maxDist) — deeper neighborhoods stop blocking")
     def hood(c: Column) =
       if (maxDist == 1) deletionVariants(c) else deletionVariants2(c)
-    val l = left.select(col(leftKey)).where(col(leftKey).isNotNull).distinct()
-      .select(col(leftKey), explode(hood(col(leftKey))).as("__v"))
-    val r = right.select(col(rightKey)).where(col(rightKey).isNotNull).distinct()
-      .select(col(rightKey), explode(hood(col(rightKey))).as("__v"))
-    l.join(r, Seq("__v"))
+    def side(df: DataFrame, key: String): DataFrame = {
+      val exploded = df.select(col(key)).where(col(key).isNotNull).distinct()
+        .select(col(key), explode(hood(col(key))).as("__v"))
+      maxBucket match {
+        case None => exploded
+        case Some(cap) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__v")).orderBy(md5(col(key)), col(key))
+          exploded.withColumn("__rk", row_number().over(w))
+            .where(col("__rk") <= cap).drop("__rk")
+      }
+    }
+    side(left, leftKey).join(side(right, rightKey), Seq("__v"))
       .select(col(leftKey), col(rightKey))
       .distinct()
       .withColumn("dist", levenshtein(col(leftKey), col(rightKey)).cast("long"))

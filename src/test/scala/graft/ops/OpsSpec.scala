@@ -575,6 +575,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("editDistanceJoin maxBucket: generous cap stays exact, tiny cap only shrinks the result") {
+    import spark.implicits._
+    // 1-char keys: the "" deletion variant is shared by EVERY key —
+    // the degenerate hot bucket the cap exists for
+    val l = ('a' to 'j').map(c => c.toString).toDF("ka")
+    val r = ('a' to 'j').map(c => c.toString).toDF("kb")
+    def pairs(cap: Option[Int]) =
+      FuzzyJoin.editDistanceJoin(l, "ka", r, "kb", maxDist = 1, maxBucket = cap)
+        .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    val exact = pairs(None)
+    assert(exact.size === 100) // every 1-char pair is within distance 1
+    assert(pairs(Some(1000)) === exact, "a cap above every bucket must change nothing")
+    val capped = pairs(Some(3))
+    assert(capped.subsetOf(exact), "capping may only drop pairs, never invent them")
+    assert(capped.size < exact.size, "the hot '' bucket must actually truncate")
+    // determinism: same cap, same result
+    assert(pairs(Some(3)) === capped)
+  }
+
   test("kmeans: total assignment, axis clusters separate, deterministic across layouts") {
     import spark.implicits._
     // three tight clusters along coordinate axes, 12 vectors each; the
