@@ -202,6 +202,34 @@ object ManifestLake {
       case None => spark.emptyDataFrame
     }
 
+  /** Metadata-only fragmentation inventory — [[Lake.inventory]]'s twin
+    * for manifested tables, except it costs ONE manifest read and an
+    * in-memory fold: no filesystem listing, no per-file stats. One row
+    * per live partition with file count, bytes, largest file, and
+    * whether [[compact]] would rewrite it at `targetBytes`.
+    */
+  def inventory(spark: SparkSession, path: String,
+                targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = fsFor(spark, path)
+    val rows = currentVersion(spark, path) match {
+      case None => Seq.empty
+      case Some(v) =>
+        readManifest(fs, root, v)
+          .groupBy(f => f.path.split("/").drop(2).dropRight(1).mkString("/"))
+          .toSeq.sortBy(_._1)
+          .map { case (part, fls) =>
+            val bytes = fls.map(_.bytes).sum
+            val want = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
+            (part, fls.length.toLong, bytes,
+              if (fls.isEmpty) 0L else fls.map(_.bytes).max,
+              fls.length > want)
+          }
+    }
+    rows.toDF("partition_dir", "n_files", "total_bytes", "max_file_bytes",
+      "needs_compaction")
+  }
+
   /** Small-file compaction under manifest commit: partitions whose live
     * file count exceeds ceil(bytes/targetBytes) are rewritten into
     * `data/v<N>/` and the new manifest carries (untouched ∪ rewritten);

@@ -88,6 +88,15 @@ class ManifestLakeSpec extends AnyFunSuite {
     // idempotent: nothing left to compact
     assert(ManifestLake.compact(spark, dir, targetBytes = 1L << 30).isEmpty)
 
+    // inventory agrees with compact's detection from the manifest alone
+    val inv = ManifestLake.inventory(spark, dir, targetBytes = 1L << 30).collect()
+    assert(inv.nonEmpty)
+    assert(inv.forall(r => !r.getAs[Boolean]("needs_compaction")))
+    assert(inv.forall(_.getAs[Long]("n_files") === 1L))
+    assert(inv.forall(r => r.getAs[Long]("total_bytes") >= r.getAs[Long]("max_file_bytes")))
+    // and an empty/missing table inventories as empty
+    assert(ManifestLake.inventory(spark, dir + "-nope").isEmpty)
+
     // vacuum to the current version only: superseded v1 files go, the
     // compacted data still reads identically
     val removed = ManifestLake.vacuum(spark, dir, keepVersions = 1)
