@@ -163,6 +163,50 @@ object Profile {
       spark.stop(); sys.exit(0)
     }
 
+    // MANIFESTSTRESS=K: manifest-lake scaling check — full lifecycle
+    // (fragmented write → 10% keyed upsert → compact → vacuum) on the
+    // documents table at 1× and K×. Upsert should scale with the BATCH
+    // and the affected partitions, not the table; compact with the
+    // fragmented bytes; inventory/detection with the manifest line
+    // count only.
+    sys.env.get("MANIFESTSTRESS").map(_.toInt).foreach { k =>
+      import graft.etl.ManifestLake
+      def wall(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def lifecycle(d: org.apache.spark.sql.DataFrame, tag: String): Double = {
+        val df = d.persist(); val n = df.count() // materialize outside timing
+        val dir = java.nio.file.Files.createTempDirectory(s"mstress$tag")
+          .toString + "/t"
+        val tWrite = wall { ManifestLake.write(spark, df.repartition(24), dir, Seq("lang")); () }
+        // compact the FRAGMENTED v1 (upsert would consolidate affected
+        // partitions first and leave compact nothing to do)
+        val tCompact = wall { ManifestLake.compact(spark, dir, targetBytes = 1L << 26); () }
+        val batch = df.where(pmod(col("doc_id"), lit(10L)) === 0)
+          .withColumn("n_chars", lit(-1L))
+        val tUpsert = wall {
+          ManifestLake.upsert(spark, dir, batch, Seq("lang"), Seq("lang", "doc_id")); ()
+        }
+        val tInv = wall { ManifestLake.inventory(spark, dir).count(); () }
+        val tVac = wall { ManifestLake.vacuum(spark, dir, keepVersions = 1); () }
+        val total = tWrite + tUpsert + tCompact
+        println(f"PROFILE manifest $tag%-4s n=$n%-8d write=$tWrite%6.2f upsert=$tUpsert%6.2f " +
+          f"compact=$tCompact%6.2f inventory=$tInv%6.3f vacuum=$tVac%6.2f s")
+        df.unpersist()
+        total
+      }
+      val t1 = lifecycle(docs, "1x")
+      val big = docs
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          explode(sequence(lit(0L), lit(k - 1L))).as("__i"))
+        .select((col("doc_id") * k + col("__i")).as("doc_id"), col("lang"),
+          col("n_chars"), concat(col("text"), col("__i").cast("string")).as("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val tk = lifecycle(big, s"${k}x")
+      println(f"PROFILE manifeststress ${k}x scaling factor = ${tk / t1}%.1f (ideal $k.0)")
+      spark.stop(); sys.exit(0)
+    }
+
     // warm JIT
     Dedup.shingleArrays(docs, "doc_id", "text", 8).count()
 
