@@ -795,6 +795,37 @@ object Relational {
              |  ON name_a < c_name AND levenshtein(name_a, c_name) <= 2
              |ORDER BY name_a, name_b""".stripMargin)),
 
+    // SCD Type-2 + point-in-time snapshot (ops.Temporal): the events
+    // stream becomes a per-user change log, scd2 materializes validity
+    // intervals with one per-key window, and the snapshot at
+    // min(ts)+15 days is a pure filter. The oracle replays the lead()
+    // interval build and the same instant arithmetic — pinning the
+    // half-open [valid_from, valid_to) semantics end-to-end.
+    Q(
+      "q91_scd2_snapshot",
+      (s, dir) => {
+        val e = graft.Tables.events(s, dir)
+        val log = e.groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("value"))
+        val hist = graft.ops.Temporal.scd2(log, "user_id", "ts")
+        val tRow = e.agg(min(col("ts")).as("__m"))
+          .select((col("__m") + expr("INTERVAL 15 DAYS")).as("__t"))
+        graft.ops.Temporal.snapshotAt(hist.crossJoin(broadcast(tRow)), col("__t"))
+          .select(col("user_id"), col("value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH log AS (
+             |  SELECT user_id, ts, max(value) AS value FROM events GROUP BY 1, 2),
+             |hist AS (
+             |  SELECT user_id, ts AS valid_from,
+             |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+             |    value
+             |  FROM log),
+             |t AS (SELECT min(ts) + INTERVAL 15 DAY AS t0 FROM events)
+             |SELECT user_id, value FROM hist, t
+             |WHERE valid_from <= t0 AND (valid_to IS NULL OR valid_to > t0)
+             |ORDER BY user_id""".stripMargin)),
+
     // FULL OUTER join — the one join type the inventory lacked: both
     // sides filtered so each has nations the other misses, and the
     // grouped counts ride through null-producing sides. coalesce on

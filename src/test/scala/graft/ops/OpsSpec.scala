@@ -521,6 +521,30 @@ class OpsSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("scd2/snapshotAt: half-open intervals, current row open-ended, pre-first keys absent") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10L, "v1"), (1L, 20L, "v2"), (1L, 30L, "v3"),
+      (2L, 25L, "w1")
+    ).toDF("key", "ver_ts", "attr")
+    val hist = Temporal.scd2(log, "key", "ver_ts").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("valid_from")) ->
+        Option(r.getAs[Any]("valid_to")))
+      .toMap
+    assert(hist((1L, 10L)) === Some(20L))
+    assert(hist((1L, 20L)) === Some(30L))
+    assert(hist((1L, 30L)) === None) // current version open-ended
+    assert(hist((2L, 25L)) === None)
+    def snap(at: Long) = Temporal
+      .snapshotAt(Temporal.scd2(log, "key", "ver_ts"), lit(at))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[String]("attr")).toMap
+    assert(snap(20L) === Map(1L -> "v2"))        // boundary: new version visible AT its start
+    assert(snap(24L) === Map(1L -> "v2"))        // key 2 not born yet
+    assert(snap(25L) === Map(1L -> "v2", 2L -> "w1"))
+    assert(snap(99L) === Map(1L -> "v3", 2L -> "w1"))
+    assert(snap(5L) === Map.empty)               // before history begins
+  }
+
   test("knnGraph: identical twins rank first, degree bounded by k") {
     import spark.implicits._
     val emb = Seq(
