@@ -407,7 +407,12 @@ object ManifestLake {
     * data files orphaned by crashes or superseded by compaction, and
     * manifests older than the `keepVersions` most recent. Run AFTER
     * the longest plausible scan on an old version could have finished
-    * — the retention window is the deployment's scan-length SLA.
+    * — the retention window is the deployment's scan-length SLA — and
+    * NEVER concurrently with an in-flight commit: a committer's staged
+    * files are unreferenced until its manifest publishes, so a
+    * concurrent vacuum would delete them out from under it (the
+    * single-writer contract covers this — vacuum is a maintenance op
+    * of the same writer).
     */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the current version")
