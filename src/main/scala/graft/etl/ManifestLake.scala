@@ -1,8 +1,11 @@
 package graft.etl
 
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.io.IOException
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Manifest-committed lake — the OBJECT-STORE-NATIVE commit path that
   * [[Lake.compact]]/[[Lake.upsert]] deliberately do not provide (their
@@ -14,28 +17,51 @@ import org.apache.spark.sql.functions._
   *     `data/v<N>/…` (hive-partitioned inside it), and stay there for
   *     their whole life;
   *   - a commit is the publication of ONE SMALL manifest file
-  *     `_manifest/v<N>.list` — one `<bytes>\t<relpath>` line per live
-  *     data file (sizes ride along so maintenance decisions never
+  *     `_manifest/v<N>.list`: header lines carrying the TABLE SCHEMA
+  *     and partition columns, then one `<bytes>\t<relpath>` line per
+  *     live data file (sizes ride along so maintenance decisions never
   *     stat a file). Readers resolve the highest published version
   *     and read exactly those files: data written by a crashed or
   *     in-flight commit is INVISIBLE because no manifest names it;
-  *   - the manifest itself is staged hidden and renamed into place.
-  *     On HDFS that rename is atomic; on S3-class stores it is a
-  *     copy+delete of a KILOBYTE object — object PUT/copy is atomic
-  *     per object, so readers see either no v<N> manifest or a
-  *     complete one, never a torn file. (Contrast: renaming DATA files
-  *     copies gigabytes and has a real crash window — the exact
-  *     asymmetry this layout exists to exploit.)
+  *   - the manifest itself is staged hidden and committed with a
+  *     NO-OVERWRITE rename (`FileContext.rename` without
+  *     `Options.Rename.OVERWRITE`). On HDFS the NameNode checks the
+  *     destination server-side, so two committers racing to the same
+  *     version produce exactly one winner and one typed
+  *     `IllegalStateException` — a lost race is an explicit error,
+  *     never a silent clobber. The renamed object is a KILOBYTE, so
+  *     on S3-class stores it is an atomic per-object copy+delete:
+  *     readers see either no v<N> manifest or a complete one, never a
+  *     torn file. (Contrast: renaming DATA files copies gigabytes and
+  *     has a real crash window — the exact asymmetry this layout
+  *     exists to exploit.)
+  *
+  * Because the manifest records the schema, reads are ONE parquet scan
+  * over the live file list — explicit schema, partition values derived
+  * from the path and typed by the RECORDED schema, `basePath` at the
+  * table root — regardless of how many commits produced those files. A
+  * table fed by minute-cadence upserts accretes a commit dir per batch;
+  * a per-commit union would grow the analyzer's plan (and the listing
+  * job count) linearly with table age, a driver-side bottleneck no
+  * executor count fixes. The single scan keeps plan size O(1) in commit
+  * count, and typing partition values from the recorded schema (not
+  * per-commit directory inference) means a v1 whose `lang=` dirs look
+  * numeric and a v2 that adds an alphanumeric value read back
+  * IDENTICALLY typed instead of one version's values silently casting
+  * to null. Appends and upserts that would CHANGE the recorded shape
+  * (different column types or partition columns) fail loudly — schema
+  * evolution is a `replace`, not a silent cast.
   *
   * Failure contract: a crash ANYWHERE before manifest publication
   * leaves the table exactly at the previous version plus some
   * unreferenced files that [[vacuum]] later deletes. There is no
   * window where a reader can observe partial, duplicate, or missing
   * rows. Concurrency contract: SINGLE WRITER (same as Lake's
-  * maintenance ops) — two simultaneous committers could both publish
-  * the same next version; serializing committers (or a store with
-  * conditional PUT) is the deployment's job and is documented here
-  * rather than half-solved.
+  * maintenance ops) — but the contract is CHECKED at the only point
+  * two writers can collide: both compute the same next version, and
+  * the no-overwrite publish makes the loser fail loudly with the
+  * table still readable at every version. Vacuum shares the writer
+  * lock (see [[vacuum]]).
   *
   * Scale notes: the manifest lists every live file — fine into the
   * low millions of files as a flat list (a 100-byte line per file);
@@ -53,7 +79,7 @@ object ManifestLake {
   private val ManifestDir = "_manifest"
   private val DataDir = "data"
 
-  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+  private[etl] def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val root = new Path(path)
     (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
   }
@@ -81,36 +107,74 @@ object ManifestLake {
     */
   final case class LiveFile(bytes: Long, path: String)
 
-  /** Live files of version `v`. Line format: `<bytes>\t<relpath>`. */
-  private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[LiveFile] = {
+  /** A parsed manifest: the table shape plus the live file set. The
+    * schema is absent only for manifests written before the header
+    * existed — those read through the legacy per-commit grouped path.
+    */
+  private[etl] final case class Manifest(schema: Option[StructType],
+                                         partCols: Seq[String],
+                                         files: Seq[LiveFile])
+
+  /** Parse version `v`'s manifest. Lines starting with `#` are
+    * directives (`#schema\t<StructType json>`, `#partcols\tc1,c2`);
+    * unknown directives are ignored for forward compatibility. Data
+    * lines are `<bytes>\t<relpath>`.
+    */
+  private[etl] def readManifest(fs: FileSystem, root: Path, v: Long): Manifest = {
     val in = fs.open(manifestPath(root, v))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      .filter(_.nonEmpty)
-      .map { line =>
-        val i = line.indexOf('\t')
-        LiveFile(line.substring(0, i).toLong, line.substring(i + 1))
-      }
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val (directives, data) = lines.filter(_.nonEmpty).partition(_.startsWith("#"))
+    val dmap = directives.map { d =>
+      val i = d.indexOf('\t')
+      if (i < 0) (d, "") else (d.substring(0, i), d.substring(i + 1))
+    }.toMap
+    val schema = dmap.get("#schema")
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    val partCols = dmap.get("#partcols")
+      .map(s => if (s.isEmpty) Seq.empty[String] else s.split(",").toSeq)
+      .getOrElse(Seq.empty)
+    val files = data.map { line =>
+      val i = line.indexOf('\t')
+      LiveFile(line.substring(0, i).toLong, line.substring(i + 1))
+    }
+    Manifest(schema, partCols, files)
   }
 
-  /** Publish `files` as version `v`: stage hidden, rename into place.
-    * The rename target is a kilobyte object — see the class doc for why
-    * this is the one rename the object-store path can afford.
+  /** Publish `files` (+ the table shape) as version `v`: stage hidden,
+    * then commit with a NO-OVERWRITE rename. `FileContext.rename`
+    * without `Options.Rename.OVERWRITE` refuses an existing
+    * destination (HDFS checks at the NameNode, local FS at the
+    * AbstractFileSystem layer), so the committer that loses a
+    * same-version race gets a typed `IllegalStateException` instead of
+    * silently clobbering the winner — this is what turns the
+    * single-writer contract from prose into a checked invariant.
     */
-  private def publish(fs: FileSystem, root: Path, v: Long, files: Seq[LiveFile]): Unit = {
+  private[etl] def publish(fs: FileSystem, root: Path, v: Long, files: Seq[LiveFile],
+                           schema: Option[StructType], partCols: Seq[String]): Unit = {
     val dir = new Path(root, ManifestDir)
     fs.mkdirs(dir)
     val tmp = new Path(dir, f".tmp-v$v%06d.list")
+    val header = schema.toSeq.flatMap(s =>
+      Seq(s"#schema\t${s.json}", s"#partcols\t${partCols.mkString(",")}"))
+    val body = header ++ files.sortBy(_.path).map(f => s"${f.bytes}\t${f.path}")
     val out = fs.create(tmp, true)
-    try out.write((files.sortBy(_.path)
-      .map(f => s"${f.bytes}\t${f.path}").mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val target = manifestPath(root, v)
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"manifest version $v already published at $target — concurrent writer? " +
-          "This layout is single-writer; serialize committers.")
+    try {
+      val fc = FileContext.getFileContext(fs.getUri, fs.getConf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(target))
+    } catch {
+      case e: IOException =>
+        fs.delete(tmp, false)
+        if (fs.exists(target))
+          throw new IllegalStateException(
+            s"manifest version $v already published at $target — lost a " +
+              "commit race (this layout is single-writer; serialize " +
+              "committers). The table is intact at the winner's version.", e)
+        else throw e
     }
   }
 
@@ -130,17 +194,56 @@ object ManifestLake {
     out.result()
   }
 
+  /** Name → type comparison, order-insensitive, nullability-blind —
+    * the shape an append/upsert must preserve for the recorded-schema
+    * read to be exact.
+    */
+  private def sameShape(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq ==
+      b.fields.map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq
+
   /** Write `df` as the NEXT version of the manifested table at `path`
     * (creating it at v1): data lands under `data/v<N>/` hive-partitioned
     * by `partitionCols`, is count-verified against the plan, and becomes
     * visible only when the manifest publishes. `replace = true`
-    * publishes ONLY the new files (full-table replacement); `replace =
-    * false` appends them to the previous version's live set.
+    * publishes ONLY the new files (full-table replacement, and the one
+    * way to CHANGE the table's schema); `replace = false` appends them
+    * to the previous version's live set and therefore requires the
+    * incoming shape to match the recorded one — a type that drifted
+    * (say a partition column going numeric→alphanumeric) fails loudly
+    * here instead of reading back as nulls later.
     */
   def write(spark: SparkSession, df: DataFrame, path: String,
             partitionCols: Seq[String], replace: Boolean = true): Long = {
+    // the plan feeds the staged write AND the verification count — pin
+    // it so both observe one evaluation (a non-deterministic or
+    // concurrently-changing source must not write one row set and
+    // verify another); same stance as upsert's pinning
+    df.persist()
+    try writePinned(spark, df, path, partitionCols, replace)
+    finally { df.unpersist(); () }
+  }
+
+  private def writePinned(spark: SparkSession, df: DataFrame, path: String,
+                          partitionCols: Seq[String], replace: Boolean): Long = {
     val (fs, root) = fsFor(spark, path)
-    val v = currentVersion(spark, path).getOrElse(0L) + 1
+    val prevV = currentVersion(spark, path)
+    val prev = prevV.map(readManifest(fs, root, _))
+    val v = prevV.getOrElse(0L) + 1
+    // an append joins an existing table, so its shape must match what
+    // the manifest records (legacy headerless manifests: best effort,
+    // the new header is stamped from this batch)
+    val tableSchema = prev match {
+      case Some(m) if !replace && m.schema.isDefined =>
+        require(m.partCols == partitionCols,
+          s"append partitioned by ${partitionCols.mkString(",")} but the table " +
+            s"is partitioned by ${m.partCols.mkString(",")} — schema evolution is a replace")
+        require(sameShape(m.schema.get, df.schema),
+          s"append schema ${df.schema.catalogString} does not match the recorded " +
+            s"table schema ${m.schema.get.catalogString} — schema evolution is a replace")
+        m.schema.get
+      case _ => df.schema
+    }
     val commitDir = new Path(root, f"$DataDir/v$v%06d")
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
@@ -162,19 +265,56 @@ object ManifestLake {
           s"$rowsOut staged — table still at v${v - 1}")
     }
     val carried =
-      if (replace || v == 1) Seq.empty
-      else readManifest(fs, root, v - 1)
-    publish(fs, root, v, carried ++ staged)
+      if (replace) Seq.empty
+      else prev.map(_.files).getOrElse(Seq.empty)
+    publish(fs, root, v, carried ++ staged, Some(tableSchema), partitionCols)
     v
   }
 
-  /** Read an explicit live-file set: one basePath per per-commit dir so
-    * partition-column discovery works, later groups aligned to the
-    * first group's schema (partition values are directory strings —
-    * per-group inference may type them differently).
+  /** Read a manifest's live files as ONE scan via [[ManifestFileIndex]]:
+    * the file list, sizes, and partition values all come from the
+    * manifest, so planning costs ZERO filesystem listing calls, the
+    * plan holds one scan node no matter how many commits produced the
+    * files, and partition values are typed by the RECORDED schema —
+    * not per-commit directory inference, which both grew the plan
+    * linearly with commit count and could silently null-cast a
+    * partition column whose directory values inferred differently
+    * across commits. Partition pruning still happens at the scan (the
+    * index evaluates partition predicates against the typed values).
+    * Headerless legacy manifests fall back to the per-commit grouped
+    * union.
     */
-  private def readFiles(spark: SparkSession, root: Path,
-                        files: Seq[String]): DataFrame = {
+  private def readFiles(spark: SparkSession, fs: FileSystem, root: Path,
+                        m: Manifest): DataFrame = m.schema match {
+    case Some(schema) =>
+      val partSchema = StructType(m.partCols.map(c => schema(c)).toArray)
+      val dataSchema =
+        StructType(schema.fields.filterNot(f => m.partCols.contains(f.name)))
+      val statuses = m.files.map { f =>
+        (f.path, new org.apache.hadoop.fs.FileStatus(
+          f.bytes, false, 1, 1, 0L, fs.makeQualified(new Path(root, f.path))))
+      }
+      val index = new ManifestFileIndex(spark, fs.makeQualified(root), partSchema, statuses)
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        index, partSchema, dataSchema, None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+        Map.empty[String, String])(spark)
+      // HadoopFsRelation appends partition columns after data columns;
+      // present the table in its recorded column order
+      spark.baseRelationToDataFrame(relation)
+        .select(schema.fieldNames.map(col): _*)
+    case None => readFilesGrouped(spark, root, m.files.map(_.path))
+  }
+
+  /** The legacy (pre-schema-header) read: one DataFrame per per-commit
+    * dir so partition-column discovery works, later groups aligned to
+    * the first group's inferred schema. Kept for headerless manifests
+    * and as the oracle the single-scan path is spec-checked against —
+    * its plan grows with commit count, which is exactly why it is no
+    * longer the default.
+    */
+  private[etl] def readFilesGrouped(spark: SparkSession, root: Path,
+                                    files: Seq[String]): DataFrame = {
     val groups = files.groupBy(_.split("/").take(2).mkString("/")).toSeq.sortBy(_._1)
     val frames = groups.map { case (commitDir, fls) =>
       spark.read
@@ -187,15 +327,27 @@ object ManifestLake {
     }
   }
 
-  /** Read a specific published version (time travel / in-flight scans). */
+  /** Read a specific published version (time travel / in-flight scans).
+    * An empty version returns an empty frame WITH the recorded table
+    * schema — callers can select/filter/aggregate the table's columns
+    * on a legitimately-empty version (the spec-blessed empty-replace
+    * state) and get empty results, not an AnalysisException.
+    */
   def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
     val (fs, root) = fsFor(spark, path)
-    val files = readManifest(fs, root, v)
-    if (files.isEmpty) spark.emptyDataFrame
-    else readFiles(spark, root, files.map(_.path))
+    val m = readManifest(fs, root, v)
+    if (m.files.isEmpty)
+      m.schema match {
+        case Some(s) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+        case None => spark.emptyDataFrame
+      }
+    else readFiles(spark, fs, root, m)
   }
 
-  /** Read the table at its highest published version. */
+  /** Read the table at its highest published version. A table that was
+    * never created reads as the schema-less empty frame (there is no
+    * schema anywhere to give it).
+    */
   def read(spark: SparkSession, path: String): DataFrame =
     currentVersion(spark, path) match {
       case Some(v) => readVersion(spark, path, v)
@@ -215,7 +367,7 @@ object ManifestLake {
     val rows = currentVersion(spark, path) match {
       case None => Seq.empty
       case Some(v) =>
-        readManifest(fs, root, v)
+        readManifest(fs, root, v).files
           .groupBy(f => f.path.split("/").drop(2).dropRight(1).mkString("/"))
           .toSeq.sortBy(_._1)
           .map { case (part, fls) =>
@@ -249,7 +401,8 @@ object ManifestLake {
     val (fs, root) = fsFor(spark, path)
     val v = currentVersion(spark, path).getOrElse(
       return Seq.empty)
-    val live = readManifest(fs, root, v)
+    val manifest = readManifest(fs, root, v)
+    val live = manifest.files
     // partition key = the hive dirs between data/v…/ and the file name
     def partOf(rel: String): String =
       rel.split("/").drop(2).dropRight(1).mkString("/")
@@ -287,7 +440,8 @@ object ManifestLake {
     }
     val rewritten = plans.map(_._1).toSet
     val untouched = live.filterNot(f => rewritten.contains(partOf(f.path)))
-    publish(fs, root, newV, untouched ++ stagedFiles(fs, root, commitDir))
+    publish(fs, root, newV, untouched ++ stagedFiles(fs, root, commitDir),
+      manifest.schema, manifest.partCols)
     report
   }
 
@@ -303,8 +457,9 @@ object ManifestLake {
     * Affected partitions resolve from the UPDATE BATCH's partition
     * values rendered through Spark's own partition-path escaping, so
     * the dir names match what partitioned writes produced. `updates`
-    * must be key-unique and its partition values non-null (both
-    * checked — same loud-failure stance as Lake.upsert).
+    * must be key-unique, its partition values non-null, and its shape
+    * must match the recorded table schema (all checked — same
+    * loud-failure stance as Lake.upsert).
     *
     * Returns the published version.
     */
@@ -340,6 +495,16 @@ object ManifestLake {
         s"updates are not key-unique on ${keyCols.mkString(",")}: $nUpd rows, $nUpdKeys keys")
     val v = currentVersion(spark, path).getOrElse(0L)
     if (v == 0L) return write(spark, updates, path, partitionCols)
+    val manifest = readManifest(fs, root, v)
+    manifest.schema.foreach { recorded =>
+      require(manifest.partCols == partitionCols,
+        s"upsert partitioned by ${partitionCols.mkString(",")} but the table " +
+          s"is partitioned by ${manifest.partCols.mkString(",")}")
+      require(sameShape(recorded, updates.schema),
+        s"upsert batch schema ${updates.schema.catalogString} does not match " +
+          s"the recorded table schema ${recorded.catalogString} — schema " +
+          "evolution is a replace write")
+    }
 
     // affected partition dirs, rendered exactly as partitioned writes
     // render them (one small collect — bounded by the batch's partition
@@ -354,7 +519,7 @@ object ManifestLake {
         s"${escapePathName(c)}=${escapePathName(r.getString(i))}"
       }.mkString("/")).toSet
 
-    val live = readManifest(fs, root, v)
+    val live = manifest.files
     def partOf(rel: String): String =
       rel.split("/").drop(2).dropRight(1).mkString("/")
     val (affectedFiles, untouched) = live.partition(f => affectedDirs.contains(partOf(f.path)))
@@ -365,7 +530,8 @@ object ManifestLake {
     val merged =
       if (affectedFiles.isEmpty) updates
       else {
-        val affected = readFiles(spark, root, affectedFiles.map(_.path))
+        val affected = readFiles(spark, fs, root,
+          Manifest(manifest.schema, manifest.partCols, affectedFiles))
           .select(updSchema.fieldNames.map(n =>
             col(n).cast(updSchema(n).dataType)): _*)
         val byKey = org.apache.spark.sql.expressions.Window
@@ -399,7 +565,8 @@ object ManifestLake {
           s"$keysOut keys, $updKeysOut of $nUpdKeys update keys staged — " +
           s"table still at v$v")
     }
-    publish(fs, root, newV, untouched ++ stagedFiles(fs, root, commitDir))
+    publish(fs, root, newV, untouched ++ stagedFiles(fs, root, commitDir),
+      manifest.schema.orElse(Some(updSchema)), partitionCols)
     newV
   }
 
@@ -412,7 +579,8 @@ object ManifestLake {
     * files are unreferenced until its manifest publishes, so a
     * concurrent vacuum would delete them out from under it (the
     * single-writer contract covers this — vacuum is a maintenance op
-    * of the same writer).
+    * of the same writer, sharing the writer lock the checked publish
+    * enforces for commits).
     */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the current version")
@@ -425,7 +593,7 @@ object ManifestLake {
       .sorted
     if (versions.isEmpty) return Seq.empty
     val keep = versions.takeRight(keepVersions)
-    val liveAcrossKept = keep.flatMap(readManifest(fs, root, _)).map(_.path).toSet
+    val liveAcrossKept = keep.flatMap(readManifest(fs, root, _).files).map(_.path).toSet
     val dataRoot = new Path(root, DataDir)
     val removed = Seq.newBuilder[String]
     if (fs.exists(dataRoot)) {

@@ -174,6 +174,97 @@ class ManifestLakeSpec extends AnyFunSuite {
       s"partition filter should prune at the scan:\n$plan")
   }
 
+  test("single-scan read: a 200-commit table plans ONE scan node and matches the grouped union read") {
+    import spark.implicits._
+    val dir = freshDir("mlake-manycommits")
+    // minute-cadence ingest shape: one small append per commit — the
+    // workload that used to accrete one union arm (and one listing/
+    // inference pass) per commit into every read's plan
+    (1 to 200).foreach { i =>
+      val df = Seq((s"chr${i % 4 + 1}", i.toLong, s"p$i")).toDF("chrom", "pos", "payload")
+      ManifestLake.write(spark, df, dir, Seq("chrom"), replace = i == 1)
+    }
+    assert(ManifestLake.currentVersion(spark, dir) === Some(200L))
+    val r = ManifestLake.read(spark, dir)
+    // O(1) in commit count: exactly one leaf (scan) in the plan
+    assert(r.queryExecution.optimizedPlan.collectLeaves().size === 1,
+      s"expected one scan node:\n${r.queryExecution.optimizedPlan}")
+    assert(r.count() === 200)
+    // row-for-row identical to the legacy per-commit grouped union
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m = ManifestLake.readManifest(fs, root, 200L)
+    val grouped = ManifestLake.readFilesGrouped(spark, root, m.files.map(_.path))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("chrom"), col("pos"), col("payload"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(rows(r) === rows(grouped))
+    // and partition pruning still prunes to the 50 matching commits' files
+    assert(r.where(col("chrom") === "chr2").count() === 50)
+  }
+
+  test("publish is no-overwrite: the loser of a same-version commit race fails typed, nothing clobbered") {
+    import spark.implicits._
+    val dir = freshDir("mlake-race")
+    val a = Seq(("chr1", 1L, "from-A")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, a, dir, Seq("chrom"))
+    // two committers both resolve next-version = 2; B publishes first…
+    val b = Seq(("chr1", 2L, "from-B")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, b, dir, Seq("chrom"))
+    // …and A, arriving second with the same computed version, must fail
+    // TYPED at publish — not silently replace B's commit
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val before = ManifestLake.read(spark, dir).collect().toSeq
+    intercept[IllegalStateException] {
+      ManifestLake.publish(fs, root, 2L,
+        Seq(ManifestLake.LiveFile(0L, "data/v000099/chrom=chr1/ghost.parquet")),
+        Some(a.schema), Seq("chrom"))
+    }
+    // winner intact at v2, v1 still time-travels
+    assert(ManifestLake.read(spark, dir).collect().toSeq === before)
+    assert(ManifestLake.readVersion(spark, dir, 1L)
+      .select("payload").collect().map(_.getString(0)).toSeq === Seq("from-A"))
+    // and no stray staging file left behind
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_manifest/.tmp-v000002.list")))
+  }
+
+  test("an empty version reads with the TABLE schema, not zero columns") {
+    import spark.implicits._
+    val dir = freshDir("mlake-typed-empty")
+    val df = Seq(("chr1", 1L, "a")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, df, dir, Seq("chrom"))
+    ManifestLake.write(spark, df.where(lit(false)), dir, Seq("chrom"))
+    val r = ManifestLake.read(spark, dir)
+    assert(r.schema.fieldNames.toSeq === Seq("chrom", "pos", "payload"))
+    // callers can keep querying the table's columns on the empty version
+    assert(r.where(col("chrom") === "chr1").groupBy(col("chrom"))
+      .agg(sum(col("pos"))).count() === 0)
+  }
+
+  test("append with a drifted shape fails loudly instead of null-casting") {
+    import spark.implicits._
+    val dir = freshDir("mlake-drift")
+    // v1's partition values all look numeric — the inference trap
+    val v1 = Seq((1, 10L, "a"), (2, 20L, "b")).toDF("lang", "pos", "payload")
+    ManifestLake.write(spark, v1, dir, Seq("lang"))
+    // appending an alphanumeric lang (string) must be a typed refusal,
+    // not a silent cast-to-null of the partition column
+    val drifted = Seq(("en", 30L, "c")).toDF("lang", "pos", "payload")
+    intercept[IllegalArgumentException] {
+      ManifestLake.write(spark, drifted, dir, Seq("lang"), replace = false)
+    }
+    // different partition columns are refused too
+    intercept[IllegalArgumentException] {
+      ManifestLake.write(spark, v1, dir, Seq("pos"), replace = false)
+    }
+    // the recorded schema is authoritative: lang reads back int
+    assert(ManifestLake.read(spark, dir).schema("lang").dataType
+      === org.apache.spark.sql.types.IntegerType)
+    // upserts hold the same line
+    intercept[IllegalArgumentException] {
+      ManifestLake.upsert(spark, dir, drifted, Seq("lang"), Seq("lang", "pos"))
+    }
+  }
+
   test("missing and empty tables read as empty; an empty manifest version is defined") {
     import spark.implicits._
     val dir = freshDir("mlake-empty")
