@@ -13,6 +13,29 @@ object Bench {
       .split("\\s+").take(3).mkString(" ")
     catch { case _: Throwable => "" }
 
+  /** Per-query seconds from the newest BENCH_r{N}.json in the working
+    * directory, or empty when none exists. The previous round's
+    * numbers are the second leg of the outlier screen: a contention
+    * burst can inflate the warm run AND both timed runs together
+    * (BENCH_r08's q50: published 4.11s, isolated 0.95s — the warm-only
+    * trigger sailed past it because the warm run was inflated too),
+    * but it cannot reach back in time and inflate last round's file.
+    */
+  private def prevRoundTimes(): Map[String, Double] =
+    try {
+      val benches = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      if (benches.isEmpty) Map.empty
+      else {
+        val txt = scala.io.Source.fromFile(
+          benches.maxBy(_.getName.replaceAll("\\D", "").toInt)).mkString
+        val block = """"queries"\s*:\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(block)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -83,14 +106,22 @@ object Bench {
     // Outlier re-time pass: min-of-2 cannot reject host contention that
     // outlasts both runs (BENCH_r07's q67: published 31.04s, isolated
     // 1.64s — a burst spanning the pair). Any query whose min still
-    // exceeds 5x its sf0.001 warm time AND 1s gets two fresh runs AFTER
-    // the rest of the suite — by then the burst has either passed (the
-    // re-times land near truth) or it spans the whole suite (and the
-    // loadavg stamps say so). The published time is the min over all
-    // runs: each run is a complete correct execution, so the smallest
-    // observed wall is the least-contended — most truthful — sample.
+    // exceeds 1s AND (5x its sf0.001 warm time OR 3x its previous
+    // round's published time) gets two fresh runs AFTER the rest of
+    // the suite — by then the burst has either passed (the re-times
+    // land near truth) or it spans the whole suite (and the loadavg
+    // stamps say so). The prev-round leg exists because contention can
+    // inflate the warm run together with the timed runs (BENCH_r08's
+    // q50: 4.11s published, 0.95s isolated, warm-only trigger silent);
+    // last round's FILE is immune to this round's load. The published
+    // time is the min over all runs: each run is a complete correct
+    // execution, so the smallest observed wall is the least-contended
+    // — most truthful — sample.
+    val prev = prevRoundTimes()
     val results = firstPass.map { case (name, fn, warm, dt) =>
-      val suspect = dt > 1.0 && warm != Double.MaxValue && dt > 5.0 * warm
+      val warmSuspect = warm != Double.MaxValue && dt > 5.0 * warm
+      val prevSuspect = prev.get(name).exists(p => p > 0 && dt > 3.0 * p)
+      val suspect = dt > 1.0 && (warmSuspect || prevSuspect)
       val best = if (suspect) math.min(dt, (1 to 2).map(_ => timedRun(fn)).min) else dt
       (name, best, suspect)
     }

@@ -48,6 +48,18 @@ object GraftFunctions {
         }
         MinhashMixes(e(0), k)
       }),
+    (FunctionIdentifier("deletion_hashes"),
+      info(classOf[DeletionHashes], "deletion_hashes",
+        "deletion_hashes(s, depth) - deduped xxhash64 ids of s's deletion neighborhood up to depth (1 or 2)"),
+      (e: Seq[Expression]) => {
+        val d = e(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"deletion_hashes(s, depth): depth must be an integer literal, got $other")
+        }
+        DeletionHashes(e(0), d)
+      }),
     (FunctionIdentifier("hyperplane_sketch"),
       info(classOf[HyperplaneSketch], "hyperplane_sketch",
         "hyperplane_sketch(v, planes) - sign-bitstring of planes md5-derived hyperplane projections"),
@@ -85,6 +97,9 @@ object GraftFunctions {
 
   def minhash_mixes(sh: Column, k: Int): Column =
     call_function("minhash_mixes", sh, org.apache.spark.sql.functions.lit(k))
+
+  def deletion_hashes(s: Column, depth: Int): Column =
+    call_function("deletion_hashes", s, org.apache.spark.sql.functions.lit(depth))
 
   def hyperplane_sketch(v: Column, planes: Int): Column =
     call_function("hyperplane_sketch", v, org.apache.spark.sql.functions.lit(planes))

@@ -299,15 +299,20 @@ object CorpusOps {
     val bounds = scored.groupBy(col(stratum))
       .agg(percentile_approx(col(score),
         array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("__b"))
-      .select(col(stratum),
+      .select(col(stratum).as("__bs"),
         col("__b").getItem(0).as("__b1"), col("__b").getItem(1).as("__b2"))
+    // null-SAFE join on the stratum: groupBy keeps a null-stratum group
+    // (and the exact ntile variant tiers it as its own window
+    // partition), so a plain equi-join would silently drop exactly
+    // those rows from the output — <=> keeps the two variants
+    // row-count-identical on nullable strata
     scored
-      .join(broadcast(bounds), Seq(stratum))
+      .join(broadcast(bounds), col(stratum) <=> col("__bs"))
       .withColumn("tier",
         when(col(score) <= col("__b1"), "head")
           .when(col(score) <= col("__b2"), "middle")
           .otherwise("tail"))
-      .drop("__b1", "__b2")
+      .drop("__bs", "__b1", "__b2")
   }
 
   /** Temperature-based stratum rebalancing — the multilingual mixing

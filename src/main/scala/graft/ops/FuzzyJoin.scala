@@ -33,7 +33,7 @@ object FuzzyJoin {
         i => concat(s.substr(lit(1), i - lit(1)),
           s.substr(i + lit(1), length(s)))))
       .otherwise(array().cast("array<string>"))
-    array_union(array(s), deletions)
+    array_distinct(concat(array(s), deletions))
   }
 
   /** The depth-2 deletion neighborhood: s, every single-character
@@ -43,6 +43,11 @@ object FuzzyJoin {
     * blocking and still linear in corpus size. Codegen'd HOFs, no UDF.
     */
   private[ops] def deletionVariants2(s: Column): Column = {
+    val dels1 = when(length(s) > 0,
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - lit(1)),
+          s.substr(i + lit(1), length(s)))))
+      .otherwise(array().cast("array<string>"))
     val dels2 = when(length(s) >= 2,
       flatten(transform(sequence(lit(1), length(s) - 1), i =>
         transform(sequence(i + lit(1), length(s)), j =>
@@ -51,7 +56,10 @@ object FuzzyJoin {
             s.substr(i + lit(1), j - i - lit(1)),
             s.substr(j + lit(1), length(s)))))))
       .otherwise(array().cast("array<string>"))
-    array_union(deletionVariants(s), dels2)
+    // one dedup pass over the whole neighborhood (repeated characters
+    // make duplicate variants) instead of chained array_unions — same
+    // set, roughly half the per-row array work at depth 2
+    array_distinct(concat(array(s), dels1, dels2))
   }
 
   /** All (leftKey, rightKey, dist) pairs with levenshtein <= 1 between
@@ -103,11 +111,20 @@ object FuzzyJoin {
       s"output columns collide: alias one side (got '$leftKey' twice)")
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2 (got $maxDist) — deeper neighborhoods stop blocking")
-    def hood(c: Column) =
-      if (maxDist == 1) deletionVariants(c) else deletionVariants2(c)
+    // candidates join on 64-bit HASHES of the variants, generated by the
+    // native DeletionHashes expression: the blocking only ever needs a
+    // variant's IDENTITY, so no variant string materializes anywhere —
+    // the HOF chain this replaces (nested transforms + array_distinct +
+    // xxhash64 per exploded row) evaluated interpreted per element and
+    // was ~90% of the join's wall at depth 2. The shuffle (or broadcast
+    // map) moves 8-byte longs instead of key-length strings. Exactness
+    // is untouched: a hash collision can only ADD a candidate pair, and
+    // every candidate passes the exact levenshtein verify below.
+    graft.functions.GraftFunctions.register(left.sparkSession)
     def side(df: DataFrame, key: String): DataFrame = {
       val exploded = df.select(col(key)).where(col(key).isNotNull).distinct()
-        .select(col(key), explode(hood(col(key))).as("__v"))
+        .select(col(key),
+          explode(graft.functions.GraftFunctions.deletion_hashes(col(key), maxDist)).as("__v"))
       maxBucket match {
         case None => exploded
         case Some(cap) =>
@@ -120,8 +137,12 @@ object FuzzyJoin {
     side(left, leftKey).join(side(right, rightKey), Seq("__v"))
       .select(col(leftKey), col(rightKey))
       .distinct()
-      .withColumn("dist", levenshtein(col(leftKey), col(rightKey)).cast("long"))
-      .where(col("dist") <= maxDist)
+      // banded levenshtein: the threshold caps the DP at an O(len·maxDist)
+      // diagonal band and returns -1 past it — exact distances at or
+      // under maxDist, which is all the filter and output need
+      .withColumn("dist",
+        levenshtein(col(leftKey), col(rightKey), maxDist).cast("long"))
+      .where(col("dist") >= 0)
   }
 
   /** ROW-CARRYING fuzzy join — the entity-resolution output shape: every
@@ -142,6 +163,12 @@ object FuzzyJoin {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"column collision between sides: ${overlap.mkString(", ")} — alias before joining")
+    // `dist` is the reserved output column — an input already carrying
+    // it would make the final select ambiguous at analysis time with a
+    // far less useful error than this one
+    val reserved = (left.columns ++ right.columns).filter(_ == "dist")
+    require(reserved.isEmpty,
+      "column 'dist' is reserved for the output distance — rename it on the input")
     val pairs = editDistanceJoin(left, leftKey, right, rightKey, maxDist)
     left.join(pairs, Seq(leftKey)).join(right, Seq(rightKey))
       .select((left.columns ++ right.columns).map(col) :+ col("dist"): _*)

@@ -313,4 +313,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"approx tiers must not plan a window:\n$plan")
   }
+
+  test("pplTiersApprox keeps null-stratum rows (null-safe bounds join)") {
+    // the exact ntile variant tiers a null stratum as its own window
+    // partition; the approx variant must not silently drop those rows
+    // in its bounds equi-join
+    val rows = Seq(
+      (Option("en"), 1L, 1.0), (Option("en"), 2L, 2.0), (Option("en"), 3L, 3.0),
+      (Option.empty[String], 11L, 1.0), (None: Option[String], 12L, 2.0),
+      (None: Option[String], 13L, 3.0))
+    val scored = rows.toDF("lang", "doc_id", "avg_nll")
+    val out = CorpusOps.pplTiersApprox(scored, "lang", "avg_nll")
+    assert(out.count() === 6)
+    val nullTiers = out.where(col("lang").isNull)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("tier")).toMap
+    assert(nullTiers === Map(11L -> "head", 12L -> "middle", 13L -> "tail"))
+  }
 }

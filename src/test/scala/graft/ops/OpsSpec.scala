@@ -599,6 +599,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("deletion_hashes equals the declarative neighborhood's xxhash64 set (incl. multibyte)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // the HOF builders stay as the readable oracle for the native
+    // expression that replaced them in the join path
+    val ss = Seq("", "a", "ab", "kitten", "naïve café", "日本語テキスト",
+      "aabbaa", "Customer#000000001")
+    val df = ss.toDF("s")
+    for (d <- Seq(1, 2)) {
+      val native = df.select(col("s"),
+        graft.functions.GraftFunctions.deletion_hashes(col("s"), d).as("h"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+      val hood =
+        if (d == 1) FuzzyJoin.deletionVariants(col("s"))
+        else FuzzyJoin.deletionVariants2(col("s"))
+      val oracle = df.select(col("s"),
+        transform(hood, v => xxhash64(v)).as("h"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+      assert(native === oracle, s"depth $d")
+    }
+  }
+
   test("editDistanceJoin maxBucket: generous cap stays exact, tiny cap only shrinks the result") {
     import spark.implicits._
     // 1-char keys: the "" deletion variant is shared by EVERY key —
