@@ -226,15 +226,7 @@ object EventStreams {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
-        val unique = versionCol match {
-          case Some(v) =>
-            val cols = batch.columns
-            batch.groupBy(keyCols.map(col): _*)
-              .agg(max_by(struct(cols.map(col): _*),
-                struct(col(v) +: cols.map(col): _*)).as("__r"))
-              .select(cols.map(c => col(s"__r.$c")): _*)
-          case None => batch
-        }
+        val unique = dedupWithinBatch(batch, keyCols, versionCol)
         // persist for the trigger's lifetime: the isEmpty probe plus
         // Lake.upsert's own actions (key-unique count, merge write,
         // verification joins) evaluate this frame ~6 times — without
@@ -244,6 +236,61 @@ object EventStreams {
         try {
           if (!unique.isEmpty)
             graft.etl.Lake.upsert(batch.sparkSession, lakePath, unique,
+              partitionCols, keyCols)
+        } finally unique.unpersist()
+        ()
+    }
+
+  /** Within-batch key-collision resolution shared by the upsert sinks:
+    * with a `versionCol`, the row with the max version wins, ties
+    * broken by the full row for determinism; without one, the batch
+    * passes through and duplicate keys fail the upsert's key-unique
+    * precondition loudly.
+    */
+  private def dedupWithinBatch(batch: DataFrame, keyCols: Seq[String],
+                               versionCol: Option[String]): DataFrame =
+    versionCol match {
+      case Some(v) =>
+        val cols = batch.columns
+        batch.groupBy(keyCols.map(col): _*)
+          .agg(max_by(struct(cols.map(col): _*),
+            struct(col(v) +: cols.map(col): _*)).as("__r"))
+          .select(cols.map(c => col(s"__r.$c")): _*)
+      case None => batch
+    }
+
+  /** [[upsertSink]]'s object-store twin: every micro-batch commits
+    * through [[graft.etl.ManifestLake.upsert]] instead of the
+    * rename-swap lake — each trigger becomes ONE manifest version
+    * (immutable data files + atomic manifest publish), so this is the
+    * sink for S3-class stores where rename is copy+delete. Streaming
+    * is exactly the workload that accretes commits (one per trigger);
+    * the manifest read path stays O(1) in commit count by design, and
+    * periodic `ManifestLake.compact`/`vacuum` runs — from the SAME
+    * maintenance writer, per the checked single-writer contract —
+    * bound file count and storage.
+    *
+    * What the manifest commit buys a stream specifically: per-batch
+    * versions (time travel to the table as of any trigger), readers
+    * never observing a half-written batch, and a replayed micro-batch
+    * (foreachBatch is at-least-once) converging to the same table
+    * content — the replay publishes a new version whose rows are
+    * byte-identical, which is the practical exactly-once a keyed sink
+    * needs.
+    */
+  def manifestUpsertSink(stream: DataFrame, lakePath: String,
+                         partitionCols: Seq[String], keyCols: Seq[String],
+                         versionCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val unique = dedupWithinBatch(batch, keyCols, versionCol)
+        // ManifestLake.upsert pins the batch itself for its own actions;
+        // the extra pin here covers the isEmpty probe too
+        unique.persist()
+        try {
+          if (!unique.isEmpty)
+            graft.etl.ManifestLake.upsert(batch.sparkSession, lakePath, unique,
               partitionCols, keyCols)
         } finally unique.unpersist()
         ()
