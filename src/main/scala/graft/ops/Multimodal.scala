@@ -459,6 +459,50 @@ object Multimodal {
     * Decode runs batched in `mapPartitions` at the codec boundary,
     * like `extractFeatures`; payload bytes stay columnar throughout.
     */
+  /** The consumer of the typed-rejection routing contract: sample
+    * frames, route every payload the JDK cannot decode (`decoded =
+    * false`, `reason = no_jvm_codec:<fmt>`) to a user-supplied
+    * external `transcoder`, and decode what comes back through the
+    * SAME frame sampler. The transcoder receives one row per failed
+    * payload — `(media_id, reason, content)` with the format tag so it
+    * can dispatch per codec — and must return `(media_id, content)`
+    * with payloads re-encoded into a JDK-readable format (any column
+    * order; extra columns ignored). Its output is re-sampled and
+    * unioned with the first pass's successful frames; payloads the
+    * transcoder dropped or still couldn't convert surface as
+    * `decoded = false` rows exactly like before, so failures stay
+    * visible rather than silently vanishing.
+    *
+    * Scale shape: the transcoder is typically a `mapPartitions` over
+    * an external binary/service at the same codec boundary the JDK
+    * decode runs at; only the FAILED payloads' bytes flow through it,
+    * and everything else takes the one-pass path. `media` is read
+    * twice (frame pass + failed-payload join) — persist it upstream
+    * when the source is expensive.
+    */
+  def transcodeWith(media: DataFrame, k: Int,
+                    transcoder: DataFrame => DataFrame,
+                    frameBytes: Int = 32, batchSize: Int = 64): Dataset[SampledFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val frames = sampleFrames(media, k, frameBytes, batchSize)
+    val failed = frames.where(!col("decoded"))
+      .select(col("media_id"), col("reason")).distinct()
+      .join(media.select(col("media_id").cast("long").as("media_id"), col("content")),
+        Seq("media_id"))
+    val repaired = transcoder(failed)
+    require(repaired.columns.contains("media_id") && repaired.columns.contains("content"),
+      s"transcoder must return (media_id, content), got ${repaired.columns.mkString(", ")}")
+    val redecoded = sampleFrames(
+      repaired.select(col("media_id"), col("content")), k, frameBytes, batchSize)
+    // payloads the transcoder dropped keep their first-pass rejection rows
+    val stillFailed = frames.where(!col("decoded")).as[SampledFrame]
+      .join(repaired.select(col("media_id")).distinct(), Seq("media_id"), "left_anti")
+      .as[SampledFrame]
+    frames.where(col("decoded")).as[SampledFrame]
+      .unionByName(redecoded).unionByName(stillFailed)
+  }
+
   def sampleFrames(media: DataFrame, k: Int, frameBytes: Int = 32,
                    batchSize: Int = 64): Dataset[SampledFrame] = {
     require(k > 0, s"need k > 0, got $k")

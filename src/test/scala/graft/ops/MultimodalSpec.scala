@@ -283,4 +283,38 @@ class MultimodalSpec extends AnyFunSuite {
       Seq((52L, mp4)).toDF("media_id", "content"), k = 2).collect()
     assert(mp4Frames.forall(f => !f.decoded && f.reason === "no_jvm_codec:mp4"))
   }
+
+  test("transcodeWith routes rejected payloads through the external seam and re-decodes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val mpeg = Array[Byte](0x00, 0x00, 0x01, 0xBA.toByte) ++ Array.fill[Byte](200)(0x5a)
+    val mp4 = Array[Byte](0, 0, 0, 0x18) ++ "ftypisom".getBytes("US-ASCII") ++
+      Array.fill[Byte](100)(1)
+    val media = Seq(
+      (60L, realPng()), // decodes first pass — must NOT reach the transcoder
+      (61L, mpeg),      // transcoder converts it
+      (62L, mp4)        // transcoder drops it — rejection must survive
+    ).toDF("media_id", "content")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val fakeTranscoder: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      failed => {
+        // the seam hands over (media_id, reason, content) for dispatch
+        failed.select(col("media_id"), col("reason")).collect()
+          .foreach(r => seen.add((r.getLong(0), r.getString(1))))
+        val png = realPng()
+        failed.where(col("reason") === "no_jvm_codec:mpeg-ps")
+          .select(col("media_id")).as[Long]
+          .map(id => (id, png)).toDF("media_id", "content")
+      }
+    val out = Multimodal.transcodeWith(media, k = 2, fakeTranscoder).collect()
+    assert(seen.asScala.toSet === Set(
+      (61L, "no_jvm_codec:mpeg-ps"), (62L, "no_jvm_codec:mp4")))
+    val byId = out.groupBy(_.media_id)
+    // first-pass decode untouched; transcoded payload now yields REAL frames
+    assert(byId(60L).forall(_.decoded))
+    assert(byId(61L).forall(f => f.decoded && f.reason == null && f.width === 8))
+    // dropped payload keeps its typed rejection — failures stay visible
+    assert(byId(62L).forall(f => !f.decoded && f.reason === "no_jvm_codec:mp4"))
+  }
 }
