@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The engine's front door: a compiled catalog mapping TASK -> operator
+  * entry point -> the oracle gate that certifies it. The library spans
+  * ~40 public operator entry points across seven packages; this object
+  * is the single discoverable surface — find the task, follow the
+  * entry point, trust it exactly as far as its gate (gate names are
+  * `SparkEntry.queries` keys, hash-checked against DuckDB by
+  * `graft.Verify` + `scripts/check.py`; "spec" marks operators whose
+  * semantics an SQL oracle cannot express — streaming, wall-clock
+  * stamps — which are pinned by ScalaTest instead).
+  *
+  * `README.md`'s operator table is GENERATED from this catalog
+  * (`runMain graft.Graft` prints it) — the docs cannot drift from the
+  * code without the diff showing it.
+  */
+object Graft {
+
+  final case class Op(area: String, task: String, entryPoint: String, gate: String)
+
+  val catalog: Seq[Op] = Seq(
+    // --- reference-parity ETL ---
+    Op("etl", "VCF->annotated-lake pipeline (reference 8-arg CLI)", "graft.etl.Main", "q40-q43"),
+    Op("etl", "VCF read: glob, gzip, header filter, provenance", "graft.etl.Vcf.read", "q40, q18"),
+    Op("etl", "annotation joins: impact/dbSNP/gnomAD/alpha", "graft.etl.Annotations", "q41, q42"),
+    Op("etl", "position-bucketed partitioned lake write", "graft.etl.Lake.build/write", "q41, q42"),
+    Op("etl", "ingest-status JSON append", "graft.etl.Lake.writeStatus", "q43"),
+    // --- lake maintenance ---
+    Op("lake", "fragmentation inventory (rename-swap lake)", "graft.etl.Lake.inventory", "q75"),
+    Op("lake", "crash-safe small-file compaction", "graft.etl.Lake.compact", "q75"),
+    Op("lake", "key-level upsert (merge-into)", "graft.etl.Lake.upsert", "q76"),
+    Op("lake", "manifest-committed table: versioned write/read/time travel", "graft.etl.ManifestLake.write/read/readVersion", "q88"),
+    Op("lake", "manifest upsert (untouched partitions carried by reference)", "graft.etl.ManifestLake.upsert", "q89"),
+    Op("lake", "manifest compact + zero-RPC inventory + vacuum", "graft.etl.ManifestLake.compact/inventory/vacuum", "q88"),
+    Op("lake", "shuffle-free co-located joins via bucketing", "graft.ops.Bucketing.writeBucketed", "q13"),
+    // --- deduplication ---
+    Op("dedup", "exact duplicate groups / survivors", "graft.ops.Dedup.exactGroups/deduplicate", "q20, q36"),
+    Op("dedup", "MinHash signatures + LSH bands + candidate pairs", "graft.ops.Dedup.minhashSignature/lshBands/candidatePairs", "q21"),
+    Op("dedup", "Jaccard verification of candidates", "graft.ops.Dedup.jaccardVerify*", "q22"),
+    Op("dedup", "SimHash fingerprints", "graft.ops.Dedup.simhash", "q23"),
+    Op("dedup", "duplicate clusters = connected components", "graft.ops.Dedup.duplicateClusters/deduplicateTransitive", "q62"),
+    Op("dedup", "incremental batch-vs-corpus dedup", "graft.ops.Dedup.dedupAgainstCorpus", "q77"),
+    Op("dedup", "line-level dedup + boilerplate strip (CCNet)", "graft.ops.CorpusOps.dedupLines/stripBoilerplate", "q60, q61"),
+    Op("dedup", "span-level duplicated passages", "graft.ops.CorpusOps.duplicatedPassages", "q67"),
+    Op("dedup", "semantic dedup (k-means cells)", "graft.ops.Similarity.semanticDedup", "q71"),
+    // --- similarity / ANN ---
+    Op("ann", "brute-force cosine pairs / top-k (small-n baseline)", "graft.ops.Similarity.bruteForcePairs/topK", "q24, q25"),
+    Op("ann", "sign-LSH bucketed pairs", "graft.ops.Similarity.lshPairs", "q26"),
+    Op("ann", "IVF codebook train / assign / probe top-k", "graft.ops.Similarity.ivfCodebook/ivfAssign/ivfTopK", "q35"),
+    Op("ann", "k-means (full Lloyd) + persisted-codebook assignment", "graft.ops.Similarity.kmeansCodebook/assignToCodebook", "q70, q87"),
+    Op("ann", "k-NN graph over LSH buckets", "graft.ops.Similarity.knnGraph", "q90"),
+    Op("ann", "int8 vector quantization", "graft.ops.Similarity.quantizeInt8", "q64"),
+    Op("ann", "cluster-balanced diversity sampling", "graft.queries.LlmOps (cluster_sample)", "q83"),
+    // --- fuzzy / specialized joins ---
+    Op("join", "edit-distance join, d<=2 (deletion-neighborhood blocking)", "graft.ops.FuzzyJoin.editDistanceJoin", "q85"),
+    Op("join", "row-carrying fuzzy join with payloads", "graft.ops.FuzzyJoin.fuzzyJoinRows", "q86"),
+    Op("join", "as-of (most-recent-prior) join", "graft.ops.AsOf.asofJoin", "q44"),
+    Op("join", "range (interval-containment) join via binning", "graft.ops.RangeJoin.binned", "q47"),
+    Op("join", "skew-salted aggregation", "graft.ops.Skew.saltedSum/saltedAgg", "q45"),
+    // --- text analysis ---
+    Op("text", "tokenization / n-grams / shingles (native codegen)", "graft.ops.TextOps.tokens/wordNgrams/charShingles", "q21, q29"),
+    Op("text", "language-ID n-gram heuristic", "graft.ops.TextOps.langNgramScore", "q28"),
+    Op("text", "quality scoring + stopword/punct ratios", "graft.ops.TextOps (quality stats)", "q27"),
+    Op("text", "document fingerprinting (rolling hash)", "graft.ops.TextOps.fingerprint/rollingHash", "q49"),
+    Op("text", "PII redaction", "graft.ops.TextOps.redactPii", "q39"),
+    Op("text", "BPE-ish token counting", "graft.ops.TextOps.bpeishTokenCount", "q63"),
+    // --- corpus governance ---
+    Op("corpus", "repetition statistics", "graft.ops.CorpusOps.repetitionStats", "q48"),
+    Op("corpus", "benchmark contamination check", "graft.ops.CorpusOps.ngramContamination", "q50"),
+    Op("corpus", "deterministic train/val/test splits", "graft.ops.CorpusOps.deterministicSplit", "q51"),
+    Op("corpus", "stratified sampling", "graft.ops.CorpusOps.stratifiedSample", "q57"),
+    Op("corpus", "document chunking", "graft.ops.CorpusOps.chunk", "q55"),
+    Op("corpus", "inverted index (capped postings)", "graft.ops.CorpusOps.invertedIndex", "q56"),
+    Op("corpus", "frequent n-gram mining", "graft.ops.CorpusOps.frequentNgrams", "q84"),
+    Op("corpus", "bigram-LM fluency scoring", "graft.ops.CorpusOps.bigramLmScore", "q68"),
+    Op("corpus", "perplexity tiers: exact ntile / approx percentile", "graft.queries.LlmOps (q74) / CorpusOps.pplTiersApprox", "q74"),
+    Op("corpus", "temperature (alpha) stratum rebalancing", "graft.ops.CorpusOps.temperatureSample", "q69"),
+    Op("corpus", "BM25 retrieval", "graft.ops.CorpusOps.bm25", "q72"),
+    Op("corpus", "sequence packing", "graft.ops.CorpusOps.packSequences", "q73"),
+    Op("corpus", "compression-ratio quality signal", "graft.ops.CorpusOps.compressionSignals", "q78"),
+    // --- multimodal ---
+    Op("media", "typed media metadata + format sniffing", "graft.ops.Multimodal.withMediaMeta/sniffFormat", "q59"),
+    Op("media", "image/audio/GIF/MJPEG decode via JDK codecs", "graft.ops.Multimodal.decodeImage/decodeAudio/decodeFrames", "q33"),
+    Op("media", "feature extract / resize / frame sampling", "graft.ops.Multimodal.extractFeatures/resize/sampleFrames", "q33"),
+    Op("media", "unsupported-codec rows -> external transcoder seam", "graft.ops.Multimodal.transcodeWith", "spec"),
+    // --- validation / temporal ---
+    Op("quality", "data-quality validation (predicates/uniqueness/ref-integrity)", "graft.ops.Validation.check", "q82"),
+    Op("temporal", "SCD Type-2 history from a change log", "graft.ops.Temporal.scd2", "q91"),
+    Op("temporal", "point-in-time snapshot", "graft.ops.Temporal.snapshotAt", "q91"),
+    // --- vectors / native SQL functions ---
+    Op("functions", "vec_dot / vec_cosine / char_shingles / minhash_mixes / hyperplane_sketch / deletion_hashes", "graft.functions.GraftFunctions.register (SQL + Column API)", "q24-q26, q21, q85"),
+    Op("functions", "bounded sorted-set UDAF", "graft.functions.BoundedSortedSetAgg", "q32"),
+    // --- streaming ---
+    Op("streaming", "tumbling/sliding/session windows + watermarks", "graft.streaming.EventStreams.hourlyByType/slidingVolume/userSessions", "spec"),
+    Op("streaming", "stream-stream attribution join", "graft.streaming.EventStreams.attributedPurchases", "spec"),
+    Op("streaming", "stream-static enrichment", "graft.streaming.EventStreams.enrichWithDim", "spec"),
+    Op("streaming", "TTL-bounded streaming dedup (vs corpus / by id)", "graft.streaming.EventStreams.streamDedupAgainstCorpus/dedupByEventId", "spec"),
+    Op("streaming", "keyed upsert sink (rename-swap lake)", "graft.streaming.EventStreams.upsertSink", "spec"),
+    Op("streaming", "manifest-committed upsert sink (object stores)", "graft.streaming.EventStreams.manifestUpsertSink", "spec"))
+
+  /** The catalog as a DataFrame, for interactive discovery. */
+  def catalogDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    catalog.map(o => (o.area, o.task, o.entryPoint, o.gate))
+      .toDF("area", "task", "entry_point", "gate")
+  }
+
+  /** The README's operator table (GitHub markdown). */
+  def markdownTable: String = {
+    val header = Seq(
+      "| area | task | entry point | gate |",
+      "|---|---|---|---|")
+    val rows = catalog.map(o =>
+      s"| ${o.area} | ${o.task} | `${o.entryPoint}` | ${o.gate} |")
+    (header ++ rows).mkString("\n")
+  }
+
+  /** Prints the markdown table — paste target for README regeneration. */
+  def main(args: Array[String]): Unit = println(markdownTable)
+}
