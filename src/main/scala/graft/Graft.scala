@@ -98,7 +98,7 @@ object Graft {
     Op("streaming", "stream-static enrichment", "graft.streaming.EventStreams.enrichWithDim", "spec"),
     Op("streaming", "TTL-bounded streaming dedup (vs corpus / by id)", "graft.streaming.EventStreams.streamDedupAgainstCorpus/dedupByEventId", "spec"),
     Op("streaming", "keyed upsert sink (rename-swap lake)", "graft.streaming.EventStreams.upsertSink", "spec"),
-    Op("streaming", "manifest-committed upsert sink (object stores)", "graft.streaming.EventStreams.manifestUpsertSink", "spec"))
+    Op("streaming", "manifest-committed upsert sink: exactly-once txn ledger + auto-maintenance", "graft.streaming.EventStreams.manifestUpsertSink", "spec"))
 
   /** The catalog as a DataFrame, for interactive discovery. */
   def catalogDf(spark: SparkSession): DataFrame = {

@@ -107,18 +107,22 @@ object ManifestLake {
     */
   final case class LiveFile(bytes: Long, path: String)
 
-  /** A parsed manifest: the table shape plus the live file set. The
-    * schema is absent only for manifests written before the header
-    * existed — those read through the legacy per-commit grouped path.
+  /** A parsed manifest: the table shape, the live file set, and the
+    * per-writer transaction watermarks (`txns`: appId → highest
+    * committed batchId, carried forward by every commit — the
+    * exactly-once ledger for streaming sinks). The schema is absent
+    * only for manifests written before the header existed — those read
+    * through the legacy per-commit grouped path.
     */
   private[etl] final case class Manifest(schema: Option[StructType],
                                          partCols: Seq[String],
-                                         files: Seq[LiveFile])
+                                         files: Seq[LiveFile],
+                                         txns: Map[String, Long] = Map.empty)
 
   /** Parse version `v`'s manifest. Lines starting with `#` are
-    * directives (`#schema\t<StructType json>`, `#partcols\tc1,c2`);
-    * unknown directives are ignored for forward compatibility. Data
-    * lines are `<bytes>\t<relpath>`.
+    * directives (`#schema\t<StructType json>`, `#partcols\tc1,c2`,
+    * `#txn\t<appId>\t<batchId>`); unknown directives are ignored for
+    * forward compatibility. Data lines are `<bytes>\t<relpath>`.
     */
   private[etl] def readManifest(fs: FileSystem, root: Path, v: Long): Manifest = {
     val in = fs.open(manifestPath(root, v))
@@ -135,11 +139,26 @@ object ManifestLake {
     val partCols = dmap.get("#partcols")
       .map(s => if (s.isEmpty) Seq.empty[String] else s.split(",").toSeq)
       .getOrElse(Seq.empty)
+    val txns = directives.filter(_.startsWith("#txn\t")).map { d =>
+      val parts = d.split("\t")
+      parts(1) -> parts(2).toLong
+    }.toMap
     val files = data.map { line =>
       val i = line.indexOf('\t')
       LiveFile(line.substring(0, i).toLong, line.substring(i + 1))
     }
-    Manifest(schema, partCols, files)
+    Manifest(schema, partCols, files, txns)
+  }
+
+  /** The highest batchId `appId` has committed to the table, or None.
+    * The exactly-once contract for idempotent writers: check before
+    * committing, or pass `txn` to [[write]]/[[upsert]] and let them
+    * skip replays atomically.
+    */
+  def lastCommitted(spark: SparkSession, path: String, appId: String): Option[Long] = {
+    val (fs, root) = fsFor(spark, path)
+    currentVersion(spark, path)
+      .flatMap(v => readManifest(fs, root, v).txns.get(appId))
   }
 
   /** Publish `files` (+ the table shape) as version `v`: stage hidden,
@@ -152,12 +171,14 @@ object ManifestLake {
     * single-writer contract from prose into a checked invariant.
     */
   private[etl] def publish(fs: FileSystem, root: Path, v: Long, files: Seq[LiveFile],
-                           schema: Option[StructType], partCols: Seq[String]): Unit = {
+                           schema: Option[StructType], partCols: Seq[String],
+                           txns: Map[String, Long] = Map.empty): Unit = {
     val dir = new Path(root, ManifestDir)
     fs.mkdirs(dir)
     val tmp = new Path(dir, f".tmp-v$v%06d.list")
     val header = schema.toSeq.flatMap(s =>
-      Seq(s"#schema\t${s.json}", s"#partcols\t${partCols.mkString(",")}"))
+      Seq(s"#schema\t${s.json}", s"#partcols\t${partCols.mkString(",")}")) ++
+      txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
     val body = header ++ files.sortBy(_.path).map(f => s"${f.bytes}\t${f.path}")
     val out = fs.create(tmp, true)
     try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -214,21 +235,28 @@ object ManifestLake {
     * here instead of reading back as nulls later.
     */
   def write(spark: SparkSession, df: DataFrame, path: String,
-            partitionCols: Seq[String], replace: Boolean = true): Long = {
+            partitionCols: Seq[String], replace: Boolean = true,
+            txn: Option[(String, Long)] = None): Long = {
     // the plan feeds the staged write AND the verification count — pin
     // it so both observe one evaluation (a non-deterministic or
     // concurrently-changing source must not write one row set and
     // verify another); same stance as upsert's pinning
     df.persist()
-    try writePinned(spark, df, path, partitionCols, replace)
+    try writePinned(spark, df, path, partitionCols, replace, txn)
     finally { df.unpersist(); () }
   }
 
   private def writePinned(spark: SparkSession, df: DataFrame, path: String,
-                          partitionCols: Seq[String], replace: Boolean): Long = {
+                          partitionCols: Seq[String], replace: Boolean,
+                          txn: Option[(String, Long)]): Long = {
     val (fs, root) = fsFor(spark, path)
     val prevV = currentVersion(spark, path)
     val prev = prevV.map(readManifest(fs, root, _))
+    // exactly-once: a (appId, batchId) at or below the recorded
+    // watermark is a REPLAY — the table already contains this batch's
+    // effect; return the current version untouched
+    if (txn.exists { case (app, b) => prev.exists(_.txns.get(app).exists(_ >= b)) })
+      return prevV.get
     val v = prevV.getOrElse(0L) + 1
     // an append joins an existing table, so its shape must match what
     // the manifest records (legacy headerless manifests: best effort,
@@ -267,7 +295,11 @@ object ManifestLake {
     val carried =
       if (replace) Seq.empty
       else prev.map(_.files).getOrElse(Seq.empty)
-    publish(fs, root, v, carried ++ staged, Some(tableSchema), partitionCols)
+    // the txn ledger survives every commit kind — even a replace: a
+    // stream's replay detection must not reset because a batch job
+    // rewrote the table underneath it
+    val txns = prev.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
+    publish(fs, root, v, carried ++ staged, Some(tableSchema), partitionCols, txns)
     v
   }
 
@@ -441,7 +473,7 @@ object ManifestLake {
     val rewritten = plans.map(_._1).toSet
     val untouched = live.filterNot(f => rewritten.contains(partOf(f.path)))
     publish(fs, root, newV, untouched ++ stagedFiles(fs, root, commitDir),
-      manifest.schema, manifest.partCols)
+      manifest.schema, manifest.partCols, manifest.txns)
     report
   }
 
@@ -464,7 +496,8 @@ object ManifestLake {
     * Returns the published version.
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
-             partitionCols: Seq[String], keyCols: Seq[String]): Long = {
+             partitionCols: Seq[String], keyCols: Seq[String],
+             txn: Option[(String, Long)] = None): Long = {
     require(partitionCols.nonEmpty,
       "manifest upsert needs a partitioned table (affected-partition " +
         "pruning keys on the partition columns); replace flat tables wholesale")
@@ -477,7 +510,7 @@ object ManifestLake {
     // caller's upstream plan
     updates.persist()
     try {
-      upsertPinned(spark, fs, root, path, updates, partitionCols, keyCols)
+      upsertPinned(spark, fs, root, path, updates, partitionCols, keyCols, txn)
     } finally {
       updates.unpersist()
       ()
@@ -486,16 +519,21 @@ object ManifestLake {
 
   private def upsertPinned(spark: SparkSession, fs: FileSystem, root: Path,
                            path: String, updates: DataFrame,
-                           partitionCols: Seq[String], keyCols: Seq[String]): Long = {
+                           partitionCols: Seq[String], keyCols: Seq[String],
+                           txn: Option[(String, Long)]): Long = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val v = currentVersion(spark, path).getOrElse(0L)
+    if (v == 0L) return write(spark, updates, path, partitionCols, replace = true, txn)
+    val manifest = readManifest(fs, root, v)
+    // exactly-once: skip a replayed (appId, batchId) before any work —
+    // the table already contains this batch's effect
+    if (txn.exists { case (app, b) => manifest.txns.get(app).exists(_ >= b) })
+      return v
     val nUpd = updates.count()
     val nUpdKeys = updates.select(keyCols.map(col): _*).distinct().count()
     if (nUpd != nUpdKeys)
       throw new IllegalArgumentException(
         s"updates are not key-unique on ${keyCols.mkString(",")}: $nUpd rows, $nUpdKeys keys")
-    val v = currentVersion(spark, path).getOrElse(0L)
-    if (v == 0L) return write(spark, updates, path, partitionCols)
-    val manifest = readManifest(fs, root, v)
     manifest.schema.foreach { recorded =>
       require(manifest.partCols == partitionCols,
         s"upsert partitioned by ${partitionCols.mkString(",")} but the table " +
@@ -566,8 +604,25 @@ object ManifestLake {
           s"table still at v$v")
     }
     publish(fs, root, newV, untouched ++ stagedFiles(fs, root, commitDir),
-      manifest.schema.orElse(Some(updSchema)), partitionCols)
+      manifest.schema.orElse(Some(updSchema)), partitionCols,
+      manifest.txns ++ txn.toMap)
     newV
+  }
+
+  /** One maintenance pass — compact fragmented partitions, then vacuum
+    * what nothing kept references. The convenience wrapper for the
+    * maintenance cadence a continuously-fed table needs (the streaming
+    * sink can invoke it every N batches); runs under the SAME writer
+    * as commits per the checked single-writer contract. Returns
+    * (partitionsCompacted, pathsVacuumed).
+    */
+  def maintain(spark: SparkSession, path: String,
+               targetBytes: Long = 128L * 1024 * 1024,
+               keepVersions: Int = 2,
+               clusterBy: Seq[String] = Seq.empty): (Int, Int) = {
+    val compacted = compact(spark, path, targetBytes, clusterBy)
+    val removed = vacuum(spark, path, keepVersions)
+    (compacted.length, removed.length)
   }
 
   /** Delete everything no published-and-kept manifest references:

@@ -272,18 +272,30 @@ object EventStreams {
     *
     * What the manifest commit buys a stream specifically: per-batch
     * versions (time travel to the table as of any trigger), readers
-    * never observing a half-written batch, and a replayed micro-batch
-    * (foreachBatch is at-least-once) converging to the same table
-    * content — the replay publishes a new version whose rows are
-    * byte-identical, which is the practical exactly-once a keyed sink
-    * needs.
+    * never observing a half-written batch, and EXACTLY-ONCE batch
+    * application — each commit records `(appId, batchId)` in the
+    * manifest's transaction ledger, so a replayed micro-batch
+    * (foreachBatch is at-least-once) is detected against the ledger
+    * and skipped without publishing anything. `appId` identifies this
+    * logical stream in the ledger; give each distinct stream writing
+    * the table (sequentially — single-writer) its own id, and keep it
+    * stable across restarts.
+    *
+    * `maintainEvery = Some(n)` runs [[graft.etl.ManifestLake.maintain]]
+    * (compact + vacuum) after every n-th batch — small per-trigger
+    * commits are exactly the workload that fragments a table, and the
+    * sink is the single writer, so the maintenance cadence belongs
+    * here. Note vacuum prunes manifests past `keepVersions = 2`, which
+    * bounds how far back time travel reaches on a maintained table.
     */
   def manifestUpsertSink(stream: DataFrame, lakePath: String,
                          partitionCols: Seq[String], keyCols: Seq[String],
-                         versionCol: Option[String] = None)
+                         versionCol: Option[String] = None,
+                         appId: String = "graft-stream",
+                         maintainEvery: Option[Int] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val unique = dedupWithinBatch(batch, keyCols, versionCol)
         // ManifestLake.upsert pins the batch itself for its own actions;
         // the extra pin here covers the isEmpty probe too
@@ -291,8 +303,13 @@ object EventStreams {
         try {
           if (!unique.isEmpty)
             graft.etl.ManifestLake.upsert(batch.sparkSession, lakePath, unique,
-              partitionCols, keyCols)
+              partitionCols, keyCols, txn = Some((appId, batchId)))
         } finally unique.unpersist()
+        maintainEvery.foreach { n =>
+          if (batchId % n == n - 1)
+            graft.etl.ManifestLake.maintain(batch.sparkSession, lakePath,
+              clusterBy = keyCols)
+        }
         ()
     }
 

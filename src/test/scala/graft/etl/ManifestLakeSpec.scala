@@ -265,6 +265,57 @@ class ManifestLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("txn ledger: replayed (appId, batchId) commits are skipped; the ledger survives compact and replace") {
+    import spark.implicits._
+    val dir = freshDir("mlake-txn")
+    val b0 = (0 until 40).map(i => (s"chr${i % 2 + 1}", i.toLong, s"x$i"))
+      .toDF("chrom", "pos", "payload")
+    // batch 0 creates the table (fragmented, so the later compact has
+    // real work) and records the watermark
+    assert(ManifestLake.write(spark, b0.repartition(6), dir, Seq("chrom"),
+      txn = Some(("ingest", 0L))) === 1L)
+    assert(ManifestLake.lastCommitted(spark, dir, "ingest") === Some(0L))
+    // a REPLAY of batch 0 (same appId+batchId) publishes NOTHING
+    val upd = Seq(("chr1", 1L, "SHOULD-NOT-LAND")).toDF("chrom", "pos", "payload")
+    assert(ManifestLake.upsert(spark, dir, upd, Seq("chrom"), Seq("chrom", "pos"),
+      txn = Some(("ingest", 0L))) === 1L)
+    assert(ManifestLake.currentVersion(spark, dir) === Some(1L))
+    assert(ManifestLake.read(spark, dir).where(col("payload") === "SHOULD-NOT-LAND").count() === 0)
+    // the NEXT batch commits normally
+    assert(ManifestLake.upsert(spark, dir, upd.withColumn("payload", lit("b1")),
+      Seq("chrom"), Seq("chrom", "pos"), txn = Some(("ingest", 1L))) === 2L)
+    assert(ManifestLake.lastCommitted(spark, dir, "ingest") === Some(1L))
+    // compaction must CARRY the ledger — otherwise maintenance would
+    // reopen the door to replays
+    val report = ManifestLake.compact(spark, dir, targetBytes = 1L << 30)
+    assert(report.nonEmpty)
+    assert(ManifestLake.lastCommitted(spark, dir, "ingest") === Some(1L))
+    assert(ManifestLake.upsert(spark, dir, upd, Seq("chrom"), Seq("chrom", "pos"),
+      txn = Some(("ingest", 1L))) === ManifestLake.currentVersion(spark, dir).get)
+    // a wholesale batch replace must not reset a stream's ledger either
+    ManifestLake.write(spark, b0, dir, Seq("chrom"))
+    assert(ManifestLake.lastCommitted(spark, dir, "ingest") === Some(1L))
+    // independent writers keep independent watermarks
+    assert(ManifestLake.lastCommitted(spark, dir, "other-app") === None)
+  }
+
+  test("maintain: one call compacts fragmented partitions and vacuums superseded files") {
+    import spark.implicits._
+    val dir = freshDir("mlake-maintain")
+    val df = (0 until 200).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, df.repartition(6), dir, Seq("chrom"))
+    val expected = ManifestLake.read(spark, dir).orderBy(col("pos")).collect().toSeq
+    val (compacted, removed) = ManifestLake.maintain(spark, dir,
+      targetBytes = 1L << 30, keepVersions = 1, clusterBy = Seq("pos"))
+    assert(compacted === 2)     // both partitions were 6-way fragmented
+    assert(removed > 0)         // superseded v1 files + manifest reclaimed
+    assert(ManifestLake.read(spark, dir).orderBy(col("pos")).collect().toSeq === expected)
+    // steady state: nothing left to do
+    assert(ManifestLake.maintain(spark, dir, targetBytes = 1L << 30,
+      keepVersions = 1) === ((0, 0)))
+  }
+
   test("missing and empty tables read as empty; an empty manifest version is defined") {
     import spark.implicits._
     val dir = freshDir("mlake-empty")

@@ -308,13 +308,47 @@ class EventStreamsSpec extends AnyFunSuite {
       // time travel: the table as of trigger 1 is still served verbatim
       assert(tableAt(ManifestLake.readVersion(spark, lake, 1L))
         === Map(("a", 1L) -> "a1-v2", ("b", 1L) -> "b1-v1"))
-      // at-least-once replay of trigger 2's batch: a new version
-      // publishes, but the table CONTENT converges (idempotent)
+      // at-least-once re-delivery of trigger 2's DATA arrives as a new
+      // batchId: a new version publishes, the table CONTENT converges
       in.addData(("a", 1L, 3L, "a1-v3"), ("a", 2L, 1L, "a2-v1"))
       q.processAllAvailable()
       assert(ManifestLake.currentVersion(spark, lake) === Some(3L))
       assert(tableAt(ManifestLake.read(spark, lake))
         === tableAt(ManifestLake.readVersion(spark, lake, 2L)))
+      // the txn ledger tracked every trigger (batchIds 0..2) — a TRUE
+      // replay (same batchId after a checkpoint restart) would be
+      // skipped against it, which ManifestLakeSpec pins directly
+      assert(ManifestLake.lastCommitted(spark, lake, "graft-stream") === Some(2L))
+    } finally q.stop()
+  }
+
+  test("manifestUpsertSink maintainEvery: the sink compacts and vacuums on its own cadence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.ManifestLake
+    val lake = java.nio.file.Files.createTempDirectory("stream-mmaint").toString + "/table"
+    val in = MemoryStream[(String, Long, Long, String)]
+    val stream = in.toDF().toDF("part", "key", "version", "payload")
+    val q = EventStreams.manifestUpsertSink(stream, lake,
+      partitionCols = Seq("part"), keyCols = Seq("part", "key"),
+      versionCol = Some("version"), appId = "maint-stream",
+      maintainEvery = Some(2)).start()
+    try {
+      // four triggers, all landing in one partition: per-trigger commits
+      // fragment it; the every-2nd-batch maintenance pass folds it back
+      (0 until 4).foreach { i =>
+        in.addData(("a", i.toLong, 1L, s"p$i"))
+        q.processAllAvailable()
+      }
+      val inv = ManifestLake.inventory(spark, lake, targetBytes = 1L << 30).collect()
+      assert(inv.forall(r => !r.getAs[Boolean]("needs_compaction")),
+        s"maintenance should have compacted: ${inv.mkString(", ")}")
+      // content survived the maintenance passes
+      val rows = ManifestLake.read(spark, lake).collect()
+        .map(r => r.getAs[Long]("key") -> r.getAs[String]("payload")).toMap
+      assert(rows === Map(0L -> "p0", 1L -> "p1", 2L -> "p2", 3L -> "p3"))
+      // and the ledger survived vacuum (it rides the current manifest)
+      assert(ManifestLake.lastCommitted(spark, lake, "maint-stream") === Some(3L))
     } finally q.stop()
   }
 
