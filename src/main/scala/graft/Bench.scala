@@ -27,11 +27,15 @@ object Bench {
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
       if (benches.isEmpty) Map.empty
       else {
+        // the driver's BENCH_r{N}.json wraps (and may TRUNCATE) the
+        // bench stdout, so don't rely on an intact "queries":{...}
+        // block — harvest every "qNN_name":seconds pair anywhere in
+        // the file; partial coverage still screens the queries it has
         val txt = scala.io.Source.fromFile(
           benches.maxBy(_.getName.replaceAll("\\D", "").toInt)).mkString
-        val block = """"queries"\s*:\s*\{([^}]*)\}""".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(block)
+        // quotes may arrive JSON-escaped (\"q34\":0.47) inside the
+        // wrapper's tail string — accept both forms
+        """\\?"(q\d+[A-Za-z0-9_]*)\\?"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     } catch { case _: Throwable => Map.empty }
