@@ -519,5 +519,47 @@ object EtlGate {
       Some("""SELECT lang, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // The manifest lake's MULTI-COMMIT read path under the oracle: the
+    // documents table lands as 8 sequential appends (one commit dir
+    // each — the minute-cadence ingest shape), with one batch REPLAYED
+    // under its (appId, batchId) txn to pin that exactly-once skips
+    // publish entirely, and the read-back — ONE scan via the
+    // manifest-fed FileIndex, partition values typed by the recorded
+    // schema — must hash-match DuckDB aggregating the documents table
+    // directly. Plan shape (single leaf at any commit count) is
+    // asserted in ManifestLakeSpec; this gate certifies the CONTENT.
+    Q(
+      "q92_manifest_appends",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-mappends") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+        (0 until 8).foreach { i =>
+          val batch = docs.where(pmod(col("doc_id"), lit(8L)) === i)
+          ManifestLake.write(s, batch, out, Seq("lang"),
+            replace = i == 0, txn = Some(("gate-ingest", i.toLong)))
+          if (i == 3) {
+            // at-least-once re-delivery of batch 3: the ledger watermark
+            // makes this a no-op — no version publishes, no rows double
+            ManifestLake.write(s, batch, out, Seq("lang"),
+              replace = false, txn = Some(("gate-ingest", 3L)))
+          }
+        }
+        require(ManifestLake.currentVersion(s, out).contains(8L),
+          "8 commits + 1 skipped replay must leave the table at v8")
+        ManifestLake.read(s, out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)))
 }
