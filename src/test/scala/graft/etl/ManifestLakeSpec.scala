@@ -165,13 +165,26 @@ class ManifestLakeSpec extends AnyFunSuite {
     val filtered = ManifestLake.read(spark, dir).where(col("chrom") === "chr2")
     assert(filtered.count() === 20)
     // the partition filter must prune at the file index, not post-scan:
-    // explicit-file-list reads still carry hive partition columns via
-    // basePath, so Catalyst can push the partition predicate
+    // the manifest-fed FileIndex evaluates partition predicates against
+    // its typed partition values inside listFiles
     val plan = filtered.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") &&
       plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
         .contains("chrom"),
       s"partition filter should prune at the scan:\n$plan")
+    // data filters reach the parquet reader (row-group stats pruning)…
+    val dataFiltered = ManifestLake.read(spark, dir).where(col("pos") > 40L)
+    val dfPlan = dataFiltered.queryExecution.executedPlan.toString
+    assert(dfPlan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+      .contains("GreaterThan(pos,40)"),
+      s"data filter should push to parquet:\n$dfPlan")
+    assert(dataFiltered.count() === 19)
+    // …and a narrow projection prunes the read schema to the columns used
+    val narrow = ManifestLake.read(spark, dir).select(col("pos"))
+    val nPlan = narrow.queryExecution.executedPlan.toString
+    assert(nPlan.replaceAll("(?s).*ReadSchema: ([^\\n]*).*", "$1").contains("pos") &&
+      !nPlan.replaceAll("(?s).*ReadSchema: ([^\\n]*).*", "$1").contains("payload"),
+      s"projection should prune the scan schema:\n$nPlan")
   }
 
   test("single-scan read: a 200-commit table plans ONE scan node and matches the grouped union read") {
