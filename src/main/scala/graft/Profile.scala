@@ -204,6 +204,42 @@ object Profile {
         .repartition(spark.sparkContext.defaultParallelism)
       val tk = lifecycle(big, s"${k}x")
       println(f"PROFILE manifeststress ${k}x scaling factor = ${tk / t1}%.1f (ideal $k.0)")
+
+      // COMMIT-COUNT scaling of the read path: land the corpus as N
+      // sequential appends, then time planning+running an aggregate
+      // over the table. The single-scan manifest read should be FLAT
+      // in commit count; the legacy per-commit grouped union (kept as
+      // the fallback for headerless manifests) is the growth curve it
+      // replaced.
+      import graft.etl.ManifestLake
+      def manyCommits(nCommits: Int): String = {
+        val dir = java.nio.file.Files.createTempDirectory(s"mcommits$nCommits")
+          .toString + "/t"
+        (0 until nCommits).foreach { i =>
+          ManifestLake.write(spark,
+            docs.where(pmod(col("doc_id"), lit(nCommits.toLong)) === i),
+            dir, Seq("lang"), replace = i == 0)
+        }
+        dir
+      }
+      Seq(8, 64).foreach { n =>
+        val dir = manyCommits(n)
+        def agg(df: org.apache.spark.sql.DataFrame): Unit = {
+          df.groupBy(col("lang")).agg(sum(col("n_chars"))).count(); ()
+        }
+        val tScan = wall { agg(ManifestLake.read(spark, dir)) }
+        // the replaced shape, reconstructed: one read per commit dir,
+        // left-deep unionByName (what every read used to plan)
+        val byCommit = ManifestLake.read(spark, dir).inputFiles.toSeq
+          .groupBy(f => f.substring(0, f.indexOf("/data/v") + 13)).toSeq.sortBy(_._1)
+        val tUnion = wall {
+          agg(byCommit.map { case (commitDir, fls) =>
+            spark.read.option("basePath", commitDir).parquet(fls: _*)
+          }.reduce(_ unionByName _))
+        }
+        println(f"PROFILE manifest read @ $n%3d commits: single-scan=$tScan%6.2f s, " +
+          f"grouped-union=$tUnion%6.2f s (${tUnion / tScan}%.1fx)")
+      }
       spark.stop(); sys.exit(0)
     }
 
