@@ -43,7 +43,7 @@ object Graft {
     Op("dedup", "duplicate clusters = connected components", "graft.ops.Dedup.duplicateClusters/deduplicateTransitive", "q62"),
     Op("dedup", "incremental batch-vs-corpus dedup", "graft.ops.Dedup.dedupAgainstCorpus", "q77"),
     Op("dedup", "line-level dedup + boilerplate strip (CCNet)", "graft.ops.CorpusOps.dedupLines/stripBoilerplate", "q60, q61"),
-    Op("dedup", "span-level duplicated passages", "graft.ops.CorpusOps.duplicatedPassages", "q67"),
+    Op("dedup", "span-level duplicated passages: detect / remove", "graft.ops.CorpusOps.duplicatedPassages/removeDuplicatedPassages", "q67, q93"),
     Op("dedup", "semantic dedup (k-means cells)", "graft.ops.Similarity.semanticDedup", "q71"),
     // --- similarity / ANN ---
     Op("ann", "brute-force cosine pairs / top-k (small-n baseline)", "graft.ops.Similarity.bruteForcePairs/topK", "q24, q25"),

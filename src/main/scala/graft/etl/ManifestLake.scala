@@ -359,14 +359,39 @@ object ManifestLake {
     }
   }
 
+  /** Every published (not-yet-vacuumed) version of the table, oldest
+    * first, with its live file count and total bytes — the time-travel
+    * discovery surface ([[readVersion]] takes one of these). Costs one
+    * directory listing plus one KB-manifest read per version.
+    */
+  def versions(spark: SparkSession, path: String): Seq[(Long, Int, Long)] = {
+    val (fs, root) = fsFor(spark, path)
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        n.stripPrefix("v").stripSuffix(".list").toLong }
+      .sorted
+      .map { v =>
+        val files = readManifest(fs, root, v).files
+        (v, files.length, files.map(_.bytes).sum)
+      }
+  }
+
   /** Read a specific published version (time travel / in-flight scans).
     * An empty version returns an empty frame WITH the recorded table
     * schema — callers can select/filter/aggregate the table's columns
     * on a legitimately-empty version (the spec-blessed empty-replace
-    * state) and get empty results, not an AnalysisException.
+    * state) and get empty results, not an AnalysisException. A version
+    * that was never published or has been vacuumed is a typed error
+    * naming what IS available, not a raw FileNotFoundException.
     */
   def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
     val (fs, root) = fsFor(spark, path)
+    if (!fs.exists(manifestPath(root, v)))
+      throw new IllegalArgumentException(
+        s"version $v of $path does not exist (never published, or vacuumed); " +
+          s"available: ${versions(spark, path).map(_._1).mkString(", ")}")
     val m = readManifest(fs, root, v)
     if (m.files.isEmpty)
       m.schema match {

@@ -232,6 +232,62 @@ object CorpusOps {
           .as("dup_frac"))
   }
 
+  /** Span-level duplication REMOVAL — the act to [[duplicatedPassages]]'s
+    * diagnostic (the "deduplicating training data makes LMs better"
+    * operation): every token covered by a rolling `n`-token span that
+    * occurs in at least one OTHER document is excised, in every
+    * document carrying it. This is the aggressive form (no canonical
+    * copy survives — boilerplate, licenses, and chain-quoted text
+    * disappear outright); pair with doc-level dedup first so exact
+    * duplicates collapse to one copy before span removal sees them.
+    *
+    * Output: one row per input document — `text_clean` (kept tokens
+    * rejoined with single spaces: the output is a TOKEN STREAM, same
+    * whitespace normalization every downstream tokenizer applies
+    * anyway), `n_tokens`, `n_removed`. Documents shorter than `n`
+    * tokens pass through untouched; a fully-covered document survives
+    * as an empty `text_clean` with the removal counted, so the caller
+    * decides the drop threshold.
+    *
+    * Shape: the span/df pass is [[duplicatedPassages]] verbatim
+    * (8-byte hashed spans, partial-aggregated df, no broadcast of the
+    * corpus-sized dup set); coverage explodes dup spans to their n
+    * token indices (bounded by n·dup-spans), kept tokens are one
+    * anti-join on (doc, position), and reassembly is one groupBy(doc)
+    * of (position, token) pairs — every shuffle linear in corpus
+    * tokens, same class as chunking/packing.
+    */
+  def removeDuplicatedPassages(docs: DataFrame, id: String, text: String,
+                               n: Int): DataFrame = {
+    val toks = docs.select(col(id), TextOps.tokens(col(text)).as("__t"))
+    val spans = toks
+      .select(col(id), posexplode(TextOps.wordNgrams(col("__t"), n)))
+      .select(col(id), col("pos").as("__s"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("g"))
+    val dupSpans = spans.select(col(id), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2)
+      .select(col("g"))
+    val covered = spans.join(dupSpans, Seq("g"))
+      .select(col(id), explode(sequence(col("__s"), col("__s") + lit(n - 1))).as("__p"))
+      .distinct()
+    val kept = toks
+      .select(col(id), posexplode(col("__t")))
+      .select(col(id), col("pos").as("__p"), col("col").as("__tok"))
+      .join(covered, Seq(id, "__p"), "left_anti")
+    val rebuilt = kept.groupBy(col(id))
+      .agg(
+        count(lit(1)).as("__n_kept"),
+        array_join(array_sort(collect_list(struct(col("__p"), col("__tok"))))
+          .getField("__tok"), " ").as("text_clean"))
+    docs.select(col(id), size(TextOps.tokens(col(text))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).cast("long").as("n_removed"))
+  }
+
   /** Bigram language-model fluency scoring (the CCNet quality signal):
     * train add-k-smoothed bigram statistics on `train`, then score every
     * document in `docs` by the average negative log-likelihood of its

@@ -286,6 +286,52 @@ object Corpus {
               |        CAST(count(*) AS DOUBLE), 4) AS dup_frac
               |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Span-level duplication REMOVAL (the act to q67's diagnostic):
+    // every token covered by a cross-document 10-token span is excised
+    // and the survivor text rebuilt from the kept tokens. The oracle
+    // replays the whole pipeline — span hashing, df>=2, coverage
+    // expansion, positional anti-join, ordered reassembly — so the
+    // rebuilt TEXT must match byte-for-byte, not just the counts.
+    Q(
+      "q93_passage_removal",
+      (s, dir) => CorpusOps.removeDuplicatedPassages(Tables.documents(s, dir),
+        "doc_id", "text", n = 10)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, ${LlmOps.tokSql} AS t FROM documents),
+              |pre AS (
+              |  SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS s
+              |  FROM toks WHERE len(t) >= 10),
+              |grams AS (
+              |  SELECT doc_id, s,
+              |    ('0x' || substr(md5(array_to_string(t[s:s+9], ' ')), 1, 15))::BIGINT AS g
+              |  FROM pre),
+              |dup AS (
+              |  SELECT g FROM (
+              |    SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+              |  WHERE df >= 2),
+              |covoff AS (
+              |  SELECT doc_id, s, unnest(range(0, 10)) AS off
+              |  FROM grams WHERE g IN (SELECT g FROM dup)),
+              |covered AS (SELECT DISTINCT doc_id, s + off AS p FROM covoff),
+              |pos AS (
+              |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM toks),
+              |tok AS (SELECT doc_id, p, t[p] AS tok FROM pos),
+              |kept AS (
+              |  SELECT k.doc_id, k.p, k.tok FROM tok k
+              |  LEFT JOIN covered c ON k.doc_id = c.doc_id AND k.p = c.p
+              |  WHERE c.p IS NULL),
+              |reb AS (
+              |  SELECT doc_id, count(*) AS n_kept,
+              |    string_agg(tok, ' ' ORDER BY p) AS text_clean
+              |  FROM kept GROUP BY doc_id)
+              |SELECT b.doc_id,
+              |  coalesce(r.text_clean, '') AS text_clean,
+              |  CAST(len(b.t) AS BIGINT) AS n_tokens,
+              |  CAST(len(b.t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+              |FROM toks b LEFT JOIN reb r USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     // Token budgeting: whitespace count vs BPE-ish pre-token count
     // (GPT-2-shape regex, RE2/Java-identical) over the augmented view —
     // the contact line's digits/punctuation is where the two estimates

@@ -329,6 +329,23 @@ class ManifestLakeSpec extends AnyFunSuite {
       keepVersions = 1) === ((0, 0)))
   }
 
+  test("versions() lists the time-travel surface; a missing version reads as a typed error") {
+    import spark.implicits._
+    val dir = freshDir("mlake-versions")
+    val df = Seq(("chr1", 1L, "a")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, df, dir, Seq("chrom"))
+    ManifestLake.write(spark, df, dir, Seq("chrom"), replace = false)
+    val vs = ManifestLake.versions(spark, dir)
+    assert(vs.map(_._1) === Seq(1L, 2L))
+    assert(vs.head._2 === 1 && vs(1)._2 === 2)       // live file counts accrete
+    assert(vs.forall(_._3 > 0L))                     // bytes ride the manifest
+    assert(ManifestLake.versions(spark, dir + "-nope").isEmpty)
+    val ex = intercept[IllegalArgumentException] {
+      ManifestLake.readVersion(spark, dir, 9L)
+    }
+    assert(ex.getMessage.contains("available: 1, 2"))
+  }
+
   test("missing and empty tables read as empty; an empty manifest version is defined") {
     import spark.implicits._
     val dir = freshDir("mlake-empty")

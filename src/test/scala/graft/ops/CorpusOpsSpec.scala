@@ -314,6 +314,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"approx tiers must not plan a window:\n$plan")
   }
 
+  test("removeDuplicatedPassages excises exactly the cross-document spans and rebuilds survivors") {
+    val shared = (1 to 10).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared t1 t2"),   // shared passage mid-doc
+      (2L, s"b1 b2 $shared c1"),         // same passage, different context
+      (3L, "tiny text")                  // < n tokens: untouched
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.removeDuplicatedPassages(docs, "doc_id", "text", n = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text_clean"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"))))
+      .toMap
+    // only the exact 10-token window both docs share is duplicated —
+    // windows straddling the context boundary exist in one doc only
+    assert(out(1L) === (("a1 a2 a3 t1 t2", 15L, 10L)))
+    assert(out(2L) === (("b1 b2 c1", 13L, 10L)))
+    assert(out(3L) === (("tiny text", 2L, 0L)))
+    // idempotent: a second pass over the cleaned text removes nothing
+    val again = CorpusOps.removeDuplicatedPassages(
+      docs.sparkSession.createDataFrame(
+        out.toSeq.map { case (id, (t, _, _)) => (id, t) }).toDF("doc_id", "text"),
+      "doc_id", "text", n = 10)
+      .collect().map(_.getAs[Long]("n_removed")).sum
+    assert(again === 0L)
+  }
+
   test("pplTiersApprox keeps null-stratum rows (null-safe bounds join)") {
     // the exact ntile variant tiers a null stratum as its own window
     // partition; the approx variant must not silently drop those rows
