@@ -39,7 +39,7 @@ object Graft {
     Op("dedup", "exact duplicate groups / survivors", "graft.ops.Dedup.exactGroups/deduplicate", "q20, q36"),
     Op("dedup", "MinHash signatures + LSH bands + candidate pairs", "graft.ops.Dedup.minhashSignature/lshBands/candidatePairs", "q21"),
     Op("dedup", "Jaccard verification of candidates", "graft.ops.Dedup.jaccardVerify*", "q22"),
-    Op("dedup", "SimHash fingerprints", "graft.ops.Dedup.simhash", "q23"),
+    Op("dedup", "SimHash fingerprints + hamming-distance join (pigeonhole bands)", "graft.ops.Dedup.simhash/simhashPairs", "q23, q94"),
     Op("dedup", "duplicate clusters = connected components", "graft.ops.Dedup.duplicateClusters/deduplicateTransitive", "q62"),
     Op("dedup", "incremental batch-vs-corpus dedup", "graft.ops.Dedup.dedupAgainstCorpus", "q77"),
     Op("dedup", "line-level dedup + boilerplate strip (CCNet)", "graft.ops.CorpusOps.dedupLines/stripBoilerplate", "q60, q61"),

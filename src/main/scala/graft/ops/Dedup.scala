@@ -494,4 +494,65 @@ object Dedup {
       concat((1 to bits).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*)
         .as("simhash"))
   }
+
+  /** All (id_a, id_b, hamming) pairs of [[simhash]] sketches within
+    * `maxHamming` differing bits, id_a < id_b — the near-duplicate
+    * JOIN the fingerprints exist for, without the quadratic all-pairs
+    * scan. Blocking is the pigeonhole bound: split the `bits`-bit
+    * sketch into `maxHamming + 1` bands; two sketches differing in at
+    * most `maxHamming` bits can dirty at most `maxHamming` bands, so
+    * they MUST agree exactly on at least one (bandIdx, bandValue) —
+    * a hash-join key. Candidates then verify with an exact popcount
+    * over the XOR (bit-identical to counting differing bitstring
+    * positions), so the result is exact: blocking only bounds recall
+    * work, never the answer.
+    *
+    * Scale shape: each sketch explodes to `maxHamming + 1` band rows
+    * (constant, small), one hash shuffle on the band key, and the
+    * verify is integer ops on the candidate volume. The degenerate
+    * case is a band value shared by a large fraction of the corpus
+    * (near-constant sketch regions — think boilerplate-dominated
+    * docs): `maxBucket` truncates such buckets to their first
+    * `maxBucket` members in md5-of-id order, same recall-for-bound
+    * contract as the LSH and fuzzy-join caps, default off (exact —
+    * what the oracle certifies).
+    */
+  def simhashPairs(sketches: DataFrame, id: String, bits: Int, maxHamming: Int,
+                   maxBucket: Option[Int] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"need 0 <= maxHamming < bits, got $maxHamming vs $bits bits")
+    val bands = maxHamming + 1
+    // balanced exact partition of the bit positions — a lazy ceil-width
+    // split would leave trailing bands EMPTY when bands does not divide
+    // bits, and an empty band matches every sketch (a full cross join)
+    val base = bits / bands
+    val rem = bits % bands
+    val widths = (0 until bands).map(j => base + (if (j < rem) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    def side(asId: String): DataFrame = {
+      val exploded = sketches.select(
+        col(id).as(asId),
+        conv(col("simhash"), 2, 10).cast("long").as(s"__v_$asId"),
+        posexplode(array((0 until bands).map(j =>
+          substring(col("simhash"), starts(j) + 1, widths(j))): _*)))
+        .select(col(asId), col(s"__v_$asId"),
+          col("pos").as("__band"), col("col").as("__bv"))
+      maxBucket match {
+        case None => exploded
+        case Some(cap) =>
+          val win = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__band"), col("__bv"))
+            .orderBy(md5(col(asId).cast("string")), col(asId))
+          exploded.withColumn("__rk", row_number().over(win))
+            .where(col("__rk") <= cap).drop("__rk")
+      }
+    }
+    side("id_a").join(side("id_b"), Seq("__band", "__bv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("__v_id_a").bitwiseXOR(col("__v_id_b"))).as("__x"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), expr("bit_count(__x)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

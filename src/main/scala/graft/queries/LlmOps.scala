@@ -296,6 +296,38 @@ object LlmOps {
            |SELECT doc_id, $bitsExpr AS simhash FROM s ORDER BY doc_id""".stripMargin
       }),
 
+    // SimHash near-duplicate JOIN: pigeonhole band blocking (hamming<=4
+    // over 16 bits -> 5 exact-band keys) + exact popcount verify, vs
+    // the naive quadratic bitstring-compare oracle. doc_id < 1000 keeps
+    // the oracle's all-pairs replay bounded at every SF.
+    Q(
+      "q94_simhash_join",
+      (s, dir) => {
+        val sk = Dedup.simhash(
+          Tables.documents(s, dir).where(col("doc_id") < 1000),
+          "doc_id", "text", SimhashBits)
+        Dedup.simhashPairs(sk, "doc_id", SimhashBits, maxHamming = 4)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val sums = (1 to SimhashBits).map(j =>
+          s"SUM(CASE WHEN substring(md5(tok), $j, 1) IN ($hiHexSql) THEN 1 ELSE -1 END) AS b$j")
+          .mkString(", ")
+        val bitsExpr = (1 to SimhashBits).map(j =>
+          s"(CASE WHEN b$j > 0 THEN '1' ELSE '0' END)").mkString("||")
+        s"""WITH t AS (
+           |  SELECT doc_id, unnest($tokSql) AS tok FROM documents WHERE doc_id < 1000),
+           |s AS (SELECT doc_id, $sums FROM t GROUP BY doc_id),
+           |sh AS (SELECT doc_id, $bitsExpr AS simhash FROM s),
+           |p AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CAST(len(list_filter(range(1, ${SimhashBits + 1}),
+           |      i -> substr(a.simhash, i, 1) != substr(b.simhash, i, 1))) AS BIGINT) AS hamming
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 4
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     Q(
       "q24_embed_neardup",
       (s, dir) => Similarity.bruteForcePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.35)

@@ -599,6 +599,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashPairs: band blocking finds exactly the hamming<=k pairs; bands partition the bits") {
+    import spark.implicits._
+    // hand-built 16-bit sketches: known pairwise hamming distances
+    val sk = Seq(
+      (1L, "1010101010101010"),
+      (2L, "1010101010101011"),  // d(1,2)=1
+      (3L, "1010101010100101"),  // d(1,3)=4, d(2,3)=3
+      (4L, "0101010101010101")   // d(1,4)=16 — must never appear
+    ).toDF("doc_id", "simhash")
+    def pairs(k: Int) = Dedup.simhashPairs(sk, "doc_id", bits = 16, maxHamming = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("hamming")).toMap
+    assert(pairs(1) === Map((1L, 2L) -> 1L))
+    assert(pairs(3) === Map((1L, 2L) -> 1L, (2L, 3L) -> 3L))
+    // maxHamming = 4 over 16 bits makes 5 bands — an uneven split whose
+    // lazy ceil-width version would leave an EMPTY band matching all
+    assert(pairs(4) === Map((1L, 2L) -> 1L, (2L, 3L) -> 3L, (1L, 3L) -> 4L))
+    // exact vs brute force on the simhash of real-ish docs
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "the quick brown fox jumps over the lazy dog again and once"),
+      (12L, "entirely different content about spark query planning")
+    ).toDF("doc_id", "text")
+    val sketches = Dedup.simhash(docs, "doc_id", "text", 16)
+    val blocked = Dedup.simhashPairs(sketches, "doc_id", 16, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming"))).toSet
+    val rows = sketches.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val brute = (for {
+      a <- rows.keys; b <- rows.keys if a < b
+      d = rows(a).zip(rows(b)).count { case (x, y) => x != y }
+      if d <= 6
+    } yield (a, b, d.toLong)).toSet
+    assert(blocked === brute)
+    // the cap may only shrink the result, deterministically
+    val capped = Dedup.simhashPairs(sketches, "doc_id", 16, 6, maxBucket = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming"))).toSet
+    assert(capped.subsetOf(brute))
+  }
+
   test("deletion_hashes equals the declarative neighborhood's xxhash64 set (incl. multibyte)") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
