@@ -634,6 +634,29 @@ object ManifestLake {
     newV
   }
 
+  /** Roll the table back to version `v` by RE-PUBLISHING v's live set
+    * as the new head — zero data I/O (the old files never moved; the
+    * new manifest just names them again), and the bad versions stay
+    * readable for forensics until [[vacuum]]. The txn ledger carries
+    * from the CURRENT head, not the restored version: a restore is an
+    * operational correction, and resetting writers' watermarks would
+    * invite exactly the replayed batches that likely caused the
+    * rollback. Returns the new head version.
+    */
+  def restore(spark: SparkSession, path: String, v: Long): Long = {
+    val (fs, root) = fsFor(spark, path)
+    if (!fs.exists(manifestPath(root, v)))
+      throw new IllegalArgumentException(
+        s"cannot restore $path to v$v: version does not exist (never " +
+          s"published, or vacuumed); available: ${versions(spark, path).map(_._1).mkString(", ")}")
+    val head = currentVersion(spark, path).get
+    val target = readManifest(fs, root, v)
+    val headTxns = readManifest(fs, root, head).txns
+    val newV = head + 1
+    publish(fs, root, newV, target.files, target.schema, target.partCols, headTxns)
+    newV
+  }
+
   /** One maintenance pass — compact fragmented partitions, then vacuum
     * what nothing kept references. The convenience wrapper for the
     * maintenance cadence a continuously-fed table needs (the streaming

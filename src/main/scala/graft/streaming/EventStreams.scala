@@ -313,6 +313,32 @@ object EventStreams {
         ()
     }
 
+  /** Append-only manifest sink — the log-shaped sibling of
+    * [[manifestUpsertSink]] for streams with no key semantics (event
+    * logs, audit trails): every micro-batch lands as one APPEND commit
+    * (new files only, previous live set carried by reference — no
+    * partition is ever rewritten), with the same exactly-once txn
+    * ledger, per-batch time travel, and atomic visibility. Use the
+    * upsert sink when re-delivered keys must overwrite; use this when
+    * rows are facts and every delivered batch accretes.
+    */
+  def manifestAppendSink(stream: DataFrame, lakePath: String,
+                         partitionCols: Seq[String],
+                         appId: String = "graft-stream",
+                         maintainEvery: Option[Int] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.etl.ManifestLake.write(batch.sparkSession, batch, lakePath,
+            partitionCols, replace = false, txn = Some((appId, batchId)))
+        maintainEvery.foreach { n =>
+          if (batchId % n == n - 1)
+            graft.etl.ManifestLake.maintain(batch.sparkSession, lakePath)
+        }
+        ()
+    }
+
   /** Streaming incremental ingest dedup — the stream analog of
     * `Dedup.dedupAgainstCorpus`'s exact pass: a document stream drops
     * payloads whose content fingerprint already exists in the STATIC

@@ -329,6 +329,28 @@ class ManifestLakeSpec extends AnyFunSuite {
       keepVersions = 1) === ((0, 0)))
   }
 
+  test("restore re-publishes an old version as the head with zero data IO; ledger survives") {
+    import spark.implicits._
+    val dir = freshDir("mlake-restore")
+    val good = Seq(("chr1", 1L, "good")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, good, dir, Seq("chrom"), txn = Some(("app", 5L)))
+    val bad = Seq(("chr1", 1L, "BAD"), ("chr1", 2L, "WORSE")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, bad, dir, Seq("chrom"))
+    assert(ManifestLake.read(spark, dir).count() === 2)
+    // roll back: v3 = v1's exact live set, no files rewritten
+    assert(ManifestLake.restore(spark, dir, 1L) === 3L)
+    val r = ManifestLake.read(spark, dir).collect()
+    assert(r.length === 1 && r.head.getAs[String]("payload") === "good")
+    // the restored head re-references v1's files verbatim
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    assert(ManifestLake.readManifest(fs, root, 3L).files
+      === ManifestLake.readManifest(fs, root, 1L).files)
+    // the bad version remains for forensics until vacuum; ledger kept
+    assert(ManifestLake.readVersion(spark, dir, 2L).count() === 2)
+    assert(ManifestLake.lastCommitted(spark, dir, "app") === Some(5L))
+    intercept[IllegalArgumentException] { ManifestLake.restore(spark, dir, 99L) }
+  }
+
   test("versions() lists the time-travel surface; a missing version reads as a typed error") {
     import spark.implicits._
     val dir = freshDir("mlake-versions")

@@ -322,6 +322,28 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("manifestAppendSink: every batch accretes as one append commit with the txn ledger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.ManifestLake
+    val lake = java.nio.file.Files.createTempDirectory("stream-mappend").toString + "/table"
+    val in = MemoryStream[(String, Long, String)]
+    val stream = in.toDF().toDF("part", "seq", "payload")
+    val q = EventStreams.manifestAppendSink(stream, lake,
+      partitionCols = Seq("part"), appId = "log-stream").start()
+    try {
+      in.addData(("a", 1L, "e1"), ("b", 2L, "e2"))
+      q.processAllAvailable()
+      // append semantics: a re-delivered ROW is a new fact, not an upsert
+      in.addData(("a", 1L, "e1"), ("a", 3L, "e3"))
+      q.processAllAvailable()
+      assert(ManifestLake.currentVersion(spark, lake) === Some(2L))
+      assert(ManifestLake.read(spark, lake).count() === 4)
+      assert(ManifestLake.readVersion(spark, lake, 1L).count() === 2)
+      assert(ManifestLake.lastCommitted(spark, lake, "log-stream") === Some(1L))
+    } finally q.stop()
+  }
+
   test("manifestUpsertSink maintainEvery: the sink compacts and vacuums on its own cadence") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
