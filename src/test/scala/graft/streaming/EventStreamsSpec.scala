@@ -374,6 +374,42 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("end to end: watermarked hourly aggregates maintained in a manifest table exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.ManifestLake
+    import org.apache.spark.sql.functions.col
+    // the realistic composition: event-time windows close under the
+    // watermark, each trigger's CLOSED windows upsert into a manifest
+    // table keyed on (event_type, window_start) — per-trigger versions,
+    // replay-safe via the txn ledger, readable mid-stream by any batch
+    // job at an atomic version
+    val lake = java.nio.file.Files.createTempDirectory("stream-e2e").toString + "/table"
+    val in = MemoryStream[Event]
+    val agg = EventStreams.hourlyByType(in.toDF(), lateness = "10 minutes")
+    val q = EventStreams.manifestUpsertSink(agg, lake,
+      partitionCols = Seq("event_type"),
+      keyCols = Seq("event_type", "window_start"),
+      appId = "hourly-agg").start()
+    try {
+      in.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 1, "click", 2.0),
+        Event(3, ts(30), 2, "view", 3.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts(200), 1, "click", 4.0)) // watermark → hour 0 closes
+      q.processAllAvailable()
+      val rows = ManifestLake.read(spark, lake)
+        .select(col("event_type"), col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+      // each closed-window trigger that carried data became a version,
+      // and the ledger watermark tracked the LAST batch id
+      assert(ManifestLake.currentVersion(spark, lake).exists(_ >= 1L))
+      assert(ManifestLake.lastCommitted(spark, lake, "hourly-agg").nonEmpty)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
