@@ -31,7 +31,7 @@ object Graft {
     Op("lake", "fragmentation inventory (rename-swap lake)", "graft.etl.Lake.inventory", "q75"),
     Op("lake", "crash-safe small-file compaction", "graft.etl.Lake.compact", "q75"),
     Op("lake", "key-level upsert (merge-into)", "graft.etl.Lake.upsert", "q76"),
-    Op("lake", "manifest-committed table: versioned write/read/time travel/restore, exactly-once txn ledger", "graft.etl.ManifestLake.write/read/readVersion/versions/restore/lastCommitted", "q88, q92"),
+    Op("lake", "manifest-committed table: versioned write/read/time travel/restore, txn ledger, file-skipping stats", "graft.etl.ManifestLake.write/read/readVersion/versions/restore/lastCommitted", "q88, q92"),
     Op("lake", "manifest upsert (untouched partitions carried by reference)", "graft.etl.ManifestLake.upsert", "q89"),
     Op("lake", "manifest compact + zero-RPC inventory + vacuum + maintain", "graft.etl.ManifestLake.compact/inventory/vacuum/maintain", "q88"),
     Op("lake", "shuffle-free co-located joins via bucketing", "graft.ops.Bucketing.writeBucketed", "q13"),

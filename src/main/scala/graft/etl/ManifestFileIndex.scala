@@ -4,9 +4,10 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Not, Or, Predicate}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** A [[FileIndex]] fed ENTIRELY from a [[ManifestLake]] manifest — the
@@ -14,18 +15,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * planning too. Where the default file index lists directories (one
   * RPC storm per query over a 720k-leaf lake) and INFERS partition
   * values from what it found, this index already knows every live
-  * file, its size, and its partition values: planning a scan costs
-  * zero filesystem calls, the plan holds exactly ONE scan node no
-  * matter how many commits produced the files, and partition values
-  * are typed by the RECORDED table schema instead of per-directory
-  * inference (so a `lang=` that looks numeric in v1 and alphanumeric
-  * in v2 cannot drift types between commits).
+  * file, its size, its partition values, and (when the write collected
+  * them) its per-column [min, max] stats: planning a scan costs zero
+  * filesystem calls, the plan holds exactly ONE scan node no matter
+  * how many commits produced the files, and partition values are typed
+  * by the RECORDED table schema instead of per-directory inference (so
+  * a `lang=` that looks numeric in v1 and alphanumeric in v2 cannot
+  * drift types between commits).
   *
-  * Partition pruning happens where Spark expects it: [[listFiles]]
-  * receives the partition-column predicates and evaluates them against
-  * each partition's typed values, so `WHERE lang = 'en'` never plans
-  * the other partitions' files — same contract as catalog partition
-  * pruning, minus the catalog.
+  * Pruning happens where Spark expects it, twice over:
+  *   - PARTITION pruning: [[listFiles]] evaluates the partition-column
+  *     predicates against each partition's typed values, so
+  *     `WHERE lang = 'en'` never plans the other partitions' files;
+  *   - FILE-LEVEL DATA SKIPPING: the data-column predicates are tested
+  *     against each file's manifest [min, max] range, so
+  *     `WHERE pos > x` on a range-clustered table drops whole files at
+  *     PLANNING — before any parquet footer is even opened, one level
+  *     above the row-group pruning the reader still applies to the
+  *     files that survive. The check is strictly conservative: only a
+  *     provably-impossible range skips, an absent stat keeps the file,
+  *     and every unrecognized predicate shape keeps the file — stats
+  *     can never change results, only costs.
   *
   * Files are grouped by the hive `k=v` segments of their
   * manifest-relative path (`data/v<N>/k1=v1/.../file.parquet` — the
@@ -38,7 +48,8 @@ private[etl] final class ManifestFileIndex(
     spark: SparkSession,
     root: Path,
     partSchema: StructType,
-    files: Seq[(String, FileStatus)]) // (manifest-relative path, status)
+    dataSchema: StructType,
+    files: Seq[(ManifestLake.LiveFile, FileStatus)])
   extends FileIndex {
 
   private val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
@@ -57,28 +68,97 @@ private[etl] final class ManifestFileIndex(
     }.toMap
   }
 
-  /** One entry per live partition: the typed values row plus its files.
+  private def castString(s: String, dt: DataType): Any =
+    Cast(Literal(UTF8String.fromString(s), StringType), dt, zone).eval(null)
+
+  /** One entry per live partition: the typed values row plus its files
+    * (with their manifest stats riding along for the skip check).
     * Built once, in memory, from the manifest alone.
     */
-  private val partitions: Seq[(InternalRow, Array[FileStatus])] =
+  private val partitions: Seq[(InternalRow, Seq[(ManifestLake.LiveFile, FileStatus)])] =
     if (partSchema.isEmpty) {
-      Seq((InternalRow.empty, files.map(_._2).toArray))
+      Seq((InternalRow.empty, files))
     } else {
       files
-        .groupBy { case (rel, _) => partSchema.fieldNames.toSeq.map(partValuesOf(rel).apply) }
+        .groupBy { case (f, _) => partSchema.fieldNames.toSeq.map(partValuesOf(f.path).apply) }
         .toSeq.sortBy(_._1.mkString("/"))
         .map { case (raw, fls) =>
           val typed = partSchema.fields.zip(raw).map { case (f, s) =>
             if (s == null || s == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
-            else Cast(Literal(UTF8String.fromString(s), StringType), f.dataType, zone).eval(null)
+            else castString(s, f.dataType)
           }
-          (InternalRow.fromSeq(typed.toSeq), fls.map(_._2).toArray)
+          (InternalRow.fromSeq(typed.toSeq), fls)
         }
     }
 
   override def rootPaths: Seq[Path] = Seq(root)
 
   override def partitionSchema: StructType = partSchema
+
+  /** Typed [lo, hi] + ordering for a stats column of one file, or None
+    * when the file carries no stat for it (keep).
+    */
+  private def bounds(f: ManifestLake.LiveFile,
+                     name: String): Option[(Any, Any, Ordering[Any])] =
+    for {
+      (loS, hiS) <- f.stats.get(name)
+      field <- dataSchema.fields.find(_.name == name)
+      lo = castString(loS, field.dataType)
+      hi = castString(hiS, field.dataType)
+      if lo != null && hi != null
+    } yield (lo, hi,
+      TypeUtils.getInterpretedOrdering(field.dataType).asInstanceOf[Ordering[Any]])
+
+  /** Conservative "could any row of this file match?" over a data
+    * predicate. Unknown shapes, absent stats, and null literals all
+    * answer true — skipping must be provable, never guessed.
+    */
+  private def mightMatch(f: ManifestLake.LiveFile, p: Expression): Boolean = p match {
+    case And(l, r) => mightMatch(f, l) && mightMatch(f, r)
+    case Or(l, r) => mightMatch(f, l) || mightMatch(f, r)
+    case EqualTo(a: AttributeReference, Literal(v, _)) => eqMight(f, a.name, v)
+    case EqualTo(Literal(v, _), a: AttributeReference) => eqMight(f, a.name, v)
+    case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null => eqMight(f, a.name, v)
+    case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null => eqMight(f, a.name, v)
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => cmpMight(f, a.name, v, hiAbove = true, strict = true)
+    case GreaterThan(Literal(v, _), a: AttributeReference) => cmpMight(f, a.name, v, hiAbove = false, strict = true)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => cmpMight(f, a.name, v, hiAbove = true, strict = false)
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => cmpMight(f, a.name, v, hiAbove = false, strict = false)
+    case LessThan(a: AttributeReference, Literal(v, _)) => cmpMight(f, a.name, v, hiAbove = false, strict = true)
+    case LessThan(Literal(v, _), a: AttributeReference) => cmpMight(f, a.name, v, hiAbove = true, strict = true)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => cmpMight(f, a.name, v, hiAbove = false, strict = false)
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => cmpMight(f, a.name, v, hiAbove = true, strict = false)
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, _) => eqMight(f, a.name, v); case _ => true }
+    case Not(EqualTo(a: AttributeReference, Literal(v, _))) => neqMight(f, a.name, v)
+    case Not(EqualTo(Literal(v, _), a: AttributeReference)) => neqMight(f, a.name, v)
+    case _ => true
+  }
+
+  /** col = v could hold iff lo <= v <= hi. */
+  private def eqMight(f: ManifestLake.LiveFile, name: String, v: Any): Boolean =
+    v == null || bounds(f, name).forall { case (lo, hi, ord) =>
+      ord.compare(v, lo) >= 0 && ord.compare(v, hi) <= 0
+    }
+
+  /** col != v could hold unless EVERY value is v (lo = hi = v). A file
+    * can still hold nulls unseen by min/max, but null rows don't
+    * satisfy != either, so the skip stays sound.
+    */
+  private def neqMight(f: ManifestLake.LiveFile, name: String, v: Any): Boolean =
+    v == null || bounds(f, name).forall { case (lo, hi, ord) =>
+      !(ord.compare(lo, v) == 0 && ord.compare(hi, v) == 0)
+    }
+
+  /** hiAbove: predicate needs some value above `v` (col > v) — test the
+    * file's hi; otherwise it needs some value below (col < v) — test lo.
+    */
+  private def cmpMight(f: ManifestLake.LiveFile, name: String, v: Any,
+                       hiAbove: Boolean, strict: Boolean): Boolean =
+    v == null || bounds(f, name).forall { case (lo, hi, ord) =>
+      val c = if (hiAbove) ord.compare(hi, v) else -ord.compare(lo, v)
+      if (strict) c > 0 else c >= 0
+    }
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -93,7 +173,12 @@ private[etl] final class ManifestFileIndex(
         val pred = Predicate.createInterpreted(bound)
         partitions.filter { case (values, _) => pred.eval(values) }
       }
-    pruned.map { case (values, fls) => PartitionDirectory(values, fls) }
+    pruned.map { case (values, fls) =>
+      val surviving =
+        if (dataFilters.isEmpty) fls
+        else fls.filter { case (f, _) => dataFilters.forall(mightMatch(f, _)) }
+      PartitionDirectory(values, surviving.map(_._2).toArray)
+    }.filter(_.files.nonEmpty)
   }
 
   override def inputFiles: Array[String] =

@@ -99,13 +99,21 @@ object ManifestLake {
       .maxOption
   }
 
-  /** One live data file: root-relative path plus its size. Sizes live
-    * IN the manifest so maintenance decisions (compaction detection)
-    * read zero file metadata — "the manifest IS the listing" has to
-    * include the one attribute the decisions need, or every poll
-    * degenerates into a per-file getFileStatus walk.
+  /** One live data file: root-relative path, size, and (optionally)
+    * per-column [min, max] value stats. Sizes live IN the manifest so
+    * maintenance decisions (compaction detection) read zero file
+    * metadata — "the manifest IS the listing" has to include the one
+    * attribute the decisions need, or every poll degenerates into a
+    * per-file getFileStatus walk. Stats serve FILE-LEVEL DATA SKIPPING
+    * at scan planning (see [[ManifestFileIndex]]): a filter on a
+    * stats-carrying column prunes files whose range provably cannot
+    * match, before any parquet footer is opened. Values are stored as
+    * strings and cast back through the recorded schema; an absent
+    * entry means "unknown — never skip", so stats are always
+    * correctness-neutral.
     */
-  final case class LiveFile(bytes: Long, path: String)
+  final case class LiveFile(bytes: Long, path: String,
+                            stats: Map[String, (String, String)] = Map.empty)
 
   /** A parsed manifest: the table shape, the live file set, and the
     * per-writer transaction watermarks (`txns`: appId → highest
@@ -144,10 +152,35 @@ object ManifestLake {
       parts(1) -> parts(2).toLong
     }.toMap
     val files = data.map { line =>
-      val i = line.indexOf('\t')
-      LiveFile(line.substring(0, i).toLong, line.substring(i + 1))
+      // `bytes\tpath` or `bytes\tpath\t<stats json>` — JSON string
+      // escaping keeps tabs/newlines inside values off the line
+      line.split("\t", 3) match {
+        case Array(b, p) => LiveFile(b.toLong, p)
+        case Array(b, p, statsJson) =>
+          LiveFile(b.toLong, p, parseStats(statsJson))
+      }
     }
     Manifest(schema, partCols, files, txns)
+  }
+
+  private def parseStats(json: String): Map[String, (String, String)] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(json) match {
+      case JObject(fields) => fields.collect {
+        case (c, JArray(List(JString(lo), JString(hi)))) => c -> (lo, hi)
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private def renderStats(stats: Map[String, (String, String)]): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JObject(
+      stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        c -> (JArray(List(JString(lo), JString(hi))): JValue)
+      }.toList))
   }
 
   /** The highest batchId `appId` has committed to the table, or None.
@@ -179,7 +212,10 @@ object ManifestLake {
     val header = schema.toSeq.flatMap(s =>
       Seq(s"#schema\t${s.json}", s"#partcols\t${partCols.mkString(",")}")) ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
-    val body = header ++ files.sortBy(_.path).map(f => s"${f.bytes}\t${f.path}")
+    val body = header ++ files.sortBy(_.path).map { f =>
+      if (f.stats.isEmpty) s"${f.bytes}\t${f.path}"
+      else s"${f.bytes}\t${f.path}\t${renderStats(f.stats)}"
+    }
     val out = fs.create(tmp, true)
     try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
@@ -236,19 +272,61 @@ object ManifestLake {
     */
   def write(spark: SparkSession, df: DataFrame, path: String,
             partitionCols: Seq[String], replace: Boolean = true,
-            txn: Option[(String, Long)] = None): Long = {
+            txn: Option[(String, Long)] = None,
+            statsCols: Seq[String] = Seq.empty): Long = {
     // the plan feeds the staged write AND the verification count — pin
     // it so both observe one evaluation (a non-deterministic or
     // concurrently-changing source must not write one row set and
     // verify another); same stance as upsert's pinning
     df.persist()
-    try writePinned(spark, df, path, partitionCols, replace, txn)
+    try writePinned(spark, df, path, partitionCols, replace, txn, statsCols)
     finally { df.unpersist(); () }
+  }
+
+  /** Per-file [min, max] of `statsCols` over a freshly staged commit
+    * dir, keyed by root-relative path — one aggregation job over the
+    * BATCH (not the table), which is the write-time price of file-level
+    * data skipping at read time. Only atomic orderable types carry
+    * stats (binary/nested are excluded — their string casts don't
+    * round-trip); columns that are all-null in a file get no entry
+    * (unknown = never skip).
+    */
+  private def collectStats(spark: SparkSession, fs: FileSystem, root: Path,
+                           commitDir: Path, schema: StructType,
+                           statsCols: Seq[String],
+                           partitionCols: Seq[String]): Map[String, Map[String, (String, String)]] = {
+    import org.apache.spark.sql.types._
+    val eligible = statsCols.distinct
+      .filter(c => schema.fieldNames.contains(c) && !partitionCols.contains(c))
+      .filter(c => schema(c).dataType match {
+        case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+        case _ => false
+      })
+    if (eligible.isEmpty) return Map.empty
+    val aggs = eligible.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__lo_$c"),
+      max(col(c)).cast("string").as(s"__hi_$c")))
+    val rows = spark.read.parquet(commitDir.toString)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val marker = "/" + DataDir + "/v"
+    rows.flatMap { r =>
+      val abs = r.getString(0)
+      val i = abs.lastIndexOf(marker)
+      if (i < 0) None
+      else Some(abs.substring(i + 1) -> eligible.flatMap { c =>
+        val lo = r.getAs[String](s"__lo_$c")
+        val hi = r.getAs[String](s"__hi_$c")
+        if (lo == null || hi == null) None else Some(c -> ((lo, hi)))
+      }.toMap)
+    }.toMap
   }
 
   private def writePinned(spark: SparkSession, df: DataFrame, path: String,
                           partitionCols: Seq[String], replace: Boolean,
-                          txn: Option[(String, Long)]): Long = {
+                          txn: Option[(String, Long)],
+                          statsCols: Seq[String]): Long = {
     val (fs, root) = fsFor(spark, path)
     val prevV = currentVersion(spark, path)
     val prev = prevV.map(readManifest(fs, root, _))
@@ -292,6 +370,13 @@ object ManifestLake {
         s"manifest write verification failed for $path v$v: $rowsIn rows in, " +
           s"$rowsOut staged — table still at v${v - 1}")
     }
+    val withStats =
+      if (statsCols.isEmpty || staged.isEmpty) staged
+      else {
+        val byRel = collectStats(spark, fs, root, commitDir, tableSchema,
+          statsCols, partitionCols)
+        staged.map(f => f.copy(stats = byRel.getOrElse(f.path, Map.empty)))
+      }
     val carried =
       if (replace) Seq.empty
       else prev.map(_.files).getOrElse(Seq.empty)
@@ -299,7 +384,7 @@ object ManifestLake {
     // stream's replay detection must not reset because a batch job
     // rewrote the table underneath it
     val txns = prev.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
-    publish(fs, root, v, carried ++ staged, Some(tableSchema), partitionCols, txns)
+    publish(fs, root, v, carried ++ withStats, Some(tableSchema), partitionCols, txns)
     v
   }
 
@@ -323,10 +408,11 @@ object ManifestLake {
       val dataSchema =
         StructType(schema.fields.filterNot(f => m.partCols.contains(f.name)))
       val statuses = m.files.map { f =>
-        (f.path, new org.apache.hadoop.fs.FileStatus(
+        (f, new org.apache.hadoop.fs.FileStatus(
           f.bytes, false, 1, 1, 0L, fs.makeQualified(new Path(root, f.path))))
       }
-      val index = new ManifestFileIndex(spark, fs.makeQualified(root), partSchema, statuses)
+      val index = new ManifestFileIndex(spark, fs.makeQualified(root), partSchema,
+        dataSchema, statuses)
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         index, partSchema, dataSchema, None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),

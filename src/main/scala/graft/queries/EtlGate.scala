@@ -538,7 +538,8 @@ object EtlGate {
         (0 until 8).foreach { i =>
           val batch = docs.where(pmod(col("doc_id"), lit(8L)) === i)
           ManifestLake.write(s, batch, out, Seq("lang"),
-            replace = i == 0, txn = Some(("gate-ingest", i.toLong)))
+            replace = i == 0, txn = Some(("gate-ingest", i.toLong)),
+            statsCols = Seq("doc_id", "n_chars"))
           if (i == 3) {
             // at-least-once re-delivery of batch 3: the ledger watermark
             // makes this a no-op — no version publishes, no rows double

@@ -329,6 +329,60 @@ class ManifestLakeSpec extends AnyFunSuite {
       keepVersions = 1) === ((0, 0)))
   }
 
+  test("file-level data skipping: manifest [min,max] stats prune files at planning") {
+    import spark.implicits._
+    val dir = freshDir("mlake-skip")
+    val df = (0 until 200).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    // range-cluster on pos so files carry DISJOINT pos ranges — the
+    // layout stats skipping exists for
+    ManifestLake.write(spark,
+      df.repartitionByRange(4, col("pos")).sortWithinPartitions(col("pos")),
+      dir, Seq("chrom"), statsCols = Seq("pos", "payload"))
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m = ManifestLake.readManifest(fs, root, 1L)
+    assert(m.files.nonEmpty && m.files.forall(_.stats.contains("pos")),
+      "every staged file should carry pos stats")
+    def filesRead(filtered: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      // collect() executes THIS Dataset's physical plan (count() would
+      // plan a separate aggregation whose scan metrics we can't see)
+      val n = filtered.collect().length.toLong
+      val scan = filtered.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      (n, scan.metrics("numFiles").value)
+    }
+    val total = m.files.length
+    // a high-pos filter must read a strict subset of files — skipped at
+    // PLANNING from the manifest ranges, before any footer is opened
+    val (nHigh, filesHigh) = filesRead(ManifestLake.read(spark, dir).where(col("pos") >= 150))
+    assert(nHigh === 50)
+    assert(filesHigh < total, s"expected file skipping: read $filesHigh of $total")
+    // equality on a single value: at most one range file per chrom side
+    val (nEq, filesEq) = filesRead(ManifestLake.read(spark, dir).where(col("pos") === 7))
+    assert(nEq === 1)
+    assert(filesEq <= 2)
+    // a filter no file can satisfy plans an empty scan — and still
+    // answers correctly
+    val (nNone, filesNone) = filesRead(ManifestLake.read(spark, dir).where(col("pos") > 10000))
+    assert(nNone === 0 && filesNone === 0)
+    // string stats prune too, and unsupported shapes stay conservative
+    val (nStr, _) = filesRead(ManifestLake.read(spark, dir).where(col("payload") === "p7"))
+    assert(nStr === 1)
+    val (nLike, filesLike) = filesRead(
+      ManifestLake.read(spark, dir).where(col("payload").startsWith("p1")))
+    assert(nLike === 111 && filesLike === total.toLong,
+      "unrecognized predicate shapes must keep every file")
+    // a stats-free write (default) keeps every file — skipping is opt-in
+    val dir2 = freshDir("mlake-noskip")
+    ManifestLake.write(spark, df.repartitionByRange(4, col("pos")), dir2, Seq("chrom"))
+    val (_, filesNoStats) = filesRead(ManifestLake.read(spark, dir2).where(col("pos") >= 150))
+    val total2 = ManifestLake.readManifest(
+      ManifestLake.fsFor(spark, dir2)._1,
+      ManifestLake.fsFor(spark, dir2)._2, 1L).files.length
+    assert(filesNoStats === total2.toLong)
+  }
+
   test("restore re-publishes an old version as the head with zero data IO; ledger survives") {
     import spark.implicits._
     val dir = freshDir("mlake-restore")
