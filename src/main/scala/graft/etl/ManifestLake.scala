@@ -583,7 +583,18 @@ object ManifestLake {
     }
     val rewritten = plans.map(_._1).toSet
     val untouched = live.filterNot(f => rewritten.contains(partOf(f.path)))
-    publish(fs, root, newV, untouched ++ stagedFiles(fs, root, commitDir),
+    // stats, once collected, are MAINTAINED: rewritten files re-collect
+    // [min,max] for whatever columns the live manifest already tracks,
+    // so compaction never silently degrades file skipping
+    val staged = stagedFiles(fs, root, commitDir)
+    val statKeys = live.flatMap(_.stats.keys).distinct
+    val withStats = manifest.schema match {
+      case Some(sch) if statKeys.nonEmpty =>
+        val byRel = collectStats(spark, fs, root, commitDir, sch, statKeys, manifest.partCols)
+        staged.map(f => f.copy(stats = byRel.getOrElse(f.path, Map.empty)))
+      case _ => staged
+    }
+    publish(fs, root, newV, untouched ++ withStats,
       manifest.schema, manifest.partCols, manifest.txns)
     report
   }
@@ -714,7 +725,18 @@ object ManifestLake {
           s"$keysOut keys, $updKeysOut of $nUpdKeys update keys staged — " +
           s"table still at v$v")
     }
-    publish(fs, root, newV, untouched ++ stagedFiles(fs, root, commitDir),
+    // rewritten partitions re-collect whatever stats columns the live
+    // manifest tracks — same stats-are-maintained stance as compact
+    val staged = stagedFiles(fs, root, commitDir)
+    val statKeys = live.flatMap(_.stats.keys).distinct
+    val stagedWithStats =
+      if (statKeys.isEmpty) staged
+      else {
+        val sch = manifest.schema.getOrElse(updSchema)
+        val byRel = collectStats(spark, fs, root, commitDir, sch, statKeys, partitionCols)
+        staged.map(f => f.copy(stats = byRel.getOrElse(f.path, Map.empty)))
+      }
+    publish(fs, root, newV, untouched ++ stagedWithStats,
       manifest.schema.orElse(Some(updSchema)), partitionCols,
       manifest.txns ++ txn.toMap)
     newV

@@ -383,6 +383,32 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(filesNoStats === total2.toLong)
   }
 
+  test("maintenance preserves stats: compact and upsert re-collect for rewritten files") {
+    import spark.implicits._
+    val dir = freshDir("mlake-statmaint")
+    val df = (0 until 120).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, df.repartition(6), dir, Seq("chrom"),
+      statsCols = Seq("pos"))
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    assert(ManifestLake.readManifest(fs, root, 1L).files.forall(_.stats.contains("pos")))
+    // compact rewrites every fragmented partition — stats must survive
+    assert(ManifestLake.compact(spark, dir, targetBytes = 1L << 30,
+      clusterBy = Seq("pos")).nonEmpty)
+    val afterCompact = ManifestLake.readManifest(fs, root, 2L).files
+    assert(afterCompact.nonEmpty && afterCompact.forall(_.stats.contains("pos")),
+      s"compacted files must keep pos stats: $afterCompact")
+    // upsert rewrites one partition — its new files carry stats too
+    val upd = Seq(("chr1", 0L, "NEW")).toDF("chrom", "pos", "payload")
+    ManifestLake.upsert(spark, dir, upd, Seq("chrom"), Seq("chrom", "pos"))
+    val afterUpsert = ManifestLake.readManifest(fs, root, 3L).files
+    assert(afterUpsert.forall(_.stats.contains("pos")),
+      s"upserted files must keep pos stats: $afterUpsert")
+    // and the ranges are still usable: a planned scan skips files
+    val filtered = ManifestLake.read(spark, dir).where(col("pos") >= 100)
+    assert(filtered.collect().length === 20)
+  }
+
   test("restore re-publishes an old version as the head with zero data IO; ledger survives") {
     import spark.implicits._
     val dir = freshDir("mlake-restore")
