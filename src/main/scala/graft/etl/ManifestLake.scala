@@ -206,6 +206,12 @@ object ManifestLake {
   private[etl] def publish(fs: FileSystem, root: Path, v: Long, files: Seq[LiveFile],
                            schema: Option[StructType], partCols: Seq[String],
                            txns: Map[String, Long] = Map.empty): Unit = {
+    // the header is a tab/newline/comma-delimited text format — reject
+    // values that would corrupt it at COMMIT time, not at the next read
+    txns.keys.foreach(app => require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"txn appId must not contain tabs or newlines: ${app.replaceAll("\\s", "·")}"))
+    partCols.foreach(c => require(!c.exists(ch => ch == ',' || ch == '\t' || ch == '\n' || ch == '\r'),
+      s"partition column name must not contain ',' or whitespace control chars: $c"))
     val dir = new Path(root, ManifestDir)
     fs.mkdirs(dir)
     val tmp = new Path(dir, f".tmp-v$v%06d.list")
@@ -221,8 +227,26 @@ object ManifestLake {
     finally out.close()
     val target = manifestPath(root, v)
     try {
-      val fc = FileContext.getFileContext(fs.getUri, fs.getConf)
-      fc.rename(fs.makeQualified(tmp), fs.makeQualified(target))
+      try {
+        val fc = FileContext.getFileContext(fs.getUri, fs.getConf)
+        fc.rename(fs.makeQualified(tmp), fs.makeQualified(target))
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // stores that register only a FileSystem impl (no
+          // AbstractFileSystem binding — some object-store connectors)
+          // can't do the server-checked no-overwrite rename; fall back
+          // to check-then-rename. The race window is the check-to-
+          // rename gap instead of zero — still a loud failure in every
+          // observable interleaving, and strictly no worse than the
+          // pre-FileContext behavior on those stores.
+          if (fs.exists(target))
+            throw new java.nio.file.FileAlreadyExistsException(target.toString)
+          if (!fs.rename(tmp, target)) {
+            if (fs.exists(target))
+              throw new java.nio.file.FileAlreadyExistsException(target.toString)
+            throw new IOException(s"manifest rename failed: $tmp -> $target")
+          }
+      }
     } catch {
       case e: IOException =>
         fs.delete(tmp, false)
@@ -296,10 +320,15 @@ object ManifestLake {
                            statsCols: Seq[String],
                            partitionCols: Seq[String]): Map[String, Map[String, (String, String)]] = {
     import org.apache.spark.sql.types._
+    // timestamps are excluded: their string form renders in the
+    // WRITER's session timezone and would re-parse in the READER's —
+    // a zone mismatch would shift the bounds and wrongly skip files,
+    // violating the stats-never-change-results contract. (Dates are
+    // zone-free and stay eligible.)
     val eligible = statsCols.distinct
       .filter(c => schema.fieldNames.contains(c) && !partitionCols.contains(c))
       .filter(c => schema(c).dataType match {
-        case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+        case _: NumericType | StringType | DateType | BooleanType => true
         case _ => false
       })
     if (eligible.isEmpty) return Map.empty
@@ -311,8 +340,14 @@ object ManifestLake {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val marker = "/" + DataDir + "/v"
+    // input_file_name() is URL-encoded while manifest paths come from
+    // FileStatus unencoded — decode first or a table path / partition
+    // value with a space (or hive-escaped char) mismatches every key
+    // and silently drops all stats
+    def decoded(abs: String): String =
+      try new java.net.URI(abs).getPath catch { case _: Exception => abs }
     rows.flatMap { r =>
-      val abs = r.getString(0)
+      val abs = decoded(r.getString(0))
       val i = abs.lastIndexOf(marker)
       if (i < 0) None
       else Some(abs.substring(i + 1) -> eligible.flatMap { c =>
@@ -645,17 +680,22 @@ object ManifestLake {
                            txn: Option[(String, Long)]): Long = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     val v = currentVersion(spark, path).getOrElse(0L)
-    if (v == 0L) return write(spark, updates, path, partitionCols, replace = true, txn)
-    val manifest = readManifest(fs, root, v)
+    val manifest0 = if (v == 0L) None else Some(readManifest(fs, root, v))
     // exactly-once: skip a replayed (appId, batchId) before any work —
     // the table already contains this batch's effect
-    if (txn.exists { case (app, b) => manifest.txns.get(app).exists(_ >= b) })
+    if (txn.exists { case (app, b) =>
+      manifest0.exists(_.txns.get(app).exists(_ >= b)) })
       return v
+    // key-uniqueness holds on EVERY path, including the table-creating
+    // first batch — a duplicate key that slipped into v1 would corrupt
+    // the first real merge with a nondeterministic winner
     val nUpd = updates.count()
     val nUpdKeys = updates.select(keyCols.map(col): _*).distinct().count()
     if (nUpd != nUpdKeys)
       throw new IllegalArgumentException(
         s"updates are not key-unique on ${keyCols.mkString(",")}: $nUpd rows, $nUpdKeys keys")
+    if (v == 0L) return write(spark, updates, path, partitionCols, replace = true, txn)
+    val manifest = manifest0.get
     manifest.schema.foreach { recorded =>
       require(manifest.partCols == partitionCols,
         s"upsert partitioned by ${partitionCols.mkString(",")} but the table " +

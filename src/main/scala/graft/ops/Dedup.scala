@@ -521,6 +521,10 @@ object Dedup {
                    maxBucket: Option[Int] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits,
       s"need 0 <= maxHamming < bits, got $maxHamming vs $bits bits")
+    // the verify XORs the sketch as a signed long: 63+ bits would
+    // overflow conv's cast (ANSI throws; legacy nulls out the sketch
+    // and silently drops its pairs) — refuse loudly instead
+    require(bits <= 62, s"sketches wider than 62 bits don't fit the popcount verify (got $bits)")
     val bands = maxHamming + 1
     // balanced exact partition of the bit positions — a lazy ceil-width
     // split would leave trailing bands EMPTY when bands does not divide

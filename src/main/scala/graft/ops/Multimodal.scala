@@ -476,9 +476,15 @@ object Multimodal {
     * Scale shape: the transcoder is typically a `mapPartitions` over
     * an external binary/service at the same codec boundary the JDK
     * decode runs at; only the FAILED payloads' bytes flow through it,
-    * and everything else takes the one-pass path. `media` is read
-    * twice (frame pass + failed-payload join) — persist it upstream
-    * when the source is expensive.
+    * and everything else takes the one-pass path. The returned Dataset
+    * references `media` and the transcoder output from multiple
+    * branches (first-pass frames, the failed-payload join, re-decode,
+    * and the dropped-payload anti-join), so an action evaluates the
+    * decode more than once and may invoke the external transcoder per
+    * branch — persist `media` upstream, and make the transcoder
+    * persist (or materialize) its own output, when either is
+    * expensive. Deliberate trade: an internal persist here would have
+    * no sound unpersist point for a lazily-returned Dataset.
     */
   def transcodeWith(media: DataFrame, k: Int,
                     transcoder: DataFrame => DataFrame,

@@ -293,7 +293,9 @@ object EventStreams {
                          versionCol: Option[String] = None,
                          appId: String = "graft-stream",
                          maintainEvery: Option[Int] = None)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    maintainEvery.foreach(n => require(n > 0,
+      s"maintainEvery must be positive, got $n (every batch = Some(1))"))
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val unique = dedupWithinBatch(batch, keyCols, versionCol)
@@ -312,6 +314,7 @@ object EventStreams {
         }
         ()
     }
+  }
 
   /** Append-only manifest sink — the log-shaped sibling of
     * [[manifestUpsertSink]] for streams with no key semantics (event
@@ -326,7 +329,9 @@ object EventStreams {
                          partitionCols: Seq[String],
                          appId: String = "graft-stream",
                          maintainEvery: Option[Int] = None)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    maintainEvery.foreach(n => require(n > 0,
+      s"maintainEvery must be positive, got $n (every batch = Some(1))"))
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
@@ -338,6 +343,7 @@ object EventStreams {
         }
         ()
     }
+  }
 
   /** Streaming incremental ingest dedup — the stream analog of
     * `Dedup.dedupAgainstCorpus`'s exact pass: a document stream drops

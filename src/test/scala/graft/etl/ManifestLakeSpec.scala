@@ -154,6 +154,16 @@ class ManifestLakeSpec extends AnyFunSuite {
         Seq(("chr1", 7L, "a"), ("chr1", 7L, "b")).toDF("chrom", "pos", "payload"),
         Seq("chrom"), Seq("chrom", "pos"))
     }
+    // …including on the TABLE-CREATING first batch: a duplicate key
+    // that slipped into v1 would corrupt the first real merge with a
+    // nondeterministic winner
+    val fresh = freshDir("mlake-upsert-fresh")
+    intercept[IllegalArgumentException] {
+      ManifestLake.upsert(spark, fresh,
+        Seq(("chr1", 7L, "a"), ("chr1", 7L, "b")).toDF("chrom", "pos", "payload"),
+        Seq("chrom"), Seq("chrom", "pos"))
+    }
+    assert(ManifestLake.currentVersion(spark, fresh) === None)
   }
 
   test("manifest reads keep partition pruning: a partition filter reaches the scan") {
