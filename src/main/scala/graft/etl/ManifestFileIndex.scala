@@ -95,6 +95,25 @@ private[etl] final class ManifestFileIndex(
 
   override def partitionSchema: StructType = partSchema
 
+  /** ±0.0 normalization for the skip check. The interpreted ordering is
+    * a TOTAL order (-0.0 < 0.0, matching IEEE totalOrder) while SQL
+    * comparison treats -0.0 == 0.0 — so a file whose recorded min/max
+    * is -0.0 would wrongly skip for `col = 0.0` / `col >= 0.0` under
+    * the raw ordering, silently dropping matching rows. Mapping every
+    * zero to +0.0 on BOTH the bounds and the predicate literal makes
+    * the two orders agree on every comparison the check performs (NaN
+    * needs no fix-up: Spark's SQL comparison and the interpreted
+    * ordering both place NaN above every value and equal to itself).
+    * Delta normalizes ±0.0 in collected stats for the same reason;
+    * doing it on the READ side also repairs manifests written before
+    * this fix.
+    */
+  private def normZero(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+    case x => x
+  }
+
   /** Typed [lo, hi] + ordering for a stats column of one file, or None
     * when the file carries no stat for it (keep).
     */
@@ -103,8 +122,8 @@ private[etl] final class ManifestFileIndex(
     for {
       (loS, hiS) <- f.stats.get(name)
       field <- dataSchema.fields.find(_.name == name)
-      lo = castString(loS, field.dataType)
-      hi = castString(hiS, field.dataType)
+      lo = normZero(castString(loS, field.dataType))
+      hi = normZero(castString(hiS, field.dataType))
       if lo != null && hi != null
     } yield (lo, hi,
       TypeUtils.getInterpretedOrdering(field.dataType).asInstanceOf[Ordering[Any]])
@@ -136,29 +155,35 @@ private[etl] final class ManifestFileIndex(
   }
 
   /** col = v could hold iff lo <= v <= hi. */
-  private def eqMight(f: ManifestLake.LiveFile, name: String, v: Any): Boolean =
+  private def eqMight(f: ManifestLake.LiveFile, name: String, v0: Any): Boolean = {
+    val v = normZero(v0)
     v == null || bounds(f, name).forall { case (lo, hi, ord) =>
       ord.compare(v, lo) >= 0 && ord.compare(v, hi) <= 0
     }
+  }
 
   /** col != v could hold unless EVERY value is v (lo = hi = v). A file
     * can still hold nulls unseen by min/max, but null rows don't
     * satisfy != either, so the skip stays sound.
     */
-  private def neqMight(f: ManifestLake.LiveFile, name: String, v: Any): Boolean =
+  private def neqMight(f: ManifestLake.LiveFile, name: String, v0: Any): Boolean = {
+    val v = normZero(v0)
     v == null || bounds(f, name).forall { case (lo, hi, ord) =>
       !(ord.compare(lo, v) == 0 && ord.compare(hi, v) == 0)
     }
+  }
 
   /** hiAbove: predicate needs some value above `v` (col > v) — test the
     * file's hi; otherwise it needs some value below (col < v) — test lo.
     */
-  private def cmpMight(f: ManifestLake.LiveFile, name: String, v: Any,
-                       hiAbove: Boolean, strict: Boolean): Boolean =
+  private def cmpMight(f: ManifestLake.LiveFile, name: String, v0: Any,
+                       hiAbove: Boolean, strict: Boolean): Boolean = {
+    val v = normZero(v0)
     v == null || bounds(f, name).forall { case (lo, hi, ord) =>
       val c = if (hiAbove) ord.compare(hi, v) else -ord.compare(lo, v)
       if (strict) c > 0 else c >= 0
     }
+  }
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {

@@ -277,9 +277,15 @@ object EventStreams {
     * manifest's transaction ledger, so a replayed micro-batch
     * (foreachBatch is at-least-once) is detected against the ledger
     * and skipped without publishing anything. `appId` identifies this
-    * logical stream in the ledger; give each distinct stream writing
-    * the table (sequentially — single-writer) its own id, and keep it
-    * stable across restarts.
+    * logical stream in the ledger and is deliberately REQUIRED (no
+    * default): the ledger skips any batchId at or below the recorded
+    * watermark, so two different streams sharing one id — which is
+    * exactly what a default invites — would have the later stream's
+    * early batches (fresh checkpoint, batchIds restarting at 0)
+    * silently dropped as "replays". Delta's txnAppId is explicit
+    * opt-in for the same reason. Give each distinct stream writing
+    * the table (sequentially — single-writer) its own id, and keep
+    * it stable across restarts (pair it with the checkpoint dir).
     *
     * `maintainEvery = Some(n)` runs [[graft.etl.ManifestLake.maintain]]
     * (compact + vacuum) after every n-th batch — small per-trigger
@@ -290,10 +296,11 @@ object EventStreams {
     */
   def manifestUpsertSink(stream: DataFrame, lakePath: String,
                          partitionCols: Seq[String], keyCols: Seq[String],
+                         appId: String,
                          versionCol: Option[String] = None,
-                         appId: String = "graft-stream",
                          maintainEvery: Option[Int] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(appId.trim.nonEmpty, "appId must be a non-empty stable stream identity")
     maintainEvery.foreach(n => require(n > 0,
       s"maintainEvery must be positive, got $n (every batch = Some(1))"))
     stream.writeStream.foreachBatch {
@@ -327,9 +334,10 @@ object EventStreams {
     */
   def manifestAppendSink(stream: DataFrame, lakePath: String,
                          partitionCols: Seq[String],
-                         appId: String = "graft-stream",
+                         appId: String,
                          maintainEvery: Option[Int] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(appId.trim.nonEmpty, "appId must be a non-empty stable stream identity")
     maintainEvery.foreach(n => require(n > 0,
       s"maintainEvery must be positive, got $n (every batch = Some(1))"))
     stream.writeStream.foreachBatch {

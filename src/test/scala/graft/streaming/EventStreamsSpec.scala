@@ -289,7 +289,7 @@ class EventStreamsSpec extends AnyFunSuite {
     val stream = in.toDF().toDF("part", "key", "version", "payload")
     val q = EventStreams.manifestUpsertSink(stream, lake,
       partitionCols = Seq("part"), keyCols = Seq("part", "key"),
-      versionCol = Some("version")).start()
+      appId = "mupsert-spec", versionCol = Some("version")).start()
     def tableAt(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[String]("part"), r.getAs[Long]("key")) ->
         r.getAs[String]("payload")).toMap
@@ -318,8 +318,25 @@ class EventStreamsSpec extends AnyFunSuite {
       // the txn ledger tracked every trigger (batchIds 0..2) — a TRUE
       // replay (same batchId after a checkpoint restart) would be
       // skipped against it, which ManifestLakeSpec pins directly
-      assert(ManifestLake.lastCommitted(spark, lake, "graft-stream") === Some(2L))
+      assert(ManifestLake.lastCommitted(spark, lake, "mupsert-spec") === Some(2L))
     } finally q.stop()
+  }
+
+  test("manifest sinks refuse a blank appId — a shared default id would eat fresh-checkpoint batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the ledger skips batchIds at or below appId's watermark, so two
+    // streams accidentally sharing an id would have the younger one's
+    // restarted-from-0 batches silently dropped; identity is explicit
+    val in = MemoryStream[(String, Long)]
+    val stream = in.toDF().toDF("part", "key")
+    intercept[IllegalArgumentException] {
+      EventStreams.manifestAppendSink(stream, "/tmp/never", Seq("part"), appId = "  ")
+    }
+    intercept[IllegalArgumentException] {
+      EventStreams.manifestUpsertSink(stream, "/tmp/never", Seq("part"),
+        keyCols = Seq("part", "key"), appId = "")
+    }
   }
 
   test("manifestAppendSink: every batch accretes as one append commit with the txn ledger") {
