@@ -48,9 +48,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * per-commit directory inference) means a v1 whose `lang=` dirs look
   * numeric and a v2 that adds an alphanumeric value read back
   * IDENTICALLY typed instead of one version's values silently casting
-  * to null. Appends and upserts that would CHANGE the recorded shape
-  * (different column types or partition columns) fail loudly — schema
-  * evolution is a `replace`, not a silent cast.
+  * to null. Schema evolution is ADDITIVE-ONLY in place: an append or
+  * upsert whose schema is a superset of the recorded one widens the
+  * table header (old files read the new columns as typed nulls — a
+  * manifest-header change, never a data rewrite); anything destructive
+  * — a dropped or re-typed column, different partition columns — fails
+  * loudly and requires a `replace`, never a silent cast.
   *
   * Failure contract: a crash ANYWHERE before manifest publication
   * leaves the table exactly at the previous version plus some
@@ -283,16 +286,55 @@ object ManifestLake {
     a.fields.map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq ==
       b.fields.map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq
 
+  /** ADDITIVE schema evolution: the widened table schema for an append
+    * or upsert batch against the recorded schema. Every recorded column
+    * must appear in the batch with the SAME type (a missing or re-typed
+    * column is still a loud failure — destructive evolution stays a
+    * replace); batch-only columns are ADDED, nullable, after the
+    * recorded ones. Old files simply lack the new columns on disk and
+    * the single-scan read serves them as typed nulls — the same
+    * declared-but-absent→null tolerance the explicit-schema parquet
+    * read has always had (see Annotations' gnomAD handling) — so adding
+    * a column to a 100 TB table is a manifest-header change, not a
+    * full-table rewrite. New columns cannot be partition columns (that
+    * WOULD relocate every file).
+    */
+  private def widen(recorded: StructType, batch: StructType,
+                    partitionCols: Seq[String], op: String): StructType = {
+    val batchTypes = batch.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val missing = recorded.fields.filterNot(f => batchTypes.contains(f.name))
+    require(missing.isEmpty,
+      s"$op batch is missing recorded column(s) " +
+        s"${missing.map(_.name).mkString(", ")} — every recorded column must be " +
+        "present (schema evolution is additive; dropping or renaming is a replace)")
+    val retyped = recorded.fields
+      .filter(f => batchTypes(f.name) != f.dataType.catalogString)
+    require(retyped.isEmpty,
+      s"$op batch re-types recorded column(s) " +
+        retyped.map(f => s"${f.name}: ${f.dataType.catalogString} -> ${batchTypes(f.name)}")
+          .mkString(", ") +
+        " — type changes are a replace, not evolution")
+    val recordedNames = recorded.fieldNames.toSet
+    val added = batch.fields.filterNot(f => recordedNames.contains(f.name))
+    require(added.forall(f => !partitionCols.contains(f.name)),
+      s"$op cannot add partition column(s) " +
+        s"${added.map(_.name).filter(partitionCols.contains).mkString(", ")} — " +
+        "repartitioning relocates every file; use a replace write")
+    StructType(recorded.fields ++ added.map(_.copy(nullable = true)))
+  }
+
   /** Write `df` as the NEXT version of the manifested table at `path`
     * (creating it at v1): data lands under `data/v<N>/` hive-partitioned
     * by `partitionCols`, is count-verified against the plan, and becomes
     * visible only when the manifest publishes. `replace = true`
     * publishes ONLY the new files (full-table replacement, and the one
-    * way to CHANGE the table's schema); `replace = false` appends them
-    * to the previous version's live set and therefore requires the
-    * incoming shape to match the recorded one — a type that drifted
-    * (say a partition column going numeric→alphanumeric) fails loudly
-    * here instead of reading back as nulls later.
+    * way to make a DESTRUCTIVE schema change); `replace = false`
+    * appends them to the previous version's live set: the incoming
+    * shape must contain every recorded column at its recorded type — a
+    * type that drifted (say a partition column going
+    * numeric→alphanumeric) fails loudly here instead of reading back
+    * as nulls later — while extra columns WIDEN the table additively
+    * (old files serve them as typed nulls; see [[widen]]).
     */
   def write(spark: SparkSession, df: DataFrame, path: String,
             partitionCols: Seq[String], replace: Boolean = true,
@@ -346,6 +388,18 @@ object ManifestLake {
     // and silently drops all stats
     def decoded(abs: String): String =
       try new java.net.URI(abs).getPath catch { case _: Exception => abs }
+    // ±0.0 collapses to "0.0" in recorded float/double bounds: SQL
+    // comparison treats -0.0 == 0.0 while the read path's interpreted
+    // ordering is total (-0.0 < 0.0), so a recorded "-0.0" bound could
+    // wrongly prove `col = 0.0` impossible. Delta normalizes collected
+    // stats the same way; the reader also normalizes, which covers
+    // manifests written before this fix.
+    val floaty = eligible.filter(c => schema(c).dataType match {
+      case FloatType | DoubleType => true
+      case _ => false
+    }).toSet
+    def normZero(c: String, s: String): String =
+      if (floaty.contains(c) && s == "-0.0") "0.0" else s
     rows.flatMap { r =>
       val abs = decoded(r.getString(0))
       val i = abs.lastIndexOf(marker)
@@ -353,7 +407,8 @@ object ManifestLake {
       else Some(abs.substring(i + 1) -> eligible.flatMap { c =>
         val lo = r.getAs[String](s"__lo_$c")
         val hi = r.getAs[String](s"__hi_$c")
-        if (lo == null || hi == null) None else Some(c -> ((lo, hi)))
+        if (lo == null || hi == null) None
+        else Some(c -> ((normZero(c, lo), normZero(c, hi))))
       }.toMap)
     }.toMap
   }
@@ -372,17 +427,30 @@ object ManifestLake {
       return prevV.get
     val v = prevV.getOrElse(0L) + 1
     // an append joins an existing table, so its shape must match what
-    // the manifest records (legacy headerless manifests: best effort,
-    // the new header is stamped from this batch)
+    // the manifest records. A legacy HEADERLESS manifest has no recorded
+    // shape to check against, and stamping this batch's schema over the
+    // carried legacy files unverified would make them read back as
+    // silent nulls under the new explicit single-scan schema — exactly
+    // the failure the header exists to prevent — so the append verifies
+    // the batch against the legacy grouped read's inferred schema first
+    // and only then adopts the header for the whole table.
     val tableSchema = prev match {
       case Some(m) if !replace && m.schema.isDefined =>
         require(m.partCols == partitionCols,
           s"append partitioned by ${partitionCols.mkString(",")} but the table " +
             s"is partitioned by ${m.partCols.mkString(",")} — schema evolution is a replace")
-        require(sameShape(m.schema.get, df.schema),
-          s"append schema ${df.schema.catalogString} does not match the recorded " +
-            s"table schema ${m.schema.get.catalogString} — schema evolution is a replace")
-        m.schema.get
+        // additive evolution: a superset batch WIDENS the recorded
+        // schema (new nullable columns; old files read them as null);
+        // a missing or re-typed column still fails loudly inside widen
+        widen(m.schema.get, df.schema, partitionCols, "append")
+      case Some(m) if !replace && m.files.nonEmpty =>
+        val inferred = readFilesGrouped(spark, root, m.files.map(_.path)).schema
+        require(sameShape(inferred, df.schema),
+          s"append schema ${df.schema.catalogString} does not match the legacy " +
+            s"table's inferred schema ${inferred.catalogString} — a headerless " +
+            "manifest adopts this batch's schema as the table header, so the " +
+            "shapes must agree (use a replace write to change the schema)")
+        df.schema
       case _ => df.schema
     }
     val commitDir = new Path(root, f"$DataDir/v$v%06d")
@@ -696,14 +764,25 @@ object ManifestLake {
         s"updates are not key-unique on ${keyCols.mkString(",")}: $nUpd rows, $nUpdKeys keys")
     if (v == 0L) return write(spark, updates, path, partitionCols, replace = true, txn)
     val manifest = manifest0.get
-    manifest.schema.foreach { recorded =>
+    // additive evolution, same contract as the append path: a superset
+    // batch widens the recorded schema; untouched partitions' old files
+    // serve the new columns as typed nulls through the single scan
+    val widened: Option[StructType] = manifest.schema.map { recorded =>
       require(manifest.partCols == partitionCols,
         s"upsert partitioned by ${partitionCols.mkString(",")} but the table " +
           s"is partitioned by ${manifest.partCols.mkString(",")}")
-      require(sameShape(recorded, updates.schema),
-        s"upsert batch schema ${updates.schema.catalogString} does not match " +
-          s"the recorded table schema ${recorded.catalogString} — schema " +
-          "evolution is a replace write")
+      widen(recorded, updates.schema, partitionCols, "upsert")
+    }
+    // a legacy headerless table adopts THIS batch's schema as its header
+    // when the merge publishes — verify the shapes agree first (same
+    // silent-null hazard as the append path; see writePinned)
+    if (manifest.schema.isEmpty && manifest.files.nonEmpty) {
+      val inferred = readFilesGrouped(spark, root, manifest.files.map(_.path)).schema
+      require(sameShape(inferred, updates.schema),
+        s"upsert batch schema ${updates.schema.catalogString} does not match the " +
+          s"legacy table's inferred schema ${inferred.catalogString} — a headerless " +
+          "manifest adopts the batch's schema as the table header, so the shapes " +
+          "must agree (use a replace write to change the schema)")
     }
 
     // affected partition dirs, rendered exactly as partitioned writes
@@ -727,13 +806,19 @@ object ManifestLake {
     // merge: updates win key collisions outright (the batch is the
     // newer truth) — same shape as Lake.upsert's merge
     val updSchema = updates.schema
+    // the post-merge table schema: widened when the manifest records
+    // one, the batch's own otherwise (legacy adoption, verified above)
+    val tableSchema = widened.getOrElse(updSchema)
     val merged =
       if (affectedFiles.isEmpty) updates
       else {
+        // read the affected partitions through the WIDENED schema so a
+        // batch that adds columns merges against typed nulls, not an
+        // unresolved-column failure
         val affected = readFiles(spark, fs, root,
-          Manifest(manifest.schema, manifest.partCols, affectedFiles))
-          .select(updSchema.fieldNames.map(n =>
-            col(n).cast(updSchema(n).dataType)): _*)
+          Manifest(widened.orElse(manifest.schema), manifest.partCols, affectedFiles))
+          .select(tableSchema.fieldNames.map(n =>
+            col(n).cast(tableSchema(n).dataType)): _*)
         val byKey = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*).orderBy(col("__src").desc)
         affected.withColumn("__src", lit(0))
@@ -772,12 +857,11 @@ object ManifestLake {
     val stagedWithStats =
       if (statKeys.isEmpty) staged
       else {
-        val sch = manifest.schema.getOrElse(updSchema)
-        val byRel = collectStats(spark, fs, root, commitDir, sch, statKeys, partitionCols)
+        val byRel = collectStats(spark, fs, root, commitDir, tableSchema, statKeys, partitionCols)
         staged.map(f => f.copy(stats = byRel.getOrElse(f.path, Map.empty)))
       }
     publish(fs, root, newV, untouched ++ stagedWithStats,
-      manifest.schema.orElse(Some(updSchema)), partitionCols,
+      Some(tableSchema), partitionCols,
       manifest.txns ++ txn.toMap)
     newV
   }
@@ -825,16 +909,25 @@ object ManifestLake {
     * data files orphaned by crashes or superseded by compaction, and
     * manifests older than the `keepVersions` most recent. Run AFTER
     * the longest plausible scan on an old version could have finished
-    * — the retention window is the deployment's scan-length SLA — and
-    * NEVER concurrently with an in-flight commit: a committer's staged
-    * files are unreferenced until its manifest publishes, so a
-    * concurrent vacuum would delete them out from under it (the
-    * single-writer contract covers this — vacuum is a maintenance op
-    * of the same writer, sharing the writer lock the checked publish
-    * enforces for commits).
+    * — the retention window is the deployment's scan-length SLA.
+    *
+    * In-flight commits are MECHANICALLY safe, not safe-by-contract: a
+    * committer stages its files under `data/v<N>` with N ABOVE the
+    * current head before its manifest publishes, so vacuum never
+    * touches above-head commit dirs younger than `stagedGraceMs`. An
+    * above-head dir OLDER than the grace window is an aborted stage by
+    * then (no commit takes hours to go from staged to published) and
+    * is reaped. Below-head unreferenced files — superseded data,
+    * crash leftovers whose version was later reused and replaced — have
+    * no in-flight interpretation and are reaped regardless of age.
+    * (The single-writer contract still serializes vacuum against
+    * compaction/upsert for the MANIFEST race; this grace window removes
+    * the one way vacuum could destroy data.)
     */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Seq[String] = {
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2,
+             stagedGraceMs: Long = 24L * 60 * 60 * 1000): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the current version")
+    require(stagedGraceMs >= 0, "stagedGraceMs must be non-negative")
     val (fs, root) = fsFor(spark, path)
     val dir = new Path(root, ManifestDir)
     if (!fs.exists(dir)) return Seq.empty
@@ -843,6 +936,8 @@ object ManifestLake {
         n.stripPrefix("v").stripSuffix(".list").toLong }
       .sorted
     if (versions.isEmpty) return Seq.empty
+    val head = versions.last
+    val cutoff = System.currentTimeMillis() - stagedGraceMs
     val keep = versions.takeRight(keepVersions)
     val liveAcrossKept = keep.flatMap(readManifest(fs, root, _).files).map(_.path).toSet
     val dataRoot = new Path(root, DataDir)
@@ -854,7 +949,12 @@ object ManifestLake {
       while (it.hasNext) {
         val f = it.next()
         val rel = fs.makeQualified(f.getPath).toString.stripPrefix(rootQ).stripPrefix("/")
-        if (f.isFile && !liveAcrossKept.contains(rel)) dead += f.getPath
+        // data/v<N>/… — a malformed second segment can only be foreign
+        // junk under the data root; treat it as below-head (reapable)
+        val commitV = rel.split("/").lift(1)
+          .filter(_.startsWith("v")).flatMap(_.stripPrefix("v").toLongOption)
+        val inFlight = commitV.exists(_ > head) && f.getModificationTime >= cutoff
+        if (f.isFile && !liveAcrossKept.contains(rel) && !inFlight) dead += f.getPath
       }
       dead.result().foreach { p =>
         removed += p.toString

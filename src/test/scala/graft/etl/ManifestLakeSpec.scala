@@ -60,10 +60,48 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(ManifestLake.currentVersion(spark, dir) === Some(1L))
     assert(ManifestLake.read(spark, dir).orderBy(col("pos")).collect().toSeq === before)
 
-    // vacuum deletes the orphans; the live version is untouched
-    val removed = ManifestLake.vacuum(spark, dir, keepVersions = 1)
+    // a FRESH above-head dir is indistinguishable from an in-flight
+    // commit's stage — the default grace window refuses to touch it
+    val kept = ManifestLake.vacuum(spark, dir, keepVersions = 1)
+    assert(!kept.exists(_.contains("v000099")),
+      s"a fresh above-head stage must survive vacuum: $kept")
+    // past the grace window it is an aborted stage: reaped
+    val removed = ManifestLake.vacuum(spark, dir, keepVersions = 1, stagedGraceMs = 0L)
     assert(removed.exists(_.contains("v000099")), s"orphans should be vacuumed: $removed")
     assert(ManifestLake.read(spark, dir).orderBy(col("pos")).collect().toSeq === before)
+  }
+
+  test("vacuum is mechanically safe against an in-flight commit: staged files survive, then publish") {
+    import spark.implicits._
+    val dir = freshDir("mlake-inflight")
+    val v1 = (0 until 30).map(i => ("chr1", i.toLong, s"p$i")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, v1, dir, Seq("chrom"))
+    // an in-flight committer has staged v2's data but not yet published
+    // its manifest (exactly the window writePinned occupies during its
+    // verification pass)
+    val staged = new org.apache.hadoop.fs.Path(dir, "data/v000002")
+    val batch = (30 until 40).map(i => ("chr1", i.toLong, s"p$i")).toDF("chrom", "pos", "payload")
+    batch.write.partitionBy("chrom").parquet(staged.toString)
+    // maintenance runs concurrently: the staged files MUST survive
+    ManifestLake.vacuum(spark, dir, keepVersions = 1)
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    assert(fs.exists(staged), "in-flight staged files were vacuumed away")
+    // the committer finishes: publish v2 over the surviving stage
+    val files = {
+      val rootQ = fs.makeQualified(root).toString
+      val it = fs.listFiles(staged, true)
+      val out = Seq.newBuilder[ManifestLake.LiveFile]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          out += ManifestLake.LiveFile(f.getLen,
+            fs.makeQualified(f.getPath).toString.stripPrefix(rootQ).stripPrefix("/"))
+      }
+      out.result()
+    }
+    val m1 = ManifestLake.readManifest(fs, root, 1L)
+    ManifestLake.publish(fs, root, 2L, m1.files ++ files, m1.schema, m1.partCols, m1.txns)
+    assert(ManifestLake.read(spark, dir).count() === 40)
   }
 
   test("compact under manifest: fewer files, same rows, old version still readable, vacuum reclaims") {
@@ -391,6 +429,176 @@ class ManifestLakeSpec extends AnyFunSuite {
       ManifestLake.fsFor(spark, dir2)._1,
       ManifestLake.fsFor(spark, dir2)._2, 1L).files.length
     assert(filesNoStats === total2.toLong)
+  }
+
+  test("data skipping is sound on signed zero: a file whose stats are -0.0 is kept for = 0.0") {
+    import spark.implicits._
+    val dir = freshDir("mlake-negzero")
+    // v1's score column is ALL -0.0 — its recorded [min,max] is
+    // [-0.0, -0.0]. Under the raw interpreted (total) ordering,
+    // -0.0 < 0.0, so `score = 0.0` / `score >= 0.0` would wrongly
+    // prove the file can't match and skip it — but SQL comparison
+    // says -0.0 == 0.0, so every v1 row DOES match. Stats must be
+    // correctness-neutral.
+    val v1 = (0 until 10).map(i => ("a", i.toLong, -0.0d)).toDF("part", "id", "score")
+    ManifestLake.write(spark, v1.coalesce(1), dir, Seq("part"), statsCols = Seq("score"))
+    val v2 = (10 until 15).map(i => ("a", i.toLong, 5.0d)).toDF("part", "id", "score")
+    ManifestLake.write(spark, v2.coalesce(1), dir, Seq("part"),
+      replace = false, statsCols = Seq("score"))
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m = ManifestLake.readManifest(fs, root, 2L)
+    assert(m.files.forall(_.stats.contains("score")))
+    // write-side normalization: the -0.0 file's recorded bounds are +0.0
+    assert(m.files.flatMap(_.stats.get("score")).contains(("0.0", "0.0")))
+    def filesRead(filtered: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val n = filtered.collect().length.toLong
+      val scan = filtered.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      (n, scan.metrics("numFiles").value)
+    }
+    // Spark's own parquet ROW-GROUP pruning has the same total-order
+    // wart (a row group whose footer stats are [-0.0,-0.0] is dropped
+    // for `= 0.0` — upstream, below this engine's layer), so isolate
+    // the manifest layer by disabling parquet pushdown for the row
+    // counts; the numFiles metric pins that OUR planner kept the file.
+    val pd = spark.conf.get("spark.sql.parquet.filterPushdown")
+    spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+    try {
+      val (nEq, fEq) = filesRead(ManifestLake.read(spark, dir).where(col("score") === 0.0d))
+      assert(nEq === 10)
+      // the -0.0 file survives the = 0.0 check; the [5.0, 5.0] file is
+      // provably out of range and is the one file skipped
+      assert(fEq === 1, "the -0.0 file must survive the = 0.0 skip check")
+      val (nGe, fGe) = filesRead(ManifestLake.read(spark, dir).where(col("score") >= 0.0d))
+      assert(nGe === 15)
+      assert(fGe === 2)
+      assert(ManifestLake.read(spark, dir).where(col("score") <= lit(-0.0d)).count() === 10)
+      // and the skip still fires where it is provable
+      val (nHi, fHi) = filesRead(ManifestLake.read(spark, dir).where(col("score") > 1.0d))
+      assert(nHi === 5)
+      assert(fHi === 1, "the all-zero file is provably out of range for > 1.0")
+    } finally spark.conf.set("spark.sql.parquet.filterPushdown", pd)
+  }
+
+  test("additive schema evolution: a superset append widens the header; old files read typed nulls") {
+    import spark.implicits._
+    val dir = freshDir("mlake-evolve")
+    val v1 = (0 until 20).map(i => (s"chr${i % 2 + 1}", i.toLong)).toDF("chrom", "pos")
+    ManifestLake.write(spark, v1, dir, Seq("chrom"), statsCols = Seq("pos"))
+    // v2 appends with a NEW column — a header change, not a rewrite
+    val v2 = (20 until 30).map(i => (s"chr${i % 2 + 1}", i.toLong, i * 0.5))
+      .toDF("chrom", "pos", "score")
+    assert(ManifestLake.write(spark, v2.coalesce(1), dir, Seq("chrom"),
+      replace = false, statsCols = Seq("pos", "score")) === 2L)
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m = ManifestLake.readManifest(fs, root, 2L)
+    assert(m.schema.get.fieldNames.toSeq === Seq("chrom", "pos", "score"))
+    val r = ManifestLake.read(spark, dir)
+    // single scan node, widened schema, v1 rows serve score as null
+    assert(r.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.length === 1)
+    assert(r.schema("score").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(r.count() === 30)
+    assert(r.where(col("score").isNull).count() === 20)
+    assert(r.where(col("score").isNotNull).agg(min("score")).head.getDouble(0) === 10.0)
+    // data skipping on the NEW column works for the files that have it
+    // (v1 files carry no score stat — unknown never skips them for
+    // score predicates, but their null rows don't match anyway)
+    def filesRead(filtered: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val n = filtered.collect().length.toLong
+      val scan = filtered.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      (n, scan.metrics("numFiles").value)
+    }
+    val total = m.files.length
+    val (nHi, fHi) = filesRead(r.where(col("pos") >= 25))
+    assert(nHi === 5)
+    assert(fHi < total, "pos skipping must still prune after evolution")
+    // an OLD-shape append (missing the new column) fails loudly now
+    intercept[IllegalArgumentException] {
+      ManifestLake.write(spark, v1, dir, Seq("chrom"), replace = false)
+    }
+    // a type-CHANGING append still fails loudly
+    intercept[IllegalArgumentException] {
+      ManifestLake.write(spark,
+        Seq(("chr1", "oops", 1.0)).toDF("chrom", "pos", "score"),
+        dir, Seq("chrom"), replace = false)
+    }
+    // and adding a PARTITION column is refused
+    intercept[IllegalArgumentException] {
+      ManifestLake.write(spark,
+        Seq(("chr1", 99L, 1.0, "x")).toDF("chrom", "pos", "score", "extra"),
+        dir, Seq("chrom", "extra"), replace = false)
+    }
+  }
+
+  test("additive schema evolution through upsert: merge against old files' typed nulls") {
+    import spark.implicits._
+    val dir = freshDir("mlake-evolve-up")
+    val v1 = (0 until 10).map(i => ("a", i.toLong, s"p$i")).toDF("part", "id", "payload")
+    ManifestLake.write(spark, v1, dir, Seq("part"))
+    // upsert with an extra column: existing key 3 gains a score, new
+    // key 100 arrives with one; untouched rows read score as null
+    val up = Seq(("a", 3L, "p3-new", 0.9), ("a", 100L, "p100", 0.1))
+      .toDF("part", "id", "payload", "score")
+    assert(ManifestLake.upsert(spark, dir, up, Seq("part"), Seq("part", "id")) === 2L)
+    val r = ManifestLake.read(spark, dir)
+    assert(r.schema.fieldNames.toSeq === Seq("part", "id", "payload", "score"))
+    assert(r.count() === 11)
+    assert(r.where(col("id") === 3L).head.getAs[String]("payload") === "p3-new")
+    assert(r.where(col("id") === 3L).head.getAs[Double]("score") === 0.9)
+    assert(r.where(col("score").isNull).count() === 9)
+    // the widened header is recorded: a subsequent same-shape append works
+    val more = Seq(("a", 200L, "p200", 0.2)).toDF("part", "id", "payload", "score")
+    assert(ManifestLake.write(spark, more, dir, Seq("part"), replace = false) === 3L)
+    assert(ManifestLake.read(spark, dir).count() === 12)
+  }
+
+  test("a headerless legacy manifest refuses an append whose shape disagrees with the files") {
+    import spark.implicits._
+    val dir = freshDir("mlake-legacy")
+    val v1 = (0 until 20).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, v1, dir, Seq("chrom"))
+    // strip the header directives — the manifest a pre-header writer
+    // would have produced (files only, no recorded schema)
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val mPath = new org.apache.hadoop.fs.Path(root, "_manifest/v000001.list")
+    val body = {
+      val in = fs.open(mPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val stripped = body.filterNot(_.startsWith("#"))
+    fs.delete(mPath, false)
+    val out = fs.create(mPath, true)
+    try out.write((stripped.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    assert(ManifestLake.readManifest(fs, root, 1L).schema.isEmpty)
+
+    // an append whose shape disagrees with what the legacy files hold
+    // must be refused — stamping its schema as the table header would
+    // make the carried files read back as silent nulls
+    val drifted = Seq(("chr1", "not-a-long", "x", 1.5))
+      .toDF("chrom", "pos", "payload", "extra")
+    intercept[IllegalArgumentException] {
+      ManifestLake.write(spark, drifted, dir, Seq("chrom"), replace = false)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestLake.upsert(spark, dir,
+        Seq(("chr1", "s", "x", 1.5)).toDF("chrom", "pos", "payload", "extra"),
+        Seq("chrom"), Seq("chrom", "pos"))
+    }
+    // a shape-matching append IS accepted and adopts the header for the
+    // whole table — the upgrade path off legacy manifests
+    val ok = Seq(("chr1", 100L, "new")).toDF("chrom", "pos", "payload")
+    assert(ManifestLake.write(spark, ok, dir, Seq("chrom"), replace = false) === 2L)
+    assert(ManifestLake.readManifest(fs, root, 2L).schema.isDefined)
+    assert(ManifestLake.read(spark, dir).count() === 21)
+    assert(ManifestLake.read(spark, dir).where(col("payload") === "p3").count() === 1)
   }
 
   test("maintenance preserves stats: compact and upsert re-collect for rewritten files") {
