@@ -24,18 +24,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default ([PARQUET_TYPE_ILLEGAL]). Read it
-    * as raw nanos via the legacy conf and convert to a micros timestamp
-    * with integer division (ns values ~1.7e18 overflow double's 53-bit
-    * mantissa, so no floating-point on the way down).
+  /** `events.ts` has shipped in two physical generations: INT64
+    * TIMESTAMP(NANOS) (which Spark's parquet reader rejects by default,
+    * [PARQUET_TYPE_ILLEGAL]) and plain TIMESTAMP(MICROS). The nanos conf
+    * makes the NANOS generation read as a raw long, which is then
+    * converted to a micros timestamp with integer division (ns values
+    * ~1.7e18 overflow double's 53-bit mantissa, so no floating-point on
+    * the way down); a MICROS generation already reads as TimestampType
+    * and passes through untouched. Dispatching on the LOADED type keeps
+    * one accessor correct against either generation of the dataset.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
   }
   /** The text/embedding tables are COMPUTE-AMPLIFIED: a 300-byte text
     * row fans out into ~300 shingles × K hash mixes, and an embedding

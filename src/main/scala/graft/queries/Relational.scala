@@ -493,11 +493,18 @@ object Relational {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         // gap comparison in integer MICROSECONDS on both sides: casting
         // timestamps to whole seconds would widen the boundary to a
-        // 1-second disagreement window vs the oracle's fractional epoch
+        // 1-second disagreement window vs the oracle's fractional epoch.
+        // unix_micros requires TIMESTAMP while the current events
+        // generation loads as TIMESTAMP_NTZ — the cast interprets the
+        // naive value in the session tz (pinned UTC), exactly DuckDB's
+        // epoch_us reading of the same naive parquet value, and is a
+        // no-op on the older TIMESTAMP generation. Only the gap math
+        // casts; the output columns keep the loaded type.
         val gapMicros = 1800L * 1000000L
+        val tsUtc = col("ts").cast("timestamp")
+        val lagUtc = lag(tsUtc, 1).over(w)
         val newSession = when(
-          lag(col("ts"), 1).over(w).isNull ||
-            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapMicros, 1L)
+          lagUtc.isNull || unix_micros(tsUtc) - unix_micros(lagUtc) > gapMicros, 1L)
           .otherwise(0L)
         graft.Tables.events(s, dir)
           .withColumn("new_sess", newSession)
