@@ -34,6 +34,8 @@ object Graft {
     Op("lake", "manifest-committed table: versioned write/read/time travel/restore, txn ledger, file-skipping stats", "graft.etl.ManifestLake.write/read/readVersion/versions/restore/lastCommitted", "q88, q92"),
     Op("lake", "manifest upsert (untouched partitions carried by reference)", "graft.etl.ManifestLake.upsert", "q89"),
     Op("lake", "manifest compact + zero-RPC inventory + vacuum + maintain", "graft.etl.ManifestLake.compact/inventory/vacuum/maintain", "q88"),
+    Op("lake", "graft-manifest data source: format()/SQL temp views/writer API, versionAsOf", "spark.read.format(\"graft-manifest\") via graft.etl.ManifestDataSource", "q95"),
+    Op("lake", "genomic lake on manifest commit: pos clustering + file-skipping stats", "graft.etl.Lake.writeManifested", "spec"),
     Op("lake", "shuffle-free co-located joins via bucketing", "graft.ops.Bucketing.writeBucketed", "q13"),
     // --- deduplication ---
     Op("dedup", "exact duplicate groups / survivors", "graft.ops.Dedup.exactGroups/deduplicate", "q20, q36"),
@@ -85,6 +87,7 @@ object Graft {
     Op("media", "image/audio/GIF/MJPEG decode via JDK codecs", "graft.ops.Multimodal.decodeImage/decodeAudio/decodeFrames", "q33"),
     Op("media", "feature extract / resize / frame sampling", "graft.ops.Multimodal.extractFeatures/resize/sampleFrames", "q33"),
     Op("media", "unsupported-codec rows -> external transcoder seam", "graft.ops.Multimodal.transcodeWith", "spec"),
+    Op("media", "ffmpeg adapter for the seam (MPEG -> GIF -> real frames; optional host binary)", "graft.ops.FfmpegTranscoder.transcoder/available", "spec"),
     // --- validation / temporal ---
     Op("quality", "data-quality validation (predicates/uniqueness/ref-integrity)", "graft.ops.Validation.check", "q82"),
     Op("temporal", "SCD Type-2 history from a change log", "graft.ops.Temporal.scd2", "q91"),

@@ -163,6 +163,54 @@ object Profile {
       spark.stop(); sys.exit(0)
     }
 
+    // MANIFESTREAD=N: manifest ENCODING check at the flat-list comfort
+    // boundary — publish a synthetic N-line manifest (realistic path +
+    // stats shapes) and report the artifact size plus parse wall-clock,
+    // gz vs the plain legacy encoding. This is the measurement behind
+    // keeping the single-level gzipped list instead of Iceberg-style
+    // per-partition manifest sharding: if a 1M-line manifest reads in
+    // well under a second and ships in a few MB, sharding buys nothing
+    // at this design's stated scale ceiling.
+    sys.env.get("MANIFESTREAD").map(_.toInt).foreach { n =>
+      import graft.etl.ManifestLake
+      import org.apache.hadoop.fs.Path
+      val dir = java.nio.file.Files.createTempDirectory("mread").toString + "/t"
+      val (fs, root) = ManifestLake.fsFor(spark, dir)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("lang", "string").add("doc_id", "long").add("n_chars", "long")
+      val files = (0 until n).map { i =>
+        ManifestLake.LiveFile(1000000L + i,
+          f"data/v${i % 512 + 1}%06d/lang=l${i % 32}%02d/part-$i%08d-c000.snappy.parquet",
+          Map("doc_id" -> ((i * 100L).toString, (i * 100L + 99L).toString),
+            "n_chars" -> ("12", "87431")))
+      }
+      val t0 = System.nanoTime()
+      ManifestLake.publish(fs, root, 1L, files, Some(schema), Seq("lang"))
+      val tPub = (System.nanoTime() - t0) / 1e9
+      val gzBytes = fs.getFileStatus(
+        new Path(root, "_manifest/v000001.list.gz")).getLen
+      // decompressed size = what the legacy plain encoding would ship
+      val plainBytes = {
+        val in = new java.util.zip.GZIPInputStream(
+          fs.open(new Path(root, "_manifest/v000001.list.gz")))
+        try Iterator.continually(in.read(new Array[Byte](1 << 16)))
+          .takeWhile(_ >= 0).map(_.toLong).sum
+        finally in.close()
+      }
+      val reads = (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        val m = ManifestLake.readManifest(fs, root, 1L)
+        require(m.files.length == n && m.schema.isDefined)
+        (System.nanoTime() - t) / 1e9
+      }
+      // first read is the cold parse; later reads hit the immutable-
+      // manifest cache (what repeated query planning actually pays)
+      println(f"PROFILE manifestread n=$n gz=${gzBytes / 1048576.0}%.1fMB " +
+        f"plain=${plainBytes / 1048576.0}%.1fMB ratio=${plainBytes.toDouble / gzBytes}%.1fx " +
+        f"publish=$tPub%.2fs read_cold=${reads.head}%.2fs read_cached=${reads.min}%.4fs")
+      spark.stop(); sys.exit(0)
+    }
+
     // MANIFESTSTRESS=K: manifest-lake scaling check — full lifecycle
     // (fragmented write → 10% keyed upsert → compact → vacuum) on the
     // documents table at 1× and K×. Upsert should scale with the BATCH

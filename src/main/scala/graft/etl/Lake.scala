@@ -88,6 +88,36 @@ object Lake {
     writer.parquet(outputPath)
   }
 
+  /** Manifest-committed variant of [[write]] — the genomic lake through
+    * the object-store commit path, composing the two features the E3
+    * range-scan workload wants (SURVEY §3: point/range queries on
+    * (chrom, pos)): the same pos clustering as [[write]] (parquet
+    * row-group pruning inside each file), PLUS per-file [min, max] pos
+    * stats in the manifest, so a `pos BETWEEN …` scan drops whole files
+    * at planning — before any footer is opened — and only then row-group
+    * prunes the survivors. Ingest becomes an atomic manifest publish
+    * (append or replace) instead of a directory overwrite, so a crashed
+    * import can never leave a half-replaced lake.
+    *
+    * `maxRecordsPerFile` bounds file size through the session conf (the
+    * ManifestLake writer owns the DataFrameWriter, so the option rides
+    * the conf rather than the writer); restored after the call.
+    */
+  def writeManifested(spark: SparkSession, df: DataFrame, outputPath: String,
+                      replace: Boolean = true,
+                      maxRecordsPerFile: Int = MaxRecordsPerFile): Long = {
+    val clustered = df.repartition(col("chrom"), col("pos_bucket"))
+      .sortWithinPartitions(col("chrom"), col("pos_bucket"), col("pos"))
+    val prev = spark.conf.getOption("spark.sql.files.maxRecordsPerFile")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", maxRecordsPerFile.toString)
+    try ManifestLake.write(spark, clustered, outputPath,
+      Seq("chrom", "pos_bucket"), replace = replace, statsCols = Seq("pos"))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxRecordsPerFile", v)
+      case None => spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    }
+  }
+
   /** Single-file JSON append — an accumulating ingest log (M:155-157).
     * coalesce(1) is fine: the status DataFrame is one row.
     */

@@ -1,0 +1,121 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.execution.datasources.DataSourceUtils
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+
+/** `graft-manifest` — the data-source registration that makes the
+  * manifest lake consumable WITHOUT touching [[ManifestLake]]'s Scala
+  * API, i.e. from SQL, Python, R, and BI tools:
+  *
+  * {{{
+  *   -- pure SQL (the only surface a spark.sql-only user has):
+  *   CREATE TEMPORARY VIEW docs
+  *     USING `graft-manifest` OPTIONS (path '/lake/docs', versionAsOf '7');
+  *   SELECT lang, count(*) FROM docs GROUP BY lang;
+  *
+  *   // DataFrame API, any language binding:
+  *   spark.read.format("graft-manifest").option("versionAsOf", 7).load(path)
+  *   df.write.format("graft-manifest").partitionBy("lang")
+  *     .option("statsCols", "doc_id").mode("append").save(path)
+  * }}}
+  *
+  * Read options: `versionAsOf` (time travel; default = head version).
+  * Write options: `statsCols` (comma-separated columns to collect
+  * file-level [min,max] skipping stats for), `txnAppId` + `txnBatchId`
+  * (the exactly-once ledger — a replayed (appId, batchId) at or below
+  * the recorded watermark publishes nothing). `partitionBy` comes from
+  * the writer API itself. Save modes map onto the manifest commit kinds:
+  * Overwrite = replace commit, Append = append commit (additive schema
+  * evolution included), ErrorIfExists/Ignore behave per their contract
+  * against table existence.
+  *
+  * Mechanism note: this is a V1 `RelationProvider` serving the SAME
+  * `HadoopFsRelation`-over-[[ManifestFileIndex]] the programmatic read
+  * plans — deliberately, and for the same reason Spark's own file
+  * sources default to the V1 path (`spark.sql.sources.useV1SourceList`
+  * ships with parquet/orc/csv/… in it) and Delta Lake registers its
+  * format as a `RelationProvider`: `FileSourceScanExec` is where
+  * partition pruning, file-level data skipping, parquet filter
+  * pushdown, and whole-stage codegen already live. The manifest-fed
+  * index plugs in unchanged, so the `format(...)` path plans the
+  * IDENTICAL single-scan, pruned, skipping plan as
+  * [[ManifestLake.read]] — asserted by ManifestDataSourceSpec's
+  * plan-shape cases. (The `` SELECT … FROM `fmt`.`path` `` direct-query
+  * syntax is gated by Spark to `FileFormat` classes — `ResolveSQLOnFile`
+  * raises UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY for table-format
+  * providers, Delta included — hence the `CREATE TEMPORARY VIEW …
+  * USING` form above as the pure-SQL entry.)
+  */
+final class ManifestDataSource extends DataSourceRegister
+    with RelationProvider with CreatableRelationProvider {
+
+  override def shortName(): String = "graft-manifest"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-manifest needs a table path: .load(path) / OPTIONS (path '…')"))
+
+  private def splitCols(s: String): Seq[String] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val version = parameters.get("versionAsOf").map { s =>
+      s.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"versionAsOf must be a version number, got '$s'"))
+    }
+    ManifestLake.relation(sqlContext.sparkSession, pathOf(parameters), version)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    // the writer API encodes .partitionBy(...) into an options key
+    // (DataSourceUtils.PARTITIONING_COLUMNS_KEY, JSON list) for V1
+    // creatable sources; a plain `partitionCols` option is accepted for
+    // callers driving the source through SQL, where partitionBy doesn't
+    // exist. An APPEND that names neither inherits the table's recorded
+    // partitioning — the common steady-state append shouldn't have to
+    // restate what the manifest already knows.
+    val declared = parameters.get(DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+      .map(DataSourceUtils.decodePartitioningColumns)
+      .orElse(parameters.get("partitionCols").map(splitCols))
+    val statsCols = parameters.get("statsCols").map(splitCols).getOrElse(Seq.empty)
+    val txn = (parameters.get("txnAppId"), parameters.get("txnBatchId")) match {
+      case (Some(app), Some(b)) =>
+        Some((app, b.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"txnBatchId must be a number, got '$b'"))))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "txnAppId and txnBatchId must be set together (the exactly-once " +
+          "ledger keys on the pair)")
+    }
+    val exists = ManifestLake.currentVersion(spark, path).isDefined
+    def recordedPartCols: Seq[String] =
+      ManifestLake.recordedPartitionCols(spark, path).getOrElse(Seq.empty)
+    mode match {
+      case SaveMode.Overwrite =>
+        ManifestLake.write(spark, data, path, declared.getOrElse(Seq.empty),
+          replace = true, txn = txn, statsCols = statsCols): Unit
+      case SaveMode.Append =>
+        ManifestLake.write(spark, data, path,
+          declared.getOrElse(if (exists) recordedPartCols else Seq.empty),
+          replace = false, txn = txn, statsCols = statsCols): Unit
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"manifest table already exists at $path (mode ErrorIfExists); " +
+            "use mode('append') or mode('overwrite')")
+      case SaveMode.ErrorIfExists =>
+        ManifestLake.write(spark, data, path, declared.getOrElse(Seq.empty),
+          replace = true, txn = txn, statsCols = statsCols): Unit
+      case SaveMode.Ignore =>
+        if (!exists)
+          ManifestLake.write(spark, data, path, declared.getOrElse(Seq.empty),
+            replace = true, txn = txn, statsCols = statsCols): Unit
+    }
+    createRelation(sqlContext, parameters)
+  }
+}

@@ -82,24 +82,55 @@ object ManifestLake {
   private val ManifestDir = "_manifest"
   private val DataDir = "data"
 
-  private[etl] def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+  private[graft] def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val root = new Path(path)
     (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
   }
 
+  /** Manifests publish GZIPPED (`v<N>.list.gz`) — the body is highly
+    * compressible (repeated path prefixes, JSON stats keys), so a
+    * million-file manifest shrinks ~10× and the head-read every query
+    * plans against moves that much less over the wire. Still ONE object
+    * and one atomic rename, so nothing about the commit protocol
+    * changes. Readers accept BOTH extensions: tables written before
+    * compression keep their plain `.list` manifests readable forever
+    * (the version number is the identity; the extension is encoding).
+    */
   private def manifestPath(root: Path, v: Long): Path =
+    new Path(new Path(root, ManifestDir), f"v$v%06d.list.gz")
+
+  private def legacyManifestPath(root: Path, v: Long): Path =
     new Path(new Path(root, ManifestDir), f"v$v%06d.list")
+
+  /** The on-disk manifest for `v` under either encoding, or None. The
+    * gz form wins when both exist (it is the one the current writer
+    * publishes; a both-present state only arises from a mixed-version
+    * writer history and the newer artifact is the newer truth).
+    */
+  private def existingManifestPath(fs: FileSystem, root: Path, v: Long): Option[Path] =
+    Seq(manifestPath(root, v), legacyManifestPath(root, v)).find(fs.exists)
+
+  /** Version number of a manifest file name under either encoding. */
+  private def versionOf(name: String): Option[Long] =
+    if (!name.startsWith("v")) None
+    else if (name.endsWith(".list.gz"))
+      name.stripPrefix("v").stripSuffix(".list.gz").toLongOption
+    else if (name.endsWith(".list"))
+      name.stripPrefix("v").stripSuffix(".list").toLongOption
+    else None
+
+  private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(s => versionOf(s.getPath.getName))
+      .distinct.sorted
+  }
 
   /** Highest published version, or None for a not-yet-created table. */
   def currentVersion(spark: SparkSession, path: String): Option[Long] = {
     val (fs, root) = fsFor(spark, path)
-    val dir = new Path(root, ManifestDir)
-    if (!fs.exists(dir)) None
-    else fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-        n.stripPrefix("v").stripSuffix(".list").toLong }
-      .maxOption
+    listVersions(fs, root).maxOption
   }
 
   /** One live data file: root-relative path, size, and (optionally)
@@ -130,13 +161,56 @@ object ManifestLake {
                                          files: Seq[LiveFile],
                                          txns: Map[String, Long] = Map.empty)
 
+  /** Published manifests are IMMUTABLE (a version is never rewritten —
+    * restore publishes a NEW version), so parsed manifests cache across
+    * reads: every query against a manifested table re-reads the head
+    * manifest at planning, and at the flat-list ceiling (~1M lines,
+    * ~10 MB gz) a cold parse costs seconds — paying it once per
+    * (manifest, content) instead of once per query is the difference
+    * between "big table plans like a small one" and a per-query tax.
+    * The key carries the file's (mtime, length) so the one way content
+    * CAN legitimately differ under the same path+version — a table
+    * deleted and re-created from scratch — misses instead of serving
+    * stale state (one getFileStatus RPC, vs re-reading megabytes). The
+    * cache is weighted by line count and evicts oldest-access first;
+    * [[Manifest]] is immutable, so sharing entries across threads is
+    * sound.
+    */
+  private val manifestCacheMaxLines = 4000000L
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Manifest](16, 0.75f, true)
+  private var manifestCacheLines = 0L
+
   /** Parse version `v`'s manifest. Lines starting with `#` are
     * directives (`#schema\t<StructType json>`, `#partcols\tc1,c2`,
     * `#txn\t<appId>\t<batchId>`); unknown directives are ignored for
     * forward compatibility. Data lines are `<bytes>\t<relpath>`.
     */
-  private[etl] def readManifest(fs: FileSystem, root: Path, v: Long): Manifest = {
-    val in = fs.open(manifestPath(root, v))
+  private[graft] def readManifest(fs: FileSystem, root: Path, v: Long): Manifest = {
+    val p = existingManifestPath(fs, root, v).getOrElse(
+      throw new java.io.FileNotFoundException(manifestPath(root, v).toString))
+    val st = fs.getFileStatus(p)
+    val key = (fs.makeQualified(p).toString, st.getModificationTime, st.getLen)
+    manifestCache.synchronized(Option(manifestCache.get(key))) match {
+      case Some(m) => m
+      case None =>
+        val m = parseManifest(fs, p)
+        manifestCache.synchronized {
+          if (manifestCache.put(key, m) == null) manifestCacheLines += m.files.length
+          val it = manifestCache.entrySet().iterator()
+          while (manifestCacheLines > manifestCacheMaxLines && manifestCache.size() > 1) {
+            manifestCacheLines -= it.next().getValue.files.length
+            it.remove()
+          }
+        }
+        m
+    }
+  }
+
+  private def parseManifest(fs: FileSystem, p: Path): Manifest = {
+    val raw = fs.open(p)
+    val in: java.io.InputStream =
+      if (p.getName.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
@@ -156,7 +230,12 @@ object ManifestLake {
     }.toMap
     val files = data.map { line =>
       // `bytes\tpath` or `bytes\tpath\t<stats json>` — JSON string
-      // escaping keeps tabs/newlines inside values off the line
+      // escaping keeps tabs/newlines inside values off the line.
+      // (Batching all stat blobs into one JSON-array parse was tried
+      // and measured SLOWER at the 1M-line ceiling: the concatenated
+      // string + whole-file AST thrash the heap, while per-line parse
+      // stays in the nursery. The cache above is what removes the
+      // per-query cost; the cold parse is a once-per-content price.)
       line.split("\t", 3) match {
         case Array(b, p) => LiveFile(b.toLong, p)
         case Array(b, p, statsJson) =>
@@ -186,6 +265,20 @@ object ManifestLake {
       }.toList))
   }
 
+  /** The head manifest's recorded partition columns, or None when the
+    * table doesn't exist / predates the schema header. Lets an
+    * unadorned `mode("append")` through the data source inherit the
+    * table's partitioning instead of restating it.
+    */
+  private[etl] def recordedPartitionCols(spark: SparkSession,
+                                         path: String): Option[Seq[String]] = {
+    val (fs, root) = fsFor(spark, path)
+    currentVersion(spark, path).flatMap { v =>
+      val m = readManifest(fs, root, v)
+      m.schema.map(_ => m.partCols)
+    }
+  }
+
   /** The highest batchId `appId` has committed to the table, or None.
     * The exactly-once contract for idempotent writers: check before
     * committing, or pass `txn` to [[write]]/[[upsert]] and let them
@@ -206,7 +299,7 @@ object ManifestLake {
     * silently clobbering the winner — this is what turns the
     * single-writer contract from prose into a checked invariant.
     */
-  private[etl] def publish(fs: FileSystem, root: Path, v: Long, files: Seq[LiveFile],
+  private[graft] def publish(fs: FileSystem, root: Path, v: Long, files: Seq[LiveFile],
                            schema: Option[StructType], partCols: Seq[String],
                            txns: Map[String, Long] = Map.empty): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
@@ -217,7 +310,7 @@ object ManifestLake {
       s"partition column name must not contain ',' or whitespace control chars: $c"))
     val dir = new Path(root, ManifestDir)
     fs.mkdirs(dir)
-    val tmp = new Path(dir, f".tmp-v$v%06d.list")
+    val tmp = new Path(dir, f".tmp-v$v%06d.list.gz")
     val header = schema.toSeq.flatMap(s =>
       Seq(s"#schema\t${s.json}", s"#partcols\t${partCols.mkString(",")}")) ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
@@ -225,9 +318,20 @@ object ManifestLake {
       if (f.stats.isEmpty) s"${f.bytes}\t${f.path}"
       else s"${f.bytes}\t${f.path}\t${renderStats(f.stats)}"
     }
-    val out = fs.create(tmp, true)
+    val out = new java.util.zip.GZIPOutputStream(fs.create(tmp, true))
     try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    // a PLAIN-extension manifest for this version (older library
+    // version racing, or a partially-migrated table) means the version
+    // is taken — the no-overwrite rename only guards the gz name, so
+    // check the legacy name explicitly before committing
+    if (fs.exists(legacyManifestPath(root, v))) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"manifest version $v already published at ${legacyManifestPath(root, v)} — " +
+          "lost a commit race (this layout is single-writer; serialize " +
+          "committers). The table is intact at the winner's version.")
+    }
     val target = manifestPath(root, v)
     try {
       try {
@@ -507,24 +611,66 @@ object ManifestLake {
   private def readFiles(spark: SparkSession, fs: FileSystem, root: Path,
                         m: Manifest): DataFrame = m.schema match {
     case Some(schema) =>
-      val partSchema = StructType(m.partCols.map(c => schema(c)).toArray)
-      val dataSchema =
-        StructType(schema.fields.filterNot(f => m.partCols.contains(f.name)))
-      val statuses = m.files.map { f =>
-        (f, new org.apache.hadoop.fs.FileStatus(
-          f.bytes, false, 1, 1, 0L, fs.makeQualified(new Path(root, f.path))))
-      }
-      val index = new ManifestFileIndex(spark, fs.makeQualified(root), partSchema,
-        dataSchema, statuses)
-      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        index, partSchema, dataSchema, None,
-        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
-        Map.empty[String, String])(spark)
       // HadoopFsRelation appends partition columns after data columns;
       // present the table in its recorded column order
-      spark.baseRelationToDataFrame(relation)
+      spark.baseRelationToDataFrame(hadoopFsRelation(spark, fs, root, m))
         .select(schema.fieldNames.map(col): _*)
     case None => readFilesGrouped(spark, root, m.files.map(_.path))
+  }
+
+  /** The manifest's live set as a [[HadoopFsRelation]] over a
+    * [[ManifestFileIndex]] — the relation object behind both the
+    * programmatic read AND the `graft-manifest` data source
+    * ([[ManifestDataSource]]). Column order is the relation's native
+    * data-columns-then-partition-columns (the data source contract);
+    * [[readFiles]] re-orders to the recorded schema on top.
+    */
+  private def hadoopFsRelation(
+      spark: SparkSession, fs: FileSystem, root: Path,
+      m: Manifest): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    val schema = m.schema.get
+    val partSchema = StructType(m.partCols.map(c => schema(c)).toArray)
+    val dataSchema =
+      StructType(schema.fields.filterNot(f => m.partCols.contains(f.name)))
+    val statuses = m.files.map { f =>
+      (f, new org.apache.hadoop.fs.FileStatus(
+        f.bytes, false, 1, 1, 0L, fs.makeQualified(new Path(root, f.path))))
+    }
+    val index = new ManifestFileIndex(spark, fs.makeQualified(root), partSchema,
+      dataSchema, statuses)
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, partSchema, dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty[String, String])(spark)
+  }
+
+  /** [[org.apache.spark.sql.sources.BaseRelation]] for the table at
+    * `path` (at `version`, or the head) — the entry point
+    * [[ManifestDataSource]] serves `spark.read.format("graft-manifest")`
+    * and `CREATE TEMPORARY VIEW … USING graft-manifest` from. Requires a
+    * schema-headed manifest: the relation's explicit schema IS the
+    * recorded one, and a headerless legacy manifest has nothing to
+    * record — those read only through [[read]]'s grouped fallback (one
+    * replace-write adopts a header and unlocks the SQL surface).
+    */
+  private[etl] def relation(spark: SparkSession, path: String,
+                            version: Option[Long]): org.apache.spark.sql.sources.BaseRelation = {
+    val (fs, root) = fsFor(spark, path)
+    val head = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest table at $path (no _manifest/v*.list published)"))
+    val v = version.getOrElse(head)
+    if (existingManifestPath(fs, root, v).isEmpty)
+      throw new IllegalArgumentException(
+        s"version $v of $path does not exist (never published, or vacuumed); " +
+          s"available: ${versions(spark, path).map(_._1).mkString(", ")}")
+    val m = readManifest(fs, root, v)
+    if (m.schema.isEmpty)
+      throw new IllegalArgumentException(
+        s"manifest v$v of $path predates the schema header — the " +
+          "graft-manifest data source needs the recorded schema; read it " +
+          "with ManifestLake.read, or replace-write once to adopt a header")
+    hadoopFsRelation(spark, fs, root, m)
   }
 
   /** The legacy (pre-schema-header) read: one DataFrame per per-commit
@@ -555,12 +701,7 @@ object ManifestLake {
     */
   def versions(spark: SparkSession, path: String): Seq[(Long, Int, Long)] = {
     val (fs, root) = fsFor(spark, path)
-    val dir = new Path(root, ManifestDir)
-    if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-        n.stripPrefix("v").stripSuffix(".list").toLong }
-      .sorted
+    listVersions(fs, root)
       .map { v =>
         val files = readManifest(fs, root, v).files
         (v, files.length, files.map(_.bytes).sum)
@@ -577,7 +718,7 @@ object ManifestLake {
     */
   def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
     val (fs, root) = fsFor(spark, path)
-    if (!fs.exists(manifestPath(root, v)))
+    if (existingManifestPath(fs, root, v).isEmpty)
       throw new IllegalArgumentException(
         s"version $v of $path does not exist (never published, or vacuumed); " +
           s"available: ${versions(spark, path).map(_._1).mkString(", ")}")
@@ -877,7 +1018,7 @@ object ManifestLake {
     */
   def restore(spark: SparkSession, path: String, v: Long): Long = {
     val (fs, root) = fsFor(spark, path)
-    if (!fs.exists(manifestPath(root, v)))
+    if (existingManifestPath(fs, root, v).isEmpty)
       throw new IllegalArgumentException(
         s"cannot restore $path to v$v: version does not exist (never " +
           s"published, or vacuumed); available: ${versions(spark, path).map(_._1).mkString(", ")}")
@@ -929,12 +1070,7 @@ object ManifestLake {
     require(keepVersions >= 1, "must keep at least the current version")
     require(stagedGraceMs >= 0, "stagedGraceMs must be non-negative")
     val (fs, root) = fsFor(spark, path)
-    val dir = new Path(root, ManifestDir)
-    if (!fs.exists(dir)) return Seq.empty
-    val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-        n.stripPrefix("v").stripSuffix(".list").toLong }
-      .sorted
+    val versions = listVersions(fs, root)
     if (versions.isEmpty) return Seq.empty
     val head = versions.last
     val cutoff = System.currentTimeMillis() - stagedGraceMs
@@ -962,8 +1098,13 @@ object ManifestLake {
       }
     }
     versions.dropRight(keepVersions).foreach { old =>
-      removed += manifestPath(root, old).toString
-      fs.delete(manifestPath(root, old), false)
+      // a version may exist under either encoding (or, after a partial
+      // migration, both) — reap whatever is actually on disk
+      Seq(manifestPath(root, old), legacyManifestPath(root, old))
+        .filter(fs.exists).foreach { p =>
+          removed += p.toString
+          fs.delete(p, false)
+        }
     }
     removed.result()
   }

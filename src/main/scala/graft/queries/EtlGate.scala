@@ -562,5 +562,55 @@ object EtlGate {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // The graft-manifest DATA SOURCE under the oracle: the same lake,
+    // consumed without touching the Scala API. Written through the
+    // DataFrameWriter (`format("graft-manifest")` — overwrite commit,
+    // then an append commit with stats), read back two ways a
+    // non-Scala user actually has: the HEAD through pure SQL
+    // (CREATE TEMPORARY VIEW … USING graft-manifest + spark.sql), and
+    // v1 through `option("versionAsOf", 1)` time travel. Content of
+    // both legs must hash-match DuckDB recomputing them from the
+    // documents table directly; plan shape (single pruned scan with
+    // PushedFilters through the format() path) is pinned by
+    // ManifestDataSourceSpec.
+    Q(
+      "q95_manifest_sql",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-msql") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+        docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+          .write.format("graft-manifest").partitionBy("lang")
+          .option("statsCols", "doc_id").mode("overwrite").save(out)
+        docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+          .write.format("graft-manifest")
+          .option("statsCols", "doc_id").mode("append").save(out)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gate_msql_head
+                 |USING `graft-manifest` OPTIONS (path '$out')""".stripMargin)
+        val head = s.sql(
+          """SELECT lang, count(*) AS n_docs,
+            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            |  sum(CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)) AS content_sum,
+            |  max(doc_id) AS max_id
+            |FROM gate_msql_head GROUP BY lang""".stripMargin)
+        val v1 = s.read.format("graft-manifest").option("versionAsOf", "1").load(out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).cast("long").as("n_docs_v1"),
+            max(col("doc_id")).as("max_id_v1"))
+        head.join(v1, Seq("lang")).orderBy(col("lang"))
+      },
+      Some("""WITH head AS (
+             |  SELECT lang, count(*) AS n_docs,
+             |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |    CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |    max(doc_id) AS max_id
+             |  FROM documents GROUP BY lang),
+             |v1 AS (
+             |  SELECT lang, count(*) AS n_docs_v1, max(doc_id) AS max_id_v1
+             |  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang)
+             |SELECT head.lang, n_docs, sum_chars, content_sum, max_id,
+             |  n_docs_v1, max_id_v1
+             |FROM head JOIN v1 ON head.lang = v1.lang
+             |ORDER BY head.lang""".stripMargin)))
 }

@@ -1,0 +1,173 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `graft-manifest` data source: the manifest lake consumed through
+  * `spark.read.format(...)` / `DataFrameWriter` / pure-SQL temp views
+  * instead of the Scala API. Pins that the format path (a) round-trips
+  * content, (b) honors versionAsOf time travel and the txn ledger,
+  * (c) maps save modes onto the commit kinds, and (d) plans the SAME
+  * single pruned, skipping scan as ManifestLake.read — the whole point
+  * of serving HadoopFsRelation over ManifestFileIndex rather than a
+  * fresh DSv2 reader stack.
+  */
+class ManifestDataSourceSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(tag).toString + "/table"
+
+  private def fmt = spark.read.format("graft-manifest")
+
+  test("writer API: overwrite creates v1, append accretes v2; format read matches the Scala read") {
+    import spark.implicits._
+    val dir = freshDir("mds-roundtrip")
+    val a = (0 until 40).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    a.write.format("graft-manifest").partitionBy("chrom").mode("overwrite").save(dir)
+    assert(ManifestLake.currentVersion(spark, dir) === Some(1L))
+    val b = (40 until 50).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    // append names no partitioning: it must inherit the recorded one
+    b.write.format("graft-manifest").mode("append").save(dir)
+    assert(ManifestLake.currentVersion(spark, dir) === Some(2L))
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    assert(ManifestLake.readManifest(fs, root, 2L).partCols === Seq("chrom"))
+    val got = fmt.load(dir)
+    // relation column order is data-cols-then-partition-cols
+    assert(got.columns.toSeq === Seq("pos", "payload", "chrom"))
+    assert(got.count() === 50)
+    assert(got.select("chrom", "pos", "payload").except(
+      ManifestLake.read(spark, dir).select("chrom", "pos", "payload")).isEmpty)
+    // partition values came back typed from the recorded schema
+    assert(got.where(col("chrom") === "chr2").count() === 25)
+  }
+
+  test("versionAsOf time travel; absent versions and absent tables are typed errors") {
+    import spark.implicits._
+    val dir = freshDir("mds-asof")
+    Seq(("a", 1L)).toDF("part", "v").write.format("graft-manifest")
+      .partitionBy("part").mode("overwrite").save(dir)
+    Seq(("a", 2L)).toDF("part", "v").write.format("graft-manifest")
+      .mode("append").save(dir)
+    assert(fmt.option("versionAsOf", "1").load(dir).select("v").as[Long].collect().toSeq === Seq(1L))
+    assert(fmt.load(dir).count() === 2)
+    val e = intercept[IllegalArgumentException] {
+      fmt.option("versionAsOf", "9").load(dir)
+    }
+    assert(e.getMessage.contains("available: 1, 2"))
+    intercept[IllegalArgumentException] {
+      fmt.option("versionAsOf", "x").load(dir)
+    }
+    val none = intercept[IllegalArgumentException] {
+      fmt.load(freshDir("mds-asof-none"))
+    }
+    assert(none.getMessage.contains("no manifest table"))
+  }
+
+  test("pure SQL: CREATE TEMPORARY VIEW … USING graft-manifest reads the table, with time travel") {
+    import spark.implicits._
+    val dir = freshDir("mds-sql")
+    (0 until 30).map(i => (s"g${i % 3}", i.toLong)).toDF("grp", "x")
+      .write.format("graft-manifest").partitionBy("grp").mode("overwrite").save(dir)
+    (30 until 36).map(i => (s"g${i % 3}", i.toLong)).toDF("grp", "x")
+      .write.format("graft-manifest").mode("append").save(dir)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW mds_sql_head
+         |USING `graft-manifest` OPTIONS (path '$dir')""".stripMargin)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW mds_sql_v1
+         |USING `graft-manifest` OPTIONS (path '$dir', versionAsOf '1')""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM mds_sql_head").as[Long].head() === 36L)
+    assert(spark.sql("SELECT count(*) FROM mds_sql_v1").as[Long].head() === 30L)
+    assert(spark.sql(
+      "SELECT grp, max(x) AS mx FROM mds_sql_head GROUP BY grp ORDER BY grp")
+      .as[(String, Long)].collect().toSeq ===
+      Seq(("g0", 33L), ("g1", 34L), ("g2", 35L)))
+  }
+
+  test("format path plans one scan with partition pruning, parquet pushdown, and manifest file skipping") {
+    import spark.implicits._
+    val dir = freshDir("mds-plan")
+    // 4 range-clustered files per partition → skippable pos ranges
+    val df = (0 until 200).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+      .repartitionByRange(4, col("pos"))
+    df.write.format("graft-manifest").partitionBy("chrom")
+      .option("statsCols", "pos").mode("overwrite").save(dir)
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m = ManifestLake.readManifest(fs, root, 1L)
+    assert(m.files.nonEmpty && m.files.forall(_.stats.contains("pos")))
+    val filtered = fmt.load(dir)
+      .where(col("chrom") === "chr2" && col("pos") >= 150L)
+    val rows = filtered.collect()
+    assert(rows.length === 25)
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length === 1, "format read must stay a single scan node")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+      .contains("chrom"), s"partition filter must prune at the scan:\n$plan")
+    assert(plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+      .contains("GreaterThanOrEqual(pos,150)"),
+      s"data filter must push to parquet:\n$plan")
+    // file-level skipping from manifest stats: strictly fewer files than
+    // the chr2 partition holds
+    val chr2Files = m.files.count(_.path.contains("chrom=chr2"))
+    assert(scans.head.metrics("numFiles").value < chr2Files,
+      s"manifest stats must skip files: read ${scans.head.metrics("numFiles").value} of $chr2Files")
+  }
+
+  test("save modes: ErrorIfExists is loud, Ignore is a no-op, Overwrite replaces") {
+    import spark.implicits._
+    val dir = freshDir("mds-modes")
+    val df = Seq(("a", 1L)).toDF("part", "v")
+    df.write.format("graft-manifest").partitionBy("part").save(dir) // default = ErrorIfExists, creates
+    intercept[IllegalStateException] {
+      df.write.format("graft-manifest").partitionBy("part").save(dir)
+    }
+    Seq(("a", 99L)).toDF("part", "v").write.format("graft-manifest")
+      .partitionBy("part").mode("ignore").save(dir)
+    assert(fmt.load(dir).select("v").as[Long].collect().toSeq === Seq(1L))
+    Seq(("a", 7L)).toDF("part", "v").write.format("graft-manifest")
+      .partitionBy("part").mode("overwrite").save(dir)
+    assert(fmt.load(dir).select("v").as[Long].collect().toSeq === Seq(7L))
+  }
+
+  test("txn options ride the exactly-once ledger: a replayed batch publishes nothing") {
+    import spark.implicits._
+    val dir = freshDir("mds-txn")
+    def appendBatch(vals: Seq[Long], batch: Long): Unit =
+      vals.map(v => ("a", v)).toDF("part", "v")
+        .write.format("graft-manifest").partitionBy("part")
+        .option("txnAppId", "mds-app").option("txnBatchId", batch.toString)
+        .mode("append").save(dir)
+    appendBatch(Seq(1L), 0L)
+    appendBatch(Seq(2L), 1L)
+    appendBatch(Seq(99L), 1L) // replay: at-or-below the watermark
+    assert(ManifestLake.currentVersion(spark, dir) === Some(2L))
+    assert(fmt.load(dir).select("v").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      Seq(("a", 3L)).toDF("part", "v").write.format("graft-manifest")
+        .option("txnAppId", "mds-app").mode("append").save(dir)
+    }
+  }
+
+  test("a headerless legacy manifest is a typed error on the format path") {
+    import spark.implicits._
+    val dir = freshDir("mds-legacy")
+    ManifestLake.write(spark, Seq(("a", 1L)).toDF("part", "v"), dir, Seq("part"))
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m = ManifestLake.readManifest(fs, root, 1L)
+    // strip the header: republish v2 as a headerless manifest
+    ManifestLake.publish(fs, root, 2L, m.files, None, Seq.empty)
+    val e = intercept[IllegalArgumentException] { fmt.load(dir) }
+    assert(e.getMessage.contains("schema header"))
+    // …but time travel to the headed version still works
+    assert(fmt.option("versionAsOf", "1").load(dir).count() === 1)
+  }
+}

@@ -148,16 +148,12 @@ class ManifestLakeSpec extends AnyFunSuite {
     val base = (0 until 90).map(i => (s"chr${i % 3 + 1}", i.toLong, s"old$i"))
       .toDF("chrom", "pos", "payload")
     ManifestLake.write(spark, base, dir, Seq("chrom"))
-    // manifest lines are `<bytes>\t<relpath>` — compare by path
-    def manifestPaths(name: String): List[String] = {
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"_manifest/$name"))
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        .filter(_.nonEmpty).map(_.split("\t").last)
-      finally in.close()
+    // compare the manifests' live sets by path
+    def manifestPaths(v: Long): List[String] = {
+      val (fsx, rootx) = ManifestLake.fsFor(spark, dir)
+      ManifestLake.readManifest(fsx, rootx, v).files.map(_.path).toList
     }
-    val v1Files = manifestPaths("v000001.list")
+    val v1Files = manifestPaths(1L)
 
     // touch chr1 only: rewrite pos 0, add pos 1000; chr2/chr3 untouched
     val updates = Seq(("chr1", 0L, "NEW"), ("chr1", 1000L, "ADDED"))
@@ -178,7 +174,7 @@ class ManifestLakeSpec extends AnyFunSuite {
 
     // untouched partitions carried BY REFERENCE: their v1 file paths
     // appear verbatim in v2's manifest (zero rewrite I/O)
-    val v2Files = manifestPaths("v000002.list")
+    val v2Files = manifestPaths(2L)
     val untouchedV1 = v1Files.filterNot(_.contains("chrom=chr1"))
     assert(untouchedV1.nonEmpty && untouchedV1.forall(v2Files.contains))
     assert(!v2Files.exists(f => f.contains("chrom=chr1") && f.contains("v000001")))
@@ -285,7 +281,8 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(ManifestLake.readVersion(spark, dir, 1L)
       .select("payload").collect().map(_.getString(0)).toSeq === Seq("from-A"))
     // and no stray staging file left behind
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_manifest/.tmp-v000002.list")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_manifest/.tmp-v000002.list")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dir, "_manifest/.tmp-v000002.list.gz")))
   }
 
   test("an empty version reads with the TABLE schema, not zero columns") {
@@ -563,17 +560,20 @@ class ManifestLakeSpec extends AnyFunSuite {
     val v1 = (0 until 20).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i"))
       .toDF("chrom", "pos", "payload")
     ManifestLake.write(spark, v1, dir, Seq("chrom"))
-    // strip the header directives — the manifest a pre-header writer
-    // would have produced (files only, no recorded schema)
+    // strip the header directives AND the gzip encoding — the literal
+    // artifact a pre-header, pre-compression writer left behind (plain
+    // `.list`, files only, no recorded schema). Rewriting it this way
+    // also pins that the read path still accepts the legacy extension.
     val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val gzPath = new org.apache.hadoop.fs.Path(root, "_manifest/v000001.list.gz")
     val mPath = new org.apache.hadoop.fs.Path(root, "_manifest/v000001.list")
     val body = {
-      val in = fs.open(mPath)
+      val in = new java.util.zip.GZIPInputStream(fs.open(gzPath))
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     }
     val stripped = body.filterNot(_.startsWith("#"))
-    fs.delete(mPath, false)
+    fs.delete(gzPath, false)
     val out = fs.create(mPath, true)
     try out.write((stripped.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
@@ -681,5 +681,50 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(ManifestLake.currentVersion(spark, dir) === Some(2L))
     assert(ManifestLake.read(spark, dir).count() === 0)
     assert(ManifestLake.readVersion(spark, dir, 1L).count() === 1)
+  }
+
+  test("genomic lake through the manifest commit: pos-range scans skip whole files (E3 shape)") {
+    import spark.implicits._
+    val dir = freshDir("mlake-genomic")
+    // 3 chroms × 2 pos buckets × 500 positions, pos-clustered by
+    // Lake.writeManifested; the small per-file cap splits each partition
+    // into ~5 files each covering a narrow pos range — the shape the
+    // real lake has at MaxRecordsPerFile on real data
+    val df = (0 until 3000).map { i =>
+      val chrom = s"chr${i % 3 + 1}"
+      val pos = (i / 3).toLong
+      (chrom, pos / 500L, pos, s"e$i")
+    }.toDF("chrom", "pos_bucket", "pos", "entries")
+    Lake.writeManifested(spark, df, dir, maxRecordsPerFile = 100)
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m = ManifestLake.readManifest(fs, root, 1L)
+    assert(m.files.length >= 12 && m.files.forall(_.stats.contains("pos")),
+      s"expected a fragmented lake with pos stats, got ${m.files.length} files")
+    def filesRead(filtered: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val n = filtered.collect().length.toLong
+      val scan = filtered.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      (n, scan.metrics("numFiles").value)
+    }
+    // the reference's E3 query shape: a (chrom, pos-range) lookup
+    val (nRows, nFiles) = filesRead(ManifestLake.read(spark, dir)
+      .where(col("chrom") === "chr2" && col("pos") >= 100L && col("pos") <= 180L))
+    assert(nRows === 81)
+    val chr2Files = m.files.count(_.path.contains("chrom=chr2"))
+    assert(nFiles < chr2Files,
+      s"pos stats must skip files at planning: read $nFiles of $chr2Files chr2 files")
+    // equal results: skipping is a cost optimization, never a filter
+    val expected = df.where(col("chrom") === "chr2" &&
+      col("pos") >= 100L && col("pos") <= 180L)
+    assert(ManifestLake.read(spark, dir)
+      .where(col("chrom") === "chr2" && col("pos") >= 100L && col("pos") <= 180L)
+      .select("chrom", "pos_bucket", "pos", "entries")
+      .except(expected.select("chrom", "pos_bucket", "pos", "entries")).isEmpty)
+    // an append accretes without disturbing the stats-fed skipping
+    val extra = Seq(("chr2", 0L, 145L, "late")).toDF("chrom", "pos_bucket", "pos", "entries")
+    Lake.writeManifested(spark, extra, dir, replace = false, maxRecordsPerFile = 100)
+    assert(ManifestLake.read(spark, dir)
+      .where(col("chrom") === "chr2" && col("pos") === 145L).count() === 2)
   }
 }
