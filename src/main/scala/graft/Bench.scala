@@ -80,13 +80,32 @@ object Bench {
       System.gc()
       Thread.sleep(100)
     }
-    def timedRun(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A thrown query must NOT publish its time-to-fail as if it were a
+    // measurement (CORRECTNESS would catch the breakage, but the bench
+    // line should say "error", not a plausible number). ok=false marks
+    // the run failed; a query with no successful run publishes "error".
+    def timedRun(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val t = (System.nanoTime() - t0) / 1e9
       scrub()
-      t
+      (t, ok)
     }
+    // Idle gate: five consecutive rounds published lines inflated 1.5-19x
+    // by external host load that min-of-2 + the re-time screen cannot
+    // fully reject (the burst can span the whole suite). Don't start
+    // timing on a busy host at all: spin until the 1-min loadavg drops
+    // below the gate (bounded wait), and stamp how long we waited plus
+    // the load the gate released at — so the artifact itself says whether
+    // the run started idle or the wait timed out still contended.
+    def load1(): Double =
+      try loadavg().split("\\s+").head.toDouble catch { case _: Throwable => 0.0 }
+    val idleGate = sys.env.getOrElse("SPARK_GRAFT_IDLE_GATE", "2.0").toDouble
+    val idleWaitMaxMs = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT_MS", "600000").toLong
+    val gateT0 = System.nanoTime()
+    while (load1() >= idleGate && (System.nanoTime() - gateT0) / 1e6 < idleWaitMaxMs)
+      Thread.sleep(5000)
+    val idleWaitSec = math.round((System.nanoTime() - gateT0) / 1e7) / 100.0
     val loadBefore = loadavg()
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => etlNames.contains(name) }
@@ -103,8 +122,11 @@ object Bench {
           t
         } else Double.MaxValue
         // min of two timed runs: one contended run (GC pause, another
-        // process's burst) must not read as a 2x regression
-        val dt = (1 to 2).map(_ => timedRun(fn)).min
+        // process's burst) must not read as a 2x regression. A query
+        // with zero successful runs is NaN → published as "error".
+        val runs = (1 to 2).map(_ => timedRun(fn))
+        val okTimes = runs.collect { case (t, true) => t }
+        val dt = if (okTimes.nonEmpty) okTimes.min else Double.NaN
         (name, fn, warm, dt)
       }
     // Outlier re-time pass: min-of-2 cannot reject host contention that
@@ -126,20 +148,24 @@ object Bench {
       val warmSuspect = warm != Double.MaxValue && dt > 5.0 * warm
       val prevSuspect = prev.get(name).exists(p => p > 0 && dt > 3.0 * p)
       val suspect = dt > 1.0 && (warmSuspect || prevSuspect)
-      val best = if (suspect) math.min(dt, (1 to 2).map(_ => timedRun(fn)).min) else dt
+      val best = if (suspect) {
+        val re = (1 to 2).map(_ => timedRun(fn)).collect { case (t, true) => t }
+        if (re.nonEmpty) math.min(dt, re.min) else dt
+      } else dt
       (name, best, suspect)
     }
     val loadAfter = loadavg()
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) =>
+      "\"" + k + "\":" + (if (v.isNaN) "\"error\"" else v.toString)
+    }.mkString("{", ",", "}")
     val retimed = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filterNot(_.isNaN).sum
     // notes: q70/q71/q83 share a session-memoized k-means codebook that
     // the warm-up pass populates, so their timed runs exclude training —
     // the persisted-codebook deployment shape, stated here so a
     // round-over-round reader doesn't misread memo reuse as engine speed.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","retimed":$retimed,"notes":"q70/q71/q83 timed runs reuse the memoized k-means codebook (training excluded, persisted-codebook pattern)"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","idle_wait_sec":$idleWaitSec,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","retimed":$retimed,"notes":"q70/q71/q83 timed runs reuse the memoized k-means codebook (training excluded, persisted-codebook pattern)"}""")
     spark.stop()
   }
 }
