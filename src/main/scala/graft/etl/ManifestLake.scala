@@ -159,7 +159,8 @@ object ManifestLake {
   private[etl] final case class Manifest(schema: Option[StructType],
                                          partCols: Seq[String],
                                          files: Seq[LiveFile],
-                                         txns: Map[String, Long] = Map.empty)
+                                         txns: Map[String, Long] = Map.empty,
+                                         op: Option[String] = None)
 
   /** Published manifests are IMMUTABLE (a version is never rewritten —
     * restore publishes a NEW version), so parsed manifests cache across
@@ -228,6 +229,7 @@ object ManifestLake {
       val parts = d.split("\t")
       parts(1) -> parts(2).toLong
     }.toMap
+    val op = dmap.get("#op").filter(_.nonEmpty)
     val files = data.map { line =>
       // `bytes\tpath` or `bytes\tpath\t<stats json>` — JSON string
       // escaping keeps tabs/newlines inside values off the line.
@@ -242,7 +244,7 @@ object ManifestLake {
           LiveFile(b.toLong, p, parseStats(statsJson))
       }
     }
-    Manifest(schema, partCols, files, txns)
+    Manifest(schema, partCols, files, txns, op)
   }
 
   private def parseStats(json: String): Map[String, (String, String)] = {
@@ -301,7 +303,8 @@ object ManifestLake {
     */
   private[graft] def publish(fs: FileSystem, root: Path, v: Long, files: Seq[LiveFile],
                            schema: Option[StructType], partCols: Seq[String],
-                           txns: Map[String, Long] = Map.empty): Unit = {
+                           txns: Map[String, Long] = Map.empty,
+                           op: Option[String] = None): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
     txns.keys.foreach(app => require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
@@ -313,6 +316,7 @@ object ManifestLake {
     val tmp = new Path(dir, f".tmp-v$v%06d.list.gz")
     val header = schema.toSeq.flatMap(s =>
       Seq(s"#schema\t${s.json}", s"#partcols\t${partCols.mkString(",")}")) ++
+      op.map(o => s"#op\t$o").toSeq ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
     val body = header ++ files.sortBy(_.path).map { f =>
       if (f.stats.isEmpty) s"${f.bytes}\t${f.path}"
@@ -591,7 +595,8 @@ object ManifestLake {
     // stream's replay detection must not reset because a batch job
     // rewrote the table underneath it
     val txns = prev.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
-    publish(fs, root, v, carried ++ withStats, Some(tableSchema), partitionCols, txns)
+    publish(fs, root, v, carried ++ withStats, Some(tableSchema), partitionCols, txns,
+      op = Some(if (replace) "replace" else "append"))
     v
   }
 
@@ -731,6 +736,74 @@ object ManifestLake {
     else readFiles(spark, fs, root, m)
   }
 
+  /** The rows ADDED to the table after version `fromV`, up to and
+    * including `toV` — the append-only CHANGE FEED an incremental
+    * consumer (a downstream training-data job, an index builder) reads
+    * instead of re-scanning the whole table per poll. Pair with
+    * [[versions]]/[[currentVersion]] to discover `toV` and with the
+    * consumer's own checkpoint of the last `toV` it processed; costs
+    * one manifest read per version in the range plus a scan of ONLY
+    * the added files.
+    *
+    * Defined ONLY over ranges where every commit is a recorded append
+    * (`#op append`, stamped by every commit since the directive
+    * existed): appends only ever ACCRETE files, so the added rows are
+    * exactly the head's files minus `fromV`'s — and anything else in
+    * the range (compaction, upsert, replace, restore — ops that move
+    * or rewrite rows; or a legacy manifest that cannot prove what it
+    * was) is a typed refusal, never a silently-wrong feed — unless
+    * `skipNonAppend = true`, which SKIPS those versions entirely:
+    * their files never surface as adds, and later appends diff against
+    * the post-rewrite live set. That is the Delta-`ignoreChanges`-style
+    * escape hatch the streaming source offers for tables under
+    * periodic compaction, with the same caveat: rows rewritten by a
+    * skipped upsert/replace are silently not fed. `fromV` itself may
+    * be any commit kind — the feed starts after it. `fromV = 0` means
+    * "since before the table existed" (every live file at `toV` is a
+    * change).
+    */
+  def readChanges(spark: SparkSession, path: String, fromV: Long, toV: Long,
+                  skipNonAppend: Boolean = false): DataFrame = {
+    require(fromV >= 0 && toV > fromV, s"need 0 <= fromV < toV, got fromV=$fromV toV=$toV")
+    val (fs, root) = fsFor(spark, path)
+    def manifestAt(v: Long): Manifest = {
+      if (existingManifestPath(fs, root, v).isEmpty)
+        throw new IllegalArgumentException(
+          s"version $v of $path does not exist (never published, or vacuumed); " +
+            s"available: ${versions(spark, path).map(_._1).mkString(", ")}")
+      readManifest(fs, root, v)
+    }
+    // the table-CREATING commit (v1) is an append from empty whatever
+    // its flag says — a replace there had nothing to rewrite
+    def isAppend(v: Long, m: Manifest): Boolean =
+      m.op.contains("append") || (v == 1 && m.op.contains("replace"))
+    var prevPaths: Set[String] =
+      if (fromV == 0) Set.empty
+      else manifestAt(fromV).files.map(_.path).toSet
+    val added = Seq.newBuilder[LiveFile]
+    var head: Manifest = Manifest(None, Seq.empty, Seq.empty)
+    ((fromV + 1) to toV).foreach { v =>
+      val m = manifestAt(v)
+      if (isAppend(v, m))
+        added ++= m.files.filterNot(f => prevPaths.contains(f.path))
+      else if (!skipNonAppend)
+        throw new IllegalArgumentException(
+          s"version $v of $path is ${m.op.map("a " + _).getOrElse("an untagged legacy commit")}, " +
+            "not an append — the change feed is defined only over append-only " +
+            "ranges (compaction/upsert/replace/restore move or rewrite rows; " +
+            "read a full version instead, or opt into skipNonAppend)")
+      prevPaths = m.files.map(_.path).toSet
+      head = m
+    }
+    val files = added.result()
+    if (files.isEmpty)
+      head.schema match {
+        case Some(s) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+        case None => spark.emptyDataFrame
+      }
+    else readFiles(spark, fs, root, Manifest(head.schema, head.partCols, files))
+  }
+
   /** Read the table at its highest published version. A table that was
     * never created reads as the schema-less empty frame (there is no
     * schema anywhere to give it).
@@ -779,16 +852,40 @@ object ManifestLake {
     * this layout buys at 720k-leaf scale (the rename-swap lake's
     * detection pass lists every partition per poll).
     *
+    * `clusterBy` range-clusters rewritten files on ONE sort key
+    * (perfect skipping on that key); `zOrderBy` instead lays rows along
+    * the z-curve of TWO-plus numeric/date/timestamp columns
+    * ([[graft.ops.ZOrder]]) so file-level stats prune on ANY of them —
+    * the multi-dimension trade (≈sqrt-ranges per dimension instead of
+    * one perfect + rest useless). Mutually exclusive; both are layout
+    * hints only, content invariant.
+    *
     * Returns (partitionRelDir, filesBefore, filesAfter) per rewritten
     * partition.
     */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,
-              clusterBy: Seq[String] = Seq.empty): Seq[(String, Int, Int)] = {
+              clusterBy: Seq[String] = Seq.empty,
+              zOrderBy: Seq[String] = Seq.empty): Seq[(String, Int, Int)] = {
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "clusterBy and zOrderBy are mutually exclusive layout choices")
     val (fs, root) = fsFor(spark, path)
     val v = currentVersion(spark, path).getOrElse(
       return Seq.empty)
     val manifest = readManifest(fs, root, v)
+    manifest.schema.foreach { s =>
+      val missing = zOrderBy.filterNot(s.fieldNames.contains)
+      require(missing.isEmpty,
+        s"zOrderBy column(s) ${missing.mkString(", ")} not in the recorded " +
+          s"schema ${s.fieldNames.mkString(", ")}")
+    }
+    // a partition column is constant within each rewritten partition —
+    // z-ordering on it wastes curve bits at best, and the per-partition
+    // file read doesn't even carry it as a data column
+    require(!zOrderBy.exists(manifest.partCols.contains),
+      s"zOrderBy cannot include partition column(s) " +
+        s"${zOrderBy.filter(manifest.partCols.contains).mkString(", ")} — " +
+        "they are constant within every rewritten partition")
     val live = manifest.files
     // partition key = the hive dirs between data/v…/ and the file name
     def partOf(rel: String): String =
@@ -808,13 +905,19 @@ object ManifestLake {
       // same file-count-target stance as Lake.compact: when the scan
       // bin-packs below the target, coalesce can only undershoot — range-
       // repartition on the cluster key (free row-group clustering) or
-      // round-robin when the table has no sort key
-      val shaped =
-        if (src.rdd.getNumPartitions < want) {
-          if (cluster.nonEmpty) src.repartitionByRange(want, cluster: _*)
-          else src.repartition(want)
-        } else src.coalesce(want)
-      val sorted = if (cluster.nonEmpty) shaped.sortWithinPartitions(cluster: _*) else shaped
+      // round-robin when the table has no sort key. zOrderBy always
+      // range-repartitions on the z-value (curve-contiguous files are
+      // the entire point; a coalesce would interleave curve segments)
+      val sorted =
+        if (zOrderBy.nonEmpty) graft.ops.ZOrder.cluster(src, zOrderBy, want)
+        else {
+          val shaped =
+            if (src.rdd.getNumPartitions < want) {
+              if (cluster.nonEmpty) src.repartitionByRange(want, cluster: _*)
+              else src.repartition(want)
+            } else src.coalesce(want)
+          if (cluster.nonEmpty) shaped.sortWithinPartitions(cluster: _*) else shaped
+        }
       val dest = if (part.isEmpty) commitDir else new Path(commitDir, part)
       sorted.write.mode(SaveMode.Overwrite).parquet(dest.toString)
       val rowsIn = src.count()
@@ -839,7 +942,7 @@ object ManifestLake {
       case _ => staged
     }
     publish(fs, root, newV, untouched ++ withStats,
-      manifest.schema, manifest.partCols, manifest.txns)
+      manifest.schema, manifest.partCols, manifest.txns, op = Some("compact"))
     report
   }
 
@@ -1003,7 +1106,7 @@ object ManifestLake {
       }
     publish(fs, root, newV, untouched ++ stagedWithStats,
       Some(tableSchema), partitionCols,
-      manifest.txns ++ txn.toMap)
+      manifest.txns ++ txn.toMap, op = Some("upsert"))
     newV
   }
 
@@ -1026,7 +1129,8 @@ object ManifestLake {
     val target = readManifest(fs, root, v)
     val headTxns = readManifest(fs, root, head).txns
     val newV = head + 1
-    publish(fs, root, newV, target.files, target.schema, target.partCols, headTxns)
+    publish(fs, root, newV, target.files, target.schema, target.partCols, headTxns,
+      op = Some("restore"))
     newV
   }
 

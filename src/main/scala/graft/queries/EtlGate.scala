@@ -612,5 +612,72 @@ object EtlGate {
              |SELECT head.lang, n_docs, sum_chars, content_sum, max_id,
              |  n_docs_v1, max_id_v1
              |FROM head JOIN v1 ON head.lang = v1.lang
-             |ORDER BY head.lang""".stripMargin)))
+             |ORDER BY head.lang""".stripMargin)),
+
+    // Z-order compaction under the oracle: a fragmented write, then a
+    // compacting commit that lays rows along the (doc_id, n_chars)
+    // z-curve — and the read-back must hash-match DuckDB aggregating
+    // the documents table directly, because z-order is LAYOUT, not
+    // data: the transient z-value never surfaces. The multi-dimension
+    // pruning advantage itself is pinned by ZOrderSpec's
+    // strictly-fewer-files comparison against lexicographic layout.
+    Q(
+      "q96_zorder_compact",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-zorder") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+        ManifestLake.write(s, docs.repartition(8), out, Seq("lang"),
+          statsCols = Seq("doc_id", "n_chars"))
+        val report = ManifestLake.compact(s, out, targetBytes = Long.MaxValue,
+          zOrderBy = Seq("doc_id", "n_chars"))
+        require(report.nonEmpty, "z-order gate must actually compact")
+        ManifestLake.vacuum(s, out, keepVersions = 1)
+        ManifestLake.read(s, out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // The append-only CHANGE FEED under the oracle: the documents table
+    // lands as 1 replace + 3 appends; a consumer checkpointed at v2
+    // reads readChanges(2, 4) and must see EXACTLY the rows batches 3-4
+    // added (doc_id % 4 in {2, 3}), hash-matched against DuckDB
+    // filtering the source table directly. Pins that the feed is the
+    // manifest set-difference over a verified append-only range — the
+    // incremental-consumer contract; refusal semantics for
+    // compact/upsert/replace/legacy ranges are spec'd in
+    // ManifestLakeSpec.
+    Q(
+      "q97_change_feed",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-cdf") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+        (0 until 4).foreach { i =>
+          ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(4L)) === i),
+            out, Seq("lang"), replace = i == 0)
+        }
+        ManifestLake.readChanges(s, out, fromV = 2L, toV = 4L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM documents WHERE doc_id % 4 IN (2, 3)
+             |GROUP BY lang ORDER BY lang""".stripMargin)))
 }

@@ -683,6 +683,56 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(ManifestLake.readVersion(spark, dir, 1L).count() === 1)
   }
 
+  test("change feed: appended rows exactly; anything non-append in range is a typed refusal") {
+    import spark.implicits._
+    val dir = freshDir("mlake-cdf")
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, batch(0, 20), dir, Seq("chrom"))                  // v1 replace
+    ManifestLake.write(spark, batch(20, 30), dir, Seq("chrom"), replace = false) // v2 append
+    ManifestLake.write(spark, batch(30, 45), dir, Seq("chrom"), replace = false) // v3 append
+    // consumer checkpointed at v1 sees exactly v2+v3's rows
+    val changes = ManifestLake.readChanges(spark, dir, 1L, 3L)
+    assert(changes.count() === 25)
+    assert(changes.select("chrom", "pos", "payload").except(batch(20, 45)).isEmpty)
+    assert(batch(20, 45).except(changes.select("chrom", "pos", "payload")).isEmpty)
+    // fromV = 0 = everything; a single-version window = that batch
+    assert(ManifestLake.readChanges(spark, dir, 0L, 3L).count() === 45)
+    assert(ManifestLake.readChanges(spark, dir, 2L, 3L).count() === 15)
+    // a mid-table REPLACE is refused (rows rewritten); the table-
+    // creating v1 replace is fine — it appended to nothing, which is
+    // what made fromV = 0 above legal
+    val dir2 = freshDir("mlake-cdf-replace")
+    ManifestLake.write(spark, batch(0, 10), dir2, Seq("chrom"))
+    ManifestLake.write(spark, batch(0, 5), dir2, Seq("chrom")) // v2 replace
+    val eReplace = intercept[IllegalArgumentException] {
+      ManifestLake.readChanges(spark, dir2, 1L, 2L)
+    }
+    assert(eReplace.getMessage.contains("replace"))
+    // a compact in range is refused — its rewrite would read as adds
+    ManifestLake.compact(spark, dir, targetBytes = Long.MaxValue) // v4
+    val eCompact = intercept[IllegalArgumentException] {
+      ManifestLake.readChanges(spark, dir, 1L, 4L)
+    }
+    assert(eCompact.getMessage.contains("compact"))
+    // …but a feed ENDING before it still serves, and one starting AT it too
+    assert(ManifestLake.readChanges(spark, dir, 1L, 3L).count() === 25)
+    ManifestLake.write(spark, batch(45, 50), dir, Seq("chrom"), replace = false) // v5
+    assert(ManifestLake.readChanges(spark, dir, 4L, 5L).count() === 5)
+    // an untagged legacy manifest cannot prove it was an append
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m5 = ManifestLake.readManifest(fs, root, 5L)
+    ManifestLake.publish(fs, root, 6L, m5.files, m5.schema, m5.partCols, m5.txns)
+    val eLegacy = intercept[IllegalArgumentException] {
+      ManifestLake.readChanges(spark, dir, 4L, 6L)
+    }
+    assert(eLegacy.getMessage.contains("legacy"))
+    // a vacuumed fromV names what is available instead of diffing air
+    intercept[IllegalArgumentException] {
+      ManifestLake.readChanges(spark, dir, 99L, 100L)
+    }
+  }
+
   test("genomic lake through the manifest commit: pos-range scans skip whole files (E3 shape)") {
     import spark.implicits._
     val dir = freshDir("mlake-genomic")
