@@ -35,6 +35,8 @@ object Graft {
     Op("lake", "manifest upsert (untouched partitions carried by reference)", "graft.etl.ManifestLake.upsert", "q89"),
     Op("lake", "manifest compact + zero-RPC inventory + vacuum + maintain", "graft.etl.ManifestLake.compact/inventory/vacuum/maintain", "q88"),
     Op("lake", "graft-manifest data source: format()/SQL temp views/writer API, versionAsOf", "spark.read.format(\"graft-manifest\") via graft.etl.ManifestDataSource", "q95"),
+    Op("lake", "z-order (Morton) clustering: file skipping on MULTIPLE columns at once", "graft.ops.ZOrder.cluster/zvalue, graft.etl.ManifestLake.compact(zOrderBy)", "q96"),
+    Op("lake", "append-only change feed between versions (incremental consumers)", "graft.etl.ManifestLake.readChanges", "q97"),
     Op("lake", "genomic lake on manifest commit: pos clustering + file-skipping stats", "graft.etl.Lake.writeManifested", "spec"),
     Op("lake", "shuffle-free co-located joins via bucketing", "graft.ops.Bucketing.writeBucketed", "q13"),
     // --- deduplication ---
@@ -102,7 +104,8 @@ object Graft {
     Op("streaming", "TTL-bounded streaming dedup (vs corpus / by id)", "graft.streaming.EventStreams.streamDedupAgainstCorpus/dedupByEventId", "spec"),
     Op("streaming", "keyed upsert sink (rename-swap lake)", "graft.streaming.EventStreams.upsertSink", "spec"),
     Op("streaming", "manifest-committed upsert sink: exactly-once txn ledger + auto-maintenance", "graft.streaming.EventStreams.manifestUpsertSink", "spec"),
-    Op("streaming", "append-only manifest sink (log streams; exactly-once)", "graft.streaming.EventStreams.manifestAppendSink", "spec"))
+    Op("streaming", "append-only manifest sink (log streams; exactly-once)", "graft.streaming.EventStreams.manifestAppendSink", "spec"),
+    Op("streaming", "manifest lake as a STREAMING SOURCE: version offsets, snapshot + verified appends, checkpointed restart, ignoreNonAppend", "spark.readStream.format(\"graft-manifest\") via graft.streaming.ManifestStreamSource", "spec"))
 
   /** The catalog as a DataFrame, for interactive discovery. */
   def catalogDf(spark: SparkSession): DataFrame = {

@@ -2,7 +2,9 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.DataSourceUtils
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 /** `graft-manifest` — the data-source registration that makes the
   * manifest lake consumable WITHOUT touching [[ManifestLake]]'s Scala
@@ -48,7 +50,8 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Da
   * USING` form above as the pure-SQL entry.)
   */
 final class ManifestDataSource extends DataSourceRegister
-    with RelationProvider with CreatableRelationProvider {
+    with RelationProvider with CreatableRelationProvider
+    with StreamSourceProvider {
 
   override def shortName(): String = "graft-manifest"
 
@@ -117,5 +120,44 @@ final class ManifestDataSource extends DataSourceRegister
             replace = true, txn = txn, statsCols = statsCols): Unit
     }
     createRelation(sqlContext, parameters)
+  }
+
+  // ---- streaming source: spark.readStream.format("graft-manifest") ----
+  // Read options: `startingVersion` (begin with changes AFTER version N
+  // instead of an initial full snapshot), `ignoreNonAppend` (skip
+  // compaction/upsert/replace/restore commits instead of failing the
+  // stream — Delta's ignoreChanges contract). Offsets are manifest
+  // versions; see [[graft.streaming.ManifestStreamSource]].
+
+  /** The stream's schema: the RECORDED head schema at stream start (the
+    * table must exist — an empty stream over a nonexistent table has no
+    * schema to declare, same stance as Delta).
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-manifest streams the table's recorded schema; a user-specified " +
+        "schema cannot be honored")
+    val path = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    ManifestLake.currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot stream from $path: no manifest table exists there yet"))
+    (shortName(), ManifestLake.read(spark, path).schema)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val path = pathOf(parameters)
+    val startingVersion = parameters.get("startingVersion").map { s =>
+      s.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"startingVersion must be a version number, got '$s'"))
+    }
+    val ignoreNonAppend = parameters.get("ignoreNonAppend").exists(_.toBoolean)
+    val (_, pinned) = sourceSchema(sqlContext, schema, providerName, parameters)
+    new graft.streaming.ManifestStreamSource(sqlContext.sparkSession, path,
+      pinned, startingVersion, ignoreNonAppend)
   }
 }
