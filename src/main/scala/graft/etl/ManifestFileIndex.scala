@@ -151,8 +151,36 @@ private[etl] final class ManifestFileIndex(
       vs.exists { case Literal(v, _) => eqMight(f, a.name, v); case _ => true }
     case Not(EqualTo(a: AttributeReference, Literal(v, _))) => neqMight(f, a.name, v)
     case Not(EqualTo(Literal(v, _), a: AttributeReference)) => neqMight(f, a.name, v)
+    case org.apache.spark.sql.catalyst.expressions.StartsWith(
+      a: AttributeReference, Literal(p: UTF8String, StringType)) =>
+      prefixMight(f, a.name, p)
     case _ => true
   }
+
+  /** col LIKE 'p%' could hold iff [lo, hi] intersects [p, nextPrefix(p)):
+    * every matching string s satisfies p <= s < nextPrefix(p) in binary
+    * order, so the file is provably out iff hi < p, or lo >= the
+    * smallest string ABOVE all p-prefixed ones. nextPrefix increments
+    * the last non-0xFF byte and truncates (the same construction
+    * Spark's own ParquetFilters pushes StartsWith with); an all-0xFF
+    * prefix has no upper bound and the lo side degrades to keep —
+    * conservative, like every other shape here.
+    */
+  private def prefixMight(f: ManifestLake.LiveFile, name: String,
+                          p: UTF8String): Boolean =
+    bounds(f, name).forall { case (lo, hi, ord) =>
+      val loOk = {
+        val bytes = p.getBytes
+        val i = bytes.lastIndexWhere(b => (b & 0xFF) != 0xFF)
+        if (i < 0) true // no representable upper bound -> keep
+        else {
+          val up = java.util.Arrays.copyOf(bytes, i + 1)
+          up(i) = (up(i) + 1).toByte
+          ord.compare(lo, UTF8String.fromBytes(up)) < 0
+        }
+      }
+      loOk && ord.compare(hi, p) >= 0
+    }
 
   /** col = v could hold iff lo <= v <= hi. */
   private def eqMight(f: ManifestLake.LiveFile, name: String, v0: Any): Boolean = {

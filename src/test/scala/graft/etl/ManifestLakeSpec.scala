@@ -414,9 +414,16 @@ class ManifestLakeSpec extends AnyFunSuite {
     // string stats prune too, and unsupported shapes stay conservative
     val (nStr, _) = filesRead(ManifestLake.read(spark, dir).where(col("payload") === "p7"))
     assert(nStr === 1)
+    // LIKE-prefix is a recognized skip shape (binary prefix-range
+    // intersection); results stay exact while some files drop
     val (nLike, filesLike) = filesRead(
       ManifestLake.read(spark, dir).where(col("payload").startsWith("p1")))
-    assert(nLike === 111 && filesLike === total.toLong,
+    assert(nLike === 111)
+    assert(filesLike < total, s"prefix skip should prune: read $filesLike of $total")
+    // a genuinely unrecognized shape (contains) still keeps every file
+    val (nContains, filesContains) = filesRead(
+      ManifestLake.read(spark, dir).where(col("payload").contains("p1")))
+    assert(nContains === 111 && filesContains === total.toLong,
       "unrecognized predicate shapes must keep every file")
     // a stats-free write (default) keeps every file — skipping is opt-in
     val dir2 = freshDir("mlake-noskip")
@@ -681,6 +688,34 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(ManifestLake.currentVersion(spark, dir) === Some(2L))
     assert(ManifestLake.read(spark, dir).count() === 0)
     assert(ManifestLake.readVersion(spark, dir, 1L).count() === 1)
+  }
+
+  test("LIKE-prefix predicates skip files on string stats") {
+    import spark.implicits._
+    val dir = freshDir("mlake-prefix")
+    def keyed(prefix: String) =
+      (0 until 10).map(i => (s"$prefix$i", i.toLong)).toDF("k", "v").coalesce(1)
+    ManifestLake.write(spark, keyed("alpha"), dir, Seq.empty, statsCols = Seq("k"))
+    ManifestLake.write(spark, keyed("mike"), dir, Seq.empty,
+      replace = false, statsCols = Seq("k"))
+    ManifestLake.write(spark, keyed("zulu"), dir, Seq.empty,
+      replace = false, statsCols = Seq("k"))
+    def filesRead(filtered: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val n = filtered.collect().length.toLong
+      val scans = filtered.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      (n, scans.headOption.map(_.metrics("numFiles").value).getOrElse(0L))
+    }
+    val (nMi, fMi) = filesRead(ManifestLake.read(spark, dir).where(col("k").startsWith("mi")))
+    assert(nMi === 10)
+    assert(fMi === 1, s"LIKE 'mi%' must plan only the mike file, read $fMi of 3")
+    // a prefix EQUAL to a bound stays in ([alpha0, alpha9] matches 'alpha%')
+    val (nAl, fAl) = filesRead(ManifestLake.read(spark, dir).where(col("k").startsWith("alpha")))
+    assert(nAl === 10 && fAl === 1)
+    // a prefix between files' ranges planning zero files is still correct
+    val (nNone, _) = filesRead(ManifestLake.read(spark, dir).where(col("k").startsWith("beta")))
+    assert(nNone === 0)
   }
 
   test("change feed: appended rows exactly; anything non-append in range is a typed refusal") {
