@@ -109,6 +109,32 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     assert(all.sorted === (0L until 15L))
   }
 
+  test("mid-stream additive widening is projected to the pinned schema, not a crash") {
+    import spark.implicits._
+    val dir = freshDir("msrc-widen")
+    ManifestLake.write(spark, batch(0, 6), dir, Seq("grp"))
+    val q = spark.readStream.format("graft-manifest").load(dir)
+      .writeStream.format("memory").queryName("msrc_widen").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("msrc_widen").count() === 6)
+      // an append that WIDENS the table (new nullable column) mid-stream:
+      // the stream keeps its pinned 3-column schema and delivers the rows
+      val widened = (6 until 9).map(i => (s"g${i % 2}", i.toLong, s"p$i", i * 1.5))
+        .toDF("grp", "x", "payload", "score")
+      ManifestLake.write(spark, widened, dir, Seq("grp"), replace = false)
+      q.processAllAvailable()
+      assert(spark.table("msrc_widen").columns.toSeq === Seq("grp", "x", "payload"))
+      assert(spark.table("msrc_widen").count() === 9)
+      // the table itself DID widen — visible to batch reads and restarts
+      assert(ManifestLake.read(spark, dir).columns.contains("score"))
+    } finally {
+      if (q.isActive) q.stop()
+      spark.sql("DROP TABLE IF EXISTS msrc_widen")
+    }
+  }
+
   test("streaming from a nonexistent table is a typed error") {
     val e = intercept[Exception] {
       spark.readStream.format("graft-manifest").load(freshDir("msrc-none"))
