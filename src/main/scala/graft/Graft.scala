@@ -37,6 +37,7 @@ object Graft {
     Op("lake", "graft-manifest data source: format()/SQL temp views/writer API, versionAsOf", "spark.read.format(\"graft-manifest\") via graft.etl.ManifestDataSource", "q95"),
     Op("lake", "z-order (Morton) clustering: file skipping on MULTIPLE columns at once", "graft.ops.ZOrder.cluster/zvalue, graft.etl.ManifestLake.compact(zOrderBy)", "q96"),
     Op("lake", "append-only change feed between versions (incremental consumers)", "graft.etl.ManifestLake.readChanges", "q97"),
+    Op("lake", "commit history narration (DESCRIBE HISTORY analog: kinds, sizes, txn ledger)", "graft.etl.ManifestLake.history", "spec"),
     Op("lake", "genomic lake on manifest commit: pos clustering + file-skipping stats", "graft.etl.Lake.writeManifested", "spec"),
     Op("lake", "shuffle-free co-located joins via bucketing", "graft.ops.Bucketing.writeBucketed", "q13"),
     // --- deduplication ---

@@ -699,6 +699,25 @@ object ManifestLake {
     }
   }
 
+  /** The table's commit history as a DataFrame — the DESCRIBE HISTORY
+    * analog: one row per published (not-yet-vacuumed) version, oldest
+    * first, with the commit kind (`#op`; null for pre-directive legacy
+    * commits), live file count, live bytes, and the txn ledger
+    * rendered `appId=batchId` sorted — the operational at-a-glance
+    * surface for "what happened to this table and where is every
+    * writer's watermark". Costs one directory listing plus one
+    * KB-manifest read per version (cached after the first).
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = fsFor(spark, path)
+    listVersions(fs, root).map { v =>
+      val m = readManifest(fs, root, v)
+      (v, m.op.orNull, m.files.length.toLong, m.files.map(_.bytes).sum,
+        m.txns.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(","))
+    }.toDF("version", "op", "n_files", "total_bytes", "txns")
+  }
+
   /** Every published (not-yet-vacuumed) version of the table, oldest
     * first, with its live file count and total bytes — the time-travel
     * discovery surface ([[readVersion]] takes one of these). Costs one

@@ -690,6 +690,24 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(ManifestLake.readVersion(spark, dir, 1L).count() === 1)
   }
 
+  test("history() narrates the commit log: kinds, sizes, and the txn ledger") {
+    import spark.implicits._
+    val dir = freshDir("mlake-history")
+    val df = (0 until 20).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, df, dir, Seq("chrom"))
+    ManifestLake.write(spark, df.where(col("pos") < 5), dir, Seq("chrom"),
+      replace = false, txn = Some(("ingest", 7L)))
+    ManifestLake.compact(spark, dir, targetBytes = Long.MaxValue)
+    ManifestLake.restore(spark, dir, 2L)
+    val h = ManifestLake.history(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(4)))
+    assert(h.map(x => (x._1, x._2)).toSeq ===
+      Seq((1L, "replace"), (2L, "append"), (3L, "compact"), (4L, "restore")))
+    // the ledger rides every commit from the one that introduced it
+    assert(h.drop(1).forall(_._3 == "ingest=7"))
+    assert(h.head._3 === "")
+  }
+
   test("LIKE-prefix predicates skip files on string stats") {
     import spark.implicits._
     val dir = freshDir("mlake-prefix")
