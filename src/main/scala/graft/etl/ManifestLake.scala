@@ -1163,8 +1163,9 @@ object ManifestLake {
   def maintain(spark: SparkSession, path: String,
                targetBytes: Long = 128L * 1024 * 1024,
                keepVersions: Int = 2,
-               clusterBy: Seq[String] = Seq.empty): (Int, Int) = {
-    val compacted = compact(spark, path, targetBytes, clusterBy)
+               clusterBy: Seq[String] = Seq.empty,
+               zOrderBy: Seq[String] = Seq.empty): (Int, Int) = {
+    val compacted = compact(spark, path, targetBytes, clusterBy, zOrderBy)
     val removed = vacuum(spark, path, keepVersions)
     (compacted.length, removed.length)
   }
