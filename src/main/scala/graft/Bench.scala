@@ -100,7 +100,10 @@ object Bench {
     // the run started idle or the wait timed out still contended.
     def load1(): Double =
       try loadavg().split("\\s+").head.toDouble catch { case _: Throwable => 0.0 }
-    val idleGate = sys.env.getOrElse("SPARK_GRAFT_IDLE_GATE", "2.0").toDouble
+    // Gate default 1.0, not 2.0: on a 32-core box loadavg 1.99 still
+    // means another multi-core burst can land mid-suite (BENCH_r10
+    // released at 1.99 and published q94 at 3.09s vs 0.81s isolated).
+    val idleGate = sys.env.getOrElse("SPARK_GRAFT_IDLE_GATE", "1.0").toDouble
     val idleWaitMaxMs = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT_MS", "600000").toLong
     val gateT0 = System.nanoTime()
     while (load1() >= idleGate && (System.nanoTime() - gateT0) / 1e6 < idleWaitMaxMs)
@@ -143,11 +146,15 @@ object Bench {
     // time is the min over all runs: each run is a complete correct
     // execution, so the smallest observed wall is the least-contended
     // — most truthful — sample.
+    // The prev-round leg triggers at 2x for queries over 0.5s: a uniform
+    // ~2x contention inflation sailed under the old 3x/1s thresholds on
+    // eight BENCH_r10 lines at once. The warm leg stays at 5x/1s — the
+    // sf0.001 floor is too noisy below that to mean anything.
     val prev = prevRoundTimes()
     val results = firstPass.map { case (name, fn, warm, dt) =>
-      val warmSuspect = warm != Double.MaxValue && dt > 5.0 * warm
-      val prevSuspect = prev.get(name).exists(p => p > 0 && dt > 3.0 * p)
-      val suspect = dt > 1.0 && (warmSuspect || prevSuspect)
+      val warmSuspect = dt > 1.0 && warm != Double.MaxValue && dt > 5.0 * warm
+      val prevSuspect = dt > 0.5 && prev.get(name).exists(p => p > 0 && dt > 2.0 * p)
+      val suspect = warmSuspect || prevSuspect
       val best = if (suspect) {
         val re = (1 to 2).map(_ => timedRun(fn)).collect { case (t, true) => t }
         if (re.nonEmpty) math.min(dt, re.min) else dt

@@ -172,15 +172,36 @@ object ManifestLake {
     * The key carries the file's (mtime, length) so the one way content
     * CAN legitimately differ under the same path+version — a table
     * deleted and re-created from scratch — misses instead of serving
-    * stale state (one getFileStatus RPC, vs re-reading megabytes). The
-    * cache is weighted by line count and evicts oldest-access first;
+    * stale state (one getFileStatus RPC, vs re-reading megabytes). A
+    * recreate that lands within the filesystem's mtime granularity
+    * with a byte-identical length is the residual blind spot; local FS
+    * checksums are unavailable to close it cheaply, and both versions
+    * of such a manifest were published within the same clock tick —
+    * documented, accepted. The cache is weighted by APPROXIMATE HEAP
+    * BYTES, not line count: per-line footprint scales with how many
+    * stats columns each file carries (a stats-heavy manifest line can
+    * be 10x a bare one), so a line cap could pin multi-GB of LiveFile
+    * objects while looking modest. Evicts oldest-access first;
     * [[Manifest]] is immutable, so sharing entries across threads is
     * sound.
     */
-  private val manifestCacheMaxLines = 4000000L
+  private val manifestCacheMaxBytes = 256L << 20
   private val manifestCache =
-    new java.util.LinkedHashMap[(String, Long, Long), Manifest](16, 0.75f, true)
-  private var manifestCacheLines = 0L
+    new java.util.LinkedHashMap[(String, Long, Long), (Manifest, Long)](16, 0.75f, true)
+  private var manifestCacheBytes = 0L
+
+  /** Approximate retained-heap cost of a parsed manifest: string chars
+    * at 2 bytes plus fixed per-object overheads for LiveFile, the path
+    * String, and each stats map entry (key + 2-string tuple + map node
+    * ≈ 96 bytes of headers/refs). Order-of-magnitude is all eviction
+    * needs.
+    */
+  private def manifestWeight(m: Manifest): Long =
+    64L + m.files.foldLeft(0L) { (acc, f) =>
+      acc + 64L + 2L * f.path.length + f.stats.foldLeft(0L) {
+        case (a, (c, (lo, hi))) => a + 96L + 2L * (c.length + lo.length + hi.length)
+      }
+    }
 
   /** Parse version `v`'s manifest. Lines starting with `#` are
     * directives (`#schema\t<StructType json>`, `#partcols\tc1,c2`,
@@ -193,14 +214,15 @@ object ManifestLake {
     val st = fs.getFileStatus(p)
     val key = (fs.makeQualified(p).toString, st.getModificationTime, st.getLen)
     manifestCache.synchronized(Option(manifestCache.get(key))) match {
-      case Some(m) => m
+      case Some((m, _)) => m
       case None =>
         val m = parseManifest(fs, p)
+        val w = manifestWeight(m)
         manifestCache.synchronized {
-          if (manifestCache.put(key, m) == null) manifestCacheLines += m.files.length
+          if (manifestCache.put(key, (m, w)) == null) manifestCacheBytes += w
           val it = manifestCache.entrySet().iterator()
-          while (manifestCacheLines > manifestCacheMaxLines && manifestCache.size() > 1) {
-            manifestCacheLines -= it.next().getValue.files.length
+          while (manifestCacheBytes > manifestCacheMaxBytes && manifestCache.size() > 1) {
+            manifestCacheBytes -= it.next().getValue._2
             it.remove()
           }
         }
@@ -267,17 +289,44 @@ object ManifestLake {
       }.toList))
   }
 
-  /** The head manifest's recorded partition columns, or None when the
-    * table doesn't exist / predates the schema header. Lets an
-    * unadorned `mode("append")` through the data source inherit the
-    * table's partitioning instead of restating it.
+  /** Hive-style partition columns derived from manifest file PATHS: the
+    * `name=value` directory segments between the per-commit dir
+    * (`data/vNNNNNN`) and the file name. The one ground truth a
+    * headerless legacy manifest has about its partitioning — directory
+    * layout IS the partitioning for hive-laid tables. Files must agree
+    * (a table whose files disagree on partition columns was never
+    * readable under one schema); disagreement is a loud failure, not a
+    * guess.
+    */
+  private[etl] def hivePartColsOf(relPaths: Seq[String]): Seq[String] = {
+    val perFile = relPaths.map { rel =>
+      rel.split("/").drop(2).dropWhile(!_.contains("=")).dropRight(1)
+        .takeWhile(_.contains("="))
+        .map(seg => seg.substring(0, seg.indexOf('='))).toSeq
+    }.distinct
+    require(perFile.size <= 1,
+      s"manifest files disagree on hive partition layout: " +
+        perFile.map(_.mkString("/")).mkString(" vs ") +
+        " — the table cannot be read under one partitioning")
+    perFile.headOption.getOrElse(Seq.empty)
+  }
+
+  /** The head manifest's recorded partition columns — or, for a legacy
+    * HEADERLESS manifest, the partitioning derived from its files' hive
+    * directory layout ([[hivePartColsOf]]). Lets an unadorned
+    * `mode("append")` through the data source inherit the table's
+    * partitioning instead of restating it — including on legacy tables,
+    * where inheriting Seq.empty would stamp an unpartitioned header
+    * over hive-partitioned carried files and silently null their
+    * partition column on read. None only when the table doesn't exist.
     */
   private[etl] def recordedPartitionCols(spark: SparkSession,
                                          path: String): Option[Seq[String]] = {
     val (fs, root) = fsFor(spark, path)
-    currentVersion(spark, path).flatMap { v =>
+    currentVersion(spark, path).map { v =>
       val m = readManifest(fs, root, v)
-      m.schema.map(_ => m.partCols)
+      if (m.schema.isDefined) m.partCols
+      else hivePartColsOf(m.files.map(_.path))
     }
   }
 
@@ -367,6 +416,21 @@ object ManifestLake {
               "commit race (this layout is single-writer; serialize " +
               "committers). The table is intact at the winner's version.", e)
         else throw e
+    }
+    // the pre-rename legacy check is check-then-rename: a mixed-version
+    // writer publishing the PLAIN extension in the gap leaves BOTH
+    // encodings on disk, and readers prefer the gz even though the
+    // plain manifest committed first — the commit-order winner would
+    // silently lose. Re-check after the rename and withdraw the gz
+    // loudly, so a both-present state never survives the race.
+    if (fs.exists(legacyManifestPath(root, v))) {
+      fs.delete(target, false)
+      throw new IllegalStateException(
+        s"manifest version $v was concurrently published at " +
+          s"${legacyManifestPath(root, v)} (plain extension) — lost a commit " +
+          "race with a mixed-version writer (this layout is single-writer; " +
+          "serialize committers). The gz manifest was withdrawn; the table " +
+          "is intact at the winner's version.")
     }
   }
 
@@ -558,6 +622,18 @@ object ManifestLake {
             s"table's inferred schema ${inferred.catalogString} — a headerless " +
             "manifest adopts this batch's schema as the table header, so the " +
             "shapes must agree (use a replace write to change the schema)")
+        // the adopted header also records PARTITIONING — and the legacy
+        // files' hive layout is the ground truth. Stamping different
+        // partCols (e.g. empty, from a caller that had no header to
+        // inherit from) would make the explicit single scan read the
+        // carried files' partition column back as silent nulls.
+        val legacyPartCols = hivePartColsOf(m.files.map(_.path))
+        require(legacyPartCols == partitionCols,
+          s"append partitioned by [${partitionCols.mkString(",")}] but the " +
+            s"legacy table's directory layout is partitioned by " +
+            s"[${legacyPartCols.mkString(",")}] — the adopted header must " +
+            "record the carried files' real partitioning (use a replace " +
+            "write to change it)")
         df.schema
       case _ => df.schema
     }

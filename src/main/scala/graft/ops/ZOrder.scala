@@ -115,10 +115,18 @@ object ZOrder {
   def cluster(df: DataFrame, cols: Seq[String], numFiles: Int,
               bits: Int = 8): DataFrame = {
     require(numFiles > 0, s"need numFiles > 0, got $numFiles")
+    // collision-free transient key: withColumn REPLACES an existing
+    // column of the same name, so a user table that happens to contain
+    // __zvalue would lose that column's data — violating the layout-only
+    // invariant. Suffix until unused.
+    val zCol = Iterator.from(0).map {
+      case 0 => "__zvalue"
+      case i => s"__zvalue_$i"
+    }.find(n => !df.columns.contains(n)).get
     val z = zvalue(df, cols, bits)
-    df.withColumn("__zvalue", z)
-      .repartitionByRange(numFiles, col("__zvalue"))
-      .sortWithinPartitions(col("__zvalue"))
-      .drop("__zvalue")
+    df.withColumn(zCol, z)
+      .repartitionByRange(numFiles, col(zCol))
+      .sortWithinPartitions(col(zCol))
+      .drop(zCol)
   }
 }

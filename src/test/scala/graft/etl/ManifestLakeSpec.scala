@@ -599,6 +599,15 @@ class ManifestLakeSpec extends AnyFunSuite {
         Seq(("chr1", "s", "x", 1.5)).toDF("chrom", "pos", "payload", "extra"),
         Seq("chrom"), Seq("chrom", "pos"))
     }
+    // declaring partitioning that disagrees with the legacy files' hive
+    // layout must be refused too — the adopted header would record the
+    // wrong partCols and silently null the carried files' partition
+    // column under the explicit single scan
+    val okShape = Seq(("chr1", 100L, "new")).toDF("chrom", "pos", "payload")
+    val ePart = intercept[IllegalArgumentException] {
+      ManifestLake.write(spark, okShape, dir, Seq.empty, replace = false)
+    }
+    assert(ePart.getMessage.contains("directory layout"))
     // a shape-matching append IS accepted and adopts the header for the
     // whole table — the upgrade path off legacy manifests
     val ok = Seq(("chr1", 100L, "new")).toDF("chrom", "pos", "payload")

@@ -116,4 +116,16 @@ class ZOrderSpec extends AnyFunSuite {
       .as[Long].collect()
     assert(z.length === 3 && z.forall(_ >= 0L))
   }
+
+  test("cluster() never clobbers a user column named __zvalue") {
+    import spark.implicits._
+    // a table that happens to carry the transient key's name: layout-only
+    // means THIS column's data must survive the re-layout untouched
+    val df = Seq((1L, 10L, "keep-me"), (2L, 20L, "and-me"))
+      .toDF("a", "b", "__zvalue")
+    val out = ZOrder.cluster(df, Seq("a", "b"), numFiles = 1)
+    assert(out.columns.toSeq === df.columns.toSeq)
+    assert(out.select("__zvalue").as[String].collect().sorted
+      === Array("and-me", "keep-me"))
+  }
 }
