@@ -126,8 +126,13 @@ final class ManifestDataSource extends DataSourceRegister
   // Read options: `startingVersion` (begin with changes AFTER version N
   // instead of an initial full snapshot), `ignoreNonAppend` (skip
   // compaction/upsert/replace/restore commits instead of failing the
-  // stream — Delta's ignoreChanges contract). Offsets are manifest
-  // versions; see [[graft.streaming.ManifestStreamSource]].
+  // stream — Delta's ignoreChanges contract), `maxFilesPerTrigger` /
+  // `maxBytesPerTrigger` (bound each micro-batch's intake so the
+  // initial snapshot and large append bursts arrive as a sequence of
+  // checkpointed batches instead of one monolith — Delta's rate-limit
+  // contract; at least one file always flows per trigger). Offsets are
+  // (version, fileOrdinal) composites riding the commit log; see
+  // [[graft.streaming.ManifestStreamSource]].
 
   /** The stream's schema: the RECORDED head schema at stream start (the
     * table must exist — an empty stream over a nonexistent table has no
@@ -156,8 +161,16 @@ final class ManifestDataSource extends DataSourceRegister
         s"startingVersion must be a version number, got '$s'"))
     }
     val ignoreNonAppend = parameters.get("ignoreNonAppend").exists(_.toBoolean)
+    def positive[T](name: String, parse: String => Option[T], ok: T => Boolean): Option[T] =
+      parameters.get(name).map { s =>
+        parse(s).filter(ok).getOrElse(throw new IllegalArgumentException(
+          s"$name must be a positive number, got '$s'"))
+      }
+    val maxFiles = positive[Int]("maxFilesPerTrigger", _.toIntOption, (n: Int) => n > 0)
+    val maxBytes = positive[Long]("maxBytesPerTrigger", _.toLongOption, (n: Long) => n > 0)
     val (_, pinned) = sourceSchema(sqlContext, schema, providerName, parameters)
     new graft.streaming.ManifestStreamSource(sqlContext.sparkSession, path,
-      pinned, startingVersion, ignoreNonAppend)
+      pinned, startingVersion, ignoreNonAppend, maxFiles, maxBytes,
+      Some(metadataPath))
   }
 }

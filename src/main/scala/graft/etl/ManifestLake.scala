@@ -899,6 +899,77 @@ object ManifestLake {
     else readFiles(spark, fs, root, Manifest(head.schema, head.partCols, files))
   }
 
+  // ---- building blocks for the rate-limited streaming source ----
+  // The source slices version file-lists into bounded micro-batches, so
+  // it needs the per-version pieces readChanges composes internally:
+  // a typed-error manifest fetch, the append test, the per-version
+  // added-file diff, and "read exactly THESE live files".
+
+  /** Manifest at `v`, or the same typed vacuumed/never-published error
+    * the batch readers raise.
+    */
+  private[graft] def manifestAtOrFail(spark: SparkSession, path: String,
+                                      v: Long): Manifest = {
+    val (fs, root) = fsFor(spark, path)
+    if (existingManifestPath(fs, root, v).isEmpty)
+      throw new IllegalArgumentException(
+        s"version $v of $path does not exist (never published, or vacuumed); " +
+          s"available: ${versions(spark, path).map(_._1).mkString(", ")}")
+    readManifest(fs, root, v)
+  }
+
+  /** Whether commit `v` is an append (the table-creating v1 counts even
+    * when flagged replace — it had nothing to rewrite). Same rule
+    * [[readChanges]] applies.
+    */
+  private[graft] def isAppendCommit(v: Long, m: Manifest): Boolean =
+    m.op.contains("append") || (v == 1 && m.op.contains("replace"))
+
+  /** The files version `v` ADDED over `v - 1`, path-sorted (chunk
+    * boundaries must be deterministic across restarts). A non-append
+    * commit yields nothing under `skipNonAppend`, else the same typed
+    * refusal as [[readChanges]].
+    */
+  private[graft] def addedFilesAt(spark: SparkSession, path: String, v: Long,
+                                  skipNonAppend: Boolean): Seq[LiveFile] = {
+    val m = manifestAtOrFail(spark, path, v)
+    if (isAppendCommit(v, m)) {
+      val prevPaths =
+        if (v <= 1) Set.empty[String]
+        else manifestAtOrFail(spark, path, v - 1).files.map(_.path).toSet
+      m.files.filterNot(f => prevPaths.contains(f.path)).sortBy(_.path)
+    } else if (skipNonAppend) Seq.empty
+    else throw new IllegalArgumentException(
+      s"version $v of $path is ${m.op.map("a " + _).getOrElse("an untagged legacy commit")}, " +
+        "not an append — the change feed is defined only over append-only " +
+        "ranges (compaction/upsert/replace/restore move or rewrite rows; " +
+        "read a full version instead, or opt into skipNonAppend)")
+  }
+
+  /** Version `v`'s full live set, path-sorted — the snapshot list the
+    * streaming source chunks.
+    */
+  private[graft] def liveFilesAt(spark: SparkSession, path: String,
+                                 v: Long): Seq[LiveFile] =
+    manifestAtOrFail(spark, path, v).files.sortBy(_.path)
+
+  /** Read exactly `files` (already known live at some version) under
+    * `head`'s recorded shape — the single-scan manifest read over an
+    * arbitrary file slice. Empty slice = empty frame WITH the recorded
+    * schema.
+    */
+  private[graft] def readFileSlice(spark: SparkSession, path: String,
+                                   head: Manifest,
+                                   files: Seq[LiveFile]): DataFrame = {
+    val (fs, root) = fsFor(spark, path)
+    if (files.isEmpty)
+      head.schema match {
+        case Some(s) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+        case None => spark.emptyDataFrame
+      }
+    else readFiles(spark, fs, root, Manifest(head.schema, head.partCols, files))
+  }
+
   /** Read the table at its highest published version. A table that was
     * never created reads as the schema-less empty frame (there is no
     * schema anywhere to give it).

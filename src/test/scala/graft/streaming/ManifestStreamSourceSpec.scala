@@ -135,6 +135,93 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("maxFilesPerTrigger chunks the snapshot into ceil(N/k) batches, no row lost or duplicated") {
+    import spark.implicits._
+    val dir = freshDir("msrc-ratelimit")
+    // 6 data files, unpartitioned: repartition(6) over distinct rows
+    ManifestLake.write(spark, batch(0, 24).repartition(6), dir, Seq.empty)
+    assert(ManifestLake.liveFilesAt(spark, dir, 1L).size === 6)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-manifest")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val xs = df.select("x").collect().map(_.getLong(0))
+        batches.add(xs.length.toLong); xs.foreach(rows.add); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // ceil(6 files / 2 per trigger) = 3 batches, union exact
+      assert(batches.size === 3, s"expected 3 bounded batches, got ${batches.size}")
+      val all = { val b = Seq.newBuilder[Long]; rows.forEach(x => b += x); b.result() }
+      assert(all.sorted === (0L until 24L))
+      // an append burst is bounded too: 4 new files -> 2 more batches
+      ManifestLake.write(spark, batch(24, 32).repartition(4), dir, Seq.empty,
+        replace = false)
+      q.processAllAvailable()
+      assert(batches.size === 5, s"append burst should add 2 batches, got ${batches.size}")
+      val all2 = { val b = Seq.newBuilder[Long]; rows.forEach(x => b += x); b.result() }
+      assert(all2.sorted === (0L until 32L))
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("maxBytesPerTrigger bounds intake and always admits at least one file") {
+    import spark.implicits._
+    val dir = freshDir("msrc-bytes")
+    ManifestLake.write(spark, batch(0, 12).repartition(4), dir, Seq.empty)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    // 1 byte per trigger: every file is over budget, so each batch is
+    // exactly one file — the stream still drains (at-least-one rule)
+    val q = spark.readStream.format("graft-manifest")
+      .option("maxBytesPerTrigger", "1").load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet(); rows.addAndGet(df.count()); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches.get === 4, s"1-byte budget = one file per batch, got ${batches.get}")
+      assert(rows.get === 12L)
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("mid-snapshot restart resumes at the checkpointed slice — exactly once") {
+    import spark.implicits._
+    val dir = freshDir("msrc-midsnap")
+    val ckpt = Files.createTempDirectory("msrc-midsnap-ckpt").toString
+    ManifestLake.write(spark, batch(0, 30).repartition(6), dir, Seq.empty)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream.format("graft-manifest")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("x").collect().foreach(r => seen.add(r.getLong(0))); ()
+      }.start()
+    // Trigger.Once = one getOffset advance = one bounded chunk, then
+    // stop MID-SNAPSHOT; each restart must resume at the next slice
+    val q1 = start(); q1.awaitTermination()
+    val afterOne = seen.size
+    assert(afterOne > 0 && afterOne < 30,
+      s"first chunk must be a strict subset of the snapshot, saw $afterOne rows")
+    val q2 = start(); q2.awaitTermination()
+    assert(seen.size > afterOne && seen.size < 30,
+      s"second chunk must advance and stay partial, saw ${seen.size}")
+    // drain the rest with a continuous run over the same checkpoint
+    val q3 = spark.readStream.format("graft-manifest")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("x").collect().foreach(r => seen.add(r.getLong(0))); ()
+      }.start()
+    try q3.processAllAvailable() finally q3.stop()
+    val all = { val b = Seq.newBuilder[Long]; seen.forEach(x => b += x); b.result() }
+    assert(all.length === 30, s"exactly-once across restarts: saw ${all.length} rows")
+    assert(all.sorted === (0L until 30L))
+  }
+
   test("streaming from a nonexistent table is a typed error") {
     val e = intercept[Exception] {
       spark.readStream.format("graft-manifest").load(freshDir("msrc-none"))
