@@ -2,8 +2,9 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.DataSourceUtils
-import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** `graft-manifest` — the data-source registration that makes the
@@ -51,7 +52,7 @@ import org.apache.spark.sql.types.StructType
   */
 final class ManifestDataSource extends DataSourceRegister
     with RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft-manifest"
 
@@ -172,5 +173,31 @@ final class ManifestDataSource extends DataSourceRegister
     new graft.streaming.ManifestStreamSource(sqlContext.sparkSession, path,
       pinned, startingVersion, ignoreNonAppend, maxFiles, maxBytes,
       Some(metadataPath))
+  }
+
+  // ---- streaming sink: df.writeStream.format("graft-manifest") ----
+  // Options: `txnAppId` (REQUIRED — the exactly-once ledger identity),
+  // `keyCols` (Update mode upserts by these), `statsCols`,
+  // `maintainEvery`; partitioning via .partitionBy(...), a
+  // `partitionCols` option, or the recorded header on append. Output
+  // modes map to commit kinds (Append→append, Update→upsert,
+  // Complete→replace); see [[graft.streaming.ManifestStreamSink]].
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val path = pathOf(parameters)
+    val declared =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else parameters.get("partitionCols").map(splitCols).getOrElse(Seq.empty)
+    val appId = parameters.getOrElse("txnAppId", "")
+    val keyCols = parameters.get("keyCols").map(splitCols).getOrElse(Seq.empty)
+    val statsCols = parameters.get("statsCols").map(splitCols).getOrElse(Seq.empty)
+    val maintainEvery = parameters.get("maintainEvery").map { s =>
+      s.toIntOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+        s"maintainEvery must be a positive number, got '$s'"))
+    }
+    new graft.streaming.ManifestStreamSink(sqlContext.sparkSession, path,
+      declared, outputMode, appId, keyCols, statsCols, maintainEvery)
   }
 }

@@ -320,8 +320,8 @@ object ManifestLake {
     * over hive-partitioned carried files and silently null their
     * partition column on read. None only when the table doesn't exist.
     */
-  private[etl] def recordedPartitionCols(spark: SparkSession,
-                                         path: String): Option[Seq[String]] = {
+  private[graft] def recordedPartitionCols(spark: SparkSession,
+                                           path: String): Option[Seq[String]] = {
     val (fs, root) = fsFor(spark, path)
     currentVersion(spark, path).map { v =>
       val m = readManifest(fs, root, v)

@@ -4,21 +4,28 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.classic.{Dataset, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 
-/** The one `private[sql]` bridge the V1 streaming `Source` contract
-  * forces: `MicroBatchExecution` asserts the DataFrame a source's
-  * `getBatch` returns "ha[s] isStreaming=true", and the only way to
-  * mint such a frame is `Dataset.ofRows` over a `LogicalRDD(…,
-  * isStreaming = true)` — both `private[sql]`. Living one package
-  * inside `org.apache.spark.sql` is the established connector answer
-  * (Delta ships `org.apache.spark.sql.delta` for exactly this); the
-  * shim is deliberately a single three-line function so the
-  * internal-API surface area stays auditable.
+/** The one `private[sql]` bridge the V1 streaming contracts force, in
+  * both directions:
+  *
+  *  - a SOURCE's `getBatch` must return a frame with
+  *    `isStreaming = true` (`MicroBatchExecution` asserts it), and the
+  *    only way to mint one is `Dataset.ofRows` over a
+  *    `LogicalRDD(…, isStreaming = true)` — both `private[sql]`;
+  *  - a SINK's `addBatch` receives a streaming-internal frame whose
+  *    plan belongs to the trigger's `IncrementalExecution`; feeding it
+  *    to batch writers directly re-plans streaming operators, so the
+  *    engine's own `ForeachBatchSink` rewraps the executed RDD with
+  *    `isStreaming = false` — the exact conversion [[asBatch]] applies
+  *    for the manifest sink.
+  *
+  * Living one package inside `org.apache.spark.sql` is the established
+  * connector answer (Delta ships `org.apache.spark.sql.delta` for
+  * exactly this); the shim is deliberately two one-expression
+  * functions so the internal-API surface area stays auditable.
   *
   * The input frame's ANALYZED plan supplies both the output attributes
-  * and the executed RDD, so the streamed rows are byte-identical to
-  * what the batch plan produces — the batch read path (manifest-fed
-  * single scan, pruning, skipping) is reused wholesale under the
-  * streaming engine.
+  * and the executed RDD, so the converted rows are byte-identical to
+  * what the source plan produces.
   */
 object StreamingDataFrameShim {
   def asStreaming(df: DataFrame): DataFrame = {
@@ -26,5 +33,12 @@ object StreamingDataFrameShim {
     val qe = df.queryExecution
     Dataset.ofRows(session,
       LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = true)(session))
+  }
+
+  def asBatch(df: DataFrame): DataFrame = {
+    val session = df.sparkSession.asInstanceOf[SparkSession]
+    val qe = df.queryExecution
+    Dataset.ofRows(session,
+      LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = false)(session))
   }
 }
