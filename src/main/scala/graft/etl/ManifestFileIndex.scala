@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Not, Or, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or, Predicate}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.{DataType, StringType, StructType}
@@ -154,6 +154,16 @@ private[etl] final class ManifestFileIndex(
     case org.apache.spark.sql.catalyst.expressions.StartsWith(
       a: AttributeReference, Literal(p: UTF8String, StringType)) =>
       prefixMight(f, a.name, p)
+    // null-count skips — the predicates min/max can never answer. A
+    // recorded null count of 0 proves `IS NULL` matches nothing; a null
+    // count equal to the file's row count proves the column is all-null
+    // and `IS NOT NULL` matches nothing (this also drops 0-row files,
+    // which match nothing under any predicate). Either stat absent →
+    // keep, as everywhere.
+    case IsNull(a: AttributeReference) =>
+      f.nullCounts.get(a.name).forall(_ > 0)
+    case IsNotNull(a: AttributeReference) =>
+      !f.rows.exists(r => f.nullCounts.get(a.name).exists(_ >= r))
     case _ => true
   }
 

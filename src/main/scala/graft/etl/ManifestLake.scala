@@ -145,9 +145,19 @@ object ManifestLake {
     * strings and cast back through the recorded schema; an absent
     * entry means "unknown — never skip", so stats are always
     * correctness-neutral.
+    *
+    * `rows` and `nullCounts` serve the NULL-predicate skips min/max
+    * cannot answer: `IS NULL` prunes a file whose recorded null count
+    * is 0, `IS NOT NULL` prunes one whose null count equals its row
+    * count (an all-null file — exactly what PII-scrubbed or sparse
+    * annotation columns produce at scale, and where `IS NOT NULL`
+    * scans concentrate). Absent (pre-null-stats manifests) means
+    * "unknown — never skip", same conservative stance as the bounds.
     */
   final case class LiveFile(bytes: Long, path: String,
-                            stats: Map[String, (String, String)] = Map.empty)
+                            stats: Map[String, (String, String)] = Map.empty,
+                            rows: Option[Long] = None,
+                            nullCounts: Map[String, Long] = Map.empty)
 
   /** A parsed manifest: the table shape, the live file set, and the
     * per-writer transaction watermarks (`txns`: appId → highest
@@ -200,7 +210,7 @@ object ManifestLake {
     64L + m.files.foldLeft(0L) { (acc, f) =>
       acc + 64L + 2L * f.path.length + f.stats.foldLeft(0L) {
         case (a, (c, (lo, hi))) => a + 96L + 2L * (c.length + lo.length + hi.length)
-      }
+      } + f.nullCounts.foldLeft(0L) { case (a, (c, _)) => a + 64L + 2L * c.length }
     }
 
   /** Parse version `v`'s manifest. Lines starting with `#` are
@@ -263,30 +273,51 @@ object ManifestLake {
       line.split("\t", 3) match {
         case Array(b, p) => LiveFile(b.toLong, p)
         case Array(b, p, statsJson) =>
-          LiveFile(b.toLong, p, parseStats(statsJson))
+          val (bounds, rows, nulls) = parseStats(statsJson)
+          LiveFile(b.toLong, p, bounds, rows, nulls)
       }
     }
     Manifest(schema, partCols, files, txns, op)
   }
 
-  private def parseStats(json: String): Map[String, (String, String)] = {
+  /** Stats blob: `{"col": ["lo","hi"], …, "#rows": n, "#nulls":
+    * {"col": k, …}}`. The `#`-prefixed keys are reserved (a `#` column
+    * name is rejected at collection); readers predating them ignored
+    * unknown shapes via the collect, and this reader treats their
+    * absence as unknown — both directions stay compatible.
+    */
+  private def parseStats(json: String): (Map[String, (String, String)], Option[Long], Map[String, Long]) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     JsonMethods.parse(json) match {
-      case JObject(fields) => fields.collect {
-        case (c, JArray(List(JString(lo), JString(hi)))) => c -> (lo, hi)
-      }.toMap
-      case _ => Map.empty
+      case JObject(fields) =>
+        val bounds = fields.collect {
+          case (c, JArray(List(JString(lo), JString(hi)))) if !c.startsWith("#") => c -> (lo, hi)
+        }.toMap
+        val rows = fields.collectFirst { case ("#rows", JInt(n)) => n.toLong }
+        val nulls = fields.collectFirst { case ("#nulls", JObject(ns)) =>
+          ns.collect { case (c, JInt(n)) => c -> n.toLong }.toMap
+        }.getOrElse(Map.empty[String, Long])
+        (bounds, rows, nulls)
+      case _ => (Map.empty, None, Map.empty)
     }
   }
 
-  private def renderStats(stats: Map[String, (String, String)]): String = {
+  private def renderStats(stats: Map[String, (String, String)],
+                          rows: Option[Long],
+                          nullCounts: Map[String, Long]): String = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     JsonMethods.compact(JObject(
       stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         c -> (JArray(List(JString(lo), JString(hi))): JValue)
-      }.toList))
+      }.toList ++
+        rows.map(n => "#rows" -> (JInt(n): JValue)).toList ++
+        (if (nullCounts.isEmpty) Nil
+         else List("#nulls" -> (JObject(
+           nullCounts.toSeq.sortBy(_._1).map { case (c, n) =>
+             c -> (JInt(n): JValue)
+           }.toList): JValue)))))
   }
 
   /** Hive-style partition columns derived from manifest file PATHS: the
@@ -368,8 +399,9 @@ object ManifestLake {
       op.map(o => s"#op\t$o").toSeq ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
     val body = header ++ files.sortBy(_.path).map { f =>
-      if (f.stats.isEmpty) s"${f.bytes}\t${f.path}"
-      else s"${f.bytes}\t${f.path}\t${renderStats(f.stats)}"
+      if (f.stats.isEmpty && f.rows.isEmpty && f.nullCounts.isEmpty)
+        s"${f.bytes}\t${f.path}"
+      else s"${f.bytes}\t${f.path}\t${renderStats(f.stats, f.rows, f.nullCounts)}"
     }
     val out = new java.util.zip.GZIPOutputStream(fs.create(tmp, true))
     try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -434,8 +466,18 @@ object ManifestLake {
     }
   }
 
+  private def withFileStats(f: LiveFile, s: Option[FileStats]): LiveFile =
+    s match {
+      case Some(st) => f.copy(stats = st.bounds, rows = Some(st.rows),
+        nullCounts = st.nullCounts)
+      case None => f
+    }
+
   /** All parquet files under a per-commit data dir, root-relative, with
-    * sizes straight off the listing (no extra RPCs).
+    * sizes straight off the listing (no extra RPCs). Files under
+    * `_`/`.`-prefixed subdirectories (e.g. the `_cdf` change files an
+    * upsert stamps) are NOT data files and never enter the live set —
+    * the same hidden-path convention Spark's own listing applies.
     */
   private def stagedFiles(fs: FileSystem, root: Path, commitDir: Path): Seq[LiveFile] = {
     val rootQ = fs.makeQualified(root).toString
@@ -443,9 +485,10 @@ object ManifestLake {
     val out = Seq.newBuilder[LiveFile]
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
-        out += LiveFile(f.getLen,
-          fs.makeQualified(f.getPath).toString.stripPrefix(rootQ).stripPrefix("/"))
+      val rel = fs.makeQualified(f.getPath).toString.stripPrefix(rootQ).stripPrefix("/")
+      val hidden = rel.split("/").exists(s => s.startsWith("_") || s.startsWith("."))
+      if (f.isFile && f.getPath.getName.endsWith(".parquet") && !hidden)
+        out += LiveFile(f.getLen, rel)
     }
     out.result()
   }
@@ -521,34 +564,49 @@ object ManifestLake {
     finally { df.unpersist(); () }
   }
 
-  /** Per-file [min, max] of `statsCols` over a freshly staged commit
-    * dir, keyed by root-relative path — one aggregation job over the
-    * BATCH (not the table), which is the write-time price of file-level
-    * data skipping at read time. Only atomic orderable types carry
-    * stats (binary/nested are excluded — their string casts don't
-    * round-trip); columns that are all-null in a file get no entry
-    * (unknown = never skip).
+  /** Collected per-file stats for one staged file: [min, max] bounds,
+    * the file's row count, and per-column null counts.
+    */
+  private final case class FileStats(bounds: Map[String, (String, String)],
+                                     rows: Long,
+                                     nullCounts: Map[String, Long])
+
+  /** Per-file [min, max] + row count + null counts of `statsCols` over
+    * a freshly staged commit dir, keyed by root-relative path — one
+    * aggregation job over the BATCH (not the table), which is the
+    * write-time price of file-level data skipping at read time. Only
+    * atomic orderable types carry BOUNDS (binary/nested are excluded —
+    * their string casts don't round-trip; timestamps are zone-hazardous,
+    * see below); columns that are all-null in a file get no bounds
+    * entry (unknown = never skip) but DO get a null count, which is
+    * what lets `IS NOT NULL` prune them. Null counts are collected for
+    * every requested non-partition column regardless of type — a null
+    * count has no ordering or rendering hazard.
     */
   private def collectStats(spark: SparkSession, fs: FileSystem, root: Path,
                            commitDir: Path, schema: StructType,
                            statsCols: Seq[String],
-                           partitionCols: Seq[String]): Map[String, Map[String, (String, String)]] = {
+                           partitionCols: Seq[String]): Map[String, FileStats] = {
     import org.apache.spark.sql.types._
     // timestamps are excluded: their string form renders in the
     // WRITER's session timezone and would re-parse in the READER's —
     // a zone mismatch would shift the bounds and wrongly skip files,
     // violating the stats-never-change-results contract. (Dates are
     // zone-free and stay eligible.)
-    val eligible = statsCols.distinct
+    val requested = statsCols.distinct
       .filter(c => schema.fieldNames.contains(c) && !partitionCols.contains(c))
-      .filter(c => schema(c).dataType match {
-        case _: NumericType | StringType | DateType | BooleanType => true
-        case _ => false
-      })
-    if (eligible.isEmpty) return Map.empty
+    requested.foreach(c => require(!c.startsWith("#"),
+      s"stats column name must not start with '#' (reserved in the stats blob): $c"))
+    val eligible = requested.filter(c => schema(c).dataType match {
+      case _: NumericType | StringType | DateType | BooleanType => true
+      case _ => false
+    })
+    if (requested.isEmpty) return Map.empty
     val aggs = eligible.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__lo_$c"),
-      max(col(c)).cast("string").as(s"__hi_$c")))
+      max(col(c)).cast("string").as(s"__hi_$c"))) ++
+      Seq(count(lit(1)).as("__rows")) ++
+      requested.map(c => count(col(c)).as(s"__nn_$c"))
     val rows = spark.read.parquet(commitDir.toString)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -576,12 +634,17 @@ object ManifestLake {
       val abs = decoded(r.getString(0))
       val i = abs.lastIndexOf(marker)
       if (i < 0) None
-      else Some(abs.substring(i + 1) -> eligible.flatMap { c =>
-        val lo = r.getAs[String](s"__lo_$c")
-        val hi = r.getAs[String](s"__hi_$c")
-        if (lo == null || hi == null) None
-        else Some(c -> ((normZero(c, lo), normZero(c, hi))))
-      }.toMap)
+      else {
+        val bounds = eligible.flatMap { c =>
+          val lo = r.getAs[String](s"__lo_$c")
+          val hi = r.getAs[String](s"__hi_$c")
+          if (lo == null || hi == null) None
+          else Some(c -> ((normZero(c, lo), normZero(c, hi))))
+        }.toMap
+        val nRows = r.getAs[Long]("__rows")
+        val nulls = requested.map(c => c -> (nRows - r.getAs[Long](s"__nn_$c"))).toMap
+        Some(abs.substring(i + 1) -> FileStats(bounds, nRows, nulls))
+      }
     }.toMap
   }
 
@@ -662,7 +725,7 @@ object ManifestLake {
       else {
         val byRel = collectStats(spark, fs, root, commitDir, tableSchema,
           statsCols, partitionCols)
-        staged.map(f => f.copy(stats = byRel.getOrElse(f.path, Map.empty)))
+        staged.map(f => withFileStats(f, byRel.get(f.path)))
       }
     val carried =
       if (replace) Seq.empty
@@ -1100,11 +1163,12 @@ object ManifestLake {
     // [min,max] for whatever columns the live manifest already tracks,
     // so compaction never silently degrades file skipping
     val staged = stagedFiles(fs, root, commitDir)
-    val statKeys = live.flatMap(_.stats.keys).distinct
+    val statKeys =
+      (live.flatMap(_.stats.keys) ++ live.flatMap(_.nullCounts.keys)).distinct
     val withStats = manifest.schema match {
       case Some(sch) if statKeys.nonEmpty =>
         val byRel = collectStats(spark, fs, root, commitDir, sch, statKeys, manifest.partCols)
-        staged.map(f => f.copy(stats = byRel.getOrElse(f.path, Map.empty)))
+        staged.map(f => withFileStats(f, byRel.get(f.path)))
       case _ => staged
     }
     publish(fs, root, newV, untouched ++ withStats,
@@ -1263,12 +1327,13 @@ object ManifestLake {
     // rewritten partitions re-collect whatever stats columns the live
     // manifest tracks — same stats-are-maintained stance as compact
     val staged = stagedFiles(fs, root, commitDir)
-    val statKeys = live.flatMap(_.stats.keys).distinct
+    val statKeys =
+      (live.flatMap(_.stats.keys) ++ live.flatMap(_.nullCounts.keys)).distinct
     val stagedWithStats =
       if (statKeys.isEmpty) staged
       else {
         val byRel = collectStats(spark, fs, root, commitDir, tableSchema, statKeys, partitionCols)
-        staged.map(f => f.copy(stats = byRel.getOrElse(f.path, Map.empty)))
+        staged.map(f => withFileStats(f, byRel.get(f.path)))
       }
     publish(fs, root, newV, untouched ++ stagedWithStats,
       Some(tableSchema), partitionCols,

@@ -435,6 +435,65 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(filesNoStats === total2.toLong)
   }
 
+  test("null-count skipping: IS NULL / IS NOT NULL prune files from manifest null counts") {
+    import spark.implicits._
+    val dir = freshDir("mlake-nullskip")
+    // `sparse` is non-null only for pos < 50; range-clustering on pos
+    // concentrates the nulls so most files are ALL-null in sparse —
+    // the sparse-annotation shape IS NOT NULL scans hit at scale.
+    // `dense` is never null, so IS NULL on it matches nothing.
+    val df = (0 until 200).map(i => (s"chr${i % 2 + 1}", i.toLong)).toDF("chrom", "pos")
+      .withColumn("sparse", when(col("pos") < 50, col("pos") * 2))
+      // nullable TYPE but never-null VALUES — a plain `pos + 1` would be
+      // non-nullable and Catalyst would fold `IS NULL` to false before
+      // the scan even plans, which is not the layer under test
+      .withColumn("dense", when(col("pos") >= 0, col("pos") + 1))
+    ManifestLake.write(spark,
+      df.repartitionByRange(4, col("pos")).sortWithinPartitions(col("pos")),
+      dir, Seq("chrom"), statsCols = Seq("sparse", "dense"))
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m = ManifestLake.readManifest(fs, root, 1L)
+    assert(m.files.nonEmpty && m.files.forall(f =>
+      f.rows.nonEmpty && f.nullCounts.contains("sparse") && f.nullCounts.contains("dense")),
+      "every staged file should carry row + null counts")
+    // all-null files carry a null count (rows) but no bounds entry
+    assert(m.files.exists(f => f.rows.exists(r => f.nullCounts("sparse") == r)
+      && !f.stats.contains("sparse")),
+      "expected at least one all-null-sparse file")
+    def filesRead(filtered: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val n = filtered.collect().length.toLong
+      val scan = filtered.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      (n, scan.metrics("numFiles").value)
+    }
+    val total = m.files.length
+    // IS NOT NULL on the sparse column: all-null files provably cannot
+    // match and drop at planning; results are exact
+    val (nNotNull, fNotNull) = filesRead(
+      ManifestLake.read(spark, dir).where(col("sparse").isNotNull))
+    assert(nNotNull === 50)
+    assert(fNotNull < total, s"IS NOT NULL should prune all-null files: $fNotNull of $total")
+    // IS NULL on the never-null column plans an empty scan
+    val (nNull, fNull) = filesRead(
+      ManifestLake.read(spark, dir).where(col("dense").isNull))
+    assert(nNull === 0 && fNull === 0)
+    // IS NULL on the sparse column drops the fully-populated files
+    val (nSparseNull, fSparseNull) = filesRead(
+      ManifestLake.read(spark, dir).where(col("sparse").isNull))
+    assert(nSparseNull === 150)
+    assert(fSparseNull < total, s"IS NULL should prune no-null files: $fSparseNull of $total")
+    // a stats-free table keeps every file for both predicate forms —
+    // absent counts mean unknown, never skip
+    val dir2 = freshDir("mlake-nullskip-bare")
+    ManifestLake.write(spark, df.repartitionByRange(4, col("pos")), dir2, Seq("chrom"))
+    val m2 = ManifestLake.readManifest(
+      ManifestLake.fsFor(spark, dir2)._1, ManifestLake.fsFor(spark, dir2)._2, 1L)
+    val (n2, f2) = filesRead(ManifestLake.read(spark, dir2).where(col("sparse").isNotNull))
+    assert(n2 === 50 && f2 === m2.files.length.toLong,
+      "files lacking null counts must all be kept")
+  }
+
   test("data skipping is sound on signed zero: a file whose stats are -0.0 is kept for = 0.0") {
     import spark.implicits._
     val dir = freshDir("mlake-negzero")
