@@ -393,7 +393,12 @@ object ManifestLake {
       s"partition column name must not contain ',' or whitespace control chars: $c"))
     val dir = new Path(root, ManifestDir)
     fs.mkdirs(dir)
-    val tmp = new Path(dir, f".tmp-v$v%06d.list.gz")
+    // the hidden stage is unique PER PUBLISHER: two optimistic
+    // committers racing to the same version must collide at the
+    // no-overwrite rename (the arbitration point), not while both are
+    // writing one shared tmp file
+    val tmp = new Path(dir,
+      f".tmp-v$v%06d-${java.util.UUID.randomUUID().toString.take(8)}.list.gz")
     val header = schema.toSeq.flatMap(s =>
       Seq(s"#schema\t${s.json}", s"#partcols\t${partCols.mkString(",")}")) ++
       op.map(o => s"#op\t$o").toSeq ++
@@ -700,7 +705,20 @@ object ManifestLake {
         df.schema
       case _ => df.schema
     }
-    val commitDir = new Path(root, f"$DataDir/v$v%06d")
+    // appends stage under a UNIQUE dir (`v<N>-<token>`): two optimistic
+    // appenders computing the same next version must never share a
+    // staging dir — SaveMode.Overwrite on a common path would clobber
+    // the other's staged files BEFORE either publish could arbitrate.
+    // The version prefix is kept for operator legibility and vacuum's
+    // in-flight heuristics; nothing parses it back out of data paths
+    // (files are referenced by full relative path in the manifest).
+    // Replace keeps the plain deterministic dir — it stays
+    // single-writer, and the plain name is what lets vacuum reap its
+    // superseded files immediately rather than after a grace window.
+    val commitDir =
+      if (replace) new Path(root, f"$DataDir/v$v%06d")
+      else new Path(root,
+        f"$DataDir/v$v%06d-${java.util.UUID.randomUUID().toString.take(8)}")
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(commitDir.toString)
@@ -727,16 +745,63 @@ object ManifestLake {
           statsCols, partitionCols)
         staged.map(f => withFileStats(f, byRel.get(f.path)))
       }
-    val carried =
-      if (replace) Seq.empty
-      else prev.map(_.files).getOrElse(Seq.empty)
-    // the txn ledger survives every commit kind — even a replace: a
-    // stream's replay detection must not reset because a batch job
-    // rewrote the table underneath it
-    val txns = prev.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
-    publish(fs, root, v, carried ++ withStats, Some(tableSchema), partitionCols, txns,
-      op = Some(if (replace) "replace" else "append"))
-    v
+    // OPTIMISTIC CONCURRENT APPENDS: the checked no-overwrite publish
+    // turns a same-version race into a loud loss — and for an APPEND
+    // the loss is retryable, because appends never conflict logically:
+    // the staged files are already written under their unique dir, so
+    // the loser just re-reads the new head, re-validates the batch
+    // shape against it (the winner may have widened the schema — a
+    // batch now missing a recorded column is a REAL conflict and still
+    // fails loudly), and re-publishes carried-from-new-head ∪ staged at
+    // head+1. Bounded retries; replace keeps the strict single-writer
+    // contract (its semantics — "the table becomes exactly this" — are
+    // not commutative), as do upsert/compact/restore.
+    var attempt = 0
+    var curPrev = prev
+    var curV = v
+    var curSchema = tableSchema
+    while (true) {
+      val carried =
+        if (replace) Seq.empty
+        else curPrev.map(_.files).getOrElse(Seq.empty)
+      // the txn ledger survives every commit kind — even a replace: a
+      // stream's replay detection must not reset because a batch job
+      // rewrote the table underneath it
+      val txns = curPrev.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
+      try {
+        publish(fs, root, curV, carried ++ withStats, Some(curSchema), partitionCols,
+          txns, op = Some(if (replace) "replace" else "append"))
+        return curV
+      } catch {
+        case e: IllegalStateException if !replace && attempt < 5 =>
+          attempt += 1
+          val headV = currentVersion(spark, path).getOrElse(throw e)
+          val headM = readManifest(fs, root, headV)
+          // the winner may have BEEN this batch (an at-least-once
+          // redelivery racing itself): the ledger decides, same as the
+          // entry check — withdraw the duplicate stage entirely
+          if (txn.exists { case (app, b) => headM.txns.get(app).exists(_ >= b) }) {
+            fs.delete(commitDir, true)
+            return headV
+          }
+          curSchema = headM.schema match {
+            case Some(recorded) =>
+              require(headM.partCols == partitionCols,
+                s"append partitioned by ${partitionCols.mkString(",")} but the " +
+                  s"table (after a concurrent commit) is partitioned by " +
+                  s"${headM.partCols.mkString(",")} — genuine conflict, not retryable")
+              widen(recorded, df.schema, partitionCols, "append")
+            case None =>
+              // a concurrent writer replaced the table with a headerless
+              // manifest mid-race — pre-header writers are single-writer
+              // by contract; surface the race rather than guess
+              throw e
+          }
+          curPrev = Some(headM)
+          curV = headV + 1
+      }
+    }
+    curV // unreachable; the loop exits via return
   }
 
   /** Read a manifest's live files as ONE scan via [[ManifestFileIndex]]:
@@ -1421,11 +1486,27 @@ object ManifestLake {
       while (it.hasNext) {
         val f = it.next()
         val rel = fs.makeQualified(f.getPath).toString.stripPrefix(rootQ).stripPrefix("/")
-        // data/v<N>/… — a malformed second segment can only be foreign
-        // junk under the data root; treat it as below-head (reapable)
-        val commitV = rel.split("/").lift(1)
-          .filter(_.startsWith("v")).flatMap(_.stripPrefix("v").toLongOption)
-        val inFlight = commitV.exists(_ > head) && f.getModificationTime >= cutoff
+        // data/v<N>/… (replace/upsert/compact stage) or data/v<N>-<tok>/…
+        // (append stage, unique per optimistic writer) — a malformed
+        // second segment can only be foreign junk under the data root;
+        // treat it as below-head (reapable)
+        val seg = rel.split("/").lift(1)
+        val suffixed = seg.exists(s => s.startsWith("v") && s.contains('-'))
+        val commitV = seg.filter(_.startsWith("v")).flatMap { s =>
+          val digits = s.stripPrefix("v").takeWhile(_.isDigit)
+          if (digits.isEmpty) None
+          else if (s.length == 1 + digits.length) digits.toLongOption
+          else if (s.charAt(1 + digits.length) == '-') digits.toLongOption
+          else None
+        }
+        // a PLAIN stage can only be in flight ABOVE the head (strict
+        // writers stage at head+1); a SUFFIXED stage can be in flight
+        // at ANY version — an optimistic appender that just lost a race
+        // holds staged files at a version the winner now occupies, so
+        // age is the only sound discriminator for those
+        val young = f.getModificationTime >= cutoff
+        val inFlight = commitV.isDefined && young &&
+          (suffixed || commitV.exists(_ > head))
         if (f.isFile && !liveAcrossKept.contains(rel) && !inFlight) dead += f.getPath
       }
       dead.result().foreach { p =>

@@ -679,5 +679,51 @@ object EtlGate {
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
              |FROM documents WHERE doc_id % 4 IN (2, 3)
-             |GROUP BY lang ORDER BY lang""".stripMargin)))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // OPTIMISTIC CONCURRENT APPENDS under the oracle: after a v1 base
+    // commit, two appenders race from the same observed head. Each
+    // stages under its own unique dir; the publish loser re-reads the
+    // new head and re-publishes its staged files at head+1 — so BOTH
+    // batches land (in either order), the table finishes at v3, and the
+    // read-back must hash-match DuckDB aggregating the full documents
+    // table (base ∪ both appends = everything). Race mechanics
+    // (distinct versions, ledger survival, widening conflicts) are
+    // spec'd in ManifestLakeSpec; this gate certifies the CONTENT is
+    // exactly the union whichever interleaving occurred.
+    Q(
+      "q99_concurrent_appends",
+      (s, dir) => {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val out = scratchDir("graft-gate-cappend") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(3L)) === 0),
+          out, Seq("lang"))
+        val racers = (1 to 2).map { i =>
+          Future {
+            ManifestLake.write(s,
+              docs.where(pmod(col("doc_id"), lit(3L)) === i),
+              out, Seq("lang"), replace = false)
+          }
+        }
+        val landed = Await.result(Future.sequence(racers), 10.minutes)
+        require(landed.toSet == Set(2L, 3L) &&
+          ManifestLake.currentVersion(s, out).contains(3L),
+          s"both concurrent appends must land at distinct versions: $landed")
+        ManifestLake.read(s, out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)))
 }

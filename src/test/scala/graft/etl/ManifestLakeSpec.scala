@@ -898,4 +898,75 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(ManifestLake.read(spark, dir)
       .where(col("chrom") === "chr2" && col("pos") === 145L).count() === 2)
   }
+
+  test("optimistic concurrent appends: racing appenders all land, every row set present") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir("mlake-cappend")
+    val base = (0 until 30).map(i => (s"chr${i % 2 + 1}", i.toLong, s"base$i"))
+      .toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, base, dir, Seq("chrom"), statsCols = Seq("pos"))
+    // four appenders race from the same observed head: each loser
+    // re-reads the new head and re-publishes its already-staged files —
+    // every append lands, in SOME serial order, without a shared
+    // staging dir ever being clobbered
+    val appends = (1 to 4).map { i =>
+      Future {
+        val batch = (0 until 10)
+          .map(j => (s"chr${j % 2 + 1}", (100 * i + j).toLong, s"app$i-$j"))
+          .toDF("chrom", "pos", "payload")
+        ManifestLake.write(spark, batch, dir, Seq("chrom"),
+          replace = false, txn = Some((s"writer-$i", 1L)), statsCols = Seq("pos"))
+      }
+    }
+    val versions = Await.result(Future.sequence(appends), 5.minutes)
+    assert(versions.toSet === Set(2L, 3L, 4L, 5L),
+      s"each append must land at a distinct version: $versions")
+    assert(ManifestLake.currentVersion(spark, dir) === Some(5L))
+    val rows = ManifestLake.read(spark, dir)
+    assert(rows.count() === 70)
+    (1 to 4).foreach { i =>
+      assert(rows.where(col("payload").startsWith(s"app$i-")).count() === 10,
+        s"writer $i's rows must all be present")
+      // every racer's ledger entry survives into the final head
+      assert(ManifestLake.lastCommitted(spark, dir, s"writer-$i") === Some(1L))
+    }
+    // the head manifest carries every version's files and the stats kept
+    // flowing through the retried publishes
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val head = ManifestLake.readManifest(fs, root, 5L)
+    assert(head.files.forall(_.stats.contains("pos")))
+    // a concurrent-append table still vacuums safely: nothing live is
+    // touched, and the staged dirs that PUBLISHED are all referenced
+    ManifestLake.vacuum(spark, dir, keepVersions = 1)
+    assert(ManifestLake.read(spark, dir).count() === 70)
+  }
+
+  test("a lost append race against a SCHEMA-WIDENING winner still fails loudly when the batch misses the new column") {
+    import spark.implicits._
+    val dir = freshDir("mlake-cappend-conflict")
+    val base = (0 until 10).map(i => ("chr1", i.toLong)).toDF("chrom", "pos")
+    ManifestLake.write(spark, base, dir, Seq("chrom"))
+    // simulate the winner: a widening append lands first
+    val widening = (10 until 15).map(i => ("chr1", i.toLong, s"s$i"))
+      .toDF("chrom", "pos", "note")
+    ManifestLake.write(spark, widening, dir, Seq("chrom"), replace = false)
+    // the loser staged against the PRE-widening head and now retries: its
+    // batch lacks the recorded `note` column — a genuine conflict, loud
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m1 = ManifestLake.readManifest(fs, root, 1L)
+    val stale = (20 until 25).map(i => ("chr1", i.toLong)).toDF("chrom", "pos")
+    // drive writePinned's retry path directly: publish at v2 is taken, so
+    // the loop re-validates against v2's widened schema and must refuse
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.write(spark, stale, dir, Seq("chrom"), replace = false)
+    }
+    // (the append above does NOT race — it simply validates against the
+    // already-widened head, which is the same loud-failure shape the
+    // retry path re-runs after a lost race)
+    assert(e.getMessage.contains("missing recorded column"))
+    assert(m1.files.nonEmpty)
+  }
 }
