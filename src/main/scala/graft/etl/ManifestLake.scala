@@ -3,9 +3,9 @@ package graft.etl
 import java.io.IOException
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 
 /** Manifest-committed lake — the OBJECT-STORE-NATIVE commit path that
   * [[Lake.compact]]/[[Lake.upsert]] deliberately do not provide (their
@@ -81,6 +81,22 @@ object ManifestLake {
 
   private val ManifestDir = "_manifest"
   private val DataDir = "data"
+
+  /** Hidden per-commit dir (`data/v<N>/_cdf/`) holding the row-level
+    * change files an upsert stamps — pre/post images + inserts, the
+    * Delta-CDC-shaped feed [[readChangeFeed]] serves. Underscore prefix
+    * keeps the files invisible to the data scan, [[stagedFiles]], and
+    * every generic parquet reader.
+    */
+  private val CdfDir = "_cdf"
+  private def cdfDir(root: Path, v: Long): Path =
+    new Path(root, f"$DataDir/v$v%06d/$CdfDir")
+
+  /** Reserved change-feed metadata column names — a table column with
+    * one of these names would collide with the feed's own output.
+    */
+  private val ChangeTypeCol = "_change_type"
+  private val CommitVersionCol = "_commit_version"
 
   private[graft] def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val root = new Path(path)
@@ -1014,7 +1030,8 @@ object ManifestLake {
           s"version $v of $path is ${m.op.map("a " + _).getOrElse("an untagged legacy commit")}, " +
             "not an append — the change feed is defined only over append-only " +
             "ranges (compaction/upsert/replace/restore move or rewrite rows; " +
-            "read a full version instead, or opt into skipNonAppend)")
+            "use readChangeFeed for row-level deltas across upserts, read a " +
+            "full version instead, or opt into skipNonAppend)")
       prevPaths = m.files.map(_.path).toSet
       head = m
     }
@@ -1025,6 +1042,94 @@ object ManifestLake {
         case None => spark.emptyDataFrame
       }
     else readFiles(spark, fs, root, Manifest(head.schema, head.partCols, files))
+  }
+
+  /** The ROW-LEVEL change feed over `(fromV, toV]` — table columns plus
+    * `_change_type` (insert / update_preimage / update_postimage) and
+    * `_commit_version`, the Delta-CDF-shaped answer for consumers
+    * downstream of a table under periodic upserts, where the
+    * append-only [[readChanges]] must refuse or silently skip rewrites:
+    *
+    *  - an APPEND commit contributes its added files as `insert` rows
+    *    (no change files needed — the manifest diff IS the delta);
+    *  - an UPSERT commit serves the exact pre/post-image rows it
+    *    stamped under its hidden `_cdf` dir at merge time, and a
+    *    DELETE commit its `delete` rows (a rewrite committed before
+    *    stamping existed has no provable row deltas — typed refusal,
+    *    or skipped under `skipUnresolved`);
+    *  - a COMPACT commit contributes NOTHING: compaction (and z-order)
+    *    is layout-only with content verified invariant, so unlike
+    *    Delta — which cannot prove row identity across a rewrite and
+    *    forces `ignoreChanges` — it is exactly zero row changes here;
+    *  - REPLACE / RESTORE / legacy-untagged commits rewrite rows
+    *    wholesale with no recorded deltas: typed refusal, or skipped
+    *    under `skipUnresolved` (the table-creating v1 counts as an
+    *    append, as everywhere).
+    *
+    * Costs one manifest read per version plus a scan of ONLY each
+    * version's added/changed files. Change files live until [[vacuum]]
+    * drops their version below the retention horizon — the feed's
+    * lookback window is the same `keepVersions` window time travel has.
+    * Widening in the range is served as typed nulls on the older
+    * versions' rows, column order following `toV`'s recorded schema.
+    */
+  def readChangeFeed(spark: SparkSession, path: String, fromV: Long, toV: Long,
+                     skipUnresolved: Boolean = false): DataFrame = {
+    require(fromV >= 0 && toV > fromV, s"need 0 <= fromV < toV, got fromV=$fromV toV=$toV")
+    val (fs, root) = fsFor(spark, path)
+    val head = manifestAtOrFail(spark, path, toV)
+    // a table that HAS a column named like the feed's metadata (written
+    // by appends, which legally accept any name) cannot be served — the
+    // stamped columns would shadow the user's data
+    head.schema.foreach(s => Seq(ChangeTypeCol, CommitVersionCol).foreach(r =>
+      require(!s.fieldNames.contains(r),
+        s"table column $r collides with the change feed's reserved metadata column")))
+    def refuse(v: Long, what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"version $v of $path is $what — its row-level deltas are not " +
+          "derivable (read a full version instead, or opt into skipUnresolved)")
+    val frames = ((fromV + 1) to toV).flatMap { v =>
+      val m = manifestAtOrFail(spark, path, v)
+      if (isAppendCommit(v, m)) {
+        val prevPaths =
+          if (v <= 1) Set.empty[String]
+          else manifestAtOrFail(spark, path, v - 1).files.map(_.path).toSet
+        val added = m.files.filterNot(f => prevPaths.contains(f.path))
+        if (added.isEmpty) None
+        else Some(readFiles(spark, fs, root, Manifest(m.schema, m.partCols, added))
+          .withColumn(ChangeTypeCol, lit("insert"))
+          .withColumn(CommitVersionCol, lit(v)))
+      } else if (m.op.contains("compact")) None
+      else if (m.op.exists(o => o == "upsert" || o == "delete")) {
+        val dir = cdfDir(root, v)
+        m.schema match {
+          case Some(s) if fs.exists(dir) =>
+            Some(spark.read
+              .schema(StructType(s.fields :+ StructField(ChangeTypeCol, StringType)))
+              .parquet(dir.toString)
+              .withColumn(CommitVersionCol, lit(v)))
+          case _ if skipUnresolved => None
+          case _ => refuse(v, s"${m.op.map("a " + _).get} with no stamped change files " +
+            "(committed before change stamping existed, or its _cdf dir was vacuumed)")
+        }
+      } else if (skipUnresolved) None
+      else refuse(v, m.op.map("a " + _).getOrElse("an untagged legacy commit"))
+    }
+    val metaFields = Seq(StructField(ChangeTypeCol, StringType, nullable = false),
+      StructField(CommitVersionCol, LongType, nullable = false))
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true)) match {
+      case Some(df) =>
+        // column order follows the head's recorded schema; versions
+        // before a widening lack the new columns and carry typed nulls
+        head.schema match {
+          case Some(s) =>
+            df.select((s.fieldNames.toSeq ++ metaFields.map(_.name)).map(col): _*)
+          case None => df
+        }
+      case None =>
+        val s = StructType(head.schema.map(_.fields.toSeq).getOrElse(Seq.empty) ++ metaFields)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    }
   }
 
   // ---- building blocks for the rate-limited streaming source ----
@@ -1348,24 +1453,33 @@ object ManifestLake {
     // the post-merge table schema: widened when the manifest records
     // one, the batch's own otherwise (legacy adoption, verified above)
     val tableSchema = widened.getOrElse(updSchema)
-    val merged =
-      if (affectedFiles.isEmpty) updates
-      else {
-        // read the affected partitions through the WIDENED schema so a
-        // batch that adds columns merges against typed nulls, not an
-        // unresolved-column failure
-        val affected = readFiles(spark, fs, root,
-          Manifest(widened.orElse(manifest.schema), manifest.partCols, affectedFiles))
-          .select(tableSchema.fieldNames.map(n =>
-            col(n).cast(tableSchema(n).dataType)): _*)
+    // the feed's metadata columns are reserved — a table column named
+    // _change_type would collide with the change files this commit
+    // stamps (rename the column, or use a replace write)
+    Seq(ChangeTypeCol, CommitVersionCol).foreach(r =>
+      require(!tableSchema.fieldNames.contains(r),
+        s"column name $r is reserved for the change feed's metadata"))
+    // the pre-merge rows of the affected partitions, read through the
+    // WIDENED schema so a batch that adds columns merges against typed
+    // nulls, not an unresolved-column failure — reused by the merge AND
+    // by the change-file stamping below
+    val affected: Option[DataFrame] =
+      if (affectedFiles.isEmpty) None
+      else Some(readFiles(spark, fs, root,
+        Manifest(widened.orElse(manifest.schema), manifest.partCols, affectedFiles))
+        .select(tableSchema.fieldNames.map(n =>
+          col(n).cast(tableSchema(n).dataType)): _*))
+    val merged = affected match {
+      case None => updates
+      case Some(aff) =>
         val byKey = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*).orderBy(col("__src").desc)
-        affected.withColumn("__src", lit(0))
+        aff.withColumn("__src", lit(0))
           .unionByName(updates.withColumn("__src", lit(1)))
           .withColumn("__rn", row_number().over(byKey))
           .where(col("__rn") === 1)
           .drop("__src", "__rn")
-      }
+    }
 
     val newV = v + 1
     val commitDir = new Path(root, f"$DataDir/v$newV%06d")
@@ -1400,10 +1514,138 @@ object ManifestLake {
         val byRel = collectStats(spark, fs, root, commitDir, tableSchema, statKeys, partitionCols)
         staged.map(f => withFileStats(f, byRel.get(f.path)))
       }
+    // ---- row-level change files (the Delta-CDC analog) ----
+    // Stamp this commit's EXACT row deltas under the hidden
+    // data/v<N>/_cdf dir while the commit is still invisible, so
+    // readChangeFeed can serve an upsert instead of refusing it:
+    // pre-images are the affected partitions' pre-merge rows whose key
+    // the batch touches; post-images and inserts are the batch itself,
+    // split by whether the key already existed. Every join is bounded
+    // by the BATCH (pre-images ≤ |updates| rows), so the broadcasts
+    // never scale with the table. Stamped last — after verification and
+    // stats — so nothing else ever observes the hidden dir mid-write;
+    // the merge's Overwrite wipes any stale _cdf from an aborted
+    // earlier attempt at this version before we get here.
+    val tableCols = tableSchema.fieldNames.map(col).toSeq
+    val updNorm = updates.select(tableCols: _*)
+    val changes = affected match {
+      case None =>
+        // no affected partition existed — every batch row is an insert
+        updNorm.withColumn(ChangeTypeCol, lit("insert"))
+      case Some(aff) =>
+        val keySeq = keyCols.toSeq
+        val updKeys = updates.select(keyCols.map(col): _*)
+        val pre = aff.select(tableCols: _*)
+          .join(broadcast(updKeys), keySeq, "left_semi")
+        val preKeys = pre.select(keyCols.map(col): _*)
+        pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(updNorm.join(broadcast(preKeys), keySeq, "left_semi")
+            .withColumn(ChangeTypeCol, lit("update_postimage")))
+          .unionByName(updNorm.join(broadcast(preKeys), keySeq, "left_anti")
+            .withColumn(ChangeTypeCol, lit("insert")))
+    }
+    changes.repartition(partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(cdfDir(root, newV).toString)
     publish(fs, root, newV, untouched ++ stagedWithStats,
       Some(tableSchema), partitionCols,
       manifest.txns ++ txn.toMap, op = Some("upsert"))
     newV
+  }
+
+  /** Row-level DELETE under manifest commit: remove every live row
+    * matching `predicate`, rewriting ONLY the files that actually
+    * contain matches — all other files carry into the new version by
+    * reference, zero I/O. Standard SQL DELETE semantics: rows where the
+    * predicate evaluates NULL are KEPT (only provably-true matches
+    * go), and the rewrite is verified row-conserving (kept + deleted =
+    * rewritten files' rows) before anything publishes.
+    *
+    * The rewrite set is discovered by ONE filtered scan over the
+    * single-scan manifest read, so predicate pushdown, partition
+    * pruning, AND manifest min/max/null-count file skipping all shrink
+    * it before any file is opened — a delete keyed on a z-ordered or
+    * stats-tracked column touches only the files whose range overlaps,
+    * which is the property that makes targeted deletes (GDPR erasure,
+    * bad-batch excision) tractable on a 100 TB table. The one driver
+    * collect is the matched-file PATH list — bounded by file count,
+    * never rows.
+    *
+    * The deleted rows are stamped as `_change_type = 'delete'` change
+    * files under the commit's hidden `_cdf` dir, so [[readChangeFeed]]
+    * serves exact row-level deltas across deletes just as it does for
+    * upserts. A no-match delete publishes NOTHING and returns the
+    * current version (the table is already the result). Carries the
+    * txn ledger; `txn` gives delete the same exactly-once replay guard
+    * as append/upsert. Returns the (possibly unchanged) head version.
+    */
+  def delete(spark: SparkSession, path: String, predicate: Column,
+             txn: Option[(String, Long)] = None): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val manifest = readManifest(fs, root, v)
+    if (txn.exists { case (app, b) => manifest.txns.get(app).exists(_ >= b) })
+      return v
+    val schema = manifest.schema.getOrElse(throw new IllegalArgumentException(
+      s"table at $path has a headerless legacy manifest — delete needs the " +
+        "recorded schema (run one append or upsert to adopt a header first)"))
+    Seq(ChangeTypeCol, CommitVersionCol).foreach(r =>
+      require(!schema.fieldNames.contains(r),
+        s"column name $r is reserved for the change feed's metadata"))
+    if (manifest.files.isEmpty) return v
+    // which files actually CONTAIN matches — the filtered single scan
+    // prunes via pushdown + manifest stats before opening anything
+    val rootQ = fs.makeQualified(root).toString
+    val matchedPaths = readFiles(spark, fs, root, manifest)
+      .where(predicate)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0).stripPrefix(rootQ).stripPrefix("/")).toSet
+    if (matchedPaths.isEmpty) return v
+    val (candidates, untouched) = manifest.files.partition(f => matchedPaths.contains(f.path))
+    require(candidates.size == matchedPaths.size,
+      s"matched file paths did not resolve against the live set: " +
+        s"${matchedPaths.size} matched, ${candidates.size} resolved")
+    val src = readFileSlice(spark, path, manifest, candidates)
+    src.persist()
+    try {
+      val keep = src.where(!coalesce(predicate, lit(false)))
+      val gone = src.where(predicate)
+      val newV = v + 1
+      val commitDir = new Path(root, f"$DataDir/v$newV%06d")
+      val w = keep.write.mode(SaveMode.Overwrite)
+      (if (manifest.partCols.nonEmpty) w.partitionBy(manifest.partCols: _*) else w)
+        .parquet(commitDir.toString)
+      // row conservation, verified while the commit is invisible
+      val rowsIn = src.count()
+      val rowsGone = gone.count()
+      val staged = stagedFiles(fs, root, commitDir)
+      val rowsOut =
+        if (staged.isEmpty) 0L
+        else spark.read.parquet(commitDir.toString).count()
+      if (rowsOut + rowsGone != rowsIn) {
+        fs.delete(commitDir, true)
+        throw new IllegalStateException(
+          s"manifest delete verification failed for $path: $rowsIn rows in " +
+            s"rewritten files, $rowsOut kept + $rowsGone deleted — table still at v$v")
+      }
+      val statKeys =
+        (manifest.files.flatMap(_.stats.keys) ++ manifest.files.flatMap(_.nullCounts.keys)).distinct
+      val withStats =
+        if (statKeys.isEmpty || staged.isEmpty) staged
+        else {
+          val byRel = collectStats(spark, fs, root, commitDir, schema, statKeys, manifest.partCols)
+          staged.map(f => withFileStats(f, byRel.get(f.path)))
+        }
+      gone.withColumn(ChangeTypeCol, lit("delete"))
+        .write.mode(SaveMode.Overwrite).parquet(cdfDir(root, newV).toString)
+      publish(fs, root, newV, untouched ++ withStats,
+        Some(schema), manifest.partCols,
+        manifest.txns ++ txn.toMap, op = Some("delete"))
+      newV
+    } finally {
+      src.unpersist()
+      ()
+    }
   }
 
   /** Roll the table back to version `v` by RE-PUBLISHING v's live set
@@ -1507,11 +1749,34 @@ object ManifestLake {
         val young = f.getModificationTime >= cutoff
         val inFlight = commitV.isDefined && young &&
           (suffixed || commitV.exists(_ > head))
-        if (f.isFile && !liveAcrossKept.contains(rel) && !inFlight) dead += f.getPath
+        // change files (data/v<N>/_cdf/…) are never in any manifest's
+        // live set, but they ARE part of a kept version's contract:
+        // readChangeFeed serves them for as long as the version itself
+        // is retained. Below the horizon they reap with the version.
+        val keptCdf = rel.split("/").lift(2).contains(CdfDir) &&
+          commitV.exists(keep.contains)
+        if (f.isFile && !liveAcrossKept.contains(rel) && !inFlight && !keptCdf)
+          dead += f.getPath
       }
       dead.result().foreach { p =>
         removed += p.toString
         fs.delete(p, false)
+      }
+      // change-file dirs reap at DIRECTORY granularity with their
+      // version: the walk above removed their files, but a left-over
+      // EMPTY _cdf dir would make readChangeFeed serve "zero changes"
+      // instead of the typed vacuumed refusal — the dir itself must go.
+      // Same in-flight rule as plain stages: an upsert staging above
+      // the head inside the grace window is untouchable.
+      fs.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
+        val digits = d.getPath.getName.stripPrefix("v").takeWhile(_.isDigit)
+        val commitV = if (digits.isEmpty) None else digits.toLongOption
+        val cdfP = new Path(d.getPath, CdfDir)
+        val inFlight = d.getModificationTime >= cutoff && commitV.exists(_ > head)
+        if (commitV.exists(!keep.contains(_)) && !inFlight && fs.exists(cdfP)) {
+          removed += cdfP.toString
+          fs.delete(cdfP, true): Unit
+        }
       }
     }
     versions.dropRight(keepVersions).foreach { old =>

@@ -681,6 +681,62 @@ object EtlGate {
              |FROM documents WHERE doc_id % 4 IN (2, 3)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // The ROW-LEVEL change feed under the oracle: append + upsert +
+    // append, then readChangeFeed over the whole range. The upsert
+    // rewrites half its keys (text gains a '!', n_chars grows by one)
+    // and inserts the other half, so the feed must carry v2's and v4's
+    // appends as inserts AND the upsert's exact pre-images (original
+    // rows), post-images (modified rows), and inserts — hash-matched
+    // per (change_type, commit_version, lang) against DuckDB replaying
+    // the same merge from the documents table directly. Refusal /
+    // skipUnresolved / vacuum-horizon semantics are spec'd in
+    // ManifestLakeSpec.
+    Q(
+      "q98_row_change_feed",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-rowcdf") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(4L)) === 0),
+          out, Seq("lang"))                                                  // v1
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(4L)) === 1),
+          out, Seq("lang"), replace = false)                                 // v2
+        val updates = docs.where(pmod(col("doc_id"), lit(8L)) === 2)         // new keys
+          .unionByName(docs.where(pmod(col("doc_id"), lit(8L)) === 4)        // rewrites of v1 keys
+            .withColumn("text", concat(col("text"), lit("!")))
+            .withColumn("n_chars", col("n_chars") + lit(1L)))
+        ManifestLake.upsert(s, out, updates, Seq("lang"), Seq("lang", "doc_id")) // v3
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(4L)) === 3),
+          out, Seq("lang"), replace = false)                                 // v4
+        ManifestLake.readChangeFeed(s, out, fromV = 1L, toV = 4L)
+          .groupBy(col("_change_type").as("change_type"),
+            col("_commit_version").as("commit_version"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("commit_version"), col("change_type"), col("lang"))
+      },
+      Some("""WITH feed AS (
+             |  SELECT 'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version, *
+             |  FROM documents WHERE doc_id % 4 = 1
+             |  UNION ALL
+             |  SELECT 'insert', 3, * FROM documents WHERE doc_id % 8 = 2
+             |  UNION ALL
+             |  SELECT 'update_preimage', 3, * FROM documents WHERE doc_id % 8 = 4
+             |  UNION ALL
+             |  SELECT 'update_postimage', 3, doc_id, text || '!', lang, source,
+             |    n_chars + 1
+             |  FROM documents WHERE doc_id % 8 = 4
+             |  UNION ALL
+             |  SELECT 'insert', 4, * FROM documents WHERE doc_id % 4 = 3)
+             |SELECT change_type, commit_version, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM feed GROUP BY change_type, commit_version, lang
+             |ORDER BY commit_version, change_type, lang""".stripMargin)),
+
     // OPTIMISTIC CONCURRENT APPENDS under the oracle: after a v1 base
     // commit, two appenders race from the same observed head. Each
     // stages under its own unique dir; the publish loser re-reads the

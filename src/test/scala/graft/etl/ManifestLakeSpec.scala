@@ -854,6 +854,192 @@ class ManifestLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("row-level change feed: upserts serve exact pre/post images, appends are inserts, compact is zero changes") {
+    import spark.implicits._
+    val dir = freshDir("mlake-rowcdf")
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (s"chr${i % 2 + 1}", i.toLong, s"old$i")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, batch(0, 20), dir, Seq("chrom"))                   // v1 replace (creates)
+    ManifestLake.write(spark, batch(20, 30), dir, Seq("chrom"), replace = false) // v2 append
+    val updates = Seq(
+      ("chr1", 0L, "NEW0"), ("chr2", 1L, "NEW1"),   // rewrite existing keys
+      ("chr1", 1000L, "ADDED"))                     // brand-new key
+      .toDF("chrom", "pos", "payload")
+    assert(ManifestLake.upsert(spark, dir, updates, Seq("chrom"), Seq("chrom", "pos")) === 3L)
+    ManifestLake.write(spark, batch(30, 35), dir, Seq("chrom"), replace = false) // v4 append
+    // the append fragmented every partition, so this compacts for real
+    assert(ManifestLake.compact(spark, dir, targetBytes = Long.MaxValue).nonEmpty) // v5 layout-only
+
+    val feed = ManifestLake.readChangeFeed(spark, dir, 0L, 5L)
+    assert(feed.columns.toSeq === Seq("chrom", "pos", "payload", "_change_type", "_commit_version"))
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("insert" -> 36L, "update_preimage" -> 2L, "update_postimage" -> 2L),
+      s"got $byType")
+    // the upsert's deltas are EXACT rows, stamped with its version
+    val v3 = feed.where(col("_commit_version") === 3L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(v3 === Set(
+      ("chr1", 0L, "old0", "update_preimage"), ("chr2", 1L, "old1", "update_preimage"),
+      ("chr1", 0L, "NEW0", "update_postimage"), ("chr2", 1L, "NEW1", "update_postimage"),
+      ("chr1", 1000L, "ADDED", "insert")))
+    // appends stamp their version; compaction contributes nothing
+    assert(feed.where(col("_commit_version") === 2L).count() === 10)
+    assert(feed.where(col("_commit_version") === 5L).count() === 0)
+    // a compact-only window is an EMPTY frame with the feed schema
+    val quiet = ManifestLake.readChangeFeed(spark, dir, 4L, 5L)
+    assert(quiet.count() === 0 && quiet.columns.contains("_change_type"))
+    // an upsert into a partition that does not exist yet is all inserts
+    val fresh = Seq(("chr9", 1L, "solo")).toDF("chrom", "pos", "payload")
+    assert(ManifestLake.upsert(spark, dir, fresh, Seq("chrom"), Seq("chrom", "pos")) === 6L)
+    val v6 = ManifestLake.readChangeFeed(spark, dir, 5L, 6L).collect()
+    assert(v6.length === 1 && v6.head.getAs[String]("_change_type") === "insert")
+    // a reserved metadata column name refuses before any work
+    val clash = Seq(("chr1", 1L, "x", "y")).toDF("chrom", "pos", "payload", "_change_type")
+    val eClash = intercept[IllegalArgumentException] {
+      ManifestLake.upsert(spark, dir, clash, Seq("chrom"), Seq("chrom", "pos"))
+    }
+    assert(eClash.getMessage.contains("reserved"))
+    // an upsert whose change files are GONE (stamped before the feature,
+    // or vacuumed) is a typed refusal, skippable explicitly
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "data/v000003/_cdf"), true)
+    val eNoCdf = intercept[IllegalArgumentException] {
+      ManifestLake.readChangeFeed(spark, dir, 2L, 3L)
+    }
+    assert(eNoCdf.getMessage.contains("change files"))
+    assert(ManifestLake.readChangeFeed(spark, dir, 2L, 3L, skipUnresolved = true).count() === 0)
+    // a mid-range replace refuses (rows rewritten, no recorded deltas)
+    ManifestLake.write(spark, batch(0, 3), dir, Seq("chrom"))                    // v7 replace
+    val eReplace = intercept[IllegalArgumentException] {
+      ManifestLake.readChangeFeed(spark, dir, 5L, 7L)
+    }
+    assert(eReplace.getMessage.contains("replace"))
+    assert(ManifestLake.readChangeFeed(spark, dir, 5L, 7L, skipUnresolved = true)
+      .count() === 1) // v6's insert survives the skip; v7 contributes nothing
+    ()
+  }
+
+  test("row-level change feed: widening upserts serve older versions' rows as typed nulls") {
+    import spark.implicits._
+    val dir = freshDir("mlake-rowcdf-widen")
+    val base = Seq(("chr1", 1L, "a"), ("chr1", 2L, "b")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, base, dir, Seq("chrom"))                           // v1
+    val widened = Seq(("chr1", 1L, "a2", 0.9), ("chr1", 3L, "c", 0.5))
+      .toDF("chrom", "pos", "payload", "score")
+    assert(ManifestLake.upsert(spark, dir, widened, Seq("chrom"), Seq("chrom", "pos")) === 2L)
+    val feed = ManifestLake.readChangeFeed(spark, dir, 0L, 2L)
+    // head-order columns, with the pre-widening rows null in the new one
+    assert(feed.columns.toSeq === Seq("chrom", "pos", "payload", "score", "_change_type", "_commit_version"))
+    val rows = feed.collect().map(r => (r.getLong(1), r.getString(2),
+      Option(r.get(3)), r.getString(4), r.getLong(5))).toSet
+    assert(rows === Set(
+      (1L, "a", None, "insert", 1L),
+      (2L, "b", None, "insert", 1L),
+      (1L, "a", None, "update_preimage", 2L),
+      (1L, "a2", Some(0.9), "update_postimage", 2L),
+      (3L, "c", Some(0.5), "insert", 2L)))
+  }
+
+  test("vacuum retains change files exactly as long as their version: kept versions keep serving, reaped ones refuse") {
+    import spark.implicits._
+    val dir = freshDir("mlake-rowcdf-vacuum")
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => ("chr1", i.toLong, s"p$i")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, batch(0, 10), dir, Seq("chrom"))                   // v1
+    val upd = Seq(("chr1", 0L, "NEW")).toDF("chrom", "pos", "payload")
+    ManifestLake.upsert(spark, dir, upd, Seq("chrom"), Seq("chrom", "pos"))      // v2 (stamps _cdf)
+    ManifestLake.write(spark, batch(10, 12), dir, Seq("chrom"), replace = false) // v3
+    ManifestLake.write(spark, batch(12, 14), dir, Seq("chrom"), replace = false) // v4
+    val (fs, _) = ManifestLake.fsFor(spark, dir)
+    val cdf2 = new org.apache.hadoop.fs.Path(dir, "data/v000002/_cdf")
+    // a vacuum KEEPING v2 keeps its change files (they are in no
+    // manifest's live set — the rule must be explicit, not accidental)
+    ManifestLake.vacuum(spark, dir, keepVersions = 3)
+    assert(fs.exists(cdf2), "kept version's change files were vacuumed away")
+    assert(ManifestLake.readChangeFeed(spark, dir, 1L, 2L)
+      .where(col("_change_type") =!= "insert").count() === 2)
+    // below the horizon the change files reap WITH the version
+    ManifestLake.vacuum(spark, dir, keepVersions = 2)
+    assert(!fs.exists(cdf2), "reaped version's change files must go with it")
+  }
+
+  test("row-level delete: only match-bearing files rewrite, NULL-predicate rows survive, feed serves delete rows") {
+    import spark.implicits._
+    val dir = freshDir("mlake-delete")
+    def batch(ch: String, lo: Int, hi: Int) =
+      (lo until hi).map(i => (ch, i.toLong, if (i % 10 == 0) null else s"p$i"))
+        .toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark,
+      batch("chr1", 0, 50).unionByName(batch("chr2", 0, 50)), dir, Seq("chrom"),
+      statsCols = Seq("pos"))                                                   // v1
+    ManifestLake.write(spark,
+      batch("chr1", 50, 100).unionByName(batch("chr2", 50, 100)), dir, Seq("chrom"),
+      replace = false, statsCols = Seq("pos"))                                  // v2
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val v2Files = ManifestLake.readManifest(fs, root, 2L).files.map(_.path)
+
+    // delete chr1's low range — only v1's chr1 files contain matches
+    val v = ManifestLake.delete(spark, dir,
+      col("chrom") === "chr1" && col("pos") < 50L)
+    assert(v === 3L)
+    assert(ManifestLake.read(spark, dir).count() === 150)
+    assert(ManifestLake.read(spark, dir)
+      .where(col("chrom") === "chr1" && col("pos") < 50L).count() === 0)
+    val v3 = ManifestLake.readManifest(fs, root, 3L)
+    assert(v3.op === Some("delete"))
+    // every file WITHOUT matches carried by reference, verbatim
+    val carried = v2Files.filterNot(p => p.contains("v000001/chrom=chr1"))
+    assert(carried.forall(v3.files.map(_.path).contains),
+      "match-free files must carry by reference")
+    assert(!v3.files.exists(_.path.contains("v000001/chrom=chr1")),
+      "match-bearing files must leave the live set")
+    // rewritten files re-collect the tracked stats
+    assert(v3.files.filter(_.path.contains("v000003")).forall(_.stats.contains("pos")))
+    // the feed serves the EXACT deleted rows
+    val feed = ManifestLake.readChangeFeed(spark, dir, 2L, 3L)
+    assert(feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("delete" -> 50L))
+    assert(feed.select("pos").collect().map(_.getLong(0)).sorted.toSeq === (0L until 50L))
+    // the file-level append feed refuses across it, as every rewrite
+    intercept[IllegalArgumentException] {
+      ManifestLake.readChanges(spark, dir, 2L, 3L)
+    }
+    // NULL-predicate rows are KEPT (SQL DELETE semantics): payload is
+    // null on every 10th row; equality there evaluates NULL, not true
+    assert(ManifestLake.delete(spark, dir, col("payload") === "p55") === 4L)
+    assert(ManifestLake.read(spark, dir).count() === 149)
+    assert(ManifestLake.read(spark, dir).where(col("payload").isNull).count() === 15)
+    // a no-match delete publishes NOTHING
+    assert(ManifestLake.delete(spark, dir, col("pos") > 100000L) === 4L)
+    assert(ManifestLake.currentVersion(spark, dir) === Some(4L))
+    // replayed (appId, batchId) deletes are skipped via the ledger
+    assert(ManifestLake.delete(spark, dir, col("pos") === 99L, txn = Some(("delapp", 7L))) === 5L)
+    assert(ManifestLake.delete(spark, dir, col("pos") === 98L, txn = Some(("delapp", 7L))) === 5L)
+    assert(ManifestLake.read(spark, dir).where(col("pos") === 98L).count() === 2)
+  }
+
+  test("row-level delete on a flat table; legacy headerless tables refuse typed") {
+    import spark.implicits._
+    val dir = freshDir("mlake-delete-flat")
+    val df = (0 until 100).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    ManifestLake.write(spark, df, dir, Seq.empty)
+    assert(ManifestLake.delete(spark, dir, col("id") % 2 === 0) === 2L)
+    assert(ManifestLake.read(spark, dir).count() === 50)
+    assert(ManifestLake.readChangeFeed(spark, dir, 1L, 2L)
+      .where(col("_change_type") === "delete").count() === 50)
+    // a headerless legacy manifest cannot delete (no recorded schema)
+    val dir2 = freshDir("mlake-delete-legacy")
+    ManifestLake.write(spark, df, dir2, Seq.empty)
+    val (fs2, root2) = ManifestLake.fsFor(spark, dir2)
+    val m = ManifestLake.readManifest(fs2, root2, 1L)
+    ManifestLake.publish(fs2, root2, 2L, m.files, None, Seq.empty)
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.delete(spark, dir2, col("id") === 1L)
+    }
+    assert(e.getMessage.contains("headerless"))
+  }
+
   test("genomic lake through the manifest commit: pos-range scans skip whole files (E3 shape)") {
     import spark.implicits._
     val dir = freshDir("mlake-genomic")
