@@ -1594,17 +1594,26 @@ object ManifestLake {
         s"column name $r is reserved for the change feed's metadata"))
     if (manifest.files.isEmpty) return v
     // which files actually CONTAIN matches — the filtered single scan
-    // prunes via pushdown + manifest stats before opening anything
-    val rootQ = fs.makeQualified(root).toString
-    val matchedPaths = readFiles(spark, fs, root, manifest)
+    // prunes via pushdown + manifest stats before opening anything.
+    // input_file_name() returns URL-ENCODED URIs whose textual form
+    // (file:/// vs file:/, %20 escapes in partition values) differs
+    // from makeQualified's rendering, so both sides resolve to one
+    // canonical decoded (scheme, authority, path) form before matching.
+    def canon(p: Path): String = {
+      val u = fs.makeQualified(p).toUri
+      Option(u.getScheme).getOrElse("") + "://" +
+        Option(u.getAuthority).getOrElse("") + u.getPath
+    }
+    val matchedUris = readFiles(spark, fs, root, manifest)
       .where(predicate)
       .select(input_file_name().as("f")).distinct()
-      .collect().map(_.getString(0).stripPrefix(rootQ).stripPrefix("/")).toSet
-    if (matchedPaths.isEmpty) return v
-    val (candidates, untouched) = manifest.files.partition(f => matchedPaths.contains(f.path))
-    require(candidates.size == matchedPaths.size,
+      .collect().map(r => canon(new Path(new java.net.URI(r.getString(0))))).toSet
+    if (matchedUris.isEmpty) return v
+    val (candidates, untouched) =
+      manifest.files.partition(f => matchedUris.contains(canon(new Path(root, f.path))))
+    require(candidates.size == matchedUris.size,
       s"matched file paths did not resolve against the live set: " +
-        s"${matchedPaths.size} matched, ${candidates.size} resolved")
+        s"${matchedUris.size} matched, ${candidates.size} resolved")
     val src = readFileSlice(spark, path, manifest, candidates)
     src.persist()
     try {

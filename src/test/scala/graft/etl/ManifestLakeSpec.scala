@@ -1006,9 +1006,10 @@ class ManifestLakeSpec extends AnyFunSuite {
       ManifestLake.readChanges(spark, dir, 2L, 3L)
     }
     // NULL-predicate rows are KEPT (SQL DELETE semantics): payload is
-    // null on every 10th row; equality there evaluates NULL, not true
+    // null on every 10th row; equality there evaluates NULL, not true.
+    // p55 lives in BOTH chroms (chr1 pos 55 survived the range delete)
     assert(ManifestLake.delete(spark, dir, col("payload") === "p55") === 4L)
-    assert(ManifestLake.read(spark, dir).count() === 149)
+    assert(ManifestLake.read(spark, dir).count() === 148)
     assert(ManifestLake.read(spark, dir).where(col("payload").isNull).count() === 15)
     // a no-match delete publishes NOTHING
     assert(ManifestLake.delete(spark, dir, col("pos") > 100000L) === 4L)
@@ -1038,6 +1039,25 @@ class ManifestLakeSpec extends AnyFunSuite {
       ManifestLake.delete(spark, dir2, col("id") === 1L)
     }
     assert(e.getMessage.contains("headerless"))
+  }
+
+  test("row-level delete resolves URL-encoded file names: partition values with spaces and hive-escaped chars") {
+    import spark.implicits._
+    val dir = freshDir("mlake-delete-escape")
+    // 'a b' stays a literal space in the dir name (URL-encoded %20 by
+    // input_file_name); 'c#d' is hive-escaped to c%23d on disk and then
+    // double-encoded in the scan's URI — both must resolve
+    val df = Seq(("a b", 1L, "x"), ("a b", 2L, "y"), ("c#d", 3L, "z"), ("c#d", 4L, "w"))
+      .toDF("grp", "id", "payload")
+    ManifestLake.write(spark, df, dir, Seq("grp"))
+    assert(ManifestLake.delete(spark, dir, col("id") === 1L) === 2L)
+    assert(ManifestLake.delete(spark, dir, col("id") === 3L) === 3L)
+    val left = ManifestLake.read(spark, dir)
+    assert(left.count() === 2)
+    assert(left.select("grp", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === Set(("a b", 2L), ("c#d", 4L)))
+    assert(ManifestLake.readChangeFeed(spark, dir, 1L, 3L)
+      .where(col("_change_type") === "delete").count() === 2)
   }
 
   test("genomic lake through the manifest commit: pos-range scans skip whole files (E3 shape)") {
