@@ -781,5 +781,67 @@ object EtlGate {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ROW-LEVEL DELETE under the oracle: two appends, then a targeted
+    // delete whose predicate evaluates NULL on every 10th row (`tag` is
+    // NULLed there) — SQL DELETE semantics say those rows SURVIVE. The
+    // result unions the change feed (v2's inserts + v3's exact deleted
+    // rows) with the final live table, hash-matched against DuckDB
+    // replaying the same delete with NOT COALESCE(pred, FALSE)
+    // survivor logic. Pins: match-bearing-file-only rewrite resolves
+    // (the r11 URI bug class), NULL-predicate keep semantics, delete
+    // rows stamped exactly, survivors exact. File-carry/stat-recollect
+    // mechanics are spec'd in ManifestLakeSpec.
+    Q(
+      "q100_row_delete",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-rowdel") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .withColumn("tag",
+            when(pmod(col("doc_id"), lit(10L)) === 0, lit(null).cast("string"))
+              .otherwise(col("lang")))
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+          out, Seq("lang"), statsCols = Seq("doc_id"))                       // v1
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 1),
+          out, Seq("lang"), replace = false, statsCols = Seq("doc_id"))      // v2
+        val predicate = col("tag") === "en" && pmod(col("doc_id"), lit(3L)) === 0
+        val v = ManifestLake.delete(s, out, predicate)                       // v3
+        require(v == 3L, s"delete must publish v3, got v$v")
+        val cols = Seq(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        val feed = ManifestLake.readChangeFeed(s, out, fromV = 1L, toV = 3L)
+          .select(col("_change_type").as("change_type") +:
+            col("_commit_version").cast("long").as("commit_version") +: cols: _*)
+        val live = ManifestLake.read(s, out)
+          .select(lit("live").as("change_type") +:
+            lit(3L).as("commit_version") +: cols: _*)
+        feed.unionByName(live)
+          .groupBy(col("change_type"), col("commit_version"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("commit_version"), col("change_type"), col("lang"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text, lang, n_chars,
+             |    CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS tag
+             |  FROM documents),
+             |feed AS (
+             |  SELECT 'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version,
+             |    lang, doc_id, text, n_chars
+             |  FROM base WHERE doc_id % 2 = 1
+             |  UNION ALL
+             |  SELECT 'delete', 3, lang, doc_id, text, n_chars
+             |  FROM base WHERE tag = 'en' AND doc_id % 3 = 0
+             |  UNION ALL
+             |  SELECT 'live', 3, lang, doc_id, text, n_chars
+             |  FROM base WHERE NOT COALESCE(tag = 'en' AND doc_id % 3 = 0, FALSE))
+             |SELECT change_type, commit_version, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM feed GROUP BY change_type, commit_version, lang
+             |ORDER BY commit_version, change_type, lang""".stripMargin)))
 }
