@@ -389,13 +389,16 @@ object ManifestLake {
   }
 
   /** Publish `files` (+ the table shape) as version `v`: stage hidden,
-    * then commit with a NO-OVERWRITE rename. `FileContext.rename`
-    * without `Options.Rename.OVERWRITE` refuses an existing
-    * destination (HDFS checks at the NameNode, local FS at the
-    * AbstractFileSystem layer), so the committer that loses a
-    * same-version race gets a typed `IllegalStateException` instead of
-    * silently clobbering the winner — this is what turns the
-    * single-writer contract from prose into a checked invariant.
+    * then commit with an ATOMIC fail-if-exists install — on HDFS-class
+    * stores a `FileContext.rename` without `Options.Rename.OVERWRITE`
+    * (the NameNode checks the destination server-side), on local FS a
+    * hard link (`link(2)` fails EEXIST atomically in the kernel; the
+    * local AbstractFileSystem's "no-overwrite" rename is only
+    * check-then-rename and POSIX rename replaces). Either way the
+    * committer that loses a same-version race gets a typed
+    * `IllegalStateException` instead of silently clobbering the winner
+    * — this is what turns the single-writer contract from prose into a
+    * checked invariant.
     */
   private[graft] def publish(fs: FileSystem, root: Path, v: Long, files: Seq[LiveFile],
                            schema: Option[StructType], partCols: Seq[String],
@@ -440,7 +443,23 @@ object ManifestLake {
     }
     val target = manifestPath(root, v)
     try {
-      try {
+      if ("file" == fs.getScheme) {
+        // LOCAL FS: AbstractFileSystem's no-overwrite rename is
+        // check-then-rename over POSIX rename(2) — which silently
+        // REPLACES an existing destination — and the crc sidecar
+        // renames in a separate step, so two same-version racers in
+        // the check window can interleave a mismatched (manifest, crc)
+        // pair at the target: observed as a flaky ChecksumException
+        // under racing appenders. link(2) fails with EEXIST atomically
+        // in the kernel, so hard-link the stage into place and unlink
+        // it: exactly one racer's link lands, cross-process included.
+        // The target carries no crc sidecar (the stage's dies with the
+        // stage), which ChecksumFileSystem reads as verification-skipped.
+        val src = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
+        val dst = java.nio.file.Paths.get(fs.makeQualified(target).toUri)
+        java.nio.file.Files.createLink(dst, src)
+        fs.delete(tmp, false)
+      } else try {
         val fc = FileContext.getFileContext(fs.getUri, fs.getConf)
         fc.rename(fs.makeQualified(tmp), fs.makeQualified(target))
       } catch {
@@ -512,6 +531,36 @@ object ManifestLake {
         out += LiveFile(f.getLen, rel)
     }
     out.result()
+  }
+
+  /** Sum of parquet FOOTER record counts over freshly staged files —
+    * the write-verification row count at metadata cost: each footer is
+    * a few KB read driver-side (bounded concurrency), no Spark job, no
+    * re-scan of the staged data. The footer count is what the parquet
+    * WRITER committed per row group, so comparing it against the
+    * observed input count still catches a short write (lost task
+    * output, a file dropped between write and listing): a missing or
+    * truncated file simply contributes fewer rows.
+    */
+  private[etl] def footerRowCount(fs: FileSystem, root: Path, files: Seq[LiveFile]): Long = {
+    if (files.isEmpty) return 0L
+    val conf = fs.getConf
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, files.size))
+    try {
+      files.map { f =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(fs.makeQualified(new Path(root, f.path)), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }
+        })
+      }.map(_.get()).sum
+    } finally {
+      pool.shutdown()
+      ()
+    }
   }
 
   /** Name → type comparison, order-insensitive, nullability-blind —
@@ -735,19 +784,26 @@ object ManifestLake {
       if (replace) new Path(root, f"$DataDir/v$v%06d")
       else new Path(root,
         f"$DataDir/v$v%06d-${java.util.UUID.randomUUID().toString.take(8)}")
-    val w = df.write.mode(SaveMode.Overwrite)
+    // the input row count rides the WRITE job itself as an observed
+    // metric — re-executing `df` for a count would run the entire input
+    // plan (joins, aggregations, a 100 TB scan) a second time per
+    // append; observe() collects it during the one pass the write
+    // already makes
+    val obs = org.apache.spark.sql.Observation()
+    val w = df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(commitDir.toString)
     // verify the staged copy while it is still invisible — same
     // verify-before-commit stance as Lake.compact, minus any window:
-    // a failure here aborts with the table untouched at v-1
+    // a failure here aborts with the table untouched at v-1. The staged
+    // side is summed from parquet FOOTERS (metadata-only, no job), so a
+    // stats-less append costs exactly ONE Spark job end to end.
     val staged = stagedFiles(fs, root, commitDir)
-    val rowsIn = df.count()
+    val rowsIn = obs.get("rows").asInstanceOf[Long]
     // empty input stages no parquet files — nothing to re-read (an empty
     // replace is a defined state: the manifest lists nothing)
-    val rowsOut =
-      if (staged.isEmpty) 0L
-      else spark.read.parquet(commitDir.toString).count()
+    val rowsOut = footerRowCount(fs, root, staged)
     if (rowsOut != rowsIn || (rowsIn > 0 && staged.isEmpty)) {
       fs.delete(commitDir, true)
       throw new IllegalStateException(
@@ -1319,13 +1375,20 @@ object ManifestLake {
         }
       val dest = if (part.isEmpty) commitDir else new Path(commitDir, part)
       sorted.write.mode(SaveMode.Overwrite).parquet(dest.toString)
-      val rowsIn = src.count()
-      val rowsOut = spark.read.parquet(dest.toString).count()
+      // row conservation from METADATA on both sides: source rows come
+      // from the manifest's recorded counts (or the source footers when
+      // a file predates stats), staged rows from the fresh footers — no
+      // second and third scan of the data being compacted
+      val rowsIn =
+        if (fls.forall(_.rows.isDefined)) fls.flatMap(_.rows).sum
+        else footerRowCount(fs, root, fls)
+      val destStaged = stagedFiles(fs, root, dest)
+      val rowsOut = footerRowCount(fs, root, destStaged)
       if (rowsOut != rowsIn)
         throw new IllegalStateException(
           s"manifest compact verification failed for $path $part: " +
             s"$rowsIn rows in, $rowsOut staged — table still at v$v")
-      (part, fls.length, stagedFiles(fs, root, dest).length)
+      (part, fls.length, destStaged.length)
     }
     val rewritten = plans.map(_._1).toSet
     val untouched = live.filterNot(f => rewritten.contains(partOf(f.path)))
@@ -1624,13 +1687,16 @@ object ManifestLake {
       val w = keep.write.mode(SaveMode.Overwrite)
       (if (manifest.partCols.nonEmpty) w.partitionBy(manifest.partCols: _*) else w)
         .parquet(commitDir.toString)
-      // row conservation, verified while the commit is invisible
-      val rowsIn = src.count()
+      // row conservation, verified while the commit is invisible — the
+      // input side comes from the matched files' recorded counts (or
+      // their footers), the staged side from the fresh footers; only
+      // the deleted-row count runs as a job, over the cached slice
+      val rowsIn =
+        if (candidates.forall(_.rows.isDefined)) candidates.flatMap(_.rows).sum
+        else footerRowCount(fs, root, candidates)
       val rowsGone = gone.count()
       val staged = stagedFiles(fs, root, commitDir)
-      val rowsOut =
-        if (staged.isEmpty) 0L
-        else spark.read.parquet(commitDir.toString).count()
+      val rowsOut = footerRowCount(fs, root, staged)
       if (rowsOut + rowsGone != rowsIn) {
         fs.delete(commitDir, true)
         throw new IllegalStateException(

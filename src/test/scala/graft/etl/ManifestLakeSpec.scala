@@ -1175,4 +1175,47 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing recorded column"))
     assert(m1.files.nonEmpty)
   }
+
+  test("a stats-less append runs exactly ONE Spark job: input count observed on the write, staged count from footers") {
+    import spark.implicits._
+    val dir = freshDir("mlake-onejob")
+    val df = (0 until 200).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    val sc = spark.sparkContext
+    val group = s"mlake-onejob-${System.nanoTime()}"
+    sc.setJobGroup(group, "append job count", interruptOnCancel = false)
+    try ManifestLake.write(spark, df, dir, Seq("chrom"))
+    finally sc.clearJobGroup()
+    // the status store updates async off the listener bus — poll briefly
+    def jobs(): Int = sc.statusTracker.getJobIdsForGroup(group).length
+    val deadline = System.currentTimeMillis() + 10000
+    while (jobs() == 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(jobs() === 1,
+      s"a stats-less append must cost exactly the write job, saw ${jobs()}")
+    assert(ManifestLake.read(spark, dir).count() === 200)
+  }
+
+  test("footer row counts equal the staged data; a vanished file undercounts (the short-write catch)") {
+    import spark.implicits._
+    val dir = freshDir("mlake-footer")
+    val df = (0 until 300).map(i => (s"chr${i % 3 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, df, dir, Seq("chrom"))
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m = ManifestLake.readManifest(fs, root, 1L)
+    assert(m.files.length >= 3)
+    assert(ManifestLake.footerRowCount(fs, root, m.files) === 300L)
+    // a file lost between write and publish contributes zero rows, so
+    // the writePinned require (footer sum != observed input) fires —
+    // simulate the loss against the published set
+    val short = m.files.drop(1)
+    assert(ManifestLake.footerRowCount(fs, root, short) < 300L)
+    // verification is observation-based: an input whose plan includes a
+    // join still appends with the correct count recorded
+    val joined = df.as("a").join(df.as("b").select(col("pos"), lit(1).as("w")), Seq("pos"))
+      .select(col("chrom"), col("pos"), concat(col("payload"), col("w")).as("payload"))
+    val dir2 = freshDir("mlake-footer2")
+    ManifestLake.write(spark, joined, dir2, Seq("chrom"))
+    assert(ManifestLake.read(spark, dir2).count() === 300)
+  }
 }
