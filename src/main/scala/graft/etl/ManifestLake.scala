@@ -1353,7 +1353,13 @@ object ManifestLake {
     }
     if (plans.isEmpty) return Seq.empty
     val newV = v + 1
-    val commitDir = new Path(root, f"$DataDir/v$newV%06d")
+    // unique staging dir, same stance as appends: a compaction racing
+    // another writer to this version must never share its staging path
+    // (the dir name is operator legibility only — manifests reference
+    // files by full relative path; an abandoned stage vacuums as an
+    // in-flight orphan after the grace window)
+    val commitDir = new Path(root,
+      f"$DataDir/v$newV%06d-${java.util.UUID.randomUUID().toString.take(8)}")
     val report = plans.map { case (part, fls, want) =>
       val src = spark.read.parquet(fls.map(f => new Path(root, f.path).toString): _*)
       val cluster = clusterBy.filter(src.columns.contains).map(col)
@@ -1390,8 +1396,6 @@ object ManifestLake {
             s"$rowsIn rows in, $rowsOut staged — table still at v$v")
       (part, fls.length, destStaged.length)
     }
-    val rewritten = plans.map(_._1).toSet
-    val untouched = live.filterNot(f => rewritten.contains(partOf(f.path)))
     // stats, once collected, are MAINTAINED: rewritten files re-collect
     // [min,max] for whatever columns the live manifest already tracks,
     // so compaction never silently degrades file skipping
@@ -1404,9 +1408,44 @@ object ManifestLake {
         staged.map(f => withFileStats(f, byRel.get(f.path)))
       case _ => staged
     }
-    publish(fs, root, newV, untouched ++ withStats,
-      manifest.schema, manifest.partCols, manifest.txns, op = Some("compact"))
-    report
+    // OPTIMISTIC PUBLISH: a compaction is LAYOUT-ONLY, so losing the
+    // version race to a concurrent append does not invalidate hours of
+    // rewrite I/O — the rewrite stays exactly equivalent as long as
+    // every INPUT file is still live at the new head (appends only add
+    // files). The loser re-reads the head, re-validates that invariant,
+    // and re-publishes (head's files minus the compacted inputs) ∪
+    // staged at head+1. An upsert/delete/another compact that removed
+    // an input file is a GENUINE conflict: the staged rewrite bakes in
+    // superseded rows, so the stage is withdrawn and the failure loud.
+    val inputPaths: Set[String] = plans.flatMap(_._2).map(_.path).toSet
+    var attempt = 0
+    var curM = manifest
+    var curV = newV
+    while (true) {
+      val untouched = curM.files.filterNot(f => inputPaths.contains(f.path))
+      try {
+        publish(fs, root, curV, untouched ++ withStats,
+          curM.schema, curM.partCols, curM.txns, op = Some("compact"))
+        return report
+      } catch {
+        case e: IllegalStateException if attempt < 5 =>
+          attempt += 1
+          val headV = currentVersion(spark, path).getOrElse(throw e)
+          val headM = readManifest(fs, root, headV)
+          val headPaths = headM.files.map(_.path).toSet
+          if (!inputPaths.forall(headPaths.contains)) {
+            fs.delete(commitDir, true)
+            throw new IllegalStateException(
+              s"compact of $path lost its race to a commit that rewrote or " +
+                "removed compacted input files — the staged layout bakes in " +
+                "superseded rows and was withdrawn; the table is intact at " +
+                s"v$headV. Re-run compact against the new head.", e)
+          }
+          curM = headM
+          curV = headV + 1
+      }
+    }
+    report // unreachable; the loop exits via return
   }
 
   /** Key-level upsert (merge-into) under manifest commit — the

@@ -1176,6 +1176,105 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(m1.files.nonEmpty)
   }
 
+  test("compaction loses its race to a concurrent append gracefully: both commits land, content intact") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir("mlake-compact-race")
+    val df = (0 until 4000).map(i => (s"chr${i % 4 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, df.repartition(24), dir, Seq("chrom"), statsCols = Seq("pos"))
+    // the appender waits for the compaction's FIRST Spark job to start,
+    // then lands while the rewrite is still running — so the compact's
+    // publish nearly always loses and takes the retry path (and when
+    // scheduling flips the order, the append's own optimistic retry
+    // covers it: the asserts are interleaving-agnostic)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        latch.countDown()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val extra = Seq(("chr9", 99999L, "late")).toDF("chrom", "pos", "payload")
+      val fAppend = Future {
+        latch.await(2, java.util.concurrent.TimeUnit.MINUTES)
+        ManifestLake.write(spark, extra, dir, Seq("chrom"), replace = false)
+      }
+      val report = ManifestLake.compact(spark, dir, targetBytes = Long.MaxValue)
+      Await.result(fAppend, 2.minutes)
+      assert(report.nonEmpty, "the compaction must actually compact")
+      val (fs, root) = ManifestLake.fsFor(spark, dir)
+      assert(ManifestLake.currentVersion(spark, dir) === Some(3L),
+        "both the append and the compaction must land")
+      val ops = Seq(2L, 3L).map(v => ManifestLake.readManifest(fs, root, v).op.get)
+      assert(ops.toSet === Set("append", "compact"))
+      // content invariant: exactly base ∪ appended, no loss, no dupes
+      val got = ManifestLake.read(spark, dir)
+      assert(got.count() === 4001)
+      assert(got.where(col("payload") === "late").count() === 1)
+      assert(got.select(sum(col("pos"))).head.getLong(0)
+        === (0L until 4000L).sum + 99999L)
+      // the compacted head still carries stats on rewritten files (the
+      // stats-less append's own file legitimately has none)
+      val vAppend = Seq(2L, 3L)
+        .find(v => ManifestLake.readManifest(fs, root, v).op.contains("append")).get
+      val appendFiles = ManifestLake.readManifest(fs, root, vAppend).files.map(_.path).toSet --
+        ManifestLake.readManifest(fs, root, vAppend - 1).files.map(_.path).toSet
+      val head = ManifestLake.readManifest(fs, root, 3L)
+      assert(head.files.filterNot(f => appendFiles.contains(f.path))
+        .forall(_.stats.contains("pos")))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("compaction racing a commit that REWROTE its inputs fails loudly with the stage withdrawn — never silent corruption") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir("mlake-compact-conflict")
+    val df = (0 until 4000).map(i => (s"chr${i % 4 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, df.repartition(24), dir, Seq("chrom"))
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        latch.countDown()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the racing writer REWRITES chr1 (an upsert) — the compaction's
+      // staged layout bakes in the superseded row, so a lost race must
+      // be a loud conflict, not a retry
+      val upd = Seq(("chr1", 0L, "REWRITTEN")).toDF("chrom", "pos", "payload")
+      val fUpsert = Future {
+        latch.await(2, java.util.concurrent.TimeUnit.MINUTES)
+        ManifestLake.upsert(spark, dir, upd, Seq("chrom"), Seq("chrom", "pos"))
+      }
+      val compacted = scala.util.Try(
+        ManifestLake.compact(spark, dir, targetBytes = Long.MaxValue))
+      val upserted = scala.util.Try(Await.result(fUpsert, 2.minutes))
+      // in EVERY interleaving exactly one of them lost loudly (the
+      // upsert is strict single-writer; the compact refuses superseded
+      // inputs) — and the winner's state is intact
+      assert(compacted.isFailure != upserted.isFailure,
+        s"exactly one racer must lose loudly: compact=$compacted upsert=$upserted")
+      compacted.failed.foreach { e =>
+        assert(e.isInstanceOf[IllegalStateException])
+        assert(e.getMessage.contains("compacted input files"))
+      }
+      val got = ManifestLake.read(spark, dir)
+      assert(got.count() === 4000)
+      if (upserted.isSuccess)
+        assert(got.where(col("payload") === "REWRITTEN").count() === 1)
+      // the loser's stage is withdrawn or invisible: the live set never
+      // references a superseded layout
+      assert(ManifestLake.read(spark, dir)
+        .where(col("chrom") === "chr1" && col("pos") === 0L).count() === 1)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("a stats-less append runs exactly ONE Spark job: input count observed on the write, staged count from footers") {
     import spark.implicits._
     val dir = freshDir("mlake-onejob")
