@@ -92,6 +92,15 @@ object ManifestLake {
   private def cdfDir(root: Path, v: Long): Path =
     new Path(root, f"$DataDir/v$v%06d/$CdfDir")
 
+  /** Where commit `v` stamped its row-level change files: the
+    * manifest-recorded `#cdf` path when present (stamped inside the
+    * committer's own unique staging dir, so racing writers never share
+    * a change-file location), else the legacy version-keyed
+    * `data/v<N>/_cdf` of manifests written before the directive.
+    */
+  private def cdfPathOf(root: Path, v: Long, m: Manifest): Path =
+    m.cdf.map(new Path(root, _)).getOrElse(cdfDir(root, v))
+
   /** Reserved change-feed metadata column names — a table column with
     * one of these names would collide with the feed's own output.
     */
@@ -186,7 +195,8 @@ object ManifestLake {
                                          partCols: Seq[String],
                                          files: Seq[LiveFile],
                                          txns: Map[String, Long] = Map.empty,
-                                         op: Option[String] = None)
+                                         op: Option[String] = None,
+                                         cdf: Option[String] = None)
 
   /** Published manifests are IMMUTABLE (a version is never rewritten —
     * restore publishes a NEW version), so parsed manifests cache across
@@ -278,6 +288,7 @@ object ManifestLake {
       parts(1) -> parts(2).toLong
     }.toMap
     val op = dmap.get("#op").filter(_.nonEmpty)
+    val cdf = dmap.get("#cdf").filter(_.nonEmpty)
     val files = data.map { line =>
       // `bytes\tpath` or `bytes\tpath\t<stats json>` — JSON string
       // escaping keeps tabs/newlines inside values off the line.
@@ -293,7 +304,7 @@ object ManifestLake {
           LiveFile(b.toLong, p, bounds, rows, nulls)
       }
     }
-    Manifest(schema, partCols, files, txns, op)
+    Manifest(schema, partCols, files, txns, op, cdf)
   }
 
   /** Stats blob: `{"col": ["lo","hi"], …, "#rows": n, "#nulls":
@@ -403,7 +414,8 @@ object ManifestLake {
   private[graft] def publish(fs: FileSystem, root: Path, v: Long, files: Seq[LiveFile],
                            schema: Option[StructType], partCols: Seq[String],
                            txns: Map[String, Long] = Map.empty,
-                           op: Option[String] = None): Unit = {
+                           op: Option[String] = None,
+                           cdf: Option[String] = None): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
     txns.keys.foreach(app => require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
@@ -421,6 +433,7 @@ object ManifestLake {
     val header = schema.toSeq.flatMap(s =>
       Seq(s"#schema\t${s.json}", s"#partcols\t${partCols.mkString(",")}")) ++
       op.map(o => s"#op\t$o").toSeq ++
+      cdf.map(c => s"#cdf\t$c").toSeq ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
     val body = header ++ files.sortBy(_.path).map { f =>
       if (f.stats.isEmpty && f.rows.isEmpty && f.nullCounts.isEmpty)
@@ -1157,7 +1170,7 @@ object ManifestLake {
           .withColumn(CommitVersionCol, lit(v)))
       } else if (m.op.contains("compact")) None
       else if (m.op.exists(o => o == "upsert" || o == "delete")) {
-        val dir = cdfDir(root, v)
+        val dir = cdfPathOf(root, v, m)
         m.schema match {
           case Some(s) if fs.exists(dir) =>
             Some(spark.read
@@ -1166,21 +1179,30 @@ object ManifestLake {
               .withColumn(CommitVersionCol, lit(v)))
           case _ if skipUnresolved => None
           case _ => refuse(v, s"${m.op.map("a " + _).get} with no stamped change files " +
-            "(committed before change stamping existed, or its _cdf dir was vacuumed)")
+            "(stamping disabled via changeFeed=false, committed before change " +
+            "stamping existed, or its _cdf dir was vacuumed)")
         }
       } else if (skipUnresolved) None
       else refuse(v, m.op.map("a " + _).getOrElse("an untagged legacy commit"))
     }
-    val metaFields = Seq(StructField(ChangeTypeCol, StringType, nullable = false),
-      StructField(CommitVersionCol, LongType, nullable = false))
+    // one STABLE schema for every window: the metadata columns read
+    // back nullable from stamped parquet but non-null from lit()-built
+    // insert frames, so without normalization an append-only window, a
+    // mixed window, and an empty window would each declare different
+    // nullability — downstream schema checks would flap. Values are
+    // never null; the declared type is uniformly nullable.
+    val metaFields = Seq(StructField(ChangeTypeCol, StringType),
+      StructField(CommitVersionCol, LongType))
     frames.reduceOption(_.unionByName(_, allowMissingColumns = true)) match {
       case Some(df) =>
         // column order follows the head's recorded schema; versions
         // before a widening lack the new columns and carry typed nulls
+        val norm = metaFields.foldLeft(df)((d, f) =>
+          d.withColumn(f.name, when(lit(true), col(f.name))))
         head.schema match {
           case Some(s) =>
-            df.select((s.fieldNames.toSeq ++ metaFields.map(_.name)).map(col): _*)
-          case None => df
+            norm.select((s.fieldNames.toSeq ++ metaFields.map(_.name)).map(col): _*)
+          case None => norm
         }
       case None =>
         val s = StructType(head.schema.map(_.fields.toSeq).getOrElse(Seq.empty) ++ metaFields)
@@ -1464,11 +1486,28 @@ object ManifestLake {
     * must match the recorded table schema (all checked — same
     * loud-failure stance as Lake.upsert).
     *
+    * PARTITION-DISJOINT upserts may run CONCURRENTLY: an upsert that
+    * loses the version race re-reads the head and, when the winner(s)
+    * touched none of its affected partitions and the recorded shape is
+    * unchanged, re-publishes its staged merge at head+1 (bounded
+    * retries) — the common multi-stream ingest pattern where each
+    * stream owns its partitions. Any genuine overlap — a winner that
+    * added, rewrote, or removed files in an affected partition, or
+    * changed the recorded schema — stays a loud conflict with the
+    * stage withdrawn, because the staged merge would bake in
+    * superseded pre-images.
+    *
+    * `changeFeed = false` skips stamping the row-level change files
+    * (~the batch's row volume in extra write I/O) for tables nothing
+    * ever reads through [[readChangeFeed]]; the commit then refuses
+    * row-level feed reads across it, same as a pre-stamping commit.
+    *
     * Returns the published version.
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
              partitionCols: Seq[String], keyCols: Seq[String],
-             txn: Option[(String, Long)] = None): Long = {
+             txn: Option[(String, Long)] = None,
+             changeFeed: Boolean = true): Long = {
     require(partitionCols.nonEmpty,
       "manifest upsert needs a partitioned table (affected-partition " +
         "pruning keys on the partition columns); replace flat tables wholesale")
@@ -1481,7 +1520,7 @@ object ManifestLake {
     // caller's upstream plan
     updates.persist()
     try {
-      upsertPinned(spark, fs, root, path, updates, partitionCols, keyCols, txn)
+      upsertPinned(spark, fs, root, path, updates, partitionCols, keyCols, txn, changeFeed)
     } finally {
       updates.unpersist()
       ()
@@ -1491,7 +1530,8 @@ object ManifestLake {
   private def upsertPinned(spark: SparkSession, fs: FileSystem, root: Path,
                            path: String, updates: DataFrame,
                            partitionCols: Seq[String], keyCols: Seq[String],
-                           txn: Option[(String, Long)]): Long = {
+                           txn: Option[(String, Long)],
+                           changeFeed: Boolean): Long = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     val v = currentVersion(spark, path).getOrElse(0L)
     val manifest0 = if (v == 0L) None else Some(readManifest(fs, root, v))
@@ -1584,7 +1624,13 @@ object ManifestLake {
     }
 
     val newV = v + 1
-    val commitDir = new Path(root, f"$DataDir/v$newV%06d")
+    // unique staging dir (see writePinned): partition-disjoint upserts
+    // race optimistically, so two committers computing the same next
+    // version must never share a staging path — and the change files
+    // stamp INSIDE it (manifest-referenced via #cdf), so they can never
+    // collide either
+    val commitDir = new Path(root,
+      f"$DataDir/v$newV%06d-${java.util.UUID.randomUUID().toString.take(8)}")
     merged.repartition(partitionCols.map(col): _*)
       .sortWithinPartitions(keyCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
@@ -1628,30 +1674,78 @@ object ManifestLake {
     // stats — so nothing else ever observes the hidden dir mid-write;
     // the merge's Overwrite wipes any stale _cdf from an aborted
     // earlier attempt at this version before we get here.
-    val tableCols = tableSchema.fieldNames.map(col).toSeq
-    val updNorm = updates.select(tableCols: _*)
-    val changes = affected match {
-      case None =>
-        // no affected partition existed — every batch row is an insert
-        updNorm.withColumn(ChangeTypeCol, lit("insert"))
-      case Some(aff) =>
-        val keySeq = keyCols.toSeq
-        val updKeys = updates.select(keyCols.map(col): _*)
-        val pre = aff.select(tableCols: _*)
-          .join(broadcast(updKeys), keySeq, "left_semi")
-        val preKeys = pre.select(keyCols.map(col): _*)
-        pre.withColumn(ChangeTypeCol, lit("update_preimage"))
-          .unionByName(updNorm.join(broadcast(preKeys), keySeq, "left_semi")
-            .withColumn(ChangeTypeCol, lit("update_postimage")))
-          .unionByName(updNorm.join(broadcast(preKeys), keySeq, "left_anti")
-            .withColumn(ChangeTypeCol, lit("insert")))
+    val relCdf: Option[String] =
+      if (!changeFeed) None
+      else {
+        val tableCols = tableSchema.fieldNames.map(col).toSeq
+        val updNorm = updates.select(tableCols: _*)
+        val changes = affected match {
+          case None =>
+            // no affected partition existed — every batch row is an insert
+            updNorm.withColumn(ChangeTypeCol, lit("insert"))
+          case Some(aff) =>
+            val keySeq = keyCols.toSeq
+            val updKeys = updates.select(keyCols.map(col): _*)
+            val pre = aff.select(tableCols: _*)
+              .join(broadcast(updKeys), keySeq, "left_semi")
+            val preKeys = pre.select(keyCols.map(col): _*)
+            pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(updNorm.join(broadcast(preKeys), keySeq, "left_semi")
+                .withColumn(ChangeTypeCol, lit("update_postimage")))
+              .unionByName(updNorm.join(broadcast(preKeys), keySeq, "left_anti")
+                .withColumn(ChangeTypeCol, lit("insert")))
+        }
+        val cdfP = new Path(commitDir, CdfDir)
+        changes.repartition(partitionCols.map(col): _*)
+          .write.mode(SaveMode.Overwrite).parquet(cdfP.toString)
+        val rootQ = fs.makeQualified(root).toString
+        Some(fs.makeQualified(cdfP).toString.stripPrefix(rootQ).stripPrefix("/"))
+      }
+    // OPTIMISTIC PUBLISH for partition-disjoint racers: the staged
+    // merge (and its stamped pre-images) stays exact as long as the
+    // new head's affected partitions hold EXACTLY the files the merge
+    // read and the recorded shape is unchanged. Anything else — files
+    // added/rewritten/removed in an affected partition, a widened
+    // schema — invalidates the pre-images: loud conflict, stage
+    // withdrawn.
+    val inputPaths = affectedFiles.map(_.path).toSet
+    var attempt = 0
+    var curM = manifest
+    var curV = newV
+    while (true) {
+      try {
+        publish(fs, root, curV, curM.files.filterNot(f => inputPaths.contains(f.path))
+          ++ stagedWithStats,
+          Some(tableSchema), partitionCols,
+          curM.txns ++ txn.toMap, op = Some("upsert"), cdf = relCdf)
+        return curV
+      } catch {
+        case e: IllegalStateException if attempt < 5 =>
+          attempt += 1
+          val headV = currentVersion(spark, path).getOrElse(throw e)
+          val headM = readManifest(fs, root, headV)
+          // an at-least-once redelivery racing itself: the ledger wins
+          if (txn.exists { case (app, b) => headM.txns.get(app).exists(_ >= b) }) {
+            fs.delete(commitDir, true)
+            return headV
+          }
+          val headAffected = headM.files
+            .filter(f => affectedDirs.contains(partOf(f.path))).map(_.path).toSet
+          if (headAffected != inputPaths ||
+            headM.schema != manifest.schema || headM.partCols != partitionCols) {
+            fs.delete(commitDir, true)
+            throw new IllegalStateException(
+              s"upsert of $path lost its race to a commit that touched its " +
+                s"affected partitions (or changed the recorded shape) — the " +
+                "staged merge bakes in superseded pre-images and was " +
+                s"withdrawn; the table is intact at v$headV. Re-run the " +
+                "upsert against the new head.", e)
+          }
+          curM = headM
+          curV = headV + 1
+      }
     }
-    changes.repartition(partitionCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite).parquet(cdfDir(root, newV).toString)
-    publish(fs, root, newV, untouched ++ stagedWithStats,
-      Some(tableSchema), partitionCols,
-      manifest.txns ++ txn.toMap, op = Some("upsert"))
-    newV
+    curV // unreachable; the loop exits via return
   }
 
   /** Row-level DELETE under manifest commit: remove every live row
@@ -1675,13 +1769,15 @@ object ManifestLake {
     * The deleted rows are stamped as `_change_type = 'delete'` change
     * files under the commit's hidden `_cdf` dir, so [[readChangeFeed]]
     * serves exact row-level deltas across deletes just as it does for
-    * upserts. A no-match delete publishes NOTHING and returns the
+    * upserts (`changeFeed = false` skips the stamping, same opt-out as
+    * upsert). A no-match delete publishes NOTHING and returns the
     * current version (the table is already the result). Carries the
     * txn ledger; `txn` gives delete the same exactly-once replay guard
     * as append/upsert. Returns the (possibly unchanged) head version.
     */
   def delete(spark: SparkSession, path: String, predicate: Column,
-             txn: Option[(String, Long)] = None): Long = {
+             txn: Option[(String, Long)] = None,
+             changeFeed: Boolean = true): Long = {
     val (fs, root) = fsFor(spark, path)
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no manifested table at $path"))
@@ -1750,11 +1846,18 @@ object ManifestLake {
           val byRel = collectStats(spark, fs, root, commitDir, schema, statKeys, manifest.partCols)
           staged.map(f => withFileStats(f, byRel.get(f.path)))
         }
-      gone.withColumn(ChangeTypeCol, lit("delete"))
-        .write.mode(SaveMode.Overwrite).parquet(cdfDir(root, newV).toString)
+      val relCdf =
+        if (!changeFeed) None
+        else {
+          val cdfP = new Path(commitDir, CdfDir)
+          gone.withColumn(ChangeTypeCol, lit("delete"))
+            .write.mode(SaveMode.Overwrite).parquet(cdfP.toString)
+          val rootQ = fs.makeQualified(root).toString
+          Some(fs.makeQualified(cdfP).toString.stripPrefix(rootQ).stripPrefix("/"))
+        }
       publish(fs, root, newV, untouched ++ withStats,
         Some(schema), manifest.partCols,
-        manifest.txns ++ txn.toMap, op = Some("delete"))
+        manifest.txns ++ txn.toMap, op = Some("delete"), cdf = relCdf)
       newV
     } finally {
       src.unpersist()
@@ -1832,7 +1935,30 @@ object ManifestLake {
     val head = versions.last
     val cutoff = System.currentTimeMillis() - stagedGraceMs
     val keep = versions.takeRight(keepVersions)
-    val liveAcrossKept = keep.flatMap(readManifest(fs, root, _).files).map(_.path).toSet
+    // ALL still-published manifests (parse-cached), not just the kept
+    // ones: a file a manifest REFERENCES has provably published, so a
+    // superseded commit's files reap immediately even though its
+    // unique-suffixed staging dir is indistinguishable by NAME from a
+    // racing writer's in-flight stage — the age heuristic is only for
+    // files no manifest has ever named
+    val allManifests = versions.map(vv => vv -> readManifest(fs, root, vv))
+    val keptManifests = allManifests.takeRight(keepVersions)
+    val liveAcrossKept = keptManifests.flatMap(_._2.files).map(_.path).toSet
+    val referencedEver = allManifests.flatMap(_._2.files).map(_.path).toSet
+    // change-file dirs resolve per version: the manifest-referenced
+    // #cdf path, or (manifests predating the directive) the
+    // version-keyed legacy location — but only when the commit kind
+    // actually serves change files, so a stale _cdf left at a version
+    // later published as an append is reaped instead of billed until
+    // it ages out
+    def cdfRefOf(vv: Long, m: Manifest): Option[String] =
+      m.cdf.orElse {
+        if (m.op.exists(o => o == "upsert" || o == "delete"))
+          Some(f"$DataDir/v$vv%06d/$CdfDir")
+        else None
+      }
+    val keptCdfPrefixes = keptManifests.flatMap { case (kv, km) => cdfRefOf(kv, km) }.toSet
+    val cdfEver = allManifests.flatMap { case (vv, m) => cdfRefOf(vv, m) }.toSet
     val dataRoot = new Path(root, DataDir)
     val removed = Seq.newBuilder[String]
     if (fs.exists(dataRoot)) {
@@ -1857,18 +1983,22 @@ object ManifestLake {
         }
         // a PLAIN stage can only be in flight ABOVE the head (strict
         // writers stage at head+1); a SUFFIXED stage can be in flight
-        // at ANY version — an optimistic appender that just lost a race
+        // at ANY version — an optimistic writer that just lost a race
         // holds staged files at a version the winner now occupies, so
-        // age is the only sound discriminator for those
+        // age is the discriminator — but ONLY for files no manifest
+        // ever referenced: a referenced file (or a published commit's
+        // change file) has provably committed, so superseded means
+        // reapable now
+        val published = referencedEver.contains(rel) ||
+          cdfEver.exists(p => rel.startsWith(p + "/"))
         val young = f.getModificationTime >= cutoff
-        val inFlight = commitV.isDefined && young &&
+        val inFlight = !published && commitV.isDefined && young &&
           (suffixed || commitV.exists(_ > head))
-        // change files (data/v<N>/_cdf/…) are never in any manifest's
-        // live set, but they ARE part of a kept version's contract:
-        // readChangeFeed serves them for as long as the version itself
-        // is retained. Below the horizon they reap with the version.
-        val keptCdf = rel.split("/").lift(2).contains(CdfDir) &&
-          commitV.exists(keep.contains)
+        // change files are never in any manifest's live set, but they
+        // ARE part of a kept version's contract: readChangeFeed serves
+        // them for as long as the version itself is retained. Below
+        // the horizon they reap with the version.
+        val keptCdf = keptCdfPrefixes.exists(p => rel.startsWith(p + "/"))
         if (f.isFile && !liveAcrossKept.contains(rel) && !inFlight && !keptCdf)
           dead += f.getPath
       }
@@ -1880,14 +2010,19 @@ object ManifestLake {
       // version: the walk above removed their files, but a left-over
       // EMPTY _cdf dir would make readChangeFeed serve "zero changes"
       // instead of the typed vacuumed refusal — the dir itself must go.
-      // Same in-flight rule as plain stages: an upsert staging above
-      // the head inside the grace window is untouchable.
+      // Same in-flight rule as the file walk: a stage above the head
+      // (or unique-suffixed at any version) inside the grace window is
+      // untouchable.
       fs.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
-        val digits = d.getPath.getName.stripPrefix("v").takeWhile(_.isDigit)
+        val name = d.getPath.getName
+        val digits = name.stripPrefix("v").takeWhile(_.isDigit)
         val commitV = if (digits.isEmpty) None else digits.toLongOption
+        val suffixed = name.startsWith("v") && name.contains('-')
         val cdfP = new Path(d.getPath, CdfDir)
-        val inFlight = d.getModificationTime >= cutoff && commitV.exists(_ > head)
-        if (commitV.exists(!keep.contains(_)) && !inFlight && fs.exists(cdfP)) {
+        val relCdf = fs.makeQualified(cdfP).toString.stripPrefix(rootQ).stripPrefix("/")
+        val inFlight = !cdfEver.contains(relCdf) && d.getModificationTime >= cutoff &&
+          (suffixed || commitV.exists(_ > head))
+        if (!keptCdfPrefixes.contains(relCdf) && !inFlight && fs.exists(cdfP)) {
           removed += cdfP.toString
           fs.delete(cdfP, true): Unit
         }

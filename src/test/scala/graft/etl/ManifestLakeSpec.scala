@@ -903,7 +903,8 @@ class ManifestLakeSpec extends AnyFunSuite {
     // an upsert whose change files are GONE (stamped before the feature,
     // or vacuumed) is a typed refusal, skippable explicitly
     val (fs, root) = ManifestLake.fsFor(spark, dir)
-    fs.delete(new org.apache.hadoop.fs.Path(dir, "data/v000003/_cdf"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir,
+      ManifestLake.readManifest(fs, root, 3L).cdf.get), true)
     val eNoCdf = intercept[IllegalArgumentException] {
       ManifestLake.readChangeFeed(spark, dir, 2L, 3L)
     }
@@ -951,8 +952,11 @@ class ManifestLakeSpec extends AnyFunSuite {
     ManifestLake.upsert(spark, dir, upd, Seq("chrom"), Seq("chrom", "pos"))      // v2 (stamps _cdf)
     ManifestLake.write(spark, batch(10, 12), dir, Seq("chrom"), replace = false) // v3
     ManifestLake.write(spark, batch(12, 14), dir, Seq("chrom"), replace = false) // v4
-    val (fs, _) = ManifestLake.fsFor(spark, dir)
-    val cdf2 = new org.apache.hadoop.fs.Path(dir, "data/v000002/_cdf")
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    // the upsert stamped its change files inside its own staging dir
+    // and the manifest names them — resolve the recorded path
+    val cdf2 = new org.apache.hadoop.fs.Path(dir,
+      ManifestLake.readManifest(fs, root, 2L).cdf.get)
     // a vacuum KEEPING v2 keeps its change files (they are in no
     // manifest's live set — the rule must be explicit, not accidental)
     ManifestLake.vacuum(spark, dir, keepVersions = 3)
@@ -1273,6 +1277,134 @@ class ManifestLakeSpec extends AnyFunSuite {
       assert(ManifestLake.read(spark, dir)
         .where(col("chrom") === "chr1" && col("pos") === 0L).count() === 1)
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("partition-disjoint concurrent upserts both land; overlapping upserts conflict loudly") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir("mlake-cupsert")
+    val base = (0 until 100).map(i => (s"chr${i % 2 + 1}", i.toLong, s"old$i"))
+      .toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, base, dir, Seq("chrom"))
+    // the multi-stream ingest shape: each racer owns its partition
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val racers = Seq("chr1", "chr2").map { ch =>
+      Future {
+        gate.await()
+        // rewrite a key that EXISTS in this racer's partition (chr1
+        // holds even positions, chr2 odd) plus one brand-new key
+        val exist = if (ch == "chr1") 0L else 1L
+        val upd = Seq((ch, exist, s"NEW-$ch"), (ch, 5000L, s"ADD-$ch"))
+          .toDF("chrom", "pos", "payload")
+        ManifestLake.upsert(spark, dir, upd, Seq("chrom"), Seq("chrom", "pos"),
+          txn = Some((s"stream-$ch", 1L)))
+      }
+    }
+    gate.countDown()
+    val landed = racers.map(Await.result(_, 5.minutes))
+    assert(landed.toSet === Set(2L, 3L), s"both disjoint upserts must land: $landed")
+    val got = ManifestLake.read(spark, dir)
+    assert(got.count() === 102)
+    assert(got.where(col("payload").startsWith("NEW-")).count() === 2)
+    assert(got.where(col("payload").startsWith("ADD-")).count() === 2)
+    // key-uniqueness survived the race
+    assert(got.select("chrom", "pos").distinct().count() === 102)
+    // the ledger carries BOTH writers' watermarks through the retry
+    assert(ManifestLake.lastCommitted(spark, dir, "stream-chr1") === Some(1L))
+    assert(ManifestLake.lastCommitted(spark, dir, "stream-chr2") === Some(1L))
+    // the row-level feed serves both commits' exact deltas
+    val feed = ManifestLake.readChangeFeed(spark, dir, 1L, 3L)
+    assert(feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("update_preimage" -> 2L, "update_postimage" -> 2L, "insert" -> 2L))
+
+    // OVERLAPPING upserts started from the same head: exactly one lands
+    // per race round — the loser refuses loudly (superseded pre-images)
+    val gate2 = new java.util.concurrent.CountDownLatch(1)
+    val clash = (1 to 2).map { i =>
+      Future {
+        gate2.await()
+        scala.util.Try(ManifestLake.upsert(spark, dir,
+          Seq(("chr1", 0L, s"CLASH-$i")).toDF("chrom", "pos", "payload"),
+          Seq("chrom"), Seq("chrom", "pos")))
+      }
+    }
+    gate2.countDown()
+    val outcomes = clash.map(Await.result(_, 5.minutes))
+    // both reading the same head → one wins, one conflicts; if the OS
+    // serialized them, both legally land — either way: no corruption
+    assert(outcomes.count(_.isSuccess) >= 1)
+    outcomes.filter(_.isFailure).foreach { f =>
+      val e = f.failed.get
+      assert(e.isInstanceOf[IllegalStateException], s"unexpected: $e")
+      assert(e.getMessage.contains("affected partitions"))
+    }
+    val after = ManifestLake.read(spark, dir)
+    assert(after.count() === 102)
+    assert(after.select("chrom", "pos").distinct().count() === 102)
+    assert(after.where(col("chrom") === "chr1" && col("pos") === 0L)
+      .head().getString(2).startsWith("CLASH-"))
+  }
+
+  test("changeFeed=false skips stamping: no change files written, feed refuses typed, skipUnresolved skips") {
+    import spark.implicits._
+    val dir = freshDir("mlake-nocdf")
+    val base = (0 until 20).map(i => ("chr1", i.toLong, s"old$i")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, base, dir, Seq("chrom"))
+    val upd = Seq(("chr1", 0L, "NEW")).toDF("chrom", "pos", "payload")
+    assert(ManifestLake.upsert(spark, dir, upd, Seq("chrom"), Seq("chrom", "pos"),
+      changeFeed = false) === 2L)
+    assert(ManifestLake.delete(spark, dir, col("pos") === 1L, changeFeed = false) === 3L)
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    assert(ManifestLake.readManifest(fs, root, 2L).cdf.isEmpty)
+    assert(ManifestLake.readManifest(fs, root, 3L).cdf.isEmpty)
+    // nothing stamped anywhere on disk
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    while (it.hasNext) {
+      val p = it.next().getPath.toString
+      assert(!p.contains("_cdf"), s"no change files may exist: $p")
+    }
+    // the merge itself is intact
+    assert(ManifestLake.read(spark, dir).count() === 19)
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.readChangeFeed(spark, dir, 1L, 3L)
+    }
+    assert(e.getMessage.contains("change files"))
+    assert(ManifestLake.readChangeFeed(spark, dir, 1L, 3L, skipUnresolved = true).count() === 0)
+  }
+
+  test("vacuum reaps a stale _cdf parked at an append version, and a superseded upsert's change files reap with it") {
+    import spark.implicits._
+    val dir = freshDir("mlake-stale-cdf")
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => ("chr1", i.toLong, s"p$i")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, batch(0, 10), dir, Seq("chrom"))                   // v1
+    ManifestLake.write(spark, batch(10, 12), dir, Seq("chrom"), replace = false) // v2 append
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    // a lost-race upsert aborted AFTER stamping: stale junk under the
+    // legacy location of v2 — an APPEND version serves no change files,
+    // so it must reap even though v2 itself is kept
+    val stale = new org.apache.hadoop.fs.Path(dir, "data/v000002/_cdf")
+    Seq(("chr1", 99L, "ghost", "insert"))
+      .toDF("chrom", "pos", "payload", "_change_type")
+      .write.parquet(stale.toString)
+    ManifestLake.vacuum(spark, dir, keepVersions = 5)
+    assert(!fs.exists(stale), "append versions never serve change files — stale _cdf must reap")
+    assert(ManifestLake.read(spark, dir).count() === 12)
+    // a real upsert's change files survive while kept, reap when below
+    // the horizon — through the manifest-referenced path
+    ManifestLake.upsert(spark, dir, Seq(("chr1", 0L, "NEW")).toDF("chrom", "pos", "payload"),
+      Seq("chrom"), Seq("chrom", "pos"))                                         // v3
+    ManifestLake.write(spark, batch(12, 13), dir, Seq("chrom"), replace = false) // v4
+    ManifestLake.write(spark, batch(13, 14), dir, Seq("chrom"), replace = false) // v5
+    val cdf3 = new org.apache.hadoop.fs.Path(dir,
+      ManifestLake.readManifest(fs, root, 3L).cdf.get)
+    ManifestLake.vacuum(spark, dir, keepVersions = 3)
+    assert(fs.exists(cdf3), "kept upsert's change files must survive")
+    ManifestLake.vacuum(spark, dir, keepVersions = 2)
+    assert(!fs.exists(cdf3), "below the horizon the change files reap with their version")
   }
 
   test("a stats-less append runs exactly ONE Spark job: input count observed on the write, staged count from footers") {
