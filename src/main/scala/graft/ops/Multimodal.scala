@@ -35,9 +35,17 @@ object Multimodal {
 
   /** Pure-JVM image decode. None ⇒ not an ImageIO-readable image —
     * callers fall back to the stub path.
+    *
+    * The stream is wrapped in a MemoryCacheImageInputStream EXPLICITLY:
+    * `ImageIO.read(InputStream)` defaults to a DISK-backed cache — a
+    * temp file created and deleted per payload, which at
+    * thousands-of-rows-per-partition turns the decode probe into
+    * filesystem churn. The bytes are already in memory; cache there.
     */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    try Option(javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))))
     catch { case _: Exception => None }
 
   /** Pixel-derived feature vector: a `dim`-bin luminance histogram
@@ -364,7 +372,10 @@ object Multimodal {
   private def imageIoFrames(bytes: Array[Byte], pick: Int => IndexedSeq[Int])
       : Option[IndexedSeq[(Int, java.awt.image.BufferedImage)]] =
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // memory-backed stream, NOT ImageIO.createImageInputStream: the
+      // registry default is a disk-cached stream (temp file per
+      // payload) — see decodeImage
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
