@@ -190,25 +190,54 @@ private[etl] final class ManifestFileIndex(
         }
       }
       loOk && ord.compare(hi, p) >= 0
+    } && valueSet(f, name).forall { case (vs, _) =>
+      // complete value set: some member must actually carry the prefix
+      vs.exists { case s: UTF8String => s.startsWith(p); case _ => true }
     }
 
-  /** col = v could hold iff lo <= v <= hi. */
+  /** The file's recorded DISTINCT values for `name`, typed, with the
+    * column's ordering — present only when the write proved the set
+    * complete (≤ cap values, all short; see ManifestLake.SetCap). An
+    * empty set is meaningful: the column is all-null in this file.
+    */
+  private def valueSet(f: ManifestLake.LiveFile,
+                       name: String): Option[(Seq[Any], Ordering[Any])] =
+    for {
+      vs <- f.valueSets.get(name)
+      field <- dataSchema.fields.find(_.name == name)
+      typed = vs.map(castString(_, field.dataType))
+      // a member that fails to re-type would leave the set INCOMPLETE —
+      // an incomplete set can prove nothing; treat as unknown (keep)
+      if !typed.contains(null)
+    } yield (typed,
+      TypeUtils.getInterpretedOrdering(field.dataType).asInstanceOf[Ordering[Any]])
+
+  /** col = v could hold iff lo <= v <= hi — and, when the file carries
+    * a complete value set, iff v is actually IN it (the categorical
+    * kill shot: a wide [min, max] over a handful of enum values skips
+    * nothing, the membership test skips everything else).
+    */
   private def eqMight(f: ManifestLake.LiveFile, name: String, v0: Any): Boolean = {
     val v = normZero(v0)
-    v == null || bounds(f, name).forall { case (lo, hi, ord) =>
+    v == null || (bounds(f, name).forall { case (lo, hi, ord) =>
       ord.compare(v, lo) >= 0 && ord.compare(v, hi) <= 0
-    }
+    } && valueSet(f, name).forall { case (vs, ord) =>
+      vs.exists(m => ord.compare(m, v) == 0)
+    })
   }
 
-  /** col != v could hold unless EVERY value is v (lo = hi = v). A file
-    * can still hold nulls unseen by min/max, but null rows don't
-    * satisfy != either, so the skip stays sound.
+  /** col != v could hold unless EVERY value is v (lo = hi = v, or the
+    * recorded value set is exactly {v} — including the all-null file,
+    * whose set is {}: no non-null value can satisfy !=). Nulls unseen
+    * by min/max don't satisfy != either, so the skip stays sound.
     */
   private def neqMight(f: ManifestLake.LiveFile, name: String, v0: Any): Boolean = {
     val v = normZero(v0)
-    v == null || bounds(f, name).forall { case (lo, hi, ord) =>
+    v == null || (bounds(f, name).forall { case (lo, hi, ord) =>
       !(ord.compare(lo, v) == 0 && ord.compare(hi, v) == 0)
-    }
+    } && valueSet(f, name).forall { case (vs, ord) =>
+      vs.exists(m => ord.compare(m, v) != 0)
+    })
   }
 
   /** hiAbove: predicate needs some value above `v` (col > v) — test the

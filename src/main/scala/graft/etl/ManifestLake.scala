@@ -182,7 +182,8 @@ object ManifestLake {
   final case class LiveFile(bytes: Long, path: String,
                             stats: Map[String, (String, String)] = Map.empty,
                             rows: Option[Long] = None,
-                            nullCounts: Map[String, Long] = Map.empty)
+                            nullCounts: Map[String, Long] = Map.empty,
+                            valueSets: Map[String, Seq[String]] = Map.empty)
 
   /** A parsed manifest: the table shape, the live file set, and the
     * per-writer transaction watermarks (`txns`: appId → highest
@@ -236,7 +237,10 @@ object ManifestLake {
     64L + m.files.foldLeft(0L) { (acc, f) =>
       acc + 64L + 2L * f.path.length + f.stats.foldLeft(0L) {
         case (a, (c, (lo, hi))) => a + 96L + 2L * (c.length + lo.length + hi.length)
-      } + f.nullCounts.foldLeft(0L) { case (a, (c, _)) => a + 64L + 2L * c.length }
+      } + f.nullCounts.foldLeft(0L) { case (a, (c, _)) => a + 64L + 2L * c.length } +
+        f.valueSets.foldLeft(0L) { case (a, (c, vs)) =>
+          a + 96L + 2L * c.length + vs.foldLeft(0L)((b, v) => b + 48L + 2L * v.length)
+        }
     }
 
   /** Parse version `v`'s manifest. Lines starting with `#` are
@@ -300,8 +304,8 @@ object ManifestLake {
       line.split("\t", 3) match {
         case Array(b, p) => LiveFile(b.toLong, p)
         case Array(b, p, statsJson) =>
-          val (bounds, rows, nulls) = parseStats(statsJson)
-          LiveFile(b.toLong, p, bounds, rows, nulls)
+          val (bounds, rows, nulls, sets) = parseStats(statsJson)
+          LiveFile(b.toLong, p, bounds, rows, nulls, sets)
       }
     }
     Manifest(schema, partCols, files, txns, op, cdf)
@@ -313,7 +317,8 @@ object ManifestLake {
     * unknown shapes via the collect, and this reader treats their
     * absence as unknown — both directions stay compatible.
     */
-  private def parseStats(json: String): (Map[String, (String, String)], Option[Long], Map[String, Long]) = {
+  private def parseStats(json: String): (Map[String, (String, String)], Option[Long],
+      Map[String, Long], Map[String, Seq[String]]) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     JsonMethods.parse(json) match {
@@ -325,14 +330,20 @@ object ManifestLake {
         val nulls = fields.collectFirst { case ("#nulls", JObject(ns)) =>
           ns.collect { case (c, JInt(n)) => c -> n.toLong }.toMap
         }.getOrElse(Map.empty[String, Long])
-        (bounds, rows, nulls)
-      case _ => (Map.empty, None, Map.empty)
+        val sets = fields.collectFirst { case ("#sets", JObject(ss)) =>
+          ss.collect { case (c, JArray(vs)) =>
+            c -> vs.collect { case JString(s) => s }
+          }.toMap
+        }.getOrElse(Map.empty[String, Seq[String]])
+        (bounds, rows, nulls, sets)
+      case _ => (Map.empty, None, Map.empty, Map.empty)
     }
   }
 
   private def renderStats(stats: Map[String, (String, String)],
                           rows: Option[Long],
-                          nullCounts: Map[String, Long]): String = {
+                          nullCounts: Map[String, Long],
+                          valueSets: Map[String, Seq[String]]): String = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     JsonMethods.compact(JObject(
@@ -344,6 +355,11 @@ object ManifestLake {
          else List("#nulls" -> (JObject(
            nullCounts.toSeq.sortBy(_._1).map { case (c, n) =>
              c -> (JInt(n): JValue)
+           }.toList): JValue))) ++
+        (if (valueSets.isEmpty) Nil
+         else List("#sets" -> (JObject(
+           valueSets.toSeq.sortBy(_._1).map { case (c, vs) =>
+             c -> (JArray(vs.map(JString(_): JValue).toList): JValue)
            }.toList): JValue)))))
   }
 
@@ -436,9 +452,9 @@ object ManifestLake {
       cdf.map(c => s"#cdf\t$c").toSeq ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
     val body = header ++ files.sortBy(_.path).map { f =>
-      if (f.stats.isEmpty && f.rows.isEmpty && f.nullCounts.isEmpty)
+      if (f.stats.isEmpty && f.rows.isEmpty && f.nullCounts.isEmpty && f.valueSets.isEmpty)
         s"${f.bytes}\t${f.path}"
-      else s"${f.bytes}\t${f.path}\t${renderStats(f.stats, f.rows, f.nullCounts)}"
+      else s"${f.bytes}\t${f.path}\t${renderStats(f.stats, f.rows, f.nullCounts, f.valueSets)}"
     }
     val out = new java.util.zip.GZIPOutputStream(fs.create(tmp, true))
     try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -522,7 +538,7 @@ object ManifestLake {
   private def withFileStats(f: LiveFile, s: Option[FileStats]): LiveFile =
     s match {
       case Some(st) => f.copy(stats = st.bounds, rows = Some(st.rows),
-        nullCounts = st.nullCounts)
+        nullCounts = st.nullCounts, valueSets = st.sets)
       case None => f
     }
 
@@ -652,7 +668,22 @@ object ManifestLake {
     */
   private final case class FileStats(bounds: Map[String, (String, String)],
                                      rows: Long,
-                                     nullCounts: Map[String, Long])
+                                     nullCounts: Map[String, Long],
+                                     sets: Map[String, Seq[String]])
+
+  /** Value-set stats bounds: a file's DISTINCT values for a tracked
+    * column are recorded only when there are at most [[SetCap]] of them
+    * and every one renders at most [[MaxSetValueLen]] characters — the
+    * categorical shape (status codes, source tags, enum-ish columns)
+    * where min/max bounds are wide but membership is tiny. Both caps
+    * are soundness caps, not tuning: an overflowing or long-valued
+    * column records NO set (unknown = never skip), and the bounded
+    * aggregation ([[graft.functions.BoundedSortedSetAgg]]) keeps
+    * executor state at `SetCap + 1` entries even while a high-cardinality
+    * column is being measured.
+    */
+  private val SetCap = 24
+  private val MaxSetValueLen = 64
 
   /** Per-file [min, max] + row count + null counts of `statsCols` over
     * a freshly staged commit dir, keyed by root-relative path — one
@@ -684,12 +715,23 @@ object ManifestLake {
       case _: NumericType | StringType | DateType | BooleanType => true
       case _ => false
     })
+    // value sets exclude float/double: their string forms carry ±0.0 /
+    // shortest-repr hazards that equality-on-render cannot survive;
+    // bounds (with read-side zero normalization) cover them instead
+    val setEligible = eligible.filter(c => schema(c).dataType match {
+      case FloatType | DoubleType => false
+      case _ => true
+    })
     if (requested.isEmpty) return Map.empty
+    val setAgg = udaf(graft.functions.BoundedSortedSetAgg(SetCap + 1))
     val aggs = eligible.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__lo_$c"),
       max(col(c)).cast("string").as(s"__hi_$c"))) ++
       Seq(count(lit(1)).as("__rows")) ++
-      requested.map(c => count(col(c)).as(s"__nn_$c"))
+      requested.map(c => count(col(c)).as(s"__nn_$c")) ++
+      setEligible.flatMap(c => Seq(
+        setAgg(col(c).cast("string")).as(s"__set_$c"),
+        max(length(col(c).cast("string"))).as(s"__len_$c")))
     val rows = spark.read.parquet(commitDir.toString)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -726,7 +768,18 @@ object ManifestLake {
         }.toMap
         val nRows = r.getAs[Long]("__rows")
         val nulls = requested.map(c => c -> (nRows - r.getAs[Long](s"__nn_$c"))).toMap
-        Some(abs.substring(i + 1) -> FileStats(bounds, nRows, nulls))
+        val sets = setEligible.flatMap { c =>
+          val arr = r.getAs[scala.collection.Seq[String]](s"__set_$c")
+          val lenMax = r.getAs[Any](s"__len_$c")
+          val short = lenMax == null ||
+            lenMax.asInstanceOf[Number].intValue() <= MaxSetValueLen
+          // an all-null file records the EMPTY set — complete and
+          // skip-bearing (equality never matches a value that is not
+          // there); an overflowing or long-valued column records none
+          if (arr != null && arr.size <= SetCap && short) Some(c -> arr.toSeq)
+          else None
+        }.toMap
+        Some(abs.substring(i + 1) -> FileStats(bounds, nRows, nulls, sets))
       }
     }.toMap
   }
@@ -1423,7 +1476,8 @@ object ManifestLake {
     // so compaction never silently degrades file skipping
     val staged = stagedFiles(fs, root, commitDir)
     val statKeys =
-      (live.flatMap(_.stats.keys) ++ live.flatMap(_.nullCounts.keys)).distinct
+      (live.flatMap(_.stats.keys) ++ live.flatMap(_.nullCounts.keys) ++
+        live.flatMap(_.valueSets.keys)).distinct
     val withStats = manifest.schema match {
       case Some(sch) if statKeys.nonEmpty =>
         val byRel = collectStats(spark, fs, root, commitDir, sch, statKeys, manifest.partCols)
@@ -1655,7 +1709,8 @@ object ManifestLake {
     // manifest tracks — same stats-are-maintained stance as compact
     val staged = stagedFiles(fs, root, commitDir)
     val statKeys =
-      (live.flatMap(_.stats.keys) ++ live.flatMap(_.nullCounts.keys)).distinct
+      (live.flatMap(_.stats.keys) ++ live.flatMap(_.nullCounts.keys) ++
+        live.flatMap(_.valueSets.keys)).distinct
     val stagedWithStats =
       if (statKeys.isEmpty) staged
       else {
@@ -1839,7 +1894,9 @@ object ManifestLake {
             s"rewritten files, $rowsOut kept + $rowsGone deleted — table still at v$v")
       }
       val statKeys =
-        (manifest.files.flatMap(_.stats.keys) ++ manifest.files.flatMap(_.nullCounts.keys)).distinct
+        (manifest.files.flatMap(_.stats.keys) ++
+          manifest.files.flatMap(_.nullCounts.keys) ++
+          manifest.files.flatMap(_.valueSets.keys)).distinct
       val withStats =
         if (statKeys.isEmpty || staged.isEmpty) staged
         else {

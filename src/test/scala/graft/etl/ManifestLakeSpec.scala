@@ -435,6 +435,74 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(filesNoStats === total2.toLong)
   }
 
+  test("value-set skipping: equality and IN on a categorical column prune files bounds cannot") {
+    import spark.implicits._
+    val dir = freshDir("mlake-setskip")
+    // `src` is categorical: 'code' only in pos [100, 150); everywhere
+    // else the file holds BOTH 'book' and 'web' — so its [min, max]
+    // bounds straddle 'code' alphabetically and bounds alone keep every
+    // file. The membership test is what skips. `payload` is unique per
+    // row (set overflows, none recorded); `blob` is low-cardinality but
+    // long-valued (length guard refuses); `tail` is all-null in the
+    // high-pos files (empty set, skip-bearing for equality).
+    val df = (0 until 300).map(i => (s"chr${i % 2 + 1}", i.toLong)).toDF("chrom", "pos")
+      .withColumn("src",
+        when(col("pos").between(100, 149), lit("code"))
+          .otherwise(when(pmod(col("pos"), lit(2)) === 0, lit("book")).otherwise(lit("web"))))
+      .withColumn("payload", concat(lit("p"), col("pos")))
+      .withColumn("blob", concat(lit("x" * 100), pmod(col("pos"), lit(3)).cast("string")))
+      .withColumn("tail", when(col("pos") < 250, col("pos") * 3))
+    ManifestLake.write(spark,
+      df.repartitionByRange(6, col("pos")).sortWithinPartitions(col("pos")),
+      dir, Seq("chrom"), statsCols = Seq("src", "payload", "blob", "tail", "pos"))
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m = ManifestLake.readManifest(fs, root, 1L)
+    assert(m.files.forall(_.valueSets.contains("src")),
+      "categorical column must record value sets on every file")
+    assert(m.files.forall(f => !f.valueSets.contains("payload")),
+      "a high-cardinality column must record NO set (overflow)")
+    assert(m.files.forall(f => !f.valueSets.contains("blob")),
+      "long values must record NO set (length guard)")
+    assert(m.files.exists(f => f.valueSets.get("tail").exists(_.isEmpty)),
+      "an all-null file records the EMPTY set")
+    def filesRead(filtered: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val n = filtered.collect().length.toLong
+      val scan = filtered.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      (n, scan.metrics("numFiles").value)
+    }
+    val total = m.files.length
+    val withCode = m.files.count(_.valueSets("src").contains("code"))
+    assert(withCode < total, "fixture must have code-free files")
+    // equality: only the files whose set holds 'code' plan
+    val (nEq, fEq) = filesRead(ManifestLake.read(spark, dir).where(col("src") === "code"))
+    assert(nEq === 50)
+    assert(fEq <= withCode, s"set membership must prune: read $fEq, only $withCode hold 'code'")
+    // IN: union of member files
+    val (nIn, fIn) = filesRead(
+      ManifestLake.read(spark, dir).where(col("src").isin("code", "nothing")))
+    assert(nIn === 50 && fIn <= withCode)
+    // prefix: no member starts with 'co' outside the code files
+    val (nPre, fPre) = filesRead(
+      ManifestLake.read(spark, dir).where(col("src").startsWith("co")))
+    assert(nPre === 50 && fPre <= withCode)
+    // equality on the all-null column skips the empty-set files
+    val (nTail, fTail) = filesRead(ManifestLake.read(spark, dir).where(col("tail") === 30))
+    assert(nTail === 1 && fTail < total)
+    // != against an all-null file: the empty set proves no match
+    val allNullTail = m.files.count(f => f.valueSets.get("tail").exists(_.isEmpty))
+    val (nNeq, fNeq) = filesRead(ManifestLake.read(spark, dir).where(col("tail") =!= -1))
+    assert(nNeq === 250 && fNeq <= total - allNullTail)
+    // compaction maintains the sets on rewritten files
+    ManifestLake.compact(spark, dir, targetBytes = Long.MaxValue)
+    val m2 = ManifestLake.readManifest(fs, root, 2L)
+    assert(m2.files.forall(_.valueSets.contains("src")),
+      "compaction must re-collect value sets")
+    val (nEq2, _) = filesRead(ManifestLake.read(spark, dir).where(col("src") === "code"))
+    assert(nEq2 === 50)
+  }
+
   test("null-count skipping: IS NULL / IS NOT NULL prune files from manifest null counts") {
     import spark.implicits._
     val dir = freshDir("mlake-nullskip")
