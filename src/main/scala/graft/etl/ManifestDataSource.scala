@@ -23,7 +23,11 @@ import org.apache.spark.sql.types.StructType
   *     .option("statsCols", "doc_id").mode("append").save(path)
   * }}}
   *
-  * Read options: `versionAsOf` (time travel; default = head version).
+  * Read options: `versionAsOf` (time travel; default = head version)
+  * or `timestampAsOf` (epoch millis / ISO-8601 instant / session
+  * `yyyy-MM-dd HH:mm:ss` — resolves the latest version whose manifest
+  * was published at or before the instant; mutually exclusive with
+  * `versionAsOf`).
   * Write options: `statsCols` (comma-separated columns to collect
   * file-level [min,max] skipping stats for), `txnAppId` + `txnBatchId`
   * (the exactly-once ledger — a replayed (appId, batchId) at or below
@@ -65,11 +69,33 @@ final class ManifestDataSource extends DataSourceRegister
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
-    val version = parameters.get("versionAsOf").map { s =>
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val byVersion = parameters.get("versionAsOf").map { s =>
       s.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"versionAsOf must be a version number, got '$s'"))
     }
-    ManifestLake.relation(sqlContext.sparkSession, pathOf(parameters), version)
+    // timestampAsOf accepts epoch millis, an ISO-8601 instant, or the
+    // session-zone `yyyy-MM-dd HH:mm:ss[.fff]` form SQL users write
+    val byTs = parameters.get("timestampAsOf").map { s =>
+      val millis =
+        if (s.forall(_.isDigit)) s.toLong
+        else try java.time.Instant.parse(s).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            try java.sql.Timestamp.valueOf(s).getTime
+            catch {
+              case _: IllegalArgumentException =>
+                throw new IllegalArgumentException(
+                  s"timestampAsOf must be epoch millis, an ISO-8601 instant, " +
+                    s"or 'yyyy-MM-dd HH:mm:ss', got '$s'")
+            }
+        }
+      ManifestLake.versionAtTimestamp(spark, path, millis)
+    }
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    ManifestLake.relation(spark, path, byVersion.orElse(byTs))
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,

@@ -1074,6 +1074,36 @@ object ManifestLake {
       }
   }
 
+  /** The latest version published at or before `tsMillis`, where a
+    * version's publish instant is its manifest file's modification
+    * time — the rename/link that commits it stamps the clock, the same
+    * commit-file-mtime definition Delta resolves timestamps by. Typed
+    * error when nothing retained is that old (the table is younger, or
+    * vacuum reaped past it) — naming the earliest retained instant so
+    * the caller can re-aim.
+    */
+  def versionAtTimestamp(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val vs = listVersions(fs, root)
+    if (vs.isEmpty)
+      throw new IllegalArgumentException(s"no manifested table at $path")
+    val stamped = vs.map { v =>
+      v -> fs.getFileStatus(existingManifestPath(fs, root, v).get).getModificationTime
+    }
+    stamped.filter(_._2 <= tsMillis).map(_._1).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no version of $path existed at ${java.time.Instant.ofEpochMilli(tsMillis)} — " +
+          s"earliest retained version v${stamped.head._1} was published at " +
+          s"${java.time.Instant.ofEpochMilli(stamped.head._2)} (older versions may " +
+          "have been vacuumed)"))
+  }
+
+  /** Time travel by wall clock: [[readVersion]] at
+    * [[versionAtTimestamp]]'s resolution.
+    */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    readVersion(spark, path, versionAtTimestamp(spark, path, tsMillis))
+
   /** Read a specific published version (time travel / in-flight scans).
     * An empty version returns an empty frame WITH the recorded table
     * schema — callers can select/filter/aggregate the table's columns

@@ -843,5 +843,38 @@ object EtlGate {
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
              |FROM feed GROUP BY change_type, commit_version, lang
-             |ORDER BY commit_version, change_type, lang""".stripMargin)))
+             |ORDER BY commit_version, change_type, lang""".stripMargin)),
+
+    // CATEGORICAL FILE SKIPPING under the oracle: the write clusters by
+    // `source` (20 distinct values — under the value-set cap) so each
+    // staged file records a complete membership set, then the read
+    // combines the three recognized set shapes — IN, equality-via-OR,
+    // and LIKE-prefix — and must still hash-match DuckDB filtering the
+    // source table directly. Stats are a cost optimization, never a
+    // filter: this gate is what proves it (the strictly-fewer-files
+    // skip effect itself is pinned by the ManifestLakeSpec plan check).
+    Q(
+      "q101_categorical_skip",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-catskip") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+        ManifestLake.write(s, docs.repartitionByRange(8, col("source")), out,
+          Seq("lang"), statsCols = Seq("source", "doc_id"))
+        ManifestLake.read(s, out)
+          .where(col("source").isin("src3", "src7") || col("source").startsWith("src1"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM documents
+             |WHERE source IN ('src3', 'src7') OR source LIKE 'src1%'
+             |GROUP BY lang ORDER BY lang""".stripMargin)))
 }

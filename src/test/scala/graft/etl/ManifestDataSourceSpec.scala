@@ -68,6 +68,41 @@ class ManifestDataSourceSpec extends AnyFunSuite {
     assert(none.getMessage.contains("no manifest table"))
   }
 
+  test("timestampAsOf time travel resolves by publish instant; too-early instants are typed errors") {
+    import spark.implicits._
+    val dir = freshDir("mds-tsasof")
+    Seq(("a", 1L)).toDF("part", "v").write.format("graft-manifest")
+      .partitionBy("part").mode("overwrite").save(dir)
+    Thread.sleep(60) // local-fs mtime granularity
+    val betweenCommits = System.currentTimeMillis()
+    Thread.sleep(60)
+    Seq(("a", 2L)).toDF("part", "v").write.format("graft-manifest")
+      .mode("append").save(dir)
+    // epoch-millis form: between the commits resolves v1
+    assert(fmt.option("timestampAsOf", betweenCommits.toString).load(dir)
+      .select("v").as[Long].collect().toSeq === Seq(1L))
+    // now resolves the head (ISO instant form)
+    assert(fmt.option("timestampAsOf",
+      java.time.Instant.now().toString).load(dir).count() === 2)
+    // the Scala API agrees
+    assert(ManifestLake.readAsOf(spark, dir, betweenCommits)
+      .select("v").as[Long].collect().toSeq === Seq(1L))
+    assert(ManifestLake.versionAtTimestamp(spark, dir, System.currentTimeMillis()) === 2L)
+    // an instant before the table existed is a typed error
+    val e = intercept[IllegalArgumentException] {
+      fmt.option("timestampAsOf", "2000-01-01T00:00:00Z").load(dir)
+    }
+    assert(e.getMessage.contains("no version") && e.getMessage.contains("earliest retained"))
+    // garbage is typed, and the two as-of options are exclusive
+    intercept[IllegalArgumentException] {
+      fmt.option("timestampAsOf", "not-a-time").load(dir)
+    }
+    intercept[IllegalArgumentException] {
+      fmt.option("timestampAsOf", betweenCommits.toString)
+        .option("versionAsOf", "1").load(dir)
+    }
+  }
+
   test("pure SQL: CREATE TEMPORARY VIEW … USING graft-manifest reads the table, with time travel") {
     import spark.implicits._
     val dir = freshDir("mds-sql")
