@@ -160,10 +160,23 @@ final class ManifestDataSource extends DataSourceRegister
   // contract; at least one file always flows per trigger). Offsets are
   // (version, fileOrdinal) composites riding the commit log; see
   // [[graft.streaming.ManifestStreamSource]].
+  //
+  // `readChangeFeed = true` streams the ROW-LEVEL CHANGE FEED instead
+  // of added files: table columns + _change_type/_commit_version per
+  // commit, upserts/deletes served as exact stamped change rows —
+  // requires an explicit `startingVersion`; `maxVersionsPerTrigger`
+  // bounds each window; `ignoreNonAppend` maps to the batch feed's
+  // skipUnresolved. See [[graft.streaming.ManifestChangeFeedSource]].
+
+  private def isChangeFeedStream(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
 
   /** The stream's schema: the RECORDED head schema at stream start (the
     * table must exist — an empty stream over a nonexistent table has no
-    * schema to declare, same stance as Delta).
+    * schema to declare, same stance as Delta). Under
+    * `readChangeFeed = true` the feed's `_change_type` /
+    * `_commit_version` metadata columns are appended, nullabilities
+    * matching the batch feed.
     */
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
@@ -176,7 +189,15 @@ final class ManifestDataSource extends DataSourceRegister
     ManifestLake.currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"cannot stream from $path: no manifest table exists there yet"))
-    (shortName(), ManifestLake.read(spark, path).schema)
+    val table = ManifestLake.read(spark, path).schema
+    val out =
+      if (!isChangeFeedStream(parameters)) table
+      else StructType(table.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType)))
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -196,9 +217,24 @@ final class ManifestDataSource extends DataSourceRegister
     val maxFiles = positive[Int]("maxFilesPerTrigger", _.toIntOption, (n: Int) => n > 0)
     val maxBytes = positive[Long]("maxBytesPerTrigger", _.toLongOption, (n: Long) => n > 0)
     val (_, pinned) = sourceSchema(sqlContext, schema, providerName, parameters)
-    new graft.streaming.ManifestStreamSource(sqlContext.sparkSession, path,
-      pinned, startingVersion, ignoreNonAppend, maxFiles, maxBytes,
-      Some(metadataPath))
+    if (isChangeFeedStream(parameters)) {
+      val sv = startingVersion.getOrElse(throw new IllegalArgumentException(
+        "a change-feed stream requires an explicit startingVersion (changes " +
+          "strictly after it flow first; pass 0 for a full historical replay " +
+          "on a fully-retained table, or the current version for changes from " +
+          "now) — an implicit one could not replay its first batch exactly " +
+          "across a restart"))
+      require(maxFiles.isEmpty && maxBytes.isEmpty,
+        "maxFilesPerTrigger/maxBytesPerTrigger do not apply to a change-feed " +
+          "stream (its batches are version windows); use maxVersionsPerTrigger")
+      val maxVersions =
+        positive[Long]("maxVersionsPerTrigger", _.toLongOption, (n: Long) => n > 0)
+      new graft.streaming.ManifestChangeFeedSource(sqlContext.sparkSession, path,
+        pinned, sv, ignoreNonAppend, maxVersions, Some(metadataPath))
+    } else
+      new graft.streaming.ManifestStreamSource(sqlContext.sparkSession, path,
+        pinned, startingVersion, ignoreNonAppend, maxFiles, maxBytes,
+        Some(metadataPath))
   }
 
   // ---- streaming sink: df.writeStream.format("graft-manifest") ----

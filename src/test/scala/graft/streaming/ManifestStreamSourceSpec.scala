@@ -229,4 +229,98 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no manifest table"))
   }
+
+  test("change-feed stream: upserts and deletes arrive as exact change rows; compaction contributes nothing") {
+    import spark.implicits._
+    val dir = freshDir("msrc-cdf")
+    ManifestLake.write(spark, batch(0, 10), dir, Seq("grp"))                    // v1
+    val q = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(dir)
+      .writeStream.format("memory").queryName("msrc_cdf").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val t = () => spark.table("msrc_cdf")
+      assert(t().columns.takeRight(2).toSeq === Seq("_change_type", "_commit_version"))
+      // the table-creating v1 serves as inserts (replace-at-birth = append)
+      assert(t().count() === 10)
+      assert(t().where(col("_change_type") === "insert" &&
+        col("_commit_version") === 1L).count() === 10)
+      // an upsert serves its exact pre/post images and inserts
+      val upd = Seq(("g0", 0L, "NEW"), ("g0", 100L, "ADDED")).toDF("grp", "x", "payload")
+      ManifestLake.upsert(spark, dir, upd, Seq("grp"), Seq("grp", "x"))        // v2
+      q.processAllAvailable()
+      val v2 = t().where(col("_commit_version") === 2L).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+      assert(v2 === Set(
+        ("g0", 0L, "p0", "update_preimage"),
+        ("g0", 0L, "NEW", "update_postimage"),
+        ("g0", 100L, "ADDED", "insert")))
+      // a delete serves its exact deleted rows
+      ManifestLake.delete(spark, dir, col("x") === 1L)                          // v3
+      q.processAllAvailable()
+      val v3 = t().where(col("_commit_version") === 3L).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+      assert(v3 === Set(("g1", 1L, "p1", "delete")))
+      // compaction is provably zero changes; the append after it flows
+      ManifestLake.compact(spark, dir, targetBytes = Long.MaxValue)             // v4
+      ManifestLake.write(spark, batch(10, 12), dir, Seq("grp"), replace = false) // v5
+      q.processAllAvailable()
+      assert(t().where(col("_commit_version") === 4L).count() === 0)
+      assert(t().where(col("_commit_version") === 5L &&
+        col("_change_type") === "insert").count() === 2)
+      assert(t().count() === 16)
+    } finally {
+      if (q.isActive) q.stop()
+      spark.sql("DROP TABLE IF EXISTS msrc_cdf")
+    }
+  }
+
+  test("change-feed stream: maxVersionsPerTrigger bounds windows, checkpointed restart is exactly-once, startingVersion is required") {
+    import spark.implicits._
+    val dir = freshDir("msrc-cdf-rl")
+    val ckpt = Files.createTempDirectory("msrc-cdf-ckpt").toString
+    ManifestLake.write(spark, batch(0, 6), dir, Seq("grp"))                     // v1
+    ManifestLake.write(spark, batch(6, 9), dir, Seq("grp"), replace = false)    // v2
+    ManifestLake.delete(spark, dir, col("x") === 0L)                            // v3
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.select("_commit_version").collect().foreach(r => batches.add((id, r.getLong(0)))); ()
+      }.start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val firstRun = { val b = Seq.newBuilder[(Long, Long)]; batches.forEach(x => b += x); b.result() }
+    // one version per micro-batch: no batch mixes commit versions
+    assert(firstRun.groupBy(_._1).values.forall(_.map(_._2).distinct.length == 1),
+      s"each bounded batch must cover one version: $firstRun")
+    assert(firstRun.map(_._2).toSet === Set(1L, 2L, 3L))
+    assert(firstRun.length === 6 + 3 + 1)
+    // commits while the stream is DOWN, then restart: only the new
+    // versions flow — the bounded cursor never re-offers committed ones
+    ManifestLake.write(spark, batch(9, 11), dir, Seq("grp"), replace = false)   // v4
+    val upd = Seq(("g1", 1L, "NEW1")).toDF("grp", "x", "payload")
+    ManifestLake.upsert(spark, dir, upd, Seq("grp"), Seq("grp", "x"))           // v5
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = { val b = Seq.newBuilder[(Long, Long)]; batches.forEach(x => b += x); b.result() }
+    val secondRun = all.drop(firstRun.length)
+    assert(secondRun.map(_._2).toSet === Set(4L, 5L),
+      s"restart must continue after the committed cursor: $secondRun")
+    assert(secondRun.length === 2 + 2, s"v4 = 2 inserts, v5 = pre+post: $secondRun")
+    // a change-feed stream without startingVersion is a typed refusal
+    val e = intercept[Exception] {
+      val qq = spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.format("memory").queryName("msrc_cdf_bad").start()
+      try qq.processAllAvailable() finally if (qq.isActive) qq.stop()
+    }
+    assert(e.getMessage.contains("startingVersion") ||
+      Option(e.getCause).exists(_.getMessage.contains("startingVersion")))
+  }
 }
