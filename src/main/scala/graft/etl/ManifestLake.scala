@@ -1876,6 +1876,80 @@ object ManifestLake {
       require(!schema.fieldNames.contains(r),
         s"column name $r is reserved for the change feed's metadata"))
     if (manifest.files.isEmpty) return v
+    // ---- METADATA-ONLY FAST PATH: a predicate over partition columns
+    // alone is CONSTANT within every file, so the matched partitions'
+    // files leave the live set BY REFERENCE — zero rewrite I/O, and
+    // with the change feed disabled zero data I/O at all: "drop the
+    // bad source/day/shard" on a 100 TB table is one manifest write.
+    // Detection is by ANALYSIS, not expression inspection: the
+    // predicate is applied to a tiny local frame holding only the
+    // typed partition values; if it fails to resolve there it
+    // references data columns and the rewrite path below handles it.
+    // NULL partition values keep their SQL DELETE semantics — the
+    // predicate evaluates NULL there, which is not a match.
+    val metadataOnlyDirs: Option[Set[String]] =
+      if (manifest.partCols.isEmpty || manifest.partCols.contains("__dir")) None
+      else {
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        def partOf(rel: String): String =
+          rel.split("/").drop(2).dropRight(1).mkString("/")
+        val dirs = manifest.files.map(f => partOf(f.path)).distinct
+        val rows = dirs.map { d =>
+          val vals = d.split("/").map { seg =>
+            val s = ExternalCatalogUtils.unescapePathName(seg.substring(seg.indexOf('=') + 1))
+            if (s == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else s
+          }
+          Row.fromSeq(d +: vals.toSeq)
+        }
+        val strSchema = StructType(StructField("__dir", StringType) +:
+          manifest.partCols.map(c => StructField(c, StringType)).toArray)
+        import scala.jdk.CollectionConverters._
+        val frame = spark.createDataFrame(rows.asJava, strSchema)
+          .select(col("__dir") +: manifest.partCols.map(c =>
+            col(c).cast(schema(c).dataType).as(c)): _*)
+        try {
+          val filtered = frame.where(predicate)
+          // a NONDETERMINISTIC predicate (rand()-bearing) would evaluate
+          // once per PARTITION here instead of once per row — different
+          // semantics; only the rewrite path can honor it
+          val deterministic = filtered.queryExecution.analyzed.collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition.deterministic
+          }.getOrElse(true)
+          if (!deterministic) None
+          else Some(filtered.select("__dir").collect().map(_.getString(0)).toSet)
+        }
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      }
+    metadataOnlyDirs match {
+      case Some(matched) =>
+        def partOf(rel: String): String =
+          rel.split("/").drop(2).dropRight(1).mkString("/")
+        val (candidates, untouched) =
+          manifest.files.partition(f => matched.contains(partOf(f.path)))
+        if (candidates.isEmpty) return v // no partition matches: table is the result
+        val newV = v + 1
+        val relCdf =
+          if (!changeFeed) None
+          else {
+            // the feed still serves the EXACT dropped rows — one read
+            // of the dropped files, staged under a unique commit dir
+            // that holds nothing but the change files
+            val commitDir = new Path(root,
+              f"$DataDir/v$newV%06d-${java.util.UUID.randomUUID().toString.take(8)}")
+            val cdfP = new Path(commitDir, CdfDir)
+            readFileSlice(spark, path, manifest, candidates)
+              .withColumn(ChangeTypeCol, lit("delete"))
+              .write.mode(SaveMode.Overwrite).parquet(cdfP.toString)
+            val rootQ = fs.makeQualified(root).toString
+            Some(fs.makeQualified(cdfP).toString.stripPrefix(rootQ).stripPrefix("/"))
+          }
+        publish(fs, root, newV, untouched,
+          Some(schema), manifest.partCols,
+          manifest.txns ++ txn.toMap, op = Some("delete"), cdf = relCdf)
+        return newV
+      case None => () // references data columns: the rewrite path below
+    }
     // which files actually CONTAIN matches — the filtered single scan
     // prunes via pushdown + manifest stats before opening anything.
     // input_file_name() returns URL-ENCODED URIs whose textual form

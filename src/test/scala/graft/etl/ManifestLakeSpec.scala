@@ -1113,6 +1113,50 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("headerless"))
   }
 
+  test("metadata-only delete: a partition-column predicate drops whole files by reference, zero rewrite") {
+    import spark.implicits._
+    val dir = freshDir("mlake-metadelete")
+    def batch(ch: String) =
+      (0 until 30).map(i => (ch, i.toLong, s"$ch-p$i")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark,
+      batch("chr1").unionByName(batch("chr2")).unionByName(batch("chr3")),
+      dir, Seq("chrom"), statsCols = Seq("pos"))                                // v1
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val before = ManifestLake.readManifest(fs, root, 1L).files
+    // changeFeed=false: the commit is ONE manifest write — no new data
+    // dir of any kind appears on disk
+    assert(ManifestLake.delete(spark, dir, col("chrom") === "chr2",
+      changeFeed = false) === 2L)
+    val m2 = ManifestLake.readManifest(fs, root, 2L)
+    assert(m2.op === Some("delete") && m2.cdf.isEmpty)
+    assert(m2.files.toSet === before.filterNot(_.path.contains("chrom=chr2")).toSet,
+      "surviving files must carry by reference, untouched")
+    assert(!fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, "data"))
+      .isFile)
+    val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data"))
+      .map(_.getPath.getName).toSet
+    assert(dataDirs === Set("v000001"), s"no new data dir may appear: $dataDirs")
+    assert(ManifestLake.read(spark, dir).count() === 60)
+    assert(ManifestLake.read(spark, dir).where(col("chrom") === "chr2").count() === 0)
+    // changeFeed=true: files still drop by reference, and the feed
+    // serves the exact dropped rows
+    assert(ManifestLake.delete(spark, dir, col("chrom").isin("chr3", "chr9")) === 3L)
+    val m3 = ManifestLake.readManifest(fs, root, 3L)
+    assert(m3.files.toSet === before.filterNot(f =>
+      f.path.contains("chrom=chr2") || f.path.contains("chrom=chr3")).toSet)
+    val feed = ManifestLake.readChangeFeed(spark, dir, 2L, 3L)
+    assert(feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("delete" -> 30L))
+    assert(feed.select("payload").collect().map(_.getString(0)).forall(_.startsWith("chr3-")))
+    // a no-match partition predicate publishes nothing
+    assert(ManifestLake.delete(spark, dir, col("chrom") === "chr9") === 3L)
+    // a MIXED predicate (partition + data columns) takes the rewrite
+    // path and still only removes matching ROWS
+    assert(ManifestLake.delete(spark, dir, col("chrom") === "chr1" && col("pos") < 5L) === 4L)
+    assert(ManifestLake.read(spark, dir).count() === 25)
+    assert(ManifestLake.read(spark, dir).where(col("pos") < 5L).count() === 0)
+  }
+
   test("row-level delete resolves URL-encoded file names: partition values with spaces and hive-escaped chars") {
     import spark.implicits._
     val dir = freshDir("mlake-delete-escape")
