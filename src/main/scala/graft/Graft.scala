@@ -31,12 +31,15 @@ object Graft {
     Op("lake", "fragmentation inventory (rename-swap lake)", "graft.etl.Lake.inventory", "q75"),
     Op("lake", "crash-safe small-file compaction", "graft.etl.Lake.compact", "q75"),
     Op("lake", "key-level upsert (merge-into)", "graft.etl.Lake.upsert", "q76"),
-    Op("lake", "manifest-committed table: versioned write/read/time travel/restore, txn ledger, file-skipping stats", "graft.etl.ManifestLake.write/read/readVersion/versions/restore/lastCommitted", "q88, q92"),
-    Op("lake", "manifest upsert (untouched partitions carried by reference)", "graft.etl.ManifestLake.upsert", "q89"),
-    Op("lake", "manifest compact + zero-RPC inventory + vacuum + maintain", "graft.etl.ManifestLake.compact/inventory/vacuum/maintain", "q88"),
-    Op("lake", "graft-manifest data source: format()/SQL temp views/writer API, versionAsOf", "spark.read.format(\"graft-manifest\") via graft.etl.ManifestDataSource", "q95"),
+    Op("lake", "manifest-committed table: versioned write/read/time travel/restore, txn ledger, file-skipping stats ([min,max], null counts, distinct-value sets)", "graft.etl.ManifestLake.write/read/readVersion/versions/restore/lastCommitted", "q88, q92, q101"),
+    Op("lake", "manifest upsert (untouched partitions carried by reference; PARTITION-DISJOINT upserts race optimistically)", "graft.etl.ManifestLake.upsert", "q89"),
+    Op("lake", "row-level DELETE: match-bearing-file rewrite, NULL-keep semantics, METADATA-ONLY partition drops", "graft.etl.ManifestLake.delete", "q100"),
+    Op("lake", "optimistic concurrent appends (unique staging; losers re-publish by reference)", "graft.etl.ManifestLake.write(replace=false) under race", "q99"),
+    Op("lake", "manifest compact + zero-RPC inventory + vacuum + maintain; compaction loses append races gracefully", "graft.etl.ManifestLake.compact/inventory/vacuum/maintain", "q88, q96"),
+    Op("lake", "graft-manifest data source: format()/SQL temp views/writer API, versionAsOf/timestampAsOf", "spark.read.format(\"graft-manifest\") via graft.etl.ManifestDataSource", "q95"),
     Op("lake", "z-order (Morton) clustering: file skipping on MULTIPLE columns at once", "graft.ops.ZOrder.cluster/zvalue, graft.etl.ManifestLake.compact(zOrderBy)", "q96"),
     Op("lake", "append-only change feed between versions (incremental consumers)", "graft.etl.ManifestLake.readChanges", "q97"),
+    Op("lake", "ROW-LEVEL change feed: exact insert/pre/post-image/delete rows per commit (opt-out via changeFeed=false)", "graft.etl.ManifestLake.readChangeFeed", "q98, q100"),
     Op("lake", "commit history narration (DESCRIBE HISTORY analog: kinds, sizes, txn ledger)", "graft.etl.ManifestLake.history", "spec"),
     Op("lake", "genomic lake on manifest commit: pos clustering + file-skipping stats", "graft.etl.Lake.writeManifested", "spec"),
     Op("lake", "shuffle-free co-located joins via bucketing", "graft.ops.Bucketing.writeBucketed", "q13"),
@@ -106,7 +109,9 @@ object Graft {
     Op("streaming", "keyed upsert sink (rename-swap lake)", "graft.streaming.EventStreams.upsertSink", "spec"),
     Op("streaming", "manifest-committed upsert sink: exactly-once txn ledger + auto-maintenance", "graft.streaming.EventStreams.manifestUpsertSink", "spec"),
     Op("streaming", "append-only manifest sink (log streams; exactly-once)", "graft.streaming.EventStreams.manifestAppendSink", "spec"),
-    Op("streaming", "manifest lake as a STREAMING SOURCE: version offsets, snapshot + verified appends, checkpointed restart, ignoreNonAppend", "spark.readStream.format(\"graft-manifest\") via graft.streaming.ManifestStreamSource", "spec"))
+    Op("streaming", "manifest lake as a STREAMING SOURCE: version offsets, snapshot + verified appends, checkpointed restart, ignoreNonAppend, maxFiles/BytesPerTrigger rate limits", "spark.readStream.format(\"graft-manifest\") via graft.streaming.ManifestStreamSource", "spec"),
+    Op("streaming", "manifest STREAMING SINK via format registration: Append/Update/Complete -> append/upsert/replace commits, exactly-once ledger", "df.writeStream.format(\"graft-manifest\") via graft.streaming.ManifestStreamSink", "spec"),
+    Op("streaming", "CDC stream over the row-level change feed: inserts/pre/post-images/deletes per commit, maxVersionsPerTrigger", "spark.readStream.format(\"graft-manifest\").option(\"readChangeFeed\",\"true\") via graft.streaming.ManifestChangeFeedSource", "spec"))
 
   /** The catalog as a DataFrame, for interactive discovery. */
   def catalogDf(spark: SparkSession): DataFrame = {
