@@ -1858,8 +1858,85 @@ object ManifestLake {
     * upsert). A no-match delete publishes NOTHING and returns the
     * current version (the table is already the result). Carries the
     * txn ledger; `txn` gives delete the same exactly-once replay guard
-    * as append/upsert. Returns the (possibly unchanged) head version.
+    * as append/upsert.
+    *
+    * A predicate over PARTITION COLUMNS alone takes a metadata-only
+    * fast path: matched partitions' files drop by reference, zero
+    * rewrite (see the fast-path comment in the body). Deletes publish
+    * OPTIMISTICALLY: losing the version race to a commit that neither
+    * touched the match-bearing files nor appended predicate-matching
+    * rows retries at the new head; anything else is a loud conflict
+    * ([[publishDeleteOptimistic]]). Returns the (possibly unchanged)
+    * head version.
     */
+  /** Publish a delete commit OPTIMISTICALLY: on a lost version race the
+    * loser re-reads the head and retries iff (a) every file the delete
+    * resolved as match-bearing is still live (no racer rewrote or
+    * removed them), (b) the recorded shape is unchanged, and (c) the
+    * files added since the delete's snapshot PROVABLY contain no
+    * predicate matches — decided exactly, by reading ONLY those files
+    * (bounded by the winners' batches, never the table). That last
+    * check is Delta's ConcurrentAppendException rule with data instead
+    * of stats: a matching row that appeared concurrently is a genuine
+    * conflict, because the delete promised its snapshot and silently
+    * leaving lookalike rows behind would read as a partial delete. A
+    * conflict withdraws `cleanup` (the staged dirs) and fails loudly;
+    * file-disjoint deletes and appends of non-matching data compose
+    * without coordination.
+    */
+  private def publishDeleteOptimistic(spark: SparkSession, fs: FileSystem,
+                                      root: Path, path: String, predicate: Column,
+                                      snapshot: Manifest, v: Long,
+                                      candidatePaths: Set[String],
+                                      staged: Seq[LiveFile],
+                                      schema: StructType,
+                                      txn: Option[(String, Long)],
+                                      relCdf: Option[String],
+                                      cleanup: Seq[Path]): Long = {
+    var attempt = 0
+    var curM = snapshot
+    var curV = v + 1
+    while (true) {
+      try {
+        publish(fs, root, curV,
+          curM.files.filterNot(f => candidatePaths.contains(f.path)) ++ staged,
+          Some(schema), snapshot.partCols,
+          curM.txns ++ txn.toMap, op = Some("delete"), cdf = relCdf)
+        return curV
+      } catch {
+        case e: IllegalStateException if attempt < 5 =>
+          attempt += 1
+          val headV = currentVersion(spark, path).getOrElse(throw e)
+          val headM = readManifest(fs, root, headV)
+          if (txn.exists { case (app, b) => headM.txns.get(app).exists(_ >= b) }) {
+            cleanup.foreach(fs.delete(_, true))
+            return headV
+          }
+          def conflict(reason: String): Nothing = {
+            cleanup.foreach(fs.delete(_, true))
+            throw new IllegalStateException(
+              s"delete of $path lost its race to a commit that $reason — " +
+                s"the staged result was withdrawn; the table is intact at " +
+                s"v$headV. Re-run the delete against the new head.", e)
+          }
+          val headPaths = headM.files.map(_.path).toSet
+          if (!candidatePaths.forall(headPaths.contains))
+            conflict("rewrote or removed its match-bearing files")
+          if (headM.schema != snapshot.schema || headM.partCols != snapshot.partCols)
+            conflict("changed the recorded shape")
+          val snapshotPaths = snapshot.files.map(_.path).toSet
+          val added = headM.files.filterNot(f => snapshotPaths.contains(f.path))
+          if (added.nonEmpty &&
+            readFileSlice(spark, path, headM, added).where(predicate).limit(1)
+              .count() > 0)
+            conflict("appended rows matching the delete predicate")
+          curM = headM
+          curV = headV + 1
+      }
+    }
+    curV // unreachable; the loop exits via return
+  }
+
   def delete(spark: SparkSession, path: String, predicate: Column,
              txn: Option[(String, Long)] = None,
              changeFeed: Boolean = true): Long = {
@@ -1925,12 +2002,12 @@ object ManifestLake {
       case Some(matched) =>
         def partOf(rel: String): String =
           rel.split("/").drop(2).dropRight(1).mkString("/")
-        val (candidates, untouched) =
-          manifest.files.partition(f => matched.contains(partOf(f.path)))
+        val candidates =
+          manifest.files.filter(f => matched.contains(partOf(f.path)))
         if (candidates.isEmpty) return v // no partition matches: table is the result
         val newV = v + 1
-        val relCdf =
-          if (!changeFeed) None
+        val (relCdf, cdfCleanup) =
+          if (!changeFeed) (None, Seq.empty[Path])
           else {
             // the feed still serves the EXACT dropped rows — one read
             // of the dropped files, staged under a unique commit dir
@@ -1942,12 +2019,12 @@ object ManifestLake {
               .withColumn(ChangeTypeCol, lit("delete"))
               .write.mode(SaveMode.Overwrite).parquet(cdfP.toString)
             val rootQ = fs.makeQualified(root).toString
-            Some(fs.makeQualified(cdfP).toString.stripPrefix(rootQ).stripPrefix("/"))
+            (Some(fs.makeQualified(cdfP).toString.stripPrefix(rootQ).stripPrefix("/")),
+              Seq(commitDir))
           }
-        publish(fs, root, newV, untouched,
-          Some(schema), manifest.partCols,
-          manifest.txns ++ txn.toMap, op = Some("delete"), cdf = relCdf)
-        return newV
+        return publishDeleteOptimistic(spark, fs, root, path, predicate,
+          manifest, v, candidates.map(_.path).toSet, Seq.empty, schema,
+          txn, relCdf, cdfCleanup)
       case None => () // references data columns: the rewrite path below
     }
     // which files actually CONTAIN matches — the filtered single scan
@@ -1966,8 +2043,8 @@ object ManifestLake {
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => canon(new Path(new java.net.URI(r.getString(0))))).toSet
     if (matchedUris.isEmpty) return v
-    val (candidates, untouched) =
-      manifest.files.partition(f => matchedUris.contains(canon(new Path(root, f.path))))
+    val candidates =
+      manifest.files.filter(f => matchedUris.contains(canon(new Path(root, f.path))))
     require(candidates.size == matchedUris.size,
       s"matched file paths did not resolve against the live set: " +
         s"${matchedUris.size} matched, ${candidates.size} resolved")
@@ -1977,7 +2054,10 @@ object ManifestLake {
       val keep = src.where(!coalesce(predicate, lit(false)))
       val gone = src.where(predicate)
       val newV = v + 1
-      val commitDir = new Path(root, f"$DataDir/v$newV%06d")
+      // unique staging dir: deletes publish optimistically (see
+      // publishDeleteOptimistic), so racers must never share one
+      val commitDir = new Path(root,
+        f"$DataDir/v$newV%06d-${java.util.UUID.randomUUID().toString.take(8)}")
       val w = keep.write.mode(SaveMode.Overwrite)
       (if (manifest.partCols.nonEmpty) w.partitionBy(manifest.partCols: _*) else w)
         .parquet(commitDir.toString)
@@ -2016,10 +2096,9 @@ object ManifestLake {
           val rootQ = fs.makeQualified(root).toString
           Some(fs.makeQualified(cdfP).toString.stripPrefix(rootQ).stripPrefix("/"))
         }
-      publish(fs, root, newV, untouched ++ withStats,
-        Some(schema), manifest.partCols,
-        manifest.txns ++ txn.toMap, op = Some("delete"), cdf = relCdf)
-      newV
+      publishDeleteOptimistic(spark, fs, root, path, predicate,
+        manifest, v, candidates.map(_.path).toSet, withStats, schema,
+        txn, relCdf, Seq(commitDir))
     } finally {
       src.unpersist()
       ()

@@ -1157,6 +1157,72 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(ManifestLake.read(spark, dir).where(col("pos") < 5L).count() === 0)
   }
 
+  test("delete racing a NON-matching append: both land; a matching append is a loud conflict") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir("mlake-delete-race")
+    val base = (0 until 2000).map(i => (s"chr${i % 4 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, base.repartition(16), dir, Seq("chrom"), statsCols = Seq("pos"))
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        latch.countDown()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the appender lands while the delete is rewriting; its rows do
+      // NOT match the predicate, so the delete retries and both land
+      val extra = Seq(("chr1", 90000L, "late")).toDF("chrom", "pos", "payload")
+      val fAppend = Future {
+        latch.await(2, java.util.concurrent.TimeUnit.MINUTES)
+        ManifestLake.write(spark, extra, dir, Seq("chrom"), replace = false)
+      }
+      val dv = ManifestLake.delete(spark, dir, col("pos") < 100L)
+      Await.result(fAppend, 2.minutes)
+      assert(ManifestLake.currentVersion(spark, dir) === Some(3L))
+      assert(Set(2L, 3L).contains(dv))
+      val got = ManifestLake.read(spark, dir)
+      assert(got.count() === 1901)
+      assert(got.where(col("pos") < 100L).count() === 0)
+      assert(got.where(col("payload") === "late").count() === 1)
+
+      // a concurrent append whose rows MATCH the predicate: whichever
+      // order the commits land, no silent partial delete — either the
+      // delete published first (the matching row legally arrives after
+      // it) or the delete conflicts loudly
+      val latch2 = new java.util.concurrent.CountDownLatch(1)
+      val l2 = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          latch2.countDown()
+      }
+      spark.sparkContext.addSparkListener(l2)
+      try {
+        val clash = Seq(("chr2", 150L, "matching")).toDF("chrom", "pos", "payload")
+        val fAppend2 = Future {
+          latch2.await(2, java.util.concurrent.TimeUnit.MINUTES)
+          ManifestLake.write(spark, clash, dir, Seq("chrom"), replace = false)
+        }
+        val deleted = scala.util.Try(ManifestLake.delete(spark, dir, col("pos") < 200L))
+        Await.result(fAppend2, 2.minutes)
+        deleted match {
+          case scala.util.Failure(e) =>
+            assert(e.getMessage.contains("matching the delete predicate"))
+            // conflict: nothing was deleted, the matching row is live
+            assert(ManifestLake.read(spark, dir)
+              .where(col("pos") === 150L && col("payload") === "matching").count() === 1)
+          case scala.util.Success(_) =>
+            // delete won the race: only the late-arriving matching row
+            // remains below the cutoff
+            assert(ManifestLake.read(spark, dir).where(col("pos") < 200L)
+              .collect().map(_.getString(2)).toSeq === Seq("matching"))
+        }
+      } finally spark.sparkContext.removeSparkListener(l2)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("row-level delete resolves URL-encoded file names: partition values with spaces and hive-escaped chars") {
     import spark.implicits._
     val dir = freshDir("mlake-delete-escape")
