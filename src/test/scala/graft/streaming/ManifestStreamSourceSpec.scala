@@ -277,6 +277,65 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC mirror end to end: applying the change-feed stream keeps a downstream mirror identical through upserts and deletes") {
+    import spark.implicits._
+    val srcDir = freshDir("msrc-cdc-src")
+    val mirrorDir = freshDir("msrc-cdc-mirror")
+    ManifestLake.write(spark, batch(0, 20), srcDir, Seq("grp"))                 // v1
+    // the consumer: per version in order, postimages+inserts upsert into
+    // the mirror, deletes remove their keys — the standard CDC-apply
+    // loop, driven entirely by the stream's change rows
+    val q = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(srcDir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val versions = df.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).sorted
+        versions.foreach { v =>
+          val w = df.where(col("_commit_version") === v)
+          val ups = w.where(col("_change_type").isin("insert", "update_postimage"))
+            .drop("_change_type", "_commit_version")
+          if (!ups.isEmpty)
+            ManifestLake.upsert(spark, mirrorDir, ups, Seq("grp"), Seq("grp", "x"))
+          val delKeys = w.where(col("_change_type") === "delete")
+            .select("grp", "x").collect().map(r => (r.getString(0), r.getLong(1)))
+          if (delKeys.nonEmpty) {
+            val pred = delKeys.map { case (g, x) =>
+              col("grp") === g && col("x") === x
+            }.reduce(_ || _)
+            ManifestLake.delete(spark, mirrorDir, pred): Unit
+          }
+        }
+        ()
+      }.start()
+    def assertMirrored(): Unit = {
+      val src = ManifestLake.read(spark, srcDir).select("grp", "x", "payload")
+      val mir = ManifestLake.read(spark, mirrorDir).select("grp", "x", "payload")
+      assert(src.count() === mir.count())
+      assert(src.except(mir).isEmpty && mir.except(src).isEmpty,
+        "mirror must equal source exactly")
+    }
+    try {
+      q.processAllAvailable()
+      assertMirrored()
+      // a wave of changes: upsert, append, delete
+      val upd = Seq(("g0", 0L, "CHANGED"), ("g1", 777L, "NEWKEY")).toDF("grp", "x", "payload")
+      ManifestLake.upsert(spark, srcDir, upd, Seq("grp"), Seq("grp", "x"))      // v2
+      ManifestLake.write(spark, batch(20, 25), srcDir, Seq("grp"), replace = false) // v3
+      ManifestLake.delete(spark, srcDir, col("x").between(3L, 7L))              // v4
+      q.processAllAvailable()
+      assertMirrored()
+      // maintenance on the source is invisible to the mirror
+      ManifestLake.compact(spark, srcDir, targetBytes = Long.MaxValue)          // v5
+      ManifestLake.delete(spark, srcDir, col("grp") === "g0")                   // v6 (metadata-only)
+      q.processAllAvailable()
+      assertMirrored()
+      assert(ManifestLake.read(spark, mirrorDir).where(col("grp") === "g0").count() === 0)
+    } finally {
+      if (q.isActive) q.stop()
+    }
+  }
+
   test("change-feed stream: maxVersionsPerTrigger bounds windows, checkpointed restart is exactly-once, startingVersion is required") {
     import spark.implicits._
     val dir = freshDir("msrc-cdf-rl")
