@@ -503,6 +503,70 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(nEq2 === 50)
   }
 
+  test("skipping soundness sweep: randomized predicate shapes return identical rows with and without stats") {
+    import spark.implicits._
+    // the property the whole skipping stack must hold: stats change
+    // COSTS, never RESULTS. A deterministic fuzz over predicate shapes
+    // (=, !=, ranges, IN, prefix, null tests, conjunction/disjunction/
+    // negation) compares a stats-tracked table against a stats-free
+    // copy of the same rows — any divergence is an unsound skip.
+    val statsDir = freshDir("mlake-sweep-stats")
+    val bareDir = freshDir("mlake-sweep-bare")
+    val df = (0 until 400).map { i =>
+      (s"chr${i % 2 + 1}",
+        i.toLong,
+        if (i % 7 == 0) null else s"src${i % 5}",
+        if (i % 11 == 0) null else s"pay-$i",
+        if (i % 13 == 0) -0.0 else i / 10.0,
+        i % 3 == 0)
+    }.toDF("chrom", "pos", "src", "payload", "score", "flag")
+    val clustered = df.repartitionByRange(6, col("pos")).sortWithinPartitions(col("pos"))
+    ManifestLake.write(spark, clustered, statsDir, Seq("chrom"),
+      statsCols = Seq("pos", "src", "payload", "score", "flag"))
+    ManifestLake.write(spark, clustered, bareDir, Seq("chrom"))
+    val rnd = new scala.util.Random(42)
+    // type-matched literals — ANSI mode makes a cross-type equality a
+    // runtime cast error, which is not the layer under test
+    def litFor(c: String): Any = c match {
+      case "chrom" => s"chr${rnd.nextInt(4)}"
+      case "pos" => rnd.nextLong() % 500
+      case "src" => s"src${rnd.nextInt(7)}"
+      case "payload" => s"pay-${rnd.nextInt(500)}"
+      case "score" => if (rnd.nextInt(5) == 0) 0.0 else rnd.nextInt(50) / 10.0
+      case _ => rnd.nextBoolean()
+    }
+    val cols = Seq("chrom", "pos", "src", "payload", "score", "flag")
+    def leaf(): org.apache.spark.sql.Column = {
+      val name = cols(rnd.nextInt(cols.length))
+      val c = col(name)
+      rnd.nextInt(9) match {
+        case 0 => c === lit(litFor(name))
+        case 1 => c =!= lit(litFor(name))
+        case 2 => c < lit(litFor(name))
+        case 3 => c >= lit(litFor(name))
+        case 4 => c.isin(litFor(name), litFor(name), litFor(name))
+        case 5 => c.cast("string").startsWith(s"s${rnd.nextInt(3)}")
+        case 6 => c.isNull
+        case 7 => c.isNotNull
+        case _ => !(c === lit(litFor(name)))
+      }
+    }
+    def pred(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else if (rnd.nextBoolean()) pred(depth - 1) && pred(depth - 1)
+      else pred(depth - 1) || pred(depth - 1)
+    def rowsOf(dir: String, p: org.apache.spark.sql.Column): Seq[String] =
+      ManifestLake.read(spark, dir).where(p)
+        .select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    (1 to 40).foreach { i =>
+      val p = pred(2)
+      val a = rowsOf(statsDir, p)
+      val b = rowsOf(bareDir, p)
+      assert(a === b, s"case $i diverged under predicate: ${p.toString}")
+    }
+  }
+
   test("null-count skipping: IS NULL / IS NOT NULL prune files from manifest null counts") {
     import spark.implicits._
     val dir = freshDir("mlake-nullskip")
