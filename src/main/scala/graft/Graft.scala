@@ -85,6 +85,8 @@ object Graft {
     Op("corpus", "bigram-LM fluency scoring", "graft.ops.CorpusOps.bigramLmScore", "q68"),
     Op("corpus", "perplexity tiers: exact ntile / approx percentile", "graft.queries.LlmOps (q74) / CorpusOps.pplTiersApprox", "q74"),
     Op("corpus", "temperature (alpha) stratum rebalancing", "graft.ops.CorpusOps.temperatureSample", "q69"),
+    Op("corpus", "explicit-mixture materialization (downsample-only to target weights)", "graft.ops.CorpusOps.mixToWeights", "q102"),
+    Op("corpus", "DSIR-shaped hashed importance weights (target-vs-source bucket masses)", "graft.ops.CorpusOps.importanceMass", "q103"),
     Op("corpus", "BM25 retrieval", "graft.ops.CorpusOps.bm25", "q72"),
     Op("corpus", "sequence packing", "graft.ops.CorpusOps.packSequences", "q73"),
     Op("corpus", "compression-ratio quality signal", "graft.ops.CorpusOps.compressionSignals", "q78"),

@@ -402,6 +402,90 @@ object CorpusOps {
       .drop("n_stratum")
   }
 
+  /** Materialize an EXPLICIT target mixture over strata — the
+    * data-mixing step AFTER the weights are decided (DoReMi/Pile-style
+    * "40% web, 20% code, …"), the sibling of [[temperatureSample]]'s
+    * formula-driven rebalancing. Downsample-only, so the achievable
+    * total is capped by the scarcest stratum relative to its target:
+    * T = min over weighted strata of n_s / w_s, and each stratum keeps
+    * w_s · T / n_s of its rows. Strata without a weight drop entirely,
+    * and a weight a stratum cannot fill caps the WHOLE mixture rather
+    * than silently re-normalizing — the mixture produced is the
+    * mixture asked for, only smaller. Keep/drop is the md5-uniform of
+    * the row id: stable across runs, machines, and partition layouts.
+    *
+    * One partial-aggregated count shuffle; the strata-sized rate table
+    * broadcasts back; the keep pass is per-row expressions. Output
+    * keeps every input column plus the stratum's `keep_rate`.
+    */
+  def mixToWeights(docs: DataFrame, stratum: String, id: String,
+                   weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(w => w > 0 && !w.isInfinite && !w.isNaN),
+      "mixture weights must be positive and finite")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(stratum, "__w")
+    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n_stratum"))
+    // inner join: unweighted strata leave the mixture here
+    val scaled = counts.join(broadcast(w), Seq(stratum))
+      .withColumn("__cap", col("n_stratum").cast("double") / col("__w"))
+    val t = scaled.agg(min(col("__cap")).as("__t"))
+    val rates = scaled.crossJoin(broadcast(t))
+      .select(col(stratum), col("n_stratum"),
+        least(lit(1.0),
+          col("__w") * col("__t") / col("n_stratum").cast("double")).as("keep_rate"))
+    val u = conv(substring(md5(col(id).cast("string")), 1, 6), 16, 10)
+      .cast("long").cast("double") / lit(16777216.0)
+    docs
+      .join(broadcast(rates), Seq(stratum))
+      .where(u < col("keep_rate"))
+      .drop("n_stratum")
+  }
+
+  /** DSIR-shaped hashed importance statistics: score every document by
+    * how much its hashed-unigram mass resembles a TARGET corpus versus
+    * the source it sits in (Xie et al.'s data-selection shape: cheap
+    * hashed n-gram features standing in for a learned domain model).
+    * Features are md5-hashed token buckets; per document,
+    * `target_mass` = Σ over its tokens of (targetCount(bucket)+1) and
+    * `source_mass` = Σ of (sourceCount(bucket)+1), add-1 smoothed —
+    * EXACT integer sums, so selection thresholds and rankings
+    * reproduce bit-identically on any engine; `importance` is their
+    * ratio (the published log-ratio scoring is a per-row transform of
+    * the same bucket counts — the integer pair is the
+    * cross-engine-stable core).
+    *
+    * The two bucket tables are `buckets`-sized and BROADCAST — the
+    * per-token join never shuffles the corpus; the one shuffle is the
+    * per-document aggregation, partial-combined on doc id. Token
+    * explosion is corpus-linear, the same cost class as every other
+    * token-level op here.
+    */
+  def importanceMass(docs: DataFrame, target: DataFrame, id: String,
+                     text: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    def bucketed(df: DataFrame,
+                 keep: Seq[org.apache.spark.sql.Column]): DataFrame =
+      df.select(keep :+ explode(TextOps.tokens(col(text))).as("__tok"): _*)
+        .withColumn("__b",
+          pmod(conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long"),
+            lit(buckets.toLong)))
+        .drop("__tok")
+    val ct = bucketed(target, Seq.empty).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__ct"))
+    val srcToks = bucketed(docs, Seq(col(id)))
+    val cs = srcToks.groupBy(col("__b")).agg(count(lit(1)).as("__cs"))
+    srcToks
+      .join(broadcast(ct), Seq("__b"), "left")
+      .join(broadcast(cs), Seq("__b")) // own-corpus buckets always present
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__ct"), lit(0L)) + lit(1L)).as("target_mass"),
+        sum(col("__cs") + lit(1L)).as("source_mass"))
+      .withColumn("importance",
+        col("target_mass").cast("double") / col("source_mass").cast("double"))
+  }
+
   /** Compression-ratio quality signal (the Gopher/RefinedWeb
     * repetitiveness proxy): deflate each document and report
     * compressed/raw byte sizes. Highly repetitive or templated text

@@ -630,6 +630,79 @@ object Corpus {
         .toDF()
         .select(col("doc_id"), col("n_bytes"), col("deflate_bytes"), col("ratio"))
         .orderBy(col("doc_id")),
-      None)
+      None),
+
+    // Explicit-mixture materialization: the weights say en 40% / de,
+    // es, fr 20% each (zh unweighted → drops), the scarcest stratum
+    // (fr at sf0.01) caps the total, and the oracle replays the exact
+    // min-cap + md5-uniform keep arithmetic. Downsample-only: a weight
+    // a stratum cannot fill shrinks the whole mixture, never silently
+    // re-normalizes.
+    Q(
+      "q102_mixture",
+      (s, dir) => CorpusOps.mixToWeights(
+        Tables.documents(s, dir), "lang", "doc_id",
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          round(min(col("keep_rate")), 6).as("keep_rate"))
+        .orderBy(col("lang")),
+      Some("""WITH w(lang, w) AS (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2), ('fr', 0.2)),
+             |c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+             |s AS (SELECT lang, n_stratum, CAST(w AS DOUBLE) AS w,
+             |        CAST(n_stratum AS DOUBLE) / CAST(w AS DOUBLE) AS cap
+             |      FROM c JOIN w USING (lang)),
+             |t AS (SELECT min(cap) AS t FROM s),
+             |r AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+             |        w * t / CAST(n_stratum AS DOUBLE)) AS keep_rate
+             |      FROM s CROSS JOIN t),
+             |kept AS (
+             |  SELECT d.lang, d.doc_id, r.keep_rate
+             |  FROM documents d JOIN r USING (lang)
+             |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS DOUBLE)
+             |        / 16777216.0 < keep_rate)
+             |SELECT lang, count(*) AS n_kept,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+             |  round(min(keep_rate), 6) AS keep_rate
+             |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // DSIR-shaped hashed importance: the TARGET is the English slice,
+    // features are 256 md5-hashed token buckets, and each document's
+    // smoothed target/source bucket masses are EXACT integer sums the
+    // oracle reproduces bucket by bucket. Top-20 by the (rounded)
+    // mass ratio with doc_id tiebreak keeps the cut deterministic.
+    Q(
+      "q103_importance",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        CorpusOps.importanceMass(docs, docs.where(col("lang") === "en"),
+          "doc_id", "text", buckets = 256)
+          .select(col("doc_id"), col("n_tokens"), col("target_mass"),
+            col("source_mass"), round(col("importance"), 6).as("importance"))
+          .orderBy(round(col("importance"), 6).desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH tt AS (
+             |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+             |  FROM documents WHERE lang = 'en'),
+             |ct AS (SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b,
+             |         count(*) AS ct FROM tt GROUP BY 1),
+             |st AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |sb AS (SELECT doc_id,
+             |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b FROM st),
+             |cs AS (SELECT b, count(*) AS cs FROM sb GROUP BY b),
+             |mass AS (
+             |  SELECT doc_id, count(*) AS n_tokens,
+             |    CAST(sum(COALESCE(ct, 0) + 1) AS BIGINT) AS target_mass,
+             |    CAST(sum(cs + 1) AS BIGINT) AS source_mass
+             |  FROM sb LEFT JOIN ct USING (b) JOIN cs USING (b)
+             |  GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, target_mass, source_mass,
+             |  round(CAST(target_mass AS DOUBLE) / CAST(source_mass AS DOUBLE), 6) AS importance
+             |FROM mass
+             |ORDER BY importance DESC, doc_id LIMIT 20""".stripMargin))
   )
 }

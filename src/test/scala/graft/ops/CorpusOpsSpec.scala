@@ -339,6 +339,61 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again === 0L)
   }
 
+  test("mixToWeights: unweighted strata drop, the scarcest stratum caps the total, achieved mixture tracks the weights") {
+    val docs = (0 until 1000).map { i =>
+      val lang = if (i < 700) "en" else if (i < 900) "de" else "fr"
+      (lang, i.toLong, s"d$i")
+    }.toDF("lang", "doc_id", "text")
+    // fr (100 rows) at weight 0.25 caps T at 400: expect ~en 200, de
+    // 100, fr 100; zh-style unweighted strata would drop (none here,
+    // so drop 'en' instead in a second call)
+    val out = CorpusOps.mixToWeights(docs, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet === Set("en", "de", "fr"))
+    // fr keeps everything (it is the cap); others downsample toward
+    // the weights with md5-uniform noise
+    assert(byLang("fr") === 100)
+    assert(math.abs(byLang("en") - 200) < 40, s"en ~200: $byLang")
+    assert(math.abs(byLang("de") - 100) < 30, s"de ~100: $byLang")
+    // strata without a weight leave the mixture entirely
+    val noEn = CorpusOps.mixToWeights(docs, "lang", "doc_id",
+      Map("de" -> 0.5, "fr" -> 0.5))
+    assert(noEn.where(col("lang") === "en").count() === 0)
+    // determinism: same rows on every run
+    val again = CorpusOps.mixToWeights(docs, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+    assert(out.select("doc_id").except(again.select("doc_id")).isEmpty)
+    intercept[IllegalArgumentException] {
+      CorpusOps.mixToWeights(docs, "lang", "doc_id", Map("en" -> -0.1))
+    }
+  }
+
+  test("importanceMass: target-aligned documents outrank off-target ones; masses are exact and deterministic") {
+    val target = (0 until 50).map(i => (i.toLong, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma"),            // fully on-target vocabulary
+      (2L, "alpha zzz yyy"),               // partial
+      (3L, "zzz yyy xxx www"))             // disjoint
+      .toDF("doc_id", "text")
+    val out = CorpusOps.importanceMass(docs, target, "doc_id", "text", buckets = 64)
+      .orderBy(col("doc_id")).collect()
+    val imp = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("importance")).toMap
+    assert(imp(1L) > imp(2L) && imp(2L) > imp(3L),
+      s"on-target text must score higher: $imp")
+    // masses are exact integers: doc 1's three tokens each hit a
+    // target bucket with count 50 → target_mass = 3*(50+1)
+    val m1 = out.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(m1.getAs[Long]("target_mass") === 153L)
+    assert(m1.getAs[Long]("n_tokens") === 3L)
+    // rerun is bit-identical
+    val again = CorpusOps.importanceMass(docs, target, "doc_id", "text", buckets = 64)
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("pplTiersApprox keeps null-stratum rows (null-safe bounds join)") {
     // the exact ntile variant tiers a null stratum as its own window
     // partition; the approx variant must not silently drop those rows
