@@ -259,7 +259,9 @@ final class ManifestDataSource extends DataSourceRegister
       s.toIntOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
         s"maintainEvery must be a positive number, got '$s'"))
     }
+    val changeFeed = parameters.get("changeFeed").forall(_.toBoolean)
     new graft.streaming.ManifestStreamSink(sqlContext.sparkSession, path,
-      declared, outputMode, appId, keyCols, statsCols, maintainEvery)
+      declared, outputMode, appId, keyCols, statsCols, maintainEvery,
+      changeFeed)
   }
 }

@@ -2164,9 +2164,14 @@ object ManifestLake {
     * (The single-writer contract still serializes vacuum against
     * compaction/upsert for the MANIFEST race; this grace window removes
     * the one way vacuum could destroy data.)
+    *
+    * `dryRun = true` reports exactly what a real run would delete and
+    * touches NOTHING — the operational safety check before a
+    * retention-window change.
     */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2,
-             stagedGraceMs: Long = 24L * 60 * 60 * 1000): Seq[String] = {
+             stagedGraceMs: Long = 24L * 60 * 60 * 1000,
+             dryRun: Boolean = false): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the current version")
     require(stagedGraceMs >= 0, "stagedGraceMs must be non-negative")
     val (fs, root) = fsFor(spark, path)
@@ -2244,7 +2249,7 @@ object ManifestLake {
       }
       dead.result().foreach { p =>
         removed += p.toString
-        fs.delete(p, false)
+        if (!dryRun) fs.delete(p, false): Unit
       }
       // change-file dirs reap at DIRECTORY granularity with their
       // version: the walk above removed their files, but a left-over
@@ -2264,7 +2269,7 @@ object ManifestLake {
           (suffixed || commitV.exists(_ > head))
         if (!keptCdfPrefixes.contains(relCdf) && !inFlight && fs.exists(cdfP)) {
           removed += cdfP.toString
-          fs.delete(cdfP, true): Unit
+          if (!dryRun) fs.delete(cdfP, true): Unit
         }
       }
     }
@@ -2274,7 +2279,7 @@ object ManifestLake {
       Seq(manifestPath(root, old), legacyManifestPath(root, old))
         .filter(fs.exists).foreach { p =>
           removed += p.toString
-          fs.delete(p, false)
+          if (!dryRun) fs.delete(p, false): Unit
         }
     }
     removed.result()

@@ -39,9 +39,12 @@ import graft.etl.ManifestLake
   * `statsCols` (file-level [min,max] skipping stats, Append/Complete),
   * `maintainEvery` (run compact+vacuum after every n-th batch — the
   * sink is the single writer, so the maintenance cadence belongs
-  * here). Partitioning comes from `.partitionBy(...)`, a
-  * `partitionCols` option, or — for appends onto an existing table —
-  * the recorded header.
+  * here), `changeFeed` (default true; false skips Update mode's
+  * row-level change-file stamping — a per-trigger write cost a
+  * high-frequency upsert stream that nothing reads through
+  * readChangeFeed should not pay). Partitioning comes from
+  * `.partitionBy(...)`, a `partitionCols` option, or — for appends
+  * onto an existing table — the recorded header.
   *
   * The incoming frame is the trigger's streaming-internal one; it is
   * rewrapped batch-side ([[org.apache.spark.sql.graft
@@ -53,7 +56,8 @@ final class ManifestStreamSink(spark: SparkSession, path: String,
                                mode: OutputMode, appId: String,
                                keyCols: Seq[String],
                                statsCols: Seq[String],
-                               maintainEvery: Option[Int]) extends Sink {
+                               maintainEvery: Option[Int],
+                               changeFeed: Boolean = true) extends Sink {
 
   require(appId.trim.nonEmpty,
     "graft-manifest sink needs option 'txnAppId': a non-empty stable " +
@@ -80,7 +84,7 @@ final class ManifestStreamSink(spark: SparkSession, path: String,
         try {
           if (!batch.isEmpty)
             ManifestLake.upsert(spark, path, batch, resolvedPartCols,
-              keyCols, txn = txn): Unit
+              keyCols, txn = txn, changeFeed = changeFeed): Unit
         } finally { batch.unpersist(); () }
       case _ =>
         // Append: an empty batch publishes nothing (the ledger not

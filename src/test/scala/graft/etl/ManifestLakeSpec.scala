@@ -1177,6 +1177,28 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("headerless"))
   }
 
+  test("vacuum dryRun reports exactly what a real run would reap and touches nothing") {
+    import spark.implicits._
+    val dir = freshDir("mlake-vacuum-dry")
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => ("chr1", i.toLong, s"p$i")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, batch(0, 10), dir, Seq("chrom"))   // v1
+    ManifestLake.write(spark, batch(0, 5), dir, Seq("chrom"))    // v2 replace (supersedes v1)
+    ManifestLake.write(spark, batch(0, 8), dir, Seq("chrom"))    // v3 replace
+    val (fs, _) = ManifestLake.fsFor(spark, dir)
+    val dry = ManifestLake.vacuum(spark, dir, keepVersions = 1, dryRun = true)
+    assert(dry.nonEmpty, "superseded versions must be reported")
+    dry.foreach(p => assert(fs.exists(new org.apache.hadoop.fs.Path(p)),
+      s"dryRun must not delete: $p"))
+    assert(ManifestLake.versions(spark, dir).map(_._1) === Seq(1L, 2L, 3L))
+    assert(ManifestLake.readVersion(spark, dir, 1L).count() === 10)
+    // the real run reaps exactly the reported set
+    val real = ManifestLake.vacuum(spark, dir, keepVersions = 1)
+    assert(real.toSet === dry.toSet)
+    real.foreach(p => assert(!fs.exists(new org.apache.hadoop.fs.Path(p))))
+    assert(ManifestLake.read(spark, dir).count() === 8)
+  }
+
   test("metadata-only delete: a partition-column predicate drops whole files by reference, zero rewrite") {
     import spark.implicits._
     val dir = freshDir("mlake-metadelete")

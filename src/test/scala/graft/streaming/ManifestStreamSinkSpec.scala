@@ -111,6 +111,21 @@ class ManifestStreamSinkSpec extends AnyFunSuite {
     cmpSink.addBatch(1L, batch(0, 4))
     assert(ManifestLake.read(spark, cmp).count() === 4,
       "Complete mode must replace, not accrete")
+
+    // changeFeed=false: the upsert stream skips the per-trigger change
+    // stamping — no _cdf anywhere, the merge itself intact
+    val nocdf = freshDir("msink-nocdf")
+    val nocdfSink = new ManifestStreamSink(spark, nocdf, Seq("grp"),
+      OutputMode.Update(), "nocdf-app", Seq("grp", "x"), Seq.empty, None,
+      changeFeed = false)
+    nocdfSink.addBatch(0L, batch(0, 10))
+    nocdfSink.addBatch(1L, Seq(("g0", 0L, "NEW")).toDF("grp", "x", "payload"))
+    assert(ManifestLake.read(spark, nocdf).count() === 10)
+    val (fs, _) = ManifestLake.fsFor(spark, nocdf)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(nocdf), true)
+    while (it.hasNext)
+      assert(!it.next().getPath.toString.contains("_cdf"),
+        "changeFeed=false must stamp nothing")
   }
 
   test("txnAppId is required; Update without keyCols is refused") {
