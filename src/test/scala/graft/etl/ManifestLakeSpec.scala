@@ -1671,6 +1671,62 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(!fs.exists(cdf3), "below the horizon the change files reap with their version")
   }
 
+  test("commit storm: partition-disjoint writers of every kind land concurrently with exact content") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir("mlake-storm")
+    def rows(ch: String, lo: Int, hi: Int) =
+      (lo until hi).map(i => (ch, i.toLong, s"$ch-p$i")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark,
+      Seq("chr1", "chr2", "chr3", "chr4").map(rows(_, 0, 50)).reduce(_ unionByName _)
+        .repartition(16),
+      dir, Seq("chrom"), statsCols = Seq("pos"))
+    // five disjoint writers released together: two appends into NEW
+    // partitions, an upsert per existing partition, a metadata delete
+    // of a third — all compose; a racing compaction may legally lose
+    // loudly if its inputs vanish (the delete), but never corrupts
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val writers: Seq[() => Any] = Seq(
+      () => ManifestLake.write(spark, rows("chr5", 0, 30), dir, Seq("chrom"), replace = false),
+      () => ManifestLake.write(spark, rows("chr6", 0, 30), dir, Seq("chrom"), replace = false),
+      () => ManifestLake.upsert(spark, dir,
+        Seq(("chr1", 0L, "U1"), ("chr1", 9999L, "A1")).toDF("chrom", "pos", "payload"),
+        Seq("chrom"), Seq("chrom", "pos")),
+      () => ManifestLake.upsert(spark, dir,
+        Seq(("chr2", 1L, "U2")).toDF("chrom", "pos", "payload"),
+        Seq("chrom"), Seq("chrom", "pos")),
+      () => ManifestLake.delete(spark, dir, col("chrom") === "chr3"))
+    val futs = writers.map(w => Future { gate.await(); w() })
+    val fCompact = Future {
+      gate.await()
+      scala.util.Try(ManifestLake.compact(spark, dir, targetBytes = Long.MaxValue))
+    }
+    gate.countDown()
+    futs.foreach(Await.result(_, 5.minutes))
+    val compacted = Await.result(fCompact, 5.minutes)
+    compacted.failed.foreach(e => assert(e.isInstanceOf[IllegalStateException],
+      s"a losing compaction must fail typed, got $e"))
+    // exact final content, independent of interleaving
+    val got = ManifestLake.read(spark, dir)
+    assert(got.count() === 50 * 3 + 30 * 2 + 1) // chr3 gone, +A1 insert
+    assert(got.where(col("chrom") === "chr3").count() === 0)
+    assert(got.where(col("payload") === "U1").count() === 1)
+    assert(got.where(col("payload") === "U2").count() === 1)
+    assert(got.where(col("pos") === 9999L).count() === 1)
+    assert(got.where(col("chrom").isin("chr5", "chr6")).count() === 60)
+    assert(got.select("chrom", "pos").distinct().count() === got.count())
+    // the manifest remains internally consistent: every live file
+    // exists on disk and the recorded rows sum to the table
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val head = ManifestLake.readManifest(fs, root,
+      ManifestLake.currentVersion(spark, dir).get)
+    head.files.foreach(f => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(dir, f.path)), s"missing ${f.path}"))
+    assert(ManifestLake.footerRowCount(fs, root, head.files) === got.count())
+  }
+
   test("a stats-less append runs exactly ONE Spark job: input count observed on the write, staged count from footers") {
     import spark.implicits._
     val dir = freshDir("mlake-onejob")
