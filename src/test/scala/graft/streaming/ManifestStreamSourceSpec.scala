@@ -277,6 +277,52 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("change-feed stream under mid-stream widening: pinned projection, typed nulls on pre-widening rows after restart") {
+    import spark.implicits._
+    val dir = freshDir("msrc-cdf-widen")
+    ManifestLake.write(spark, batch(0, 4), dir, Seq("grp"))                      // v1
+    val q = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(dir)
+      .writeStream.format("memory").queryName("msrc_cdf_widen").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("msrc_cdf_widen").count() === 4)
+      // a widening upsert mid-stream: the running stream keeps its
+      // pinned columns and still serves the exact change rows
+      val widened = Seq(("g0", 0L, "NEW", 9.5)).toDF("grp", "x", "payload", "score")
+      ManifestLake.upsert(spark, dir, widened, Seq("grp"), Seq("grp", "x"))      // v2
+      q.processAllAvailable()
+      val t = spark.table("msrc_cdf_widen")
+      assert(!t.columns.contains("score"))
+      assert(t.where(col("_commit_version") === 2L).count() === 2) // pre+post
+      assert(t.where(col("_change_type") === "update_postimage")
+        .head.getAs[String]("payload") === "NEW")
+    } finally {
+      if (q.isActive) q.stop()
+      spark.sql("DROP TABLE IF EXISTS msrc_cdf_widen")
+    }
+    // a FRESH stream over the same range serves the widened schema,
+    // pre-widening rows carrying typed nulls — the batch feed contract
+    val q2 = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(dir)
+      .writeStream.format("memory").queryName("msrc_cdf_widen2").outputMode("append")
+      .start()
+    try {
+      q2.processAllAvailable()
+      val t2 = spark.table("msrc_cdf_widen2")
+      assert(t2.columns.contains("score"))
+      assert(t2.where(col("_commit_version") === 1L && col("score").isNotNull).count() === 0)
+      assert(t2.where(col("_change_type") === "update_postimage")
+        .head.getAs[Double]("score") === 9.5)
+    } finally {
+      if (q2.isActive) q2.stop()
+      spark.sql("DROP TABLE IF EXISTS msrc_cdf_widen2")
+    }
+  }
+
   test("CDC mirror end to end: applying the change-feed stream keeps a downstream mirror identical through upserts and deletes") {
     import spark.implicits._
     val srcDir = freshDir("msrc-cdc-src")
