@@ -41,6 +41,8 @@ object Graft {
     Op("lake", "append-only change feed between versions (incremental consumers)", "graft.etl.ManifestLake.readChanges", "q97"),
     Op("lake", "ROW-LEVEL change feed: exact insert/pre/post-image/delete rows per commit (opt-out via changeFeed=false)", "graft.etl.ManifestLake.readChangeFeed", "q98, q100"),
     Op("lake", "commit history narration (DESCRIBE HISTORY analog: kinds, sizes, txn ledger)", "graft.etl.ManifestLake.history", "spec"),
+    Op("lake", "table detail (DESCRIBE DETAIL analog: head summary + per-column stats coverage)", "graft.etl.ManifestLake.detail", "spec"),
+    Op("lake", "vacuum dry-run (report-only retention preview)", "graft.etl.ManifestLake.vacuum(dryRun)", "spec"),
     Op("lake", "genomic lake on manifest commit: pos clustering + file-skipping stats", "graft.etl.Lake.writeManifested", "spec"),
     Op("lake", "shuffle-free co-located joins via bucketing", "graft.ops.Bucketing.writeBucketed", "q13"),
     // --- deduplication ---

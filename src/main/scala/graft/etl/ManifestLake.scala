@@ -1060,6 +1060,43 @@ object ManifestLake {
     }.toDF("version", "op", "n_files", "total_bytes", "txns")
   }
 
+  /** One-row table summary — the DESCRIBE DETAIL analog: head version,
+    * live file count and bytes, partition columns, per-column stats
+    * coverage (how many live files carry [min,max] bounds, null
+    * counts, and value sets — the number that says whether a skipping
+    * predicate on that column can actually skip), and whether the head
+    * commit stamped row-level change files. Costs one manifest read;
+    * the operational "is this table healthy and skippable" glance the
+    * maintenance cadence keys off.
+    */
+  def detail(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    def coverage(keysOf: LiveFile => Iterable[String]): String = {
+      val byCol = m.files.flatMap(f => keysOf(f).map(_ -> 1))
+        .groupBy(_._1).map { case (c, xs) => c -> xs.size }
+      byCol.toSeq.sorted.map { case (c, n) => s"$c=$n/${m.files.length}" }.mkString(",")
+    }
+    Seq((
+      v,
+      m.op.orNull,
+      m.files.length.toLong,
+      m.files.map(_.bytes).sum,
+      m.partCols.mkString(","),
+      m.schema.map(_.fieldNames.length.toLong).getOrElse(-1L),
+      coverage(_.stats.keys),
+      coverage(_.nullCounts.keys),
+      coverage(_.valueSets.keys),
+      m.cdf.isDefined,
+      m.txns.size.toLong))
+      .toDF("version", "op", "n_files", "total_bytes", "partition_cols",
+        "n_columns", "bounds_coverage", "null_count_coverage",
+        "value_set_coverage", "change_feed", "n_writers")
+  }
+
   /** Every published (not-yet-vacuumed) version of the table, oldest
     * first, with its live file count and total bytes — the time-travel
     * discovery surface ([[readVersion]] takes one of these). Costs one

@@ -1177,6 +1177,32 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("headerless"))
   }
 
+  test("detail() summarizes the head: files, bytes, partitioning, stats coverage, change-feed flag") {
+    import spark.implicits._
+    val dir = freshDir("mlake-detail")
+    val df = (0 until 100).map(i => (s"chr${i % 2 + 1}", i.toLong,
+      if (i % 10 == 0) null else s"s${i % 3}")).toDF("chrom", "pos", "tag")
+    ManifestLake.write(spark, df.repartitionByRange(4, col("pos")), dir, Seq("chrom"),
+      statsCols = Seq("pos", "tag"))
+    ManifestLake.upsert(spark, dir, Seq(("chr1", 0L, "NEW")).toDF("chrom", "pos", "tag"),
+      Seq("chrom"), Seq("chrom", "pos"))
+    val d = ManifestLake.detail(spark, dir).head()
+    assert(d.getAs[Long]("version") === 2L)
+    assert(d.getAs[String]("op") === "upsert")
+    assert(d.getAs[Boolean]("change_feed"))
+    assert(d.getAs[String]("partition_cols") === "chrom")
+    assert(d.getAs[Long]("n_columns") === 3L)
+    val nFiles = d.getAs[Long]("n_files")
+    // every live file carries pos bounds and both null counts; tag is
+    // low-cardinality and short, so value sets cover it everywhere too
+    assert(d.getAs[String]("bounds_coverage").contains(s"pos=$nFiles/$nFiles"))
+    assert(d.getAs[String]("null_count_coverage").contains(s"tag=$nFiles/$nFiles"))
+    assert(d.getAs[String]("value_set_coverage").contains(s"tag=$nFiles/$nFiles"))
+    intercept[IllegalArgumentException] {
+      ManifestLake.detail(spark, freshDir("mlake-detail-none"))
+    }
+  }
+
   test("vacuum dryRun reports exactly what a real run would reap and touches nothing") {
     import spark.implicits._
     val dir = freshDir("mlake-vacuum-dry")
