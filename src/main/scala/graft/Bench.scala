@@ -151,7 +151,7 @@ object Bench {
     // eight BENCH_r10 lines at once. The warm leg stays at 5x/1s — the
     // sf0.001 floor is too noisy below that to mean anything.
     val prev = prevRoundTimes()
-    val results = firstPass.map { case (name, fn, warm, dt) =>
+    val retimePass = firstPass.map { case (name, fn, warm, dt) =>
       val warmSuspect = dt > 1.0 && warm != Double.MaxValue && dt > 5.0 * warm
       val prevSuspect = dt > 0.5 && prev.get(name).exists(p => p > 0 && dt > 2.0 * p)
       val suspect = warmSuspect || prevSuspect
@@ -159,8 +159,45 @@ object Bench {
         val re = (1 to 2).map(_ => timedRun(fn)).collect { case (t, true) => t }
         if (re.nonEmpty) math.min(dt, re.min) else dt
       } else dt
-      (name, best, suspect)
+      (name, fn, best, suspect)
     }
+    // TERMINAL CONTENTION VERDICT (the r12 gap): min-over-runs plus the
+    // retime pass cannot reject a burst spanning the WHOLE suite —
+    // BENCH_r12 shipped a suite inflated ~50% with its own stamps
+    // screaming contention (loadavg_after 23). So after the retime
+    // pass: any line still >1.5x its prev-round published time (last
+    // round's file is immune to this round's load) forces a RE-GATE —
+    // wait for the 1-min loadavg to decay below the idle gate (the
+    // bench's own ~cpus contribution decays e^{-t/60}, so a genuinely
+    // idle host clears in ~2-4 min) — and two more runs of exactly
+    // those lines. If the re-gate times out still loaded, the artifact
+    // stamps "contended": true so the driver KNOWS to discount it
+    // rather than misread upper bounds as measurements.
+    def over15(name: String, t: Double): Boolean =
+      !t.isNaN && prev.get(name).exists(p => p > 0 && t > 1.5 * p)
+    val stillSuspect = retimePass.collect {
+      case (n, _, t, _) if over15(n, t) => n
+    }.toSet
+    var contended = false
+    var regateWaitSec = 0.0
+    val results: Seq[(String, Double, Boolean)] =
+      if (stillSuspect.isEmpty) retimePass.map { case (n, _, t, s) => (n, t, s) }
+      else {
+        val reWaitMax = sys.env.getOrElse("SPARK_GRAFT_REGATE_WAIT_MS", "300000").toLong
+        val t0 = System.nanoTime()
+        while (load1() >= idleGate && (System.nanoTime() - t0) / 1e6 < reWaitMax)
+          Thread.sleep(5000)
+        regateWaitSec = math.round((System.nanoTime() - t0) / 1e7) / 100.0
+        if (load1() >= idleGate) contended = true
+        retimePass.map { case (n, fn, t, s) =>
+          if (!stillSuspect(n)) (n, t, s)
+          else {
+            val re = (1 to 2).map(_ => timedRun(fn)).collect { case (tt, true) => tt }
+            val best = if (re.nonEmpty) math.min(t, re.min) else t
+            (n, best, true)
+          }
+        }
+      }
     val loadAfter = loadavg()
     val qs = results.map { case (k, v, _) =>
       "\"" + k + "\":" + (if (v.isNaN) "\"error\"" else v.toString)
@@ -172,7 +209,7 @@ object Bench {
     // the warm-up pass populates, so their timed runs exclude training —
     // the persisted-codebook deployment shape, stated here so a
     // round-over-round reader doesn't misread memo reuse as engine speed.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","idle_wait_sec":$idleWaitSec,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","retimed":$retimed,"notes":"q70/q71/q83 timed runs reuse the memoized k-means codebook (training excluded, persisted-codebook pattern)"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","contended":$contended,"idle_wait_sec":$idleWaitSec,"regate_wait_sec":$regateWaitSec,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","retimed":$retimed,"notes":"q70/q71/q83 timed runs reuse the memoized k-means codebook (training excluded, persisted-codebook pattern)"}""")
     spark.stop()
   }
 }

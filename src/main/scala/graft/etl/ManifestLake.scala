@@ -486,7 +486,21 @@ object ManifestLake {
         // stage), which ChecksumFileSystem reads as verification-skipped.
         val src = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
         val dst = java.nio.file.Paths.get(fs.makeQualified(target).toUri)
-        java.nio.file.Files.createLink(dst, src)
+        try java.nio.file.Files.createLink(dst, src)
+        catch {
+          // 'file'-scheme mounts WITHOUT hard-link support (network/
+          // FUSE/FAT) surface UnsupportedOperationException or an
+          // EPERM-style FileSystemException — neither is the IOException
+          // the race handler below maps, so they would abort publish and
+          // leak the stage; fall back to the FileContext no-overwrite
+          // rename (FileAlreadyExistsException — a real lost race — is
+          // excluded and still reaches the race handler)
+          case e @ (_: UnsupportedOperationException |
+                    _: java.nio.file.FileSystemException)
+              if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
+            val fc = FileContext.getFileContext(fs.getUri, fs.getConf)
+            fc.rename(fs.makeQualified(tmp), fs.makeQualified(target))
+        }
         fs.delete(tmp, false)
       } else try {
         val fc = FileContext.getFileContext(fs.getUri, fs.getConf)
@@ -533,6 +547,23 @@ object ManifestLake {
           "serialize committers). The gz manifest was withdrawn; the table " +
           "is intact at the winner's version.")
     }
+  }
+
+  /** Terminal arm of every optimistic-retry loop: after the bounded
+    * retries each re-validated conflict-free yet still lost the version
+    * race, the failure is CONTENTION, not a single-writer violation —
+    * name it as such (the raw publish error's "serialize committers"
+    * message would mislead) and withdraw the staged dirs the way the
+    * genuine-conflict branches already do.
+    */
+  private def retriesExhausted(fs: FileSystem, op: String, path: String,
+                               stages: Seq[Path], e: Throwable): Nothing = {
+    stages.foreach(fs.delete(_, true))
+    throw new IllegalStateException(
+      s"$op on $path exhausted its optimistic commit retries under sustained " +
+        "contention — every retry re-validated as conflict-free but lost the " +
+        "version race; the staged commit was withdrawn and the table is " +
+        "intact at the winner's version. Back off and re-run.", e)
   }
 
   private def withFileStats(f: LiveFile, s: Option[FileStats]): LiveFile =
@@ -911,6 +942,8 @@ object ManifestLake {
           txns, op = Some(if (replace) "replace" else "append"))
         return curV
       } catch {
+        case e: IllegalStateException if !replace && attempt >= 5 =>
+          retriesExhausted(fs, "append", path, Seq(commitDir), e)
         case e: IllegalStateException if !replace && attempt < 5 =>
           attempt += 1
           val headV = currentVersion(spark, path).getOrElse(throw e)
@@ -1124,8 +1157,15 @@ object ManifestLake {
     val vs = listVersions(fs, root)
     if (vs.isEmpty)
       throw new IllegalArgumentException(s"no manifested table at $path")
-    val stamped = vs.map { v =>
+    val raw = vs.map { v =>
       v -> fs.getFileStatus(existingManifestPath(fs, root, v).get).getModificationTime
+    }
+    // a restored/copied table or writer clock skew can leave mtimes
+    // NON-monotonic in version number, making "latest at instant"
+    // ambiguous — monotonize (mtime(v) >= mtime(v-1)) before filtering,
+    // the same commit-timestamp adjustment Delta applies
+    val stamped = raw.tail.scanLeft(raw.head) { case ((_, prev), (v, t)) =>
+      v -> math.max(prev, t)
     }
     stamped.filter(_._2 <= tsMillis).map(_._1).lastOption.getOrElse(
       throw new IllegalArgumentException(
@@ -1571,6 +1611,8 @@ object ManifestLake {
           curM.schema, curM.partCols, curM.txns, op = Some("compact"))
         return report
       } catch {
+        case e: IllegalStateException if attempt >= 5 =>
+          retriesExhausted(fs, "compact", path, Seq(commitDir), e)
         case e: IllegalStateException if attempt < 5 =>
           attempt += 1
           val headV = currentVersion(spark, path).getOrElse(throw e)
@@ -1842,6 +1884,8 @@ object ManifestLake {
           curM.txns ++ txn.toMap, op = Some("upsert"), cdf = relCdf)
         return curV
       } catch {
+        case e: IllegalStateException if attempt >= 5 =>
+          retriesExhausted(fs, "upsert", path, Seq(commitDir), e)
         case e: IllegalStateException if attempt < 5 =>
           attempt += 1
           val headV = currentVersion(spark, path).getOrElse(throw e)
@@ -1941,6 +1985,8 @@ object ManifestLake {
           curM.txns ++ txn.toMap, op = Some("delete"), cdf = relCdf)
         return curV
       } catch {
+        case e: IllegalStateException if attempt >= 5 =>
+          retriesExhausted(fs, "delete", path, cleanup, e)
         case e: IllegalStateException if attempt < 5 =>
           attempt += 1
           val headV = currentVersion(spark, path).getOrElse(throw e)
@@ -2001,8 +2047,12 @@ object ManifestLake {
     // references data columns and the rewrite path below handles it.
     // NULL partition values keep their SQL DELETE semantics — the
     // predicate evaluates NULL there, which is not a match.
+    // a DATA column literally named __dir would resolve the predicate
+    // against the helper frame's directory-string column instead of row
+    // data — bail to the rewrite path for any __dir anywhere in the table
     val metadataOnlyDirs: Option[Set[String]] =
-      if (manifest.partCols.isEmpty || manifest.partCols.contains("__dir")) None
+      if (manifest.partCols.isEmpty || manifest.partCols.contains("__dir") ||
+          schema.fieldNames.contains("__dir")) None
       else {
         import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         def partOf(rel: String): String =

@@ -69,13 +69,16 @@ final class ManifestChangeFeedSource(spark: SparkSession, path: String,
   private def loadCursor(): Option[Long] = cursorDir.flatMap { case (fs, dir) =>
     if (!fs.exists(dir)) None
     else {
-      val entries = fs.listStatus(dir).toSeq
-        .filter(_.getPath.getName.startsWith("cursor-"))
-      entries.map(_.getPath.getName.stripPrefix("cursor-").toLong)
+      // a stray or partially-written cursor-<non-numeric> entry must
+      // not crash getOffset forever — skip what doesn't parse
+      val entries = fs.listStatus(dir).toSeq.filter(st =>
+        st.getPath.getName.startsWith("cursor-") &&
+          st.getPath.getName.stripPrefix("cursor-").toLongOption.isDefined)
+      entries.flatMap(_.getPath.getName.stripPrefix("cursor-").toLongOption)
         .maxOption.foreach(n => cursorSeq.set(n + 1))
-      val versions = entries.map { st =>
+      val versions = entries.flatMap { st =>
         val in = fs.open(st.getPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLongOption
         finally in.close()
       }
       versions.maxOption
@@ -90,7 +93,8 @@ final class ManifestChangeFeedSource(spark: SparkSession, path: String,
     try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
     try fs.listStatus(dir).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith("cursor-") && name.stripPrefix("cursor-").toLong < n)
+      if (name.startsWith("cursor-") &&
+        name.stripPrefix("cursor-").toLongOption.exists(_ < n))
         fs.delete(st.getPath, false)
     } catch { case _: java.io.IOException => () }
   }

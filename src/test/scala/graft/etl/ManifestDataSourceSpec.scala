@@ -103,6 +103,33 @@ class ManifestDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("timestampAsOf monotonizes non-monotonic manifest mtimes (restored/copied table, clock skew)") {
+    import spark.implicits._
+    val dir = freshDir("mds-tsasof-skew")
+    Seq(("a", 1L)).toDF("part", "v").write.format("graft-manifest")
+      .partitionBy("part").mode("overwrite").save(dir)                         // v1
+    Seq(("a", 2L)).toDF("part", "v").write.format("graft-manifest")
+      .mode("append").save(dir)                                                // v2
+    Seq(("a", 3L)).toDF("part", "v").write.format("graft-manifest")
+      .mode("append").save(dir)                                                // v3
+    // simulate a restore/copy (or skewed writer clock) that left v2's
+    // manifest stamped YEARS BEFORE v1's: without monotonization, an
+    // instant in that gap resolves v2 — a version that provably did
+    // not exist before v1 was published
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m2 = new org.apache.hadoop.fs.Path(root, "_manifest/v000002.list.gz")
+    val ancient = 946684800000L // 2000-01-01
+    fs.setTimes(m2, ancient, -1)
+    // in the bogus gap the table did not exist yet: typed error, not v2
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.versionAtTimestamp(spark, dir, ancient + 1000L)
+    }
+    assert(e.getMessage.contains("no version"))
+    // "now" still resolves the head
+    assert(ManifestLake.versionAtTimestamp(spark, dir,
+      System.currentTimeMillis()) === 3L)
+  }
+
   test("pure SQL: CREATE TEMPORARY VIEW … USING graft-manifest reads the table, with time travel") {
     import spark.implicits._
     val dir = freshDir("mds-sql")

@@ -1269,6 +1269,29 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(ManifestLake.read(spark, dir).where(col("pos") < 5L).count() === 0)
   }
 
+  test("delete on a DATA column literally named __dir evaluates row data, not partition dirs") {
+    import spark.implicits._
+    val dir = freshDir("mlake-dirname-collision")
+    // __dir is the metadata-only helper frame's directory column; a
+    // table whose DATA schema uses that name must still delete by ROW
+    // values — the fast path has to bail to the rewrite path
+    val df = (0 until 40).map(i => (s"chr${i % 2 + 1}", i.toLong, s"grp${i % 4}"))
+      .toDF("chrom", "pos", "__dir")
+    ManifestLake.write(spark, df, dir, Seq("chrom"))
+    assert(ManifestLake.delete(spark, dir, col("__dir") === "grp1") === 2L)
+    val got = ManifestLake.read(spark, dir)
+    assert(got.count() === 30, "exactly the grp1 rows must go")
+    assert(got.where(col("__dir") === "grp1").count() === 0)
+    assert(got.select("chrom").distinct().count() === 2,
+      "no whole partition may be dropped by the helper-column collision")
+    // a PARTITION-column predicate on the same table also rewrites
+    // (the guard is table-wide), and still deletes exactly its rows
+    assert(ManifestLake.delete(spark, dir, col("chrom") === "chr2") === 3L)
+    val after = ManifestLake.read(spark, dir)
+    assert(after.count() === 20)
+    assert(after.where(col("chrom") === "chr2").count() === 0)
+  }
+
   test("delete racing a NON-matching append: both land; a matching append is a loud conflict") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}

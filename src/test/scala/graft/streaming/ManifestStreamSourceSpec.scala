@@ -411,6 +411,13 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     ManifestLake.write(spark, batch(9, 11), dir, Seq("grp"), replace = false)   // v4
     val upd = Seq(("g1", 1L, "NEW1")).toDF("grp", "x", "payload")
     ManifestLake.upsert(spark, dir, upd, Seq("grp"), Seq("grp", "x"))           // v5
+    // a stray non-numeric cursor entry (partial write, editor droppings)
+    // must be SKIPPED on restart, not crash getOffset forever
+    val cursorDir = java.nio.file.Paths.get(ckpt, "sources", "0", "graft-cdf-cursor")
+    assert(java.nio.file.Files.isDirectory(cursorDir),
+      s"cursor log expected under the checkpoint: $cursorDir")
+    java.nio.file.Files.write(cursorDir.resolve("cursor-garbage"),
+      "not-a-version\n".getBytes("UTF-8"))
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
     val all = { val b = Seq.newBuilder[(Long, Long)]; batches.forEach(x => b += x); b.result() }
