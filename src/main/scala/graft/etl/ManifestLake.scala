@@ -925,6 +925,7 @@ object ManifestLake {
     // head+1. Bounded retries; replace keeps the strict single-writer
     // contract (its semantics — "the table becomes exactly this" — are
     // not commutative), as do upsert/compact/restore.
+    fireRaceHook(if (replace) "replace" else "append")
     var attempt = 0
     var curPrev = prev
     var curV = v
@@ -1601,6 +1602,7 @@ object ManifestLake {
     // an input file is a GENUINE conflict: the staged rewrite bakes in
     // superseded rows, so the stage is withdrawn and the failure loud.
     val inputPaths: Set[String] = plans.flatMap(_._2).map(_.path).toSet
+    fireRaceHook("compact")
     var attempt = 0
     var curM = manifest
     var curV = newV
@@ -1873,6 +1875,7 @@ object ManifestLake {
     // schema — invalidates the pre-images: loud conflict, stage
     // withdrawn.
     val inputPaths = affectedFiles.map(_.path).toSet
+    fireRaceHook("upsert")
     var attempt = 0
     var curM = manifest
     var curV = newV
@@ -1950,6 +1953,67 @@ object ManifestLake {
     * ([[publishDeleteOptimistic]]). Returns the (possibly unchanged)
     * head version.
     */
+  /** The hive `k=v` partition-dir string of a manifest-relative data
+    * path (`data/v<N>/k1=v1/.../file.parquet` → `k1=v1/...`).
+    */
+  private def partDirOf(rel: String): String =
+    rel.split("/").drop(2).dropRight(1).mkString("/")
+
+  /** The subset of `dirs` (hive partition-dir strings) whose TYPED
+    * partition values satisfy `predicate`, or None when the predicate
+    * cannot be decided from partition values alone: it references data
+    * columns (fails to resolve against the partition-only frame), is
+    * nondeterministic (would evaluate per-partition instead of
+    * per-row), or any table column is named `__dir` (collides with the
+    * helper column). NULL partition values keep SQL semantics — the
+    * predicate evaluates NULL there, which is not a match.
+    */
+  private def matchedPartitionDirs(spark: SparkSession, schema: StructType,
+                                   partCols: Seq[String], predicate: Column,
+                                   dirs: Seq[String]): Option[Set[String]] =
+    if (partCols.isEmpty || partCols.contains("__dir") ||
+        schema.fieldNames.contains("__dir")) None
+    else {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val rows = dirs.map { d =>
+        val vals = d.split("/").map { seg =>
+          val s = ExternalCatalogUtils.unescapePathName(seg.substring(seg.indexOf('=') + 1))
+          if (s == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else s
+        }
+        Row.fromSeq(d +: vals.toSeq)
+      }
+      val strSchema = StructType(StructField("__dir", StringType) +:
+        partCols.map(c => StructField(c, StringType)).toArray)
+      import scala.jdk.CollectionConverters._
+      val frame = spark.createDataFrame(rows.asJava, strSchema)
+        .select(col("__dir") +: partCols.map(c =>
+          col(c).cast(schema(c).dataType).as(c)): _*)
+      try {
+        val filtered = frame.where(predicate)
+        val deterministic = filtered.queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.deterministic
+        }.getOrElse(true)
+        if (!deterministic) None
+        else Some(filtered.select("__dir").collect().map(_.getString(0)).toSet)
+      }
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+
+  /** Test seam for the optimistic-commit specs: when set, fired ONCE
+    * (one-shot, self-clearing) with the op kind right before a
+    * committer's first publish attempt — a spec injects a racing
+    * commit here to exercise a DETERMINISTIC loss of the version race.
+    * Production never sets it.
+    */
+  private[etl] val raceHook =
+    new java.util.concurrent.atomic.AtomicReference[String => Unit](null)
+
+  private def fireRaceHook(op: String): Unit = {
+    val h = raceHook.getAndSet(null)
+    if (h != null) h(op)
+  }
+
   /** Publish a delete commit OPTIMISTICALLY: on a lost version race the
     * loser re-reads the head and retries iff (a) every file the delete
     * resolved as match-bearing is still live (no racer rewrote or
@@ -1973,7 +2037,9 @@ object ManifestLake {
                                       schema: StructType,
                                       txn: Option[(String, Long)],
                                       relCdf: Option[String],
-                                      cleanup: Seq[Path]): Long = {
+                                      cleanup: Seq[Path],
+                                      partitionOnly: Boolean): Long = {
+    fireRaceHook("delete")
     var attempt = 0
     var curM = snapshot
     var curV = v + 1
@@ -2009,10 +2075,26 @@ object ManifestLake {
             conflict("changed the recorded shape")
           val snapshotPaths = snapshot.files.map(_.path).toSet
           val added = headM.files.filterNot(f => snapshotPaths.contains(f.path))
-          if (added.nonEmpty &&
-            readFileSlice(spark, path, headM, added).where(predicate).limit(1)
-              .count() > 0)
-            conflict("appended rows matching the delete predicate")
+          if (added.nonEmpty) {
+            // PARTITION-ONLY deletes decide this from the added files'
+            // partition dirs alone — a dir the predicate matches means
+            // every row in the file matches (conflict), any other dir
+            // provably contains none: the retry costs ZERO data I/O,
+            // so a metadata-only delete composes with disjoint
+            // appends/upserts/deletes at manifest speed. The rewrite
+            // path (data-column predicate) still reads only the added
+            // files — bounded by the winners' batches, never the table.
+            val matchingAdded =
+              if (partitionOnly)
+                matchedPartitionDirs(spark, schema, snapshot.partCols, predicate,
+                  added.map(f => partDirOf(f.path)).distinct)
+                  .map(m => added.exists(f => m.contains(partDirOf(f.path))))
+              else None
+            val hit = matchingAdded.getOrElse(
+              readFileSlice(spark, path, headM, added).where(predicate).limit(1)
+                .count() > 0)
+            if (hit) conflict("appended rows matching the delete predicate")
+          }
           curM = headM
           curV = headV + 1
       }
@@ -2051,46 +2133,12 @@ object ManifestLake {
     // against the helper frame's directory-string column instead of row
     // data — bail to the rewrite path for any __dir anywhere in the table
     val metadataOnlyDirs: Option[Set[String]] =
-      if (manifest.partCols.isEmpty || manifest.partCols.contains("__dir") ||
-          schema.fieldNames.contains("__dir")) None
-      else {
-        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        def partOf(rel: String): String =
-          rel.split("/").drop(2).dropRight(1).mkString("/")
-        val dirs = manifest.files.map(f => partOf(f.path)).distinct
-        val rows = dirs.map { d =>
-          val vals = d.split("/").map { seg =>
-            val s = ExternalCatalogUtils.unescapePathName(seg.substring(seg.indexOf('=') + 1))
-            if (s == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else s
-          }
-          Row.fromSeq(d +: vals.toSeq)
-        }
-        val strSchema = StructType(StructField("__dir", StringType) +:
-          manifest.partCols.map(c => StructField(c, StringType)).toArray)
-        import scala.jdk.CollectionConverters._
-        val frame = spark.createDataFrame(rows.asJava, strSchema)
-          .select(col("__dir") +: manifest.partCols.map(c =>
-            col(c).cast(schema(c).dataType).as(c)): _*)
-        try {
-          val filtered = frame.where(predicate)
-          // a NONDETERMINISTIC predicate (rand()-bearing) would evaluate
-          // once per PARTITION here instead of once per row — different
-          // semantics; only the rewrite path can honor it
-          val deterministic = filtered.queryExecution.analyzed.collectFirst {
-            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-              f.condition.deterministic
-          }.getOrElse(true)
-          if (!deterministic) None
-          else Some(filtered.select("__dir").collect().map(_.getString(0)).toSet)
-        }
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
-      }
+      matchedPartitionDirs(spark, schema, manifest.partCols, predicate,
+        manifest.files.map(f => partDirOf(f.path)).distinct)
     metadataOnlyDirs match {
       case Some(matched) =>
-        def partOf(rel: String): String =
-          rel.split("/").drop(2).dropRight(1).mkString("/")
         val candidates =
-          manifest.files.filter(f => matched.contains(partOf(f.path)))
+          manifest.files.filter(f => matched.contains(partDirOf(f.path)))
         if (candidates.isEmpty) return v // no partition matches: table is the result
         val newV = v + 1
         val (relCdf, cdfCleanup) =
@@ -2111,7 +2159,7 @@ object ManifestLake {
           }
         return publishDeleteOptimistic(spark, fs, root, path, predicate,
           manifest, v, candidates.map(_.path).toSet, Seq.empty, schema,
-          txn, relCdf, cdfCleanup)
+          txn, relCdf, cdfCleanup, partitionOnly = true)
       case None => () // references data columns: the rewrite path below
     }
     // which files actually CONTAIN matches — the filtered single scan
@@ -2185,7 +2233,7 @@ object ManifestLake {
         }
       publishDeleteOptimistic(spark, fs, root, path, predicate,
         manifest, v, candidates.map(_.path).toSet, withStats, schema,
-        txn, relCdf, Seq(commitDir))
+        txn, relCdf, Seq(commitDir), partitionOnly = false)
     } finally {
       src.unpersist()
       ()

@@ -1776,6 +1776,116 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(ManifestLake.footerRowCount(fs, root, head.files) === got.count())
   }
 
+  test("metadata-only delete losing a deterministic race to a DISJOINT upsert: both land, retry costs zero data jobs") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir("mlake-det-del-ups")
+    def rows(ch: String, lo: Int, hi: Int) =
+      (lo until hi).map(i => (ch, i.toLong, s"$ch-p$i")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark,
+      rows("chr1", 0, 30).unionByName(rows("chr2", 0, 30)).unionByName(rows("chr3", 0, 30)),
+      dir, Seq("chrom"))                                                        // v1
+    // the hook publishes a DISJOINT upsert (chr1) between the delete's
+    // snapshot and its publish — the delete MUST lose the version race,
+    // then compose: the upsert's added files live in chrom=chr1, which
+    // the partition predicate provably excludes with zero reads.
+    // The hook runs in a separate thread so its jobs don't pollute the
+    // delete thread's job group.
+    ManifestLake.raceHook.set { op =>
+      assert(op === "delete")
+      Await.result(Future {
+        // the pool thread may inherit the delete thread's job group
+        // (Spark local properties are InheritableThreadLocal) — clear
+        // so the interloper's jobs don't count against the delete
+        spark.sparkContext.clearJobGroup()
+        ManifestLake.upsert(spark, dir,
+          Seq(("chr1", 0L, "UPS")).toDF("chrom", "pos", "payload"),
+          Seq("chrom"), Seq("chrom", "pos"))
+      }, 2.minutes): Unit
+    }
+    val sc = spark.sparkContext
+    val group = s"det-del-${System.nanoTime()}"
+    sc.setJobGroup(group, "metadata delete under race", interruptOnCancel = false)
+    val dv = try ManifestLake.delete(spark, dir, col("chrom") === "chr3", changeFeed = false)
+    finally {
+      sc.clearJobGroup()
+      ManifestLake.raceHook.set(null)
+    }
+    assert(dv === 3L, "the delete must land AFTER the interloping upsert")
+    assert(sc.statusTracker.getJobIdsForGroup(group).isEmpty,
+      "a partition-predicate delete retry must decide added files from " +
+        "their partition dirs — zero Spark jobs, zero data I/O")
+    val got = ManifestLake.read(spark, dir)
+    assert(got.count() === 60)
+    assert(got.where(col("chrom") === "chr3").count() === 0)
+    assert(got.where(col("payload") === "UPS").count() === 1)
+  }
+
+  test("delete losing a deterministic race to a commit touching the MATCHED partition stays a loud conflict") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir("mlake-det-del-conflict")
+    def rows(ch: String, lo: Int, hi: Int) =
+      (lo until hi).map(i => (ch, i.toLong, s"$ch-p$i")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark,
+      rows("chr1", 0, 30).unionByName(rows("chr3", 0, 30)), dir, Seq("chrom"))
+    // an upsert INTO chr3 rewrites the delete's match-bearing files:
+    // the staged candidates are superseded — genuine conflict
+    ManifestLake.raceHook.set { _ =>
+      Await.result(Future {
+        ManifestLake.upsert(spark, dir,
+          Seq(("chr3", 0L, "REWRITTEN")).toDF("chrom", "pos", "payload"),
+          Seq("chrom"), Seq("chrom", "pos"))
+      }, 2.minutes): Unit
+    }
+    val e = try intercept[IllegalStateException] {
+      ManifestLake.delete(spark, dir, col("chrom") === "chr3")
+    } finally ManifestLake.raceHook.set(null)
+    assert(e.getMessage.contains("lost its race"))
+    assert(ManifestLake.read(spark, dir).where(col("chrom") === "chr3").count() === 30)
+
+    // an APPEND into chr3 adds matching rows: also a conflict, decided
+    // from the added file's partition dir WITHOUT reading it
+    ManifestLake.raceHook.set { _ =>
+      Await.result(Future {
+        ManifestLake.write(spark, rows("chr3", 100, 105), dir, Seq("chrom"),
+          replace = false)
+      }, 2.minutes): Unit
+    }
+    val e2 = try intercept[IllegalStateException] {
+      ManifestLake.delete(spark, dir, col("chrom") === "chr3", changeFeed = false)
+    } finally ManifestLake.raceHook.set(null)
+    assert(e2.getMessage.contains("appended rows matching"))
+    assert(ManifestLake.read(spark, dir).where(col("chrom") === "chr3").count() === 35)
+  }
+
+  test("two partition-disjoint metadata deletes released against each other both land") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir("mlake-det-del-del")
+    def rows(ch: String) =
+      (0 until 20).map(i => (ch, i.toLong, s"$ch-p$i")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark,
+      Seq("chr1", "chr2", "chr3").map(rows).reduce(_ unionByName _), dir, Seq("chrom"))
+    ManifestLake.raceHook.set { _ =>
+      Await.result(Future {
+        ManifestLake.delete(spark, dir, col("chrom") === "chr2", changeFeed = false)
+      }, 2.minutes): Unit
+    }
+    val dv = try ManifestLake.delete(spark, dir, col("chrom") === "chr3", changeFeed = false)
+    finally ManifestLake.raceHook.set(null)
+    assert(dv === 3L)
+    val got = ManifestLake.read(spark, dir)
+    assert(got.select("chrom").distinct().collect().map(_.getString(0)).toSeq === Seq("chr1"))
+    assert(got.count() === 20)
+  }
+
   test("a stats-less append runs exactly ONE Spark job: input count observed on the write, staged count from footers") {
     import spark.implicits._
     val dir = freshDir("mlake-onejob")
