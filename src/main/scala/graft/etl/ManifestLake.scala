@@ -192,12 +192,28 @@ object ManifestLake {
     * only for manifests written before the header existed — those read
     * through the legacy per-commit grouped path.
     */
+  /** `colMap`: COLUMN MAPPING — the rename/drop-without-rewrite
+    * indirection (Delta's column-mapping analog). `schema` always
+    * records the PHYSICAL shape (the column names as written in the
+    * parquet files — every internal path: scans, stats, skipping,
+    * rewrites, operates on it unchanged). When `colMap` is present the
+    * table's LOGICAL view is the ordered (logicalName → physicalName)
+    * list: reads alias physical→logical at the public boundary, writes
+    * rename batches logical→physical on entry, and a physical column
+    * with no entry is DROPPED (invisible, still in the files).
+    * `droppedPhys` records every physical name ever dropped so a
+    * re-added logical column of the same name gets a FRESH physical
+    * name instead of resurrecting old file data.
+    */
   private[etl] final case class Manifest(schema: Option[StructType],
                                          partCols: Seq[String],
                                          files: Seq[LiveFile],
                                          txns: Map[String, Long] = Map.empty,
                                          op: Option[String] = None,
-                                         cdf: Option[String] = None)
+                                         cdf: Option[String] = None,
+                                         constraints: Map[String, String] = Map.empty,
+                                         colMap: Option[Seq[(String, String)]] = None,
+                                         droppedPhys: Seq[String] = Seq.empty)
 
   /** Published manifests are IMMUTABLE (a version is never rewritten —
     * restore publishes a NEW version), so parsed manifests cache across
@@ -293,6 +309,18 @@ object ManifestLake {
     }.toMap
     val op = dmap.get("#op").filter(_.nonEmpty)
     val cdf = dmap.get("#cdf").filter(_.nonEmpty)
+    val constraints = directives.filter(_.startsWith("#constraint\t")).map { d =>
+      val rest = d.substring("#constraint\t".length)
+      val i = rest.indexOf('\t')
+      rest.substring(0, i) -> rest.substring(i + 1)
+    }.toMap
+    // directive ORDER is the logical column order
+    val colMapEntries = directives.filter(_.startsWith("#colmap\t")).map { d =>
+      val parts = d.split("\t")
+      parts(1) -> parts(2)
+    }
+    val dropped = directives.filter(_.startsWith("#coldropped\t"))
+      .map(_.substring("#coldropped\t".length))
     val files = data.map { line =>
       // `bytes\tpath` or `bytes\tpath\t<stats json>` — JSON string
       // escaping keeps tabs/newlines inside values off the line.
@@ -308,7 +336,8 @@ object ManifestLake {
           LiveFile(b.toLong, p, bounds, rows, nulls, sets)
       }
     }
-    Manifest(schema, partCols, files, txns, op, cdf)
+    Manifest(schema, partCols, files, txns, op, cdf, constraints,
+      if (colMapEntries.isEmpty) None else Some(colMapEntries), dropped)
   }
 
   /** Stats blob: `{"col": ["lo","hi"], …, "#rows": n, "#nulls":
@@ -431,11 +460,25 @@ object ManifestLake {
                            schema: Option[StructType], partCols: Seq[String],
                            txns: Map[String, Long] = Map.empty,
                            op: Option[String] = None,
-                           cdf: Option[String] = None): Unit = {
+                           cdf: Option[String] = None,
+                           constraints: Map[String, String] = Map.empty,
+                           colMap: Option[Seq[(String, String)]] = None,
+                           droppedPhys: Seq[String] = Seq.empty): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
     txns.keys.foreach(app => require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
       s"txn appId must not contain tabs or newlines: ${app.replaceAll("\\s", "·")}"))
+    constraints.foreach { case (n, e) =>
+      require(n.nonEmpty && !n.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"constraint name must be non-empty with no tabs or newlines: $n")
+      require(!e.exists(c => c == '\n' || c == '\r'),
+        s"constraint expression must not contain newlines: $n")
+    }
+    colMap.foreach(_.foreach { case (l, p) =>
+      require(l.nonEmpty && p.nonEmpty &&
+        !(l + p).exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"column-mapping names must be non-empty with no tabs or newlines: $l -> $p")
+    })
     partCols.foreach(c => require(!c.exists(ch => ch == ',' || ch == '\t' || ch == '\n' || ch == '\r'),
       s"partition column name must not contain ',' or whitespace control chars: $c"))
     val dir = new Path(root, ManifestDir)
@@ -450,6 +493,9 @@ object ManifestLake {
       Seq(s"#schema\t${s.json}", s"#partcols\t${partCols.mkString(",")}")) ++
       op.map(o => s"#op\t$o").toSeq ++
       cdf.map(c => s"#cdf\t$c").toSeq ++
+      constraints.toSeq.sortBy(_._1).map { case (n, e) => s"#constraint\t$n\t$e" } ++
+      colMap.toSeq.flatten.map { case (l, p) => s"#colmap\t$l\t$p" } ++
+      droppedPhys.map(p => s"#coldropped\t$p") ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
     val body = header ++ files.sortBy(_.path).map { f =>
       if (f.stats.isEmpty && f.rows.isEmpty && f.nullCounts.isEmpty && f.valueSets.isEmpty)
@@ -828,6 +874,27 @@ object ManifestLake {
     if (txn.exists { case (app, b) => prev.exists(_.txns.get(app).exists(_ >= b)) })
       return prevV.get
     val v = prevV.getOrElse(0L) + 1
+    // COLUMN MAPPING: the batch arrives in LOGICAL names; everything
+    // below (widen, stats, skipping, the staged files) is PHYSICAL —
+    // rename on entry, extending the mapping for genuinely-new columns.
+    // A replace resets the mapping: the table becomes exactly this
+    // batch, physical = logical again.
+    val mapping = if (replace) None else prev.flatMap(_.colMap)
+    val (dfP, colMapOut, droppedOut) = mapping match {
+      case None =>
+        (df, None, if (replace) Seq.empty[String]
+                   else prev.map(_.droppedPhys).getOrElse(Seq.empty))
+      case Some(cm) =>
+        val dropped = prev.get.droppedPhys
+        val (p, extended) = batchToPhysical(df, cm, dropped)
+        (p, Some(extended), dropped)
+    }
+    val statsColsP = mapping match {
+      case None => statsCols
+      case Some(cm) =>
+        val byLogical = cm.toMap ++ colMapOut.toSeq.flatten.toMap
+        statsCols.map(c => byLogical.getOrElse(c, c))
+    }
     // an append joins an existing table, so its shape must match what
     // the manifest records. A legacy HEADERLESS manifest has no recorded
     // shape to check against, and stamping this batch's schema over the
@@ -844,11 +911,11 @@ object ManifestLake {
         // additive evolution: a superset batch WIDENS the recorded
         // schema (new nullable columns; old files read them as null);
         // a missing or re-typed column still fails loudly inside widen
-        widen(m.schema.get, df.schema, partitionCols, "append")
+        widen(m.schema.get, dfP.schema, partitionCols, "append")
       case Some(m) if !replace && m.files.nonEmpty =>
         val inferred = readFilesGrouped(spark, root, m.files.map(_.path)).schema
-        require(sameShape(inferred, df.schema),
-          s"append schema ${df.schema.catalogString} does not match the legacy " +
+        require(sameShape(inferred, dfP.schema),
+          s"append schema ${dfP.schema.catalogString} does not match the legacy " +
             s"table's inferred schema ${inferred.catalogString} — a headerless " +
             "manifest adopts this batch's schema as the table header, so the " +
             "shapes must agree (use a replace write to change the schema)")
@@ -864,8 +931,8 @@ object ManifestLake {
             s"[${legacyPartCols.mkString(",")}] — the adopted header must " +
             "record the carried files' real partitioning (use a replace " +
             "write to change it)")
-        df.schema
-      case _ => df.schema
+        dfP.schema
+      case _ => dfP.schema
     }
     // appends stage under a UNIQUE dir (`v<N>-<token>`): two optimistic
     // appenders computing the same next version must never share a
@@ -885,9 +952,33 @@ object ManifestLake {
     // metric — re-executing `df` for a count would run the entire input
     // plan (joins, aggregations, a 100 TB scan) a second time per
     // append; observe() collects it during the one pass the write
-    // already makes
+    // already makes. CHECK-constraint violation counts ride the SAME
+    // observation (SQL CHECK semantics: TRUE or NULL passes, FALSE
+    // violates), so enforcement costs zero extra jobs — the batch is
+    // judged during the one pass, and a violation withdraws the staged
+    // commit before anything publishes.
+    val consLogical = prev.map(_.constraints).getOrElse(Map.empty).toSeq.sortBy(_._1)
+    // constraints are stored in LOGICAL names — translate to physical
+    // for enforcement against the renamed batch
+    val consSeq = mapping match {
+      case None => consLogical
+      case Some(cm) =>
+        val full = cm ++ colMapOut.toSeq.flatten.filterNot(cm.contains)
+        consLogical.map { case (n, e) => n -> exprToPhysical(spark, e, full) }
+    }
+    consSeq.foreach { case (n, e) =>
+      try { dfP.select(expr(e)); () } catch {
+        case ex: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"CHECK constraint $n (`$e`) on $path cannot be evaluated " +
+              s"against this batch: ${ex.getMessage}", ex)
+      }
+    }
     val obs = org.apache.spark.sql.Observation()
-    val w = df.observe(obs, count(lit(1)).as("rows"))
+    val aggs = count(lit(1)).as("rows") +: consSeq.map { case (n, e) =>
+      count(when(not(coalesce(expr(e), lit(true))), lit(1))).as(s"viol_$n")
+    }
+    val w = dfP.observe(obs, aggs.head, aggs.tail: _*)
       .write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(commitDir.toString)
@@ -897,6 +988,15 @@ object ManifestLake {
     // side is summed from parquet FOOTERS (metadata-only, no job), so a
     // stats-less append costs exactly ONE Spark job end to end.
     val staged = stagedFiles(fs, root, commitDir)
+    consSeq.foreach { case (n, e) =>
+      val bad = obs.get(s"viol_$n").asInstanceOf[Long]
+      if (bad > 0) {
+        fs.delete(commitDir, true)
+        throw new IllegalStateException(
+          s"CHECK constraint $n (`$e`) on $path violated by $bad batch row(s) — " +
+            s"nothing published, table still at v${v - 1}")
+      }
+    }
     val rowsIn = obs.get("rows").asInstanceOf[Long]
     // empty input stages no parquet files — nothing to re-read (an empty
     // replace is a defined state: the manifest lists nothing)
@@ -908,10 +1008,10 @@ object ManifestLake {
           s"$rowsOut staged — table still at v${v - 1}")
     }
     val withStats =
-      if (statsCols.isEmpty || staged.isEmpty) staged
+      if (statsColsP.isEmpty || staged.isEmpty) staged
       else {
         val byRel = collectStats(spark, fs, root, commitDir, tableSchema,
-          statsCols, partitionCols)
+          statsColsP, partitionCols)
         staged.map(f => withFileStats(f, byRel.get(f.path)))
       }
     // OPTIMISTIC CONCURRENT APPENDS: the checked no-overwrite publish
@@ -940,7 +1040,9 @@ object ManifestLake {
       val txns = curPrev.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
       try {
         publish(fs, root, curV, carried ++ withStats, Some(curSchema), partitionCols,
-          txns, op = Some(if (replace) "replace" else "append"))
+          txns, op = Some(if (replace) "replace" else "append"),
+          constraints = consLogical.toMap, colMap = colMapOut,
+          droppedPhys = droppedOut)
         return curV
       } catch {
         case e: IllegalStateException if !replace && attempt >= 5 =>
@@ -956,6 +1058,17 @@ object ManifestLake {
             fs.delete(commitDir, true)
             return headV
           }
+          // a constraint added by the winner was never checked against
+          // this batch — adopting it unvalidated would publish unjudged
+          // rows under a declared contract: genuine conflict
+          require(headM.constraints == consLogical.toMap,
+            s"append to $path lost its race to a commit that changed the " +
+              "table's CHECK constraints — the batch was not validated " +
+              "against them; re-run the append")
+          require(headM.colMap == mapping,
+            s"append to $path lost its race to a commit that changed the " +
+              "table's column mapping — the batch was renamed under the old " +
+              "mapping; re-run the append")
           curSchema = headM.schema match {
             case Some(recorded) =>
               require(headM.partCols == partitionCols,
@@ -1051,6 +1164,11 @@ object ManifestLake {
         s"manifest v$v of $path predates the schema header — the " +
           "graft-manifest data source needs the recorded schema; read it " +
           "with ManifestLake.read, or replace-write once to adopt a header")
+    if (m.colMap.isDefined)
+      throw new IllegalArgumentException(
+        s"$path uses column mapping (renamed/dropped columns) — the raw " +
+          "graft-manifest relation would serve PHYSICAL column names; read " +
+          "it with ManifestLake.read (and register a temp view for SQL)")
     hadoopFsRelation(spark, fs, root, m)
   }
 
@@ -1199,10 +1317,11 @@ object ManifestLake {
     val m = readManifest(fs, root, v)
     if (m.files.isEmpty)
       m.schema match {
-        case Some(s) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+        case Some(_) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logicalSchemaOf(m))
         case None => spark.emptyDataFrame
       }
-    else readFiles(spark, fs, root, m)
+    else toLogical(readFiles(spark, fs, root, m), m)
   }
 
   /** The rows ADDED to the table after version `fromV`, up to and
@@ -1268,10 +1387,12 @@ object ManifestLake {
     val files = added.result()
     if (files.isEmpty)
       head.schema match {
-        case Some(s) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+        case Some(_) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logicalSchemaOf(head))
         case None => spark.emptyDataFrame
       }
-    else readFiles(spark, fs, root, Manifest(head.schema, head.partCols, files))
+    else toLogical(
+      readFiles(spark, fs, root, Manifest(head.schema, head.partCols, files)), head)
   }
 
   /** The ROW-LEVEL change feed over `(fromV, toV]` — table columns plus
@@ -1312,7 +1433,8 @@ object ManifestLake {
     // by appends, which legally accept any name) cannot be served — the
     // stamped columns would shadow the user's data
     head.schema.foreach(s => Seq(ChangeTypeCol, CommitVersionCol).foreach(r =>
-      require(!s.fieldNames.contains(r),
+      require(!s.fieldNames.contains(r) &&
+        !logicalSchemaOf(head).fieldNames.contains(r),
         s"table column $r collides with the change feed's reserved metadata column")))
     def refuse(v: Long, what: String): Nothing =
       throw new IllegalArgumentException(
@@ -1329,7 +1451,8 @@ object ManifestLake {
         else Some(readFiles(spark, fs, root, Manifest(m.schema, m.partCols, added))
           .withColumn(ChangeTypeCol, lit("insert"))
           .withColumn(CommitVersionCol, lit(v)))
-      } else if (m.op.contains("compact")) None
+      } else if (m.op.exists(o => o == "compact" || o == "constraint" ||
+        o == "schema")) None
       else if (m.op.exists(o => o == "upsert" || o == "delete")) {
         val dir = cdfPathOf(root, v, m)
         m.schema match {
@@ -1360,13 +1483,18 @@ object ManifestLake {
         // before a widening lack the new columns and carry typed nulls
         val norm = metaFields.foldLeft(df)((d, f) =>
           d.withColumn(f.name, when(lit(true), col(f.name))))
-        head.schema match {
+        val physOrdered = head.schema match {
           case Some(s) =>
             norm.select((s.fieldNames.toSeq ++ metaFields.map(_.name)).map(col): _*)
           case None => norm
         }
+        // logical names at the boundary — toV's mapping names the whole
+        // window, the same rule widening applies to column ORDER
+        toLogical(physOrdered, head, extraCols = metaFields.map(_.name))
       case None =>
-        val s = StructType(head.schema.map(_.fields.toSeq).getOrElse(Seq.empty) ++ metaFields)
+        val s = StructType(
+          (if (head.schema.isDefined) logicalSchemaOf(head).fields.toSeq
+           else Seq.empty) ++ metaFields)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
     }
   }
@@ -1430,6 +1558,11 @@ object ManifestLake {
     * arbitrary file slice. Empty slice = empty frame WITH the recorded
     * schema.
     */
+  private[graft] def readFileSliceLogical(spark: SparkSession, path: String,
+                                          head: Manifest,
+                                          files: Seq[LiveFile]): DataFrame =
+    toLogical(readFileSlice(spark, path, head, files), head)
+
   private[graft] def readFileSlice(spark: SparkSession, path: String,
                                    head: Manifest,
                                    files: Seq[LiveFile]): DataFrame = {
@@ -1610,7 +1743,9 @@ object ManifestLake {
       val untouched = curM.files.filterNot(f => inputPaths.contains(f.path))
       try {
         publish(fs, root, curV, untouched ++ withStats,
-          curM.schema, curM.partCols, curM.txns, op = Some("compact"))
+          curM.schema, curM.partCols, curM.txns, op = Some("compact"),
+          constraints = curM.constraints, colMap = curM.colMap,
+          droppedPhys = curM.droppedPhys)
         return report
       } catch {
         case e: IllegalStateException if attempt >= 5 =>
@@ -1715,6 +1850,24 @@ object ManifestLake {
         s"updates are not key-unique on ${keyCols.mkString(",")}: $nUpd rows, $nUpdKeys keys")
     if (v == 0L) return write(spark, updates, path, partitionCols, replace = true, txn)
     val manifest = manifest0.get
+    // COLUMN MAPPING: the batch and the key columns arrive in LOGICAL
+    // names — rename to physical on entry (partition columns are
+    // mapping-identity by renameColumn's refusal, so affected-dir
+    // rendering is untouched); the extended mapping publishes with the
+    // commit
+    val mappingU = manifest.colMap
+    val (updatesP, colMapOutU) = mappingU match {
+      case None => (updates, None)
+      case Some(cm) =>
+        val (pp, ext) = batchToPhysical(updates, cm, manifest.droppedPhys)
+        (pp, Some(ext))
+    }
+    val keyColsP = mappingU match {
+      case None => keyCols
+      case Some(_) =>
+        val by = colMapOutU.toSeq.flatten.toMap
+        keyCols.map(c => by.getOrElse(c, c))
+    }
     // additive evolution, same contract as the append path: a superset
     // batch widens the recorded schema; untouched partitions' old files
     // serve the new columns as typed nulls through the single scan
@@ -1722,15 +1875,15 @@ object ManifestLake {
       require(manifest.partCols == partitionCols,
         s"upsert partitioned by ${partitionCols.mkString(",")} but the table " +
           s"is partitioned by ${manifest.partCols.mkString(",")}")
-      widen(recorded, updates.schema, partitionCols, "upsert")
+      widen(recorded, updatesP.schema, partitionCols, "upsert")
     }
     // a legacy headerless table adopts THIS batch's schema as its header
     // when the merge publishes — verify the shapes agree first (same
     // silent-null hazard as the append path; see writePinned)
     if (manifest.schema.isEmpty && manifest.files.nonEmpty) {
       val inferred = readFilesGrouped(spark, root, manifest.files.map(_.path)).schema
-      require(sameShape(inferred, updates.schema),
-        s"upsert batch schema ${updates.schema.catalogString} does not match the " +
+      require(sameShape(inferred, updatesP.schema),
+        s"upsert batch schema ${updatesP.schema.catalogString} does not match the " +
           s"legacy table's inferred schema ${inferred.catalogString} — a headerless " +
           "manifest adopts the batch's schema as the table header, so the shapes " +
           "must agree (use a replace write to change the schema)")
@@ -1739,7 +1892,7 @@ object ManifestLake {
     // affected partition dirs, rendered exactly as partitioned writes
     // render them (one small collect — bounded by the batch's partition
     // spread, which is small against the lake by definition)
-    val partRows = updates
+    val partRows = updatesP
       .select(partitionCols.map(c => col(c).cast("string").as(c)): _*)
       .distinct().collect()
     require(partRows.forall(r => partitionCols.indices.forall(i => !r.isNullAt(i))),
@@ -1756,7 +1909,7 @@ object ManifestLake {
 
     // merge: updates win key collisions outright (the batch is the
     // newer truth) — same shape as Lake.upsert's merge
-    val updSchema = updates.schema
+    val updSchema = updatesP.schema
     // the post-merge table schema: widened when the manifest records
     // one, the batch's own otherwise (legacy adoption, verified above)
     val tableSchema = widened.getOrElse(updSchema)
@@ -1777,12 +1930,12 @@ object ManifestLake {
         .select(tableSchema.fieldNames.map(n =>
           col(n).cast(tableSchema(n).dataType)): _*))
     val merged = affected match {
-      case None => updates
+      case None => updatesP
       case Some(aff) =>
         val byKey = org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCols.map(col): _*).orderBy(col("__src").desc)
+          .partitionBy(keyColsP.map(col): _*).orderBy(col("__src").desc)
         aff.withColumn("__src", lit(0))
-          .unionByName(updates.withColumn("__src", lit(1)))
+          .unionByName(updatesP.withColumn("__src", lit(1)))
           .withColumn("__rn", row_number().over(byKey))
           .where(col("__rn") === 1)
           .drop("__src", "__rn")
@@ -1796,19 +1949,58 @@ object ManifestLake {
     // collide either
     val commitDir = new Path(root,
       f"$DataDir/v$newV%06d-${java.util.UUID.randomUUID().toString.take(8)}")
-    merged.repartition(partitionCols.map(col): _*)
-      .sortWithinPartitions(keyCols.map(col): _*)
+    // CHECK constraints ride the merge write as observed metrics (zero
+    // extra jobs): carried rows already satisfy them (write/addConstraint
+    // invariant), so any violation is the update batch's — judged
+    // before publish, stage withdrawn on failure
+    val consSeqU = {
+      val logical = manifest.constraints.toSeq.sortBy(_._1)
+      mappingU match {
+        case None => logical
+        case Some(cm) =>
+          val full = cm ++ colMapOutU.toSeq.flatten.filterNot(cm.contains)
+          logical.map { case (n, e) => n -> exprToPhysical(spark, e, full) }
+      }
+    }
+    consSeqU.foreach { case (n, e) =>
+      try { merged.select(expr(e)); () } catch {
+        case ex: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"CHECK constraint $n (`$e`) on $path cannot be evaluated " +
+              s"against this upsert batch: ${ex.getMessage}", ex)
+      }
+    }
+    val obsU = org.apache.spark.sql.Observation()
+    val observed =
+      if (consSeqU.isEmpty) merged
+      else {
+        val aggsU = consSeqU.map { case (n, e) =>
+          count(when(not(coalesce(expr(e), lit(true))), lit(1))).as(s"viol_$n")
+        }
+        merged.observe(obsU, aggsU.head, aggsU.tail: _*)
+      }
+    observed.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(keyColsP.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(commitDir.toString)
+    consSeqU.foreach { case (n, e) =>
+      val bad = obsU.get(s"viol_$n").asInstanceOf[Long]
+      if (bad > 0) {
+        fs.delete(commitDir, true)
+        throw new IllegalStateException(
+          s"CHECK constraint $n (`$e`) on $path violated by $bad merged row(s) — " +
+            s"nothing published, table still at v$v")
+      }
+    }
 
     // verify the staged merge while it is invisible: key-unique and
     // every update key present
     val out = spark.read.parquet(commitDir.toString)
     val rowsOut = out.count()
-    val keysOut = out.select(keyCols.map(col): _*).distinct().count()
-    val updKeysOut = out.join(broadcast(updates.select(keyCols.map(col): _*)),
-      keyCols.toSeq, "left_semi").count()
+    val keysOut = out.select(keyColsP.map(col): _*).distinct().count()
+    val updKeysOut = out.join(broadcast(updatesP.select(keyColsP.map(col): _*)),
+      keyColsP.toSeq, "left_semi").count()
     if (rowsOut != keysOut || updKeysOut != nUpdKeys) {
       fs.delete(commitDir, true)
       throw new IllegalStateException(
@@ -1844,17 +2036,17 @@ object ManifestLake {
       if (!changeFeed) None
       else {
         val tableCols = tableSchema.fieldNames.map(col).toSeq
-        val updNorm = updates.select(tableCols: _*)
+        val updNorm = updatesP.select(tableCols: _*)
         val changes = affected match {
           case None =>
             // no affected partition existed — every batch row is an insert
             updNorm.withColumn(ChangeTypeCol, lit("insert"))
           case Some(aff) =>
-            val keySeq = keyCols.toSeq
-            val updKeys = updates.select(keyCols.map(col): _*)
+            val keySeq = keyColsP.toSeq
+            val updKeys = updatesP.select(keyColsP.map(col): _*)
             val pre = aff.select(tableCols: _*)
               .join(broadcast(updKeys), keySeq, "left_semi")
-            val preKeys = pre.select(keyCols.map(col): _*)
+            val preKeys = pre.select(keyColsP.map(col): _*)
             pre.withColumn(ChangeTypeCol, lit("update_preimage"))
               .unionByName(updNorm.join(broadcast(preKeys), keySeq, "left_semi")
                 .withColumn(ChangeTypeCol, lit("update_postimage")))
@@ -1884,7 +2076,9 @@ object ManifestLake {
         publish(fs, root, curV, curM.files.filterNot(f => inputPaths.contains(f.path))
           ++ stagedWithStats,
           Some(tableSchema), partitionCols,
-          curM.txns ++ txn.toMap, op = Some("upsert"), cdf = relCdf)
+          curM.txns ++ txn.toMap, op = Some("upsert"), cdf = relCdf,
+          constraints = manifest.constraints, colMap = colMapOutU,
+          droppedPhys = manifest.droppedPhys)
         return curV
       } catch {
         case e: IllegalStateException if attempt >= 5 =>
@@ -1901,7 +2095,9 @@ object ManifestLake {
           val headAffected = headM.files
             .filter(f => affectedDirs.contains(partOf(f.path))).map(_.path).toSet
           if (headAffected != inputPaths ||
-            headM.schema != manifest.schema || headM.partCols != partitionCols) {
+            headM.schema != manifest.schema || headM.partCols != partitionCols ||
+            headM.constraints != manifest.constraints ||
+            headM.colMap != manifest.colMap) {
             fs.delete(commitDir, true)
             throw new IllegalStateException(
               s"upsert of $path lost its race to a commit that touched its " +
@@ -1953,6 +2149,88 @@ object ManifestLake {
     * ([[publishDeleteOptimistic]]). Returns the (possibly unchanged)
     * head version.
     */
+  // ---- column mapping (rename/drop without rewrite) ----
+
+  /** Present a PHYSICAL frame (recorded-schema column names) through
+    * the manifest's logical view: aliased to logical names, in logical
+    * order, unmapped physical columns dropped. Identity when no
+    * mapping is active. `extraCols` (e.g. the change feed's metadata
+    * columns) pass through after the mapped ones.
+    */
+  private def toLogical(df: DataFrame, m: Manifest,
+                        extraCols: Seq[String] = Seq.empty): DataFrame =
+    m.colMap match {
+      case None => df
+      case Some(cm) =>
+        df.select(cm.map { case (l, p) => col(p).as(l) } ++
+          extraCols.map(col): _*)
+    }
+
+  /** Invert [[toLogical]]: a LOGICAL frame back to physical names for
+    * writing. Dropped physical columns are absent from the result —
+    * they are invisible logically, and a rewritten file serves them as
+    * typed nulls through the recorded physical schema if ever scanned.
+    */
+  private def fromLogical(df: DataFrame, m: Manifest): DataFrame =
+    m.colMap match {
+      case None => df
+      case Some(cm) => df.select(cm.map { case (l, p) => col(l).as(p) }: _*)
+    }
+
+  /** The table's LOGICAL schema — what the public read surface serves.
+    * Physical when no mapping is active.
+    */
+  private[etl] def logicalSchemaOf(m: Manifest): StructType = m.colMap match {
+    case None => m.schema.getOrElse(StructType(Seq.empty))
+    case Some(cm) =>
+      val phys = m.schema.get
+      StructType(cm.map { case (l, p) => phys(p).copy(name = l) }.toArray)
+  }
+
+  /** Rename a LOGICAL batch to physical names for writing. Known
+    * logical columns take their mapped physical name; NEW columns
+    * (additive widening) get a collision-free physical name — the
+    * logical name itself unless some file ever carried it (a dropped
+    * column must never resurrect), else `<name>__<k>`. Returns the
+    * physical frame plus the extended mapping to record.
+    */
+  private def batchToPhysical(df: DataFrame, cm: Seq[(String, String)],
+                              dropped: Seq[String]): (DataFrame, Seq[(String, String)]) = {
+    val byLogical = cm.toMap
+    val used = scala.collection.mutable.Set[String]((cm.map(_._2) ++ dropped): _*)
+    val outMap = Seq.newBuilder[(String, String)]
+    outMap ++= cm
+    val cols = df.schema.fieldNames.toSeq.map { n =>
+      byLogical.get(n) match {
+        case Some(p) => col(n).as(p)
+        case None =>
+          val fresh =
+            if (!used.contains(n)) n
+            else Iterator.from(1).map(k => s"${n}__$k").find(!used.contains(_)).get
+          used += fresh
+          outMap += (n -> fresh)
+          col(n).as(fresh)
+      }
+    }
+    (df.select(cols: _*), outMap.result())
+  }
+
+  /** Rewrite a LOGICAL-name SQL expression (constraint text) to
+    * physical names through the mapping — single-part column
+    * references only, which is all the flat recorded schema can hold.
+    */
+  private def exprToPhysical(spark: SparkSession, sqlText: String,
+                             cm: Seq[(String, String)]): String = {
+    val byLogical = cm.toMap
+    val parsed = spark.sessionState.sqlParser.parseExpression(sqlText)
+    parsed.transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if a.nameParts.length == 1 && byLogical.contains(a.nameParts.head) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(byLogical(a.nameParts.head)))
+    }.sql
+  }
+
   /** The hive `k=v` partition-dir string of a manifest-relative data
     * path (`data/v<N>/k1=v1/.../file.parquet` → `k1=v1/...`).
     */
@@ -2048,7 +2326,12 @@ object ManifestLake {
         publish(fs, root, curV,
           curM.files.filterNot(f => candidatePaths.contains(f.path)) ++ staged,
           Some(schema), snapshot.partCols,
-          curM.txns ++ txn.toMap, op = Some("delete"), cdf = relCdf)
+          // deletes remove rows only, so they can never violate a
+          // constraint — carry the HEAD's (a concurrently-added one
+          // survives the retry instead of being clobbered)
+          curM.txns ++ txn.toMap, op = Some("delete"), cdf = relCdf,
+          constraints = curM.constraints, colMap = curM.colMap,
+          droppedPhys = curM.droppedPhys)
         return curV
       } catch {
         case e: IllegalStateException if attempt >= 5 =>
@@ -2071,7 +2354,8 @@ object ManifestLake {
           val headPaths = headM.files.map(_.path).toSet
           if (!candidatePaths.forall(headPaths.contains))
             conflict("rewrote or removed its match-bearing files")
-          if (headM.schema != snapshot.schema || headM.partCols != snapshot.partCols)
+          if (headM.schema != snapshot.schema || headM.partCols != snapshot.partCols ||
+            headM.colMap != snapshot.colMap)
             conflict("changed the recorded shape")
           val snapshotPaths = snapshot.files.map(_.path).toSet
           val added = headM.files.filterNot(f => snapshotPaths.contains(f.path))
@@ -2091,8 +2375,8 @@ object ManifestLake {
                   .map(m => added.exists(f => m.contains(partDirOf(f.path))))
               else None
             val hit = matchingAdded.getOrElse(
-              readFileSlice(spark, path, headM, added).where(predicate).limit(1)
-                .count() > 0)
+              toLogical(readFileSlice(spark, path, headM, added), headM)
+                .where(predicate).limit(1).count() > 0)
             if (hit) conflict("appended rows matching the delete predicate")
           }
           curM = headM
@@ -2115,7 +2399,8 @@ object ManifestLake {
       s"table at $path has a headerless legacy manifest — delete needs the " +
         "recorded schema (run one append or upsert to adopt a header first)"))
     Seq(ChangeTypeCol, CommitVersionCol).foreach(r =>
-      require(!schema.fieldNames.contains(r),
+      require(!schema.fieldNames.contains(r) &&
+        !logicalSchemaOf(manifest).fieldNames.contains(r),
         s"column name $r is reserved for the change feed's metadata"))
     if (manifest.files.isEmpty) return v
     // ---- METADATA-ONLY FAST PATH: a predicate over partition columns
@@ -2133,7 +2418,8 @@ object ManifestLake {
     // against the helper frame's directory-string column instead of row
     // data — bail to the rewrite path for any __dir anywhere in the table
     val metadataOnlyDirs: Option[Set[String]] =
-      matchedPartitionDirs(spark, schema, manifest.partCols, predicate,
+      if (logicalSchemaOf(manifest).fieldNames.contains("__dir")) None
+      else matchedPartitionDirs(spark, schema, manifest.partCols, predicate,
         manifest.files.map(f => partDirOf(f.path)).distinct)
     metadataOnlyDirs match {
       case Some(matched) =>
@@ -2173,7 +2459,7 @@ object ManifestLake {
       Option(u.getScheme).getOrElse("") + "://" +
         Option(u.getAuthority).getOrElse("") + u.getPath
     }
-    val matchedUris = readFiles(spark, fs, root, manifest)
+    val matchedUris = toLogical(readFiles(spark, fs, root, manifest), manifest)
       .where(predicate)
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => canon(new Path(new java.net.URI(r.getString(0))))).toSet
@@ -2183,11 +2469,15 @@ object ManifestLake {
     require(candidates.size == matchedUris.size,
       s"matched file paths did not resolve against the live set: " +
         s"${matchedUris.size} matched, ${candidates.size} resolved")
-    val src = readFileSlice(spark, path, manifest, candidates)
+    val src = toLogical(readFileSlice(spark, path, manifest, candidates), manifest)
     src.persist()
     try {
-      val keep = src.where(!coalesce(predicate, lit(false)))
-      val gone = src.where(predicate)
+      // predicate evaluates on the LOGICAL view; the kept/deleted rows
+      // convert back to physical names for the rewritten files and the
+      // stamped change files (the feed aliases to logical at its own
+      // boundary)
+      val keep = fromLogical(src.where(!coalesce(predicate, lit(false))), manifest)
+      val gone = fromLogical(src.where(predicate), manifest)
       val newV = v + 1
       // unique staging dir: deletes publish optimistically (see
       // publishDeleteOptimistic), so racers must never share one
@@ -2212,10 +2502,12 @@ object ManifestLake {
           s"manifest delete verification failed for $path: $rowsIn rows in " +
             s"rewritten files, $rowsOut kept + $rowsGone deleted — table still at v$v")
       }
+      val stagedCols = keep.schema.fieldNames.toSet
       val statKeys =
         (manifest.files.flatMap(_.stats.keys) ++
           manifest.files.flatMap(_.nullCounts.keys) ++
           manifest.files.flatMap(_.valueSets.keys)).distinct
+          .filter(stagedCols.contains)
       val withStats =
         if (statKeys.isEmpty || staged.isEmpty) staged
         else {
@@ -2259,9 +2551,199 @@ object ManifestLake {
     val target = readManifest(fs, root, v)
     val headTxns = readManifest(fs, root, head).txns
     val newV = head + 1
+    // constraints RESTORE with the version (the contract travels with
+    // the data that satisfied it) — unlike txns, which carry from head
     publish(fs, root, newV, target.files, target.schema, target.partCols, headTxns,
-      op = Some("restore"))
+      op = Some("restore"), constraints = target.constraints,
+      colMap = target.colMap, droppedPhys = target.droppedPhys)
     newV
+  }
+
+  /** Declare a CHECK constraint on the table — the Delta
+    * `delta.constraints` analog: `expression` is ANSI SQL boolean text
+    * over the table's columns, recorded in the manifest header by a
+    * METADATA-ONLY commit and enforced on every subsequent
+    * append/replace/upsert pre-publish (a violating batch fails with
+    * the table untouched; see [[writePinned]]/[[upsert]]). SQL CHECK
+    * semantics: a row passes when the expression is TRUE or NULL,
+    * violates only on FALSE.
+    *
+    * EXISTING rows are validated first — one scan with pushdown +
+    * manifest skipping and a `limit 1` early exit — so a recorded
+    * constraint is always an invariant of the live data, never an
+    * aspiration. Deletes and compactions cannot violate constraints
+    * and carry them forward; restore restores the target version's
+    * constraint set along with its data.
+    */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    expression: String): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"constraint name must be non-empty with no tabs or newlines: $name")
+    require(!expression.exists(c => c == '\n' || c == '\r'),
+      "constraint expression must not contain newlines")
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    require(m.schema.isDefined,
+      s"table at $path has a headerless legacy manifest — constraints need " +
+        "the recorded schema (run one append or upsert to adopt a header first)")
+    require(!m.constraints.contains(name),
+      s"constraint $name already exists on $path (drop it first to change it)")
+    // Column nodes parse LAZILY (at analysis), so validate the SQL text
+    // eagerly — a typo must be a typed refusal here, not a deferred
+    // ParseException out of the validation scan
+    try { spark.sessionState.sqlParser.parseExpression(expression); () }
+    catch {
+      case ex: org.apache.spark.sql.catalyst.parser.ParseException =>
+        throw new IllegalArgumentException(
+          s"constraint $name is not parseable SQL: ${ex.getMessage}", ex)
+    }
+    val cond = not(coalesce(expr(expression), lit(true)))
+    // resolvability against the RECORDED schema (works on empty tables
+    // too): an unresolvable or ill-typed expression is a typed refusal
+    try {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logicalSchemaOf(m))
+        .where(cond).queryExecution.analyzed
+      ()
+    } catch {
+      case ex: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"constraint $name (`$expression`) cannot be evaluated against " +
+            s"the table's schema: ${ex.getMessage}", ex)
+    }
+    if (m.files.nonEmpty) {
+      val bad = toLogical(readFiles(spark, fs, root, m), m).where(cond).limit(1).count()
+      if (bad > 0)
+        throw new IllegalStateException(
+          s"cannot add CHECK constraint $name (`$expression`) to $path: " +
+            "existing rows violate it — clean the data first (the table is unchanged)")
+    }
+    publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
+      op = Some("constraint"), constraints = m.constraints + (name -> expression),
+      colMap = m.colMap, droppedPhys = m.droppedPhys)
+    v + 1
+  }
+
+  /** Remove a declared CHECK constraint — metadata-only commit. */
+  def dropConstraint(spark: SparkSession, path: String, name: String): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    require(m.constraints.contains(name),
+      s"no constraint named $name on $path (declared: " +
+        s"${m.constraints.keys.toSeq.sorted.mkString(", ")})")
+    publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
+      op = Some("constraint"), constraints = m.constraints - name,
+      colMap = m.colMap, droppedPhys = m.droppedPhys)
+    v + 1
+  }
+
+  /** Logical column names a constraint's SQL text references —
+    * single-part attributes, which is all the flat schema can hold.
+    */
+  private def constraintRefs(spark: SparkSession, sqlText: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(sqlText).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if a.nameParts.length == 1 => a.nameParts.head
+    }.toSet
+
+  private val ReservedLogicalNames = Set(ChangeTypeCol, CommitVersionCol, "__dir")
+
+  /** RENAME a column WITHOUT rewriting any data file — a metadata-only
+    * commit that records (logical → physical) column mapping in the
+    * manifest header, Delta's column-mapping analog. The files keep
+    * their physical names forever; reads alias at the boundary, writes
+    * rename batches on entry, and old versions time-travel-read under
+    * the names their own manifest records. Partition columns cannot be
+    * renamed (their name IS the directory layout), and a column any
+    * CHECK constraint references cannot be renamed (the recorded SQL
+    * text would silently dangle — drop the constraint first).
+    */
+  def renameColumn(spark: SparkSession, path: String, oldName: String,
+                   newName: String): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    require(m.schema.isDefined,
+      s"table at $path has a headerless legacy manifest — column mapping " +
+        "needs the recorded schema (run one append or upsert to adopt a header first)")
+    val cm = m.colMap.getOrElse(
+      m.schema.get.fieldNames.toSeq.map(n => n -> n))
+    val logicalNames = cm.map(_._1)
+    require(logicalNames.contains(oldName),
+      s"no column named $oldName on $path (columns: ${logicalNames.mkString(", ")})")
+    require(!logicalNames.contains(newName),
+      s"column $newName already exists on $path")
+    require(!m.partCols.contains(oldName),
+      s"cannot rename partition column $oldName — its name is the " +
+        "directory layout; repartition via a replace write instead")
+    require(!ReservedLogicalNames.contains(newName),
+      s"column name $newName is reserved")
+    m.constraints.foreach { case (n, e) =>
+      require(!constraintRefs(spark, e).contains(oldName),
+        s"cannot rename $oldName: CHECK constraint $n (`$e`) references it — " +
+          "drop the constraint first and re-add it under the new name")
+    }
+    val renamed = cm.map { case (l, p) => (if (l == oldName) newName else l) -> p }
+    publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
+      op = Some("schema"), constraints = m.constraints,
+      colMap = Some(renamed), droppedPhys = m.droppedPhys)
+    v + 1
+  }
+
+  /** DROP a column WITHOUT rewriting any data file — metadata-only:
+    * the column leaves the logical view; its physical data stays in
+    * the existing files (old versions still serve it) and its physical
+    * name is retired for good, so a later re-add of the same logical
+    * name maps to a FRESH physical column instead of resurrecting old
+    * data. Partition and constraint-referenced columns refuse, as does
+    * dropping the last column.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    require(m.schema.isDefined,
+      s"table at $path has a headerless legacy manifest — column mapping " +
+        "needs the recorded schema (run one append or upsert to adopt a header first)")
+    val cm = m.colMap.getOrElse(
+      m.schema.get.fieldNames.toSeq.map(n => n -> n))
+    require(cm.exists(_._1 == name),
+      s"no column named $name on $path (columns: ${cm.map(_._1).mkString(", ")})")
+    require(!m.partCols.contains(name),
+      s"cannot drop partition column $name — its name is the directory layout")
+    require(cm.length > 1, s"cannot drop the last column of $path")
+    m.constraints.foreach { case (n, e) =>
+      require(!constraintRefs(spark, e).contains(name),
+        s"cannot drop $name: CHECK constraint $n (`$e`) references it — " +
+          "drop the constraint first")
+    }
+    val phys = cm.find(_._1 == name).get._2
+    // the physical column leaves the RECORDED schema too — a parquet
+    // scan simply doesn't read columns the file has but the schema
+    // doesn't name, so old files need no rewrite, and widen's
+    // "batch carries every recorded column" contract keeps holding
+    // for future appends. droppedPhys is what keeps a re-added
+    // logical name off this physical column forever.
+    val newSchema = StructType(m.schema.get.fields.filterNot(_.name == phys))
+    publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
+      op = Some("schema"), constraints = m.constraints,
+      colMap = Some(cm.filterNot(_._1 == name)),
+      droppedPhys = m.droppedPhys :+ phys)
+    v + 1
+  }
+
+  /** The table's declared CHECK constraints (name → SQL text). */
+  def constraintsOf(spark: SparkSession, path: String): Map[String, String] = {
+    val (fs, root) = fsFor(spark, path)
+    currentVersion(spark, path) match {
+      case Some(v) => readManifest(fs, root, v).constraints
+      case None => Map.empty
+    }
   }
 
   /** One maintenance pass — compact fragmented partitions, then vacuum

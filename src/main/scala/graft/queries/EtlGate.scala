@@ -876,5 +876,119 @@ object EtlGate {
              |  max(doc_id) AS max_id
              |FROM documents
              |WHERE source IN ('src3', 'src7') OR source LIKE 'src1%'
-             |GROUP BY lang ORDER BY lang""".stripMargin)))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // CHECK CONSTRAINTS under the oracle: a declared `n_chars >= 0`
+    // gates the lake; a violating append and a violating upsert BOTH
+    // fail pre-publish with the table untouched (required in-line), a
+    // passing append and a passing upsert land, and the final table
+    // hash-matches DuckDB replaying only the commits that were ALLOWED
+    // through. Pins the contract end-to-end: enforcement rejects
+    // exactly the violating batches and nothing else, with zero
+    // residue from the rejected ones.
+    Q(
+      "q105_check_constraint",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-check") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+        val charsT = docs.schema("n_chars").dataType
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+          out, Seq("lang"), statsCols = Seq("doc_id"))                         // v1
+        require(ManifestLake.addConstraint(s, out, "chars_nonneg", "n_chars >= 0") == 2L)
+        // violating append: every row negative — must fail pre-publish
+        val rejected =
+          try {
+            ManifestLake.write(s,
+              docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+                .withColumn("n_chars", lit(-1).cast(charsT)),
+              out, Seq("lang"), replace = false)
+            false
+          } catch { case _: IllegalStateException => true }
+        require(rejected, "violating append must fail pre-publish")
+        require(ManifestLake.currentVersion(s, out).contains(2L),
+          "rejected append must leave the table untouched")
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 1),
+          out, Seq("lang"), replace = false, statsCols = Seq("doc_id"))        // v3
+        // violating upsert: also rejected pre-publish
+        val rejectedU =
+          try {
+            ManifestLake.upsert(s, out,
+              docs.where(col("doc_id") < 3)
+                .withColumn("n_chars", lit(-5).cast(charsT)),
+              Seq("lang"), Seq("lang", "doc_id"))
+            false
+          } catch { case _: IllegalStateException => true }
+        require(rejectedU, "violating upsert must fail pre-publish")
+        require(ManifestLake.currentVersion(s, out).contains(3L))
+        // passing upsert lands under the constraint
+        ManifestLake.upsert(s, out,
+          docs.where(col("doc_id") < 3).withColumn("text", upper(col("text"))),
+          Seq("lang"), Seq("lang", "doc_id"))                                  // v4
+        require(ManifestLake.constraintsOf(s, out)
+          == Map("chars_nonneg" -> "n_chars >= 0"))
+        ManifestLake.read(s, out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH fin AS (
+             |  SELECT lang, doc_id, n_chars,
+             |    CASE WHEN doc_id < 3 THEN upper(text) ELSE text END AS text
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // COLUMN MAPPING under the oracle: write half the corpus, RENAME
+    // text→content (metadata-only, zero rewrite — required in-line
+    // against the manifest's live set), append the other half under
+    // the new name, upsert through it, then read back — hash-matched
+    // against DuckDB serving the same rows under the alias. Pins the
+    // whole indirection end-to-end: physical files never move, logical
+    // renames serve exact data across pre- and post-rename commits.
+    Q(
+      "q106_column_mapping",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-cmap") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+          out, Seq("lang"), statsCols = Seq("doc_id"))                         // v1
+        val (fs, root) = ManifestLake.fsFor(s, out)
+        val before = ManifestLake.readManifest(fs, root, 1L).files.toSet
+        require(ManifestLake.renameColumn(s, out, "text", "content") == 2L)
+        require(ManifestLake.readManifest(fs, root, 2L).files.toSet == before,
+          "a rename must move zero data files")
+        ManifestLake.write(s,
+          docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+            .withColumnRenamed("text", "content"),
+          out, Seq("lang"), replace = false, statsCols = Seq("doc_id"))        // v3
+        ManifestLake.upsert(s, out,
+          docs.where(col("doc_id") < 2).withColumnRenamed("text", "content")
+            .withColumn("content", upper(col("content"))),
+          Seq("lang"), Seq("lang", "doc_id"))                                  // v4
+        ManifestLake.read(s, out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("content")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH fin AS (
+             |  SELECT lang, doc_id, n_chars,
+             |    CASE WHEN doc_id < 2 THEN upper(text) ELSE text END AS content
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(content), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)))
 }

@@ -578,6 +578,31 @@ object LlmOps {
         queryId = 0L, topK = 10, cells = 16, nprobe = 4),
       None),
 
+    // IVF ANN with the WHOLE probe path hash-matched: the coarse
+    // quantizer (one Lloyd round over md5 seeds — kmeansSql(iters=1)),
+    // the active-cell ranking against the probe vector, the nprobe cut,
+    // and the exact-cosine re-rank inside probed cells all replay in
+    // DuckDB. Upgrades q35's rows-only evidence to end-to-end value
+    // equality — ANN probe results, not just result shape.
+    Q(
+      "q104_ann_ivf_exact",
+      (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 7L, topK = 12, cells = 16, nprobe = 4),
+      Some(s"""WITH ${kmeansSql(k = 16, iters = 1)},
+              |probe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+              |active AS (SELECT DISTINCT cell FROM af),
+              |pc AS (
+              |  SELECT c.cell FROM c1 c
+              |  JOIN active a ON a.cell = c.cell
+              |  CROSS JOIN probe
+              |  ORDER BY ${cosRawSql("c.cvec", "qv")} DESC, c.cell
+              |  LIMIT 4)
+              |SELECT af.vec_id, round(${cosRawSql("af.embedding", "qv")}, 6) AS cos_sim
+              |FROM af JOIN pc ON af.cell = pc.cell CROSS JOIN probe
+              |WHERE af.vec_id <> 7
+              |ORDER BY cos_sim DESC, af.vec_id
+              |LIMIT 12""".stripMargin)),
+
     // Multimodal plumbing through the gate: documents' text bytes stand
     // in for media payloads; the batched mapPartitions feature extractor
     // (stub codec) runs distributed. No SQL oracle — mapPartitions is

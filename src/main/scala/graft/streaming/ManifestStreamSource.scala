@@ -303,7 +303,7 @@ final class ManifestStreamSource(spark: SparkSession, path: String,
           v += 1
         }
     }
-    val batch = ManifestLake.readFileSlice(spark, path, head, files.result())
+    val batch = ManifestLake.readFileSliceLogical(spark, path, head, files.result())
     // pin the stream-start schema: widened columns wait for a restart
     org.apache.spark.sql.graft.StreamingDataFrameShim.asStreaming(
       batch.select(schema.fieldNames.map(col): _*))
