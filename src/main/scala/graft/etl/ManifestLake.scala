@@ -2737,6 +2737,66 @@ object ManifestLake {
     v + 1
   }
 
+  /** Whether a parquet column written as `from` can be SERVED as `to`
+    * by Spark's reader with no rewrite — the Delta type-widening
+    * whitelist: integral up-casts, float→double, int→double, and
+    * value-preserving decimal growth. Long→double is NOT here (loses
+    * integers past 2^53), nor is anything narrowing.
+    */
+  private def widensTo(from: org.apache.spark.sql.types.DataType,
+                       to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => false // not a change
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (IntegerType, d: DecimalType) => d.precision - d.scale >= 10 && d.scale >= 0
+      case (LongType, d: DecimalType) => d.precision - d.scale >= 20 && d.scale >= 0
+      case (a: DecimalType, b: DecimalType) =>
+        b.precision >= a.precision && b.scale >= a.scale &&
+          (b.precision - b.scale) >= (a.precision - a.scale)
+      case _ => false
+    }
+  }
+
+  /** WIDEN a column's type WITHOUT rewriting any data file — a
+    * metadata-only commit that records the wider type in the manifest
+    * header; Spark's parquet reader serves the old files' narrower
+    * physical values through it natively (verified for every pair
+    * [[widensTo]] admits). Subsequent appends must arrive at the
+    * widened type (the batch-shape check stays loud — cast narrower
+    * batches explicitly). Old versions time-travel-read under their
+    * own recorded type. Narrowing and lossy changes refuse typed.
+    */
+  def widenColumnType(spark: SparkSession, path: String, name: String,
+                      newType: org.apache.spark.sql.types.DataType): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    require(m.schema.isDefined,
+      s"table at $path has a headerless legacy manifest — type widening " +
+        "needs the recorded schema (run one append or upsert to adopt a header first)")
+    val cm = m.colMap.getOrElse(m.schema.get.fieldNames.toSeq.map(n => n -> n))
+    val phys = cm.find(_._1 == name).map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column named $name on $path (columns: ${cm.map(_._1).mkString(", ")})"))
+    val field = m.schema.get(phys)
+    require(widensTo(field.dataType, newType),
+      s"cannot change $name from ${field.dataType.catalogString} to " +
+        s"${newType.catalogString} — only value-preserving widenings are " +
+        "metadata-only (integral up-casts, float->double, int->double, " +
+        "decimal growth); anything else is a replace write")
+    val newSchema = StructType(m.schema.get.fields.map(f =>
+      if (f.name == phys) f.copy(dataType = newType) else f))
+    publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
+      op = Some("schema"), constraints = m.constraints,
+      colMap = m.colMap, droppedPhys = m.droppedPhys)
+    v + 1
+  }
+
   /** The table's declared CHECK constraints (name → SQL text). */
   def constraintsOf(spark: SparkSession, path: String): Map[String, String] = {
     val (fs, root) = fsFor(spark, path)

@@ -990,5 +990,51 @@ object EtlGate {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(('0x' || substr(md5(content), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // TYPE WIDENING under the oracle: half the corpus lands with an
+    // INT measure, the recorded type widens to BIGINT metadata-only
+    // (zero data movement — required in-line), the other half appends
+    // at the wide type with values past INT range, and the read-back —
+    // old narrow files and new wide files through ONE scan — must
+    // hash-match DuckDB computing the same widened sums.
+    Q(
+      "q107_type_widening",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-widen") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"),
+            col("n_chars").cast("int").as("measure"))
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+          out, Seq("lang"), statsCols = Seq("measure"))                        // v1
+        val (fs, root) = ManifestLake.fsFor(s, out)
+        val before = ManifestLake.readManifest(fs, root, 1L).files.toSet
+        require(ManifestLake.widenColumnType(s, out, "measure",
+          org.apache.spark.sql.types.LongType) == 2L)
+        require(ManifestLake.readManifest(fs, root, 2L).files.toSet == before,
+          "type widening must move zero data files")
+        ManifestLake.write(s,
+          docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+            .withColumn("measure", col("measure").cast("long") + lit(5000000000L)),
+          out, Seq("lang"), replace = false, statsCols = Seq("measure"))       // v3
+        ManifestLake.read(s, out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("measure")).cast("long").as("sum_measure"),
+            max(col("measure")).cast("long").as("max_measure"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH fin AS (
+             |  SELECT lang, text,
+             |    CASE WHEN doc_id % 2 = 1
+             |      THEN CAST(n_chars AS BIGINT) + 5000000000
+             |      ELSE CAST(n_chars AS BIGINT) END AS measure
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(measure) AS BIGINT) AS sum_measure,
+             |  CAST(max(measure) AS BIGINT) AS max_measure,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum
              |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)))
 }

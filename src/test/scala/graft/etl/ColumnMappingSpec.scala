@@ -167,6 +167,49 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(ManifestLake.read(spark, dir).where(col("content") === "ok").count() === 1)
   }
 
+  test("type widening is metadata-only: old files serve the wider type; narrowing refuses") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = freshDir("cmap-widen")
+    ManifestLake.write(spark,
+      Seq(("chr1", 1, 1.5f), ("chr1", 2, 2.5f)).toDF("chrom", "n", "score"),
+      dir, Seq("chrom"), statsCols = Seq("n"))                                 // v1
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val before = ManifestLake.readManifest(fs, root, 1L).files.toSet
+    assert(ManifestLake.widenColumnType(spark, dir, "n", LongType) === 2L)
+    assert(ManifestLake.widenColumnType(spark, dir, "score", DoubleType) === 3L)
+    assert(ManifestLake.readManifest(fs, root, 3L).files.toSet === before,
+      "widening must move zero data files")
+    val r = ManifestLake.read(spark, dir)
+    assert(r.schema("n").dataType === LongType)
+    assert(r.schema("score").dataType === DoubleType)
+    assert(r.where(col("n") === 2L).select("score").collect().head.getDouble(0) === 2.5)
+    // appends arrive at the widened type; stats on the widened column
+    // keep working (the recorded string bounds re-type)
+    ManifestLake.write(spark,
+      Seq(("chr1", 3L, 9.5d)).toDF("chrom", "n", "score"),
+      dir, Seq("chrom"), replace = false, statsCols = Seq("n"))                // v4
+    assert(ManifestLake.read(spark, dir).where(col("n") >= 2L).count() === 2)
+    // time travel serves the version's own (narrow) type
+    assert(ManifestLake.readVersion(spark, dir, 1L).schema("n").dataType === IntegerType)
+    // narrowing / lossy changes refuse typed
+    intercept[IllegalArgumentException] {
+      ManifestLake.widenColumnType(spark, dir, "n", IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestLake.widenColumnType(spark, dir, "n", DoubleType) // long->double loses ints
+    }
+    // composes with rename: widen the RENAMED name
+    ManifestLake.renameColumn(spark, dir, "n", "count")                        // v5
+    intercept[IllegalArgumentException] {
+      ManifestLake.widenColumnType(spark, dir, "n", LongType) // old name gone
+    }
+    assert(ManifestLake.widenColumnType(spark, dir, "count",
+      DecimalType(22, 0)) === 6L)
+    assert(ManifestLake.read(spark, dir).schema("count").dataType === DecimalType(22, 0))
+    assert(ManifestLake.read(spark, dir).where(col("count") >= 2).count() === 2)
+  }
+
   test("compact and restore carry the mapping; replace resets it") {
     import spark.implicits._
     val dir = freshDir("cmap-life")
