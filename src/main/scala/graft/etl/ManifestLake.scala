@@ -1453,7 +1453,7 @@ object ManifestLake {
           .withColumn(CommitVersionCol, lit(v)))
       } else if (m.op.exists(o => o == "compact" || o == "constraint" ||
         o == "schema")) None
-      else if (m.op.exists(o => o == "upsert" || o == "delete")) {
+      else if (m.op.exists(o => o == "upsert" || o == "delete" || o == "merge")) {
         val dir = cdfPathOf(root, v, m)
         m.schema match {
           case Some(s) if fs.exists(dir) =>
@@ -2111,6 +2111,250 @@ object ManifestLake {
       }
     }
     curV // unreachable; the loop exits via return
+  }
+
+  /** What a [[merge]] did: the published version plus exact per-clause
+    * row counts (observed on the merge's own write job).
+    */
+  final case class MergeStats(version: Long, updated: Long, deleted: Long,
+                              inserted: Long)
+
+  /** Conditional MERGE INTO under manifest commit — the Delta
+    * `whenMatched update / whenMatched delete / whenNotMatched insert`
+    * statement over the same partition-rewrite machinery as [[upsert]]:
+    * only the partitions the source's keys touch are rewritten,
+    * untouched partitions carry by reference, and the merge becomes
+    * visible atomically at publish.
+    *
+    * Clause semantics per key (source must be key-unique; conditions
+    * reference the two sides as `col("t.<name>")` / `col("s.<name>")`,
+    * evaluated with SQL CHECK-style null-as-false):
+    *   - MATCHED: `deleteWhen` first — a true condition drops the row;
+    *     else `updateWhen` — true replaces the target row with the
+    *     source row; else the target row is kept unchanged.
+    *   - NOT MATCHED (source only): `insertWhen` true inserts the
+    *     source row; else the source row is ignored.
+    *   - Target rows with no source match always survive.
+    *
+    * The defaults (update always, insert always, no delete) make
+    * `merge(...) == upsert(...)`. Row-level change files stamp exact
+    * `update_preimage`/`update_postimage`/`delete`/`insert` rows, so
+    * [[readChangeFeed]] serves merges like upserts; row conservation
+    * (kept + updated + inserted = staged) is verified pre-publish from
+    * observed counts vs parquet footers. Requires a schema-headed
+    * manifest and a source whose LOGICAL shape matches the table's
+    * (cast/select first — merge does not widen). Publishes
+    * optimistically with upsert's partition-disjoint retry rules.
+    */
+  def merge(spark: SparkSession, path: String, source: DataFrame,
+            partitionCols: Seq[String], keyCols: Seq[String],
+            updateWhen: Option[Column] = Some(lit(true)),
+            deleteWhen: Option[Column] = None,
+            insertWhen: Option[Column] = Some(lit(true)),
+            txn: Option[(String, Long)] = None,
+            changeFeed: Boolean = true): MergeStats = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    require(partitionCols.nonEmpty,
+      "manifest merge needs a partitioned table; replace flat tables wholesale")
+    require(partitionCols.forall(keyCols.contains),
+      s"merge keys ${keyCols.mkString(",")} must include every partition " +
+        s"column (${partitionCols.mkString(",")}) so matched rows stay in " +
+        "the partitions the source names")
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val manifest = readManifest(fs, root, v)
+    if (txn.exists { case (app, b) => manifest.txns.get(app).exists(_ >= b) })
+      return MergeStats(v, 0L, 0L, 0L)
+    val logical = manifest.schema.map(_ => logicalSchemaOf(manifest)).getOrElse(
+      throw new IllegalArgumentException(
+        s"table at $path has a headerless legacy manifest — merge needs the " +
+          "recorded schema (run one append or upsert to adopt a header first)"))
+    require(sameShape(logical, source.schema),
+      s"merge source schema ${source.schema.catalogString} must match the " +
+        s"table's ${logical.catalogString} exactly (cast/select first; " +
+        "merge does not widen)")
+    Seq(ChangeTypeCol, CommitVersionCol).foreach(r =>
+      require(!logical.fieldNames.contains(r),
+        s"column name $r is reserved for the change feed's metadata"))
+    val nSrc = source.count()
+    val nSrcKeys = source.select(keyCols.map(col): _*).distinct().count()
+    require(nSrc == nSrcKeys,
+      s"merge source is not key-unique on ${keyCols.mkString(",")}: $nSrc rows, $nSrcKeys keys")
+
+    val partRows = source
+      .select(partitionCols.map(c => col(c).cast("string").as(c)): _*)
+      .distinct().collect()
+    require(partRows.forall(r => partitionCols.indices.forall(i => !r.isNullAt(i))),
+      "null partition values are not supported by the manifest merge")
+    val affectedDirs = partRows.map(r =>
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        s"${escapePathName(c)}=${escapePathName(r.getString(i))}"
+      }.mkString("/")).toSet
+    val (affectedFiles, _) =
+      manifest.files.partition(f => affectedDirs.contains(partDirOf(f.path)))
+
+    // classify every (target ∪ source) row of the affected partitions
+    // by clause, over the LOGICAL view (conditions and constraints are
+    // written in logical names); null-safe key equality matches the
+    // upsert's groupBy semantics for null-able non-partition keys
+    val tgt = toLogical(readFileSlice(spark, path, manifest, affectedFiles), manifest)
+      .withColumn("__t_present", lit(true)).alias("t")
+    val src = source.withColumn("__s_present", lit(true)).alias("s")
+    val keyCond = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    def c(b: Option[Column]): Column = coalesce(b.getOrElse(lit(false)), lit(false))
+    val tP = coalesce(col("t.__t_present"), lit(false))
+    val sP = coalesce(col("s.__s_present"), lit(false))
+    val action =
+      when(tP && sP,
+        when(c(deleteWhen), "D").when(c(updateWhen), "U").otherwise("K"))
+        .when(!tP && sP, when(c(insertWhen), "I").otherwise("X"))
+        .otherwise("K")
+    val cls = tgt.join(src, keyCond, "full_outer")
+      .withColumn("__action", action)
+      .persist()
+    try {
+      val resultL = cls.where(col("__action").isin("K", "U", "I"))
+        .select(logical.fieldNames.map(n =>
+          when(col("__action").isin("U", "I"), col(s"s.$n"))
+            .otherwise(col(s"t.$n")).as(n)).toSeq: _*)
+      // constraints enforce on the merged LOGICAL rows, riding the write
+      val consSeqM = manifest.constraints.toSeq.sortBy(_._1)
+      val obsM = org.apache.spark.sql.Observation()
+      val aggsM = count(when(col("__action") === "U", lit(1))).as("n_upd") +:
+        count(when(col("__action") === "I", lit(1))).as("n_ins") +:
+        consSeqM.map { case (n, e) =>
+          count(when(not(coalesce(expr(e), lit(true))), lit(1))).as(s"viol_$n")
+        }
+      // __action survives into the observed node and is dropped after
+      val observed = cls.where(col("__action").isin("K", "U", "I"))
+        .select(col("__action") +: logical.fieldNames.map(n =>
+          when(col("__action").isin("U", "I"), col(s"s.$n"))
+            .otherwise(col(s"t.$n")).as(n)).toSeq: _*)
+        .observe(obsM, aggsM.head, aggsM.tail: _*)
+        .drop("__action")
+      val newV = v + 1
+      val commitDir = new Path(root,
+        f"$DataDir/v$newV%06d-${java.util.UUID.randomUUID().toString.take(8)}")
+      val w = fromLogical(observed, manifest)
+        .repartition(partitionCols.map(col): _*)
+        .sortWithinPartitions(keyCols.map(col): _*)
+      // partition columns are mapping-identity, so partitionBy holds
+      w.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+        .parquet(commitDir.toString)
+      consSeqM.foreach { case (n, e) =>
+        val bad = obsM.get(s"viol_$n").asInstanceOf[Long]
+        if (bad > 0) {
+          fs.delete(commitDir, true)
+          throw new IllegalStateException(
+            s"CHECK constraint $n (`$e`) on $path violated by $bad merged " +
+              s"row(s) — nothing published, table still at v$v")
+        }
+      }
+      val nUpd = obsM.get("n_upd").asInstanceOf[Long]
+      val nIns = obsM.get("n_ins").asInstanceOf[Long]
+      val nDel = cls.where(col("__action") === "D").count()
+      // row conservation from footers vs the observed classification
+      val staged = stagedFiles(fs, root, commitDir)
+      val rowsOut = footerRowCount(fs, root, staged)
+      val rowsIn =
+        if (affectedFiles.forall(_.rows.isDefined)) affectedFiles.flatMap(_.rows).sum
+        else footerRowCount(fs, root, affectedFiles)
+      if (rowsOut != rowsIn - nDel + nIns) {
+        fs.delete(commitDir, true)
+        throw new IllegalStateException(
+          s"manifest merge verification failed for $path: $rowsIn rows in, " +
+            s"$nDel deleted + $nIns inserted, but $rowsOut staged — table still at v$v")
+      }
+      val statKeys =
+        (manifest.files.flatMap(_.stats.keys) ++
+          manifest.files.flatMap(_.nullCounts.keys) ++
+          manifest.files.flatMap(_.valueSets.keys)).distinct
+          .filter(k => manifest.schema.get.fieldNames.contains(k))
+      val stagedWithStats =
+        if (statKeys.isEmpty) staged
+        else {
+          val byRel = collectStats(spark, fs, root, commitDir,
+            manifest.schema.get, statKeys, partitionCols)
+          staged.map(f => withFileStats(f, byRel.get(f.path)))
+        }
+      val relCdf: Option[String] =
+        if (!changeFeed) None
+        else {
+          val lcols = logical.fieldNames.toSeq
+          def side(actionV: String, from: String, tag: String) =
+            cls.where(col("__action") === actionV)
+              .select(lcols.map(n => col(s"$from.$n").as(n)): _*)
+              .withColumn(ChangeTypeCol, lit(tag))
+          val changes =
+            side("U", "t", "update_preimage")
+              .unionByName(side("U", "s", "update_postimage"))
+              .unionByName(side("D", "t", "delete"))
+              .unionByName(side("I", "s", "insert"))
+          val cdfP = new Path(commitDir, CdfDir)
+          // change files store PHYSICAL names (the feed aliases to
+          // logical at its boundary); keep the metadata column through
+          // the mapping select
+          val physChanges = manifest.colMap match {
+            case None => changes
+            case Some(cm) =>
+              changes.select(cm.map { case (l, p) => col(l).as(p) } :+
+                col(ChangeTypeCol): _*)
+          }
+          physChanges.repartition(partitionCols.map(col): _*)
+            .write.mode(SaveMode.Overwrite).parquet(cdfP.toString)
+          val rootQ = fs.makeQualified(root).toString
+          Some(fs.makeQualified(cdfP).toString.stripPrefix(rootQ).stripPrefix("/"))
+        }
+      // optimistic publish — upsert's partition-disjoint rules exactly
+      val inputPaths = affectedFiles.map(_.path).toSet
+      fireRaceHook("merge")
+      var attempt = 0
+      var curM = manifest
+      var curV = newV
+      while (true) {
+        try {
+          publish(fs, root, curV,
+            curM.files.filterNot(f => inputPaths.contains(f.path)) ++ stagedWithStats,
+            manifest.schema, partitionCols,
+            curM.txns ++ txn.toMap, op = Some("merge"), cdf = relCdf,
+            constraints = manifest.constraints, colMap = manifest.colMap,
+            droppedPhys = manifest.droppedPhys)
+          return MergeStats(curV, nUpd, nDel, nIns)
+        } catch {
+          case e: IllegalStateException if attempt >= 5 =>
+            retriesExhausted(fs, "merge", path, Seq(commitDir), e)
+          case e: IllegalStateException if attempt < 5 =>
+            attempt += 1
+            val headV = currentVersion(spark, path).getOrElse(throw e)
+            val headM = readManifest(fs, root, headV)
+            if (txn.exists { case (app, b) => headM.txns.get(app).exists(_ >= b) }) {
+              fs.delete(commitDir, true)
+              return MergeStats(headV, 0L, 0L, 0L)
+            }
+            val headAffected = headM.files
+              .filter(f => affectedDirs.contains(partDirOf(f.path))).map(_.path).toSet
+            if (headAffected != inputPaths ||
+              headM.schema != manifest.schema || headM.partCols != partitionCols ||
+              headM.constraints != manifest.constraints ||
+              headM.colMap != manifest.colMap) {
+              fs.delete(commitDir, true)
+              throw new IllegalStateException(
+                s"merge of $path lost its race to a commit that touched its " +
+                  "affected partitions (or changed the recorded shape) — the " +
+                  "staged merge bakes in superseded pre-images and was " +
+                  s"withdrawn; the table is intact at v$headV. Re-run the " +
+                  "merge against the new head.", e)
+            }
+            curM = headM
+            curV = headV + 1
+        }
+      }
+      MergeStats(curV, nUpd, nDel, nIns) // unreachable
+    } finally {
+      cls.unpersist()
+      ()
+    }
   }
 
   /** Row-level DELETE under manifest commit: remove every live row

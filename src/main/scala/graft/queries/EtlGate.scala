@@ -1036,5 +1036,80 @@ object EtlGate {
              |  CAST(sum(measure) AS BIGINT) AS sum_measure,
              |  CAST(max(measure) AS BIGINT) AS max_measure,
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum
-             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)))
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // CONDITIONAL MERGE under the oracle: the table is the even-doc_id
+    // half; the source is every doc_id % 3 == 0 row reshaped — matched
+    // rows with doc_id % 5 == 0 DELETE, other matched rows UPDATE
+    // (text upper-cased), unmatched rows INSERT only when n_chars > 100.
+    // The final table AND the stamped change feed both hash-match
+    // DuckDB replaying the same clause matrix with a FULL OUTER JOIN +
+    // CASE — clause precedence, condition gating, and row-exact CDC in
+    // one gate.
+    Q(
+      "q108_merge",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-merge") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+          out, Seq("lang"), statsCols = Seq("doc_id"))                         // v1
+        val source = docs.where(pmod(col("doc_id"), lit(3L)) === 0)
+          .withColumn("text", upper(col("text")))
+        val st = ManifestLake.merge(s, out, source,
+          Seq("lang"), Seq("lang", "doc_id"),
+          updateWhen = Some(lit(true)),
+          deleteWhen = Some(pmod(col("s.doc_id"), lit(5L)) === 0),
+          insertWhen = Some(col("s.n_chars") > 100))                           // v2
+        require(st.version == 2L, s"merge must publish v2, got $st")
+        val cols = Seq(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        val feed = ManifestLake.readChangeFeed(s, out, fromV = 1L, toV = 2L)
+          .select(col("_change_type").as("change_type") +: cols: _*)
+        val live = ManifestLake.read(s, out)
+          .select(lit("live").as("change_type") +: cols: _*)
+        feed.unionByName(live)
+          .groupBy(col("change_type"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("change_type"), col("lang"))
+      },
+      Some("""WITH tgt AS (SELECT lang, doc_id, text, n_chars FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |src AS (SELECT lang, doc_id, upper(text) AS text, n_chars
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |cls AS (
+             |  SELECT coalesce(t.lang, s.lang) AS lang,
+             |    coalesce(t.doc_id, s.doc_id) AS doc_id,
+             |    t.text AS t_text, s.text AS s_text,
+             |    coalesce(t.n_chars, s.n_chars) AS n_chars,
+             |    CASE
+             |      WHEN t.doc_id IS NOT NULL AND s.doc_id IS NOT NULL THEN
+             |        CASE WHEN s.doc_id % 5 = 0 THEN 'D' ELSE 'U' END
+             |      WHEN s.doc_id IS NOT NULL THEN
+             |        CASE WHEN s.n_chars > 100 THEN 'I' ELSE 'X' END
+             |      ELSE 'K' END AS action
+             |  FROM tgt t FULL OUTER JOIN src s
+             |    ON t.lang = s.lang AND t.doc_id = s.doc_id),
+             |feed AS (
+             |  SELECT 'update_preimage' AS change_type, lang, doc_id, t_text AS text, n_chars
+             |  FROM cls WHERE action = 'U'
+             |  UNION ALL
+             |  SELECT 'update_postimage', lang, doc_id, s_text, n_chars FROM cls WHERE action = 'U'
+             |  UNION ALL
+             |  SELECT 'delete', lang, doc_id, t_text, n_chars FROM cls WHERE action = 'D'
+             |  UNION ALL
+             |  SELECT 'insert', lang, doc_id, s_text, n_chars FROM cls WHERE action = 'I'
+             |  UNION ALL
+             |  SELECT 'live', lang, doc_id,
+             |    CASE WHEN action IN ('U', 'I') THEN s_text ELSE t_text END, n_chars
+             |  FROM cls WHERE action IN ('K', 'U', 'I'))
+             |SELECT change_type, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM feed GROUP BY change_type, lang
+             |ORDER BY change_type, lang""".stripMargin)))
 }

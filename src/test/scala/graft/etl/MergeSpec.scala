@@ -1,0 +1,154 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Conditional MERGE INTO on the manifest lake: clause semantics
+  * (delete-before-update precedence, condition nulls as false,
+  * unmatched-target survival), exact change-feed stamping, by-reference
+  * partition carry, and equivalence with upsert under the defaults.
+  */
+class MergeSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(tag).toString + "/table"
+
+  test("clause matrix: delete wins over update, conditions gate each clause, unmatched target survives") {
+    import spark.implicits._
+    val dir = freshDir("mlake-merge")
+    val base = Seq(
+      ("chr1", 1L, "keep-me", 10),
+      ("chr1", 2L, "update-me", 10),
+      ("chr1", 3L, "delete-me", 10),
+      ("chr1", 4L, "cond-fails", 10),
+      ("chr2", 9L, "untouched-partition", 10))
+      .toDF("chrom", "pos", "payload", "score")
+    ManifestLake.write(spark, base, dir, Seq("chrom"), statsCols = Seq("pos")) // v1
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val chr2Files = ManifestLake.readManifest(fs, root, 1L).files
+      .filter(_.path.contains("chrom=chr2")).toSet
+
+    val source = Seq(
+      ("chr1", 2L, "UPDATED", 50),     // matched, update cond true (score 50 > 20)
+      ("chr1", 3L, "TOMBSTONE", -1),   // matched, delete cond true (negative score)
+      ("chr1", 4L, "no-op", 15),       // matched, neither cond true -> target kept
+      ("chr1", 5L, "INSERTED", 99),    // unmatched, insert cond true
+      ("chr1", 6L, "too-small", 1))    // unmatched, insert cond false
+      .toDF("chrom", "pos", "payload", "score")
+
+    val st = ManifestLake.merge(spark, dir, source,
+      Seq("chrom"), Seq("chrom", "pos"),
+      updateWhen = Some(col("s.score") > 20),
+      deleteWhen = Some(col("s.score") < 0),
+      insertWhen = Some(col("s.score") > 10))
+    assert(st === ManifestLake.MergeStats(2L, updated = 1L, deleted = 1L, inserted = 1L))
+
+    val got = ManifestLake.read(spark, dir).orderBy("pos")
+      .select("pos", "payload", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq === Seq(
+      (1L, "keep-me", 10),          // no source match: survives
+      (2L, "UPDATED", 50),          // updated
+      (4L, "cond-fails", 10),       // matched, no clause fired: kept
+      (5L, "INSERTED", 99),         // inserted
+      (9L, "untouched-partition", 10)))
+    // pos 3 deleted; pos 6 ignored (insert condition false)
+
+    // the untouched partition's files carried BY REFERENCE
+    val m2 = ManifestLake.readManifest(fs, root, 2L)
+    assert(m2.op === Some("merge"))
+    assert(m2.files.filter(_.path.contains("chrom=chr2")).toSet === chr2Files)
+
+    // the change feed serves the exact clause-level deltas
+    val feed = ManifestLake.readChangeFeed(spark, dir, 1L, 2L)
+    val byType = feed.groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("update_preimage" -> 1L, "update_postimage" -> 1L,
+      "delete" -> 1L, "insert" -> 1L))
+    assert(feed.where(col("_change_type") === "delete")
+      .select("payload").collect().head.getString(0) === "delete-me")
+    assert(feed.where(col("_change_type") === "update_postimage")
+      .select("payload").collect().head.getString(0) === "UPDATED")
+  }
+
+  test("a NULL condition is false (CHECK-style); defaults make merge equal upsert; key-dup source refuses") {
+    import spark.implicits._
+    val dir = freshDir("mlake-merge-null")
+    ManifestLake.write(spark,
+      Seq(("chr1", 1L, "a", Some(5)), ("chr1", 2L, "b", None: Option[Int]))
+        .toDF("chrom", "pos", "payload", "score"),
+      dir, Seq("chrom"))                                                       // v1
+    // delete condition references t.score, NULL on pos=2: row survives
+    val st = ManifestLake.merge(spark, dir,
+      Seq(("chr1", 1L, "A2", Some(9)), ("chr1", 2L, "B2", Some(9)))
+        .toDF("chrom", "pos", "payload", "score"),
+      Seq("chrom"), Seq("chrom", "pos"),
+      updateWhen = None,
+      deleteWhen = Some(col("t.score") < 100),
+      insertWhen = None)
+    assert(st.deleted === 1L && st.updated === 0L && st.inserted === 0L)
+    val left = ManifestLake.read(spark, dir)
+    assert(left.count() === 1)
+    assert(left.select("pos").collect().head.getLong(0) === 2L,
+      "NULL delete condition must KEEP the row (null-as-false)")
+
+    // defaults == upsert, on a twin pair of tables
+    val a = freshDir("mlake-merge-twin-a"); val b = freshDir("mlake-merge-twin-b")
+    val init = (0 until 20).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    val batch = Seq(("chr1", 0L, "U"), ("chr1", 777L, "NEW")).toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, init, a, Seq("chrom"))
+    ManifestLake.write(spark, init, b, Seq("chrom"))
+    ManifestLake.upsert(spark, a, batch, Seq("chrom"), Seq("chrom", "pos"))
+    ManifestLake.merge(spark, b, batch, Seq("chrom"), Seq("chrom", "pos"))
+    val ra = ManifestLake.read(spark, a)
+    val rb = ManifestLake.read(spark, b)
+    assert(ra.count() === rb.count())
+    assert(ra.except(rb).isEmpty && rb.except(ra).isEmpty)
+
+    intercept[IllegalArgumentException] {
+      ManifestLake.merge(spark, dir,
+        Seq(("chr1", 2L, "x", Some(1)), ("chr1", 2L, "y", Some(2)))
+          .toDF("chrom", "pos", "payload", "score"),
+        Seq("chrom"), Seq("chrom", "pos"))
+    }
+  }
+
+  test("merge respects CHECK constraints and column mapping; txn ledger makes it exactly-once") {
+    import spark.implicits._
+    val dir = freshDir("mlake-merge-guard")
+    ManifestLake.write(spark,
+      Seq(("chr1", 1L, "a", 5)).toDF("chrom", "pos", "payload", "score"),
+      dir, Seq("chrom"))                                                       // v1
+    ManifestLake.addConstraint(spark, dir, "score_nonneg", "score >= 0")       // v2
+    ManifestLake.renameColumn(spark, dir, "payload", "body")                   // v3
+    // a violating source row (score -1) must fail pre-publish
+    intercept[IllegalStateException] {
+      ManifestLake.merge(spark, dir,
+        Seq(("chr1", 2L, "bad", -1)).toDF("chrom", "pos", "body", "score"),
+        Seq("chrom"), Seq("chrom", "pos"))
+    }
+    assert(ManifestLake.currentVersion(spark, dir) === Some(3L))
+    // a passing merge lands through the mapping, with conditions over
+    // the LOGICAL names
+    val st = ManifestLake.merge(spark, dir,
+      Seq(("chr1", 1L, "A", 50), ("chr1", 2L, "B", 60))
+        .toDF("chrom", "pos", "body", "score"),
+      Seq("chrom"), Seq("chrom", "pos"),
+      updateWhen = Some(col("s.body") === "A"),
+      txn = Some(("merge-app", 1L)))                                           // v4
+    assert(st.version === 4L && st.updated === 1L && st.inserted === 1L)
+    val got = ManifestLake.read(spark, dir).orderBy("pos")
+    assert(got.schema.fieldNames.toSeq === Seq("chrom", "pos", "body", "score"))
+    assert(got.select("body").collect().map(_.getString(0)).toSeq === Seq("A", "B"))
+    // replayed batch: ledger short-circuits, nothing changes
+    val st2 = ManifestLake.merge(spark, dir,
+      Seq(("chr1", 9L, "GHOST", 1)).toDF("chrom", "pos", "body", "score"),
+      Seq("chrom"), Seq("chrom", "pos"), txn = Some(("merge-app", 1L)))
+    assert(st2 === ManifestLake.MergeStats(4L, 0L, 0L, 0L))
+    assert(ManifestLake.read(spark, dir).count() === 2)
+  }
+}
