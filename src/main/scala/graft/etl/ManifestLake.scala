@@ -1243,10 +1243,15 @@ object ManifestLake {
       coverage(_.nullCounts.keys),
       coverage(_.valueSets.keys),
       m.cdf.isDefined,
-      m.txns.size.toLong))
+      m.txns.size.toLong,
+      m.constraints.toSeq.sortBy(_._1)
+        .map { case (n, e) => s"$n: $e" }.mkString("; "),
+      m.colMap.map(_.filter { case (l, p) => l != p }
+        .map { case (l, p) => s"$l->$p" }.mkString(",")).getOrElse("")))
       .toDF("version", "op", "n_files", "total_bytes", "partition_cols",
         "n_columns", "bounds_coverage", "null_count_coverage",
-        "value_set_coverage", "change_feed", "n_writers")
+        "value_set_coverage", "change_feed", "n_writers", "constraints",
+        "column_mapping")
   }
 
   /** Every published (not-yet-vacuumed) version of the table, oldest
@@ -3038,6 +3043,45 @@ object ManifestLake {
     publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
       op = Some("schema"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys)
+    v + 1
+  }
+
+  /** ADD a column — metadata-only (the ALTER TABLE ADD COLUMN analog):
+    * the recorded schema gains a nullable field that every existing
+    * file serves as typed nulls; the next append may populate it. With
+    * column mapping active the new logical name maps to a fresh
+    * physical column (never a retired one). Equivalent to the additive
+    * widening an appending batch triggers, minus the need to have data
+    * in hand.
+    */
+  def addColumn(spark: SparkSession, path: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    require(m.schema.isDefined,
+      s"table at $path has a headerless legacy manifest — schema surgery " +
+        "needs the recorded schema (run one append or upsert to adopt a header first)")
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"column name must be non-empty with no tabs or newlines: $name")
+    require(!ReservedLogicalNames.contains(name), s"column name $name is reserved")
+    val cm = m.colMap.getOrElse(m.schema.get.fieldNames.toSeq.map(n => n -> n))
+    require(!cm.exists(_._1 == name), s"column $name already exists on $path")
+    val (newColMap, phys) = m.colMap match {
+      case None => (None, name)
+      case Some(_) =>
+        val used = cm.map(_._2).toSet ++ m.droppedPhys
+        val fresh =
+          if (!used.contains(name)) name
+          else Iterator.from(1).map(k => s"${name}__$k").find(!used.contains(_)).get
+        (Some(cm :+ (name -> fresh)), fresh)
+    }
+    val newSchema = StructType(m.schema.get.fields :+
+      StructField(phys, dataType, nullable = true))
+    publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
+      op = Some("schema"), constraints = m.constraints,
+      colMap = newColMap, droppedPhys = m.droppedPhys)
     v + 1
   }
 

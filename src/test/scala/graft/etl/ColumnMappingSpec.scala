@@ -210,6 +210,44 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(ManifestLake.read(spark, dir).where(col("count") >= 2).count() === 2)
   }
 
+  test("addColumn is metadata-only: old files serve nulls; under mapping a re-added name gets a fresh physical column") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = freshDir("cmap-addcol")
+    ManifestLake.write(spark,
+      Seq(("chr1", 1L, "a"), ("chr1", 2L, "b")).toDF("chrom", "pos", "note"),
+      dir, Seq("chrom"))                                                       // v1
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val before = ManifestLake.readManifest(fs, root, 1L).files.toSet
+    assert(ManifestLake.addColumn(spark, dir, "score", DoubleType) === 2L)
+    assert(ManifestLake.readManifest(fs, root, 2L).files.toSet === before)
+    val r = ManifestLake.read(spark, dir)
+    assert(r.schema.fieldNames.toSeq === Seq("chrom", "pos", "note", "score"))
+    assert(r.where(col("score").isNull).count() === 2)
+    // next append populates it
+    ManifestLake.write(spark,
+      Seq(("chr1", 3L, "c", 0.5)).toDF("chrom", "pos", "note", "score"),
+      dir, Seq("chrom"), replace = false)                                      // v3
+    assert(ManifestLake.read(spark, dir).where(col("score") === 0.5).count() === 1)
+    // drop note, then ADD a column named note again: fresh physical,
+    // no resurrection
+    ManifestLake.dropColumn(spark, dir, "note")                                // v4
+    assert(ManifestLake.addColumn(spark, dir, "note", StringType) === 5L)
+    val r5 = ManifestLake.read(spark, dir)
+    assert(r5.where(col("note").isNotNull).count() === 0,
+      "re-added column must start all-null — dropped data never resurrects")
+    val m5 = ManifestLake.readManifest(fs, root, 5L)
+    assert(m5.colMap.get.find(_._1 == "note").get._2 !== "note")
+    intercept[IllegalArgumentException] {
+      ManifestLake.addColumn(spark, dir, "pos", LongType) // exists
+    }
+    // detail() surfaces constraints and the non-identity mapping
+    ManifestLake.addConstraint(spark, dir, "pos_pos", "pos > 0")
+    val d = ManifestLake.detail(spark, dir).collect().head
+    assert(d.getAs[String]("constraints") === "pos_pos: pos > 0")
+    assert(d.getAs[String]("column_mapping").startsWith("note->note__"))
+  }
+
   test("compact and restore carry the mapping; replace resets it") {
     import spark.implicits._
     val dir = freshDir("cmap-life")
