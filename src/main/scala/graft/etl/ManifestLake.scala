@@ -89,6 +89,7 @@ object ManifestLake {
     * every generic parquet reader.
     */
   private val CdfDir = "_cdf"
+  private val DvDir = "_dv"
   private def cdfDir(root: Path, v: Long): Path =
     new Path(root, f"$DataDir/v$v%06d/$CdfDir")
 
@@ -179,11 +180,21 @@ object ManifestLake {
     * scans concentrate). Absent (pre-null-stats manifests) means
     * "unknown — never skip", same conservative stance as the bounds.
     */
+  /** `dv`/`dvRows`: DELETION VECTOR — rows of this file marked deleted
+    * WITHOUT rewriting it (the Delta deletion-vector analog, opted into
+    * per delete call). `dv` names the commit-relative parquet dir whose
+    * `(file_path, row_index)` rows mask this file; `dvRows` is this
+    * file's masked-row count (logical rows = rows - dvRows). Absent on
+    * files with no masked rows — the common case reads exactly as
+    * before.
+    */
   final case class LiveFile(bytes: Long, path: String,
                             stats: Map[String, (String, String)] = Map.empty,
                             rows: Option[Long] = None,
                             nullCounts: Map[String, Long] = Map.empty,
-                            valueSets: Map[String, Seq[String]] = Map.empty)
+                            valueSets: Map[String, Seq[String]] = Map.empty,
+                            dv: Option[String] = None,
+                            dvRows: Option[Long] = None)
 
   /** A parsed manifest: the table shape, the live file set, and the
     * per-writer transaction watermarks (`txns`: appId → highest
@@ -332,8 +343,8 @@ object ManifestLake {
       line.split("\t", 3) match {
         case Array(b, p) => LiveFile(b.toLong, p)
         case Array(b, p, statsJson) =>
-          val (bounds, rows, nulls, sets) = parseStats(statsJson)
-          LiveFile(b.toLong, p, bounds, rows, nulls, sets)
+          val (bounds, rows, nulls, sets, dv, dvRows) = parseStats(statsJson)
+          LiveFile(b.toLong, p, bounds, rows, nulls, sets, dv, dvRows)
       }
     }
     Manifest(schema, partCols, files, txns, op, cdf, constraints,
@@ -347,7 +358,7 @@ object ManifestLake {
     * absence as unknown — both directions stay compatible.
     */
   private def parseStats(json: String): (Map[String, (String, String)], Option[Long],
-      Map[String, Long], Map[String, Seq[String]]) = {
+      Map[String, Long], Map[String, Seq[String]], Option[String], Option[Long]) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     JsonMethods.parse(json) match {
@@ -364,15 +375,19 @@ object ManifestLake {
             c -> vs.collect { case JString(s) => s }
           }.toMap
         }.getOrElse(Map.empty[String, Seq[String]])
-        (bounds, rows, nulls, sets)
-      case _ => (Map.empty, None, Map.empty, Map.empty)
+        val dv = fields.collectFirst { case ("#dv", JString(p)) => p }
+        val dvRows = fields.collectFirst { case ("#dvrows", JInt(n)) => n.toLong }
+        (bounds, rows, nulls, sets, dv, dvRows)
+      case _ => (Map.empty, None, Map.empty, Map.empty, None, None)
     }
   }
 
   private def renderStats(stats: Map[String, (String, String)],
                           rows: Option[Long],
                           nullCounts: Map[String, Long],
-                          valueSets: Map[String, Seq[String]]): String = {
+                          valueSets: Map[String, Seq[String]],
+                          dv: Option[String] = None,
+                          dvRows: Option[Long] = None): String = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     JsonMethods.compact(JObject(
@@ -389,7 +404,9 @@ object ManifestLake {
          else List("#sets" -> (JObject(
            valueSets.toSeq.sortBy(_._1).map { case (c, vs) =>
              c -> (JArray(vs.map(JString(_): JValue).toList): JValue)
-           }.toList): JValue)))))
+           }.toList): JValue))) ++
+        dv.map(p => "#dv" -> (JString(p): JValue)).toList ++
+        dvRows.map(n => "#dvrows" -> (JInt(n): JValue)).toList))
   }
 
   /** Hive-style partition columns derived from manifest file PATHS: the
@@ -498,9 +515,10 @@ object ManifestLake {
       droppedPhys.map(p => s"#coldropped\t$p") ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
     val body = header ++ files.sortBy(_.path).map { f =>
-      if (f.stats.isEmpty && f.rows.isEmpty && f.nullCounts.isEmpty && f.valueSets.isEmpty)
+      if (f.stats.isEmpty && f.rows.isEmpty && f.nullCounts.isEmpty &&
+        f.valueSets.isEmpty && f.dv.isEmpty)
         s"${f.bytes}\t${f.path}"
-      else s"${f.bytes}\t${f.path}\t${renderStats(f.stats, f.rows, f.nullCounts, f.valueSets)}"
+      else s"${f.bytes}\t${f.path}\t${renderStats(f.stats, f.rows, f.nullCounts, f.valueSets, f.dv, f.dvRows)}"
     }
     val out = new java.util.zip.GZIPOutputStream(fs.create(tmp, true))
     try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -1105,10 +1123,34 @@ object ManifestLake {
   private def readFiles(spark: SparkSession, fs: FileSystem, root: Path,
                         m: Manifest): DataFrame = m.schema match {
     case Some(schema) =>
+      val (masked, plain) = m.files.partition(_.dv.isDefined)
       // HadoopFsRelation appends partition columns after data columns;
       // present the table in its recorded column order
-      spark.baseRelationToDataFrame(hadoopFsRelation(spark, fs, root, m))
-        .select(schema.fieldNames.map(col): _*)
+      def scanOf(files: Seq[LiveFile]) = spark.baseRelationToDataFrame(
+        hadoopFsRelation(spark, fs, root, m.copy(files = files)))
+      if (masked.isEmpty)
+        scanOf(m.files).select(schema.fieldNames.map(col): _*)
+      else {
+        // DELETION-VECTOR masked files: scan with the parquet reader's
+        // (file_path, row_index) metadata and anti-join the referenced
+        // DV rows — the masked rows vanish without the files having
+        // moved. DV row volume is bounded by masked-row count, and only
+        // the files CARRYING a mask pay the join; unmasked files keep
+        // the plain single scan.
+        val dvDirs = masked.flatMap(_.dv).distinct
+          .map(p => fs.makeQualified(new Path(root, p)).toString)
+        val dvDf = spark.read.parquet(dvDirs: _*)
+          .select(col("file_path").as("__dv_fp"), col("row_index").as("__dv_ri"))
+        val maskedDf = scanOf(masked)
+          .select(col("_metadata.file_path").as("__dv_fp") +:
+            col("_metadata.row_index").as("__dv_ri") +:
+            schema.fieldNames.map(col): _*)
+          .join(dvDf, Seq("__dv_fp", "__dv_ri"), "left_anti")
+          .select(schema.fieldNames.map(col): _*)
+        if (plain.isEmpty) maskedDf
+        else scanOf(plain).select(schema.fieldNames.map(col): _*)
+          .unionByName(maskedDf)
+      }
     case None => readFilesGrouped(spark, root, m.files.map(_.path))
   }
 
@@ -1169,6 +1211,11 @@ object ManifestLake {
         s"$path uses column mapping (renamed/dropped columns) — the raw " +
           "graft-manifest relation would serve PHYSICAL column names; read " +
           "it with ManifestLake.read (and register a temp view for SQL)")
+    if (m.files.exists(_.dv.isDefined))
+      throw new IllegalArgumentException(
+        s"$path carries deletion vectors — the raw graft-manifest relation " +
+          "would serve masked rows; read it with ManifestLake.read (and " +
+          "register a temp view for SQL), or compact to materialize the masks")
     hadoopFsRelation(spark, fs, root, m)
   }
 
@@ -1682,7 +1729,14 @@ object ManifestLake {
     val commitDir = new Path(root,
       f"$DataDir/v$newV%06d-${java.util.UUID.randomUUID().toString.take(8)}")
     val report = plans.map { case (part, fls, want) =>
-      val src = spark.read.parquet(fls.map(f => new Path(root, f.path).toString): _*)
+      // deletion-vector-masked inputs compact through the masked-aware
+      // slice read (the rewrite MATERIALIZES the masks: rewritten files
+      // carry no vectors) — compaction doubles as DV garbage collection
+      val src =
+        if (fls.forall(_.dv.isEmpty))
+          spark.read.parquet(fls.map(f => new Path(root, f.path).toString): _*)
+        else readFileSlice(spark, path, manifest, fls)
+          .drop(manifest.partCols: _*)
       val cluster = clusterBy.filter(src.columns.contains).map(col)
       // same file-count-target stance as Lake.compact: when the scan
       // bin-packs below the target, coalesce can only undershoot — range-
@@ -1706,9 +1760,10 @@ object ManifestLake {
       // from the manifest's recorded counts (or the source footers when
       // a file predates stats), staged rows from the fresh footers — no
       // second and third scan of the data being compacted
-      val rowsIn =
+      val rowsIn = (
         if (fls.forall(_.rows.isDefined)) fls.flatMap(_.rows).sum
-        else footerRowCount(fs, root, fls)
+        else footerRowCount(fs, root, fls)) -
+        fls.flatMap(_.dvRows).sum // masked rows are not content
       val destStaged = stagedFiles(fs, root, dest)
       val rowsOut = footerRowCount(fs, root, destStaged)
       if (rowsOut != rowsIn)
@@ -2098,8 +2153,8 @@ object ManifestLake {
             return headV
           }
           val headAffected = headM.files
-            .filter(f => affectedDirs.contains(partOf(f.path))).map(_.path).toSet
-          if (headAffected != inputPaths ||
+            .filter(f => affectedDirs.contains(partOf(f.path))).toSet
+          if (headAffected != affectedFiles.toSet ||
             headM.schema != manifest.schema || headM.partCols != partitionCols ||
             headM.constraints != manifest.constraints ||
             headM.colMap != manifest.colMap) {
@@ -2262,9 +2317,10 @@ object ManifestLake {
       // row conservation from footers vs the observed classification
       val staged = stagedFiles(fs, root, commitDir)
       val rowsOut = footerRowCount(fs, root, staged)
-      val rowsIn =
+      val rowsIn = (
         if (affectedFiles.forall(_.rows.isDefined)) affectedFiles.flatMap(_.rows).sum
-        else footerRowCount(fs, root, affectedFiles)
+        else footerRowCount(fs, root, affectedFiles)) -
+        affectedFiles.flatMap(_.dvRows).sum // masked rows never entered the merge
       if (rowsOut != rowsIn - nDel + nIns) {
         fs.delete(commitDir, true)
         throw new IllegalStateException(
@@ -2338,8 +2394,8 @@ object ManifestLake {
               return MergeStats(headV, 0L, 0L, 0L)
             }
             val headAffected = headM.files
-              .filter(f => affectedDirs.contains(partDirOf(f.path))).map(_.path).toSet
-            if (headAffected != inputPaths ||
+              .filter(f => affectedDirs.contains(partDirOf(f.path))).toSet
+            if (headAffected != affectedFiles.toSet ||
               headM.schema != manifest.schema || headM.partCols != partitionCols ||
               headM.constraints != manifest.constraints ||
               headM.colMap != manifest.colMap) {
@@ -2486,6 +2542,32 @@ object ManifestLake {
   private def partDirOf(rel: String): String =
     rel.split("/").drop(2).dropRight(1).mkString("/")
 
+  /** PHYSICAL scan of `files` carrying the parquet reader's per-row
+    * provenance — `__dv_fp` (file path string) and `__dv_ri` (row index
+    * within the file) — with any EXISTING deletion-vector masks already
+    * applied. The building block of DV writes: the pair is exactly what
+    * a deletion vector records, rendered by the same reader that will
+    * later re-render it at mask-apply time, so the two sides match by
+    * construction.
+    */
+  private def scanWithRowMeta(spark: SparkSession, fs: FileSystem, root: Path,
+                              m: Manifest, files: Seq[LiveFile]): DataFrame = {
+    val schema = m.schema.get
+    val scan = spark.baseRelationToDataFrame(
+      hadoopFsRelation(spark, fs, root, m.copy(files = files)))
+      .select(col("_metadata.file_path").as("__dv_fp") +:
+        col("_metadata.row_index").as("__dv_ri") +:
+        schema.fieldNames.map(col): _*)
+    val dvDirs = files.flatMap(_.dv).distinct
+    if (dvDirs.isEmpty) scan
+    else {
+      val dvDf = spark.read.parquet(dvDirs.map(p =>
+        fs.makeQualified(new Path(root, p)).toString): _*)
+        .select(col("file_path").as("__dv_fp"), col("row_index").as("__dv_ri"))
+      scan.join(dvDf, Seq("__dv_fp", "__dv_ri"), "left_anti")
+    }
+  }
+
   /** The subset of `dirs` (hive partition-dir strings) whose TYPED
     * partition values satisfy `predicate`, or None when the predicate
     * cannot be decided from partition values alone: it references data
@@ -2559,7 +2641,7 @@ object ManifestLake {
   private def publishDeleteOptimistic(spark: SparkSession, fs: FileSystem,
                                       root: Path, path: String, predicate: Column,
                                       snapshot: Manifest, v: Long,
-                                      candidatePaths: Set[String],
+                                      candidates: Seq[LiveFile],
                                       staged: Seq[LiveFile],
                                       schema: StructType,
                                       txn: Option[(String, Long)],
@@ -2567,6 +2649,7 @@ object ManifestLake {
                                       cleanup: Seq[Path],
                                       partitionOnly: Boolean): Long = {
     fireRaceHook("delete")
+    val candidatePaths = candidates.map(_.path).toSet
     var attempt = 0
     var curM = snapshot
     var curV = v + 1
@@ -2600,9 +2683,13 @@ object ManifestLake {
                 s"the staged result was withdrawn; the table is intact at " +
                 s"v$headV. Re-run the delete against the new head.", e)
           }
-          val headPaths = headM.files.map(_.path).toSet
-          if (!candidatePaths.forall(headPaths.contains))
-            conflict("rewrote or removed its match-bearing files")
+          // ENTRY equality, not path presence: a racer that re-MASKED a
+          // candidate (deletion-vector delete) keeps its path but
+          // changes its entry — re-publishing our stale entry would
+          // silently undo the winner's mask
+          val headSet = headM.files.toSet
+          if (!candidates.forall(headSet.contains))
+            conflict("rewrote, removed, or re-masked its match-bearing files")
           if (headM.schema != snapshot.schema || headM.partCols != snapshot.partCols ||
             headM.colMap != snapshot.colMap)
             conflict("changed the recorded shape")
@@ -2637,7 +2724,8 @@ object ManifestLake {
 
   def delete(spark: SparkSession, path: String, predicate: Column,
              txn: Option[(String, Long)] = None,
-             changeFeed: Boolean = true): Long = {
+             changeFeed: Boolean = true,
+             deletionVectors: Boolean = false): Long = {
     val (fs, root) = fsFor(spark, path)
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no manifested table at $path"))
@@ -2693,7 +2781,7 @@ object ManifestLake {
               Seq(commitDir))
           }
         return publishDeleteOptimistic(spark, fs, root, path, predicate,
-          manifest, v, candidates.map(_.path).toSet, Seq.empty, schema,
+          manifest, v, candidates, Seq.empty, schema,
           txn, relCdf, cdfCleanup, partitionOnly = true)
       case None => () // references data columns: the rewrite path below
     }
@@ -2708,16 +2796,93 @@ object ManifestLake {
       Option(u.getScheme).getOrElse("") + "://" +
         Option(u.getAuthority).getOrElse("") + u.getPath
     }
-    val matchedUris = toLogical(readFiles(spark, fs, root, manifest), manifest)
+    def canonStr(sv: String): String =
+      canon(try new Path(new java.net.URI(sv))
+            catch { case _: Exception => new Path(sv) })
+    // per-row _metadata.file_path, not input_file_name(): the metadata
+    // column survives the deletion-vector anti-join and the
+    // masked/plain union, where input_file_name() goes blank
+    val matchedUris = toLogical(
+      scanWithRowMeta(spark, fs, root, manifest, manifest.files),
+      manifest, extraCols = Seq("__dv_fp"))
       .where(predicate)
-      .select(input_file_name().as("f")).distinct()
-      .collect().map(r => canon(new Path(new java.net.URI(r.getString(0))))).toSet
+      .select(col("__dv_fp")).distinct()
+      .collect().map(r => canonStr(r.getString(0))).toSet
     if (matchedUris.isEmpty) return v
     val candidates =
       manifest.files.filter(f => matchedUris.contains(canon(new Path(root, f.path))))
     require(candidates.size == matchedUris.size,
       s"matched file paths did not resolve against the live set: " +
         s"${matchedUris.size} matched, ${candidates.size} resolved")
+    // ---- DELETION-VECTOR PATH: mark the matched rows instead of
+    // rewriting the match-bearing files — the write amplification of a
+    // needle-in-a-1GB-file delete drops from the file size to a KB-scale
+    // sidecar of (file_path, row_index) pairs. The mask applies at scan
+    // time (see readFiles); compaction rewrites masked files and clears
+    // their vectors. Fully-masked files leave the live set by reference.
+    if (deletionVectors) {
+      val metaL = toLogical(scanWithRowMeta(spark, fs, root, manifest, candidates),
+        manifest, extraCols = Seq("__dv_fp", "__dv_ri"))
+      val matched = metaL.where(predicate)
+      matched.persist()
+      try {
+        val newV = v + 1
+        val commitDir = new Path(root,
+          f"$DataDir/v$newV%06d-${java.util.UUID.randomUUID().toString.take(8)}")
+        val dvP = new Path(commitDir, DvDir)
+        val perFp = matched.groupBy(col("__dv_fp")).count().collect()
+          .map(r => canonStr(r.getString(0)) -> r.getLong(1)).toMap
+        val newRows = matched.select(col("__dv_fp").as("file_path"),
+          col("__dv_ri").cast("long").as("row_index"))
+        val oldDvDirs = candidates.flatMap(_.dv).distinct
+        val dvAll =
+          if (oldDvDirs.isEmpty) newRows
+          else {
+            // the candidates' EXISTING masked rows carry into the new
+            // dir (each entry references exactly one dv dir); other
+            // files' rows stay behind, still referenced by their own
+            // entries. Old and new file_path strings render identically
+            // — both come from the same reader metadata.
+            spark.read.parquet(oldDvDirs.map(pp =>
+              fs.makeQualified(new Path(root, pp)).toString): _*)
+              .select(col("file_path"), col("row_index"))
+              .where(col("file_path").isInCollection(
+                matched.select("__dv_fp").distinct().collect().map(_.getString(0)).toSeq))
+              .unionByName(newRows)
+          }
+        dvAll.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvP.toString)
+        val rootQ = fs.makeQualified(root).toString
+        val relDv = fs.makeQualified(dvP).toString.stripPrefix(rootQ).stripPrefix("/")
+        val updated = candidates.flatMap { f =>
+          val newCount = perFp.getOrElse(canon(new Path(root, f.path)), 0L) +
+            f.dvRows.getOrElse(0L)
+          f.rows.foreach(r => require(newCount <= r,
+            s"deletion-vector overflow for ${f.path}: $newCount masked of $r rows"))
+          // every row masked: the file leaves the live set by reference
+          if (f.rows.contains(newCount)) None
+          else Some(f.copy(dv = Some(relDv), dvRows = Some(newCount)))
+        }
+        val relCdf =
+          if (!changeFeed) None
+          else {
+            val cdfP = new Path(commitDir, CdfDir)
+            val goneL = matched.drop("__dv_fp", "__dv_ri")
+            val phys = manifest.colMap match {
+              case None => goneL
+              case Some(cm) => goneL.select(cm.map { case (l, pn) => col(l).as(pn) }: _*)
+            }
+            phys.withColumn(ChangeTypeCol, lit("delete"))
+              .write.mode(SaveMode.Overwrite).parquet(cdfP.toString)
+            Some(fs.makeQualified(cdfP).toString.stripPrefix(rootQ).stripPrefix("/"))
+          }
+        return publishDeleteOptimistic(spark, fs, root, path, predicate,
+          manifest, v, candidates, updated, schema,
+          txn, relCdf, Seq(commitDir), partitionOnly = false)
+      } finally {
+        matched.unpersist()
+        ()
+      }
+    }
     val src = toLogical(readFileSlice(spark, path, manifest, candidates), manifest)
     src.persist()
     try {
@@ -2739,9 +2904,10 @@ object ManifestLake {
       // input side comes from the matched files' recorded counts (or
       // their footers), the staged side from the fresh footers; only
       // the deleted-row count runs as a job, over the cached slice
-      val rowsIn =
+      val rowsIn = (
         if (candidates.forall(_.rows.isDefined)) candidates.flatMap(_.rows).sum
-        else footerRowCount(fs, root, candidates)
+        else footerRowCount(fs, root, candidates)) -
+        candidates.flatMap(_.dvRows).sum // masked rows never entered the slice
       val rowsGone = gone.count()
       val staged = stagedFiles(fs, root, commitDir)
       val rowsOut = footerRowCount(fs, root, staged)
@@ -2773,7 +2939,7 @@ object ManifestLake {
           Some(fs.makeQualified(cdfP).toString.stripPrefix(rootQ).stripPrefix("/"))
         }
       publishDeleteOptimistic(spark, fs, root, path, predicate,
-        manifest, v, candidates.map(_.path).toSet, withStats, schema,
+        manifest, v, candidates, withStats, schema,
         txn, relCdf, Seq(commitDir), partitionOnly = false)
     } finally {
       src.unpersist()
@@ -3169,6 +3335,12 @@ object ManifestLake {
       }
     val keptCdfPrefixes = keptManifests.flatMap { case (kv, km) => cdfRefOf(kv, km) }.toSet
     val cdfEver = allManifests.flatMap { case (vv, m) => cdfRefOf(vv, m) }.toSet
+    // deletion-vector dirs are LIVE-SET references (a kept manifest's
+    // masked files are unreadable without them) — never reap a dv dir
+    // any kept version's entry names; below the horizon they reap with
+    // their version like any other unreferenced-by-kept file
+    val keptDvPrefixes = keptManifests.flatMap(_._2.files.flatMap(_.dv)).toSet
+    val dvEver = allManifests.flatMap(_._2.files.flatMap(_.dv)).toSet
     val dataRoot = new Path(root, DataDir)
     val removed = Seq.newBuilder[String]
     if (fs.exists(dataRoot)) {
@@ -3200,7 +3372,8 @@ object ManifestLake {
         // change file) has provably committed, so superseded means
         // reapable now
         val published = referencedEver.contains(rel) ||
-          cdfEver.exists(p => rel.startsWith(p + "/"))
+          cdfEver.exists(p => rel.startsWith(p + "/")) ||
+          dvEver.exists(p => rel.startsWith(p + "/"))
         val young = f.getModificationTime >= cutoff
         val inFlight = !published && commitV.isDefined && young &&
           (suffixed || commitV.exists(_ > head))
@@ -3209,7 +3382,8 @@ object ManifestLake {
         // them for as long as the version itself is retained. Below
         // the horizon they reap with the version.
         val keptCdf = keptCdfPrefixes.exists(p => rel.startsWith(p + "/"))
-        if (f.isFile && !liveAcrossKept.contains(rel) && !inFlight && !keptCdf)
+        val keptDv = keptDvPrefixes.exists(p => rel.startsWith(p + "/"))
+        if (f.isFile && !liveAcrossKept.contains(rel) && !inFlight && !keptCdf && !keptDv)
           dead += f.getPath
       }
       dead.result().foreach { p =>

@@ -1111,5 +1111,60 @@ object EtlGate {
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
              |FROM feed GROUP BY change_type, lang
-             |ORDER BY change_type, lang""".stripMargin)))
+             |ORDER BY change_type, lang""".stripMargin)),
+
+    // DELETION VECTORS under the oracle: the same delete q100 replays —
+    // including its NULL-keep survivors — executed as a MASK instead of
+    // a rewrite: the live data-file set is required in-line to be
+    // byte-identical across the delete, and the final table, the
+    // survivors, AND the change feed still hash-match DuckDB. The mask
+    // IS the delete, with zero write amplification.
+    Q(
+      "q109_deletion_vectors",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-dv") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .withColumn("tag",
+            when(pmod(col("doc_id"), lit(10L)) === 0, lit(null).cast("string"))
+              .otherwise(col("lang")))
+        ManifestLake.write(s, docs, out, Seq("lang"), statsCols = Seq("doc_id")) // v1
+        val (fs, root) = ManifestLake.fsFor(s, out)
+        val before = ManifestLake.readManifest(fs, root, 1L).files
+          .map(f => f.path -> f.bytes).toSet
+        val predicate = col("tag") === "en" && pmod(col("doc_id"), lit(3L)) === 0
+        val v = ManifestLake.delete(s, out, predicate, deletionVectors = true)  // v2
+        require(v == 2L, s"DV delete must publish v2, got v$v")
+        require(ManifestLake.readManifest(fs, root, 2L).files
+          .map(f => f.path -> f.bytes).toSet == before,
+          "a deletion-vector delete must not move, add, or remove any data file")
+        val cols = Seq(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        val feed = ManifestLake.readChangeFeed(s, out, fromV = 1L, toV = 2L)
+          .where(col("_change_type") === "delete")
+          .select(lit("deleted").as("state") +: cols: _*)
+        val live = ManifestLake.read(s, out)
+          .select(lit("live").as("state") +: cols: _*)
+        feed.unionByName(live)
+          .groupBy(col("state"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("state"), col("lang"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text, lang, n_chars,
+             |    CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS tag
+             |  FROM documents),
+             |rows_out AS (
+             |  SELECT 'deleted' AS state, lang, doc_id, text, n_chars
+             |  FROM base WHERE tag = 'en' AND doc_id % 3 = 0
+             |  UNION ALL
+             |  SELECT 'live', lang, doc_id, text, n_chars
+             |  FROM base WHERE NOT COALESCE(tag = 'en' AND doc_id % 3 = 0, FALSE))
+             |SELECT state, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM rows_out GROUP BY state, lang ORDER BY state, lang""".stripMargin)))
 }

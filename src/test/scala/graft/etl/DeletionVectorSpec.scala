@@ -1,0 +1,173 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deletion vectors: row-level deletes that MARK rows instead of
+  * rewriting files — `(file_path, row_index)` sidecars applied at scan
+  * time. Pins: zero data-file movement, exact results incl. NULL-keep
+  * semantics, accumulation across deletes, fully-masked file retirement,
+  * compaction as DV garbage collection, vacuum keeping referenced
+  * vectors, change-feed exactness, and the masked-table DSv1 refusal.
+  */
+class DeletionVectorSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(tag).toString + "/table"
+
+  test("a DV delete moves zero data files, serves exact survivors, and accumulates across deletes") {
+    import spark.implicits._
+    val dir = freshDir("mlake-dv")
+    val df = (0 until 100).map(i =>
+      (s"chr${i % 2 + 1}", i.toLong,
+        if (i % 10 == 0) null else s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, df, dir, Seq("chrom"), statsCols = Seq("pos"))   // v1
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val before = ManifestLake.readManifest(fs, root, 1L).files
+      .map(f => f.path -> f.bytes).toMap
+
+    // NULL-keep semantics through the mask: payload NULL rows survive
+    // a payload-referencing predicate
+    assert(ManifestLake.delete(spark, dir,
+      col("payload").endsWith("1") && col("pos") < 50L,
+      deletionVectors = true) === 2L)
+    val m2 = ManifestLake.readManifest(fs, root, 2L)
+    assert(m2.files.map(f => f.path -> f.bytes).toMap === before,
+      "a DV delete must not move, add, or remove any data file")
+    val masked2 = m2.files.filter(_.dv.isDefined)
+    assert(masked2.nonEmpty && masked2.flatMap(_.dvRows).sum === 5L,
+      s"pos 1,11,21,31,41 masked, got ${masked2.flatMap(_.dvRows).sum}")
+    val r2 = ManifestLake.read(spark, dir)
+    assert(r2.count() === 95)
+    assert(r2.where(col("pos") === 11L).count() === 0)
+    assert(r2.where(col("pos") === 10L).count() === 1, "NULL payload row must survive")
+    assert(r2.where(col("pos") === 51L).count() === 1)
+
+    // second DV delete ACCUMULATES on already-masked files — and the
+    // already-masked pos=1 row is INVISIBLE to it (no double-mask)
+    assert(ManifestLake.delete(spark, dir, col("pos") < 4L,
+      deletionVectors = true) === 3L)
+    val r3 = ManifestLake.read(spark, dir)
+    assert(r3.count() === 92) // pos 0,2,3 newly masked; 1 was already gone
+    assert(r3.where(col("pos") < 4L).count() === 0)
+    assert(r3.where(col("pos") === 11L).count() === 0,
+      "the first delete's mask must survive the second")
+    val m3 = ManifestLake.readManifest(fs, root, 3L)
+    assert(m3.files.map(_.path).toSet === m2.files.map(_.path).toSet)
+    assert(m3.files.flatMap(_.dvRows).sum === 8L)
+
+    // time travel: each version serves its own mask state
+    assert(ManifestLake.readVersion(spark, dir, 1L).count() === 100)
+    assert(ManifestLake.readVersion(spark, dir, 2L).count() === 95)
+
+    // the change feed serves the exact masked rows as deletes
+    val feed = ManifestLake.readChangeFeed(spark, dir, 1L, 3L)
+    assert(feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("delete" -> 8L))
+    assert(feed.where(col("_commit_version") === 3L)
+      .select("pos").collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 2L, 3L),
+      "already-masked rows must not re-report as deleted")
+
+    // raw DSv1 relation refuses masked tables typed
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-manifest").load(dir).collect()
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+
+  test("fully-masked files retire from the live set; compaction materializes masks and clears vectors") {
+    import spark.implicits._
+    val dir = freshDir("mlake-dv-gc")
+    val df = (0 until 60).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i"))
+      .toDF("chrom", "pos", "payload")
+    ManifestLake.write(spark, df.repartition(6), dir, Seq("chrom"),
+      statsCols = Seq("pos"))                                                  // v1
+    // mask SOME rows, then compact: the rewrite applies the mask and
+    // the new files carry no vectors
+    ManifestLake.delete(spark, dir, col("pos") % 3 === 0, deletionVectors = true) // v2
+    assert(ManifestLake.read(spark, dir).count() === 40)
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    assert(ManifestLake.readManifest(fs, root, 2L).files.exists(_.dv.isDefined))
+    ManifestLake.compact(spark, dir, targetBytes = Long.MaxValue)              // v3
+    val m3 = ManifestLake.readManifest(fs, root, 3L)
+    assert(m3.files.forall(_.dv.isEmpty), "compaction must clear deletion vectors")
+    val r3 = ManifestLake.read(spark, dir)
+    assert(r3.count() === 40)
+    assert(r3.where(col("pos") % 3 === 0).count() === 0)
+
+    // masking EVERY row of a partition's files retires them by reference
+    ManifestLake.delete(spark, dir, col("chrom") === "chr2" && col("pos") >= 0L,
+      deletionVectors = true)                                                  // v4
+    val m4 = ManifestLake.readManifest(fs, root, 4L)
+    assert(!m4.files.exists(_.path.contains("chrom=chr2")),
+      "fully-masked files must leave the live set, not carry pointless vectors")
+    assert(ManifestLake.read(spark, dir).where(col("chrom") === "chr2").count() === 0)
+
+    // vacuum keeps vectors referenced by kept versions, reaps them with
+    // their version below the horizon
+    ManifestLake.delete(spark, dir, col("pos") === 2L, deletionVectors = true) // v5
+    val dvDirs = ManifestLake.readManifest(fs, root, 5L).files.flatMap(_.dv).distinct
+    assert(dvDirs.nonEmpty)
+    ManifestLake.vacuum(spark, dir, keepVersions = 2)
+    dvDirs.foreach(d => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(root, d)),
+      s"a kept version's deletion vector must survive vacuum: $d"))
+    assert(ManifestLake.read(spark, dir).where(col("pos") === 2L).count() === 0)
+  }
+
+  test("upsert and merge on DV-masked partitions stay exact; racing DV deletes on one file conflict") {
+    import spark.implicits._
+    val dir = freshDir("mlake-dv-dml")
+    ManifestLake.write(spark,
+      (0 until 20).map(i => (s"chr1", i.toLong, s"p$i")).toDF("chrom", "pos", "payload"),
+      dir, Seq("chrom"))                                                       // v1
+    ManifestLake.delete(spark, dir, col("pos") < 5L, deletionVectors = true)   // v2
+    // upsert reads the affected partition MASKED: the rewrite must not
+    // resurrect the masked rows
+    ManifestLake.upsert(spark, dir,
+      Seq(("chr1", 10L, "UPDATED")).toDF("chrom", "pos", "payload"),
+      Seq("chrom"), Seq("chrom", "pos"))                                       // v3
+    val r3 = ManifestLake.read(spark, dir)
+    assert(r3.count() === 15)
+    assert(r3.where(col("pos") < 5L).count() === 0,
+      "an upsert rewrite must not resurrect DV-masked rows")
+    assert(r3.where(col("payload") === "UPDATED").count() === 1)
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    assert(ManifestLake.readManifest(fs, root, 3L).files.forall(_.dv.isEmpty),
+      "the upsert rewrite materializes the affected partition's masks")
+
+    // merge over a masked partition: same exactness
+    ManifestLake.delete(spark, dir, col("pos") === 19L, deletionVectors = true) // v4
+    val st = ManifestLake.merge(spark, dir,
+      Seq(("chr1", 18L, "MERGED"), ("chr1", 100L, "NEW"))
+        .toDF("chrom", "pos", "payload"),
+      Seq("chrom"), Seq("chrom", "pos"))                                       // v5
+    assert(st.updated === 1L && st.inserted === 1L)
+    val r5 = ManifestLake.read(spark, dir)
+    assert(r5.count() === 15)
+    assert(r5.where(col("pos") === 19L).count() === 0)
+
+    // two DV deletes racing on the SAME file: the loser must conflict
+    // (entry equality), never silently undo the winner's mask
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    ManifestLake.raceHook.set { _ =>
+      Await.result(Future {
+        spark.sparkContext.clearJobGroup()
+        ManifestLake.delete(spark, dir, col("pos") === 17L, deletionVectors = true)
+      }, 2.minutes): Unit
+    }
+    val e = try intercept[IllegalStateException] {
+      ManifestLake.delete(spark, dir, col("pos") === 18L, deletionVectors = true)
+    } finally ManifestLake.raceHook.set(null)
+    assert(e.getMessage.contains("re-masked") || e.getMessage.contains("lost its race"))
+    val after = ManifestLake.read(spark, dir)
+    assert(after.where(col("pos") === 17L).count() === 0, "the winner's mask holds")
+    assert(after.where(col("pos") === 18L).count() === 1, "the loser's intent must not half-apply")
+  }
+}
