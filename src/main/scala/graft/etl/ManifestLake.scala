@@ -1505,7 +1505,8 @@ object ManifestLake {
           .withColumn(CommitVersionCol, lit(v)))
       } else if (m.op.exists(o => o == "compact" || o == "constraint" ||
         o == "schema")) None
-      else if (m.op.exists(o => o == "upsert" || o == "delete" || o == "merge")) {
+      else if (m.op.exists(o =>
+        o == "upsert" || o == "delete" || o == "merge" || o == "update")) {
         val dir = cdfPathOf(root, v, m)
         m.schema match {
           case Some(s) if fs.exists(dir) =>
@@ -2945,6 +2946,225 @@ object ManifestLake {
       src.unpersist()
       ()
     }
+  }
+
+  /** Row-level UPDATE under manifest commit — `UPDATE t SET c = expr
+    * WHERE cond`: rewrite ONLY the files containing condition matches,
+    * applying `set` to the matched rows; every other file carries by
+    * reference, and unmatched rows in rewritten files pass through
+    * byte-equal. SQL semantics: rows where the condition is NULL do NOT
+    * update. Set expressions may reference any (logical) table column
+    * (the pre-update row values, as in SQL). Partition columns cannot
+    * be updated (that is a delete + insert — use [[merge]]); column
+    * types must be preserved (cast in the expression). Change files
+    * stamp exact `update_preimage`/`update_postimage` rows; row
+    * conservation is verified pre-publish; publishes with the same
+    * optimistic rules as delete. Returns the published (or unchanged)
+    * version.
+    */
+  def update(spark: SparkSession, path: String, condition: Column,
+             set: Map[String, Column],
+             txn: Option[(String, Long)] = None,
+             changeFeed: Boolean = true): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val manifest = readManifest(fs, root, v)
+    if (txn.exists { case (app, b) => manifest.txns.get(app).exists(_ >= b) })
+      return v
+    val schema = manifest.schema.getOrElse(throw new IllegalArgumentException(
+      s"table at $path has a headerless legacy manifest — update needs the " +
+        "recorded schema (run one append or upsert to adopt a header first)"))
+    val logical = logicalSchemaOf(manifest)
+    set.keys.foreach { c =>
+      require(logical.fieldNames.contains(c),
+        s"SET column $c is not a table column (${logical.fieldNames.mkString(", ")})")
+      require(!manifest.partCols.contains(c),
+        s"cannot UPDATE partition column $c — rows would have to move " +
+          "between partitions; use merge (delete + insert) instead")
+    }
+    Seq(ChangeTypeCol, CommitVersionCol).foreach(r =>
+      require(!schema.fieldNames.contains(r) && !logical.fieldNames.contains(r),
+        s"column name $r is reserved for the change feed's metadata"))
+    if (manifest.files.isEmpty) return v
+    def canon(p: Path): String = {
+      val u = fs.makeQualified(p).toUri
+      Option(u.getScheme).getOrElse("") + "://" +
+        Option(u.getAuthority).getOrElse("") + u.getPath
+    }
+    def canonStr(sv: String): String =
+      canon(try new Path(new java.net.URI(sv))
+            catch { case _: Exception => new Path(sv) })
+    val matchedUris = toLogical(
+      scanWithRowMeta(spark, fs, root, manifest, manifest.files),
+      manifest, extraCols = Seq("__dv_fp"))
+      .where(condition)
+      .select(col("__dv_fp")).distinct()
+      .collect().map(r => canonStr(r.getString(0))).toSet
+    if (matchedUris.isEmpty) return v
+    val candidates =
+      manifest.files.filter(f => matchedUris.contains(canon(new Path(root, f.path))))
+    require(candidates.size == matchedUris.size,
+      s"matched file paths did not resolve against the live set: " +
+        s"${matchedUris.size} matched, ${candidates.size} resolved")
+    val src = toLogical(readFileSlice(spark, path, manifest, candidates), manifest)
+    src.persist()
+    try {
+      val hit = coalesce(condition, lit(false))
+      // SET expressions see the PRE-update row (SQL semantics): compute
+      // every assignment from the original columns in one projection,
+      // keeping each column's declared type
+      val outCols = logical.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }
+      val rewritten = src.select(outCols: _*)
+      // two observation points on the ONE write job: the row/match
+      // counts see the PRE-update frame (the condition references
+      // pre-update values), the CHECK constraints judge the POST-update
+      // projection — evaluating them pre-update would wave through a
+      // SET that writes violating values
+      val consSeq = manifest.constraints.toSeq.sortBy(_._1)
+      val obs = org.apache.spark.sql.Observation()
+      val obsPost = org.apache.spark.sql.Observation()
+      val preObserved = src.observe(obs,
+        count(lit(1)).as("rows"), count(when(hit, lit(1))).as("n_upd"))
+      val projected = preObserved.select(outCols: _*)
+      val observed =
+        if (consSeq.isEmpty) projected
+        else {
+          val aggs = consSeq.map { case (n, e) =>
+            count(when(not(coalesce(expr(e), lit(true))), lit(1))).as(s"viol_$n")
+          }
+          projected.observe(obsPost, aggs.head, aggs.tail: _*)
+        }
+      val newV = v + 1
+      val commitDir = new Path(root,
+        f"$DataDir/v$newV%06d-${java.util.UUID.randomUUID().toString.take(8)}")
+      val w = fromLogical(observed, manifest).write.mode(SaveMode.Overwrite)
+      (if (manifest.partCols.nonEmpty) w.partitionBy(manifest.partCols: _*) else w)
+        .parquet(commitDir.toString)
+      consSeq.foreach { case (n, e) =>
+        val bad = obsPost.get(s"viol_$n").asInstanceOf[Long]
+        if (bad > 0) {
+          fs.delete(commitDir, true)
+          throw new IllegalStateException(
+            s"CHECK constraint $n (`$e`) on $path violated by $bad updated " +
+              s"row(s) — nothing published, table still at v$v")
+        }
+      }
+      val rowsIn = obs.get("rows").asInstanceOf[Long]
+      val nUpd = obs.get("n_upd").asInstanceOf[Long]
+      val staged = stagedFiles(fs, root, commitDir)
+      val rowsOut = footerRowCount(fs, root, staged)
+      if (rowsOut != rowsIn) {
+        fs.delete(commitDir, true)
+        throw new IllegalStateException(
+          s"manifest update verification failed for $path: $rowsIn rows in, " +
+            s"$rowsOut staged — table still at v$v")
+      }
+      require(nUpd > 0, "internal: matched files held no matching rows")
+      val stagedCols = rewritten.schema.fieldNames.toSet
+      val statKeys =
+        (manifest.files.flatMap(_.stats.keys) ++
+          manifest.files.flatMap(_.nullCounts.keys) ++
+          manifest.files.flatMap(_.valueSets.keys)).distinct
+          .filter(k => schema.fieldNames.contains(k))
+      val withStats =
+        if (statKeys.isEmpty || staged.isEmpty) staged
+        else {
+          val byRel = collectStats(spark, fs, root, commitDir, schema, statKeys, manifest.partCols)
+          staged.map(f => withFileStats(f, byRel.get(f.path)))
+        }
+      val relCdf =
+        if (!changeFeed) None
+        else {
+          val pre = src.where(hit).withColumn(ChangeTypeCol, lit("update_preimage"))
+          val postM = src.where(hit).select(outCols: _*)
+            .withColumn(ChangeTypeCol, lit("update_postimage"))
+          val changes = pre.unionByName(postM)
+          val physChanges = manifest.colMap match {
+            case None => changes
+            case Some(cm) =>
+              changes.select(cm.map { case (l, p) => col(l).as(p) } :+
+                col(ChangeTypeCol): _*)
+          }
+          val cdfP = new Path(commitDir, CdfDir)
+          physChanges.write.mode(SaveMode.Overwrite).parquet(cdfP.toString)
+          val rootQ = fs.makeQualified(root).toString
+          Some(fs.makeQualified(cdfP).toString.stripPrefix(rootQ).stripPrefix("/"))
+        }
+      // the feed dispatches CDF reads by op — "update" serves like
+      // upsert/delete/merge (see readChangeFeed)
+      publishUpdateOptimistic(spark, fs, root, path, manifest, v,
+        candidates, withStats, schema, txn, relCdf, Seq(commitDir))
+    } finally {
+      src.unpersist()
+      ()
+    }
+  }
+
+  /** Optimistic publish for [[update]]: a lost race retries iff every
+    * match-bearing file ENTRY is unchanged at the head and the recorded
+    * shape is identical — updates never conflict with added files (an
+    * UPDATE has no promise about rows that arrived after its snapshot,
+    * unlike a delete), so disjoint appends compose freely.
+    */
+  private def publishUpdateOptimistic(spark: SparkSession, fs: FileSystem,
+                                      root: Path, path: String,
+                                      snapshot: Manifest, v: Long,
+                                      candidates: Seq[LiveFile],
+                                      staged: Seq[LiveFile],
+                                      schema: StructType,
+                                      txn: Option[(String, Long)],
+                                      relCdf: Option[String],
+                                      cleanup: Seq[Path]): Long = {
+    fireRaceHook("update")
+    val candidatePaths = candidates.map(_.path).toSet
+    var attempt = 0
+    var curM = snapshot
+    var curV = v + 1
+    while (true) {
+      try {
+        publish(fs, root, curV,
+          curM.files.filterNot(f => candidatePaths.contains(f.path)) ++ staged,
+          Some(schema), snapshot.partCols,
+          curM.txns ++ txn.toMap, op = Some("update"), cdf = relCdf,
+          constraints = curM.constraints, colMap = curM.colMap,
+          droppedPhys = curM.droppedPhys)
+        return curV
+      } catch {
+        case e: IllegalStateException if attempt >= 5 =>
+          retriesExhausted(fs, "update", path, cleanup, e)
+        case e: IllegalStateException if attempt < 5 =>
+          attempt += 1
+          val headV = currentVersion(spark, path).getOrElse(throw e)
+          val headM = readManifest(fs, root, headV)
+          if (txn.exists { case (app, b) => headM.txns.get(app).exists(_ >= b) }) {
+            cleanup.foreach(fs.delete(_, true))
+            return headV
+          }
+          val headSet = headM.files.toSet
+          if (!candidates.forall(headSet.contains) ||
+            headM.schema != snapshot.schema ||
+            headM.partCols != snapshot.partCols ||
+            headM.colMap != snapshot.colMap ||
+            headM.constraints != snapshot.constraints) {
+            cleanup.foreach(fs.delete(_, true))
+            throw new IllegalStateException(
+              s"update of $path lost its race to a commit that touched its " +
+                "match-bearing files or changed the recorded shape — the " +
+                s"staged rewrite was withdrawn; the table is intact at v$headV. " +
+                "Re-run the update against the new head.", e)
+          }
+          curM = headM
+          curV = headV + 1
+      }
+    }
+    curV // unreachable
   }
 
   /** Roll the table back to version `v` by RE-PUBLISHING v's live set

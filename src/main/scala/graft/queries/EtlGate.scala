@@ -1166,5 +1166,61 @@ object EtlGate {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
+             |FROM rows_out GROUP BY state, lang ORDER BY state, lang""".stripMargin)),
+
+    // ROW-LEVEL UPDATE under the oracle: SET expressions computed from
+    // PRE-update values (text rewritten from the old text, n_chars from
+    // the old n_chars) over a condition that evaluates NULL on every
+    // 10th row (those rows must stay untouched — SQL semantics). Final
+    // table AND the stamped pre/post change images hash-match DuckDB's
+    // CASE replay.
+    Q(
+      "q110_row_update",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-upd") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .withColumn("tag",
+            when(pmod(col("doc_id"), lit(10L)) === 0, lit(null).cast("string"))
+              .otherwise(col("lang")))
+        ManifestLake.write(s, docs, out, Seq("lang"), statsCols = Seq("doc_id")) // v1
+        val v = ManifestLake.update(s, out,
+          col("tag") === "en" && pmod(col("doc_id"), lit(4L)) === 0,
+          Map("text" -> upper(col("text")),
+            "n_chars" -> (col("n_chars") + lit(1000000L))))                    // v2
+        require(v == 2L, s"update must publish v2, got v$v")
+        val cols = Seq(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        val feed = ManifestLake.readChangeFeed(s, out, fromV = 1L, toV = 2L)
+          .select(col("_change_type").as("state") +: cols: _*)
+        val live = ManifestLake.read(s, out)
+          .select(lit("live").as("state") +: cols: _*)
+        feed.unionByName(live)
+          .groupBy(col("state"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("state"), col("lang"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text, lang, n_chars,
+             |    COALESCE(CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END = 'en'
+             |      AND doc_id % 4 = 0, FALSE) AS hit
+             |  FROM documents),
+             |rows_out AS (
+             |  SELECT 'update_preimage' AS state, lang, doc_id, text, n_chars
+             |  FROM base WHERE hit
+             |  UNION ALL
+             |  SELECT 'update_postimage', lang, doc_id, upper(text),
+             |    n_chars + 1000000 FROM base WHERE hit
+             |  UNION ALL
+             |  SELECT 'live', lang, doc_id,
+             |    CASE WHEN hit THEN upper(text) ELSE text END,
+             |    CASE WHEN hit THEN n_chars + 1000000 ELSE n_chars END
+             |  FROM base)
+             |SELECT state, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
              |FROM rows_out GROUP BY state, lang ORDER BY state, lang""".stripMargin)))
 }
