@@ -77,22 +77,9 @@ final class ManifestDataSource extends DataSourceRegister
     }
     // timestampAsOf accepts epoch millis, an ISO-8601 instant, or the
     // session-zone `yyyy-MM-dd HH:mm:ss[.fff]` form SQL users write
-    val byTs = parameters.get("timestampAsOf").map { s =>
-      val millis =
-        if (s.forall(_.isDigit)) s.toLong
-        else try java.time.Instant.parse(s).toEpochMilli
-        catch {
-          case _: java.time.format.DateTimeParseException =>
-            try java.sql.Timestamp.valueOf(s).getTime
-            catch {
-              case _: IllegalArgumentException =>
-                throw new IllegalArgumentException(
-                  s"timestampAsOf must be epoch millis, an ISO-8601 instant, " +
-                    s"or 'yyyy-MM-dd HH:mm:ss', got '$s'")
-            }
-        }
-      ManifestLake.versionAtTimestamp(spark, path, millis)
-    }
+    val byTs = parameters.get("timestampAsOf").map(s =>
+      ManifestLake.versionAtTimestamp(spark, path,
+        ManifestDataSource.parseMillis("timestampAsOf", s)))
     require(byVersion.isEmpty || byTs.isEmpty,
       "versionAsOf and timestampAsOf are mutually exclusive")
     ManifestLake.relation(spark, path, byVersion.orElse(byTs))
@@ -218,12 +205,22 @@ final class ManifestDataSource extends DataSourceRegister
     val maxBytes = positive[Long]("maxBytesPerTrigger", _.toLongOption, (n: Long) => n > 0)
     val (_, pinned) = sourceSchema(sqlContext, schema, providerName, parameters)
     if (isChangeFeedStream(parameters)) {
-      val sv = startingVersion.getOrElse(throw new IllegalArgumentException(
+      // startingTimestamp resolves ONCE at stream creation to the last
+      // version published at or before the instant — changes strictly
+      // after it flow, the Delta CDF-stream contract; restart replay
+      // stays exact because the checkpointed offsets carry versions
+      val byStartTs = parameters.get("startingTimestamp").map(s =>
+        ManifestLake.versionAtTimestamp(sqlContext.sparkSession, path,
+          ManifestDataSource.parseMillis("startingTimestamp", s)))
+      require(startingVersion.isEmpty || byStartTs.isEmpty,
+        "startingVersion and startingTimestamp are mutually exclusive")
+      val sv = startingVersion.orElse(byStartTs).getOrElse(
+        throw new IllegalArgumentException(
         "a change-feed stream requires an explicit startingVersion (changes " +
           "strictly after it flow first; pass 0 for a full historical replay " +
           "on a fully-retained table, or the current version for changes from " +
-          "now) — an implicit one could not replay its first batch exactly " +
-          "across a restart"))
+          "now) or startingTimestamp — an implicit one could not replay its " +
+          "first batch exactly across a restart"))
       require(maxFiles.isEmpty && maxBytes.isEmpty,
         "maxFilesPerTrigger/maxBytesPerTrigger do not apply to a change-feed " +
           "stream (its batches are version windows); use maxVersionsPerTrigger")
@@ -264,4 +261,24 @@ final class ManifestDataSource extends DataSourceRegister
       declared, outputMode, appId, keyCols, statsCols, maintainEvery,
       changeFeed)
   }
+}
+
+object ManifestDataSource {
+
+  /** Epoch millis from the three timestamp spellings every option here
+    * accepts: raw millis, ISO-8601 instant, `yyyy-MM-dd HH:mm:ss[.fff]`.
+    */
+  private[etl] def parseMillis(opt: String, s: String): Long =
+    if (s.forall(_.isDigit)) s.toLong
+    else try java.time.Instant.parse(s).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        try java.sql.Timestamp.valueOf(s).getTime
+        catch {
+          case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"$opt must be epoch millis, an ISO-8601 instant, " +
+                s"or 'yyyy-MM-dd HH:mm:ss', got '$s'")
+        }
+    }
 }

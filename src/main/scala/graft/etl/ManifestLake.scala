@@ -1352,6 +1352,32 @@ object ManifestLake {
   def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
     readVersion(spark, path, versionAtTimestamp(spark, path, tsMillis))
 
+  /** The row-level change feed by WALL CLOCK: every change published
+    * strictly after `fromTsMillis`, up to and including the last
+    * version published at or before `toTsMillis` — both bounds resolve
+    * through [[versionAtTimestamp]]'s monotonized commit clock, so the
+    * window is exactly `(versionAt(from), versionAt(to)]`. An empty
+    * window (nothing committed between the instants) is the empty frame
+    * with the feed's schema, not an error.
+    */
+  def readChangeFeedByTime(spark: SparkSession, path: String,
+                           fromTsMillis: Long, toTsMillis: Long,
+                           skipUnresolved: Boolean = false): DataFrame = {
+    require(toTsMillis >= fromTsMillis,
+      s"need fromTs <= toTs, got $fromTsMillis > $toTsMillis")
+    val fromV = versionAtTimestamp(spark, path, fromTsMillis)
+    val toV = versionAtTimestamp(spark, path, toTsMillis)
+    if (toV <= fromV) {
+      val (fs, root) = fsFor(spark, path)
+      val head = readManifest(fs, root, toV)
+      val s = StructType(
+        (if (head.schema.isDefined) logicalSchemaOf(head).fields.toSeq
+         else Seq.empty) ++ Seq(StructField(ChangeTypeCol, StringType),
+          StructField(CommitVersionCol, LongType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    } else readChangeFeed(spark, path, fromV, toV, skipUnresolved)
+  }
+
   /** Read a specific published version (time travel / in-flight scans).
     * An empty version returns an empty frame WITH the recorded table
     * schema — callers can select/filter/aggregate the table's columns

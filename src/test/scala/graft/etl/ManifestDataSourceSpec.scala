@@ -130,6 +130,58 @@ class ManifestDataSourceSpec extends AnyFunSuite {
       System.currentTimeMillis()) === 3L)
   }
 
+  test("change feed by wall clock: (versionAt(from), versionAt(to)] exactly; empty windows are empty, not errors") {
+    import spark.implicits._
+    val dir = freshDir("mds-cdf-time")
+    ManifestLake.write(spark, Seq(("a", 1L)).toDF("part", "x"),
+      dir, Seq("part"))                                                        // v1
+    Thread.sleep(60)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(60)
+    ManifestLake.write(spark, Seq(("a", 2L)).toDF("part", "x"),
+      dir, Seq("part"), replace = false)                                       // v2
+    Thread.sleep(60)
+    val afterV2 = System.currentTimeMillis()
+    Thread.sleep(60)
+    ManifestLake.write(spark, Seq(("a", 3L)).toDF("part", "x"),
+      dir, Seq("part"), replace = false)                                       // v3
+    val w = ManifestLake.readChangeFeedByTime(spark, dir, afterV1, afterV2)
+    assert(w.select("x").collect().map(_.getLong(0)).toSeq === Seq(2L),
+      "exactly the commits inside the instant window flow")
+    assert(ManifestLake.readChangeFeedByTime(spark, dir, afterV1,
+      System.currentTimeMillis()).count() === 2)
+    // empty window: schema-correct empty frame
+    val empty = ManifestLake.readChangeFeedByTime(spark, dir, afterV1, afterV1 + 1)
+    assert(empty.count() === 0)
+    assert(empty.schema.fieldNames.toSeq === Seq("part", "x", "_change_type", "_commit_version"))
+
+    // the CDC STREAM accepts startingTimestamp as the startingVersion twin
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", afterV1.toString)
+      .load(dir)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("x").collect().foreach(r => batches.add(r.getLong(0))); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val got = { val b = Seq.newBuilder[Long]; batches.forEach(x => b += x); b.result() }
+    assert(got.sorted === Seq(2L, 3L),
+      "changes strictly after the instant's version flow; v1 does not")
+    // both options together refuse
+    val e = intercept[Exception] {
+      val qq = spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("startingTimestamp", afterV1.toString)
+        .load(dir)
+        .writeStream.format("memory").queryName("mds_cdf_time_bad").start()
+      try qq.processAllAvailable() finally if (qq.isActive) qq.stop()
+    }
+    assert(e.getMessage.contains("mutually exclusive") ||
+      Option(e.getCause).exists(_.getMessage.contains("mutually exclusive")))
+  }
+
   test("pure SQL: CREATE TEMPORARY VIEW … USING graft-manifest reads the table, with time travel") {
     import spark.implicits._
     val dir = freshDir("mds-sql")
