@@ -40,6 +40,13 @@ object Graft {
     Op("lake", "z-order (Morton) clustering: file skipping on MULTIPLE columns at once", "graft.ops.ZOrder.cluster/zvalue, graft.etl.ManifestLake.compact(zOrderBy)", "q96"),
     Op("lake", "append-only change feed between versions (incremental consumers)", "graft.etl.ManifestLake.readChanges", "q97"),
     Op("lake", "ROW-LEVEL change feed: exact insert/pre/post-image/delete rows per commit (opt-out via changeFeed=false)", "graft.etl.ManifestLake.readChangeFeed", "q98, q100"),
+    Op("lake", "conditional MERGE INTO: whenMatched update/delete + whenNotMatched insert with per-clause conditions (t./s. aliases), exact per-clause CDC", "graft.etl.ManifestLake.merge", "q108"),
+    Op("lake", "row-level UPDATE: condition + SET with pre-update-row semantics, match-bearing-file-only rewrite, exact pre/post images", "graft.etl.ManifestLake.update", "q110"),
+    Op("lake", "DELETION VECTORS: row deletes as (file, row_index) sidecar masks — zero rewrite; compaction materializes and clears", "graft.etl.ManifestLake.delete(deletionVectors = true)", "q109"),
+    Op("lake", "CHECK constraints: declared SQL predicates validated on add, enforced pre-publish on append/replace/upsert/merge/update at zero extra jobs", "graft.etl.ManifestLake.addConstraint/dropConstraint/constraintsOf", "q105"),
+    Op("lake", "column mapping: RENAME/DROP/ADD columns without rewriting data files; old versions time-travel under their own names", "graft.etl.ManifestLake.renameColumn/dropColumn/addColumn", "q106"),
+    Op("lake", "type widening without rewrite: int->long, float->double, int->double, decimal growth as metadata-only commits", "graft.etl.ManifestLake.widenColumnType", "q107"),
+    Op("lake", "change feed by wall clock + CDC-stream startingTimestamp", "graft.etl.ManifestLake.readChangeFeedByTime", "spec"),
     Op("lake", "commit history narration (DESCRIBE HISTORY analog: kinds, sizes, txn ledger)", "graft.etl.ManifestLake.history", "spec"),
     Op("lake", "table detail (DESCRIBE DETAIL analog: head summary + per-column stats coverage)", "graft.etl.ManifestLake.detail", "spec"),
     Op("lake", "vacuum dry-run (report-only retention preview)", "graft.etl.ManifestLake.vacuum(dryRun)", "spec"),

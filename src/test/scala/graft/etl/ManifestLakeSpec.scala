@@ -1743,8 +1743,8 @@ class ManifestLakeSpec extends AnyFunSuite {
       () => ManifestLake.upsert(spark, dir,
         Seq(("chr1", 0L, "U1"), ("chr1", 9999L, "A1")).toDF("chrom", "pos", "payload"),
         Seq("chrom"), Seq("chrom", "pos")),
-      () => ManifestLake.upsert(spark, dir,
-        Seq(("chr2", 1L, "U2")).toDF("chrom", "pos", "payload"),
+      () => ManifestLake.merge(spark, dir,
+        Seq(("chr2", 1L, "U2"), ("chr2", 8888L, "M2")).toDF("chrom", "pos", "payload"),
         Seq("chrom"), Seq("chrom", "pos")),
       () => ManifestLake.delete(spark, dir, col("chrom") === "chr3"))
     val futs = writers.map(w => Future { gate.await(); w() })
@@ -1759,10 +1759,11 @@ class ManifestLakeSpec extends AnyFunSuite {
       s"a losing compaction must fail typed, got $e"))
     // exact final content, independent of interleaving
     val got = ManifestLake.read(spark, dir)
-    assert(got.count() === 50 * 3 + 30 * 2 + 1) // chr3 gone, +A1 insert
+    assert(got.count() === 50 * 3 + 30 * 2 + 2) // chr3 gone, +A1 and +M2 inserts
     assert(got.where(col("chrom") === "chr3").count() === 0)
     assert(got.where(col("payload") === "U1").count() === 1)
     assert(got.where(col("payload") === "U2").count() === 1)
+    assert(got.where(col("payload") === "M2").count() === 1)
     assert(got.where(col("pos") === 9999L).count() === 1)
     assert(got.where(col("chrom").isin("chr5", "chr6")).count() === 60)
     assert(got.select("chrom", "pos").distinct().count() === got.count())
