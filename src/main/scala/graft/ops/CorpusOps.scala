@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Corpus-governance operators for training-data pipelines: repetition
@@ -440,6 +440,41 @@ object CorpusOps {
       .join(broadcast(rates), Seq(stratum))
       .where(u < col("keep_rate"))
       .drop("n_stratum")
+  }
+
+  /** Cut a training mix to PER-STRATUM TOKEN BUDGETS — how production
+    * pretraining mixes are actually specified ("50B tokens of web, 5B
+    * of code"), where [[mixToWeights]] speaks in row proportions.
+    * Within each stratum documents take a deterministic md5-of-id
+    * priority order and enter GREEDILY while the running token total
+    * stays within the budget; the first document that would overflow is
+    * dropped and nothing back-fills behind it (greedy prefix, not
+    * knapsack — simple, stable under re-runs, and any engine replays it
+    * exactly). Unbudgeted strata leave the mix. Output carries
+    * `cum_tokens`, the running total INCLUDING the row.
+    *
+    * Scale shape: one window per stratum (partitioned running sum — a
+    * sort of each stratum's rows, no global sort). The sort is the
+    * price of an EXACT budget cut; when an approximate cut is fine at
+    * 100 TB, derive a rate from the stratum's token count and use
+    * [[mixToWeights]]'s rate filter instead.
+    */
+  def mixToTokenBudgets(docs: DataFrame, stratum: String, id: String,
+                        tokens: Column, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ > 0),
+      "token budgets must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = budgets.toSeq.toDF(stratum, "__budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratum))
+      .orderBy(md5(col(id).cast("string")), col(id))
+    docs
+      .join(broadcast(b), Seq(stratum)) // inner: unbudgeted strata leave
+      .withColumn("__tok", tokens.cast("long"))
+      .withColumn("cum_tokens", sum(col("__tok")).over(w))
+      .where(col("cum_tokens") <= col("__budget"))
+      .drop("__tok", "__budget")
   }
 
   /** DSIR-shaped hashed importance statistics: score every document by

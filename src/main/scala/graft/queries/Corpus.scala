@@ -667,6 +667,35 @@ object Corpus {
              |  round(min(keep_rate), 6) AS keep_rate
              |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Token-budget mixture: the production mix spec ("N tokens of X")
+    // rather than row proportions — greedy md5-priority prefix per
+    // stratum until the budget, the straddling document dropped, no
+    // back-fill. The oracle replays the window cut exactly (n_chars
+    // stands in for the token weight; the op takes any weight column).
+    Q(
+      "q111_token_budget",
+      (s, dir) => CorpusOps.mixToTokenBudgets(
+        Tables.documents(s, dir), "lang", "doc_id", col("n_chars"),
+        Map("en" -> 40000L, "de" -> 15000L, "fr" -> 8000L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("kept_tokens"),
+          max(col("cum_tokens")).cast("long").as("max_cum"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang")),
+      Some("""WITH b(lang, budget) AS (VALUES ('en', 40000), ('de', 15000), ('fr', 8000)),
+             |ranked AS (
+             |  SELECT d.lang, d.doc_id, d.n_chars, b.budget,
+             |    sum(d.n_chars) OVER (PARTITION BY d.lang
+             |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS cum_tokens
+             |  FROM documents d JOIN b USING (lang)),
+             |kept AS (SELECT * FROM ranked WHERE cum_tokens <= budget)
+             |SELECT lang, count(*) AS n_kept,
+             |  CAST(sum(n_chars) AS BIGINT) AS kept_tokens,
+             |  CAST(max(cum_tokens) AS BIGINT) AS max_cum,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // DSIR-shaped hashed importance: the TARGET is the English slice,
     // features are 256 md5-hashed token buckets, and each document's
     // smoothed target/source bucket masses are EXACT integer sums the
