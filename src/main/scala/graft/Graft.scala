@@ -117,6 +117,8 @@ object Graft {
     Op("streaming", "stream-stream attribution join", "graft.streaming.EventStreams.attributedPurchases", "spec"),
     Op("streaming", "stream-static enrichment", "graft.streaming.EventStreams.enrichWithDim", "spec"),
     Op("streaming", "TTL-bounded streaming dedup (vs corpus / by id)", "graft.streaming.EventStreams.streamDedupAgainstCorpus/dedupByEventId", "spec"),
+    Op("multimodal", "perceptual image hash + cross-modal near-dup join (aHash bits, banded hamming reuse)", "graft.ops.Multimodal.perceptualHash/imageNearDups", "q112"),
+    Op("corpus", "token-budget mixture: per-stratum greedy md5-priority prefix to a token budget", "graft.ops.CorpusOps.mixToTokenBudgets", "q111"),
     Op("streaming", "keyed upsert sink (rename-swap lake)", "graft.streaming.EventStreams.upsertSink", "spec"),
     Op("streaming", "manifest-committed upsert sink: exactly-once txn ledger + auto-maintenance", "graft.streaming.EventStreams.manifestUpsertSink", "spec"),
     Op("streaming", "append-only manifest sink (log streams; exactly-once)", "graft.streaming.EventStreams.manifestAppendSink", "spec"),

@@ -233,6 +233,97 @@ object Multimodal {
       }
   }
 
+  /** Average-hash (aHash) bits of a decoded image: mean luminance per
+    * cell of a `gridW`×`gridH` grid, each cell thresholded by the grid
+    * mean — the classic perceptual fingerprint: stable under re-encode,
+    * resize, and mild noise; flipped bits count structural change.
+    */
+  def aHashBits(img: java.awt.image.BufferedImage, gridW: Int,
+                gridH: Int): Array[Boolean] = {
+    val w = img.getWidth.max(1)
+    val h = img.getHeight.max(1)
+    val cells = new Array[Double](gridW * gridH)
+    var cy = 0
+    while (cy < gridH) {
+      var cx = 0
+      while (cx < gridW) {
+        val x0 = cx * w / gridW; val x1 = ((cx + 1) * w / gridW).max(x0 + 1).min(w)
+        val y0 = cy * h / gridH; val y1 = ((cy + 1) * h / gridH).max(y0 + 1).min(h)
+        var sum = 0.0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        cells(cy * gridW + cx) = if (n == 0) 0.0 else sum / n
+        cx += 1
+      }
+      cy += 1
+    }
+    val mean = cells.sum / cells.length
+    cells.map(_ >= mean)
+  }
+
+  final case class MediaHash(media_id: Long, phash: String, decoded: Boolean)
+
+  /** PERCEPTUAL HASH per media row — the cross-modal twin of text
+    * SimHash: decodable images hash by [[aHashBits]] (gridW×gridH cells,
+    * default 8×7 = 56 bits so the hash rides the exact signed-long
+    * popcount verify downstream); undecodable payloads take a
+    * deterministic stub fingerprint of their bytes (plumbing stays
+    * testable; `decoded` says which path fired). Output `phash` is a
+    * bitstring column shaped exactly like the text SimHash sketches, so
+    * [[imageNearDups]] is a straight reuse of the banded hamming join.
+    */
+  def perceptualHash(media: DataFrame, gridW: Int = 8, gridH: Int = 7,
+                     batchSize: Int = 64): Dataset[MediaHash] = {
+    require(gridW * gridH <= 62,
+      s"gridW*gridH must fit the signed-long popcount verify (<= 62), got ${gridW * gridH}")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bits = gridW * gridH
+    media.select(col("media_id").cast("long"), col("content"))
+      .where(col("content").isNotNull)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            decodeImage(bytes) match {
+              case Some(img) =>
+                MediaHash(id,
+                  aHashBits(img, gridW, gridH).map(b => if (b) '1' else '0').mkString,
+                  decoded = true)
+              case None =>
+                val f = stubDecode(bytes, bits)
+                MediaHash(id, f.map(v => if (v >= 0.5f) '1' else '0').mkString,
+                  decoded = false)
+            }
+          }
+        }
+      }
+  }
+
+  /** Image near-duplicate pairs: perceptual hashes joined by the SAME
+    * banded hamming blocking + exact popcount verify the text SimHash
+    * path uses ([[graft.ops.Dedup.simhashPairs]]) — pigeonhole bands
+    * bound the candidate volume, the popcount makes the answer exact
+    * for the hash. The cross-modal dedup composition: one fingerprint
+    * op per modality, one scale-proof join for all of them.
+    */
+  def imageNearDups(media: DataFrame, maxHamming: Int,
+                    gridW: Int = 8, gridH: Int = 7,
+                    maxBucket: Option[Int] = None): DataFrame =
+    graft.ops.Dedup.simhashPairs(
+      perceptualHash(media, gridW, gridH).toDF()
+        .select(col("media_id"), col("phash").as("simhash")),
+      "media_id", gridW * gridH, maxHamming, maxBucket)
+
   /** Resize. ImageIO-readable payloads are decoded, bilinearly resampled
     * to `targetW`×`targetH`, and re-encoded as PNG (format-normalizing
     * resize, as ingestion pipelines typically do). Unreadable payloads

@@ -605,6 +605,24 @@ object LlmOps {
 
     // Multimodal plumbing through the gate: documents' text bytes stand
     // in for media payloads; the batched mapPartitions feature extractor
+    // Perceptual image hashing through the gate: documents' text bytes
+    // stand in for media payloads (all stub-path — deterministic), and
+    // the cross-modal near-dup JOIN reuses the q94-certified banded
+    // hamming machinery. Rows-only by nature (a JVM codec hash has no
+    // SQL mirror); the real-decode behavior — re-encode stability,
+    // local sensitivity, the near/far separation — is pinned by
+    // MultimodalSpec on generated PNG/BMP images.
+    Q(
+      "q112_perceptual_hash",
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+        graft.ops.Multimodal.perceptualHash(media).toDF()
+          .select(col("media_id"), col("phash"), col("decoded"))
+          .orderBy(col("media_id"))
+      },
+      None),
+
     // (stub codec) runs distributed. No SQL oracle — mapPartitions is
     // not SQL-expressible — so the driver records a rows-only check.
     Q(

@@ -317,4 +317,59 @@ class MultimodalSpec extends AnyFunSuite {
     // dropped payload keeps its typed rejection — failures stay visible
     assert(byId(62L).forall(f => !f.decoded && f.reason === "no_jvm_codec:mp4"))
   }
+
+  test("perceptual hash: re-encode-stable, locally sensitive, and the hamming join finds near-dup images") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gradient(dark: Boolean): BufferedImage = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = if (dark) (x * 2) min 255 else 255 - ((x * 2) min 255)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val base = gradient(dark = true)
+    // near-dup: same gradient with one small corner patch changed
+    val near = gradient(dark = true)
+    for (y <- 0 until 8; x <- 0 until 8) near.setRGB(x, y, 0xffffff)
+    // far: the inverted gradient
+    val far = gradient(dark = false)
+    // re-encode of base as BMP: different bytes, same pixels
+    val bmp = { val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(base, "bmp", bos); bos.toByteArray }
+
+    val media = Seq((1L, png(base)), (2L, png(near)), (3L, png(far)),
+      (4L, bmp), (5L, Array.tabulate(40)(_.toByte)))
+      .toDF("media_id", "content")
+    val hashed = Multimodal.perceptualHash(media).collect()
+      .map(h => h.media_id -> h).toMap
+    assert(hashed(1L).decoded && hashed(4L).decoded && !hashed(5L).decoded)
+    assert(hashed(1L).phash.length === 56)
+    assert(hashed(1L).phash === hashed(4L).phash,
+      "a re-encode of the same pixels must hash identically")
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(hashed(1L).phash, hashed(2L).phash) > 0)
+    assert(ham(hashed(1L).phash, hashed(2L).phash) <= 6,
+      s"a small patch must flip few bits, got ${ham(hashed(1L).phash, hashed(2L).phash)}")
+    assert(ham(hashed(1L).phash, hashed(3L).phash) >= 20,
+      s"the inverted image must be far, got ${ham(hashed(1L).phash, hashed(3L).phash)}")
+
+    // the banded hamming join surfaces exactly the near pairs
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "the far image must not pair")
+    // determinism across partitioning
+    val again = Multimodal.perceptualHash(media.repartition(4)).collect()
+      .map(h => h.media_id -> h.phash).toMap
+    assert(again === hashed.map { case (k, v) => k -> v.phash })
+  }
+
 }
