@@ -119,6 +119,37 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ManifestLake.read(spark, dir).where(col("pos") === 2L).count() === 0)
   }
 
+  test("DV deletes stay exact over NESTED columns (array<struct> — the genomic lake shape)") {
+    import spark.implicits._
+    val dir = freshDir("mlake-dv-nested")
+    val df = (0 until 30).map(i =>
+      (s"chr${i % 2 + 1}", i.toLong,
+        Seq((s"s$i", i * 1.5), (s"t$i", i * 2.5))))
+      .toDF("chrom", "pos", "entries")
+      .select(col("chrom"), col("pos"),
+        col("entries").cast("array<struct<id:string,qual:double>>").as("entries"))
+    ManifestLake.write(spark, df, dir, Seq("chrom"))                           // v1
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val before = ManifestLake.readManifest(fs, root, 1L).files.map(_.path).toSet
+    // predicate over a NESTED field forces the data path; DV mode masks
+    assert(ManifestLake.delete(spark, dir,
+      element_at(col("entries"), 1).getField("qual") < 6.0,
+      deletionVectors = true) === 2L)
+    assert(ManifestLake.readManifest(fs, root, 2L).files.map(_.path).toSet === before)
+    val got = ManifestLake.read(spark, dir)
+    // qual = pos * 1.5 < 6.0 → pos 0..3 masked
+    assert(got.count() === 26)
+    assert(got.where(col("pos") < 4L).count() === 0)
+    // nested content of survivors intact
+    assert(got.where(col("pos") === 10L)
+      .select(element_at(col("entries"), 2).getField("id"))
+      .collect().head.getString(0) === "t10")
+    // and a second, top-level-column DV delete still composes
+    assert(ManifestLake.delete(spark, dir, col("pos") === 20L,
+      deletionVectors = true) === 3L)
+    assert(ManifestLake.read(spark, dir).count() === 25)
+  }
+
   test("upsert and merge on DV-masked partitions stay exact; racing DV deletes on one file conflict") {
     import spark.implicits._
     val dir = freshDir("mlake-dv-dml")
