@@ -377,6 +377,22 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
       q.processAllAvailable()
       assertMirrored()
       assert(ManifestLake.read(spark, mirrorDir).where(col("grp") === "g0").count() === 0)
+      // the NEW DML kinds flow through the same CDC-apply loop: a
+      // conditional merge, a row-level UPDATE, and a deletion-vector
+      // delete — the mirror must track all three without special cases
+      ManifestLake.merge(spark, srcDir,
+        Seq(("g1", 1L, "MERGED"), ("g2", 888L, "MNEW")).toDF("grp", "x", "payload"),
+        Seq("grp"), Seq("grp", "x"),
+        deleteWhen = Some(col("s.x") === 1L && lit(false)))                     // v7
+      ManifestLake.update(spark, srcDir, col("x") === 888L,
+        Map("payload" -> concat(col("payload"), lit("-upd"))))                  // v8
+      ManifestLake.delete(spark, srcDir, col("x") === 2L,
+        deletionVectors = true)                                                 // v9
+      q.processAllAvailable()
+      assertMirrored()
+      assert(ManifestLake.read(spark, mirrorDir)
+        .where(col("payload") === "MNEW-upd").count() === 1)
+      assert(ManifestLake.read(spark, mirrorDir).where(col("x") === 2L).count() === 0)
     } finally {
       if (q.isActive) q.stop()
     }
