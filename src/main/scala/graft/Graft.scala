@@ -46,6 +46,7 @@ object Graft {
     Op("lake", "CHECK constraints: declared SQL predicates validated on add, enforced pre-publish on append/replace/upsert/merge/update at zero extra jobs", "graft.etl.ManifestLake.addConstraint/dropConstraint/constraintsOf", "q105"),
     Op("lake", "column mapping: RENAME/DROP/ADD columns without rewriting data files; old versions time-travel under their own names", "graft.etl.ManifestLake.renameColumn/dropColumn/addColumn", "q106"),
     Op("lake", "type widening without rewrite: int->long, float->double, int->double, decimal growth as metadata-only commits", "graft.etl.ManifestLake.widenColumnType", "q107"),
+    Op("lake", "bloom-filter file skipping for high-cardinality point lookups (sticky bloomCols, sidecar per commit)", "graft.etl.ManifestLake.write(bloomCols = ...)", "q113"),
     Op("lake", "change feed by wall clock + CDC-stream startingTimestamp", "graft.etl.ManifestLake.readChangeFeedByTime", "spec"),
     Op("lake", "commit history narration (DESCRIBE HISTORY analog: kinds, sizes, txn ledger)", "graft.etl.ManifestLake.history", "spec"),
     Op("lake", "table detail (DESCRIBE DETAIL analog: head summary + per-column stats coverage)", "graft.etl.ManifestLake.detail", "spec"),

@@ -49,8 +49,42 @@ private[etl] final class ManifestFileIndex(
     root: Path,
     partSchema: StructType,
     dataSchema: StructType,
-    files: Seq[(ManifestLake.LiveFile, FileStatus)])
+    files: Seq[(ManifestLake.LiveFile, FileStatus)],
+    bloomLoader: String => Map[(String, String), Array[Byte]] =
+      _ => Map.empty)
   extends FileIndex {
+
+  /** Sidecar loads memoized per index instance — one read per distinct
+    * bloom sidecar per plan, the global cache behind the loader makes
+    * repeat plans free.
+    */
+  private val bloomMemo =
+    scala.collection.mutable.Map.empty[String, Map[(String, String), Array[Byte]]]
+
+  private def bloomOf(f: ManifestLake.LiveFile,
+                      name: String): Option[Array[Byte]] =
+    f.bloom.flatMap(ref =>
+      bloomMemo.getOrElseUpdate(ref, bloomLoader(ref)).get((f.path, name)))
+
+  /** col = v could hold per the file's BLOOM — the high-cardinality
+    * membership test value sets cannot record. Write-side rendering is
+    * the row value cast to string; this renders the typed literal
+    * through the same Cast, so bits match bit-for-bit. No bloom, no
+    * entry, or an unrenderable value keep the file — sound.
+    */
+  private def bloomMight(f: ManifestLake.LiveFile, name: String,
+                         v: Any): Boolean =
+    bloomOf(f, name) match {
+      case None => true
+      case Some(bits) =>
+        dataSchema.fields.find(_.name == name) match {
+          case None => true
+          case Some(field) =>
+            val rendered = Cast(Literal(v, field.dataType), StringType, zone).eval(null)
+            rendered == null ||
+              graft.functions.BloomBits.mightContain(bits, rendered.toString)
+        }
+    }
 
   private val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
 
@@ -223,7 +257,7 @@ private[etl] final class ManifestFileIndex(
       ord.compare(v, lo) >= 0 && ord.compare(v, hi) <= 0
     } && valueSet(f, name).forall { case (vs, ord) =>
       vs.exists(m => ord.compare(m, v) == 0)
-    })
+    } && bloomMight(f, name, v))
   }
 
   /** col != v could hold unless EVERY value is v (lo = hi = v, or the

@@ -194,7 +194,8 @@ object ManifestLake {
                             nullCounts: Map[String, Long] = Map.empty,
                             valueSets: Map[String, Seq[String]] = Map.empty,
                             dv: Option[String] = None,
-                            dvRows: Option[Long] = None)
+                            dvRows: Option[Long] = None,
+                            bloom: Option[String] = None)
 
   /** A parsed manifest: the table shape, the live file set, and the
     * per-writer transaction watermarks (`txns`: appId → highest
@@ -224,7 +225,8 @@ object ManifestLake {
                                          cdf: Option[String] = None,
                                          constraints: Map[String, String] = Map.empty,
                                          colMap: Option[Seq[(String, String)]] = None,
-                                         droppedPhys: Seq[String] = Seq.empty)
+                                         droppedPhys: Seq[String] = Seq.empty,
+                                         bloomCols: Seq[String] = Seq.empty)
 
   /** Published manifests are IMMUTABLE (a version is never rewritten —
     * restore publishes a NEW version), so parsed manifests cache across
@@ -332,6 +334,9 @@ object ManifestLake {
     }
     val dropped = directives.filter(_.startsWith("#coldropped\t"))
       .map(_.substring("#coldropped\t".length))
+    val bloomCols = dmap.get("#bloomcols")
+      .map(v => if (v.isEmpty) Seq.empty[String] else v.split(",").toSeq)
+      .getOrElse(Seq.empty)
     val files = data.map { line =>
       // `bytes\tpath` or `bytes\tpath\t<stats json>` — JSON string
       // escaping keeps tabs/newlines inside values off the line.
@@ -343,12 +348,13 @@ object ManifestLake {
       line.split("\t", 3) match {
         case Array(b, p) => LiveFile(b.toLong, p)
         case Array(b, p, statsJson) =>
-          val (bounds, rows, nulls, sets, dv, dvRows) = parseStats(statsJson)
-          LiveFile(b.toLong, p, bounds, rows, nulls, sets, dv, dvRows)
+          val (bounds, rows, nulls, sets, dv, dvRows, bloom) = parseStats(statsJson)
+          LiveFile(b.toLong, p, bounds, rows, nulls, sets, dv, dvRows, bloom)
       }
     }
     Manifest(schema, partCols, files, txns, op, cdf, constraints,
-      if (colMapEntries.isEmpty) None else Some(colMapEntries), dropped)
+      if (colMapEntries.isEmpty) None else Some(colMapEntries), dropped,
+      bloomCols)
   }
 
   /** Stats blob: `{"col": ["lo","hi"], …, "#rows": n, "#nulls":
@@ -358,7 +364,8 @@ object ManifestLake {
     * absence as unknown — both directions stay compatible.
     */
   private def parseStats(json: String): (Map[String, (String, String)], Option[Long],
-      Map[String, Long], Map[String, Seq[String]], Option[String], Option[Long]) = {
+      Map[String, Long], Map[String, Seq[String]], Option[String], Option[Long],
+      Option[String]) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     JsonMethods.parse(json) match {
@@ -377,8 +384,9 @@ object ManifestLake {
         }.getOrElse(Map.empty[String, Seq[String]])
         val dv = fields.collectFirst { case ("#dv", JString(p)) => p }
         val dvRows = fields.collectFirst { case ("#dvrows", JInt(n)) => n.toLong }
-        (bounds, rows, nulls, sets, dv, dvRows)
-      case _ => (Map.empty, None, Map.empty, Map.empty, None, None)
+        val bloom = fields.collectFirst { case ("#bloom", JString(p)) => p }
+        (bounds, rows, nulls, sets, dv, dvRows, bloom)
+      case _ => (Map.empty, None, Map.empty, Map.empty, None, None, None)
     }
   }
 
@@ -387,7 +395,8 @@ object ManifestLake {
                           nullCounts: Map[String, Long],
                           valueSets: Map[String, Seq[String]],
                           dv: Option[String] = None,
-                          dvRows: Option[Long] = None): String = {
+                          dvRows: Option[Long] = None,
+                          bloom: Option[String] = None): String = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     JsonMethods.compact(JObject(
@@ -406,7 +415,8 @@ object ManifestLake {
              c -> (JArray(vs.map(JString(_): JValue).toList): JValue)
            }.toList): JValue))) ++
         dv.map(p => "#dv" -> (JString(p): JValue)).toList ++
-        dvRows.map(n => "#dvrows" -> (JInt(n): JValue)).toList))
+        dvRows.map(n => "#dvrows" -> (JInt(n): JValue)).toList ++
+        bloom.map(p => "#bloom" -> (JString(p): JValue)).toList))
   }
 
   /** Hive-style partition columns derived from manifest file PATHS: the
@@ -480,7 +490,8 @@ object ManifestLake {
                            cdf: Option[String] = None,
                            constraints: Map[String, String] = Map.empty,
                            colMap: Option[Seq[(String, String)]] = None,
-                           droppedPhys: Seq[String] = Seq.empty): Unit = {
+                           droppedPhys: Seq[String] = Seq.empty,
+                           bloomCols: Seq[String] = Seq.empty): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
     txns.keys.foreach(app => require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
@@ -513,12 +524,13 @@ object ManifestLake {
       constraints.toSeq.sortBy(_._1).map { case (n, e) => s"#constraint\t$n\t$e" } ++
       colMap.toSeq.flatten.map { case (l, p) => s"#colmap\t$l\t$p" } ++
       droppedPhys.map(p => s"#coldropped\t$p") ++
+      (if (bloomCols.isEmpty) Nil else Seq(s"#bloomcols\t${bloomCols.mkString(",")}")) ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
     val body = header ++ files.sortBy(_.path).map { f =>
       if (f.stats.isEmpty && f.rows.isEmpty && f.nullCounts.isEmpty &&
-        f.valueSets.isEmpty && f.dv.isEmpty)
+        f.valueSets.isEmpty && f.dv.isEmpty && f.bloom.isEmpty)
         s"${f.bytes}\t${f.path}"
-      else s"${f.bytes}\t${f.path}\t${renderStats(f.stats, f.rows, f.nullCounts, f.valueSets, f.dv, f.dvRows)}"
+      else s"${f.bytes}\t${f.path}\t${renderStats(f.stats, f.rows, f.nullCounts, f.valueSets, f.dv, f.dvRows, f.bloom)}"
     }
     val out = new java.util.zip.GZIPOutputStream(fs.create(tmp, true))
     try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -630,11 +642,30 @@ object ManifestLake {
         "intact at the winner's version. Back off and re-run.", e)
   }
 
-  private def withFileStats(f: LiveFile, s: Option[FileStats]): LiveFile =
+  private def withFileStats(f: LiveFile, s: Option[FileStats],
+                            bloomRef: Option[String] = None): LiveFile =
     s match {
       case Some(st) => f.copy(stats = st.bounds, rows = Some(st.rows),
-        nullCounts = st.nullCounts, valueSets = st.sets)
+        nullCounts = st.nullCounts, valueSets = st.sets,
+        bloom = bloomRef.filter(_ => st.blooms.nonEmpty))
       case None => f
+    }
+
+  /** The stats+bloom staging step every committing path shares: one
+    * aggregation pass over the staged commit, the bloom sidecar written
+    * from its results, every staged entry annotated.
+    */
+  private def stageStats(spark: SparkSession, fs: FileSystem, root: Path,
+                         commitDir: Path, schema: StructType,
+                         statsCols: Seq[String], bloomCols: Seq[String],
+                         partitionCols: Seq[String],
+                         staged: Seq[LiveFile]): Seq[LiveFile] =
+    if ((statsCols.isEmpty && bloomCols.isEmpty) || staged.isEmpty) staged
+    else {
+      val byRel = collectStats(spark, fs, root, commitDir, schema,
+        statsCols, partitionCols, bloomCols)
+      val sidecar = writeBloomSidecar(fs, root, commitDir, byRel)
+      staged.map(f => withFileStats(f, byRel.get(f.path), sidecar))
     }
 
   /** All parquet files under a per-commit data dir, root-relative, with
@@ -748,13 +779,14 @@ object ManifestLake {
   def write(spark: SparkSession, df: DataFrame, path: String,
             partitionCols: Seq[String], replace: Boolean = true,
             txn: Option[(String, Long)] = None,
-            statsCols: Seq[String] = Seq.empty): Long = {
+            statsCols: Seq[String] = Seq.empty,
+            bloomCols: Seq[String] = Seq.empty): Long = {
     // the plan feeds the staged write AND the verification count — pin
     // it so both observe one evaluation (a non-deterministic or
     // concurrently-changing source must not write one row set and
     // verify another); same stance as upsert's pinning
     df.persist()
-    try writePinned(spark, df, path, partitionCols, replace, txn, statsCols)
+    try writePinned(spark, df, path, partitionCols, replace, txn, statsCols, bloomCols)
     finally { df.unpersist(); () }
   }
 
@@ -764,7 +796,8 @@ object ManifestLake {
   private final case class FileStats(bounds: Map[String, (String, String)],
                                      rows: Long,
                                      nullCounts: Map[String, Long],
-                                     sets: Map[String, Seq[String]])
+                                     sets: Map[String, Seq[String]],
+                                     blooms: Map[String, Array[Byte]] = Map.empty)
 
   /** Value-set stats bounds: a file's DISTINCT values for a tracked
     * column are recorded only when there are at most [[SetCap]] of them
@@ -795,14 +828,15 @@ object ManifestLake {
   private def collectStats(spark: SparkSession, fs: FileSystem, root: Path,
                            commitDir: Path, schema: StructType,
                            statsCols: Seq[String],
-                           partitionCols: Seq[String]): Map[String, FileStats] = {
+                           partitionCols: Seq[String],
+                           bloomCols: Seq[String] = Seq.empty): Map[String, FileStats] = {
     import org.apache.spark.sql.types._
     // timestamps are excluded: their string form renders in the
     // WRITER's session timezone and would re-parse in the READER's —
     // a zone mismatch would shift the bounds and wrongly skip files,
     // violating the stats-never-change-results contract. (Dates are
     // zone-free and stay eligible.)
-    val requested = statsCols.distinct
+    val requested = (statsCols ++ bloomCols).distinct
       .filter(c => schema.fieldNames.contains(c) && !partitionCols.contains(c))
     requested.foreach(c => require(!c.startsWith("#"),
       s"stats column name must not start with '#' (reserved in the stats blob): $c"))
@@ -818,6 +852,16 @@ object ManifestLake {
       case _ => true
     })
     if (requested.isEmpty) return Map.empty
+    // blooms share value sets' float/double exclusion: equality-on-
+    // string-render cannot survive ±0.0 / shortest-repr drift
+    val bloomEligible = bloomCols.distinct
+      .filter(c => requested.contains(c))
+      .filter(c => schema(c).dataType match {
+        case FloatType | DoubleType => false
+        case _: NumericType | StringType | DateType | BooleanType => true
+        case _ => false
+      })
+    val bloomAgg = udaf(graft.functions.BloomAgg())
     val setAgg = udaf(graft.functions.BoundedSortedSetAgg(SetCap + 1))
     val aggs = eligible.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__lo_$c"),
@@ -826,7 +870,8 @@ object ManifestLake {
       requested.map(c => count(col(c)).as(s"__nn_$c")) ++
       setEligible.flatMap(c => Seq(
         setAgg(col(c).cast("string")).as(s"__set_$c"),
-        max(length(col(c).cast("string"))).as(s"__len_$c")))
+        max(length(col(c).cast("string"))).as(s"__len_$c"))) ++
+      bloomEligible.map(c => bloomAgg(col(c).cast("string")).as(s"__bloom_$c"))
     val rows = spark.read.parquet(commitDir.toString)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -874,15 +919,90 @@ object ManifestLake {
           if (arr != null && arr.size <= SetCap && short) Some(c -> arr.toSeq)
           else None
         }.toMap
-        Some(abs.substring(i + 1) -> FileStats(bounds, nRows, nulls, sets))
+        val blooms = bloomEligible.flatMap { c =>
+          Option(r.getAs[Array[Byte]](s"__bloom_$c")).map(c -> _)
+        }.toMap
+        Some(abs.substring(i + 1) -> FileStats(bounds, nRows, nulls, sets, blooms))
       }
     }.toMap
+  }
+
+  private val BloomDir = "_bloom"
+
+  /** Stage the commit's bloom SIDECAR — one gz text file
+    * (`relFilePath\tcol\tbase64(bits)` lines) under the commit dir,
+    * referenced per masked file via the stats blob's `#bloom` pointer.
+    * Inline blooms would grow the KB-scale manifest by ~8 KiB per
+    * (file, column) — the sidecar keeps planning metadata small and
+    * loads once per (table, commit) through [[bloomsAt]]'s cache.
+    */
+  private def writeBloomSidecar(fs: FileSystem, root: Path, commitDir: Path,
+                                byRel: Map[String, FileStats]): Option[String] = {
+    val entries = byRel.toSeq.sortBy(_._1).flatMap { case (rel, st) =>
+      st.blooms.toSeq.sortBy(_._1).map { case (c, bits) =>
+        s"$rel\t$c\t${graft.functions.BloomBits.toBase64(bits)}"
+      }
+    }
+    if (entries.isEmpty) None
+    else {
+      val p = new Path(new Path(commitDir, BloomDir), "blooms.gz")
+      val out = new java.util.zip.GZIPOutputStream(fs.create(p, true))
+      try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      val rootQ = fs.makeQualified(root).toString
+      Some(fs.makeQualified(p).toString.stripPrefix(rootQ).stripPrefix("/"))
+    }
+  }
+
+  /** Parsed bloom sidecar, cached like manifests (immutable once
+    * published): (relFilePath, col) → bits. A missing/corrupt sidecar
+    * yields the empty map — every lookup degrades to keep.
+    */
+  private val bloomCache =
+    new java.util.LinkedHashMap[(String, Long, Long), (Map[(String, String), Array[Byte]], Long)](16, 0.75f, true)
+  private var bloomCacheBytes = 0L
+  private val bloomCacheMaxBytes = 256L << 20
+
+  private[etl] def bloomsAt(fs: FileSystem, root: Path,
+                            rel: String): Map[(String, String), Array[Byte]] = {
+    val p = new Path(root, rel)
+    val st = try fs.getFileStatus(p) catch { case _: java.io.IOException => return Map.empty }
+    val key = (fs.makeQualified(p).toString, st.getModificationTime, st.getLen)
+    bloomCache.synchronized(Option(bloomCache.get(key))) match {
+      case Some((m, _)) => m
+      case None =>
+        val m =
+          try {
+            val in = new java.util.zip.GZIPInputStream(fs.open(p))
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .flatMap { line =>
+                line.split("\t", 3) match {
+                  case Array(f, c, b) =>
+                    try Some((f, c) -> graft.functions.BloomBits.fromBase64(b))
+                    catch { case _: IllegalArgumentException => None }
+                  case _ => None
+                }
+              }.toMap
+            finally in.close()
+          } catch { case _: java.io.IOException => Map.empty[(String, String), Array[Byte]] }
+        val w = 64L + m.valuesIterator.map(_.length.toLong + 96L).sum
+        bloomCache.synchronized {
+          if (bloomCache.put(key, (m, w)) == null) bloomCacheBytes += w
+          val it = bloomCache.entrySet().iterator()
+          while (bloomCacheBytes > bloomCacheMaxBytes && bloomCache.size() > 1) {
+            bloomCacheBytes -= it.next().getValue._2
+            it.remove()
+          }
+        }
+        m
+    }
   }
 
   private def writePinned(spark: SparkSession, df: DataFrame, path: String,
                           partitionCols: Seq[String], replace: Boolean,
                           txn: Option[(String, Long)],
-                          statsCols: Seq[String]): Long = {
+                          statsCols: Seq[String],
+                          bloomCols: Seq[String] = Seq.empty): Long = {
     val (fs, root) = fsFor(spark, path)
     val prevV = currentVersion(spark, path)
     val prev = prevV.map(readManifest(fs, root, _))
@@ -913,6 +1033,18 @@ object ManifestLake {
         val byLogical = cm.toMap ++ colMapOut.toSeq.flatten.toMap
         statsCols.map(c => byLogical.getOrElse(c, c))
     }
+    // BLOOM TRACKING is sticky per table: once declared, every later
+    // commit maintains it (a replace resets, like every other header
+    // fact); names record physical
+    val bloomColsP = mapping match {
+      case None => bloomCols
+      case Some(cm) =>
+        val byLogical = cm.toMap ++ colMapOut.toSeq.flatten.toMap
+        bloomCols.map(c => byLogical.getOrElse(c, c))
+    }
+    val bloomColsOut =
+      (if (replace) bloomColsP
+       else (prev.map(_.bloomCols).getOrElse(Seq.empty) ++ bloomColsP).distinct)
     // an append joins an existing table, so its shape must match what
     // the manifest records. A legacy HEADERLESS manifest has no recorded
     // shape to check against, and stamping this batch's schema over the
@@ -1025,13 +1157,8 @@ object ManifestLake {
         s"manifest write verification failed for $path v$v: $rowsIn rows in, " +
           s"$rowsOut staged — table still at v${v - 1}")
     }
-    val withStats =
-      if (statsColsP.isEmpty || staged.isEmpty) staged
-      else {
-        val byRel = collectStats(spark, fs, root, commitDir, tableSchema,
-          statsColsP, partitionCols)
-        staged.map(f => withFileStats(f, byRel.get(f.path)))
-      }
+    val withStats = stageStats(spark, fs, root, commitDir, tableSchema,
+      statsColsP, bloomColsOut, partitionCols, staged)
     // OPTIMISTIC CONCURRENT APPENDS: the checked no-overwrite publish
     // turns a same-version race into a loud loss — and for an APPEND
     // the loss is retryable, because appends never conflict logically:
@@ -1060,7 +1187,7 @@ object ManifestLake {
         publish(fs, root, curV, carried ++ withStats, Some(curSchema), partitionCols,
           txns, op = Some(if (replace) "replace" else "append"),
           constraints = consLogical.toMap, colMap = colMapOut,
-          droppedPhys = droppedOut)
+          droppedPhys = droppedOut, bloomCols = bloomColsOut)
         return curV
       } catch {
         case e: IllegalStateException if !replace && attempt >= 5 =>
@@ -1173,7 +1300,7 @@ object ManifestLake {
         f.bytes, false, 1, 1, 0L, fs.makeQualified(new Path(root, f.path))))
     }
     val index = new ManifestFileIndex(spark, fs.makeQualified(root), partSchema,
-      dataSchema, statuses)
+      dataSchema, statuses, ref => bloomsAt(fs, root, ref))
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, partSchema, dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
@@ -1807,9 +1934,9 @@ object ManifestLake {
       (live.flatMap(_.stats.keys) ++ live.flatMap(_.nullCounts.keys) ++
         live.flatMap(_.valueSets.keys)).distinct
     val withStats = manifest.schema match {
-      case Some(sch) if statKeys.nonEmpty =>
-        val byRel = collectStats(spark, fs, root, commitDir, sch, statKeys, manifest.partCols)
-        staged.map(f => withFileStats(f, byRel.get(f.path)))
+      case Some(sch) =>
+        stageStats(spark, fs, root, commitDir, sch, statKeys,
+          manifest.bloomCols, manifest.partCols, staged)
       case _ => staged
     }
     // OPTIMISTIC PUBLISH: a compaction is LAYOUT-ONLY, so losing the
@@ -1832,7 +1959,7 @@ object ManifestLake {
         publish(fs, root, curV, untouched ++ withStats,
           curM.schema, curM.partCols, curM.txns, op = Some("compact"),
           constraints = curM.constraints, colMap = curM.colMap,
-          droppedPhys = curM.droppedPhys)
+          droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols)
         return report
       } catch {
         case e: IllegalStateException if attempt >= 5 =>
@@ -2101,12 +2228,8 @@ object ManifestLake {
     val statKeys =
       (live.flatMap(_.stats.keys) ++ live.flatMap(_.nullCounts.keys) ++
         live.flatMap(_.valueSets.keys)).distinct
-    val stagedWithStats =
-      if (statKeys.isEmpty) staged
-      else {
-        val byRel = collectStats(spark, fs, root, commitDir, tableSchema, statKeys, partitionCols)
-        staged.map(f => withFileStats(f, byRel.get(f.path)))
-      }
+    val stagedWithStats = stageStats(spark, fs, root, commitDir, tableSchema,
+      statKeys, manifest.bloomCols, partitionCols, staged)
     // ---- row-level change files (the Delta-CDC analog) ----
     // Stamp this commit's EXACT row deltas under the hidden
     // data/v<N>/_cdf dir while the commit is still invisible, so
@@ -2165,7 +2288,7 @@ object ManifestLake {
           Some(tableSchema), partitionCols,
           curM.txns ++ txn.toMap, op = Some("upsert"), cdf = relCdf,
           constraints = manifest.constraints, colMap = colMapOutU,
-          droppedPhys = manifest.droppedPhys)
+          droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols)
         return curV
       } catch {
         case e: IllegalStateException if attempt >= 5 =>
@@ -2359,13 +2482,8 @@ object ManifestLake {
           manifest.files.flatMap(_.nullCounts.keys) ++
           manifest.files.flatMap(_.valueSets.keys)).distinct
           .filter(k => manifest.schema.get.fieldNames.contains(k))
-      val stagedWithStats =
-        if (statKeys.isEmpty) staged
-        else {
-          val byRel = collectStats(spark, fs, root, commitDir,
-            manifest.schema.get, statKeys, partitionCols)
-          staged.map(f => withFileStats(f, byRel.get(f.path)))
-        }
+      val stagedWithStats = stageStats(spark, fs, root, commitDir,
+        manifest.schema.get, statKeys, manifest.bloomCols, partitionCols, staged)
       val relCdf: Option[String] =
         if (!changeFeed) None
         else {
@@ -2407,7 +2525,7 @@ object ManifestLake {
             manifest.schema, partitionCols,
             curM.txns ++ txn.toMap, op = Some("merge"), cdf = relCdf,
             constraints = manifest.constraints, colMap = manifest.colMap,
-            droppedPhys = manifest.droppedPhys)
+            droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols)
           return MergeStats(curV, nUpd, nDel, nIns)
         } catch {
           case e: IllegalStateException if attempt >= 5 =>
@@ -2690,7 +2808,7 @@ object ManifestLake {
           // survives the retry instead of being clobbered)
           curM.txns ++ txn.toMap, op = Some("delete"), cdf = relCdf,
           constraints = curM.constraints, colMap = curM.colMap,
-          droppedPhys = curM.droppedPhys)
+          droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols)
         return curV
       } catch {
         case e: IllegalStateException if attempt >= 5 =>
@@ -2950,12 +3068,8 @@ object ManifestLake {
           manifest.files.flatMap(_.nullCounts.keys) ++
           manifest.files.flatMap(_.valueSets.keys)).distinct
           .filter(stagedCols.contains)
-      val withStats =
-        if (statKeys.isEmpty || staged.isEmpty) staged
-        else {
-          val byRel = collectStats(spark, fs, root, commitDir, schema, statKeys, manifest.partCols)
-          staged.map(f => withFileStats(f, byRel.get(f.path)))
-        }
+      val withStats = stageStats(spark, fs, root, commitDir, schema,
+        statKeys, manifest.bloomCols, manifest.partCols, staged)
       val relCdf =
         if (!changeFeed) None
         else {
@@ -3099,12 +3213,8 @@ object ManifestLake {
           manifest.files.flatMap(_.nullCounts.keys) ++
           manifest.files.flatMap(_.valueSets.keys)).distinct
           .filter(k => schema.fieldNames.contains(k))
-      val withStats =
-        if (statKeys.isEmpty || staged.isEmpty) staged
-        else {
-          val byRel = collectStats(spark, fs, root, commitDir, schema, statKeys, manifest.partCols)
-          staged.map(f => withFileStats(f, byRel.get(f.path)))
-        }
+      val withStats = stageStats(spark, fs, root, commitDir, schema,
+        statKeys, manifest.bloomCols, manifest.partCols, staged)
       val relCdf =
         if (!changeFeed) None
         else {
@@ -3160,7 +3270,7 @@ object ManifestLake {
           Some(schema), snapshot.partCols,
           curM.txns ++ txn.toMap, op = Some("update"), cdf = relCdf,
           constraints = curM.constraints, colMap = curM.colMap,
-          droppedPhys = curM.droppedPhys)
+          droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols)
         return curV
       } catch {
         case e: IllegalStateException if attempt >= 5 =>
@@ -3216,7 +3326,8 @@ object ManifestLake {
     // the data that satisfied it) — unlike txns, which carry from head
     publish(fs, root, newV, target.files, target.schema, target.partCols, headTxns,
       op = Some("restore"), constraints = target.constraints,
-      colMap = target.colMap, droppedPhys = target.droppedPhys)
+      colMap = target.colMap, droppedPhys = target.droppedPhys,
+      bloomCols = target.bloomCols)
     newV
   }
 
@@ -3282,7 +3393,7 @@ object ManifestLake {
     }
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("constraint"), constraints = m.constraints + (name -> expression),
-      colMap = m.colMap, droppedPhys = m.droppedPhys)
+      colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols)
     v + 1
   }
 
@@ -3297,7 +3408,7 @@ object ManifestLake {
         s"${m.constraints.keys.toSeq.sorted.mkString(", ")})")
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("constraint"), constraints = m.constraints - name,
-      colMap = m.colMap, droppedPhys = m.droppedPhys)
+      colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols)
     v + 1
   }
 
@@ -3351,7 +3462,8 @@ object ManifestLake {
     val renamed = cm.map { case (l, p) => (if (l == oldName) newName else l) -> p }
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("schema"), constraints = m.constraints,
-      colMap = Some(renamed), droppedPhys = m.droppedPhys)
+      colMap = Some(renamed), droppedPhys = m.droppedPhys,
+      bloomCols = m.bloomCols)
     v + 1
   }
 
@@ -3394,7 +3506,8 @@ object ManifestLake {
     publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
       op = Some("schema"), constraints = m.constraints,
       colMap = Some(cm.filterNot(_._1 == name)),
-      droppedPhys = m.droppedPhys :+ phys)
+      droppedPhys = m.droppedPhys :+ phys,
+      bloomCols = m.bloomCols.filterNot(_ == phys))
     v + 1
   }
 
@@ -3493,7 +3606,7 @@ object ManifestLake {
       StructField(phys, dataType, nullable = true))
     publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
       op = Some("schema"), constraints = m.constraints,
-      colMap = newColMap, droppedPhys = m.droppedPhys)
+      colMap = newColMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols)
     v + 1
   }
 
@@ -3587,6 +3700,8 @@ object ManifestLake {
     // their version like any other unreferenced-by-kept file
     val keptDvPrefixes = keptManifests.flatMap(_._2.files.flatMap(_.dv)).toSet
     val dvEver = allManifests.flatMap(_._2.files.flatMap(_.dv)).toSet
+    val keptBloomRefs = keptManifests.flatMap(_._2.files.flatMap(_.bloom)).toSet
+    val bloomEver = allManifests.flatMap(_._2.files.flatMap(_.bloom)).toSet
     val dataRoot = new Path(root, DataDir)
     val removed = Seq.newBuilder[String]
     if (fs.exists(dataRoot)) {
@@ -3618,6 +3733,7 @@ object ManifestLake {
         // change file) has provably committed, so superseded means
         // reapable now
         val published = referencedEver.contains(rel) ||
+          bloomEver.contains(rel) ||
           cdfEver.exists(p => rel.startsWith(p + "/")) ||
           dvEver.exists(p => rel.startsWith(p + "/"))
         val young = f.getModificationTime >= cutoff
@@ -3629,7 +3745,8 @@ object ManifestLake {
         // the horizon they reap with the version.
         val keptCdf = keptCdfPrefixes.exists(p => rel.startsWith(p + "/"))
         val keptDv = keptDvPrefixes.exists(p => rel.startsWith(p + "/"))
-        if (f.isFile && !liveAcrossKept.contains(rel) && !inFlight && !keptCdf && !keptDv)
+        if (f.isFile && !liveAcrossKept.contains(rel) && !inFlight && !keptCdf &&
+          !keptDv && !keptBloomRefs.contains(rel))
           dead += f.getPath
       }
       dead.result().foreach { p =>

@@ -1168,6 +1168,40 @@ object EtlGate {
              |  max(doc_id) AS max_id
              |FROM rows_out GROUP BY state, lang ORDER BY state, lang""".stripMargin)),
 
+    // BLOOM FILE SKIPPING under the oracle: doc_ids land INTERLEAVED
+    // across files (every file's [min,max] spans the domain; 30k
+    // distinct ids overflow the value-set cap) so point lookups prune
+    // ONLY through the per-file blooms — and the results, present keys
+    // and absent, must still hash-match DuckDB filtering the raw table.
+    // Blooms are a cost optimization, never a filter: this gate is the
+    // proof (the strictly-fewer-files effect is pinned by BloomSkipSpec).
+    Q(
+      "q113_bloom_skip",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-bloom") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        ManifestLake.write(s, docs.repartition(8), out, Seq("lang"),
+          bloomCols = Seq("doc_id"))
+        ManifestLake.read(s, out)
+          .where(col("doc_id").isin(3L, 77L, 142L, 399L, 999999L) ||
+            col("doc_id") === 250L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM documents
+             |WHERE doc_id IN (3, 77, 142, 399, 999999, 250)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ROW-LEVEL UPDATE under the oracle: SET expressions computed from
     // PRE-update values (text rewritten from the old text, n_chars from
     // the old n_chars) over a condition that evaluates NULL on every
