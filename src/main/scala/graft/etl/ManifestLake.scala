@@ -1791,6 +1791,46 @@ object ManifestLake {
       case None => spark.emptyDataFrame
     }
 
+  /** Read the table with STABLE ROW IDENTITY — every row carries
+    * `_row_file` (the manifest-relative path of the data file holding
+    * it) and `_row_index` (its position within that file): the Delta
+    * row-tracking shape, free here because rows never move without a
+    * commit. The pair is stable across every commit that doesn't
+    * rewrite the row's file (appends, metadata ops, deletes elsewhere,
+    * deletion-vector masks — masked rows simply vanish) and changes
+    * exactly when a rewrite (compact/upsert/update/merge) re-homes the
+    * row — the honest contract, stated instead of hidden. Incremental
+    * consumers join on the pair to detect moved/changed rows without
+    * content hashing.
+    */
+  def readWithRowIds(spark: SparkSession, path: String): DataFrame = {
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    require(m.schema.isDefined,
+      s"table at $path has a headerless legacy manifest — row ids need the " +
+        "recorded schema (run one append or upsert to adopt a header first)")
+    val logical = logicalSchemaOf(m)
+    Seq("_row_file", "_row_index").foreach(r =>
+      require(!logical.fieldNames.contains(r),
+        s"column name $r is reserved for row identity"))
+    if (m.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(logical.fields ++ Seq(StructField("_row_file", StringType),
+          StructField("_row_index", LongType))))
+    // manifest-relative path from the reader's file_path: decode, then
+    // take everything from the LAST '/data/v' marker — the same
+    // resolution collectStats applies, in codegen'd string ops (no UDF)
+    toLogical(scanWithRowMeta(spark, fs, root, m, m.files), m,
+      extraCols = Seq("__dv_fp", "__dv_ri"))
+      .withColumn("_row_file",
+        concat(lit(DataDir + "/v"),
+          element_at(split(expr("url_decode(__dv_fp)"), "/" + DataDir + "/v"), -1)))
+      .withColumn("_row_index", col("__dv_ri").cast("long"))
+      .drop("__dv_fp", "__dv_ri")
+  }
+
   /** Metadata-only fragmentation inventory — [[Lake.inventory]]'s twin
     * for manifested tables, except it costs ONE manifest read and an
     * in-memory fold: no filesystem listing, no per-file stats. One row

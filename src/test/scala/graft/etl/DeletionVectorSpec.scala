@@ -119,6 +119,48 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ManifestLake.read(spark, dir).where(col("pos") === 2L).count() === 0)
   }
 
+  test("row ids are stable across appends, metadata ops, and DV masks; rewrites re-home exactly the rewritten rows") {
+    import spark.implicits._
+    val dir = freshDir("mlake-rowids")
+    ManifestLake.write(spark,
+      (0 until 20).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i"))
+        .toDF("chrom", "pos", "payload"),
+      dir, Seq("chrom"))                                                       // v1
+    def ids() = ManifestLake.readWithRowIds(spark, dir)
+      .select("pos", "_row_file", "_row_index")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val v1 = ids()
+    assert(v1.size === 20)
+    assert(v1.values.map(_._1).forall(_.startsWith("data/v")),
+      "row files must be manifest-relative paths")
+    // the pair is unique per row
+    assert(v1.values.toSet.size === 20)
+    // appends + metadata ops leave existing ids untouched
+    ManifestLake.write(spark, Seq(("chr1", 100L, "new")).toDF("chrom", "pos", "payload"),
+      dir, Seq("chrom"), replace = false)                                      // v2
+    ManifestLake.addConstraint(spark, dir, "pos_ok", "pos >= 0")               // v3
+    ManifestLake.renameColumn(spark, dir, "payload", "body")                   // v4
+    val v4 = ids()
+    assert(v4.size === 21)
+    (0 until 20).foreach(i => assert(v4(i.toLong) === v1(i.toLong),
+      s"row $i must keep its identity across append/constraint/rename"))
+    // a DV mask removes rows WITHOUT re-homing the survivors
+    ManifestLake.delete(spark, dir, col("pos") < 3L, deletionVectors = true)   // v5
+    val v5 = ids()
+    assert(v5.size === 18)
+    (3 until 20).foreach(i => assert(v5(i.toLong) === v1(i.toLong)))
+    // an upsert rewrites ONLY its affected partition: chr2 rows (odd
+    // pos) keep their ids, chr1 rows re-home
+    ManifestLake.upsert(spark, dir,
+      Seq(("chr1", 4L, "UPD")).toDF("chrom", "pos", "body"),
+      Seq("chrom"), Seq("chrom", "pos"))                                       // v6
+    val v6 = ids()
+    (3 until 20).filter(_ % 2 == 1).foreach(i =>
+      assert(v6(i.toLong) === v1(i.toLong), s"untouched chr2 row $i keeps its id"))
+    (4 until 20).filter(_ % 2 == 0).foreach(i =>
+      assert(v6(i.toLong) !== v1(i.toLong), s"rewritten chr1 row $i re-homes"))
+  }
+
   test("DV deletes stay exact over NESTED columns (array<struct> — the genomic lake shape)") {
     import spark.implicits._
     val dir = freshDir("mlake-dv-nested")
