@@ -49,6 +49,7 @@ object Graft {
     Op("lake", "bloom-filter file skipping for high-cardinality point lookups (sticky bloomCols, sidecar per commit)", "graft.etl.ManifestLake.write(bloomCols = ...)", "q113"),
     Op("lake", "change feed by wall clock + CDC-stream startingTimestamp", "graft.etl.ManifestLake.readChangeFeedByTime", "spec"),
     Op("lake", "stable row identity: (_row_file, _row_index) per row, mask-aware, rewrite-honest", "graft.etl.ManifestLake.readWithRowIds", "spec"),
+    Op("lake", "generated columns: GENERATED ALWAYS AS — compute-if-absent, validate-if-supplied, generated partition columns, opt-in backfill", "graft.etl.ManifestLake.addGeneratedColumn", "q114"),
     Op("lake", "commit history narration (DESCRIBE HISTORY analog: kinds, sizes, txn ledger)", "graft.etl.ManifestLake.history", "spec"),
     Op("lake", "table detail (DESCRIBE DETAIL analog: head summary + per-column stats coverage)", "graft.etl.ManifestLake.detail", "spec"),
     Op("lake", "vacuum dry-run (report-only retention preview)", "graft.etl.ManifestLake.vacuum(dryRun)", "spec"),

@@ -226,7 +226,8 @@ object ManifestLake {
                                          constraints: Map[String, String] = Map.empty,
                                          colMap: Option[Seq[(String, String)]] = None,
                                          droppedPhys: Seq[String] = Seq.empty,
-                                         bloomCols: Seq[String] = Seq.empty)
+                                         bloomCols: Seq[String] = Seq.empty,
+                                         generated: Seq[(String, String)] = Seq.empty)
 
   /** Published manifests are IMMUTABLE (a version is never rewritten —
     * restore publishes a NEW version), so parsed manifests cache across
@@ -337,6 +338,11 @@ object ManifestLake {
     val bloomCols = dmap.get("#bloomcols")
       .map(v => if (v.isEmpty) Seq.empty[String] else v.split(",").toSeq)
       .getOrElse(Seq.empty)
+    val generated = directives.filter(_.startsWith("#gencol\t")).map { d =>
+      val rest = d.substring("#gencol\t".length)
+      val i = rest.indexOf('\t')
+      rest.substring(0, i) -> rest.substring(i + 1)
+    }
     val files = data.map { line =>
       // `bytes\tpath` or `bytes\tpath\t<stats json>` — JSON string
       // escaping keeps tabs/newlines inside values off the line.
@@ -354,7 +360,7 @@ object ManifestLake {
     }
     Manifest(schema, partCols, files, txns, op, cdf, constraints,
       if (colMapEntries.isEmpty) None else Some(colMapEntries), dropped,
-      bloomCols)
+      bloomCols, generated)
   }
 
   /** Stats blob: `{"col": ["lo","hi"], …, "#rows": n, "#nulls":
@@ -491,7 +497,8 @@ object ManifestLake {
                            constraints: Map[String, String] = Map.empty,
                            colMap: Option[Seq[(String, String)]] = None,
                            droppedPhys: Seq[String] = Seq.empty,
-                           bloomCols: Seq[String] = Seq.empty): Unit = {
+                           bloomCols: Seq[String] = Seq.empty,
+                           generated: Seq[(String, String)] = Seq.empty): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
     txns.keys.foreach(app => require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
@@ -525,6 +532,7 @@ object ManifestLake {
       colMap.toSeq.flatten.map { case (l, p) => s"#colmap\t$l\t$p" } ++
       droppedPhys.map(p => s"#coldropped\t$p") ++
       (if (bloomCols.isEmpty) Nil else Seq(s"#bloomcols\t${bloomCols.mkString(",")}")) ++
+      generated.map { case (n, e) => s"#gencol\t$n\t$e" } ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
     val body = header ++ files.sortBy(_.path).map { f =>
       if (f.stats.isEmpty && f.rows.isEmpty && f.nullCounts.isEmpty &&
@@ -1012,6 +1020,18 @@ object ManifestLake {
     if (txn.exists { case (app, b) => prev.exists(_.txns.get(app).exists(_ >= b)) })
       return prevV.get
     val v = prevV.getOrElse(0L) + 1
+    // GENERATED COLUMNS: a batch that omits one gets it COMPUTED from
+    // its expression (in logical names, before physical mapping); a
+    // batch that supplies it is VALIDATED row-by-row via the synthetic
+    // `name <=> (expr)` constraint below — supplied-but-wrong values
+    // fail pre-publish instead of silently diverging from the contract
+    // generated columns SURVIVE a replace, like constraints and the txn
+    // ledger — the declared contract outlives any one batch
+    val genCols = prev.map(_.generated).getOrElse(Seq.empty)
+    val dfG = genCols.foldLeft(df) { case (d, (n, e)) =>
+      if (d.columns.contains(n)) d
+      else d.withColumn(n, expr(e))
+    }
     // COLUMN MAPPING: the batch arrives in LOGICAL names; everything
     // below (widen, stats, skipping, the staged files) is PHYSICAL —
     // rename on entry, extending the mapping for genuinely-new columns.
@@ -1020,11 +1040,11 @@ object ManifestLake {
     val mapping = if (replace) None else prev.flatMap(_.colMap)
     val (dfP, colMapOut, droppedOut) = mapping match {
       case None =>
-        (df, None, if (replace) Seq.empty[String]
-                   else prev.map(_.droppedPhys).getOrElse(Seq.empty))
+        (dfG, None, if (replace) Seq.empty[String]
+                    else prev.map(_.droppedPhys).getOrElse(Seq.empty))
       case Some(cm) =>
         val dropped = prev.get.droppedPhys
-        val (p, extended) = batchToPhysical(df, cm, dropped)
+        val (p, extended) = batchToPhysical(dfG, cm, dropped)
         (p, Some(extended), dropped)
     }
     val statsColsP = mapping match {
@@ -1107,7 +1127,8 @@ object ManifestLake {
     // violates), so enforcement costs zero extra jobs — the batch is
     // judged during the one pass, and a violation withdraws the staged
     // commit before anything publishes.
-    val consLogical = prev.map(_.constraints).getOrElse(Map.empty).toSeq.sortBy(_._1)
+    val consLogical =
+      prev.map(effectiveConstraints).getOrElse(Map.empty).toSeq.sortBy(_._1)
     // constraints are stored in LOGICAL names — translate to physical
     // for enforcement against the renamed batch
     val consSeq = mapping match {
@@ -1186,8 +1207,10 @@ object ManifestLake {
       try {
         publish(fs, root, curV, carried ++ withStats, Some(curSchema), partitionCols,
           txns, op = Some(if (replace) "replace" else "append"),
-          constraints = consLogical.toMap, colMap = colMapOut,
-          droppedPhys = droppedOut, bloomCols = bloomColsOut)
+          constraints = prev.map(_.constraints).getOrElse(Map.empty),
+          colMap = colMapOut,
+          droppedPhys = droppedOut, bloomCols = bloomColsOut,
+          generated = genCols)
         return curV
       } catch {
         case e: IllegalStateException if !replace && attempt >= 5 =>
@@ -1206,7 +1229,7 @@ object ManifestLake {
           // a constraint added by the winner was never checked against
           // this batch — adopting it unvalidated would publish unjudged
           // rows under a declared contract: genuine conflict
-          require(headM.constraints == consLogical.toMap,
+          require(effectiveConstraints(headM) == consLogical.toMap,
             s"append to $path lost its race to a commit that changed the " +
               "table's CHECK constraints — the batch was not validated " +
               "against them; re-run the append")
@@ -2208,7 +2231,7 @@ object ManifestLake {
     // invariant), so any violation is the update batch's — judged
     // before publish, stage withdrawn on failure
     val consSeqU = {
-      val logical = manifest.constraints.toSeq.sortBy(_._1)
+      val logical = effectiveConstraints(manifest).toSeq.sortBy(_._1)
       mappingU match {
         case None => logical
         case Some(cm) =>
@@ -2328,7 +2351,8 @@ object ManifestLake {
           Some(tableSchema), partitionCols,
           curM.txns ++ txn.toMap, op = Some("upsert"), cdf = relCdf,
           constraints = manifest.constraints, colMap = colMapOutU,
-          droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols)
+          droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
+          generated = manifest.generated)
         return curV
       } catch {
         case e: IllegalStateException if attempt >= 5 =>
@@ -2469,7 +2493,7 @@ object ManifestLake {
           when(col("__action").isin("U", "I"), col(s"s.$n"))
             .otherwise(col(s"t.$n")).as(n)).toSeq: _*)
       // constraints enforce on the merged LOGICAL rows, riding the write
-      val consSeqM = manifest.constraints.toSeq.sortBy(_._1)
+      val consSeqM = effectiveConstraints(manifest).toSeq.sortBy(_._1)
       val obsM = org.apache.spark.sql.Observation()
       val aggsM = count(when(col("__action") === "U", lit(1))).as("n_upd") +:
         count(when(col("__action") === "I", lit(1))).as("n_ins") +:
@@ -2565,7 +2589,8 @@ object ManifestLake {
             manifest.schema, partitionCols,
             curM.txns ++ txn.toMap, op = Some("merge"), cdf = relCdf,
             constraints = manifest.constraints, colMap = manifest.colMap,
-            droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols)
+            droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
+            generated = manifest.generated)
           return MergeStats(curV, nUpd, nDel, nIns)
         } catch {
           case e: IllegalStateException if attempt >= 5 =>
@@ -2848,7 +2873,8 @@ object ManifestLake {
           // survives the retry instead of being clobbered)
           curM.txns ++ txn.toMap, op = Some("delete"), cdf = relCdf,
           constraints = curM.constraints, colMap = curM.colMap,
-          droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols)
+          droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
+          generated = curM.generated)
         return curV
       } catch {
         case e: IllegalStateException if attempt >= 5 =>
@@ -3207,7 +3233,7 @@ object ManifestLake {
       // pre-update values), the CHECK constraints judge the POST-update
       // projection — evaluating them pre-update would wave through a
       // SET that writes violating values
-      val consSeq = manifest.constraints.toSeq.sortBy(_._1)
+      val consSeq = effectiveConstraints(manifest).toSeq.sortBy(_._1)
       val obs = org.apache.spark.sql.Observation()
       val obsPost = org.apache.spark.sql.Observation()
       val preObserved = src.observe(obs,
@@ -3310,7 +3336,8 @@ object ManifestLake {
           Some(schema), snapshot.partCols,
           curM.txns ++ txn.toMap, op = Some("update"), cdf = relCdf,
           constraints = curM.constraints, colMap = curM.colMap,
-          droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols)
+          droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
+          generated = curM.generated)
         return curV
       } catch {
         case e: IllegalStateException if attempt >= 5 =>
@@ -3367,7 +3394,7 @@ object ManifestLake {
     publish(fs, root, newV, target.files, target.schema, target.partCols, headTxns,
       op = Some("restore"), constraints = target.constraints,
       colMap = target.colMap, droppedPhys = target.droppedPhys,
-      bloomCols = target.bloomCols)
+      bloomCols = target.bloomCols, generated = target.generated)
     newV
   }
 
@@ -3433,7 +3460,8 @@ object ManifestLake {
     }
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("constraint"), constraints = m.constraints + (name -> expression),
-      colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols)
+      colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
+      generated = m.generated)
     v + 1
   }
 
@@ -3448,7 +3476,8 @@ object ManifestLake {
         s"${m.constraints.keys.toSeq.sorted.mkString(", ")})")
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("constraint"), constraints = m.constraints - name,
-      colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols)
+      colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
+      generated = m.generated)
     v + 1
   }
 
@@ -3462,6 +3491,16 @@ object ManifestLake {
     }.toSet
 
   private val ReservedLogicalNames = Set(ChangeTypeCol, CommitVersionCol, "__dir")
+
+  /** The constraint set every row-adding commit actually enforces: the
+    * declared CHECK constraints plus one synthetic equality per
+    * GENERATED column — `name <=> (expr)`, null-safe so a NULL source
+    * generating NULL passes. One mechanism, every integrity rule.
+    */
+  private def effectiveConstraints(m: Manifest): Map[String, String] =
+    m.constraints ++ m.generated.map { case (n, e) =>
+      s"__gen_$n" -> s"$n <=> ($e)"
+    }
 
   /** RENAME a column WITHOUT rewriting any data file — a metadata-only
     * commit that records (logical → physical) column mapping in the
@@ -3499,11 +3538,18 @@ object ManifestLake {
         s"cannot rename $oldName: CHECK constraint $n (`$e`) references it — " +
           "drop the constraint first and re-add it under the new name")
     }
+    m.generated.foreach { case (n, e) =>
+      require(n == oldName || !constraintRefs(spark, e).contains(oldName),
+        s"cannot rename $oldName: generated column $n (`$e`) derives from it")
+    }
     val renamed = cm.map { case (l, p) => (if (l == oldName) newName else l) -> p }
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("schema"), constraints = m.constraints,
       colMap = Some(renamed), droppedPhys = m.droppedPhys,
-      bloomCols = m.bloomCols)
+      bloomCols = m.bloomCols,
+      generated = m.generated.map { case (n, e) =>
+        (if (n == oldName) newName else n) -> e
+      })
     v + 1
   }
 
@@ -3535,6 +3581,10 @@ object ManifestLake {
         s"cannot drop $name: CHECK constraint $n (`$e`) references it — " +
           "drop the constraint first")
     }
+    m.generated.foreach { case (n, e) =>
+      require(n == name || !constraintRefs(spark, e).contains(name),
+        s"cannot drop $name: generated column $n (`$e`) derives from it")
+    }
     val phys = cm.find(_._1 == name).get._2
     // the physical column leaves the RECORDED schema too — a parquet
     // scan simply doesn't read columns the file has but the schema
@@ -3547,7 +3597,8 @@ object ManifestLake {
       op = Some("schema"), constraints = m.constraints,
       colMap = Some(cm.filterNot(_._1 == name)),
       droppedPhys = m.droppedPhys :+ phys,
-      bloomCols = m.bloomCols.filterNot(_ == phys))
+      bloomCols = m.bloomCols.filterNot(_ == phys),
+      generated = m.generated.filterNot(_._1 == name))
     v + 1
   }
 
@@ -3646,8 +3697,144 @@ object ManifestLake {
       StructField(phys, dataType, nullable = true))
     publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
       op = Some("schema"), constraints = m.constraints,
-      colMap = newColMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols)
+      colMap = newColMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
+      generated = m.generated)
     v + 1
+  }
+
+  /** Declare a GENERATED column — Delta's `GENERATED ALWAYS AS (expr)`:
+    * `expression` (SQL over the other logical columns) defines the
+    * column's value forever after. Appends that OMIT the column get it
+    * COMPUTED during the write; appends/upserts/merges/updates that
+    * supply it are VALIDATED row-by-row via a synthetic null-safe
+    * `name <=> (expr)` constraint riding the same observed-metrics
+    * enforcement as CHECK constraints — a supplied-but-wrong value
+    * fails pre-publish, so the column can never silently diverge.
+    * Partitioning by a generated column composes naturally (declare,
+    * then append batches without it — the computed value partitions
+    * the write), which is the generated-partition-column pattern.
+    *
+    * On a table that already holds rows the declaration must either be
+    * refused (existing rows never had the column) or BACKFILLED —
+    * `backfill = true` opts into the one-time full rewrite computing
+    * the column for every existing row. The backfill is the only
+    * non-metadata cost; an empty table declares metadata-only.
+    */
+  def addGeneratedColumn(spark: SparkSession, path: String, name: String,
+                         dataType: org.apache.spark.sql.types.DataType,
+                         expression: String,
+                         backfill: Boolean = false): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"column name must be non-empty with no tabs or newlines: $name")
+    require(!expression.exists(c => c == '\n' || c == '\r'),
+      "generation expression must not contain newlines")
+    require(!ReservedLogicalNames.contains(name), s"column name $name is reserved")
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    require(m.schema.isDefined,
+      s"table at $path has a headerless legacy manifest — generated columns " +
+        "need the recorded schema (run one append or upsert to adopt a header first)")
+    val cm = m.colMap.getOrElse(m.schema.get.fieldNames.toSeq.map(n => n -> n))
+    // declaring over an EXISTING column is allowed only while the table
+    // is EMPTY (the create-partitioned-then-declare flow for generated
+    // PARTITION columns) — existing data under the name could disagree
+    // with the expression
+    val adopting = cm.exists(_._1 == name)
+    require(!adopting || m.files.isEmpty,
+      s"column $name already exists on $path with data — generated " +
+        "columns adopt an existing column only while the table is empty")
+    if (adopting) {
+      val phys0 = cm.find(_._1 == name).get._2
+      require(m.schema.get(phys0).dataType == dataType,
+        s"declared type ${dataType.catalogString} must match the existing " +
+          s"column's ${m.schema.get(phys0).dataType.catalogString}")
+    }
+    require(!m.generated.exists(_._1 == name),
+      s"column $name is already generated on $path")
+    try { spark.sessionState.sqlParser.parseExpression(expression); () }
+    catch {
+      case ex: org.apache.spark.sql.catalyst.parser.ParseException =>
+        throw new IllegalArgumentException(
+          s"generated column $name is not parseable SQL: ${ex.getMessage}", ex)
+    }
+    // resolvability + determinism against the CURRENT logical schema
+    val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      logicalSchemaOf(m))
+    val analyzed =
+      try probe.select(expr(expression).cast(dataType).as(name))
+        .queryExecution.analyzed
+      catch {
+        case ex: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"generated column $name (`$expression`) cannot be evaluated " +
+              s"against the table's schema: ${ex.getMessage}", ex)
+      }
+    require(analyzed.expressions.forall(_.deterministic),
+      s"generated column $name must be deterministic (`$expression` is not) — " +
+        "a nondeterministic generation could never be validated or replayed")
+    val (newColMap, phys) =
+      if (adopting) (m.colMap, cm.find(_._1 == name).get._2)
+      else m.colMap match {
+        case None => (None, name)
+        case Some(_) =>
+          val used = cm.map(_._2).toSet ++ m.droppedPhys
+          val fresh =
+            if (!used.contains(name)) name
+            else Iterator.from(1).map(k => s"${name}__$k").find(!used.contains(_)).get
+          (Some(cm :+ (name -> fresh)), fresh)
+      }
+    val newSchema =
+      if (adopting) m.schema.get
+      else StructType(m.schema.get.fields :+
+        StructField(phys, dataType, nullable = true))
+    if (m.files.isEmpty) {
+      publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
+        op = Some("schema"), constraints = m.constraints,
+        colMap = newColMap, droppedPhys = m.droppedPhys,
+        bloomCols = m.bloomCols, generated = m.generated :+ (name -> expression))
+      v + 1
+    } else {
+      require(backfill,
+        s"table at $path already holds rows that never had $name — pass " +
+          "backfill = true to opt into the one-time rewrite computing it " +
+          "for every existing row (or declare generated columns before loading)")
+      val src = toLogical(readFileSlice(spark, path, m, m.files), m)
+        .withColumn(name, expr(expression).cast(dataType))
+      val newV = v + 1
+      val commitDir = new Path(root,
+        f"$DataDir/v$newV%06d-${java.util.UUID.randomUUID().toString.take(8)}")
+      val outPhys = newColMap match {
+        case None => src
+        case Some(ncm) => src.select(ncm.map { case (l, p) => col(l).as(p) }: _*)
+      }
+      val w = outPhys.write.mode(SaveMode.Overwrite)
+      (if (m.partCols.nonEmpty) w.partitionBy(m.partCols: _*) else w)
+        .parquet(commitDir.toString)
+      val staged = stagedFiles(fs, root, commitDir)
+      val rowsIn = (
+        if (m.files.forall(_.rows.isDefined)) m.files.flatMap(_.rows).sum
+        else footerRowCount(fs, root, m.files)) - m.files.flatMap(_.dvRows).sum
+      val rowsOut = footerRowCount(fs, root, staged)
+      if (rowsOut != rowsIn) {
+        fs.delete(commitDir, true)
+        throw new IllegalStateException(
+          s"generated-column backfill verification failed for $path: " +
+            s"$rowsIn rows in, $rowsOut staged — table still at v$v")
+      }
+      val statKeys =
+        (m.files.flatMap(_.stats.keys) ++ m.files.flatMap(_.nullCounts.keys) ++
+          m.files.flatMap(_.valueSets.keys)).distinct
+          .filter(k => m.schema.get.fieldNames.contains(k))
+      val withStats = stageStats(spark, fs, root, commitDir, newSchema,
+        statKeys, m.bloomCols, m.partCols, staged)
+      publish(fs, root, newV, withStats, Some(newSchema), m.partCols, m.txns,
+        op = Some("schema"), constraints = m.constraints,
+        colMap = newColMap, droppedPhys = m.droppedPhys,
+        bloomCols = m.bloomCols, generated = m.generated :+ (name -> expression))
+      newV
+    }
   }
 
   /** The table's declared CHECK constraints (name → SQL text). */

@@ -1202,6 +1202,53 @@ object EtlGate {
              |WHERE doc_id IN (3, 77, 142, 399, 999999, 250)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // GENERATED COLUMNS under the oracle: `len_bucket` is declared
+    // GENERATED ALWAYS AS (n_chars DIV 100) on the empty table; both
+    // halves of the corpus append WITHOUT the column (computed during
+    // the write), a batch supplying a WRONG value is required in-line
+    // to fail pre-publish, and the final table hash-matches DuckDB
+    // computing the same expression.
+    Q(
+      "q114_generated_column",
+      (s, dir) => {
+        import s.implicits._
+        val out = scratchDir("graft-gate-gen") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        ManifestLake.write(s,
+          Seq.empty[(String, Long, String, Long)].toDF("lang", "doc_id", "text", "n_chars")
+            .select(col("lang"), col("doc_id"), col("text"),
+              col("n_chars").cast(docs.schema("n_chars").dataType)),
+          out, Seq("lang"))                                                    // v1 empty
+        require(ManifestLake.addGeneratedColumn(s, out, "len_bucket",
+          org.apache.spark.sql.types.LongType, "n_chars DIV 100") == 2L)
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+          out, Seq("lang"), replace = false)                                   // v3
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 1),
+          out, Seq("lang"), replace = false)                                   // v4
+        val rejected =
+          try {
+            ManifestLake.write(s,
+              docs.limit(3).withColumn("len_bucket", lit(-999L)),
+              out, Seq("lang"), replace = false)
+            false
+          } catch { case _: IllegalStateException => true }
+        require(rejected, "a wrong supplied generated value must fail pre-publish")
+        require(ManifestLake.currentVersion(s, out).contains(4L))
+        ManifestLake.read(s, out)
+          .groupBy(col("lang"), col("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"))
+          .orderBy(col("lang"), col("len_bucket"))
+      },
+      Some("""SELECT lang, n_chars // 100 AS len_bucket, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum
+             |FROM documents
+             |GROUP BY lang, len_bucket ORDER BY lang, len_bucket""".stripMargin)),
+
     // ROW-LEVEL UPDATE under the oracle: SET expressions computed from
     // PRE-update values (text rewritten from the old text, n_chars from
     // the old n_chars) over a condition that evaluates NULL on every
