@@ -1631,9 +1631,10 @@ object ManifestLake {
     *
     *  - an APPEND commit contributes its added files as `insert` rows
     *    (no change files needed — the manifest diff IS the delta);
-    *  - an UPSERT commit serves the exact pre/post-image rows it
-    *    stamped under its hidden `_cdf` dir at merge time, and a
-    *    DELETE commit its `delete` rows (a rewrite committed before
+    *  - an UPSERT / MERGE / UPDATE commit serves the exact
+    *    pre/post-image/insert rows it stamped under its hidden `_cdf`
+    *    dir at commit time, and a DELETE commit its `delete` rows —
+    *    deletion-vector deletes included (a rewrite committed before
     *    stamping existed has no provable row deltas — typed refusal,
     *    or skipped under `skipUnresolved`);
     *  - a COMPACT commit contributes NOTHING: compaction (and z-order)

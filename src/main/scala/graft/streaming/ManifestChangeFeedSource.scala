@@ -30,9 +30,11 @@ import graft.etl.ManifestLake
   * moved while the stream was down.)
   *
   * Commit-kind semantics are the batch feed's, per version in the
-  * window: appends serve their added files as `insert` rows, upserts
-  * and deletes serve their exact stamped change rows, compactions
-  * serve NOTHING (layout-only, content proven invariant), and
+  * window: appends serve their added files as `insert` rows; upserts,
+  * merges, updates, and deletes (deletion-vector deletes included)
+  * serve their exact stamped change rows; compactions and
+  * constraint/schema commits serve NOTHING (layout- or metadata-only,
+  * content proven invariant), and
   * replace/restore/pre-stamping commits FAIL the stream typed —
   * `skipUnresolved = true` opts into skipping those, acknowledging
   * the gap. Vacuum retention must cover consumer lag, as for any
