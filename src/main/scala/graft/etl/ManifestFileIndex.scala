@@ -51,7 +51,8 @@ private[etl] final class ManifestFileIndex(
     dataSchema: StructType,
     files: Seq[(ManifestLake.LiveFile, FileStatus)],
     bloomLoader: String => Map[(String, String), Array[Byte]] =
-      _ => Map.empty)
+      _ => Map.empty,
+    bloomCols: Set[String] = Set.empty)
   extends FileIndex {
 
   /** Sidecar loads memoized per index instance — one read per distinct
@@ -70,11 +71,17 @@ private[etl] final class ManifestFileIndex(
     * membership test value sets cannot record. Write-side rendering is
     * the row value cast to string; this renders the typed literal
     * through the same Cast, so bits match bit-for-bit. No bloom, no
-    * entry, or an unrenderable value keep the file — sound.
+    * entry, or an unrenderable value keep the file — sound. Only
+    * columns in the manifest's CURRENTLY TRACKED bloom set are probed:
+    * a per-file sidecar ref can outlive the tracking (e.g. a type
+    * widening that changes the string rendering untracks the column
+    * without touching refs), and probing a stale ref under a new
+    * rendering would manufacture false negatives.
     */
   private def bloomMight(f: ManifestLake.LiveFile, name: String,
                          v: Any): Boolean =
-    bloomOf(f, name) match {
+    if (!bloomCols.contains(name)) true
+    else bloomOf(f, name) match {
       case None => true
       case Some(bits) =>
         dataSchema.fields.find(_.name == name) match {

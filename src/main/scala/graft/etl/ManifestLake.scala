@@ -217,6 +217,15 @@ object ManifestLake {
     * re-added logical column of the same name gets a FRESH physical
     * name instead of resurrecting old file data.
     */
+  /** `chain`/`baseVersions`: DELTA-COMMIT bookkeeping on the RESOLVED
+    * manifest. A full-snapshot (checkpoint) manifest has chain 0 and no
+    * bases; a delta commit records only its own adds/removes and
+    * resolves against version-(base) at read time — `chain` is its hop
+    * count to the nearest full snapshot (bounded by
+    * [[CheckpointInterval]]), `baseVersions` the exact manifest
+    * versions its resolution consumed (what vacuum must retain for the
+    * version to stay readable).
+    */
   private[etl] final case class Manifest(schema: Option[StructType],
                                          partCols: Seq[String],
                                          files: Seq[LiveFile],
@@ -227,7 +236,9 @@ object ManifestLake {
                                          colMap: Option[Seq[(String, String)]] = None,
                                          droppedPhys: Seq[String] = Seq.empty,
                                          bloomCols: Seq[String] = Seq.empty,
-                                         generated: Seq[(String, String)] = Seq.empty)
+                                         generated: Seq[(String, String)] = Seq.empty,
+                                         chain: Int = 0,
+                                         baseVersions: Seq[Long] = Seq.empty)
 
   /** Published manifests are IMMUTABLE (a version is never rewritten —
     * restore publishes a NEW version), so parsed manifests cache across
@@ -273,10 +284,31 @@ object ManifestLake {
         }
     }
 
-  /** Parse version `v`'s manifest. Lines starting with `#` are
-    * directives (`#schema\t<StructType json>`, `#partcols\tc1,c2`,
-    * `#txn\t<appId>\t<batchId>`); unknown directives are ignored for
-    * forward compatibility. Data lines are `<bytes>\t<relpath>`.
+  /** How many DELTA commits may chain before a publish writes a FULL
+    * snapshot again (the checkpoint cadence — Delta Lake's default
+    * checkpoint interval is the same number). Between checkpoints a
+    * commit writes O(changed) bytes: its own adds, removes, and header
+    * — not the live-file listing, whose rewrite-per-commit is what
+    * turns an 800k-file table's manifest into tens of MB of driver I/O
+    * on EVERY commit. `private[graft] var` only so specs can tighten
+    * the cadence; production never reassigns it.
+    */
+  @volatile private[graft] var CheckpointInterval: Int = 10
+
+  /** Parse version `v`'s manifest and RESOLVE it to the full live set.
+    * Lines starting with `#` are directives (`#schema\t<StructType
+    * json>`, `#partcols\tc1,c2`, `#txn\t<appId>\t<batchId>`); unknown
+    * directives are ignored for forward compatibility. Data lines are
+    * `<bytes>\t<relpath>`. A manifest carrying `#delta\t<base>\t<hops>`
+    * is a DELTA COMMIT: its data lines are the files the commit ADDED
+    * (or changed in place — a re-stats'd or newly-masked entry), its
+    * `#remove\t<relpath>` lines the files it dropped, and the rest of
+    * the live set comes from resolving version `base` — recursion
+    * bounded by [[CheckpointInterval]] and served from the cache, so a
+    * chain resolves each underlying manifest once per content, not
+    * once per query. Headers are NOT deltas: every commit writes its
+    * full (small) header, and resolution uses the delta's own header
+    * verbatim.
     */
   private[graft] def readManifest(fs: FileSystem, root: Path, v: Long): Manifest = {
     val p = existingManifestPath(fs, root, v).getOrElse(
@@ -286,7 +318,26 @@ object ManifestLake {
     manifestCache.synchronized(Option(manifestCache.get(key))) match {
       case Some((m, _)) => m
       case None =>
-        val m = parseManifest(fs, p)
+        val (part, deltaRef, removes) = parseManifest(fs, p)
+        val m = deltaRef match {
+          case None => part
+          case Some((base, hops)) =>
+            val baseM =
+              try readManifest(fs, root, base)
+              catch {
+                case e: java.io.FileNotFoundException =>
+                  throw new IllegalStateException(
+                    s"delta manifest v$v references base manifest v$base which " +
+                      "is missing — the base was vacuumed or the manifest dir " +
+                      "was partially copied; the version is unreadable", e)
+              }
+            // an added entry REPLACES any base entry at the same path
+            // (that is how an in-place change — new stats, a new
+            // deletion-vector mask — rides a delta)
+            val gone = removes.toSet ++ part.files.map(_.path)
+            part.copy(files = baseM.files.filterNot(f => gone(f.path)) ++ part.files,
+              chain = hops, baseVersions = baseM.baseVersions :+ base)
+        }
         val w = manifestWeight(m)
         manifestCache.synchronized {
           if (manifestCache.put(key, (m, w)) == null) manifestCacheBytes += w
@@ -300,7 +351,12 @@ object ManifestLake {
     }
   }
 
-  private def parseManifest(fs: FileSystem, p: Path): Manifest = {
+  /** One manifest FILE's content: the manifest with data lines as
+    * `files` (for a delta: just the adds), the `#delta` (base, hops)
+    * directive if present, and the `#remove` paths.
+    */
+  private def parseManifest(fs: FileSystem,
+                            p: Path): (Manifest, Option[(Long, Int)], Seq[String]) = {
     val raw = fs.open(p)
     val in: java.io.InputStream =
       if (p.getName.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
@@ -343,6 +399,12 @@ object ManifestLake {
       val i = rest.indexOf('\t')
       rest.substring(0, i) -> rest.substring(i + 1)
     }
+    val deltaRef = dmap.get("#delta").map { s =>
+      val parts = s.split("\t")
+      (parts(0).toLong, parts(1).toInt)
+    }
+    val removes = directives.filter(_.startsWith("#remove\t"))
+      .map(_.substring("#remove\t".length))
     val files = data.map { line =>
       // `bytes\tpath` or `bytes\tpath\t<stats json>` — JSON string
       // escaping keeps tabs/newlines inside values off the line.
@@ -358,9 +420,9 @@ object ManifestLake {
           LiveFile(b.toLong, p, bounds, rows, nulls, sets, dv, dvRows, bloom)
       }
     }
-    Manifest(schema, partCols, files, txns, op, cdf, constraints,
+    (Manifest(schema, partCols, files, txns, op, cdf, constraints,
       if (colMapEntries.isEmpty) None else Some(colMapEntries), dropped,
-      bloomCols, generated)
+      bloomCols, generated), deltaRef, removes)
   }
 
   /** Stats blob: `{"col": ["lo","hi"], …, "#rows": n, "#nulls":
@@ -534,11 +596,47 @@ object ManifestLake {
       (if (bloomCols.isEmpty) Nil else Seq(s"#bloomcols\t${bloomCols.mkString(",")}")) ++
       generated.map { case (n, e) => s"#gencol\t$n\t$e" } ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
-    val body = header ++ files.sortBy(_.path).map { f =>
+    def fileLine(f: LiveFile): String =
       if (f.stats.isEmpty && f.rows.isEmpty && f.nullCounts.isEmpty &&
         f.valueSets.isEmpty && f.dv.isEmpty && f.bloom.isEmpty)
         s"${f.bytes}\t${f.path}"
       else s"${f.bytes}\t${f.path}\t${renderStats(f.stats, f.rows, f.nullCounts, f.valueSets, f.dv, f.dvRows, f.bloom)}"
+    // DELTA COMMIT: when the previous version resolves and the chain
+    // has room before the next checkpoint, record only this commit's
+    // adds (including in-place entry changes — new stats, a new DV
+    // mask) and removes. An 800k-file table's append then writes KB,
+    // not the tens-of-MB live listing; the full snapshot re-amortizes
+    // every CheckpointInterval commits (and whenever the delta would
+    // not actually be smaller — a replace naturally snapshots). The
+    // header is always written in full: it is small and keeping it
+    // whole means resolution never merges table-shape state.
+    val prevM: Option[Manifest] =
+      if (v <= 1) None
+      else try Some(readManifest(fs, root, v - 1))
+      catch {
+        case _: java.io.FileNotFoundException => None
+        case _: IllegalStateException => None // broken base chain: snapshot
+      }
+    val delta: Option[(Seq[LiveFile], Seq[String], Int)] = prevM.flatMap { pm =>
+      if (pm.chain + 1 >= CheckpointInterval) None
+      else {
+        val prevByPath = pm.files.map(f => f.path -> f).toMap
+        val newByPath = files.map(f => f.path -> f).toMap
+        val adds = files.filterNot(f => prevByPath.get(f.path).contains(f))
+        val removes = pm.files.collect {
+          case f if !newByPath.contains(f.path) => f.path
+        }
+        if (adds.length + removes.length < files.length)
+          Some((adds, removes, pm.chain + 1))
+        else None
+      }
+    }
+    val body = delta match {
+      case Some((adds, removes, hops)) =>
+        header ++ Seq(s"#delta\t${v - 1}\t$hops") ++
+          removes.sorted.map(r => s"#remove\t$r") ++
+          adds.sortBy(_.path).map(fileLine)
+      case None => header ++ files.sortBy(_.path).map(fileLine)
     }
     val out = new java.util.zip.GZIPOutputStream(fs.create(tmp, true))
     try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -1160,7 +1258,7 @@ object ManifestLake {
     // stats-less append costs exactly ONE Spark job end to end.
     val staged = stagedFiles(fs, root, commitDir)
     consSeq.foreach { case (n, e) =>
-      val bad = obs.get(s"viol_$n").asInstanceOf[Long]
+      val bad = obsLong(obs, s"viol_$n")
       if (bad > 0) {
         fs.delete(commitDir, true)
         throw new IllegalStateException(
@@ -1168,7 +1266,7 @@ object ManifestLake {
             s"nothing published, table still at v${v - 1}")
       }
     }
-    val rowsIn = obs.get("rows").asInstanceOf[Long]
+    val rowsIn = obsLong(obs, "rows")
     // empty input stages no parquet files — nothing to re-read (an empty
     // replace is a defined state: the manifest lists nothing)
     val rowsOut = footerRowCount(fs, root, staged)
@@ -1290,9 +1388,10 @@ object ManifestLake {
         val dvDirs = masked.flatMap(_.dv).distinct
           .map(p => fs.makeQualified(new Path(root, p)).toString)
         val dvDf = spark.read.parquet(dvDirs: _*)
-          .select(col("file_path").as("__dv_fp"), col("row_index").as("__dv_ri"))
+          .select(dvRelExpr(col("file_path")).as("__dv_fp"),
+            col("row_index").as("__dv_ri"))
         val maskedDf = scanOf(masked)
-          .select(col("_metadata.file_path").as("__dv_fp") +:
+          .select(relPathExpr(col("_metadata.file_path")).as("__dv_fp") +:
             col("_metadata.row_index").as("__dv_ri") +:
             schema.fieldNames.map(col): _*)
           .join(dvDf, Seq("__dv_fp", "__dv_ri"), "left_anti")
@@ -1323,7 +1422,7 @@ object ManifestLake {
         f.bytes, false, 1, 1, 0L, fs.makeQualified(new Path(root, f.path))))
     }
     val index = new ManifestFileIndex(spark, fs.makeQualified(root), partSchema,
-      dataSchema, statuses, ref => bloomsAt(fs, root, ref))
+      dataSchema, statuses, ref => bloomsAt(fs, root, ref), m.bloomCols.toSet)
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, partSchema, dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
@@ -1907,7 +2006,8 @@ object ManifestLake {
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,
               clusterBy: Seq[String] = Seq.empty,
-              zOrderBy: Seq[String] = Seq.empty): Seq[(String, Int, Int)] = {
+              zOrderBy: Seq[String] = Seq.empty,
+              maxMaskedFraction: Double = 1.0): Seq[(String, Int, Int)] = {
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy and zOrderBy are mutually exclusive layout choices")
     val (fs, root) = fsFor(spark, path)
@@ -1935,7 +2035,29 @@ object ManifestLake {
     val plans = byPart.toSeq.sortBy(_._1).flatMap { case (part, fls) =>
       val bytes = fls.map(_.bytes).sum
       val want = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
-      if (fls.length <= want) None else Some((part, fls, want))
+      if (fls.length > want) Some((part, fls, want))
+      else {
+        // DV-AWARE MAINTENANCE (Delta's `REORG … APPLY (PURGE)` analog):
+        // a long-lived table under steady deletion-vector deletes never
+        // fragments, so plain compaction never fires — yet every scan of
+        // a masked file pays the anti-join forever. Files whose masked
+        // fraction crossed the threshold rewrite (materializing the
+        // mask) even in an otherwise-compacted partition, and ONLY those
+        // files — the partition's clean files carry by reference, so the
+        // write amplification is bounded by the masked files themselves.
+        // Files without a recorded row count can't prove their fraction
+        // and stay (conservative; every stats-collecting write records
+        // rows).
+        val masky = fls.filter(f => f.dvRows.exists(d =>
+          f.rows.exists(r => r > 0 && d.toDouble / r > maxMaskedFraction)))
+        if (masky.isEmpty) None
+        else {
+          val mb = masky.map(_.bytes).sum
+          val w = math.max(1L, math.min(masky.length.toLong,
+            math.ceil(mb.toDouble / targetBytes).toLong)).toInt
+          Some((part, masky, w))
+        }
+      }
     }
     if (plans.isEmpty) return Seq.empty
     val newV = v + 1
@@ -2023,7 +2145,8 @@ object ManifestLake {
         publish(fs, root, curV, untouched ++ withStats,
           curM.schema, curM.partCols, curM.txns, op = Some("compact"),
           constraints = curM.constraints, colMap = curM.colMap,
-          droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols)
+          droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
+          generated = curM.generated)
         return report
       } catch {
         case e: IllegalStateException if attempt >= 5 =>
@@ -2263,7 +2386,7 @@ object ManifestLake {
       .partitionBy(partitionCols: _*)
       .parquet(commitDir.toString)
     consSeqU.foreach { case (n, e) =>
-      val bad = obsU.get(s"viol_$n").asInstanceOf[Long]
+      val bad = obsLong(obsU, s"viol_$n")
       if (bad > 0) {
         fs.delete(commitDir, true)
         throw new IllegalStateException(
@@ -2369,9 +2492,11 @@ object ManifestLake {
           }
           val headAffected = headM.files
             .filter(f => affectedDirs.contains(partOf(f.path))).toSet
+          // effectiveConstraints: see the merge guard — a concurrently
+          // added generated column's validation must not be bypassed
           if (headAffected != affectedFiles.toSet ||
             headM.schema != manifest.schema || headM.partCols != partitionCols ||
-            headM.constraints != manifest.constraints ||
+            effectiveConstraints(headM) != effectiveConstraints(manifest) ||
             headM.colMap != manifest.colMap) {
             fs.delete(commitDir, true)
             throw new IllegalStateException(
@@ -2445,18 +2570,37 @@ object ManifestLake {
       throw new IllegalArgumentException(
         s"table at $path has a headerless legacy manifest — merge needs the " +
           "recorded schema (run one append or upsert to adopt a header first)"))
-    require(sameShape(logical, source.schema),
-      s"merge source schema ${source.schema.catalogString} must match the " +
-        s"table's ${logical.catalogString} exactly (cast/select first; " +
-        "merge does not widen)")
+    // The source must carry every table column at its exact type, but
+    // MAY carry extras — the CDC-apply shape ships an op marker the
+    // clause conditions read (`deleteWhen = col("s.op") === "d"`) that
+    // the table never stores. Extra columns ride into the classify join
+    // for the conditions and vanish at the result projection (which
+    // selects exactly the table's logical columns); merge still does
+    // not widen — a new TABLE column arrives via append/upsert.
+    locally {
+      val srcTypes = source.schema.fields
+        .map(f => f.name -> f.dataType.catalogString).toMap
+      val bad = logical.fields.filterNot(f =>
+        srcTypes.get(f.name).contains(f.dataType.catalogString))
+      require(bad.isEmpty,
+        s"merge source schema ${source.schema.catalogString} must contain " +
+          s"every table column at its exact type; missing or re-typed: " +
+          s"${bad.map(f => s"${f.name} ${f.dataType.catalogString}").mkString(", ")} " +
+          "(cast/select first; merge does not widen — extra source-only " +
+          "columns are allowed and visible to clause conditions as s.<col>)")
+    }
     Seq(ChangeTypeCol, CommitVersionCol).foreach(r =>
       require(!logical.fieldNames.contains(r),
         s"column name $r is reserved for the change feed's metadata"))
-    val nSrc = source.count()
-    val nSrcKeys = source.select(keyCols.map(col): _*).distinct().count()
-    require(nSrc == nSrcKeys,
-      s"merge source is not key-unique on ${keyCols.mkString(",")}: $nSrc rows, $nSrcKeys keys")
-
+    // PIN the source: it feeds partition discovery AND the classify
+    // join, and a non-deterministic source evaluating differently
+    // between the two could land rows outside the affected-partition
+    // set — same pinning stance as write/upsert. Key-uniqueness is NOT
+    // pre-validated here: it is counted inside the classification
+    // (each source row carries a unique id; a key grouping >1 distinct
+    // ids is a duplicate), so the merge makes ONE pass over the source
+    // instead of three.
+    source.persist()
     val partRows = source
       .select(partitionCols.map(c => col(c).cast("string").as(c)): _*)
       .distinct().collect()
@@ -2475,7 +2619,12 @@ object ManifestLake {
     // upsert's groupBy semantics for null-able non-partition keys
     val tgt = toLogical(readFileSlice(spark, path, manifest, affectedFiles), manifest)
       .withColumn("__t_present", lit(true)).alias("t")
-    val src = source.withColumn("__s_present", lit(true)).alias("s")
+    // __sid: unique per source row in any one evaluation (partition id
+    // rides in the high bits), so a key grouping >1 DISTINCT sids after
+    // the join is a genuine source duplicate — a source key matching
+    // several target rows fans out one sid and stays legal
+    val src = source.withColumn("__s_present", lit(true))
+      .withColumn("__sid", monotonically_increasing_id()).alias("s")
     val keyCond = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     def c(b: Option[Column]): Column = coalesce(b.getOrElse(lit(false)), lit(false))
     val tP = coalesce(col("t.__t_present"), lit(false))
@@ -2489,10 +2638,24 @@ object ManifestLake {
       .withColumn("__action", action)
       .persist()
     try {
-      val resultL = cls.where(col("__action").isin("K", "U", "I"))
-        .select(logical.fieldNames.map(n =>
-          when(col("__action").isin("U", "I"), col(s"s.$n"))
-            .otherwise(col(s"t.$n")).as(n)).toSeq: _*)
+      // ONE validation job over the (now materializing) classification:
+      // per-key distinct-sid counts roll up into the duplicate-key
+      // check, and the delete count rides the same pass — the two
+      // pre-classify source scans this used to cost are gone, and the
+      // write job below reads the already-cached join
+      val chk = cls
+        .groupBy(keyCols.map(k => col(s"s.$k")): _*)
+        .agg(countDistinct(col("s.__sid")).as("__src_c"),
+          count(when(col("__action") === "D", lit(1))).as("__del_c"))
+        .agg(sum("__del_c").as("dels"),
+          count(when(col("__src_c") > 1, lit(1))).as("dup_keys"))
+        .collect().head
+      val nDel = Option(chk.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (chk.getLong(1) > 0)
+        throw new IllegalArgumentException(
+          s"merge source is not key-unique on ${keyCols.mkString(",")}: " +
+            s"${chk.getLong(1)} key(s) carry multiple source rows — " +
+            s"nothing written, table still at v$v")
       // constraints enforce on the merged LOGICAL rows, riding the write
       val consSeqM = effectiveConstraints(manifest).toSeq.sortBy(_._1)
       val obsM = org.apache.spark.sql.Observation()
@@ -2517,8 +2680,16 @@ object ManifestLake {
       // partition columns are mapping-identity, so partitionBy holds
       w.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
         .parquet(commitDir.toString)
+      // a merge whose every classified row is a DELETE leaves nothing
+      // to write: AQE's empty-relation propagation then elides the
+      // CollectMetrics node and the observation reports NO keys at all.
+      // Absent metrics default to 0 — sound, because the only path to
+      // absence is an empty observed subtree (0 rows ⇒ 0 updates, 0
+      // inserts, 0 violations), and the footer-based row-conservation
+      // check below independently explodes if a non-empty write ever
+      // lost its metrics.
       consSeqM.foreach { case (n, e) =>
-        val bad = obsM.get(s"viol_$n").asInstanceOf[Long]
+        val bad = obsLong(obsM, s"viol_$n")
         if (bad > 0) {
           fs.delete(commitDir, true)
           throw new IllegalStateException(
@@ -2526,9 +2697,9 @@ object ManifestLake {
               s"row(s) — nothing published, table still at v$v")
         }
       }
-      val nUpd = obsM.get("n_upd").asInstanceOf[Long]
-      val nIns = obsM.get("n_ins").asInstanceOf[Long]
-      val nDel = cls.where(col("__action") === "D").count()
+      val nUpd = obsLong(obsM, "n_upd")
+      val nIns = obsLong(obsM, "n_ins")
+      // nDel came from the validation pass above
       // row conservation from footers vs the observed classification
       val staged = stagedFiles(fs, root, commitDir)
       val rowsOut = footerRowCount(fs, root, staged)
@@ -2606,9 +2777,13 @@ object ManifestLake {
             }
             val headAffected = headM.files
               .filter(f => affectedDirs.contains(partDirOf(f.path))).toSet
+            // effectiveConstraints (not raw constraints): a concurrently
+            // ADDED generated column's synthetic validation was never run
+            // against this stage — publishing it unjudged would let the
+            // column silently diverge (append's guard has the same shape)
             if (headAffected != affectedFiles.toSet ||
               headM.schema != manifest.schema || headM.partCols != partitionCols ||
-              headM.constraints != manifest.constraints ||
+              effectiveConstraints(headM) != effectiveConstraints(manifest) ||
               headM.colMap != manifest.colMap) {
               fs.delete(commitDir, true)
               throw new IllegalStateException(
@@ -2625,6 +2800,7 @@ object ManifestLake {
       MergeStats(curV, nUpd, nDel, nIns) // unreachable
     } finally {
       cls.unpersist()
+      source.unpersist()
       ()
     }
   }
@@ -2772,12 +2948,44 @@ object ManifestLake {
     val dvDirs = files.flatMap(_.dv).distinct
     if (dvDirs.isEmpty) scan
     else {
+      // join on the manifest-RELATIVE path, keeping the absolute
+      // __dv_fp for downstream driver-side resolution — see relPathExpr
       val dvDf = spark.read.parquet(dvDirs.map(p =>
         fs.makeQualified(new Path(root, p)).toString): _*)
-        .select(col("file_path").as("__dv_fp"), col("row_index").as("__dv_ri"))
-      scan.join(dvDf, Seq("__dv_fp", "__dv_ri"), "left_anti")
+        .select(dvRelExpr(col("file_path")).as("__dv_rel"),
+          col("row_index").as("__dv_ri"))
+      scan.withColumn("__dv_rel", relPathExpr(col("__dv_fp")))
+        .join(dvDf, Seq("__dv_rel", "__dv_ri"), "left_anti")
+        .drop("__dv_rel")
     }
   }
+
+  /** Manifest-relative `data/v…` path from a parquet reader
+    * `_metadata.file_path` value (a URL-ENCODED absolute URI whose
+    * textual rendering differs from `makeQualified`'s): decode, then
+    * take everything from the LAST `/data/v` marker — partition dir
+    * segments cannot contain '/', so the marker is unambiguous. Pure
+    * codegen'd string ops (no UDF), the same resolution
+    * [[readWithRowIds]] applies. Deletion-vector files store THIS form
+    * (root-relative, matching every other manifest reference), so the
+    * table stays relocatable: move/copy the table directory and the
+    * masks still apply — absolute URIs would silently resurrect
+    * deleted rows under a new mount point.
+    */
+  private def relPathExpr(c: Column): Column =
+    concat(lit(DataDir + "/v"),
+      element_at(split(url_decode(c), "/" + DataDir + "/v"), -1))
+
+  /** A deletion-vector file's stored `file_path` → manifest-relative:
+    * new-format rows are already relative (pass through — decoding
+    * again would corrupt a path whose raw dir names contain '%'),
+    * legacy rows stored the reader's absolute URL-encoded URI and
+    * resolve through the same extraction the writer now applies (which
+    * matches only while the table has not moved — exactly the old
+    * format's contract, no worse).
+    */
+  private def dvRelExpr(c: Column): Column =
+    when(c.startsWith(DataDir + "/v"), c).otherwise(relPathExpr(c))
 
   /** The subset of `dirs` (hive partition-dir strings) whose TYPED
     * partition values satisfy `predicate`, or None when the predicate
@@ -3044,7 +3252,11 @@ object ManifestLake {
         val dvP = new Path(commitDir, DvDir)
         val perFp = matched.groupBy(col("__dv_fp")).count().collect()
           .map(r => canonStr(r.getString(0)) -> r.getLong(1)).toMap
-        val newRows = matched.select(col("__dv_fp").as("file_path"),
+        // DV files store the manifest-RELATIVE path (the table's
+        // relocatability contract — see relPathExpr), derived from the
+        // reader metadata by the same codegen'd extraction the probes
+        // apply, so the two sides match by construction
+        val newRows = matched.select(relPathExpr(col("__dv_fp")).as("file_path"),
           col("__dv_ri").cast("long").as("row_index"))
         val oldDvDirs = candidates.flatMap(_.dv).distinct
         val dvAll =
@@ -3053,13 +3265,13 @@ object ManifestLake {
             // the candidates' EXISTING masked rows carry into the new
             // dir (each entry references exactly one dv dir); other
             // files' rows stay behind, still referenced by their own
-            // entries. Old and new file_path strings render identically
-            // — both come from the same reader metadata.
+            // entries. Legacy absolute rows normalize to relative on
+            // the way through (dvRelExpr), so a pre-relative table
+            // upgrades its vectors the first time they are touched.
             spark.read.parquet(oldDvDirs.map(pp =>
               fs.makeQualified(new Path(root, pp)).toString): _*)
-              .select(col("file_path"), col("row_index"))
-              .where(col("file_path").isInCollection(
-                matched.select("__dv_fp").distinct().collect().map(_.getString(0)).toSeq))
+              .select(dvRelExpr(col("file_path")).as("file_path"), col("row_index"))
+              .where(col("file_path").isInCollection(candidates.map(_.path)))
               .unionByName(newRows)
           }
         dvAll.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvP.toString)
@@ -3255,7 +3467,7 @@ object ManifestLake {
       (if (manifest.partCols.nonEmpty) w.partitionBy(manifest.partCols: _*) else w)
         .parquet(commitDir.toString)
       consSeq.foreach { case (n, e) =>
-        val bad = obsPost.get(s"viol_$n").asInstanceOf[Long]
+        val bad = obsLong(obsPost, s"viol_$n")
         if (bad > 0) {
           fs.delete(commitDir, true)
           throw new IllegalStateException(
@@ -3263,8 +3475,8 @@ object ManifestLake {
               s"row(s) — nothing published, table still at v$v")
         }
       }
-      val rowsIn = obs.get("rows").asInstanceOf[Long]
-      val nUpd = obs.get("n_upd").asInstanceOf[Long]
+      val rowsIn = obsLong(obs, "rows")
+      val nUpd = obsLong(obs, "n_upd")
       val staged = stagedFiles(fs, root, commitDir)
       val rowsOut = footerRowCount(fs, root, staged)
       if (rowsOut != rowsIn) {
@@ -3352,11 +3564,13 @@ object ManifestLake {
             return headV
           }
           val headSet = headM.files.toSet
+          // effectiveConstraints: see the merge guard — a concurrently
+          // added generated column's validation must not be bypassed
           if (!candidates.forall(headSet.contains) ||
             headM.schema != snapshot.schema ||
             headM.partCols != snapshot.partCols ||
             headM.colMap != snapshot.colMap ||
-            headM.constraints != snapshot.constraints) {
+            effectiveConstraints(headM) != effectiveConstraints(snapshot)) {
             cleanup.foreach(fs.delete(_, true))
             throw new IllegalStateException(
               s"update of $path lost its race to a commit that touched its " +
@@ -3482,16 +3696,64 @@ object ManifestLake {
     v + 1
   }
 
-  /** Logical column names a constraint's SQL text references —
-    * single-part attributes, which is all the flat schema can hold.
+  /** TOP-LEVEL logical column names a constraint's SQL text anchors
+    * at. A nested reference (`meta.x`, `entries[0].pos`) anchors at its
+    * ROOT column — rename/drop of that root must refuse while the
+    * expression exists, or the next append dies unresolvable with the
+    * table wedged. Higher-order-function lambda variables (`exists(
+    * entries, e -> e.pos > 0)`) are NOT column refs: their names are
+    * subtracted so a lambda arg shadowing nothing doesn't block an
+    * unrelated rename. Over-approximation (a multi-part head that is
+    * not actually a column) can only produce a spurious REFUSAL, never
+    * a silent wrong answer — the sound direction.
     */
-  private def constraintRefs(spark: SparkSession, sqlText: String): Set[String] =
-    spark.sessionState.sqlParser.parseExpression(sqlText).collect {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-        if a.nameParts.length == 1 => a.nameParts.head
-    }.toSet
+  private def constraintRefs(spark: SparkSession, sqlText: String): Set[String] = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(sqlText)
+    val lambdaArgs = parsed.collect {
+      case lf: org.apache.spark.sql.catalyst.expressions.LambdaFunction =>
+        lf.arguments.collect {
+          case v: org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable =>
+            v.nameParts.head
+        }
+    }.flatten.toSet
+    parsed.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head
+    }.toSet -- lambdaArgs
+  }
 
   private val ReservedLogicalNames = Set(ChangeTypeCol, CommitVersionCol, "__dir")
+
+  /** Loud, typed refusal when a schema-evolution op targets a field
+    * INSIDE a struct (`meta.x`, `entries.element.pos`): the metadata-only
+    * machinery (colMap indirection, widen's serve-as contract, bloom
+    * tracking) operates on top-level parquet columns, and a dotted
+    * target whose root IS a column would otherwise fall through to a
+    * generic "no column named" — correct but misleading. Whole
+    * struct-typed columns are ordinary top-level columns and pass.
+    */
+  private def refuseNestedTarget(op: String, name: String,
+                                 logicalNames: Seq[String]): Unit = {
+    val root = name.takeWhile(_ != '.')
+    require(!name.contains('.') || !logicalNames.contains(root),
+      s"$op cannot target $name: it names a field inside struct column " +
+        s"$root, and metadata-only schema evolution operates on top-level " +
+        "columns — rewrite the struct column to change its interior " +
+        "(constraints and generated columns MAY reference nested fields " +
+        "by expression)")
+  }
+
+  /** An observed metric, defaulting ABSENT keys to 0: when the observed
+    * subtree is empty (an all-delete merge, an empty append), AQE's
+    * empty-relation propagation elides the CollectMetrics node and the
+    * observation completes with NO keys. Zero is exactly right there —
+    * 0 rows means 0 updates/inserts/violations — and every caller's
+    * footer-based row-conservation check independently explodes if a
+    * NON-empty write ever lost its metrics, so the default can never
+    * paper over a real loss.
+    */
+  private def obsLong(obs: org.apache.spark.sql.Observation, key: String): Long =
+    obs.get.get(key).map(_.asInstanceOf[Long]).getOrElse(0L)
 
   /** The constraint set every row-adding commit actually enforces: the
     * declared CHECK constraints plus one synthetic equality per
@@ -3525,6 +3787,7 @@ object ManifestLake {
     val cm = m.colMap.getOrElse(
       m.schema.get.fieldNames.toSeq.map(n => n -> n))
     val logicalNames = cm.map(_._1)
+    refuseNestedTarget("renameColumn", oldName, logicalNames)
     require(logicalNames.contains(oldName),
       s"no column named $oldName on $path (columns: ${logicalNames.mkString(", ")})")
     require(!logicalNames.contains(newName),
@@ -3534,6 +3797,11 @@ object ManifestLake {
         "directory layout; repartition via a replace write instead")
     require(!ReservedLogicalNames.contains(newName),
       s"column name $newName is reserved")
+    require(!newName.contains('.'),
+      s"column name $newName contains '.' — dotted names are " +
+        "indistinguishable from nested-field references in constraint " +
+        "and generation expressions; renaming a field INSIDE a struct " +
+        "is not supported (rewrite the struct column instead)")
     m.constraints.foreach { case (n, e) =>
       require(!constraintRefs(spark, e).contains(oldName),
         s"cannot rename $oldName: CHECK constraint $n (`$e`) references it — " +
@@ -3572,6 +3840,7 @@ object ManifestLake {
         "needs the recorded schema (run one append or upsert to adopt a header first)")
     val cm = m.colMap.getOrElse(
       m.schema.get.fieldNames.toSeq.map(n => n -> n))
+    refuseNestedTarget("dropColumn", name, cm.map(_._1))
     require(cm.exists(_._1 == name),
       s"no column named $name on $path (columns: ${cm.map(_._1).mkString(", ")})")
     require(!m.partCols.contains(name),
@@ -3646,6 +3915,7 @@ object ManifestLake {
       s"table at $path has a headerless legacy manifest — type widening " +
         "needs the recorded schema (run one append or upsert to adopt a header first)")
     val cm = m.colMap.getOrElse(m.schema.get.fieldNames.toSeq.map(n => n -> n))
+    refuseNestedTarget("widenColumnType", name, cm.map(_._1))
     val phys = cm.find(_._1 == name).map(_._2).getOrElse(
       throw new IllegalArgumentException(
         s"no column named $name on $path (columns: ${cm.map(_._1).mkString(", ")})"))
@@ -3657,9 +3927,43 @@ object ManifestLake {
         "decimal growth); anything else is a replace write")
     val newSchema = StructType(m.schema.get.fields.map(f =>
       if (f.name == phys) f.copy(dataType = newType) else f))
-    publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
+    // What survives the widen, per skipping-stats family (the rule:
+    // stats may only ever degrade toward KEEP, never toward a false
+    // skip):
+    //   - min/max + value sets compare by CASTING the stored string to
+    //     the CURRENT type, so they stay sound exactly when that cast
+    //     reproduces the value the reader now serves. True for every
+    //     admitted widening EXCEPT float->double: a float's shortest
+    //     decimal rendering ("1.1") casts to a double that differs
+    //     from the float's exact binary value served through the
+    //     widened reader, so a recorded max could undershoot and
+    //     silently skip a file holding a match — strip them.
+    //   - blooms compare by STRING-RENDERING equality, so they stay
+    //     sound only when the widened type renders identically
+    //     (integral up-casts, decimal growth at the same scale);
+    //     int->double renders "5" as "5.0", decimal scale growth pads
+    //     zeros — untrack the column so stale per-file bloom refs stop
+    //     being probed (the reader consults the tracked set).
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType,
+      ByteType, ShortType, IntegerType}
+    val floatToDouble = field.dataType == FloatType && newType == DoubleType
+    val renderingStable = (field.dataType, newType) match {
+      case (ByteType | ShortType | IntegerType,
+            ShortType | IntegerType | LongType) => true
+      case (IntegerType | LongType, d: DecimalType) => d.scale == 0
+      case (a: DecimalType, b: DecimalType) => a.scale == b.scale
+      case _ => false
+    }
+    val newFiles =
+      if (!floatToDouble) m.files
+      else m.files.map(f =>
+        f.copy(stats = f.stats - phys, valueSets = f.valueSets - phys))
+    publish(fs, root, v + 1, newFiles, Some(newSchema), m.partCols, m.txns,
       op = Some("schema"), constraints = m.constraints,
-      colMap = m.colMap, droppedPhys = m.droppedPhys)
+      colMap = m.colMap, droppedPhys = m.droppedPhys,
+      bloomCols =
+        if (renderingStable) m.bloomCols else m.bloomCols.filterNot(_ == phys),
+      generated = m.generated)
     v + 1
   }
 
@@ -3730,6 +4034,11 @@ object ManifestLake {
     require(!expression.exists(c => c == '\n' || c == '\r'),
       "generation expression must not contain newlines")
     require(!ReservedLogicalNames.contains(name), s"column name $name is reserved")
+    require(!name.contains('.'),
+      s"generated column name $name contains '.' — dotted names are " +
+        "indistinguishable from nested-field references in the synthetic " +
+        "validation expression; generating a field INSIDE a struct is not " +
+        "supported (the generation EXPRESSION may read nested fields)")
     val (fs, root) = fsFor(spark, path)
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no manifested table at $path"))
@@ -3847,19 +4156,25 @@ object ManifestLake {
     }
   }
 
-  /** One maintenance pass — compact fragmented partitions, then vacuum
-    * what nothing kept references. The convenience wrapper for the
-    * maintenance cadence a continuously-fed table needs (the streaming
-    * sink can invoke it every N batches); runs under the SAME writer
-    * as commits per the checked single-writer contract. Returns
-    * (partitionsCompacted, pathsVacuumed).
+  /** One maintenance pass — compact fragmented partitions, rewrite
+    * files whose deletion-vector masked fraction exceeded
+    * `maxMaskedFraction` (mask-materialization, so a table under
+    * steady DV deletes converges back to mask-free files instead of
+    * paying the anti-join forever), then vacuum what nothing kept
+    * references. The convenience wrapper for the maintenance cadence a
+    * continuously-fed table needs (the streaming sink can invoke it
+    * every N batches); runs under the SAME writer as commits per the
+    * checked single-writer contract. Returns (partitionsCompacted,
+    * pathsVacuumed).
     */
   def maintain(spark: SparkSession, path: String,
                targetBytes: Long = 128L * 1024 * 1024,
                keepVersions: Int = 2,
                clusterBy: Seq[String] = Seq.empty,
-               zOrderBy: Seq[String] = Seq.empty): (Int, Int) = {
-    val compacted = compact(spark, path, targetBytes, clusterBy, zOrderBy)
+               zOrderBy: Seq[String] = Seq.empty,
+               maxMaskedFraction: Double = 0.2): (Int, Int) = {
+    val compacted = compact(spark, path, targetBytes, clusterBy, zOrderBy,
+      maxMaskedFraction)
     val removed = vacuum(spark, path, keepVersions)
     (compacted.length, removed.length)
   }
@@ -3906,7 +4221,17 @@ object ManifestLake {
     // files no manifest has ever named
     val allManifests = versions.map(vv => vv -> readManifest(fs, root, vv))
     val keptManifests = allManifests.takeRight(keepVersions)
-    val liveAcrossKept = keptManifests.flatMap(_._2.files).map(_.path).toSet
+    // a kept DELTA manifest resolves through its base chain — those
+    // below-horizon base manifests must be RETAINED (deleting one would
+    // make a kept version unreadable), and retention is honest: a
+    // retained version keeps its files/cdf/dv/blooms too, so it stays
+    // fully readable rather than dangling. Bounded by CheckpointInterval
+    // extra versions; the next checkpoint commit re-frees them.
+    val keptChainBases = keptManifests.flatMap(_._2.baseVersions).toSet
+    val retainedManifests = allManifests.filter { case (vv, _) =>
+      keep.contains(vv) || keptChainBases.contains(vv)
+    }
+    val liveAcrossKept = retainedManifests.flatMap(_._2.files).map(_.path).toSet
     val referencedEver = allManifests.flatMap(_._2.files).map(_.path).toSet
     // change-file dirs resolve per version: the manifest-referenced
     // #cdf path, or (manifests predating the directive) the
@@ -3920,15 +4245,15 @@ object ManifestLake {
           Some(f"$DataDir/v$vv%06d/$CdfDir")
         else None
       }
-    val keptCdfPrefixes = keptManifests.flatMap { case (kv, km) => cdfRefOf(kv, km) }.toSet
+    val keptCdfPrefixes = retainedManifests.flatMap { case (kv, km) => cdfRefOf(kv, km) }.toSet
     val cdfEver = allManifests.flatMap { case (vv, m) => cdfRefOf(vv, m) }.toSet
     // deletion-vector dirs are LIVE-SET references (a kept manifest's
     // masked files are unreadable without them) — never reap a dv dir
     // any kept version's entry names; below the horizon they reap with
     // their version like any other unreferenced-by-kept file
-    val keptDvPrefixes = keptManifests.flatMap(_._2.files.flatMap(_.dv)).toSet
+    val keptDvPrefixes = retainedManifests.flatMap(_._2.files.flatMap(_.dv)).toSet
     val dvEver = allManifests.flatMap(_._2.files.flatMap(_.dv)).toSet
-    val keptBloomRefs = keptManifests.flatMap(_._2.files.flatMap(_.bloom)).toSet
+    val keptBloomRefs = retainedManifests.flatMap(_._2.files.flatMap(_.bloom)).toSet
     val bloomEver = allManifests.flatMap(_._2.files.flatMap(_.bloom)).toSet
     val dataRoot = new Path(root, DataDir)
     val removed = Seq.newBuilder[String]
@@ -4003,9 +4328,10 @@ object ManifestLake {
         }
       }
     }
-    versions.dropRight(keepVersions).foreach { old =>
+    versions.dropRight(keepVersions).filterNot(keptChainBases.contains).foreach { old =>
       // a version may exist under either encoding (or, after a partial
-      // migration, both) — reap whatever is actually on disk
+      // migration, both) — reap whatever is actually on disk. Versions
+      // a kept delta chains through are RETAINED (see keptChainBases).
       Seq(manifestPath(root, old), legacyManifestPath(root, old))
         .filter(fs.exists).foreach { p =>
           removed += p.toString

@@ -128,4 +128,69 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(r.where(col("user_id") === "u42").count() === 1)
     assert(r.where(col("user_id") === "ghost").count() === 0)
   }
+
+  test("type widening never manufactures bloom false negatives; rendering-stable widening keeps skipping") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    // int ids bloom-tracked, interleaved so only the bloom can prune
+    def build(tag: String): String = {
+      val dir = freshDir(tag)
+      val df = (0 until 1000).map(i => ("chr1", i, s"p$i"))
+        .toDF("chrom", "id", "payload").repartition(8)
+      ManifestLake.write(spark, df, dir, Seq("chrom"), bloomCols = Seq("id"))
+      dir
+    }
+    // int -> long renders identically: tracking survives, skipping lives
+    val dirA = build("mlake-bloom-widen-a")
+    ManifestLake.widenColumnType(spark, dirA, "id", LongType)
+    val (fsA, rootA) = ManifestLake.fsFor(spark, dirA)
+    assert(ManifestLake.readManifest(fsA, rootA, 2L).bloomCols === Seq("id"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (nA, fA) = lookupFiles(
+        ManifestLake.read(spark, dirA).where(col("id") === 777L))
+      assert(nA === 1L, "post-widen lookup must stay exact")
+      assert(fA < 8, "rendering-stable widening must keep bloom skipping")
+      // int -> double renders "5" as "5.0": the stale bits would skip
+      // files HOLDING the value — tracking must drop, lookups stay exact
+      val dirB = build("mlake-bloom-widen-b")
+      ManifestLake.widenColumnType(spark, dirB, "id", DoubleType)
+      val (fsB, rootB) = ManifestLake.fsFor(spark, dirB)
+      assert(ManifestLake.readManifest(fsB, rootB, 2L).bloomCols.isEmpty,
+        "a rendering-changing widen must untrack the bloom column")
+      val (nB, _) = lookupFiles(
+        ManifestLake.read(spark, dirB).where(col("id") === 777.0))
+      assert(nB === 1L,
+        "the widened lookup must find its row — a stale bloom probe would skip it")
+      assert(ManifestLake.read(spark, dirB).where(col("id") === 99999.0).count() === 0L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("float->double widening strips stale float-rendered min/max (skipping can never undershoot the served values)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DoubleType
+    val dir = freshDir("mlake-widen-stats")
+    // 1.1f's exact binary value is 1.10000002384… — ABOVE the double
+    // its shortest rendering "1.1" casts to. A post-widen predicate
+    // `score > 1.1` matches the served row, but the stale recorded max
+    // ("1.1") would prove the file out and silently drop it.
+    val df = Seq(("chr1", 1L, 1.1f), ("chr1", 2L, 0.5f))
+      .toDF("chrom", "pos", "score")
+    ManifestLake.write(spark, df, dir, Seq("chrom"),
+      statsCols = Seq("pos", "score"))
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    assert(ManifestLake.readManifest(fs, root, 1L).files.exists(_.stats.contains("score")))
+    ManifestLake.widenColumnType(spark, dir, "score", DoubleType)
+    val m2 = ManifestLake.readManifest(fs, root, 2L)
+    assert(m2.files.forall(f => !f.stats.contains("score") &&
+      !f.valueSets.contains("score")),
+      "float-rendered bounds are unsound under the double reader — strip them")
+    assert(m2.files.exists(_.stats.contains("pos")),
+      "other columns' stats must survive the widen")
+    val got = ManifestLake.read(spark, dir).where(col("score") > 1.1)
+    assert(got.count() === 1L,
+      "the 1.1f row serves as 1.10000002… > 1.1 and must not be skipped away")
+    assert(got.collect().head.getLong(1) === 1L)
+  }
 }

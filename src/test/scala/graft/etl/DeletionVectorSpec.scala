@@ -243,4 +243,91 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(after.where(col("pos") === 17L).count() === 0, "the winner's mask holds")
     assert(after.where(col("pos") === 18L).count() === 1, "the loser's intent must not half-apply")
   }
+
+  test("deletion vectors are root-relative: masks survive a table move, like every other manifest reference") {
+    import spark.implicits._
+    val dir = freshDir("mlake-dv-move")
+    ManifestLake.write(spark,
+      (0 until 40).map(i => (s"chr${i % 2 + 1}", i.toLong, s"p$i"))
+        .toDF("chrom", "pos", "payload"),
+      dir, Seq("chrom"))                                                       // v1
+    ManifestLake.delete(spark, dir, col("pos") < 5L, deletionVectors = true)   // v2
+    // a second delete exercises the carry-in path (existing masked rows
+    // re-home into the new vector dir, normalized on the way through)
+    ManifestLake.delete(spark, dir, col("pos") === 10L, deletionVectors = true) // v3
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val dvDirs = ManifestLake.readManifest(fs, root, 3L).files.flatMap(_.dv).distinct
+    assert(dvDirs.nonEmpty)
+    // the stored paths are manifest-relative — the relocatability contract
+    val stored = spark.read.parquet(dvDirs.map(d =>
+      new org.apache.hadoop.fs.Path(root, d).toString): _*)
+      .select("file_path").distinct().collect().map(_.getString(0))
+    assert(stored.nonEmpty && stored.forall(_.startsWith("data/v")),
+      s"DV file_path must be root-relative, got: ${stored.take(3).mkString(", ")}")
+    assert(ManifestLake.read(spark, dir).count() === 34)
+
+    // MOVE the whole table directory: masks must still apply at the new
+    // mount point (absolute URIs would silently resurrect the 6 rows)
+    val dest = Files.createTempDirectory("mlake-dv-moved").toString + "/table"
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dest))
+    val moved = ManifestLake.read(spark, dest)
+    assert(moved.count() === 34,
+      "moving the table must not resurrect DV-deleted rows")
+    assert(moved.where(col("pos") < 5L).count() === 0)
+    assert(moved.where(col("pos") === 10L).count() === 0)
+    // and the moved table keeps taking DV deletes
+    assert(ManifestLake.delete(spark, dest, col("pos") === 11L,
+      deletionVectors = true) === 4L) // publishes v4
+    assert(ManifestLake.read(spark, dest).count() === 33)
+  }
+
+  test("maintain rewrites only the files whose masked fraction crossed the threshold — DV masks converge to zero") {
+    import spark.implicits._
+    val dir = freshDir("mlake-dv-maintain")
+    // deterministic layout: four single-file appends of 25 contiguous
+    // pos each, so a range delete concentrates its masks in ONE file
+    def chunk(k: Int) = ((k * 25) until ((k + 1) * 25))
+      .map(i => ("chr1", i.toLong, s"p$i")).toDF("chrom", "pos", "payload")
+      .coalesce(1)
+    ManifestLake.write(spark, chunk(0), dir, Seq("chrom"),
+      statsCols = Seq("pos"))                                                // v1
+    (1 to 3).foreach(k => ManifestLake.write(spark, chunk(k), dir,
+      Seq("chrom"), replace = false, statsCols = Seq("pos")))                // v2..v4
+    // mask 80% of file0 and ONE row of file1
+    ManifestLake.delete(spark, dir, col("pos") < 20L, deletionVectors = true) // v5
+    ManifestLake.delete(spark, dir, col("pos") === 30L, deletionVectors = true) // v6
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m6 = ManifestLake.readManifest(fs, root, 6L)
+    assert(m6.files.length === 4 && m6.files.count(_.dv.isDefined) === 2)
+    val cleanBefore = m6.files.filter(_.dv.isEmpty).map(_.path).toSet
+    val lightMasked = m6.files.find(f => f.dvRows.contains(1L)).get
+    // targetBytes=1 makes want >= file count, disabling fragmentation
+    // compaction: ONLY the DV threshold can trigger a rewrite
+    ManifestLake.maintain(spark, dir, targetBytes = 1L, keepVersions = 10,
+      maxMaskedFraction = 0.2)                                               // v7
+    val m7 = ManifestLake.readManifest(fs, root, 7L)
+    assert(cleanBefore.subsetOf(m7.files.map(_.path).toSet),
+      "clean files must carry by reference, not rewrite")
+    assert(m7.files.map(_.path).contains(lightMasked.path),
+      "a below-threshold masked file must not rewrite")
+    assert(m7.files.count(_.dv.isDefined) === 1,
+      "the heavily-masked file must have materialized its mask")
+    val r7 = ManifestLake.read(spark, dir)
+    assert(r7.count() === 79)
+    assert(r7.where(col("pos") < 20L || col("pos") === 30L).count() === 0)
+    // push file1 over the threshold: the table converges to mask-free
+    // under repeated maintenance
+    ManifestLake.delete(spark, dir, col("pos") >= 26L && col("pos") <= 45L,
+      deletionVectors = true)                                                // v8
+    ManifestLake.maintain(spark, dir, targetBytes = 1L, keepVersions = 10,
+      maxMaskedFraction = 0.2)                                               // v9
+    val m9 = ManifestLake.readManifest(fs, root, 9L)
+    assert(m9.files.forall(_.dv.isEmpty),
+      "repeated DV deletes + maintain must converge to mask-free files")
+    val r9 = ManifestLake.read(spark, dir)
+    assert(r9.count() === 60)
+    assert(r9.where(col("pos") === 25L).count() === 1)
+    assert(r9.where(col("pos") === 46L).count() === 1)
+  }
 }

@@ -127,4 +127,80 @@ class GeneratedColumnSpec extends AnyFunSuite {
     // partition pruning through the generated column
     assert(r2.where(col("bucket") === "1").count() === 50)
   }
+
+  test("generated declarations survive compaction and type widening") {
+    import spark.implicits._
+    val dir = freshDir("mlake-gen-surv")
+    ManifestLake.write(spark,
+      Seq.empty[(String, Long, String, Int)].toDF("chrom", "pos", "payload", "n"),
+      dir, Seq("chrom"))                                                       // v1 (empty)
+    ManifestLake.addGeneratedColumn(spark, dir, "pos_bucket", LongType,
+      "pos DIV 100")                                                           // v2
+    ManifestLake.write(spark,
+      (0 until 120).map(i => ("chr1", i.toLong, s"p$i", i)).toDF("chrom", "pos", "payload", "n"),
+      dir, Seq("chrom"), replace = false)                                      // v3
+    ManifestLake.compact(spark, dir, targetBytes = Long.MaxValue)              // v4
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    assert(ManifestLake.readManifest(fs, root, 4L).generated ===
+      Seq("pos_bucket" -> "pos DIV 100"),
+      "compaction is layout-only — it must not erase generated declarations")
+    // post-compaction: an omitted generated column still computes...
+    ManifestLake.write(spark,
+      Seq(("chr1", 500L, "x", 1)).toDF("chrom", "pos", "payload", "n"),
+      dir, Seq("chrom"), replace = false)                                      // v5
+    assert(ManifestLake.read(spark, dir).where(col("pos") === 500L)
+      .select("pos_bucket").collect().head.getLong(0) === 5L)
+    // ...and a supplied-but-wrong value still refuses
+    val e = intercept[IllegalStateException] {
+      ManifestLake.write(spark,
+        Seq(("chr1", 600L, "bad", 1, 99L)).toDF("chrom", "pos", "payload", "n", "pos_bucket"),
+        dir, Seq("chrom"), replace = false)
+    }
+    assert(e.getMessage.contains("__gen_pos_bucket"))
+    // a metadata-only widen of an UNRELATED column keeps the declaration
+    ManifestLake.widenColumnType(spark, dir, "n", LongType)                    // v6
+    assert(ManifestLake.readManifest(fs, root, 6L).generated ===
+      Seq("pos_bucket" -> "pos DIV 100"),
+      "type widening must not erase generated declarations")
+    val e2 = intercept[IllegalStateException] {
+      ManifestLake.write(spark,
+        Seq(("chr1", 700L, "bad", 1L, 99L)).toDF("chrom", "pos", "payload", "n", "pos_bucket"),
+        dir, Seq("chrom"), replace = false)
+    }
+    assert(e2.getMessage.contains("__gen_pos_bucket"))
+  }
+
+  test("an upsert racing a concurrent generated-column adoption conflicts instead of publishing unvalidated rows") {
+    import spark.implicits._
+    val dir = freshDir("mlake-gen-race")
+    // empty table already carrying the column-to-be-adopted: the one
+    // shape where adoption changes NO schema, NO colMap, NO raw
+    // constraints — only the effective (generated-synthetic) set
+    ManifestLake.write(spark,
+      Seq.empty[(String, Long, Long)].toDF("chrom", "pos", "doubled"),
+      dir, Seq("chrom"))                                                       // v1
+    ManifestLake.raceHook.set { _ =>
+      ManifestLake.addGeneratedColumn(spark, dir, "doubled", LongType,
+        "pos * 2"): Unit                                                       // v2, metadata-only
+    }
+    val e = try intercept[IllegalStateException] {
+      ManifestLake.upsert(spark, dir,
+        Seq(("chr1", 3L, 999L)).toDF("chrom", "pos", "doubled"),
+        Seq("chrom"), Seq("chrom", "pos"))
+    } finally ManifestLake.raceHook.set(null)
+    assert(e.getMessage.contains("lost its race"))
+    assert(ManifestLake.read(spark, dir).count() === 0,
+      "the unvalidated stage must be withdrawn, not published")
+    // re-run after the adoption: validation now applies — wrong refuses,
+    // right lands
+    intercept[IllegalStateException] {
+      ManifestLake.upsert(spark, dir,
+        Seq(("chr1", 3L, 999L)).toDF("chrom", "pos", "doubled"),
+        Seq("chrom"), Seq("chrom", "pos"))
+    }
+    ManifestLake.upsert(spark, dir,
+      Seq(("chr1", 3L, 6L)).toDF("chrom", "pos", "doubled"),
+      Seq("chrom"), Seq("chrom", "pos")): Unit
+    assert(ManifestLake.read(spark, dir).count() === 1)
+  }
 }

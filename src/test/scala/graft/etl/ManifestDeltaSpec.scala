@@ -1,0 +1,179 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Segmented manifests: commits record only their own adds/removes
+  * (delta commits), full snapshots re-amortize every CheckpointInterval
+  * commits, and readers resolve delta chains against the cache. Pins:
+  * a commit under a many-file table writes O(changed) bytes, not
+  * O(live); resolution correctness at every version (time travel
+  * included); checkpoint cadence; metadata-only commits are header-only;
+  * vacuum retains the base chains kept versions need.
+  */
+class ManifestDeltaSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(tag).toString + "/table"
+
+  /** Raw text of version v's manifest (gunzipped). */
+  private def rawManifest(dir: String, v: Long): String = {
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val p = new Path(new Path(root, "_manifest"), f"v$v%06d.list.gz")
+    val in = new java.util.zip.GZIPInputStream(fs.open(p))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def manifestBytes(dir: String, v: Long): Long = {
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    fs.getFileStatus(new Path(new Path(root, "_manifest"), f"v$v%06d.list.gz")).getLen
+  }
+
+  test("a single-file append to a many-file table writes O(changed) manifest bytes, not O(live)") {
+    import spark.implicits._
+    val dir = freshDir("mlake-delta-bytes")
+    // 200 files with per-file stats: the full listing is the dominant
+    // manifest weight, exactly the 100 TB shape scaled down
+    val df = (0 until 2000).map(i => ("chr1", i.toLong, s"payload-$i"))
+      .toDF("chrom", "pos", "payload").repartition(200)
+    ManifestLake.write(spark, df, dir, Seq("chrom"),
+      statsCols = Seq("pos", "payload"))                                     // v1 (snapshot)
+    val snapshotBytes = manifestBytes(dir, 1L)
+    assert(!rawManifest(dir, 1L).contains("#delta"),
+      "a fresh table's first commit is a full snapshot")
+    // one-file append: the delta manifest must be a small constant,
+    // nowhere near the live listing
+    ManifestLake.write(spark,
+      Seq(("chr1", 99999L, "tail")).toDF("chrom", "pos", "payload"),
+      dir, Seq("chrom"), replace = false, statsCols = Seq("pos", "payload")) // v2 (delta)
+    val raw2 = rawManifest(dir, 2L)
+    assert(raw2.contains("#delta\t1\t1"), "v2 must be a delta against v1")
+    val deltaBytes = manifestBytes(dir, 2L)
+    assert(deltaBytes * 10 < snapshotBytes,
+      s"append manifest must be O(changed): delta $deltaBytes B vs snapshot $snapshotBytes B")
+    // resolution correctness: full read equals snapshot + append
+    val got = ManifestLake.read(spark, dir)
+    assert(got.count() === 2001)
+    assert(got.where(col("pos") === 99999L).count() === 1)
+    // the resolved manifest still knows every live file (stats ride)
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m2 = ManifestLake.readManifest(fs, root, 2L)
+    assert(m2.files.length === 201)
+    assert(m2.chain === 1 && m2.baseVersions === Seq(1L))
+    // metadata-only commit: header-only delta, no file lines at all
+    ManifestLake.addConstraint(spark, dir, "pos_ok", "pos >= 0")             // v3
+    val raw3 = rawManifest(dir, 3L)
+    assert(raw3.contains("#delta\t2\t2"))
+    assert(!raw3.split("\n").exists(l => l.nonEmpty && !l.startsWith("#")),
+      "a metadata-only commit must carry no file lines")
+    assert(ManifestLake.readManifest(fs, root, 3L).files.length === 201)
+    // time travel across the chain serves each version's own state
+    assert(ManifestLake.readVersion(spark, dir, 1L).count() === 2000)
+    assert(ManifestLake.readVersion(spark, dir, 2L).count() === 2001)
+  }
+
+  test("checkpoint cadence bounds the chain; a replace naturally snapshots; DML composes across deltas") {
+    import spark.implicits._
+    val prev = ManifestLake.CheckpointInterval
+    ManifestLake.CheckpointInterval = 3
+    try {
+      val dir = freshDir("mlake-delta-chain")
+      ManifestLake.write(spark,
+        (0 until 50).map(i => ("chr1", i.toLong, s"p$i")).toDF("chrom", "pos", "payload"),
+        dir, Seq("chrom"), statsCols = Seq("pos"))                           // v1 snapshot
+      (1 to 6).foreach { k =>
+        ManifestLake.write(spark,
+          Seq(("chr1", (1000 + k).toLong, s"a$k")).toDF("chrom", "pos", "payload"),
+          dir, Seq("chrom"), replace = false, statsCols = Seq("pos"))        // v2..v7
+      }
+      val (fs, root) = ManifestLake.fsFor(spark, dir)
+      // chains: v2 d1, v3 d2, v4 snapshot, v5 d1, v6 d2, v7 snapshot
+      assert(rawManifest(dir, 2L).contains("#delta\t1\t1"))
+      assert(rawManifest(dir, 3L).contains("#delta\t2\t2"))
+      assert(!rawManifest(dir, 4L).contains("#delta"),
+        "the chain must re-checkpoint at the interval")
+      assert(rawManifest(dir, 5L).contains("#delta\t4\t1"))
+      assert((1L to 7L).forall(v =>
+        ManifestLake.readManifest(fs, root, v).chain < 3))
+      assert(ManifestLake.read(spark, dir).count() === 56)
+
+      // DML across the chain: DV delete (in-place entry change), upsert
+      // (rewrite+carry), compact — all resolve exactly
+      ManifestLake.delete(spark, dir, col("pos") === 5L,
+        deletionVectors = true)                                              // v8 d1
+      assert(rawManifest(dir, 8L).contains("#delta\t7\t1"),
+        "a DV delete is an in-place entry change — a natural delta")
+      assert(ManifestLake.read(spark, dir).count() === 55)
+      ManifestLake.upsert(spark, dir,
+        Seq(("chr1", 10L, "UPD")).toDF("chrom", "pos", "payload"),
+        Seq("chrom"), Seq("chrom", "pos"))                                   // v9
+      val r9 = ManifestLake.read(spark, dir)
+      assert(r9.count() === 55)
+      assert(r9.where(col("payload") === "UPD").count() === 1)
+      assert(r9.where(col("pos") === 5L).count() === 0,
+        "the DV mask must survive the upsert rewrite across the chain")
+      // the upsert rewrote EVERY file (one partition holds the whole
+      // table): its delta would not be smaller, so it snapshots early —
+      // and the next append chains off the fresh checkpoint
+      assert(!rawManifest(dir, 9L).contains("#delta"),
+        "a commit whose delta is not smaller than the listing must snapshot")
+      ManifestLake.write(spark,
+        Seq(("chr1", 2000L, "ck")).toDF("chrom", "pos", "payload"),
+        dir, Seq("chrom"), replace = false, statsCols = Seq("pos"))          // v10 d1
+      assert(rawManifest(dir, 10L).contains("#delta\t9\t1"))
+      assert(ManifestLake.read(spark, dir).count() === 56)
+      // a REPLACE changes every file: the delta would not be smaller,
+      // so it snapshots regardless of chain room
+      ManifestLake.write(spark,
+        Seq(("chr1", 1L, "fresh")).toDF("chrom", "pos", "payload"),
+        dir, Seq("chrom"))                                                   // v11
+      assert(!rawManifest(dir, 11L).contains("#delta"))
+      assert(ManifestLake.read(spark, dir).count() === 1)
+    } finally ManifestLake.CheckpointInterval = prev
+  }
+
+  test("vacuum retains the base chain kept delta versions resolve through") {
+    import spark.implicits._
+    val prev = ManifestLake.CheckpointInterval
+    ManifestLake.CheckpointInterval = 10
+    try {
+      val dir = freshDir("mlake-delta-vacuum")
+      ManifestLake.write(spark,
+        (0 until 40).map(i => ("chr1", i.toLong, s"p$i")).toDF("chrom", "pos", "payload"),
+        dir, Seq("chrom"))                                                   // v1 snapshot
+      (1 to 4).foreach { k =>
+        ManifestLake.write(spark,
+          Seq(("chr1", (100 + k).toLong, s"a$k")).toDF("chrom", "pos", "payload"),
+          dir, Seq("chrom"), replace = false)                                // v2..v5 deltas
+      }
+      val (fs, root) = ManifestLake.fsFor(spark, dir)
+      assert(ManifestLake.readManifest(fs, root, 5L).baseVersions === Seq(1L, 2L, 3L, 4L))
+      ManifestLake.vacuum(spark, dir, keepVersions = 2, stagedGraceMs = 0)
+      // v4 and v5 are kept; v1..v3 are below the horizon but v5's chain
+      // needs them — every retained version must stay fully readable
+      (1L to 5L).foreach { v =>
+        assert(fs.exists(new Path(new Path(root, "_manifest"), f"v$v%06d.list.gz")),
+          s"v$v is in a kept version's base chain and must survive vacuum")
+      }
+      assert(ManifestLake.read(spark, dir).count() === 44)
+      assert(ManifestLake.readVersion(spark, dir, 4L).count() === 43)
+      // after a checkpoint commit the chain resets and vacuum can reap
+      ManifestLake.compact(spark, dir, targetBytes = Long.MaxValue)          // v6 snapshot
+      ManifestLake.write(spark,
+        Seq(("chr1", 200L, "z")).toDF("chrom", "pos", "payload"),
+        dir, Seq("chrom"), replace = false)                                  // v7 delta on v6
+      ManifestLake.vacuum(spark, dir, keepVersions = 2, stagedGraceMs = 0)
+      (1L to 5L).foreach { v =>
+        assert(!fs.exists(new Path(new Path(root, "_manifest"), f"v$v%06d.list.gz")),
+          s"v$v is no longer in any kept chain and must reap")
+      }
+      assert(ManifestLake.read(spark, dir).count() === 45)
+      assert(ManifestLake.readVersion(spark, dir, 6L).count() === 44)
+    } finally ManifestLake.CheckpointInterval = prev
+  }
+}

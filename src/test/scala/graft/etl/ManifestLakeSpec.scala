@@ -567,6 +567,84 @@ class ManifestLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("post-widen skipping soundness: stats recorded under the narrow type never change results served wide") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType, DecimalType}
+    // The widen hazard: min/max, value sets, and blooms were rendered
+    // under the NARROW type; after widenColumnType the reader serves
+    // values under the WIDE type and probes compare against wide
+    // literals. int->long and same-scale decimal growth render
+    // identically (stats survive); float->double strips the column's
+    // bounds/sets and untracks its bloom (rendering changes). Either
+    // way the fuzz property is the same: a stats-tracked widened table
+    // and a bare widened copy must agree on every predicate.
+    val statsDir = freshDir("mlake-widen-sweep-stats")
+    val bareDir = freshDir("mlake-widen-sweep-bare")
+    val df = (0 until 300).map { i =>
+      (s"chr${i % 2 + 1}", i,
+        if (i % 9 == 0) null else java.lang.Float.valueOf((i % 40) / 3.0f),
+        BigDecimal(i % 50).setScale(2),
+        s"tag${i % 6}")
+    }.toDF("chrom", "id", "ratio", "amount", "tag")
+      .withColumn("amount", col("amount").cast(DecimalType(6, 2)))
+    val clustered = df.repartitionByRange(5, col("id")).sortWithinPartitions(col("id"))
+    ManifestLake.write(spark, clustered, statsDir, Seq("chrom"),
+      statsCols = Seq("id", "ratio", "amount", "tag"), bloomCols = Seq("id", "tag"))
+    ManifestLake.write(spark, clustered, bareDir, Seq("chrom"))
+    Seq(statsDir, bareDir).foreach { d =>
+      ManifestLake.widenColumnType(spark, d, "id", LongType)
+      ManifestLake.widenColumnType(spark, d, "ratio", DoubleType)
+      ManifestLake.widenColumnType(spark, d, "amount", DecimalType(12, 2))
+    }
+    // post-widen appends interleave wide-typed files with narrow ones
+    val extra = Seq(
+      ("chr1", 1000L, Some(13.25d), BigDecimal(999).setScale(2), "tag1"),
+      ("chr2", 1001L, Option.empty[Double], BigDecimal(0).setScale(2), "tagX"))
+      .toDF("chrom", "id", "ratio", "amount", "tag")
+      .withColumn("amount", col("amount").cast(DecimalType(12, 2)))
+    ManifestLake.write(spark, extra, statsDir, Seq("chrom"), replace = false,
+      statsCols = Seq("id", "ratio", "amount", "tag"))
+    ManifestLake.write(spark, extra, bareDir, Seq("chrom"), replace = false)
+    val rnd = new scala.util.Random(7)
+    def litFor(c: String): Any = c match {
+      case "chrom" => s"chr${rnd.nextInt(3)}"
+      case "id" => rnd.nextLong() % 1100
+      // exact float-representable and non-representable doubles both
+      case "ratio" => if (rnd.nextBoolean()) (rnd.nextInt(120) / 3.0f).toDouble
+                      else rnd.nextInt(120) / 3.0
+      case "amount" => BigDecimal(rnd.nextInt(1100)).setScale(2)
+      case _ => s"tag${rnd.nextInt(8)}"
+    }
+    val cols = Seq("chrom", "id", "ratio", "amount", "tag")
+    def leaf(): org.apache.spark.sql.Column = {
+      val name = cols(rnd.nextInt(cols.length))
+      val c = col(name)
+      rnd.nextInt(8) match {
+        case 0 => c === lit(litFor(name))
+        case 1 => c =!= lit(litFor(name))
+        case 2 => c < lit(litFor(name))
+        case 3 => c >= lit(litFor(name))
+        case 4 => c.isin(litFor(name), litFor(name), litFor(name))
+        case 5 => c.isNull
+        case 6 => c.isNotNull
+        case _ => !(c === lit(litFor(name)))
+      }
+    }
+    def pred(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else if (rnd.nextBoolean()) pred(depth - 1) && pred(depth - 1)
+      else pred(depth - 1) || pred(depth - 1)
+    def rowsOf(dir: String, p: org.apache.spark.sql.Column): Seq[String] =
+      ManifestLake.read(spark, dir).where(p)
+        .select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    (1 to 40).foreach { i =>
+      val p = pred(2)
+      assert(rowsOf(statsDir, p) === rowsOf(bareDir, p),
+        s"post-widen case $i diverged under predicate: ${p.toString}")
+    }
+  }
+
   test("null-count skipping: IS NULL / IS NOT NULL prune files from manifest null counts") {
     import spark.implicits._
     val dir = freshDir("mlake-nullskip")
@@ -1076,6 +1154,13 @@ class ManifestLakeSpec extends AnyFunSuite {
 
   test("vacuum retains change files exactly as long as their version: kept versions keep serving, reaped ones refuse") {
     import spark.implicits._
+    // CheckpointInterval=1 → every commit is a full snapshot, so no
+    // kept version chains through a below-horizon base: this test pins
+    // the pure cdf-retention rule (ManifestDeltaSpec pins the chain
+    // retention that otherwise keeps below-horizon versions alive)
+    val prevCI = ManifestLake.CheckpointInterval
+    ManifestLake.CheckpointInterval = 1
+    try {
     val dir = freshDir("mlake-rowcdf-vacuum")
     def batch(lo: Int, hi: Int) =
       (lo until hi).map(i => ("chr1", i.toLong, s"p$i")).toDF("chrom", "pos", "payload")
@@ -1098,6 +1183,7 @@ class ManifestLakeSpec extends AnyFunSuite {
     // below the horizon the change files reap WITH the version
     ManifestLake.vacuum(spark, dir, keepVersions = 2)
     assert(!fs.exists(cdf2), "reaped version's change files must go with it")
+    } finally ManifestLake.CheckpointInterval = prevCI
   }
 
   test("row-level delete: only match-bearing files rewrite, NULL-predicate rows survive, feed serves delete rows") {
@@ -1690,6 +1776,12 @@ class ManifestLakeSpec extends AnyFunSuite {
 
   test("vacuum reaps a stale _cdf parked at an append version, and a superseded upsert's change files reap with it") {
     import spark.implicits._
+    // CheckpointInterval=1: pure cdf-retention semantics, no delta
+    // chain keeping below-horizon versions alive (see the other vacuum
+    // cdf test and ManifestDeltaSpec)
+    val prevCI = ManifestLake.CheckpointInterval
+    ManifestLake.CheckpointInterval = 1
+    try {
     val dir = freshDir("mlake-stale-cdf")
     def batch(lo: Int, hi: Int) =
       (lo until hi).map(i => ("chr1", i.toLong, s"p$i")).toDF("chrom", "pos", "payload")
@@ -1718,6 +1810,7 @@ class ManifestLakeSpec extends AnyFunSuite {
     assert(fs.exists(cdf3), "kept upsert's change files must survive")
     ManifestLake.vacuum(spark, dir, keepVersions = 2)
     assert(!fs.exists(cdf3), "below the horizon the change files reap with their version")
+    } finally ManifestLake.CheckpointInterval = prevCI
   }
 
   test("commit storm: partition-disjoint writers of every kind land concurrently with exact content") {

@@ -151,4 +151,63 @@ class MergeSpec extends AnyFunSuite {
     assert(st2 === ManifestLake.MergeStats(4L, 0L, 0L, 0L))
     assert(ManifestLake.read(spark, dir).count() === 2)
   }
+
+  test("merge evaluates its source exactly once (validation rides the classification, not pre-scans)") {
+    import spark.implicits._
+    val dir = freshDir("mlake-merge-onepass")
+    ManifestLake.write(spark,
+      (0 until 20).map(i => ("chr1", i.toLong, s"p$i")).toDF("chrom", "pos", "payload"),
+      dir, Seq("chrom"))
+    // every evaluation of a source row ticks the accumulator: with the
+    // source pinned and validation folded into the classify pass, the
+    // whole merge computes each row ONCE (the old shape paid 4 passes:
+    // count, distinct-count, partition discovery, classify)
+    val acc = spark.sparkContext.longAccumulator("src-evals")
+    val rdd = spark.sparkContext.parallelize(0 until 50, 4)
+      .map { i => acc.add(1); ("chr1", i.toLong, s"s$i") }
+    val srcDf = spark.createDataFrame(rdd).toDF("chrom", "pos", "payload")
+    val st = ManifestLake.merge(spark, dir, srcDf, Seq("chrom"), Seq("chrom", "pos"))
+    assert(st.updated === 20L && st.inserted === 30L)
+    assert(acc.value === 50L,
+      s"merge must evaluate the source once; rows computed ${acc.value} times for 50 rows")
+    assert(ManifestLake.read(spark, dir).count() === 50)
+    // and the in-classification duplicate check still refuses dup keys
+    // while distinguishing them from a key matching several target rows
+    val dup = Seq(("chr1", 1L, "x"), ("chr1", 1L, "y")).toDF("chrom", "pos", "payload")
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.merge(spark, dir, dup, Seq("chrom"), Seq("chrom", "pos"))
+    }
+    assert(e.getMessage.contains("not key-unique"))
+    assert(ManifestLake.read(spark, dir).count() === 50, "nothing may publish")
+  }
+
+  test("superset source: condition-only columns route clauses and never land in the table") {
+    import spark.implicits._
+    val dir = freshDir("mlake-merge-superset")
+    ManifestLake.write(spark,
+      Seq(("chr1", 1L, "keep"), ("chr1", 2L, "stale"), ("chr1", 3L, "doomed"))
+        .toDF("chrom", "pos", "payload"),
+      dir, Seq("chrom"))
+    // the CDC-apply shape: source carries an op marker the table never
+    // stores; clauses read it as s.op
+    val src = Seq(("chr1", 2L, "fresh", "u"), ("chr1", 3L, "", "d"),
+      ("chr1", 4L, "new", "u"), ("chr1", 9L, "", "d"))
+      .toDF("chrom", "pos", "payload", "op")
+    val st = ManifestLake.merge(spark, dir, src, Seq("chrom"), Seq("chrom", "pos"),
+      updateWhen = Some(col("s.op") === "u"),
+      deleteWhen = Some(col("s.op") === "d"),
+      insertWhen = Some(col("s.op") =!= "d"))
+    assert(st === ManifestLake.MergeStats(2L, 1L, 1L, 1L))
+    val r = ManifestLake.read(spark, dir)
+    assert(r.schema.fieldNames.toSeq === Seq("chrom", "pos", "payload"),
+      "the condition-only column must not land in the table")
+    assert(r.collect().map(x => x.getLong(1) -> x.getString(2)).toMap ===
+      Map(1L -> "keep", 2L -> "fresh", 4L -> "new"))
+    // a source MISSING a table column still refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.merge(spark, dir, Seq(("chr1", 5L)).toDF("chrom", "pos"),
+        Seq("chrom"), Seq("chrom", "pos"))
+    }
+    assert(e.getMessage.contains("missing or re-typed"))
+  }
 }
