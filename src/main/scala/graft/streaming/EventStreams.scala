@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -313,6 +313,58 @@ object EventStreams {
           if (!unique.isEmpty)
             graft.etl.ManifestLake.upsert(batch.sparkSession, lakePath, unique,
               partitionCols, keyCols, txn = Some((appId, batchId)))
+        } finally unique.unpersist()
+        maintainEvery.foreach { n =>
+          if (batchId % n == n - 1)
+            graft.etl.ManifestLake.maintain(batch.sparkSession, lakePath,
+              clusterBy = keyCols)
+        }
+        ()
+    }
+  }
+
+  /** Conditional-merge manifest sink — [[manifestUpsertSink]] with
+    * per-clause MERGE INTO semantics: every micro-batch drives
+    * [[graft.etl.ManifestLake.merge]], so a matched source row may
+    * UPDATE or DELETE by condition and an unmatched row may
+    * conditionally INSERT — the CDC-apply shape (a change stream whose
+    * rows carry an op marker tombstones with `deleteWhen` and upserts
+    * with the rest) rather than blanket last-write-wins. Same
+    * exactly-once contract as the upsert sink: each applied batch
+    * records `(appId, batchId)` in the manifest's transaction ledger
+    * IN the merge's own commit, so a replayed micro-batch — foreachBatch
+    * is at-least-once, and a crash BETWEEN the merge publish and the
+    * checkpoint write replays the batch on restart — is detected
+    * against the ledger and skipped without publishing anything.
+    *
+    * The clause conditions see the classified join: `t.*` target
+    * columns, `s.*` source columns (a condition like
+    * `col("s.op") === "d"` routes source tombstones to DELETE).
+    * Within-batch duplicate keys collapse via `versionCol` first —
+    * merge refuses a key-duplicated source by design.
+    */
+  def manifestMergeSink(stream: DataFrame, lakePath: String,
+                        partitionCols: Seq[String], keyCols: Seq[String],
+                        appId: String,
+                        updateWhen: Option[Column] = Some(lit(true)),
+                        deleteWhen: Option[Column] = None,
+                        insertWhen: Option[Column] = Some(lit(true)),
+                        versionCol: Option[String] = None,
+                        maintainEvery: Option[Int] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(appId.trim.nonEmpty, "appId must be a non-empty stable stream identity")
+    maintainEvery.foreach(n => require(n > 0,
+      s"maintainEvery must be positive, got $n (every batch = Some(1))"))
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val unique = dedupWithinBatch(batch, keyCols, versionCol)
+        unique.persist()
+        try {
+          if (!unique.isEmpty)
+            graft.etl.ManifestLake.merge(batch.sparkSession, lakePath, unique,
+              partitionCols, keyCols, updateWhen = updateWhen,
+              deleteWhen = deleteWhen, insertWhen = insertWhen,
+              txn = Some((appId, batchId)))
         } finally unique.unpersist()
         maintainEvery.foreach { n =>
           if (batchId % n == n - 1)

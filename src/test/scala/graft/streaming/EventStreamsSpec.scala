@@ -427,6 +427,76 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("manifestMergeSink: per-clause CDC apply, exactly-once across a forced restart replaying a batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.ManifestLake
+    val base = java.nio.file.Files.createTempDirectory("stream-mmerge")
+    val lake = base.toString + "/table"
+    val ckpt = base.toString + "/ckpt"
+    // seed: the table stores (part, key, payload); the STREAM additionally
+    // carries an op marker the table never stores — the superset-source
+    // contract (clause conditions read it as s.op)
+    ManifestLake.write(spark,
+      Seq(("a", 1L, "seed-a1"), ("a", 2L, "seed-a2"), ("b", 1L, "seed-b1"))
+        .toDF("part", "key", "payload"),
+      lake, Seq("part"))                                                       // v1
+    val in = MemoryStream[(String, Long, String, String)]
+    val stream = in.toDF().toDF("part", "key", "payload", "op")
+    def start() = EventStreams.manifestMergeSink(stream, lake,
+      partitionCols = Seq("part"), keyCols = Seq("part", "key"),
+      appId = "mmerge-spec",
+      updateWhen = Some(col("s.op") === "u"),
+      deleteWhen = Some(col("s.op") === "d"),
+      insertWhen = Some(col("s.op") =!= "d"))
+      .option("checkpointLocation", ckpt).start()
+    def tableNow() = ManifestLake.read(spark, lake).collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[Long]("key")) ->
+        r.getAs[String]("payload")).toMap
+    val q1 = start()
+    try {
+      // batch 0: update a1, tombstone a2, insert b2; an unmatched
+      // tombstone (c9) must route to DELETE-clause no-op, not insert
+      in.addData(("a", 1L, "a1-upd", "u"), ("a", 2L, "", "d"),
+        ("b", 2L, "b2-new", "u"), ("c", 9L, "", "d"))
+      q1.processAllAvailable()
+      assert(ManifestLake.currentVersion(spark, lake) === Some(2L))
+      assert(tableNow() === Map(("a", 1L) -> "a1-upd", ("b", 1L) -> "seed-b1",
+        ("b", 2L) -> "b2-new"))
+      // batch 1: another round, then force the replay window
+      in.addData(("b", 1L, "b1-upd", "u"))
+      q1.processAllAvailable()
+      assert(ManifestLake.currentVersion(spark, lake) === Some(3L))
+      assert(ManifestLake.lastCommitted(spark, lake, "mmerge-spec") === Some(1L))
+    } finally q1.stop()
+    // FORCED RESTART MID-BATCH: delete batch 1's checkpoint commit
+    // marker — the crash window between the merge's manifest publish
+    // and the checkpoint commit. On restart Spark re-runs batch 1
+    // (foreachBatch at-least-once); the ledger must swallow the replay
+    // without publishing a version.
+    val commitMarker = new java.io.File(s"$ckpt/commits/1")
+    assert(commitMarker.exists, "test setup: batch 1's commit marker must exist")
+    assert(commitMarker.delete())
+    // the local FS writes a checksum sidecar; a stale .crc makes the
+    // replayed batch's marker rewrite fail as FileAlreadyExists
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 1
+      assert(ManifestLake.currentVersion(spark, lake) === Some(3L),
+        "a ledger-known batch must replay as a no-op — no new version")
+      assert(tableNow() === Map(("a", 1L) -> "a1-upd", ("b", 1L) -> "b1-upd",
+        ("b", 2L) -> "b2-new"))
+      // and the stream keeps moving: a genuinely new batch applies
+      in.addData(("a", 1L, "", "d"))
+      q2.processAllAvailable()
+      assert(ManifestLake.currentVersion(spark, lake) === Some(4L))
+      assert(tableNow() === Map(("b", 1L) -> "b1-upd", ("b", 2L) -> "b2-new"))
+      assert(ManifestLake.lastCommitted(spark, lake, "mmerge-spec") === Some(2L))
+    } finally q2.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
