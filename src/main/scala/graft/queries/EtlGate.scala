@@ -1303,5 +1303,136 @@ object EtlGate {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
-             |FROM rows_out GROUP BY state, lang ORDER BY state, lang""".stripMargin)))
+             |FROM rows_out GROUP BY state, lang ORDER BY state, lang""".stripMargin)),
+
+    // SEGMENTED MANIFESTS under the oracle: a snapshot commit, three
+    // delta-commit appends, and a header-only constraint delta — the
+    // gate REQUIRES in-line that every post-snapshot commit really is a
+    // delta (chain > 0: its manifest recorded only its own adds), then
+    // hash-matches the resolved live table AND a time-travel read that
+    // resolves mid-chain. Commits write O(changed) bytes; reads stay
+    // value-exact across the chain.
+    Q(
+      "q115_delta_manifest",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-delta") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(4L)) === 0),
+          out, Seq("lang"), statsCols = Seq("doc_id"))                         // v1 snapshot
+        (1L to 2L).foreach { k =>
+          ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(4L)) === k),
+            out, Seq("lang"), replace = false, statsCols = Seq("doc_id"))      // v2, v3
+        }
+        ManifestLake.addConstraint(s, out, "chars_ok", "n_chars >= 0")         // v4 header-only
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(4L)) === 3),
+          out, Seq("lang"), replace = false, statsCols = Seq("doc_id"))        // v5
+        val (fs, root) = ManifestLake.fsFor(s, out)
+        require(ManifestLake.readManifest(fs, root, 1L).chain == 0,
+          "the first commit must be a full snapshot")
+        require((2L to 5L).forall(v =>
+          ManifestLake.readManifest(fs, root, v).chain > 0),
+          "every commit after the snapshot must be a delta (O(changed) bytes)")
+        val cols = Seq(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        val live = ManifestLake.read(s, out)
+          .select(lit("live").as("state") +: cols: _*)
+        val asOf3 = ManifestLake.readVersion(s, out, 3L)
+          .select(lit("v3").as("state") +: cols: _*)
+        live.unionByName(asOf3)
+          .groupBy(col("state"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("state"), col("lang"))
+      },
+      Some("""WITH rows_out AS (
+             |  SELECT 'live' AS state, lang, doc_id, text, n_chars FROM documents
+             |  UNION ALL
+             |  SELECT 'v3', lang, doc_id, text, n_chars FROM documents
+             |  WHERE doc_id % 4 IN (0, 1, 2))
+             |SELECT state, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM rows_out GROUP BY state, lang ORDER BY state, lang""".stripMargin)),
+
+    // CDC-APPLY MERGE under the oracle: the source carries an `op`
+    // routing column the TABLE never stores (the superset-source
+    // contract) — matched rows tombstone on op='d' and update on
+    // op='u'; unmatched tombstones are no-ops; unmatched upserts
+    // insert. The gate requires in-line that the routing column never
+    // lands, and the final table AND change feed hash-match DuckDB
+    // replaying the clause matrix.
+    Q(
+      "q116_merge_cdc_apply",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-cdc") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+          out, Seq("lang"), statsCols = Seq("doc_id"))                         // v1
+        val source = docs.where(pmod(col("doc_id"), lit(3L)) === 0)
+          .withColumn("text", upper(col("text")))
+          .withColumn("op",
+            when(pmod(col("doc_id"), lit(5L)) === 0, lit("d")).otherwise(lit("u")))
+        val st = ManifestLake.merge(s, out, source,
+          Seq("lang"), Seq("lang", "doc_id"),
+          updateWhen = Some(col("s.op") === "u"),
+          deleteWhen = Some(col("s.op") === "d"),
+          insertWhen = Some(col("s.op") =!= "d"))                              // v2
+        require(st.version == 2L, s"merge must publish v2, got $st")
+        require(!ManifestLake.read(s, out).columns.contains("op"),
+          "the source-only routing column must never land in the table")
+        val cols = Seq(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        val feed = ManifestLake.readChangeFeed(s, out, fromV = 1L, toV = 2L)
+          .select(col("_change_type").as("state") +: cols: _*)
+        val live = ManifestLake.read(s, out)
+          .select(lit("live").as("state") +: cols: _*)
+        feed.unionByName(live)
+          .groupBy(col("state"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("state"), col("lang"))
+      },
+      Some("""WITH tgt AS (SELECT lang, doc_id, text, n_chars FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |src AS (SELECT lang, doc_id, upper(text) AS text, n_chars,
+             |    CASE WHEN doc_id % 5 = 0 THEN 'd' ELSE 'u' END AS op
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |cls AS (
+             |  SELECT coalesce(t.lang, s.lang) AS lang,
+             |    coalesce(t.doc_id, s.doc_id) AS doc_id,
+             |    t.text AS t_text, s.text AS s_text,
+             |    coalesce(t.n_chars, s.n_chars) AS n_chars,
+             |    CASE
+             |      WHEN t.doc_id IS NOT NULL AND s.doc_id IS NOT NULL THEN
+             |        CASE WHEN s.op = 'd' THEN 'D' ELSE 'U' END
+             |      WHEN s.doc_id IS NOT NULL THEN
+             |        CASE WHEN s.op <> 'd' THEN 'I' ELSE 'X' END
+             |      ELSE 'K' END AS action
+             |  FROM tgt t FULL OUTER JOIN src s
+             |    ON t.lang = s.lang AND t.doc_id = s.doc_id),
+             |feed AS (
+             |  SELECT 'update_preimage' AS state, lang, doc_id, t_text AS text, n_chars
+             |  FROM cls WHERE action = 'U'
+             |  UNION ALL
+             |  SELECT 'update_postimage', lang, doc_id, s_text, n_chars FROM cls WHERE action = 'U'
+             |  UNION ALL
+             |  SELECT 'delete', lang, doc_id, t_text, n_chars FROM cls WHERE action = 'D'
+             |  UNION ALL
+             |  SELECT 'insert', lang, doc_id, s_text, n_chars FROM cls WHERE action = 'I'
+             |  UNION ALL
+             |  SELECT 'live', lang, doc_id,
+             |    CASE WHEN action IN ('U', 'I') THEN s_text ELSE t_text END, n_chars
+             |  FROM cls WHERE action IN ('K', 'U', 'I'))
+             |SELECT state, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM feed GROUP BY state, lang ORDER BY state, lang""".stripMargin)))
 }
