@@ -40,6 +40,30 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** Single-thread CPU calibration: wall seconds to MD5 a fixed 200k
+    * strings. Stamped into the bench JSON as `calib_sec` so a
+    * round-over-round drift can be ADJUDICATED from the artifacts
+    * alone: if every line moved ~1.3x and calib moved ~1.3x, the host
+    * got slower, not the engine (r13 shipped a broad ~1.1-1.6x drift
+    * on untouched code with no way to tell which). Pure JVM work — no
+    * Spark, no I/O — so it tracks the hardware/JVM, not the repo.
+    */
+  private def calibrate(): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pass(): Long = {
+      var i = 0; var acc = 0L
+      while (i < 200000) {
+        val d = md.digest(s"calibration-probe-$i".getBytes("UTF-8"))
+        acc += d(0); i += 1
+      }
+      acc
+    }
+    pass() // JIT warm
+    val t0 = System.nanoTime()
+    pass()
+    math.round((System.nanoTime() - t0) / 1e5) / 1e4
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -199,6 +223,7 @@ object Bench {
         }
       }
     val loadAfter = loadavg()
+    val calibSec = calibrate()
     val qs = results.map { case (k, v, _) =>
       "\"" + k + "\":" + (if (v.isNaN) "\"error\"" else v.toString)
     }.mkString("{", ",", "}")
@@ -209,7 +234,7 @@ object Bench {
     // the warm-up pass populates, so their timed runs exclude training —
     // the persisted-codebook deployment shape, stated here so a
     // round-over-round reader doesn't misread memo reuse as engine speed.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","contended":$contended,"idle_wait_sec":$idleWaitSec,"regate_wait_sec":$regateWaitSec,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","retimed":$retimed,"notes":"q70/q71/q83 timed runs reuse the memoized k-means codebook (training excluded, persisted-codebook pattern)"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","contended":$contended,"calib_sec":$calibSec,"idle_wait_sec":$idleWaitSec,"regate_wait_sec":$regateWaitSec,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","retimed":$retimed,"notes":"q70/q71/q83 timed runs reuse the memoized k-means codebook (training excluded, persisted-codebook pattern)"}""")
     spark.stop()
   }
 }
