@@ -50,6 +50,11 @@ object Graft {
     Op("lake", "change feed by wall clock + CDC-stream startingTimestamp", "graft.etl.ManifestLake.readChangeFeedByTime", "spec"),
     Op("lake", "stable row identity: (_row_file, _row_index) per row, mask-aware, rewrite-honest", "graft.etl.ManifestLake.readWithRowIds", "spec"),
     Op("lake", "generated columns: GENERATED ALWAYS AS — compute-if-absent, validate-if-supplied, generated partition columns, opt-in backfill", "graft.etl.ManifestLake.addGeneratedColumn", "q114"),
+    Op("lake", "segmented manifests: delta commits (O(changed) bytes) + checkpoint cadence + chain-retaining vacuum", "graft.etl.ManifestLake.publish/readManifest", "q115"),
+    Op("lake", "CDC-apply merge: superset source with condition-only routing columns", "graft.etl.ManifestLake.merge", "q116"),
+    Op("lake", "DV-aware maintenance: rewrite files past maxMaskedFraction (REORG APPLY PURGE analog)", "graft.etl.ManifestLake.maintain/compact", "spec"),
+    Op("lake", "nested-column schema evolution: struct columns first-class, nested-field targets refuse typed, nested-ref expressions lock their roots", "graft.etl.ManifestLake", "spec"),
+    Op("stream", "streaming CDC apply: foreachBatch conditional merge, txn-ledger exactly-once across restart", "graft.streaming.EventStreams.manifestMergeSink", "spec"),
     Op("lake", "commit history narration (DESCRIBE HISTORY analog: kinds, sizes, txn ledger)", "graft.etl.ManifestLake.history", "spec"),
     Op("lake", "table detail (DESCRIBE DETAIL analog: head summary + per-column stats coverage)", "graft.etl.ManifestLake.detail", "spec"),
     Op("lake", "vacuum dry-run (report-only retention preview)", "graft.etl.ManifestLake.vacuum(dryRun)", "spec"),
