@@ -163,6 +163,58 @@ object Profile {
       spark.stop(); sys.exit(0)
     }
 
+    // DELTACHAIN=N: segmented-manifest cost check at the 100 TB shape —
+    // an N-file table takes a full-snapshot commit, then CheckpointInterval-1
+    // delta commits each touching 10 files. Reports per-commit bytes and
+    // wall for the snapshot vs the deltas (the number the segmentation
+    // exists for), plus the cold chain-resolution read at head and the
+    // cached re-read (what repeated query planning pays).
+    sys.env.get("DELTACHAIN").map(_.toInt).foreach { n =>
+      import graft.etl.ManifestLake
+      import org.apache.hadoop.fs.Path
+      val dir = java.nio.file.Files.createTempDirectory("dchain").toString + "/t"
+      val (fs, root) = ManifestLake.fsFor(spark, dir)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("lang", "string").add("doc_id", "long").add("n_chars", "long")
+      def file(i: Int, gen: Int) =
+        ManifestLake.LiveFile(1000000L + i,
+          f"data/v${gen + 1}%06d/lang=l${i % 32}%02d/part-$i%08d-c000.snappy.parquet",
+          Map("doc_id" -> ((i * 100L).toString, (i * 100L + 99L).toString),
+            "n_chars" -> ("12", "87431")))
+      var files = (0 until n).map(file(_, 0))
+      val t0 = System.nanoTime()
+      ManifestLake.publish(fs, root, 1L, files, Some(schema), Seq("lang"))
+      val tSnap = (System.nanoTime() - t0) / 1e9
+      def bytesOf(v: Long) = fs.getFileStatus(
+        new Path(root, f"_manifest/v$v%06d.list.gz")).getLen
+      val snapBytes = bytesOf(1L)
+      val hops = ManifestLake.CheckpointInterval - 1
+      val deltaStats = (1 to hops).map { k =>
+        // each commit rewrites 10 files (5 dropped, 10 added elsewhere
+        // in the keyspace) — the steady-stream append/upsert shape
+        files = files.drop(5) ++ (0 until 10).map(j => file(n + k * 100 + j, k))
+        val t = System.nanoTime()
+        ManifestLake.publish(fs, root, k + 1L, files, Some(schema), Seq("lang"))
+        ((System.nanoTime() - t) / 1e9, bytesOf(k + 1L))
+      }
+      val head = hops + 1L
+      // fresh-reader cold parse: a driver that has never seen the chain
+      // pays checkpoint parse + every delta in the chain, once
+      ManifestLake.clearManifestCache()
+      val reads = (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        val m = ManifestLake.readManifest(fs, root, head)
+        require(m.files.length == files.length && m.chain == hops)
+        (System.nanoTime() - t) / 1e9
+      }
+      println(f"PROFILE deltachain n=$n snapshot=${snapBytes / 1048576.0}%.1fMB/" +
+        f"$tSnap%.2fs delta_avg=${deltaStats.map(_._2).sum / hops / 1024.0}%.1fKB/" +
+        f"${deltaStats.map(_._1).sum / hops}%.3fs " +
+        f"(x${snapBytes.toDouble * hops / deltaStats.map(_._2).sum}%.0f smaller) " +
+        f"read_cold=${reads.head}%.2fs read_cached=${reads.min}%.4fs")
+      spark.stop(); sys.exit(0)
+    }
+
     // MANIFESTREAD=N: manifest ENCODING check at the flat-list comfort
     // boundary — publish a synthetic N-line manifest (realistic path +
     // stats shapes) and report the artifact size plus parse wall-clock,

@@ -268,6 +268,14 @@ object ManifestLake {
     new java.util.LinkedHashMap[(String, Long, Long), (Manifest, Long)](16, 0.75f, true)
   private var manifestCacheBytes = 0L
 
+  /** Drop every cached parsed manifest — measurement/spec hook only
+    * (the DELTACHAIN fresh-reader cold-parse number needs a cache that
+    * has never seen the chain); production never calls it.
+    */
+  private[graft] def clearManifestCache(): Unit = manifestCache.synchronized {
+    manifestCache.clear(); manifestCacheBytes = 0L
+  }
+
   /** Approximate retained-heap cost of a parsed manifest: string chars
     * at 2 bytes plus fixed per-object overheads for LiveFile, the path
     * String, and each stats map entry (key + 2-string tuple + map node
@@ -620,11 +628,21 @@ object ManifestLake {
     val delta: Option[(Seq[LiveFile], Seq[String], Int)] = prevM.flatMap { pm =>
       if (pm.chain + 1 >= CheckpointInterval) None
       else {
-        val prevByPath = pm.files.map(f => f.path -> f).toMap
-        val newByPath = files.map(f => f.path -> f).toMap
-        val adds = files.filterNot(f => prevByPath.get(f.path).contains(f))
+        // reference-equality fast path: carried-by-reference entries
+        // are the SAME objects the caller took from the read manifest,
+        // so the common unchanged case never pays the full case-class
+        // compare (whose stats-map equality dominated an 800k-file
+        // delta diff at ~3s; with the fast path the diff is sub-second)
+        val prevByPath = new java.util.HashMap[String, LiveFile](pm.files.length * 2)
+        pm.files.foreach(f => prevByPath.put(f.path, f))
+        val newPaths = new java.util.HashSet[String](files.length * 2)
+        files.foreach(f => newPaths.add(f.path))
+        val adds = files.filterNot { f =>
+          val p = prevByPath.get(f.path)
+          (p ne null) && ((p eq f) || p == f)
+        }
         val removes = pm.files.collect {
-          case f if !newByPath.contains(f.path) => f.path
+          case f if !newPaths.contains(f.path) => f.path
         }
         if (adds.length + removes.length < files.length)
           Some((adds, removes, pm.chain + 1))
