@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.classic.{Dataset, SparkSession}
+import org.apache.spark.sql.classic.{Dataset, ExpressionUtils, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** The one `private[sql]` bridge the V1 streaming contracts force, in
@@ -28,6 +28,24 @@ import org.apache.spark.sql.execution.LogicalRDD
   * what the source plan produces.
   */
 object StreamingDataFrameShim {
+
+  /** Mint a DataFrame over an already-analyzed logical plan — the SQL
+    * DML commands ([[graft.etl.GraftSqlCommands]]) capture the resolved
+    * source/query plan at analysis and re-enter the Dataset API at
+    * run(), exactly what `Dataset.ofRows` exists for internally.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
+  /** Column over a catalyst Expression — the SQL DML bridge converts
+    * parsed DELETE/UPDATE/MERGE conditions (re-anchored to
+    * UnresolvedAttribute so they re-resolve against the freshly-read
+    * table) back into the public Column API.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    ExpressionUtils.column(e)
+
   def asStreaming(df: DataFrame): DataFrame = {
     val session = df.sparkSession.asInstanceOf[SparkSession]
     val qe = df.queryExecution
