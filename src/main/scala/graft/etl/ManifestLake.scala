@@ -1967,7 +1967,7 @@ object ManifestLake {
       extraCols = Seq("__dv_fp", "__dv_ri"))
       .withColumn("_row_file",
         concat(lit(DataDir + "/v"),
-          element_at(split(expr("url_decode(__dv_fp)"), "/" + DataDir + "/v"), -1)))
+          element_at(split(uriDecode(col("__dv_fp")), "/" + DataDir + "/v"), -1)))
       .withColumn("_row_index", col("__dv_ri").cast("long"))
       .drop("__dv_fp", "__dv_ri")
   }
@@ -2393,9 +2393,13 @@ object ManifestLake {
     val observed =
       if (consSeqU.isEmpty) merged
       else {
-        val aggsU = consSeqU.map { case (n, e) =>
-          count(when(not(coalesce(expr(e), lit(true))), lit(1))).as(s"viol_$n")
-        }
+        // count(*) rides along so a lost CollectMetrics on a non-empty
+        // write is detectable (absent keys default to 0 — trustworthy
+        // only if the observed row count matches the staged count)
+        val aggsU = count(lit(1)).as("n_obs_rows") +:
+          consSeqU.map { case (n, e) =>
+            count(when(not(coalesce(expr(e), lit(true))), lit(1))).as(s"viol_$n")
+          }
         merged.observe(obsU, aggsU.head, aggsU.tail: _*)
       }
     observed.repartition(partitionCols.map(col): _*)
@@ -2403,6 +2407,21 @@ object ManifestLake {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(commitDir.toString)
+    // verify the staged merge while it is invisible: key-unique and
+    // every update key present
+    val out = spark.read.parquet(commitDir.toString)
+    val rowsOut = out.count()
+    // defaulted-to-0 violation counts are trusted only after the
+    // observed count(*) matches the staged count (both 0 when empty) —
+    // a lost CollectMetrics on a non-empty write fails loudly instead
+    // of silently disabling enforcement
+    if (consSeqU.nonEmpty && obsLong(obsU, "n_obs_rows") != rowsOut) {
+      fs.delete(commitDir, true)
+      throw new IllegalStateException(
+        s"manifest upsert observation lost for $path: observed " +
+          s"${obsLong(obsU, "n_obs_rows")} row(s) but $rowsOut staged — " +
+          s"constraint metrics are untrustworthy, table still at v$v")
+    }
     consSeqU.foreach { case (n, e) =>
       val bad = obsLong(obsU, s"viol_$n")
       if (bad > 0) {
@@ -2412,11 +2431,6 @@ object ManifestLake {
             s"nothing published, table still at v$v")
       }
     }
-
-    // verify the staged merge while it is invisible: key-unique and
-    // every update key present
-    val out = spark.read.parquet(commitDir.toString)
-    val rowsOut = out.count()
     val keysOut = out.select(keyColsP.map(col): _*).distinct().count()
     val updKeysOut = out.join(broadcast(updatesP.select(keyColsP.map(col): _*)),
       keyColsP.toSeq, "left_semi").count()
@@ -2619,42 +2633,49 @@ object ManifestLake {
     // ids is a duplicate), so the merge makes ONE pass over the source
     // instead of three.
     source.persist()
-    val partRows = source
-      .select(partitionCols.map(c => col(c).cast("string").as(c)): _*)
-      .distinct().collect()
-    require(partRows.forall(r => partitionCols.indices.forall(i => !r.isNullAt(i))),
-      "null partition values are not supported by the manifest merge")
-    val affectedDirs = partRows.map(r =>
-      partitionCols.zipWithIndex.map { case (c, i) =>
-        s"${escapePathName(c)}=${escapePathName(r.getString(i))}"
-      }.mkString("/")).toSet
-    val (affectedFiles, _) =
-      manifest.files.partition(f => affectedDirs.contains(partDirOf(f.path)))
+    // a throw BEFORE the classification exists (the null-partition
+    // require, a clause-condition analysis error while the join plan
+    // resolves) must still unpersist the source — the main try/finally
+    // below only engages once `cls` is built
+    val (affectedDirs, affectedFiles, cls) = try {
+      val partRows = source
+        .select(partitionCols.map(c => col(c).cast("string").as(c)): _*)
+        .distinct().collect()
+      require(partRows.forall(r => partitionCols.indices.forall(i => !r.isNullAt(i))),
+        "null partition values are not supported by the manifest merge")
+      val dirs = partRows.map(r =>
+        partitionCols.zipWithIndex.map { case (c, i) =>
+          s"${escapePathName(c)}=${escapePathName(r.getString(i))}"
+        }.mkString("/")).toSet
+      val files = manifest.files.filter(f => dirs.contains(partDirOf(f.path)))
 
-    // classify every (target ∪ source) row of the affected partitions
-    // by clause, over the LOGICAL view (conditions and constraints are
-    // written in logical names); null-safe key equality matches the
-    // upsert's groupBy semantics for null-able non-partition keys
-    val tgt = toLogical(readFileSlice(spark, path, manifest, affectedFiles), manifest)
-      .withColumn("__t_present", lit(true)).alias("t")
-    // __sid: unique per source row in any one evaluation (partition id
-    // rides in the high bits), so a key grouping >1 DISTINCT sids after
-    // the join is a genuine source duplicate — a source key matching
-    // several target rows fans out one sid and stays legal
-    val src = source.withColumn("__s_present", lit(true))
-      .withColumn("__sid", monotonically_increasing_id()).alias("s")
-    val keyCond = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    def c(b: Option[Column]): Column = coalesce(b.getOrElse(lit(false)), lit(false))
-    val tP = coalesce(col("t.__t_present"), lit(false))
-    val sP = coalesce(col("s.__s_present"), lit(false))
-    val action =
-      when(tP && sP,
-        when(c(deleteWhen), "D").when(c(updateWhen), "U").otherwise("K"))
-        .when(!tP && sP, when(c(insertWhen), "I").otherwise("X"))
-        .otherwise("K")
-    val cls = tgt.join(src, keyCond, "full_outer")
-      .withColumn("__action", action)
-      .persist()
+      // classify every (target ∪ source) row of the affected partitions
+      // by clause, over the LOGICAL view (conditions and constraints are
+      // written in logical names); null-safe key equality matches the
+      // upsert's groupBy semantics for null-able non-partition keys
+      val tgt = toLogical(readFileSlice(spark, path, manifest, files), manifest)
+        .withColumn("__t_present", lit(true)).alias("t")
+      // __sid: unique per source row in any one evaluation (partition id
+      // rides in the high bits), so a key grouping >1 DISTINCT sids after
+      // the join is a genuine source duplicate — a source key matching
+      // several target rows fans out one sid and stays legal
+      val src = source.withColumn("__s_present", lit(true))
+        .withColumn("__sid", monotonically_increasing_id()).alias("s")
+      val keyCond = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+      def c(b: Option[Column]): Column = coalesce(b.getOrElse(lit(false)), lit(false))
+      val tP = coalesce(col("t.__t_present"), lit(false))
+      val sP = coalesce(col("s.__s_present"), lit(false))
+      val action =
+        when(tP && sP,
+          when(c(deleteWhen), "D").when(c(updateWhen), "U").otherwise("K"))
+          .when(!tP && sP, when(c(insertWhen), "I").otherwise("X"))
+          .otherwise("K")
+      (dirs, files, tgt.join(src, keyCond, "full_outer")
+        .withColumn("__action", action)
+        .persist())
+    } catch {
+      case t: Throwable => source.unpersist(); throw t
+    }
     try {
       // ONE validation job over the (now materializing) classification:
       // per-key distinct-sid counts roll up into the duplicate-key
@@ -2677,7 +2698,8 @@ object ManifestLake {
       // constraints enforce on the merged LOGICAL rows, riding the write
       val consSeqM = effectiveConstraints(manifest).toSeq.sortBy(_._1)
       val obsM = org.apache.spark.sql.Observation()
-      val aggsM = count(when(col("__action") === "U", lit(1))).as("n_upd") +:
+      val aggsM = count(lit(1)).as("n_obs_rows") +:
+        count(when(col("__action") === "U", lit(1))).as("n_upd") +:
         count(when(col("__action") === "I", lit(1))).as("n_ins") +:
         consSeqM.map { case (n, e) =>
           count(when(not(coalesce(expr(e), lit(true))), lit(1))).as(s"viol_$n")
@@ -2701,11 +2723,23 @@ object ManifestLake {
       // a merge whose every classified row is a DELETE leaves nothing
       // to write: AQE's empty-relation propagation then elides the
       // CollectMetrics node and the observation reports NO keys at all.
-      // Absent metrics default to 0 — sound, because the only path to
-      // absence is an empty observed subtree (0 rows ⇒ 0 updates, 0
-      // inserts, 0 violations), and the footer-based row-conservation
-      // check below independently explodes if a non-empty write ever
-      // lost its metrics.
+      // Absent metrics default to 0 — sound ONLY while absence implies
+      // an empty observed subtree, so that implication is itself
+      // verified before any defaulted-to-0 count is trusted: the
+      // observed count(*) must equal the staged footer row count (both
+      // zero in the genuinely-empty case). A lost-metrics non-empty
+      // write — where n_ins=0 would make the row-conservation check
+      // below pass even with real constraint violations — fails HERE.
+      val staged = stagedFiles(fs, root, commitDir)
+      val rowsOut = footerRowCount(fs, root, staged)
+      val nObs = obsLong(obsM, "n_obs_rows")
+      if (nObs != rowsOut) {
+        fs.delete(commitDir, true)
+        throw new IllegalStateException(
+          s"manifest merge observation lost for $path: observed $nObs row(s) " +
+            s"but $rowsOut staged — constraint/row metrics are untrustworthy, " +
+            s"nothing published, table still at v$v")
+      }
       consSeqM.foreach { case (n, e) =>
         val bad = obsLong(obsM, s"viol_$n")
         if (bad > 0) {
@@ -2719,8 +2753,6 @@ object ManifestLake {
       val nIns = obsLong(obsM, "n_ins")
       // nDel came from the validation pass above
       // row conservation from footers vs the observed classification
-      val staged = stagedFiles(fs, root, commitDir)
-      val rowsOut = footerRowCount(fs, root, staged)
       val rowsIn = (
         if (affectedFiles.forall(_.rows.isDefined)) affectedFiles.flatMap(_.rows).sum
         else footerRowCount(fs, root, affectedFiles)) -
@@ -2988,11 +3020,25 @@ object ManifestLake {
     * (root-relative, matching every other manifest reference), so the
     * table stays relocatable: move/copy the table directory and the
     * masks still apply — absolute URIs would silently resurrect
-    * deleted rows under a new mount point.
+    * deleted rows under a new mount point. Decoding is URI-style, not
+    * form-style: `url_decode` alone maps a literal '+' in a partition
+    * dir name to a space, so the derived relative path would never
+    * equal the manifest entry and a later DV carry-forward would drop
+    * the file's existing mask rows — '+' is pre-escaped to %2B so it
+    * round-trips.
     */
   private def relPathExpr(c: Column): Column =
     concat(lit(DataDir + "/v"),
-      element_at(split(url_decode(c), "/" + DataDir + "/v"), -1))
+      element_at(split(uriDecode(c), "/" + DataDir + "/v"), -1))
+
+  /** URI-style percent-decoding of a reader path. Spark's `url_decode`
+    * is FORM decoding ('+' → space); a literal '+' in a partition
+    * value reaches `_metadata.file_path` unencoded, so it must be
+    * escaped to %2B before decoding or the decoded path diverges from
+    * the manifest's stored entry path.
+    */
+  private def uriDecode(c: Column): Column =
+    url_decode(regexp_replace(c, "\\+", "%2B"))
 
   /** A deletion-vector file's stored `file_path` → manifest-relative:
     * new-format rows are already relative (pass through — decoding
@@ -3473,9 +3519,13 @@ object ManifestLake {
       val observed =
         if (consSeq.isEmpty) projected
         else {
-          val aggs = consSeq.map { case (n, e) =>
-            count(when(not(coalesce(expr(e), lit(true))), lit(1))).as(s"viol_$n")
-          }
+          // count(*) rides along — see the merge path: defaulted-to-0
+          // violation counts are only trusted when the observed count
+          // matches the staged footer count
+          val aggs = count(lit(1)).as("n_obs_rows") +:
+            consSeq.map { case (n, e) =>
+              count(when(not(coalesce(expr(e), lit(true))), lit(1))).as(s"viol_$n")
+            }
           projected.observe(obsPost, aggs.head, aggs.tail: _*)
         }
       val newV = v + 1
@@ -3484,6 +3534,17 @@ object ManifestLake {
       val w = fromLogical(observed, manifest).write.mode(SaveMode.Overwrite)
       (if (manifest.partCols.nonEmpty) w.partitionBy(manifest.partCols: _*) else w)
         .parquet(commitDir.toString)
+      val rowsIn = obsLong(obs, "rows")
+      val nUpd = obsLong(obs, "n_upd")
+      val staged = stagedFiles(fs, root, commitDir)
+      val rowsOut = footerRowCount(fs, root, staged)
+      if (consSeq.nonEmpty && obsLong(obsPost, "n_obs_rows") != rowsOut) {
+        fs.delete(commitDir, true)
+        throw new IllegalStateException(
+          s"manifest update observation lost for $path: observed " +
+            s"${obsLong(obsPost, "n_obs_rows")} row(s) but $rowsOut staged — " +
+            s"constraint metrics are untrustworthy, table still at v$v")
+      }
       consSeq.foreach { case (n, e) =>
         val bad = obsLong(obsPost, s"viol_$n")
         if (bad > 0) {
@@ -3493,10 +3554,6 @@ object ManifestLake {
               s"row(s) — nothing published, table still at v$v")
         }
       }
-      val rowsIn = obsLong(obs, "rows")
-      val nUpd = obsLong(obs, "n_upd")
-      val staged = stagedFiles(fs, root, commitDir)
-      val rowsOut = footerRowCount(fs, root, staged)
       if (rowsOut != rowsIn) {
         fs.delete(commitDir, true)
         throw new IllegalStateException(
@@ -3765,10 +3822,13 @@ object ManifestLake {
     * subtree is empty (an all-delete merge, an empty append), AQE's
     * empty-relation propagation elides the CollectMetrics node and the
     * observation completes with NO keys. Zero is exactly right there —
-    * 0 rows means 0 updates/inserts/violations — and every caller's
-    * footer-based row-conservation check independently explodes if a
-    * NON-empty write ever lost its metrics, so the default can never
-    * paper over a real loss.
+    * 0 rows means 0 updates/inserts/violations. The soundness of the
+    * default is VERIFIED, not assumed: every constraint-bearing
+    * observation also carries `n_obs_rows` = count(*) which the caller
+    * requires to equal the staged footer row count (both zero in the
+    * empty case) before trusting any defaulted-to-0 violation count —
+    * a non-empty write that lost its CollectMetrics fails loudly
+    * instead of silently disabling enforcement.
     */
   private def obsLong(obs: org.apache.spark.sql.Observation, key: String): Long =
     obs.get.get(key).map(_.asInstanceOf[Long]).getOrElse(0L)

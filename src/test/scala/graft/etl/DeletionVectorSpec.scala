@@ -282,6 +282,56 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ManifestLake.read(spark, dest).count() === 33)
   }
 
+  test("a '+' in a partition value survives the reader-path decode: successive DV deletes on one file accumulate, not resurrect") {
+    import spark.implicits._
+    val dir = freshDir("mlake-dv-plus")
+    // '+' is NOT Hive-escaped in partition dir names, but it IS form
+    // decoding's space marker: a reader path decoded with url_decode
+    // alone turns 'gr+A' into 'gr A', the derived relative path never
+    // equals the manifest entry, and the second delete's carry-forward
+    // silently DROPS the first delete's mask rows while still counting
+    // them — deleted rows resurrect. Decoding must be URI-style.
+    val df = (0 until 60).map(i =>
+      (if (i % 2 == 0) "gr+A" else "b c", i.toLong, s"p$i"))
+      .toDF("grp", "pos", "payload")
+    ManifestLake.write(spark, df, dir, Seq("grp"), statsCols = Seq("pos"))     // v1
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    assert(ManifestLake.readManifest(fs, root, 1L).files
+      .exists(_.path.contains("grp=gr+A")), "fixture must hit the raw-'+' dir")
+
+    assert(ManifestLake.delete(spark, dir,
+      col("grp") === "gr+A" && col("pos") < 10L, deletionVectors = true) === 2L) // v2
+    assert(ManifestLake.read(spark, dir).count() === 55) // 5 even pos < 10 masked
+    // second DV delete on the SAME '+'-partition file: the carry-forward
+    // must re-home the first mask's rows, not drop them
+    assert(ManifestLake.delete(spark, dir,
+      col("grp") === "gr+A" && col("pos") < 14L, deletionVectors = true) === 3L) // v3
+    val r = ManifestLake.read(spark, dir)
+    assert(r.count() === 53, "first delete's masks must survive the second")
+    assert(r.where(col("pos") === 2L).count() === 0,
+      "v2-masked row resurrected: reader-path decode diverged from the manifest path")
+    assert(r.where(col("pos") === 12L).count() === 0)
+    val m3 = ManifestLake.readManifest(fs, root, 3L)
+    assert(m3.files.flatMap(_.dvRows).sum === 7L)
+    // dvRows accounting matches what the scan actually masks
+    assert(ManifestLake.read(spark, dir).count() ===
+      m3.files.flatMap(_.rows).sum - 7L)
+    // _row_file derives through the same decode — it must equal the
+    // manifest's stored entry path for the '+' partition
+    val rf = ManifestLake.readWithRowIds(spark, dir)
+      .where(col("grp") === "gr+A").select("_row_file")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(rf.subsetOf(m3.files.map(_.path).toSet),
+      s"_row_file must match manifest entry paths, got: ${rf.take(2).mkString(", ")}")
+
+    // space-bearing partition ('b c' — literal on disk, '%20' in the
+    // reader's URL-encoded path) keeps decoding correctly too — the
+    // %2B pre-escape must not break genuine %-decoding
+    assert(ManifestLake.delete(spark, dir,
+      col("grp") === "b c" && col("pos") === 1L, deletionVectors = true) === 4L) // v4
+    assert(ManifestLake.read(spark, dir).count() === 52)
+  }
+
   test("maintain rewrites only the files whose masked fraction crossed the threshold — DV masks converge to zero") {
     import spark.implicits._
     val dir = freshDir("mlake-dv-maintain")
