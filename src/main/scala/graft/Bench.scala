@@ -69,6 +69,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -234,7 +235,23 @@ object Bench {
     // the warm-up pass populates, so their timed runs exclude training —
     // the persisted-codebook deployment shape, stated here so a
     // round-over-round reader doesn't misread memo reuse as engine speed.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","contended":$contended,"calib_sec":$calibSec,"idle_wait_sec":$idleWaitSec,"regate_wait_sec":$regateWaitSec,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","retimed":$retimed,"notes":"q70/q71/q83 timed runs reuse the memoized k-means codebook (training excluded, persisted-codebook pattern)"}""")
+    val artifact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","contended":$contended,"calib_sec":$calibSec,"idle_wait_sec":$idleWaitSec,"regate_wait_sec":$regateWaitSec,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","retimed":$retimed,"notes":"q70/q71/q83 timed runs reuse the memoized k-means codebook (training excluded, persisted-codebook pattern)"}"""
+    println(artifact)
+    // The driver's BENCH_r{N}.json wrapper keeps only a ~4KB stdout
+    // TAIL — every per-query line alphabetically before the cut is lost
+    // from the record each round. Persist the COMPLETE line as a
+    // committed twin (bench_local_r{N}.json, N = the round the driver
+    // is assembling = max recorded round + 1) so every timed line
+    // survives for round-over-round diffing regardless of wrapper
+    // truncation. Best-effort: a read-only cwd must not fail the bench.
+    try {
+      val n = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .map(_.getName.replaceAll("\\D", "").toInt)
+        .reduceOption(_ max _).getOrElse(0) + 1
+      val w = new java.io.PrintWriter(f"bench_local_r$n%02d.json", "UTF-8")
+      try w.println(artifact) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -1,0 +1,397 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graftshim.SparkShims
+import org.apache.spark.sql.types.LongType
+
+/** SQL-text DML over manifest tables: `MERGE INTO` / `UPDATE` /
+  * `DELETE` statements running the SAME [[ManifestLake]] engine the
+  * Scala API drives, so a `spark.sql`-only user (Python, R, JDBC, BI)
+  * gets the full write surface, not just the read side.
+  *
+  * {{{
+  *   spark.sql("""
+  *     MERGE INTO `graft-manifest`.`/lake/docs` t
+  *     USING updates s
+  *     ON t.lang = s.lang AND t.doc_id = s.doc_id
+  *     WHEN MATCHED AND s.op = 'd' THEN DELETE
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED AND s.op <> 'd' THEN INSERT *
+  *   """)
+  *   spark.sql("UPDATE `graft-manifest`.`/lake/docs` SET text = upper(text) WHERE doc_id = 7")
+  *   spark.sql("DELETE FROM `graft-manifest`.`/lake/docs` WHERE lang = 'und'")
+  * }}}
+  *
+  * Mechanism: [[GraftSqlParser]] is injected via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` and wraps the
+  * session parser. Spark's OWN grammar parses the statement (we add no
+  * syntax); the wrapper then pattern-matches the parsed
+  * `MergeIntoTable` / `UpdateTable` / `DeleteFromTable` plan and, ONLY
+  * when the target is a manifest table — the multipart form
+  * `` `graft-manifest`.`/path` `` or a temp view registered over the
+  * `graft-manifest` source — swaps in a runnable command that
+  * dispatches to the engine. Every other statement passes through
+  * byte-identical, so the wrapper is invisible to non-manifest SQL.
+  *
+  * Scope (refusals are loud, never silent):
+  *   - MERGE: full clause surface — ordered WHEN MATCHED
+  *     UPDATE/DELETE, WHEN NOT MATCHED INSERT, WHEN NOT MATCHED BY
+  *     SOURCE UPDATE/DELETE, each with optional AND conditions,
+  *     `SET *` / explicit SET lists, `INSERT *` / explicit column
+  *     lists — mapped onto [[ManifestLake.mergeClauses]]. The ON
+  *     condition must be a conjunction of t.col = s.col equalities
+  *     (the engine merges by key; arbitrary join predicates belong in
+  *     clause conditions). `WITH SCHEMA EVOLUTION` refuses — the
+  *     engine's merge does not widen.
+  *   - UPDATE with SET + WHERE → [[ManifestLake.update]].
+  *   - DELETE with WHERE → [[ManifestLake.delete]] (rewrite path;
+  *     partition-only predicates take the metadata-only fast path
+  *     inside the engine).
+  *
+  * DML always targets the table HEAD version — a temp view target is
+  * resolved to its table path, not its (possibly stale) file snapshot;
+  * re-read the view (or use the multipart form) after mutating.
+  */
+object GraftSqlDml {
+
+  private val Format = "graft-manifest"
+
+  /** The manifest-table path a DML target names, if it names one:
+    * `` `graft-manifest`.`/path` `` (also `graft_manifest` — some SQL
+    * dialects cannot quote a dash) or a temp view over the source.
+    * Returns (path, qualifiers-that-name-the-target-in-expressions).
+    */
+  private def targetPath(spark: SparkSession,
+                         table: LogicalPlan): Option[(String, Set[String])] =
+    table match {
+      case SubqueryAlias(ident, child) =>
+        targetPath(spark, child).map { case (p, quals) =>
+          (p, quals + ident.name.toLowerCase)
+        }
+      case r: UnresolvedRelation =>
+        r.multipartIdentifier match {
+          case Seq(fmt, p)
+            if fmt.equalsIgnoreCase(Format) ||
+              fmt.equalsIgnoreCase("graft_manifest") =>
+            Some((p, Set(p.toLowerCase)))
+          case Seq(name) =>
+            tempViewManifestPath(spark, name).map(p =>
+              (p, Set(name.toLowerCase)))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** The manifest root under a temp view registered over the
+    * graft-manifest source (CREATE TEMPORARY VIEW … USING), found by
+    * digging the view's plan for the relation's [[ManifestFileIndex]].
+    */
+  private def tempViewManifestPath(spark: SparkSession,
+                                   name: String): Option[String] = {
+    val cat = spark.sessionState.catalog
+    val viewPlan: Option[LogicalPlan] =
+      try cat.getTempView(name).orElse(
+        cat.getGlobalTempView(name))
+      catch { case _: Exception => None }
+    viewPlan.flatMap(_.collectFirst {
+      case LogicalRelation(fsRel: HadoopFsRelation, _, _, _, _)
+        if fsRel.location.isInstanceOf[ManifestFileIndex] =>
+        fsRel.location.rootPaths.head.toString
+    })
+  }
+
+  /** Rewrite a parsed statement into a manifest DML command when (and
+    * only when) its target is a manifest table.
+    */
+  def rewrite(spark: SparkSession, plan: LogicalPlan): Option[LogicalPlan] =
+    plan match {
+      case DeleteFromTable(table, condition) =>
+        targetPath(spark, table).map { case (path, quals) =>
+          GraftDeleteCommand(path, SqlExprHolder(stripQualifier(condition, quals)))
+        }
+      case UpdateTable(table, assignments, condition) =>
+        targetPath(spark, table).map { case (path, quals) =>
+          val set = assignments.map { a =>
+            (attrName(a.key, quals), SqlExprHolder(stripQualifier(a.value, quals)))
+          }
+          GraftUpdateCommand(path, set,
+            condition.map(c => SqlExprHolder(stripQualifier(c, quals))))
+        }
+      case m: MergeIntoTable =>
+        targetPath(spark, m.targetTable).map { case (path, tQuals) =>
+          require(!m.withSchemaEvolution,
+            "MERGE … WITH SCHEMA EVOLUTION is not supported on manifest " +
+              "tables — the merge does not widen; evolve the schema with an " +
+              "append/upsert first")
+          val (sourcePlan, sQuals) = m.sourceTable match {
+            case SubqueryAlias(ident, _) =>
+              (m.sourceTable, Set(ident.name.toLowerCase))
+            case r: UnresolvedRelation =>
+              (m.sourceTable, Set(r.multipartIdentifier.last.toLowerCase))
+            case other => (other, Set.empty[String])
+          }
+          def q(e: Expression): Expression = requalify(e, tQuals, sQuals)
+          val keyCols = keyColsOf(m.mergeCondition, tQuals, sQuals)
+          GraftMergeCommand(path, sourcePlan, keyCols,
+            matched = m.matchedActions.map(translateAction(_, tQuals, sQuals, q)),
+            notMatched = m.notMatchedActions.map(translateAction(_, tQuals, sQuals, q)),
+            notMatchedBySource =
+              m.notMatchedBySourceActions.map(translateAction(_, tQuals, sQuals, q)))
+        }
+      case _ => None
+    }
+
+  // ---- expression surgery ------------------------------------------
+
+  /** `alias.col…` → `col…` for references qualified by the target's
+    * alias/name — the engine evaluates DELETE/UPDATE expressions
+    * against the bare logical view, where the SQL alias does not exist.
+    */
+  private def stripQualifier(e: Expression, quals: Set[String]): Expression =
+    e.transformUp {
+      case a: UnresolvedAttribute
+        if a.nameParts.length > 1 && quals.contains(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    }
+
+  /** Requalify `targetAlias.x` → `t.x` and `sourceAlias.x` → `s.x` —
+    * the engine's classify join exposes the two sides under the fixed
+    * aliases `t` and `s`.
+    */
+  private def requalify(e: Expression, tQuals: Set[String],
+                        sQuals: Set[String]): Expression =
+    e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+        tQuals.contains(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute("t" +: a.nameParts.tail)
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+        sQuals.contains(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute("s" +: a.nameParts.tail)
+    }
+
+  /** An assignment key as a bare column name (alias stripped, nested
+    * parts kept — the engine validates nested targets itself).
+    */
+  private def attrName(key: Expression, quals: Set[String]): String =
+    key match {
+      case a: UnresolvedAttribute =>
+        val parts =
+          if (a.nameParts.length > 1 && quals.contains(a.nameParts.head.toLowerCase))
+            a.nameParts.tail
+          else a.nameParts
+        parts.mkString(".")
+      case other => throw new IllegalArgumentException(
+        s"SET target must be a column reference, got ${other.sql}")
+    }
+
+  /** Merge keys from the ON condition: a conjunction of
+    * `t.col = s.col` equalities over identically-named columns —
+    * anything else refuses with the reason (the manifest merge is
+    * keyed; residual predicates belong in clause conditions).
+    */
+  private def keyColsOf(on: Expression, tQuals: Set[String],
+                        sQuals: Set[String]): Seq[String] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    def side(e: Expression): Option[(Boolean, Seq[String])] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+        tQuals.contains(a.nameParts.head.toLowerCase) =>
+        Some((true, a.nameParts.tail))
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+        sQuals.contains(a.nameParts.head.toLowerCase) =>
+        Some((false, a.nameParts.tail))
+      case _ => None
+    }
+    split(on).map { conj =>
+      val pair = conj match {
+        case EqualTo(l, r) => Some((l, r))
+        case EqualNullSafe(l, r) => Some((l, r))
+        case _ => None
+      }
+      val key = pair.flatMap { case (l, r) =>
+        (side(l), side(r)) match {
+          case (Some((true, tn)), Some((false, sn)))
+            if tn.map(_.toLowerCase) == sn.map(_.toLowerCase) && tn.length == 1 =>
+            Some(tn.head)
+          case (Some((false, sn)), Some((true, tn)))
+            if tn.map(_.toLowerCase) == sn.map(_.toLowerCase) && tn.length == 1 =>
+            Some(tn.head)
+          case _ => None
+        }
+      }
+      key.getOrElse(throw new IllegalArgumentException(
+        s"manifest MERGE needs an ON condition that is a conjunction of " +
+          s"t.col = s.col equalities on identically-named columns; " +
+          s"`${conj.sql}` is not one (qualify both sides with the target/" +
+          "source aliases; put residual predicates in WHEN … AND conditions)"))
+    }
+  }
+
+  private def translateAction(a: MergeAction, tQuals: Set[String],
+                              sQuals: Set[String],
+                              q: Expression => Expression): SqlMergeClause =
+    a match {
+      case UpdateStarAction(cond) =>
+        SqlMergeClause("update", cond.map(c => SqlExprHolder(q(c))), None)
+      case UpdateAction(cond, assignments, _) =>
+        SqlMergeClause("update", cond.map(c => SqlExprHolder(q(c))),
+          Some(assignments.map(as =>
+            (attrName(as.key, tQuals), SqlExprHolder(q(as.value))))))
+      case DeleteAction(cond) =>
+        SqlMergeClause("delete", cond.map(c => SqlExprHolder(q(c))), None)
+      case InsertStarAction(cond) =>
+        SqlMergeClause("insert", cond.map(c => SqlExprHolder(q(c))), None)
+      case InsertAction(cond, assignments) =>
+        SqlMergeClause("insert", cond.map(c => SqlExprHolder(q(c))),
+          Some(assignments.map(as =>
+            (attrName(as.key, tQuals), SqlExprHolder(q(as.value))))))
+      case other => throw new IllegalArgumentException(
+        s"unsupported MERGE action on a manifest table: $other")
+    }
+}
+
+/** An expression carried OPAQUELY through a command plan: the DML
+  * commands hold parser output that resolves against the ENGINE's
+  * frames (the logical table view, the t/s classify join), not against
+  * the command's (empty) children — a bare `Expression` constructor
+  * arg would be collected into `QueryPlan.expressions` and fail
+  * analysis as unresolved. The holder is invisible to the traversal.
+  */
+final case class SqlExprHolder(expr: Expression)
+
+/** A translated WHEN clause, catalyst-typed (expressions stay
+  * unresolved until the engine applies them to its frames).
+  */
+final case class SqlMergeClause(kind: String, condition: Option[SqlExprHolder],
+                                assignments: Option[Seq[(String, SqlExprHolder)]]) {
+  def toEngine: ManifestLake.MergeClause = {
+    def cond = condition.map(h => SparkShims.column(h.expr))
+    def sets = assignments.map(_.map { case (n, h) => n -> SparkShims.column(h.expr) })
+    kind match {
+      case "update" => ManifestLake.MergeUpdate(cond, sets)
+      case "delete" => ManifestLake.MergeDelete(cond)
+      case _ => ManifestLake.MergeInsert(cond, sets)
+    }
+  }
+}
+
+/** `DELETE FROM <manifest table> WHERE …` — dispatches to
+  * [[ManifestLake.delete]], returns the published version.
+  */
+final case class GraftDeleteCommand(path: String, condition: SqlExprHolder)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = ManifestLake.delete(spark, path, SparkShims.column(condition.expr))
+    Seq(Row(v))
+  }
+}
+
+/** `UPDATE <manifest table> SET … [WHERE …]` — dispatches to
+  * [[ManifestLake.update]], returns the published version. A missing
+  * WHERE updates every row (standard SQL).
+  */
+final case class GraftUpdateCommand(path: String,
+                                    set: Seq[(String, SqlExprHolder)],
+                                    condition: Option[SqlExprHolder])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cond = condition.map(h => SparkShims.column(h.expr))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val v = ManifestLake.update(spark, path, cond,
+      set.map { case (n, h) => n -> SparkShims.column(h.expr) }.toMap)
+    Seq(Row(v))
+  }
+}
+
+/** `MERGE INTO <manifest table> …` — dispatches to
+  * [[ManifestLake.mergeClauses]] with the statement's exact clause
+  * order; returns (version, updated, deleted, inserted). The source
+  * sub-plan (table, view, subquery, VALUES) executes as a DataFrame;
+  * the table's recorded partitioning supplies the engine's partition
+  * columns.
+  */
+final case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
+                                   keyCols: Seq[String],
+                                   matched: Seq[SqlMergeClause],
+                                   notMatched: Seq[SqlMergeClause],
+                                   notMatchedBySource: Seq[SqlMergeClause])
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(sourcePlan)
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("updated", LongType, nullable = false)(),
+    AttributeReference("deleted", LongType, nullable = false)(),
+    AttributeReference("inserted", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val partCols = ManifestLake.recordedPartitionCols(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifested table at $path (MERGE needs an existing table)"))
+    val source = SparkShims.ofRows(spark, sourcePlan)
+    val st = ManifestLake.mergeClauses(spark, path, source, partCols, keyCols,
+      matched = matched.map(_.toEngine),
+      notMatched = notMatched.map(_.toEngine),
+      notMatchedBySource = notMatchedBySource.map(_.toEngine))
+    Seq(Row(st.version, st.updated, st.deleted, st.inserted))
+  }
+}
+
+/** The session-parser wrapper [[graft.functions.GraftExtensions]]
+  * injects: Spark's own grammar does ALL parsing; parsed DML plans
+  * whose target is a manifest table swap for the dispatching command,
+  * everything else passes through untouched.
+  */
+final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
+  extends ParserInterface {
+
+  private def intercept(plan: LogicalPlan): LogicalPlan =
+    try GraftSqlDml.rewrite(spark, plan).getOrElse(plan)
+    catch {
+      // translation refusals (unsupported shapes) must surface as-is;
+      // anything unexpected must not mask the vanilla plan
+      case e: IllegalArgumentException => throw e
+    }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    intercept(delegate.parsePlan(sqlText))
+
+  override def parsePlanWithParameters(sqlText: String,
+                                       ctx: ParameterContext): LogicalPlan =
+    intercept(delegate.parsePlanWithParameters(sqlText, ctx))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+
+  override def parseRoutineParam(sqlText: String): org.apache.spark.sql.types.StructType =
+    delegate.parseRoutineParam(sqlText)
+
+  override def parseTableSchema(sqlText: String): org.apache.spark.sql.types.StructType =
+    delegate.parseTableSchema(sqlText)
+
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}

@@ -2551,6 +2551,38 @@ object ManifestLake {
   final case class MergeStats(version: Long, updated: Long, deleted: Long,
                               inserted: Long)
 
+  /** One WHEN clause of a [[mergeClauses]] statement. `condition = None`
+    * means unconditional; conditions reference the two sides as
+    * `col("t.<name>")` / `col("s.<name>")` and evaluate with SQL
+    * null-as-false semantics. Clause precedence is LIST ORDER — the
+    * first clause whose condition holds acts, exactly the standard SQL
+    * MERGE contract.
+    */
+  sealed trait MergeClause { def condition: Option[Column] }
+
+  /** UPDATE clause. `set = None` is `UPDATE SET *` (replace the whole
+    * row with the source row); `set = Some(assignments)` updates only
+    * the named columns (expressions over t./s.), keeping every other
+    * column's target value. Partition columns cannot be assigned —
+    * rows would have to move between partitions.
+    */
+  final case class MergeUpdate(condition: Option[Column] = None,
+                               set: Option[Seq[(String, Column)]] = None)
+    extends MergeClause
+
+  /** DELETE clause — drops the row. */
+  final case class MergeDelete(condition: Option[Column] = None)
+    extends MergeClause
+
+  /** INSERT clause (NOT MATCHED only). `values = None` is `INSERT *`
+    * (the source row wholesale); `values = Some(assignments)` builds
+    * the row from the named expressions over s., NULL for unlisted
+    * columns — except partition columns, which MUST be assigned.
+    */
+  final case class MergeInsert(condition: Option[Column] = None,
+                               values: Option[Seq[(String, Column)]] = None)
+    extends MergeClause
+
   /** Conditional MERGE INTO under manifest commit — the Delta
     * `whenMatched update / whenMatched delete / whenNotMatched insert`
     * statement over the same partition-rewrite machinery as [[upsert]]:
@@ -2569,14 +2601,10 @@ object ManifestLake {
     *   - Target rows with no source match always survive.
     *
     * The defaults (update always, insert always, no delete) make
-    * `merge(...) == upsert(...)`. Row-level change files stamp exact
-    * `update_preimage`/`update_postimage`/`delete`/`insert` rows, so
-    * [[readChangeFeed]] serves merges like upserts; row conservation
-    * (kept + updated + inserted = staged) is verified pre-publish from
-    * observed counts vs parquet footers. Requires a schema-headed
-    * manifest and a source whose LOGICAL shape matches the table's
-    * (cast/select first — merge does not widen). Publishes
-    * optimistically with upsert's partition-disjoint retry rules.
+    * `merge(...) == upsert(...)`. This is the fixed-precedence
+    * convenience form; the full SQL clause surface (clause order,
+    * partial `SET`, explicit `INSERT` lists, `NOT MATCHED BY SOURCE`)
+    * is [[mergeClauses]], which this delegates to.
     */
   def merge(spark: SparkSession, path: String, source: DataFrame,
             partitionCols: Seq[String], keyCols: Seq[String],
@@ -2584,7 +2612,52 @@ object ManifestLake {
             deleteWhen: Option[Column] = None,
             insertWhen: Option[Column] = Some(lit(true)),
             txn: Option[(String, Long)] = None,
-            changeFeed: Boolean = true): MergeStats = {
+            changeFeed: Boolean = true): MergeStats =
+    mergeClauses(spark, path, source, partitionCols, keyCols,
+      matched = deleteWhen.map(c => MergeDelete(Some(c))).toSeq ++
+        updateWhen.map(c => MergeUpdate(Some(c), set = None)).toSeq,
+      notMatched = insertWhen.map(c => MergeInsert(Some(c), values = None)).toSeq,
+      notMatchedBySource = Seq.empty,
+      txn = txn, changeFeed = changeFeed)
+
+  /** Full-surface MERGE: ordered WHEN clauses in each of the three
+    * row categories, the exact SQL statement shape —
+    *
+    * {{{
+    *   MERGE INTO target t USING source s ON <t.k = s.k ...>
+    *   WHEN MATCHED [AND c] THEN UPDATE SET * | SET x = e, ...
+    *   WHEN MATCHED [AND c] THEN DELETE
+    *   WHEN NOT MATCHED [AND c] THEN INSERT * | (cols) VALUES (...)
+    *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE
+    * }}}
+    *
+    * Within a category the FIRST clause whose condition holds acts
+    * (SQL clause precedence); a row matching no clause is kept
+    * (matched / not-matched-by-source) or ignored (not-matched).
+    *
+    * Scale shape: identical to [[merge]] — one classification join,
+    * one write job with observed metrics, affected-partition rewrites
+    * only — EXCEPT when `notMatchedBySource` is non-empty: those
+    * clauses act on target rows the source does NOT name, so every
+    * live partition is affected and the whole table rewrites (the
+    * semantics demand it; same cost in any lake format).
+    *
+    * The source must carry every KEY column at its exact type. It must
+    * carry every TABLE column (at exact type) only when some clause
+    * uses full-row semantics (`UPDATE SET *` / `INSERT *` — i.e.
+    * `set`/`values` = None); an all-explicit clause list needs only
+    * the columns its expressions reference. Extra source-only columns
+    * are always allowed and visible to conditions as `s.<col>`.
+    * Explicit INSERT values must assign every partition column;
+    * UPDATE assignments cannot target partition columns.
+    */
+  def mergeClauses(spark: SparkSession, path: String, source: DataFrame,
+                   partitionCols: Seq[String], keyCols: Seq[String],
+                   matched: Seq[MergeClause] = Seq.empty,
+                   notMatched: Seq[MergeClause] = Seq.empty,
+                   notMatchedBySource: Seq[MergeClause] = Seq.empty,
+                   txn: Option[(String, Long)] = None,
+                   changeFeed: Boolean = true): MergeStats = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     require(partitionCols.nonEmpty,
       "manifest merge needs a partitioned table; replace flat tables wholesale")
@@ -2592,6 +2665,24 @@ object ManifestLake {
       s"merge keys ${keyCols.mkString(",")} must include every partition " +
         s"column (${partitionCols.mkString(",")}) so matched rows stay in " +
         "the partitions the source names")
+    matched.foreach {
+      case _: MergeInsert => throw new IllegalArgumentException(
+        "WHEN MATCHED supports UPDATE and DELETE clauses, not INSERT")
+      case _ => ()
+    }
+    notMatched.foreach {
+      case _: MergeInsert => ()
+      case other => throw new IllegalArgumentException(
+        s"WHEN NOT MATCHED supports INSERT clauses only, got $other")
+    }
+    notMatchedBySource.foreach {
+      case MergeUpdate(_, None) => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED BY SOURCE UPDATE needs explicit SET assignments " +
+          "(there is no source row to SET * from)")
+      case _: MergeInsert => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED BY SOURCE supports UPDATE and DELETE, not INSERT")
+      case _ => ()
+    }
     val (fs, root) = fsFor(spark, path)
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no manifested table at $path"))
@@ -2602,21 +2693,29 @@ object ManifestLake {
       throw new IllegalArgumentException(
         s"table at $path has a headerless legacy manifest — merge needs the " +
           "recorded schema (run one append or upsert to adopt a header first)"))
-    // The source must carry every table column at its exact type, but
-    // MAY carry extras — the CDC-apply shape ships an op marker the
-    // clause conditions read (`deleteWhen = col("s.op") === "d"`) that
-    // the table never stores. Extra columns ride into the classify join
-    // for the conditions and vanish at the result projection (which
-    // selects exactly the table's logical columns); merge still does
-    // not widen — a new TABLE column arrives via append/upsert.
+    // The source must carry the key columns always, and every table
+    // column at exact type only when some clause takes the source row
+    // wholesale (SET * / INSERT *) — the CDC-apply shape ships an op
+    // marker the clause conditions read (`deleteWhen = col("s.op") ===
+    // "d"`) that the table never stores. Extra columns ride into the
+    // classify join for the conditions and vanish at the result
+    // projection; merge still does not widen — a new TABLE column
+    // arrives via append/upsert.
+    val needFullRow =
+      matched.exists { case MergeUpdate(_, None) => true; case _ => false } ||
+      notMatched.exists { case MergeInsert(_, None) => true; case _ => false }
     locally {
       val srcTypes = source.schema.fields
         .map(f => f.name -> f.dataType.catalogString).toMap
-      val bad = logical.fields.filterNot(f =>
+      val required =
+        if (needFullRow) logical.fields.toSeq
+        else logical.fields.toSeq.filter(f => keyCols.contains(f.name))
+      val bad = required.filterNot(f =>
         srcTypes.get(f.name).contains(f.dataType.catalogString))
       require(bad.isEmpty,
         s"merge source schema ${source.schema.catalogString} must contain " +
-          s"every table column at its exact type; missing or re-typed: " +
+          (if (needFullRow) "every table column" else "every key column") +
+          s" at its exact type; missing or re-typed: " +
           s"${bad.map(f => s"${f.name} ${f.dataType.catalogString}").mkString(", ")} " +
           "(cast/select first; merge does not widen — extra source-only " +
           "columns are allowed and visible to clause conditions as s.<col>)")
@@ -2624,6 +2723,58 @@ object ManifestLake {
     Seq(ChangeTypeCol, CommitVersionCol).foreach(r =>
       require(!logical.fieldNames.contains(r),
         s"column name $r is reserved for the change feed's metadata"))
+    // resolve clause assignment names against the logical schema (case-
+    // insensitive, like the rest of Spark SQL), refusing unknown and
+    // doubly-assigned columns up front
+    val byLower = logical.fieldNames.map(f => f.toLowerCase -> f).toMap
+    def resolveSet(set: Seq[(String, Column)], clause: String,
+                   allowPartition: Boolean): Map[String, Column] = {
+      val resolved = set.map { case (nm, value) =>
+        val actual = byLower.getOrElse(nm.toLowerCase,
+          throw new IllegalArgumentException(
+            s"$clause assigns unknown column $nm " +
+              s"(table columns: ${logical.fieldNames.mkString(", ")})"))
+        require(allowPartition || !partitionCols.contains(actual),
+          s"$clause cannot assign partition column $actual — rows would " +
+            "have to move between partitions; use delete + insert instead")
+        actual -> value
+      }
+      require(resolved.map(_._1).distinct.size == resolved.size,
+        s"$clause assigns a column more than once")
+      resolved.toMap
+    }
+    // per-clause action codes: U<i>/D<i> matched, I<i> not-matched,
+    // BU<i>/BD<i> not-matched-by-source — the code string routes both
+    // the per-column value projection and the metric counts
+    val matchedCodes: Seq[(String, MergeClause)] = matched.zipWithIndex.map {
+      case (cl: MergeUpdate, i) => (s"U$i", cl)
+      case (cl, i) => (s"D$i", cl)
+    }
+    val insertCodes: Seq[(String, MergeClause)] = notMatched.zipWithIndex.map {
+      case (cl, i) => (s"I$i", cl)
+    }
+    val bySourceCodes: Seq[(String, MergeClause)] =
+      notMatchedBySource.zipWithIndex.map {
+        case (cl: MergeUpdate, i) => (s"BU$i", cl)
+        case (cl, i) => (s"BD$i", cl)
+      }
+    val updSets: Seq[(String, Option[Map[String, Column]])] =
+      matchedCodes.collect { case (code, MergeUpdate(_, setOpt)) =>
+        code -> setOpt.map(resolveSet(_, "WHEN MATCHED UPDATE", allowPartition = false))
+      }
+    val insVals: Seq[(String, Option[Map[String, Column]])] =
+      insertCodes.collect { case (code, MergeInsert(_, valsOpt)) =>
+        code -> valsOpt.map(resolveSet(_, "WHEN NOT MATCHED INSERT", allowPartition = true))
+      }
+    val bySrcSets: Seq[(String, Map[String, Column])] =
+      bySourceCodes.collect { case (code, MergeUpdate(_, Some(s))) =>
+        code -> resolveSet(s, "WHEN NOT MATCHED BY SOURCE UPDATE", allowPartition = false)
+      }
+    insVals.foreach { case (_, vo) => vo.foreach(m =>
+      partitionCols.foreach(p => require(m.contains(p),
+        s"explicit INSERT must assign every partition column (missing $p) — " +
+          "an unassigned partition value would be NULL, which manifest " +
+          "tables refuse"))) }
     // PIN the source: it feeds partition discovery AND the classify
     // join, and a non-deterministic source evaluating differently
     // between the two could land rows outside the affected-partition
@@ -2643,10 +2794,17 @@ object ManifestLake {
         .distinct().collect()
       require(partRows.forall(r => partitionCols.indices.forall(i => !r.isNullAt(i))),
         "null partition values are not supported by the manifest merge")
-      val dirs = partRows.map(r =>
+      val srcDirs = partRows.map(r =>
         partitionCols.zipWithIndex.map { case (c, i) =>
           s"${escapePathName(c)}=${escapePathName(r.getString(i))}"
         }.mkString("/")).toSet
+      // NOT MATCHED BY SOURCE clauses act on target rows the source
+      // does not name — every live partition is affected, the whole
+      // table is the rewrite set (the SQL semantics demand it)
+      val dirs =
+        if (notMatchedBySource.nonEmpty)
+          manifest.files.map(f => partDirOf(f.path)).toSet
+        else srcDirs
       val files = manifest.files.filter(f => dirs.contains(partDirOf(f.path)))
 
       // classify every (target ∪ source) row of the affected partitions
@@ -2662,20 +2820,29 @@ object ManifestLake {
       val src = source.withColumn("__s_present", lit(true))
         .withColumn("__sid", monotonically_increasing_id()).alias("s")
       val keyCond = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-      def c(b: Option[Column]): Column = coalesce(b.getOrElse(lit(false)), lit(false))
+      // clause condition: None = unconditional; null evaluates false
+      def condOf(b: Option[Column]): Column =
+        coalesce(b.getOrElse(lit(true)), lit(false))
+      def firstTrue(cs: Seq[(String, MergeClause)], default: String): Column =
+        cs.foldRight(lit(default): Column) { case ((code, cl), acc) =>
+          when(condOf(cl.condition), lit(code)).otherwise(acc)
+        }
       val tP = coalesce(col("t.__t_present"), lit(false))
       val sP = coalesce(col("s.__s_present"), lit(false))
       val action =
-        when(tP && sP,
-          when(c(deleteWhen), "D").when(c(updateWhen), "U").otherwise("K"))
-          .when(!tP && sP, when(c(insertWhen), "I").otherwise("X"))
-          .otherwise("K")
+        when(tP && sP, firstTrue(matchedCodes, "K"))
+          .when(!tP && sP, firstTrue(insertCodes, "X"))
+          .otherwise(firstTrue(bySourceCodes, "K"))
       (dirs, files, tgt.join(src, keyCond, "full_outer")
         .withColumn("__action", action)
         .persist())
     } catch {
       case t: Throwable => source.unpersist(); throw t
     }
+    val isDel = col("__action").startsWith("D") || col("__action").startsWith("BD")
+    val isUpd = col("__action").startsWith("U") || col("__action").startsWith("BU")
+    val isIns = col("__action").startsWith("I")
+    val isKept = !isDel && col("__action") =!= "X"
     try {
       // ONE validation job over the (now materializing) classification:
       // per-key distinct-sid counts roll up into the duplicate-key
@@ -2685,7 +2852,7 @@ object ManifestLake {
       val chk = cls
         .groupBy(keyCols.map(k => col(s"s.$k")): _*)
         .agg(countDistinct(col("s.__sid")).as("__src_c"),
-          count(when(col("__action") === "D", lit(1))).as("__del_c"))
+          count(when(isDel, lit(1))).as("__del_c"))
         .agg(sum("__del_c").as("dels"),
           count(when(col("__src_c") > 1, lit(1))).as("dup_keys"))
         .collect().head
@@ -2699,16 +2866,37 @@ object ManifestLake {
       val consSeqM = effectiveConstraints(manifest).toSeq.sortBy(_._1)
       val obsM = org.apache.spark.sql.Observation()
       val aggsM = count(lit(1)).as("n_obs_rows") +:
-        count(when(col("__action") === "U", lit(1))).as("n_upd") +:
-        count(when(col("__action") === "I", lit(1))).as("n_ins") +:
+        count(when(isUpd, lit(1))).as("n_upd") +:
+        count(when(isIns, lit(1))).as("n_ins") +:
         consSeqM.map { case (n, e) =>
           count(when(not(coalesce(expr(e), lit(true))), lit(1))).as(s"viol_$n")
         }
+      // the merged value of column n for every action code: K keeps the
+      // target value; full-row U/I take the source row; explicit SETs
+      // update the named columns (others keep target / NULL for
+      // inserts), cast to the column's type (SQL store-assignment)
+      def mergedValue(n: String): Column = {
+        val dt = logical(n).dataType
+        val cases: Seq[(String, Column)] =
+          updSets.map { case (code, so) =>
+            code -> so.map(m => m.get(n).map(_.cast(dt))
+              .getOrElse(col(s"t.$n"))).getOrElse(col(s"s.$n"))
+          } ++
+          insVals.map { case (code, vo) =>
+            code -> vo.map(m => m.get(n).map(_.cast(dt))
+              .getOrElse(lit(null).cast(dt))).getOrElse(col(s"s.$n"))
+          } ++
+          bySrcSets.map { case (code, m) =>
+            code -> m.get(n).map(_.cast(dt)).getOrElse(col(s"t.$n"))
+          }
+        cases.foldRight(col(s"t.$n"): Column) { case ((code, vc), acc) =>
+          when(col("__action") === code, vc).otherwise(acc)
+        }
+      }
       // __action survives into the observed node and is dropped after
-      val observed = cls.where(col("__action").isin("K", "U", "I"))
-        .select(col("__action") +: logical.fieldNames.map(n =>
-          when(col("__action").isin("U", "I"), col(s"s.$n"))
-            .otherwise(col(s"t.$n")).as(n)).toSeq: _*)
+      val observed = cls.where(isKept)
+        .select(col("__action") +:
+          logical.fieldNames.map(n => mergedValue(n).as(n)).toSeq: _*)
         .observe(obsM, aggsM.head, aggsM.tail: _*)
         .drop("__action")
       val newV = v + 1
@@ -2774,15 +2962,23 @@ object ManifestLake {
         if (!changeFeed) None
         else {
           val lcols = logical.fieldNames.toSeq
-          def side(actionV: String, from: String, tag: String) =
-            cls.where(col("__action") === actionV)
-              .select(lcols.map(n => col(s"$from.$n").as(n)): _*)
+          // post-images and inserted rows come from the SAME merged
+          // projection the write used (a partial SET's post-image is
+          // the merged row, not the source row); pre-images and
+          // deletes are the target side
+          def tSide(cond: Column, tag: String) =
+            cls.where(cond)
+              .select(lcols.map(n => col(s"t.$n").as(n)): _*)
+              .withColumn(ChangeTypeCol, lit(tag))
+          def postSide(cond: Column, tag: String) =
+            cls.where(cond)
+              .select(lcols.map(n => mergedValue(n).as(n)): _*)
               .withColumn(ChangeTypeCol, lit(tag))
           val changes =
-            side("U", "t", "update_preimage")
-              .unionByName(side("U", "s", "update_postimage"))
-              .unionByName(side("D", "t", "delete"))
-              .unionByName(side("I", "s", "insert"))
+            tSide(isUpd, "update_preimage")
+              .unionByName(postSide(isUpd, "update_postimage"))
+              .unionByName(tSide(isDel, "delete"))
+              .unionByName(postSide(isIns, "insert"))
           val cdfP = new Path(commitDir, CdfDir)
           // change files store PHYSICAL names (the feed aliases to
           // logical at its boundary); keep the metadata column through

@@ -73,9 +73,15 @@ object GraftFunctions {
         HyperplaneSketch(e(0), planes)
       }))
 
-  /** For spark.sql.extensions. */
-  def inject(ext: SparkSessionExtensions): Unit =
+  /** For spark.sql.extensions: the native functions plus the SQL DML
+    * parser ([[graft.etl.GraftSqlParser]] — `MERGE INTO` / `UPDATE` /
+    * `DELETE` on `graft-manifest` tables; all other SQL untouched).
+    */
+  def inject(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    ext.injectParser((session, delegate) =>
+      new graft.etl.GraftSqlParser(session, delegate))
+  }
 
   /** Imperative registration on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -1434,5 +1434,207 @@ object EtlGate {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
-             |FROM feed GROUP BY state, lang ORDER BY state, lang""".stripMargin)))
+             |FROM feed GROUP BY state, lang ORDER BY state, lang""".stripMargin)),
+
+    // SQL-TEXT MERGE under the oracle: q108's exact clause matrix —
+    // conditional DELETE, UPDATE SET *, conditional INSERT * — executed
+    // as a `spark.sql("MERGE INTO …")` statement against the
+    // `graft-manifest`.`path` target (the injected-parser surface a
+    // SQL-only user drives), hash-matched by the SAME DuckDB FULL OUTER
+    // JOIN + CASE replay. The live table AND the stamped change feed
+    // both gate, so the SQL path is held to everything the Scala path
+    // is.
+    Q(
+      "q117_sql_merge",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-sqlmerge") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+          out, Seq("lang"), statsCols = Seq("doc_id"))                         // v1
+        docs.where(pmod(col("doc_id"), lit(3L)) === 0)
+          .withColumn("text", upper(col("text")))
+          .createOrReplaceTempView("q117_src")
+        val st = s.sql(
+          s"""MERGE INTO `graft-manifest`.`$out` t
+             |USING q117_src s
+             |ON t.lang = s.lang AND t.doc_id = s.doc_id
+             |WHEN MATCHED AND s.doc_id % 5 = 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED AND s.n_chars > 100 THEN INSERT *
+             |""".stripMargin).collect().head
+        require(st.getLong(0) == 2L,
+          s"SQL merge must publish v2, got ${st.getLong(0)}")
+        val cols = Seq(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        val feed = ManifestLake.readChangeFeed(s, out, fromV = 1L, toV = 2L)
+          .select(col("_change_type").as("change_type") +: cols: _*)
+        val live = ManifestLake.read(s, out)
+          .select(lit("live").as("change_type") +: cols: _*)
+        feed.unionByName(live)
+          .groupBy(col("change_type"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("change_type"), col("lang"))
+      },
+      Some("""WITH tgt AS (SELECT lang, doc_id, text, n_chars FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |src AS (SELECT lang, doc_id, upper(text) AS text, n_chars
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |cls AS (
+             |  SELECT coalesce(t.lang, s.lang) AS lang,
+             |    coalesce(t.doc_id, s.doc_id) AS doc_id,
+             |    t.text AS t_text, s.text AS s_text,
+             |    coalesce(t.n_chars, s.n_chars) AS n_chars,
+             |    CASE
+             |      WHEN t.doc_id IS NOT NULL AND s.doc_id IS NOT NULL THEN
+             |        CASE WHEN s.doc_id % 5 = 0 THEN 'D' ELSE 'U' END
+             |      WHEN s.doc_id IS NOT NULL THEN
+             |        CASE WHEN s.n_chars > 100 THEN 'I' ELSE 'X' END
+             |      ELSE 'K' END AS action
+             |  FROM tgt t FULL OUTER JOIN src s
+             |    ON t.lang = s.lang AND t.doc_id = s.doc_id),
+             |feed AS (
+             |  SELECT 'update_preimage' AS change_type, lang, doc_id, t_text AS text, n_chars
+             |  FROM cls WHERE action = 'U'
+             |  UNION ALL
+             |  SELECT 'update_postimage', lang, doc_id, s_text, n_chars FROM cls WHERE action = 'U'
+             |  UNION ALL
+             |  SELECT 'delete', lang, doc_id, t_text, n_chars FROM cls WHERE action = 'D'
+             |  UNION ALL
+             |  SELECT 'insert', lang, doc_id, s_text, n_chars FROM cls WHERE action = 'I'
+             |  UNION ALL
+             |  SELECT 'live', lang, doc_id,
+             |    CASE WHEN action IN ('U', 'I') THEN s_text ELSE t_text END, n_chars
+             |  FROM cls WHERE action IN ('K', 'U', 'I'))
+             |SELECT change_type, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM feed GROUP BY change_type, lang
+             |ORDER BY change_type, lang""".stripMargin)),
+
+    // SQL-TEXT UPDATE + DELETE under the oracle: an expression SET over
+    // a predicate, then a DELETE whose predicate reads the UPDATED
+    // values — two sequential spark.sql statements against the manifest
+    // target, replayed relationally by DuckDB (CASE for the update, NOT
+    // provably-true for the delete's NULL-keep semantics).
+    Q(
+      "q118_sql_update_delete",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-sqlupd") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        ManifestLake.write(s, docs, out, Seq("lang"), statsCols = Seq("doc_id")) // v1
+        val v2 = s.sql(s"UPDATE `graft-manifest`.`$out` " +
+          "SET n_chars = n_chars + 100000, text = upper(text) " +
+          "WHERE doc_id % 7 = 0").collect().head.getLong(0)
+        require(v2 == 2L, s"SQL update must publish v2, got $v2")
+        val v3 = s.sql(s"DELETE FROM `graft-manifest`.`$out` " +
+          "WHERE n_chars < 200 OR doc_id % 11 = 0").collect().head.getLong(0)
+        require(v3 == 3L, s"SQL delete must publish v3, got $v3")
+        ManifestLake.read(s, out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH upd AS (
+             |  SELECT lang, doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text,
+             |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 100000 ELSE n_chars END AS n_chars
+             |  FROM documents),
+             |fin AS (
+             |  SELECT * FROM upd
+             |  WHERE NOT coalesce(n_chars < 200 OR doc_id % 11 = 0, FALSE))
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // FULL-CLAUSE SQL MERGE under the oracle: clause ORDER (an UPDATE
+    // listed before a DELETE wins ties — the engine's old fixed
+    // delete-first precedence would flip it), PARTIAL SET (unassigned
+    // columns keep target values), an explicit INSERT column list
+    // (unlisted column → NULL), a superset-source routing column that
+    // never lands, and NOT MATCHED BY SOURCE UPDATE/DELETE — all in one
+    // statement, replayed by DuckDB with an ordered CASE.
+    Q(
+      "q119_sql_merge_clauses",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-sqlclauses") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+          out, Seq("lang"), statsCols = Seq("doc_id"))                         // v1
+        docs.where(pmod(col("doc_id"), lit(3L)) === 0)
+          .withColumn("op",
+            when(pmod(col("doc_id"), lit(9L)) === 0, lit("touch"))
+              .otherwise(lit("bump")))
+          .createOrReplaceTempView("q119_src")
+        val st = s.sql(
+          s"""MERGE INTO `graft-manifest`.`$out` t
+             |USING q119_src s
+             |ON t.lang = s.lang AND t.doc_id = s.doc_id
+             |WHEN MATCHED AND s.op = 'bump' THEN UPDATE SET n_chars = t.n_chars + s.n_chars
+             |WHEN MATCHED THEN DELETE
+             |WHEN NOT MATCHED AND s.op = 'bump' THEN INSERT (lang, doc_id, n_chars)
+             |  VALUES (s.lang, s.doc_id, s.n_chars)
+             |WHEN NOT MATCHED BY SOURCE AND t.doc_id % 10 = 8 THEN DELETE
+             |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n_chars = t.n_chars - 1
+             |""".stripMargin).collect().head
+        require(st.getLong(0) == 2L,
+          s"SQL clause merge must publish v2, got ${st.getLong(0)}")
+        require(!ManifestLake.read(s, out).columns.contains("op"),
+          "the source-only routing column must never land in the table")
+        ManifestLake.read(s, out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            count(when(col("text").isNull, lit(1))).as("null_texts"),
+            sum(conv(substring(md5(coalesce(col("text"), lit("~"))), 1, 8), 16, 10)
+              .cast("long")).as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tgt AS (SELECT lang, doc_id, text, n_chars FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |src AS (SELECT lang, doc_id, text, n_chars,
+             |    CASE WHEN doc_id % 9 = 0 THEN 'touch' ELSE 'bump' END AS op
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |cls AS (
+             |  SELECT t.lang AS t_lang, s.lang AS s_lang,
+             |    t.doc_id AS t_doc_id, s.doc_id AS s_doc_id,
+             |    t.text AS t_text, t.n_chars AS t_n_chars,
+             |    s.n_chars AS s_n_chars, s.op AS op
+             |  FROM tgt t FULL OUTER JOIN src s
+             |    ON t.lang = s.lang AND t.doc_id = s.doc_id),
+             |fin AS (
+             |  -- matched, clause order: bump-update first, else delete
+             |  SELECT t_lang AS lang, t_doc_id AS doc_id, t_text AS text,
+             |    t_n_chars + s_n_chars AS n_chars
+             |  FROM cls WHERE t_doc_id IS NOT NULL AND s_doc_id IS NOT NULL
+             |    AND op = 'bump'
+             |  UNION ALL
+             |  -- not matched: insert listed columns, text NULL
+             |  SELECT s_lang, s_doc_id, NULL, s_n_chars
+             |  FROM cls WHERE t_doc_id IS NULL AND op = 'bump'
+             |  UNION ALL
+             |  -- not matched by source, clause order: %10=8 deletes,
+             |  -- the rest decrement
+             |  SELECT t_lang, t_doc_id, t_text, t_n_chars - 1
+             |  FROM cls WHERE s_doc_id IS NULL AND t_doc_id % 10 <> 8)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS null_texts,
+             |  CAST(sum(('0x' || substr(md5(coalesce(text, '~')), 1, 8))::BIGINT)
+             |    AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)))
 }

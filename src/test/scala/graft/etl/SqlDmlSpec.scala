@@ -1,0 +1,200 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-text DML on manifest tables: `spark.sql("MERGE INTO …")` /
+  * `UPDATE` / `DELETE` driving the SAME ManifestLake engine as the
+  * Scala API, via the injected parser. Pins: statement→engine
+  * dispatch, clause ORDER semantics, partial SET, explicit INSERT
+  * lists, NOT MATCHED BY SOURCE, temp-view targets, loud refusals for
+  * unsupported shapes, and byte-identical passthrough of non-manifest
+  * SQL.
+  */
+class SqlDmlSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(tag).toString + "/table"
+
+  private def seed(dir: String): Unit = {
+    import spark.implicits._
+    val df = (0 until 40).map(i =>
+      (if (i % 2 == 0) "aa" else "bb", i.toLong, s"p$i", i * 10L))
+      .toDF("grp", "id", "payload", "score")
+    ManifestLake.write(spark, df, dir, Seq("grp"), statsCols = Seq("id"))
+  }
+
+  test("DELETE FROM `graft-manifest`.`path` WHERE … runs the engine; SELECT and non-manifest DML pass through") {
+    seed(dirDel)
+    val res = spark.sql(
+      s"DELETE FROM `graft-manifest`.`$dirDel` WHERE id < 10 AND grp = 'aa'")
+      .collect()
+    assert(res.map(_.getLong(0)).toSeq === Seq(2L), "returns the published version")
+    assert(ManifestLake.read(spark, dirDel).count() === 35)
+    assert(ManifestLake.read(spark, dirDel)
+      .where(col("id") < 10 && col("grp") === "aa").count() === 0)
+    // alias form
+    spark.sql(s"DELETE FROM `graft-manifest`.`$dirDel` t WHERE t.id = 39")
+    assert(ManifestLake.read(spark, dirDel).count() === 34)
+    // passthrough: plain SQL over a normal view is untouched
+    spark.range(5).createOrReplaceTempView("sqldml_plain")
+    assert(spark.sql("SELECT count(*) c FROM sqldml_plain").collect()
+      .head.getLong(0) === 5L)
+    // passthrough: DML on a non-manifest relation fails with SPARK's
+    // error, not ours
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM sqldml_plain WHERE id = 1")
+    }
+    assert(!e.getMessage.contains("manifest"),
+      s"non-manifest DELETE must surface Spark's own error, got: ${e.getMessage}")
+  }
+  private val dirDel = freshDir("sqldml-del")
+
+  test("UPDATE … SET expr WHERE … runs the engine (alias stripped, functions allowed)") {
+    seed(dirUpd)
+    val res = spark.sql(
+      s"UPDATE `graft-manifest`.`$dirUpd` u SET payload = upper(u.payload), " +
+        s"score = u.score + 1000 WHERE u.id % 10 = 3").collect()
+    assert(res.map(_.getLong(0)).toSeq === Seq(2L))
+    val r = ManifestLake.read(spark, dirUpd)
+    assert(r.where(col("payload") === "P3" && col("score") === 1030L).count() === 1)
+    assert(r.where(col("id") === 13L && col("payload") === "P13").count() === 1)
+    assert(r.where(col("id") === 2L && col("payload") === "p2").count() === 1,
+      "non-matching rows unchanged")
+  }
+  private val dirUpd = freshDir("sqldml-upd")
+
+  test("MERGE INTO with SET * / INSERT * and per-clause conditions matches the Scala clause matrix") {
+    import spark.implicits._
+    seed(dirMrg)
+    (0 until 60).filter(_ % 3 == 0).map(i =>
+      (if (i % 2 == 0) "aa" else "bb", i.toLong, s"NEW$i", i * 100L))
+      .toDF("grp", "id", "payload", "score")
+      .createOrReplaceTempView("sqldml_src")
+    val res = spark.sql(
+      s"""MERGE INTO `graft-manifest`.`$dirMrg` t
+         |USING sqldml_src s
+         |ON t.grp = s.grp AND t.id = s.id
+         |WHEN MATCHED AND s.id % 12 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND s.score > 4000 THEN INSERT *
+         |""".stripMargin).collect().head
+    assert(res.getLong(0) === 2L)
+    val (upd, del, ins) = (res.getLong(1), res.getLong(2), res.getLong(3))
+    // table rows: ids 0..39; source ids 0,3,..,57. matched = ids in both
+    // (multiples of 3 < 40 with matching grp — grp is id-parity-derived
+    // on both sides, so all match): 0,3,...,39 → 14 ids; of those %12==0:
+    // 0,12,24,36 → 4 deletes; 10 updates. unmatched source ids 42..57
+    // (6 ids) + none below 40; insert requires score>4000 → ids 42,45,
+    // ...,57 with id*100>4000 → all 6 qualify... score = id*100 > 4000
+    // means id > 40 → all 6.
+    assert((upd, del, ins) === (10L, 4L, 6L))
+    val r = ManifestLake.read(spark, dirMrg)
+    assert(r.count() === 40L - 4L + 6L)
+    assert(r.where(col("id") === 6L).select("payload").head().getString(0) === "NEW6")
+    assert(r.where(col("id") === 12L).count() === 0)
+    assert(r.where(col("id") === 57L).select("score").head().getLong(0) === 5700L)
+    assert(r.where(col("id") === 1L).select("payload").head().getString(0) === "p1",
+      "unmatched target rows survive untouched")
+  }
+  private val dirMrg = freshDir("sqldml-merge")
+
+  test("MERGE clause ORDER is SQL first-true-wins; partial SET keeps unassigned columns; explicit INSERT lists NULL unlisted") {
+    import spark.implicits._
+    seed(dirOrd)
+    (0 until 50).filter(_ % 5 == 0).map(i =>
+      (if (i % 2 == 0) "aa" else "bb", i.toLong, i * 100L))
+      .toDF("grp", "id", "score")
+      .createOrReplaceTempView("sqldml_src2")
+    // UPDATE listed FIRST: a matched id%10==0 row hits the UPDATE (cond
+    // id%2=0 true for multiples of 10) BEFORE the later DELETE — SQL
+    // order, the opposite of the engine's old fixed delete-first
+    val res = spark.sql(
+      s"""MERGE INTO `graft-manifest`.`$dirOrd` t
+         |USING sqldml_src2 s
+         |ON t.grp = s.grp AND t.id = s.id
+         |WHEN MATCHED AND s.id % 2 = 0 THEN UPDATE SET score = s.score + t.score
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (grp, id, score) VALUES (s.grp, s.id, s.score)
+         |""".stripMargin).collect().head
+    // matched ids: 0,5,...,35 within 0..39 → 8; even ones (0,10,20,30)
+    // update (order wins), odd ones (5,15,25,35) delete; source ids
+    // 40,45 insert
+    assert((res.getLong(1), res.getLong(2), res.getLong(3)) === (4L, 4L, 2L))
+    val r = ManifestLake.read(spark, dirOrd)
+    // partial SET: payload kept from target, score = s+t
+    assert(r.where(col("id") === 20L).select("payload", "score").head()
+      .toSeq === Seq("p20", 20L * 100 + 20L * 10))
+    assert(r.where(col("id") === 15L).count() === 0)
+    // explicit INSERT list: payload unlisted → NULL
+    assert(r.where(col("id") === 45L).select("payload").head().isNullAt(0))
+    assert(r.where(col("id") === 45L).select("score").head().getLong(0) === 4500L)
+  }
+  private val dirOrd = freshDir("sqldml-order")
+
+  test("NOT MATCHED BY SOURCE UPDATE/DELETE act on unnamed target rows (whole-table rewrite)") {
+    import spark.implicits._
+    seed(dirBys)
+    Seq(("aa", 0L), ("aa", 2L), ("bb", 1L)).toDF("grp", "id")
+      .createOrReplaceTempView("sqldml_src3")
+    val res = spark.sql(
+      s"""MERGE INTO `graft-manifest`.`$dirBys` t
+         |USING sqldml_src3 s
+         |ON t.grp = s.grp AND t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET score = t.score + 1
+         |WHEN NOT MATCHED BY SOURCE AND t.id >= 30 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET payload = 'stale'
+         |""".stripMargin).collect().head
+    // 3 matched update; by-source: ids 30..39 delete (10), remaining
+    // 40-3-10=27 update payload='stale'
+    assert((res.getLong(1), res.getLong(2), res.getLong(3)) === (3L + 27L, 10L, 0L))
+    val r = ManifestLake.read(spark, dirBys)
+    assert(r.count() === 30)
+    assert(r.where(col("id") === 0L).select("score").head().getLong(0) === 1L)
+    assert(r.where(col("id") === 5L).select("payload").head().getString(0) === "stale")
+    assert(r.where(col("id") >= 30L).count() === 0)
+  }
+  private val dirBys = freshDir("sqldml-bysource")
+
+  test("a temp view over graft-manifest is a valid DML target (resolved to its table path)") {
+    seed(dirView)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW sqldml_view
+         |USING `graft-manifest` OPTIONS (path '$dirView')""".stripMargin)
+    spark.sql("DELETE FROM sqldml_view WHERE id < 4")
+    assert(ManifestLake.read(spark, dirView).count() === 36)
+  }
+  private val dirView = freshDir("sqldml-view")
+
+  test("unsupported shapes refuse loudly: non-equi ON, schema evolution, partition-column SET") {
+    import spark.implicits._
+    seed(dirRef)
+    Seq(("aa", 1L)).toDF("grp", "id").createOrReplaceTempView("sqldml_src4")
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql(s"MERGE INTO `graft-manifest`.`$dirRef` t USING sqldml_src4 s " +
+        "ON t.grp = s.grp AND t.id > s.id WHEN MATCHED THEN DELETE")
+    }
+    assert(e1.getMessage.contains("conjunction of t.col = s.col"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO `graft-manifest`.`$dirRef` t " +
+        "USING sqldml_src4 s ON t.grp = s.grp AND t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e2.getMessage.contains("SCHEMA EVOLUTION"))
+    val e3 = intercept[IllegalArgumentException] {
+      spark.sql(s"UPDATE `graft-manifest`.`$dirRef` SET grp = 'cc' WHERE id = 1")
+    }
+    assert(e3.getMessage.toLowerCase.contains("partition"))
+    // an explicit INSERT list missing a partition column refuses
+    val e4 = intercept[IllegalArgumentException] {
+      spark.sql(s"MERGE INTO `graft-manifest`.`$dirRef` t USING sqldml_src4 s " +
+        "ON t.grp = s.grp AND t.id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)")
+    }
+    assert(e4.getMessage.contains("partition column"))
+  }
+  private val dirRef = freshDir("sqldml-refuse")
+}
