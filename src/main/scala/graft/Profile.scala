@@ -191,10 +191,16 @@ object Profile {
       val hops = ManifestLake.CheckpointInterval - 1
       val deltaStats = (1 to hops).map { k =>
         // each commit rewrites 10 files (5 dropped, 10 added elsewhere
-        // in the keyspace) — the steady-stream append/upsert shape
-        files = files.drop(5) ++ (0 until 10).map(j => file(n + k * 100 + j, k))
+        // in the keyspace) — the steady-stream append/upsert shape.
+        // The committer knows its own delta (exactly as the real
+        // commit paths do), so the hint rides along: per-commit work
+        // is O(changed), never O(live).
+        val dropped = files.take(5).map(_.path)
+        val added = (0 until 10).map(j => file(n + k * 100 + j, k))
+        files = files.drop(5) ++ added
         val t = System.nanoTime()
-        ManifestLake.publish(fs, root, k + 1L, files, Some(schema), Seq("lang"))
+        ManifestLake.publish(fs, root, k + 1L, files, Some(schema), Seq("lang"),
+          deltaHint = Some((added, dropped)))
         ((System.nanoTime() - t) / 1e9, bytesOf(k + 1L))
       }
       val head = hops + 1L

@@ -282,15 +282,16 @@ object ManifestLake {
     * ≈ 96 bytes of headers/refs). Order-of-magnitude is all eviction
     * needs.
     */
+  private def fileWeight(f: LiveFile): Long =
+    64L + 2L * f.path.length + f.stats.foldLeft(0L) {
+      case (a, (c, (lo, hi))) => a + 96L + 2L * (c.length + lo.length + hi.length)
+    } + f.nullCounts.foldLeft(0L) { case (a, (c, _)) => a + 64L + 2L * c.length } +
+      f.valueSets.foldLeft(0L) { case (a, (c, vs)) =>
+        a + 96L + 2L * c.length + vs.foldLeft(0L)((b, v) => b + 48L + 2L * v.length)
+      }
+
   private def manifestWeight(m: Manifest): Long =
-    64L + m.files.foldLeft(0L) { (acc, f) =>
-      acc + 64L + 2L * f.path.length + f.stats.foldLeft(0L) {
-        case (a, (c, (lo, hi))) => a + 96L + 2L * (c.length + lo.length + hi.length)
-      } + f.nullCounts.foldLeft(0L) { case (a, (c, _)) => a + 64L + 2L * c.length } +
-        f.valueSets.foldLeft(0L) { case (a, (c, vs)) =>
-          a + 96L + 2L * c.length + vs.foldLeft(0L)((b, v) => b + 48L + 2L * v.length)
-        }
-    }
+    64L + m.files.foldLeft(0L)((acc, f) => acc + fileWeight(f))
 
   /** How many DELTA commits may chain before a publish writes a FULL
     * snapshot again (the checkpoint cadence — Delta Lake's default
@@ -318,46 +319,128 @@ object ManifestLake {
     * full (small) header, and resolution uses the delta's own header
     * verbatim.
     */
-  private[graft] def readManifest(fs: FileSystem, root: Path, v: Long): Manifest = {
+  private[graft] def readManifest(fs: FileSystem, root: Path, v: Long): Manifest =
+    readManifestWeighted(fs, root, v)._1
+
+  /** [[readManifest]] plus the manifest's cache weight — weights are
+    * INCREMENTAL along a delta chain (base weight minus removed entries
+    * plus adds), so only a checkpoint parse ever pays the O(live) fold;
+    * every delta resolution and every [[publish]]-time cache insert
+    * adjusts in O(changed).
+    */
+  private def readManifestWeighted(fs: FileSystem, root: Path,
+                                   v: Long): (Manifest, Long) = {
+    def keyOf(p: Path): (String, Long, Long) = {
+      val st = fs.getFileStatus(p)
+      (fs.makeQualified(p).toString, st.getModificationTime, st.getLen)
+    }
     val p = existingManifestPath(fs, root, v).getOrElse(
       throw new java.io.FileNotFoundException(manifestPath(root, v).toString))
-    val st = fs.getFileStatus(p)
-    val key = (fs.makeQualified(p).toString, st.getModificationTime, st.getLen)
+    val key = keyOf(p)
     manifestCache.synchronized(Option(manifestCache.get(key))) match {
-      case Some((m, _)) => m
+      case Some(hit) => hit
       case None =>
         val (part, deltaRef, removes) = parseManifest(fs, p)
-        val m = deltaRef match {
-          case None => part
-          case Some((base, hops)) =>
-            val baseM =
-              try readManifest(fs, root, base)
-              catch {
-                case e: java.io.FileNotFoundException =>
-                  throw new IllegalStateException(
-                    s"delta manifest v$v references base manifest v$base which " +
-                      "is missing — the base was vacuumed or the manifest dir " +
-                      "was partially copied; the version is unreadable", e)
+        val (m, w) = deltaRef match {
+          case None => (part, manifestWeight(part))
+          case Some((base0, hops)) =>
+            // Resolve the WHOLE chain in one descent + one fused pass:
+            // walk bases down to the first cached version or the
+            // checkpoint, collecting each delta layer (adds, removes,
+            // base) WITHOUT materializing intermediate versions — a
+            // cold head read of a 5M-file table costs the checkpoint
+            // parse plus ONE live-set copy, not one copy per hop.
+            // An added entry REPLACES any base entry at the same path
+            // (that is how an in-place change — new stats, a new DV
+            // mask — rides a delta).
+            var layers = List((part, removes, base0)) // top (v) first
+            var baseVer = base0
+            var resolvedBase: Option[(Manifest, Long)] = None
+            var guard = 0
+            while (resolvedBase.isEmpty) {
+              guard += 1
+              if (guard > CheckpointInterval + 2)
+                throw new IllegalStateException(
+                  s"delta chain under v$v exceeds the checkpoint cadence " +
+                    s"($CheckpointInterval) — corrupt or foreign chain")
+              val bp = existingManifestPath(fs, root, baseVer).getOrElse(
+                throw new IllegalStateException(
+                  s"delta manifest v$v references base manifest v$baseVer which " +
+                    "is missing — the base was vacuumed or the manifest dir " +
+                    "was partially copied; the version is unreadable"))
+              val bkey = keyOf(bp)
+              manifestCache.synchronized(Option(manifestCache.get(bkey))) match {
+                case Some(hit) => resolvedBase = Some(hit)
+                case None =>
+                  val (bpart, bref, bremoves) = parseManifest(fs, bp)
+                  bref match {
+                    case None =>
+                      val hit = (bpart, manifestWeight(bpart))
+                      // cache the checkpoint too: it anchors every
+                      // other version of this chain
+                      cacheManifest(bkey, hit._1, hit._2)
+                      resolvedBase = Some(hit)
+                    case Some((bb, _)) =>
+                      // deeper layers go at the END: `layers` stays
+                      // top(v)-first, which the gone-above sweep needs
+                      layers = layers :+ ((bpart, bremoves, bb))
+                      baseVer = bb
+                  }
               }
-            // an added entry REPLACES any base entry at the same path
-            // (that is how an in-place change — new stats, a new
-            // deletion-vector mask — rides a delta)
-            val gone = removes.toSet ++ part.files.map(_.path)
-            part.copy(files = baseM.files.filterNot(f => gone(f.path)) ++ part.files,
-              chain = hops, baseVersions = baseM.baseVersions :+ base)
+            }
+            val (baseM, baseW) = resolvedBase.get
+            // top-first sweep: a layer's adds survive unless a layer
+            // ABOVE removed or replaced that path; then everything a
+            // layer touched is gone for the layers below it
+            var goneAbove = Set.empty[String]
+            val surviving = layers.map { case (lp, lrm, _) =>
+              val surv = lp.files.filterNot(f => goneAbove(f.path))
+              goneAbove = goneAbove ++ lrm ++ lp.files.map(_.path)
+              surv
+            }
+            val (kept, keptW) = keepExcept(baseM.files, goneAbove, baseW)
+            // bottom-up concatenation reproduces the sequential
+            // resolution order exactly: base survivors, then each
+            // layer's surviving adds, oldest layer first
+            val files = kept ++ surviving.reverse.flatten
+            val addW = surviving.foldLeft(0L)((a, s) =>
+              a + s.foldLeft(0L)((b, f) => b + fileWeight(f)))
+            (part.copy(files = files, chain = hops,
+              baseVersions = baseM.baseVersions ++ layers.map(_._3).reverse),
+              keptW + addW)
         }
-        val w = manifestWeight(m)
-        manifestCache.synchronized {
-          if (manifestCache.put(key, (m, w)) == null) manifestCacheBytes += w
-          val it = manifestCache.entrySet().iterator()
-          while (manifestCacheBytes > manifestCacheMaxBytes && manifestCache.size() > 1) {
-            manifestCacheBytes -= it.next().getValue._2
-            it.remove()
-          }
-        }
-        m
+        cacheManifest(key, m, w)
+        (m, w)
     }
   }
+
+  /** `files` minus the entries whose path is in `gone`, in one fused
+    * pass that also adjusts `baseWeight` down by the removed entries —
+    * the O(changed)-weight leg of delta resolution.
+    */
+  private def keepExcept(files: Seq[LiveFile], gone: Set[String],
+                         baseWeight: Long): (Seq[LiveFile], Long) =
+    if (gone.isEmpty) (files, baseWeight)
+    else {
+      var w = baseWeight
+      val b = scala.collection.immutable.ArraySeq.newBuilder[LiveFile]
+      b.sizeHint(files.length)
+      files.foreach { f =>
+        if (gone(f.path)) w -= fileWeight(f) else b += f
+      }
+      (b.result(), w)
+    }
+
+  private def cacheManifest(key: (String, Long, Long), m: Manifest,
+                            w: Long): Unit =
+    manifestCache.synchronized {
+      if (manifestCache.put(key, (m, w)) == null) manifestCacheBytes += w
+      val it = manifestCache.entrySet().iterator()
+      while (manifestCacheBytes > manifestCacheMaxBytes && manifestCache.size() > 1) {
+        manifestCacheBytes -= it.next().getValue._2
+        it.remove()
+      }
+    }
 
   /** One manifest FILE's content: the manifest with data lines as
     * `files` (for a delta: just the adds), the `#delta` (base, hops)
@@ -367,11 +450,27 @@ object ManifestLake {
                             p: Path): (Manifest, Option[(Long, Int)], Seq[String]) = {
     val raw = fs.open(p)
     val in: java.io.InputStream =
-      if (p.getName.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    val (directives, data) = lines.filter(_.nonEmpty).partition(_.startsWith("#"))
+      if (p.getName.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16)
+      else raw
+    // BufferedReader.readLine, not scala.io.Source: Source's per-char
+    // iterator costs multiple seconds extra on a 5M-line checkpoint
+    val (directives, data) = {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8),
+        1 << 20)
+      try {
+        val dirs = List.newBuilder[String]
+        val dat = scala.collection.immutable.ArraySeq.newBuilder[String]
+        var line = br.readLine()
+        while (line != null) {
+          if (line.nonEmpty) {
+            if (line.charAt(0) == '#') dirs += line else dat += line
+          }
+          line = br.readLine()
+        }
+        (dirs.result(), dat.result())
+      } finally br.close()
+    }
     val dmap = directives.map { d =>
       val i = d.indexOf('\t')
       if (i < 0) (d, "") else (d.substring(0, i), d.substring(i + 1))
@@ -413,21 +512,32 @@ object ManifestLake {
     }
     val removes = directives.filter(_.startsWith("#remove\t"))
       .map(_.substring("#remove\t".length))
-    val files = data.map { line =>
-      // `bytes\tpath` or `bytes\tpath\t<stats json>` — JSON string
-      // escaping keeps tabs/newlines inside values off the line.
-      // (Batching all stat blobs into one JSON-array parse was tried
-      // and measured SLOWER at the 1M-line ceiling: the concatenated
-      // string + whole-file AST thrash the heap, while per-line parse
-      // stays in the nursery. The cache above is what removes the
-      // per-query cost; the cold parse is a once-per-content price.)
+    // `bytes\tpath` or `bytes\tpath\t<stats json>` — JSON string
+    // escaping keeps tabs/newlines inside values off the line.
+    // (Batching all stat blobs into one JSON-array parse was tried
+    // and measured SLOWER at the 1M-line ceiling: the concatenated
+    // string + whole-file AST thrash the heap, while per-line parse
+    // stays in the nursery. The cache above is what removes the
+    // per-query cost; the cold parse is a once-per-content price —
+    // and above a size floor the independent lines parse in PARALLEL,
+    // which is what keeps a 5M-line checkpoint's cold read in single
+    // seconds instead of a minute of single-threaded JSON.)
+    def parseLine(line: String): LiveFile =
       line.split("\t", 3) match {
         case Array(b, p) => LiveFile(b.toLong, p)
         case Array(b, p, statsJson) =>
           val (bounds, rows, nulls, sets, dv, dvRows, bloom) = parseStats(statsJson)
           LiveFile(b.toLong, p, bounds, rows, nulls, sets, dv, dvRows, bloom)
       }
-    }
+    val files: Seq[LiveFile] =
+      if (data.length < 100000) data.map(parseLine)
+      else {
+        val arr = data.toArray
+        val out = new Array[LiveFile](arr.length)
+        java.util.stream.IntStream.range(0, arr.length).parallel()
+          .forEach(i => out(i) = parseLine(arr(i)))
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
     (Manifest(schema, partCols, files, txns, op, cdf, constraints,
       if (colMapEntries.isEmpty) None else Some(colMapEntries), dropped,
       bloomCols, generated), deltaRef, removes)
@@ -568,7 +678,8 @@ object ManifestLake {
                            colMap: Option[Seq[(String, String)]] = None,
                            droppedPhys: Seq[String] = Seq.empty,
                            bloomCols: Seq[String] = Seq.empty,
-                           generated: Seq[(String, String)] = Seq.empty): Unit = {
+                           generated: Seq[(String, String)] = Seq.empty,
+                           deltaHint: Option[(Seq[LiveFile], Seq[String])] = None): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
     txns.keys.foreach(app => require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
@@ -618,47 +729,99 @@ object ManifestLake {
     // not actually be smaller — a replace naturally snapshots). The
     // header is always written in full: it is small and keeping it
     // whole means resolution never merges table-shape state.
-    val prevM: Option[Manifest] =
+    val timing = sys.env.contains("GRAFT_PUBLISH_TIMING")
+    var tMark = System.nanoTime()
+    def mark(label: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      println(f"PUBLISH_TIMING v$v $label ${(now - tMark) / 1e9}%.3fs")
+      tMark = now
+    }
+    val prevMW: Option[(Manifest, Long)] =
       if (v <= 1) None
-      else try Some(readManifest(fs, root, v - 1))
+      else try Some(readManifestWeighted(fs, root, v - 1))
       catch {
         case _: java.io.FileNotFoundException => None
         case _: IllegalStateException => None // broken base chain: snapshot
       }
+    val prevM: Option[Manifest] = prevMW.map(_._1)
+    mark("readPrev")
     val delta: Option[(Seq[LiveFile], Seq[String], Int)] = prevM.flatMap { pm =>
       if (pm.chain + 1 >= CheckpointInterval) None
-      else {
-        // reference-equality fast path: carried-by-reference entries
-        // are the SAME objects the caller took from the read manifest,
-        // so the common unchanged case never pays the full case-class
-        // compare (whose stats-map equality dominated an 800k-file
-        // delta diff at ~3s; with the fast path the diff is sub-second)
-        val prevByPath = new java.util.HashMap[String, LiveFile](pm.files.length * 2)
-        pm.files.foreach(f => prevByPath.put(f.path, f))
-        val newPaths = new java.util.HashSet[String](files.length * 2)
-        files.foreach(f => newPaths.add(f.path))
-        val adds = files.filterNot { f =>
-          val p = prevByPath.get(f.path)
-          (p ne null) && ((p eq f) || p == f)
-        }
-        val removes = pm.files.collect {
-          case f if !newPaths.contains(f.path) => f.path
-        }
-        if (adds.length + removes.length < files.length)
-          Some((adds, removes, pm.chain + 1))
-        else None
+      else deltaHint match {
+        // EXPLICIT HINT: the committer states its own adds/removes —
+        // every committing path constructs `files` as
+        // `carried.filterNot(removed) ++ staged`, so the delta is known
+        // EXACTLY at the source and the O(live) diff below (two
+        // live-set-sized hash structures per commit — the whole
+        // per-commit wall at the 5M-file shape) is skipped. The hint is
+        // an internal contract (publish is private[graft]); the delta
+        // spec pins hint-resolution equality against the no-hint diff.
+        case Some((adds, removes)) =>
+          if (adds.length + removes.length < files.length)
+            Some((adds, removes, pm.chain + 1))
+          else None
+        // metadata-only commits (constraints, column mapping, widen
+        // without stats change, gencol on an empty table) pass the read
+        // manifest's files Seq ITSELF — whole-collection reference
+        // equality proves an empty delta without touching an entry
+        case None if pm.files eq files =>
+          Some((Seq.empty, Seq.empty, pm.chain + 1))
+        case None =>
+          // reference-equality fast path: carried-by-reference entries
+          // are the SAME objects the caller took from the read manifest,
+          // so the common unchanged case never pays the full case-class
+          // compare (whose stats-map equality dominated an 800k-file
+          // delta diff at ~3s; with the fast path the diff is sub-second)
+          val prevByPath = new java.util.HashMap[String, LiveFile](pm.files.length * 2)
+          pm.files.foreach(f => prevByPath.put(f.path, f))
+          val newPaths = new java.util.HashSet[String](files.length * 2)
+          files.foreach(f => newPaths.add(f.path))
+          val adds = files.filterNot { f =>
+            val p = prevByPath.get(f.path)
+            (p ne null) && ((p eq f) || p == f)
+          }
+          val removes = pm.files.collect {
+            case f if !newPaths.contains(f.path) => f.path
+          }
+          if (adds.length + removes.length < files.length)
+            Some((adds, removes, pm.chain + 1))
+          else None
       }
     }
-    val body = delta match {
-      case Some((adds, removes, hops)) =>
-        header ++ Seq(s"#delta\t${v - 1}\t$hops") ++
-          removes.sorted.map(r => s"#remove\t$r") ++
-          adds.sortBy(_.path).map(fileLine)
-      case None => header ++ files.sortBy(_.path).map(fileLine)
+    mark("diff")
+    // Render entry lines IN PARALLEL above a size floor (per-entry
+    // stats-JSON rendering dominates a multi-million-line checkpoint;
+    // the lines are independent), then STREAM them through the gzip
+    // sink — a 5M-file snapshot must not materialize a 50MB+ body
+    // string on top of its line array. gzip itself is inherently
+    // serial; the render is what parallelism can reclaim.
+    def renderLines(fls: Seq[LiveFile]): Array[String] = {
+      val arr = fls.toArray
+      val out = new Array[String](arr.length)
+      if (arr.length < 100000) {
+        var i = 0
+        while (i < arr.length) { out(i) = fileLine(arr(i)); i += 1 }
+      } else
+        java.util.stream.IntStream.range(0, arr.length).parallel()
+          .forEach(i => out(i) = fileLine(arr(i)))
+      out
     }
-    val out = new java.util.zip.GZIPOutputStream(fs.create(tmp, true))
-    try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    val bodyLines: Iterator[String] = delta match {
+      case Some((adds, removes, hops)) =>
+        header.iterator ++ Iterator(s"#delta\t${v - 1}\t$hops") ++
+          removes.sorted.iterator.map(r => s"#remove\t$r") ++
+          renderLines(adds.sortBy(_.path)).iterator
+      case None => header.iterator ++ renderLines(files.sortBy(_.path)).iterator
+    }
+    mark("render")
+    val out = new java.io.BufferedOutputStream(
+      new java.util.zip.GZIPOutputStream(fs.create(tmp, true)), 1 << 20)
+    try {
+      bodyLines.foreach { l =>
+        out.write(l.getBytes("UTF-8")); out.write('\n')
+      }
+    } finally out.close()
+    mark("write")
     // a PLAIN-extension manifest for this version (older library
     // version racing, or a partially-migrated table) means the version
     // is taken — the no-overwrite rename only guards the gz name, so
@@ -747,6 +910,39 @@ object ManifestLake {
           "serialize committers). The gz manifest was withdrawn; the table " +
           "is intact at the winner's version.")
     }
+    // CACHE WHAT WAS JUST PUBLISHED: the next commit's readManifest(v)
+    // — and every query planned before another commit lands — would
+    // otherwise re-parse (for a checkpoint, re-parse 10s of MB; the
+    // first delta after a 5M-file snapshot measured a 160s cliff). The
+    // resolved live set is in hand; construct it in EXACTLY the order a
+    // re-parse would produce (snapshot: path-sorted; delta: base minus
+    // gone, adds path-sorted appended) so cached and re-parsed views
+    // are indistinguishable. Manifests are immutable and the rename
+    // just won this version, so the entry can never be stale.
+    // Best-effort: the publish has LANDED — a cache hiccup must not
+    // unland it.
+    try {
+      val (resolvedFiles, w) = delta match {
+        case Some((adds, removes, _)) =>
+          val addsSorted = adds.sortBy(_.path)
+          val gone = removes.toSet ++ adds.map(_.path)
+          val (kept, keptW) = keepExcept(prevM.get.files, gone, prevMW.get._2)
+          (kept ++ addsSorted,
+            keptW + addsSorted.foldLeft(0L)((a, f) => a + fileWeight(f)))
+        case None =>
+          val sorted = files.sortBy(_.path)
+          (sorted, 64L + sorted.foldLeft(0L)((a, f) => a + fileWeight(f)))
+      }
+      val resolved = Manifest(schema, partCols, resolvedFiles, txns, op, cdf,
+        constraints, colMap.filter(_.nonEmpty), droppedPhys, bloomCols, generated,
+        chain = delta.map(_._3).getOrElse(0),
+        baseVersions =
+          delta.map(_ => prevM.get.baseVersions :+ (v - 1)).getOrElse(Seq.empty))
+      val st = fs.getFileStatus(target)
+      val key = (fs.makeQualified(target).toString, st.getModificationTime, st.getLen)
+      cacheManifest(key, resolved, w)
+      mark("cacheInsert")
+    } catch { case _: Throwable => () }
   }
 
   /** Terminal arm of every optimistic-retry loop: after the bounded
@@ -1326,7 +1522,10 @@ object ManifestLake {
           constraints = prev.map(_.constraints).getOrElse(Map.empty),
           colMap = colMapOut,
           droppedPhys = droppedOut, bloomCols = bloomColsOut,
-          generated = genCols)
+          generated = genCols,
+          // an append drops nothing: the delta is exactly the staged
+          // files (a replace rewrites wholesale and snapshots)
+          deltaHint = if (replace) None else Some((withStats, Seq.empty)))
         return curV
       } catch {
         case e: IllegalStateException if !replace && attempt >= 5 =>
@@ -2164,7 +2363,8 @@ object ManifestLake {
           curM.schema, curM.partCols, curM.txns, op = Some("compact"),
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
-          generated = curM.generated)
+          generated = curM.generated,
+          deltaHint = Some((withStats, inputPaths.toSeq)))
         return report
       } catch {
         case e: IllegalStateException if attempt >= 5 =>
@@ -2508,7 +2708,8 @@ object ManifestLake {
           curM.txns ++ txn.toMap, op = Some("upsert"), cdf = relCdf,
           constraints = manifest.constraints, colMap = colMapOutU,
           droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
-          generated = manifest.generated)
+          generated = manifest.generated,
+          deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
         return curV
       } catch {
         case e: IllegalStateException if attempt >= 5 =>
@@ -3008,7 +3209,8 @@ object ManifestLake {
             curM.txns ++ txn.toMap, op = Some("merge"), cdf = relCdf,
             constraints = manifest.constraints, colMap = manifest.colMap,
             droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
-            generated = manifest.generated)
+            generated = manifest.generated,
+            deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
           return MergeStats(curV, nUpd, nDel, nIns)
         } catch {
           case e: IllegalStateException if attempt >= 5 =>
@@ -3343,7 +3545,8 @@ object ManifestLake {
           curM.txns ++ txn.toMap, op = Some("delete"), cdf = relCdf,
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
-          generated = curM.generated)
+          generated = curM.generated,
+          deltaHint = Some((staged, candidatePaths.toSeq)))
         return curV
       } catch {
         case e: IllegalStateException if attempt >= 5 =>
@@ -3821,7 +4024,8 @@ object ManifestLake {
           curM.txns ++ txn.toMap, op = Some("update"), cdf = relCdf,
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
-          generated = curM.generated)
+          generated = curM.generated,
+          deltaHint = Some((staged, candidatePaths.toSeq)))
         return curV
       } catch {
         case e: IllegalStateException if attempt >= 5 =>
@@ -3947,7 +4151,7 @@ object ManifestLake {
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("constraint"), constraints = m.constraints + (name -> expression),
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
-      generated = m.generated)
+      generated = m.generated, deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
 
@@ -3963,7 +4167,7 @@ object ManifestLake {
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("constraint"), constraints = m.constraints - name,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
-      generated = m.generated)
+      generated = m.generated, deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
 

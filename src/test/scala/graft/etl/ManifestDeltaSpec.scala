@@ -137,6 +137,50 @@ class ManifestDeltaSpec extends AnyFunSuite {
     } finally ManifestLake.CheckpointInterval = prev
   }
 
+  test("the publish-time cached manifest is indistinguishable from a cold re-parse — entries, weights, chain, ORDER") {
+    import spark.implicits._
+    val prev = ManifestLake.CheckpointInterval
+    ManifestLake.CheckpointInterval = 4
+    try {
+      val dir = freshDir("mlake-delta-cachetwin")
+      val (fs, root) = ManifestLake.fsFor(spark, dir)
+      // exercise every hinted commit kind: append (adds only), DV
+      // delete (in-place replace), upsert (drop+add), metadata-only
+      // (constraint), compact (drop many, add few)
+      ManifestLake.write(spark,
+        (0 until 40).map(i => (s"g${i % 2}", i.toLong, s"p$i"))
+          .toDF("grp", "pos", "payload"),
+        dir, Seq("grp"), statsCols = Seq("pos"))                             // v1
+      ManifestLake.write(spark, Seq(("g0", 100L, "a")).toDF("grp", "pos", "payload"),
+        dir, Seq("grp"), replace = false, statsCols = Seq("pos"))            // v2 delta
+      ManifestLake.delete(spark, dir, col("pos") === 3L,
+        deletionVectors = true)                                              // v3 delta
+      ManifestLake.addConstraint(spark, dir, "pos_ok", "pos >= 0")           // v4: metadata
+      ManifestLake.upsert(spark, dir,
+        Seq(("g1", 1L, "UPD")).toDF("grp", "pos", "payload"),
+        Seq("grp"), Seq("grp", "pos"))                                       // v5
+      (1L to 5L).foreach { v =>
+        // the warm read comes from the publish-time cache insert; the
+        // cold one re-parses the actual written bytes through the
+        // one-pass chain resolution — they must agree on EVERYTHING,
+        // including file ORDER (scan order must not depend on whether
+        // the reader is the committer)
+        val warm = ManifestLake.readManifest(fs, root, v)
+        ManifestLake.clearManifestCache()
+        val cold = ManifestLake.readManifest(fs, root, v)
+        assert(warm.files.map(_.path) === cold.files.map(_.path),
+          s"v$v: cached file order diverges from a re-parse")
+        assert(warm.files === cold.files, s"v$v: cached entries diverge")
+        assert(warm.copy(files = Seq.empty) === cold.copy(files = Seq.empty),
+          s"v$v: cached header state diverges")
+        assert(warm.chain === cold.chain && warm.baseVersions === cold.baseVersions,
+          s"v$v: chain bookkeeping diverges (warm ${warm.chain}/${warm.baseVersions} " +
+            s"vs cold ${cold.chain}/${cold.baseVersions})")
+      }
+      assert(ManifestLake.read(spark, dir).count() === 40L) // 41 - 1 masked
+    } finally ManifestLake.CheckpointInterval = prev
+  }
+
   test("vacuum retains the base chain kept delta versions resolve through") {
     import spark.implicits._
     val prev = ManifestLake.CheckpointInterval
