@@ -55,7 +55,7 @@ object Graft {
     Op("lake", "SQL-text DML: spark.sql MERGE INTO / UPDATE / DELETE on graft-manifest targets via injected parser (multipart path or temp view)", "graft.etl.GraftSqlParser via graft.functions.GraftExtensions", "q117, q118, q119"),
     Op("lake", "full-clause MERGE: ordered WHEN clauses, partial SET, explicit INSERT lists, NOT MATCHED BY SOURCE update/delete", "graft.etl.ManifestLake.mergeClauses", "q119"),
     Op("lake", "DV-aware maintenance: rewrite files past maxMaskedFraction (REORG APPLY PURGE analog)", "graft.etl.ManifestLake.maintain/compact", "spec"),
-    Op("lake", "nested-column schema evolution: struct columns first-class, nested-field targets refuse typed, nested-ref expressions lock their roots", "graft.etl.ManifestLake", "spec"),
+    Op("lake", "nested-column schema evolution: struct columns first-class; ONE-level nested-field RENAME (fieldmap, positional-cast boundary) and WIDEN (reader upcast) metadata-only; drop/deeper refuse typed; nested-ref expressions lock their exact field", "graft.etl.ManifestLake.renameColumn/widenColumnType (dotted targets)", "spec"),
     Op("stream", "streaming CDC apply: foreachBatch conditional merge, txn-ledger exactly-once across restart", "graft.streaming.EventStreams.manifestMergeSink", "spec"),
     Op("lake", "commit history narration (DESCRIBE HISTORY analog: kinds, sizes, txn ledger)", "graft.etl.ManifestLake.history", "spec"),
     Op("lake", "table detail (DESCRIBE DETAIL analog: head summary + per-column stats coverage)", "graft.etl.ManifestLake.detail", "spec"),

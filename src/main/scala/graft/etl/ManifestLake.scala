@@ -237,6 +237,7 @@ object ManifestLake {
                                          droppedPhys: Seq[String] = Seq.empty,
                                          bloomCols: Seq[String] = Seq.empty,
                                          generated: Seq[(String, String)] = Seq.empty,
+                                         fieldMap: Seq[(String, String, String)] = Seq.empty,
                                          chain: Int = 0,
                                          baseVersions: Seq[Long] = Seq.empty)
 
@@ -506,6 +507,12 @@ object ManifestLake {
       val i = rest.indexOf('\t')
       rest.substring(0, i) -> rest.substring(i + 1)
     }
+    // one-level nested-field renames: (physical root column,
+    // logical field name, physical field name)
+    val fieldMap = directives.filter(_.startsWith("#fieldmap\t")).map { d =>
+      val parts = d.split("\t")
+      (parts(1), parts(2), parts(3))
+    }
     val deltaRef = dmap.get("#delta").map { s =>
       val parts = s.split("\t")
       (parts(0).toLong, parts(1).toInt)
@@ -540,7 +547,7 @@ object ManifestLake {
       }
     (Manifest(schema, partCols, files, txns, op, cdf, constraints,
       if (colMapEntries.isEmpty) None else Some(colMapEntries), dropped,
-      bloomCols, generated), deltaRef, removes)
+      bloomCols, generated, fieldMap), deltaRef, removes)
   }
 
   /** Stats blob: `{"col": ["lo","hi"], …, "#rows": n, "#nulls":
@@ -679,6 +686,7 @@ object ManifestLake {
                            droppedPhys: Seq[String] = Seq.empty,
                            bloomCols: Seq[String] = Seq.empty,
                            generated: Seq[(String, String)] = Seq.empty,
+                           fieldMap: Seq[(String, String, String)] = Seq.empty,
                            deltaHint: Option[(Seq[LiveFile], Seq[String])] = None): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
@@ -714,6 +722,7 @@ object ManifestLake {
       droppedPhys.map(p => s"#coldropped\t$p") ++
       (if (bloomCols.isEmpty) Nil else Seq(s"#bloomcols\t${bloomCols.mkString(",")}")) ++
       generated.map { case (n, e) => s"#gencol\t$n\t$e" } ++
+      fieldMap.map { case (c, l, ph) => s"#fieldmap\t$c\t$l\t$ph" } ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
     def fileLine(f: LiveFile): String =
       if (f.stats.isEmpty && f.rows.isEmpty && f.nullCounts.isEmpty &&
@@ -935,6 +944,7 @@ object ManifestLake {
       }
       val resolved = Manifest(schema, partCols, resolvedFiles, txns, op, cdf,
         constraints, colMap.filter(_.nonEmpty), droppedPhys, bloomCols, generated,
+        fieldMap,
         chain = delta.map(_._3).getOrElse(0),
         baseVersions =
           delta.map(_ => prevM.get.baseVersions :+ (v - 1)).getOrElse(Seq.empty))
@@ -1350,7 +1360,7 @@ object ManifestLake {
     // A replace resets the mapping: the table becomes exactly this
     // batch, physical = logical again.
     val mapping = if (replace) None else prev.flatMap(_.colMap)
-    val (dfP, colMapOut, droppedOut) = mapping match {
+    val (dfP0, colMapOut, droppedOut) = mapping match {
       case None =>
         (dfG, None, if (replace) Seq.empty[String]
                     else prev.map(_.droppedPhys).getOrElse(Seq.empty))
@@ -1359,6 +1369,13 @@ object ManifestLake {
         val (p, extended) = batchToPhysical(dfG, cm, dropped)
         (p, Some(extended), dropped)
     }
+    // nested-renamed columns arrive with LOGICAL field names; cast to
+    // the recorded physical names so every staged file stores one
+    // uniform nested layout (and the additive-widen shape check below
+    // compares physical-to-physical)
+    val dfP =
+      if (replace) dfP0
+      else prev.map(nestedToPhysical(dfP0, _)).getOrElse(dfP0)
     val statsColsP = mapping match {
       case None => statsCols
       case Some(cm) =>
@@ -1443,12 +1460,19 @@ object ManifestLake {
       prev.map(effectiveConstraints).getOrElse(Map.empty).toSeq.sortBy(_._1)
     // constraints are stored in LOGICAL names — translate to physical
     // for enforcement against the renamed batch
-    val consSeq = mapping match {
-      case None => consLogical
-      case Some(cm) =>
+    val prevFieldMap =
+      if (replace) Seq.empty else prev.map(_.fieldMap).getOrElse(Seq.empty)
+    val consSeq =
+      if (mapping.isEmpty && prevFieldMap.isEmpty) consLogical
+      else {
+        val cm = mapping.getOrElse(
+          prev.flatMap(_.schema).map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+            .map(n => n -> n))
         val full = cm ++ colMapOut.toSeq.flatten.filterNot(cm.contains)
-        consLogical.map { case (n, e) => n -> exprToPhysical(spark, e, full) }
-    }
+        consLogical.map { case (n, e) =>
+          n -> exprToPhysical(spark, e, full, prevFieldMap)
+        }
+      }
     consSeq.foreach { case (n, e) =>
       try { dfP.select(expr(e)); () } catch {
         case ex: org.apache.spark.sql.AnalysisException =>
@@ -1523,6 +1547,7 @@ object ManifestLake {
           colMap = colMapOut,
           droppedPhys = droppedOut, bloomCols = bloomColsOut,
           generated = genCols,
+          fieldMap = curPrev.map(_.fieldMap).getOrElse(Seq.empty),
           // an append drops nothing: the delta is exactly the staged
           // files (a replace rewrites wholesale and snapshots)
           deltaHint = if (replace) None else Some((withStats, Seq.empty)))
@@ -1552,6 +1577,10 @@ object ManifestLake {
             s"append to $path lost its race to a commit that changed the " +
               "table's column mapping — the batch was renamed under the old " +
               "mapping; re-run the append")
+          require(headM.fieldMap == prevFieldMap,
+            s"append to $path lost its race to a commit that changed the " +
+              "table's nested-field mapping — the batch's struct columns were " +
+              "cast under the old mapping; re-run the append")
           curSchema = headM.schema match {
             case Some(recorded) =>
               require(headM.partCols == partitionCols,
@@ -1676,6 +1705,11 @@ object ManifestLake {
       throw new IllegalArgumentException(
         s"$path uses column mapping (renamed/dropped columns) — the raw " +
           "graft-manifest relation would serve PHYSICAL column names; read " +
+          "it with ManifestLake.read (and register a temp view for SQL)")
+    if (m.fieldMap.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$path uses nested-field mapping (renamed struct fields) — the raw " +
+          "graft-manifest relation would serve PHYSICAL field names; read " +
           "it with ManifestLake.read (and register a temp view for SQL)")
     if (m.files.exists(_.dv.isDefined))
       throw new IllegalArgumentException(
@@ -2363,7 +2397,7 @@ object ManifestLake {
           curM.schema, curM.partCols, curM.txns, op = Some("compact"),
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
-          generated = curM.generated,
+          generated = curM.generated, fieldMap = curM.fieldMap,
           deltaHint = Some((withStats, inputPaths.toSeq)))
         return report
       } catch {
@@ -2475,12 +2509,14 @@ object ManifestLake {
     // rendering is untouched); the extended mapping publishes with the
     // commit
     val mappingU = manifest.colMap
-    val (updatesP, colMapOutU) = mappingU match {
+    val (updatesP0, colMapOutU) = mappingU match {
       case None => (updates, None)
       case Some(cm) =>
         val (pp, ext) = batchToPhysical(updates, cm, manifest.droppedPhys)
         (pp, Some(ext))
     }
+    // nested-renamed columns: logical field names -> recorded physical
+    val updatesP = nestedToPhysical(updatesP0, manifest)
     val keyColsP = mappingU match {
       case None => keyCols
       case Some(_) =>
@@ -2574,11 +2610,15 @@ object ManifestLake {
     // before publish, stage withdrawn on failure
     val consSeqU = {
       val logical = effectiveConstraints(manifest).toSeq.sortBy(_._1)
-      mappingU match {
-        case None => logical
-        case Some(cm) =>
-          val full = cm ++ colMapOutU.toSeq.flatten.filterNot(cm.contains)
-          logical.map { case (n, e) => n -> exprToPhysical(spark, e, full) }
+      if (mappingU.isEmpty && manifest.fieldMap.isEmpty) logical
+      else {
+        val cm = mappingU.getOrElse(
+          manifest.schema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+            .map(n => n -> n))
+        val full = cm ++ colMapOutU.toSeq.flatten.filterNot(cm.contains)
+        logical.map { case (n, e) =>
+          n -> exprToPhysical(spark, e, full, manifest.fieldMap)
+        }
       }
     }
     consSeqU.foreach { case (n, e) =>
@@ -2708,7 +2748,7 @@ object ManifestLake {
           curM.txns ++ txn.toMap, op = Some("upsert"), cdf = relCdf,
           constraints = manifest.constraints, colMap = colMapOutU,
           droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
-          generated = manifest.generated,
+          generated = manifest.generated, fieldMap = manifest.fieldMap,
           deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
         return curV
       } catch {
@@ -2730,7 +2770,8 @@ object ManifestLake {
           if (headAffected != affectedFiles.toSet ||
             headM.schema != manifest.schema || headM.partCols != partitionCols ||
             effectiveConstraints(headM) != effectiveConstraints(manifest) ||
-            headM.colMap != manifest.colMap) {
+            headM.colMap != manifest.colMap ||
+              headM.fieldMap != manifest.fieldMap) {
             fs.delete(commitDir, true)
             throw new IllegalStateException(
               s"upsert of $path lost its race to a commit that touched its " +
@@ -3184,12 +3225,10 @@ object ManifestLake {
           // change files store PHYSICAL names (the feed aliases to
           // logical at its boundary); keep the metadata column through
           // the mapping select
-          val physChanges = manifest.colMap match {
-            case None => changes
-            case Some(cm) =>
-              changes.select(cm.map { case (l, p) => col(l).as(p) } :+
-                col(ChangeTypeCol): _*)
-          }
+          val physChanges =
+            if (manifest.colMap.isEmpty && manifest.fieldMap.isEmpty) changes
+            else changes.select(
+              physicalProjection(manifest) :+ col(ChangeTypeCol): _*)
           physChanges.repartition(partitionCols.map(col): _*)
             .write.mode(SaveMode.Overwrite).parquet(cdfP.toString)
           val rootQ = fs.makeQualified(root).toString
@@ -3209,7 +3248,7 @@ object ManifestLake {
             curM.txns ++ txn.toMap, op = Some("merge"), cdf = relCdf,
             constraints = manifest.constraints, colMap = manifest.colMap,
             droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
-            generated = manifest.generated,
+            generated = manifest.generated, fieldMap = manifest.fieldMap,
             deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
           return MergeStats(curV, nUpd, nDel, nIns)
         } catch {
@@ -3232,7 +3271,8 @@ object ManifestLake {
             if (headAffected != affectedFiles.toSet ||
               headM.schema != manifest.schema || headM.partCols != partitionCols ||
               effectiveConstraints(headM) != effectiveConstraints(manifest) ||
-              headM.colMap != manifest.colMap) {
+              headM.colMap != manifest.colMap ||
+              headM.fieldMap != manifest.fieldMap) {
               fs.delete(commitDir, true)
               throw new IllegalStateException(
                 s"merge of $path lost its race to a commit that touched its " +
@@ -3297,35 +3337,121 @@ object ManifestLake {
     * mapping is active. `extraCols` (e.g. the change feed's metadata
     * columns) pass through after the mapped ones.
     */
+  /** LOGICAL data type of physical column `p` (type `physType`):
+    * identical unless the column carries one-level nested-field
+    * renames, which rewrite the struct's (or array<struct>'s) field
+    * NAMES — never types or order, which is what makes the boundary
+    * conversion a pure positional struct cast.
+    */
+  private def logicalTypeOf(m: Manifest, p: String,
+                            physType: DataType): DataType = {
+    val fm = m.fieldMap.filter(_._1 == p)
+    if (fm.isEmpty) physType
+    else {
+      val byPhysField = fm.map { case (_, l, pf) => pf -> l }.toMap
+      def renameFields(st: StructType): StructType =
+        StructType(st.fields.map(f =>
+          f.copy(name = byPhysField.getOrElse(f.name, f.name))))
+      physType match {
+        case st: StructType => renameFields(st)
+        case at: org.apache.spark.sql.types.ArrayType =>
+          at.elementType match {
+            case st: StructType => at.copy(elementType = renameFields(st))
+            case _ => physType
+          }
+        case _ => physType
+      }
+    }
+  }
+
+  /** The boundary conversion for one mapped column: a positional
+    * struct cast when nested-field renames apply (field names differ,
+    * types and order are identical by construction), a bare alias
+    * otherwise.
+    */
+  private def boundaryCol(m: Manifest, from: String, to: String,
+                          targetType: Option[DataType]): Column =
+    targetType match {
+      case Some(t) => col(from).cast(t).as(to)
+      case None => col(from).as(to)
+    }
+
   private def toLogical(df: DataFrame, m: Manifest,
                         extraCols: Seq[String] = Seq.empty): DataFrame =
-    m.colMap match {
-      case None => df
-      case Some(cm) =>
-        df.select(cm.map { case (l, p) => col(p).as(l) } ++
-          extraCols.map(col): _*)
+    if (m.colMap.isEmpty && m.fieldMap.isEmpty) df
+    else {
+      val cm = m.colMap.getOrElse(
+        m.schema.map(_.fieldNames.toSeq).getOrElse(Seq.empty).map(n => n -> n))
+      df.select(cm.map { case (l, p) =>
+        val physType = m.schema.get(p).dataType
+        val logType = logicalTypeOf(m, p, physType)
+        boundaryCol(m, p, l,
+          if (logType == physType) None else Some(logType))
+      } ++ extraCols.map(col): _*)
     }
 
   /** Invert [[toLogical]]: a LOGICAL frame back to physical names for
-    * writing. Dropped physical columns are absent from the result —
+    * writing (nested-field renames cast back to the recorded physical
+    * field names). Dropped physical columns are absent from the result —
     * they are invisible logically, and a rewritten file serves them as
     * typed nulls through the recorded physical schema if ever scanned.
     */
   private def fromLogical(df: DataFrame, m: Manifest): DataFrame =
-    m.colMap match {
-      case None => df
-      case Some(cm) => df.select(cm.map { case (l, p) => col(l).as(p) }: _*)
+    if (m.colMap.isEmpty && m.fieldMap.isEmpty) df
+    else df.select(physicalProjection(m): _*)
+
+  /** The logical→physical write projection every physical sink
+    * (rewrites, change-file stamps) shares.
+    */
+  private def physicalProjection(m: Manifest,
+                                 mapping: Option[Seq[(String, String)]] = None)
+      : Seq[Column] = {
+    val cm = mapping.orElse(m.colMap).getOrElse(
+      m.schema.map(_.fieldNames.toSeq).getOrElse(Seq.empty).map(n => n -> n))
+    cm.map { case (l, p) =>
+      // columns not yet in the recorded schema (an extended mapping —
+      // additive widening, a generated-column backfill) have no
+      // physical type to cast to; they alias through
+      m.schema.flatMap(_.fields.find(_.name == p)) match {
+        case None => col(l).as(p)
+        case Some(f) =>
+          val logType = logicalTypeOf(m, p, f.dataType)
+          boundaryCol(m, l, p,
+            if (logType == f.dataType) None else Some(f.dataType))
+      }
+    }
+  }
+
+  /** Cast each nested-renamed column of a physical-TOP-named batch to
+    * its recorded PHYSICAL type: the batch arrives with logical nested
+    * field names, and every staged file must store the physical ones
+    * (positional struct cast — types and order identical, names swap).
+    */
+  private def nestedToPhysical(df: DataFrame, m: Manifest): DataFrame =
+    if (m.fieldMap.isEmpty) df
+    else m.fieldMap.map(_._1).distinct.foldLeft(df) { (d, pcol) =>
+      m.schema.flatMap(_.fields.find(_.name == pcol)) match {
+        case Some(f) if d.columns.contains(pcol) =>
+          d.withColumn(pcol, col(pcol).cast(f.dataType))
+        case _ => d
+      }
     }
 
   /** The table's LOGICAL schema — what the public read surface serves.
     * Physical when no mapping is active.
     */
-  private[etl] def logicalSchemaOf(m: Manifest): StructType = m.colMap match {
-    case None => m.schema.getOrElse(StructType(Seq.empty))
-    case Some(cm) =>
+  private[etl] def logicalSchemaOf(m: Manifest): StructType =
+    if (m.colMap.isEmpty && m.fieldMap.isEmpty)
+      m.schema.getOrElse(StructType(Seq.empty))
+    else {
+      val cm = m.colMap.getOrElse(
+        m.schema.map(_.fieldNames.toSeq).getOrElse(Seq.empty).map(n => n -> n))
       val phys = m.schema.get
-      StructType(cm.map { case (l, p) => phys(p).copy(name = l) }.toArray)
-  }
+      StructType(cm.map { case (l, p) =>
+        val f = phys(p)
+        f.copy(name = l, dataType = logicalTypeOf(m, p, f.dataType))
+      }.toArray)
+    }
 
   /** Rename a LOGICAL batch to physical names for writing. Known
     * logical columns take their mapped physical name; NEW columns
@@ -3360,14 +3486,27 @@ object ManifestLake {
     * references only, which is all the flat recorded schema can hold.
     */
   private def exprToPhysical(spark: SparkSession, sqlText: String,
-                             cm: Seq[(String, String)]): String = {
+                             cm: Seq[(String, String)],
+                             fieldMap: Seq[(String, String, String)] = Seq.empty)
+      : String = {
     val byLogical = cm.toMap
+    // (physicalRoot, logicalField) -> physicalField, so a constraint
+    // written against a renamed nested field still resolves on the
+    // PHYSICAL frame the append-path enforcement runs over
+    val byField = fieldMap.map { case (c, l, pf) => (c, l) -> pf }.toMap
     val parsed = spark.sessionState.sqlParser.parseExpression(sqlText)
     parsed.transform {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
         if a.nameParts.length == 1 && byLogical.contains(a.nameParts.head) =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
           Seq(byLogical(a.nameParts.head)))
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if a.nameParts.length >= 2 =>
+        val physRoot = byLogical.getOrElse(a.nameParts.head, a.nameParts.head)
+        val physField =
+          byField.getOrElse((physRoot, a.nameParts(1)), a.nameParts(1))
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          physRoot +: physField +: a.nameParts.drop(2))
     }.sql
   }
 
@@ -3545,7 +3684,7 @@ object ManifestLake {
           curM.txns ++ txn.toMap, op = Some("delete"), cdf = relCdf,
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
-          generated = curM.generated,
+          generated = curM.generated, fieldMap = curM.fieldMap,
           deltaHint = Some((staged, candidatePaths.toSeq)))
         return curV
       } catch {
@@ -3574,7 +3713,8 @@ object ManifestLake {
           if (!candidates.forall(headSet.contains))
             conflict("rewrote, removed, or re-masked its match-bearing files")
           if (headM.schema != snapshot.schema || headM.partCols != snapshot.partCols ||
-            headM.colMap != snapshot.colMap)
+            headM.colMap != snapshot.colMap ||
+            headM.fieldMap != snapshot.fieldMap)
             conflict("changed the recorded shape")
           val snapshotPaths = snapshot.files.map(_.path).toSet
           val added = headM.files.filterNot(f => snapshotPaths.contains(f.path))
@@ -3754,10 +3894,9 @@ object ManifestLake {
           else {
             val cdfP = new Path(commitDir, CdfDir)
             val goneL = matched.drop("__dv_fp", "__dv_ri")
-            val phys = manifest.colMap match {
-              case None => goneL
-              case Some(cm) => goneL.select(cm.map { case (l, pn) => col(l).as(pn) }: _*)
-            }
+            val phys =
+              if (manifest.colMap.isEmpty && manifest.fieldMap.isEmpty) goneL
+              else goneL.select(physicalProjection(manifest): _*)
             phys.withColumn(ChangeTypeCol, lit("delete"))
               .write.mode(SaveMode.Overwrite).parquet(cdfP.toString)
             Some(fs.makeQualified(cdfP).toString.stripPrefix(rootQ).stripPrefix("/"))
@@ -3975,12 +4114,10 @@ object ManifestLake {
           val postM = src.where(hit).select(outCols: _*)
             .withColumn(ChangeTypeCol, lit("update_postimage"))
           val changes = pre.unionByName(postM)
-          val physChanges = manifest.colMap match {
-            case None => changes
-            case Some(cm) =>
-              changes.select(cm.map { case (l, p) => col(l).as(p) } :+
-                col(ChangeTypeCol): _*)
-          }
+          val physChanges =
+            if (manifest.colMap.isEmpty && manifest.fieldMap.isEmpty) changes
+            else changes.select(
+              physicalProjection(manifest) :+ col(ChangeTypeCol): _*)
           val cdfP = new Path(commitDir, CdfDir)
           physChanges.write.mode(SaveMode.Overwrite).parquet(cdfP.toString)
           val rootQ = fs.makeQualified(root).toString
@@ -4024,7 +4161,7 @@ object ManifestLake {
           curM.txns ++ txn.toMap, op = Some("update"), cdf = relCdf,
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
-          generated = curM.generated,
+          generated = curM.generated, fieldMap = curM.fieldMap,
           deltaHint = Some((staged, candidatePaths.toSeq)))
         return curV
       } catch {
@@ -4045,6 +4182,7 @@ object ManifestLake {
             headM.schema != snapshot.schema ||
             headM.partCols != snapshot.partCols ||
             headM.colMap != snapshot.colMap ||
+            headM.fieldMap != snapshot.fieldMap ||
             effectiveConstraints(headM) != effectiveConstraints(snapshot)) {
             cleanup.foreach(fs.delete(_, true))
             throw new IllegalStateException(
@@ -4084,7 +4222,8 @@ object ManifestLake {
     publish(fs, root, newV, target.files, target.schema, target.partCols, headTxns,
       op = Some("restore"), constraints = target.constraints,
       colMap = target.colMap, droppedPhys = target.droppedPhys,
-      bloomCols = target.bloomCols, generated = target.generated)
+      bloomCols = target.bloomCols, generated = target.generated,
+      fieldMap = target.fieldMap)
     newV
   }
 
@@ -4151,7 +4290,8 @@ object ManifestLake {
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("constraint"), constraints = m.constraints + (name -> expression),
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
-      generated = m.generated, deltaHint = Some((Seq.empty, Seq.empty)))
+      generated = m.generated, fieldMap = m.fieldMap,
+      deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
 
@@ -4167,7 +4307,8 @@ object ManifestLake {
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("constraint"), constraints = m.constraints - name,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
-      generated = m.generated, deltaHint = Some((Seq.empty, Seq.empty)))
+      generated = m.generated, fieldMap = m.fieldMap,
+      deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
 
@@ -4265,6 +4406,8 @@ object ManifestLake {
     val cm = m.colMap.getOrElse(
       m.schema.get.fieldNames.toSeq.map(n => n -> n))
     val logicalNames = cm.map(_._1)
+    if (oldName.contains('.') && logicalNames.contains(oldName.takeWhile(_ != '.')))
+      return renameNestedField(spark, fs, root, path, v, m, cm, oldName, newName)
     refuseNestedTarget("renameColumn", oldName, logicalNames)
     require(logicalNames.contains(oldName),
       s"no column named $oldName on $path (columns: ${logicalNames.mkString(", ")})")
@@ -4296,7 +4439,83 @@ object ManifestLake {
       bloomCols = m.bloomCols,
       generated = m.generated.map { case (n, e) =>
         (if (n == oldName) newName else n) -> e
-      })
+      }, fieldMap = m.fieldMap)
+    v + 1
+  }
+
+  /** RENAME a field ONE LEVEL inside a struct (or array<struct>)
+    * column WITHOUT rewriting any data file — the nested analog of
+    * [[renameColumn]]: a `#fieldmap` entry records
+    * (physical root, logical field, physical field); reads rename at
+    * the boundary with a positional struct cast (types and order are
+    * untouched, so the cast is exactly a name swap), writes cast back
+    * to the physical names, and old versions time-travel under the
+    * names their own manifest records. Refuses when any CHECK
+    * constraint or generated column references the ROOT column (the
+    * recorded SQL text would dangle), mirroring the top-level rule.
+    */
+  private def renameNestedField(spark: SparkSession, fs: FileSystem, root: Path,
+                                path: String, v: Long, m: Manifest,
+                                cm: Seq[(String, String)],
+                                oldName: String, newName: String): Long = {
+    val parts = oldName.split("\\.")
+    require(parts.length == 2,
+      s"renameColumn supports nested fields ONE level deep ($oldName is " +
+        s"${parts.length - 1} levels); rewrite the struct column instead")
+    val (rootL, fieldL) = (parts(0), parts(1))
+    require(!newName.contains('.') && newName.nonEmpty &&
+      !newName.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"new nested-field name must be a plain field name, got $newName")
+    val physRoot = cm.find(_._1 == rootL).map(_._2).get
+    val physField = m.schema.get(physRoot).dataType
+    val structOf: Option[StructType] = physField match {
+      case st: StructType => Some(st)
+      case at: org.apache.spark.sql.types.ArrayType =>
+        at.elementType match { case st: StructType => Some(st); case _ => None }
+      case _ => None
+    }
+    require(structOf.isDefined,
+      s"renameColumn $oldName: $rootL is ${physField.catalogString}, not a " +
+        "struct or array<struct> — nested-field rename applies one level " +
+        "inside those shapes only")
+    val logicalFields = logicalTypeOf(m, physRoot, physField) match {
+      case st: StructType => st.fieldNames.toSeq
+      case at: org.apache.spark.sql.types.ArrayType =>
+        at.elementType.asInstanceOf[StructType].fieldNames.toSeq
+      case _ => Seq.empty
+    }
+    require(logicalFields.contains(fieldL),
+      s"no field named $fieldL inside $rootL on $path " +
+        s"(fields: ${logicalFields.mkString(", ")})")
+    require(!logicalFields.contains(newName),
+      s"field $newName already exists inside $rootL on $path")
+    // lock only what actually dangles: an expression referencing THIS
+    // field (root.field...) or the WHOLE root struct (its logical type
+    // changes under it). Sibling-field references stay free.
+    (m.constraints.toSeq ++ m.generated).foreach { case (n, e) =>
+      val refsThis = spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.head == rootL &&
+            (a.nameParts.length == 1 || a.nameParts(1) == fieldL) => a
+      }.nonEmpty
+      require(!refsThis,
+        s"cannot rename $oldName: CHECK constraint or generated column $n " +
+          s"(`$e`) references it — drop it first and re-add it under " +
+          "the new field name")
+    }
+    // the PHYSICAL field name under the logical one (chained renames
+    // keep pointing at the original file field)
+    val curPhysField = m.fieldMap
+      .find(e => e._1 == physRoot && e._2 == fieldL).map(_._3).getOrElse(fieldL)
+    val cleaned = m.fieldMap.filterNot(e => e._1 == physRoot && e._2 == fieldL)
+    val newFieldMap =
+      if (newName == curPhysField) cleaned // renamed back: identity again
+      else cleaned :+ ((physRoot, newName, curPhysField))
+    publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
+      op = Some("schema"), constraints = m.constraints,
+      colMap = m.colMap, droppedPhys = m.droppedPhys,
+      bloomCols = m.bloomCols, generated = m.generated,
+      fieldMap = newFieldMap, deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
 
@@ -4346,7 +4565,8 @@ object ManifestLake {
       colMap = Some(cm.filterNot(_._1 == name)),
       droppedPhys = m.droppedPhys :+ phys,
       bloomCols = m.bloomCols.filterNot(_ == phys),
-      generated = m.generated.filterNot(_._1 == name))
+      generated = m.generated.filterNot(_._1 == name),
+      fieldMap = m.fieldMap.filterNot(_._1 == phys))
     v + 1
   }
 
@@ -4356,6 +4576,70 @@ object ManifestLake {
     * value-preserving decimal growth. Long→double is NOT here (loses
     * integers past 2^53), nor is anything narrowing.
     */
+  /** WIDEN a field ONE LEVEL inside a struct (or array<struct>)
+    * column without rewriting data — the nested analog of
+    * [[widenColumnType]]: the recorded schema's nested field re-types
+    * to the wider one and the parquet reader up-casts old files at
+    * scan. Nested fields carry no skipping stats or blooms, so the
+    * top-level widen's stats-degradation ceremony has nothing to do
+    * here. Same admissibility matrix ([[widensTo]]).
+    */
+  private def widenNestedField(spark: SparkSession, fs: FileSystem, root: Path,
+                               path: String, v: Long, m: Manifest,
+                               cm: Seq[(String, String)], name: String,
+                               newType: org.apache.spark.sql.types.DataType): Long = {
+    val parts = name.split("\\.")
+    require(parts.length == 2,
+      s"widenColumnType supports nested fields ONE level deep ($name is " +
+        s"${parts.length - 1} levels); rewrite the struct column instead")
+    val (rootL, fieldL) = (parts(0), parts(1))
+    val physRoot = cm.find(_._1 == rootL).map(_._2).get
+    val physType = m.schema.get(physRoot).dataType
+    def structOf(dt: DataType): Option[StructType] = dt match {
+      case st: StructType => Some(st)
+      case at: org.apache.spark.sql.types.ArrayType =>
+        at.elementType match { case st: StructType => Some(st); case _ => None }
+      case _ => None
+    }
+    val st = structOf(physType).getOrElse(throw new IllegalArgumentException(
+      s"widenColumnType $name: $rootL is ${physType.catalogString}, not a " +
+        "struct or array<struct> — nested-field widening applies one level " +
+        "inside those shapes only"))
+    // the field arrives under its LOGICAL name; the schema stores the
+    // physical one
+    val physField = m.fieldMap
+      .find(e => e._1 == physRoot && e._2 == fieldL).map(_._3).getOrElse(fieldL)
+    require(st.fieldNames.contains(physField),
+      s"no field named $fieldL inside $rootL on $path (fields: " +
+        s"${logicalTypeOf(m, physRoot, physType) match {
+          case t: StructType => t.fieldNames.mkString(", ")
+          case at: org.apache.spark.sql.types.ArrayType =>
+            at.elementType.asInstanceOf[StructType].fieldNames.mkString(", ")
+          case _ => ""
+        }})")
+    val cur = st(physField).dataType
+    require(widensTo(cur, newType),
+      s"cannot change $name from ${cur.catalogString} to " +
+        s"${newType.catalogString} — only value-preserving widenings are " +
+        "metadata-only (integral up-casts, float->double, int->double, " +
+        "decimal growth); anything else is a replace write")
+    val newSt = StructType(st.fields.map(f =>
+      if (f.name == physField) f.copy(dataType = newType) else f))
+    val newRootType: DataType = physType match {
+      case _: StructType => newSt
+      case at: org.apache.spark.sql.types.ArrayType => at.copy(elementType = newSt)
+      case other => other
+    }
+    val newSchema = StructType(m.schema.get.fields.map(f =>
+      if (f.name == physRoot) f.copy(dataType = newRootType) else f))
+    publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
+      op = Some("schema"), constraints = m.constraints,
+      colMap = m.colMap, droppedPhys = m.droppedPhys,
+      bloomCols = m.bloomCols, generated = m.generated,
+      fieldMap = m.fieldMap, deltaHint = Some((Seq.empty, Seq.empty)))
+    v + 1
+  }
+
   private def widensTo(from: org.apache.spark.sql.types.DataType,
                        to: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
@@ -4393,6 +4677,8 @@ object ManifestLake {
       s"table at $path has a headerless legacy manifest — type widening " +
         "needs the recorded schema (run one append or upsert to adopt a header first)")
     val cm = m.colMap.getOrElse(m.schema.get.fieldNames.toSeq.map(n => n -> n))
+    if (name.contains('.') && cm.map(_._1).contains(name.takeWhile(_ != '.')))
+      return widenNestedField(spark, fs, root, path, v, m, cm, name, newType)
     refuseNestedTarget("widenColumnType", name, cm.map(_._1))
     val phys = cm.find(_._1 == name).map(_._2).getOrElse(
       throw new IllegalArgumentException(
@@ -4441,7 +4727,7 @@ object ManifestLake {
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols =
         if (renderingStable) m.bloomCols else m.bloomCols.filterNot(_ == phys),
-      generated = m.generated)
+      generated = m.generated, fieldMap = m.fieldMap)
     v + 1
   }
 
@@ -4481,7 +4767,7 @@ object ManifestLake {
     publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
       op = Some("schema"), constraints = m.constraints,
       colMap = newColMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
-      generated = m.generated)
+      generated = m.generated, fieldMap = m.fieldMap)
     v + 1
   }
 
@@ -4581,7 +4867,8 @@ object ManifestLake {
       publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
         op = Some("schema"), constraints = m.constraints,
         colMap = newColMap, droppedPhys = m.droppedPhys,
-        bloomCols = m.bloomCols, generated = m.generated :+ (name -> expression))
+        bloomCols = m.bloomCols, generated = m.generated :+ (name -> expression),
+        fieldMap = m.fieldMap)
       v + 1
     } else {
       require(backfill,
@@ -4595,7 +4882,7 @@ object ManifestLake {
         f"$DataDir/v$newV%06d-${java.util.UUID.randomUUID().toString.take(8)}")
       val outPhys = newColMap match {
         case None => src
-        case Some(ncm) => src.select(ncm.map { case (l, p) => col(l).as(p) }: _*)
+        case Some(ncm) => src.select(physicalProjection(m, Some(ncm)): _*)
       }
       val w = outPhys.write.mode(SaveMode.Overwrite)
       (if (m.partCols.nonEmpty) w.partitionBy(m.partCols: _*) else w)
@@ -4620,7 +4907,8 @@ object ManifestLake {
       publish(fs, root, newV, withStats, Some(newSchema), m.partCols, m.txns,
         op = Some("schema"), constraints = m.constraints,
         colMap = newColMap, droppedPhys = m.droppedPhys,
-        bloomCols = m.bloomCols, generated = m.generated :+ (name -> expression))
+        bloomCols = m.bloomCols, generated = m.generated :+ (name -> expression),
+        fieldMap = m.fieldMap)
       newV
     }
   }

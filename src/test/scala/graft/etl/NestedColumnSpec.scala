@@ -36,17 +36,24 @@ class NestedColumnSpec extends AnyFunSuite {
     dir
   }
 
-  test("rename/drop/widen refuse a nested-field target loudly; dotted new names refuse") {
+  test("drop refuses a nested-field target; deep/invalid nested shapes refuse; dotted new names refuse") {
     val dir = build("nested-refuse")
-    val e1 = intercept[IllegalArgumentException](
-      ManifestLake.renameColumn(spark, dir, "meta.rsid", "meta.id"))
-    assert(e1.getMessage.contains("field inside struct column"))
+    // DROP of a nested field stays a refusal (a dropped field would
+    // need per-field physical retirement — rewrite the struct instead)
     val e2 = intercept[IllegalArgumentException](
       ManifestLake.dropColumn(spark, dir, "entries.apos"))
     assert(e2.getMessage.contains("field inside struct column"))
+    // rename/widen support ONE level; deeper refuses loudly
+    val e1 = intercept[IllegalArgumentException](
+      ManifestLake.renameColumn(spark, dir, "meta.rsid.x", "y"))
+    assert(e1.getMessage.contains("ONE level"))
     val e3 = intercept[IllegalArgumentException](
-      ManifestLake.widenColumnType(spark, dir, "meta.qual", LongType))
-    assert(e3.getMessage.contains("field inside struct column"))
+      ManifestLake.widenColumnType(spark, dir, "pos.low", LongType))
+    assert(e3.getMessage.contains("not a"), e3.getMessage)
+    // a nested rename to a dotted name refuses
+    val e3b = intercept[IllegalArgumentException](
+      ManifestLake.renameColumn(spark, dir, "meta.rsid", "a.b"))
+    assert(e3b.getMessage.contains("plain field name"))
     // widening the struct column itself is not an admitted widening
     val e4 = intercept[IllegalArgumentException](
       ManifestLake.widenColumnType(spark, dir, "meta",
@@ -67,6 +74,94 @@ class NestedColumnSpec extends AnyFunSuite {
     // nothing committed: the table is untouched at v1
     assert(ManifestLake.currentVersion(spark, dir).contains(1L))
     assert(ManifestLake.read(spark, dir).count() === 20)
+  }
+
+  test("nested-field RENAME and WIDEN one level in are metadata-only: reads, writes, DML, time travel, constraints") {
+    import spark.implicits._
+    val dir = build("nested-evolve")
+    // rename meta.rsid -> meta.id (struct) and entries.apos -> entries.position
+    // (array<struct>): zero data files move
+    assert(ManifestLake.renameColumn(spark, dir, "meta.rsid", "id") === 2L)
+    assert(ManifestLake.renameColumn(spark, dir, "entries.apos", "position") === 3L)
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    assert(ManifestLake.readManifest(fs, root, 3L).files.map(_.path).toSet ===
+      ManifestLake.readManifest(fs, root, 1L).files.map(_.path).toSet,
+      "nested renames must move zero data files")
+    val r = ManifestLake.read(spark, dir)
+    assert(r.schema("meta").dataType.catalogString === "struct<id:string,qual:int>")
+    assert(r.where(col("meta.id") === "rs7").count() === 1)
+    assert(r.selectExpr("entries[0].position").where(col("`entries[0].position`") === 7L)
+      .count() === 1)
+    // time travel serves v1 under the ORIGINAL field names
+    val v1 = ManifestLake.readVersion(spark, dir, 1L)
+    assert(v1.schema("meta").dataType.catalogString === "struct<rsid:string,qual:int>")
+    // appends arrive under the NEW names and land physically uniform
+    ManifestLake.write(spark,
+      Seq(("chr1", 100L, ("rs100", 3), Seq((100L, "alt100"))))
+        .toDF("chrom", "pos", "meta", "entries")
+        .select(col("chrom"), col("pos"),
+          col("meta").cast("struct<id:string,qual:int>"),
+          col("entries").cast("array<struct<position:bigint,alt:string>>")),
+      dir, Seq("chrom"), replace = false)                                      // v4
+    assert(ManifestLake.read(spark, dir).where(col("meta.id") === "rs100").count() === 1)
+    // constraints written against the RENAMED field enforce on appends
+    ManifestLake.addConstraint(spark, dir, "qual_ok", "meta.qual >= 0")        // v5
+    val bad = Seq(("chr2", 999L, ("rsbad", -5), Seq((1L, "x"))))
+      .toDF("chrom", "pos", "meta", "entries")
+      .select(col("chrom"), col("pos"),
+        col("meta").cast("struct<id:string,qual:int>"),
+        col("entries").cast("array<struct<position:bigint,alt:string>>"))
+    val ex = intercept[IllegalStateException](
+      ManifestLake.write(spark, bad, dir, Seq("chrom"), replace = false))
+    assert(ex.getMessage.contains("qual_ok"))
+    // DML across the rename: upsert + DV delete + merge read-back exact
+    ManifestLake.upsert(spark, dir,
+      Seq(("chr1", 0L, ("rs0U", 9), Seq((0L, "altU"))))
+        .toDF("chrom", "pos", "meta", "entries")
+        .select(col("chrom"), col("pos"),
+          col("meta").cast("struct<id:string,qual:int>"),
+          col("entries").cast("array<struct<position:bigint,alt:string>>")),
+      Seq("chrom"), Seq("chrom", "pos"))                                       // v6
+    val up = ManifestLake.read(spark, dir).where(col("pos") === 0L)
+    assert(up.select("meta.id").head().getString(0) === "rs0U")
+    ManifestLake.delete(spark, dir, col("meta.id") === "rs3",
+      deletionVectors = true)                                                  // v7
+    assert(ManifestLake.read(spark, dir).where(col("meta.id") === "rs3").count() === 0)
+    // the change feed serves logical nested names end to end
+    val feed = ManifestLake.readChangeFeed(spark, dir, fromV = 5L, toV = 7L)
+    assert(feed.schema("meta").dataType.catalogString === "struct<id:string,qual:int>")
+    assert(feed.where(col("_change_type") === "delete")
+      .select("meta.id").collect().map(_.getString(0)).toSeq === Seq("rs3"))
+    // nested WIDEN: meta.qual int -> long, metadata-only; old files
+    // up-cast at scan, new appends land wide
+    assert(ManifestLake.widenColumnType(spark, dir, "meta.qual", LongType) === 8L)
+    val rw = ManifestLake.read(spark, dir)
+    assert(rw.schema("meta").dataType.catalogString === "struct<id:string,qual:bigint>")
+    assert(rw.select(sum(col("meta.qual"))).head().getLong(0) >= 0L)
+    ManifestLake.write(spark,
+      Seq(("chr2", 200L, ("rs200", 7000000000L), Seq((2L, "w"))))
+        .toDF("chrom", "pos", "meta", "entries")
+        .select(col("chrom"), col("pos"),
+          col("meta").cast("struct<id:string,qual:bigint>"),
+          col("entries").cast("array<struct<position:bigint,alt:string>>")),
+      dir, Seq("chrom"), replace = false)                                      // v9
+    assert(ManifestLake.read(spark, dir)
+      .where(col("meta.qual") === 7000000000L).count() === 1)
+    // rename BACK to the physical name clears the mapping entry
+    assert(ManifestLake.renameColumn(spark, dir, "meta.id", "rsid") === 10L)
+    assert(ManifestLake.read(spark, dir)
+      .schema("meta").dataType.catalogString === "struct<rsid:string,qual:bigint>")
+    // a narrowing nested change still refuses
+    val eN = intercept[IllegalArgumentException](
+      ManifestLake.widenColumnType(spark, dir, "meta.qual",
+        org.apache.spark.sql.types.IntegerType))
+    assert(eN.getMessage.contains("value-preserving"))
+    // the raw SQL relation refuses a field-mapped table, like colMap
+    ManifestLake.renameColumn(spark, dir, "entries.alt", "allele")             // v11
+    val eR = intercept[IllegalArgumentException](
+      spark.read.format("graft-manifest").load(dir).collect())
+    assert(eR.getMessage.contains("nested-field mapping") ||
+      eR.getMessage.contains("deletion vectors"), eR.getMessage)
   }
 
   test("whole struct-typed columns rename and drop as ordinary top-level columns") {
