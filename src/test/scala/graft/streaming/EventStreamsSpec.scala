@@ -497,6 +497,97 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("CDC relay e2e: table A's change-feed stream drives the merge sink on table B — exactly-once across a forced restart, B mirrors A") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.etl.ManifestLake
+    val base = java.nio.file.Files.createTempDirectory("stream-cdcrelay")
+    val aDir = base.toString + "/a"
+    val bDir = base.toString + "/b"
+    val ckpt = base.toString + "/ckpt"
+    // A: the source-of-truth table, mutated by upsert / update / DV
+    // delete / merge; B: the mirror, fed ONLY through the relay
+    ManifestLake.write(spark,
+      Seq(("x", 1L, "p1"), ("x", 2L, "p2"), ("y", 3L, "p3"))
+        .toDF("part", "key", "payload"),
+      aDir, Seq("part"))                                                       // A v1
+    ManifestLake.write(spark,
+      Seq.empty[(String, Long, String)].toDF("part", "key", "payload"),
+      bDir, Seq("part"))                                                       // B v1 (empty)
+    def mirror() = {
+      // the classic CDC-mirror composition: drop pre-images, route
+      // deletes to tombstones, everything else upserts; within-batch
+      // multi-version key churn collapses by _commit_version
+      val feed = spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(aDir)
+      val src = feed.where(col("_change_type") =!= "update_preimage")
+        .withColumn("op",
+          when(col("_change_type") === "delete", lit("d")).otherwise(lit("u")))
+        .drop("_change_type")
+      EventStreams.manifestMergeSink(src, bDir,
+        partitionCols = Seq("part"), keyCols = Seq("part", "key"),
+        appId = "cdc-relay-spec",
+        updateWhen = Some(col("s.op") === "u"),
+        deleteWhen = Some(col("s.op") === "d"),
+        insertWhen = Some(col("s.op") =!= "d"),
+        versionCol = Some("_commit_version"))
+        .option("checkpointLocation", ckpt).start()
+    }
+    def contentOf(dir: String) = ManifestLake.read(spark, dir)
+      .select("part", "key", "payload").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val q1 = mirror()
+    try {
+      q1.processAllAvailable()
+      assert(contentOf(bDir) === contentOf(aDir), "initial replay must mirror A v1")
+      // a burst of heterogeneous commits on A: upsert, UPDATE, DV delete
+      ManifestLake.upsert(spark, aDir,
+        Seq(("x", 1L, "p1-v2"), ("y", 4L, "p4")).toDF("part", "key", "payload"),
+        Seq("part"), Seq("part", "key"))                                       // A v2
+      ManifestLake.update(spark, aDir, col("key") === 3L,
+        Map("payload" -> lit("p3-upd")))                                       // A v3
+      ManifestLake.delete(spark, aDir, col("key") === 2L,
+        deletionVectors = true)                                                // A v4
+      q1.processAllAvailable()
+      assert(contentOf(bDir) === contentOf(aDir),
+        "B must mirror A across upsert+update+DV-delete commits")
+      assert(contentOf(bDir) ===
+        Set(("x", 1L, "p1-v2"), ("y", 3L, "p3-upd"), ("y", 4L, "p4")))
+    } finally q1.stop()
+    // FORCED RESTART replaying the last batch: the crash window between
+    // B's merge publish and the checkpoint commit. BOTH ends replay —
+    // the source re-offers the same version window from its offsets
+    // log, and the sink's txn ledger must swallow the duplicate apply.
+    val lastBatch = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).map(_.getName.toLong).max
+    val bVersionBefore = ManifestLake.currentVersion(spark, bDir)
+    assert(new java.io.File(s"$ckpt/commits/$lastBatch").delete())
+    new java.io.File(s"$ckpt/commits/.$lastBatch.crc").delete()
+    val q2 = mirror()
+    try {
+      q2.processAllAvailable() // replays the last batch on both ends
+      assert(ManifestLake.currentVersion(spark, bDir) === bVersionBefore,
+        "a ledger-known replayed batch must publish nothing on B")
+      assert(contentOf(bDir) === contentOf(aDir))
+      // and the relay keeps flowing: a post-restart merge on A mirrors
+      val st = ManifestLake.merge(spark, aDir,
+        Seq(("x", 1L, "", "del"), ("y", 5L, "p5", "add"))
+          .toDF("part", "key", "payload", "op"),
+        Seq("part"), Seq("part", "key"),
+        updateWhen = None,
+        deleteWhen = Some(col("s.op") === "del"),
+        insertWhen = Some(col("s.op") === "add"))                              // A v5
+      assert(st.deleted === 1L && st.inserted === 1L)
+      q2.processAllAvailable()
+      assert(contentOf(bDir) === contentOf(aDir),
+        "B must mirror A's post-restart merge (delete + insert)")
+      assert(contentOf(bDir) ===
+        Set(("y", 3L, "p3-upd"), ("y", 4L, "p4"), ("y", 5L, "p5")))
+    } finally q2.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
