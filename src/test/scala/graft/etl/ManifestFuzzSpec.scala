@@ -1,0 +1,149 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded fuzz over the manifest lifecycle ACROSS CHAIN BOUNDARIES:
+  * a randomized interleaving of append / upsert / row delete / DV
+  * delete / compact / restore / vacuum under a tight checkpoint
+  * cadence (3), with a driver-side model tracking the expected content
+  * of EVERY published version. Invariants after every op and at the
+  * end:
+  *   - the head read always equals the model;
+  *   - every version vacuum retained reads back exactly its recorded
+  *     content (delta chains resolve through retained bases; DV masks,
+  *     change files, and blooms stay honest with their versions);
+  *   - restore reproduces the target version's content bit-for-bit
+  *     even when the target sits mid-chain.
+  *
+  * The happy-path cadence/retention pins live in ManifestDeltaSpec;
+  * this spec exists to catch interleavings nobody thought to write.
+  */
+class ManifestFuzzSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def runFuzz(seed: Long, steps: Int): Unit = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(s"mlake-fuzz-$seed").toString + "/table"
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val rnd = new scala.util.Random(seed)
+    val prevInterval = ManifestLake.CheckpointInterval
+    ManifestLake.CheckpointInterval = 3
+    try {
+      // model: key -> payload (keys are (part, id)); history: version ->
+      // full content snapshot
+      var model = Map.empty[(String, Long), String]
+      val history = scala.collection.mutable.Map.empty[Long, Map[(String, Long), String]]
+      var nextId = 0L
+      def df(rows: Seq[((String, Long), String)]) =
+        rows.map { case ((p, k), v) => (p, k, v) }.toDF("part", "id", "payload")
+      def record(): Unit = {
+        val v = ManifestLake.currentVersion(spark, dir).get
+        history(v) = model
+      }
+      def readNow(v: Option[Long] = None) = {
+        val d = v.map(ManifestLake.readVersion(spark, dir, _))
+          .getOrElse(ManifestLake.read(spark, dir))
+        d.collect().map(r =>
+          (r.getAs[String]("part"), r.getAs[Long]("id")) ->
+            r.getAs[String]("payload")).toMap
+      }
+      // v1: seed
+      val seedRows = (0 until 12).map { i =>
+        val key = (s"p${i % 3}", nextId); nextId += 1
+        key -> s"s$i"
+      }
+      ManifestLake.write(spark, df(seedRows), dir, Seq("part"),
+        statsCols = Seq("id"))
+      model = seedRows.toMap
+      record()
+
+      (1 to steps).foreach { step =>
+        val op = rnd.nextInt(10)
+        op match {
+          case 0 | 1 | 2 => // append fresh keys
+            val rows = (0 until (1 + rnd.nextInt(3))).map { _ =>
+              val key = (s"p${rnd.nextInt(3)}", nextId); nextId += 1
+              key -> s"a$step"
+            }
+            ManifestLake.write(spark, df(rows), dir, Seq("part"),
+              replace = false, statsCols = Seq("id"))
+            model = model ++ rows
+            record()
+          case 3 | 4 => // upsert: update an existing key + insert a new one
+            val upd = if (model.isEmpty) Seq.empty
+              else Seq(model.keys.toSeq.sortBy(_._2)
+                .apply(rnd.nextInt(model.size)) -> s"u$step")
+            val ins = { val key = (s"p${rnd.nextInt(3)}", nextId); nextId += 1
+              Seq(key -> s"n$step") }
+            val rows = upd ++ ins
+            ManifestLake.upsert(spark, dir, df(rows), Seq("part"), Seq("part", "id"))
+            model = model ++ rows
+            record()
+          case 5 => // row delete (rewrite path when it references data)
+            val r = rnd.nextInt(7)
+            ManifestLake.delete(spark, dir, pmod(col("id"), lit(7L)) === r)
+            model = model.filterNot { case ((_, id), _) => id % 7 == r }
+            record()
+          case 6 => // DV delete
+            val r = rnd.nextInt(5)
+            ManifestLake.delete(spark, dir, pmod(col("id"), lit(5L)) === r,
+              deletionVectors = true)
+            model = model.filterNot { case ((_, id), _) => id % 5 == r }
+            record()
+          case 7 => // compact (content no-op, layout op; may publish)
+            val before = ManifestLake.currentVersion(spark, dir).get
+            ManifestLake.compact(spark, dir, targetBytes = 1L << 20)
+            if (ManifestLake.currentVersion(spark, dir).get != before) record()
+          case 8 => // restore to a random still-existing version
+            val vs = ManifestLake.versions(spark, dir).map(_._1)
+            val target = vs(rnd.nextInt(vs.size))
+            ManifestLake.restore(spark, dir, target)
+            model = history(target)
+            record()
+          case 9 => // vacuum with a small keep window
+            val keep = 2 + rnd.nextInt(3)
+            ManifestLake.vacuum(spark, dir, keepVersions = keep,
+              stagedGraceMs = 0L)
+        }
+        // invariant 1: the head always equals the model
+        assert(readNow() === model,
+          s"seed=$seed step=$step op=$op: head diverged from the model")
+      }
+      // invariant 2: every surviving version reads back exactly its
+      // recorded content — chains, masks, and sidecars stayed honest
+      // through every vacuum/restore boundary
+      val survivors = ManifestLake.versions(spark, dir).map(_._1)
+      assert(survivors.nonEmpty)
+      survivors.foreach { v =>
+        history.get(v).foreach { expect =>
+          assert(readNow(Some(v)) === expect,
+            s"seed=$seed: surviving v$v diverged from its recorded content")
+        }
+      }
+    } finally ManifestLake.CheckpointInterval = prevInterval
+  }
+
+  test("fuzz seed 0xC0FFEE: 30 random lifecycle ops stay readable and hash-stable at every surviving version") {
+    runFuzz(0xC0FFEE, 30)
+  }
+
+  test("fuzz seed 0x5EED: 30 random lifecycle ops stay readable and hash-stable at every surviving version") {
+    runFuzz(0x5EED, 30)
+  }
+
+  test("upsert refuses duplicate keys mid-fuzz shape (guard the fuzz's own assumptions)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mlake-fuzz-dup").toString + "/table"
+    ManifestLake.write(spark,
+      Seq(("p0", 1L, "x")).toDF("part", "id", "payload"), dir, Seq("part"))
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.upsert(spark, dir,
+        Seq(("p0", 2L, "a"), ("p0", 2L, "b")).toDF("part", "id", "payload"),
+        Seq("part"), Seq("part", "id"))
+    }
+    assert(e.getMessage.contains("key-unique"))
+  }
+}
