@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.graftshim.SparkShims
@@ -123,6 +123,23 @@ object GraftSqlDml {
           }
           GraftUpdateCommand(path, set,
             condition.map(c => SqlExprHolder(stripQualifier(c, quals))))
+        }
+      case i: InsertIntoStatement =>
+        targetPath(spark, i.table).map { case (path, _) =>
+          require(!i.ifPartitionNotExists,
+            "INSERT … IF NOT EXISTS is not supported on manifest tables")
+          val dynamicParts = i.partitionSpec.collect { case (k, None) => k }
+          require(dynamicParts.isEmpty,
+            s"dynamic PARTITION(${dynamicParts.mkString(", ")}) clauses are " +
+              "redundant on manifest tables (partitioning is recorded; just " +
+              "include the columns in the query)")
+          require(!(i.overwrite && i.partitionSpec.nonEmpty),
+            "INSERT OVERWRITE of specific partitions is not supported — " +
+              "overwrite replaces the whole table; use DELETE + INSERT for " +
+              "partition surgery")
+          GraftInsertCommand(path, i.query, i.overwrite, i.byName,
+            i.userSpecifiedCols,
+            i.partitionSpec.collect { case (k, Some(v)) => (k, v) }.toSeq)
         }
       case m: MergeIntoTable =>
         targetPath(spark, m.targetTable).map { case (path, tQuals) =>
@@ -345,6 +362,87 @@ final case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
       notMatched = notMatched.map(_.toEngine),
       notMatchedBySource = notMatchedBySource.map(_.toEngine))
     Seq(Row(st.version, st.updated, st.deleted, st.inserted))
+  }
+}
+
+/** `INSERT INTO … / INSERT OVERWRITE …` on a manifest table —
+  * dispatches to [[ManifestLake.write]] (append / replace commit):
+  * positional column alignment with store-assignment casts (BY NAME
+  * aligns by name), an explicit column list NULLs the unlisted
+  * columns, a static PARTITION spec becomes literal columns, and the
+  * batch must match the table's arity — INSERT never widens the
+  * schema (that is the writer API's explicit append surface).
+  */
+final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
+                                    overwrite: Boolean, byName: Boolean,
+                                    userCols: Seq[String],
+                                    staticPart: Seq[(String, String)])
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(queryPlan)
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (fs, root) = ManifestLake.fsFor(spark, path)
+    val v = ManifestLake.currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifested table at $path (INSERT needs an existing table; " +
+          "create one with the writer API)"))
+    val m = ManifestLake.readManifest(fs, root, v)
+    val logical = ManifestLake.logicalSchemaOf(m)
+    require(logical.nonEmpty,
+      s"table at $path has a headerless legacy manifest — SQL INSERT needs " +
+        "the recorded schema (run one append or upsert to adopt a header first)")
+    val df = SparkShims.ofRows(spark, queryPlan)
+    val byLower = logical.fieldNames.map(f => f.toLowerCase -> f).toMap
+    staticPart.foreach { case (k, _) =>
+      require(byLower.contains(k.toLowerCase),
+        s"PARTITION column $k is not a table column") }
+    val staticCols = staticPart.map { case (k, value) =>
+      byLower(k.toLowerCase) -> value }.toMap
+    // the columns the QUERY must supply, in table order
+    val expect = logical.fields.filterNot(f => staticCols.contains(f.name))
+    val supplied: Seq[(String, Column)] =
+      if (userCols.nonEmpty) {
+        val actual = userCols.map(c => byLower.getOrElse(c.toLowerCase,
+          throw new IllegalArgumentException(
+            s"INSERT column $c is not a table column " +
+              s"(columns: ${logical.fieldNames.mkString(", ")})")))
+        require(actual.distinct.size == actual.size,
+          "INSERT column list names a column twice")
+        require(df.schema.length == actual.size,
+          s"INSERT column list has ${actual.size} column(s) but the query " +
+            s"produces ${df.schema.length}")
+        actual.zip(df.schema.fieldNames.map(col))
+      } else if (byName) {
+        val qLower = df.schema.fieldNames.map(f => f.toLowerCase -> f).toMap
+        expect.toSeq.map { f =>
+          f.name -> col(qLower.getOrElse(f.name.toLowerCase,
+            throw new IllegalArgumentException(
+              s"INSERT BY NAME query is missing table column ${f.name}")))
+        }
+      } else {
+        require(df.schema.length == expect.length,
+          s"INSERT query produces ${df.schema.length} column(s) but the " +
+            s"table expects ${expect.length}" +
+            (if (staticCols.nonEmpty) " (after the static PARTITION spec)"
+             else "") +
+            s": ${expect.map(_.name).mkString(", ")}")
+        expect.map(_.name).zip(df.schema.fieldNames.map(col)).toSeq
+      }
+    val byAssigned = supplied.toMap
+    val projected = df.select(logical.fields.toSeq.map { f =>
+      (staticCols.get(f.name) match {
+        case Some(value) => lit(value).cast(f.dataType)
+        case None => byAssigned.get(f.name)
+          .map(_.cast(f.dataType))
+          .getOrElse(lit(null).cast(f.dataType))
+      }).as(f.name)
+    }: _*)
+    val newV = ManifestLake.write(spark, projected, path,
+      ManifestLake.recordedPartitionCols(spark, path).getOrElse(Seq.empty),
+      replace = overwrite)
+    Seq(Row(newV))
   }
 }
 

@@ -1636,5 +1636,57 @@ object EtlGate {
              |  CAST(sum(('0x' || substr(md5(coalesce(text, '~')), 1, 8))::BIGINT)
              |    AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // SQL-TEXT INSERT under the oracle: positional INSERT INTO … SELECT
+    // appends, an explicit column list NULLs the unlisted column, and
+    // the whole surface rides the same engine write (additive commit,
+    // stats, txn machinery) — replayed relationally by DuckDB.
+    Q(
+      "q120_sql_insert",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-sqlins") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+          out, Seq("lang"), statsCols = Seq("doc_id"))                         // v1
+        docs.createOrReplaceTempView("q120_docs")
+        val v2 = s.sql(
+          s"""INSERT INTO `graft-manifest`.`$out`
+             |SELECT lang, doc_id + 1000000, upper(text), n_chars + 17
+             |FROM q120_docs WHERE doc_id % 2 = 1""".stripMargin)
+          .collect().head.getLong(0)
+        require(v2 == 2L, s"SQL insert must publish v2, got $v2")
+        val v3 = s.sql(
+          s"""INSERT INTO `graft-manifest`.`$out` (lang, doc_id, n_chars)
+             |SELECT lang, doc_id + 2000000, n_chars
+             |FROM q120_docs WHERE doc_id % 97 = 0""".stripMargin)
+          .collect().head.getLong(0)
+        require(v3 == 3L, s"SQL column-list insert must publish v3, got $v3")
+        ManifestLake.read(s, out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            count(when(col("text").isNull, lit(1))).as("null_texts"),
+            sum(conv(substring(md5(coalesce(col("text"), lit("~"))), 1, 8), 16, 10)
+              .cast("long")).as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH fin AS (
+             |  SELECT lang, doc_id, text, n_chars FROM documents
+             |  WHERE doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT lang, doc_id + 1000000, upper(text), n_chars + 17
+             |  FROM documents WHERE doc_id % 2 = 1
+             |  UNION ALL
+             |  SELECT lang, doc_id + 2000000, NULL, n_chars
+             |  FROM documents WHERE doc_id % 97 = 0)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS null_texts,
+             |  CAST(sum(('0x' || substr(md5(coalesce(text, '~')), 1, 8))::BIGINT)
+             |    AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
              |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)))
 }

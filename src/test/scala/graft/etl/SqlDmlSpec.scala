@@ -169,6 +169,51 @@ class SqlDmlSpec extends AnyFunSuite {
   }
   private val dirView = freshDir("sqldml-view")
 
+  test("INSERT INTO / OVERWRITE / column list / BY NAME / static PARTITION run the engine; arity mismatches refuse") {
+    import spark.implicits._
+    seed(dirIns)
+    // positional INSERT INTO … VALUES appends
+    val v2 = spark.sql(s"INSERT INTO `graft-manifest`.`$dirIns` " +
+      "VALUES ('aa', 100, 'p100', 1000)").collect().head.getLong(0)
+    assert(v2 === 2L)
+    assert(ManifestLake.read(spark, dirIns).count() === 41)
+    assert(ManifestLake.read(spark, dirIns)
+      .where(col("id") === 100L).select("payload").head().getString(0) === "p100")
+    // column list: unlisted columns land NULL
+    spark.sql(s"INSERT INTO `graft-manifest`.`$dirIns` (grp, id, score) " +
+      "VALUES ('bb', 101, 42)")
+    val r101 = ManifestLake.read(spark, dirIns).where(col("id") === 101L)
+    assert(r101.select("payload").head().isNullAt(0))
+    assert(r101.select("score").head().getLong(0) === 42L)
+    // static PARTITION spec becomes a literal column
+    spark.sql(s"INSERT INTO `graft-manifest`.`$dirIns` PARTITION (grp='cc') " +
+      "VALUES (102, 'p102', 7)")
+    assert(ManifestLake.read(spark, dirIns)
+      .where(col("grp") === "cc" && col("id") === 102L).count() === 1)
+    // BY NAME aligns a reordered query
+    spark.range(1).select(lit(103L).as("id"), lit("bn").as("payload"),
+      lit("aa").as("grp"), lit(5L).as("score"))
+      .createOrReplaceTempView("sqldml_bn")
+    spark.sql(s"INSERT INTO `graft-manifest`.`$dirIns` BY NAME " +
+      "SELECT * FROM sqldml_bn")
+    assert(ManifestLake.read(spark, dirIns)
+      .where(col("id") === 103L).select("payload").head().getString(0) === "bn")
+    // INSERT OVERWRITE replaces the table wholesale
+    val vN = spark.sql(s"INSERT OVERWRITE `graft-manifest`.`$dirIns` " +
+      "VALUES ('zz', 1, 'only', 9)").collect().head.getLong(0)
+    assert(ManifestLake.read(spark, dirIns).count() === 1)
+    assert(ManifestLake.readVersion(spark, dirIns, vN - 1).count() === 44,
+      "time travel must still serve the pre-overwrite content")
+    // arity mismatch refuses loudly, nothing lands
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO `graft-manifest`.`$dirIns` VALUES ('a', 2)")
+    }
+    assert(e.getMessage.contains("column") || e.getMessage.contains("COLUMN"),
+      e.getMessage)
+    assert(ManifestLake.read(spark, dirIns).count() === 1)
+  }
+  private val dirIns = freshDir("sqldml-insert")
+
   test("unsupported shapes refuse loudly: non-equi ON, schema evolution, partition-column SET") {
     import spark.implicits._
     seed(dirRef)
