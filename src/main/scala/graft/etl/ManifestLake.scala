@@ -3998,13 +3998,41 @@ object ManifestLake {
       s"table at $path has a headerless legacy manifest — update needs the " +
         "recorded schema (run one append or upsert to adopt a header first)"))
     val logical = logicalSchemaOf(manifest)
-    set.keys.foreach { c =>
+    // assignments may target a top-level column or a field ONE level
+    // inside a struct column (`meta.qual = …` — the Delta nested-SET
+    // shape); deeper nesting and array<struct> elements refuse
+    val (nestedSet, flatSet) = set.partition(_._1.contains('.'))
+    flatSet.keys.foreach { c =>
       require(logical.fieldNames.contains(c),
         s"SET column $c is not a table column (${logical.fieldNames.mkString(", ")})")
       require(!manifest.partCols.contains(c),
         s"cannot UPDATE partition column $c — rows would have to move " +
           "between partitions; use merge (delete + insert) instead")
     }
+    val nestedByRoot: Map[String, Seq[(String, Column)]] = nestedSet.toSeq
+      .map { case (k, e) =>
+        val parts = k.split("\\.")
+        require(parts.length == 2,
+          s"SET $k: nested assignments reach ONE level inside a struct " +
+            "column; rewrite the column for deeper surgery")
+        val (rootL, fieldL) = (parts(0), parts(1))
+        require(logical.fieldNames.contains(rootL),
+          s"SET column $k: no column named $rootL " +
+            s"(columns: ${logical.fieldNames.mkString(", ")})")
+        require(!flatSet.contains(rootL),
+          s"SET assigns both $rootL and $k — assign one or the other")
+        logical(rootL).dataType match {
+          case st: StructType =>
+            require(st.fieldNames.contains(fieldL),
+              s"SET $k: no field named $fieldL inside $rootL " +
+                s"(fields: ${st.fieldNames.mkString(", ")})")
+          case other => throw new IllegalArgumentException(
+            s"SET $k: $rootL is ${other.catalogString} — nested SET applies " +
+              "to struct columns (array<struct> elements need a rewrite)")
+        }
+        (rootL, (fieldL, e))
+      }
+      .groupBy(_._1).map { case (r, xs) => r -> xs.map(_._2) }
     Seq(ChangeTypeCol, CommitVersionCol).foreach(r =>
       require(!schema.fieldNames.contains(r) && !logical.fieldNames.contains(r),
         s"column name $r is reserved for the change feed's metadata"))
@@ -4037,9 +4065,19 @@ object ManifestLake {
       // every assignment from the original columns in one projection,
       // keeping each column's declared type
       val outCols = logical.fields.toSeq.map { f =>
-        set.get(f.name) match {
+        flatSet.get(f.name) match {
           case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
+          case None => nestedByRoot.get(f.name) match {
+            case Some(fields) =>
+              // withField keeps every other field and stays NULL on a
+              // NULL struct — the SQL nested-SET contract
+              val st = f.dataType.asInstanceOf[StructType]
+              val updated = fields.foldLeft(col(f.name)) { case (c, (fn, e)) =>
+                c.withField(fn, e.cast(st(fn).dataType))
+              }
+              when(hit, updated).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
         }
       }
       val rewritten = src.select(outCols: _*)

@@ -147,8 +147,23 @@ class NestedColumnSpec extends AnyFunSuite {
       dir, Seq("chrom"), replace = false)                                      // v9
     assert(ManifestLake.read(spark, dir)
       .where(col("meta.qual") === 7000000000L).count() === 1)
+    // nested SET one level in: pre-update-row semantics, NULL-struct
+    // stays NULL, other fields untouched — composed with the RENAMED
+    // field names
+    ManifestLake.update(spark, dir, col("meta.id") === "rs5",
+      Map("meta.qual" -> (col("meta.qual") + lit(100L))))
+    assert(ManifestLake.read(spark, dir).where(col("meta.id") === "rs5")
+      .select("meta.qual").head().getLong(0) === (5 % 3) + 100L)
+    assert(ManifestLake.read(spark, dir).where(col("meta.id") === "rs5")
+      .select("meta.id").head().getString(0) === "rs5",
+      "sibling fields must ride through a nested SET untouched")
+    val eSet = intercept[IllegalArgumentException](
+      ManifestLake.update(spark, dir, lit(true),
+        Map("entries.alt" -> lit("x"))))
+    assert(eSet.getMessage.contains("array<struct>"), eSet.getMessage)
+
     // rename BACK to the physical name clears the mapping entry
-    assert(ManifestLake.renameColumn(spark, dir, "meta.id", "rsid") === 10L)
+    assert(ManifestLake.renameColumn(spark, dir, "meta.id", "rsid") === 11L)
     assert(ManifestLake.read(spark, dir)
       .schema("meta").dataType.catalogString === "struct<rsid:string,qual:bigint>")
     // a narrowing nested change still refuses
@@ -157,7 +172,7 @@ class NestedColumnSpec extends AnyFunSuite {
         org.apache.spark.sql.types.IntegerType))
     assert(eN.getMessage.contains("value-preserving"))
     // the raw SQL relation refuses a field-mapped table, like colMap
-    ManifestLake.renameColumn(spark, dir, "entries.alt", "allele")             // v11
+    ManifestLake.renameColumn(spark, dir, "entries.alt", "allele")             // v12
     val eR = intercept[IllegalArgumentException](
       spark.read.format("graft-manifest").load(dir).collect())
     assert(eR.getMessage.contains("nested-field mapping") ||

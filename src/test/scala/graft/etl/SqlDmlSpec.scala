@@ -67,6 +67,23 @@ class SqlDmlSpec extends AnyFunSuite {
   }
   private val dirUpd = freshDir("sqldml-upd")
 
+  test("UPDATE … SET on a field one level inside a struct runs the engine (nested SET)") {
+    import spark.implicits._
+    val df = (0 until 10).map(i => ("aa", i.toLong, (s"rs$i", i)))
+      .toDF("grp", "id", "meta")
+      .select(col("grp"), col("id"), col("meta").cast("struct<rsid:string,qual:int>"))
+    ManifestLake.write(spark, df, dirNUpd, Seq("grp"))
+    val v = spark.sql(s"UPDATE `graft-manifest`.`$dirNUpd` " +
+      "SET meta.qual = meta.qual + 50 WHERE id % 2 = 0").collect().head.getLong(0)
+    assert(v === 2L)
+    val r = ManifestLake.read(spark, dirNUpd)
+    assert(r.where(col("id") === 4L).select("meta.qual").head().getInt(0) === 54)
+    assert(r.where(col("id") === 5L).select("meta.qual").head().getInt(0) === 5)
+    assert(r.where(col("id") === 4L).select("meta.rsid").head().getString(0) === "rs4",
+      "sibling fields untouched")
+  }
+  private val dirNUpd = freshDir("sqldml-nupd")
+
   test("MERGE INTO with SET * / INSERT * and per-clause conditions matches the Scala clause matrix") {
     import spark.implicits._
     seed(dirMrg)
