@@ -52,7 +52,9 @@ object Graft {
     Op("lake", "generated columns: GENERATED ALWAYS AS — compute-if-absent, validate-if-supplied, generated partition columns, opt-in backfill", "graft.etl.ManifestLake.addGeneratedColumn", "q114"),
     Op("lake", "segmented manifests: delta commits (O(changed) bytes) + checkpoint cadence + chain-retaining vacuum", "graft.etl.ManifestLake.publish/readManifest", "q115"),
     Op("lake", "CDC-apply merge: superset source with condition-only routing columns", "graft.etl.ManifestLake.merge", "q116"),
-    Op("lake", "SQL-text DML: spark.sql MERGE INTO / UPDATE / DELETE / INSERT INTO / INSERT OVERWRITE on graft-manifest targets via injected parser (multipart path or temp view)", "graft.etl.GraftSqlParser via graft.functions.GraftExtensions", "q117, q118, q119, q120"),
+    Op("lake", "SQL-text DML: spark.sql MERGE INTO / UPDATE / DELETE / INSERT INTO / INSERT OVERWRITE on graft-manifest targets via injected parser (multipart path or temp view)", "graft.etl.GraftSqlParser via graft.functions.GraftExtensions", "q117, q118, q119, q120, q121"),
+    Op("lake", "dynamic partition overwrite: touched partitions swap wholesale in ONE commit, untouched carry by reference, exact delete+insert CDC; SQL INSERT OVERWRITE PARTITION incl. empty-query partition clear", "graft.etl.ManifestLake.overwritePartitions", "q121"),
+    Op("lake", "nested-field SET in UPDATE (meta.qual = expr, withField semantics), Scala + SQL", "graft.etl.ManifestLake.update (dotted SET)", "spec"),
     Op("lake", "full-clause MERGE: ordered WHEN clauses, partial SET, explicit INSERT lists, NOT MATCHED BY SOURCE update/delete", "graft.etl.ManifestLake.mergeClauses", "q119"),
     Op("lake", "DV-aware maintenance: rewrite files past maxMaskedFraction (REORG APPLY PURGE analog)", "graft.etl.ManifestLake.maintain/compact", "spec"),
     Op("lake", "nested-column schema evolution: struct columns first-class; ONE-level nested-field RENAME (fieldmap, positional-cast boundary) and WIDEN (reader upcast) metadata-only; drop/deeper refuse typed; nested-ref expressions lock their exact field", "graft.etl.ManifestLake.renameColumn/widenColumnType (dotted targets)", "spec"),

@@ -128,18 +128,10 @@ object GraftSqlDml {
         targetPath(spark, i.table).map { case (path, _) =>
           require(!i.ifPartitionNotExists,
             "INSERT … IF NOT EXISTS is not supported on manifest tables")
-          val dynamicParts = i.partitionSpec.collect { case (k, None) => k }
-          require(dynamicParts.isEmpty,
-            s"dynamic PARTITION(${dynamicParts.mkString(", ")}) clauses are " +
-              "redundant on manifest tables (partitioning is recorded; just " +
-              "include the columns in the query)")
-          require(!(i.overwrite && i.partitionSpec.nonEmpty),
-            "INSERT OVERWRITE of specific partitions is not supported — " +
-              "overwrite replaces the whole table; use DELETE + INSERT for " +
-              "partition surgery")
           GraftInsertCommand(path, i.query, i.overwrite, i.byName,
             i.userSpecifiedCols,
-            i.partitionSpec.collect { case (k, Some(v)) => (k, v) }.toSeq)
+            i.partitionSpec.collect { case (k, Some(value)) => (k, value) }.toSeq,
+            partSpecified = i.partitionSpec.nonEmpty)
         }
       case m: MergeIntoTable =>
         targetPath(spark, m.targetTable).map { case (path, tQuals) =>
@@ -365,18 +357,26 @@ final case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
   }
 }
 
-/** `INSERT INTO … / INSERT OVERWRITE …` on a manifest table —
-  * dispatches to [[ManifestLake.write]] (append / replace commit):
+/** `INSERT INTO … / INSERT OVERWRITE …` on a manifest table:
   * positional column alignment with store-assignment casts (BY NAME
   * aligns by name), an explicit column list NULLs the unlisted
   * columns, a static PARTITION spec becomes literal columns, and the
   * batch must match the table's arity — INSERT never widens the
   * schema (that is the writer API's explicit append surface).
+  * Dispatch: plain INSERT INTO appends; INSERT OVERWRITE with a
+  * PARTITION clause (or under
+  * `spark.sql.sources.partitionOverwriteMode=dynamic`) replaces
+  * exactly the partitions the batch touches in ONE commit
+  * ([[ManifestLake.overwritePartitions]]) — a fully-static spec with
+  * an empty query CLEARS that partition (the Hive idiom, served as a
+  * metadata-only delete); otherwise OVERWRITE replaces the table
+  * wholesale.
   */
 final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
                                     overwrite: Boolean, byName: Boolean,
                                     userCols: Seq[String],
-                                    staticPart: Seq[(String, String)])
+                                    staticPart: Seq[(String, String)],
+                                    partSpecified: Boolean = false)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(queryPlan)
   override val output: Seq[Attribute] =
@@ -439,9 +439,22 @@ final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
           .getOrElse(lit(null).cast(f.dataType))
       }).as(f.name)
     }: _*)
-    val newV = ManifestLake.write(spark, projected, path,
-      ManifestLake.recordedPartitionCols(spark, path).getOrElse(Seq.empty),
-      replace = overwrite)
+    val partCols =
+      ManifestLake.recordedPartitionCols(spark, path).getOrElse(Seq.empty)
+    val dynamicMode = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+      .exists(_.equalsIgnoreCase("dynamic"))
+    val newV =
+      if (overwrite && (partSpecified || dynamicMode) && partCols.nonEmpty) {
+        val staticAll = partCols.forall(staticCols.contains)
+        if (staticAll && projected.isEmpty) {
+          // INSERT OVERWRITE a fully-named partition with an empty
+          // query clears it — the Hive idiom; metadata-only inside
+          ManifestLake.delete(spark, path,
+            partCols.map(c => col(c) === lit(staticCols(c))).reduce(_ && _))
+        } else ManifestLake.overwritePartitions(spark, path, projected)
+      } else ManifestLake.write(spark, projected, path, partCols,
+        replace = overwrite)
     Seq(Row(newV))
   }
 }

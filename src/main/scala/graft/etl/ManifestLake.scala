@@ -2033,7 +2033,8 @@ object ManifestLake {
       } else if (m.op.exists(o => o == "compact" || o == "constraint" ||
         o == "schema")) None
       else if (m.op.exists(o =>
-        o == "upsert" || o == "delete" || o == "merge" || o == "update")) {
+        o == "upsert" || o == "delete" || o == "merge" || o == "update" ||
+        o == "replacepart")) {
         val dir = cdfPathOf(root, v, m)
         m.schema match {
           case Some(s) if fs.exists(dir) =>
@@ -2785,6 +2786,201 @@ object ManifestLake {
       }
     }
     curV // unreachable; the loop exits via return
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE as ONE manifest commit — Spark's
+    * `partitionOverwriteMode=dynamic` / Hive `INSERT OVERWRITE …
+    * PARTITION` semantics, Delta's replaceWhere-by-partition analog:
+    * every partition the batch TOUCHES is replaced wholesale by the
+    * batch's rows for it, every other partition carries by reference,
+    * and the swap becomes visible atomically at publish (never the
+    * two-commit delete-then-append shape, whose window serves an
+    * empty partition). The staged batch is count-verified from
+    * parquet footers against the observed input, CHECK constraints
+    * and generated columns enforce exactly like an append, and with
+    * `changeFeed` on the commit stamps exact `delete` (the replaced
+    * partitions' previous rows) + `insert` (the batch) change files,
+    * so [[readChangeFeed]] serves it incrementally. An empty batch
+    * replaces nothing and publishes nothing. Carries the txn ledger;
+    * publishes optimistically with upsert's partition-disjoint retry
+    * rules.
+    */
+  def overwritePartitions(spark: SparkSession, path: String, df: DataFrame,
+                          txn: Option[(String, Long)] = None,
+                          changeFeed: Boolean = true): Long = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val manifest = readManifest(fs, root, v)
+    if (txn.exists { case (app, b) => manifest.txns.get(app).exists(_ >= b) })
+      return v
+    require(manifest.partCols.nonEmpty,
+      "overwritePartitions needs a partitioned table — overwriting a flat " +
+        "table is a replace write")
+    val recorded = manifest.schema.getOrElse(throw new IllegalArgumentException(
+      s"table at $path has a headerless legacy manifest — partition " +
+        "overwrite needs the recorded schema (run one append or upsert to " +
+        "adopt a header first)"))
+    val partitionCols = manifest.partCols
+    Seq(ChangeTypeCol, CommitVersionCol).foreach(r =>
+      require(!logicalSchemaOf(manifest).fieldNames.contains(r),
+        s"column name $r is reserved for the change feed's metadata"))
+    // generated columns compute-if-absent / validate-if-supplied, and
+    // the batch renames to physical on entry — the append path's rules
+    val dfG = manifest.generated.foldLeft(df) { case (d, (n, e)) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, expr(e))
+    }
+    val (dfP0, colMapOut) = manifest.colMap match {
+      case None => (dfG, None)
+      case Some(cm) =>
+        val (pp, ext) = batchToPhysical(dfG, cm, manifest.droppedPhys)
+        (pp, Some(ext))
+    }
+    val dfP = nestedToPhysical(dfP0, manifest)
+    val tableSchema = widen(recorded, dfP.schema, partitionCols,
+      "overwritePartitions")
+    // PIN the batch: partition discovery and the staged write must see
+    // one evaluation (a nondeterministic source must not land rows in
+    // partitions discovery never saw)
+    dfP.persist()
+    try {
+      val partRows = dfP
+        .select(partitionCols.map(c => col(c).cast("string").as(c)): _*)
+        .distinct().collect()
+      require(partRows.forall(r =>
+        partitionCols.indices.forall(i => !r.isNullAt(i))),
+        "null partition values are not supported by the manifest partition overwrite")
+      if (partRows.isEmpty) return v // nothing touched: the table is the result
+      val affectedDirs = partRows.map(r =>
+        partitionCols.zipWithIndex.map { case (c, i) =>
+          s"${escapePathName(c)}=${escapePathName(r.getString(i))}"
+        }.mkString("/")).toSet
+      val affectedFiles =
+        manifest.files.filter(f => affectedDirs.contains(partDirOf(f.path)))
+      val consLogical = effectiveConstraints(manifest).toSeq.sortBy(_._1)
+      val consSeq =
+        if (manifest.colMap.isEmpty && manifest.fieldMap.isEmpty) consLogical
+        else {
+          val cm = manifest.colMap.getOrElse(
+            recorded.fieldNames.toSeq.map(n => n -> n))
+          val full = cm ++ colMapOut.toSeq.flatten.filterNot(cm.contains)
+          consLogical.map { case (n, e) =>
+            n -> exprToPhysical(spark, e, full, manifest.fieldMap)
+          }
+        }
+      consSeq.foreach { case (n, e) =>
+        try { dfP.select(expr(e)); () } catch {
+          case ex: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"CHECK constraint $n (`$e`) on $path cannot be evaluated " +
+                s"against this batch: ${ex.getMessage}", ex)
+        }
+      }
+      val obs = org.apache.spark.sql.Observation()
+      val aggs = count(lit(1)).as("rows") +: consSeq.map { case (n, e) =>
+        count(when(not(coalesce(expr(e), lit(true))), lit(1))).as(s"viol_$n")
+      }
+      val newV = v + 1
+      val commitDir = new Path(root,
+        f"$DataDir/v$newV%06d-${java.util.UUID.randomUUID().toString.take(8)}")
+      dfP.observe(obs, aggs.head, aggs.tail: _*)
+        .repartition(partitionCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+        .parquet(commitDir.toString)
+      consSeq.foreach { case (n, e) =>
+        val bad = obsLong(obs, s"viol_$n")
+        if (bad > 0) {
+          fs.delete(commitDir, true)
+          throw new IllegalStateException(
+            s"CHECK constraint $n (`$e`) on $path violated by $bad batch " +
+              s"row(s) — nothing published, table still at v$v")
+        }
+      }
+      val rowsIn = obsLong(obs, "rows")
+      val staged = stagedFiles(fs, root, commitDir)
+      val rowsOut = footerRowCount(fs, root, staged)
+      if (rowsOut != rowsIn || (rowsIn > 0 && staged.isEmpty)) {
+        fs.delete(commitDir, true)
+        throw new IllegalStateException(
+          s"manifest partition overwrite verification failed for $path v$newV: " +
+            s"$rowsIn rows in, $rowsOut staged — table still at v$v")
+      }
+      val statKeys =
+        (manifest.files.flatMap(_.stats.keys) ++
+          manifest.files.flatMap(_.nullCounts.keys) ++
+          manifest.files.flatMap(_.valueSets.keys)).distinct
+          .filter(k => tableSchema.fieldNames.contains(k))
+      val stagedWithStats = stageStats(spark, fs, root, commitDir, tableSchema,
+        statKeys, manifest.bloomCols, partitionCols, staged)
+      val relCdf: Option[String] =
+        if (!changeFeed) None
+        else {
+          // exact row deltas: the replaced partitions' previous rows as
+          // deletes (DV masks already applied by the slice read), the
+          // batch as inserts — physical names, like every stamp
+          val pre = readFileSlice(spark, path, manifest, affectedFiles)
+            .withColumn(ChangeTypeCol, lit("delete"))
+          val changes = pre.unionByName(
+            dfP.withColumn(ChangeTypeCol, lit("insert")),
+            allowMissingColumns = true)
+          val cdfP = new Path(commitDir, CdfDir)
+          changes.repartition(partitionCols.map(col): _*)
+            .write.mode(SaveMode.Overwrite).parquet(cdfP.toString)
+          val rootQ = fs.makeQualified(root).toString
+          Some(fs.makeQualified(cdfP).toString.stripPrefix(rootQ).stripPrefix("/"))
+        }
+      val inputPaths = affectedFiles.map(_.path).toSet
+      fireRaceHook("replacepart")
+      var attempt = 0
+      var curM = manifest
+      var curV = newV
+      while (true) {
+        try {
+          publish(fs, root, curV,
+            curM.files.filterNot(f => inputPaths.contains(f.path)) ++ stagedWithStats,
+            Some(tableSchema), partitionCols,
+            curM.txns ++ txn.toMap, op = Some("replacepart"), cdf = relCdf,
+            constraints = manifest.constraints, colMap = colMapOut,
+            droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
+            generated = manifest.generated, fieldMap = manifest.fieldMap,
+            deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
+          return curV
+        } catch {
+          case e: IllegalStateException if attempt >= 5 =>
+            retriesExhausted(fs, "overwritePartitions", path, Seq(commitDir), e)
+          case e: IllegalStateException if attempt < 5 =>
+            attempt += 1
+            val headV = currentVersion(spark, path).getOrElse(throw e)
+            val headM = readManifest(fs, root, headV)
+            if (txn.exists { case (app, b) => headM.txns.get(app).exists(_ >= b) }) {
+              fs.delete(commitDir, true)
+              return headV
+            }
+            val headAffected = headM.files
+              .filter(f => affectedDirs.contains(partDirOf(f.path))).toSet
+            if (headAffected != affectedFiles.toSet ||
+              headM.schema != manifest.schema || headM.partCols != partitionCols ||
+              effectiveConstraints(headM) != effectiveConstraints(manifest) ||
+              headM.colMap != manifest.colMap ||
+              headM.fieldMap != manifest.fieldMap) {
+              fs.delete(commitDir, true)
+              throw new IllegalStateException(
+                s"partition overwrite of $path lost its race to a commit that " +
+                  "touched its affected partitions (or changed the recorded " +
+                  "shape) — the staged swap bakes in superseded pre-images and " +
+                  s"was withdrawn; the table is intact at v$headV. Re-run " +
+                  "against the new head.", e)
+            }
+            curM = headM
+            curV = headV + 1
+        }
+      }
+      curV // unreachable
+    } finally {
+      dfP.unpersist()
+      ()
+    }
   }
 
   /** What a [[merge]] did: the published version plus exact per-clause

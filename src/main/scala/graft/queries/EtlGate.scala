@@ -1688,5 +1688,78 @@ object EtlGate {
              |  CAST(sum(('0x' || substr(md5(coalesce(text, '~')), 1, 8))::BIGINT)
              |    AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
-             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)))
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // DYNAMIC PARTITION OVERWRITE under the oracle: one SQL
+    // INSERT OVERWRITE swaps a statically-named partition, a second
+    // swaps the partitions the QUERY names (dynamic spec) — each ONE
+    // atomic commit; untouched partitions carry by reference. The live
+    // table AND the stamped delete+insert change feed hash-match
+    // DuckDB's relational replay.
+    Q(
+      "q121_sql_overwrite_partition",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-owp") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        ManifestLake.write(s, docs, out, Seq("lang"), statsCols = Seq("doc_id")) // v1
+        docs.createOrReplaceTempView("q121_docs")
+        val langs = docs.select(col("lang")).distinct()
+          .orderBy(col("lang")).collect().map(_.getString(0))
+        val (l0, l1) = (langs.head, langs.last)
+        val v2 = s.sql(
+          s"""INSERT OVERWRITE `graft-manifest`.`$out` PARTITION (lang='$l0')
+             |SELECT doc_id + 500000, upper(text), n_chars + 3
+             |FROM q121_docs WHERE lang = '$l0' AND doc_id % 2 = 0""".stripMargin)
+          .collect().head.getLong(0)
+        require(v2 == 2L, s"static partition overwrite must publish v2, got $v2")
+        val v3 = s.sql(
+          s"""INSERT OVERWRITE `graft-manifest`.`$out` PARTITION (lang)
+             |SELECT lang, doc_id, text, n_chars + 1000
+             |FROM q121_docs WHERE lang = '$l1' AND doc_id % 3 = 0""".stripMargin)
+          .collect().head.getLong(0)
+        require(v3 == 3L, s"dynamic partition overwrite must publish v3, got $v3")
+        val cols = Seq(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        val feed = ManifestLake.readChangeFeed(s, out, fromV = 1L, toV = 3L)
+          .select(col("_change_type").as("state") +: cols: _*)
+        val live = ManifestLake.read(s, out)
+          .select(lit("live").as("state") +: cols: _*)
+        feed.unionByName(live)
+          .groupBy(col("state"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("state"), col("lang"))
+      },
+      Some("""WITH l0 AS (SELECT min(lang) AS v FROM documents),
+             |l1 AS (SELECT max(lang) AS v FROM documents),
+             |new0 AS (
+             |  SELECT lang, doc_id + 500000 AS doc_id, upper(text) AS text,
+             |    n_chars + 3 AS n_chars
+             |  FROM documents WHERE lang = (SELECT v FROM l0) AND doc_id % 2 = 0),
+             |new1 AS (
+             |  SELECT lang, doc_id, text, n_chars + 1000 AS n_chars
+             |  FROM documents WHERE lang = (SELECT v FROM l1) AND doc_id % 3 = 0),
+             |fin AS (
+             |  SELECT state, lang, doc_id, text, n_chars FROM (
+             |    SELECT 'live' AS state, lang, doc_id, text, n_chars FROM documents
+             |    WHERE lang NOT IN ((SELECT v FROM l0), (SELECT v FROM l1))
+             |    UNION ALL
+             |    SELECT 'live', lang, doc_id, text, n_chars FROM new0
+             |    UNION ALL
+             |    SELECT 'live', lang, doc_id, text, n_chars FROM new1
+             |    UNION ALL
+             |    SELECT 'delete', lang, doc_id, text, n_chars FROM documents
+             |    WHERE lang IN ((SELECT v FROM l0), (SELECT v FROM l1))
+             |    UNION ALL
+             |    SELECT 'insert', lang, doc_id, text, n_chars FROM new0
+             |    UNION ALL
+             |    SELECT 'insert', lang, doc_id, text, n_chars FROM new1))
+             |SELECT state, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM fin GROUP BY state, lang ORDER BY state, lang""".stripMargin)))
 }
