@@ -59,6 +59,8 @@ object Graft {
     Op("lake", "DV-aware maintenance: rewrite files past maxMaskedFraction (REORG APPLY PURGE analog)", "graft.etl.ManifestLake.maintain/compact", "spec"),
     Op("lake", "nested-column schema evolution: struct columns first-class; ONE-level nested-field RENAME (fieldmap, positional-cast boundary) and WIDEN (reader upcast) metadata-only; drop/deeper refuse typed; nested-ref expressions lock their exact field", "graft.etl.ManifestLake.renameColumn/widenColumnType (dotted targets)", "spec"),
     Op("stream", "streaming CDC apply: foreachBatch conditional merge, txn-ledger exactly-once across restart", "graft.streaming.EventStreams.manifestMergeSink", "spec"),
+    Op("stream", "streaming partition-snapshot sink: each batch swaps exactly its partitions atomically (periodic dimension refresh shape)", "graft.streaming.EventStreams.manifestPartitionOverwriteSink", "spec"),
+    Op("stream", "CDC relay pipeline: change-feed stream of table A driving the merge sink on mirror B, exactly-once across restart on both ends", "graft.streaming.ManifestChangeFeedSource + manifestMergeSink", "spec"),
     Op("lake", "commit history narration (DESCRIBE HISTORY analog: kinds, sizes, txn ledger)", "graft.etl.ManifestLake.history", "spec"),
     Op("lake", "table detail (DESCRIBE DETAIL analog: head summary + per-column stats coverage)", "graft.etl.ManifestLake.detail", "spec"),
     Op("lake", "vacuum dry-run (report-only retention preview)", "graft.etl.ManifestLake.vacuum(dryRun)", "spec"),

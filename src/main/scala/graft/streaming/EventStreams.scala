@@ -375,6 +375,38 @@ object EventStreams {
     }
   }
 
+  /** Partition-overwrite manifest sink — the periodic-snapshot shape:
+    * every micro-batch REPLACES exactly the partitions it carries
+    * ([[graft.etl.ManifestLake.overwritePartitions]], one atomic
+    * commit each), leaving every other partition untouched. The fit is
+    * a stream of recomputed partition snapshots — an hourly dimension
+    * refresh keyed by region, a daily re-export keyed by date — where
+    * upsert semantics would leave deleted rows behind and a full
+    * replace would drop the partitions this batch didn't recompute.
+    * Same exactly-once txn-ledger contract as the other manifest
+    * sinks; the overwrite's delete+insert change stamps make each
+    * trigger's swap CDC-consumable.
+    */
+  def manifestPartitionOverwriteSink(stream: DataFrame, lakePath: String,
+                                     appId: String,
+                                     maintainEvery: Option[Int] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(appId.trim.nonEmpty, "appId must be a non-empty stable stream identity")
+    maintainEvery.foreach(n => require(n > 0,
+      s"maintainEvery must be positive, got $n (every batch = Some(1))"))
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.etl.ManifestLake.overwritePartitions(batch.sparkSession,
+            lakePath, batch, txn = Some((appId, batchId)))
+        maintainEvery.foreach { n =>
+          if (batchId % n == n - 1)
+            graft.etl.ManifestLake.maintain(batch.sparkSession, lakePath)
+        }
+        ()
+    }
+  }
+
   /** Append-only manifest sink — the log-shaped sibling of
     * [[manifestUpsertSink]] for streams with no key semantics (event
     * logs, audit trails): every micro-batch lands as one APPEND commit

@@ -588,6 +588,47 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("manifestPartitionOverwriteSink: each batch swaps exactly its partitions; ledger-exact replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.ManifestLake
+    val base = java.nio.file.Files.createTempDirectory("stream-powp")
+    val lake = base.toString + "/table"
+    val ckpt = base.toString + "/ckpt"
+    ManifestLake.write(spark,
+      Seq(("r1", 1L, "a"), ("r1", 2L, "b"), ("r2", 3L, "c"))
+        .toDF("region", "id", "payload"),
+      lake, Seq("region"))                                                     // v1
+    val in = MemoryStream[(String, Long, String)]
+    def start() = EventStreams.manifestPartitionOverwriteSink(
+      in.toDF().toDF("region", "id", "payload"), lake, appId = "powp-spec")
+      .option("checkpointLocation", ckpt).start()
+    def content() = ManifestLake.read(spark, lake).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val q1 = start()
+    try {
+      // batch 0: a recomputed r1 snapshot — r1 swaps wholesale (the old
+      // id=2 row must NOT survive, which is what upsert would get wrong),
+      // r2 untouched
+      in.addData(("r1", 10L, "a2"))
+      q1.processAllAvailable()
+      assert(content() === Set(("r1", 10L, "a2"), ("r2", 3L, "c")))
+      assert(ManifestLake.currentVersion(spark, lake) === Some(2L))
+    } finally q1.stop()
+    // restart replaying batch 0: the ledger swallows it
+    val marker = new java.io.File(s"$ckpt/commits/0")
+    assert(marker.delete()); new java.io.File(s"$ckpt/commits/.0.crc").delete()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(ManifestLake.currentVersion(spark, lake) === Some(2L),
+        "a ledger-known replayed batch must publish nothing")
+      in.addData(("r2", 30L, "c2"))
+      q2.processAllAvailable()
+      assert(content() === Set(("r1", 10L, "a2"), ("r2", 30L, "c2")))
+    } finally q2.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
