@@ -823,8 +823,14 @@ object ManifestLake {
       case None => header.iterator ++ renderLines(files.sortBy(_.path)).iterator
     }
     mark("render")
+    // BEST_SPEED deflate: the manifest is read hot and written on every
+    // commit — a multi-MB checkpoint deflates ~3x faster at level 1 for
+    // ~15% more bytes, the right trade for a once-per-cadence artifact
+    // (deltas are sub-KB either way)
     val out = new java.io.BufferedOutputStream(
-      new java.util.zip.GZIPOutputStream(fs.create(tmp, true)), 1 << 20)
+      new java.util.zip.GZIPOutputStream(fs.create(tmp, true), 1 << 16) {
+        `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
+      }, 1 << 20)
     try {
       bodyLines.foreach { l =>
         out.write(l.getBytes("UTF-8")); out.write('\n')
