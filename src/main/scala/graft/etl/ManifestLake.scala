@@ -292,7 +292,35 @@ object ManifestLake {
       }
 
   private def manifestWeight(m: Manifest): Long =
-    64L + m.files.foldLeft(0L)((acc, f) => acc + fileWeight(f))
+    64L + weightOf(m.files)
+
+  /** Sum of [[fileWeight]] over `fls`, in parallel above the same size
+    * floor the render/parse paths use — a multi-million-entry fold is
+    * seconds of single-thread map-walking at the envelope scale.
+    */
+  private def weightOf(fls: Seq[LiveFile]): Long = {
+    if (fls.length < 100000) fls.foldLeft(0L)((a, f) => a + fileWeight(f))
+    else {
+      val arr = fls.toArray
+      java.util.stream.IntStream.range(0, arr.length).parallel()
+        .mapToLong(i => fileWeight(arr(i))).sum()
+    }
+  }
+
+  /** `fls` path-sorted — parallel above the size floor (a 10M-entry
+    * single-threaded `sortBy` was tens of seconds of the snapshot
+    * publish wall). Paths are unique within a manifest, so stability
+    * is moot; ordering matches `sortBy(_.path)` (String natural order).
+    */
+  private def sortedByPath(fls: Seq[LiveFile]): Seq[LiveFile] = {
+    val arr = fls.toArray
+    val cmp = new java.util.Comparator[LiveFile] {
+      def compare(a: LiveFile, b: LiveFile): Int = a.path.compareTo(b.path)
+    }
+    if (arr.length < 100000) java.util.Arrays.sort(arr, cmp)
+    else java.util.Arrays.parallelSort(arr, cmp)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+  }
 
   /** How many DELTA commits may chain before a publish writes a FULL
     * snapshot again (the checkpoint cadence — Delta Lake's default
@@ -453,23 +481,62 @@ object ManifestLake {
     val in: java.io.InputStream =
       if (p.getName.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16)
       else raw
+    // `bytes\tpath` or `bytes\tpath\t<stats json>` — JSON string
+    // escaping keeps tabs/newlines inside values off the line.
+    // (Batching all stat blobs into one JSON-array parse was tried
+    // and measured SLOWER at the 1M-line ceiling: the concatenated
+    // string + whole-file AST thrash the heap, while per-line parse
+    // stays in the nursery. The cache above is what removes the
+    // per-query cost; the cold parse is a once-per-content price —
+    // and above a size floor the independent lines parse in PARALLEL,
+    // which is what keeps a multi-million-line checkpoint's cold read
+    // in single seconds instead of a minute of single-threaded JSON.)
+    def parseLine(line: String): LiveFile =
+      line.split("\t", 3) match {
+        case Array(b, p) => LiveFile(b.toLong, p)
+        case Array(b, p, statsJson) =>
+          val (bounds, rows, nulls, sets, dv, dvRows, bloom) = parseStats(statsJson)
+          LiveFile(b.toLong, p, bounds, rows, nulls, sets, dv, dvRows, bloom)
+      }
     // BufferedReader.readLine, not scala.io.Source: Source's per-char
-    // iterator costs multiple seconds extra on a 5M-line checkpoint
-    val (directives, data) = {
+    // iterator costs multiple seconds extra on a 5M-line checkpoint.
+    // Data lines parse in CHUNKS (parallel above the floor) so the raw
+    // line strings of a 10M-line checkpoint — gigabytes of transient
+    // String — never all coexist with the parsed entries; peak heap is
+    // the live set plus one chunk.
+    val (directives, files) = {
       val br = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8),
         1 << 20)
       try {
         val dirs = List.newBuilder[String]
-        val dat = scala.collection.immutable.ArraySeq.newBuilder[String]
+        val filesB = scala.collection.immutable.ArraySeq.newBuilder[LiveFile]
+        val chunkCap = 1 << 19
+        val buf = new Array[String](chunkCap)
+        var n = 0
+        def flush(): Unit = if (n > 0) {
+          val out = new Array[LiveFile](n)
+          if (n < 100000) {
+            var i = 0
+            while (i < n) { out(i) = parseLine(buf(i)); i += 1 }
+          } else {
+            val bound = n
+            java.util.stream.IntStream.range(0, bound).parallel()
+              .forEach(i => out(i) = parseLine(buf(i)))
+          }
+          filesB ++= scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+          n = 0
+        }
         var line = br.readLine()
         while (line != null) {
           if (line.nonEmpty) {
-            if (line.charAt(0) == '#') dirs += line else dat += line
+            if (line.charAt(0) == '#') dirs += line
+            else { buf(n) = line; n += 1; if (n == chunkCap) flush() }
           }
           line = br.readLine()
         }
-        (dirs.result(), dat.result())
+        flush()
+        (dirs.result(), filesB.result(): Seq[LiveFile])
       } finally br.close()
     }
     val dmap = directives.map { d =>
@@ -519,32 +586,6 @@ object ManifestLake {
     }
     val removes = directives.filter(_.startsWith("#remove\t"))
       .map(_.substring("#remove\t".length))
-    // `bytes\tpath` or `bytes\tpath\t<stats json>` — JSON string
-    // escaping keeps tabs/newlines inside values off the line.
-    // (Batching all stat blobs into one JSON-array parse was tried
-    // and measured SLOWER at the 1M-line ceiling: the concatenated
-    // string + whole-file AST thrash the heap, while per-line parse
-    // stays in the nursery. The cache above is what removes the
-    // per-query cost; the cold parse is a once-per-content price —
-    // and above a size floor the independent lines parse in PARALLEL,
-    // which is what keeps a 5M-line checkpoint's cold read in single
-    // seconds instead of a minute of single-threaded JSON.)
-    def parseLine(line: String): LiveFile =
-      line.split("\t", 3) match {
-        case Array(b, p) => LiveFile(b.toLong, p)
-        case Array(b, p, statsJson) =>
-          val (bounds, rows, nulls, sets, dv, dvRows, bloom) = parseStats(statsJson)
-          LiveFile(b.toLong, p, bounds, rows, nulls, sets, dv, dvRows, bloom)
-      }
-    val files: Seq[LiveFile] =
-      if (data.length < 100000) data.map(parseLine)
-      else {
-        val arr = data.toArray
-        val out = new Array[LiveFile](arr.length)
-        java.util.stream.IntStream.range(0, arr.length).parallel()
-          .forEach(i => out(i) = parseLine(arr(i)))
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
-      }
     (Manifest(schema, partCols, files, txns, op, cdf, constraints,
       if (colMapEntries.isEmpty) None else Some(colMapEntries), dropped,
       bloomCols, generated, fieldMap), deltaRef, removes)
@@ -556,33 +597,138 @@ object ManifestLake {
     * unknown shapes via the collect, and this reader treats their
     * absence as unknown — both directions stay compatible.
     */
+  private val statsJsonFactory = new com.fasterxml.jackson.core.JsonFactory()
+
+  /** Jackson STREAMING parse, not a json4s AST: the stats blob parses
+    * once per manifest line, and at the 10M-line checkpoint envelope
+    * the AST path (tree nodes + BigInt per integer) was the majority of
+    * the cold-read wall. Unknown keys and unexpected shapes are skipped
+    * — the same forward-compatibility the old collect-based reader had.
+    */
   private def parseStats(json: String): (Map[String, (String, String)], Option[Long],
       Map[String, Long], Map[String, Seq[String]], Option[String], Option[Long],
       Option[String]) = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    JsonMethods.parse(json) match {
-      case JObject(fields) =>
-        val bounds = fields.collect {
-          case (c, JArray(List(JString(lo), JString(hi)))) if !c.startsWith("#") => c -> (lo, hi)
-        }.toMap
-        val rows = fields.collectFirst { case ("#rows", JInt(n)) => n.toLong }
-        val nulls = fields.collectFirst { case ("#nulls", JObject(ns)) =>
-          ns.collect { case (c, JInt(n)) => c -> n.toLong }.toMap
-        }.getOrElse(Map.empty[String, Long])
-        val sets = fields.collectFirst { case ("#sets", JObject(ss)) =>
-          ss.collect { case (c, JArray(vs)) =>
-            c -> vs.collect { case JString(s) => s }
-          }.toMap
-        }.getOrElse(Map.empty[String, Seq[String]])
-        val dv = fields.collectFirst { case ("#dv", JString(p)) => p }
-        val dvRows = fields.collectFirst { case ("#dvrows", JInt(n)) => n.toLong }
-        val bloom = fields.collectFirst { case ("#bloom", JString(p)) => p }
-        (bounds, rows, nulls, sets, dv, dvRows, bloom)
-      case _ => (Map.empty, None, Map.empty, Map.empty, None, None, None)
-    }
+    import com.fasterxml.jackson.core.JsonToken._
+    val p = statsJsonFactory.createParser(json)
+    try {
+      if (p.nextToken() != START_OBJECT)
+        return (Map.empty, None, Map.empty, Map.empty, None, None, None)
+      var bounds = Map.empty[String, (String, String)]
+      var rows: Option[Long] = None
+      var nulls = Map.empty[String, Long]
+      var sets = Map.empty[String, Seq[String]]
+      var dv: Option[String] = None
+      var dvRows: Option[Long] = None
+      var bloom: Option[String] = None
+      def skipValue(): Unit = {
+        val t = p.currentToken()
+        if (t == START_OBJECT || t == START_ARRAY) { p.skipChildren(); () }
+      }
+      var t = p.nextToken()
+      while (t == FIELD_NAME) {
+        val name = p.currentName()
+        p.nextToken()
+        name match {
+          case "#rows" =>
+            if (p.currentToken() == VALUE_NUMBER_INT) rows = Some(p.getLongValue)
+            else skipValue()
+          case "#dv" =>
+            if (p.currentToken() == VALUE_STRING) dv = Some(p.getText)
+            else skipValue()
+          case "#dvrows" =>
+            if (p.currentToken() == VALUE_NUMBER_INT) dvRows = Some(p.getLongValue)
+            else skipValue()
+          case "#bloom" =>
+            if (p.currentToken() == VALUE_STRING) bloom = Some(p.getText)
+            else skipValue()
+          case "#nulls" =>
+            if (p.currentToken() == START_OBJECT) {
+              var t2 = p.nextToken()
+              while (t2 == FIELD_NAME) {
+                val c = p.currentName()
+                p.nextToken()
+                if (p.currentToken() == VALUE_NUMBER_INT)
+                  nulls = nulls.updated(c, p.getLongValue)
+                else skipValue()
+                t2 = p.nextToken()
+              }
+            } else skipValue()
+          case "#sets" =>
+            if (p.currentToken() == START_OBJECT) {
+              var t2 = p.nextToken()
+              while (t2 == FIELD_NAME) {
+                val c = p.currentName()
+                p.nextToken()
+                if (p.currentToken() == START_ARRAY) {
+                  val vs = Seq.newBuilder[String]
+                  var ok = true
+                  var t3 = p.nextToken()
+                  while (t3 != END_ARRAY) {
+                    if (t3 == VALUE_STRING) vs += p.getText
+                    else { ok = false; skipValue() }
+                    t3 = p.nextToken()
+                  }
+                  if (ok) sets = sets.updated(c, vs.result())
+                } else skipValue()
+                t2 = p.nextToken()
+              }
+            } else skipValue()
+          case c =>
+            // a column bounds entry: exactly ["lo","hi"]; anything else
+            // (a future shape, a '#'-reserved key) is skipped unread
+            if (!c.startsWith("#") && p.currentToken() == START_ARRAY) {
+              var lo: String = null
+              var hi: String = null
+              var extra = false
+              var t3 = p.nextToken()
+              while (t3 != END_ARRAY) {
+                if (t3 == VALUE_STRING) {
+                  if (lo == null) lo = p.getText
+                  else if (hi == null) hi = p.getText
+                  else extra = true
+                } else { extra = true; skipValue() }
+                t3 = p.nextToken()
+              }
+              if (lo != null && hi != null && !extra)
+                bounds = bounds.updated(c, (lo, hi))
+            } else skipValue()
+        }
+        t = p.nextToken()
+      }
+      (bounds, rows, nulls, sets, dv, dvRows, bloom)
+      // malformed JSON throws (JacksonException) — deliberately: a
+      // corrupt stats blob must be LOUD, because silently dropping a
+      // #dv reference would resurrect deleted rows
+    } finally p.close()
   }
 
+  /** JSON-escape `s` into `sb` per RFC 8259 (quote, backslash, and
+    * control chars — all a stats value can legally force).
+    */
+  private def appendJsonString(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"') sb.append("\\\"")
+      else if (c == '\\') sb.append("\\\\")
+      else if (c == '\b') sb.append("\\b")
+      else if (c == '\f') sb.append("\\f")
+      else if (c == '\n') sb.append("\\n")
+      else if (c == '\r') sb.append("\\r")
+      else if (c == '\t') sb.append("\\t")
+      else if (c < 0x20) sb.append(f"\\u${c.toInt}%04x")
+      else sb.append(c)
+      i += 1
+    }
+    sb.append('"'): Unit
+  }
+
+  /** Direct StringBuilder render, not a json4s AST: this runs once per
+    * manifest line, and at the 10M-line checkpoint envelope the
+    * AST-build + mapper-render path WAS the snapshot-write wall
+    * (measured 54s of 60s). Same compact wire format, keys sorted.
+    */
   private def renderStats(stats: Map[String, (String, String)],
                           rows: Option[Long],
                           nullCounts: Map[String, Long],
@@ -590,26 +736,57 @@ object ManifestLake {
                           dv: Option[String] = None,
                           dvRows: Option[Long] = None,
                           bloom: Option[String] = None): String = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    JsonMethods.compact(JObject(
-      stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-        c -> (JArray(List(JString(lo), JString(hi))): JValue)
-      }.toList ++
-        rows.map(n => "#rows" -> (JInt(n): JValue)).toList ++
-        (if (nullCounts.isEmpty) Nil
-         else List("#nulls" -> (JObject(
-           nullCounts.toSeq.sortBy(_._1).map { case (c, n) =>
-             c -> (JInt(n): JValue)
-           }.toList): JValue))) ++
-        (if (valueSets.isEmpty) Nil
-         else List("#sets" -> (JObject(
-           valueSets.toSeq.sortBy(_._1).map { case (c, vs) =>
-             c -> (JArray(vs.map(JString(_): JValue).toList): JValue)
-           }.toList): JValue))) ++
-        dv.map(p => "#dv" -> (JString(p): JValue)).toList ++
-        dvRows.map(n => "#dvrows" -> (JInt(n): JValue)).toList ++
-        bloom.map(p => "#bloom" -> (JString(p): JValue)).toList))
+    val sb = new java.lang.StringBuilder(96)
+    sb.append('{')
+    var first = true
+    def key(k: String): Unit = {
+      if (first) first = false else sb.append(',')
+      appendJsonString(sb, k)
+      sb.append(':'): Unit
+    }
+    stats.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+      key(c)
+      sb.append('[')
+      appendJsonString(sb, lo)
+      sb.append(',')
+      appendJsonString(sb, hi)
+      sb.append(']')
+    }
+    rows.foreach { n => key("#rows"); sb.append(n) }
+    if (nullCounts.nonEmpty) {
+      key("#nulls")
+      sb.append('{')
+      var f2 = true
+      nullCounts.toSeq.sortBy(_._1).foreach { case (c, n) =>
+        if (f2) f2 = false else sb.append(',')
+        appendJsonString(sb, c)
+        sb.append(':')
+        sb.append(n)
+      }
+      sb.append('}')
+    }
+    if (valueSets.nonEmpty) {
+      key("#sets")
+      sb.append('{')
+      var f2 = true
+      valueSets.toSeq.sortBy(_._1).foreach { case (c, vs) =>
+        if (f2) f2 = false else sb.append(',')
+        appendJsonString(sb, c)
+        sb.append(":[")
+        var f3 = true
+        vs.foreach { s =>
+          if (f3) f3 = false else sb.append(',')
+          appendJsonString(sb, s)
+        }
+        sb.append(']')
+      }
+      sb.append('}')
+    }
+    dv.foreach { s => key("#dv"); appendJsonString(sb, s) }
+    dvRows.foreach { n => key("#dvrows"); sb.append(n) }
+    bloom.foreach { s => key("#bloom"); appendJsonString(sb, s) }
+    sb.append('}')
+    sb.toString
   }
 
   /** Hive-style partition columns derived from manifest file PATHS: the
@@ -815,12 +992,20 @@ object ManifestLake {
           .forEach(i => out(i) = fileLine(arr(i)))
       out
     }
+    // path-sorted ONCE (parallel above the floor) — the render AND the
+    // publish-time cache insert below both need the sorted view; a
+    // second multi-million-entry sort was measurable at the 10M envelope
+    lazy val filesSorted = sortedByPath(files)
     val bodyLines: Iterator[String] = delta match {
       case Some((adds, removes, hops)) =>
         header.iterator ++ Iterator(s"#delta\t${v - 1}\t$hops") ++
           removes.sorted.iterator.map(r => s"#remove\t$r") ++
-          renderLines(adds.sortBy(_.path)).iterator
-      case None => header.iterator ++ renderLines(files.sortBy(_.path)).iterator
+          renderLines(sortedByPath(adds)).iterator
+      case None =>
+        val sorted = filesSorted
+        mark("sort")
+        val lines = renderLines(sorted)
+        header.iterator ++ lines.iterator
     }
     mark("render")
     // BEST_SPEED deflate: the manifest is read hot and written on every
@@ -939,14 +1124,12 @@ object ManifestLake {
     try {
       val (resolvedFiles, w) = delta match {
         case Some((adds, removes, _)) =>
-          val addsSorted = adds.sortBy(_.path)
+          val addsSorted = sortedByPath(adds)
           val gone = removes.toSet ++ adds.map(_.path)
           val (kept, keptW) = keepExcept(prevM.get.files, gone, prevMW.get._2)
-          (kept ++ addsSorted,
-            keptW + addsSorted.foldLeft(0L)((a, f) => a + fileWeight(f)))
+          (kept ++ addsSorted, keptW + weightOf(addsSorted))
         case None =>
-          val sorted = files.sortBy(_.path)
-          (sorted, 64L + sorted.foldLeft(0L)((a, f) => a + fileWeight(f)))
+          (filesSorted, 64L + weightOf(filesSorted))
       }
       val resolved = Manifest(schema, partCols, resolvedFiles, txns, op, cdf,
         constraints, colMap.filter(_.nonEmpty), droppedPhys, bloomCols, generated,
