@@ -71,6 +71,29 @@ final class ManifestDataSource extends DataSourceRegister
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
+    // `view` serves the table's METADATA surfaces through the same SQL
+    // entry point as the data — DESCRIBE HISTORY / DESCRIBE DETAIL for
+    // a spark.sql-only user:
+    //   CREATE TEMPORARY VIEW h USING `graft-manifest`
+    //     OPTIONS (path '/lake/docs', view 'history');
+    parameters.get("view").map(_.toLowerCase(java.util.Locale.ROOT)) match {
+      case Some("history") | Some("detail") =>
+        require(!parameters.contains("versionAsOf") &&
+          !parameters.contains("timestampAsOf"),
+          "view 'history'/'detail' already spans versions — versionAsOf/" +
+            "timestampAsOf do not apply")
+        val isHistory = parameters("view").equalsIgnoreCase("history")
+        def derive() =
+          if (isHistory) ManifestLake.history(spark, path)
+          else ManifestLake.detail(spark, path)
+        // rows re-derive at SCAN time, not view-creation time — a temp
+        // view over the history tracks the live table across commits
+        return new MetadataViewRelation(sqlContext, derive().schema,
+          () => derive().collect().toSeq)
+      case Some("data") | None => ()
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown view '$other' — one of: data (default), history, detail")
+    }
     val byVersion = parameters.get("versionAsOf").map { s =>
       s.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"versionAsOf must be a version number, got '$s'"))
@@ -281,4 +304,19 @@ object ManifestDataSource {
                 s"or 'yyyy-MM-dd HH:mm:ss', got '$s'")
         }
     }
+}
+
+/** A metadata view (history / detail) served as a scannable relation:
+  * rows re-derive from the manifest chain on every scan (so a temp
+  * view stays current across commits) and parallelize from the driver
+  * — the row count is metadata-scale (one per version / one total),
+  * never data-scale.
+  */
+private[etl] final class MetadataViewRelation(
+    @transient override val sqlContext: SQLContext,
+    override val schema: StructType,
+    rows: () => Seq[org.apache.spark.sql.Row])
+  extends BaseRelation with org.apache.spark.sql.sources.TableScan {
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    sqlContext.sparkContext.parallelize(rows(), 1)
 }

@@ -1761,5 +1761,48 @@ object EtlGate {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
-             |FROM fin GROUP BY state, lang ORDER BY state, lang""".stripMargin)))
+             |FROM fin GROUP BY state, lang ORDER BY state, lang""".stripMargin)),
+
+    // The HISTORY / DETAIL metadata views through pure SQL: a known
+    // commit ledger (replace, append, delete) read back via temp views
+    // over the graft-manifest source (OPTIONS view 'history'/'detail'),
+    // joined with a per-version time-travel row count — op kinds,
+    // version numbers, row counts, schema width, partitioning, and the
+    // change-feed flag hash-match DuckDB replaying the same ledger.
+    // (n_files is deliberately excluded: it is LAYOUT, not data.)
+    Q(
+      "q122_sql_history",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-hist") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+        docs.where(pmod(col("doc_id"), lit(2L)) === 0).repartition(1)
+          .write.format("graft-manifest").mode("overwrite").save(out) // v1
+        docs.where(pmod(col("doc_id"), lit(2L)) === 1).repartition(1)
+          .write.format("graft-manifest").mode("append").save(out) // v2
+        ManifestLake.delete(s, out, pmod(col("doc_id"), lit(7L)) === 0) // v3
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gate_hist
+                 |USING `graft-manifest` OPTIONS (path '$out', view 'history')""".stripMargin)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gate_detail
+                 |USING `graft-manifest` OPTIONS (path '$out', view 'detail')""".stripMargin)
+        val counts = (1L to 3L).map { v =>
+          s.read.format("graft-manifest").option("versionAsOf", v.toString)
+            .load(out)
+            .agg(count(lit(1)).cast("long").as("n_rows"))
+            .withColumn("version", lit(v))
+        }.reduce(_ unionByName _)
+        s.sql("SELECT version, op FROM gate_hist")
+          .join(counts, Seq("version"))
+          .crossJoin(s.sql(
+            "SELECT n_columns, change_feed, partition_cols FROM gate_detail"))
+          .orderBy(col("version"))
+      },
+      Some("""WITH hist(version, op, n_rows) AS (VALUES
+             |  (1, 'replace', (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)),
+             |  (2, 'append',  (SELECT count(*) FROM documents)),
+             |  (3, 'delete',  (SELECT count(*) FROM documents WHERE doc_id % 7 <> 0)))
+             |SELECT CAST(version AS BIGINT) AS version, op,
+             |  CAST(n_rows AS BIGINT) AS n_rows,
+             |  (SELECT count(*) FROM (DESCRIBE SELECT * FROM documents)) AS n_columns,
+             |  true AS change_feed, '' AS partition_cols
+             |FROM hist ORDER BY version""".stripMargin)))
 }

@@ -203,6 +203,43 @@ class ManifestDataSourceSpec extends AnyFunSuite {
       Seq(("g0", 33L), ("g1", 34L), ("g2", 35L)))
   }
 
+  test("view 'history'/'detail': metadata views through SQL, re-derived per scan; unknown views and as-of combos refuse") {
+    import spark.implicits._
+    val dir = freshDir("mds-meta")
+    (0 until 12).map(i => (s"g${i % 2}", i.toLong)).toDF("grp", "x")
+      .write.format("graft-manifest").partitionBy("grp").mode("overwrite").save(dir)
+    (12 until 18).map(i => (s"g${i % 2}", i.toLong)).toDF("grp", "x")
+      .write.format("graft-manifest").mode("append").save(dir)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW mds_hist
+         |USING `graft-manifest` OPTIONS (path '$dir', view 'history')""".stripMargin)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW mds_det
+         |USING `graft-manifest` OPTIONS (path '$dir', view 'detail')""".stripMargin)
+    assert(spark.sql("SELECT version, op FROM mds_hist ORDER BY version")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "replace"), (2L, "append")))
+    val det = spark.sql(
+      "SELECT version, partition_cols, n_columns FROM mds_det")
+      .as[(Long, String, Long)].head()
+    assert(det === ((2L, "grp", 2L)))
+    // the view tracks the LIVE table: a later commit shows up on the
+    // next scan of the SAME temp view (rows re-derive at scan time)
+    ManifestLake.delete(spark, dir, col("x") >= 15)
+    assert(spark.sql("SELECT max(version) FROM mds_hist").as[Long].head() === 3L)
+    assert(spark.sql("SELECT op FROM mds_hist WHERE version = 3")
+      .as[String].head() === "delete")
+    // refusals: unknown view name; as-of options on a metadata view
+    val bad = intercept[IllegalArgumentException] {
+      fmt.option("view", "versions").load(dir).collect()
+    }
+    assert(bad.getMessage.contains("unknown view"))
+    val combo = intercept[IllegalArgumentException] {
+      fmt.option("view", "history").option("versionAsOf", "1").load(dir).collect()
+    }
+    assert(combo.getMessage.contains("do not apply"))
+  }
+
   test("format path plans one scan with partition pruning, parquet pushdown, and manifest file skipping") {
     import spark.implicits._
     val dir = freshDir("mds-plan")
