@@ -48,11 +48,14 @@ import org.apache.spark.sql.types.StructType
   * index plugs in unchanged, so the `format(...)` path plans the
   * IDENTICAL single-scan, pruned, skipping plan as
   * [[ManifestLake.read]] — asserted by ManifestDataSourceSpec's
-  * plan-shape cases. (The `` SELECT … FROM `fmt`.`path` `` direct-query
-  * syntax is gated by Spark to `FileFormat` classes — `ResolveSQLOnFile`
-  * raises UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY for table-format
-  * providers, Delta included — hence the `CREATE TEMPORARY VIEW …
-  * USING` form above as the pure-SQL entry.)
+  * plan-shape cases. (Spark's own `ResolveSQLOnFile` gates the
+  * `` SELECT … FROM `fmt`.`path` `` direct-query syntax to
+  * `FileFormat` classes — for table-format providers, Delta included,
+  * it raises UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY. The injected
+  * parser serves that spelling for manifest tables instead, plus
+  * `VERSION AS OF` / `TIMESTAMP AS OF` — see
+  * [[GraftSqlDml.rewriteReads]]; the temp-view form above remains the
+  * extensions-free entry.)
   */
 final class ManifestDataSource extends DataSourceRegister
     with RelationProvider with CreatableRelationProvider

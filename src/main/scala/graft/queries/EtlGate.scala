@@ -1784,10 +1784,12 @@ object EtlGate {
                  |USING `graft-manifest` OPTIONS (path '$out', view 'history')""".stripMargin)
         s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gate_detail
                  |USING `graft-manifest` OPTIONS (path '$out', view 'detail')""".stripMargin)
+        // per-version counts via the SQL time-travel spelling on the
+        // DIRECT multipart reference — the parser-resolved read path
+        // (`graft-manifest`.`path` + VERSION AS OF) rides the gate too
         val counts = (1L to 3L).map { v =>
-          s.read.format("graft-manifest").option("versionAsOf", v.toString)
-            .load(out)
-            .agg(count(lit(1)).cast("long").as("n_rows"))
+          s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows
+                   |FROM `graft-manifest`.`$out` VERSION AS OF $v""".stripMargin)
             .withColumn("version", lit(v))
         }.reduce(_ unionByName _)
         s.sql("SELECT version, op FROM gate_hist")

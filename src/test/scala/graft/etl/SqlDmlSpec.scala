@@ -231,6 +231,64 @@ class SqlDmlSpec extends AnyFunSuite {
   }
   private val dirIns = freshDir("sqldml-insert")
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF on manifest references, anywhere in the tree") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-tt")
+    ManifestLake.write(spark,
+      Seq(("aa", 1L), ("aa", 2L)).toDF("grp", "id"), dir, Seq("grp")) // v1
+    ManifestLake.write(spark,
+      Seq(("bb", 3L)).toDF("grp", "id"), dir, Seq("grp"),
+      replace = false) // v2 append
+    spark.sql(s"DELETE FROM `graft-manifest`.`$dir` WHERE id = 1") // v3
+    def ids(sql: String): Seq[Long] =
+      spark.sql(sql).as[Long].collect().toSeq.sorted
+    val t = s"`graft-manifest`.`$dir`"
+    assert(ids(s"SELECT id FROM $t VERSION AS OF 1") === Seq(1L, 2L))
+    assert(ids(s"SELECT id FROM $t VERSION AS OF 2") === Seq(1L, 2L, 3L))
+    assert(ids(s"SELECT id FROM $t VERSION AS OF 3") === Seq(2L, 3L))
+    // a pinned reference composes inside a join leg
+    assert(spark.sql(
+      s"""SELECT count(*) FROM $t cur
+         |JOIN $t VERSION AS OF 1 old ON cur.id = old.id""".stripMargin)
+      .as[Long].head() === 1L)
+    // temp-view spelling works too, and tracks the view's table path
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW sqldml_tt
+                 |USING `graft-manifest` OPTIONS (path '$dir')""".stripMargin)
+    assert(ids("SELECT id FROM sqldml_tt VERSION AS OF 1") === Seq(1L, 2L))
+    // the DIRECT head read — `graft-manifest`.`/path` with no temp
+    // view at all (the delta.`/path` idiom)
+    assert(ids(s"SELECT id FROM $t") === Seq(2L, 3L))
+    assert(ids(s"SELECT t2.id FROM $t t2 WHERE t2.id > 2") === Seq(3L))
+    // TIMESTAMP AS OF resolves through the SAME versionAtTimestamp the
+    // read option serves — assert the SQL spelling against the API's
+    // own resolution of the identical instant (mtime-tie semantics are
+    // versionAtTimestamp's own spec'd concern, not this plumbing's)
+    assert(ManifestLake.versions(spark, dir).map(_._1) === Seq(1L, 2L, 3L))
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val ts2millis = fs.getFileStatus(new org.apache.hadoop.fs.Path(root,
+      "_manifest/v000002.list.gz")).getModificationTime
+    val iso = java.time.Instant.ofEpochMilli(ts2millis).toString
+    val apiV = ManifestLake.versionAtTimestamp(spark, dir, ts2millis)
+    assert(ids(s"SELECT id FROM $t TIMESTAMP AS OF '$iso'") ===
+      ManifestLake.readVersion(spark, dir, apiV)
+        .select(col("id")).as[Long].collect().toSeq.sorted)
+    // refusals: non-numeric version; non-literal timestamp. Both loud.
+    val badV = intercept[IllegalArgumentException] {
+      spark.sql(s"SELECT id FROM $t VERSION AS OF 'branchname'")
+    }
+    assert(badV.getMessage.contains("version number"))
+    val badT = intercept[IllegalArgumentException] {
+      spark.sql(s"SELECT id FROM $t TIMESTAMP AS OF current_timestamp()")
+    }
+    assert(badT.getMessage.contains("literal"))
+    // non-manifest time travel is untouched: Spark raises ITS error
+    spark.range(3).createOrReplaceTempView("sqldml_tt_plain")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM sqldml_tt_plain VERSION AS OF 1").collect()
+    }
+    ()
+  }
+
   test("unsupported shapes refuse loudly: non-equi ON, schema evolution, partition-column SET") {
     import spark.implicits._
     seed(dirRef)
