@@ -222,6 +222,38 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     assert(all.sorted === (0L until 30L))
   }
 
+  test("Trigger.AvailableNow drains exactly the commits present at start, split per trigger bound, then terminates") {
+    import spark.implicits._
+    val dir = freshDir("msrc-avnow")
+    val ckpt = Files.createTempDirectory("msrc-avnow-ckpt").toString
+    ManifestLake.write(spark, batch(0, 10), dir, Seq("grp")) // v1
+    ManifestLake.write(spark, batch(10, 14), dir, Seq("grp"), replace = false) // v2
+    ManifestLake.write(spark, batch(14, 16), dir, Seq("grp"), replace = false) // v3
+    def run(): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong()
+      val q = spark.readStream.format("graft-manifest")
+        .option("maxVersionsPerTrigger", "1").load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          n.addAndGet(b.count()); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // AvailableNow SELF-TERMINATES once the start-time head drains —
+      // the batch-job-over-a-stream contract (no manual stop)
+      assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+      n.get()
+    }
+    assert(run() === 16)
+    // commits landing AFTER the drain belong to the NEXT run: a second
+    // AvailableNow run picks up exactly the new versions from the same
+    // checkpoint — the incremental-batch cadence this trigger exists for
+    ManifestLake.write(spark, batch(16, 19), dir, Seq("grp"), replace = false) // v4
+    assert(run() === 3)
+    ()
+  }
+
   test("streaming from a nonexistent table is a typed error") {
     val e = intercept[Exception] {
       spark.readStream.format("graft-manifest").load(freshDir("msrc-none"))
