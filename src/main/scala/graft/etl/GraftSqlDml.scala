@@ -2,10 +2,10 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation, UnresolvedTable}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, CheckConstraint, EqualNullSafe, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, AlterColumns, Assignment, DeleteAction, DeleteFromTable, DropColumns, DropConstraint, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, RenameColumn, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.graftshim.SparkShims
@@ -161,14 +161,19 @@ object GraftSqlDml {
             "time travel on a manifest table needs VERSION AS OF or " +
               "TIMESTAMP AS OF")
         }
+        // the full LOGICAL read, not the raw relation: readVersion
+        // carries the column-mapping/nested-field projection and the
+        // DV masks, so a renamed/dropped-column table serves logical
+        // names here exactly as the Scala API does
         SubqueryAlias(u.multipartIdentifier.last,
-          LogicalRelation(ManifestLake.relation(spark, path, Some(version))))
+          ManifestLake.readVersion(spark, path, version)
+            .queryExecution.logical)
       // the bare multipart head read — ONLY the explicit format-name
       // spelling (a temp view already resolves through the catalog)
       case u: UnresolvedRelation if directPath(u).isDefined =>
         val path = directPath(u).get
         SubqueryAlias(u.multipartIdentifier.last,
-          LogicalRelation(ManifestLake.relation(spark, path, None)))
+          ManifestLake.read(spark, path).queryExecution.logical)
     }
 
   /** The path under an EXPLICIT `` `graft-manifest`.`/path` ``
@@ -179,6 +184,22 @@ object GraftSqlDml {
     u.multipartIdentifier match {
       case Seq(fmt, p) if fmt.equalsIgnoreCase(Format) ||
         fmt.equalsIgnoreCase("graft_manifest") => Some(p)
+      case _ => None
+    }
+
+  /** The manifest path an ALTER TABLE target names — the multipart
+    * `` `graft-manifest`.`/path` `` spelling or a temp view over the
+    * source (resolved to its table path, same stance as DML targets).
+    */
+  private def alterTargetPath(spark: SparkSession,
+                              t: LogicalPlan): Option[String] =
+    t match {
+      case ut: UnresolvedTable => ut.multipartIdentifier match {
+        case Seq(fmt, p) if fmt.equalsIgnoreCase(Format) ||
+          fmt.equalsIgnoreCase("graft_manifest") => Some(p)
+        case Seq(name) => tempViewManifestPath(spark, name)
+        case _ => None
+      }
       case _ => None
     }
 
@@ -207,6 +228,70 @@ object GraftSqlDml {
             i.userSpecifiedCols,
             i.partitionSpec.collect { case (k, Some(value)) => (k, value) }.toSeq,
             partSpecified = i.partitionSpec.nonEmpty)
+        }
+      // ---- ALTER TABLE: schema surgery through the engine's
+      // metadata-only ops. Each supported shape maps 1:1; anything the
+      // engine cannot honor exactly (nested adds, positions, defaults,
+      // comments, NOT NULL, non-widening type changes, NOT ENFORCED)
+      // refuses loudly — never a silently dropped clause.
+      case AddColumns(t, cols) =>
+        alterTargetPath(spark, t).map { path =>
+          val adds = cols.map { c =>
+            require(c.path.isEmpty,
+              "ADD COLUMN inside a struct is not supported on manifest " +
+                s"tables: ${(c.path.get.name :+ c.colName).mkString(".")}")
+            require(c.position.isEmpty,
+              "ADD COLUMN ... FIRST/AFTER is not supported — manifest " +
+                "columns append at the end")
+            require(c.default.isEmpty,
+              "ADD COLUMN ... DEFAULT is not supported on manifest tables")
+            require(c.comment.isEmpty,
+              "COMMENT is not supported on manifest tables (no comment " +
+                "store — it would be silently lost)")
+            require(c.nullable,
+              s"added column ${c.colName} must be nullable — existing " +
+                "files carry no values for it")
+            (c.colName, c.dataType)
+          }
+          GraftAlterCommand(path, AlterAddCols(adds))
+        }
+      case RenameColumn(t, field, newName) =>
+        alterTargetPath(spark, t).map(path =>
+          GraftAlterCommand(path,
+            AlterRenameCol(field.name.mkString("."), newName)))
+      case DropColumns(t, fields, ifExists) =>
+        alterTargetPath(spark, t).map(path =>
+          GraftAlterCommand(path,
+            AlterDropCols(fields.map(_.name.mkString(".")), ifExists)))
+      case AlterColumns(t, specs) =>
+        alterTargetPath(spark, t).map { path =>
+          val widens = specs.map { s =>
+            require(s.newDataType.isDefined && s.newNullability.isEmpty &&
+              s.newComment.isEmpty && s.newPosition.isEmpty &&
+              s.newDefaultExpression.isEmpty && !s.dropDefault,
+              "ALTER COLUMN on a manifest table supports TYPE widening " +
+                "only (no nullability/comment/position/default changes)")
+            (s.column.name.mkString("."), s.newDataType.get)
+          }
+          GraftAlterCommand(path, AlterWidenCols(widens))
+        }
+      // the parsed constraint carries its table as an UnresolvedRelation
+      // under a NOT(condition) Filter (the would-be-violations scan)
+      case AddCheckConstraint(child, cc: CheckConstraint) =>
+        child.collectFirst { case u: UnresolvedRelation => u }
+          .flatMap(targetPath(spark, _)).map(_._1).map { path =>
+            require(!cc.userProvidedCharacteristic.enforced.contains(false),
+              "NOT ENFORCED constraints are not supported — manifest " +
+                "CHECK constraints always enforce on write")
+            GraftAlterCommand(path,
+              AlterAddConstraint(cc.name, cc.condition))
+          }
+      case DropConstraint(t, name, ifExists, cascade) =>
+        alterTargetPath(spark, t).map { path =>
+          require(!cascade,
+            "DROP CONSTRAINT ... CASCADE is not supported — manifest " +
+              "constraints have no dependents")
+          GraftAlterCommand(path, AlterDropConstraint(name, ifExists))
         }
       case m: MergeIntoTable =>
         targetPath(spark, m.targetTable).map { case (path, tQuals) =>
@@ -429,6 +514,64 @@ final case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
       notMatched = notMatched.map(_.toEngine),
       notMatchedBySource = notMatchedBySource.map(_.toEngine))
     Seq(Row(st.version, st.updated, st.deleted, st.inserted))
+  }
+}
+
+/** One translated ALTER TABLE operation (expressions/types already
+  * extracted — the command is a pure dispatch).
+  */
+sealed trait GraftAlterOp
+final case class AlterAddCols(cols: Seq[(String, org.apache.spark.sql.types.DataType)]) extends GraftAlterOp
+final case class AlterRenameCol(from: String, to: String) extends GraftAlterOp
+final case class AlterDropCols(cols: Seq[String], ifExists: Boolean) extends GraftAlterOp
+final case class AlterWidenCols(cols: Seq[(String, org.apache.spark.sql.types.DataType)]) extends GraftAlterOp
+final case class AlterAddConstraint(name: String, conditionSql: String) extends GraftAlterOp
+final case class AlterDropConstraint(name: String, ifExists: Boolean) extends GraftAlterOp
+
+/** `ALTER TABLE <manifest table> …` — dispatches to the engine's
+  * metadata-only schema ops (ADD/RENAME/DROP COLUMN, ALTER COLUMN TYPE
+  * widening, ADD/DROP CONSTRAINT); returns the published version. A
+  * multi-column statement commits one version per column, in statement
+  * order — each op is its own atomic, retryable commit.
+  */
+final case class GraftAlterCommand(path: String, op: GraftAlterOp)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    def head(): Long = ManifestLake.currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifested table at $path (ALTER TABLE needs an existing table)"))
+    val v = op match {
+      case AlterAddCols(cols) =>
+        cols.map { case (n, dt) =>
+          ManifestLake.addColumn(spark, path, n, dt) }.last
+      case AlterRenameCol(from, to) =>
+        ManifestLake.renameColumn(spark, path, from, to)
+      case AlterDropCols(cols, ifExists) =>
+        val (fs, root) = ManifestLake.fsFor(spark, path)
+        val logical = ManifestLake.logicalSchemaOf(
+          ManifestLake.readManifest(fs, root, head()))
+        val (present, absent) = cols.partition(c =>
+          logical.fieldNames.exists(_.equalsIgnoreCase(c)))
+        require(absent.isEmpty || ifExists,
+          s"no column ${absent.mkString(", ")} on the table at $path " +
+            s"(columns: ${logical.fieldNames.mkString(", ")}); " +
+            "use DROP COLUMN IF EXISTS to skip silently")
+        if (present.isEmpty) head()
+        else present.map(ManifestLake.dropColumn(spark, path, _)).last
+      case AlterWidenCols(cols) =>
+        cols.map { case (n, dt) =>
+          ManifestLake.widenColumnType(spark, path, n, dt) }.last
+      case AlterAddConstraint(name, sql) =>
+        ManifestLake.addConstraint(spark, path, name, sql)
+      case AlterDropConstraint(name, ifExists) =>
+        val (fs, root) = ManifestLake.fsFor(spark, path)
+        val m = ManifestLake.readManifest(fs, root, head())
+        if (!m.constraints.contains(name) && ifExists) head()
+        else ManifestLake.dropConstraint(spark, path, name)
+    }
+    Seq(Row(v))
   }
 }
 

@@ -1806,5 +1806,53 @@ object EtlGate {
              |  CAST(n_rows AS BIGINT) AS n_rows,
              |  (SELECT count(*) FROM (DESCRIBE SELECT * FROM documents)) AS n_columns,
              |  true AS change_feed, '' AS partition_cols
-             |FROM hist ORDER BY version""".stripMargin)))
+             |FROM hist ORDER BY version""".stripMargin)),
+
+    // ALTER TABLE through SQL, under the oracle: ADD COLUMN, RENAME
+    // COLUMN (metadata-only column mapping), ALTER COLUMN TYPE widening
+    // on the RENAMED column, and ADD CONSTRAINT — then an append under
+    // the evolved logical schema, read back through the DIRECT SQL
+    // spelling (`graft-manifest`.`path`, which must serve LOGICAL names
+    // over the mapping). Hash-matches DuckDB replaying old-rows-with-
+    // NULL-note ∪ new-rows relationally.
+    Q(
+      "q123_sql_alter",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-sqlalter") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("text"),
+            col("n_chars").cast("int").as("nc"))
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+          out, Seq("lang")) // v1
+        val t = s"`graft-manifest`.`$out`"
+        s.sql(s"ALTER TABLE $t ADD COLUMNS (note STRING)") // v2
+        s.sql(s"ALTER TABLE $t RENAME COLUMN nc TO len") // v3: mapping
+        s.sql(s"ALTER TABLE $t ALTER COLUMN len TYPE BIGINT") // v4: widen
+        s.sql(s"ALTER TABLE $t ADD CONSTRAINT len_pos CHECK (len >= 0)") // v5
+        ManifestLake.write(s,
+          docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+            .withColumnRenamed("nc", "len")
+            .withColumn("len", col("len").cast("long"))
+            .withColumn("note", concat(lit("n"), col("doc_id"))),
+          out, Seq("lang"), replace = false) // v6: append, enforced
+        s.sql(
+          s"""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(len) AS BIGINT) AS sum_len,
+             |  count(note) AS n_notes,
+             |  CAST(sum(CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""WITH ev AS (
+             |  SELECT lang, doc_id, text, n_chars AS len, NULL AS note
+             |  FROM documents WHERE doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT lang, doc_id, text, n_chars, 'n' || doc_id
+             |  FROM documents WHERE doc_id % 2 = 1)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(len) AS BIGINT) AS sum_len,
+             |  count(note) AS n_notes,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM ev GROUP BY lang ORDER BY lang""".stripMargin)))
 }

@@ -289,6 +289,81 @@ class SqlDmlSpec extends AnyFunSuite {
     ()
   }
 
+  test("ALTER TABLE: ADD/RENAME/DROP COLUMN, TYPE widening, ADD/DROP CONSTRAINT run the engine; unsupported clauses refuse") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-alter")
+    ManifestLake.write(spark,
+      Seq(("aa", 1L, 7), ("bb", 2L, 9)).toDF("grp", "id", "n"),
+      dir, Seq("grp"))
+    val t = s"`graft-manifest`.`$dir`"
+    def cols(): Seq[String] =
+      ManifestLake.read(spark, dir).schema.fieldNames.toSeq
+
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (note STRING, score DOUBLE)")
+    assert(cols().toSet === Set("grp", "id", "n", "note", "score"))
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN note TO remark")
+    assert(cols().contains("remark") && !cols().contains("note"))
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN n TYPE BIGINT")
+    assert(ManifestLake.read(spark, dir).schema("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    spark.sql(s"ALTER TABLE $t DROP COLUMN score")
+    assert(!cols().contains("score"))
+    // IF EXISTS skips a missing column silently; without it, loud
+    spark.sql(s"ALTER TABLE $t DROP COLUMN IF EXISTS ghost")
+    val miss = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE $t DROP COLUMN ghost")
+    }
+    assert(miss.getMessage.contains("no column"))
+    // data survived the whole surgery chain under the original values
+    assert(ManifestLake.read(spark, dir).select("grp", "id", "n")
+      .as[(String, Long, Long)].collect().toSet ===
+      Set(("aa", 1L, 7L), ("bb", 2L, 9L)))
+
+    // CHECK constraints through SQL DDL: enforced on the next write
+    spark.sql(s"ALTER TABLE $t ADD CONSTRAINT pos_id CHECK (id > 0)")
+    val viol = intercept[Exception] {
+      ManifestLake.write(spark, Seq(("aa", -5L, 1L, "x", null: java.lang.Double))
+        .toDF("grp", "id", "n", "remark", "score")
+        .drop("score"), dir, Seq("grp"), replace = false)
+    }
+    assert(viol.getMessage.contains("pos_id"))
+    spark.sql(s"ALTER TABLE $t DROP CONSTRAINT pos_id")
+    spark.sql(s"ALTER TABLE $t DROP CONSTRAINT IF EXISTS pos_id") // now silent
+    val missC = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t DROP CONSTRAINT pos_id")
+    }
+    assert(missC.getMessage.toLowerCase.contains("constraint"))
+
+    // a temp view over the source is a valid ALTER target too (fresh
+    // table: the raw SQL view deliberately refuses column-mapped ones)
+    val dir2 = freshDir("sqldml-alter2")
+    ManifestLake.write(spark, Seq(("aa", 1L)).toDF("grp", "id"), dir2, Seq("grp"))
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW sqldml_alter_v
+                 |USING `graft-manifest` OPTIONS (path '$dir2')""".stripMargin)
+    spark.sql("ALTER TABLE sqldml_alter_v ADD COLUMNS (extra STRING)")
+    assert(ManifestLake.read(spark, dir2).schema.fieldNames.contains("extra"))
+
+    // unsupported clauses refuse loudly, nothing half-applies
+    val narrow = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN id TYPE INT")
+    }
+    assert(narrow.getMessage.toLowerCase.contains("widen"))
+    val posn = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (early STRING FIRST)")
+    }
+    assert(posn.getMessage.contains("FIRST/AFTER"))
+    val cmt = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (c2 STRING COMMENT 'hi')")
+    }
+    assert(cmt.getMessage.contains("COMMENT"))
+    // non-manifest ALTER passes through to Spark's own error
+    spark.range(3).createOrReplaceTempView("sqldml_alter_plain")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE sqldml_alter_plain ADD COLUMNS (x STRING)")
+    }
+    ()
+  }
+
   test("unsupported shapes refuse loudly: non-equi ON, schema evolution, partition-column SET") {
     import spark.implicits._
     seed(dirRef)
