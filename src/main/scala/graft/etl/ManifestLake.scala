@@ -599,6 +599,23 @@ object ManifestLake {
     */
   private val statsJsonFactory = new com.fasterxml.jackson.core.JsonFactory()
 
+  /** Intern pool for stats-map KEYS (column names): every manifest line
+    * re-parses the same handful of names, so a 10M-line checkpoint
+    * would otherwise retain tens of millions of duplicate short
+    * strings (~GB of heap and the GC wall that comes with it). Bounded
+    * — names are schema columns, but a hostile file must not grow an
+    * unbounded global — and values are NEVER interned (bounds/paths
+    * are mostly unique; interning them would only bloat the pool).
+    */
+  private val statsNameIntern =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def internName(s: String): String =
+    if (statsNameIntern.size() >= 10000) s
+    else {
+      val prev = statsNameIntern.putIfAbsent(s, s)
+      if (prev == null) s else prev
+    }
+
   /** Jackson STREAMING parse, not a json4s AST: the stats blob parses
     * once per manifest line, and at the 10M-line checkpoint envelope
     * the AST path (tree nodes + BigInt per integer) was the majority of
@@ -648,7 +665,7 @@ object ManifestLake {
                 val c = p.currentName()
                 p.nextToken()
                 if (p.currentToken() == VALUE_NUMBER_INT)
-                  nulls = nulls.updated(c, p.getLongValue)
+                  nulls = nulls.updated(internName(c), p.getLongValue)
                 else skipValue()
                 t2 = p.nextToken()
               }
@@ -668,7 +685,7 @@ object ManifestLake {
                     else { ok = false; skipValue() }
                     t3 = p.nextToken()
                   }
-                  if (ok) sets = sets.updated(c, vs.result())
+                  if (ok) sets = sets.updated(internName(c), vs.result())
                 } else skipValue()
                 t2 = p.nextToken()
               }
@@ -690,7 +707,7 @@ object ManifestLake {
                 t3 = p.nextToken()
               }
               if (lo != null && hi != null && !extra)
-                bounds = bounds.updated(c, (lo, hi))
+                bounds = bounds.updated(internName(c), (lo, hi))
             } else skipValue()
         }
         t = p.nextToken()
