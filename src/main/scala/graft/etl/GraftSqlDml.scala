@@ -2,10 +2,10 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation, UnresolvedTable}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedPartitionSpec, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, CheckConstraint, EqualNullSafe, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, AlterColumns, Assignment, DeleteAction, DeleteFromTable, DropColumns, DropConstraint, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, RenameColumn, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, AlterColumns, Assignment, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, RenameColumn, ShowColumns, ShowPartitions, SubqueryAlias, TruncatePartition, TruncateTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.graftshim.SparkShims
@@ -187,6 +187,13 @@ object GraftSqlDml {
       case _ => None
     }
 
+  private def multipartManifestPath(parts: Seq[String]): Option[String] =
+    parts match {
+      case Seq(fmt, p) if fmt.equalsIgnoreCase(Format) ||
+        fmt.equalsIgnoreCase("graft_manifest") => Some(p)
+      case _ => None
+    }
+
   /** The manifest path an ALTER TABLE target names — the multipart
     * `` `graft-manifest`.`/path` `` spelling or a temp view over the
     * source (resolved to its table path, same stance as DML targets).
@@ -194,14 +201,23 @@ object GraftSqlDml {
   private def alterTargetPath(spark: SparkSession,
                               t: LogicalPlan): Option[String] =
     t match {
-      case ut: UnresolvedTable => ut.multipartIdentifier match {
-        case Seq(fmt, p) if fmt.equalsIgnoreCase(Format) ||
-          fmt.equalsIgnoreCase("graft_manifest") => Some(p)
-        case Seq(name) => tempViewManifestPath(spark, name)
-        case _ => None
-      }
+      case ut: UnresolvedTable =>
+        multipartManifestPath(ut.multipartIdentifier).orElse(
+          ut.multipartIdentifier match {
+            case Seq(name) => tempViewManifestPath(spark, name)
+            case _ => None
+          })
       case _ => None
     }
+
+  /** Table-only utility targets (TRUNCATE, SHOW PARTITIONS): the same
+    * resolution as ALTER — multipart spelling or temp view (Spark would
+    * refuse a view for these commands anyway, so interception cannot
+    * shadow native behavior).
+    */
+  private def utilTargetPath(spark: SparkSession,
+                             t: LogicalPlan): Option[String] =
+    alterTargetPath(spark, t)
 
   /** Rewrite a parsed statement into a manifest DML command when (and
     * only when) its target is a manifest table.
@@ -275,6 +291,48 @@ object GraftSqlDml {
           }
           GraftAlterCommand(path, AlterWidenCols(widens))
         }
+      // ---- table utilities: TRUNCATE, SHOW PARTITIONS/COLUMNS,
+      // DESCRIBE — served straight from the manifest (metadata-only;
+      // TRUNCATE dispatches to the engine's delete). DESCRIBE/SHOW on
+      // a TEMP VIEW name is NOT intercepted — Spark serves views
+      // natively; only the multipart format spelling (which Spark's
+      // catalog cannot resolve) and, for table-only commands, the
+      // view-name-as-table spelling dispatch here.
+      case TruncateTable(t) =>
+        utilTargetPath(spark, t).map(path =>
+          GraftTruncateCommand(path, Seq.empty))
+      case TruncatePartition(t, spec: UnresolvedPartitionSpec) =>
+        utilTargetPath(spark, t).map { path =>
+          require(spec.location.isEmpty,
+            "TRUNCATE ... PARTITION with a LOCATION is not supported on " +
+              "manifest tables")
+          GraftTruncateCommand(path, spec.spec.toSeq)
+        }
+      case ShowPartitions(t, specOpt, _) =>
+        utilTargetPath(spark, t).map { path =>
+          val spec = specOpt.toSeq.flatMap {
+            case u: UnresolvedPartitionSpec => u.spec.toSeq
+            case other => throw new IllegalArgumentException(
+              s"unsupported partition spec: $other")
+          }
+          GraftShowPartitionsCommand(path, spec)
+        }
+      case DescribeRelation(t: UnresolvedTableOrView, partitionSpec, isExtended, _)
+          if multipartManifestPath(t.multipartIdentifier).isDefined =>
+        require(partitionSpec.isEmpty,
+          "DESCRIBE ... PARTITION is not supported on manifest tables — " +
+            "use SHOW PARTITIONS")
+        Some(GraftDescribeCommand(
+          multipartManifestPath(t.multipartIdentifier).get, isExtended))
+      case ShowColumns(t: UnresolvedTableOrView, ns, _)
+          if multipartManifestPath(t.multipartIdentifier).isDefined =>
+        require(ns.isEmpty || ns.exists(n =>
+          n.lastOption.exists(_.equalsIgnoreCase(Format)) ||
+            n.lastOption.exists(_.equalsIgnoreCase("graft_manifest"))),
+          "SHOW COLUMNS ... IN <namespace> must name the graft-manifest " +
+            "namespace or be omitted")
+        Some(GraftShowColumnsCommand(
+          multipartManifestPath(t.multipartIdentifier).get))
       // the parsed constraint carries its table as an UnresolvedRelation
       // under a NOT(condition) Filter (the would-be-violations scan)
       case AddCheckConstraint(child, cc: CheckConstraint) =>
@@ -572,6 +630,128 @@ final case class GraftAlterCommand(path: String, op: GraftAlterOp)
         else ManifestLake.dropConstraint(spark, path, name)
     }
     Seq(Row(v))
+  }
+}
+
+/** `TRUNCATE TABLE …` (optionally `PARTITION (k=v, …)`) — all rows (or
+  * the named partition's rows) delete through the engine; partition
+  * predicates take its metadata-only fast path. Like Spark's own
+  * TRUNCATE, returns no rows.
+  */
+final case class GraftTruncateCommand(path: String,
+                                      partSpec: Seq[(String, String)])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val partCols = ManifestLake.recordedPartitionCols(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifested table at $path (TRUNCATE needs an existing table)"))
+    partSpec.foreach { case (k, _) =>
+      require(partCols.exists(_.equalsIgnoreCase(k)),
+        s"TRUNCATE ... PARTITION column $k is not a partition column " +
+          s"(partitioned by: ${partCols.mkString(", ")})") }
+    val pred =
+      if (partSpec.isEmpty) lit(true)
+      else partSpec.map { case (k, v) =>
+        col(partCols.find(_.equalsIgnoreCase(k)).get).cast("string") === lit(v)
+      }.reduce(_ && _)
+    ManifestLake.delete(spark, path, pred): Unit
+    Seq.empty
+  }
+}
+
+/** `SHOW PARTITIONS …` — the live partition directories straight from
+  * the manifest (one listing-free metadata read), optionally filtered
+  * by a partial PARTITION spec; Hive's `k=v/k2=v2` path form, sorted.
+  */
+final case class GraftShowPartitionsCommand(path: String,
+                                            spec: Seq[(String, String)])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val (fs, root) = ManifestLake.fsFor(spark, path)
+    val v = ManifestLake.currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = ManifestLake.readManifest(fs, root, v)
+    val partCols = ManifestLake.recordedPartitionCols(spark, path)
+      .getOrElse(Seq.empty)
+    require(partCols.nonEmpty,
+      s"table at $path is not partitioned — SHOW PARTITIONS has nothing to show")
+    spec.foreach { case (k, _) =>
+      require(partCols.exists(_.equalsIgnoreCase(k)),
+        s"PARTITION column $k is not a partition column " +
+          s"(partitioned by: ${partCols.mkString(", ")})") }
+    val want = spec.map { case (k, value) =>
+      s"${escapePathName(partCols.find(_.equalsIgnoreCase(k)).get)}=${escapePathName(value)}"
+    }
+    m.files.map(f => ManifestLake.partDirOf(f.path)).distinct
+      .filter(d => want.forall(seg => d.split("/").contains(seg)))
+      .sorted.map(Row(_))
+  }
+}
+
+/** `DESCRIBE TABLE …` on the multipart spelling — the recorded LOGICAL
+  * schema (column mapping and nested-field renames applied), with the
+  * partition-information block Spark's own DESCRIBE prints; EXTENDED
+  * appends provider/location/version/constraint rows.
+  */
+final case class GraftDescribeCommand(path: String, isExtended: Boolean)
+  extends LeafRunnableCommand {
+  private def str = org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", str, nullable = false)(),
+    AttributeReference("data_type", str, nullable = false)(),
+    AttributeReference("comment", str, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (fs, root) = ManifestLake.fsFor(spark, path)
+    val v = ManifestLake.currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = ManifestLake.readManifest(fs, root, v)
+    val logical = ManifestLake.logicalSchemaOf(m)
+    require(logical.nonEmpty,
+      s"table at $path has a headerless legacy manifest — DESCRIBE needs " +
+        "the recorded schema (run one append or upsert to adopt a header first)")
+    val colRows = logical.fields.toSeq.map(f =>
+      Row(f.name, f.dataType.simpleString, null))
+    val partRows =
+      if (m.partCols.isEmpty) Seq.empty
+      else Row("# Partition Information", "", null) +:
+        Row("# col_name", "data_type", "comment") +:
+        m.partCols.map { c =>
+          val f = logical.fields.find(_.name.equalsIgnoreCase(c))
+          Row(c, f.map(_.dataType.simpleString).getOrElse("string"), null)
+        }
+    val extRows =
+      if (!isExtended) Seq.empty
+      else Seq(
+        Row("", "", null),
+        Row("# Detailed Table Information", "", null),
+        Row("Location", path, null),
+        Row("Provider", "graft-manifest", null),
+        Row("Version", v.toString, null)) ++
+        m.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+          Row(s"Constraint $n", e, null) }
+    colRows ++ partRows ++ extRows
+  }
+}
+
+/** `SHOW COLUMNS IN …` — the logical column names. */
+final case class GraftShowColumnsCommand(path: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("col_name",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (fs, root) = ManifestLake.fsFor(spark, path)
+    val v = ManifestLake.currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val logical = ManifestLake.logicalSchemaOf(
+      ManifestLake.readManifest(fs, root, v))
+    logical.fieldNames.toSeq.map(Row(_))
   }
 }
 

@@ -3915,7 +3915,7 @@ object ManifestLake {
   /** The hive `k=v` partition-dir string of a manifest-relative data
     * path (`data/v<N>/k1=v1/.../file.parquet` → `k1=v1/...`).
     */
-  private def partDirOf(rel: String): String =
+  private[etl] def partDirOf(rel: String): String =
     rel.split("/").drop(2).dropRight(1).mkString("/")
 
   /** PHYSICAL scan of `files` carrying the parquet reader's per-row

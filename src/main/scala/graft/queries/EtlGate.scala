@@ -1854,5 +1854,35 @@ object EtlGate {
              |  count(note) AS n_notes,
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
-             |FROM ev GROUP BY lang ORDER BY lang""".stripMargin)))
+             |FROM ev GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Table utilities through SQL, under the oracle: TRUNCATE a named
+    // partition (metadata-only delete inside), then SHOW PARTITIONS
+    // must list exactly the surviving partitions and the direct read's
+    // per-partition counts must hash-match DuckDB computing the same
+    // survivors relationally.
+    Q(
+      "q124_sql_utilities",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-sqlutil") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+        ManifestLake.write(s, docs, out, Seq("lang"))
+        val l0 = docs.select(min(col("lang"))).collect().head.getString(0)
+        val t = s"`graft-manifest`.`$out`"
+        s.sql(s"TRUNCATE TABLE $t PARTITION (lang='$l0')")
+        val live = s.sql(
+          s"""SELECT concat('lang=', lang) AS partition,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM $t GROUP BY lang""".stripMargin)
+        s.sql(s"SHOW PARTITIONS $t")
+          .join(live, Seq("partition"))
+          .orderBy(col("partition"))
+      },
+      Some("""WITH l0 AS (SELECT min(lang) AS v FROM documents)
+             |SELECT 'lang=' || lang AS partition, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents WHERE lang <> (SELECT v FROM l0)
+             |GROUP BY lang ORDER BY partition""".stripMargin)))
 }

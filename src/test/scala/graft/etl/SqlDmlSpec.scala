@@ -364,6 +364,55 @@ class SqlDmlSpec extends AnyFunSuite {
     ()
   }
 
+  test("table utilities: DESCRIBE / SHOW PARTITIONS / SHOW COLUMNS / TRUNCATE on the multipart spelling") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-util")
+    ManifestLake.write(spark,
+      Seq(("aa", 1L, "x"), ("aa", 2L, "y"), ("bb", 3L, "z"))
+        .toDF("grp", "id", "payload"), dir, Seq("grp"))
+    val t = s"`graft-manifest`.`$dir`"
+    // DESCRIBE: logical columns + partition block
+    val desc = spark.sql(s"DESCRIBE TABLE $t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc.take(3) ===
+      Seq(("grp", "string"), ("id", "bigint"), ("payload", "string")))
+    assert(desc.contains(("# Partition Information", "")) &&
+      desc.last === (("grp", "string")))
+    // EXTENDED appends provider/location/version
+    val ext = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ext("Provider") === "graft-manifest" && ext("Version") === "1")
+    // SHOW COLUMNS / SHOW PARTITIONS (+ partial spec filter)
+    assert(spark.sql(s"SHOW COLUMNS IN $t").as[String].collect().toSeq ===
+      Seq("grp", "id", "payload"))
+    assert(spark.sql(s"SHOW PARTITIONS $t").as[String].collect().toSeq ===
+      Seq("grp=aa", "grp=bb"))
+    assert(spark.sql(s"SHOW PARTITIONS $t PARTITION (grp='bb')")
+      .as[String].collect().toSeq === Seq("grp=bb"))
+    // TRUNCATE a named partition, then the whole table
+    spark.sql(s"TRUNCATE TABLE $t PARTITION (grp='aa')")
+    assert(ManifestLake.read(spark, dir).select("id").as[Long]
+      .collect().toSeq === Seq(3L))
+    spark.sql(s"TRUNCATE TABLE $t")
+    assert(ManifestLake.read(spark, dir).isEmpty)
+    // schema survives a full truncate (that is what separates it from drop)
+    assert(ManifestLake.read(spark, dir).schema.fieldNames.toSeq ===
+      Seq("grp", "id", "payload"))
+    // refusals: unknown partition column; DESCRIBE ... PARTITION
+    val badCol = intercept[IllegalArgumentException] {
+      spark.sql(s"TRUNCATE TABLE $t PARTITION (ghost='x')")
+    }
+    assert(badCol.getMessage.contains("not a partition column"))
+    val descPart = intercept[IllegalArgumentException] {
+      spark.sql(s"DESCRIBE TABLE $t PARTITION (grp='aa')")
+    }
+    assert(descPart.getMessage.contains("SHOW PARTITIONS"))
+    // native DESCRIBE on a plain temp view is untouched
+    spark.range(3).createOrReplaceTempView("sqldml_util_plain")
+    assert(spark.sql("DESCRIBE TABLE sqldml_util_plain").count() >= 1)
+    ()
+  }
+
   test("unsupported shapes refuse loudly: non-equi ON, schema evolution, partition-column SET") {
     import spark.implicits._
     seed(dirRef)
