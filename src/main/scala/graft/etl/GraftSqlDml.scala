@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedPartitionSpec, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, CheckConstraint, EqualNullSafe, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, AlterColumns, Assignment, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, RenameColumn, ShowColumns, ShowPartitions, SubqueryAlias, TruncatePartition, TruncateTable, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, AlterColumns, Assignment, ColumnDefinition, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, ShowColumns, ShowPartitions, SubqueryAlias, TruncatePartition, TruncateTable, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.graftshim.SparkShims
@@ -194,6 +194,93 @@ object GraftSqlDml {
       case _ => None
     }
 
+  private def identManifestPath(ident: LogicalPlan): Option[String] =
+    ident match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+        multipartManifestPath(u.nameParts)
+      case _ => None
+    }
+
+  /** CREATE/REPLACE TABLE spec validation: everything the manifest
+    * cannot record refuses loudly; returns the declared CHECK
+    * constraints and identity-partition column names.
+    */
+  private def validateCreateSpec(
+      spec: UnresolvedTableSpec,
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : (Seq[(String, String)], Seq[String]) = {
+    require(spec.properties.isEmpty,
+      "TBLPROPERTIES are not supported on manifest tables")
+    require(spec.provider.forall(p => p.equalsIgnoreCase(Format) ||
+      p.equalsIgnoreCase("graft_manifest")),
+      s"the graft-manifest namespace only creates graft-manifest tables " +
+        s"(got USING ${spec.provider.get})")
+    require(spec.optionExpression.options.isEmpty,
+      "OPTIONS are not supported on manifest CREATE TABLE")
+    require(spec.location.isEmpty,
+      "LOCATION is not supported — a manifest table IS its path")
+    require(spec.comment.isEmpty && spec.collation.isEmpty,
+      "COMMENT/COLLATION are not supported on manifest tables (no store " +
+        "— they would be silently lost)")
+    require(spec.serde.isEmpty && !spec.external,
+      "Hive serde / EXTERNAL are not supported on manifest tables")
+    val cons = spec.constraints.map {
+      case cc: CheckConstraint =>
+        require(!cc.userProvidedCharacteristic.enforced.contains(false),
+          "NOT ENFORCED constraints are not supported — manifest CHECK " +
+            "constraints always enforce on write")
+        cc.name -> cc.condition
+      case other => throw new IllegalArgumentException(
+        s"only CHECK constraints are supported on manifest tables, got $other")
+    }
+    val partCols = partitioning.map { t =>
+      require(t.name == "identity" && t.references().length == 1,
+        s"unsupported partition transform $t — manifest tables " +
+          "partition by identity columns (for derived partitioning, add a " +
+          "GENERATED column via the Scala API)")
+      val parts = t.references()(0).fieldNames()
+      require(parts.length == 1,
+        s"nested partition columns are not supported: ${parts.mkString(".")}")
+      parts.head
+    }
+    (cons, partCols)
+  }
+
+  /** Plain vs GENERATED column definitions. Generated columns must
+    * TRAIL the plain ones (they append by construction) and must not
+    * be partition columns (that wiring is the Scala API's).
+    */
+  private def splitColumns(cols: Seq[ColumnDefinition], partCols: Seq[String])
+      : (org.apache.spark.sql.types.StructType,
+         Seq[(String, org.apache.spark.sql.types.DataType, String)]) = {
+    cols.foreach { c =>
+      require(c.comment.isEmpty,
+        "COMMENT is not supported on manifest tables (no comment store)")
+      require(c.defaultValue.isEmpty,
+        "column DEFAULTs are not supported on manifest tables")
+      require(c.identityColumnSpec.isEmpty,
+        "identity columns are not supported on manifest tables")
+    }
+    val genIdx = cols.indexWhere(_.generationExpression.isDefined)
+    val (plain, gen) =
+      if (genIdx < 0) (cols, Seq.empty[ColumnDefinition])
+      else {
+        require(cols.drop(genIdx).forall(_.generationExpression.isDefined),
+          "GENERATED columns must be declared last on manifest tables " +
+            "(they append after the plain columns)")
+        (cols.take(genIdx), cols.drop(genIdx))
+      }
+    gen.foreach(c => require(!partCols.exists(_.equalsIgnoreCase(c.name)),
+      s"generated PARTITION column ${c.name} is not supported through SQL " +
+        "CREATE — use the Scala API's addGeneratedColumn wiring"))
+    plain.foreach(c => require(c.nullable || partCols.contains(c.name),
+      s"NOT NULL column ${c.name} is not supported on manifest tables — " +
+        "declare a CHECK (col IS NOT NULL) constraint instead"))
+    (org.apache.spark.sql.types.StructType(plain.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
+      gen.map(c => (c.name, c.dataType, c.generationExpression.get)))
+  }
+
   /** The manifest path an ALTER TABLE target names — the multipart
     * `` `graft-manifest`.`/path` `` spelling or a temp view over the
     * source (resolved to its table path, same stance as DML targets).
@@ -290,6 +377,40 @@ object GraftSqlDml {
             (s.column.name.mkString("."), s.newDataType.get)
           }
           GraftAlterCommand(path, AlterWidenCols(widens))
+        }
+      // ---- CREATE TABLE / CTAS / REPLACE TABLE on the multipart
+      // spelling: the table IS its path (no catalog entry) — creation
+      // writes the v1 manifest; IF NOT EXISTS no-ops against an
+      // existing one; REPLACE requires one unless OR CREATE. CHECK
+      // constraints in the definition register after the write;
+      // GENERATED ALWAYS AS columns must trail the plain ones (they
+      // append by construction). Properties/options/LOCATION/COMMENT/
+      // EXTERNAL/serde — anything the manifest cannot record — refuse.
+      case CreateTable(ident, cols, partitioning, spec: UnresolvedTableSpec,
+          ignoreIfExists) =>
+        identManifestPath(ident).map { path =>
+          val (cons, partCols) = validateCreateSpec(spec, partitioning)
+          val (plain, gen) = splitColumns(cols, partCols)
+          GraftCreateTableCommand(path, CreateEmpty(plain, ignoreIfExists),
+            gen, partCols, cons)
+        }
+      case CreateTableAsSelect(ident, partitioning, query,
+          spec: UnresolvedTableSpec, writeOptions, ignoreIfExists, _) =>
+        identManifestPath(ident).map { path =>
+          require(writeOptions.isEmpty,
+            "write options are not supported on manifest CTAS")
+          val (cons, partCols) = validateCreateSpec(spec, partitioning)
+          GraftCreateTableCommand(path, CreateAsSelect(query, ignoreIfExists),
+            Seq.empty, partCols, cons)
+        }
+      case ReplaceTableAsSelect(ident, partitioning, query,
+          spec: UnresolvedTableSpec, writeOptions, orCreate, _) =>
+        identManifestPath(ident).map { path =>
+          require(writeOptions.isEmpty,
+            "write options are not supported on manifest REPLACE TABLE")
+          val (cons, partCols) = validateCreateSpec(spec, partitioning)
+          GraftCreateTableCommand(path, ReplaceAsSelect(query, orCreate),
+            Seq.empty, partCols, cons)
         }
       // ---- table utilities: TRUNCATE, SHOW PARTITIONS/COLUMNS,
       // DESCRIBE — served straight from the manifest (metadata-only;
@@ -633,6 +754,67 @@ final case class GraftAlterCommand(path: String, op: GraftAlterOp)
   }
 }
 
+/** How a CREATE-family statement produces the table's first content. */
+sealed trait GraftCreateMode
+final case class CreateEmpty(schema: org.apache.spark.sql.types.StructType,
+                             ignoreIfExists: Boolean) extends GraftCreateMode
+final case class CreateAsSelect(query: LogicalPlan,
+                                ignoreIfExists: Boolean) extends GraftCreateMode
+final case class ReplaceAsSelect(query: LogicalPlan,
+                                 orCreate: Boolean) extends GraftCreateMode
+
+/** `CREATE TABLE` / `CREATE TABLE … AS SELECT` / `REPLACE TABLE … AS
+  * SELECT` on the multipart spelling — the v1 (or replacing) manifest
+  * commit, then GENERATED columns and CHECK constraints register in
+  * declaration order. Returns the final published version.
+  */
+final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
+    generated: Seq[(String, org.apache.spark.sql.types.DataType, String)],
+    partCols: Seq[String], checkConstraints: Seq[(String, String)])
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = mode match {
+    case CreateAsSelect(q, _) => Seq(q)
+    case ReplaceAsSelect(q, _) => Seq(q)
+    case _ => Seq.empty
+  }
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val exists = ManifestLake.currentVersion(spark, path).isDefined
+    val base: Option[Long] = mode match {
+      case CreateEmpty(schema, ignoreIfExists) =>
+        if (exists) {
+          require(ignoreIfExists, s"manifest table already exists at $path " +
+            "(use CREATE TABLE IF NOT EXISTS, or REPLACE TABLE)")
+          None
+        } else Some(ManifestLake.write(spark,
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], schema), path, partCols))
+      case CreateAsSelect(query, ignoreIfExists) =>
+        if (exists) {
+          require(ignoreIfExists, s"manifest table already exists at $path " +
+            "(use CREATE TABLE IF NOT EXISTS, or REPLACE TABLE)")
+          None
+        } else Some(ManifestLake.write(spark,
+          SparkShims.ofRows(spark, query), path, partCols))
+      case ReplaceAsSelect(query, orCreate) =>
+        require(exists || orCreate,
+          s"no manifest table at $path to replace (use CREATE OR REPLACE)")
+        Some(ManifestLake.write(spark,
+          SparkShims.ofRows(spark, query), path, partCols, replace = true))
+    }
+    val v = base match {
+      case None => ManifestLake.currentVersion(spark, path).get // no-op path
+      case Some(v0) =>
+        val vg = generated.foldLeft(v0) { case (_, (n, dt, e)) =>
+          ManifestLake.addGeneratedColumn(spark, path, n, dt, e) }
+        checkConstraints.foldLeft(vg) { case (_, (n, e)) =>
+          ManifestLake.addConstraint(spark, path, n, e) }
+    }
+    Seq(Row(v))
+  }
+}
+
 /** `TRUNCATE TABLE …` (optionally `PARTITION (k=v, …)`) — all rows (or
   * the named partition's rows) delete through the engine; partition
   * predicates take its metadata-only fast path. Like Spark's own
@@ -814,10 +996,15 @@ final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
         actual.zip(df.schema.fieldNames.map(col))
       } else if (byName) {
         val qLower = df.schema.fieldNames.map(f => f.toLowerCase -> f).toMap
-        expect.toSeq.map { f =>
-          f.name -> col(qLower.getOrElse(f.name.toLowerCase,
-            throw new IllegalArgumentException(
-              s"INSERT BY NAME query is missing table column ${f.name}")))
+        val genNames = m.generated.map(_._1).toSet
+        expect.toSeq.flatMap { f =>
+          qLower.get(f.name.toLowerCase) match {
+            case Some(q) => Some(f.name -> col(q))
+            // an absent GENERATED column is computed by the engine
+            case None if genNames.contains(f.name) => None
+            case None => throw new IllegalArgumentException(
+              s"INSERT BY NAME query is missing table column ${f.name}")
+          }
         }
       } else {
         require(df.schema.length == expect.length,
@@ -829,13 +1016,20 @@ final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
         expect.map(_.name).zip(df.schema.fieldNames.map(col)).toSeq
       }
     val byAssigned = supplied.toMap
-    val projected = df.select(logical.fields.toSeq.map { f =>
+    val genNames = m.generated.map(_._1).toSet
+    // an explicit column list (or BY NAME) leaving a GENERATED column
+    // unassigned OMITS it — the engine computes absent generated
+    // columns; a NULL fill would be validated-as-supplied and refuse
+    val projected = df.select(logical.fields.toSeq.flatMap { f =>
       (staticCols.get(f.name) match {
-        case Some(value) => lit(value).cast(f.dataType)
-        case None => byAssigned.get(f.name)
-          .map(_.cast(f.dataType))
-          .getOrElse(lit(null).cast(f.dataType))
-      }).as(f.name)
+        case Some(value) => Some(lit(value).cast(f.dataType))
+        case None => byAssigned.get(f.name).map(_.cast(f.dataType)) match {
+          case Some(c) => Some(c)
+          case None if (userCols.nonEmpty || byName) && genNames.contains(f.name) =>
+            None
+          case None => Some(lit(null).cast(f.dataType))
+        }
+      }).map(_.as(f.name))
     }: _*)
     val partCols =
       ManifestLake.recordedPartitionCols(spark, path).getOrElse(Seq.empty)

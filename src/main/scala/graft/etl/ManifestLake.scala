@@ -5303,7 +5303,10 @@ object ManifestLake {
       if (adopting) m.schema.get
       else StructType(m.schema.get.fields :+
         StructField(phys, dataType, nullable = true))
-    if (m.files.isEmpty) {
+    // a table with NO rows adopts metadata-only — files may exist (an
+    // empty CREATE stages one zero-row part file) but nothing needs a
+    // backfill; parquet footers are the cheap ground truth
+    if (m.files.isEmpty || footerRowCount(fs, root, m.files) == 0L) {
       publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
         op = Some("schema"), constraints = m.constraints,
         colMap = newColMap, droppedPhys = m.droppedPhys,

@@ -1884,5 +1884,51 @@ object EtlGate {
              |SELECT 'lang=' || lang AS partition, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents WHERE lang <> (SELECT v FROM l0)
-             |GROUP BY lang ORDER BY partition""".stripMargin)))
+             |GROUP BY lang ORDER BY partition""".stripMargin)),
+
+    // CREATE TABLE through SQL, under the oracle: an empty CREATE with
+    // a GENERATED column and a CHECK constraint in the definition, an
+    // INSERT with a column list (the generated column computes because
+    // it is ABSENT, not NULL), and a partitioned CTAS — both tables
+    // read back and hash-matched against DuckDB computing the same
+    // content (generated values included) relationally.
+    Q(
+      "q125_sql_create",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-sqlcreate")
+        val (t1, t2) = (s"`graft-manifest`.`$out/t1`", s"`graft-manifest`.`$out/t2`")
+        graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+          .createOrReplaceTempView("q125_docs")
+        s.sql(
+          s"""CREATE TABLE $t1 (lang STRING, doc_id BIGINT, text STRING,
+             |  n_chars BIGINT,
+             |  n2 BIGINT GENERATED ALWAYS AS (n_chars * 2),
+             |  CONSTRAINT nonneg CHECK (n_chars >= 0))
+             |PARTITIONED BY (lang)""".stripMargin)
+        s.sql(
+          s"""INSERT INTO $t1 (lang, doc_id, text, n_chars)
+             |SELECT lang, doc_id, text, n_chars FROM q125_docs""".stripMargin)
+        s.sql(
+          s"""CREATE TABLE $t2 PARTITIONED BY (lang) AS
+             |SELECT lang, doc_id, n_chars FROM q125_docs
+             |WHERE doc_id % 3 = 0""".stripMargin)
+        val a = s.sql(
+          s"""SELECT 'full' AS src, lang, count(*) AS n_docs,
+             |  CAST(sum(n2) AS BIGINT) AS s2, max(doc_id) AS max_id
+             |FROM $t1 GROUP BY lang""".stripMargin)
+        val b = s.sql(
+          s"""SELECT 'third' AS src, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars * 2) AS BIGINT) AS s2, max(doc_id) AS max_id
+             |FROM $t2 GROUP BY lang""".stripMargin)
+        a.unionByName(b).orderBy(col("src"), col("lang"))
+      },
+      Some("""SELECT 'full' AS src, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars * 2) AS BIGINT) AS s2, max(doc_id) AS max_id
+             |FROM documents GROUP BY lang
+             |UNION ALL
+             |SELECT 'third', lang, count(*), CAST(sum(n_chars * 2) AS BIGINT),
+             |  max(doc_id)
+             |FROM documents WHERE doc_id % 3 = 0 GROUP BY lang
+             |ORDER BY src, lang""".stripMargin)))
 }

@@ -413,6 +413,74 @@ class SqlDmlSpec extends AnyFunSuite {
     ()
   }
 
+  test("CREATE TABLE / CTAS / REPLACE TABLE on the multipart spelling create manifest tables") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-create")
+    val t = s"`graft-manifest`.`$dir`"
+    // empty CREATE: schema + partitioning + CHECK constraint recorded
+    spark.sql(
+      s"""CREATE TABLE $t (grp STRING, id BIGINT, n BIGINT,
+         |  CONSTRAINT pos_n CHECK (n >= 0))
+         |PARTITIONED BY (grp)""".stripMargin)
+    assert(ManifestLake.read(spark, dir).isEmpty)
+    assert(ManifestLake.read(spark, dir).schema.fieldNames.toSeq ===
+      Seq("grp", "id", "n"))
+    // the constraint enforces on the first write
+    val viol = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t VALUES ('aa', 1, -5)")
+    }
+    assert(viol.getMessage.contains("pos_n"))
+    spark.sql(s"INSERT INTO $t VALUES ('aa', 1, 5)")
+    assert(spark.sql(s"SELECT id FROM $t").as[Long].collect().toSeq === Seq(1L))
+    // IF NOT EXISTS no-ops; bare CREATE on an existing table refuses
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $t (x STRING)")
+    assert(ManifestLake.read(spark, dir).schema.fieldNames.length === 3)
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE $t (x STRING)")
+    }
+    // CTAS: schema from the query, partitioned; generated column trails
+    val dir2 = freshDir("sqldml-ctas")
+    val t2 = s"`graft-manifest`.`$dir2`"
+    spark.sql(
+      s"""CREATE TABLE $t2 PARTITIONED BY (grp) AS
+         |SELECT 'g' || CAST(id % 2 AS STRING) AS grp, id, id * 10 AS n
+         |FROM range(6)""".stripMargin)
+    assert(spark.sql(s"SELECT CAST(sum(n) AS BIGINT) FROM $t2")
+      .as[Long].head() === 150L)
+    assert(spark.sql(s"SHOW PARTITIONS $t2").as[String].collect().toSeq ===
+      Seq("grp=g0", "grp=g1"))
+    // REPLACE TABLE swaps content; plain REPLACE of a missing table refuses
+    spark.sql(s"REPLACE TABLE $t2 AS SELECT 'x' AS grp, 9L AS id")
+    assert(spark.sql(s"SELECT id FROM $t2").as[Long].collect().toSeq === Seq(9L))
+    intercept[IllegalArgumentException] {
+      spark.sql(s"REPLACE TABLE `graft-manifest`.`${freshDir("sqldml-rt")}` " +
+        "AS SELECT 1 AS id")
+    }
+    // generated column declared last computes on write
+    val dir3 = freshDir("sqldml-gen")
+    val t3 = s"`graft-manifest`.`$dir3`"
+    spark.sql(
+      s"""CREATE TABLE $t3 (id BIGINT, n BIGINT,
+         |  n2 BIGINT GENERATED ALWAYS AS (n * 2))""".stripMargin)
+    spark.sql(s"INSERT INTO $t3 (id, n) VALUES (1, 21)")
+    assert(spark.sql(s"SELECT n2 FROM $t3").as[Long].head() === 42L)
+    // refusals: foreign provider, LOCATION, TBLPROPERTIES, NOT NULL
+    val prov = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE `graft-manifest`.`${freshDir("sqldml-p")}` " +
+        "(id BIGINT) USING parquet")
+    }
+    assert(prov.getMessage.contains("only creates graft-manifest"))
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE `graft-manifest`.`${freshDir("sqldml-l")}` " +
+        "(id BIGINT) LOCATION '/tmp/elsewhere'")
+    }
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE `graft-manifest`.`${freshDir("sqldml-nn")}` " +
+        "(id BIGINT NOT NULL)")
+    }
+    ()
+  }
+
   test("unsupported shapes refuse loudly: non-equi ON, schema evolution, partition-column SET") {
     import spark.implicits._
     seed(dirRef)
