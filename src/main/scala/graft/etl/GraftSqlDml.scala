@@ -11,10 +11,28 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.graftshim.SparkShims
 import org.apache.spark.sql.types.LongType
 
-/** SQL-text DML over manifest tables: `MERGE INTO` / `UPDATE` /
-  * `DELETE` statements running the SAME [[ManifestLake]] engine the
-  * Scala API drives, so a `spark.sql`-only user (Python, R, JDBC, BI)
-  * gets the full write surface, not just the read side.
+/** The FULL SQL surface over manifest tables, running the SAME
+  * [[ManifestLake]] engine the Scala API drives, so a `spark.sql`-only
+  * user (Python, R, JDBC, BI) loses nothing:
+  *
+  *   - reads: `` SELECT … FROM `graft-manifest`.`/path` `` directly
+  *     (Delta's `` delta.`/path` `` idiom), `VERSION AS OF` /
+  *     `TIMESTAMP AS OF` time travel on any manifest reference
+  *     ([[rewriteReads]]);
+  *   - DML: `MERGE INTO` (full clause surface), `UPDATE`, `DELETE`,
+  *     `INSERT INTO`/`INSERT OVERWRITE` (static + dynamic partition
+  *     overwrite as one commit);
+  *   - DDL: `CREATE TABLE` / `CREATE TABLE … AS SELECT` /
+  *     `REPLACE TABLE … AS SELECT` ([[GraftCreateTableCommand]]),
+  *     `ALTER TABLE` ADD/RENAME/DROP COLUMN, `ALTER COLUMN … TYPE`
+  *     widening, `ADD`/`DROP CONSTRAINT` ([[GraftAlterCommand]]);
+  *   - utilities: `DESCRIBE [EXTENDED]`, `SHOW PARTITIONS`,
+  *     `SHOW COLUMNS`, `TRUNCATE TABLE [PARTITION]` — all served from
+  *     the manifest, metadata-only.
+  *
+  * `DROP TABLE` is deliberately NOT served: a manifest table is its
+  * path, so dropping is deleting the directory — an operation for the
+  * storage layer, not a query engine (Spark's own error surfaces).
   *
   * {{{
   *   spark.sql("""
@@ -26,7 +44,7 @@ import org.apache.spark.sql.types.LongType
   *     WHEN NOT MATCHED AND s.op <> 'd' THEN INSERT *
   *   """)
   *   spark.sql("UPDATE `graft-manifest`.`/lake/docs` SET text = upper(text) WHERE doc_id = 7")
-  *   spark.sql("DELETE FROM `graft-manifest`.`/lake/docs` WHERE lang = 'und'")
+  *   spark.sql("SELECT * FROM `graft-manifest`.`/lake/docs` VERSION AS OF 3")
   * }}}
   *
   * Mechanism: [[GraftSqlParser]] is injected via
