@@ -741,6 +741,18 @@ final case class GraftAlterCommand(path: String, op: GraftAlterOp)
         s"no manifested table at $path (ALTER TABLE needs an existing table)"))
     val v = op match {
       case AlterAddCols(cols) =>
+        // pre-validate the WHOLE list before the first commit — each
+        // column is its own atomic version, and a bad second name must
+        // not leave the statement half-applied
+        val (fs0, root0) = ManifestLake.fsFor(spark, path)
+        val existing = ManifestLake.logicalSchemaOf(
+          ManifestLake.readManifest(fs0, root0, head())).fieldNames
+        val dup = cols.map(_._1).find(n =>
+          existing.exists(_.equalsIgnoreCase(n)))
+        require(dup.isEmpty,
+          s"column ${dup.getOrElse("")} already exists on the table at $path")
+        require(cols.map(_._1.toLowerCase).distinct.size == cols.size,
+          "ADD COLUMNS names a column twice")
         cols.map { case (n, dt) =>
           ManifestLake.addColumn(spark, path, n, dt) }.last
       case AlterRenameCol(from, to) =>
