@@ -481,6 +481,42 @@ class SqlDmlSpec extends AnyFunSuite {
     ()
   }
 
+  test("passthrough zoo: vanilla SQL on non-manifest relations is untouched by the wrapper") {
+    import spark.implicits._
+    // the wrapper matches many statement SHAPES (CREATE/ALTER/SHOW/
+    // DESCRIBE/TRUNCATE/MERGE/…) — none may fire off a non-manifest
+    // target; this zoo exercises each shape against normal relations
+    spark.range(4).select(col("id"), (col("id") % 2).as("g"))
+      .createOrReplaceTempView("zoo_v")
+    assert(spark.sql("SELECT g, count(*) c FROM zoo_v GROUP BY g ORDER BY g")
+      .as[(Long, Long)].collect().toSeq === Seq((0L, 2L), (1L, 2L)))
+    assert(spark.sql("DESCRIBE zoo_v").count() === 2)
+    assert(spark.sql("SHOW COLUMNS IN zoo_v").as[String].collect().toSet ===
+      Set("id", "g"))
+    assert(spark.sql("EXPLAIN SELECT * FROM zoo_v").count() === 1)
+    spark.sql("CACHE TABLE zoo_v")
+    spark.sql("UNCACHE TABLE zoo_v")
+    // WITH + window + subquery, parsed through the wrapper unchanged
+    assert(spark.sql(
+      """WITH t AS (SELECT id, row_number() OVER (ORDER BY id) rn FROM zoo_v)
+        |SELECT max(rn) FROM t WHERE id IN (SELECT id FROM zoo_v)""".stripMargin)
+      .as[Int].head() === 4)
+    // DDL/DML shapes against catalog/views fail with SPARK's errors,
+    // not the wrapper's (the wrapper's messages all name the manifest)
+    for (q <- Seq(
+      "ALTER TABLE zoo_v ADD COLUMNS (x STRING)",
+      "TRUNCATE TABLE zoo_v",
+      "SHOW PARTITIONS zoo_v",
+      "DELETE FROM zoo_v WHERE id = 1",
+      "UPDATE zoo_v SET id = 2",
+      "CREATE TABLE zoo_missing_cat.t (id BIGINT)")) {
+      val e = intercept[Exception] { spark.sql(q) }
+      assert(!String.valueOf(e.getMessage).contains("manifest"),
+        s"wrapper leaked into: $q -> ${e.getMessage}")
+    }
+    ()
+  }
+
   test("unsupported shapes refuse loudly: non-equi ON, schema evolution, partition-column SET") {
     import spark.implicits._
     seed(dirRef)
