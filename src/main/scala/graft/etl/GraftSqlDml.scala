@@ -226,9 +226,22 @@ object GraftSqlDml {
   private def validateCreateSpec(
       spec: UnresolvedTableSpec,
       partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform])
-      : (Seq[(String, String)], Seq[String]) = {
-    require(spec.properties.isEmpty,
-      "TBLPROPERTIES are not supported on manifest tables")
+      : (Seq[(String, String)], Seq[String], Seq[String], Seq[String]) = {
+    // the ONLY recognized properties declare the skipping machinery —
+    // min/max stat columns and bloom tracking, both sticky table facts
+    val known = Set("graft.statscols", "graft.bloomcols")
+    val unknown = spec.properties.keys.filterNot(k =>
+      known.contains(k.toLowerCase(java.util.Locale.ROOT)))
+    require(unknown.isEmpty,
+      s"TBLPROPERTIES ${unknown.mkString(", ")} are not supported on " +
+        "manifest tables (recognized: graft.statsCols, graft.bloomCols — " +
+        "comma-separated column lists)")
+    def propCols(name: String): Seq[String] = spec.properties.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) =>
+        v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    }.getOrElse(Seq.empty)
+    val statsCols = propCols("graft.statsCols")
+    val bloomCols = propCols("graft.bloomCols")
     require(spec.provider.forall(p => p.equalsIgnoreCase(Format) ||
       p.equalsIgnoreCase("graft_manifest")),
       s"the graft-manifest namespace only creates graft-manifest tables " +
@@ -261,7 +274,7 @@ object GraftSqlDml {
         s"nested partition columns are not supported: ${parts.mkString(".")}")
       parts.head
     }
-    (cons, partCols)
+    (cons, partCols, statsCols, bloomCols)
   }
 
   /** Plain vs GENERATED column definitions. Generated columns must
@@ -407,28 +420,31 @@ object GraftSqlDml {
       case CreateTable(ident, cols, partitioning, spec: UnresolvedTableSpec,
           ignoreIfExists) =>
         identManifestPath(ident).map { path =>
-          val (cons, partCols) = validateCreateSpec(spec, partitioning)
+          val (cons, partCols, stCols, blCols) =
+            validateCreateSpec(spec, partitioning)
           val (plain, gen) = splitColumns(cols, partCols)
           GraftCreateTableCommand(path, CreateEmpty(plain, ignoreIfExists),
-            gen, partCols, cons)
+            gen, partCols, cons, stCols, blCols)
         }
       case CreateTableAsSelect(ident, partitioning, query,
           spec: UnresolvedTableSpec, writeOptions, ignoreIfExists, _) =>
         identManifestPath(ident).map { path =>
           require(writeOptions.isEmpty,
             "write options are not supported on manifest CTAS")
-          val (cons, partCols) = validateCreateSpec(spec, partitioning)
+          val (cons, partCols, stCols, blCols) =
+            validateCreateSpec(spec, partitioning)
           GraftCreateTableCommand(path, CreateAsSelect(query, ignoreIfExists),
-            Seq.empty, partCols, cons)
+            Seq.empty, partCols, cons, stCols, blCols)
         }
       case ReplaceTableAsSelect(ident, partitioning, query,
           spec: UnresolvedTableSpec, writeOptions, orCreate, _) =>
         identManifestPath(ident).map { path =>
           require(writeOptions.isEmpty,
             "write options are not supported on manifest REPLACE TABLE")
-          val (cons, partCols) = validateCreateSpec(spec, partitioning)
+          val (cons, partCols, stCols, blCols) =
+            validateCreateSpec(spec, partitioning)
           GraftCreateTableCommand(path, ReplaceAsSelect(query, orCreate),
-            Seq.empty, partCols, cons)
+            Seq.empty, partCols, cons, stCols, blCols)
         }
       // ---- table utilities: TRUNCATE, SHOW PARTITIONS/COLUMNS,
       // DESCRIBE — served straight from the manifest (metadata-only;
@@ -800,7 +816,8 @@ final case class ReplaceAsSelect(query: LogicalPlan,
   */
 final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
     generated: Seq[(String, org.apache.spark.sql.types.DataType, String)],
-    partCols: Seq[String], checkConstraints: Seq[(String, String)])
+    partCols: Seq[String], checkConstraints: Seq[(String, String)],
+    statsCols: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = mode match {
     case CreateAsSelect(q, _) => Seq(q)
@@ -819,19 +836,22 @@ final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
           None
         } else Some(ManifestLake.write(spark,
           spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], schema), path, partCols))
+            spark.sparkContext.emptyRDD[Row], schema), path, partCols,
+          statsCols = statsCols, bloomCols = bloomCols))
       case CreateAsSelect(query, ignoreIfExists) =>
         if (exists) {
           require(ignoreIfExists, s"manifest table already exists at $path " +
             "(use CREATE TABLE IF NOT EXISTS, or REPLACE TABLE)")
           None
         } else Some(ManifestLake.write(spark,
-          SparkShims.ofRows(spark, query), path, partCols))
+          SparkShims.ofRows(spark, query), path, partCols,
+          statsCols = statsCols, bloomCols = bloomCols))
       case ReplaceAsSelect(query, orCreate) =>
         require(exists || orCreate,
           s"no manifest table at $path to replace (use CREATE OR REPLACE)")
         Some(ManifestLake.write(spark,
-          SparkShims.ofRows(spark, query), path, partCols, replace = true))
+          SparkShims.ofRows(spark, query), path, partCols, replace = true,
+          statsCols = statsCols, bloomCols = bloomCols))
     }
     val v = base match {
       case None => ManifestLake.currentVersion(spark, path).get // no-op path
@@ -944,7 +964,9 @@ final case class GraftDescribeCommand(path: String, isExtended: Boolean)
         Row("# Detailed Table Information", "", null),
         Row("Location", path, null),
         Row("Provider", "graft-manifest", null),
-        Row("Version", v.toString, null)) ++
+        Row("Version", v.toString, null),
+        Row("StatsCols", m.statsColsDefault.mkString(","), null),
+        Row("BloomCols", m.bloomCols.mkString(","), null)) ++
         m.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
           Row(s"Constraint $n", e, null) }
     colRows ++ partRows ++ extRows

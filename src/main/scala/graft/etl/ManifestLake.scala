@@ -238,6 +238,7 @@ object ManifestLake {
                                          bloomCols: Seq[String] = Seq.empty,
                                          generated: Seq[(String, String)] = Seq.empty,
                                          fieldMap: Seq[(String, String, String)] = Seq.empty,
+                                         statsColsDefault: Seq[String] = Seq.empty,
                                          chain: Int = 0,
                                          baseVersions: Seq[Long] = Seq.empty)
 
@@ -569,6 +570,11 @@ object ManifestLake {
     val bloomCols = dmap.get("#bloomcols")
       .map(v => if (v.isEmpty) Seq.empty[String] else v.split(",").toSeq)
       .getOrElse(Seq.empty)
+    // the table's DECLARED min/max stat columns (physical names) —
+    // sticky across writes, like bloom tracking
+    val statsColsDefault = dmap.get("#statscols")
+      .map(v => if (v.isEmpty) Seq.empty[String] else v.split(",").toSeq)
+      .getOrElse(Seq.empty)
     val generated = directives.filter(_.startsWith("#gencol\t")).map { d =>
       val rest = d.substring("#gencol\t".length)
       val i = rest.indexOf('\t')
@@ -588,7 +594,7 @@ object ManifestLake {
       .map(_.substring("#remove\t".length))
     (Manifest(schema, partCols, files, txns, op, cdf, constraints,
       if (colMapEntries.isEmpty) None else Some(colMapEntries), dropped,
-      bloomCols, generated, fieldMap), deltaRef, removes)
+      bloomCols, generated, fieldMap, statsColsDefault), deltaRef, removes)
   }
 
   /** Stats blob: `{"col": ["lo","hi"], …, "#rows": n, "#nulls":
@@ -881,6 +887,7 @@ object ManifestLake {
                            bloomCols: Seq[String] = Seq.empty,
                            generated: Seq[(String, String)] = Seq.empty,
                            fieldMap: Seq[(String, String, String)] = Seq.empty,
+                           statsColsDefault: Seq[String] = Seq.empty,
                            deltaHint: Option[(Seq[LiveFile], Seq[String])] = None): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
@@ -915,6 +922,8 @@ object ManifestLake {
       colMap.toSeq.flatten.map { case (l, p) => s"#colmap\t$l\t$p" } ++
       droppedPhys.map(p => s"#coldropped\t$p") ++
       (if (bloomCols.isEmpty) Nil else Seq(s"#bloomcols\t${bloomCols.mkString(",")}")) ++
+      (if (statsColsDefault.isEmpty) Nil
+       else Seq(s"#statscols\t${statsColsDefault.mkString(",")}")) ++
       generated.map { case (n, e) => s"#gencol\t$n\t$e" } ++
       fieldMap.map { case (c, l, ph) => s"#fieldmap\t$c\t$l\t$ph" } ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
@@ -1150,7 +1159,7 @@ object ManifestLake {
       }
       val resolved = Manifest(schema, partCols, resolvedFiles, txns, op, cdf,
         constraints, colMap.filter(_.nonEmpty), droppedPhys, bloomCols, generated,
-        fieldMap,
+        fieldMap, statsColsDefault,
         chain = delta.map(_._3).getOrElse(0),
         baseVersions =
           delta.map(_ => prevM.get.baseVersions :+ (v - 1)).getOrElse(Seq.empty))
@@ -1600,6 +1609,13 @@ object ManifestLake {
     val bloomColsOut =
       (if (replace) bloomColsP
        else (prev.map(_.bloomCols).getOrElse(Seq.empty) ++ bloomColsP).distinct)
+    // MIN/MAX STAT TRACKING is sticky too: once declared (at CREATE or
+    // on any write), every later commit keeps collecting the columns
+    // for its new files — without this, one plain append silently stops
+    // collecting and the skipping ladder degrades file by file
+    val statsColsOut =
+      (if (replace) statsColsP
+       else (prev.map(_.statsColsDefault).getOrElse(Seq.empty) ++ statsColsP).distinct)
     // an append joins an existing table, so its shape must match what
     // the manifest records. A legacy HEADERLESS manifest has no recorded
     // shape to check against, and stamping this batch's schema over the
@@ -1721,7 +1737,7 @@ object ManifestLake {
           s"$rowsOut staged — table still at v${v - 1}")
     }
     val withStats = stageStats(spark, fs, root, commitDir, tableSchema,
-      statsColsP, bloomColsOut, partitionCols, staged)
+      statsColsOut, bloomColsOut, partitionCols, staged)
     // OPTIMISTIC CONCURRENT APPENDS: the checked no-overwrite publish
     // turns a same-version race into a loud loss — and for an APPEND
     // the loss is retryable, because appends never conflict logically:
@@ -1752,6 +1768,7 @@ object ManifestLake {
           constraints = prev.map(_.constraints).getOrElse(Map.empty),
           colMap = colMapOut,
           droppedPhys = droppedOut, bloomCols = bloomColsOut,
+          statsColsDefault = statsColsOut,
           generated = genCols,
           fieldMap = curPrev.map(_.fieldMap).getOrElse(Seq.empty),
           // an append drops nothing: the delta is exactly the staged
@@ -2604,6 +2621,7 @@ object ManifestLake {
           curM.schema, curM.partCols, curM.txns, op = Some("compact"),
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
+          statsColsDefault = curM.statsColsDefault,
           generated = curM.generated, fieldMap = curM.fieldMap,
           deltaHint = Some((withStats, inputPaths.toSeq)))
         return report
@@ -2955,6 +2973,7 @@ object ManifestLake {
           curM.txns ++ txn.toMap, op = Some("upsert"), cdf = relCdf,
           constraints = manifest.constraints, colMap = colMapOutU,
           droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
+          statsColsDefault = manifest.statsColsDefault,
           generated = manifest.generated, fieldMap = manifest.fieldMap,
           deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
         return curV
@@ -3149,6 +3168,7 @@ object ManifestLake {
             curM.txns ++ txn.toMap, op = Some("replacepart"), cdf = relCdf,
             constraints = manifest.constraints, colMap = colMapOut,
             droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
+          statsColsDefault = manifest.statsColsDefault,
             generated = manifest.generated, fieldMap = manifest.fieldMap,
             deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
           return curV
@@ -3650,6 +3670,7 @@ object ManifestLake {
             curM.txns ++ txn.toMap, op = Some("merge"), cdf = relCdf,
             constraints = manifest.constraints, colMap = manifest.colMap,
             droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
+          statsColsDefault = manifest.statsColsDefault,
             generated = manifest.generated, fieldMap = manifest.fieldMap,
             deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
           return MergeStats(curV, nUpd, nDel, nIns)
@@ -4086,6 +4107,7 @@ object ManifestLake {
           curM.txns ++ txn.toMap, op = Some("delete"), cdf = relCdf,
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
+          statsColsDefault = curM.statsColsDefault,
           generated = curM.generated, fieldMap = curM.fieldMap,
           deltaHint = Some((staged, candidatePaths.toSeq)))
         return curV
@@ -4601,6 +4623,7 @@ object ManifestLake {
           curM.txns ++ txn.toMap, op = Some("update"), cdf = relCdf,
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
+          statsColsDefault = curM.statsColsDefault,
           generated = curM.generated, fieldMap = curM.fieldMap,
           deltaHint = Some((staged, candidatePaths.toSeq)))
         return curV
@@ -4662,7 +4685,8 @@ object ManifestLake {
     publish(fs, root, newV, target.files, target.schema, target.partCols, headTxns,
       op = Some("restore"), constraints = target.constraints,
       colMap = target.colMap, droppedPhys = target.droppedPhys,
-      bloomCols = target.bloomCols, generated = target.generated,
+      bloomCols = target.bloomCols,
+      statsColsDefault = target.statsColsDefault, generated = target.generated,
       fieldMap = target.fieldMap)
     newV
   }
@@ -4730,6 +4754,7 @@ object ManifestLake {
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("constraint"), constraints = m.constraints + (name -> expression),
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
+          statsColsDefault = m.statsColsDefault,
       generated = m.generated, fieldMap = m.fieldMap,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -4747,6 +4772,7 @@ object ManifestLake {
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("constraint"), constraints = m.constraints - name,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
+          statsColsDefault = m.statsColsDefault,
       generated = m.generated, fieldMap = m.fieldMap,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -4877,6 +4903,7 @@ object ManifestLake {
       op = Some("schema"), constraints = m.constraints,
       colMap = Some(renamed), droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols,
+          statsColsDefault = m.statsColsDefault,
       generated = m.generated.map { case (n, e) =>
         (if (n == oldName) newName else n) -> e
       }, fieldMap = m.fieldMap)
@@ -4954,7 +4981,8 @@ object ManifestLake {
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("schema"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys,
-      bloomCols = m.bloomCols, generated = m.generated,
+      bloomCols = m.bloomCols,
+      statsColsDefault = m.statsColsDefault, generated = m.generated,
       fieldMap = newFieldMap, deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -5005,6 +5033,7 @@ object ManifestLake {
       colMap = Some(cm.filterNot(_._1 == name)),
       droppedPhys = m.droppedPhys :+ phys,
       bloomCols = m.bloomCols.filterNot(_ == phys),
+      statsColsDefault = m.statsColsDefault.filterNot(_ == phys),
       generated = m.generated.filterNot(_._1 == name),
       fieldMap = m.fieldMap.filterNot(_._1 == phys))
     v + 1
@@ -5075,7 +5104,8 @@ object ManifestLake {
     publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
       op = Some("schema"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys,
-      bloomCols = m.bloomCols, generated = m.generated,
+      bloomCols = m.bloomCols,
+      statsColsDefault = m.statsColsDefault, generated = m.generated,
       fieldMap = m.fieldMap, deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -5207,6 +5237,7 @@ object ManifestLake {
     publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
       op = Some("schema"), constraints = m.constraints,
       colMap = newColMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
+          statsColsDefault = m.statsColsDefault,
       generated = m.generated, fieldMap = m.fieldMap)
     v + 1
   }
@@ -5310,7 +5341,8 @@ object ManifestLake {
       publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
         op = Some("schema"), constraints = m.constraints,
         colMap = newColMap, droppedPhys = m.droppedPhys,
-        bloomCols = m.bloomCols, generated = m.generated :+ (name -> expression),
+        bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
+        generated = m.generated :+ (name -> expression),
         fieldMap = m.fieldMap)
       v + 1
     } else {
@@ -5350,7 +5382,8 @@ object ManifestLake {
       publish(fs, root, newV, withStats, Some(newSchema), m.partCols, m.txns,
         op = Some("schema"), constraints = m.constraints,
         colMap = newColMap, droppedPhys = m.droppedPhys,
-        bloomCols = m.bloomCols, generated = m.generated :+ (name -> expression),
+        bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
+        generated = m.generated :+ (name -> expression),
         fieldMap = m.fieldMap)
       newV
     }

@@ -1905,10 +1905,22 @@ object EtlGate {
              |  n_chars BIGINT,
              |  n2 BIGINT GENERATED ALWAYS AS (n_chars * 2),
              |  CONSTRAINT nonneg CHECK (n_chars >= 0))
-             |PARTITIONED BY (lang)""".stripMargin)
+             |PARTITIONED BY (lang)
+             |TBLPROPERTIES ('graft.statsCols' = 'doc_id')""".stripMargin)
         s.sql(
           s"""INSERT INTO $t1 (lang, doc_id, text, n_chars)
              |SELECT lang, doc_id, text, n_chars FROM q125_docs""".stripMargin)
+        // the CREATE-declared stat tracking must STICK: every data file
+        // the INSERT staged carries doc_id bounds for skipping (a
+        // SQL-first table is a skippable table)
+        locally {
+          val (fs, root) = ManifestLake.fsFor(s, s"$out/t1")
+          val m = ManifestLake.readManifest(fs, root,
+            ManifestLake.currentVersion(s, s"$out/t1").get)
+          val data = m.files.filter(_.rows.exists(_ > 0))
+          require(data.nonEmpty && data.forall(_.stats.contains("doc_id")),
+            "q125 gate: SQL-created table must collect declared doc_id stats")
+        }
         s.sql(
           s"""CREATE TABLE $t2 PARTITIONED BY (lang) AS
              |SELECT lang, doc_id, n_chars FROM q125_docs

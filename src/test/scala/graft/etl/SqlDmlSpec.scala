@@ -517,6 +517,52 @@ class SqlDmlSpec extends AnyFunSuite {
     ()
   }
 
+  test("stat tracking is sticky: CREATE declares it via TBLPROPERTIES, every later write keeps collecting") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-stats")
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (grp STRING, id BIGINT, payload STRING)
+         |PARTITIONED BY (grp)
+         |TBLPROPERTIES ('graft.statsCols' = 'id')""".stripMargin)
+    spark.sql(s"INSERT INTO $t VALUES ('aa', 1, 'x'), ('aa', 9, 'y')")
+    spark.sql(s"INSERT INTO $t VALUES ('bb', 20, 'z')") // plain append: must KEEP collecting
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m = ManifestLake.readManifest(fs, root,
+      ManifestLake.currentVersion(spark, dir).get)
+    val dataFiles = m.files.filter(_.rows.exists(_ > 0))
+    assert(dataFiles.nonEmpty &&
+      dataFiles.forall(_.stats.contains("id")),
+      s"every data file must carry id bounds: ${m.files.map(f => f.path -> f.stats.keys)}")
+    // the Scala API inherits the same stickiness: one declared write,
+    // then a plain append without options still collects
+    val dir2 = freshDir("sqldml-stats2")
+    ManifestLake.write(spark, Seq(("aa", 1L)).toDF("grp", "id"), dir2,
+      Seq("grp"), statsCols = Seq("id"))
+    ManifestLake.write(spark, Seq(("bb", 2L)).toDF("grp", "id"), dir2,
+      Seq("grp"), replace = false) // no statsCols passed
+    val (fs2, root2) = ManifestLake.fsFor(spark, dir2)
+    val m2 = ManifestLake.readManifest(fs2, root2, 2L)
+    assert(m2.files.forall(_.stats.contains("id")),
+      s"append must inherit the declared stat columns: ${m2.files.map(f => f.path -> f.stats.keys)}")
+    // DESCRIBE EXTENDED surfaces the declared tracking
+    val ext = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ext("StatsCols") === "id")
+    // a REPLACE resets the declaration, like every other header fact
+    spark.sql(s"REPLACE TABLE $t AS SELECT 'cc' AS grp, 5L AS id")
+    val m3 = ManifestLake.readManifest(fs, root,
+      ManifestLake.currentVersion(spark, dir).get)
+    assert(m3.statsColsDefault.isEmpty)
+    // unknown TBLPROPERTIES still refuse
+    val bad = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE `graft-manifest`.`${freshDir("sqldml-prop")}` " +
+        "(id BIGINT) TBLPROPERTIES ('foo' = 'bar')")
+    }
+    assert(bad.getMessage.contains("graft.statsCols"))
+    ()
+  }
+
   test("unsupported shapes refuse loudly: non-equi ON, schema evolution, partition-column SET") {
     import spark.implicits._
     seed(dirRef)
