@@ -58,6 +58,7 @@ object Graft {
     Op("lake", "SQL table utilities: DESCRIBE [EXTENDED] / SHOW PARTITIONS [PARTITION spec] / SHOW COLUMNS / TRUNCATE TABLE [PARTITION] on manifest tables, served from the manifest (metadata-only)", "graft.etl.GraftDescribeCommand/GraftShowPartitionsCommand/GraftTruncateCommand", "q124; SqlDmlSpec"),
     Op("lake", "SQL CREATE TABLE / CTAS / REPLACE TABLE on manifest paths (schema, identity partitioning, CHECK constraints, trailing GENERATED columns; IF NOT EXISTS / OR CREATE semantics; properties/options/LOCATION/COMMENT/NOT NULL refuse loudly)", "graft.etl.GraftCreateTableCommand", "q125; SqlDmlSpec"),
     Op("lake", "sticky stat tracking: statsCols is a header fact like bloom tracking — declared once (write option or TBLPROPERTIES graft.statsCols/graft.bloomCols at SQL CREATE), every later commit keeps collecting; REPLACE resets", "graft.etl.ManifestLake (statsColsDefault)", "q125 in-line; SqlDmlSpec"),
+    Op("lake", "ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS]: metadata-only per-file stats backfill (bounds/null-counts/value-sets for files missing them, no data rewrite; columns join the sticky declared set) + SHOW TBLPROPERTIES", "graft.etl.ManifestLake.analyzeStats via GraftAnalyzeCommand", "q126; SqlDmlSpec"),
     Op("lake", "dynamic partition overwrite: touched partitions swap wholesale in ONE commit, untouched carry by reference, exact delete+insert CDC; SQL INSERT OVERWRITE PARTITION incl. empty-query partition clear", "graft.etl.ManifestLake.overwritePartitions", "q121"),
     Op("lake", "nested-field SET in UPDATE (meta.qual = expr, withField semantics), Scala + SQL", "graft.etl.ManifestLake.update (dotted SET)", "spec"),
     Op("lake", "full-clause MERGE: ordered WHEN clauses, partial SET, explicit INSERT lists, NOT MATCHED BY SOURCE update/delete", "graft.etl.ManifestLake.mergeClauses", "q119"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedPartitionSpec, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, CheckConstraint, EqualNullSafe, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
-import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, AlterColumns, Assignment, ColumnDefinition, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, ShowColumns, ShowPartitions, SubqueryAlias, TruncatePartition, TruncateTable, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, AlterColumns, Assignment, ColumnDefinition, CreateTable, CreateTableAsSelect, AnalyzeColumn, AnalyzeTable, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, RenameColumn, ReplaceTableAsSelect, ShowColumns, ShowPartitions, ShowTableProperties, SubqueryAlias, TruncatePartition, TruncateTable, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.graftshim.SparkShims
@@ -446,6 +446,31 @@ object GraftSqlDml {
           GraftCreateTableCommand(path, ReplaceAsSelect(query, orCreate),
             Seq.empty, partCols, cons, stCols, blCols)
         }
+      // ---- ANALYZE TABLE: metadata-only stats backfill through the
+      // engine — bounds/null-counts/value-sets for live files missing
+      // them, no data rewrite; the columns join the sticky declared set
+      case AnalyzeTable(t: UnresolvedTableOrView, partitionSpec, noScan)
+          if multipartManifestPath(t.multipartIdentifier).isDefined =>
+        require(partitionSpec.isEmpty,
+          "ANALYZE ... PARTITION is not supported on manifest tables — " +
+            "stats are per-file; analyze the whole table")
+        require(!noScan,
+          "ANALYZE ... NOSCAN has nothing to compute on a manifest table " +
+            "— row counts already ride every commit's parquet footers")
+        Some(GraftAnalyzeCommand(
+          multipartManifestPath(t.multipartIdentifier).get, Seq.empty))
+      case AnalyzeColumn(t: UnresolvedTableOrView, columnNames, allColumns)
+          if multipartManifestPath(t.multipartIdentifier).isDefined =>
+        require(!allColumns,
+          "ANALYZE ... FOR ALL COLUMNS is not supported — name the " +
+            "columns (partition columns prune by directory, not stats)")
+        Some(GraftAnalyzeCommand(
+          multipartManifestPath(t.multipartIdentifier).get,
+          columnNames.getOrElse(Seq.empty)))
+      case ShowTableProperties(t: UnresolvedTableOrView, key, _)
+          if multipartManifestPath(t.multipartIdentifier).isDefined =>
+        Some(GraftShowPropertiesCommand(
+          multipartManifestPath(t.multipartIdentifier).get, key))
       // ---- table utilities: TRUNCATE, SHOW PARTITIONS/COLUMNS,
       // DESCRIBE — served straight from the manifest (metadata-only;
       // TRUNCATE dispatches to the engine's delete). DESCRIBE/SHOW on
@@ -970,6 +995,51 @@ final case class GraftDescribeCommand(path: String, isExtended: Boolean)
         m.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
           Row(s"Constraint $n", e, null) }
     colRows ++ partRows ++ extRows
+  }
+}
+
+/** `ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS …]` — the
+  * metadata-only stats backfill ([[ManifestLake.analyzeStats]]):
+  * bounds/null-counts/value-sets for live files missing them, no data
+  * rewrite; the columns join the sticky declared set. Returns the
+  * published version.
+  */
+final case class GraftAnalyzeCommand(path: String, cols: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestLake.analyzeStats(spark, path, cols)))
+}
+
+/** `SHOW TBLPROPERTIES …` — the table facts a property-shaped reader
+  * expects: provider, the declared skipping machinery, partitioning,
+  * head version; `('key')` selects one.
+  */
+final case class GraftShowPropertiesCommand(path: String, key: Option[String])
+  extends LeafRunnableCommand {
+  private def str = org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", str, nullable = false)(),
+    AttributeReference("value", str, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (fs, root) = ManifestLake.fsFor(spark, path)
+    val v = ManifestLake.currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = ManifestLake.readManifest(fs, root, v)
+    val props = Seq(
+      "provider" -> "graft-manifest",
+      "graft.statsCols" -> m.statsColsDefault.mkString(","),
+      "graft.bloomCols" -> m.bloomCols.mkString(","),
+      "graft.partitionCols" -> m.partCols.mkString(","),
+      "graft.version" -> v.toString)
+    key match {
+      case Some(k) => props.filter(_._1.equalsIgnoreCase(k)) match {
+        case Seq() => Seq(Row(k, s"Table $path does not have property: $k"))
+        case found => found.map { case (a, b) => Row(a, b) }
+      }
+      case None => props.map { case (a, b) => Row(a, b) }
+    }
   }
 }
 

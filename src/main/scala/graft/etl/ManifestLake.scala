@@ -1374,6 +1374,19 @@ object ManifestLake {
                            commitDir: Path, schema: StructType,
                            statsCols: Seq[String],
                            partitionCols: Seq[String],
+                           bloomCols: Seq[String] = Seq.empty): Map[String, FileStats] =
+    collectStatsOver(spark, spark.read.parquet(commitDir.toString), schema,
+      statsCols, partitionCols, bloomCols)
+
+  /** [[collectStats]] over an arbitrary scan (a staged commit dir, or —
+    * for the ANALYZE backfill — an explicit list of live files read
+    * under the physical schema).
+    */
+  private def collectStatsOver(spark: SparkSession,
+                           scan: => org.apache.spark.sql.DataFrame,
+                           schema: StructType,
+                           statsCols: Seq[String],
+                           partitionCols: Seq[String],
                            bloomCols: Seq[String] = Seq.empty): Map[String, FileStats] = {
     import org.apache.spark.sql.types._
     // timestamps are excluded: their string form renders in the
@@ -1417,7 +1430,7 @@ object ManifestLake {
         setAgg(col(c).cast("string")).as(s"__set_$c"),
         max(length(col(c).cast("string"))).as(s"__len_$c"))) ++
       bloomEligible.map(c => bloomAgg(col(c).cast("string")).as(s"__bloom_$c"))
-    val rows = spark.read.parquet(commitDir.toString)
+    val rows = scan
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -2254,7 +2267,7 @@ object ManifestLake {
           .withColumn(ChangeTypeCol, lit("insert"))
           .withColumn(CommitVersionCol, lit(v)))
       } else if (m.op.exists(o => o == "compact" || o == "constraint" ||
-        o == "schema")) None
+        o == "schema" || o == "analyze")) None
       else if (m.op.exists(o =>
         o == "upsert" || o == "delete" || o == "merge" || o == "update" ||
         o == "replacepart")) {
@@ -4775,6 +4788,93 @@ object ManifestLake {
           statsColsDefault = m.statsColsDefault,
       generated = m.generated, fieldMap = m.fieldMap,
       deltaHint = Some((Seq.empty, Seq.empty)))
+    v + 1
+  }
+
+  /** METADATA-ONLY stats backfill — the `ANALYZE TABLE` surface:
+    * compute per-file [min,max] bounds, null counts, and value sets of
+    * `cols` for every live file MISSING any of them, update those
+    * manifest entries in place (one delta-friendly commit — data files
+    * are never rewritten or moved), and add `cols` to the sticky
+    * statsColsDefault so every future write keeps collecting. With no
+    * `cols`, backfills the already-declared set. Stats compute over the
+    * RAW files (DV masks not applied) — the same all-physical-rows
+    * semantics write-time collection has; bounds may only be loose,
+    * never tight. Bloom sidecars are NOT backfilled (they are
+    * commit-dir artifacts; compact/maintain materialize them on
+    * rewrite).
+    */
+  def analyzeStats(spark: SparkSession, path: String,
+                   cols: Seq[String] = Seq.empty): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    require(m.schema.isDefined,
+      s"table at $path has a headerless legacy manifest — ANALYZE needs " +
+        "the recorded schema (run one append or upsert to adopt a header first)")
+    val logical = logicalSchemaOf(m)
+    val cm = m.colMap.getOrElse(logical.fieldNames.toSeq.map(n => n -> n)).toMap
+    val requestedLogical =
+      if (cols.nonEmpty) cols
+      else {
+        require(m.statsColsDefault.nonEmpty,
+          "ANALYZE ... COMPUTE STATISTICS has no declared stat columns to " +
+            "backfill — use FOR COLUMNS c1, c2 (or declare " +
+            "graft.statsCols / pass statsCols on a write first)")
+        val physToLogical = cm.map(_.swap)
+        m.statsColsDefault.map(p => physToLogical.getOrElse(p, p))
+      }
+    val resolved = requestedLogical.map { c =>
+      logical.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ANALYZE column $c is not a table column " +
+            s"(columns: ${logical.fieldNames.mkString(", ")})"))
+    }
+    resolved.foreach(c =>
+      require(!m.partCols.exists(_.equalsIgnoreCase(c)),
+        s"ANALYZE column $c is a partition column — partitions prune by " +
+          "directory, not file stats"))
+    val phys = resolved.map(c => cm.getOrElse(c, c))
+    val physSchema = m.schema.get
+    val newDefault = (m.statsColsDefault ++ phys).distinct
+    val candidates = m.files.filter(f =>
+      phys.exists(c => !f.stats.contains(c) || !f.nullCounts.contains(c)))
+    def metadataOnly(): Long =
+      if (newDefault == m.statsColsDefault) v
+      else {
+        publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
+          op = Some("analyze"), constraints = m.constraints, colMap = m.colMap,
+          droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
+          statsColsDefault = newDefault, generated = m.generated,
+          fieldMap = m.fieldMap, deltaHint = Some((Seq.empty, Seq.empty)))
+        v + 1
+      }
+    if (candidates.isEmpty) return metadataOnly()
+    // explicit PHYSICAL schema: a column added after a file was written
+    // reads as null there (its null count = the file's row count —
+    // correct), and no partition-dir inference happens (partition
+    // columns are excluded from file stats anyway)
+    val scan = spark.read
+      .schema(StructType(physSchema.fields.filterNot(f =>
+        m.partCols.contains(f.name))))
+      .parquet(candidates.map(f => new Path(root, f.path).toString): _*)
+    val computed = collectStatsOver(spark, scan, physSchema, phys, m.partCols)
+    if (computed.isEmpty) return metadataOnly() // nothing eligible
+    val updated = candidates.flatMap(f => computed.get(f.path).map(st =>
+      f.copy(stats = f.stats ++ st.bounds,
+        rows = f.rows.orElse(Some(st.rows)),
+        nullCounts = f.nullCounts ++ st.nullCounts,
+        valueSets = f.valueSets ++ st.sets)))
+    val updatedByPath = updated.map(f => f.path -> f).toMap
+    publish(fs, root, v + 1,
+      m.files.map(f => updatedByPath.getOrElse(f.path, f)),
+      m.schema, m.partCols, m.txns, op = Some("analyze"),
+      constraints = m.constraints, colMap = m.colMap,
+      droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
+      statsColsDefault = newDefault, generated = m.generated,
+      fieldMap = m.fieldMap,
+      deltaHint = Some((updated, updated.map(_.path))))
     v + 1
   }
 

@@ -1942,5 +1942,59 @@ object EtlGate {
              |SELECT 'third', lang, count(*), CAST(sum(n_chars * 2) AS BIGINT),
              |  max(doc_id)
              |FROM documents WHERE doc_id % 3 = 0 GROUP BY lang
-             |ORDER BY src, lang""".stripMargin)))
+             |ORDER BY src, lang""".stripMargin)),
+
+    // ANALYZE TABLE under the oracle: a stats-less table (written with
+    // no statsCols) backfills per-file bounds METADATA-ONLY — required
+    // in-line: the live file set is byte-identical before and after
+    // (no rewrite), every data file gains doc_id bounds, and the op is
+    // 'analyze' — then point lookups and aggregates over the analyzed
+    // table hash-match DuckDB computing them relationally.
+    Q(
+      "q126_analyze",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-analyze") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        ManifestLake.write(s, docs.repartition(4), out, Seq("lang")) // no stats
+        val (fs, root) = ManifestLake.fsFor(s, out)
+        val before = ManifestLake.readManifest(fs, root, 1L)
+        require(before.files.forall(_.stats.isEmpty),
+          "q126 gate: the pre-ANALYZE table must carry no bounds")
+        val v = s.sql(s"""ANALYZE TABLE `graft-manifest`.`$out`
+                         |COMPUTE STATISTICS FOR COLUMNS doc_id""".stripMargin)
+          .collect().head.getLong(0)
+        val after = ManifestLake.readManifest(fs, root, v)
+        require(after.files.map(f => (f.path, f.bytes)).sorted ==
+          before.files.map(f => (f.path, f.bytes)).sorted,
+          "q126 gate: ANALYZE must not move or rewrite data files")
+        require(after.files.forall(f => f.stats.contains("doc_id") &&
+          f.rows.exists(_ > 0)),
+          "q126 gate: every data file must gain doc_id bounds")
+        require(after.op.contains("analyze"), "q126 gate: op must be analyze")
+        val mid = docs.agg(max(col("doc_id"))).collect().head.getLong(0) / 2
+        val hit = s.sql(
+          s"""SELECT lang, doc_id, n_chars FROM `graft-manifest`.`$out`
+             |WHERE doc_id = $mid""".stripMargin)
+        val agg = s.sql(
+          s"""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  max(doc_id) AS max_id
+             |FROM `graft-manifest`.`$out` WHERE doc_id > $mid
+             |GROUP BY lang""".stripMargin)
+        hit.select(lit("hit").as("leg"), col("lang"),
+            col("doc_id").as("n_docs"), col("n_chars").as("sum_chars"),
+            col("doc_id").as("max_id"))
+          .unionByName(agg.withColumn("leg", lit("agg")))
+          .orderBy(col("leg"), col("lang"))
+      },
+      Some("""WITH mid AS (SELECT max(doc_id) // 2 AS v FROM documents)
+             |SELECT 'hit' AS leg, lang, doc_id AS n_docs,
+             |  n_chars AS sum_chars, doc_id AS max_id
+             |FROM documents WHERE doc_id = (SELECT v FROM mid)
+             |UNION ALL
+             |SELECT 'agg', lang, count(*), CAST(sum(n_chars) AS BIGINT),
+             |  max(doc_id)
+             |FROM documents WHERE doc_id > (SELECT v FROM mid) GROUP BY lang
+             |ORDER BY leg, lang""".stripMargin)))
 }

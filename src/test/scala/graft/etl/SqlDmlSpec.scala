@@ -563,6 +563,65 @@ class SqlDmlSpec extends AnyFunSuite {
     ()
   }
 
+  test("ANALYZE TABLE backfills per-file stats metadata-only; SHOW TBLPROPERTIES surfaces the declared machinery") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-analyze")
+    val t = s"`graft-manifest`.`$dir`"
+    // a table written WITHOUT stats: files carry no bounds
+    ManifestLake.write(spark,
+      Seq(("aa", 1L, 10L), ("aa", 9L, 20L)).toDF("grp", "id", "n"),
+      dir, Seq("grp"))
+    ManifestLake.write(spark,
+      Seq(("bb", 20L, 30L)).toDF("grp", "id", "n"),
+      dir, Seq("grp"), replace = false)
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    def head() = ManifestLake.readManifest(fs, root,
+      ManifestLake.currentVersion(spark, dir).get)
+    assert(head().files.forall(_.stats.isEmpty))
+    val dataPathsBefore = head().files.map(_.path).toSet
+    // backfill: one metadata-only commit — bounds appear, files don't move
+    val v = spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS id, n")
+      .collect().head.getLong(0)
+    assert(v === 3L)
+    val m = head()
+    assert(m.files.map(_.path).toSet === dataPathsBefore,
+      "ANALYZE must not move or rewrite data files")
+    assert(m.files.forall(f => f.stats.contains("id") && f.stats.contains("n")))
+    assert(m.files.forall(_.rows.exists(_ > 0)))
+    assert(m.statsColsDefault.toSet === Set("id", "n"), "columns join the sticky set")
+    assert(m.op === Some("analyze"))
+    // content identical before/after
+    assert(ManifestLake.read(spark, dir).select("id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 9L, 20L))
+    // idempotent: nothing missing -> no new version
+    assert(spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+      .collect().head.getLong(0) === 3L)
+    // a later plain append keeps collecting (sticky), so ANALYZE stays a no-op
+    ManifestLake.write(spark, Seq(("bb", 40L, 50L)).toDF("grp", "id", "n"),
+      dir, Seq("grp"), replace = false)
+    assert(head().files.forall(_.stats.contains("id")))
+    // SHOW TBLPROPERTIES
+    val props = spark.sql(s"SHOW TBLPROPERTIES $t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props("graft.statsCols").split(",").toSet === Set("id", "n"))
+    assert(props("provider") === "graft-manifest")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $t ('graft.partitionCols')")
+      .collect().head.getString(1) === "grp")
+    // refusals: NOSCAN, unknown column, partition column
+    val noscan = intercept[IllegalArgumentException] {
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS NOSCAN")
+    }
+    assert(noscan.getMessage.contains("NOSCAN"))
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ghost")
+    }
+    val part = intercept[IllegalArgumentException] {
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS grp")
+    }
+    assert(part.getMessage.contains("partition column"))
+    ()
+  }
+
   test("unsupported shapes refuse loudly: non-equi ON, schema evolution, partition-column SET") {
     import spark.implicits._
     seed(dirRef)
