@@ -61,7 +61,7 @@ class ManifestFuzzSpec extends AnyFunSuite {
       record()
 
       (1 to steps).foreach { step =>
-        val op = rnd.nextInt(10)
+        val op = rnd.nextInt(11)
         op match {
           case 0 | 1 | 2 => // append fresh keys
             val rows = (0 until (1 + rnd.nextInt(3))).map { _ =>
@@ -107,6 +107,10 @@ class ManifestFuzzSpec extends AnyFunSuite {
             val keep = 2 + rnd.nextInt(3)
             ManifestLake.vacuum(spark, dir, keepVersions = keep,
               stagedGraceMs = 0L)
+          case 10 => // ANALYZE backfill (metadata-only; content no-op)
+            val before = ManifestLake.currentVersion(spark, dir).get
+            ManifestLake.analyzeStats(spark, dir, Seq("id", "payload"))
+            if (ManifestLake.currentVersion(spark, dir).get != before) record()
         }
         // invariant 1: the head always equals the model
         assert(readNow() === model,
