@@ -622,6 +622,36 @@ class SqlDmlSpec extends AnyFunSuite {
     ()
   }
 
+  test("the direct SQL read plans the SAME single pruned, pushed-down, stats-skipping scan as the API read") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-plan")
+    val df = (0 until 200).map(i => (s"g${i % 2}", i.toLong, s"p$i"))
+      .toDF("grp", "id", "payload")
+      .repartitionByRange(4, col("id"))
+    df.write.format("graft-manifest").partitionBy("grp")
+      .option("statsCols", "id").mode("overwrite").save(dir)
+    val q = spark.sql(
+      s"""SELECT id, payload FROM `graft-manifest`.`$dir`
+         |WHERE grp = 'g1' AND id >= 150""".stripMargin)
+    assert(q.collect().length === 25)
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length === 1, "the direct SQL read must stay one scan node")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+      .contains("grp"), s"partition filter must prune at the scan:\n$plan")
+    assert(plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+      .contains("GreaterThanOrEqual(id,150)"),
+      s"data filter must push to parquet:\n$plan")
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val g1Files = ManifestLake.readManifest(fs, root, 1L)
+      .files.count(_.path.contains("grp=g1"))
+    assert(scans.head.metrics("numFiles").value < g1Files,
+      s"manifest stats must skip files: read " +
+        s"${scans.head.metrics("numFiles").value} of $g1Files")
+  }
+
   test("unsupported shapes refuse loudly: non-equi ON, schema evolution, partition-column SET") {
     import spark.implicits._
     seed(dirRef)
