@@ -4867,15 +4867,47 @@ object ManifestLake {
         nullCounts = f.nullCounts ++ st.nullCounts,
         valueSets = f.valueSets ++ st.sets)))
     val updatedByPath = updated.map(f => f.path -> f).toMap
-    publish(fs, root, v + 1,
-      m.files.map(f => updatedByPath.getOrElse(f.path, f)),
-      m.schema, m.partCols, m.txns, op = Some("analyze"),
-      constraints = m.constraints, colMap = m.colMap,
-      droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
-      statsColsDefault = newDefault, generated = m.generated,
-      fieldMap = m.fieldMap,
-      deltaHint = Some((updated, updated.map(_.path))))
-    v + 1
+    // OPTIMISTIC publish: the backfill scan is long, so a racing commit
+    // is realistic on a busy table. A retry is sound iff every analyzed
+    // ENTRY is still at the head byte-identical (a rewrite/re-mask/
+    // re-stats under the same path means the file we measured is not
+    // the file that lives there — stale stats must not publish); the
+    // rest of the live set and every header fact rebase onto the head.
+    var curM = m
+    var curV = v
+    var attempt = 0
+    fireRaceHook("analyze")
+    while (true) {
+      try {
+        publish(fs, root, curV + 1,
+          curM.files.map(f => updatedByPath.getOrElse(f.path, f)),
+          curM.schema, curM.partCols, curM.txns, op = Some("analyze"),
+          constraints = curM.constraints, colMap = curM.colMap,
+          droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
+          statsColsDefault = (curM.statsColsDefault ++ phys).distinct,
+          generated = curM.generated, fieldMap = curM.fieldMap,
+          deltaHint = Some((updated, updated.map(_.path))))
+        return curV + 1
+      } catch {
+        case e: IllegalStateException if attempt >= 5 =>
+          retriesExhausted(fs, "analyze", path, Seq.empty, e)
+        case e: IllegalStateException =>
+          attempt += 1
+          val headV = currentVersion(spark, path).getOrElse(throw e)
+          val headM = readManifest(fs, root, headV)
+          val headByPath = headM.files.map(f => f.path -> f).toMap
+          val conflicted = candidates.filterNot(c =>
+            headByPath.get(c.path).contains(c))
+          if (conflicted.nonEmpty) throw new IllegalStateException(
+            s"ANALYZE of $path lost its race to a commit that rewrote or " +
+              s"re-masked ${conflicted.length} of the files it measured — " +
+              s"the computed stats would be stale; the table is intact at " +
+              s"v$headV. Re-run the ANALYZE.", e)
+          curM = headM
+          curV = headV
+      }
+    }
+    curV // unreachable
   }
 
   /** TOP-LEVEL logical column names a constraint's SQL text anchors

@@ -652,6 +652,57 @@ class SqlDmlSpec extends AnyFunSuite {
         s"${scans.head.metrics("numFiles").value} of $g1Files")
   }
 
+  test("ANALYZE races: a concurrent append rebases and lands; a rewrite of a measured file is a loud conflict") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir("sqldml-an-race")
+    ManifestLake.write(spark,
+      Seq(("aa", 1L, "x"), ("bb", 2L, "y")).toDF("grp", "id", "payload"),
+      dir, Seq("grp"))
+    // an APPEND between the backfill's scan and its publish: the
+    // measured entries are untouched — the analyze rebases and lands
+    ManifestLake.raceHook.set { op =>
+      assert(op === "analyze")
+      Await.result(Future {
+        spark.sparkContext.clearJobGroup()
+        ManifestLake.write(spark, Seq(("aa", 3L, "z")).toDF("grp", "id", "payload"),
+          dir, Seq("grp"), replace = false)
+      }, 2.minutes): Unit
+    }
+    val v = try ManifestLake.analyzeStats(spark, dir, Seq("id"))
+      finally ManifestLake.raceHook.set(null)
+    assert(v === 3L, "analyze must land AFTER the interloping append")
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val m = ManifestLake.readManifest(fs, root, v)
+    assert(ManifestLake.read(spark, dir).count() === 3, "no rows lost")
+    assert(m.files.filter(_.path.contains("grp=bb"))
+      .forall(_.stats.contains("id")), "measured files keep their backfill")
+    // an UPSERT that rewrites a measured file: the computed stats are
+    // stale for that path — loud conflict, nothing publishes
+    val dir2 = freshDir("sqldml-an-race2")
+    ManifestLake.write(spark,
+      Seq(("aa", 1L, "x"), ("bb", 2L, "y")).toDF("grp", "id", "payload"),
+      dir2, Seq("grp"))
+    ManifestLake.raceHook.set { _ =>
+      Await.result(Future {
+        spark.sparkContext.clearJobGroup()
+        ManifestLake.upsert(spark, dir2,
+          Seq(("aa", 1L, "REWRITTEN")).toDF("grp", "id", "payload"),
+          Seq("grp"), Seq("grp", "id"))
+      }, 2.minutes): Unit
+    }
+    val e = try intercept[IllegalStateException] {
+      ManifestLake.analyzeStats(spark, dir2, Seq("id"))
+    } finally ManifestLake.raceHook.set(null)
+    assert(e.getMessage.contains("rewrote or re-masked"))
+    // the table is intact at the upsert's version, stats-less as before
+    assert(ManifestLake.read(spark, dir2)
+      .where(col("payload") === "REWRITTEN").count() === 1)
+    ()
+  }
+
   test("unsupported shapes refuse loudly: non-equi ON, schema evolution, partition-column SET") {
     import spark.implicits._
     seed(dirRef)
