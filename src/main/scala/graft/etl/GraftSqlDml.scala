@@ -111,8 +111,8 @@ object GraftSqlDml {
     * graft-manifest source (CREATE TEMPORARY VIEW … USING), found by
     * digging the view's plan for the relation's [[ManifestFileIndex]].
     */
-  private def tempViewManifestPath(spark: SparkSession,
-                                   name: String): Option[String] = {
+  private[etl] def tempViewManifestPath(spark: SparkSession,
+                                        name: String): Option[String] = {
     val cat = spark.sessionState.catalog
     val viewPlan: Option[LogicalPlan] =
       try cat.getTempView(name).orElse(
@@ -545,8 +545,9 @@ object GraftSqlDml {
             case other => (other, Set.empty[String])
           }
           def q(e: Expression): Expression = requalify(e, tQuals, sQuals)
-          val keyCols = keyColsOf(m.mergeCondition, tQuals, sQuals)
-          GraftMergeCommand(path, sourcePlan, keyCols,
+          val keys = keyColsOf(m.mergeCondition, tQuals, sQuals)
+          GraftMergeCommand(path, sourcePlan, keys.map(_._1),
+            plainEqKeys = keys.collect { case (k, false) => k },
             matched = m.matchedActions.map(translateAction(_, tQuals, sQuals, q)),
             notMatched = m.notMatchedActions.map(translateAction(_, tQuals, sQuals, q)),
             notMatchedBySource =
@@ -601,10 +602,15 @@ object GraftSqlDml {
   /** Merge keys from the ON condition: a conjunction of
     * `t.col = s.col` equalities over identically-named columns —
     * anything else refuses with the reason (the manifest merge is
-    * keyed; residual predicates belong in clause conditions).
+    * keyed; residual predicates belong in clause conditions). The
+    * spelling is preserved per key: `=` carries standard SQL
+    * semantics (a NULL key matches nothing), `<=>` opts into
+    * null-safe matching (NULL matches NULL) — the engine joins each
+    * key accordingly, so the two spellings diverge exactly where SQL
+    * says they do. Returns (column, spelledNullSafe) pairs.
     */
   private def keyColsOf(on: Expression, tQuals: Set[String],
-                        sQuals: Set[String]): Seq[String] = {
+                        sQuals: Set[String]): Seq[(String, Boolean)] = {
     def split(e: Expression): Seq[Expression] = e match {
       case And(l, r) => split(l) ++ split(r)
       case x => Seq(x)
@@ -620,18 +626,18 @@ object GraftSqlDml {
     }
     split(on).map { conj =>
       val pair = conj match {
-        case EqualTo(l, r) => Some((l, r))
-        case EqualNullSafe(l, r) => Some((l, r))
+        case EqualTo(l, r) => Some((l, r, false))
+        case EqualNullSafe(l, r) => Some((l, r, true))
         case _ => None
       }
-      val key = pair.flatMap { case (l, r) =>
+      val key = pair.flatMap { case (l, r, nullSafe) =>
         (side(l), side(r)) match {
           case (Some((true, tn)), Some((false, sn)))
             if tn.map(_.toLowerCase) == sn.map(_.toLowerCase) && tn.length == 1 =>
-            Some(tn.head)
+            Some((tn.head, nullSafe))
           case (Some((false, sn)), Some((true, tn)))
             if tn.map(_.toLowerCase) == sn.map(_.toLowerCase) && tn.length == 1 =>
-            Some(tn.head)
+            Some((tn.head, nullSafe))
           case _ => None
         }
       }
@@ -728,10 +734,13 @@ final case class GraftUpdateCommand(path: String,
   * order; returns (version, updated, deleted, inserted). The source
   * sub-plan (table, view, subquery, VALUES) executes as a DataFrame;
   * the table's recorded partitioning supplies the engine's partition
-  * columns.
+  * columns. `plainEqKeys` are the keys the ON condition spelled with
+  * `=` (standard semantics: a NULL key matches nothing); the rest
+  * were spelled `<=>` and match null-safely.
   */
 final case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
                                    keyCols: Seq[String],
+                                   plainEqKeys: Seq[String],
                                    matched: Seq[SqlMergeClause],
                                    notMatched: Seq[SqlMergeClause],
                                    notMatchedBySource: Seq[SqlMergeClause])
@@ -750,7 +759,8 @@ final case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
     val st = ManifestLake.mergeClauses(spark, path, source, partCols, keyCols,
       matched = matched.map(_.toEngine),
       notMatched = notMatched.map(_.toEngine),
-      notMatchedBySource = notMatchedBySource.map(_.toEngine))
+      notMatchedBySource = notMatchedBySource.map(_.toEngine),
+      plainEqKeys = plainEqKeys.toSet)
     Seq(Row(st.version, st.updated, st.deleted, st.inserted))
   }
 }
@@ -811,6 +821,17 @@ final case class GraftAlterCommand(path: String, op: GraftAlterOp)
         if (present.isEmpty) head()
         else present.map(ManifestLake.dropColumn(spark, path, _)).last
       case AlterWidenCols(cols) =>
+        // pre-validate the WHOLE list before the first commit (mirror
+        // of the AlterAddCols pre-check): each column is its own
+        // atomic version, and an inadmissible second widen must not
+        // leave the statement half-applied. Duplicate targets refuse
+        // outright — the second widen would validate against the
+        // pre-statement type but execute against the widened one.
+        require(cols.map(_._1.toLowerCase).distinct.size == cols.size,
+          "ALTER COLUMN names a column twice")
+        cols.foreach { case (n, dt) =>
+          ManifestLake.widenColumnType(spark, path, n, dt,
+            validateOnly = true) }
         cols.map { case (n, dt) =>
           ManifestLake.widenColumnType(spark, path, n, dt) }.last
       case AlterAddConstraint(name, sql) =>
@@ -1065,14 +1086,18 @@ final case class GraftShowColumnsCommand(path: String)
   * columns, a static PARTITION spec becomes literal columns, and the
   * batch must match the table's arity — INSERT never widens the
   * schema (that is the writer API's explicit append surface).
-  * Dispatch: plain INSERT INTO appends; INSERT OVERWRITE with a
-  * PARTITION clause (or under
-  * `spark.sql.sources.partitionOverwriteMode=dynamic`) replaces
-  * exactly the partitions the batch touches in ONE commit
-  * ([[ManifestLake.overwritePartitions]]) — a fully-static spec with
-  * an empty query CLEARS that partition (the Hive idiom, served as a
-  * metadata-only delete); otherwise OVERWRITE replaces the table
-  * wholesale.
+  * Dispatch: plain INSERT INTO appends. INSERT OVERWRITE follows
+  * Spark's partitionOverwriteMode exactly —
+  * `dynamic`: replace exactly the partitions the batch touches in
+  * ONE commit ([[ManifestLake.overwritePartitions]]);
+  * `static` (the default) with a PARTITION spec: every live
+  * partition matching the STATIC columns clears in the same commit,
+  * whether or not the batch writes into it (partial specs clear the
+  * whole static prefix; an all-dynamic spec matches everything — the
+  * table replaces wholesale); a fully-static spec with an empty
+  * query CLEARS that partition (the Hive idiom, served as a
+  * metadata-only delete). Without a spec, OVERWRITE replaces the
+  * table wholesale.
   */
 final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
                                     overwrite: Boolean, byName: Boolean,
@@ -1155,6 +1180,10 @@ final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
     }: _*)
     val partCols =
       ManifestLake.recordedPartitionCols(spark, path).getOrElse(Seq.empty)
+    if (partSpecified) staticCols.keys.foreach(k =>
+      require(partCols.contains(k),
+        s"PARTITION column $k is not a partition column " +
+          s"(partitioned by: ${partCols.mkString(", ")})"))
     val dynamicMode = spark.conf
       .getOption("spark.sql.sources.partitionOverwriteMode")
       .exists(_.equalsIgnoreCase("dynamic"))
@@ -1166,7 +1195,27 @@ final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
           // query clears it — the Hive idiom; metadata-only inside
           ManifestLake.delete(spark, path,
             partCols.map(c => col(c) === lit(staticCols(c))).reduce(_ && _))
-        } else ManifestLake.overwritePartitions(spark, path, projected)
+        } else if (dynamicMode) {
+          // dynamic mode replaces exactly the partitions the batch
+          // touches — static values only pin where rows land
+          ManifestLake.overwritePartitions(spark, path, projected)
+        } else {
+          // STATIC mode (Spark/Hive default): every live partition
+          // matching the static prefix clears, whether or not the
+          // batch writes into it; an all-dynamic spec matches every
+          // partition — the whole table replaces
+          val orderedPrefix = partCols.takeWhile(staticCols.contains)
+            .map(c => c -> staticCols(c))
+          require(orderedPrefix.length == staticCols.size,
+            s"static PARTITION columns (${staticCols.keys.mkString(", ")}) " +
+              "must be the leading partition columns in table order " +
+              s"(partitioned by: ${partCols.mkString(", ")})")
+          if (orderedPrefix.isEmpty)
+            ManifestLake.write(spark, projected, path, partCols,
+              replace = true)
+          else ManifestLake.overwritePartitions(spark, path, projected,
+            staticPrefix = orderedPrefix)
+        }
       } else ManifestLake.write(spark, projected, path, partCols,
         replace = overwrite)
     Seq(Row(newV))
@@ -1182,25 +1231,35 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
   extends ParserInterface {
 
   private def intercept(plan: LogicalPlan): LogicalPlan =
-    try {
-      // DML claims its statement FIRST (target resolution matches the
-      // raw UnresolvedRelation); manifest READ references — direct
-      // `graft-manifest`.`path` queries and VERSION/TIMESTAMP AS OF —
-      // then resolve inside whatever remains: the whole plan for a
-      // query, the source/query sub-plans of a claimed DML command
-      // (commands are leaves, so the sub-plans need the explicit map)
-      GraftSqlDml.rewrite(spark, plan) match {
-        case Some(cmd: GraftMergeCommand) =>
-          cmd.copy(sourcePlan = GraftSqlDml.rewriteReads(spark, cmd.sourcePlan))
-        case Some(cmd: GraftInsertCommand) =>
-          cmd.copy(queryPlan = GraftSqlDml.rewriteReads(spark, cmd.queryPlan))
-        case Some(other) => other
-        case None => GraftSqlDml.rewriteReads(spark, plan)
-      }
-    } catch {
-      // translation refusals (unsupported shapes) must surface as-is;
-      // anything unexpected must not mask the vanilla plan
-      case e: IllegalArgumentException => throw e
+    // DML claims its statement FIRST (target resolution matches the
+    // raw UnresolvedRelation); manifest READ references — direct
+    // `graft-manifest`.`path` queries and VERSION/TIMESTAMP AS OF —
+    // then resolve inside whatever remains: the whole plan for a
+    // query, the source/query sub-plans of a claimed DML command
+    // (commands are leaves, so the sub-plans need the explicit map).
+    // ANY exception — a translation refusal or an unexpected one —
+    // fails the statement loudly; there is deliberately no fall-back
+    // to the vanilla plan, because vanilla Spark CAN run some of these
+    // statements (an INSERT through a temp view's HadoopFsRelation
+    // writes files under the table root with no manifest commit) and
+    // a silent fall-back would corrupt the table instead of erroring.
+    GraftSqlDml.rewrite(spark, plan) match {
+      case Some(cmd: GraftMergeCommand) =>
+        cmd.copy(sourcePlan = GraftSqlDml.rewriteReads(spark, cmd.sourcePlan))
+      case Some(cmd: GraftInsertCommand) =>
+        cmd.copy(queryPlan = GraftSqlDml.rewriteReads(spark, cmd.queryPlan))
+      case Some(cmd: GraftCreateTableCommand) =>
+        // CTAS/REPLACE … AS SELECT reading FROM a manifest reference
+        // (the snapshot-clone idiom, incl. VERSION/TIMESTAMP AS OF)
+        cmd.copy(mode = cmd.mode match {
+          case CreateAsSelect(q, ine) =>
+            CreateAsSelect(GraftSqlDml.rewriteReads(spark, q), ine)
+          case ReplaceAsSelect(q, oc) =>
+            ReplaceAsSelect(GraftSqlDml.rewriteReads(spark, q), oc)
+          case other => other
+        })
+      case Some(other) => other
+      case None => GraftSqlDml.rewriteReads(spark, plan)
     }
 
   override def parsePlan(sqlText: String): LogicalPlan =

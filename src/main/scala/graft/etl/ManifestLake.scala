@@ -3042,10 +3042,21 @@ object ManifestLake {
     * replaces nothing and publishes nothing. Carries the txn ledger;
     * publishes optimistically with upsert's partition-disjoint retry
     * rules.
+    *
+    * `staticPrefix` serves Hive/Spark STATIC-mode `INSERT OVERWRITE …
+    * PARTITION (p1='x', p2)` semantics: EVERY live partition matching
+    * the static columns clears in the same commit — including ones
+    * the batch writes no rows for (dynamic mode only replaces touched
+    * partitions; static mode clears the whole static prefix). The
+    * prefix columns must be the LEADING partition columns in table
+    * order, and every batch row must carry the prefix values (the SQL
+    * layer injects them as literals). With a prefix, an EMPTY batch
+    * still publishes — it is the clear-the-prefix commit.
     */
   def overwritePartitions(spark: SparkSession, path: String, df: DataFrame,
                           txn: Option[(String, Long)] = None,
-                          changeFeed: Boolean = true): Long = {
+                          changeFeed: Boolean = true,
+                          staticPrefix: Seq[(String, String)] = Seq.empty): Long = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     val (fs, root) = fsFor(spark, path)
     val v = currentVersion(spark, path).getOrElse(
@@ -3089,11 +3100,38 @@ object ManifestLake {
       require(partRows.forall(r =>
         partitionCols.indices.forall(i => !r.isNullAt(i))),
         "null partition values are not supported by the manifest partition overwrite")
-      if (partRows.isEmpty) return v // nothing touched: the table is the result
-      val affectedDirs = partRows.map(r =>
+      // static-mode prefix: validate it is the leading partition
+      // columns in order, render its path segments, and collect every
+      // LIVE partition dir under it — those clear even if the batch
+      // writes nothing into them
+      val prefixSegs: Seq[String] = staticPrefix.zipWithIndex.map {
+        case ((c, value), i) =>
+          require(i < partitionCols.length &&
+            partitionCols(i).equalsIgnoreCase(c),
+            s"staticPrefix columns (${staticPrefix.map(_._1).mkString(",")}) " +
+              s"must be the leading partition columns in table order " +
+              s"(partitioned by: ${partitionCols.mkString(",")})")
+          s"${escapePathName(partitionCols(i))}=${escapePathName(value)}"
+      }
+      val batchDirs = partRows.map(r =>
         partitionCols.zipWithIndex.map { case (c, i) =>
           s"${escapePathName(c)}=${escapePathName(r.getString(i))}"
         }.mkString("/")).toSet
+      require(batchDirs.forall(d =>
+        prefixSegs.zip(d.split("/").toSeq).forall { case (a, b) => a == b }),
+        s"every batch row must carry the static PARTITION values " +
+          s"(${staticPrefix.map { case (k, v0) => s"$k=$v0" }.mkString(", ")}); " +
+          "the batch writes outside the static prefix")
+      val staticDirs: Set[String] =
+        if (prefixSegs.isEmpty) Set.empty
+        else manifest.files.map(f => partDirOf(f.path)).filter { d =>
+          val segs = d.split("/").toSeq
+          prefixSegs.zip(segs).forall { case (a, b) => a == b } &&
+            segs.lengthCompare(prefixSegs.length) >= 0
+        }.toSet
+      if (partRows.isEmpty && staticDirs.isEmpty)
+        return v // nothing touched: the table is the result
+      val affectedDirs = batchDirs ++ staticDirs
       val affectedFiles =
         manifest.files.filter(f => affectedDirs.contains(partDirOf(f.path)))
       val consLogical = effectiveConstraints(manifest).toSeq.sortBy(_._1)
@@ -3327,6 +3365,20 @@ object ManifestLake {
     * are always allowed and visible to conditions as `s.<col>`.
     * Explicit INSERT values must assign every partition column;
     * UPDATE assignments cannot target partition columns.
+    *
+    * Key NULL semantics: by default every key matches null-safely
+    * (NULL pairs with NULL — the upsert's groupBy semantics, and what
+    * a Scala caller passing bare key names gets). Keys listed in
+    * `plainEqKeys` instead carry standard SQL `=` semantics: a NULL
+    * value on either side matches NOTHING, so a NULL-keyed target row
+    * classifies as not-matched-by-source and a NULL-keyed source row
+    * as not-matched — exactly how `MERGE … ON t.k = s.k` behaves in
+    * ANSI SQL/Delta. The SQL layer routes `=` spellings here and
+    * reserves null-safe matching for an explicit `<=>`. Source
+    * key-uniqueness is still required, except that NULL-keyed source
+    * rows under a plain-eq key are each independent (they can match
+    * no common target row) and do not count as duplicates of each
+    * other.
     */
   def mergeClauses(spark: SparkSession, path: String, source: DataFrame,
                    partitionCols: Seq[String], keyCols: Seq[String],
@@ -3334,7 +3386,8 @@ object ManifestLake {
                    notMatched: Seq[MergeClause] = Seq.empty,
                    notMatchedBySource: Seq[MergeClause] = Seq.empty,
                    txn: Option[(String, Long)] = None,
-                   changeFeed: Boolean = true): MergeStats = {
+                   changeFeed: Boolean = true,
+                   plainEqKeys: Set[String] = Set.empty): MergeStats = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     require(partitionCols.nonEmpty,
       "manifest merge needs a partitioned table; replace flat tables wholesale")
@@ -3342,6 +3395,9 @@ object ManifestLake {
       s"merge keys ${keyCols.mkString(",")} must include every partition " +
         s"column (${partitionCols.mkString(",")}) so matched rows stay in " +
         "the partitions the source names")
+    require(plainEqKeys.forall(keyCols.contains),
+      s"plainEqKeys ${plainEqKeys.mkString(",")} must be a subset of the " +
+        s"merge keys (${keyCols.mkString(",")})")
     matched.foreach {
       case _: MergeInsert => throw new IllegalArgumentException(
         "WHEN MATCHED supports UPDATE and DELETE clauses, not INSERT")
@@ -3496,7 +3552,9 @@ object ManifestLake {
       // several target rows fans out one sid and stays legal
       val src = source.withColumn("__s_present", lit(true))
         .withColumn("__sid", monotonically_increasing_id()).alias("s")
-      val keyCond = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+      val keyCond = keyCols.map(k =>
+        if (plainEqKeys.contains(k)) col(s"t.$k") === col(s"s.$k")
+        else col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
       // clause condition: None = unconditional; null evaluates false
       def condOf(b: Option[Column]): Column =
         coalesce(b.getOrElse(lit(true)), lit(false))
@@ -3526,12 +3584,22 @@ object ManifestLake {
       // check, and the delete count rides the same pass — the two
       // pre-classify source scans this used to cost are gone, and the
       // write job below reads the already-cached join
+      // NULL-valued plain-eq keys exempt a group from the duplicate
+      // check: under `=` semantics those source rows can match no
+      // common target row, so N of them are N independent inserts,
+      // not a duplicate key (groupBy would otherwise pool them —
+      // groupBy treats NULLs as equal, the join does not)
+      val dupEligible = plainEqKeys.toSeq.sorted
+        .map(k => col(s"s.$k").isNotNull)
+        .foldLeft(lit(true))(_ && _)
       val chk = cls
         .groupBy(keyCols.map(k => col(s"s.$k")): _*)
         .agg(countDistinct(col("s.__sid")).as("__src_c"),
-          count(when(isDel, lit(1))).as("__del_c"))
+          count(when(isDel, lit(1))).as("__del_c"),
+          first(dupEligible).as("__dup_elig"))
         .agg(sum("__del_c").as("dels"),
-          count(when(col("__src_c") > 1, lit(1))).as("dup_keys"))
+          count(when(col("__src_c") > 1 && col("__dup_elig"), lit(1)))
+            .as("dup_keys"))
         .collect().head
       val nDel = Option(chk.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
       if (chk.getLong(1) > 0)
@@ -5188,7 +5256,8 @@ object ManifestLake {
   private def widenNestedField(spark: SparkSession, fs: FileSystem, root: Path,
                                path: String, v: Long, m: Manifest,
                                cm: Seq[(String, String)], name: String,
-                               newType: org.apache.spark.sql.types.DataType): Long = {
+                               newType: org.apache.spark.sql.types.DataType,
+                               validateOnly: Boolean = false): Long = {
     val parts = name.split("\\.")
     require(parts.length == 2,
       s"widenColumnType supports nested fields ONE level deep ($name is " +
@@ -5224,6 +5293,7 @@ object ManifestLake {
         s"${newType.catalogString} — only value-preserving widenings are " +
         "metadata-only (integral up-casts, float->double, int->double, " +
         "decimal growth); anything else is a replace write")
+    if (validateOnly) return v
     val newSt = StructType(st.fields.map(f =>
       if (f.name == physField) f.copy(dataType = newType) else f))
     val newRootType: DataType = physType match {
@@ -5268,9 +5338,16 @@ object ManifestLake {
     * widened type (the batch-shape check stays loud — cast narrower
     * batches explicitly). Old versions time-travel-read under their
     * own recorded type. Narrowing and lossy changes refuse typed.
+    *
+    * `validateOnly` runs every admissibility check against the
+    * current head and returns its version WITHOUT committing — a
+    * multi-column ALTER COLUMN statement pre-validates its whole list
+    * this way before the first commit, so an inadmissible second
+    * widen can never leave the statement half-applied.
     */
   def widenColumnType(spark: SparkSession, path: String, name: String,
-                      newType: org.apache.spark.sql.types.DataType): Long = {
+                      newType: org.apache.spark.sql.types.DataType,
+                      validateOnly: Boolean = false): Long = {
     val (fs, root) = fsFor(spark, path)
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no manifested table at $path"))
@@ -5280,7 +5357,8 @@ object ManifestLake {
         "needs the recorded schema (run one append or upsert to adopt a header first)")
     val cm = m.colMap.getOrElse(m.schema.get.fieldNames.toSeq.map(n => n -> n))
     if (name.contains('.') && cm.map(_._1).contains(name.takeWhile(_ != '.')))
-      return widenNestedField(spark, fs, root, path, v, m, cm, name, newType)
+      return widenNestedField(spark, fs, root, path, v, m, cm, name, newType,
+        validateOnly)
     refuseNestedTarget("widenColumnType", name, cm.map(_._1))
     val phys = cm.find(_._1 == name).map(_._2).getOrElse(
       throw new IllegalArgumentException(
@@ -5291,6 +5369,7 @@ object ManifestLake {
         s"${newType.catalogString} — only value-preserving widenings are " +
         "metadata-only (integral up-casts, float->double, int->double, " +
         "decimal growth); anything else is a replace write")
+    if (validateOnly) return v
     val newSchema = StructType(m.schema.get.fields.map(f =>
       if (f.name == phys) f.copy(dataType = newType) else f))
     // What survives the widen, per skipping-stats family (the rule:

@@ -1713,11 +1713,18 @@ object EtlGate {
              |FROM q121_docs WHERE lang = '$l0' AND doc_id % 2 = 0""".stripMargin)
           .collect().head.getLong(0)
         require(v2 == 2L, s"static partition overwrite must publish v2, got $v2")
-        val v3 = s.sql(
-          s"""INSERT OVERWRITE `graft-manifest`.`$out` PARTITION (lang)
-             |SELECT lang, doc_id, text, n_chars + 1000
-             |FROM q121_docs WHERE lang = '$l1' AND doc_id % 3 = 0""".stripMargin)
-          .collect().head.getLong(0)
+        // the all-dynamic spec under DYNAMIC mode replaces exactly the
+        // partitions the query produces (in STATIC mode — the default —
+        // it matches every partition and the table replaces wholesale,
+        // Spark's own semantics; q127 gates the static-mode side)
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val v3 =
+          try s.sql(
+            s"""INSERT OVERWRITE `graft-manifest`.`$out` PARTITION (lang)
+               |SELECT lang, doc_id, text, n_chars + 1000
+               |FROM q121_docs WHERE lang = '$l1' AND doc_id % 3 = 0""".stripMargin)
+            .collect().head.getLong(0)
+          finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
         require(v3 == 3L, s"dynamic partition overwrite must publish v3, got $v3")
         val cols = Seq(col("lang"), col("doc_id"), col("text"), col("n_chars"))
         val feed = ManifestLake.readChangeFeed(s, out, fromV = 1L, toV = 3L)
@@ -1996,5 +2003,194 @@ object EtlGate {
              |SELECT 'agg', lang, count(*), CAST(sum(n_chars) AS BIGINT),
              |  max(doc_id)
              |FROM documents WHERE doc_id > (SELECT v FROM mid) GROUP BY lang
-             |ORDER BY leg, lang""".stripMargin)))
-}
+             |ORDER BY leg, lang""".stripMargin)),
+
+    // STATIC-mode INSERT OVERWRITE with a PARTIAL static PARTITION
+    // spec: Spark/Hive semantics clear EVERY live partition matching
+    // the static prefix — including the ones the batch writes no rows
+    // into — in ONE commit. A two-level (lang, bkt) table overwrites
+    // PARTITION (lang=l0, bkt) with a batch that only produces even
+    // buckets; the odd buckets under l0 must vanish, every other lang
+    // must carry by reference. Live table AND the stamped
+    // delete+insert change feed hash-match DuckDB's replay.
+    Q(
+      "q127_sql_static_overwrite",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-sow") + "/table"
+        val base = graft.Tables.documents(s, dir)
+          .select(col("lang"), pmod(col("doc_id"), lit(4L)).cast("string").as("bkt"),
+            col("doc_id"), col("text"), col("n_chars"))
+        ManifestLake.write(s, base, out, Seq("lang", "bkt"),
+          statsCols = Seq("doc_id"))                                     // v1
+        base.createOrReplaceTempView("q127_docs")
+        val l0 = base.select(min(col("lang"))).collect().head.getString(0)
+        val v2 = s.sql(
+          s"""INSERT OVERWRITE `graft-manifest`.`$out` PARTITION (lang='$l0', bkt)
+             |SELECT bkt, doc_id + 500000, upper(text), n_chars + 3
+             |FROM q127_docs
+             |WHERE lang = '$l0' AND bkt IN ('0', '2')""".stripMargin)
+          .collect().head.getLong(0)
+        require(v2 == 2L,
+          s"partial-static overwrite must be ONE commit (v2), got $v2")
+        val cols = Seq(col("lang"), col("bkt"), col("doc_id"), col("text"),
+          col("n_chars"))
+        val feed = ManifestLake.readChangeFeed(s, out, fromV = 1L, toV = 2L)
+          .select(col("_change_type").as("state") +: cols: _*)
+        val live = ManifestLake.read(s, out)
+          .select(lit("live").as("state") +: cols: _*)
+        feed.unionByName(live)
+          .groupBy(col("state"), col("lang"), col("bkt"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("state"), col("lang"), col("bkt"))
+      },
+      Some("""WITH l0 AS (SELECT min(lang) AS v FROM documents),
+             |base AS (
+             |  SELECT lang, CAST(doc_id % 4 AS VARCHAR) AS bkt, doc_id,
+             |    text, n_chars
+             |  FROM documents),
+             |newr AS (
+             |  SELECT lang, bkt, doc_id + 500000 AS doc_id,
+             |    upper(text) AS text, n_chars + 3 AS n_chars
+             |  FROM base
+             |  WHERE lang = (SELECT v FROM l0) AND bkt IN ('0', '2')),
+             |fin AS (
+             |  SELECT 'live' AS state, lang, bkt, doc_id, text, n_chars
+             |  FROM base WHERE lang <> (SELECT v FROM l0)
+             |  UNION ALL
+             |  SELECT 'live', lang, bkt, doc_id, text, n_chars FROM newr
+             |  UNION ALL
+             |  SELECT 'delete', lang, bkt, doc_id, text, n_chars
+             |  FROM base WHERE lang = (SELECT v FROM l0)
+             |  UNION ALL
+             |  SELECT 'insert', lang, bkt, doc_id, text, n_chars FROM newr)
+             |SELECT state, lang, bkt, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM fin GROUP BY state, lang, bkt
+             |ORDER BY state, lang, bkt""".stripMargin)),
+
+    // SQL MERGE with NULL key values under the STANDARD `=` spelling:
+    // a NULL key matches NOTHING (ANSI/Delta semantics) — NULL-keyed
+    // target rows survive untouched, NULL-keyed source rows INSERT —
+    // while non-NULL keys route through the clause matrix normally.
+    // DuckDB replays the same statement with plain `=` joins, which
+    // carry the identical NULL semantics, so the hash only matches if
+    // the engine's key join does too (the null-safe `<=>` behavior
+    // would collapse the NULL rows and diverge).
+    Q(
+      "q128_sql_merge_null_keys",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-nullk") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+        val keyed = docs.select(col("lang"),
+          when(pmod(col("doc_id"), lit(7L)) === 0, lit(null).cast("long"))
+            .otherwise(col("doc_id")).as("k"),
+          col("text"), col("n_chars"))
+        ManifestLake.write(s,
+          keyed.where(pmod(col("doc_id"), lit(2L)) === 0), out, Seq("lang")) // v1
+        docs.where(pmod(col("doc_id"), lit(3L)) === 0)
+          .select(col("lang"),
+            when(pmod(col("doc_id"), lit(7L)) === 0, lit(null).cast("long"))
+              .otherwise(col("doc_id")).as("k"),
+            upper(col("text")).as("text"),
+            (col("n_chars") + 7L).as("n_chars"))
+          .createOrReplaceTempView("q128_src")
+        val st = s.sql(
+          s"""MERGE INTO `graft-manifest`.`$out` t
+             |USING q128_src s
+             |ON t.lang = s.lang AND t.k = s.k
+             |WHEN MATCHED AND s.n_chars % 4 = 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *
+             |""".stripMargin).collect().head
+        require(st.getLong(0) == 2L,
+          s"null-key SQL merge must publish v2, got ${st.getLong(0)}")
+        ManifestLake.read(s, out)
+          .groupBy(col("lang"), col("k").isNull.cast("int").as("k_null"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("lang"), col("k_null"))
+      },
+      Some("""WITH tgt AS (
+             |  SELECT lang,
+             |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id END AS k,
+             |    text, n_chars
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |src AS (
+             |  SELECT lang,
+             |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id END AS k,
+             |    upper(text) AS text, n_chars + 7 AS n_chars
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |fin AS (
+             |  SELECT t.lang, t.k, t.text, t.n_chars FROM tgt t
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM src s WHERE s.lang = t.lang AND s.k = t.k)
+             |  UNION ALL
+             |  SELECT s.lang, s.k, s.text, s.n_chars
+             |  FROM tgt t JOIN src s ON t.lang = s.lang AND t.k = s.k
+             |  WHERE s.n_chars % 4 <> 0
+             |  UNION ALL
+             |  SELECT s.lang, s.k, s.text, s.n_chars FROM src s
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM tgt t WHERE t.lang = s.lang AND t.k = s.k))
+             |SELECT lang, CAST(k IS NULL AS INT) AS k_null,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(k) AS max_k
+             |FROM fin GROUP BY lang, k_null
+             |ORDER BY lang, k_null""".stripMargin)),
+
+    // SNAPSHOT CLONE through pure SQL: CREATE TABLE … AS SELECT from
+    // a `graft-manifest`.`path` reference pinned with VERSION AS OF —
+    // the natural clone-at-a-version idiom ([[GraftSqlParser]] routes
+    // rewriteReads through the CTAS query sub-plan). The clone serves
+    // v1's content while the source head has moved on; both legs
+    // hash-match DuckDB.
+    Q(
+      "q129_sql_ctas_clone",
+      (s, dir) => {
+        val src = scratchDir("graft-gate-clone-src") + "/table"
+        val dst = scratchDir("graft-gate-clone-dst") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+          src, Seq("lang"))                                              // v1
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 1),
+          src, Seq("lang"), replace = false)                             // v2
+        s.sql(s"""CREATE TABLE `graft-manifest`.`$dst`
+                 |USING `graft-manifest` PARTITIONED BY (lang)
+                 |AS SELECT * FROM `graft-manifest`.`$src` VERSION AS OF 1"""
+          .stripMargin)
+        def leg(name: String, df: DataFrame): DataFrame =
+          df.groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).cast("long").as("sum_chars"),
+              sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+                .as("content_sum"),
+              max(col("doc_id")).as("max_id"))
+            .withColumn("leg", lit(name))
+        leg("clone", ManifestLake.read(s, dst))
+          .unionByName(leg("head", ManifestLake.read(s, src)))
+          .select(col("leg"), col("lang"), col("n_docs"), col("sum_chars"),
+            col("content_sum"), col("max_id"))
+          .orderBy(col("leg"), col("lang"))
+      },
+      Some("""WITH legs AS (
+             |  SELECT 'clone' AS leg, lang, doc_id, text, n_chars
+             |  FROM documents WHERE doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT 'head', lang, doc_id, text, n_chars FROM documents)
+             |SELECT leg, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM legs GROUP BY leg, lang ORDER BY leg, lang""".stripMargin)))}

@@ -90,15 +90,18 @@ class OverwritePartitionsSpec extends AnyFunSuite {
     assert(r.count() === 3)
     assert(r.where(col("part") === "aa").select("id").head().getLong(0) === 10L)
     assert(r.where(col("part") === "bb").count() === 1)
-    // dynamic names in the spec: partitions present in the QUERY swap
-    spark.sql(s"INSERT OVERWRITE `graft-manifest`.`$dir` PARTITION (part) " +
-      "VALUES ('bb', 20, 'b20'), ('bb', 21, 'b21')")
-    val r2 = ManifestLake.read(spark, dir)
-    assert(r2.where(col("part") === "bb").count() === 2)
-    assert(r2.where(col("part") === "cc").count() === 1, "unnamed partitions untouched")
-    // partitionOverwriteMode=dynamic makes a bare INSERT OVERWRITE dynamic
+    // dynamic names in the spec swap only the QUERY's partitions —
+    // under DYNAMIC mode (in static mode, Spark's default, an
+    // all-dynamic spec matches EVERY partition and the table replaces
+    // wholesale; that branch is asserted below)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
+      spark.sql(s"INSERT OVERWRITE `graft-manifest`.`$dir` PARTITION (part) " +
+        "VALUES ('bb', 20, 'b20'), ('bb', 21, 'b21')")
+      val r2 = ManifestLake.read(spark, dir)
+      assert(r2.where(col("part") === "bb").count() === 2)
+      assert(r2.where(col("part") === "cc").count() === 1, "unnamed partitions untouched")
+      // dynamic mode makes a bare INSERT OVERWRITE dynamic too
       spark.sql(s"INSERT OVERWRITE `graft-manifest`.`$dir` " +
         "VALUES ('cc', 30, 'c30')")
       val r3 = ManifestLake.read(spark, dir)
@@ -113,6 +116,12 @@ class OverwritePartitionsSpec extends AnyFunSuite {
     val r4 = ManifestLake.read(spark, dir)
     assert(r4.where(col("part") === "cc").count() === 0, "empty static overwrite clears")
     assert(r4.count() === 3)
+    // STATIC mode: the all-dynamic spec matches every partition — the
+    // table replaces wholesale (Spark's own static-mode semantics)
+    spark.sql(s"INSERT OVERWRITE `graft-manifest`.`$dir` PARTITION (part) " +
+      "VALUES ('yy', 50, 'y50')")
+    assert(ManifestLake.read(spark, dir).count() === 1)
+    assert(ManifestLake.read(spark, dir).select("id").head().getLong(0) === 50L)
     // a bare INSERT OVERWRITE (static mode, no spec) still replaces wholesale
     spark.sql(s"INSERT OVERWRITE `graft-manifest`.`$dir` VALUES ('zz', 99, 'z')")
     assert(ManifestLake.read(spark, dir).count() === 1)

@@ -731,4 +731,188 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("partition column"))
   }
   private val dirRef = freshDir("sqldml-refuse")
+
+  test("CTAS / REPLACE TABLE … AS SELECT read FROM manifest references, incl. VERSION AS OF (snapshot clone)") {
+    import spark.implicits._
+    val src = freshDir("sqldml-ctas-src")
+    ManifestLake.write(spark,
+      Seq(("aa", 1L), ("aa", 2L)).toDF("grp", "id"), src, Seq("grp")) // v1
+    ManifestLake.write(spark,
+      Seq(("bb", 3L)).toDF("grp", "id"), src, Seq("grp"),
+      replace = false) // v2
+    val s = s"`graft-manifest`.`$src`"
+    // CTAS from the live head
+    val clone1 = freshDir("sqldml-ctas-head")
+    spark.sql(s"CREATE TABLE `graft-manifest`.`$clone1` USING `graft-manifest` " +
+      s"PARTITIONED BY (grp) AS SELECT * FROM $s")
+    assert(ManifestLake.read(spark, clone1).select("id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // CTAS from a PINNED version — the snapshot-clone idiom
+    val clone2 = freshDir("sqldml-ctas-v1")
+    spark.sql(s"CREATE TABLE `graft-manifest`.`$clone2` USING `graft-manifest` " +
+      s"PARTITIONED BY (grp) AS SELECT * FROM $s VERSION AS OF 1")
+    assert(ManifestLake.read(spark, clone2).select("id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L))
+    // REPLACE TABLE … AS SELECT from a manifest reference
+    spark.sql(s"REPLACE TABLE `graft-manifest`.`$clone2` USING `graft-manifest` " +
+      s"PARTITIONED BY (grp) AS SELECT * FROM $s WHERE id > 1")
+    assert(ManifestLake.read(spark, clone2).select("id").as[Long]
+      .collect().sorted.toSeq === Seq(2L, 3L))
+  }
+
+  test("MERGE ON `=` carries standard NULL semantics (NULL matches nothing); `<=>` opts into null-safe matching") {
+    import spark.implicits._
+    def seedNull(dir: String): Unit =
+      ManifestLake.write(spark,
+        Seq(("aa", Option(1L), "p1"), ("aa", Option.empty[Long], "pn"))
+          .toDF("grp", "k", "payload"), dir, Seq("grp"))
+    def srcView(name: String): Unit =
+      Seq(("aa", Option(1L), "S1"), ("aa", Option.empty[Long], "SN"))
+        .toDF("grp", "k", "payload").createOrReplaceTempView(name)
+    // `=` spelling: the NULL-keyed source row matches NOTHING → INSERT;
+    // the NULL-keyed target row stays untouched
+    val dEq = freshDir("sqldml-nullk-eq")
+    seedNull(dEq); srcView("sqldml_nullk_eq")
+    val rEq = spark.sql(
+      s"""MERGE INTO `graft-manifest`.`$dEq` t USING sqldml_nullk_eq s
+         |ON t.grp = s.grp AND t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect().head
+    assert((rEq.getLong(1), rEq.getLong(2), rEq.getLong(3)) === (1L, 0L, 1L),
+      "1 update (k=1), 0 deletes, 1 insert (the NULL-keyed source row)")
+    val tEq = ManifestLake.read(spark, dEq)
+    assert(tEq.count() === 3)
+    assert(tEq.where(col("k").isNull).select("payload").as[String]
+      .collect().sorted.toSeq === Seq("SN", "pn"),
+      "the NULL-keyed target row survives; the NULL-keyed source row inserts")
+    assert(tEq.where(col("k") === 1L).select("payload").head().getString(0) === "S1")
+    // `<=>` spelling: NULL matches NULL → UPDATE
+    val dNs = freshDir("sqldml-nullk-ns")
+    seedNull(dNs); srcView("sqldml_nullk_ns")
+    val rNs = spark.sql(
+      s"""MERGE INTO `graft-manifest`.`$dNs` t USING sqldml_nullk_ns s
+         |ON t.grp = s.grp AND t.k <=> s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect().head
+    assert((rNs.getLong(1), rNs.getLong(2), rNs.getLong(3)) === (2L, 0L, 0L))
+    val tNs = ManifestLake.read(spark, dNs)
+    assert(tNs.count() === 2)
+    assert(tNs.where(col("k").isNull).select("payload").head().getString(0) === "SN")
+    // TWO NULL-keyed source rows: independent inserts under `=` (they
+    // can match no common target row), a duplicate-key refusal under
+    // `<=>` (they name the same null-safe key)
+    val dDup = freshDir("sqldml-nullk-dup")
+    seedNull(dDup)
+    Seq(("aa", Option.empty[Long], "N1"), ("aa", Option.empty[Long], "N2"))
+      .toDF("grp", "k", "payload").createOrReplaceTempView("sqldml_nullk_2")
+    val rDup = spark.sql(
+      s"""MERGE INTO `graft-manifest`.`$dDup` t USING sqldml_nullk_2 s
+         |ON t.grp = s.grp AND t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect().head
+    assert(rDup.getLong(3) === 2L, "both NULL-keyed rows insert independently")
+    assert(ManifestLake.read(spark, dDup).count() === 4)
+    val eDup = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO `graft-manifest`.`$dDup` t USING sqldml_nullk_2 s
+           |ON t.grp = s.grp AND t.k <=> s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(eDup.getMessage.contains("key-unique"))
+  }
+
+  test("INSERT OVERWRITE partial static PARTITION: static mode clears the WHOLE static prefix, dynamic mode only touched partitions") {
+    import spark.implicits._
+    def seed2(dir: String): Unit =
+      ManifestLake.write(spark,
+        Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L), ("b", "y", 4L))
+          .toDF("p1", "p2", "id"), dir, Seq("p1", "p2"))
+    def ids(dir: String): Seq[Long] =
+      ManifestLake.read(spark, dir).select("id").as[Long].collect().sorted.toSeq
+    // STATIC mode (the default): PARTITION (p1='a', p2) clears EVERY
+    // p1='a' partition — including (a,y), which the batch writes no
+    // rows for — in ONE commit
+    val dSt = freshDir("sqldml-iow-static")
+    seed2(dSt)
+    val v0 = ManifestLake.currentVersion(spark, dSt).get
+    spark.sql(s"INSERT OVERWRITE `graft-manifest`.`$dSt` " +
+      "PARTITION (p1='a', p2) VALUES ('x', 10)")
+    assert(ids(dSt) === Seq(3L, 4L, 10L),
+      "(a,x) replaced, (a,y) cleared, b untouched")
+    assert(ManifestLake.currentVersion(spark, dSt).get === v0 + 1,
+      "prefix clear + replace is ONE commit")
+    // an EMPTY batch under a partial static prefix still clears it
+    spark.sql(s"INSERT OVERWRITE `graft-manifest`.`$dSt` " +
+      "PARTITION (p1='b', p2) SELECT 'x', 99 WHERE FALSE")
+    assert(ids(dSt) === Seq(10L), "every p1='b' partition cleared")
+    // DYNAMIC mode: same statement replaces ONLY touched partitions
+    val dDy = freshDir("sqldml-iow-dyn")
+    seed2(dDy)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql(s"INSERT OVERWRITE `graft-manifest`.`$dDy` " +
+        "PARTITION (p1='a', p2) VALUES ('x', 10)")
+      assert(ids(dDy) === Seq(2L, 3L, 4L, 10L),
+        "(a,x) replaced, (a,y) SURVIVES under dynamic mode")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // all-dynamic spec in static mode matches every partition — the
+    // table replaces wholesale
+    val dAll = freshDir("sqldml-iow-alldyn")
+    seed2(dAll)
+    spark.sql(s"INSERT OVERWRITE `graft-manifest`.`$dAll` " +
+      "PARTITION (p1, p2) VALUES ('z', 'z', 7)")
+    assert(ids(dAll) === Seq(7L))
+    // refusals: a non-leading static column; a non-partition column
+    val dRef = freshDir("sqldml-iow-refuse")
+    seed2(dRef)
+    val eLead = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE `graft-manifest`.`$dRef` " +
+        "PARTITION (p2='x', p1) VALUES ('a', 8)")
+    }
+    assert(eLead.getMessage.contains("leading partition columns"),
+      eLead.getMessage)
+    val eCol = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE `graft-manifest`.`$dRef` " +
+        "PARTITION (id=3) SELECT 'a', 'x' ")
+    }
+    assert(eCol.getMessage.contains("not a partition column"), eCol.getMessage)
+    assert(ids(dRef) === Seq(1L, 2L, 3L, 4L), "refusals publish nothing")
+  }
+
+  test("multi-column ALTER COLUMN pre-validates the whole list: an inadmissible second widen applies NOTHING") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-widen-pre")
+    ManifestLake.write(spark,
+      Seq(("aa", 1, 7), ("bb", 2, 9)).toDF("grp", "n", "m"), dir, Seq("grp"))
+    val t = s"`graft-manifest`.`$dir`"
+    val v0 = ManifestLake.currentVersion(spark, dir).get
+    // second widen is a narrowing — the WHOLE statement refuses and
+    // the first column keeps its type (no half-applied commit)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN n TYPE BIGINT, m TYPE SMALLINT")
+    }
+    assert(e.getMessage.contains("value-preserving"), e.getMessage)
+    assert(ManifestLake.currentVersion(spark, dir).get === v0,
+      "nothing committed")
+    assert(ManifestLake.read(spark, dir).schema("n").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // an unknown second column likewise applies nothing
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN n TYPE BIGINT, nope TYPE BIGINT")
+    }
+    assert(e2.getMessage.contains("no column named nope"), e2.getMessage)
+    assert(ManifestLake.currentVersion(spark, dir).get === v0)
+    // the same column twice in one statement is ill-formed
+    val e3 = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN n TYPE BIGINT, n TYPE BIGINT")
+    }
+    assert(e3.getMessage.contains("twice"), e3.getMessage)
+    // the happy multi-column path commits one version per column
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN n TYPE BIGINT, m TYPE BIGINT")
+    val sch = ManifestLake.read(spark, dir).schema
+    assert(sch("n").dataType === org.apache.spark.sql.types.LongType)
+    assert(sch("m").dataType === org.apache.spark.sql.types.LongType)
+    assert(ManifestLake.currentVersion(spark, dir).get === v0 + 2)
+  }
 }
