@@ -1,0 +1,362 @@
+package graft.etl
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** The MAINTENANCE statements a lake-format SQL surface needs but
+  * Spark's grammar does not carry — the Delta-SQL idioms, parsed by a
+  * deliberately tiny recursive-descent parser and dispatched to the
+  * SAME [[ManifestLake]] engine the Scala API drives:
+  *
+  *   - `VACUUM t [RETAIN <n> HOURS | KEEP <n> VERSIONS] [DRY RUN]`
+  *     → [[ManifestLake.vacuum]]; returns the removed (or, under DRY
+  *     RUN, would-be-removed) paths. `RETAIN <n> HOURS` maps the time
+  *     horizon onto version retention: every version published inside
+  *     the window is kept, plus the boundary version so a
+  *     `TIMESTAMP AS OF` read at the horizon still resolves.
+  *   - `OPTIMIZE t [ZORDER BY (c1, c2, …)]` → [[ManifestLake.compact]];
+  *     returns (partition, files_before, files_after) per rewritten
+  *     partition.
+  *   - `RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF 'ts'`
+  *     → [[ManifestLake.restore]]; returns the new head version.
+  *   - `DESCRIBE HISTORY t [LIMIT n]` → [[ManifestLake.history]],
+  *     newest first.
+  *
+  * Interception stance (mirrors [[GraftSqlDml]]'s): `VACUUM` /
+  * `OPTIMIZE` / `RESTORE` do not exist in Spark's grammar at all — a
+  * statement opening with one of those keywords can only be ours, so
+  * malformed options and non-manifest targets refuse LOUDLY with the
+  * real reason instead of Spark's opaque syntax error. `DESCRIBE
+  * HISTORY` DOES collide with vanilla shapes (`DESCRIBE history` is a
+  * legal describe of a table named history; `DESCRIBE HISTORY t` parses
+  * as describe-column), so it is claimed ONLY when the full statement
+  * parses in our grammar AND the target resolves to a manifest table —
+  * every other spelling passes through byte-identical.
+  */
+object GraftMaintenanceSql {
+
+  /** Claim `sqlText` if it is a manifest maintenance statement; None
+    * lets the session parser serve it untouched. Called BEFORE the
+    * delegate parse (two of the shapes would mis-parse rather than
+    * fail there).
+    */
+  def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] = {
+    // cheap keyword gate BEFORE lexing: the lexer is deliberately tiny
+    // and refuses characters these four statements never carry — it
+    // must never see (let alone fail on) general SQL
+    val lead = "(?is)^\\s*(VACUUM|OPTIMIZE|RESTORE|DESC(RIBE)?\\s+HISTORY)\\b".r
+    if (lead.findFirstIn(sqlText).isEmpty) return None
+    val isDescribe = "(?is)^\\s*DESC".r.findFirstIn(sqlText).isDefined
+    // DESCRIBE collides with vanilla shapes (`DESCRIBE history
+    // PARTITION (a=1)` is a legal describe of a table named history,
+    // and would not even lex here) — for that lead, ANY failure means
+    // "not ours", never an error; the other three keywords cannot open
+    // a vanilla statement, so their failures surface loudly.
+    try {
+      val toks = lex(sqlText)
+      toks.headOption.flatMap {
+        case Word(w) if w.equalsIgnoreCase("VACUUM") =>
+          Some(parseVacuum(spark, toks.tail))
+        case Word(w) if w.equalsIgnoreCase("OPTIMIZE") =>
+          Some(parseOptimize(spark, toks.tail))
+        case Word(w) if w.equalsIgnoreCase("RESTORE") =>
+          Some(parseRestore(spark, toks.tail))
+        case Word(w) if w.equalsIgnoreCase("DESCRIBE") || w.equalsIgnoreCase("DESC") =>
+          parseHistory(spark, toks.drop(2))
+        case _ => None
+      }
+    } catch {
+      case _: IllegalArgumentException if isDescribe => None
+    }
+  }
+
+  // ---- lexer ---------------------------------------------------------
+
+  private sealed trait Tok
+  private final case class Word(s: String) extends Tok
+  private final case class Quoted(s: String) extends Tok    // `ident`
+  private final case class Str(s: String) extends Tok       // 'literal'
+  private final case class Num(s: String) extends Tok
+  private final case class Punct(c: Char) extends Tok
+
+  private def lex(sql: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    val n = sql.length
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$msg in: $sql")
+    while (i < n) {
+      val c = sql(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '`') {
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (sql(i) == '`') {
+            if (i + 1 < n && sql(i + 1) == '`') { sb += '`'; i += 2 }
+            else { closed = true; i += 1 }
+          } else { sb += sql(i); i += 1 }
+        }
+        if (!closed) fail("unterminated backquoted identifier")
+        out += Quoted(sb.toString)
+      } else if (c == '\'') {
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (sql(i) == '\'') {
+            if (i + 1 < n && sql(i + 1) == '\'') { sb += '\''; i += 2 }
+            else { closed = true; i += 1 }
+          } else { sb += sql(i); i += 1 }
+        }
+        if (!closed) fail("unterminated string literal")
+        out += Str(sb.toString)
+      } else if (c.isDigit) {
+        val start = i
+        while (i < n && (sql(i).isDigit || sql(i) == '.')) i += 1
+        out += Num(sql.substring(start, i))
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_')) i += 1
+        out += Word(sql.substring(start, i))
+      } else if ("().,;".contains(c)) {
+        if (c != ';') out += Punct(c)
+        i += 1
+      } else fail(s"unexpected character '$c'")
+    }
+    out.toList
+  }
+
+  // ---- shared pieces --------------------------------------------------
+
+  /** Consume a table reference — `` `graft-manifest`.`/path` `` (or the
+    * graft_manifest spelling) or a temp-view name over the source —
+    * returning (manifest path, remaining tokens). Loud when it is not
+    * a manifest reference: these statements have no vanilla fallback.
+    */
+  private def target(spark: SparkSession, toks: List[Tok],
+                     stmt: String): (String, List[Tok]) = {
+    def ident(t: Tok): Option[String] = t match {
+      case Word(w) => Some(w)
+      case Quoted(q) => Some(q)
+      case _ => None
+    }
+    toks match {
+      case a :: Punct('.') :: b :: rest
+        if ident(a).exists(f => f.equalsIgnoreCase("graft-manifest") ||
+          f.equalsIgnoreCase("graft_manifest")) && ident(b).isDefined =>
+        (ident(b).get, rest)
+      case a :: rest if ident(a).isDefined =>
+        val name = ident(a).get
+        GraftSqlDml.tempViewManifestPath(spark, name) match {
+          case Some(p) => (p, rest)
+          case None => throw new IllegalArgumentException(
+            s"$stmt targets manifest tables — $name is not a " +
+              "`graft-manifest`.`/path` reference or a temp view over the " +
+              "graft-manifest source")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$stmt needs a table reference")
+    }
+  }
+
+  private def kw(t: Tok, w: String): Boolean = t match {
+    case Word(x) => x.equalsIgnoreCase(w)
+    case _ => false
+  }
+
+  private def num(t: Tok, what: String): Long = t match {
+    case Num(s) => s.toLongOption.getOrElse(
+      throw new IllegalArgumentException(s"$what must be an integer, got $s"))
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer, got $other")
+  }
+
+  private def end(rest: List[Tok], stmt: String): Unit =
+    require(rest.isEmpty,
+      s"unexpected trailing tokens in $stmt: ${rest.mkString(" ")}")
+
+  // ---- statement parsers ----------------------------------------------
+
+  private def parseVacuum(spark: SparkSession, toks: List[Tok]): LogicalPlan = {
+    val (path, rest0) = target(spark, toks, "VACUUM")
+    var rest = rest0
+    var retainHours: Option[Long] = None
+    var keepVersions: Option[Int] = None
+    var dryRun = false
+    while (rest.nonEmpty) rest match {
+      case r :: nTok :: h :: tl if kw(r, "RETAIN") && kw(h, "HOURS") =>
+        retainHours = Some(num(nTok, "RETAIN ... HOURS")); rest = tl
+      case k :: nTok :: v :: tl if kw(k, "KEEP") && kw(v, "VERSIONS") =>
+        val kv = num(nTok, "KEEP ... VERSIONS")
+        require(kv >= 1, "KEEP ... VERSIONS must keep at least 1")
+        keepVersions = Some(kv.toInt); rest = tl
+      case d :: r :: tl if kw(d, "DRY") && kw(r, "RUN") =>
+        dryRun = true; rest = tl
+      case other => throw new IllegalArgumentException(
+        "VACUUM options are [RETAIN <n> HOURS | KEEP <n> VERSIONS] " +
+          s"[DRY RUN]; got: ${other.mkString(" ")}")
+    }
+    require(retainHours.isEmpty || keepVersions.isEmpty,
+      "RETAIN ... HOURS and KEEP ... VERSIONS are mutually exclusive")
+    GraftVacuumCommand(path, keepVersions, retainHours, dryRun)
+  }
+
+  private def parseOptimize(spark: SparkSession, toks: List[Tok]): LogicalPlan = {
+    val (path, rest0) = target(spark, toks, "OPTIMIZE")
+    val zorder: Seq[String] = rest0 match {
+      case Nil => Seq.empty
+      case z :: b :: tl if kw(z, "ZORDER") && kw(b, "BY") =>
+        val (inner, after) = tl match {
+          case Punct('(') :: more =>
+            val close = more.indexWhere { case Punct(')') => true; case _ => false }
+            require(close >= 0, "unbalanced parentheses in ZORDER BY")
+            (more.take(close), more.drop(close + 1))
+          case more => (more, Nil)
+        }
+        end(after, "OPTIMIZE")
+        val cols = inner.filterNot { case Punct(',') => true; case _ => false }
+          .map {
+            case Word(w) => w
+            case Quoted(q) => q
+            case other => throw new IllegalArgumentException(
+              s"ZORDER BY expects column names, got $other")
+          }
+        require(cols.nonEmpty, "ZORDER BY needs at least one column")
+        cols
+      case other => throw new IllegalArgumentException(
+        s"OPTIMIZE options are [ZORDER BY (c1, …)]; got: ${other.mkString(" ")}")
+    }
+    GraftOptimizeCommand(path, zorder)
+  }
+
+  private def parseRestore(spark: SparkSession, toks: List[Tok]): LogicalPlan = {
+    val afterTable = toks match {
+      case t :: tl if kw(t, "TABLE") => tl
+      case tl => tl
+    }
+    val (path, rest0) = target(spark, afterTable, "RESTORE")
+    val rest = rest0 match {
+      case t :: tl if kw(t, "TO") => tl
+      case tl => tl
+    }
+    rest match {
+      case v :: a :: o :: nTok :: tl
+        if kw(v, "VERSION") && kw(a, "AS") && kw(o, "OF") =>
+        end(tl, "RESTORE")
+        GraftRestoreCommand(path, Left(num(nTok, "VERSION AS OF")))
+      case t :: a :: o :: Str(s) :: tl
+        if kw(t, "TIMESTAMP") && kw(a, "AS") && kw(o, "OF") =>
+        end(tl, "RESTORE")
+        GraftRestoreCommand(path, Right(s))
+      case other => throw new IllegalArgumentException(
+        "RESTORE needs TO VERSION AS OF <n> or TO TIMESTAMP AS OF " +
+          s"'<instant>'; got: ${other.mkString(" ")}")
+    }
+  }
+
+  /** None (not an exception) when the shape does not parse or the
+    * target is not a manifest table — DESCRIBE has vanilla meanings.
+    */
+  private def parseHistory(spark: SparkSession,
+                           toks: List[Tok]): Option[LogicalPlan] = {
+    val (path, rest) = target(spark, toks, "DESCRIBE HISTORY")
+    rest match {
+      case Nil => Some(GraftHistoryCommand(path, None))
+      case l :: nTok :: Nil if kw(l, "LIMIT") =>
+        Some(GraftHistoryCommand(path, Some(num(nTok, "LIMIT").toInt)))
+      case _ => None
+    }
+  }
+}
+
+/** `VACUUM <manifest table> …` — returns the removed (or DRY RUN:
+  * would-be-removed) paths, one row each.
+  */
+final case class GraftVacuumCommand(path: String, keepVersions: Option[Int],
+                                    retainHours: Option[Long], dryRun: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val keep: Int = retainHours match {
+      case None => keepVersions.getOrElse(2)
+      case Some(h) =>
+        val cutoff = System.currentTimeMillis() - h * 3600L * 1000L
+        val vs = ManifestLake.versions(spark, path).map(_._1)
+        // the latest version at/under the horizon is the boundary: it
+        // must survive so a TIMESTAMP AS OF read at the horizon still
+        // resolves; everything younger is inside the window
+        val boundary =
+          try Some(ManifestLake.versionAtTimestamp(spark, path, cutoff))
+          catch { case _: IllegalArgumentException => None }
+        boundary match {
+          case None => math.max(vs.length, 1) // table younger than horizon
+          case Some(b) => math.max(vs.count(_ > b) + 1, 1)
+        }
+    }
+    ManifestLake.vacuum(spark, path, keepVersions = keep, dryRun = dryRun)
+      .sorted.map(Row(_))
+  }
+}
+
+/** `OPTIMIZE <manifest table> [ZORDER BY …]` — one row per rewritten
+  * partition: (partition, files_before, files_after). A single ZORDER
+  * column degenerates to plain range clustering (a 1-D z-curve IS the
+  * range order; the engine refuses the pointless 1-column curve, so
+  * the statement maps it onto clusterBy).
+  */
+final case class GraftOptimizeCommand(path: String, zorderBy: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("files_before", IntegerType, nullable = false)(),
+    AttributeReference("files_after", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rewritten =
+      if (zorderBy.length == 1)
+        ManifestLake.compact(spark, path, clusterBy = zorderBy)
+      else ManifestLake.compact(spark, path, zOrderBy = zorderBy)
+    rewritten.sortBy(_._1).map { case (p, b, a) => Row(p, b, a) }
+  }
+}
+
+/** `RESTORE [TABLE] <manifest table> TO VERSION/TIMESTAMP AS OF …` —
+  * returns the NEW head version (the restore commit).
+  */
+final case class GraftRestoreCommand(path: String,
+                                     to: Either[Long, String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = to match {
+      case Left(n) => n
+      case Right(ts) => ManifestLake.versionAtTimestamp(spark, path,
+        ManifestDataSource.parseMillis("TIMESTAMP AS OF", ts))
+    }
+    Seq(Row(ManifestLake.restore(spark, path, v)))
+  }
+}
+
+/** `DESCRIBE HISTORY <manifest table> [LIMIT n]` — the commit ledger,
+  * newest first (Delta's ordering).
+  */
+final case class GraftHistoryCommand(path: String, limit: Option[Int])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = true)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("total_bytes", LongType, nullable = false)(),
+    AttributeReference("txns", StringType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rows = ManifestLake.history(spark, path).collect().toSeq
+      .sortBy(-_.getLong(0))
+    limit.fold(rows)(rows.take)
+  }
+}

@@ -1262,12 +1262,20 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       case None => GraftSqlDml.rewriteReads(spark, plan)
     }
 
+  // Maintenance statements (VACUUM / OPTIMIZE / RESTORE / DESCRIBE
+  // HISTORY) are claimed BEFORE the delegate parse: three of them do
+  // not exist in Spark's grammar at all, and `DESCRIBE HISTORY t`
+  // would MIS-parse (describe-column of a table named HISTORY) rather
+  // than fail — GraftMaintenanceSql only claims that one when the
+  // full shape parses and the target is a manifest table.
   override def parsePlan(sqlText: String): LogicalPlan =
-    intercept(delegate.parsePlan(sqlText))
+    GraftMaintenanceSql.parse(spark, sqlText).getOrElse(
+      intercept(delegate.parsePlan(sqlText)))
 
   override def parsePlanWithParameters(sqlText: String,
                                        ctx: ParameterContext): LogicalPlan =
-    intercept(delegate.parsePlanWithParameters(sqlText, ctx))
+    GraftMaintenanceSql.parse(spark, sqlText).getOrElse(
+      intercept(delegate.parsePlanWithParameters(sqlText, ctx)))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

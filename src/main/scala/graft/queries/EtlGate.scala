@@ -2193,4 +2193,72 @@ object EtlGate {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
-             |FROM legs GROUP BY leg, lang ORDER BY leg, lang""".stripMargin)))}
+             |FROM legs GROUP BY leg, lang ORDER BY leg, lang""".stripMargin)),
+
+    // MAINTENANCE through pure SQL (round 16): OPTIMIZE compacts the
+    // fragmented table, DESCRIBE HISTORY reads the ledger, RESTORE
+    // rolls back to v1 with zero data I/O, VACUUM (dry-run-then-real,
+    // required identical in-line) reaps everything but the head. The
+    // post-maintenance LIVE content must equal v1's exactly, and the
+    // ledger must read replace→append→compact→restore — both legs
+    // hash-matched against DuckDB.
+    Q(
+      "q130_sql_maintenance",
+      (s, dir) => {
+        import s.implicits._
+        val out = scratchDir("graft-gate-maint") + "/table"
+        val t = s"`graft-manifest`.`$out`"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+          out, Seq("lang"))                                              // v1
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 1),
+          out, Seq("lang"), replace = false)                             // v2
+        val opt = s.sql(s"OPTIMIZE $t").collect()                        // v3
+        require(opt.nonEmpty && opt.forall(r => r.getInt(1) > r.getInt(2)),
+          "q130 gate: OPTIMIZE must rewrite every fragmented partition")
+        val rv = s.sql(s"RESTORE TABLE $t TO VERSION AS OF 1")
+          .collect().head.getLong(0)                                     // v4
+        require(rv == 4L, s"q130 gate: restore must publish v4, got $rv")
+        val hist = s.sql(s"DESCRIBE HISTORY $t").collect()
+          .map(r => (r.getString(1), r.getLong(0)))                      // pre-vacuum
+        val dry = s.sql(s"VACUUM $t KEEP 1 VERSIONS DRY RUN")
+          .collect().map(_.getString(0)).toSet
+        val gone = s.sql(s"VACUUM $t KEEP 1 VERSIONS")
+          .collect().map(_.getString(0)).toSet
+        require(gone.nonEmpty && gone == dry,
+          s"q130 gate: vacuum must reap exactly the dry-run list " +
+            s"(dry ${dry.size}, real ${gone.size})")
+        val live = ManifestLake.read(s, out)
+          .groupBy(col("lang").as("key"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .withColumn("leg", lit("live"))
+        val ledger = hist.toSeq.toDF("key", "n_docs")
+          .withColumn("leg", lit("hist"))
+          .withColumn("sum_chars", lit(null).cast("long"))
+          .withColumn("content_sum", lit(null).cast("long"))
+          .withColumn("max_id", lit(null).cast("long"))
+        live.unionByName(ledger)
+          .select(col("leg"), col("key"), col("n_docs"), col("sum_chars"),
+            col("content_sum"), col("max_id"))
+          .orderBy(col("leg"), col("key"))
+      },
+      Some("""WITH live AS (
+             |  SELECT lang, doc_id, text, n_chars FROM documents
+             |  WHERE doc_id % 2 = 0)
+             |SELECT 'live' AS leg, lang AS key, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM live GROUP BY lang
+             |UNION ALL
+             |SELECT 'hist', op, CAST(v AS BIGINT), CAST(NULL AS BIGINT),
+             |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+             |FROM (VALUES ('replace', 1), ('append', 2), ('compact', 3),
+             |  ('restore', 4)) AS h(op, v)
+             |ORDER BY leg, key""".stripMargin)))
+}

@@ -880,6 +880,86 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(ids(dRef) === Seq(1L, 2L, 3L, 4L), "refusals publish nothing")
   }
 
+  test("maintenance SQL: OPTIMIZE [ZORDER BY] / DESCRIBE HISTORY / RESTORE / VACUUM drive the engine; vanilla DESCRIBE shapes pass through") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-maint")
+    def batch(lo: Int): org.apache.spark.sql.DataFrame =
+      (lo until lo + 10).map(i =>
+        (if (i % 2 == 0) "aa" else "bb", i.toLong, i * 3L)).toDF("grp", "id", "n")
+    ManifestLake.write(spark, batch(0), dir, Seq("grp"))                 // v1
+    ManifestLake.write(spark, batch(10), dir, Seq("grp"), replace = false) // v2
+    ManifestLake.write(spark, batch(20), dir, Seq("grp"), replace = false) // v3
+    val t = s"`graft-manifest`.`$dir`"
+    // OPTIMIZE compacts the fragmented partitions; one row per rewrite
+    val opt = spark.sql(s"OPTIMIZE $t").collect()
+    assert(opt.nonEmpty && opt.forall(r => r.getInt(1) > r.getInt(2)),
+      s"every rewritten partition must shrink: ${opt.mkString(", ")}")
+    assert(ManifestLake.read(spark, dir).count() === 30)
+    // DESCRIBE HISTORY: newest first, ops recorded, LIMIT honored
+    val hist = spark.sql(s"DESCRIBE HISTORY $t").collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(4L, 3L, 2L, 1L))
+    assert(hist.head.getString(1) === "compact")
+    assert(hist.last.getString(1) === "replace")
+    assert(spark.sql(s"DESCRIBE HISTORY $t LIMIT 2")
+      .collect().map(_.getLong(0)).toSeq === Seq(4L, 3L))
+    // vanilla DESCRIBE shapes survive the interception untouched —
+    // including a table literally named history
+    spark.range(3).createOrReplaceTempView("history")
+    assert(spark.sql("DESCRIBE history").collect()
+      .exists(_.getString(0) == "id"))
+    intercept[Exception] { // Spark's own error, not ours
+      spark.sql("DESCRIBE HISTORY nonexistent_xyz").collect()
+    }
+    // RESTORE to v1: zero data I/O, v1's content is the new head
+    val rv = spark.sql(s"RESTORE TABLE $t TO VERSION AS OF 1")
+      .collect().head.getLong(0)
+    assert(rv === 5L)
+    assert(ManifestLake.read(spark, dir).select("id").as[Long]
+      .collect().sorted.toSeq === (0L until 10L))
+    // VACUUM DRY RUN lists what a real run would reap, touches nothing
+    val dry = spark.sql(s"VACUUM $t KEEP 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0)).toSet
+    assert(dry.nonEmpty)
+    assert(ManifestLake.readVersion(spark, dir, 3L).count() === 30,
+      "DRY RUN must not reap")
+    // the real run reaps exactly the dry-run list; head stays readable
+    val gone = spark.sql(s"VACUUM $t KEEP 1 VERSIONS")
+      .collect().map(_.getString(0)).toSet
+    assert(gone === dry)
+    assert(ManifestLake.read(spark, dir).count() === 10)
+    intercept[Exception] {
+      ManifestLake.readVersion(spark, dir, 3L).count()
+    }
+    // RETAIN n HOURS: a horizon WIDER than the table keeps every
+    // version (only never-referenced junk like _SUCCESS markers reaps)
+    val dir2 = freshDir("sqldml-maint2")
+    ManifestLake.write(spark, batch(0), dir2, Seq("grp"))
+    ManifestLake.write(spark, batch(10), dir2, Seq("grp"), replace = false)
+    val t2 = s"`graft-manifest`.`$dir2`"
+    val reaped = spark.sql(s"VACUUM $t2 RETAIN 1000 HOURS")
+      .collect().map(_.getString(0))
+    assert(!reaped.exists(p => p.endsWith(".parquet") || p.contains("_manifest")),
+      s"a horizon wider than the table must reap no data or manifests: " +
+        reaped.mkString(", "))
+    assert(ManifestLake.readVersion(spark, dir2, 1L).count() === 10)
+    // OPTIMIZE ZORDER BY clusters on the named columns; a single
+    // column degenerates to range clustering — both stay green
+    spark.sql(s"OPTIMIZE $t2 ZORDER BY (id, n)")
+    assert(ManifestLake.read(spark, dir2).count() === 20)
+    spark.sql(s"OPTIMIZE $t2 ZORDER BY (id)")
+    assert(ManifestLake.read(spark, dir2).count() === 20)
+    // refusals are loud and name the reason
+    val eBad = intercept[IllegalArgumentException] {
+      spark.sql(s"VACUUM $t2 RETAIN 5 HOURS KEEP 2 VERSIONS")
+    }
+    assert(eBad.getMessage.contains("mutually exclusive"))
+    spark.range(2).createOrReplaceTempView("sqldml_maint_plain")
+    val eTgt = intercept[IllegalArgumentException] {
+      spark.sql("OPTIMIZE sqldml_maint_plain")
+    }
+    assert(eTgt.getMessage.contains("targets manifest tables"))
+  }
+
   test("multi-column ALTER COLUMN pre-validates the whole list: an inadmissible second widen applies NOTHING") {
     import spark.implicits._
     val dir = freshDir("sqldml-widen-pre")
