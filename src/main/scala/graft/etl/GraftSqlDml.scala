@@ -155,26 +155,9 @@ object GraftSqlDml {
             s.toLongOption.getOrElse(throw new IllegalArgumentException(
               s"VERSION AS OF on a manifest table must be a version " +
                 s"number, got '$s'"))
-          case (None, Some(lit: Literal)) =>
-            import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
-            val millis = (lit.value, lit.dataType) match {
-              case (micros: java.lang.Long, _: TimestampType) =>
-                Math.floorDiv(micros, 1000L)
-              // NTZ micros read as UTC — the session zone this library pins
-              case (micros: java.lang.Long, _: TimestampNTZType) =>
-                Math.floorDiv(micros, 1000L)
-              case (days: java.lang.Integer, _: DateType) =>
-                days.toLong * 86400000L
-              case (s, _: StringType) if s != null =>
-                ManifestDataSource.parseMillis("TIMESTAMP AS OF", s.toString)
-              case (value, dt) => throw new IllegalArgumentException(
-                s"TIMESTAMP AS OF on a manifest table needs a timestamp/" +
-                  s"date/string literal, got $value: ${dt.simpleString}")
-            }
-            ManifestLake.versionAtTimestamp(spark, path, millis)
-          case (None, Some(other)) => throw new IllegalArgumentException(
-            s"TIMESTAMP AS OF on a manifest table must be a literal " +
-              s"(no expression evaluation at parse time): ${other.sql}")
+          case (None, Some(e)) =>
+            ManifestLake.versionAtTimestamp(spark, path,
+              literalMillis("TIMESTAMP AS OF", e))
           case (None, None) => throw new IllegalArgumentException(
             "time travel on a manifest table needs VERSION AS OF or " +
               "TIMESTAMP AS OF")
@@ -192,7 +175,93 @@ object GraftSqlDml {
         val path = directPath(u).get
         SubqueryAlias(u.multipartIdentifier.last,
           ManifestLake.read(spark, path).queryExecution.logical)
+      // table_changes('<path or temp view>', start [, end]) — the
+      // row-level change feed as a table-valued function (Delta's
+      // idiom), usable anywhere a table reference can appear. Integer
+      // bounds are INCLUSIVE commit versions (Delta's convention:
+      // table_changes(t, 2, 2) is exactly v2's deltas — the engine's
+      // (fromV, toV] window receives start-1); timestamp/date/string
+      // literals resolve through versionAtTimestamp, giving the
+      // window (versionAt(start), versionAt(end)]. The end bound
+      // defaults to the head. An empty window is the empty frame with
+      // the feed's schema, not an error.
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.length == 1 &&
+            tvf.name.head.equalsIgnoreCase("table_changes") &&
+            tvf.functionArgs.headOption.exists {
+              case Literal(s, _: org.apache.spark.sql.types.StringType) =>
+                s != null; case _ => false } =>
+        rewriteTableChanges(spark, tvf.functionArgs)
     }
+
+  /** [[rewriteReads]]'s table_changes body — bounds resolved, engine
+    * feed (or the typed empty frame) swapped in under the TVF's name.
+    */
+  private def rewriteTableChanges(spark: SparkSession,
+                                  args: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(args.length == 2 || args.length == 3,
+      s"table_changes(table, start [, end]) takes 2 or 3 arguments, " +
+        s"got ${args.length}")
+    val raw = args.head.asInstanceOf[Literal].value.toString
+    val path = tempViewManifestPath(spark, raw).getOrElse(raw)
+    val head = ManifestLake.currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"table_changes: no manifested table at $path"))
+    def versionArg(e: Expression): Option[Long] = e match {
+      case Literal(v: java.lang.Integer, IntegerType) => Some(v.longValue)
+      case Literal(v: java.lang.Long, LongType) => Some(v.longValue)
+      case Literal(v: java.lang.Short, ShortType) => Some(v.longValue)
+      case Literal(v: java.lang.Byte, ByteType) => Some(v.longValue)
+      case _ => None
+    }
+    val fromV = versionArg(args(1)) match {
+      case Some(n) =>
+        require(n >= 1,
+          s"table_changes start version must be >= 1 (versions are " +
+            s"inclusive; v1 is the first commit), got $n")
+        n - 1
+      case None => ManifestLake.versionAtTimestamp(spark, path,
+        literalMillis("table_changes start", args(1)))
+    }
+    val toV =
+      if (args.length == 3) versionArg(args(2)).getOrElse(
+        ManifestLake.versionAtTimestamp(spark, path,
+          literalMillis("table_changes end", args(2))))
+      else head
+    require(toV >= fromV,
+      s"table_changes: end bound (v$toV) precedes start bound " +
+        s"(exclusive v$fromV)")
+    val df =
+      if (toV == fromV) ManifestLake.emptyChangeFeed(spark, path, toV)
+      else ManifestLake.readChangeFeed(spark, path, fromV, toV)
+    SubqueryAlias("table_changes", df.queryExecution.logical)
+  }
+
+  /** A time-bound LITERAL → epoch millis (timestamp, NTZ-as-UTC, date,
+    * or parsable string); anything needing evaluation refuses loudly.
+    */
+  private def literalMillis(what: String, e: Expression): Long = e match {
+    case lit: Literal =>
+      import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
+      (lit.value, lit.dataType) match {
+        case (micros: java.lang.Long, _: TimestampType) =>
+          Math.floorDiv(micros, 1000L)
+        // NTZ micros read as UTC — the session zone this library pins
+        case (micros: java.lang.Long, _: TimestampNTZType) =>
+          Math.floorDiv(micros, 1000L)
+        case (days: java.lang.Integer, _: DateType) =>
+          days.toLong * 86400000L
+        case (s, _: StringType) if s != null =>
+          ManifestDataSource.parseMillis(what, s.toString)
+        case (value, dt) => throw new IllegalArgumentException(
+          s"$what on a manifest table needs a timestamp/" +
+            s"date/string literal, got $value: ${dt.simpleString}")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$what on a manifest table must be a literal " +
+        s"(no expression evaluation at parse time): ${other.sql}")
+  }
 
   /** The path under an EXPLICIT `` `graft-manifest`.`/path` ``
     * multipart spelling (None for any other reference — a temp view

@@ -2103,15 +2103,23 @@ object ManifestLake {
       s"need fromTs <= toTs, got $fromTsMillis > $toTsMillis")
     val fromV = versionAtTimestamp(spark, path, fromTsMillis)
     val toV = versionAtTimestamp(spark, path, toTsMillis)
-    if (toV <= fromV) {
-      val (fs, root) = fsFor(spark, path)
-      val head = readManifest(fs, root, toV)
-      val s = StructType(
-        (if (head.schema.isDefined) logicalSchemaOf(head).fields.toSeq
-         else Seq.empty) ++ Seq(StructField(ChangeTypeCol, StringType),
-          StructField(CommitVersionCol, LongType)))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
-    } else readChangeFeed(spark, path, fromV, toV, skipUnresolved)
+    if (toV <= fromV) emptyChangeFeed(spark, path, toV)
+    else readChangeFeed(spark, path, fromV, toV, skipUnresolved)
+  }
+
+  /** The change feed's EMPTY frame — `v`'s recorded logical schema
+    * plus the feed's metadata columns, zero rows. What a legitimately
+    * empty change window serves (instead of an error), so feed
+    * consumers can select/filter/aggregate unconditionally.
+    */
+  def emptyChangeFeed(spark: SparkSession, path: String, v: Long): DataFrame = {
+    val (fs, root) = fsFor(spark, path)
+    val head = readManifest(fs, root, v)
+    val s = StructType(
+      (if (head.schema.isDefined) logicalSchemaOf(head).fields.toSeq
+       else Seq.empty) ++ Seq(StructField(ChangeTypeCol, StringType),
+        StructField(CommitVersionCol, LongType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
   }
 
   /** Read a specific published version (time travel / in-flight scans).

@@ -2260,5 +2260,60 @@ object EtlGate {
              |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
              |FROM (VALUES ('replace', 1), ('append', 2), ('compact', 3),
              |  ('restore', 4)) AS h(op, v)
-             |ORDER BY leg, key""".stripMargin)))
+             |ORDER BY leg, key""".stripMargin)),
+
+    // The row-level change feed through PURE SQL (round 16):
+    // `table_changes('<path>', 2, 4)` — Delta's TVF idiom with
+    // INCLUSIVE version bounds — over q98's exact ledger (append +
+    // upsert + append). The SQL window [2, 4] is the engine's
+    // (1, 4], so the rows must hash-match the same DuckDB replay q98
+    // pins for the Scala readChangeFeed: v2/v4 appends as inserts,
+    // the upsert's exact pre-images, post-images, and inserts.
+    Q(
+      "q131_sql_table_changes",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-sqlcdf") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(4L)) === 0),
+          out, Seq("lang"))                                                  // v1
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(4L)) === 1),
+          out, Seq("lang"), replace = false)                                 // v2
+        val updates = docs.where(pmod(col("doc_id"), lit(8L)) === 2)         // new keys
+          .unionByName(docs.where(pmod(col("doc_id"), lit(8L)) === 4)        // rewrites of v1 keys
+            .withColumn("text", concat(col("text"), lit("!")))
+            .withColumn("n_chars", col("n_chars") + lit(1L)))
+        ManifestLake.upsert(s, out, updates, Seq("lang"), Seq("lang", "doc_id")) // v3
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(4L)) === 3),
+          out, Seq("lang"), replace = false)                                 // v4
+        s.sql(
+          s"""SELECT _change_type AS change_type,
+             |  _commit_version AS commit_version, lang,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)) AS BIGINT)
+             |    AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM table_changes('$out', 2, 4)
+             |GROUP BY _change_type, _commit_version, lang
+             |ORDER BY commit_version, change_type, lang""".stripMargin)
+      },
+      Some("""WITH feed AS (
+             |  SELECT 'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version, *
+             |  FROM documents WHERE doc_id % 4 = 1
+             |  UNION ALL
+             |  SELECT 'insert', 3, * FROM documents WHERE doc_id % 8 = 2
+             |  UNION ALL
+             |  SELECT 'update_preimage', 3, * FROM documents WHERE doc_id % 8 = 4
+             |  UNION ALL
+             |  SELECT 'update_postimage', 3, doc_id, text || '!', lang, source,
+             |    n_chars + 1
+             |  FROM documents WHERE doc_id % 8 = 4
+             |  UNION ALL
+             |  SELECT 'insert', 4, * FROM documents WHERE doc_id % 4 = 3)
+             |SELECT change_type, commit_version, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM feed GROUP BY change_type, commit_version, lang
+             |ORDER BY commit_version, change_type, lang""".stripMargin)))
 }

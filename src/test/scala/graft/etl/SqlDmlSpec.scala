@@ -960,6 +960,85 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(eTgt.getMessage.contains("targets manifest tables"))
   }
 
+  test("table_changes TVF: the row-level change feed through SQL, inclusive versions, timestamp bounds, empty windows") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-tvf")
+    ManifestLake.write(spark,
+      Seq(("aa", 1L, "p1"), ("aa", 2L, "p2")).toDF("grp", "id", "payload"),
+      dir, Seq("grp"))                                                   // v1
+    ManifestLake.write(spark,
+      Seq(("aa", 3L, "p3")).toDF("grp", "id", "payload"),
+      dir, Seq("grp"), replace = false)                                  // v2
+    spark.sql(s"DELETE FROM `graft-manifest`.`$dir` WHERE id = 1")       // v3
+    // inclusive versions, Delta's convention: (t, 2, 2) is exactly v2
+    def feed(sql: String): Seq[(String, Long, Long)] =
+      spark.sql(sql).select(col("_change_type"), col("_commit_version"),
+        col("id")).as[(String, Long, Long)].collect().sorted.toSeq
+    assert(feed(s"SELECT * FROM table_changes('$dir', 2, 2)") ===
+      Seq(("insert", 2L, 3L)))
+    assert(feed(s"SELECT * FROM table_changes('$dir', 2, 3)") ===
+      Seq(("delete", 3L, 1L), ("insert", 2L, 3L)))
+    // end bound defaults to the head
+    assert(feed(s"SELECT * FROM table_changes('$dir', 3)") ===
+      Seq(("delete", 3L, 1L)))
+    // the TVF result composes like any table reference
+    assert(spark.sql(
+      s"""SELECT count(*) FROM table_changes('$dir', 2, 3) c
+         |JOIN `graft-manifest`.`$dir` t ON c.id = t.id
+         |WHERE c._change_type = 'insert'""".stripMargin)
+      .as[Long].head() === 1L)
+    // the SAME rows the Scala API serves
+    assert(feed(s"SELECT * FROM table_changes('$dir', 2, 3)") ===
+      ManifestLake.readChangeFeed(spark, dir, 1L, 3L)
+        .select(col("_change_type"), col("_commit_version"), col("id"))
+        .as[(String, Long, Long)].collect().sorted.toSeq)
+    // a temp-view name works as the table argument
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW sqldml_tvf_view
+                 |USING `graft-manifest` OPTIONS (path '$dir')""".stripMargin)
+    assert(feed("SELECT * FROM table_changes('sqldml_tvf_view', 3, 3)") ===
+      Seq(("delete", 3L, 1L)))
+    // timestamp bounds resolve through versionAtTimestamp: the full
+    // window from before v1 to v2's publish instant carries v2's row
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val t1 = fs.getFileStatus(new org.apache.hadoop.fs.Path(root,
+      "_manifest/v000001.list.gz")).getModificationTime
+    val t2 = fs.getFileStatus(new org.apache.hadoop.fs.Path(root,
+      "_manifest/v000002.list.gz")).getModificationTime
+    val iso2 = java.time.Instant.ofEpochMilli(t2).toString
+    val expected = {
+      val fromV = ManifestLake.versionAtTimestamp(spark, dir, t1)
+      val toV = ManifestLake.versionAtTimestamp(spark, dir, t2)
+      if (toV == fromV) Seq.empty
+      else ManifestLake.readChangeFeed(spark, dir, fromV, toV)
+        .select(col("_change_type"), col("_commit_version"), col("id"))
+        .as[(String, Long, Long)].collect().sorted.toSeq
+    }
+    val epochFrom = java.time.Instant.ofEpochMilli(t1).toString
+    assert(feed(s"SELECT * FROM table_changes('$dir', '$epochFrom', '$iso2')")
+      === expected)
+    // an empty window is the empty frame WITH the feed's schema
+    val empty = spark.sql(s"SELECT * FROM table_changes('$dir', 3, 3) " +
+      "WHERE _change_type = 'nope'")
+    assert(empty.columns.contains("_commit_version") && empty.count() === 0)
+    val sameV = spark.sql(s"SELECT * FROM table_changes('$dir', '$iso2', '$iso2')")
+    assert(sameV.columns.contains("_change_type") && sameV.count() === 0)
+    // refusals: non-literal bounds, version 0, unknown table
+    val eExpr = intercept[IllegalArgumentException] {
+      spark.sql(s"SELECT * FROM table_changes('$dir', now())")
+    }
+    assert(eExpr.getMessage.contains("literal"))
+    val eZero = intercept[IllegalArgumentException] {
+      spark.sql(s"SELECT * FROM table_changes('$dir', 0)")
+    }
+    assert(eZero.getMessage.contains(">= 1"))
+    // a non-string first argument is NOT claimed — Spark's own
+    // unresolved-TVF error surfaces
+    val eSpark = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes(42, 1)").collect()
+    }
+    assert(!eSpark.getMessage.contains("manifest"), eSpark.getMessage)
+  }
+
   test("multi-column ALTER COLUMN pre-validates the whole list: an inadmissible second widen applies NOTHING") {
     import spark.implicits._
     val dir = freshDir("sqldml-widen-pre")
