@@ -347,8 +347,13 @@ object GraftSqlDml {
   }
 
   /** Plain vs GENERATED column definitions. Generated columns must
-    * TRAIL the plain ones (they append by construction) and must not
-    * be partition columns (that wiring is the Scala API's).
+    * TRAIL the plain ones (they append by construction), and generated
+    * PARTITION columns must lead the generated trailer — they join the
+    * schema at creation (the empty write needs the partition column
+    * present; the engine then ADOPTS them, its spec'd
+    * create-partitioned-then-declare flow), while the rest append
+    * after, so any other order would silently permute the declared
+    * columns.
     */
   private def splitColumns(cols: Seq[ColumnDefinition], partCols: Seq[String])
       : (org.apache.spark.sql.types.StructType,
@@ -370,9 +375,14 @@ object GraftSqlDml {
             "(they append after the plain columns)")
         (cols.take(genIdx), cols.drop(genIdx))
       }
-    gen.foreach(c => require(!partCols.exists(_.equalsIgnoreCase(c.name)),
-      s"generated PARTITION column ${c.name} is not supported through SQL " +
-        "CREATE — use the Scala API's addGeneratedColumn wiring"))
+    def isPart(c: ColumnDefinition): Boolean =
+      partCols.exists(_.equalsIgnoreCase(c.name))
+    val firstNonPartGen = gen.indexWhere(!isPart(_))
+    if (firstNonPartGen >= 0)
+      require(gen.drop(firstNonPartGen).forall(!isPart(_)),
+        "generated PARTITION columns must be declared before other " +
+          "generated columns (they join the schema at creation; later " +
+          "generated columns append after)")
     plain.foreach(c => require(c.nullable || partCols.contains(c.name),
       s"NOT NULL column ${c.name} is not supported on manifest tables — " +
         "declare a CHECK (col IS NOT NULL) constraint instead"))
@@ -943,6 +953,14 @@ final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val exists = ManifestLake.currentVersion(spark, path).isDefined
+    // generated PARTITION columns must be IN the creating write's
+    // schema (partitionBy needs them); the engine then ADOPTS them on
+    // the empty table (its create-partitioned-then-declare flow).
+    // Non-partition generated columns append after, as always.
+    val genPartFields = generated.collect {
+      case (n, dt, _) if partCols.exists(_.equalsIgnoreCase(n)) =>
+        org.apache.spark.sql.types.StructField(n, dt, nullable = true)
+    }
     val base: Option[Long] = mode match {
       case CreateEmpty(schema, ignoreIfExists) =>
         if (exists) {
@@ -950,8 +968,9 @@ final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
             "(use CREATE TABLE IF NOT EXISTS, or REPLACE TABLE)")
           None
         } else Some(ManifestLake.write(spark,
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], schema), path, partCols,
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            org.apache.spark.sql.types.StructType(
+              schema.fields ++ genPartFields)), path, partCols,
           statsCols = statsCols, bloomCols = bloomCols))
       case CreateAsSelect(query, ignoreIfExists) =>
         if (exists) {

@@ -2315,5 +2315,47 @@ object EtlGate {
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
              |FROM feed GROUP BY change_type, commit_version, lang
-             |ORDER BY commit_version, change_type, lang""".stripMargin)))
+             |ORDER BY commit_version, change_type, lang""".stripMargin)),
+
+    // GENERATED PARTITION COLUMN through pure SQL (round 16): CREATE
+    // TABLE declares `bkt` GENERATED ALWAYS AS a doc_id expression and
+    // partitions by it; INSERT BY NAME ships batches WITHOUT the
+    // column; the engine computes it and the computed value drives the
+    // hive layout (SHOW PARTITIONS must list exactly the 4 buckets,
+    // required in-line). The read-back per (bkt, lang) hash-matches
+    // DuckDB recomputing the expression relationally.
+    Q(
+      "q132_sql_generated_partition",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-genpart") + "/table"
+        val t = s"`graft-manifest`.`$out`"
+        s.sql(
+          s"""CREATE TABLE $t (
+             |  lang STRING, doc_id BIGINT, text STRING, n_chars BIGINT,
+             |  bkt STRING GENERATED ALWAYS AS (CAST(doc_id % 4 AS STRING)))
+             |USING `graft-manifest` PARTITIONED BY (bkt)""".stripMargin)
+        graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+          .createOrReplaceTempView("q132_docs")
+        s.sql(s"INSERT INTO $t BY NAME SELECT * FROM q132_docs")
+        val parts = s.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0))
+        require(parts.sorted.toSeq ==
+          Seq("bkt=0", "bkt=1", "bkt=2", "bkt=3"),
+          s"q132 gate: computed partitions must be the 4 buckets, got " +
+            parts.mkString(", "))
+        s.sql(
+          s"""SELECT bkt, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)) AS BIGINT)
+             |    AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM $t GROUP BY bkt, lang ORDER BY bkt, lang""".stripMargin)
+      },
+      Some("""SELECT CAST(doc_id % 4 AS VARCHAR) AS bkt, lang,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM documents GROUP BY bkt, lang
+             |ORDER BY bkt, lang""".stripMargin)))
 }

@@ -1039,6 +1039,62 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(!eSpark.getMessage.contains("manifest"), eSpark.getMessage)
   }
 
+  test("generated PARTITION columns through SQL CREATE: computed on write, validated when supplied, declaration order pinned") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-genpart")
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (
+         |  id BIGINT, ts STRING,
+         |  day STRING GENERATED ALWAYS AS (substring(ts, 1, 10)))
+         |USING `graft-manifest` PARTITIONED BY (day)""".stripMargin)
+    // a batch OMITTING the generated column: the engine computes it,
+    // and the computed value drives the hive layout
+    spark.sql(s"INSERT INTO $t BY NAME " +
+      "SELECT * FROM VALUES (1L, '2026-01-02 10:00'), (2L, '2026-01-03 11:00') AS v(id, ts)")
+    val r = ManifestLake.read(spark, dir)
+    assert(r.count() === 2)
+    assert(r.where(col("id") === 1L).select("day").head().getString(0) === "2026-01-02")
+    assert(spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)).sorted
+      === Array("day=2026-01-02", "day=2026-01-03"))
+    // supplying the RIGHT value passes; a WRONG one refuses pre-publish
+    spark.sql(s"INSERT INTO $t VALUES (3L, '2026-01-04 09:00', '2026-01-04')")
+    assert(ManifestLake.read(spark, dir).count() === 3)
+    val eBad = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t VALUES (4L, '2026-01-05 09:00', '1999-01-01')")
+    }
+    assert(eBad.getMessage.contains("__gen_day") ||
+      eBad.getMessage.toLowerCase.contains("constraint"), eBad.getMessage)
+    assert(ManifestLake.read(spark, dir).count() === 3, "nothing published")
+    // partition pruning rides the generated value like any hive dir
+    assert(ManifestLake.read(spark, dir).where(col("day") === "2026-01-03")
+      .select("id").head().getLong(0) === 2L)
+    // declaration order: a non-partition generated column BEFORE the
+    // generated partition column would silently permute — refuse
+    val dir2 = freshDir("sqldml-genpart2")
+    val eOrd = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""CREATE TABLE `graft-manifest`.`$dir2` (
+           |  id BIGINT,
+           |  twice BIGINT GENERATED ALWAYS AS (id * 2),
+           |  day STRING GENERATED ALWAYS AS (CAST(id AS STRING)))
+           |USING `graft-manifest` PARTITIONED BY (day)""".stripMargin)
+    }
+    assert(eOrd.getMessage.contains("declared before"), eOrd.getMessage)
+    // and the accepted order composes: part-generated first, then others
+    spark.sql(
+      s"""CREATE TABLE `graft-manifest`.`$dir2` (
+         |  id BIGINT,
+         |  day STRING GENERATED ALWAYS AS (CAST(id % 2 AS STRING)),
+         |  twice BIGINT GENERATED ALWAYS AS (id * 2))
+         |USING `graft-manifest` PARTITIONED BY (day)""".stripMargin)
+    spark.sql(s"INSERT INTO `graft-manifest`.`$dir2` (id) VALUES (7)")
+    val r2 = ManifestLake.read(spark, dir2)
+    assert(r2.columns.toSeq === Seq("id", "day", "twice"),
+      "declared column order survives creation")
+    assert(r2.select("day", "twice").head().toSeq === Seq("1", 14L))
+  }
+
   test("multi-column ALTER COLUMN pre-validates the whole list: an inadmissible second widen applies NOTHING") {
     import spark.implicits._
     val dir = freshDir("sqldml-widen-pre")
