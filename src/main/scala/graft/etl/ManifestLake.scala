@@ -3244,7 +3244,18 @@ object ManifestLake {
             }
             val headAffected = headM.files
               .filter(f => affectedDirs.contains(partDirOf(f.path))).toSet
+            // a racer may have created a NEW partition under the
+            // static prefix (not in affectedDirs, so the file check
+            // alone would miss it) — static semantics clear EVERYTHING
+            // matching the prefix at commit time, so a changed
+            // prefix-dir set must withdraw, never silently survive
+            val headPrefixDirs: Set[String] =
+              if (prefixSegs.isEmpty) Set.empty
+              else headM.files.map(f => partDirOf(f.path)).filter { d =>
+                prefixSegs.zip(d.split("/").toSeq).forall { case (a, b) => a == b }
+              }.toSet
             if (headAffected != affectedFiles.toSet ||
+              headPrefixDirs != staticDirs ||
               headM.schema != manifest.schema || headM.partCols != partitionCols ||
               effectiveConstraints(headM) != effectiveConstraints(manifest) ||
               headM.colMap != manifest.colMap ||

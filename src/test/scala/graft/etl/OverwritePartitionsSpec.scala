@@ -126,4 +126,48 @@ class OverwritePartitionsSpec extends AnyFunSuite {
     spark.sql(s"INSERT OVERWRITE `graft-manifest`.`$dir` VALUES ('zz', 99, 'z')")
     assert(ManifestLake.read(spark, dir).count() === 1)
   }
+
+  test("static-prefix overwrite withdraws when a racer creates a NEW partition under the prefix") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir("mlake-owp-race")
+    ManifestLake.write(spark,
+      Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L))
+        .toDF("p1", "p2", "id"), dir, Seq("p1", "p2"))                         // v1
+    // the racer lands a NEW partition (a, z) between staging and
+    // publish — it is NOT in affectedDirs (it did not exist at the
+    // snapshot), so only the prefix-dir guard can see it; static
+    // semantics would have cleared it in a serial execution, so the
+    // overwrite must WITHDRAW loudly, never leave (a, z) half-alive
+    ManifestLake.raceHook.set { _ =>
+      Await.result(Future {
+        spark.sparkContext.clearJobGroup()
+        ManifestLake.write(spark,
+          Seq(("a", "z", 99L)).toDF("p1", "p2", "id"),
+          dir, Seq("p1", "p2"), replace = false)
+      }, 2.minutes): Unit
+    }
+    val e = try intercept[IllegalStateException] {
+      ManifestLake.overwritePartitions(spark, dir,
+        Seq(("a", "x", 10L)).toDF("p1", "p2", "id"),
+        staticPrefix = Seq("p1" -> "a"))
+    } finally ManifestLake.raceHook.set(null)
+    assert(e.getMessage.contains("lost its race"), e.getMessage)
+    val r = ManifestLake.read(spark, dir).select("p1", "p2", "id").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    assert(r === Set(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L),
+      ("a", "z", 99L)),
+      "the racer's append survives; the withdrawn overwrite changed nothing")
+    // re-run against the new head: now (a, z) is in the snapshot and
+    // the whole prefix — x, y, AND z — clears in the one commit
+    val v = ManifestLake.overwritePartitions(spark, dir,
+      Seq(("a", "x", 10L)).toDF("p1", "p2", "id"),
+      staticPrefix = Seq("p1" -> "a"))
+    assert(v === 3L)
+    val r2 = ManifestLake.read(spark, dir).select("p1", "p2", "id").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    assert(r2 === Set(("a", "x", 10L), ("b", "x", 3L)))
+  }
 }
