@@ -24,6 +24,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *     → [[ManifestLake.restore]]; returns the new head version.
   *   - `DESCRIBE HISTORY t [LIMIT n]` → [[ManifestLake.history]],
   *     newest first.
+  *   - `DESCRIBE DETAIL t` → [[ManifestLake.detail]] — the one-row
+  *     operational summary.
   *
   * Interception stance (mirrors [[GraftSqlDml]]'s): `VACUUM` /
   * `OPTIMIZE` / `RESTORE` do not exist in Spark's grammar at all — a
@@ -47,7 +49,7 @@ object GraftMaintenanceSql {
     // cheap keyword gate BEFORE lexing: the lexer is deliberately tiny
     // and refuses characters these four statements never carry — it
     // must never see (let alone fail on) general SQL
-    val lead = "(?is)^\\s*(VACUUM|OPTIMIZE|RESTORE|DESC(RIBE)?\\s+HISTORY)\\b".r
+    val lead = "(?is)^\\s*(VACUUM|OPTIMIZE|RESTORE|DESC(RIBE)?\\s+(HISTORY|DETAIL))\\b".r
     if (lead.findFirstIn(sqlText).isEmpty) return None
     val isDescribe = "(?is)^\\s*DESC".r.findFirstIn(sqlText).isDefined
     // DESCRIBE collides with vanilla shapes (`DESCRIBE history
@@ -65,7 +67,11 @@ object GraftMaintenanceSql {
         case Word(w) if w.equalsIgnoreCase("RESTORE") =>
           Some(parseRestore(spark, toks.tail))
         case Word(w) if w.equalsIgnoreCase("DESCRIBE") || w.equalsIgnoreCase("DESC") =>
-          parseHistory(spark, toks.drop(2))
+          toks.tail.head match {
+            case Word(h) if h.equalsIgnoreCase("DETAIL") =>
+              parseDetail(spark, toks.drop(2))
+            case _ => parseHistory(spark, toks.drop(2))
+          }
         case _ => None
       }
     } catch {
@@ -262,6 +268,15 @@ object GraftMaintenanceSql {
   /** None (not an exception) when the shape does not parse or the
     * target is not a manifest table — DESCRIBE has vanilla meanings.
     */
+  private def parseDetail(spark: SparkSession,
+                          toks: List[Tok]): Option[LogicalPlan] = {
+    val (path, rest) = target(spark, toks, "DESCRIBE DETAIL")
+    if (rest.isEmpty) Some(GraftDetailCommand(path)) else None
+  }
+
+  /** None (not an exception) when the shape does not parse or the
+    * target is not a manifest table — DESCRIBE has vanilla meanings.
+    */
   private def parseHistory(spark: SparkSession,
                            toks: List[Tok]): Option[LogicalPlan] = {
     val (path, rest) = target(spark, toks, "DESCRIBE HISTORY")
@@ -341,6 +356,33 @@ final case class GraftRestoreCommand(path: String,
     }
     Seq(Row(ManifestLake.restore(spark, path, v)))
   }
+}
+
+/** `DESCRIBE DETAIL <manifest table>` — the one-row operational
+  * summary (head version, live files/bytes, partitioning, stats
+  * coverage, writers, constraints, column mapping) the Scala
+  * `ManifestLake.detail` serves.
+  */
+final case class GraftDetailCommand(path: String)
+  extends LeafRunnableCommand {
+  private def str = StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", str, nullable = true)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("total_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_cols", str, nullable = false)(),
+    AttributeReference("n_columns", LongType, nullable = false)(),
+    AttributeReference("bounds_coverage", str, nullable = false)(),
+    AttributeReference("null_count_coverage", str, nullable = false)(),
+    AttributeReference("value_set_coverage", str, nullable = false)(),
+    AttributeReference("change_feed", org.apache.spark.sql.types.BooleanType,
+      nullable = false)(),
+    AttributeReference("n_writers", LongType, nullable = false)(),
+    AttributeReference("constraints", str, nullable = false)(),
+    AttributeReference("column_mapping", str, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    ManifestLake.detail(spark, path).collect().toSeq
 }
 
 /** `DESCRIBE HISTORY <manifest table> [LIMIT n]` — the commit ledger,

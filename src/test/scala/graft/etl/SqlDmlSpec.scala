@@ -902,6 +902,15 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(hist.last.getString(1) === "replace")
     assert(spark.sql(s"DESCRIBE HISTORY $t LIMIT 2")
       .collect().map(_.getLong(0)).toSeq === Seq(4L, 3L))
+    // DESCRIBE DETAIL: the one-row operational summary
+    val det = spark.sql(s"DESCRIBE DETAIL $t").collect()
+    assert(det.length === 1)
+    assert(det.head.getAs[Long]("version") === 4L)
+    assert(det.head.getAs[String]("partition_cols") === "grp")
+    // a table literally named detail still describes normally
+    spark.range(2).createOrReplaceTempView("detail")
+    assert(spark.sql("DESCRIBE detail").collect()
+      .exists(_.getString(0) == "id"))
     // vanilla DESCRIBE shapes survive the interception untouched —
     // including a table literally named history
     spark.range(3).createOrReplaceTempView("history")
