@@ -583,6 +583,14 @@ object GraftSqlDml {
             "use SHOW PARTITIONS")
         Some(GraftDescribeCommand(
           multipartManifestPath(t.multipartIdentifier).get, isExtended))
+      case org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable(
+          t: UnresolvedTableOrView, asSerde, _)
+          if multipartManifestPath(t.multipartIdentifier).isDefined =>
+        require(!asSerde,
+          "SHOW CREATE TABLE ... AS SERDE is not supported on manifest " +
+            "tables (no Hive serde form exists)")
+        Some(GraftShowCreateCommand(
+          multipartManifestPath(t.multipartIdentifier).get))
       case ShowColumns(t: UnresolvedTableOrView, ns, _)
           if multipartManifestPath(t.multipartIdentifier).isDefined =>
         require(ns.isEmpty || ns.exists(n =>
@@ -1149,6 +1157,68 @@ final case class GraftShowPropertiesCommand(path: String, key: Option[String])
       }
       case None => props.map { case (a, b) => Row(a, b) }
     }
+  }
+}
+
+/** `SHOW CREATE TABLE …` — a RUNNABLE re-creation statement for the
+  * table's current recorded shape: logical columns (mapping and
+  * nested renames applied) with GENERATED ALWAYS AS expressions in
+  * place, CHECK constraints, identity partitioning, and the declared
+  * skipping machinery as TBLPROPERTIES. Executing the emitted DDL on
+  * a fresh path yields a table the original's rows INSERT into
+  * unchanged — the round-trip the q133 gate drives end-to-end.
+  */
+final case class GraftShowCreateCommand(path: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("createtab_stmt",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+  private def q(id: String): String = "`" + id.replace("`", "``") + "`"
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (fs, root) = ManifestLake.fsFor(spark, path)
+    val v = ManifestLake.currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = ManifestLake.readManifest(fs, root, v)
+    val logical = ManifestLake.logicalSchemaOf(m)
+    require(logical.nonEmpty,
+      s"table at $path has a headerless legacy manifest — SHOW CREATE " +
+        "TABLE needs the recorded schema (run one append or upsert to " +
+        "adopt a header first)")
+    val genByName = m.generated.toMap
+    // CREATE requires generated columns to trail the plain ones (and
+    // generated PARTITION columns to lead the generated trailer) — a
+    // table whose plain columns were ADDED after a generated column
+    // would emit unrunnable DDL in raw schema order, so the emission
+    // re-groups: plain, then part-generated, then other generated (the
+    // clone's column order can differ from such a table's; INSERT BY
+    // NAME round-trips regardless)
+    val (genFields, plainFields) =
+      logical.fields.toSeq.partition(f => genByName.contains(f.name))
+    val (genPartF, genOtherF) =
+      genFields.partition(f => m.partCols.exists(_.equalsIgnoreCase(f.name)))
+    val colLines = (plainFields ++ genPartF ++ genOtherF).map { f =>
+      genByName.get(f.name) match {
+        case Some(expr) =>
+          s"  ${q(f.name)} ${f.dataType.sql} GENERATED ALWAYS AS ($expr)"
+        case None => s"  ${q(f.name)} ${f.dataType.sql}"
+      }
+    }
+    val consLines = m.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+      s"  CONSTRAINT ${q(n)} CHECK ($e)"
+    }
+    val props = Seq(
+      "graft.statsCols" -> m.statsColsDefault.mkString(","),
+      "graft.bloomCols" -> m.bloomCols.mkString(",")).filter(_._2.nonEmpty)
+    val stmt = new StringBuilder
+    stmt ++= s"CREATE TABLE ${q("graft-manifest")}.${q(path)} (\n"
+    stmt ++= (colLines ++ consLines).mkString(",\n")
+    stmt ++= "\n)\nUSING `graft-manifest`"
+    if (m.partCols.nonEmpty)
+      stmt ++= s"\nPARTITIONED BY (${m.partCols.map(q).mkString(", ")})"
+    if (props.nonEmpty)
+      stmt ++= "\nTBLPROPERTIES (" + props.map { case (k, value) =>
+        s"'$k' = '$value'" }.mkString(", ") + ")"
+    Seq(Row(stmt.toString))
   }
 }
 

@@ -2357,5 +2357,67 @@ object EtlGate {
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
              |FROM documents GROUP BY bkt, lang
-             |ORDER BY bkt, lang""".stripMargin)))
+             |ORDER BY bkt, lang""".stripMargin)),
+
+    // SHOW CREATE TABLE round-trip (round 16): the emitted DDL is
+    // RUNNABLE — executing it on a fresh path (path swapped, nothing
+    // else) re-creates the shape (generated partition column, CHECK
+    // constraint, sticky statsCols), and the original's rows INSERT
+    // BY NAME into the clone unchanged. Both legs hash-match DuckDB
+    // recomputing the generated expression relationally; the emitted
+    // text's load-bearing clauses are required in-line.
+    Q(
+      "q133_sql_show_create",
+      (s, dir) => {
+        val src = scratchDir("graft-gate-sct-src") + "/table"
+        val dst = scratchDir("graft-gate-sct-dst") + "/table"
+        s.sql(
+          s"""CREATE TABLE `graft-manifest`.`$src` (
+             |  lang STRING, doc_id BIGINT, text STRING, n_chars BIGINT,
+             |  bkt STRING GENERATED ALWAYS AS (CAST(doc_id % 4 AS STRING)),
+             |  CONSTRAINT pos_id CHECK (doc_id >= 0))
+             |USING `graft-manifest` PARTITIONED BY (bkt)
+             |TBLPROPERTIES ('graft.statsCols' = 'doc_id')""".stripMargin)
+        graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+          .createOrReplaceTempView("q133_docs")
+        s.sql(s"INSERT INTO `graft-manifest`.`$src` BY NAME SELECT * FROM q133_docs")
+        val stmt = s.sql(s"SHOW CREATE TABLE `graft-manifest`.`$src`")
+          .head().getString(0)
+        require(stmt.contains("GENERATED ALWAYS AS") &&
+          stmt.contains("CONSTRAINT `pos_id` CHECK (doc_id >= 0)") &&
+          stmt.contains("PARTITIONED BY (`bkt`)") &&
+          stmt.contains("'graft.statsCols' = 'doc_id'"),
+          s"q133 gate: emitted DDL must carry every recorded clause:\n$stmt")
+        s.sql(stmt.replace(src, dst))
+        s.sql(s"INSERT INTO `graft-manifest`.`$dst` BY NAME " +
+          s"SELECT * FROM `graft-manifest`.`$src`")
+        def leg(name: String, path: String) =
+          ManifestLake.read(s, path)
+            .groupBy(col("bkt"), col("lang"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).cast("long").as("sum_chars"),
+              sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+                .as("content_sum"),
+              max(col("doc_id")).as("max_id"))
+            .withColumn("leg", lit(name))
+        leg("clone", dst).unionByName(leg("src", src))
+          .select(col("leg"), col("bkt"), col("lang"), col("n_docs"),
+            col("sum_chars"), col("content_sum"), col("max_id"))
+          .orderBy(col("leg"), col("bkt"), col("lang"))
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(doc_id % 4 AS VARCHAR) AS bkt, lang, doc_id,
+             |    text, n_chars
+             |  FROM documents),
+             |legs AS (
+             |  SELECT 'clone' AS leg, * FROM base
+             |  UNION ALL
+             |  SELECT 'src', * FROM base)
+             |SELECT leg, bkt, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM legs GROUP BY leg, bkt, lang
+             |ORDER BY leg, bkt, lang""".stripMargin)))
 }

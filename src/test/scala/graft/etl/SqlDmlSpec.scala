@@ -957,6 +957,17 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(ManifestLake.read(spark, dir2).count() === 20)
     spark.sql(s"OPTIMIZE $t2 ZORDER BY (id)")
     assert(ManifestLake.read(spark, dir2).count() === 20)
+    // RESTORE ... TO TIMESTAMP AS OF resolves through versionAtTimestamp
+    val (fs2, root2) = ManifestLake.fsFor(spark, dir2)
+    val ts1 = fs2.getFileStatus(new org.apache.hadoop.fs.Path(root2,
+      "_manifest/v000001.list.gz")).getModificationTime
+    val expectV = ManifestLake.versionAtTimestamp(spark, dir2, ts1)
+    val expectIds = ManifestLake.readVersion(spark, dir2, expectV)
+      .select("id").as[Long].collect().sorted.toSeq
+    spark.sql(s"RESTORE TABLE $t2 TO TIMESTAMP AS OF " +
+      s"'${java.time.Instant.ofEpochMilli(ts1)}'")
+    assert(ManifestLake.read(spark, dir2).select("id").as[Long]
+      .collect().sorted.toSeq === expectIds)
     // refusals are loud and name the reason
     val eBad = intercept[IllegalArgumentException] {
       spark.sql(s"VACUUM $t2 RETAIN 5 HOURS KEEP 2 VERSIONS")
@@ -1102,6 +1113,49 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(r2.columns.toSeq === Seq("id", "day", "twice"),
       "declared column order survives creation")
     assert(r2.select("day", "twice").head().toSeq === Seq("1", 14L))
+  }
+
+  test("SHOW CREATE TABLE emits runnable DDL: the clone accepts the original rows unchanged") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-showcreate")
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (
+         |  id BIGINT, ts STRING, grp STRING,
+         |  day STRING GENERATED ALWAYS AS (substring(ts, 1, 10)),
+         |  CONSTRAINT pos_id CHECK (id > 0))
+         |USING `graft-manifest` PARTITIONED BY (grp)
+         |TBLPROPERTIES ('graft.statsCols' = 'id')""".stripMargin)
+    spark.sql(s"INSERT INTO $t (id, ts, grp) VALUES " +
+      "(1, '2026-01-02 10:00', 'aa'), (2, '2026-01-03 11:00', 'bb')")
+    val stmt = spark.sql(s"SHOW CREATE TABLE $t").head().getString(0)
+    assert(stmt.contains("GENERATED ALWAYS AS"), stmt)
+    assert(stmt.contains("CONSTRAINT `pos_id` CHECK (id > 0)"), stmt)
+    assert(stmt.contains("PARTITIONED BY (`grp`)"), stmt)
+    assert(stmt.contains("'graft.statsCols' = 'id'"), stmt)
+    // the emitted DDL RUNS on a fresh path, and the original's rows
+    // (generated column included — validated-as-supplied) land intact
+    val clone = freshDir("sqldml-showcreate2")
+    spark.sql(stmt.replace(dir, clone))
+    spark.sql(s"INSERT INTO `graft-manifest`.`$clone` BY NAME " +
+      s"SELECT * FROM $t")
+    val a = ManifestLake.read(spark, dir).orderBy("id").collect().toSeq
+    val b = ManifestLake.read(spark, clone)
+      .select(ManifestLake.read(spark, dir).columns.map(col): _*)
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+    // the clone enforces the cloned constraint
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO `graft-manifest`.`$clone` (id, ts, grp) " +
+        "VALUES (-1, '2026-01-04 09:00', 'aa')")
+    }
+    // vanilla SHOW CREATE TABLE stays Spark's own (temp views refuse
+    // with SPARK's error, not ours)
+    spark.range(2).createOrReplaceTempView("sqldml_sct_plain")
+    val e = intercept[Exception] {
+      spark.sql("SHOW CREATE TABLE sqldml_sct_plain").collect()
+    }
+    assert(!e.getMessage.contains("manifest"), e.getMessage)
   }
 
   test("multi-column ALTER COLUMN pre-validates the whole list: an inadmissible second widen applies NOTHING") {
