@@ -7,10 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Seeded fuzz over the manifest lifecycle ACROSS CHAIN BOUNDARIES:
   * a randomized interleaving of append / upsert / row delete / DV
-  * delete / compact / restore / vacuum under a tight checkpoint
-  * cadence (3), with a driver-side model tracking the expected content
-  * of EVERY published version. Invariants after every op and at the
-  * end:
+  * delete / compact / restore / vacuum / ANALYZE / dynamic partition
+  * overwrite / static-prefix overwrite / clause MERGE under a tight
+  * checkpoint cadence (3), with a driver-side model tracking the
+  * expected content of EVERY published version. Invariants after
+  * every op and at the end:
   *   - the head read always equals the model;
   *   - every version vacuum retained reads back exactly its recorded
   *     content (delta chains resolve through retained bases; DV masks,
@@ -61,7 +62,7 @@ class ManifestFuzzSpec extends AnyFunSuite {
       record()
 
       (1 to steps).foreach { step =>
-        val op = rnd.nextInt(11)
+        val op = rnd.nextInt(14)
         op match {
           case 0 | 1 | 2 => // append fresh keys
             val rows = (0 until (1 + rnd.nextInt(3))).map { _ =>
@@ -111,6 +112,48 @@ class ManifestFuzzSpec extends AnyFunSuite {
             val before = ManifestLake.currentVersion(spark, dir).get
             ManifestLake.analyzeStats(spark, dir, Seq("id", "payload"))
             if (ManifestLake.currentVersion(spark, dir).get != before) record()
+          case 11 => // dynamic partition overwrite: the batch's partition swaps
+            val p = s"p${rnd.nextInt(3)}"
+            val rows = (0 until (1 + rnd.nextInt(2))).map { _ =>
+              val key = (p, nextId); nextId += 1
+              key -> s"o$step"
+            }
+            ManifestLake.overwritePartitions(spark, dir, df(rows))
+            model = model.filterNot(_._1._1 == p) ++ rows
+            record()
+          case 12 => // static-prefix overwrite: the WHOLE prefix clears,
+            // including via an empty batch
+            val p = s"p${rnd.nextInt(3)}"
+            val rows = (0 until rnd.nextInt(2)).map { _ =>
+              val key = (p, nextId); nextId += 1
+              key -> s"w$step"
+            }
+            val before = ManifestLake.currentVersion(spark, dir).get
+            ManifestLake.overwritePartitions(spark, dir, df(rows),
+              staticPrefix = Seq("part" -> p))
+            model = model.filterNot(_._1._1 == p) ++ rows
+            if (ManifestLake.currentVersion(spark, dir).get != before) record()
+          case 13 => // clause MERGE: delete one key, update another, insert one
+            val keys = model.keys.toSeq.sortBy(_._2)
+            if (keys.size >= 2) {
+              val delKey = keys(rnd.nextInt(keys.size))
+              val updC = keys.filterNot(_ == delKey)
+              val updKey = updC(rnd.nextInt(updC.size))
+              val newKey = (s"p${rnd.nextInt(3)}", nextId); nextId += 1
+              val src = Seq(
+                (delKey._1, delKey._2, "", true),
+                (updKey._1, updKey._2, s"m$step", false),
+                (newKey._1, newKey._2, s"mi$step", false))
+                .toDF("part", "id", "payload", "del")
+              ManifestLake.mergeClauses(spark, dir, src, Seq("part"),
+                Seq("part", "id"),
+                matched = Seq(
+                  ManifestLake.MergeDelete(Some(col("s.del"))),
+                  ManifestLake.MergeUpdate(None, None)),
+                notMatched = Seq(ManifestLake.MergeInsert(Some(!col("s.del")), None)))
+              model = model - delKey + (updKey -> s"m$step") + (newKey -> s"mi$step")
+              record()
+            }
         }
         // invariant 1: the head always equals the model
         assert(readNow() === model,
@@ -136,6 +179,10 @@ class ManifestFuzzSpec extends AnyFunSuite {
 
   test("fuzz seed 0x5EED: 30 random lifecycle ops stay readable and hash-stable at every surviving version") {
     runFuzz(0x5EED, 30)
+  }
+
+  test("fuzz seed 0xBEEF16: 40 random lifecycle ops incl. partition overwrites and clause merges") {
+    runFuzz(0xBEEF16, 40)
   }
 
   test("upsert refuses duplicate keys mid-fuzz shape (guard the fuzz's own assumptions)") {
