@@ -66,8 +66,10 @@ import org.apache.spark.sql.types.LongType
   *     lists — mapped onto [[ManifestLake.mergeClauses]]. The ON
   *     condition must be a conjunction of t.col = s.col equalities
   *     (the engine merges by key; arbitrary join predicates belong in
-  *     clause conditions). `WITH SCHEMA EVOLUTION` refuses — the
-  *     engine's merge does not widen.
+  *     clause conditions). `WITH SCHEMA EVOLUTION` ADDS the source's
+  *     new columns first (metadata-only, nullable — see
+  *     [[GraftMergeCommand]]); re-typed existing columns still refuse
+  *     (the merge never widens a type).
   *   - UPDATE with SET + WHERE → [[ManifestLake.update]].
   *   - DELETE with WHERE → [[ManifestLake.delete]] (rewrite path;
   *     partition-only predicates take the metadata-only fast path
@@ -620,10 +622,6 @@ object GraftSqlDml {
         }
       case m: MergeIntoTable =>
         targetPath(spark, m.targetTable).map { case (path, tQuals) =>
-          require(!m.withSchemaEvolution,
-            "MERGE … WITH SCHEMA EVOLUTION is not supported on manifest " +
-              "tables — the merge does not widen; evolve the schema with an " +
-              "append/upsert first")
           val (sourcePlan, sQuals) = m.sourceTable match {
             case SubqueryAlias(ident, _) =>
               (m.sourceTable, Set(ident.name.toLowerCase))
@@ -638,7 +636,8 @@ object GraftSqlDml {
             matched = m.matchedActions.map(translateAction(_, tQuals, sQuals, q)),
             notMatched = m.notMatchedActions.map(translateAction(_, tQuals, sQuals, q)),
             notMatchedBySource =
-              m.notMatchedBySourceActions.map(translateAction(_, tQuals, sQuals, q)))
+              m.notMatchedBySourceActions.map(translateAction(_, tQuals, sQuals, q)),
+            schemaEvolution = m.withSchemaEvolution)
         }
       case _ => None
     }
@@ -824,13 +823,26 @@ final case class GraftUpdateCommand(path: String,
   * columns. `plainEqKeys` are the keys the ON condition spelled with
   * `=` (standard semantics: a NULL key matches nothing); the rest
   * were spelled `<=>` and match null-safely.
+  *
+  * `WITH SCHEMA EVOLUTION` (`schemaEvolution = true`): every source
+  * column absent from the table is ADDED first — the engine's
+  * metadata-only nullable addColumn, one commit per column, in source
+  * order — and then the merge runs against the evolved schema, so
+  * `SET *` / `INSERT *` carry the new columns through and untouched
+  * target rows serve NULL for them. Honest non-atomicity note: the
+  * evolution commits land BEFORE the merge's commit; a merge that
+  * then fails (duplicate keys, constraint violation) leaves the
+  * widened-by-nullable-columns schema in place — harmless NULLs, but
+  * schema history shows it. Re-TYPED existing columns still refuse
+  * (the merge never widens a type).
   */
 final case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
                                    keyCols: Seq[String],
                                    plainEqKeys: Seq[String],
                                    matched: Seq[SqlMergeClause],
                                    notMatched: Seq[SqlMergeClause],
-                                   notMatchedBySource: Seq[SqlMergeClause])
+                                   notMatchedBySource: Seq[SqlMergeClause],
+                                   schemaEvolution: Boolean = false)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(sourcePlan)
   override val output: Seq[Attribute] = Seq(
@@ -843,6 +855,17 @@ final case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
       throw new IllegalArgumentException(
         s"no manifested table at $path (MERGE needs an existing table)"))
     val source = SparkShims.ofRows(spark, sourcePlan)
+    if (schemaEvolution) {
+      val (fs, root) = ManifestLake.fsFor(spark, path)
+      val v = ManifestLake.currentVersion(spark, path).get
+      val logical = ManifestLake.logicalSchemaOf(
+        ManifestLake.readManifest(fs, root, v))
+      val existing = logical.fieldNames.map(_.toLowerCase).toSet
+      source.schema.fields.filterNot(f =>
+        existing.contains(f.name.toLowerCase)).foreach { f =>
+        ManifestLake.addColumn(spark, path, f.name, f.dataType): Unit
+      }
+    }
     val st = ManifestLake.mergeClauses(spark, path, source, partCols, keyCols,
       matched = matched.map(_.toEngine),
       notMatched = notMatched.map(_.toEngine),

@@ -2419,5 +2419,78 @@ object EtlGate {
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
              |FROM legs GROUP BY leg, bkt, lang
-             |ORDER BY leg, bkt, lang""".stripMargin)))
+             |ORDER BY leg, bkt, lang""".stripMargin)),
+
+    // MERGE WITH SCHEMA EVOLUTION (round 16): the source ships an
+    // extra `score` column the table never had; the statement ADDS it
+    // (metadata-only, nullable) and the clause matrix then runs
+    // against the evolved schema — updated and inserted rows carry
+    // source scores, untouched target rows serve NULL, and deletes
+    // fire as usual. Hash-matched against DuckDB replaying the same
+    // FULL OUTER JOIN + CASE with the score recomputed relationally.
+    Q(
+      "q134_sql_merge_evolution",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-evolve") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        ManifestLake.write(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+          out, Seq("lang"))                                              // v1
+        docs.where(pmod(col("doc_id"), lit(3L)) === 0)
+          .withColumn("text", upper(col("text")))
+          .withColumn("score", col("n_chars") * 3L)
+          .createOrReplaceTempView("q134_src")
+        val st = s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO `graft-manifest`.`$out` t
+             |USING q134_src s
+             |ON t.lang = s.lang AND t.doc_id = s.doc_id
+             |WHEN MATCHED AND s.doc_id % 5 = 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *
+             |""".stripMargin).collect().head
+        require(st.getLong(0) == 3L,
+          s"evolution (v2) then merge (v3) expected, got v${st.getLong(0)}")
+        ManifestLake.read(s, out)
+          .groupBy(col("lang"), col("score").isNull.cast("int").as("score_null"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(coalesce(col("score"), lit(-1L))).cast("long").as("sum_score"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"), col("score_null"))
+      },
+      Some("""WITH tgt AS (
+             |  SELECT lang, doc_id, text, n_chars FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |src AS (
+             |  SELECT lang, doc_id, upper(text) AS text, n_chars,
+             |    n_chars * 3 AS score
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |fin AS (
+             |  SELECT t.lang, t.doc_id, t.text, t.n_chars,
+             |    CAST(NULL AS BIGINT) AS score
+             |  FROM tgt t
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM src s
+             |    WHERE s.lang = t.lang AND s.doc_id = t.doc_id)
+             |  UNION ALL
+             |  SELECT s.lang, s.doc_id, s.text, s.n_chars, s.score
+             |  FROM tgt t JOIN src s
+             |    ON t.lang = s.lang AND t.doc_id = s.doc_id
+             |  WHERE s.doc_id % 5 <> 0
+             |  UNION ALL
+             |  SELECT s.lang, s.doc_id, s.text, s.n_chars, s.score
+             |  FROM src s
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM tgt t
+             |    WHERE t.lang = s.lang AND t.doc_id = s.doc_id))
+             |SELECT lang, CAST(score IS NULL AS INT) AS score_null,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(coalesce(score, -1)) AS BIGINT) AS sum_score,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM fin GROUP BY lang, score_null
+             |ORDER BY lang, score_null""".stripMargin)))
 }

@@ -712,12 +712,18 @@ class SqlDmlSpec extends AnyFunSuite {
         "ON t.grp = s.grp AND t.id > s.id WHEN MATCHED THEN DELETE")
     }
     assert(e1.getMessage.contains("conjunction of t.col = s.col"))
+    // WITH SCHEMA EVOLUTION no longer refuses wholesale — but a
+    // re-typed EXISTING column still does (the merge never widens)
+    seed(dirRef + "-retype")
+    Seq(("aa", "1")).toDF("grp", "id").createOrReplaceTempView("sqldml_src4b")
     val e2 = intercept[IllegalArgumentException] {
-      spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO `graft-manifest`.`$dirRef` t " +
-        "USING sqldml_src4 s ON t.grp = s.grp AND t.id = s.id " +
+      spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO " +
+        s"`graft-manifest`.`${dirRef}-retype` t " +
+        "USING sqldml_src4b s ON t.grp = s.grp AND t.id = s.id " +
         "WHEN MATCHED THEN UPDATE SET *")
     }
-    assert(e2.getMessage.contains("SCHEMA EVOLUTION"))
+    assert(e2.getMessage.contains("re-typed") ||
+      e2.getMessage.contains("exact type"), e2.getMessage)
     val e3 = intercept[IllegalArgumentException] {
       spark.sql(s"UPDATE `graft-manifest`.`$dirRef` SET grp = 'cc' WHERE id = 1")
     }
@@ -731,6 +737,39 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("partition column"))
   }
   private val dirRef = freshDir("sqldml-refuse")
+
+  test("MERGE WITH SCHEMA EVOLUTION adds the source's new columns; untouched rows serve NULL") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-evolve")
+    seed(dir)                                                            // v1
+    val v0 = ManifestLake.currentVersion(spark, dir).get
+    (0 until 50).filter(_ % 5 == 0).map(i =>
+      (if (i % 2 == 0) "aa" else "bb", i.toLong, s"NEW$i", i * 100L, s"t$i"))
+      .toDF("grp", "id", "payload", "score", "tag")
+      .createOrReplaceTempView("sqldml_evo_src")
+    val st = spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO `graft-manifest`.`$dir` t
+         |USING sqldml_evo_src s
+         |ON t.grp = s.grp AND t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin).collect().head
+    // schema evolved (one addColumn commit) then merged (one commit)
+    assert(ManifestLake.currentVersion(spark, dir).get === v0 + 2)
+    // matched ids 0,5,...,35 -> 8 updates; source ids 40,45 insert
+    assert((st.getLong(1), st.getLong(3)) === (8L, 2L))
+    val r = ManifestLake.read(spark, dir)
+    assert(r.columns.contains("tag"))
+    assert(r.where(col("id") === 20L).select("tag").head().getString(0) === "t20")
+    assert(r.where(col("id") === 45L).select("tag").head().getString(0) === "t45")
+    assert(r.where(col("id") === 1L).select("tag").head().isNullAt(0),
+      "untouched target rows serve NULL for the evolved column")
+    assert(r.count() === 42)
+    // the evolved column participates in later DML like any other
+    spark.sql(s"UPDATE `graft-manifest`.`$dir` SET tag = 'x' WHERE id = 1")
+    assert(ManifestLake.read(spark, dir).where(col("id") === 1L)
+      .select("tag").head().getString(0) === "x")
+  }
 
   test("CTAS / REPLACE TABLE … AS SELECT read FROM manifest references, incl. VERSION AS OF (snapshot clone)") {
     import spark.implicits._
