@@ -173,6 +173,131 @@ class ManifestFuzzSpec extends AnyFunSuite {
     } finally ManifestLake.CheckpointInterval = prevInterval
   }
 
+  /** The SAME lifecycle fuzz driven through PURE SQL — every op is a
+    * `spark.sql` statement (INSERT INTO / MERGE INTO / DELETE /
+    * INSERT OVERWRITE PARTITION / OPTIMIZE / RESTORE / VACUUM /
+    * ANALYZE), so a randomized interleaving certifies the SQL
+    * dispatch is semantically identical to the Scala API under the
+    * same per-version content model.
+    */
+  private def runSqlFuzz(seed: Long, steps: Int): Unit = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(s"mlake-sqlfuzz-$seed").toString + "/table"
+    val t = s"`graft-manifest`.`$dir`"
+    val rnd = new scala.util.Random(seed)
+    val prevInterval = ManifestLake.CheckpointInterval
+    ManifestLake.CheckpointInterval = 3
+    try {
+      var model = Map.empty[(String, Long), String]
+      val history = scala.collection.mutable.Map.empty[Long, Map[(String, Long), String]]
+      var nextId = 0L
+      def record(): Unit = {
+        val v = ManifestLake.currentVersion(spark, dir).get
+        history(v) = model
+      }
+      def readNow(v: Option[Long] = None) = {
+        val d = v.map(ManifestLake.readVersion(spark, dir, _))
+          .getOrElse(ManifestLake.read(spark, dir))
+        d.collect().map(r =>
+          (r.getAs[String]("part"), r.getAs[Long]("id")) ->
+            r.getAs[String]("payload")).toMap
+      }
+      def values(rows: Seq[((String, Long), String)]): String =
+        rows.map { case ((p, k), v) => s"('$p', $k, '$v')" }.mkString(", ")
+      spark.sql(s"CREATE TABLE $t (part STRING, id BIGINT, payload STRING) " +
+        s"USING `graft-manifest` PARTITIONED BY (part) " +
+        s"TBLPROPERTIES ('graft.statsCols' = 'id')")
+      val seedRows = (0 until 12).map { i =>
+        val key = (s"p${i % 3}", nextId); nextId += 1
+        key -> s"s$i"
+      }
+      spark.sql(s"INSERT INTO $t VALUES ${values(seedRows)}")
+      model = seedRows.toMap
+      record()
+
+      (1 to steps).foreach { step =>
+        val op = rnd.nextInt(9)
+        op match {
+          case 0 | 1 => // INSERT INTO fresh keys
+            val rows = (0 until (1 + rnd.nextInt(3))).map { _ =>
+              val key = (s"p${rnd.nextInt(3)}", nextId); nextId += 1
+              key -> s"a$step"
+            }
+            spark.sql(s"INSERT INTO $t VALUES ${values(rows)}")
+            model = model ++ rows
+            record()
+          case 2 | 3 => // MERGE: update one key, delete another, insert one
+            val keys = model.keys.toSeq.sortBy(_._2)
+            if (keys.size >= 2) {
+              val delKey = keys(rnd.nextInt(keys.size))
+              val updC = keys.filterNot(_ == delKey)
+              val updKey = updC(rnd.nextInt(updC.size))
+              val newKey = (s"p${rnd.nextInt(3)}", nextId); nextId += 1
+              Seq((delKey._1, delKey._2, "", true),
+                (updKey._1, updKey._2, s"m$step", false),
+                (newKey._1, newKey._2, s"mi$step", false))
+                .toDF("part", "id", "payload", "del")
+                .createOrReplaceTempView("sqlfuzz_src")
+              spark.sql(
+                s"""MERGE INTO $t x USING sqlfuzz_src s
+                   |ON x.part = s.part AND x.id = s.id
+                   |WHEN MATCHED AND s.del THEN DELETE
+                   |WHEN MATCHED THEN UPDATE SET payload = s.payload
+                   |WHEN NOT MATCHED AND NOT s.del THEN
+                   |  INSERT (part, id, payload) VALUES (s.part, s.id, s.payload)
+                   |""".stripMargin)
+              model = model - delKey + (updKey -> s"m$step") + (newKey -> s"mi$step")
+              record()
+            }
+          case 4 => // DELETE WHERE
+            val r = rnd.nextInt(7)
+            spark.sql(s"DELETE FROM $t WHERE id % 7 = $r")
+            model = model.filterNot { case ((_, id), _) => id % 7 == r }
+            record()
+          case 5 => // INSERT OVERWRITE a static partition (clears + rewrites)
+            val p = s"p${rnd.nextInt(3)}"
+            val rows = (0 until (1 + rnd.nextInt(2))).map { _ =>
+              val key = (p, nextId); nextId += 1
+              key -> s"w$step"
+            }
+            spark.sql(s"INSERT OVERWRITE $t PARTITION (part='$p') VALUES " +
+              rows.map { case ((_, k), v) => s"($k, '$v')" }.mkString(", "))
+            model = model.filterNot(_._1._1 == p) ++ rows
+            record()
+          case 6 => // OPTIMIZE (content no-op; may publish)
+            val before = ManifestLake.currentVersion(spark, dir).get
+            spark.sql(s"OPTIMIZE $t").collect()
+            if (ManifestLake.currentVersion(spark, dir).get != before) record()
+          case 7 => // RESTORE to a random surviving version
+            val vs = ManifestLake.versions(spark, dir).map(_._1)
+            val target = vs(rnd.nextInt(vs.size))
+            spark.sql(s"RESTORE TABLE $t TO VERSION AS OF $target").collect()
+            model = history(target)
+            record()
+          case 8 => // VACUUM / ANALYZE (metadata ops)
+            if (rnd.nextBoolean()) {
+              spark.sql(s"VACUUM $t KEEP ${2 + rnd.nextInt(3)} VERSIONS").collect()
+            } else {
+              val before = ManifestLake.currentVersion(spark, dir).get
+              spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS " +
+                "FOR COLUMNS id, payload").collect()
+              if (ManifestLake.currentVersion(spark, dir).get != before) record()
+            }
+        }
+        assert(readNow() === model,
+          s"seed=$seed step=$step op=$op: SQL-driven head diverged from the model")
+      }
+      val survivors = ManifestLake.versions(spark, dir).map(_._1)
+      assert(survivors.nonEmpty)
+      survivors.foreach { v =>
+        history.get(v).foreach { expect =>
+          assert(readNow(Some(v)) === expect,
+            s"seed=$seed: surviving v$v diverged (SQL-driven)")
+        }
+      }
+    } finally ManifestLake.CheckpointInterval = prevInterval
+  }
+
   test("fuzz seed 0xC0FFEE: 30 random lifecycle ops stay readable and hash-stable at every surviving version") {
     runFuzz(0xC0FFEE, 30)
   }
@@ -183,6 +308,10 @@ class ManifestFuzzSpec extends AnyFunSuite {
 
   test("fuzz seed 0xBEEF16: 40 random lifecycle ops incl. partition overwrites and clause merges") {
     runFuzz(0xBEEF16, 40)
+  }
+
+  test("SQL-driven fuzz seed 0x16A: 30 lifecycle ops through pure spark.sql stay model-exact") {
+    runSqlFuzz(0x16A, 30)
   }
 
   test("upsert refuses duplicate keys mid-fuzz shape (guard the fuzz's own assumptions)") {
