@@ -2222,6 +2222,13 @@ object EtlGate {
         require(rv == 4L, s"q130 gate: restore must publish v4, got $rv")
         val hist = s.sql(s"DESCRIBE HISTORY $t").collect()
           .map(r => (r.getString(1), r.getLong(0)))                      // pre-vacuum
+        val det = s.sql(s"DESCRIBE DETAIL $t").collect()
+        require(det.length == 1 &&
+          det.head.getAs[Long]("version") == 4L &&
+          det.head.getAs[String]("op") == "restore" &&
+          det.head.getAs[String]("partition_cols") == "lang",
+          s"q130 gate: DESCRIBE DETAIL must summarize the restored head, " +
+            s"got ${det.mkString(", ")}")
         val dry = s.sql(s"VACUUM $t KEEP 1 VERSIONS DRY RUN")
           .collect().map(_.getString(0)).toSet
         val gone = s.sql(s"VACUUM $t KEEP 1 VERSIONS")
