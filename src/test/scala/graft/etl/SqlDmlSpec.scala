@@ -1197,6 +1197,26 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(!e.getMessage.contains("manifest"), e.getMessage)
   }
 
+  test("table_changes plans distributed parquet scans with pushdown - no driver-side collect") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-tvf-plan")
+    ManifestLake.write(spark,
+      (0 until 200).map(i => ("aa", i.toLong, s"p$i")).toDF("grp", "id", "payload"),
+      dir, Seq("grp"), statsCols = Seq("id"))                            // v1
+    ManifestLake.write(spark,
+      (200 until 400).map(i => ("aa", i.toLong, s"p$i")).toDF("grp", "id", "payload"),
+      dir, Seq("grp"), replace = false)                                  // v2
+    val df = spark.sql(
+      s"SELECT id, payload FROM table_changes('$dir', 2, 2) WHERE id > 390")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet") || plan.contains("Scan parquet"),
+      s"the TVF must serve a real distributed file scan:\n$plan")
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThan(id,390"),
+      s"data-column predicates must push into the feed's scans:\n$plan")
+    assert(df.count() === 9)
+  }
+
   test("multi-column ALTER COLUMN pre-validates the whole list: an inadmissible second widen applies NOTHING") {
     import spark.implicits._
     val dir = freshDir("sqldml-widen-pre")
