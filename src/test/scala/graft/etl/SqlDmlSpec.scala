@@ -1217,6 +1217,34 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(df.count() === 9)
   }
 
+  test("maintenance statements refuse malformed shapes with the REAL reason, never a generic syntax error") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-maint-neg")
+    ManifestLake.write(spark,
+      Seq(("aa", 1L)).toDF("grp", "id"), dir, Seq("grp"))
+    val t = s"`graft-manifest`.`$dir`"
+    def refusal(sql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { spark.sql(sql) }
+      assert(e.getMessage.contains(needle), s"$sql -> ${e.getMessage}")
+    }
+    refusal(s"VACUUM $t RETAIN x HOURS", "integer")
+    refusal(s"VACUUM $t KEEP 0 VERSIONS", "at least 1")
+    refusal(s"VACUUM $t FROBNICATE", "VACUUM options")
+    refusal(s"OPTIMIZE $t ZORDER BY ()", "at least one column")
+    refusal(s"OPTIMIZE $t SORT BY (id)", "OPTIMIZE options")
+    refusal(s"RESTORE TABLE $t", "RESTORE needs TO VERSION AS OF")
+    refusal(s"RESTORE TABLE $t TO VERSION AS OF 'one'", "integer")
+    refusal("VACUUM nonexistent_view_xyz", "targets manifest tables")
+    // RESTORE to a vacuumed/never-published version is the ENGINE's
+    // typed error (names the available versions)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"RESTORE TABLE $t TO VERSION AS OF 99")
+    }
+    assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+    // nothing above published anything
+    assert(ManifestLake.currentVersion(spark, dir).contains(1L))
+  }
+
   test("multi-column ALTER COLUMN pre-validates the whole list: an inadmissible second widen applies NOTHING") {
     import spark.implicits._
     val dir = freshDir("sqldml-widen-pre")
