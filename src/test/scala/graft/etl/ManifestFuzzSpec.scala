@@ -314,6 +314,10 @@ class ManifestFuzzSpec extends AnyFunSuite {
     runSqlFuzz(0x16A, 30)
   }
 
+  test("SQL-driven fuzz seed 0xACE: 35 lifecycle ops through pure spark.sql stay model-exact") {
+    runSqlFuzz(0xACE, 35)
+  }
+
   test("upsert refuses duplicate keys mid-fuzz shape (guard the fuzz's own assumptions)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mlake-fuzz-dup").toString + "/table"
