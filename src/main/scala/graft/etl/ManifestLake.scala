@@ -3866,25 +3866,85 @@ object ManifestLake {
     * NAMES — never types or order, which is what makes the boundary
     * conversion a pure positional struct cast.
     */
+  /** Render a physical type under `p`'s nested-field renames, at ANY
+    * depth: fieldMap entries carry DOTTED paths — (physRoot,
+    * logicalPath, physPath), both in their own namespace, arrays
+    * transparent (an array<struct>'s fields are addressed without an
+    * index segment) — and the walk renames each struct field whose
+    * physical path has an entry, recursing through struct and array
+    * layers. Depth-1 legacy entries are single-segment paths and
+    * render exactly as before. Types and field ORDER never change, so
+    * the logical/physical boundary stays a positional struct cast.
+    */
   private def logicalTypeOf(m: Manifest, p: String,
                             physType: DataType): DataType = {
     val fm = m.fieldMap.filter(_._1 == p)
     if (fm.isEmpty) physType
     else {
-      val byPhysField = fm.map { case (_, l, pf) => pf -> l }.toMap
-      def renameFields(st: StructType): StructType =
-        StructType(st.fields.map(f =>
-          f.copy(name = byPhysField.getOrElse(f.name, f.name))))
-      physType match {
-        case st: StructType => renameFields(st)
+      val leafByPhysPath = fm.map { case (_, l, pp) =>
+        pp -> l.split("\\.").last }.toMap
+      def walk(dt: DataType, prefix: Seq[String]): DataType = dt match {
+        case st: StructType => StructType(st.fields.map { f =>
+          val pth = prefix :+ f.name
+          f.copy(
+            name = leafByPhysPath.getOrElse(pth.mkString("."), f.name),
+            dataType = walk(f.dataType, pth))
+        })
         case at: org.apache.spark.sql.types.ArrayType =>
-          at.elementType match {
-            case st: StructType => at.copy(elementType = renameFields(st))
-            case _ => physType
-          }
-        case _ => physType
+          at.copy(elementType = walk(at.elementType, prefix))
+        case other => other
+      }
+      walk(physType, Nil)
+    }
+  }
+
+  /** Resolve a LOGICAL dotted path under `physRoot` to its PHYSICAL
+    * path by greedy prefix matching over `entries` (the root's
+    * fieldMap rows): a prefix with an entry swaps to its recorded
+    * physical path; unmapped segments pass through by name.
+    */
+  private def resolvePhysPath(entries: Seq[(String, String, String)],
+                              logicalSegs: Seq[String]): Seq[String] = {
+    var phys = List.empty[String]
+    var log = List.empty[String]
+    logicalSegs.foreach { seg =>
+      log = log :+ seg
+      entries.find(_._2 == log.mkString(".")) match {
+        case Some((_, _, pp)) => phys = pp.split("\\.").toList
+        case None => phys = phys :+ seg
       }
     }
+    phys
+  }
+
+  /** The type at a PHYSICAL dotted path, arrays transparent; None when
+    * the path walks off the recorded shape.
+    */
+  private def typeAtPhysPath(dt: DataType,
+                             physPath: Seq[String]): Option[DataType] =
+    if (physPath.isEmpty) Some(dt)
+    else dt match {
+      case st: StructType => st.fields.find(_.name == physPath.head)
+        .flatMap(f => typeAtPhysPath(f.dataType, physPath.tail))
+      case at: org.apache.spark.sql.types.ArrayType =>
+        typeAtPhysPath(at.elementType, physPath)
+      case _ => None
+    }
+
+  /** Rebuild `dt` with the leaf at `physPath` carrying `newLeaf`
+    * (arrays transparent; everything else untouched).
+    */
+  private def rebuildAtPhysPath(dt: DataType, physPath: Seq[String],
+                                newLeaf: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      if (f.name == physPath.head)
+        f.copy(dataType =
+          if (physPath.tail.isEmpty) newLeaf
+          else rebuildAtPhysPath(f.dataType, physPath.tail, newLeaf))
+      else f))
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.copy(elementType = rebuildAtPhysPath(at.elementType, physPath, newLeaf))
+    case other => other
   }
 
   /** The boundary conversion for one mapped column: a positional
@@ -4013,10 +4073,6 @@ object ManifestLake {
                              fieldMap: Seq[(String, String, String)] = Seq.empty)
       : String = {
     val byLogical = cm.toMap
-    // (physicalRoot, logicalField) -> physicalField, so a constraint
-    // written against a renamed nested field still resolves on the
-    // PHYSICAL frame the append-path enforcement runs over
-    val byField = fieldMap.map { case (c, l, pf) => (c, l) -> pf }.toMap
     val parsed = spark.sessionState.sqlParser.parseExpression(sqlText)
     parsed.transform {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -4025,11 +4081,15 @@ object ManifestLake {
           Seq(byLogical(a.nameParts.head)))
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
         if a.nameParts.length >= 2 =>
+        // a constraint written against renamed nested fields — at any
+        // depth — still resolves on the PHYSICAL frame the append-path
+        // enforcement runs over: the logical tail translates through
+        // the same greedy prefix walk the schema ops use
         val physRoot = byLogical.getOrElse(a.nameParts.head, a.nameParts.head)
-        val physField =
-          byField.getOrElse((physRoot, a.nameParts(1)), a.nameParts(1))
+        val physTail = resolvePhysPath(
+          fieldMap.filter(_._1 == physRoot), a.nameParts.tail)
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
-          physRoot +: physField +: a.nameParts.drop(2))
+          physRoot +: physTail)
     }.sql
   }
 
@@ -5144,59 +5204,79 @@ object ManifestLake {
                                 path: String, v: Long, m: Manifest,
                                 cm: Seq[(String, String)],
                                 oldName: String, newName: String): Long = {
-    val parts = oldName.split("\\.")
-    require(parts.length == 2,
-      s"renameColumn supports nested fields ONE level deep ($oldName is " +
-        s"${parts.length - 1} levels); rewrite the struct column instead")
-    val (rootL, fieldL) = (parts(0), parts(1))
+    val parts = oldName.split("\\.").toSeq
+    require(parts.length >= 2, s"not a nested field reference: $oldName")
+    val rootL = parts.head
+    val segs = parts.tail                 // logical path under the root
     require(!newName.contains('.') && newName.nonEmpty &&
       !newName.exists(c => c == '\t' || c == '\n' || c == '\r'),
       s"new nested-field name must be a plain field name, got $newName")
     val physRoot = cm.find(_._1 == rootL).map(_._2).get
-    val physField = m.schema.get(physRoot).dataType
-    val structOf: Option[StructType] = physField match {
+    val rootType = m.schema.get(physRoot).dataType
+    val entries = m.fieldMap.filter(_._1 == physRoot)
+    // resolve the PARENT level: its physical path (arrays transparent)
+    // and its struct, which must exist for the target to be a field
+    val parentPhys = resolvePhysPath(entries, segs.dropRight(1))
+    val parentType = typeAtPhysPath(rootType, parentPhys).getOrElse(
+      throw new IllegalArgumentException(
+        s"renameColumn $oldName: no such nested path on $path " +
+          s"(root $rootL is ${rootType.catalogString})"))
+    val parentStruct: StructType = (parentType match {
       case st: StructType => Some(st)
       case at: org.apache.spark.sql.types.ArrayType =>
         at.elementType match { case st: StructType => Some(st); case _ => None }
       case _ => None
-    }
-    require(structOf.isDefined,
-      s"renameColumn $oldName: $rootL is ${physField.catalogString}, not a " +
-        "struct or array<struct> — nested-field rename applies one level " +
-        "inside those shapes only")
-    val logicalFields = logicalTypeOf(m, physRoot, physField) match {
-      case st: StructType => st.fieldNames.toSeq
-      case at: org.apache.spark.sql.types.ArrayType =>
-        at.elementType.asInstanceOf[StructType].fieldNames.toSeq
-      case _ => Seq.empty
-    }
+    }).getOrElse(throw new IllegalArgumentException(
+      s"renameColumn $oldName: ${(rootL +: segs.dropRight(1)).mkString(".")} " +
+        s"is ${parentType.catalogString}, not a struct or array<struct> — " +
+        "nested-field rename applies to fields inside those shapes"))
+    // the parent's fields under their CURRENT logical names
+    val leafByPhysPath = entries.map { case (_, l, pp) =>
+      pp -> l.split("\\.").last }.toMap
+    val logicalFields = parentStruct.fieldNames.toSeq.map(pf =>
+      leafByPhysPath.getOrElse((parentPhys :+ pf).mkString("."), pf))
+    val fieldL = segs.last
     require(logicalFields.contains(fieldL),
-      s"no field named $fieldL inside $rootL on $path " +
-        s"(fields: ${logicalFields.mkString(", ")})")
+      s"no field named $fieldL inside ${(rootL +: segs.dropRight(1)).mkString(".")} " +
+        s"on $path (fields: ${logicalFields.mkString(", ")})")
     require(!logicalFields.contains(newName),
-      s"field $newName already exists inside $rootL on $path")
-    // lock only what actually dangles: an expression referencing THIS
-    // field (root.field...) or the WHOLE root struct (its logical type
-    // changes under it). Sibling-field references stay free.
+      s"field $newName already exists inside " +
+        s"${(rootL +: segs.dropRight(1)).mkString(".")} on $path")
+    // lock only what actually dangles: an expression referencing into
+    // this level-1 branch (or the WHOLE root — its logical type
+    // changes under it). Sibling branches stay free.
     (m.constraints.toSeq ++ m.generated).foreach { case (n, e) =>
       val refsThis = spark.sessionState.sqlParser.parseExpression(e).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
           if a.nameParts.head == rootL &&
-            (a.nameParts.length == 1 || a.nameParts(1) == fieldL) => a
+            (a.nameParts.length == 1 || a.nameParts(1) == segs.head) => a
       }.nonEmpty
       require(!refsThis,
         s"cannot rename $oldName: CHECK constraint or generated column $n " +
           s"(`$e`) references it — drop it first and re-add it under " +
           "the new field name")
     }
-    // the PHYSICAL field name under the logical one (chained renames
-    // keep pointing at the original file field)
-    val curPhysField = m.fieldMap
-      .find(e => e._1 == physRoot && e._2 == fieldL).map(_._3).getOrElse(fieldL)
-    val cleaned = m.fieldMap.filterNot(e => e._1 == physRoot && e._2 == fieldL)
+    // the PHYSICAL path under the logical one (chained renames keep
+    // pointing at the original file field)
+    val curPhys = resolvePhysPath(entries, segs)
+    val oldLogical = segs.mkString(".")
+    val newLogicalSegs = segs.dropRight(1) :+ newName
+    val newLogical = newLogicalSegs.mkString(".")
+    // drop the target's own entry, REWRITE descendant entries' logical
+    // prefixes (their paths must stay current-logical), then re-add
+    // unless the new spelling resolves to the physical identity anyway
+    val cleaned = m.fieldMap
+      .filterNot(e => e._1 == physRoot && e._2 == oldLogical)
+      .map {
+        case (c, l, pp) if c == physRoot && l.startsWith(oldLogical + ".") =>
+          (c, newLogical + l.stripPrefix(oldLogical), pp)
+        case other => other
+      }
+    val identity = newName == curPhys.last &&
+      resolvePhysPath(cleaned.filter(_._1 == physRoot), newLogicalSegs) == curPhys
     val newFieldMap =
-      if (newName == curPhysField) cleaned // renamed back: identity again
-      else cleaned :+ ((physRoot, newName, curPhysField))
+      if (identity) cleaned // renamed back: identity again
+      else cleaned :+ ((physRoot, newLogical, curPhys.mkString(".")))
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("schema"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys,
@@ -5277,49 +5357,29 @@ object ManifestLake {
                                cm: Seq[(String, String)], name: String,
                                newType: org.apache.spark.sql.types.DataType,
                                validateOnly: Boolean = false): Long = {
-    val parts = name.split("\\.")
-    require(parts.length == 2,
-      s"widenColumnType supports nested fields ONE level deep ($name is " +
-        s"${parts.length - 1} levels); rewrite the struct column instead")
-    val (rootL, fieldL) = (parts(0), parts(1))
+    val parts = name.split("\\.").toSeq
+    require(parts.length >= 2, s"not a nested field reference: $name")
+    val rootL = parts.head
+    val segs = parts.tail
     val physRoot = cm.find(_._1 == rootL).map(_._2).get
     val physType = m.schema.get(physRoot).dataType
-    def structOf(dt: DataType): Option[StructType] = dt match {
-      case st: StructType => Some(st)
-      case at: org.apache.spark.sql.types.ArrayType =>
-        at.elementType match { case st: StructType => Some(st); case _ => None }
-      case _ => None
-    }
-    val st = structOf(physType).getOrElse(throw new IllegalArgumentException(
-      s"widenColumnType $name: $rootL is ${physType.catalogString}, not a " +
-        "struct or array<struct> — nested-field widening applies one level " +
-        "inside those shapes only"))
-    // the field arrives under its LOGICAL name; the schema stores the
-    // physical one
-    val physField = m.fieldMap
-      .find(e => e._1 == physRoot && e._2 == fieldL).map(_._3).getOrElse(fieldL)
-    require(st.fieldNames.contains(physField),
-      s"no field named $fieldL inside $rootL on $path (fields: " +
-        s"${logicalTypeOf(m, physRoot, physType) match {
-          case t: StructType => t.fieldNames.mkString(", ")
-          case at: org.apache.spark.sql.types.ArrayType =>
-            at.elementType.asInstanceOf[StructType].fieldNames.mkString(", ")
-          case _ => ""
-        }})")
-    val cur = st(physField).dataType
+    val entries = m.fieldMap.filter(_._1 == physRoot)
+    // the field arrives under its LOGICAL path; the schema stores the
+    // physical one (arrays transparent at every level)
+    val physPath = resolvePhysPath(entries, segs)
+    val cur = typeAtPhysPath(physType, physPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"widenColumnType $name: no such field on $path — the path must " +
+          "name an existing field reached through struct or array<struct> " +
+          s"layers only, and this one is not available under $rootL " +
+          s"(${physType.catalogString})"))
     require(widensTo(cur, newType),
       s"cannot change $name from ${cur.catalogString} to " +
         s"${newType.catalogString} — only value-preserving widenings are " +
         "metadata-only (integral up-casts, float->double, int->double, " +
         "decimal growth); anything else is a replace write")
     if (validateOnly) return v
-    val newSt = StructType(st.fields.map(f =>
-      if (f.name == physField) f.copy(dataType = newType) else f))
-    val newRootType: DataType = physType match {
-      case _: StructType => newSt
-      case at: org.apache.spark.sql.types.ArrayType => at.copy(elementType = newSt)
-      case other => other
-    }
+    val newRootType = rebuildAtPhysPath(physType, physPath, newType)
     val newSchema = StructType(m.schema.get.fields.map(f =>
       if (f.name == physRoot) f.copy(dataType = newRootType) else f))
     publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,

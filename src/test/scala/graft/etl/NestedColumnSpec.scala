@@ -43,10 +43,13 @@ class NestedColumnSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       ManifestLake.dropColumn(spark, dir, "entries.apos"))
     assert(e2.getMessage.contains("field inside struct column"))
-    // rename/widen support ONE level; deeper refuses loudly
+    // rename/widen reach ANY depth through struct/array<struct>
+    // layers (round 16) — but a path through a NON-struct still
+    // refuses loudly with the shape it hit
     val e1 = intercept[IllegalArgumentException](
       ManifestLake.renameColumn(spark, dir, "meta.rsid.x", "y"))
-    assert(e1.getMessage.contains("ONE level"))
+    assert(e1.getMessage.contains("not a struct or array<struct>"),
+      e1.getMessage)
     val e3 = intercept[IllegalArgumentException](
       ManifestLake.widenColumnType(spark, dir, "pos.low", LongType))
     assert(e3.getMessage.contains("not a"), e3.getMessage)
@@ -245,5 +248,74 @@ class NestedColumnSpec extends AnyFunSuite {
     val r = ManifestLake.read(spark, dir)
     assert(r.schema.fieldNames.contains("position"))
     assert(r.count() === 21)
+  }
+
+  test("nested RENAME and WIDEN reach depth 2+ through array<struct< ... array<struct<...>> >> - metadata-only, chained, reversible") {
+    import spark.implicits._
+    val dir = freshDir("nested-deep")
+    // the true genomic evidence shape: entries is array<struct> whose
+    // elements carry their OWN array<struct> of per-sample evidence
+    val df = (0 until 10).map { i =>
+      (s"chr${i % 2 + 1}", i.toLong,
+        Seq((s"ref$i", Seq((s"s$i", i, i * 2)))))
+    }.toDF("chrom", "pos", "entries")
+      .select(col("chrom"), col("pos"), col("entries").cast(
+        "array<struct<ref:string,hom:array<struct<id:string,qual:int,ad:int>>>>"))
+    ManifestLake.write(spark, df, dir, Seq("chrom"), statsCols = Seq("pos")) // v1
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    // depth-1 rename of the INTERMEDIATE node, then depth-2 rename and
+    // widen THROUGH the renamed parent - all metadata-only
+    assert(ManifestLake.renameColumn(spark, dir, "entries.hom", "evidence") === 2L)
+    assert(ManifestLake.renameColumn(spark, dir, "entries.evidence.qual", "quality") === 3L)
+    assert(ManifestLake.widenColumnType(spark, dir, "entries.evidence.ad",
+      LongType) === 4L)
+    assert(ManifestLake.readManifest(fs, root, 4L).files.map(_.path).toSet ===
+      ManifestLake.readManifest(fs, root, 1L).files.map(_.path).toSet,
+      "deep renames/widens must move zero data files")
+    val r = ManifestLake.read(spark, dir)
+    assert(r.schema("entries").dataType.catalogString ===
+      "array<struct<ref:string,evidence:array<struct<id:string,quality:int,ad:bigint>>>>")
+    assert(r.selectExpr("entries[0].evidence[0].quality").where(col("pos") === 7L)
+      .head().getInt(0) === 7)
+    assert(r.selectExpr("entries[0].evidence[0].ad").where(col("pos") === 7L)
+      .head().getLong(0) === 14L, "old files up-cast at scan through the widen")
+    // time travel serves each version under ITS recorded names/types
+    assert(ManifestLake.readVersion(spark, dir, 1L).schema("entries")
+      .dataType.catalogString ===
+      "array<struct<ref:string,hom:array<struct<id:string,qual:int,ad:int>>>>")
+    assert(ManifestLake.readVersion(spark, dir, 2L).schema("entries")
+      .dataType.catalogString ===
+      "array<struct<ref:string,evidence:array<struct<id:string,qual:int,ad:int>>>>")
+    // appends arrive under the NEW names at the WIDE type
+    ManifestLake.write(spark,
+      Seq(("chr1", 100L, Seq(("ref100", Seq(("s100", 5, 10L))))))
+        .toDF("chrom", "pos", "entries")
+        .select(col("chrom"), col("pos"), col("entries").cast(
+          "array<struct<ref:string,evidence:array<struct<id:string,quality:int,ad:bigint>>>>")),
+      dir, Seq("chrom"), replace = false)                                    // v5
+    assert(ManifestLake.read(spark, dir)
+      .selectExpr("entries[0].evidence[0].quality").where(col("pos") === 100L)
+      .head().getInt(0) === 5)
+    // CHAINED deep rename keeps pointing at the original file field,
+    // and renaming BACK to the physical spelling collapses to identity
+    assert(ManifestLake.renameColumn(spark, dir, "entries.evidence.quality", "q2") === 6L)
+    assert(ManifestLake.read(spark, dir)
+      .selectExpr("entries[0].evidence[0].q2").where(col("pos") === 7L)
+      .head().getInt(0) === 7)
+    assert(ManifestLake.renameColumn(spark, dir, "entries.evidence.q2", "qual") === 7L)
+    val fm7 = ManifestLake.readManifest(fs, root, 7L).fieldMap
+    assert(fm7 === Seq(("entries", "evidence", "hom")),
+      s"renaming back to the physical spelling must collapse to identity, got $fm7")
+    // deep predicates and DML work through the mapped names
+    ManifestLake.delete(spark, dir, expr("entries[0].evidence[0].qual") === 3)  // v8
+    assert(ManifestLake.read(spark, dir).where(col("pos") === 3L).count() === 0)
+    // a deep path through a NON-struct refuses loudly
+    val eBad = intercept[IllegalArgumentException](
+      ManifestLake.renameColumn(spark, dir, "entries.ref.x", "y"))
+    assert(eBad.getMessage.contains("not a struct or array<struct>"), eBad.getMessage)
+    val eW = intercept[IllegalArgumentException](
+      ManifestLake.widenColumnType(spark, dir, "entries.evidence.id",
+        org.apache.spark.sql.types.IntegerType))
+    assert(eW.getMessage.contains("cannot change"), eW.getMessage)
   }
 }
