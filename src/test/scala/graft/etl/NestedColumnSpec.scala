@@ -318,4 +318,23 @@ class NestedColumnSpec extends AnyFunSuite {
         org.apache.spark.sql.types.IntegerType))
     assert(eW.getMessage.contains("cannot change"), eW.getMessage)
   }
+
+  test("the SQL ALTER spelling reaches deep nested paths too") {
+    import spark.implicits._
+    val dir = freshDir("nested-deep-sql")
+    val df = (0 until 6).map { i =>
+      (s"chr${i % 2 + 1}", i.toLong, Seq((s"ref$i", Seq((s"s$i", i)))))
+    }.toDF("chrom", "pos", "entries")
+      .select(col("chrom"), col("pos"), col("entries").cast(
+        "array<struct<ref:string,hom:array<struct<id:string,qual:int>>>>"))
+    ManifestLake.write(spark, df, dir, Seq("chrom"))
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN entries.hom.qual TO quality")
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN entries.hom.quality TYPE BIGINT")
+    val r = ManifestLake.read(spark, dir)
+    assert(r.schema("entries").dataType.catalogString ===
+      "array<struct<ref:string,hom:array<struct<id:string,quality:bigint>>>>")
+    assert(r.selectExpr("entries[0].hom[0].quality").where(col("pos") === 4L)
+      .head().getLong(0) === 4L)
+  }
 }
