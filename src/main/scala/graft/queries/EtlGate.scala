@@ -2499,5 +2499,52 @@ object EtlGate {
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
              |FROM fin GROUP BY lang, score_null
-             |ORDER BY lang, score_null""".stripMargin)))
+             |ORDER BY lang, score_null""".stripMargin)),
+
+    // DEEP nested-field evolution under the oracle (round 16): a
+    // genomic-evidence-shaped table (entries: array<struct<did,
+    // ev: array<struct<q>>>>) renames the intermediate node, renames
+    // and widens THROUGH it — all metadata-only (byte-identical file
+    // set required in-line) — and the logical read then serves the
+    // renamed names at the widened type. DuckDB replays the VALUES
+    // relationally (a metadata rename can never change them), so the
+    // hash only matches if the deep mapping is value-exact.
+    Q(
+      "q135_deep_nested_evolution",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-deepnest") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+        val nested = docs.select(col("lang"), col("doc_id"),
+          array(struct(col("doc_id").as("did"),
+            array(struct(pmod(col("n_chars"), lit(128L)).cast("int").as("q")))
+              .as("ev"))).as("entries"))
+        ManifestLake.write(s, nested, out, Seq("lang"))                  // v1
+        ManifestLake.renameColumn(s, out, "entries.ev", "evidence")      // v2
+        ManifestLake.renameColumn(s, out, "entries.evidence.q", "quality") // v3
+        ManifestLake.widenColumnType(s, out, "entries.evidence.quality",
+          org.apache.spark.sql.types.LongType)                           // v4
+        val (fs, root) = ManifestLake.fsFor(s, out)
+        require(ManifestLake.readManifest(fs, root, 4L).files.map(_.path) ==
+          ManifestLake.readManifest(fs, root, 1L).files.map(_.path),
+          "q135 gate: deep rename/widen must move ZERO data files")
+        val r = ManifestLake.read(s, out)
+        require(r.schema("entries").dataType.catalogString ==
+          "array<struct<did:bigint,evidence:array<struct<quality:bigint>>>>",
+          s"q135 gate: logical shape must carry the renames at the " +
+            s"widened type, got ${r.schema("entries").dataType.catalogString}")
+        r.select(col("lang"), col("doc_id"),
+            expr("entries[0].did").as("did"),
+            expr("entries[0].evidence[0].quality").as("quality"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("quality")).cast("long").as("sum_quality"),
+            sum(col("did")).cast("long").as("sum_did"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars % 128) AS BIGINT) AS sum_quality,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_did,
+             |  max(doc_id) AS max_id
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)))
 }
