@@ -290,7 +290,12 @@ object GraftMaintenanceSql {
 }
 
 /** `VACUUM <manifest table> …` — returns the removed (or DRY RUN:
-  * would-be-removed) paths, one row each.
+  * would-be-removed) paths, one row each. A BARE `VACUUM t` defaults to
+  * a conservative RETAIN 168 HOURS horizon (the 7-day default retention
+  * users know from the upstream lake format), NOT an aggressive
+  * keep-2-versions: the same spelling must not be irreversibly more
+  * destructive here than where they learned it. Tighter reaping is an
+  * explicit opt-in via KEEP <n> VERSIONS or a shorter RETAIN.
   */
 final case class GraftVacuumCommand(path: String, keepVersions: Option[Int],
                                     retainHours: Option[Long], dryRun: Boolean)
@@ -298,9 +303,10 @@ final case class GraftVacuumCommand(path: String, keepVersions: Option[Int],
   override val output: Seq[Attribute] =
     Seq(AttributeReference("path", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val keep: Int = retainHours match {
-      case None => keepVersions.getOrElse(2)
-      case Some(h) =>
+    val keep: Int = keepVersions match {
+      case Some(k) => k
+      case None =>
+        val h = retainHours.getOrElse(168L)
         val cutoff = System.currentTimeMillis() - h * 3600L * 1000L
         val vs = ManifestLake.versions(spark, path).map(_._1)
         // the latest version at/under the horizon is the boundary: it

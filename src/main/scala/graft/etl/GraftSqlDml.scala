@@ -66,10 +66,10 @@ import org.apache.spark.sql.types.LongType
   *     lists — mapped onto [[ManifestLake.mergeClauses]]. The ON
   *     condition must be a conjunction of t.col = s.col equalities
   *     (the engine merges by key; arbitrary join predicates belong in
-  *     clause conditions). `WITH SCHEMA EVOLUTION` ADDS the source's
-  *     new columns first (metadata-only, nullable — see
-  *     [[GraftMergeCommand]]); re-typed existing columns still refuse
-  *     (the merge never widens a type).
+  *     clause conditions). `WITH SCHEMA EVOLUTION` folds the source's
+  *     new columns (metadata-only, nullable) into the merge's single
+  *     atomic commit — see [[GraftMergeCommand]]; re-typed existing
+  *     columns still refuse (the merge never widens a type).
   *   - UPDATE with SET + WHERE → [[ManifestLake.update]].
   *   - DELETE with WHERE → [[ManifestLake.delete]] (rewrite path;
   *     partition-only predicates take the metadata-only fast path
@@ -182,11 +182,12 @@ object GraftSqlDml {
       // idiom), usable anywhere a table reference can appear. Integer
       // bounds are INCLUSIVE commit versions (Delta's convention:
       // table_changes(t, 2, 2) is exactly v2's deltas — the engine's
-      // (fromV, toV] window receives start-1); timestamp/date/string
-      // literals resolve through versionAtTimestamp, giving the
-      // window (versionAt(start), versionAt(end)]. The end bound
-      // defaults to the head. An empty window is the empty frame with
-      // the feed's schema, not an error.
+      // (fromV, toV] window receives start-1); a timestamp START bound
+      // includes every commit at-or-after the instant (earliest such
+      // version - 1 as the exclusive lower bound), a timestamp END
+      // bound is latest-at-or-before — both Delta's CDF conventions.
+      // The end bound defaults to the head. An empty window is the
+      // empty frame with the feed's schema, not an error.
       case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
           if tvf.name.length == 1 &&
             tvf.name.head.equalsIgnoreCase("table_changes") &&
@@ -223,8 +224,14 @@ object GraftSqlDml {
           s"table_changes start version must be >= 1 (versions are " +
             s"inclusive; v1 is the first commit), got $n")
         n - 1
-      case None => ManifestLake.versionAtTimestamp(spark, path,
-        literalMillis("table_changes start", args(1)))
+      case None =>
+        // Delta's CDF START-timestamp convention: include every commit
+        // made AT or AFTER the instant — resolve to the earliest such
+        // version, then use version-1 as the exclusive lower bound (a
+        // commit landing exactly at the timestamp is included; the END
+        // bound below keeps latest-at-or-before, also Delta's).
+        ManifestLake.earliestVersionAtOrAfter(spark, path,
+          literalMillis("table_changes start", args(1))) - 1
     }
     val toV =
       if (args.length == 3) versionArg(args(2)).getOrElse(
@@ -490,6 +497,17 @@ object GraftSqlDml {
           }
           GraftAlterCommand(path, AlterWidenCols(widens))
         }
+      // ---- SET/UNSET TBLPROPERTIES: the two mutable header facts the
+      // engine honors (graft.statsCols / graft.bloomCols) flip on a
+      // LIVE table — CREATE is no longer the only place to declare the
+      // skipping machinery; ANALYZE backfills after a late SET. Unknown
+      // keys refuse loudly inside the engine (never silently recorded).
+      case org.apache.spark.sql.catalyst.plans.logical.SetTableProperties(t, props) =>
+        alterTargetPath(spark, t).map(path =>
+          GraftSetPropertiesCommand(path, props, Seq.empty, unsetIfExists = false))
+      case org.apache.spark.sql.catalyst.plans.logical.UnsetTableProperties(t, keys, ifExists) =>
+        alterTargetPath(spark, t).map(path =>
+          GraftSetPropertiesCommand(path, Map.empty, keys, unsetIfExists = ifExists))
       // ---- CREATE TABLE / CTAS / REPLACE TABLE on the multipart
       // spelling: the table IS its path (no catalog entry) — creation
       // writes the v1 manifest; IF NOT EXISTS no-ops against an
@@ -825,16 +843,15 @@ final case class GraftUpdateCommand(path: String,
   * were spelled `<=>` and match null-safely.
   *
   * `WITH SCHEMA EVOLUTION` (`schemaEvolution = true`): every source
-  * column absent from the table is ADDED first — the engine's
-  * metadata-only nullable addColumn, one commit per column, in source
-  * order — and then the merge runs against the evolved schema, so
-  * `SET *` / `INSERT *` carry the new columns through and untouched
-  * target rows serve NULL for them. Honest non-atomicity note: the
-  * evolution commits land BEFORE the merge's commit; a merge that
-  * then fails (duplicate keys, constraint violation) leaves the
-  * widened-by-nullable-columns schema in place — harmless NULLs, but
-  * schema history shows it. Re-TYPED existing columns still refuse
-  * (the merge never widens a type).
+  * column absent from the table is folded into the merge's OWN commit
+  * as a metadata-only nullable add ([[ManifestLake.evolveSchemaFor]]),
+  * so `SET *` / `INSERT *` carry the new columns through and untouched
+  * target rows serve NULL for them. The evolution and the merged files
+  * publish ATOMICALLY in one version: a merge that fails (duplicate
+  * keys, constraint violation, lost race) leaves NO schema residue,
+  * and concurrent readers never observe an evolved-but-unmerged
+  * intermediate schema. Re-TYPED existing columns still refuse (the
+  * merge never widens a type).
   */
 final case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
                                    keyCols: Seq[String],
@@ -855,22 +872,12 @@ final case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
       throw new IllegalArgumentException(
         s"no manifested table at $path (MERGE needs an existing table)"))
     val source = SparkShims.ofRows(spark, sourcePlan)
-    if (schemaEvolution) {
-      val (fs, root) = ManifestLake.fsFor(spark, path)
-      val v = ManifestLake.currentVersion(spark, path).get
-      val logical = ManifestLake.logicalSchemaOf(
-        ManifestLake.readManifest(fs, root, v))
-      val existing = logical.fieldNames.map(_.toLowerCase).toSet
-      source.schema.fields.filterNot(f =>
-        existing.contains(f.name.toLowerCase)).foreach { f =>
-        ManifestLake.addColumn(spark, path, f.name, f.dataType): Unit
-      }
-    }
     val st = ManifestLake.mergeClauses(spark, path, source, partCols, keyCols,
       matched = matched.map(_.toEngine),
       notMatched = notMatched.map(_.toEngine),
       notMatchedBySource = notMatchedBySource.map(_.toEngine),
-      plainEqKeys = plainEqKeys.toSet)
+      plainEqKeys = plainEqKeys.toSet,
+      evolveWith = if (schemaEvolution) Some(source.schema) else None)
     Seq(Row(st.version, st.updated, st.deleted, st.inserted))
   }
 }
@@ -954,6 +961,25 @@ final case class GraftAlterCommand(path: String, op: GraftAlterOp)
     }
     Seq(Row(v))
   }
+}
+
+/** `ALTER TABLE <manifest table> SET/UNSET TBLPROPERTIES` — dispatches
+  * to [[ManifestLake.setTableProperties]] (metadata-only commit);
+  * returns the published version. The typical flow on a table created
+  * without skipping machinery: SET TBLPROPERTIES ('graft.statsCols' =
+  * 'c1,c2') → ANALYZE TABLE … FOR COLUMNS backfills existing files →
+  * min/max skipping engages on the next query.
+  */
+final case class GraftSetPropertiesCommand(path: String,
+                                           set: Map[String, String],
+                                           unset: Seq[String],
+                                           unsetIfExists: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestLake.setTableProperties(spark, path, set, unset,
+      unsetIfExists)))
 }
 
 /** How a CREATE-family statement produces the table's first content. */

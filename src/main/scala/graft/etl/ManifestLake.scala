@@ -2082,6 +2082,33 @@ object ManifestLake {
           "have been vacuumed)"))
   }
 
+  /** EARLIEST version committed at-or-after `tsMillis` — the change-feed
+    * START-timestamp convention (Delta's CDF: a start timestamp includes
+    * every commit made at or after that instant, including one landing
+    * exactly at it), the mirror of [[versionAtTimestamp]]'s latest-at-or-
+    * before used by time travel and END bounds. Commit times are
+    * monotonized the same way. Throws when the timestamp is after the
+    * last commit (no changes could ever satisfy the bound).
+    */
+  def earliestVersionAtOrAfter(spark: SparkSession, path: String,
+                               tsMillis: Long): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val vs = listVersions(fs, root)
+    if (vs.isEmpty)
+      throw new IllegalArgumentException(s"no manifested table at $path")
+    val raw = vs.map { v =>
+      v -> fs.getFileStatus(existingManifestPath(fs, root, v).get).getModificationTime
+    }
+    val stamped = raw.tail.scanLeft(raw.head) { case ((_, prev), (v, t)) =>
+      v -> math.max(prev, t)
+    }
+    stamped.find(_._2 >= tsMillis).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit of $path at or after ${java.time.Instant.ofEpochMilli(tsMillis)} — " +
+          s"the last commit v${stamped.last._1} was published at " +
+          s"${java.time.Instant.ofEpochMilli(stamped.last._2)}"))
+  }
+
   /** Time travel by wall clock: [[readVersion]] at
     * [[versionAtTimestamp]]'s resolution.
     */
@@ -2275,7 +2302,7 @@ object ManifestLake {
           .withColumn(ChangeTypeCol, lit("insert"))
           .withColumn(CommitVersionCol, lit(v)))
       } else if (m.op.exists(o => o == "compact" || o == "constraint" ||
-        o == "schema" || o == "analyze")) None
+        o == "schema" || o == "analyze" || o == "properties")) None
       else if (m.op.exists(o =>
         o == "upsert" || o == "delete" || o == "merge" || o == "update" ||
         o == "replacepart")) {
@@ -3111,7 +3138,13 @@ object ManifestLake {
       // static-mode prefix: validate it is the leading partition
       // columns in order, render its path segments, and collect every
       // LIVE partition dir under it — those clear even if the batch
-      // writes nothing into them
+      // writes nothing into them. The spec VALUE canonicalizes through
+      // the SAME cast-to-column-type-then-render path the batch rows
+      // take (cast("string") on the typed column): a non-canonical
+      // spelling — PARTITION (p=01) where int rows render '1', a
+      // trailing-zeros decimal — must match the live dirs it names,
+      // not silently miss them (an empty batch would then no-op
+      // instead of clearing, a non-empty one would refuse misleadingly).
       val prefixSegs: Seq[String] = staticPrefix.zipWithIndex.map {
         case ((c, value), i) =>
           require(i < partitionCols.length &&
@@ -3119,7 +3152,19 @@ object ManifestLake {
             s"staticPrefix columns (${staticPrefix.map(_._1).mkString(",")}) " +
               s"must be the leading partition columns in table order " +
               s"(partitioned by: ${partitionCols.mkString(",")})")
-          s"${escapePathName(partitionCols(i))}=${escapePathName(value)}"
+          val dt = tableSchema(partitionCols(i)).dataType
+          val canonical = {
+            import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => CatLiteral}
+            val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+            val typed = Cast(CatLiteral(value), dt, tz,
+              org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY).eval(null)
+            require(typed != null,
+              s"static PARTITION value '$value' is not a valid " +
+                s"${dt.catalogString} for partition column ${partitionCols(i)}")
+            String.valueOf(Cast(CatLiteral(typed, dt), StringType, tz,
+              org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY).eval(null))
+          }
+          s"${escapePathName(partitionCols(i))}=${escapePathName(canonical)}"
       }
       val batchDirs = partRows.map(r =>
         partitionCols.zipWithIndex.map { case (c, i) =>
@@ -3406,7 +3451,8 @@ object ManifestLake {
                    notMatchedBySource: Seq[MergeClause] = Seq.empty,
                    txn: Option[(String, Long)] = None,
                    changeFeed: Boolean = true,
-                   plainEqKeys: Set[String] = Set.empty): MergeStats = {
+                   plainEqKeys: Set[String] = Set.empty,
+                   evolveWith: Option[StructType] = None): MergeStats = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     require(partitionCols.nonEmpty,
       "manifest merge needs a partitioned table; replace flat tables wholesale")
@@ -3438,7 +3484,19 @@ object ManifestLake {
     val (fs, root) = fsFor(spark, path)
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no manifested table at $path"))
-    val manifest = readManifest(fs, root, v)
+    // WITH SCHEMA EVOLUTION is folded into THIS merge's single commit:
+    // the manifest is extended IN MEMORY with the source's new columns
+    // (nullable, metadata-only — old files serve NULL via the
+    // absent-column read path) and the extension publishes together
+    // with the merged files. A merge that then fails (duplicate keys,
+    // constraint violation, lost race) leaves NO schema residue, and a
+    // concurrent reader can never observe an evolved-but-unmerged
+    // intermediate state.
+    val manifest = evolveWith match {
+      case None => readManifest(fs, root, v)
+      case Some(srcSchema) =>
+        evolveSchemaFor(readManifest(fs, root, v), srcSchema, path)
+    }
     if (txn.exists { case (app, b) => manifest.txns.get(app).exists(_ >= b) })
       return MergeStats(v, 0L, 0L, 0L)
     val logical = manifest.schema.map(_ => logicalSchemaOf(manifest)).getOrElse(
@@ -4938,6 +4996,86 @@ object ManifestLake {
     v + 1
   }
 
+  /** SET / UNSET the table's mutable property-shaped header facts —
+    * Delta's `ALTER TABLE … SET TBLPROPERTIES` idiom, metadata-only
+    * commit. Recognized keys (the same two CREATE TBLPROPERTIES
+    * accepts): `graft.statsCols` (sticky min/max/null-count/value-set
+    * stat columns — future writes collect them; [[analyzeStats]]
+    * backfills existing files) and `graft.bloomCols` (bloom sidecar
+    * tracking on future writes/rewrites). SET REPLACES the declared
+    * set wholesale (SQL property-value semantics — shrinking is as
+    * legal as growing), UNSET clears it; per-file stats ALREADY
+    * recorded stay in the manifest, so skipping on old files remains
+    * exactly as sound — only future collection changes. Unknown keys
+    * refuse loudly: a property the engine cannot honor must never be
+    * silently recorded and silently lost. Column names are LOGICAL
+    * (resolved case-insensitively, stored physical like every header
+    * fact); partition columns refuse — they prune by directory.
+    */
+  def setTableProperties(spark: SparkSession, path: String,
+                         set: Map[String, String] = Map.empty,
+                         unset: Seq[String] = Seq.empty,
+                         unsetIfExists: Boolean = false): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    require(m.schema.isDefined,
+      s"table at $path has a headerless legacy manifest — table properties " +
+        "need the recorded schema (run one append or upsert to adopt a header first)")
+    def keyOf(k: String): String = k.toLowerCase(java.util.Locale.ROOT) match {
+      case "graft.statscols" => "stats"
+      case "graft.bloomcols" => "bloom"
+      case _ => throw new IllegalArgumentException(
+        s"table property $k is not supported on manifest tables " +
+          "(recognized: graft.statsCols, graft.bloomCols — " +
+          "comma-separated column lists)")
+    }
+    val logical = logicalSchemaOf(m)
+    val cm = m.colMap.getOrElse(logical.fieldNames.toSeq.map(n => n -> n)).toMap
+    def resolvePhys(k: String, value: String): Seq[String] =
+      value.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { c =>
+        val actual = logical.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$k column $c is not a table column " +
+              s"(columns: ${logical.fieldNames.mkString(", ")})"))
+        require(!m.partCols.exists(_.equalsIgnoreCase(cm.getOrElse(actual, actual))),
+          s"$k column $actual is a partition column — partitions prune " +
+            "by directory, not file stats")
+        cm.getOrElse(actual, actual)
+      }
+    var stats = m.statsColsDefault
+    var bloom = m.bloomCols
+    set.foreach { case (k, value) => keyOf(k) match {
+      case "stats" => stats = resolvePhys(k, value).distinct
+      case "bloom" => bloom = resolvePhys(k, value).distinct
+    } }
+    unset.foreach { k =>
+      val recognized = try Some(keyOf(k)) catch {
+        case e: IllegalArgumentException =>
+          if (unsetIfExists) None else throw e
+      }
+      recognized match {
+        case Some("stats") =>
+          require(stats.nonEmpty || unsetIfExists,
+            s"property $k is not set on $path (UNSET ... IF EXISTS skips silently)")
+          stats = Seq.empty
+        case Some("bloom") =>
+          require(bloom.nonEmpty || unsetIfExists,
+            s"property $k is not set on $path (UNSET ... IF EXISTS skips silently)")
+          bloom = Seq.empty
+        case _ => ()
+      }
+    }
+    if (stats == m.statsColsDefault && bloom == m.bloomCols) return v
+    publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
+      op = Some("properties"), constraints = m.constraints,
+      colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = bloom,
+      statsColsDefault = stats, generated = m.generated,
+      fieldMap = m.fieldMap, deltaHint = Some((Seq.empty, Seq.empty)))
+    v + 1
+  }
+
   /** METADATA-ONLY stats backfill — the `ANALYZE TABLE` surface:
     * compute per-file [min,max] bounds, null counts, and value sets of
     * `cols` for every live file MISSING any of them, update those
@@ -5499,6 +5637,47 @@ object ManifestLake {
     * widening an appending batch triggers, minus the need to have data
     * in hand.
     */
+  /** Extend `m` IN MEMORY with every `srcSchema` field absent from the
+    * logical view (case-insensitive), nullable, mirroring [[addColumn]]'s
+    * name rules and fresh-physical-name discipline — the MERGE WITH
+    * SCHEMA EVOLUTION shape. Returns the evolved manifest; the caller's
+    * publish carries the extension and the data change in ONE atomic
+    * commit (no per-column schema commits precede the merge). Existing
+    * columns re-typed by the source are NOT touched here — the merge's
+    * own exact-type source check still refuses them downstream.
+    */
+  private[etl] def evolveSchemaFor(m: Manifest, srcSchema: StructType,
+                                   path: String): Manifest = {
+    require(m.schema.isDefined,
+      s"table at $path has a headerless legacy manifest — schema evolution " +
+        "needs the recorded schema (run one append or upsert to adopt a header first)")
+    val existing = logicalSchemaOf(m).fieldNames.map(_.toLowerCase).toSet
+    val news = srcSchema.fields.filterNot(f =>
+      existing.contains(f.name.toLowerCase)).toSeq
+    news.foldLeft(m) { (cur, f) =>
+      val name = f.name
+      require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"evolved column name must be non-empty with no tabs or newlines: $name")
+      require(!ReservedLogicalNames.contains(name),
+        s"column name $name is reserved")
+      val cm = cur.colMap.getOrElse(
+        cur.schema.get.fieldNames.toSeq.map(n => n -> n))
+      val (newColMap, phys) = cur.colMap match {
+        case None => (None, name)
+        case Some(_) =>
+          val used = cm.map(_._2).toSet ++ cur.droppedPhys
+          val fresh =
+            if (!used.contains(name)) name
+            else Iterator.from(1).map(k => s"${name}__$k").find(!used.contains(_)).get
+          (Some(cm :+ (name -> fresh)), fresh)
+      }
+      cur.copy(
+        schema = Some(StructType(cur.schema.get.fields :+
+          StructField(phys, f.dataType, nullable = true))),
+        colMap = newColMap)
+    }
+  }
+
   def addColumn(spark: SparkSession, path: String, name: String,
                 dataType: org.apache.spark.sql.types.DataType): Long = {
     val (fs, root) = fsFor(spark, path)

@@ -2455,8 +2455,9 @@ object EtlGate {
              |WHEN MATCHED THEN UPDATE SET *
              |WHEN NOT MATCHED THEN INSERT *
              |""".stripMargin).collect().head
-        require(st.getLong(0) == 3L,
-          s"evolution (v2) then merge (v3) expected, got v${st.getLong(0)}")
+        require(st.getLong(0) == 2L,
+          "evolution folds into the merge's SINGLE atomic commit (v2) — " +
+            s"got v${st.getLong(0)}")
         ManifestLake.read(s, out)
           .groupBy(col("lang"), col("score").isNull.cast("int").as("score_null"))
           .agg(count(lit(1)).as("n_docs"),

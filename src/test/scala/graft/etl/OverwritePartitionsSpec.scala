@@ -170,4 +170,39 @@ class OverwritePartitionsSpec extends AnyFunSuite {
       .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
     assert(r2 === Set(("a", "x", 10L), ("b", "x", 3L)))
   }
+
+  test("static-prefix spec values canonicalize through the column's type: p='01' names the dirs int rows render '1'") {
+    import spark.implicits._
+    val dir = freshDir("mlake-owp-canon")
+    ManifestLake.write(spark,
+      Seq((1, 10L, "one"), (2, 20L, "two"), (3, 30L, "three"))
+        .toDF("p", "id", "payload"),
+      dir, Seq("p"))                                                     // v1
+    // non-canonical spelling '01' for an int partition column: rows
+    // render '1', so without canonicalization the prefix would match
+    // no live dir and the batch (p=1) would refuse as "outside the
+    // static prefix"; canonicalized, partition 1 swaps exactly
+    ManifestLake.overwritePartitions(spark, dir,
+      Seq((1, 11L, "one-b")).toDF("p", "id", "payload"),
+      staticPrefix = Seq("p" -> "01"))                                   // v2
+    val r = ManifestLake.read(spark, dir).select("p", "id").collect()
+      .map(x => (x.getInt(0), x.getLong(1))).toSet
+    assert(r === Set((1, 11L), (2, 20L), (3, 30L)))
+    // an EMPTY batch under a non-canonical spec must CLEAR the named
+    // partition, not silently no-op against zero matched dirs
+    ManifestLake.overwritePartitions(spark, dir,
+      Seq.empty[(Int, Long, String)].toDF("p", "id", "payload"),
+      staticPrefix = Seq("p" -> "0002"))                                 // v3
+    val r2 = ManifestLake.read(spark, dir).select("p", "id").collect()
+      .map(x => (x.getInt(0), x.getLong(1))).toSet
+    assert(r2 === Set((1, 11L), (3, 30L)), "partition 2 must clear")
+    // a value that cannot cast to the partition column's type refuses
+    // loudly instead of matching nothing
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.overwritePartitions(spark, dir,
+        Seq.empty[(Int, Long, String)].toDF("p", "id", "payload"),
+        staticPrefix = Seq("p" -> "xx"))
+    }
+    assert(e.getMessage.contains("not a valid"), e.getMessage)
+  }
 }

@@ -754,8 +754,9 @@ class SqlDmlSpec extends AnyFunSuite {
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *
          |""".stripMargin).collect().head
-    // schema evolved (one addColumn commit) then merged (one commit)
-    assert(ManifestLake.currentVersion(spark, dir).get === v0 + 2)
+    // the evolution folds into the merge's OWN commit: ONE version,
+    // never an intermediate evolved-but-unmerged schema
+    assert(ManifestLake.currentVersion(spark, dir).get === v0 + 1)
     // matched ids 0,5,...,35 -> 8 updates; source ids 40,45 insert
     assert((st.getLong(1), st.getLong(3)) === (8L, 2L))
     val r = ManifestLake.read(spark, dir)
@@ -769,6 +770,35 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql(s"UPDATE `graft-manifest`.`$dir` SET tag = 'x' WHERE id = 1")
     assert(ManifestLake.read(spark, dir).where(col("id") === 1L)
       .select("tag").head().getString(0) === "x")
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION is atomic: a failing merge leaves NO schema residue") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-evolve-atomic")
+    seed(dir)
+    val v0 = ManifestLake.currentVersion(spark, dir).get
+    val schema0 = ManifestLake.read(spark, dir).schema
+    // duplicate source keys: admissibility fails AFTER classification —
+    // under the old one-commit-per-column evolution the adds would
+    // already have published; atomically, nothing may change
+    Seq(("aa", 2L, "A", 1L, "dup1"), ("aa", 2L, "B", 2L, "dup2"))
+      .toDF("grp", "id", "payload", "score", "tag")
+      .createOrReplaceTempView("sqldml_evo_dup")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO `graft-manifest`.`$dir` t
+           |USING sqldml_evo_dup s
+           |ON t.grp = s.grp AND t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("not key-unique"))
+    assert(ManifestLake.currentVersion(spark, dir).get === v0,
+      "a failed evolving merge must publish nothing")
+    assert(ManifestLake.read(spark, dir).schema === schema0,
+      "a failed evolving merge must leave no evolved-column residue")
+    assert(!ManifestLake.read(spark, dir).columns.contains("tag"))
   }
 
   test("CTAS / REPLACE TABLE … AS SELECT read FROM manifest references, incl. VERSION AS OF (snapshot clone)") {
@@ -984,6 +1014,15 @@ class SqlDmlSpec extends AnyFunSuite {
     ManifestLake.write(spark, batch(0), dir2, Seq("grp"))
     ManifestLake.write(spark, batch(10), dir2, Seq("grp"), replace = false)
     val t2 = s"`graft-manifest`.`$dir2`"
+    // a BARE VACUUM defaults to the conservative 168-hour horizon (the
+    // upstream's 7-day retention), NOT keep-2-versions: on this
+    // minutes-old table it must reap no data file or manifest at all
+    val bare = spark.sql(s"VACUUM $t2").collect().map(_.getString(0))
+    assert(!bare.exists(p => p.endsWith(".parquet") || p.contains("_manifest")),
+      s"bare VACUUM must be conservative (168h default), reaped: " +
+        bare.mkString(", "))
+    assert(ManifestLake.readVersion(spark, dir2, 1L).count() === 10,
+      "time travel must survive a bare VACUUM on a young table")
     val reaped = spark.sql(s"VACUUM $t2 RETAIN 1000 HOURS")
       .collect().map(_.getString(0))
     assert(!reaped.exists(p => p.endsWith(".parquet") || p.contains("_manifest")),
@@ -1056,30 +1095,37 @@ class SqlDmlSpec extends AnyFunSuite {
                  |USING `graft-manifest` OPTIONS (path '$dir')""".stripMargin)
     assert(feed("SELECT * FROM table_changes('sqldml_tvf_view', 3, 3)") ===
       Seq(("delete", 3L, 1L)))
-    // timestamp bounds resolve through versionAtTimestamp: the full
-    // window from before v1 to v2's publish instant carries v2's row
+    // timestamp bounds, Delta's CDF conventions: a START timestamp
+    // includes every commit AT or after the instant (earliest such
+    // version - 1 as the exclusive bound); an END timestamp is
+    // latest-at-or-before. t1 is v1's own publish instant, so the
+    // (t1, t2) window carries v1's initial inserts AND v2's
     val (fs, root) = ManifestLake.fsFor(spark, dir)
     val t1 = fs.getFileStatus(new org.apache.hadoop.fs.Path(root,
       "_manifest/v000001.list.gz")).getModificationTime
     val t2 = fs.getFileStatus(new org.apache.hadoop.fs.Path(root,
       "_manifest/v000002.list.gz")).getModificationTime
     val iso2 = java.time.Instant.ofEpochMilli(t2).toString
-    val expected = {
-      val fromV = ManifestLake.versionAtTimestamp(spark, dir, t1)
-      val toV = ManifestLake.versionAtTimestamp(spark, dir, t2)
-      if (toV == fromV) Seq.empty
-      else ManifestLake.readChangeFeed(spark, dir, fromV, toV)
-        .select(col("_change_type"), col("_commit_version"), col("id"))
-        .as[(String, Long, Long)].collect().sorted.toSeq
-    }
     val epochFrom = java.time.Instant.ofEpochMilli(t1).toString
     assert(feed(s"SELECT * FROM table_changes('$dir', '$epochFrom', '$iso2')")
-      === expected)
+      === Seq(("insert", 1L, 1L), ("insert", 1L, 2L), ("insert", 2L, 3L)))
+    // a commit landing EXACTLY at the start timestamp is INCLUDED — the
+    // exact-instant case the old latest-at-or-before resolution missed
+    val atV2 = feed(s"SELECT * FROM table_changes('$dir', '$iso2', '$iso2')")
+    assert(atV2.contains(("insert", 2L, 3L)),
+      s"start == v2's publish instant must include v2's changes, got $atV2")
+    assert(atV2.forall(_._2 >= 2L), "nothing before v2 may leak in")
+    // a start timestamp after the last commit refuses loudly
+    val eLate = intercept[IllegalArgumentException] {
+      spark.sql(s"SELECT * FROM table_changes('$dir', " +
+        s"'${java.time.Instant.ofEpochMilli(System.currentTimeMillis() + 3600000L).toString}')")
+    }
+    assert(eLate.getMessage.contains("at or after"))
     // an empty window is the empty frame WITH the feed's schema
     val empty = spark.sql(s"SELECT * FROM table_changes('$dir', 3, 3) " +
       "WHERE _change_type = 'nope'")
     assert(empty.columns.contains("_commit_version") && empty.count() === 0)
-    val sameV = spark.sql(s"SELECT * FROM table_changes('$dir', '$iso2', '$iso2')")
+    val sameV = spark.sql(s"SELECT * FROM table_changes('$dir', 4, 3)")
     assert(sameV.columns.contains("_change_type") && sameV.count() === 0)
     // refusals: non-literal bounds, version 0, unknown table
     val eExpr = intercept[IllegalArgumentException] {
@@ -1279,5 +1325,82 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(sch("n").dataType === org.apache.spark.sql.types.LongType)
     assert(sch("m").dataType === org.apache.spark.sql.types.LongType)
     assert(ManifestLake.currentVersion(spark, dir).get === v0 + 2)
+  }
+
+  test("SET/UNSET TBLPROPERTIES flips stats tracking on a LIVE table: SET → ANALYZE → skipping engages; unknown keys refuse") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import spark.implicits._
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def walk(p: SparkPlan): Seq[FileSourceScanExec] = (p match {
+        case s: FileSourceScanExec => Seq(s)
+        case _ => Seq.empty
+      }) ++ (p.children ++ p.subqueries).flatMap(walk)
+      walk(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    val dir = freshDir("sqldml-props")
+    // created WITHOUT any stats declaration; ids range-clustered across
+    // files so min/max skipping CAN bite once stats exist
+    val df = (0 until 2000).map(i => ("aa", i.toLong, s"p$i"))
+      .toDF("grp", "id", "payload")
+      .repartitionByRange(10, col("id"))
+    ManifestLake.write(spark, df, dir, Seq("grp"))
+    val t = s"`graft-manifest`.`$dir`"
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val total = ManifestLake.readManifest(
+        ManifestLake.fsFor(spark, dir)._1, ManifestLake.fsFor(spark, dir)._2,
+        1L).files.length
+      val before = scanFiles(
+        ManifestLake.read(spark, dir).where(col("id") === 1500L))
+      assert(before === total.toLong, "no stats yet — nothing can skip")
+      // flip the table fact through SQL, then backfill
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.statsCols' = 'id')")
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+      val after = scanFiles(
+        ManifestLake.read(spark, dir).where(col("id") === 1500L))
+      assert(after < before,
+        s"stats skipping must engage after SET + ANALYZE ($after vs $before)")
+      assert(ManifestLake.read(spark, dir)
+        .where(col("id") === 1500L).count() === 1L)
+      // SHOW TBLPROPERTIES reflects the live fact
+      val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("graft.statsCols").contains("id"))
+      // unknown keys refuse loudly — never silently recorded
+      val e = intercept[IllegalArgumentException] {
+        spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('foo' = 'bar')")
+      }
+      assert(e.getMessage.contains("not supported"), e.getMessage)
+      // partition columns refuse — they prune by directory
+      val e2 = intercept[IllegalArgumentException] {
+        spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.statsCols' = 'grp')")
+      }
+      assert(e2.getMessage.contains("partition column"), e2.getMessage)
+      // UNSET clears; a second bare UNSET refuses (nothing to clear);
+      // IF EXISTS tolerates both an absent and an unknown key
+      spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.statsCols')")
+      val (fs, root) = ManifestLake.fsFor(spark, dir)
+      val head = ManifestLake.currentVersion(spark, dir).get
+      assert(ManifestLake.readManifest(fs, root, head).statsColsDefault.isEmpty)
+      val e3 = intercept[IllegalArgumentException] {
+        spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.statsCols')")
+      }
+      assert(e3.getMessage.contains("not set"), e3.getMessage)
+      spark.sql(
+        s"ALTER TABLE $t UNSET TBLPROPERTIES IF EXISTS ('graft.statsCols', 'foo')")
+      // bloom tracking flips the same way: future writes carry sidecars
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.bloomCols' = 'payload')")
+      ManifestLake.write(spark,
+        Seq(("aa", 9001L, "p9001")).toDF("grp", "id", "payload"),
+        dir, Seq("grp"), replace = false)
+      val headM = ManifestLake.readManifest(fs, root,
+        ManifestLake.currentVersion(spark, dir).get)
+      assert(headM.bloomCols === Seq("payload"))
+      assert(headM.files.exists(_.bloom.isDefined),
+        "the post-SET append must carry a bloom sidecar")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
