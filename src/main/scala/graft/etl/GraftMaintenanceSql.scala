@@ -49,7 +49,7 @@ object GraftMaintenanceSql {
     // cheap keyword gate BEFORE lexing: the lexer is deliberately tiny
     // and refuses characters these four statements never carry — it
     // must never see (let alone fail on) general SQL
-    val lead = "(?is)^\\s*(VACUUM|OPTIMIZE|RESTORE|DESC(RIBE)?\\s+(HISTORY|DETAIL))\\b".r
+    val lead = "(?is)^\\s*(VACUUM|OPTIMIZE|RESTORE|CONVERT|DESC(RIBE)?\\s+(HISTORY|DETAIL))\\b".r
     if (lead.findFirstIn(sqlText).isEmpty) return None
     val isDescribe = "(?is)^\\s*DESC".r.findFirstIn(sqlText).isDefined
     // DESCRIBE collides with vanilla shapes (`DESCRIBE history
@@ -66,6 +66,8 @@ object GraftMaintenanceSql {
           Some(parseOptimize(spark, toks.tail))
         case Word(w) if w.equalsIgnoreCase("RESTORE") =>
           Some(parseRestore(spark, toks.tail))
+        case Word(w) if w.equalsIgnoreCase("CONVERT") =>
+          Some(parseConvert(spark, toks.tail))
         case Word(w) if w.equalsIgnoreCase("DESCRIBE") || w.equalsIgnoreCase("DESC") =>
           toks.tail.head match {
             case Word(h) if h.equalsIgnoreCase("DETAIL") =>
@@ -156,14 +158,29 @@ object GraftMaintenanceSql {
         if ident(a).exists(f => f.equalsIgnoreCase("graft-manifest") ||
           f.equalsIgnoreCase("graft_manifest")) && ident(b).isDefined =>
         (ident(b).get, rest)
+      // NAMED tables: cat.ns.t / cat.t where cat is a configured graft
+      // catalog ([[GraftCatalog.identPath]]) — same engine path as the
+      // explicit spelling
+      case a :: Punct('.') :: b :: Punct('.') :: c :: rest
+        if ident(a).isDefined && ident(b).isDefined && ident(c).isDefined &&
+          GraftCatalog.identPath(spark,
+            Seq(ident(a).get, ident(b).get, ident(c).get)).isDefined =>
+        (GraftCatalog.identPath(spark,
+          Seq(ident(a).get, ident(b).get, ident(c).get)).get, rest)
+      case a :: Punct('.') :: b :: rest
+        if ident(a).isDefined && ident(b).isDefined &&
+          GraftCatalog.identPath(spark,
+            Seq(ident(a).get, ident(b).get)).isDefined =>
+        (GraftCatalog.identPath(spark,
+          Seq(ident(a).get, ident(b).get)).get, rest)
       case a :: rest if ident(a).isDefined =>
         val name = ident(a).get
         GraftSqlDml.tempViewManifestPath(spark, name) match {
           case Some(p) => (p, rest)
           case None => throw new IllegalArgumentException(
             s"$stmt targets manifest tables — $name is not a " +
-              "`graft-manifest`.`/path` reference or a temp view over the " +
-              "graft-manifest source")
+              "`graft-manifest`.`/path` reference, a graft catalog name, " +
+              "or a temp view over the graft-manifest source")
         }
       case _ => throw new IllegalArgumentException(
         s"$stmt needs a table reference")
@@ -263,6 +280,62 @@ object GraftMaintenanceSql {
         "RESTORE needs TO VERSION AS OF <n> or TO TIMESTAMP AS OF " +
           s"'<instant>'; got: ${other.mkString(" ")}")
     }
+  }
+
+  /** `CONVERT TO GRAFT parquet.`<path>` [PARTITIONED BY (c TYPE, …)]`
+    * — in-place adoption of an existing parquet directory (Delta's
+    * CONVERT TO DELTA idiom): [[ManifestLake.adopt]] builds the v1
+    * manifest over the files already there, zero data movement. The
+    * directory spells as `` parquet.`/path` ``, a bare quoted path, or
+    * a graft catalog name (`cat.ns.t` → the warehouse directory).
+    * PARTITIONED BY declares partition VALUE types (single-word types
+    * only — STRING is the default and always round-trips); the column
+    * LIST itself is discovered from the hive layout and cross-checked.
+    */
+  private def parseConvert(spark: SparkSession, toks: List[Tok]): LogicalPlan = {
+    def ident(t: Tok): Option[String] = t match {
+      case Word(w) => Some(w)
+      case Quoted(q) => Some(q)
+      case _ => None
+    }
+    val afterTo = toks match {
+      case t :: g :: tl if kw(t, "TO") && kw(g, "GRAFT") => tl
+      case other => throw new IllegalArgumentException(
+        s"CONVERT spells CONVERT TO GRAFT <directory>; got: ${other.mkString(" ")}")
+    }
+    val (path, rest0) = afterTo match {
+      case p :: Punct('.') :: Quoted(dir) :: tl
+        if kw(p, "parquet") => (dir, tl)
+      case Quoted(dir) :: tl => (dir, tl)
+      case a :: Punct('.') :: b :: Punct('.') :: c :: tl
+        if ident(a).isDefined && ident(b).isDefined && ident(c).isDefined &&
+          GraftCatalog.identPath(spark,
+            Seq(ident(a).get, ident(b).get, ident(c).get)).isDefined =>
+        (GraftCatalog.identPath(spark,
+          Seq(ident(a).get, ident(b).get, ident(c).get)).get, tl)
+      case other => throw new IllegalArgumentException(
+        "CONVERT TO GRAFT needs a directory — parquet.`/path`, `/path`, " +
+          s"or a graft catalog name; got: ${other.mkString(" ")}")
+    }
+    val types = rest0 match {
+      case Nil => Seq.empty[(String, String)]
+      case p :: b :: Punct('(') :: tl if kw(p, "PARTITIONED") && kw(b, "BY") =>
+        // (name TYPE, name TYPE, …) — single-word types only
+        def cols(ts: List[Tok], acc: Seq[(String, String)]): Seq[(String, String)] =
+          ts match {
+            case n :: Word(ty) :: Punct(',') :: more if ident(n).isDefined =>
+              cols(more, acc :+ (ident(n).get -> ty))
+            case n :: Word(ty) :: Punct(')') :: more if ident(n).isDefined =>
+              end(more, "CONVERT"); acc :+ (ident(n).get -> ty)
+            case other => throw new IllegalArgumentException(
+              "PARTITIONED BY in CONVERT takes (name TYPE, …) with " +
+                s"single-word types; got: ${other.mkString(" ")}")
+          }
+        cols(tl, Seq.empty)
+      case other => throw new IllegalArgumentException(
+        s"unexpected trailing tokens in CONVERT: ${other.mkString(" ")}")
+    }
+    GraftConvertCommand(path, types)
   }
 
   /** None (not an exception) when the shape does not parse or the
@@ -406,5 +479,28 @@ final case class GraftHistoryCommand(path: String, limit: Option[Int])
     val rows = ManifestLake.history(spark, path).collect().toSeq
       .sortBy(-_.getLong(0))
     limit.fold(rows)(rows.take)
+  }
+}
+
+/** `CONVERT TO GRAFT parquet.`/path`` — in-place adoption, dispatching
+  * to [[ManifestLake.adopt]]; returns (version, n_files) of the v1
+  * manifest built over the existing files.
+  */
+final case class GraftConvertCommand(path: String,
+                                     partitionTypes: Seq[(String, String)])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val types = partitionTypes.map { case (n, ty) =>
+      n -> (try spark.sessionState.sqlParser.parseDataType(ty) catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"PARTITIONED BY type $ty for column $n is not a data type", e)
+      })
+    }.toMap
+    val v = ManifestLake.adopt(spark, path, partitionTypes = types)
+    val (fs, root) = ManifestLake.fsFor(spark, path)
+    Seq(Row(v, ManifestLake.readManifest(fs, root, v).files.length.toLong))
   }
 }

@@ -104,7 +104,16 @@ object GraftSqlDml {
           case Seq(name) =>
             tempViewManifestPath(spark, name).map(p =>
               (p, Set(name.toLowerCase)))
-          case _ => None
+          case parts =>
+            // NAMED tables (cat.ns.t / cat.t under a configured graft
+            // catalog): the name collapses to the warehouse path and
+            // every dotted-prefix spelling of the name qualifies
+            // column references (t.col, ns.t.col, cat.ns.t.col)
+            GraftCatalog.identPath(spark, parts).map { p =>
+              val quals = (1 to parts.length).map(n =>
+                parts.takeRight(n).mkString(".").toLowerCase).toSet
+              (p, quals)
+            }
         }
       case _ => None
     }
@@ -207,7 +216,14 @@ object GraftSqlDml {
       s"table_changes(table, start [, end]) takes 2 or 3 arguments, " +
         s"got ${args.length}")
     val raw = args.head.asInstanceOf[Literal].value.toString
-    val path = tempViewManifestPath(spark, raw).getOrElse(raw)
+    // the string names (in order): a temp view over the source, a
+    // NAMED catalog table ('graft.ns.t' — only tried when it cannot be
+    // a path), or the manifest root path itself
+    val path = tempViewManifestPath(spark, raw).orElse {
+      if (raw.contains('.') && !raw.contains('/'))
+        GraftCatalog.identPath(spark, raw.split("\\.").toSeq)
+      else None
+    }.getOrElse(raw)
     val head = ManifestLake.currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"table_changes: no manifested table at $path"))
@@ -283,17 +299,33 @@ object GraftSqlDml {
       case _ => None
     }
 
-  private def multipartManifestPath(parts: Seq[String]): Option[String] =
+  /** Utility/ALTER target resolution: the explicit format spelling, or
+    * a NAMED table under a configured graft catalog — the latter gated
+    * on the table EXISTING, so a missing named table falls through to
+    * the catalog's own TABLE_OR_VIEW_NOT_FOUND instead of a confusing
+    * engine error from a command that cannot create it.
+    */
+  private def multipartManifestPath(spark: SparkSession,
+                                    parts: Seq[String]): Option[String] =
     parts match {
       case Seq(fmt, p) if fmt.equalsIgnoreCase(Format) ||
         fmt.equalsIgnoreCase("graft_manifest") => Some(p)
-      case _ => None
+      case _ => GraftCatalog.identPath(spark, parts)
+        .filter(p => ManifestLake.currentVersion(spark, p).isDefined)
     }
 
-  private def identManifestPath(ident: LogicalPlan): Option[String] =
+  /** CREATE-family identifier resolution — exists-AGNOSTIC (the
+    * statement's whole point may be to create the table).
+    */
+  private def identManifestPath(spark: SparkSession,
+                                ident: LogicalPlan): Option[String] =
     ident match {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
-        multipartManifestPath(u.nameParts)
+        u.nameParts match {
+          case Seq(fmt, p) if fmt.equalsIgnoreCase(Format) ||
+            fmt.equalsIgnoreCase("graft_manifest") => Some(p)
+          case parts => GraftCatalog.identPath(spark, parts)
+        }
       case _ => None
     }
 
@@ -408,7 +440,7 @@ object GraftSqlDml {
                               t: LogicalPlan): Option[String] =
     t match {
       case ut: UnresolvedTable =>
-        multipartManifestPath(ut.multipartIdentifier).orElse(
+        multipartManifestPath(spark, ut.multipartIdentifier).orElse(
           ut.multipartIdentifier match {
             case Seq(name) => tempViewManifestPath(spark, name)
             case _ => None
@@ -518,7 +550,7 @@ object GraftSqlDml {
       // EXTERNAL/serde — anything the manifest cannot record — refuse.
       case CreateTable(ident, cols, partitioning, spec: UnresolvedTableSpec,
           ignoreIfExists) =>
-        identManifestPath(ident).map { path =>
+        identManifestPath(spark, ident).map { path =>
           val (cons, partCols, stCols, blCols) =
             validateCreateSpec(spec, partitioning)
           val (plain, gen) = splitColumns(cols, partCols)
@@ -527,7 +559,7 @@ object GraftSqlDml {
         }
       case CreateTableAsSelect(ident, partitioning, query,
           spec: UnresolvedTableSpec, writeOptions, ignoreIfExists, _) =>
-        identManifestPath(ident).map { path =>
+        identManifestPath(spark, ident).map { path =>
           require(writeOptions.isEmpty,
             "write options are not supported on manifest CTAS")
           val (cons, partCols, stCols, blCols) =
@@ -537,7 +569,7 @@ object GraftSqlDml {
         }
       case ReplaceTableAsSelect(ident, partitioning, query,
           spec: UnresolvedTableSpec, writeOptions, orCreate, _) =>
-        identManifestPath(ident).map { path =>
+        identManifestPath(spark, ident).map { path =>
           require(writeOptions.isEmpty,
             "write options are not supported on manifest REPLACE TABLE")
           val (cons, partCols, stCols, blCols) =
@@ -549,7 +581,7 @@ object GraftSqlDml {
       // engine — bounds/null-counts/value-sets for live files missing
       // them, no data rewrite; the columns join the sticky declared set
       case AnalyzeTable(t: UnresolvedTableOrView, partitionSpec, noScan)
-          if multipartManifestPath(t.multipartIdentifier).isDefined =>
+          if multipartManifestPath(spark, t.multipartIdentifier).isDefined =>
         require(partitionSpec.isEmpty,
           "ANALYZE ... PARTITION is not supported on manifest tables — " +
             "stats are per-file; analyze the whole table")
@@ -557,19 +589,19 @@ object GraftSqlDml {
           "ANALYZE ... NOSCAN has nothing to compute on a manifest table " +
             "— row counts already ride every commit's parquet footers")
         Some(GraftAnalyzeCommand(
-          multipartManifestPath(t.multipartIdentifier).get, Seq.empty))
+          multipartManifestPath(spark, t.multipartIdentifier).get, Seq.empty))
       case AnalyzeColumn(t: UnresolvedTableOrView, columnNames, allColumns)
-          if multipartManifestPath(t.multipartIdentifier).isDefined =>
+          if multipartManifestPath(spark, t.multipartIdentifier).isDefined =>
         require(!allColumns,
           "ANALYZE ... FOR ALL COLUMNS is not supported — name the " +
             "columns (partition columns prune by directory, not stats)")
         Some(GraftAnalyzeCommand(
-          multipartManifestPath(t.multipartIdentifier).get,
+          multipartManifestPath(spark, t.multipartIdentifier).get,
           columnNames.getOrElse(Seq.empty)))
       case ShowTableProperties(t: UnresolvedTableOrView, key, _)
-          if multipartManifestPath(t.multipartIdentifier).isDefined =>
+          if multipartManifestPath(spark, t.multipartIdentifier).isDefined =>
         Some(GraftShowPropertiesCommand(
-          multipartManifestPath(t.multipartIdentifier).get, key))
+          multipartManifestPath(spark, t.multipartIdentifier).get, key))
       // ---- table utilities: TRUNCATE, SHOW PARTITIONS/COLUMNS,
       // DESCRIBE — served straight from the manifest (metadata-only;
       // TRUNCATE dispatches to the engine's delete). DESCRIBE/SHOW on
@@ -597,29 +629,29 @@ object GraftSqlDml {
           GraftShowPartitionsCommand(path, spec)
         }
       case DescribeRelation(t: UnresolvedTableOrView, partitionSpec, isExtended, _)
-          if multipartManifestPath(t.multipartIdentifier).isDefined =>
+          if multipartManifestPath(spark, t.multipartIdentifier).isDefined =>
         require(partitionSpec.isEmpty,
           "DESCRIBE ... PARTITION is not supported on manifest tables — " +
             "use SHOW PARTITIONS")
         Some(GraftDescribeCommand(
-          multipartManifestPath(t.multipartIdentifier).get, isExtended))
+          multipartManifestPath(spark, t.multipartIdentifier).get, isExtended))
       case org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable(
           t: UnresolvedTableOrView, asSerde, _)
-          if multipartManifestPath(t.multipartIdentifier).isDefined =>
+          if multipartManifestPath(spark, t.multipartIdentifier).isDefined =>
         require(!asSerde,
           "SHOW CREATE TABLE ... AS SERDE is not supported on manifest " +
             "tables (no Hive serde form exists)")
         Some(GraftShowCreateCommand(
-          multipartManifestPath(t.multipartIdentifier).get))
+          multipartManifestPath(spark, t.multipartIdentifier).get))
       case ShowColumns(t: UnresolvedTableOrView, ns, _)
-          if multipartManifestPath(t.multipartIdentifier).isDefined =>
+          if multipartManifestPath(spark, t.multipartIdentifier).isDefined =>
         require(ns.isEmpty || ns.exists(n =>
           n.lastOption.exists(_.equalsIgnoreCase(Format)) ||
             n.lastOption.exists(_.equalsIgnoreCase("graft_manifest"))),
           "SHOW COLUMNS ... IN <namespace> must name the graft-manifest " +
             "namespace or be omitted")
         Some(GraftShowColumnsCommand(
-          multipartManifestPath(t.multipartIdentifier).get))
+          multipartManifestPath(spark, t.multipartIdentifier).get))
       // the parsed constraint carries its table as an UnresolvedRelation
       // under a NOT(condition) Filter (the would-be-violations scan)
       case AddCheckConstraint(child, cc: CheckConstraint) =>
@@ -666,11 +698,18 @@ object GraftSqlDml {
     * alias/name — the engine evaluates DELETE/UPDATE expressions
     * against the bare logical view, where the SQL alias does not exist.
     */
+  /** Longest qualifier PREFIX of `parts` that appears in `quals`
+    * (dotted entries allowed — a NAMED table qualifies references as
+    * t.col, ns.t.col, or cat.ns.t.col), leaving at least one part.
+    */
+  private def qualPrefixLen(parts: Seq[String], quals: Set[String]): Int =
+    (math.min(3, parts.length - 1) to 1 by -1).find(n =>
+      quals.contains(parts.take(n).mkString(".").toLowerCase)).getOrElse(0)
+
   private def stripQualifier(e: Expression, quals: Set[String]): Expression =
     e.transformUp {
-      case a: UnresolvedAttribute
-        if a.nameParts.length > 1 && quals.contains(a.nameParts.head.toLowerCase) =>
-        UnresolvedAttribute(a.nameParts.tail)
+      case a: UnresolvedAttribute if qualPrefixLen(a.nameParts, quals) > 0 =>
+        UnresolvedAttribute(a.nameParts.drop(qualPrefixLen(a.nameParts, quals)))
     }
 
   /** Requalify `targetAlias.x` → `t.x` and `sourceAlias.x` → `s.x` —
@@ -680,12 +719,10 @@ object GraftSqlDml {
   private def requalify(e: Expression, tQuals: Set[String],
                         sQuals: Set[String]): Expression =
     e.transformUp {
-      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
-        tQuals.contains(a.nameParts.head.toLowerCase) =>
-        UnresolvedAttribute("t" +: a.nameParts.tail)
-      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
-        sQuals.contains(a.nameParts.head.toLowerCase) =>
-        UnresolvedAttribute("s" +: a.nameParts.tail)
+      case a: UnresolvedAttribute if qualPrefixLen(a.nameParts, tQuals) > 0 =>
+        UnresolvedAttribute("t" +: a.nameParts.drop(qualPrefixLen(a.nameParts, tQuals)))
+      case a: UnresolvedAttribute if qualPrefixLen(a.nameParts, sQuals) > 0 =>
+        UnresolvedAttribute("s" +: a.nameParts.drop(qualPrefixLen(a.nameParts, sQuals)))
     }
 
   /** An assignment key as a bare column name (alias stripped, nested

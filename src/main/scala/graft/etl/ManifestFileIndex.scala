@@ -95,13 +95,16 @@ private[etl] final class ManifestFileIndex(
 
   private val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
 
-  /** `k=v` dir segments of a manifest-relative path (between the
-    * `data/v<N>/` prefix and the file name), value unescaped, the hive
-    * null sentinel mapped to null.
+  /** `k=v` dir segments of a manifest-relative path, value unescaped,
+    * the hive null sentinel mapped to null. Located by SHAPE (the
+    * contiguous `k=v` run before the file name), not position:
+    * engine-written files carry a `data/v<N>…/` prefix, ADOPTED files
+    * (in-place conversion) sit directly under the root — both parse
+    * here (commit-dir segments can never contain '=').
     */
   private def partValuesOf(rel: String): Map[String, String] = {
     val segs = rel.split("/")
-    segs.slice(2, segs.length - 1).iterator.map { seg =>
+    segs.dropRight(1).iterator.filter(_.contains('=')).map { seg =>
       val i = seg.indexOf('=')
       require(i > 0, s"manifest data path has a non-hive partition segment: $rel")
       ExternalCatalogUtils.unescapePathName(seg.substring(0, i)) ->

@@ -823,8 +823,8 @@ object ManifestLake {
     */
   private[etl] def hivePartColsOf(relPaths: Seq[String]): Seq[String] = {
     val perFile = relPaths.map { rel =>
-      rel.split("/").drop(2).dropWhile(!_.contains("=")).dropRight(1)
-        .takeWhile(_.contains("="))
+      rel.split("/").dropRight(1)
+        .dropWhile(!_.contains("=")).takeWhile(_.contains("="))
         .map(seg => seg.substring(0, seg.indexOf('='))).toSeq
     }.distinct
     require(perFile.size <= 1,
@@ -1321,6 +1321,117 @@ object ManifestLake {
     * as nulls later — while extra columns WIDEN the table additively
     * (old files serve them as typed nulls; see [[widen]]).
     */
+  /** IN-PLACE adoption of an existing parquet directory (Delta's
+    * `CONVERT TO DELTA` idiom): build the v1 manifest OVER the files
+    * already there — listing + schema from footers, ZERO data movement,
+    * zero rewrite — after which the full engine surface (DML, time
+    * travel, SQL, streaming) runs on the directory. The common
+    * migration: a plain hive-partitioned lake (including this
+    * library's own [[Lake.write]] output layout) becomes a manifest
+    * table in one metadata commit, however many terabytes it holds.
+    *
+    *   - Partition columns are DISCOVERED from the hive `k=v` layout
+    *     (files disagreeing on layout refuse — [[hivePartColsOf]]).
+    *   - Partition value TYPES default to STRING (the only type that
+    *     round-trips every dir spelling exactly); `partitionTypes`
+    *     declares real types, and each distinct dir value is verified
+    *     to round-trip CANONICALLY through the declared type
+    *     (`p=01` under INT refuses — the engine would render '1' and
+    *     partition-targeted commits would miss the live dir).
+    *   - The data schema is the parquet footers' union (absent-in-
+    *     some-file columns read as typed nulls — the engine's normal
+    *     absent-column semantics).
+    *   - A SECOND adopt refuses (the path already has a manifest), as
+    *     does adopting an empty tree.
+    *   - Per-file min/max stats are NOT read here (footer stats are
+    *     row-group-grained and the tree can be huge) — declare
+    *     `statsCols` to make them sticky and run ANALYZE TABLE to
+    *     backfill, the same flow as any stats-late table.
+    *
+    * Adopted files live OUTSIDE the engine's `data/v<N>` layout and are
+    * NEVER deleted by [[vacuum]] — reclaiming the original files after
+    * rewrites supersede them is deliberately left to their owner (the
+    * engine refuses to delete what it did not write).
+    */
+  def adopt(spark: SparkSession, path: String,
+            partitionTypes: Map[String, DataType] = Map.empty,
+            statsCols: Seq[String] = Seq.empty): Long = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal => CatLiteral}
+    val (fs, root) = fsFor(spark, path)
+    require(currentVersion(spark, path).isEmpty,
+      s"$path is already a manifest table — adopt converts PLAIN parquet " +
+        "directories only (a second adopt would orphan the existing history)")
+    require(fs.exists(root), s"no directory to adopt at $path")
+    val rootQ = fs.makeQualified(root).toString
+    val found = Seq.newBuilder[(String, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = fs.makeQualified(st.getPath).toString
+        .stripPrefix(rootQ).stripPrefix("/")
+      val hidden = rel.split("/").exists(s =>
+        s.startsWith("_") || s.startsWith("."))
+      if (!hidden && rel.endsWith(".parquet")) found += ((rel, st.getLen))
+    }
+    val files = found.result().sortBy(_._1)
+    require(files.nonEmpty,
+      s"nothing to adopt at $path — no parquet files found")
+    val partCols = hivePartColsOf(files.map(_._1))
+    val unknownTypes = partitionTypes.keys.filterNot(k =>
+      partCols.exists(_.equalsIgnoreCase(k)))
+    require(unknownTypes.isEmpty,
+      s"partitionTypes name column(s) ${unknownTypes.mkString(", ")} the " +
+        s"layout does not have (discovered: ${partCols.mkString(", ")})")
+    val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    val partFields = partCols.map { c =>
+      val dt = partitionTypes.collectFirst {
+        case (k, t) if k.equalsIgnoreCase(c) => t }.getOrElse(StringType)
+      // canonicality: every distinct dir value must round-trip through
+      // the declared type EXACTLY, or partition-targeted commits would
+      // render a spelling the live dirs don't carry
+      if (dt != StringType) {
+        val values = files.map(f => partDirOf(f._1)).distinct.flatMap(d =>
+          d.split("/").toSeq.collectFirst {
+            case seg if seg.startsWith(s"${ExternalCatalogUtils.escapePathName(c)}=") =>
+              ExternalCatalogUtils.unescapePathName(
+                seg.substring(seg.indexOf('=') + 1))
+          })
+        values.distinct.foreach { v0 =>
+          val typed = Cast(CatLiteral(v0), dt, zone, EvalMode.LEGACY).eval(null)
+          val back = if (typed == null) null
+            else String.valueOf(Cast(CatLiteral(typed, dt), StringType, zone,
+              EvalMode.LEGACY).eval(null))
+          require(back == v0,
+            s"partition value '$v0' of column $c does not round-trip " +
+              s"through ${dt.catalogString} (renders back as '$back') — " +
+              "declare the column as STRING or canonicalize the directory names")
+        }
+      }
+      StructField(c, dt, nullable = true)
+    }
+    // footer-union data schema: one schema-inference pass, no row reads
+    val data = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => new Path(root, f._1).toString): _*).schema
+    val clash = data.fieldNames.filter(n => partCols.exists(_.equalsIgnoreCase(n)))
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(", ")} appear both IN the parquet files " +
+        "and as partition directories — the layout is ambiguous; repair it first")
+    statsCols.foreach { c =>
+      require(data.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"statsCols column $c is not in the adopted files' schema")
+      require(!partCols.exists(_.equalsIgnoreCase(c)),
+        s"statsCols column $c is a partition column — partitions prune by " +
+          "directory, not file stats")
+    }
+    val schema = StructType(data.fields ++ partFields)
+    publish(fs, root, 1L, files.map { case (rel, bytes) => LiveFile(bytes, rel) },
+      Some(schema), partCols, op = Some("adopt"),
+      statsColsDefault = statsCols.map(c =>
+        data.fieldNames.find(_.equalsIgnoreCase(c)).get))
+    1L
+  }
+
   def write(spark: SparkSession, df: DataFrame, path: String,
             partitionCols: Seq[String], replace: Boolean = true,
             txn: Option[(String, Long)] = None,
@@ -1387,7 +1498,8 @@ object ManifestLake {
                            schema: StructType,
                            statsCols: Seq[String],
                            partitionCols: Seq[String],
-                           bloomCols: Seq[String] = Seq.empty): Map[String, FileStats] = {
+                           bloomCols: Seq[String] = Seq.empty,
+                           tableRoot: Option[String] = None): Map[String, FileStats] = {
     import org.apache.spark.sql.types._
     // timestamps are excluded: their string form renders in the
     // WRITER's session timezone and would re-parse in the READER's —
@@ -1441,6 +1553,20 @@ object ManifestLake {
     // and silently drops all stats
     def decoded(abs: String): String =
       try new java.net.URI(abs).getPath catch { case _: Exception => abs }
+    // manifest-RELATIVE key: with the table root in hand strip it
+    // directly — this covers ADOPTED files, which live outside the
+    // data/v<N> layout the marker below locates; the marker remains for
+    // callers keying a staged commit dir without the root
+    val rootPrefix: Option[String] = tableRoot.map(r =>
+      (try new java.net.URI(r).getPath catch { case _: Exception => r })
+        .stripSuffix("/") + "/")
+    def relKey(abs: String): Option[String] = rootPrefix match {
+      case Some(pre) if abs.startsWith(pre) => Some(abs.stripPrefix(pre))
+      case Some(_) => None
+      case None =>
+        val i = abs.lastIndexOf(marker)
+        if (i < 0) None else Some(abs.substring(i + 1))
+    }
     // ±0.0 collapses to "0.0" in recorded float/double bounds: SQL
     // comparison treats -0.0 == 0.0 while the read path's interpreted
     // ordering is total (-0.0 < 0.0), so a recorded "-0.0" bound could
@@ -1455,9 +1581,10 @@ object ManifestLake {
       if (floaty.contains(c) && s == "-0.0") "0.0" else s
     rows.flatMap { r =>
       val abs = decoded(r.getString(0))
-      val i = abs.lastIndexOf(marker)
-      if (i < 0) None
-      else {
+      relKey(abs) match {
+        case None => None
+        case Some(key) =>
+        {
         val bounds = eligible.flatMap { c =>
           val lo = r.getAs[String](s"__lo_$c")
           val hi = r.getAs[String](s"__hi_$c")
@@ -1480,7 +1607,8 @@ object ManifestLake {
         val blooms = bloomEligible.flatMap { c =>
           Option(r.getAs[Array[Byte]](s"__bloom_$c")).map(c -> _)
         }.toMap
-        Some(abs.substring(i + 1) -> FileStats(bounds, nRows, nulls, sets, blooms))
+        Some(key -> FileStats(bounds, nRows, nulls, sets, blooms))
+        }
       }
     }.toMap
   }
@@ -2213,7 +2341,8 @@ object ManifestLake {
     // the table-CREATING commit (v1) is an append from empty whatever
     // its flag says — a replace there had nothing to rewrite
     def isAppend(v: Long, m: Manifest): Boolean =
-      m.op.contains("append") || (v == 1 && m.op.contains("replace"))
+      m.op.contains("append") ||
+        (v == 1 && (m.op.contains("replace") || m.op.contains("adopt")))
     var prevPaths: Set[String] =
       if (fromV == 0) Set.empty
       else manifestAt(fromV).files.map(_.path).toSet
@@ -2375,7 +2504,8 @@ object ManifestLake {
     * [[readChanges]] applies.
     */
   private[graft] def isAppendCommit(v: Long, m: Manifest): Boolean =
-    m.op.contains("append") || (v == 1 && m.op.contains("replace"))
+    m.op.contains("append") ||
+      (v == 1 && (m.op.contains("replace") || m.op.contains("adopt")))
 
   /** The files version `v` ADDED over `v - 1`, path-sorted (chunk
     * boundaries must be deterministic across restarts). A non-append
@@ -2491,7 +2621,7 @@ object ManifestLake {
       case None => Seq.empty
       case Some(v) =>
         readManifest(fs, root, v).files
-          .groupBy(f => f.path.split("/").drop(2).dropRight(1).mkString("/"))
+          .groupBy(f => partDirOf(f.path))
           .toSeq.sortBy(_._1)
           .map { case (part, fls) =>
             val bytes = fls.map(_.bytes).sum
@@ -2551,10 +2681,7 @@ object ManifestLake {
         s"${zOrderBy.filter(manifest.partCols.contains).mkString(", ")} — " +
         "they are constant within every rewritten partition")
     val live = manifest.files
-    // partition key = the hive dirs between data/v…/ and the file name
-    def partOf(rel: String): String =
-      rel.split("/").drop(2).dropRight(1).mkString("/")
-    val byPart = live.groupBy(f => partOf(f.path))
+    val byPart = live.groupBy(f => partDirOf(f.path))
     val plans = byPart.toSeq.sortBy(_._1).flatMap { case (part, fls) =>
       val bytes = fls.map(_.bytes).sum
       val want = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
@@ -2831,9 +2958,8 @@ object ManifestLake {
       }.mkString("/")).toSet
 
     val live = manifest.files
-    def partOf(rel: String): String =
-      rel.split("/").drop(2).dropRight(1).mkString("/")
-    val (affectedFiles, untouched) = live.partition(f => affectedDirs.contains(partOf(f.path)))
+    val (affectedFiles, untouched) =
+      live.partition(f => affectedDirs.contains(partDirOf(f.path)))
 
     // merge: updates win key collisions outright (the batch is the
     // newer truth) — same shape as Lake.upsert's merge
@@ -3038,7 +3164,7 @@ object ManifestLake {
             return headV
           }
           val headAffected = headM.files
-            .filter(f => affectedDirs.contains(partOf(f.path))).toSet
+            .filter(f => affectedDirs.contains(partDirOf(f.path))).toSet
           // effectiveConstraints: see the merge guard — a concurrently
           // added generated column's validation must not be bypassed
           if (headAffected != affectedFiles.toSet ||
@@ -4154,8 +4280,18 @@ object ManifestLake {
   /** The hive `k=v` partition-dir string of a manifest-relative data
     * path (`data/v<N>/k1=v1/.../file.parquet` → `k1=v1/...`).
     */
+  /** The hive `k=v/…` partition-dir part of a manifest-relative data
+    * path. Engine-written files sit under a `data/v<N>…/` prefix;
+    * ADOPTED files (in-place conversion of an existing parquet tree)
+    * sit directly under the root — so the partition run is located by
+    * SHAPE (the contiguous `k=v` segments before the file name), not by
+    * position. Commit-dir segments can never contain '=' (version +
+    * uuid-hex), so the shapes are unambiguous.
+    */
   private[etl] def partDirOf(rel: String): String =
-    rel.split("/").drop(2).dropRight(1).mkString("/")
+    rel.split("/").dropRight(1)
+      .dropWhile(!_.contains('=')).takeWhile(_.contains('='))
+      .mkString("/")
 
   /** PHYSICAL scan of `files` carrying the parquet reader's per-row
     * provenance — `__dv_fp` (file path string) and `__dv_ri` (row index
@@ -5144,7 +5280,8 @@ object ManifestLake {
       .schema(StructType(physSchema.fields.filterNot(f =>
         m.partCols.contains(f.name))))
       .parquet(candidates.map(f => new Path(root, f.path).toString): _*)
-    val computed = collectStatsOver(spark, scan, physSchema, phys, m.partCols)
+    val computed = collectStatsOver(spark, scan, physSchema, phys, m.partCols,
+      tableRoot = Some(fs.makeQualified(root).toString))
     if (computed.isEmpty) return metadataOnly() // nothing eligible
     val updated = candidates.flatMap(f => computed.get(f.path).map(st =>
       f.copy(stats = f.stats ++ st.bounds,

@@ -81,6 +81,13 @@ object GraftFunctions {
     functions.foreach(ext.injectFunction)
     ext.injectParser((session, delegate) =>
       new graft.etl.GraftSqlParser(session, delegate))
+    // NAMED manifest tables (spark.sql.catalog.<name>=graft.etl.GraftCatalog):
+    // spark.table(...) reads and df.writeTo(...) verbs resolve through
+    // the catalog into GraftNamedTable; this rule swaps them for the
+    // engine's plans/commands (SQL statements are claimed by the parser
+    // above, which resolves catalog names itself)
+    ext.injectResolutionRule(session =>
+      new graft.etl.GraftCatalogRule(session))
   }
 
   /** Imperative registration on a live session (idempotent). */

@@ -2547,5 +2547,181 @@ object EtlGate {
              |  CAST(sum(n_chars % 128) AS BIGINT) AS sum_quality,
              |  CAST(sum(doc_id) AS BIGINT) AS sum_did,
              |  max(doc_id) AS max_id
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // NAMED tables through the DSv2 catalog (round 17): the whole
+    // lifecycle a SQL-first user runs — CREATE by name, INSERT by
+    // name, the q123 ALTER chain by name, a df.writeTo(...).append()
+    // (the DataFrameWriterV2 route, which never passes through the
+    // parser), and the q108 clause-matrix MERGE by name — with SHOW
+    // TABLES and name↔path state identity required in-line, and the
+    // final table hash-matched against DuckDB replaying the same
+    // evolution + merge relationally. One gate proving the catalog
+    // spelling is the SAME engine, not a parallel implementation.
+    Q(
+      "q136_named_catalog",
+      (s, dir) => {
+        val wh = scratchDir("graft-gate-namedwh")
+        s.conf.set("spark.sql.catalog.gatecat", "graft.etl.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gatecat.warehouse", wh)
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("text"),
+            col("n_chars").cast("int").as("nc"))
+        val T = "gatecat.gate.docs"
+        s.sql(s"CREATE TABLE $T (doc_id BIGINT, lang STRING, text STRING, " +
+          "nc INT) PARTITIONED BY (lang)")                               // v1
+        docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+          .createOrReplaceTempView("q136_evens")
+        s.sql(s"INSERT INTO $T SELECT doc_id, lang, text, nc FROM q136_evens") // v2
+        // q123's ALTER chain, by NAME
+        s.sql(s"ALTER TABLE $T ADD COLUMNS (note STRING)")               // v3
+        s.sql(s"ALTER TABLE $T RENAME COLUMN nc TO len")                 // v4
+        s.sql(s"ALTER TABLE $T ALTER COLUMN len TYPE BIGINT")            // v5
+        s.sql(s"ALTER TABLE $T ADD CONSTRAINT len_pos CHECK (len >= 0)") // v6
+        // odds arrive via df.writeTo — the programmatic route that
+        // resolves through the catalog, not the parser
+        docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+          .withColumnRenamed("nc", "len")
+          .withColumn("len", col("len").cast("long"))
+          .withColumn("note", concat(lit("n"), col("doc_id")))
+          .writeTo(T).append()                                           // v7
+        require(s.sql("SHOW TABLES IN gatecat.gate").collect()
+          .map(_.getString(1)).contains("docs"),
+          "q136 gate: SHOW TABLES must list the named table")
+        require(s.table(T).count() ==
+          ManifestLake.read(s, s"$wh/gate/docs").count(),
+          "q136 gate: name and path spellings must read the same state")
+        // q108's clause matrix, by NAME, over the EVOLVED schema
+        docs.where(pmod(col("doc_id"), lit(3L)) === 0)
+          .withColumn("text", upper(col("text")))
+          .withColumnRenamed("nc", "len")
+          .withColumn("len", col("len").cast("long"))
+          .createOrReplaceTempView("q136_src")
+        val st = s.sql(
+          s"""MERGE INTO $T t USING q136_src s
+             |ON t.lang = s.lang AND t.doc_id = s.doc_id
+             |WHEN MATCHED AND s.doc_id % 5 = 0 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET text = s.text, len = s.len
+             |WHEN NOT MATCHED AND s.len > 100 THEN
+             |  INSERT (doc_id, lang, text, len, note)
+             |  VALUES (s.doc_id, s.lang, s.text, s.len, concat('m', s.doc_id))
+             |""".stripMargin).collect().head                            // v8
+        require(st.getLong(0) == 8L,
+          s"q136 gate: lifecycle must land at v8, got v${st.getLong(0)}")
+        s.sql(
+          s"""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(len) AS BIGINT) AS sum_len,
+             |  count(note) AS n_notes,
+             |  CAST(sum(CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM $T GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""WITH tgt AS (
+             |  SELECT doc_id, lang, text, CAST(n_chars AS BIGINT) AS len,
+             |    NULL AS note
+             |  FROM documents WHERE doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT doc_id, lang, text, n_chars, 'n' || doc_id
+             |  FROM documents WHERE doc_id % 2 = 1),
+             |src AS (
+             |  SELECT doc_id, lang, upper(text) AS text,
+             |    CAST(n_chars AS BIGINT) AS len
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |cls AS (
+             |  SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+             |    coalesce(t.lang, s.lang) AS lang,
+             |    t.text AS t_text, s.text AS s_text,
+             |    t.len AS t_len, s.len AS s_len, t.note AS note,
+             |    CASE
+             |      WHEN t.doc_id IS NOT NULL AND s.doc_id IS NOT NULL THEN
+             |        CASE WHEN s.doc_id % 5 = 0 THEN 'D' ELSE 'U' END
+             |      WHEN s.doc_id IS NOT NULL THEN
+             |        CASE WHEN s.len > 100 THEN 'I' ELSE 'X' END
+             |      ELSE 'K' END AS action
+             |  FROM tgt t FULL OUTER JOIN src s
+             |    ON t.lang = s.lang AND t.doc_id = s.doc_id),
+             |fin AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN action IN ('U', 'I') THEN s_text ELSE t_text END AS text,
+             |    CASE WHEN action IN ('U', 'I') THEN s_len ELSE t_len END AS len,
+             |    CASE WHEN action = 'I' THEN 'm' || doc_id ELSE note END AS note
+             |  FROM cls WHERE action IN ('K', 'U', 'I'))
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(len) AS BIGINT) AS sum_len,
+             |  count(note) AS n_notes,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // IN-PLACE ADOPTION (round 17, Delta's CONVERT TO DELTA idiom): a
+    // PLAIN hive-partitioned parquet tree — written by a vanilla
+    // df.write.partitionBy, no manifest anywhere — becomes a manifest
+    // table in one metadata commit with a BYTE-IDENTICAL file set
+    // (required in-line: zero data movement), and the full engine then
+    // runs on it: DELETE rewrites only matched files, time travel
+    // serves the adopted snapshot, ANALYZE backfills stats. The final
+    // state, the pre-delete snapshot, and the change feed hash-match
+    // DuckDB replaying the same content relationally; a second adopt
+    // refuses (required in-line).
+    Q(
+      "q137_adopt_in_place",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-adopt") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        docs.write.partitionBy("lang").parquet(out)                      // PLAIN
+        val (fs, root) = ManifestLake.fsFor(s, out)
+        def liveSet(): Set[(String, Long)] = {
+          val b = Set.newBuilder[(String, Long)]
+          val it = fs.listFiles(root, true)
+          while (it.hasNext) {
+            val st = it.next()
+            val p = st.getPath.toString
+            if (p.endsWith(".parquet") && !p.contains("/_") &&
+              !p.contains("/data/")) b += ((p, st.getLen))
+          }
+          b.result()
+        }
+        val before = liveSet()
+        val v1 = ManifestLake.adopt(s, out, statsCols = Seq("doc_id"))   // v1
+        require(v1 == 1L && liveSet() == before,
+          "q137 gate: adoption must move, add, or rewrite ZERO data files")
+        require(ManifestLake.readManifest(fs, root, 1L).files.size == before.size,
+          "q137 gate: the manifest must list exactly the adopted files")
+        val e = try { ManifestLake.adopt(s, out); None }
+        catch { case ex: IllegalArgumentException => Some(ex) }
+        require(e.exists(_.getMessage.contains("already a manifest table")),
+          "q137 gate: a second adopt must refuse")
+        ManifestLake.analyzeStats(s, out)                                // v2
+        s.sql(s"DELETE FROM `graft-manifest`.`$out` WHERE doc_id % 7 = 0") // v3
+        val cols = Seq(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+        val live = ManifestLake.read(s, out)
+          .select(lit("live").as("leg") +: cols: _*)
+        val snap = ManifestLake.readVersion(s, out, 1L)
+          .select(lit("adopted").as("leg") +: cols: _*)
+        val feed = ManifestLake.readChangeFeed(s, out, fromV = 2L, toV = 3L)
+          .select(col("_change_type").as("leg") +: cols: _*)
+        live.unionByName(snap).unionByName(feed)
+          .groupBy(col("leg"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("content_sum"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("leg"), col("lang"))
+      },
+      Some("""WITH legs AS (
+             |  SELECT 'adopted' AS leg, lang, doc_id, text, n_chars
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'live', lang, doc_id, text, n_chars
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT 'delete', lang, doc_id, text, n_chars
+             |  FROM documents WHERE doc_id % 7 = 0)
+             |SELECT leg, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM legs GROUP BY leg, lang ORDER BY leg, lang""".stripMargin)))
 }

@@ -1,0 +1,165 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** NAMED manifest tables through the DSv2 catalog plugin
+  * (`spark.sql.catalog.graft=graft.etl.GraftCatalog`): every verb the
+  * path spelling supports works by `graft.ns.t` name — CREATE/CTAS,
+  * INSERT, MERGE/UPDATE/DELETE, ALTER, SET TBLPROPERTIES, time travel,
+  * maintenance, table_changes — plus the catalog-only surface: SHOW
+  * TABLES/NAMESPACES, DROP TABLE, spark.table(), df.writeTo() verbs.
+  * The two spellings address the SAME table state (the filesystem IS
+  * the catalog).
+  */
+class NamedCatalogSpec extends AnyFunSuite {
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft-warehouse").toString
+
+  private lazy val spark = {
+    val s = graft.TestSpark.spark
+    s.conf.set("spark.sql.catalog.graft", "graft.etl.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+    s
+  }
+
+  test("CREATE / INSERT / SELECT by name; name and path spellings address the same table") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.ns1.t1 (grp STRING, id BIGINT, payload STRING) " +
+      "PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO graft.ns1.t1 VALUES ('aa', 1, 'p1'), ('bb', 2, 'p2')")
+    assert(spark.sql("SELECT id FROM graft.ns1.t1 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    // the path spelling reads the same state
+    val path = s"$warehouse/ns1/t1"
+    assert(spark.sql(s"SELECT count(*) FROM `graft-manifest`.`$path`")
+      .as[Long].head() === 2L)
+    // and a path-side mutation is visible by name
+    ManifestLake.write(spark, Seq(("cc", 3L, "p3")).toDF("grp", "id", "payload"),
+      path, Seq("grp"), replace = false)
+    assert(spark.sql("SELECT count(*) FROM graft.ns1.t1").as[Long].head() === 3L)
+    // SHOW TABLES sees it; tableExists through the catalog API
+    val shown = spark.sql("SHOW TABLES IN graft.ns1").collect().map(_.getString(1))
+    assert(shown.contains("t1"))
+    assert(spark.catalog.tableExists("graft.ns1.t1"))
+  }
+
+  test("MERGE clause matrix + UPDATE + DELETE by name; qualified references resolve") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.ns1.t2 (grp STRING, id BIGINT, payload STRING) " +
+      "PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO graft.ns1.t2 " +
+      "VALUES ('aa', 1, 'p1'), ('aa', 2, 'p2'), ('bb', 3, 'p3')")
+    Seq(("aa", 1L, "U1", "u"), ("aa", 2L, "D2", "d"), ("aa", 9L, "I9", "i"))
+      .toDF("grp", "id", "payload", "op").createOrReplaceTempView("named_src")
+    val st = spark.sql(
+      """MERGE INTO graft.ns1.t2 t USING named_src s
+        |ON t.grp = s.grp AND t.id = s.id
+        |WHEN MATCHED AND s.op = 'd' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET payload = s.payload
+        |WHEN NOT MATCHED THEN INSERT (grp, id, payload) VALUES (s.grp, s.id, s.payload)
+        |""".stripMargin).collect().head
+    assert((st.getLong(1), st.getLong(2), st.getLong(3)) === (1L, 1L, 1L))
+    // UNALIASED: the table name itself qualifies references
+    spark.sql("UPDATE graft.ns1.t2 SET payload = upper(payload) WHERE id = 3")
+    assert(spark.sql("SELECT payload FROM graft.ns1.t2 WHERE id = 3")
+      .as[String].head() === "P3")
+    spark.sql("DELETE FROM graft.ns1.t2 WHERE graft.ns1.t2.id = 9")
+    assert(spark.sql("SELECT count(*) FROM graft.ns1.t2").as[Long].head() === 2L)
+  }
+
+  test("ALTER chain + SET TBLPROPERTIES + ANALYZE + time travel + maintenance + table_changes by name") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.ns1.t3 (grp STRING, id BIGINT) PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO graft.ns1.t3 VALUES ('aa', 1), ('bb', 2)")      // v2
+    spark.sql("ALTER TABLE graft.ns1.t3 ADD COLUMNS (note STRING)")        // v3
+    spark.sql("ALTER TABLE graft.ns1.t3 RENAME COLUMN note TO remark")     // v4
+    spark.sql("ALTER TABLE graft.ns1.t3 ALTER COLUMN id TYPE DECIMAL(20,0)") // v5
+    val cols = spark.sql("SELECT * FROM graft.ns1.t3").schema
+    assert(cols.fieldNames.toSeq === Seq("grp", "id", "remark"))
+    assert(cols("id").dataType ===
+      org.apache.spark.sql.types.DecimalType(20, 0))
+    spark.sql("ALTER TABLE graft.ns1.t3 SET TBLPROPERTIES ('graft.statsCols' = 'id')")
+    spark.sql("ANALYZE TABLE graft.ns1.t3 COMPUTE STATISTICS")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.ns1.t3").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.statsCols").contains("id"))
+    // time travel by name (SQL) — v2 predates the ALTERs
+    assert(spark.sql("SELECT * FROM graft.ns1.t3 VERSION AS OF 2")
+      .schema.fieldNames.toSeq === Seq("grp", "id"))
+    // maintenance by name
+    assert(spark.sql("DESCRIBE HISTORY graft.ns1.t3").collect().length >= 5)
+    spark.sql("OPTIMIZE graft.ns1.t3")
+    // the change feed TVF accepts the dotted name
+    val feed = spark.sql("SELECT * FROM table_changes('graft.ns1.t3', 2, 2)")
+    assert(feed.where(col("_change_type") === "insert").count() === 2L)
+  }
+
+  test("spark.table() and df.writeTo() verbs reach the engine; bad shapes refuse") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.ns2.w (grp STRING, id BIGINT) PARTITIONED BY (grp)")
+    // writeTo.append commits through the manifest
+    Seq(("aa", 1L), ("bb", 2L)).toDF("grp", "id").writeTo("graft.ns2.w").append()
+    assert(spark.table("graft.ns2.w").count() === 2L)
+    // column order differs — byName alignment handles it
+    Seq((3L, "aa")).toDF("id", "grp").writeTo("graft.ns2.w").append()
+    assert(spark.table("graft.ns2.w").where(col("id") === 3L).count() === 1L)
+    // dynamic partition overwrite: only 'aa' swaps
+    Seq(("aa", 10L)).toDF("grp", "id").writeTo("graft.ns2.w").overwritePartitions()
+    val r = spark.table("graft.ns2.w").select("grp", "id").as[(String, Long)]
+      .collect().toSet
+    assert(r === Set(("aa", 10L), ("bb", 2L)))
+    // truncate-overwrite replaces wholesale
+    Seq(("cc", 99L)).toDF("grp", "id").writeTo("graft.ns2.w").overwrite(lit(true))
+    assert(spark.table("graft.ns2.w").select("grp", "id").as[(String, Long)]
+      .collect().toSeq === Seq(("cc", 99L)))
+    // the engine validated every commit (4 writeTo commits + create)
+    val hist = spark.sql("DESCRIBE HISTORY graft.ns2.w").collect()
+    assert(hist.length === 5)
+    // a conditional overwrite refuses loudly — no vanilla fall-through
+    val e = intercept[Exception] {
+      Seq(("aa", 1L)).toDF("grp", "id").writeTo("graft.ns2.w")
+        .overwrite(col("grp") === "aa")
+    }
+    assert(e.getMessage.contains("truncate"), e.getMessage)
+    // a batch missing a column refuses
+    val e2 = intercept[Exception] {
+      Seq("aa").toDF("grp").writeTo("graft.ns2.w").append()
+    }
+    assert(e2.getMessage.contains("missing") ||
+      e2.getMessage.toLowerCase.contains("cannot"), e2.getMessage)
+  }
+
+  test("namespaces, DROP TABLE, rename, and safety refusals") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE graft.ns3")
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("ns3"))
+    spark.sql("CREATE TABLE graft.ns3.d (grp STRING, id BIGINT) PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO graft.ns3.d VALUES ('aa', 1)")
+    // DROP of a NAMED table deletes the managed directory
+    spark.sql("DROP TABLE graft.ns3.d")
+    assert(!spark.catalog.tableExists("graft.ns3.d"))
+    assert(!new java.io.File(s"$warehouse/ns3/d/_manifest").exists())
+    // identifier segments that would escape the warehouse refuse
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.ns3.`..` (id BIGINT)")
+    }
+    assert(e.getMessage.contains("illegal catalog identifier"), e.getMessage)
+    // a two-part name routes through the default namespace
+    spark.sql("CREATE TABLE graft.two (grp STRING, id BIGINT) PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO graft.two VALUES ('aa', 7)")
+    assert(spark.sql("SELECT id FROM graft.default.two").as[Long].head() === 7L)
+    assert(new java.io.File(s"$warehouse/default/two/_manifest").exists())
+    // CTAS by name, reading a named table
+    spark.sql("CREATE TABLE graft.ns3.clone PARTITIONED BY (grp) AS " +
+      "SELECT * FROM graft.default.two")
+    assert(spark.sql("SELECT id FROM graft.ns3.clone").as[Long].head() === 7L)
+    // non-graft references pass through untouched
+    spark.range(3).createOrReplaceTempView("vanilla_v")
+    assert(spark.sql("SELECT count(*) FROM vanilla_v").as[Long].head() === 3L)
+  }
+}
