@@ -185,8 +185,16 @@ object Profile {
       val t0 = System.nanoTime()
       ManifestLake.publish(fs, root, 1L, files, Some(schema), Seq("lang"))
       val tSnap = (System.nanoTime() - t0) / 1e9
-      def bytesOf(v: Long) = fs.getFileStatus(
-        new Path(root, f"_manifest/v$v%06d.list.gz")).getLen
+      def bytesOf(v: Long) = {
+        val gz = fs.getFileStatus(
+          new Path(root, f"_manifest/v$v%06d.list.gz")).getLen
+        // a sharded checkpoint's real footprint is its parquet shards
+        val shards = fs.listStatus(new Path(root, "_manifest"))
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(f"ckpt-v$v%06d"))
+          .flatMap(d => fs.listStatus(d.getPath)).map(_.getLen).sum
+        gz + shards
+      }
       val snapBytes = bytesOf(1L)
       val hops = ManifestLake.CheckpointInterval - 1
       val deltaStats = (1 to hops).map { k =>

@@ -491,9 +491,6 @@ object GraftSqlDml {
       case AddColumns(t, cols) =>
         alterTargetPath(spark, t).map { path =>
           val adds = cols.map { c =>
-            require(c.path.isEmpty,
-              "ADD COLUMN inside a struct is not supported on manifest " +
-                s"tables: ${(c.path.get.name :+ c.colName).mkString(".")}")
             require(c.position.isEmpty,
               "ADD COLUMN ... FIRST/AFTER is not supported — manifest " +
                 "columns append at the end")
@@ -505,7 +502,10 @@ object GraftSqlDml {
             require(c.nullable,
               s"added column ${c.colName} must be nullable — existing " +
                 "files carry no values for it")
-            (c.colName, c.dataType)
+            // a dotted path adds a field INSIDE a struct/array<struct>
+            // — the engine's metadata-only nested add (round 17)
+            ((c.path.map(_.name).getOrElse(Seq.empty) :+ c.colName)
+              .mkString("."), c.dataType)
           }
           GraftAlterCommand(path, AlterAddCols(adds))
         }
@@ -948,16 +948,13 @@ final case class GraftAlterCommand(path: String, op: GraftAlterOp)
       case AlterAddCols(cols) =>
         // pre-validate the WHOLE list before the first commit — each
         // column is its own atomic version, and a bad second name must
-        // not leave the statement half-applied
-        val (fs0, root0) = ManifestLake.fsFor(spark, path)
-        val existing = ManifestLake.logicalSchemaOf(
-          ManifestLake.readManifest(fs0, root0, head())).fieldNames
-        val dup = cols.map(_._1).find(n =>
-          existing.exists(_.equalsIgnoreCase(n)))
-        require(dup.isEmpty,
-          s"column ${dup.getOrElse("")} already exists on the table at $path")
+        // not leave the statement half-applied (validateOnly runs the
+        // full admission checks, top-level AND nested, against one
+        // snapshot)
         require(cols.map(_._1.toLowerCase).distinct.size == cols.size,
           "ADD COLUMNS names a column twice")
+        cols.foreach { case (n, dt) =>
+          ManifestLake.addColumn(spark, path, n, dt, validateOnly = true) }
         cols.map { case (n, dt) =>
           ManifestLake.addColumn(spark, path, n, dt) }.last
       case AlterRenameCol(from, to) =>
@@ -966,14 +963,23 @@ final case class GraftAlterCommand(path: String, op: GraftAlterOp)
         val (fs, root) = ManifestLake.fsFor(spark, path)
         val logical = ManifestLake.logicalSchemaOf(
           ManifestLake.readManifest(fs, root, head()))
+        // a dotted name whose ROOT is a column targets a NESTED field —
+        // claimed here, deep-validated by the engine's validateOnly pass
         val (present, absent) = cols.partition(c =>
-          logical.fieldNames.exists(_.equalsIgnoreCase(c)))
+          logical.fieldNames.exists(_.equalsIgnoreCase(c)) ||
+            (c.contains('.') && logical.fieldNames.exists(
+              _.equalsIgnoreCase(c.takeWhile(_ != '.')))))
         require(absent.isEmpty || ifExists,
           s"no column ${absent.mkString(", ")} on the table at $path " +
             s"(columns: ${logical.fieldNames.mkString(", ")}); " +
             "use DROP COLUMN IF EXISTS to skip silently")
+        // pre-validate the whole list before the first commit — a bad
+        // second entry (unknown nested path, last field of its struct)
+        // must not leave the statement half-applied
+        present.foreach(c =>
+          ManifestLake.dropColumn(spark, path, c, validateOnly = true))
         if (present.isEmpty) head()
-        else present.map(ManifestLake.dropColumn(spark, path, _)).last
+        else present.map(c => ManifestLake.dropColumn(spark, path, c)).last
       case AlterWidenCols(cols) =>
         // pre-validate the WHOLE list before the first commit (mirror
         // of the AlterAddCols pre-check): each column is its own

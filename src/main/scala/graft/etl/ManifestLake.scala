@@ -239,6 +239,8 @@ object ManifestLake {
                                          generated: Seq[(String, String)] = Seq.empty,
                                          fieldMap: Seq[(String, String, String)] = Seq.empty,
                                          statsColsDefault: Seq[String] = Seq.empty,
+                                         fieldDropped: Seq[(String, String)] = Seq.empty,
+                                         ckptRef: Option[String] = None,
                                          chain: Int = 0,
                                          baseVersions: Seq[Long] = Seq.empty)
 
@@ -313,7 +315,7 @@ object ManifestLake {
     * publish wall). Paths are unique within a manifest, so stability
     * is moot; ordering matches `sortBy(_.path)` (String natural order).
     */
-  private def sortedByPath(fls: Seq[LiveFile]): Seq[LiveFile] = {
+  private[etl] def sortedByPath(fls: Seq[LiveFile]): Seq[LiveFile] = {
     val arr = fls.toArray
     val cmp = new java.util.Comparator[LiveFile] {
       def compare(a: LiveFile, b: LiveFile): Int = a.path.compareTo(b.path)
@@ -333,6 +335,118 @@ object ManifestLake {
     * the cadence; production never reassigns it.
     */
   @volatile private[graft] var CheckpointInterval: Int = 10
+
+  /** Above this live-file count a SNAPSHOT commit writes its file list
+    * as SHARDED PARQUET under `_manifest/ckpt-v<N>-<tok>/` instead of
+    * inline gz text lines: 16 shards write AND parse with driver-side
+    * parallelism (gzip text is inherently serial both ways), bounding
+    * the multi-million-file cold read, and the checkpoint doubles as a
+    * DataFrame-readable file inventory (`spark.read.parquet(ckptDir)`)
+    * for distributed maintenance tooling. The manifest gz keeps the
+    * whole header plus ONE `#ckpt` directive — commit atomicity is
+    * still the single no-overwrite manifest rename (shards land first;
+    * a losing racer's orphaned shard dir is vacuum-reaped). Below the
+    * threshold inline text wins (no extra files, no open overhead).
+    * `private[graft] var` only so specs can lower it; production never
+    * reassigns.
+    */
+  @volatile private[graft] var CheckpointShardThreshold: Int = 1000000
+  private val CheckpointShards = 16
+
+  private lazy val ckptSchema: org.apache.parquet.schema.MessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message ckpt {
+        |  required int64 bytes;
+        |  required binary path (UTF8);
+        |  optional binary meta (UTF8);
+        |}""".stripMargin)
+
+  /** Write `filesSorted` as [[CheckpointShards]] parquet shards under
+    * `_manifest/<rel>/`; returns (rel, shard count). `meta` carries the
+    * SAME rendered stats blob the inline text format uses — one
+    * serialization contract, two containers.
+    */
+  private def writeCheckpointShards(fs: FileSystem, root: Path, v: Long,
+                                    filesSorted: Seq[LiveFile]): (String, Int) = {
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    val rel = f"ckpt-v$v%06d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = new Path(root, s"$ManifestDir/$rel")
+    fs.mkdirs(dir)
+    val arr = filesSorted.toArray
+    val n = arr.length
+    val nSh = math.min(CheckpointShards, math.max(1, n / 65536))
+    val per = (n + nSh - 1) / nSh
+    val conf = new org.apache.hadoop.conf.Configuration(fs.getConf)
+    java.util.stream.IntStream.range(0, nSh).parallel().forEach { k =>
+      val lo = k * per
+      val hi = math.min(n, lo + per)
+      val w = ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new Path(dir, f"shard-$k%03d.parquet"), conf))
+        .withType(ckptSchema)
+        .withConf(conf)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+        .build()
+      try {
+        var i = lo
+        while (i < hi) {
+          val f = arr(i)
+          val g = new SimpleGroup(ckptSchema)
+          g.add("bytes", f.bytes)
+          g.add("path", f.path)
+          val meta =
+            if (f.stats.isEmpty && f.rows.isEmpty && f.nullCounts.isEmpty &&
+              f.valueSets.isEmpty && f.dv.isEmpty && f.bloom.isEmpty) null
+            else renderStats(f.stats, f.rows, f.nullCounts, f.valueSets,
+              f.dv, f.dvRows, f.bloom)
+          if (meta != null) g.add("meta", meta)
+          w.write(g)
+          i += 1
+        }
+      } finally w.close()
+    }
+    (rel, nSh)
+  }
+
+  /** Load a sharded checkpoint's file list, shards in parallel, order
+    * preserved (shards are contiguous slices of the path-sorted list).
+    */
+  private def readCheckpointShards(fs: FileSystem, manifestDir: Path,
+                                   rel: String, nShards: Int): Seq[LiveFile] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val dir = new Path(manifestDir, rel)
+    val conf = new org.apache.hadoop.conf.Configuration(fs.getConf)
+    val out = new Array[Seq[LiveFile]](nShards)
+    java.util.stream.IntStream.range(0, nShards).parallel().forEach { k =>
+      val b = scala.collection.immutable.ArraySeq.newBuilder[LiveFile]
+      val r = ParquetReader
+        .builder(new GroupReadSupport(),
+          new Path(dir, f"shard-$k%03d.parquet"))
+        .withConf(conf).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          val bytes = g.getLong("bytes", 0)
+          val path = g.getString("path", 0)
+          val meta =
+            if (g.getFieldRepetitionCount("meta") > 0) g.getString("meta", 0)
+            else null
+          b += (if (meta == null) LiveFile(bytes, path)
+          else {
+            val (bounds, rows, nulls, sets, dv, dvRows, bloom) = parseStats(meta)
+            LiveFile(bytes, path, bounds, rows, nulls, sets, dv, dvRows, bloom)
+          })
+          g = r.read()
+        }
+      } finally r.close()
+      out(k) = b.result()
+    }
+    out.toSeq.flatten
+  }
 
   /** Parse version `v`'s manifest and RESOLVE it to the full live set.
     * Lines starting with `#` are directives (`#schema\t<StructType
@@ -586,15 +700,34 @@ object ManifestLake {
       val parts = d.split("\t")
       (parts(1), parts(2), parts(3))
     }
+    val fieldDropped = directives.filter(_.startsWith("#fielddropped\t")).map { d =>
+      val parts = d.split("\t")
+      (parts(1), parts(2))
+    }
+    val ckptRef = dmap.get("#ckpt").map(_.split("\t")(0))
+    val filesAll: Seq[LiveFile] = dmap.get("#ckpt") match {
+      case None => files
+      case Some(spec) =>
+        val sp = spec.split("\t")
+        val loaded = readCheckpointShards(fs, p.getParent, sp(0), sp(1).toInt)
+        require(loaded.length == sp(2).toInt,
+          s"sharded checkpoint ${sp(0)} of $p is incomplete: expected " +
+            s"${sp(2)} entries, loaded ${loaded.length}")
+        require(files.isEmpty,
+          s"manifest $p carries BOTH inline file lines and a #ckpt " +
+            "directive — corrupt")
+        loaded
+    }
     val deltaRef = dmap.get("#delta").map { s =>
       val parts = s.split("\t")
       (parts(0).toLong, parts(1).toInt)
     }
     val removes = directives.filter(_.startsWith("#remove\t"))
       .map(_.substring("#remove\t".length))
-    (Manifest(schema, partCols, files, txns, op, cdf, constraints,
+    (Manifest(schema, partCols, filesAll, txns, op, cdf, constraints,
       if (colMapEntries.isEmpty) None else Some(colMapEntries), dropped,
-      bloomCols, generated, fieldMap, statsColsDefault), deltaRef, removes)
+      bloomCols, generated, fieldMap, statsColsDefault,
+      fieldDropped, ckptRef), deltaRef, removes)
   }
 
   /** Stats blob: `{"col": ["lo","hi"], …, "#rows": n, "#nulls":
@@ -888,6 +1021,7 @@ object ManifestLake {
                            generated: Seq[(String, String)] = Seq.empty,
                            fieldMap: Seq[(String, String, String)] = Seq.empty,
                            statsColsDefault: Seq[String] = Seq.empty,
+                           fieldDropped: Seq[(String, String)] = Seq.empty,
                            deltaHint: Option[(Seq[LiveFile], Seq[String])] = None): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
@@ -926,6 +1060,7 @@ object ManifestLake {
        else Seq(s"#statscols\t${statsColsDefault.mkString(",")}")) ++
       generated.map { case (n, e) => s"#gencol\t$n\t$e" } ++
       fieldMap.map { case (c, l, ph) => s"#fieldmap\t$c\t$l\t$ph" } ++
+      fieldDropped.map { case (c, pp) => s"#fielddropped\t$c\t$pp" } ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
     def fileLine(f: LiveFile): String =
       if (f.stats.isEmpty && f.rows.isEmpty && f.nullCounts.isEmpty &&
@@ -1022,11 +1157,25 @@ object ManifestLake {
     // publish-time cache insert below both need the sorted view; a
     // second multi-million-entry sort was measurable at the 10M envelope
     lazy val filesSorted = sortedByPath(files)
+    var ckptRefOut: Option[String] = None
     val bodyLines: Iterator[String] = delta match {
       case Some((adds, removes, hops)) =>
         header.iterator ++ Iterator(s"#delta\t${v - 1}\t$hops") ++
           removes.sorted.iterator.map(r => s"#remove\t$r") ++
           renderLines(sortedByPath(adds)).iterator
+      case None if files.length >= CheckpointShardThreshold =>
+        // PB-shape snapshot: the file list goes to sharded parquet
+        // (parallel write now, parallel parse on every cold read, and
+        // a distributed-readable inventory); the manifest gz carries
+        // the header + the pointer. Shards land BEFORE the atomic
+        // manifest rename — a losing racer leaves an orphan dir that
+        // vacuum reaps after the grace window.
+        val sorted = filesSorted
+        mark("sort")
+        val (rel, nSh) = writeCheckpointShards(fs, root, v, sorted)
+        ckptRefOut = Some(rel)
+        mark("shards")
+        header.iterator ++ Iterator(s"#ckpt\t$rel\t$nSh\t${sorted.length}")
       case None =>
         val sorted = filesSorted
         mark("sort")
@@ -1159,7 +1308,7 @@ object ManifestLake {
       }
       val resolved = Manifest(schema, partCols, resolvedFiles, txns, op, cdf,
         constraints, colMap.filter(_.nonEmpty), droppedPhys, bloomCols, generated,
-        fieldMap, statsColsDefault,
+        fieldMap, statsColsDefault, fieldDropped, ckptRefOut,
         chain = delta.map(_._3).getOrElse(0),
         baseVersions =
           delta.map(_ => prevM.get.baseVersions :+ (v - 1)).getOrElse(Seq.empty))
@@ -1912,6 +2061,7 @@ object ManifestLake {
           statsColsDefault = statsColsOut,
           generated = genCols,
           fieldMap = curPrev.map(_.fieldMap).getOrElse(Seq.empty),
+          fieldDropped = curPrev.map(_.fieldDropped).getOrElse(Seq.empty),
           // an append drops nothing: the delta is exactly the staged
           // files (a replace rewrites wholesale and snapshots)
           deltaHint = if (replace) None else Some((withStats, Seq.empty)))
@@ -2797,7 +2947,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = curM.statsColsDefault,
-          generated = curM.generated, fieldMap = curM.fieldMap,
+          generated = curM.generated, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((withStats, inputPaths.toSeq)))
         return report
       } catch {
@@ -3148,7 +3298,7 @@ object ManifestLake {
           constraints = manifest.constraints, colMap = colMapOutU,
           droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
           statsColsDefault = manifest.statsColsDefault,
-          generated = manifest.generated, fieldMap = manifest.fieldMap,
+          generated = manifest.generated, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
           deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
         return curV
       } catch {
@@ -3399,7 +3549,7 @@ object ManifestLake {
             constraints = manifest.constraints, colMap = colMapOut,
             droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
           statsColsDefault = manifest.statsColsDefault,
-            generated = manifest.generated, fieldMap = manifest.fieldMap,
+            generated = manifest.generated, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
             deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
           return curV
         } catch {
@@ -3955,7 +4105,7 @@ object ManifestLake {
             constraints = manifest.constraints, colMap = manifest.colMap,
             droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
           statsColsDefault = manifest.statsColsDefault,
-            generated = manifest.generated, fieldMap = manifest.fieldMap,
+            generated = manifest.generated, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
             deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
           return MergeStats(curV, nUpd, nDel, nIns)
         } catch {
@@ -4462,7 +4612,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = curM.statsColsDefault,
-          generated = curM.generated, fieldMap = curM.fieldMap,
+          generated = curM.generated, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((staged, candidatePaths.toSeq)))
         return curV
       } catch {
@@ -4978,7 +5128,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = curM.statsColsDefault,
-          generated = curM.generated, fieldMap = curM.fieldMap,
+          generated = curM.generated, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((staged, candidatePaths.toSeq)))
         return curV
       } catch {
@@ -5041,7 +5191,7 @@ object ManifestLake {
       colMap = target.colMap, droppedPhys = target.droppedPhys,
       bloomCols = target.bloomCols,
       statsColsDefault = target.statsColsDefault, generated = target.generated,
-      fieldMap = target.fieldMap)
+      fieldMap = target.fieldMap, fieldDropped = target.fieldDropped)
     newV
   }
 
@@ -5109,7 +5259,7 @@ object ManifestLake {
       op = Some("constraint"), constraints = m.constraints + (name -> expression),
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = m.statsColsDefault,
-      generated = m.generated, fieldMap = m.fieldMap,
+      generated = m.generated, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -5127,7 +5277,7 @@ object ManifestLake {
       op = Some("constraint"), constraints = m.constraints - name,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = m.statsColsDefault,
-      generated = m.generated, fieldMap = m.fieldMap,
+      generated = m.generated, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -5208,7 +5358,7 @@ object ManifestLake {
       op = Some("properties"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = bloom,
       statsColsDefault = stats, generated = m.generated,
-      fieldMap = m.fieldMap, deltaHint = Some((Seq.empty, Seq.empty)))
+      fieldMap = m.fieldMap, fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
 
@@ -5268,7 +5418,7 @@ object ManifestLake {
           op = Some("analyze"), constraints = m.constraints, colMap = m.colMap,
           droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = newDefault, generated = m.generated,
-          fieldMap = m.fieldMap, deltaHint = Some((Seq.empty, Seq.empty)))
+          fieldMap = m.fieldMap, fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)))
         v + 1
       }
     if (candidates.isEmpty) return metadataOnly()
@@ -5307,7 +5457,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = (curM.statsColsDefault ++ phys).distinct,
-          generated = curM.generated, fieldMap = curM.fieldMap,
+          generated = curM.generated, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((updated, updated.map(_.path))))
         return curV + 1
       } catch {
@@ -5460,7 +5610,7 @@ object ManifestLake {
           statsColsDefault = m.statsColsDefault,
       generated = m.generated.map { case (n, e) =>
         (if (n == oldName) newName else n) -> e
-      }, fieldMap = m.fieldMap)
+      }, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
     v + 1
   }
 
@@ -5557,7 +5707,194 @@ object ManifestLake {
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols,
       statsColsDefault = m.statsColsDefault, generated = m.generated,
-      fieldMap = newFieldMap, deltaHint = Some((Seq.empty, Seq.empty)))
+      fieldMap = newFieldMap, fieldDropped = m.fieldDropped,
+      deltaHint = Some((Seq.empty, Seq.empty)))
+    v + 1
+  }
+
+  /** One parent level as a struct, arrays transparent (the shape both
+    * nested-evolution ops operate inside).
+    */
+  private def structAt(parentType: DataType): Option[StructType] =
+    parentType match {
+      case st: StructType => Some(st)
+      case at: org.apache.spark.sql.types.ArrayType => at.elementType match {
+        case st: StructType => Some(st)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** Rebuild `dt` with the struct AT `physPath` replaced wholesale by
+    * `ns` (arrays transparent). The shared rebuild of nested ADD
+    * (parent gains a trailing field) and nested DROP (parent loses
+    * one).
+    */
+  private def replaceStructAt(dt: DataType, physPath: Seq[String],
+                              ns: StructType): DataType = dt match {
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.copy(elementType = replaceStructAt(at.elementType, physPath, ns))
+    case _: StructType if physPath.isEmpty => ns
+    case st: StructType => StructType(st.fields.map(f =>
+      if (f.name == physPath.head)
+        f.copy(dataType = replaceStructAt(f.dataType, physPath.tail, ns))
+      else f))
+    case other => other
+  }
+
+  /** DROP a field at ANY depth inside a struct / array<struct> column,
+    * metadata-only — the nested analog of [[dropColumn]]: the field
+    * leaves the RECORDED schema (a parquet scan simply doesn't request
+    * struct fields the schema doesn't name, so old files need no
+    * rewrite and serve the remaining fields positionally), its
+    * PHYSICAL path is retired in `#fielddropped`, and a later re-ADD
+    * of the same logical name maps to a FRESH physical field — old
+    * data can never resurrect. Descendant fieldMap entries retire with
+    * it. Refuses: the last field of its struct (the parent would
+    * become an empty struct), and any field whose level-1 branch a
+    * CHECK constraint or generated column references (same lock as
+    * nested rename).
+    */
+  private def dropNestedField(spark: SparkSession, fs: FileSystem, root: Path,
+                              path: String, v: Long, m: Manifest,
+                              cm: Seq[(String, String)], name: String,
+                              validateOnly: Boolean = false): Long = {
+    val parts = name.split("\\.").toSeq
+    val rootL = parts.head
+    val segs = parts.tail
+    val physRoot = cm.find(_._1 == rootL).map(_._2).get
+    val rootType = m.schema.get(physRoot).dataType
+    val entries = m.fieldMap.filter(_._1 == physRoot)
+    val parentPhys = resolvePhysPath(entries, segs.dropRight(1))
+    val parentType = typeAtPhysPath(rootType, parentPhys).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropColumn $name: no such nested path on $path " +
+          s"(root $rootL is ${rootType.catalogString})"))
+    val parentStruct = structAt(parentType).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropColumn $name: ${(rootL +: segs.dropRight(1)).mkString(".")} " +
+          s"is ${parentType.catalogString}, not a struct or array<struct>"))
+    val leafByPhysPath = entries.map { case (_, l, pp) =>
+      pp -> l.split("\\.").last }.toMap
+    val logicalFields = parentStruct.fieldNames.toSeq.map(pf =>
+      leafByPhysPath.getOrElse((parentPhys :+ pf).mkString("."), pf))
+    val fieldL = segs.last
+    require(logicalFields.contains(fieldL),
+      s"no field named $fieldL inside ${(rootL +: segs.dropRight(1)).mkString(".")} " +
+        s"on $path (fields: ${logicalFields.mkString(", ")})")
+    require(parentStruct.fields.length > 1,
+      s"cannot drop the last field of " +
+        s"${(rootL +: segs.dropRight(1)).mkString(".")} — drop or rewrite " +
+        "the struct column itself instead")
+    (m.constraints.toSeq ++ m.generated).foreach { case (n, e) =>
+      val refsThis = spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.head == rootL &&
+            (a.nameParts.length == 1 || a.nameParts(1) == segs.head) => a
+      }.nonEmpty
+      require(!refsThis,
+        s"cannot drop $name: CHECK constraint or generated column $n " +
+          s"(`$e`) references it — drop the expression first")
+    }
+    val curPhys = resolvePhysPath(entries, segs)
+    val physLeaf = curPhys.last
+    val oldLogical = segs.mkString(".")
+    val curPhysDotted = curPhys.mkString(".")
+    val newParent = StructType(parentStruct.fields.filterNot(_.name == physLeaf))
+    val newRootType = replaceStructAt(rootType, parentPhys, newParent)
+    val newSchema = StructType(m.schema.get.fields.map(f =>
+      if (f.name == physRoot) f.copy(dataType = newRootType) else f))
+    val newFieldMap = m.fieldMap.filterNot(e => e._1 == physRoot &&
+      (e._2 == oldLogical || e._2.startsWith(oldLogical + ".") ||
+        e._3 == curPhysDotted || e._3.startsWith(curPhysDotted + ".")))
+    if (validateOnly) return v
+    publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
+      op = Some("schema"), constraints = m.constraints,
+      colMap = m.colMap, droppedPhys = m.droppedPhys,
+      bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
+      generated = m.generated, fieldMap = newFieldMap,
+      fieldDropped = m.fieldDropped :+ ((physRoot, curPhysDotted)),
+      deltaHint = Some((Seq.empty, Seq.empty)))
+    v + 1
+  }
+
+  /** ADD a nullable field at ANY depth inside a struct / array<struct>
+    * column, metadata-only — the nested analog of [[addColumn]]: the
+    * field joins the END of its parent struct in the RECORDED schema;
+    * old files simply lack it and the parquet reader serves typed
+    * nulls (by-name nested resolution). If the leaf name was ever
+    * retired at this level ([[dropNestedField]]'s `#fielddropped`), a
+    * FRESH physical name is minted and a `#fieldmap` entry records the
+    * indirection — dropped data never resurrects. Appends after the
+    * add must carry the full evolved struct (the boundary is a
+    * positional cast; a batch missing the new field refuses loudly —
+    * nested fields have no absent-column backfill).
+    */
+  private def addNestedField(spark: SparkSession, fs: FileSystem, root: Path,
+                             path: String, v: Long, m: Manifest,
+                             cm: Seq[(String, String)], name: String,
+                             dataType: DataType,
+                             validateOnly: Boolean = false): Long = {
+    val parts = name.split("\\.").toSeq
+    val rootL = parts.head
+    val segs = parts.tail
+    val fieldL = segs.last
+    require(fieldL.nonEmpty && !fieldL.exists(c =>
+      c == '\t' || c == '\n' || c == '\r'),
+      s"nested field name must be non-empty with no tabs or newlines: $fieldL")
+    val physRoot = cm.find(_._1 == rootL).map(_._2).get
+    val rootType = m.schema.get(physRoot).dataType
+    val entries = m.fieldMap.filter(_._1 == physRoot)
+    val parentPhys = resolvePhysPath(entries, segs.dropRight(1))
+    val parentType = typeAtPhysPath(rootType, parentPhys).getOrElse(
+      throw new IllegalArgumentException(
+        s"addColumn $name: no such nested path on $path " +
+          s"(root $rootL is ${rootType.catalogString})"))
+    val parentStruct = structAt(parentType).getOrElse(
+      throw new IllegalArgumentException(
+        s"addColumn $name: ${(rootL +: segs.dropRight(1)).mkString(".")} " +
+          s"is ${parentType.catalogString}, not a struct or array<struct>"))
+    val leafByPhysPath = entries.map { case (_, l, pp) =>
+      pp -> l.split("\\.").last }.toMap
+    val logicalFields = parentStruct.fieldNames.toSeq.map(pf =>
+      leafByPhysPath.getOrElse((parentPhys :+ pf).mkString("."), pf))
+    require(!logicalFields.contains(fieldL),
+      s"field $fieldL already exists inside " +
+        s"${(rootL +: segs.dropRight(1)).mkString(".")} on $path")
+    // fresh physical leaf: never a CURRENT sibling, never a RETIRED
+    // leaf at this level (resurrection guard), never a leaf some OTHER
+    // logical path already maps to here
+    val retiredHere = m.fieldDropped.collect {
+      case (c, pp) if c == physRoot =>
+        val ps = pp.split("\\.").toSeq
+        if (ps.length == parentPhys.length + 1 && ps.init == parentPhys)
+          Some(ps.last) else None
+    }.flatten
+    val mappedHere = entries.map(_._3.split("\\.").toSeq).collect {
+      case ps if ps.length == parentPhys.length + 1 && ps.init == parentPhys =>
+        ps.last
+    }
+    val used = parentStruct.fieldNames.toSet ++ retiredHere ++ mappedHere
+    val freshLeaf =
+      if (!used.contains(fieldL)) fieldL
+      else Iterator.from(1).map(k => s"${fieldL}__$k").find(!used.contains(_)).get
+    val newParent = StructType(parentStruct.fields :+
+      StructField(freshLeaf, dataType, nullable = true))
+    val newRootType = replaceStructAt(rootType, parentPhys, newParent)
+    val newSchema = StructType(m.schema.get.fields.map(f =>
+      if (f.name == physRoot) f.copy(dataType = newRootType) else f))
+    val newFieldMap =
+      if (freshLeaf == fieldL) m.fieldMap
+      else m.fieldMap :+ ((physRoot, segs.mkString("."),
+        (parentPhys :+ freshLeaf).mkString(".")))
+    if (validateOnly) return v
+    publish(fs, root, v + 1, m.files, Some(newSchema), m.partCols, m.txns,
+      op = Some("schema"), constraints = m.constraints,
+      colMap = m.colMap, droppedPhys = m.droppedPhys,
+      bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
+      generated = m.generated, fieldMap = newFieldMap,
+      fieldDropped = m.fieldDropped,
+      deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
 
@@ -5569,7 +5906,8 @@ object ManifestLake {
     * data. Partition and constraint-referenced columns refuse, as does
     * dropping the last column.
     */
-  def dropColumn(spark: SparkSession, path: String, name: String): Long = {
+  def dropColumn(spark: SparkSession, path: String, name: String,
+                 validateOnly: Boolean = false): Long = {
     val (fs, root) = fsFor(spark, path)
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no manifested table at $path"))
@@ -5579,7 +5917,9 @@ object ManifestLake {
         "needs the recorded schema (run one append or upsert to adopt a header first)")
     val cm = m.colMap.getOrElse(
       m.schema.get.fieldNames.toSeq.map(n => n -> n))
-    refuseNestedTarget("dropColumn", name, cm.map(_._1))
+    if (name.contains('.') && cm.map(_._1).contains(name.takeWhile(_ != '.')))
+      return dropNestedField(spark, fs, root, path, v, m, cm, name,
+        validateOnly)
     require(cm.exists(_._1 == name),
       s"no column named $name on $path (columns: ${cm.map(_._1).mkString(", ")})")
     require(!m.partCols.contains(name),
@@ -5594,6 +5934,7 @@ object ManifestLake {
       require(n == name || !constraintRefs(spark, e).contains(name),
         s"cannot drop $name: generated column $n (`$e`) derives from it")
     }
+    if (validateOnly) return v
     val phys = cm.find(_._1 == name).get._2
     // the physical column leaves the RECORDED schema too — a parquet
     // scan simply doesn't read columns the file has but the schema
@@ -5609,7 +5950,8 @@ object ManifestLake {
       bloomCols = m.bloomCols.filterNot(_ == phys),
       statsColsDefault = m.statsColsDefault.filterNot(_ == phys),
       generated = m.generated.filterNot(_._1 == name),
-      fieldMap = m.fieldMap.filterNot(_._1 == phys))
+      fieldMap = m.fieldMap.filterNot(_._1 == phys),
+      fieldDropped = m.fieldDropped.filterNot(_._1 == phys))
     v + 1
   }
 
@@ -5662,7 +6004,7 @@ object ManifestLake {
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols,
       statsColsDefault = m.statsColsDefault, generated = m.generated,
-      fieldMap = m.fieldMap, deltaHint = Some((Seq.empty, Seq.empty)))
+      fieldMap = m.fieldMap, fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
 
@@ -5762,7 +6104,7 @@ object ManifestLake {
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols =
         if (renderingStable) m.bloomCols else m.bloomCols.filterNot(_ == phys),
-      generated = m.generated, fieldMap = m.fieldMap)
+      generated = m.generated, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
     v + 1
   }
 
@@ -5816,7 +6158,8 @@ object ManifestLake {
   }
 
   def addColumn(spark: SparkSession, path: String, name: String,
-                dataType: org.apache.spark.sql.types.DataType): Long = {
+                dataType: org.apache.spark.sql.types.DataType,
+                validateOnly: Boolean = false): Long = {
     val (fs, root) = fsFor(spark, path)
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no manifested table at $path"))
@@ -5828,7 +6171,11 @@ object ManifestLake {
       s"column name must be non-empty with no tabs or newlines: $name")
     require(!ReservedLogicalNames.contains(name), s"column name $name is reserved")
     val cm = m.colMap.getOrElse(m.schema.get.fieldNames.toSeq.map(n => n -> n))
+    if (name.contains('.') && cm.map(_._1).contains(name.takeWhile(_ != '.')))
+      return addNestedField(spark, fs, root, path, v, m, cm, name, dataType,
+        validateOnly)
     require(!cm.exists(_._1 == name), s"column $name already exists on $path")
+    if (validateOnly) return v
     val (newColMap, phys) = m.colMap match {
       case None => (None, name)
       case Some(_) =>
@@ -5844,7 +6191,7 @@ object ManifestLake {
       op = Some("schema"), constraints = m.constraints,
       colMap = newColMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = m.statsColsDefault,
-      generated = m.generated, fieldMap = m.fieldMap)
+      generated = m.generated, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
     v + 1
   }
 
@@ -5949,7 +6296,7 @@ object ManifestLake {
         colMap = newColMap, droppedPhys = m.droppedPhys,
         bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
         generated = m.generated :+ (name -> expression),
-        fieldMap = m.fieldMap)
+        fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
       v + 1
     } else {
       require(backfill,
@@ -5990,7 +6337,7 @@ object ManifestLake {
         colMap = newColMap, droppedPhys = m.droppedPhys,
         bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
         generated = m.generated :+ (name -> expression),
-        fieldMap = m.fieldMap)
+        fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
       newV
     }
   }
@@ -6184,6 +6531,24 @@ object ManifestLake {
         .filter(fs.exists).foreach { p =>
           removed += p.toString
           if (!dryRun) fs.delete(p, false): Unit
+        }
+    }
+    // sharded-checkpoint dirs reap with their version: keep every dir a
+    // RETAINED manifest references; everything else (a reaped version's
+    // shards, a losing racer's orphan) goes once past the grace window
+    // (shards land BEFORE the manifest rename — a young orphan may be a
+    // commit in flight)
+    locally {
+      val keptCkpt = retainedManifests.flatMap(_._2.ckptRef).toSet
+      val mdir = new Path(root, ManifestDir)
+      if (fs.exists(mdir))
+        fs.listStatus(mdir).filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("ckpt-")).foreach { st =>
+          if (!keptCkpt.contains(st.getPath.getName) &&
+            st.getModificationTime < cutoff) {
+            removed += st.getPath.toString
+            if (!dryRun) fs.delete(st.getPath, true): Unit
+          }
         }
     }
     removed.result()

@@ -2723,5 +2723,71 @@ object EtlGate {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
              |  max(doc_id) AS max_id
+             |FROM legs GROUP BY leg, lang ORDER BY leg, lang""".stripMargin)),
+
+    // NESTED-FIELD DROP + RE-ADD at depth 2 (round 17): the genomic-
+    // evidence shape drops `entries.ev.q` (metadata-only — byte-
+    // identical file set REQUIRED IN-LINE), then re-adds the SAME
+    // logical name at a WIDER type; the fresh-physical-field
+    // indirection is required in-line and the re-added field must
+    // serve NULL for every pre-add row (dropped data can never
+    // resurrect) while the sibling `w` keeps serving the old files'
+    // values and time travel to v1 still serves the ORIGINAL q.
+    // DuckDB replays both legs relationally.
+    Q(
+      "q138_nested_drop",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-nesteddrop") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+        val nested = docs.select(col("lang"), col("doc_id"),
+          array(struct(col("doc_id").as("did"),
+            array(struct(
+              pmod(col("n_chars"), lit(128L)).cast("int").as("q"),
+              col("n_chars").cast("long").as("w"))).as("ev"))).as("entries"))
+        ManifestLake.write(s, nested, out, Seq("lang"))                  // v1
+        val (fs, root) = ManifestLake.fsFor(s, out)
+        val files1 = ManifestLake.readManifest(fs, root, 1L).files
+          .map(f => (f.path, f.bytes)).toSet
+        require(ManifestLake.dropColumn(s, out, "entries.ev.q") == 2L)   // v2
+        require(s.sql(s"ALTER TABLE `graft-manifest`.`$out` ADD COLUMNS " +
+          "(entries.ev.q BIGINT)").collect().head.getLong(0) == 3L)      // v3
+        val m3 = ManifestLake.readManifest(fs, root, 3L)
+        require(m3.files.map(f => (f.path, f.bytes)).toSet == files1,
+          "q138 gate: nested drop + re-add must move ZERO data files")
+        require(m3.fieldMap.exists { case (c, l, pp) =>
+          c == "entries" && l == "ev.q" && pp != "ev.q" },
+          "q138 gate: the re-added name must map to a FRESH physical field")
+        require(m3.fieldDropped.contains(("entries", "ev.q")),
+          "q138 gate: the dropped physical path must be retired")
+        val r = ManifestLake.read(s, out)
+        require(r.schema("entries").dataType.catalogString ==
+          "array<struct<did:bigint,ev:array<struct<w:bigint,q:bigint>>>>",
+          s"q138 gate: logical shape must carry the re-added field at the " +
+            s"wider type, got ${r.schema("entries").dataType.catalogString}")
+        def leg(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.select(lit(tag).as("leg"), col("lang"), col("doc_id"),
+            expr("entries[0].ev[0].q").cast("long").as("q"),
+            expr("entries[0].ev[0].w").cast("long").as("w"))
+        leg(r, "live").unionByName(
+            leg(ManifestLake.readVersion(s, out, 1L), "v1"))
+          .groupBy(col("leg"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("q"), lit(-1L))).cast("long").as("sum_q"),
+            sum(col("w")).cast("long").as("sum_w"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("leg"), col("lang"))
+      },
+      Some("""WITH legs AS (
+             |  SELECT 'live' AS leg, lang, doc_id,
+             |    CAST(NULL AS BIGINT) AS q, CAST(n_chars AS BIGINT) AS w
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'v1', lang, doc_id,
+             |    CAST(n_chars % 128 AS BIGINT), CAST(n_chars AS BIGINT)
+             |  FROM documents)
+             |SELECT leg, lang, count(*) AS n_docs,
+             |  CAST(sum(coalesce(q, -1)) AS BIGINT) AS sum_q,
+             |  CAST(sum(w) AS BIGINT) AS sum_w,
+             |  max(doc_id) AS max_id
              |FROM legs GROUP BY leg, lang ORDER BY leg, lang""".stripMargin)))
 }

@@ -220,4 +220,58 @@ class ManifestDeltaSpec extends AnyFunSuite {
       assert(ManifestLake.readVersion(spark, dir, 6L).count() === 44)
     } finally ManifestLake.CheckpointInterval = prev
   }
+
+  test("sharded parquet checkpoints above the threshold: pointer manifest, exact round-trip, delta chains, DataFrame-readable, vacuum-reaped") {
+    val prevT = ManifestLake.CheckpointShardThreshold
+    ManifestLake.CheckpointShardThreshold = 1000
+    try {
+      val dir = freshDir("mlake-ckpt-shards")
+      val (fs, root) = ManifestLake.fsFor(spark, dir)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("grp", "string").add("id", "long")
+      def file(i: Int, gen: Int) = ManifestLake.LiveFile(1000L + i,
+        f"data/v${gen}%06d/grp=g${i % 8}/part-$i%06d.parquet",
+        stats = Map("id" -> ((i * 10L).toString, (i * 10L + 9L).toString)),
+        rows = Some(10L), nullCounts = Map("id" -> 0L))
+      val files1 = (0 until 2500).map(file(_, 1))
+      ManifestLake.publish(fs, root, 1L, files1, Some(schema), Seq("grp"))
+      // the manifest gz is a POINTER (tiny — no inline file lines) and
+      // the shard dir is a legal parquet dataset
+      assert(manifestBytes(dir, 1L) < 4096,
+        s"sharded checkpoint manifest must be a pointer, got ${manifestBytes(dir, 1L)}B")
+      val ckptDirs = fs.listStatus(new Path(root, "_manifest"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("ckpt-"))
+      assert(ckptDirs.length === 1)
+      val asDf = spark.read.parquet(ckptDirs.head.getPath.toString)
+      assert(asDf.count() === 2500L)
+      assert(asDf.columns.sorted.toSeq === Seq("bytes", "meta", "path"))
+      // cold parse round-trips EXACTLY — entries, stats, ORDER
+      ManifestLake.clearManifestCache()
+      val m1 = ManifestLake.readManifest(fs, root, 1L)
+      assert(m1.files === ManifestLake.sortedByPath(files1))
+      assert(m1.files.forall(f => f.stats.contains("id") && f.rows.contains(10L)))
+      // deltas chain on the sharded base and resolve exactly
+      val files2 = files1.drop(3) ++ Seq(file(9001, 2), file(9002, 2))
+      ManifestLake.publish(fs, root, 2L, files2, Some(schema), Seq("grp"),
+        deltaHint = Some((Seq(file(9001, 2), file(9002, 2)), files1.take(3).map(_.path))))
+      assert(manifestBytes(dir, 2L) < 2048, "the delta stays O(changed)")
+      ManifestLake.clearManifestCache()
+      val m2 = ManifestLake.readManifest(fs, root, 2L)
+      assert(m2.files.length === 2499)
+      assert(m2.chain === 1)
+      assert(!m2.files.exists(f => files1.take(3).map(_.path).contains(f.path)))
+      // a REPLACE-shaped snapshot at v3 writes a NEW ckpt dir; vacuum
+      // keep-1 reaps v1's manifest AND its shard dir (grace 0)
+      val files3 = (0 until 1500).map(file(_, 3))
+      ManifestLake.publish(fs, root, 3L, files3, Some(schema), Seq("grp"))
+      ManifestLake.vacuum(spark, dir, keepVersions = 1, stagedGraceMs = 0)
+      val after = fs.listStatus(new Path(root, "_manifest"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("ckpt-"))
+      assert(after.length === 1 && after.head.getPath.getName.startsWith("ckpt-v000003"),
+        s"v1's shard dir must reap with its version, got " +
+          after.map(_.getPath.getName).mkString(", "))
+      ManifestLake.clearManifestCache()
+      assert(ManifestLake.readManifest(fs, root, 3L).files.length === 1500)
+    } finally ManifestLake.CheckpointShardThreshold = prevT
+  }
 }

@@ -180,7 +180,7 @@ class ManifestFuzzSpec extends AnyFunSuite {
     * dispatch is semantically identical to the Scala API under the
     * same per-version content model.
     */
-  private def runSqlFuzz(seed: Long, steps: Int): Unit = {
+  private def runSqlFuzz(seed: Long, steps: Int, opMax: Int = 9): Unit = {
     import spark.implicits._
     val dir = Files.createTempDirectory(s"mlake-sqlfuzz-$seed").toString + "/table"
     val t = s"`graft-manifest`.`$dir`"
@@ -215,8 +215,12 @@ class ManifestFuzzSpec extends AnyFunSuite {
       model = seedRows.toMap
       record()
 
+      // (headBefore, headAfter) of every CDC-stamping content op — the
+      // windows the table_changes cross-check (op 10) replays
+      val cdcPairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       (1 to steps).foreach { step =>
-        val op = rnd.nextInt(9)
+        val headBefore = ManifestLake.currentVersion(spark, dir).get
+        val op = rnd.nextInt(opMax)
         op match {
           case 0 | 1 => // INSERT INTO fresh keys
             val rows = (0 until (1 + rnd.nextInt(3))).map { _ =>
@@ -283,7 +287,60 @@ class ManifestFuzzSpec extends AnyFunSuite {
                 "FOR COLUMNS id, payload").collect()
               if (ManifestLake.currentVersion(spark, dir).get != before) record()
             }
+          case 9 => // SQL UPDATE (r17 mix)
+            val r = rnd.nextInt(5)
+            spark.sql(s"UPDATE $t SET payload = concat(payload, '!u$step') " +
+              s"WHERE id % 5 = $r")
+            model = model.map { case (k @ (_, id), v) =>
+              k -> (if (id % 5 == r) s"$v!u$step" else v) }
+            if (ManifestLake.currentVersion(spark, dir).get != headBefore)
+              record()
+          case 10 => // table_changes cross-check against the model diff
+            val vs = ManifestLake.versions(spark, dir).map(_._1).toSet
+            val eligible = cdcPairs.filter { case (a, b) =>
+              a < b && history.contains(a) && history.contains(b) &&
+                (a to b).forall(vs.contains)
+            }
+            if (eligible.nonEmpty) {
+              val (a, b) = eligible(rnd.nextInt(eligible.size))
+              val aM = history(a); val bM = history(b)
+              val feed = spark.sql(
+                s"SELECT * FROM table_changes('$dir', ${a + 1}, $b)")
+                .collect().map(r => (r.getAs[String]("_change_type"),
+                  r.getAs[String]("part"), r.getAs[Long]("id"),
+                  r.getAs[String]("payload"))).toSet
+              val expected =
+                (bM.keySet -- aM.keySet).map(k => ("insert", k._1, k._2, bM(k))) ++
+                (aM.keySet -- bM.keySet).map(k => ("delete", k._1, k._2, aM(k))) ++
+                (aM.keySet & bM.keySet).filter(k => aM(k) != bM(k)).flatMap(k =>
+                  Seq(("update_preimage", k._1, k._2, aM(k)),
+                    ("update_postimage", k._1, k._2, bM(k))))
+              assert(feed === expected,
+                s"seed=$seed step=$step: table_changes(${a + 1}, $b) diverged " +
+                  s"from the model diff")
+            }
+          case 11 => // SET/UNSET TBLPROPERTIES flips live table facts
+            if (rnd.nextBoolean())
+              spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+                "('graft.bloomCols' = 'payload')").collect()
+            else
+              spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES IF EXISTS " +
+                "('graft.bloomCols')").collect()
+          case 12 => // ADD then DROP a column: schema commits + column
+            // mapping machinery inside the lifecycle (net-neutral shape
+            // so positional INSERTs keep working); a re-add after a
+            // drop mints a fresh physical name
+            spark.sql(s"ALTER TABLE $t ADD COLUMNS (note$step STRING)").collect()
+            spark.sql(s"ALTER TABLE $t DROP COLUMN note$step").collect()
+          case 13 => // read-only maintenance surface stays coherent
+            val ddl = spark.sql(s"SHOW CREATE TABLE $t").head().getString(0)
+            assert(ddl.contains("CREATE TABLE") && ddl.contains("part"))
+            assert(spark.sql(s"DESCRIBE DETAIL $t").collect().length === 1)
+            assert(spark.sql(s"DESCRIBE HISTORY $t LIMIT 3").collect().nonEmpty)
         }
+        val headAfter = ManifestLake.currentVersion(spark, dir).get
+        if ((op <= 5 || op == 9) && headAfter > headBefore)
+          cdcPairs += ((headBefore, headAfter))
         assert(readNow() === model,
           s"seed=$seed step=$step op=$op: SQL-driven head diverged from the model")
       }
@@ -316,6 +373,10 @@ class ManifestFuzzSpec extends AnyFunSuite {
 
   test("SQL-driven fuzz seed 0xACE: 35 lifecycle ops through pure spark.sql stay model-exact") {
     runSqlFuzz(0xACE, 35)
+  }
+
+  test("SQL-driven fuzz seed 0xD17: 40 ops incl. UPDATE, table_changes model-diff cross-checks, TBLPROPERTIES flips, ADD/DROP COLUMN, SHOW CREATE/DETAIL") {
+    runSqlFuzz(0xD17, 40, opMax = 14)
   }
 
   test("upsert refuses duplicate keys mid-fuzz shape (guard the fuzz's own assumptions)") {

@@ -38,11 +38,12 @@ class NestedColumnSpec extends AnyFunSuite {
 
   test("drop refuses a nested-field target; deep/invalid nested shapes refuse; dotted new names refuse") {
     val dir = build("nested-refuse")
-    // DROP of a nested field stays a refusal (a dropped field would
-    // need per-field physical retirement — rewrite the struct instead)
+    // nested DROP exists (round 17) — but an UNKNOWN nested path still
+    // refuses loudly (the last-field refusal is pinned in the
+    // dedicated drop test below, where commits are expected)
     val e2 = intercept[IllegalArgumentException](
-      ManifestLake.dropColumn(spark, dir, "entries.apos"))
-    assert(e2.getMessage.contains("field inside struct column"))
+      ManifestLake.dropColumn(spark, dir, "entries.ghost"))
+    assert(e2.getMessage.contains("no field named"), e2.getMessage)
     // rename/widen reach ANY depth through struct/array<struct>
     // layers (round 16) — but a path through a NON-struct still
     // refuses loudly with the shape it hit
@@ -336,5 +337,95 @@ class NestedColumnSpec extends AnyFunSuite {
       "array<struct<ref:string,hom:array<struct<id:string,quality:bigint>>>>")
     assert(r.selectExpr("entries[0].hom[0].quality").where(col("pos") === 4L)
       .head().getLong(0) === 4L)
+  }
+
+  test("nested-field DROP is metadata-only; a re-ADDED same name never resurrects dropped data; depth-2 works") {
+    import spark.implicits._
+    val dir = build("nested-drop")
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    // drop entries.alt (array<struct>): zero files move, the logical
+    // view loses the field, old files serve the survivors
+    assert(ManifestLake.dropColumn(spark, dir, "entries.alt") === 2L)
+    assert(ManifestLake.readManifest(fs, root, 2L).files.map(f => (f.path, f.bytes)).toSet ===
+      ManifestLake.readManifest(fs, root, 1L).files.map(f => (f.path, f.bytes)).toSet,
+      "nested drop must move zero data files")
+    val r = ManifestLake.read(spark, dir)
+    assert(r.schema("entries").dataType.catalogString ===
+      "array<struct<apos:bigint>>")
+    assert(r.selectExpr("entries[0].apos").where(col("pos") === 7L)
+      .head().getLong(0) === 7L, "surviving fields serve old data")
+    // time travel: v1 still carries the dropped field with its values
+    val v1 = ManifestLake.readVersion(spark, dir, 1L)
+    assert(v1.selectExpr("entries[0].alt").where(col("pos") === 7L)
+      .head().getString(0) === "alt7")
+    // appends carry the EVOLVED struct (no absent-field backfill inside
+    // structs — the boundary is a positional cast)
+    ManifestLake.write(spark,
+      Seq(("chr1", 100L, ("rs100", 3), Seq(Tuple1(100L))))
+        .toDF("chrom", "pos", "meta", "entries")
+        .select(col("chrom"), col("pos"),
+          col("meta").cast("struct<rsid:string,qual:int>"),
+          col("entries").cast("array<struct<apos:bigint>>")),
+      dir, Seq("chrom"), replace = false)                                // v3
+    assert(ManifestLake.read(spark, dir).where(col("pos") === 100L).count() === 1)
+    // re-ADD the dropped name: fresh physical field, values are NULL
+    // for every pre-add row — old 'alt' data can NEVER resurrect
+    assert(ManifestLake.addColumn(spark, dir, "entries.alt",
+      org.apache.spark.sql.types.StringType) === 4L)
+    val r2 = ManifestLake.read(spark, dir)
+    assert(r2.schema("entries").dataType.catalogString ===
+      "array<struct<apos:bigint,alt:string>>")
+    assert(r2.selectExpr("entries[0].alt").where(col("pos") === 7L)
+      .head().isNullAt(0),
+      "the re-added field must serve NULL, not the dropped data")
+    assert(r2.selectExpr("entries[0].alt").where(col("pos") === 100L)
+      .head().isNullAt(0))
+    // the indirection is recorded: the fresh physical name differs
+    val m4 = ManifestLake.readManifest(fs, root, 4L)
+    assert(m4.fieldMap.exists { case (c, l, pp) =>
+      c == "entries" && l == "alt" && pp != "alt" })
+    assert(m4.fieldDropped.contains(("entries", "alt")))
+    // new writes land values in the fresh field and read back
+    ManifestLake.write(spark,
+      Seq(("chr2", 200L, ("rs200", 1), Seq((200L, "fresh"))))
+        .toDF("chrom", "pos", "meta", "entries")
+        .select(col("chrom"), col("pos"),
+          col("meta").cast("struct<rsid:string,qual:int>"),
+          col("entries").cast("array<struct<apos:bigint,alt:string>>")),
+      dir, Seq("chrom"), replace = false)                                // v5
+    assert(ManifestLake.read(spark, dir).where(col("pos") === 200L)
+      .selectExpr("entries[0].alt").head().getString(0) === "fresh")
+    // last-field refusal: dropping apos would empty the struct
+    val e = intercept[IllegalArgumentException] {
+      ManifestLake.dropColumn(spark, dir, "entries.alt")   // v6, legal
+      ManifestLake.dropColumn(spark, dir, "entries.apos")  // refuses
+    }
+    assert(e.getMessage.contains("last field"), e.getMessage)
+    // SQL spelling, at depth 2 through array<struct<array<struct>>>
+    val dir2 = freshDir("nested-drop-deep")
+    val df2 = (0 until 10).map { i =>
+      (s"chr${i % 2 + 1}", i.toLong, Seq((s"ref$i", Seq((s"s$i", i)))))
+    }.toDF("chrom", "pos", "entries")
+      .select(col("chrom"), col("pos"), col("entries").cast(
+        "array<struct<ref:string,hom:array<struct<id:string,qual:int>>>>"))
+    ManifestLake.write(spark, df2, dir2, Seq("chrom"))
+    val t2 = s"`graft-manifest`.`$dir2`"
+    spark.sql(s"ALTER TABLE $t2 DROP COLUMN entries.hom.qual")           // v2
+    assert(ManifestLake.read(spark, dir2).schema("entries").dataType.catalogString
+      === "array<struct<ref:string,hom:array<struct<id:string>>>>")
+    spark.sql(s"ALTER TABLE $t2 ADD COLUMNS (entries.hom.qual BIGINT)")  // v3
+    val r3 = ManifestLake.read(spark, dir2)
+    assert(r3.schema("entries").dataType.catalogString
+      === "array<struct<ref:string,hom:array<struct<id:string,qual:bigint>>>>")
+    assert(r3.selectExpr("entries[0].hom[0].qual").collect().forall(_.isNullAt(0)),
+      "re-added deep field serves NULL everywhere, at the NEW type")
+    // a bad second entry applies nothing (pre-validated whole list)
+    val v0 = ManifestLake.currentVersion(spark, dir2).get
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE $t2 DROP COLUMN entries.ref, entries.hom.ghost")
+    }
+    assert(e2.getMessage.contains("no field named"), e2.getMessage)
+    assert(ManifestLake.currentVersion(spark, dir2).get === v0,
+      "half-applied multi-column DROP must not commit")
   }
 }
