@@ -63,7 +63,11 @@ object Graft {
     Op("lake", "nested-field SET in UPDATE (meta.qual = expr, withField semantics), Scala + SQL", "graft.etl.ManifestLake.update (dotted SET)", "spec"),
     Op("lake", "full-clause MERGE: ordered WHEN clauses, partial SET, explicit INSERT lists, NOT MATCHED BY SOURCE update/delete", "graft.etl.ManifestLake.mergeClauses", "q119"),
     Op("lake", "DV-aware maintenance: rewrite files past maxMaskedFraction (REORG APPLY PURGE analog)", "graft.etl.ManifestLake.maintain/compact", "spec"),
-    Op("lake", "nested-column schema evolution: struct columns first-class; ONE-level nested-field RENAME (fieldmap, positional-cast boundary) and WIDEN (reader upcast) metadata-only; drop/deeper refuse typed; nested-ref expressions lock their exact field", "graft.etl.ManifestLake.renameColumn/widenColumnType (dotted targets)", "spec"),
+    Op("lake", "nested-column schema evolution at ANY depth, metadata-only: struct columns first-class; nested-field RENAME (dotted-path fieldmap, positional-cast boundary), WIDEN (reader upcast), DROP (physical path retired; re-adds mint fresh fields — dropped data never resurrects), and ADD (typed nulls from old files); non-struct paths refuse typed; nested-ref expressions lock their exact branch", "graft.etl.ManifestLake.renameColumn/widenColumnType/dropColumn/addColumn (dotted targets)", "q135, q138"),
+    Op("lake", "NAMED tables via a DSv2 TableCatalog: spark.sql.catalog.<cat>=graft.etl.GraftCatalog + warehouse maps cat.ns.t onto manifest roots — every SQL verb by name, USE for bare names, SHOW TABLES/NAMESPACES, DROP/RENAME TABLE, spark.table() and the full df.writeTo() verb set (append/overwritePartitions/overwrite/create/createOrReplace); name and path spellings address the SAME state", "graft.etl.GraftCatalog (+ GraftCatalogRule via GraftExtensions)", "q136; NamedCatalogSpec"),
+    Op("lake", "in-place adoption of an existing parquet directory (CONVERT TO DELTA idiom): v1 manifest over the files already there — zero data movement; layout-discovered partition columns, declarable value types with round-trip canonicality checks; SQL CONVERT TO GRAFT parquet.`/path`", "graft.etl.ManifestLake.adopt / GraftConvertCommand", "q137; AdoptSpec"),
+    Op("lake", "live table properties: ALTER TABLE SET/UNSET TBLPROPERTIES flips graft.statsCols/graft.bloomCols on an existing table (metadata-only); SET then ANALYZE makes an undeclared table skippable", "graft.etl.ManifestLake.setTableProperties", "spec"),
+    Op("lake", "sharded parquet checkpoints above 1M files: parallel snapshot write + parallel cold parse (10M files: 8.9s cold read), spark.read.parquet-readable file inventory, atomic pointer manifest, vacuum-managed", "graft.etl.ManifestLake (CheckpointShardThreshold)", "spec"),
     Op("stream", "streaming CDC apply: foreachBatch conditional merge, txn-ledger exactly-once across restart", "graft.streaming.EventStreams.manifestMergeSink", "spec"),
     Op("stream", "streaming partition-snapshot sink: each batch swaps exactly its partitions atomically (periodic dimension refresh shape)", "graft.streaming.EventStreams.manifestPartitionOverwriteSink", "spec"),
     Op("stream", "CDC relay pipeline: change-feed stream of table A driving the merge sink on mirror B, exactly-once across restart on both ends", "graft.streaming.ManifestChangeFeedSource + manifestMergeSink", "spec"),

@@ -73,6 +73,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  private[etl] def warehousePath: String = warehouse
+
   override def defaultNamespace(): Array[String] = Array("default")
 
   private def spark: SparkSession = SparkSession.active
@@ -312,6 +314,26 @@ object GraftCatalog {
         warehouseOf(spark, cat).map(w => tablePath(w, Seq("default"), t))
       case _ => None
     }
+
+  /** A SINGLE-part name under the session's CURRENT catalog/namespace
+    * (`USE graft.ns` then `MERGE INTO t …`) — resolved only when the
+    * current catalog IS a graft catalog, so vanilla sessions never see
+    * a behavior change. Temp views take precedence at every call site
+    * (checked before this), mirroring Spark's own resolution order.
+    */
+  def currentIdentPath(spark: SparkSession, name: String): Option[String] =
+    try {
+      val cm = spark.sessionState.catalogManager
+      cm.currentCatalog match {
+        case g: GraftCatalog =>
+          val ns = cm.currentNamespace.toSeq match {
+            case Nil => Seq("default")
+            case s => s
+          }
+          warehouseOf(spark, g.name).map(w => tablePath(w, ns, name))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
 }
 
 /** The [[Table]] handle [[GraftCatalog.loadTable]] returns. It never
@@ -396,8 +418,51 @@ final class GraftCatalogRule(spark: SparkSession)
     case _ => None
   }
 
+  /** The manifest path a CREATE-family identifier names under a graft
+    * catalog — resolved (the analyzer got there first) or unresolved.
+    */
+  private def createIdentPath(name: LogicalPlan): Option[String] = name match {
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
+      r.catalog match {
+        case g: GraftCatalog =>
+          Some(GraftCatalog.tablePath(g.warehousePath,
+            r.identifier.namespace.toSeq match {
+              case Nil => Seq("default"); case s => s
+            }, r.identifier.name))
+        case _ => None
+      }
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+      GraftCatalog.identPath(spark, u.nameParts).orElse(u.nameParts match {
+        case Seq(single) => GraftCatalog.currentIdentPath(spark, single)
+        case _ => None
+      })
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
+      // df.writeTo(...).create() / .replace() / .createOrReplace() —
+      // the programmatic CREATE-family shapes the parser never sees;
+      // rewritten to the SAME engine command SQL CTAS uses. Only the
+      // unresolved-spec form is claimed (the first resolution pass);
+      // anything else falls to the catalog's loud WriteBuilder refusal
+      // rather than a silent vanilla write.
+      case c: CreateTableAsSelect
+          if createIdentPath(c.name).isDefined && c.query.resolved &&
+            c.tableSpec.isInstanceOf[UnresolvedTableSpec] =>
+        val (cons, partCols, st, bl) = GraftSqlDml.validateCreateSpec(
+          c.tableSpec.asInstanceOf[UnresolvedTableSpec], c.partitioning)
+        GraftCreateTableCommand(createIdentPath(c.name).get,
+          CreateAsSelect(c.query, c.ignoreIfExists),
+          Seq.empty, partCols, cons, st, bl)
+      case r: ReplaceTableAsSelect
+          if createIdentPath(r.name).isDefined && r.query.resolved &&
+            r.tableSpec.isInstanceOf[UnresolvedTableSpec] =>
+        val (cons, partCols, st, bl) = GraftSqlDml.validateCreateSpec(
+          r.tableSpec.asInstanceOf[UnresolvedTableSpec], r.partitioning)
+        GraftCreateTableCommand(createIdentPath(r.name).get,
+          ReplaceAsSelect(r.query, r.orCreate),
+          Seq.empty, partCols, cons, st, bl)
       // writeTo verbs FIRST — top-down, so the relation under them is
       // consumed here and never separately rewritten as a read
       case a: AppendData if graftTable(a.table).isDefined && a.query.resolved =>

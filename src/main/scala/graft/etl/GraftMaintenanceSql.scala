@@ -175,7 +175,9 @@ object GraftMaintenanceSql {
           Seq(ident(a).get, ident(b).get)).get, rest)
       case a :: rest if ident(a).isDefined =>
         val name = ident(a).get
-        GraftSqlDml.tempViewManifestPath(spark, name) match {
+        GraftSqlDml.tempViewManifestPath(spark, name)
+          .orElse(GraftCatalog.currentIdentPath(spark, name)
+            .filter(p => ManifestLake.currentVersion(spark, p).isDefined)) match {
           case Some(p) => (p, rest)
           case None => throw new IllegalArgumentException(
             s"$stmt targets manifest tables — $name is not a " +

@@ -102,8 +102,9 @@ object GraftSqlDml {
               fmt.equalsIgnoreCase("graft_manifest") =>
             Some((p, Set(p.toLowerCase)))
           case Seq(name) =>
-            tempViewManifestPath(spark, name).map(p =>
-              (p, Set(name.toLowerCase)))
+            tempViewManifestPath(spark, name)
+              .orElse(GraftCatalog.currentIdentPath(spark, name))
+              .map(p => (p, Set(name.toLowerCase)))
           case parts =>
             // NAMED tables (cat.ns.t / cat.t under a configured graft
             // catalog): the name collapses to the warehouse path and
@@ -220,9 +221,11 @@ object GraftSqlDml {
     // NAMED catalog table ('graft.ns.t' — only tried when it cannot be
     // a path), or the manifest root path itself
     val path = tempViewManifestPath(spark, raw).orElse {
-      if (raw.contains('.') && !raw.contains('/'))
+      if (raw.contains('/')) None
+      else if (raw.contains('.'))
         GraftCatalog.identPath(spark, raw.split("\\.").toSeq)
-      else None
+      else GraftCatalog.currentIdentPath(spark, raw)
+        .filter(p => ManifestLake.currentVersion(spark, p).isDefined)
     }.getOrElse(raw)
     val head = ManifestLake.currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
@@ -324,6 +327,7 @@ object GraftSqlDml {
         u.nameParts match {
           case Seq(fmt, p) if fmt.equalsIgnoreCase(Format) ||
             fmt.equalsIgnoreCase("graft_manifest") => Some(p)
+          case Seq(name) => GraftCatalog.currentIdentPath(spark, name)
           case parts => GraftCatalog.identPath(spark, parts)
         }
       case _ => None
@@ -333,7 +337,7 @@ object GraftSqlDml {
     * cannot record refuses loudly; returns the declared CHECK
     * constraints and identity-partition column names.
     */
-  private def validateCreateSpec(
+  private[etl] def validateCreateSpec(
       spec: UnresolvedTableSpec,
       partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform])
       : (Seq[(String, String)], Seq[String], Seq[String], Seq[String]) = {
@@ -443,6 +447,8 @@ object GraftSqlDml {
         multipartManifestPath(spark, ut.multipartIdentifier).orElse(
           ut.multipartIdentifier match {
             case Seq(name) => tempViewManifestPath(spark, name)
+              .orElse(GraftCatalog.currentIdentPath(spark, name)
+                .filter(p => ManifestLake.currentVersion(spark, p).isDefined))
             case _ => None
           })
       case _ => None

@@ -162,4 +162,64 @@ class NamedCatalogSpec extends AnyFunSuite {
     spark.range(3).createOrReplaceTempView("vanilla_v")
     assert(spark.sql("SELECT count(*) FROM vanilla_v").as[Long].head() === 3L)
   }
+
+  test("USE graft.ns: unqualified names resolve for every verb; temp views still win") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns4")
+    spark.sql("USE graft.ns4")
+    try {
+      // CREATE + INSERT + SELECT + DML + ALTER + maintenance, all bare
+      spark.sql("CREATE TABLE u (grp STRING, id BIGINT, payload STRING) " +
+        "PARTITIONED BY (grp)")
+      spark.sql("INSERT INTO u VALUES ('aa', 1, 'p1'), ('bb', 2, 'p2')")
+      assert(spark.sql("SELECT count(*) FROM u").as[Long].head() === 2L)
+      spark.sql("UPDATE u SET payload = upper(payload) WHERE id = 1")
+      assert(spark.sql("SELECT payload FROM u WHERE id = 1")
+        .as[String].head() === "P1")
+      Seq(("aa", 1L, "M1"), ("aa", 9L, "M9")).toDF("grp", "id", "payload")
+        .createOrReplaceTempView("named_use_src")
+      spark.sql(
+        """MERGE INTO u t USING named_use_src s
+          |ON t.grp = s.grp AND t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET payload = s.payload
+          |WHEN NOT MATCHED THEN INSERT (grp, id, payload)
+          |  VALUES (s.grp, s.id, s.payload)""".stripMargin)
+      assert(spark.sql("SELECT count(*) FROM u").as[Long].head() === 3L)
+      spark.sql("DELETE FROM u WHERE id = 9")
+      spark.sql("ALTER TABLE u ADD COLUMNS (note STRING)")
+      assert(spark.table("u").columns.contains("note"))
+      assert(spark.sql("DESCRIBE HISTORY u").collect().length >= 5)
+      assert(spark.sql("SELECT * FROM table_changes('u', 2, 2)")
+        .count() === 2L)
+      // the underlying path is the warehouse dir
+      assert(ManifestLake.read(spark, s"$warehouse/ns4/u").count() === 2L)
+      // a TEMP VIEW with the same name wins over the catalog table —
+      // Spark's own resolution order, preserved
+      spark.range(7).createOrReplaceTempView("u_view_probe")
+      assert(spark.sql("SELECT count(*) FROM u_view_probe").as[Long].head() === 7L)
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
+  test("df.writeTo(...).create() / createOrReplace() / replace() reach the engine") {
+    import spark.implicits._
+    // create with partitioning through the programmatic route
+    Seq(("aa", 1L), ("bb", 2L)).toDF("grp", "id")
+      .writeTo("graft.ns5.c").partitionedBy(col("grp")).create()
+    assert(spark.table("graft.ns5.c").count() === 2L)
+    val (fs, root) = ManifestLake.fsFor(spark, s"$warehouse/ns5/c")
+    assert(ManifestLake.readManifest(fs, root, 1L).partCols === Seq("grp"))
+    // a second create refuses (the table exists)
+    val e = intercept[Exception] {
+      Seq(("cc", 3L)).toDF("grp", "id").writeTo("graft.ns5.c").create()
+    }
+    assert(e.getMessage.toLowerCase.contains("exists"), e.getMessage)
+    // createOrReplace replaces wholesale
+    Seq(("cc", 3L)).toDF("grp", "id")
+      .writeTo("graft.ns5.c").partitionedBy(col("grp")).createOrReplace()
+    assert(spark.table("graft.ns5.c").select("id").as[Long]
+      .collect().toSeq === Seq(3L))
+    // the replaced table keeps working through SQL
+    spark.sql(s"INSERT INTO graft.ns5.c VALUES ('dd', 4)")
+    assert(spark.table("graft.ns5.c").count() === 2L)
+  }
 }
