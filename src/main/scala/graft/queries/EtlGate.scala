@@ -2725,6 +2725,65 @@ object EtlGate {
              |  max(doc_id) AS max_id
              |FROM legs GROUP BY leg, lang ORDER BY leg, lang""".stripMargin)),
 
+    // LIVE TABLE PROPERTIES (round 17): a table created WITHOUT any
+    // stats declaration becomes skippable through pure SQL — SET
+    // TBLPROPERTIES flips the sticky fact, ANALYZE backfills existing
+    // files, and a point lookup then scans STRICTLY FEWER files
+    // (required in-line, AQE off for exact scan metrics); UNSET stops
+    // future collection without touching recorded stats. Content is
+    // hash-matched against DuckDB throughout — the skipping ladder can
+    // never change results.
+    Q(
+      "q139_sql_tblproperties",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-props") + "/table"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
+          .repartitionByRange(8, col("doc_id")) // clustered: skipping CAN bite
+        ManifestLake.write(s, docs, out, Seq("lang"))                    // v1, NO stats
+        val t = s"`graft-manifest`.`$out`"
+        def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+          df.collect()
+          def walk(p: org.apache.spark.sql.execution.SparkPlan)
+              : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = (p match {
+            case sc: org.apache.spark.sql.execution.FileSourceScanExec => Seq(sc)
+            case _ => Seq.empty
+          }) ++ (p.children ++ p.subqueries).flatMap(walk)
+          walk(df.queryExecution.executedPlan)
+            .map(_.metrics("numFiles").value).sum
+        }
+        val probeId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val before = scanFiles(
+            ManifestLake.read(s, out).where(col("doc_id") === probeId))
+          s.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.statsCols' = 'doc_id')")
+          s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+          val after = scanFiles(
+            ManifestLake.read(s, out).where(col("doc_id") === probeId))
+          require(after < before,
+            s"q139 gate: skipping must engage after SET + ANALYZE " +
+              s"($after vs $before files)")
+        } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        val props = s.sql(s"SHOW TBLPROPERTIES $t").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        require(props.get("graft.statsCols").contains("doc_id"),
+          "q139 gate: SHOW TBLPROPERTIES must surface the live fact")
+        s.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.statsCols')")
+        s.sql(
+          s"""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_sum,
+             |  max(doc_id) AS max_id
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // NESTED-FIELD DROP + RE-ADD at depth 2 (round 17): the genomic-
     // evidence shape drops `entries.ev.q` (metadata-only — byte-
     // identical file set REQUIRED IN-LINE), then re-adds the SAME

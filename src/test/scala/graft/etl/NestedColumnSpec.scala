@@ -428,4 +428,38 @@ class NestedColumnSpec extends AnyFunSuite {
     assert(ManifestLake.currentVersion(spark, dir2).get === v0,
       "half-applied multi-column DROP must not commit")
   }
+
+  test("nested DROP composes with TOP-LEVEL column mapping: rename the root, drop inside it, re-add, read exact") {
+    import spark.implicits._
+    val dir = build("nested-drop-mapped")
+    // rename the ROOT column (engages colMap), then drop a field
+    // INSIDE it under the NEW name — fieldMap/fieldDropped key by the
+    // PHYSICAL root, so the indirections compose
+    assert(ManifestLake.renameColumn(spark, dir, "entries", "evidence") === 2L)
+    assert(ManifestLake.dropColumn(spark, dir, "evidence.alt") === 3L)
+    val r = ManifestLake.read(spark, dir)
+    assert(r.schema("evidence").dataType.catalogString ===
+      "array<struct<apos:bigint>>")
+    assert(r.selectExpr("evidence[0].apos").where(col("pos") === 5L)
+      .head().getLong(0) === 5L)
+    // re-add under the renamed root: fresh physical, NULL everywhere
+    assert(ManifestLake.addColumn(spark, dir, "evidence.alt",
+      org.apache.spark.sql.types.StringType) === 4L)
+    assert(ManifestLake.read(spark, dir)
+      .selectExpr("evidence[0].alt").collect().forall(_.isNullAt(0)))
+    // time travel: v1 serves the ORIGINAL names and values
+    val v1 = ManifestLake.readVersion(spark, dir, 1L)
+    assert(v1.selectExpr("entries[0].alt").where(col("pos") === 5L)
+      .head().getString(0) === "alt5")
+    // and the whole evolved table still appends + reads back
+    ManifestLake.write(spark,
+      Seq(("chr1", 300L, ("rs300", 1), Seq((300L, "a300"))))
+        .toDF("chrom", "pos", "meta", "evidence")
+        .select(col("chrom"), col("pos"),
+          col("meta").cast("struct<rsid:string,qual:int>"),
+          col("evidence").cast("array<struct<apos:bigint,alt:string>>")),
+      dir, Seq("chrom"), replace = false)
+    assert(ManifestLake.read(spark, dir).where(col("pos") === 300L)
+      .selectExpr("evidence[0].alt").head().getString(0) === "a300")
+  }
 }
