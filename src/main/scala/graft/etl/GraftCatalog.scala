@@ -558,13 +558,20 @@ final case class GraftWriteToCommand(
           s"writeTo batch carries column(s) ${extra.mkString(", ")} the table " +
             "does not have — MERGE WITH SCHEMA EVOLUTION or ALTER TABLE ADD " +
             "COLUMNS first")
-        val present = logical.fieldNames.filter(n => byLower.contains(n.toLowerCase))
-        df0.select(present.map(n => col(byLower(n.toLowerCase)).as(n)).toSeq: _*)
+        // store-assignment casts, DSv2 byName semantics: a LONG batch
+        // column lands in a LONG table column even when the query
+        // produced INT; ANSI cast surfaces out-of-range values loudly
+        val present = logical.fields.filter(f =>
+          byLower.contains(f.name.toLowerCase))
+        df0.select(present.map(f =>
+          col(byLower(f.name.toLowerCase)).cast(f.dataType).as(f.name)).toSeq: _*)
       } else {
         require(df0.columns.length == logical.fields.length,
           s"writeTo by position needs exactly ${logical.fields.length} " +
             s"columns, got ${df0.columns.length}")
         df0.toDF(logical.fieldNames.toSeq: _*)
+          .select(logical.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
       }
     val newV = mode match {
       case WriteToAppend =>

@@ -107,18 +107,22 @@ class NamedCatalogSpec extends AnyFunSuite {
     // column order differs — byName alignment handles it
     Seq((3L, "aa")).toDF("id", "grp").writeTo("graft.ns2.w").append()
     assert(spark.table("graft.ns2.w").where(col("id") === 3L).count() === 1L)
+    // store-assignment cast: an INT batch column lands in the BIGINT
+    // table column (DSv2 byName semantics)
+    Seq(("bb", 7)).toDF("grp", "id").writeTo("graft.ns2.w").append()
+    assert(spark.table("graft.ns2.w").where(col("id") === 7L).count() === 1L)
     // dynamic partition overwrite: only 'aa' swaps
     Seq(("aa", 10L)).toDF("grp", "id").writeTo("graft.ns2.w").overwritePartitions()
     val r = spark.table("graft.ns2.w").select("grp", "id").as[(String, Long)]
       .collect().toSet
-    assert(r === Set(("aa", 10L), ("bb", 2L)))
+    assert(r === Set(("aa", 10L), ("bb", 2L), ("bb", 7L)))
     // truncate-overwrite replaces wholesale
     Seq(("cc", 99L)).toDF("grp", "id").writeTo("graft.ns2.w").overwrite(lit(true))
     assert(spark.table("graft.ns2.w").select("grp", "id").as[(String, Long)]
       .collect().toSeq === Seq(("cc", 99L)))
-    // the engine validated every commit (4 writeTo commits + create)
+    // the engine validated every commit (5 writeTo commits + create)
     val hist = spark.sql("DESCRIBE HISTORY graft.ns2.w").collect()
-    assert(hist.length === 5)
+    assert(hist.length === 6)
     // a conditional overwrite refuses loudly — no vanilla fall-through
     val e = intercept[Exception] {
       Seq(("aa", 1L)).toDF("grp", "id").writeTo("graft.ns2.w")
@@ -198,6 +202,28 @@ class NamedCatalogSpec extends AnyFunSuite {
       spark.range(7).createOrReplaceTempView("u_view_probe")
       assert(spark.sql("SELECT count(*) FROM u_view_probe").as[Long].head() === 7L)
     } finally spark.sql("USE spark_catalog.default")
+  }
+
+  test("CONVERT TO GRAFT adopts INTO a catalog name; RESTORE/VACUUM work by name") {
+    import spark.implicits._
+    // a plain parquet tree already sitting under the warehouse layout
+    val plainDir = s"$warehouse/ns6/adopted"
+    Seq(("aa", 1L), ("bb", 2L), ("aa", 3L)).toDF("grp", "id")
+      .write.partitionBy("grp").parquet(plainDir)
+    val row = spark.sql("CONVERT TO GRAFT graft.ns6.adopted").collect().head
+    assert(row.getLong(0) === 1L)
+    // immediately addressable by name, full lifecycle
+    assert(spark.sql("SELECT count(*) FROM graft.ns6.adopted")
+      .as[Long].head() === 3L)
+    spark.sql("DELETE FROM graft.ns6.adopted WHERE id = 2")               // v2
+    assert(spark.table("graft.ns6.adopted").count() === 2L)
+    spark.sql("RESTORE TABLE graft.ns6.adopted TO VERSION AS OF 1")       // v3
+    assert(spark.table("graft.ns6.adopted").count() === 3L)
+    val reaped = spark.sql("VACUUM graft.ns6.adopted KEEP 1 VERSIONS")
+      .collect().map(_.getString(0))
+    assert(!reaped.exists(_.contains("grp=")),
+      s"vacuum must never reap ADOPTED data files, got ${reaped.mkString(", ")}")
+    assert(spark.table("graft.ns6.adopted").count() === 3L)
   }
 
   test("df.writeTo(...).create() / createOrReplace() / replace() reach the engine") {
