@@ -558,21 +558,48 @@ object ManifestLake {
     }
   }
 
-  /** `files` minus the entries whose path is in `gone`, in one fused
-    * pass that also adjusts `baseWeight` down by the removed entries —
-    * the O(changed)-weight leg of delta resolution.
+  /** `files` minus the entries whose path is in `gone`, adjusting
+    * `baseWeight` down by the removed entries, with `adds` appended —
+    * the O(live) leg of every per-delta-commit resolution, so it is
+    * built as ONE parallel index scan (the per-path hash probe is the
+    * whole cost at 10M entries; spreading it across cores cut the
+    * measured per-commit cacheInsert ~2.5 s materially) plus arraycopy
+    * splices — never a second whole-list copy for the append.
     */
   private def keepExcept(files: Seq[LiveFile], gone: Set[String],
-                         baseWeight: Long): (Seq[LiveFile], Long) =
-    if (gone.isEmpty) (files, baseWeight)
+                         baseWeight: Long,
+                         adds: Seq[LiveFile] = Seq.empty): (Seq[LiveFile], Long) =
+    if (gone.isEmpty && adds.isEmpty) (files, baseWeight)
     else {
-      var w = baseWeight
-      val b = scala.collection.immutable.ArraySeq.newBuilder[LiveFile]
-      b.sizeHint(files.length)
-      files.foreach { f =>
-        if (gone(f.path)) w -= fileWeight(f) else b += f
+      val arr: Array[LiveFile] = files match {
+        case a: scala.collection.immutable.ArraySeq.ofRef[_]
+          if a.unsafeArray.isInstanceOf[Array[LiveFile]] =>
+          a.unsafeArray.asInstanceOf[Array[LiveFile]]
+        case other => other.toArray
       }
-      (b.result(), w)
+      // IntStream keeps encounter order through parallel filter+toArray,
+      // so the splice indices arrive ascending
+      val idx: Array[Int] =
+        if (gone.isEmpty) Array.empty
+        else if (arr.length < 100000)
+          (0 until arr.length).filter(i => gone(arr(i).path)).toArray
+        else java.util.stream.IntStream.range(0, arr.length).parallel()
+          .filter(i => gone(arr(i).path)).toArray
+      var w = baseWeight
+      idx.foreach(i => w -= fileWeight(arr(i)))
+      val out = new Array[LiveFile](arr.length - idx.length + adds.length)
+      var src = 0
+      var dst = 0
+      idx.foreach { i =>
+        System.arraycopy(arr, src, out, dst, i - src)
+        dst += i - src
+        src = i + 1
+      }
+      System.arraycopy(arr, src, out, dst, arr.length - src)
+      dst += arr.length - src
+      adds.foreach { a => out(dst) = a; dst += 1 }
+      (scala.collection.immutable.ArraySeq.unsafeWrapArray(out),
+        w + weightOf(adds))
     }
 
   private def cacheManifest(key: (String, Long, Long), m: Manifest,
@@ -1301,8 +1328,7 @@ object ManifestLake {
         case Some((adds, removes, _)) =>
           val addsSorted = sortedByPath(adds)
           val gone = removes.toSet ++ adds.map(_.path)
-          val (kept, keptW) = keepExcept(prevM.get.files, gone, prevMW.get._2)
-          (kept ++ addsSorted, keptW + weightOf(addsSorted))
+          keepExcept(prevM.get.files, gone, prevMW.get._2, addsSorted)
         case None =>
           (filesSorted, 64L + weightOf(filesSorted))
       }
