@@ -255,9 +255,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!namespaceExists(namespace)) return false
     val (fs, p) = ManifestLake.fsFor(spark, nsPath(namespace.toSeq))
     if (!cascade && fs.listStatus(p).nonEmpty)
-      throw new IllegalStateException(
-        s"namespace ${namespace.mkString(".")} is not empty — " +
-          "use DROP NAMESPACE ... CASCADE")
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        namespace)
     fs.delete(p, true)
   }
 }
