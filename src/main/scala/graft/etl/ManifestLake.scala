@@ -5380,6 +5380,7 @@ object ManifestLake {
       }
     }
     if (stats == m.statsColsDefault && bloom == m.bloomCols) return v
+    fireRaceHook("properties")
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("properties"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = bloom,
