@@ -271,7 +271,7 @@ object GraftCatalog {
     */
   private[etl] def validSegment(s: String): Unit =
     require(s.nonEmpty && s != "." && s != ".." &&
-      !s.exists(c => c == '/' || c == '\\' || c == ' ' ||
+      !s.exists(c => c == '/' || c == '\\' || c == '\u0000' ||
         c == '\t' || c == '\n' || c == '\r'),
       s"illegal catalog identifier segment '$s' — must be non-empty and " +
         "contain no path separators or control characters")
