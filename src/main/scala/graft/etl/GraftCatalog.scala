@@ -147,6 +147,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val sparkManaged = Set("provider", "owner", "location",
       "is_managed_location", "external", "table_type", "comment", "collation")
     val props = properties.asScala
+    // a USER-supplied location/comment must not be silently dropped: the
+    // ignore-set covers only values Spark itself injects, so a location
+    // differing from the computed warehouse path (or any non-empty
+    // comment) refuses loudly — same stance as SQL CREATE's
+    // validateCreateSpec
+    props.get("location").foreach { loc =>
+      require(loc == path || loc == s"file:$path" || loc.stripSuffix("/") ==
+        path.stripSuffix("/"),
+        s"LOCATION is not supported on manifest catalog tables — the " +
+          s"catalog owns the layout (table resolves to $path, got $loc)")
+    }
+    props.get("comment").foreach(c => require(c.isEmpty,
+      "COMMENT is not supported on manifest tables (no comment store — " +
+        "it would be silently lost)"))
     val unknown = props.keys.filterNot(k =>
       sparkManaged.contains(k.toLowerCase(java.util.Locale.ROOT)) ||
         k.toLowerCase(java.util.Locale.ROOT).startsWith("option.") ||
@@ -532,8 +546,40 @@ final case class GraftWriteToCommand(
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
 
+  /** Store-assignment cast honoring `spark.sql.storeAssignmentPolicy`
+    * (DSv2 writeTo semantics — the default ANSI policy fails loudly on
+    * overflow/malformed values instead of wrapping/NULLing, and casts
+    * the policy forbids are rejected here at analysis time, matching
+    * the Spark path this command replaces).
+    */
+  private def storeAssignCast(spark: SparkSession, srcName: String,
+                              from: org.apache.spark.sql.types.DataType,
+                              to: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    import org.apache.spark.sql.graftshim.SparkShims
+    import org.apache.spark.sql.internal.SQLConf.StoreAssignmentPolicy
+    val ref = UnresolvedAttribute.quoted(srcName)
+    if (from == to) SparkShims.column(ref)
+    else spark.sessionState.conf.storeAssignmentPolicy match {
+      case StoreAssignmentPolicy.STRICT =>
+        require(Cast.canUpCast(from, to),
+          s"writeTo cannot safely cast $srcName: ${from.sql} to ${to.sql} " +
+            "under storeAssignmentPolicy=STRICT")
+        SparkShims.column(Cast(ref, to, None, EvalMode.ANSI))
+      // LEGACY never reaches here: Spark's analyzer refuses the policy
+      // for DSv2 writes before this command substitutes (pinned in
+      // NamedCatalogSpec); ANSI is the default and the fallback
+      case _ =>
+        require(Cast.canANSIStoreAssign(from, to),
+          s"writeTo cannot cast $srcName: ${from.sql} to ${to.sql} " +
+            "under storeAssignmentPolicy=ANSI")
+        SparkShims.column(Cast(ref, to, None, EvalMode.ANSI))
+    }
+  }
+
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
-    import org.apache.spark.sql.functions.col
     val df0 = org.apache.spark.sql.graftshim.SparkShims.ofRows(spark, queryPlan)
     val (fs, root) = ManifestLake.fsFor(spark, path)
     val v = ManifestLake.currentVersion(spark, path).getOrElse(
@@ -559,18 +605,24 @@ final case class GraftWriteToCommand(
             "COLUMNS first")
         // store-assignment casts, DSv2 byName semantics: a LONG batch
         // column lands in a LONG table column even when the query
-        // produced INT; ANSI cast surfaces out-of-range values loudly
+        // produced INT; the cast honors storeAssignmentPolicy (ANSI by
+        // default — out-of-range/malformed values fail loudly)
+        val srcType = df0.schema.fields.map(f => f.name -> f.dataType).toMap
         val present = logical.fields.filter(f =>
           byLower.contains(f.name.toLowerCase))
-        df0.select(present.map(f =>
-          col(byLower(f.name.toLowerCase)).cast(f.dataType).as(f.name)).toSeq: _*)
+        df0.select(present.map { f =>
+          val src = byLower(f.name.toLowerCase)
+          storeAssignCast(spark, src, srcType(src), f.dataType).as(f.name)
+        }.toSeq: _*)
       } else {
         require(df0.columns.length == logical.fields.length,
           s"writeTo by position needs exactly ${logical.fields.length} " +
             s"columns, got ${df0.columns.length}")
-        df0.toDF(logical.fieldNames.toSeq: _*)
-          .select(logical.fields.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        val renamed = df0.toDF(logical.fieldNames.toSeq: _*)
+        renamed.select(logical.fields.zip(renamed.schema.fields).map {
+          case (f, src) =>
+            storeAssignCast(spark, f.name, src.dataType, f.dataType).as(f.name)
+        }.toSeq: _*)
       }
     val newV = mode match {
       case WriteToAppend =>

@@ -175,6 +175,11 @@ object GraftMaintenanceSql {
           Seq(ident(a).get, ident(b).get)).get, rest)
       case a :: rest if ident(a).isDefined =>
         val name = ident(a).get
+        if (GraftSqlDml.shadowedByTempView(spark, name))
+          throw new IllegalArgumentException(
+            s"$stmt: '$name' is a temp view that is not manifest-backed — " +
+              "temp views take precedence over catalog tables; drop the " +
+              "view or use the qualified table name")
         GraftSqlDml.tempViewManifestPath(spark, name)
           .orElse(GraftCatalog.currentIdentPath(spark, name)
             .filter(p => ManifestLake.currentVersion(spark, p).isDefined)) match {

@@ -103,7 +103,8 @@ object GraftSqlDml {
             Some((p, Set(p.toLowerCase)))
           case Seq(name) =>
             tempViewManifestPath(spark, name)
-              .orElse(GraftCatalog.currentIdentPath(spark, name))
+              .orElse(if (shadowedByTempView(spark, name)) None
+                      else GraftCatalog.currentIdentPath(spark, name))
               .map(p => (p, Set(name.toLowerCase)))
           case parts =>
             // NAMED tables (cat.ns.t / cat.t under a configured graft
@@ -135,6 +136,24 @@ object GraftSqlDml {
         if fsRel.location.isInstanceOf[ManifestFileIndex] =>
         fsRel.location.rootPaths.head.toString
     })
+  }
+
+  /** True when a LOCAL temp view of this name exists but is NOT
+    * manifest-backed. Spark's resolution order gives local temp views
+    * precedence over catalog tables for single-part names, so a
+    * DML/maintenance statement naming such a view must never fall
+    * through to a same-named catalog table — the engine declines (and
+    * Spark's own analyzer then picks the view and refuses, exactly the
+    * vanilla behavior) instead of silently mutating the shadowed table.
+    * Only LOCAL views shadow: global temp views need the `global_temp.`
+    * qualifier in Spark's order, so they never block the fall-through.
+    */
+  private[etl] def shadowedByTempView(spark: SparkSession,
+                                      name: String): Boolean = {
+    val localExists =
+      try spark.sessionState.catalog.getTempView(name).isDefined
+      catch { case _: Exception => false }
+    localExists && tempViewManifestPath(spark, name).isEmpty
   }
 
   /** Direct-query SQL on manifest tables, no temp view needed —
@@ -224,6 +243,11 @@ object GraftSqlDml {
       if (raw.contains('/')) None
       else if (raw.contains('.'))
         GraftCatalog.identPath(spark, raw.split("\\.").toSeq)
+      else if (shadowedByTempView(spark, raw))
+        throw new IllegalArgumentException(
+          s"table_changes: '$raw' is a temp view that is not " +
+            "manifest-backed — temp views take precedence over catalog " +
+            "tables; drop the view or use the qualified table name")
       else GraftCatalog.currentIdentPath(spark, raw)
         .filter(p => ManifestLake.currentVersion(spark, p).isDefined)
     }.getOrElse(raw)
@@ -447,8 +471,9 @@ object GraftSqlDml {
         multipartManifestPath(spark, ut.multipartIdentifier).orElse(
           ut.multipartIdentifier match {
             case Seq(name) => tempViewManifestPath(spark, name)
-              .orElse(GraftCatalog.currentIdentPath(spark, name)
-                .filter(p => ManifestLake.currentVersion(spark, p).isDefined))
+              .orElse(if (shadowedByTempView(spark, name)) None
+                else GraftCatalog.currentIdentPath(spark, name)
+                  .filter(p => ManifestLake.currentVersion(spark, p).isDefined))
             case _ => None
           })
       case _ => None

@@ -4140,7 +4140,22 @@ object ManifestLake {
           case e: IllegalStateException if attempt < 5 =>
             attempt += 1
             val headV = currentVersion(spark, path).getOrElse(throw e)
-            val headM = readManifest(fs, root, headV)
+            val headM0 = readManifest(fs, root, headV)
+            // WITH SCHEMA EVOLUTION, `manifest` is the in-memory
+            // EVOLVED manifest — comparing the raw head against it
+            // would declare every benign race lost (the head is always
+            // un-evolved). Re-apply the same evolution to the head: an
+            // identical result means the racing commit did not touch
+            // the shape this merge staged against, so the retry path
+            // stays open. A head whose shape makes the re-evolution
+            // diverge (or throw) fails the comparison below with the
+            // clean race error.
+            val headM = evolveWith match {
+              case None => headM0
+              case Some(srcSchema) =>
+                try evolveSchemaFor(headM0, srcSchema, path)
+                catch { case _: Exception => headM0 }
+            }
             if (txn.exists { case (app, b) => headM.txns.get(app).exists(_ >= b) }) {
               fs.delete(commitDir, true)
               return MergeStats(headV, 0L, 0L, 0L)
@@ -6568,15 +6583,35 @@ object ManifestLake {
     locally {
       val keptCkpt = retainedManifests.flatMap(_._2.ckptRef).toSet
       val mdir = new Path(root, ManifestDir)
-      if (fs.exists(mdir))
-        fs.listStatus(mdir).filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("ckpt-")).foreach { st =>
-          if (!keptCkpt.contains(st.getPath.getName) &&
-            st.getModificationTime < cutoff) {
-            removed += st.getPath.toString
-            if (!dryRun) fs.delete(st.getPath, true): Unit
-          }
+      if (fs.exists(mdir)) {
+        val candidates = fs.listStatus(mdir).filter { st =>
+          // the grace check uses the max mtime of the shard FILES, not
+          // the directory: object stores list synthetic dirs with mtime
+          // 0, which would make every in-flight commit's shards (landed
+          // before the manifest rename) look ancient and reapable
+          def newestInside: Long =
+            (st.getModificationTime +:
+              (try fs.listStatus(st.getPath).map(_.getModificationTime).toSeq
+               catch { case _: java.io.IOException => Seq(Long.MaxValue) })).max
+          st.isDirectory && st.getPath.getName.startsWith("ckpt-") &&
+            !keptCkpt.contains(st.getPath.getName) && newestInside < cutoff
         }
+        if (candidates.nonEmpty) {
+          // re-list head AFTER the cutoff check: a snapshot commit that
+          // raced past the grace window between our retained-manifest
+          // read and now must keep its shards — its manifest is already
+          // the published head
+          val freshKept = currentVersion(spark, path).toSeq
+            .flatMap(v => try Some(readManifest(fs, root, v))
+                          catch { case _: Exception => None })
+            .flatMap(_.ckptRef).toSet
+          candidates.filterNot(st => freshKept.contains(st.getPath.getName))
+            .foreach { st =>
+              removed += st.getPath.toString
+              if (!dryRun) fs.delete(st.getPath, true): Unit
+            }
+        }
+      }
     }
     removed.result()
   }

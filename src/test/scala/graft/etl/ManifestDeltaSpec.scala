@@ -274,4 +274,49 @@ class ManifestDeltaSpec extends AnyFunSuite {
       assert(ManifestLake.readManifest(fs, root, 3L).files.length === 1500)
     } finally ManifestLake.CheckpointShardThreshold = prevT
   }
+
+  test("ckpt-dir vacuum grace reads FILE mtimes: an in-flight orphan with a synthetic (mtime-0) dir survives; a genuinely old orphan reaps") {
+    val prevT = ManifestLake.CheckpointShardThreshold
+    ManifestLake.CheckpointShardThreshold = 1000
+    try {
+      val dir = freshDir("mlake-ckpt-grace")
+      val (fs, root) = ManifestLake.fsFor(spark, dir)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("grp", "string").add("id", "long")
+      def file(i: Int) = ManifestLake.LiveFile(1000L + i,
+        f"data/v000001/grp=g${i % 8}/part-$i%06d.parquet", rows = Some(10L))
+      ManifestLake.publish(fs, root, 1L, (0 until 1500).map(file),
+        Some(schema), Seq("grp"))
+      val mdir = new Path(root, "_manifest")
+      // an ORPHAN ckpt dir simulating a commit in flight: shards landed,
+      // manifest rename not yet published. Object stores list synthetic
+      // dirs with mtime 0 — force that on the DIRECTORY while the file
+      // inside keeps its fresh mtime. The grace check must read the
+      // files, not the dir, or this in-flight commit's shards vanish
+      // and its about-to-publish head dangles.
+      val orphan = new Path(mdir, "ckpt-v000002-inflight")
+      fs.mkdirs(orphan)
+      val sh = new Path(orphan, "shard-000.parquet")
+      val out = fs.create(sh); out.write(1); out.close()
+      fs.setTimes(orphan, 0L, -1L)
+      val reaped1 = ManifestLake.vacuum(spark, dir, keepVersions = 2,
+        stagedGraceMs = 60000L)
+      assert(!reaped1.exists(_.contains("inflight")),
+        s"fresh-file orphan must survive the grace window, got $reaped1")
+      assert(fs.exists(sh))
+      // once the FILES are old too, the orphan is a losing racer's
+      // leftover and reaps
+      fs.setTimes(sh, 1000L, -1L)
+      val reaped2 = ManifestLake.vacuum(spark, dir, keepVersions = 2,
+        stagedGraceMs = 60000L)
+      assert(reaped2.exists(_.contains("inflight")),
+        s"old orphan must reap, got $reaped2")
+      assert(!fs.exists(orphan))
+      // the live table's own ckpt dir is untouched throughout
+      assert(fs.listStatus(mdir).exists(st =>
+        st.getPath.getName.startsWith("ckpt-v000001")))
+      ManifestLake.clearManifestCache()
+      assert(ManifestLake.readManifest(fs, root, 1L).files.length === 1500)
+    } finally ManifestLake.CheckpointShardThreshold = prevT
+  }
 }

@@ -210,4 +210,66 @@ class MergeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("missing or re-typed"))
   }
+
+  test("WITH SCHEMA EVOLUTION keeps the retry path: a benign disjoint-partition race retries and lands, evolved column intact") {
+    import spark.implicits._
+    val dir = freshDir("mlake-merge-evoretry")
+    ManifestLake.write(spark,
+      Seq(("aa", 1L, "p1"), ("bb", 2L, "p2")).toDF("grp", "id", "payload"),
+      dir, Seq("grp"))                                                   // v1
+    // the racing commit appends to a DISJOINT partition right before
+    // the merge's first publish attempt — the lost version race must
+    // RETRY (the head's shape re-evolves to the same result), never
+    // throw, even though the in-memory manifest is the evolved one
+    ManifestLake.raceHook.set { _ =>
+      ManifestLake.write(spark, Seq(("cc", 9L, "p9")).toDF("grp", "id", "payload"),
+        dir, Seq("grp"), replace = false)
+    }
+    try {
+      val src = Seq(("aa", 1L, "U1", "new1"), ("aa", 3L, "I3", "new3"))
+        .toDF("grp", "id", "payload", "note")
+      val st = ManifestLake.mergeClauses(spark, dir, src,
+        Seq("grp"), Seq("grp", "id"),
+        matched = Seq(ManifestLake.MergeUpdate()),
+        notMatched = Seq(ManifestLake.MergeInsert()),
+        evolveWith = Some(src.schema))
+      assert(st.version === 3L,
+        s"the merge must land AFTER the racing append (v2) via retry, got v${st.version}")
+      val r = ManifestLake.read(spark, dir)
+      assert(r.columns.contains("note"))
+      assert(r.count() === 4L, "both the race's row and the merge's rows are live")
+      assert(r.where(col("id") === 1L).select("note").as[String].head() === "new1")
+      assert(r.where(col("id") === 9L && col("note").isNull).count() === 1L,
+        "the raced row serves NULL for the evolved column")
+      assert(r.where(col("id") === 2L).select("payload").as[String].head() === "p2")
+    } finally ManifestLake.raceHook.set(null)
+  }
+
+  test("WITH SCHEMA EVOLUTION still loses a race that touches its affected partitions — loudly, no schema residue") {
+    import spark.implicits._
+    val dir = freshDir("mlake-merge-evoconflict")
+    ManifestLake.write(spark,
+      Seq(("aa", 1L, "p1"), ("bb", 2L, "p2")).toDF("grp", "id", "payload"),
+      dir, Seq("grp"))                                                   // v1
+    ManifestLake.raceHook.set { _ =>
+      // the racer rewrites the SAME partition the merge staged against
+      ManifestLake.upsert(spark, dir,
+        Seq(("aa", 1L, "RACED")).toDF("grp", "id", "payload"),
+        Seq("grp"), Seq("grp", "id"))
+    }
+    try {
+      val src = Seq(("aa", 1L, "U1", "n1")).toDF("grp", "id", "payload", "note")
+      val e = intercept[IllegalStateException] {
+        ManifestLake.mergeClauses(spark, dir, src,
+          Seq("grp"), Seq("grp", "id"),
+          matched = Seq(ManifestLake.MergeUpdate()),
+          evolveWith = Some(src.schema))
+      }
+      assert(e.getMessage.contains("lost its race"), e.getMessage)
+      // no schema residue: the head is the racer's, WITHOUT the column
+      val r = ManifestLake.read(spark, dir)
+      assert(!r.columns.contains("note"))
+      assert(r.where(col("id") === 1L).select("payload").as[String].head() === "RACED")
+    } finally ManifestLake.raceHook.set(null)
+  }
 }

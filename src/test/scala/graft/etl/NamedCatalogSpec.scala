@@ -248,4 +248,96 @@ class NamedCatalogSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO graft.ns5.c VALUES ('dd', 4)")
     assert(spark.table("graft.ns5.c").count() === 2L)
   }
+
+  test("a non-manifest temp view SHADOWS a same-named catalog table: DML and maintenance never fall through to the table") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns7")
+    spark.sql("USE graft.ns7")
+    try {
+      spark.sql("CREATE TABLE sh (grp STRING, id BIGINT) PARTITIONED BY (grp)")
+      spark.sql("INSERT INTO sh VALUES ('aa', 1), ('bb', 2)")
+      // an ORDINARY temp view (not manifest-backed) takes the name —
+      // Spark's resolution order puts local temp views first, so every
+      // single-part-name verb must now see the VIEW, never the table
+      spark.range(5).toDF("id").createOrReplaceTempView("sh")
+      try {
+        // reads resolve the view (Spark's own order, preserved)
+        assert(spark.sql("SELECT count(*) FROM sh").as[Long].head() === 5L)
+        // DML declines to claim → Spark picks the view and refuses with
+        // ITS error; the catalog table is untouched
+        val eU = intercept[Exception] {
+          spark.sql("UPDATE sh SET id = 99 WHERE id = 1") }
+        assert(!eU.getMessage.contains("manifest"),
+          s"shadowed UPDATE must surface Spark's error, got: ${eU.getMessage}")
+        val eD = intercept[Exception] { spark.sql("DELETE FROM sh WHERE id = 1") }
+        assert(!eD.getMessage.contains("manifest"), eD.getMessage)
+        intercept[Exception] {
+          spark.sql("MERGE INTO sh t USING (SELECT 1 AS id) s ON t.id = s.id " +
+            "WHEN MATCHED THEN DELETE") }
+        // maintenance refuses LOUDLY naming the shadow (no Spark grammar
+        // to fall back to)
+        val eV = intercept[Exception] { spark.sql("VACUUM sh") }
+        assert(eV.getMessage.contains("temp view"), eV.getMessage)
+        val eT = intercept[Exception] {
+          spark.sql("SELECT * FROM table_changes('sh', 1)").collect() }
+        assert(eT.getMessage.contains("temp view"), eT.getMessage)
+        // the catalog table is byte-for-byte intact underneath
+        assert(spark.sql("SELECT count(*) FROM graft.ns7.sh").as[Long].head() === 2L)
+        assert(spark.sql("SELECT id FROM graft.ns7.sh WHERE id = 1").count() === 1L)
+        // the QUALIFIED spelling still mutates the table
+        spark.sql("DELETE FROM graft.ns7.sh WHERE id = 2")
+        assert(spark.sql("SELECT count(*) FROM graft.ns7.sh").as[Long].head() === 1L)
+      } finally spark.catalog.dropTempView("sh")
+      // with the view gone, the bare name reaches the table again
+      spark.sql("UPDATE sh SET id = 42 WHERE id = 1")
+      assert(spark.sql("SELECT id FROM sh").as[Long].head() === 42L)
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
+  test("writeTo casts honor storeAssignmentPolicy: ANSI overflow fails LOUDLY, LEGACY wraps, inadmissible casts refuse at analysis") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.ns8.cast (grp STRING, n INT) PARTITIONED BY (grp)")
+    // in-range values store fine through the by-name cast
+    Seq(("aa", 7L)).toDF("grp", "n").writeTo("graft.ns8.cast").append()
+    assert(spark.table("graft.ns8.cast").select("n").as[Int].head() === 7)
+    // ANSI (the default policy): a LONG overflowing INT fails the JOB,
+    // never silently wraps into the table
+    val eOv = intercept[Exception] {
+      Seq(("aa", 4000000000L)).toDF("grp", "n")
+        .writeTo("graft.ns8.cast").append() }
+    assert(eOv.getMessage != null)
+    assert(spark.table("graft.ns8.cast").count() === 1L,
+      "the overflowing append must not land rows")
+    // a cast ANSI store assignment forbids (struct into INT) refuses at
+    // analysis time with the writeTo message
+    val eBad = intercept[Exception] {
+      Seq(("aa", (1, 2))).toDF("grp", "n").writeTo("graft.ns8.cast").append() }
+    assert(eBad.getMessage.contains("cannot cast") ||
+      eBad.getMessage.toLowerCase.contains("cast"), eBad.getMessage)
+    // LEGACY policy: Spark itself disallows it for DSv2 writes at
+    // analysis — OUR path must surface that refusal, not bypass it
+    spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    try {
+      val eLeg = intercept[Exception] {
+        Seq(("aa", 4000000000L)).toDF("grp", "n")
+          .writeTo("graft.ns8.cast").append() }
+      assert(eLeg.getMessage.contains("LEGACY store assignment"),
+        eLeg.getMessage)
+      assert(spark.table("graft.ns8.cast").count() === 1L)
+    } finally spark.conf.set("spark.sql.storeAssignmentPolicy", "ANSI")
+  }
+
+  test("programmatic createTable refuses a USER location/comment instead of silently dropping it") {
+    import spark.implicits._
+    val eLoc = intercept[Exception] {
+      Seq(("aa", 1L)).toDF("grp", "id").writeTo("graft.ns8.badloc")
+        .tableProperty("location", "/somewhere/else").create() }
+    assert(eLoc.getMessage.contains("LOCATION"), eLoc.getMessage)
+    assert(!spark.catalog.tableExists("graft.ns8.badloc"))
+    val eCom = intercept[Exception] {
+      Seq(("aa", 1L)).toDF("grp", "id").writeTo("graft.ns8.badcom")
+        .tableProperty("comment", "a note").create() }
+    assert(eCom.getMessage.contains("COMMENT"), eCom.getMessage)
+    assert(!spark.catalog.tableExists("graft.ns8.badcom"))
+  }
 }

@@ -1055,7 +1055,14 @@ class SqlDmlSpec extends AnyFunSuite {
     val eTgt = intercept[IllegalArgumentException] {
       spark.sql("OPTIMIZE sqldml_maint_plain")
     }
-    assert(eTgt.getMessage.contains("targets manifest tables"))
+    assert(eTgt.getMessage.contains("temp view that is not manifest-backed"),
+      eTgt.getMessage)
+    // an UNKNOWN bare name (no view, no table) still gets the
+    // targets-manifest-tables refusal
+    val eUnk = intercept[IllegalArgumentException] {
+      spark.sql("OPTIMIZE sqldml_maint_nosuch")
+    }
+    assert(eUnk.getMessage.contains("targets manifest tables"), eUnk.getMessage)
   }
 
   test("table_changes TVF: the row-level change feed through SQL, inclusive versions, timestamp bounds, empty windows") {
