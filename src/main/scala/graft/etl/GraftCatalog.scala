@@ -104,7 +104,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val path = pathOf(ident)
     if (ManifestLake.currentVersion(spark, path).isEmpty)
       throw new NoSuchTableException(ident)
-    GraftNamedTable(spark, s"$catalogName.${ident.toString}", path, None)
+    GraftNamedTable(spark, s"$catalogName.${ident.toString}",
+      catalogName +: ident.namespace.toSeq :+ ident.name, path, None)
   }
 
   /** `VERSION AS OF` through the catalog route (spark.read.option /
@@ -117,7 +118,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"VERSION AS OF on a manifest table must be a version number, got '$version'"))
     if (ManifestLake.currentVersion(spark, path).isEmpty)
       throw new NoSuchTableException(ident)
-    GraftNamedTable(spark, s"$catalogName.${ident.toString}", path, Some(v))
+    GraftNamedTable(spark, s"$catalogName.${ident.toString}",
+      catalogName +: ident.namespace.toSeq :+ ident.name, path, Some(v))
   }
 
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
@@ -126,7 +128,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchTableException(ident)
     val v = ManifestLake.versionAtTimestamp(spark, path,
       Math.floorDiv(timestampMicros, 1000L))
-    GraftNamedTable(spark, s"$catalogName.${ident.toString}", path, Some(v))
+    GraftNamedTable(spark, s"$catalogName.${ident.toString}",
+      catalogName +: ident.namespace.toSeq :+ ident.name, path, Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -182,7 +185,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     ManifestLake.write(spark, empty, path, partCols,
       statsCols = propCols("graft.statsCols"),
       bloomCols = propCols("graft.bloomCols"))
-    GraftNamedTable(spark, s"$catalogName.${ident.toString}", path, None)
+    GraftNamedTable(spark, s"$catalogName.${ident.toString}",
+      catalogName +: ident.namespace.toSeq :+ ident.name, path, None)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -357,10 +361,31 @@ object GraftCatalog {
   * the builders below are unreachable with the extension registered
   * and refuse loudly without it — a write that silently bypassed the
   * manifest commit would corrupt the table.
+  *
+  * STREAMING by name rides the same split. `MICRO_BATCH_READ` is
+  * declared so `spark.readStream.table("graft.ns.t")` passes the
+  * analyzer's capability check; the injected rule then swaps the
+  * [[org.apache.spark.sql.catalyst.streaming.StreamingRelationV2]]
+  * for the V1 [[graft.streaming.ManifestStreamSource]] relation —
+  * the SAME source (and checkpoint offsets) the path spelling
+  * `.format("graft-manifest").load(path)` uses, options (incl.
+  * `readChangeFeed`) passed through. Without the extension, micro-
+  * batch planning reaches `newScanBuilder` and refuses loudly.
+  * `STREAMING_WRITE` is deliberately NOT declared:
+  * `DataStreamWriter.toTable` checks it BEFORE the
+  * [[V2TableWithV1Fallback]] case, and declaring it would route the
+  * stream onto a DSv2 row-level `StreamingWrite` — bypassing the
+  * ledgered [[graft.streaming.ManifestStreamSink]]. Instead the
+  * fallback's `v1Table` (provider + location) sends
+  * `writeStream.format("graft-manifest").toTable("graft.ns.t")`
+  * through the exactly-once v1 sink, exactly as Delta's
+  * `DeltaTableV2` does.
   */
 final case class GraftNamedTable(spark: SparkSession, fullName: String,
+                                 nameParts: Seq[String],
                                  path: String, pinnedVersion: Option[Long])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.graftshim.V1FallbackTableShim {
 
   private lazy val manifest: ManifestLake.Manifest = {
     val (fs, root) = ManifestLake.fsFor(spark, path)
@@ -387,7 +412,31 @@ final case class GraftNamedTable(spark: SparkSession, fullName: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.MICRO_BATCH_READ)
+
+  /** The V1 identity `writeStream.toTable` (and the analyzer's
+    * streaming-read fallback) dispatches on: provider + location are
+    * the whole story — the filesystem IS the catalog, so the
+    * `CatalogTable` is a rendering of the same two facts the named
+    * spelling resolves to, never a second source of truth.
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    // the identifier is FUNCTIONAL, not cosmetic: the analyzer's
+    // streaming fallback asserts a database part exists, and the V1
+    // streaming write resolves these exact parts back through this
+    // catalog — they must round-trip (catalog, namespace, table)
+    CatalogTable(
+      identifier = TableIdentifier(nameParts.last,
+        Some(nameParts(nameParts.length - 2)), Some(nameParts.head)),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new Path(path).toUri)),
+      schema = schema(),
+      provider = Some("graft-manifest"))
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     throw new IllegalStateException(
@@ -497,12 +546,60 @@ final class GraftCatalogRule(spark: SparkSession)
               s"${other.sql} — use SQL INSERT OVERWRITE ... PARTITION " +
               "(one-commit partition replace) or MERGE")
         }
+      // readStream.table("graft.ns.t") — the analyzer resolved the name
+      // through the catalog into a StreamingRelationV2 over the named
+      // table; swap it for the V1 relation over the SAME
+      // graft-manifest source the path spelling plans (same offsets,
+      // so checkpoints are interchangeable between the two spellings).
+      // Options pass through: startingVersion, rate limits,
+      // readChangeFeed (whose _change_type/_commit_version columns the
+      // source's schema adds — they ride as extra output columns).
+      case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if s.table.isInstanceOf[GraftNamedTable] =>
+        val t = s.table.asInstanceOf[GraftNamedTable]
+        require(t.pinnedVersion.isEmpty,
+          s"cannot stream from a time-travel pinned table ${t.fullName} — " +
+            "use startingVersion to begin a stream at a version")
+        val opts = s.extraOptions.asScala.toMap
+        opts.get("path").foreach(p => require(
+          p.stripSuffix("/") == t.path.stripSuffix("/"),
+          s"a 'path' option ($p) conflicts with the table's resolved " +
+            s"location (${t.path}) — drop the option; the name IS the path"))
+        val rel = org.apache.spark.sql.execution.streaming.runtime
+          .StreamingRelation(
+            org.apache.spark.sql.execution.datasources.DataSource(spark,
+              className = "graft-manifest",
+              options = opts + ("path" -> t.path)))
+        // exprId continuity for the columns parents may have resolved
+        // against; source-added metadata columns (change feed) ride
+        // behind them with their own fresh ids
+        val byName = rel.output.map(a => a.name.toLowerCase -> a).toMap
+        val kept = s.output.map { o =>
+          val src = byName.getOrElse(o.name.toLowerCase,
+            throw new IllegalStateException(
+              s"catalog table ${t.fullName} lost column ${o.name} between " +
+                "load and stream planning — concurrent schema change; " +
+                "re-run the query"))
+          Alias(src, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+        }
+        val extras = rel.output.filterNot(a =>
+          s.output.exists(_.name.equalsIgnoreCase(a.name)))
+        Project(kept ++ extras, rel)
       case r: DataSourceV2Relation if graftTable(r).isDefined =>
         val t = graftTable(r).get
         val df = t.pinnedVersion
           .map(v => ManifestLake.readVersion(spark, t.path, v))
           .getOrElse(ManifestLake.read(spark, t.path))
-        val v1 = df.queryExecution.analyzed
+        // stamp the table identity onto the engine's file relation:
+        // catalog machinery that walks a resolved plan back to its
+        // table (spark.catalog.refreshTable — which the streaming
+        // sink's post-commit refresh calls — and plan rendering)
+        // expects a LogicalRelation under a name to carry it
+        val v1 = df.queryExecution.analyzed.transform {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if lr.catalogTable.isEmpty =>
+            lr.copy(catalogTable = Some(t.v1Table))
+        }
         val byName = v1.output.map(a => a.name.toLowerCase -> a).toMap
         // alias the engine plan's output back to the v2 relation's
         // exprIds: parents that already resolved against the relation

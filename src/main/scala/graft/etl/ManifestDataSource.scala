@@ -194,15 +194,23 @@ final class ManifestDataSource extends DataSourceRegister
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
-    require(schema.isEmpty,
-      "graft-manifest streams the table's recorded schema; a user-specified " +
-        "schema cannot be honored")
     val path = pathOf(parameters)
     val spark = sqlContext.sparkSession
     ManifestLake.currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"cannot stream from $path: no manifest table exists there yet"))
     val table = ManifestLake.read(spark, path).schema
+    // a schema arrives here on two routes: a user's .schema(...) —
+    // refused unless it IS the recorded one (the stream serves the
+    // table's schema, never a reinterpretation) — and the analyzer's
+    // catalog-table streaming fallback, which echoes the catalog's own
+    // rendering of the recorded schema back at us (FindDataSourceTable
+    // passes CatalogTable.schema as the user schema); that echo must
+    // pass, or readStream.table() could never resolve
+    schema.filter(_.nonEmpty).foreach(s => require(
+      org.apache.spark.sql.graftshim.SparkShims.sameType(s, table),
+      "graft-manifest streams the table's recorded schema; a differing " +
+        s"user-specified schema cannot be honored (recorded: ${table.sql})"))
     val out =
       if (!isChangeFeedStream(parameters)) table
       else StructType(table.fields ++ Seq(

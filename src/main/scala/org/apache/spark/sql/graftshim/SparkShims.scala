@@ -29,4 +29,25 @@ object SparkShims {
     */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Two schemas equal up to nullability and field-name case — the
+    * public spelling of `StructType.sameType`, which Spark scopes
+    * `private[sql]`.
+    */
+  def sameType(a: org.apache.spark.sql.types.StructType,
+               b: org.apache.spark.sql.types.StructType): Boolean =
+    a.sameType(b)
 }
+
+/** Public extension point over Spark's `private[sql]`
+  * [[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]] —
+  * the trait `DataStreamWriter.toTable` and the analyzer's streaming
+  * read resolution dispatch on to route a catalog table onto its V1
+  * streaming source/sink (the same seam Delta's `DeltaTableV2` rides).
+  * Spark keeps the trait package-private because the `CatalogTable` it
+  * returns is an internal type; a table format implementing it must
+  * therefore declare it from inside the package. This shim is that
+  * declaration and nothing more.
+  */
+trait V1FallbackTableShim
+  extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
