@@ -426,14 +426,20 @@ object GraftSqlDml {
     */
   private def splitColumns(cols: Seq[ColumnDefinition], partCols: Seq[String])
       : (org.apache.spark.sql.types.StructType,
-         Seq[(String, org.apache.spark.sql.types.DataType, String)]) = {
+         Seq[(String, org.apache.spark.sql.types.DataType, String)],
+         Seq[(String, String)]) = {
     cols.foreach { c =>
       require(c.comment.isEmpty,
         "COMMENT is not supported on manifest tables (no comment store)")
-      require(c.defaultValue.isEmpty,
-        "column DEFAULTs are not supported on manifest tables")
+      require(c.defaultValue.isEmpty || c.generationExpression.isEmpty,
+        s"column ${c.name} cannot carry both DEFAULT and GENERATED")
       require(c.identityColumnSpec.isEmpty,
         "identity columns are not supported on manifest tables")
+    }
+    // CREATE-time column DEFAULTs: (name, original SQL) — literal-only,
+    // validated by the engine before any file lands
+    val defaults = cols.collect {
+      case c if c.defaultValue.isDefined => c.name -> c.defaultValue.get.originalSQL
     }
     val genIdx = cols.indexWhere(_.generationExpression.isDefined)
     val (plain, gen) =
@@ -457,7 +463,8 @@ object GraftSqlDml {
         "declare a CHECK (col IS NOT NULL) constraint instead"))
     (org.apache.spark.sql.types.StructType(plain.map(c =>
       org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
-      gen.map(c => (c.name, c.dataType, c.generationExpression.get)))
+      gen.map(c => (c.name, c.dataType, c.generationExpression.get)),
+      defaults)
   }
 
   /** The manifest path an ALTER TABLE target names — the multipart
@@ -550,15 +557,35 @@ object GraftSqlDml {
             AlterDropCols(fields.map(_.name.mkString(".")), ifExists)))
       case AlterColumns(t, specs) =>
         alterTargetPath(spark, t).map { path =>
-          val widens = specs.map { s =>
-            require(s.newDataType.isDefined && s.newNullability.isEmpty &&
-              s.newComment.isEmpty && s.newPosition.isEmpty &&
-              s.newDefaultExpression.isEmpty && !s.dropDefault,
-              "ALTER COLUMN on a manifest table supports TYPE widening " +
-                "only (no nullability/comment/position/default changes)")
-            (s.column.name.mkString("."), s.newDataType.get)
+          specs.foreach(s => require(s.newNullability.isEmpty &&
+            s.newComment.isEmpty && s.newPosition.isEmpty,
+            "ALTER COLUMN on a manifest table supports TYPE widening and " +
+              "SET/DROP DEFAULT only (no nullability/comment/position changes)"))
+          val (defaultish, widenish) =
+            specs.partition(s => s.newDefaultExpression.isDefined || s.dropDefault)
+          require(defaultish.isEmpty || widenish.isEmpty,
+            "mixing TYPE changes and DEFAULT changes in one ALTER COLUMN " +
+              "statement is not supported on manifest tables — run them " +
+              "as separate statements")
+          if (defaultish.nonEmpty) {
+            val changes = defaultish.map { s =>
+              require(s.newDataType.isEmpty,
+                "combine TYPE and DEFAULT changes as separate statements")
+              require(s.column.name.length == 1,
+                s"DEFAULT on a nested field is not supported: " +
+                  s"${s.column.name.mkString(".")}")
+              (s.column.name.head, s.newDefaultExpression.map(_.originalSQL))
+            }
+            GraftAlterCommand(path, AlterSetDefaults(changes))
+          } else {
+            val widens = widenish.map { s =>
+              require(s.newDataType.isDefined,
+                "ALTER COLUMN on a manifest table supports TYPE widening " +
+                  "and SET/DROP DEFAULT only")
+              (s.column.name.mkString("."), s.newDataType.get)
+            }
+            GraftAlterCommand(path, AlterWidenCols(widens))
           }
-          GraftAlterCommand(path, AlterWidenCols(widens))
         }
       // ---- SET/UNSET TBLPROPERTIES: the two mutable header facts the
       // engine honors (graft.statsCols / graft.bloomCols) flip on a
@@ -584,9 +611,9 @@ object GraftSqlDml {
         identManifestPath(spark, ident).map { path =>
           val (cons, partCols, stCols, blCols) =
             validateCreateSpec(spec, partitioning)
-          val (plain, gen) = splitColumns(cols, partCols)
+          val (plain, gen, defs) = splitColumns(cols, partCols)
           GraftCreateTableCommand(path, CreateEmpty(plain, ignoreIfExists),
-            gen, partCols, cons, stCols, blCols)
+            gen, partCols, cons, stCols, blCols, defs)
         }
       case CreateTableAsSelect(ident, partitioning, query,
           spec: UnresolvedTableSpec, writeOptions, ignoreIfExists, _) =>
@@ -958,6 +985,7 @@ final case class AlterAddCols(cols: Seq[(String, org.apache.spark.sql.types.Data
 final case class AlterRenameCol(from: String, to: String) extends GraftAlterOp
 final case class AlterDropCols(cols: Seq[String], ifExists: Boolean) extends GraftAlterOp
 final case class AlterWidenCols(cols: Seq[(String, org.apache.spark.sql.types.DataType)]) extends GraftAlterOp
+final case class AlterSetDefaults(changes: Seq[(String, Option[String])]) extends GraftAlterOp
 final case class AlterAddConstraint(name: String, conditionSql: String) extends GraftAlterOp
 final case class AlterDropConstraint(name: String, ifExists: Boolean) extends GraftAlterOp
 
@@ -1025,6 +1053,11 @@ final case class GraftAlterCommand(path: String, op: GraftAlterOp)
             validateOnly = true) }
         cols.map { case (n, dt) =>
           ManifestLake.widenColumnType(spark, path, n, dt) }.last
+      case AlterSetDefaults(changes) =>
+        require(changes.map(_._1.toLowerCase).distinct.size == changes.size,
+          "ALTER COLUMN names a column twice")
+        changes.map { case (n, d) =>
+          ManifestLake.setColumnDefault(spark, path, n, d) }.last
       case AlterAddConstraint(name, sql) =>
         ManifestLake.addConstraint(spark, path, name, sql)
       case AlterDropConstraint(name, ifExists) =>
@@ -1073,7 +1106,8 @@ final case class ReplaceAsSelect(query: LogicalPlan,
 final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
     generated: Seq[(String, org.apache.spark.sql.types.DataType, String)],
     partCols: Seq[String], checkConstraints: Seq[(String, String)],
-    statsCols: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty)
+    statsCols: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty,
+    defaults: Seq[(String, String)] = Seq.empty)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = mode match {
     case CreateAsSelect(q, _) => Seq(q)
@@ -1091,6 +1125,17 @@ final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
     val genPartFields = generated.collect {
       case (n, dt, _) if partCols.exists(_.equalsIgnoreCase(n)) =>
         org.apache.spark.sql.types.StructField(n, dt, nullable = true)
+    }
+    // DEFAULTs pre-validate against the DECLARED types before any file
+    // lands — an invalid default must leave no half-created table
+    defaults.foreach { case (n, sql) =>
+      val dt = (mode match {
+        case CreateEmpty(schema, _) =>
+          schema.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
+        case _ => None
+      }).getOrElse(throw new IllegalArgumentException(
+        s"DEFAULT declared for unknown column $n"))
+      ManifestLake.validateColumnDefault(spark, sql, dt, n): Unit
     }
     val base: Option[Long] = mode match {
       case CreateEmpty(schema, ignoreIfExists) =>
@@ -1123,8 +1168,10 @@ final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
       case Some(v0) =>
         val vg = generated.foldLeft(v0) { case (_, (n, dt, e)) =>
           ManifestLake.addGeneratedColumn(spark, path, n, dt, e) }
-        checkConstraints.foldLeft(vg) { case (_, (n, e)) =>
+        val vc = checkConstraints.foldLeft(vg) { case (_, (n, e)) =>
           ManifestLake.addConstraint(spark, path, n, e) }
+        defaults.foldLeft(vc) { case (_, (n, sql)) =>
+          ManifestLake.setColumnDefault(spark, path, n, Some(sql)) }
     }
     Seq(Row(v))
   }
@@ -1319,11 +1366,14 @@ final case class GraftShowCreateCommand(path: String)
       logical.fields.toSeq.partition(f => genByName.contains(f.name))
     val (genPartF, genOtherF) =
       genFields.partition(f => m.partCols.exists(_.equalsIgnoreCase(f.name)))
+    val defByName = m.defaults.toMap
     val colLines = (plainFields ++ genPartF ++ genOtherF).map { f =>
       genByName.get(f.name) match {
         case Some(expr) =>
           s"  ${q(f.name)} ${f.dataType.sql} GENERATED ALWAYS AS ($expr)"
-        case None => s"  ${q(f.name)} ${f.dataType.sql}"
+        case None =>
+          s"  ${q(f.name)} ${f.dataType.sql}" +
+            defByName.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
       }
     }
     val consLines = m.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
@@ -1425,11 +1475,14 @@ final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
       } else if (byName) {
         val qLower = df.schema.fieldNames.map(f => f.toLowerCase -> f).toMap
         val genNames = m.generated.map(_._1).toSet
+        val defNames = m.defaults.map(_._1.toLowerCase).toSet
         expect.toSeq.flatMap { f =>
           qLower.get(f.name.toLowerCase) match {
             case Some(q) => Some(f.name -> col(q))
-            // an absent GENERATED column is computed by the engine
+            // an absent GENERATED column is computed by the engine;
+            // an absent DEFAULTED column materializes its default below
             case None if genNames.contains(f.name) => None
+            case None if defNames.contains(f.name.toLowerCase) => None
             case None => throw new IllegalArgumentException(
               s"INSERT BY NAME query is missing table column ${f.name}")
           }
@@ -1447,7 +1500,14 @@ final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
     val genNames = m.generated.map(_._1).toSet
     // an explicit column list (or BY NAME) leaving a GENERATED column
     // unassigned OMITS it — the engine computes absent generated
-    // columns; a NULL fill would be validated-as-supplied and refuse
+    // columns; a NULL fill would be validated-as-supplied and refuse.
+    // An unassigned column WITH a declared DEFAULT materializes it
+    // (standard SQL omitted-column semantics; an explicit NULL in the
+    // list stays NULL — defaults only fill absence)
+    def absentFill(f: org.apache.spark.sql.types.StructField): Column =
+      m.defaults.find(_._1.equalsIgnoreCase(f.name))
+        .map { case (_, d) => org.apache.spark.sql.functions.expr(d) }
+        .getOrElse(lit(null)).cast(f.dataType)
     val projected = df.select(logical.fields.toSeq.flatMap { f =>
       (staticCols.get(f.name) match {
         case Some(value) => Some(lit(value).cast(f.dataType))
@@ -1455,7 +1515,7 @@ final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
           case Some(c) => Some(c)
           case None if (userCols.nonEmpty || byName) && genNames.contains(f.name) =>
             None
-          case None => Some(lit(null).cast(f.dataType))
+          case None => Some(absentFill(f))
         }
       }).map(_.as(f.name))
     }: _*)

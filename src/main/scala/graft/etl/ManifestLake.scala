@@ -242,7 +242,8 @@ object ManifestLake {
                                          fieldDropped: Seq[(String, String)] = Seq.empty,
                                          ckptRef: Option[String] = None,
                                          chain: Int = 0,
-                                         baseVersions: Seq[Long] = Seq.empty)
+                                         baseVersions: Seq[Long] = Seq.empty,
+                                         defaults: Seq[(String, String)] = Seq.empty)
 
   /** Published manifests are IMMUTABLE (a version is never rewritten —
     * restore publishes a NEW version), so parsed manifests cache across
@@ -721,6 +722,13 @@ object ManifestLake {
       val i = rest.indexOf('\t')
       rest.substring(0, i) -> rest.substring(i + 1)
     }
+    // column DEFAULT values: (physical column, canonical literal SQL) —
+    // materialized when an INSERT/MERGE column list omits the column
+    val defaults = directives.filter(_.startsWith("#coldefault\t")).map { d =>
+      val rest = d.substring("#coldefault\t".length)
+      val i = rest.indexOf('\t')
+      rest.substring(0, i) -> rest.substring(i + 1)
+    }
     // one-level nested-field renames: (physical root column,
     // logical field name, physical field name)
     val fieldMap = directives.filter(_.startsWith("#fieldmap\t")).map { d =>
@@ -754,7 +762,7 @@ object ManifestLake {
     (Manifest(schema, partCols, filesAll, txns, op, cdf, constraints,
       if (colMapEntries.isEmpty) None else Some(colMapEntries), dropped,
       bloomCols, generated, fieldMap, statsColsDefault,
-      fieldDropped, ckptRef), deltaRef, removes)
+      fieldDropped, ckptRef, defaults = defaults), deltaRef, removes)
   }
 
   /** Stats blob: `{"col": ["lo","hi"], …, "#rows": n, "#nulls":
@@ -1049,7 +1057,8 @@ object ManifestLake {
                            fieldMap: Seq[(String, String, String)] = Seq.empty,
                            statsColsDefault: Seq[String] = Seq.empty,
                            fieldDropped: Seq[(String, String)] = Seq.empty,
-                           deltaHint: Option[(Seq[LiveFile], Seq[String])] = None): Unit = {
+                           deltaHint: Option[(Seq[LiveFile], Seq[String])] = None,
+                           defaults: Seq[(String, String)] = Seq.empty): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
     txns.keys.foreach(app => require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
@@ -1065,6 +1074,12 @@ object ManifestLake {
         !(l + p).exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"column-mapping names must be non-empty with no tabs or newlines: $l -> $p")
     })
+    defaults.foreach { case (n, e) =>
+      require(n.nonEmpty && !n.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"default-column name must be non-empty with no tabs or newlines: $n")
+      require(!e.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"default expression must not contain tabs or newlines: $n")
+    }
     partCols.foreach(c => require(!c.exists(ch => ch == ',' || ch == '\t' || ch == '\n' || ch == '\r'),
       s"partition column name must not contain ',' or whitespace control chars: $c"))
     val dir = new Path(root, ManifestDir)
@@ -1086,6 +1101,7 @@ object ManifestLake {
       (if (statsColsDefault.isEmpty) Nil
        else Seq(s"#statscols\t${statsColsDefault.mkString(",")}")) ++
       generated.map { case (n, e) => s"#gencol\t$n\t$e" } ++
+      defaults.map { case (n, e) => s"#coldefault\t$n\t$e" } ++
       fieldMap.map { case (c, l, ph) => s"#fieldmap\t$c\t$l\t$ph" } ++
       fieldDropped.map { case (c, pp) => s"#fielddropped\t$c\t$pp" } ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
@@ -1334,7 +1350,7 @@ object ManifestLake {
       }
       val resolved = Manifest(schema, partCols, resolvedFiles, txns, op, cdf,
         constraints, colMap.filter(_.nonEmpty), droppedPhys, bloomCols, generated,
-        fieldMap, statsColsDefault, fieldDropped, ckptRefOut,
+        fieldMap, statsColsDefault, fieldDropped, ckptRefOut, defaults = defaults,
         chain = delta.map(_._3).getOrElse(0),
         baseVersions =
           delta.map(_ => prevM.get.baseVersions :+ (v - 1)).getOrElse(Seq.empty))
@@ -1605,6 +1621,71 @@ object ManifestLake {
       statsColsDefault = statsCols.map(c =>
         data.fieldNames.find(_.equalsIgnoreCase(c)).get))
     1L
+  }
+
+  /** SHALLOW CLONE — a NEW table whose v1 is ONE metadata commit whose
+    * entries REFERENCE the source's data files (and DV/bloom sidecars)
+    * by absolute qualified path: zero data movement, Delta's
+    * `CREATE TABLE … SHALLOW CLONE src [VERSION AS OF n]`. Cheap
+    * test/dev branching on a 100 TB table — the clone costs one
+    * manifest write regardless of source size.
+    *
+    * The whole header state at the cloned version carries: schema,
+    * partitioning, constraints, column mapping + retirements (dropped
+    * data never resurrects through a clone), generated columns,
+    * defaults, declared stats/bloom columns, per-file stats. The txn
+    * LEDGER does not — the clone is a new stream target with its own
+    * exactly-once watermarks.
+    *
+    * Divergence is free in both directions: clone-side DML stages its
+    * new files under the CLONE root and only unreferences source
+    * files (never touches them — same stance as adopted files: the
+    * engine never deletes what it did not write, and the clone's
+    * vacuum walks only its own data dir, where source files can never
+    * appear). Source-side DML is invisible to the clone (its entries
+    * pin the exact files of the cloned version). The one cross-table
+    * hazard is Delta's too: VACUUM on the SOURCE cannot see clones
+    * and may reap files a clone still references — retain
+    * accordingly, or deep-copy (CTAS) when the source's retention is
+    * not under your control.
+    *
+    * Relative paths absolutize against the SOURCE root (a clone of a
+    * clone passes absolute entries through unchanged); DV join keys
+    * stay valid because both sides of the mask anti-join derive the
+    * root-independent `data/v…` suffix (the relocatability contract,
+    * see [[relPathExpr]]).
+    */
+  def shallowClone(spark: SparkSession, sourcePath: String, targetPath: String,
+                   versionAsOf: Option[Long] = None,
+                   orReplace: Boolean = false,
+                   ifNotExists: Boolean = false): Long = {
+    val (srcFs, srcRoot) = fsFor(spark, sourcePath)
+    val (fs, root) = fsFor(spark, targetPath)
+    require(srcFs.makeQualified(srcRoot) != fs.makeQualified(root),
+      s"cannot clone $sourcePath onto itself")
+    val srcHead = currentVersion(spark, sourcePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifested table at $sourcePath to clone"))
+    versionAsOf.foreach(v => require(v >= 1 && v <= srcHead,
+      s"SHALLOW CLONE VERSION AS OF $v: source versions are 1..$srcHead"))
+    val srcM = readManifest(srcFs, srcRoot, versionAsOf.getOrElse(srcHead))
+    def abs(p: String): String =
+      srcFs.makeQualified(new Path(srcRoot, p)).toString
+    val entries = srcM.files.map(f => f.copy(path = abs(f.path),
+      dv = f.dv.map(abs), bloom = f.bloom.map(abs)))
+    val existing = currentVersion(spark, targetPath)
+    if (existing.isDefined && ifNotExists) return existing.get
+    require(existing.isEmpty || orReplace,
+      s"manifest table already exists at $targetPath — use CREATE OR " +
+        "REPLACE TABLE ... SHALLOW CLONE (or IF NOT EXISTS to skip)")
+    val v = existing.map(_ + 1).getOrElse(1L)
+    publish(fs, root, v, entries, srcM.schema, srcM.partCols,
+      op = Some("clone"), constraints = srcM.constraints,
+      colMap = srcM.colMap, droppedPhys = srcM.droppedPhys,
+      bloomCols = srcM.bloomCols, statsColsDefault = srcM.statsColsDefault,
+      generated = srcM.generated, defaults = srcM.defaults,
+      fieldMap = srcM.fieldMap, fieldDropped = srcM.fieldDropped)
+    v
   }
 
   def write(spark: SparkSession, df: DataFrame, path: String,
@@ -2086,6 +2167,7 @@ object ManifestLake {
           droppedPhys = droppedOut, bloomCols = bloomColsOut,
           statsColsDefault = statsColsOut,
           generated = genCols,
+          defaults = curPrev.map(_.defaults).getOrElse(Seq.empty),
           fieldMap = curPrev.map(_.fieldMap).getOrElse(Seq.empty),
           fieldDropped = curPrev.map(_.fieldDropped).getOrElse(Seq.empty),
           // an append drops nothing: the delta is exactly the staged
@@ -2973,7 +3055,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = curM.statsColsDefault,
-          generated = curM.generated, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
+          generated = curM.generated, defaults = curM.defaults, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((withStats, inputPaths.toSeq)))
         return report
       } catch {
@@ -3324,7 +3406,7 @@ object ManifestLake {
           constraints = manifest.constraints, colMap = colMapOutU,
           droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
           statsColsDefault = manifest.statsColsDefault,
-          generated = manifest.generated, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
+          generated = manifest.generated, defaults = manifest.defaults, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
           deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
         return curV
       } catch {
@@ -3575,7 +3657,7 @@ object ManifestLake {
             constraints = manifest.constraints, colMap = colMapOut,
             droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
           statsColsDefault = manifest.statsColsDefault,
-            generated = manifest.generated, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
+            generated = manifest.generated, defaults = manifest.defaults, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
             deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
           return curV
         } catch {
@@ -3997,10 +4079,15 @@ object ManifestLake {
         }
       // the merged value of column n for every action code: K keeps the
       // target value; full-row U/I take the source row; explicit SETs
-      // update the named columns (others keep target / NULL for
-      // inserts), cast to the column's type (SQL store-assignment)
+      // update the named columns (others keep target for updates; for
+      // inserts, the column's declared DEFAULT if any, else NULL),
+      // cast to the column's type (SQL store-assignment)
       def mergedValue(n: String): Column = {
         val dt = logical(n).dataType
+        def insertAbsent: Column = manifest.defaults
+          .find(_._1.equalsIgnoreCase(n))
+          .map { case (_, d) => expr(d).cast(dt) }
+          .getOrElse(lit(null).cast(dt))
         val cases: Seq[(String, Column)] =
           updSets.map { case (code, so) =>
             code -> so.map(m => m.get(n).map(_.cast(dt))
@@ -4008,7 +4095,7 @@ object ManifestLake {
           } ++
           insVals.map { case (code, vo) =>
             code -> vo.map(m => m.get(n).map(_.cast(dt))
-              .getOrElse(lit(null).cast(dt))).getOrElse(col(s"s.$n"))
+              .getOrElse(insertAbsent)).getOrElse(col(s"s.$n"))
           } ++
           bySrcSets.map { case (code, m) =>
             code -> m.get(n).map(_.cast(dt)).getOrElse(col(s"t.$n"))
@@ -4131,7 +4218,7 @@ object ManifestLake {
             constraints = manifest.constraints, colMap = manifest.colMap,
             droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
           statsColsDefault = manifest.statsColsDefault,
-            generated = manifest.generated, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
+            generated = manifest.generated, defaults = manifest.defaults, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
             deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
           return MergeStats(curV, nUpd, nDel, nIns)
         } catch {
@@ -4653,7 +4740,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = curM.statsColsDefault,
-          generated = curM.generated, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
+          generated = curM.generated, defaults = curM.defaults, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((staged, candidatePaths.toSeq)))
         return curV
       } catch {
@@ -5169,7 +5256,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = curM.statsColsDefault,
-          generated = curM.generated, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
+          generated = curM.generated, defaults = curM.defaults, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((staged, candidatePaths.toSeq)))
         return curV
       } catch {
@@ -5232,6 +5319,7 @@ object ManifestLake {
       colMap = target.colMap, droppedPhys = target.droppedPhys,
       bloomCols = target.bloomCols,
       statsColsDefault = target.statsColsDefault, generated = target.generated,
+      defaults = target.defaults,
       fieldMap = target.fieldMap, fieldDropped = target.fieldDropped)
     newV
   }
@@ -5300,7 +5388,7 @@ object ManifestLake {
       op = Some("constraint"), constraints = m.constraints + (name -> expression),
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = m.statsColsDefault,
-      generated = m.generated, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
+      generated = m.generated, defaults = m.defaults, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -5318,7 +5406,7 @@ object ManifestLake {
       op = Some("constraint"), constraints = m.constraints - name,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = m.statsColsDefault,
-      generated = m.generated, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
+      generated = m.generated, defaults = m.defaults, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -5399,9 +5487,108 @@ object ManifestLake {
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("properties"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = bloom,
-      statsColsDefault = stats, generated = m.generated,
+      statsColsDefault = stats, generated = m.generated, defaults = m.defaults,
       fieldMap = m.fieldMap, fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
+  }
+
+  /** SET (Some) or DROP (None) a column's DEFAULT value — the
+    * `ALTER TABLE … ALTER COLUMN … SET/DROP DEFAULT` surface,
+    * metadata-only commit. A default materializes when an
+    * INSERT/MERGE column list OMITS the column (standard SQL: an
+    * explicit NULL stays NULL); existing rows are untouched — only
+    * statements AFTER the SET see it, exactly Delta's contract.
+    * LITERALS ONLY, validated here: the expression must fold to a
+    * constant with no column references or function calls, and must
+    * store-assign to the column's type — a non-literal or
+    * incompatible default refuses loudly with the table unchanged.
+    * The canonical literal rendering is stored (`DATE '2024-01-01'`,
+    * not the spelling the user typed), so fill-time parsing and
+    * SHOW CREATE are deterministic. Generated columns refuse (their
+    * value is always computed — a default could never apply).
+    */
+  def setColumnDefault(spark: SparkSession, path: String, column: String,
+                       defaultSql: Option[String]): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    val logical = logicalSchemaOf(m)
+    val f = logical.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column $column on $path (columns: " +
+          s"${logical.fieldNames.mkString(", ")})"))
+    require(!m.generated.exists(_._1.equalsIgnoreCase(f.name)),
+      s"column ${f.name} is GENERATED — its value is always computed, " +
+        "a DEFAULT could never apply")
+    val newDefaults = defaultSql match {
+      case Some(sql) =>
+        val canonical = canonicalDefaultLiteral(spark, sql, f.dataType, f.name)
+        m.defaults.filterNot(_._1.equalsIgnoreCase(f.name)) :+
+          (f.name -> canonical)
+      case None =>
+        require(m.defaults.exists(_._1.equalsIgnoreCase(f.name)),
+          s"column ${f.name} has no DEFAULT to drop (declared: " +
+            s"${m.defaults.map(_._1).mkString(", ")})")
+        m.defaults.filterNot(_._1.equalsIgnoreCase(f.name))
+    }
+    if (newDefaults == m.defaults) return v
+    publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
+      op = Some("properties"), constraints = m.constraints,
+      colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
+      statsColsDefault = m.statsColsDefault, generated = m.generated,
+      defaults = newDefaults,
+      fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
+      deltaHint = Some((Seq.empty, Seq.empty)))
+    v + 1
+  }
+
+  /** Pre-flight a DEFAULT declaration against a column type WITHOUT a
+    * table — CREATE validates its defaults before any file lands.
+    * Returns the canonical literal that would be stored.
+    */
+  private[etl] def validateColumnDefault(spark: SparkSession, sql: String,
+                                         to: DataType, col: String): String =
+    canonicalDefaultLiteral(spark, sql, to, col)
+
+  /** The canonical literal a DEFAULT declaration stores: parse, refuse
+    * anything non-constant (column references, function calls,
+    * subqueries — `current_date()` is deliberately out: a default that
+    * silently drifts per-statement is a correctness trap the engine
+    * does not serve), then evaluate through an ANSI store-assignment
+    * cast so overflow/malformed values fail at DECLARE time, not at
+    * the first INSERT.
+    */
+  private def canonicalDefaultLiteral(spark: SparkSession, sql: String,
+                                      to: DataType, col: String): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    val parsed = try spark.sessionState.sqlParser.parseExpression(sql)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"DEFAULT for $col does not parse: $sql (${e.getMessage})")
+    }
+    val nonConstant = parsed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.sql
+      case fn: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        fn.nameParts.mkString(".") + "(…)"
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        s.getClass.getSimpleName
+    }
+    require(nonConstant.isEmpty,
+      s"DEFAULT for $col must be a literal — found ${nonConstant.getOrElse("")} " +
+        s"in: $sql (column references, functions, and subqueries cannot " +
+        "be a manifest default)")
+    require(parsed.resolved && parsed.foldable,
+      s"DEFAULT for $col must be a literal constant, got: $sql")
+    require(Cast.canANSIStoreAssign(parsed.dataType, to) ||
+      parsed.dataType == org.apache.spark.sql.types.NullType,
+      s"DEFAULT for $col cannot store ${parsed.dataType.sql} into ${to.sql}")
+    val value = try Cast(parsed, to, None, EvalMode.ANSI).eval(null)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"DEFAULT for $col does not fit ${to.sql}: $sql (${e.getMessage})")
+    }
+    Literal(value, to).sql
   }
 
   /** METADATA-ONLY stats backfill — the `ANALYZE TABLE` surface:
@@ -5460,6 +5647,7 @@ object ManifestLake {
           op = Some("analyze"), constraints = m.constraints, colMap = m.colMap,
           droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = newDefault, generated = m.generated,
+          defaults = m.defaults,
           fieldMap = m.fieldMap, fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)))
         v + 1
       }
@@ -5499,7 +5687,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = (curM.statsColsDefault ++ phys).distinct,
-          generated = curM.generated, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
+          generated = curM.generated, defaults = curM.defaults, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((updated, updated.map(_.path))))
         return curV + 1
       } catch {
@@ -5652,6 +5840,9 @@ object ManifestLake {
           statsColsDefault = m.statsColsDefault,
       generated = m.generated.map { case (n, e) =>
         (if (n == oldName) newName else n) -> e
+      },
+      defaults = m.defaults.map { case (n, e) =>
+        (if (n == oldName) newName else n) -> e
       }, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
     v + 1
   }
@@ -5749,6 +5940,7 @@ object ManifestLake {
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols,
       statsColsDefault = m.statsColsDefault, generated = m.generated,
+      defaults = m.defaults,
       fieldMap = newFieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -5854,7 +6046,7 @@ object ManifestLake {
       op = Some("schema"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
-      generated = m.generated, fieldMap = newFieldMap,
+      generated = m.generated, defaults = m.defaults, fieldMap = newFieldMap,
       fieldDropped = m.fieldDropped :+ ((physRoot, curPhysDotted)),
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -5934,7 +6126,7 @@ object ManifestLake {
       op = Some("schema"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
-      generated = m.generated, fieldMap = newFieldMap,
+      generated = m.generated, defaults = m.defaults, fieldMap = newFieldMap,
       fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -5992,6 +6184,7 @@ object ManifestLake {
       bloomCols = m.bloomCols.filterNot(_ == phys),
       statsColsDefault = m.statsColsDefault.filterNot(_ == phys),
       generated = m.generated.filterNot(_._1 == name),
+      defaults = m.defaults.filterNot(_._1 == name),
       fieldMap = m.fieldMap.filterNot(_._1 == phys),
       fieldDropped = m.fieldDropped.filterNot(_._1 == phys))
     v + 1
@@ -6046,6 +6239,7 @@ object ManifestLake {
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols,
       statsColsDefault = m.statsColsDefault, generated = m.generated,
+      defaults = m.defaults,
       fieldMap = m.fieldMap, fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -6146,7 +6340,7 @@ object ManifestLake {
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols =
         if (renderingStable) m.bloomCols else m.bloomCols.filterNot(_ == phys),
-      generated = m.generated, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
+      generated = m.generated, defaults = m.defaults, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
     v + 1
   }
 
@@ -6233,7 +6427,7 @@ object ManifestLake {
       op = Some("schema"), constraints = m.constraints,
       colMap = newColMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = m.statsColsDefault,
-      generated = m.generated, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
+      generated = m.generated, defaults = m.defaults, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
     v + 1
   }
 
@@ -6338,6 +6532,7 @@ object ManifestLake {
         colMap = newColMap, droppedPhys = m.droppedPhys,
         bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
         generated = m.generated :+ (name -> expression),
+        defaults = m.defaults,
         fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
       v + 1
     } else {
@@ -6379,6 +6574,7 @@ object ManifestLake {
         colMap = newColMap, droppedPhys = m.droppedPhys,
         bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
         generated = m.generated :+ (name -> expression),
+        defaults = m.defaults,
         fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
       newV
     }

@@ -2784,6 +2784,78 @@ object EtlGate {
              |  max(doc_id) AS max_id
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // COLUMN DEFAULT VALUES (round 18): CREATE declares literal
+    // DEFAULTs; an INSERT column list OMITTING the column materializes
+    // them; ALTER COLUMN SET DEFAULT changes only statements AFTER it
+    // (existing rows untouched — leg 0 keeps the create-time values);
+    // MERGE's NOT MATCHED INSERT fills them; DROP DEFAULT reverts to
+    // the NULL fill. Four legs keyed by doc_id % 4, replayed
+    // relationally in DuckDB. Non-literal and type-incompatible
+    // defaults refuse IN-LINE with the table's defaults unchanged, and
+    // SHOW CREATE must render the live default.
+    Q(
+      "q140_column_defaults",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-defaults") + "/table"
+        val t = s"`graft-manifest`.`$out`"
+        s.sql(s"CREATE TABLE $t (lang STRING, doc_id BIGINT, " +
+          "n_chars BIGINT, quality STRING DEFAULT 'unscored', " +
+          "rev BIGINT DEFAULT 0) USING `graft-manifest` PARTITIONED BY (lang)")
+        graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("n_chars").cast("long"))
+          .createOrReplaceTempView("q140_docs")
+        def insertLeg(k: Int): Unit = s.sql(
+          s"INSERT INTO $t (lang, doc_id, n_chars) " +
+            s"SELECT lang, doc_id, n_chars FROM q140_docs WHERE doc_id % 4 = $k"): Unit
+        insertLeg(0) // create-time defaults: 'unscored' / 0
+        def refuses(sql: String, needle: String): Unit = {
+          val msg = try { s.sql(sql); "" } catch {
+            case e: Exception =>
+              Option(e.getMessage).getOrElse("") +
+                Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+          }
+          require(msg.toLowerCase.contains(needle.toLowerCase),
+            s"q140 gate: expected a refusal mentioning '$needle' for: $sql " +
+              s"(got: ${msg.take(200)})")
+        }
+        refuses(s"ALTER TABLE $t ALTER COLUMN quality SET DEFAULT current_date()",
+          "literal")
+        refuses(s"ALTER TABLE $t ALTER COLUMN rev SET DEFAULT 'abc'", "rev")
+        s.sql(s"ALTER TABLE $t ALTER COLUMN quality SET DEFAULT 'pending'")
+        s.sql(s"ALTER TABLE $t ALTER COLUMN rev SET DEFAULT 7")
+        insertLeg(1) // post-SET statements see 'pending' / 7
+        s.sql("SELECT lang, doc_id, n_chars FROM q140_docs WHERE doc_id % 4 = 2")
+          .createOrReplaceTempView("q140_src")
+        s.sql(s"""MERGE INTO $t t USING q140_src s
+                 |ON t.lang = s.lang AND t.doc_id = s.doc_id
+                 |WHEN NOT MATCHED THEN
+                 |  INSERT (lang, doc_id, n_chars) VALUES (s.lang, s.doc_id, s.n_chars)
+                 |""".stripMargin)
+        val ddl = s.sql(s"SHOW CREATE TABLE $t").head().getString(0)
+        require(ddl.contains("DEFAULT 'pending'") && ddl.contains("DEFAULT 7"),
+          s"q140 gate: SHOW CREATE must render the live defaults, got: $ddl")
+        s.sql(s"ALTER TABLE $t ALTER COLUMN rev DROP DEFAULT")
+        insertLeg(3) // rev reverts to the NULL fill; quality keeps 'pending'
+        require(!s.sql(s"SHOW CREATE TABLE $t").head().getString(0)
+          .contains("rev` BIGINT DEFAULT"),
+          "q140 gate: a dropped DEFAULT must leave SHOW CREATE")
+        s.sql(s"""SELECT quality, rev, count(*) AS n_docs,
+                 |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 |  max(doc_id) AS max_id
+                 |FROM $t GROUP BY quality, rev
+                 |ORDER BY quality, rev""".stripMargin)
+      },
+      Some("""WITH legs AS (
+             |  SELECT doc_id, n_chars,
+             |    CASE WHEN doc_id % 4 = 0 THEN 'unscored' ELSE 'pending' END AS quality,
+             |    CASE WHEN doc_id % 4 = 0 THEN 0
+             |         WHEN doc_id % 4 = 3 THEN NULL ELSE 7 END AS rev
+             |  FROM documents)
+             |SELECT quality, CAST(rev AS BIGINT) AS rev, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS max_id
+             |FROM legs GROUP BY quality, rev
+             |ORDER BY quality, rev""".stripMargin)),
+
     // NESTED-FIELD DROP + RE-ADD at depth 2 (round 17): the genomic-
     // evidence shape drops `entries.ev.q` (metadata-only — byte-
     // identical file set REQUIRED IN-LINE), then re-adds the SAME
