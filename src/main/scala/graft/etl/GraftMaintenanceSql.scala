@@ -46,6 +46,14 @@ object GraftMaintenanceSql {
     * fail there).
     */
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] = {
+    // SHALLOW CLONE leads with CREATE TABLE, which vanilla SQL also
+    // does — claimed only when an identifier run (no '(' — that would
+    // be a column list) sits between TABLE and SHALLOW CLONE, a shape
+    // Spark's grammar cannot parse at all, so failures are loud
+    val cloneLead = ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?[^(]*?\\bSHALLOW\\s+CLONE\\b").r
+    if (cloneLead.findFirstIn(sqlText).isDefined)
+      return Some(parseClone(spark, lex(sqlText)))
     // cheap keyword gate BEFORE lexing: the lexer is deliberately tiny
     // and refuses characters these four statements never carry — it
     // must never see (let alone fail on) general SQL
@@ -345,6 +353,80 @@ object GraftMaintenanceSql {
     GraftConvertCommand(path, types)
   }
 
+  /** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t SHALLOW CLONE s
+    * [VERSION AS OF n | TIMESTAMP AS OF 'ts']` — one metadata commit
+    * referencing the source's files by absolute path; see
+    * [[ManifestLake.shallowClone]]. The new table spells as
+    * `` `graft-manifest`.`/path` ``, a bare quoted path, or a graft
+    * catalog name; the source additionally as a temp view or a
+    * current-catalog bare name (it must exist).
+    */
+  private def parseClone(spark: SparkSession, toks: List[Tok]): LogicalPlan = {
+    def ident(t: Tok): Option[String] = t match {
+      case Word(w) => Some(w)
+      case Quoted(q) => Some(q)
+      case _ => None
+    }
+    val afterCreate = toks match {
+      case c :: o :: r :: t :: tl if kw(c, "CREATE") && kw(o, "OR") &&
+        kw(r, "REPLACE") && kw(t, "TABLE") => (true, false, tl)
+      case c :: t :: i :: n :: e :: tl if kw(c, "CREATE") && kw(t, "TABLE") &&
+        kw(i, "IF") && kw(n, "NOT") && kw(e, "EXISTS") => (false, true, tl)
+      case c :: t :: tl if kw(c, "CREATE") && kw(t, "TABLE") =>
+        (false, false, tl)
+      case other => throw new IllegalArgumentException(
+        s"SHALLOW CLONE spells CREATE [OR REPLACE] TABLE [IF NOT EXISTS] " +
+          s"t SHALLOW CLONE s; got: ${other.mkString(" ")}")
+    }
+    val (orReplace, ifNotExists, afterTable) = afterCreate
+    // the NEW table — resolved without requiring existence
+    val (tgt, afterTgt) = afterTable match {
+      case a :: Punct('.') :: Quoted(dir) :: tl
+        if ident(a).exists(f => f.equalsIgnoreCase("graft-manifest") ||
+          f.equalsIgnoreCase("graft_manifest")) => (dir, tl)
+      case a :: Punct('.') :: b :: Punct('.') :: c :: tl
+        if ident(a).isDefined && ident(b).isDefined && ident(c).isDefined &&
+          GraftCatalog.identPath(spark,
+            Seq(ident(a).get, ident(b).get, ident(c).get)).isDefined =>
+        (GraftCatalog.identPath(spark,
+          Seq(ident(a).get, ident(b).get, ident(c).get)).get, tl)
+      case a :: Punct('.') :: b :: tl
+        if ident(a).isDefined && ident(b).isDefined &&
+          GraftCatalog.identPath(spark,
+            Seq(ident(a).get, ident(b).get)).isDefined =>
+        (GraftCatalog.identPath(spark,
+          Seq(ident(a).get, ident(b).get)).get, tl)
+      case Quoted(dir) :: tl => (dir, tl)
+      case (a @ Word(_)) :: tl
+        if GraftCatalog.currentIdentPath(spark, ident(a).get).isDefined =>
+        (GraftCatalog.currentIdentPath(spark, ident(a).get).get, tl)
+      case other => throw new IllegalArgumentException(
+        "SHALLOW CLONE's new table spells `graft-manifest`.`/path`, a " +
+          "quoted path, or a graft catalog name; got: " + other.mkString(" "))
+    }
+    val afterShallow = afterTgt match {
+      case sh :: cl :: tl if kw(sh, "SHALLOW") && kw(cl, "CLONE") => tl
+      case other => throw new IllegalArgumentException(
+        s"expected SHALLOW CLONE after the new table name, got: " +
+          other.mkString(" "))
+    }
+    val (src, rest) = target(spark, afterShallow, "SHALLOW CLONE")
+    val version = rest match {
+      case Nil => None
+      case v :: a :: o :: n :: tl if kw(v, "VERSION") && kw(a, "AS") &&
+        kw(o, "OF") =>
+        end(tl, "SHALLOW CLONE"); Some(num(n, "VERSION AS OF"))
+      case t :: a :: o :: Str(ts) :: tl if kw(t, "TIMESTAMP") && kw(a, "AS") &&
+        kw(o, "OF") =>
+        end(tl, "SHALLOW CLONE")
+        Some(ManifestLake.versionAtTimestamp(spark, src,
+          ManifestDataSource.parseMillis("TIMESTAMP AS OF", ts)))
+      case other => throw new IllegalArgumentException(
+        s"unexpected trailing tokens in SHALLOW CLONE: ${other.mkString(" ")}")
+    }
+    GraftCloneCommand(src, tgt, version, orReplace, ifNotExists)
+  }
+
   /** None (not an exception) when the shape does not parse or the
     * target is not a manifest table — DESCRIBE has vanilla meanings.
     */
@@ -493,6 +575,28 @@ final case class GraftHistoryCommand(path: String, limit: Option[Int])
   * to [[ManifestLake.adopt]]; returns (version, n_files) of the v1
   * manifest built over the existing files.
   */
+/** `CREATE TABLE t SHALLOW CLONE s [VERSION AS OF n]` — dispatches to
+  * [[ManifestLake.shallowClone]]; returns the new table's version and
+  * how many source files it references (all by reference — the
+  * zero-copy contract).
+  */
+final case class GraftCloneCommand(sourcePath: String, targetPath: String,
+                                   versionAsOf: Option[Long],
+                                   orReplace: Boolean, ifNotExists: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_referenced", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(!(orReplace && ifNotExists),
+      "CREATE OR REPLACE and IF NOT EXISTS cannot combine")
+    val v = ManifestLake.shallowClone(spark, sourcePath, targetPath,
+      versionAsOf, orReplace, ifNotExists)
+    val (fs, root) = ManifestLake.fsFor(spark, targetPath)
+    Seq(Row(v, ManifestLake.readManifest(fs, root, v).files.length.toLong))
+  }
+}
+
 final case class GraftConvertCommand(path: String,
                                      partitionTypes: Seq[(String, String)])
   extends LeafRunnableCommand {

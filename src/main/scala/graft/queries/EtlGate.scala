@@ -2856,6 +2856,87 @@ object EtlGate {
              |FROM legs GROUP BY quality, rev
              |ORDER BY quality, rev""".stripMargin)),
 
+    // SHALLOW CLONE (round 18): one metadata commit whose entries
+    // REFERENCE the source's files by absolute path — zero data
+    // movement REQUIRED IN-LINE (byte-identical source file set; no
+    // data files under the clone root until its own DML). The clone
+    // pins VERSION AS OF 1 (pre-delete), then DML diverges both sides
+    // independently, and an aggressive VACUUM on the clone must never
+    // touch a source file (the engine never deletes what it did not
+    // write). Both tables replay relationally in DuckDB.
+    Q(
+      "q141_shallow_clone",
+      (s, dir) => {
+        val src = scratchDir("graft-gate-clone-src") + "/table"
+        val tgt = scratchDir("graft-gate-clone-tgt") + "/table"
+        val ts = s"`graft-manifest`.`$src`"
+        val tt = s"`graft-manifest`.`$tgt`"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("n_chars").cast("long"))
+        ManifestLake.write(s, docs, src, Seq("lang"))               // v1
+        s.sql(s"DELETE FROM $ts WHERE doc_id % 5 = 0")              // v2
+        def srcDataFiles(): Set[(String, Long, Long)] = {
+          val (fs, root) = ManifestLake.fsFor(s, src)
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(root, "data"), true)
+          val b = Set.newBuilder[(String, Long, Long)]
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.getPath.getName.endsWith(".parquet"))
+              b += ((st.getPath.toString, st.getModificationTime, st.getLen))
+          }
+          b.result()
+        }
+        val before = srcDataFiles()
+        val row = s.sql(s"CREATE TABLE $tt SHALLOW CLONE $ts VERSION AS OF 1")
+          .head()
+        require(row.getLong(0) == 1L && row.getLong(1) > 0,
+          s"q141 gate: clone must publish v1 referencing files, got $row")
+        // zero-copy: the clone root holds NO data files, and the source
+        // tree is byte-identical
+        val (tfs, troot) = ManifestLake.fsFor(s, tgt)
+        require(!tfs.exists(new org.apache.hadoop.fs.Path(troot, "data")),
+          "q141 gate: a shallow clone must copy NOTHING")
+        require(srcDataFiles() == before,
+          "q141 gate: cloning must not touch the source files")
+        // the clone sees the PRE-delete state (VERSION AS OF 1)
+        val nAll = docs.count()
+        require(s.sql(s"SELECT count(*) FROM $tt").head().getLong(0) == nAll,
+          "q141 gate: clone at v1 must serve the pre-delete row set")
+        // diverge independently: clone-side DELETE (new files land
+        // under the CLONE root only), source-side INSERT
+        s.sql(s"DELETE FROM $tt WHERE doc_id % 3 = 0")
+        s.sql(s"INSERT INTO $ts SELECT lang, doc_id + 1000000, n_chars " +
+          s"FROM $tt WHERE doc_id % 7 = 0")
+        // aggressive clone-side vacuum: reaps its own superseded stage
+        // dirs only — the source tree stays byte-identical even though
+        // the clone's history no longer references every source file
+        s.sql(s"VACUUM $tt KEEP 1 VERSIONS"): Unit
+        // subset, not equality: the source-side INSERT above added its
+        // own new files — the invariant is that every pre-clone source
+        // file is still there, byte-identical
+        require(before.subsetOf(srcDataFiles()),
+          "q141 gate: the clone's VACUUM must never delete source files " +
+            "(the engine never deletes what it did not write)")
+        s.sql(
+          s"""SELECT leg, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS max_id
+             |FROM (SELECT 'src' AS leg, * FROM $ts
+             |      UNION ALL SELECT 'clone', * FROM $tt)
+             |GROUP BY leg, lang ORDER BY leg, lang""".stripMargin)
+      },
+      Some("""WITH legs AS (
+             |  SELECT 'src' AS leg, lang, doc_id, n_chars
+             |  FROM documents WHERE doc_id % 5 <> 0
+             |  UNION ALL
+             |  SELECT 'src', lang, doc_id + 1000000, n_chars
+             |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT 'clone', lang, doc_id, n_chars
+             |  FROM documents WHERE doc_id % 3 <> 0)
+             |SELECT leg, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS max_id
+             |FROM legs GROUP BY leg, lang ORDER BY leg, lang""".stripMargin)),
+
     // NESTED-FIELD DROP + RE-ADD at depth 2 (round 17): the genomic-
     // evidence shape drops `entries.ev.q` (metadata-only — byte-
     // identical file set REQUIRED IN-LINE), then re-adds the SAME

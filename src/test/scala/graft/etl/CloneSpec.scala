@@ -1,0 +1,154 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SHALLOW CLONE: a metadata-only commit referencing the source's
+  * files by absolute path. Covers the machinery the q141 gate can't
+  * reach relationally: deletion-vector masks riding into the clone
+  * (and clone-side re-masking staying local), column mapping /
+  * defaults / constraints carried, clone-of-clone, time travel and
+  * restore on the clone, the spellings, and the refusals.
+  */
+class CloneSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(tag).toString + "/table"
+
+  private def batch(lo: Int, hi: Int) = {
+    import spark.implicits._
+    (lo until hi).map(i => (s"g${i % 2}", i.toLong, s"p$i")).toDF("grp", "x", "payload")
+  }
+
+  private def liveFiles(path: String): Seq[ManifestLake.LiveFile] = {
+    val (fs, root) = ManifestLake.fsFor(spark, path)
+    ManifestLake.readManifest(fs, root,
+      ManifestLake.currentVersion(spark, path).get).files
+  }
+
+  test("deletion-vector masks ride into the clone; clone-side re-masking stays local") {
+    import spark.implicits._
+    val src = freshDir("clone-dv-src")
+    val tgt = freshDir("clone-dv-tgt")
+    ManifestLake.write(spark, batch(0, 20), src, Seq("grp"))
+    ManifestLake.delete(spark, src, col("x") % 4 === 0, deletionVectors = true)
+    ManifestLake.shallowClone(spark, src, tgt)
+    assert(liveFiles(tgt).exists(_.dv.isDefined), "the mask must carry")
+    assert(spark.sql(s"SELECT x FROM `graft-manifest`.`$tgt`")
+      .as[Long].collect().toSet === (0 until 20).map(_.toLong)
+      .filterNot(_ % 4 == 0).toSet, "masked rows stay masked through the clone")
+    // a clone-side DV delete writes its sidecar under the CLONE root
+    ManifestLake.delete(spark, tgt, col("x") % 4 === 1, deletionVectors = true)
+    val (tfs, troot) = ManifestLake.fsFor(spark, tgt)
+    val cloneDvs = liveFiles(tgt).flatMap(_.dv).distinct
+    assert(cloneDvs.exists(p => !new org.apache.hadoop.fs.Path(p).isAbsolute ||
+      tfs.makeQualified(new org.apache.hadoop.fs.Path(troot, p)).toString
+        .startsWith(tfs.makeQualified(troot).toString)),
+      s"clone-side DV sidecars must land under the clone root, got $cloneDvs")
+    assert(spark.sql(s"SELECT x FROM `graft-manifest`.`$tgt`")
+      .as[Long].collect().toSet === (0 until 20).map(_.toLong)
+      .filterNot(x => x % 4 == 0 || x % 4 == 1).toSet)
+    // ...and the SOURCE still serves only its own mask
+    assert(ManifestLake.read(spark, src).count() === 15)
+  }
+
+  test("header facts carry: column mapping, defaults, constraints, generated") {
+    import spark.implicits._
+    val src = freshDir("clone-hdr-src")
+    val tgt = freshDir("clone-hdr-tgt")
+    val ts = s"`graft-manifest`.`$src`"
+    spark.sql(s"CREATE TABLE $ts (grp STRING, id BIGINT, " +
+      "state STRING DEFAULT 'new', doubled BIGINT GENERATED ALWAYS AS (id * 2)) " +
+      "USING `graft-manifest` PARTITIONED BY (grp)")
+    spark.sql(s"ALTER TABLE $ts ADD CONSTRAINT pos CHECK (id >= 0)")
+    spark.sql(s"INSERT INTO $ts (grp, id) VALUES ('a', 1)")
+    spark.sql(s"ALTER TABLE $ts RENAME COLUMN state TO phase")
+    ManifestLake.shallowClone(spark, src, tgt)
+    val tt = s"`graft-manifest`.`$tgt`"
+    // mapping: the renamed logical name serves the old physical data
+    assert(spark.sql(s"SELECT phase FROM $tt").as[String].head() === "new")
+    // defaults + generated compute on clone-side inserts
+    spark.sql(s"INSERT INTO $tt (grp, id) VALUES ('a', 3)")
+    assert(spark.sql(s"SELECT phase, doubled FROM $tt WHERE id = 3")
+      .as[(String, Long)].head() === (("new", 6L)))
+    // constraints enforce on the clone
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $tt (grp, id) VALUES ('a', -1)"))
+    assert(e.getMessage.contains("pos"))
+    // the source never saw any of it
+    assert(ManifestLake.read(spark, src).count() === 1)
+  }
+
+  test("clone of a clone passes absolute entries through; time travel and restore work") {
+    import spark.implicits._
+    val a = freshDir("clone-chain-a")
+    val b = freshDir("clone-chain-b")
+    val c = freshDir("clone-chain-c")
+    ManifestLake.write(spark, batch(0, 10), a, Seq("grp"))
+    ManifestLake.shallowClone(spark, a, b)
+    spark.sql(s"INSERT INTO `graft-manifest`.`$b` VALUES ('g0', 99, 'x')") // b v2
+    ManifestLake.shallowClone(spark, b, c)                                 // c = b@v2
+    assert(ManifestLake.read(spark, c).count() === 11)
+    // c's entries reference files under a AND under b — both absolute
+    val roots = liveFiles(c).map(_.path)
+    assert(roots.forall(p => new org.apache.hadoop.fs.Path(p).isAbsolute))
+    // DML on c, then restore c to its clone version
+    spark.sql(s"DELETE FROM `graft-manifest`.`$c` WHERE x < 5")
+    assert(ManifestLake.read(spark, c).count() === 6)
+    spark.sql(s"RESTORE `graft-manifest`.`$c` TO VERSION AS OF 1")
+    assert(ManifestLake.read(spark, c).count() === 11)
+    // time travel on the middle clone still serves its v1
+    assert(ManifestLake.readVersion(spark, b, 1L).count() === 10)
+  }
+
+  test("spellings and refusals: OR REPLACE, IF NOT EXISTS, self-clone, bad version") {
+    val src = freshDir("clone-spell-src")
+    val t1 = freshDir("clone-spell-t1")
+    ManifestLake.write(spark, batch(0, 6), src, Seq("grp"))
+    ManifestLake.write(spark, batch(0, 9), src, Seq("grp"), replace = false)
+    val ts = s"`graft-manifest`.`$src`"
+    val tt = s"`graft-manifest`.`$t1`"
+    spark.sql(s"CREATE TABLE $tt SHALLOW CLONE $ts VERSION AS OF 1")
+    assert(ManifestLake.read(spark, t1).count() === 6)
+    // plain CREATE onto an existing table refuses; IF NOT EXISTS skips
+    val e1 = intercept[Exception](
+      spark.sql(s"CREATE TABLE $tt SHALLOW CLONE $ts"))
+    assert(e1.getMessage.contains("already exists"))
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $tt SHALLOW CLONE $ts")
+    assert(ManifestLake.read(spark, t1).count() === 6, "IF NOT EXISTS skips")
+    // OR REPLACE publishes the clone as the next version (history kept)
+    spark.sql(s"CREATE OR REPLACE TABLE $tt SHALLOW CLONE $ts")
+    assert(ManifestLake.read(spark, t1).count() === 15)
+    assert(ManifestLake.readVersion(spark, t1, 1L).count() === 6,
+      "OR REPLACE keeps the clone's own history")
+    val e2 = intercept[Exception](
+      spark.sql(s"CREATE TABLE $ts SHALLOW CLONE $ts"))
+    assert(e2.getMessage.contains("onto itself"))
+    val e3 = intercept[Exception](spark.sql(
+      s"CREATE TABLE `graft-manifest`.`${freshDir("clone-spell-t2")}` " +
+        s"SHALLOW CLONE $ts VERSION AS OF 99"))
+    assert(e3.getMessage.contains("1..2"))
+    // a vanilla CREATE TABLE with a column named shallow still parses
+    // as vanilla SQL (the pre-parse gate excludes column lists)
+    val vt = freshDir("clone-spell-vanilla")
+    spark.sql(s"CREATE TABLE `graft-manifest`.`$vt` (shallow STRING, x BIGINT) " +
+      "USING `graft-manifest`")
+    assert(ManifestLake.currentVersion(spark, vt).contains(1L))
+  }
+
+  test("named-catalog spellings on both sides") {
+    val wh = Files.createTempDirectory("clone-wh").toString
+    spark.conf.set("spark.sql.catalog.gclone", "graft.etl.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gclone.warehouse", wh)
+    spark.sql("CREATE TABLE gclone.ns.src (grp STRING, x BIGINT) " +
+      "PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO gclone.ns.src VALUES ('a', 1), ('b', 2)")
+    spark.sql("CREATE TABLE gclone.ns.dst SHALLOW CLONE gclone.ns.src")
+    assert(spark.sql("SELECT count(*) FROM gclone.ns.dst").head().getLong(0) === 2)
+    assert(!new java.io.File(s"$wh/ns/dst/data").exists(),
+      "named clone copies nothing")
+  }
+}
