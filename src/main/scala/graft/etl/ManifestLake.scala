@@ -5652,64 +5652,83 @@ object ManifestLake {
         v + 1
       }
     if (candidates.isEmpty) return metadataOnly()
-    // explicit PHYSICAL schema: a column added after a file was written
-    // reads as null there (its null count = the file's row count —
-    // correct), and no partition-dir inference happens (partition
-    // columns are excluded from file stats anyway)
-    val scan = spark.read
-      .schema(StructType(physSchema.fields.filterNot(f =>
-        m.partCols.contains(f.name))))
-      .parquet(candidates.map(f => new Path(root, f.path).toString): _*)
-    val computed = collectStatsOver(spark, scan, physSchema, phys, m.partCols,
-      tableRoot = Some(fs.makeQualified(root).toString))
-    if (computed.isEmpty) return metadataOnly() // nothing eligible
-    val updated = candidates.flatMap(f => computed.get(f.path).map(st =>
-      f.copy(stats = f.stats ++ st.bounds,
-        rows = f.rows.orElse(Some(st.rows)),
-        nullCounts = f.nullCounts ++ st.nullCounts,
-        valueSets = f.valueSets ++ st.sets)))
-    val updatedByPath = updated.map(f => f.path -> f).toMap
-    // OPTIMISTIC publish: the backfill scan is long, so a racing commit
-    // is realistic on a busy table. A retry is sound iff every analyzed
-    // ENTRY is still at the head byte-identical (a rewrite/re-mask/
-    // re-stats under the same path means the file we measured is not
-    // the file that lives there — stale stats must not publish); the
-    // rest of the live set and every header fact rebase onto the head.
+    // CHUNKED backfill: the stats pass collects one ~KB row per file
+    // through the driver, so a stats-late 800k-file table with bloom
+    // columns would otherwise pull GBs in one collect. Bounded groups
+    // cap the pull at chunk × row-size, and each chunk publishes its
+    // own IN-PLACE entry commit — the delta chain makes a multi-commit
+    // backfill cost O(chunk) manifest bytes per step, and a failure
+    // mid-backfill keeps everything already committed (re-running
+    // ANALYZE resumes: committed files are no longer candidates).
+    val chunkSize = spark.conf.getOption("spark.graft.analyze.chunkFiles")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(16384)
     var curM = m
     var curV = v
-    var attempt = 0
     fireRaceHook("analyze")
-    while (true) {
-      try {
-        publish(fs, root, curV + 1,
-          curM.files.map(f => updatedByPath.getOrElse(f.path, f)),
-          curM.schema, curM.partCols, curM.txns, op = Some("analyze"),
-          constraints = curM.constraints, colMap = curM.colMap,
-          droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
-          statsColsDefault = (curM.statsColsDefault ++ phys).distinct,
-          generated = curM.generated, defaults = curM.defaults, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
-          deltaHint = Some((updated, updated.map(_.path))))
-        return curV + 1
-      } catch {
-        case e: IllegalStateException if attempt >= 5 =>
-          retriesExhausted(fs, "analyze", path, Seq.empty, e)
-        case e: IllegalStateException =>
-          attempt += 1
-          val headV = currentVersion(spark, path).getOrElse(throw e)
-          val headM = readManifest(fs, root, headV)
-          val headByPath = headM.files.map(f => f.path -> f).toMap
-          val conflicted = candidates.filterNot(c =>
-            headByPath.get(c.path).contains(c))
-          if (conflicted.nonEmpty) throw new IllegalStateException(
-            s"ANALYZE of $path lost its race to a commit that rewrote or " +
-              s"re-masked ${conflicted.length} of the files it measured — " +
-              s"the computed stats would be stale; the table is intact at " +
-              s"v$headV. Re-run the ANALYZE.", e)
-          curM = headM
-          curV = headV
+    candidates.grouped(chunkSize).foreach { chunk =>
+      // explicit PHYSICAL schema: a column added after a file was
+      // written reads as null there (its null count = the file's row
+      // count — correct), and no partition-dir inference happens
+      // (partition columns are excluded from file stats anyway)
+      val scan = spark.read
+        .schema(StructType(physSchema.fields.filterNot(f =>
+          m.partCols.contains(f.name))))
+        .parquet(chunk.map(f => new Path(root, f.path).toString): _*)
+      val computed = collectStatsOver(spark, scan, physSchema, phys, m.partCols,
+        tableRoot = Some(fs.makeQualified(root).toString))
+      val updated = chunk.flatMap(f => computed.get(f.path).map(st =>
+        f.copy(stats = f.stats ++ st.bounds,
+          rows = f.rows.orElse(Some(st.rows)),
+          nullCounts = f.nullCounts ++ st.nullCounts,
+          valueSets = f.valueSets ++ st.sets)))
+      if (updated.nonEmpty) {
+        val updatedByPath = updated.map(f => f.path -> f).toMap
+        // OPTIMISTIC publish per chunk: the backfill scan is long, so
+        // a racing commit is realistic on a busy table. A retry is
+        // sound iff every entry THIS chunk analyzed is still at the
+        // head byte-identical (a rewrite/re-mask/re-stats under the
+        // same path means the file we measured is not the file that
+        // lives there — stale stats must not publish); the rest of the
+        // live set and every header fact rebase onto the head.
+        var attempt = 0
+        var published = false
+        while (!published) {
+          try {
+            publish(fs, root, curV + 1,
+              curM.files.map(f => updatedByPath.getOrElse(f.path, f)),
+              curM.schema, curM.partCols, curM.txns, op = Some("analyze"),
+              constraints = curM.constraints, colMap = curM.colMap,
+              droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
+              statsColsDefault = (curM.statsColsDefault ++ phys).distinct,
+              generated = curM.generated, defaults = curM.defaults,
+              fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
+              deltaHint = Some((updated, updated.map(_.path))))
+            curV += 1
+            curM = readManifest(fs, root, curV)
+            published = true
+          } catch {
+            case e: IllegalStateException if attempt >= 5 =>
+              retriesExhausted(fs, "analyze", path, Seq.empty, e)
+            case e: IllegalStateException =>
+              attempt += 1
+              val headV = currentVersion(spark, path).getOrElse(throw e)
+              val headM = readManifest(fs, root, headV)
+              val headByPath = headM.files.map(f => f.path -> f).toMap
+              val conflicted = chunk.filterNot(c =>
+                headByPath.get(c.path).contains(c))
+              if (conflicted.nonEmpty) throw new IllegalStateException(
+                s"ANALYZE of $path lost its race to a commit that rewrote " +
+                  s"or re-masked ${conflicted.length} of the files it " +
+                  s"measured — the computed stats would be stale; the table " +
+                  s"is intact at v$headV (chunks already published stand). " +
+                  "Re-run the ANALYZE.", e)
+              curM = headM
+              curV = headV
+          }
+        }
       }
     }
-    curV // unreachable
+    if (curV == v) metadataOnly() else curV
   }
 
   /** TOP-LEVEL logical column names a constraint's SQL text anchors

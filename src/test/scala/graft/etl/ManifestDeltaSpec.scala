@@ -319,4 +319,52 @@ class ManifestDeltaSpec extends AnyFunSuite {
       assert(ManifestLake.readManifest(fs, root, 1L).files.length === 1500)
     } finally ManifestLake.CheckpointShardThreshold = prevT
   }
+
+  test("ANALYZE backfill chunks the stat-less file list: one bounded in-place commit per chunk, identical skipping") {
+    import spark.implicits._
+    val dir = freshDir("mlake-analyze-chunks")
+    // 10 stat-less files; a chunk cap of 3 must produce 4 commits
+    (0 until 10).foreach { i =>
+      ManifestLake.write(spark,
+        Seq((i.toLong, s"p$i")).toDF("id", "payload").coalesce(1),
+        dir, Seq.empty, replace = i == 0)
+    }
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val v0 = ManifestLake.currentVersion(spark, dir).get
+    assert(ManifestLake.readManifest(fs, root, v0).files
+      .forall(_.stats.isEmpty), "precondition: stat-less table")
+    spark.conf.set("spark.graft.analyze.chunkFiles", "3")
+    val vAfter =
+      try ManifestLake.analyzeStats(spark, dir, Seq("id"))
+      finally spark.conf.unset("spark.graft.analyze.chunkFiles")
+    // ceil(10 / 3) = 4 bounded commits, each updating IN PLACE exactly
+    // its own chunk's entries (whether the cadence renders a given
+    // version as a delta or a snapshot, the per-commit work is the
+    // chunk): stats coverage grows 3 → 6 → 9 → 10
+    assert(vAfter === v0 + 4)
+    ((v0 + 1) to vAfter).zip(Seq(3, 6, 9, 10)).foreach { case (v, expect) =>
+      val withStats = ManifestLake.readManifest(fs, root, v).files
+        .count(_.stats.contains("id"))
+      assert(withStats === expect,
+        s"v$v must carry exactly $expect backfilled entries (chunk cap 3)")
+    }
+    val head = ManifestLake.readManifest(fs, root, vAfter)
+    assert(head.files.forall(_.stats.contains("id")),
+      "every file carries the backfilled bounds")
+    assert(head.statsColsDefault === Seq("id"))
+    // skipping behavior identical to a single-pass backfill: a point
+    // lookup scans exactly the one file whose bounds admit it
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = ManifestLake.read(spark, dir).where(col("id") === 7L)
+      assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((7L, "p7")))
+      val scans = df.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }
+      assert(scans.map(_.metrics("numFiles").value).sum === 1L,
+        "bounds must skip the other nine files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
