@@ -320,6 +320,16 @@ object Dedup {
     * Returns (id, cluster) for every id appearing in `pairs`; documents
     * with no near-dup edge are their own cluster and are absent.
     */
+  /** Rounds the LAST [[duplicateClusters]] call took to converge —
+    * deterministic for a given pair graph (the loop is pure label math
+    * over a fixed edge set), exposed so specs can PIN the round count:
+    * a regression that grew rounds would otherwise masquerade as
+    * environment noise in wall-clock benchmarks (the q62 watch item —
+    * at toy SF the wall is rounds × fixed job latency, so the round
+    * count IS the plan-health signal, not the seconds).
+    */
+  @volatile private[graft] var lastClusterRounds: Int = -1
+
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 40,
                         checkpointInterval: Int = 5): DataFrame = {
     // symmetrize via ONE scan + explode — a unionAll of pairs with its
@@ -369,6 +379,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    lastClusterRounds = iter
     edges.unpersist()
     // hand back a self-contained checkpoint and release the last round's
     // cache entry: a projection over a persisted plan can't be

@@ -246,6 +246,15 @@ object LlmOps {
     // KB-sized labels), the same family as q22/q36's stage latency — at
     // real scale rounds cost compute, and O(log diameter) rounds is the
     // optimum, so the loop is not tuned for the toy numbers.
+    // WATCH CLOSED (r18): the oscillation across rounds (6.37 → 3.82 →
+    // 4.85 s) is host noise, not a plan change — the round COUNT is now
+    // deterministic and spec-pinned (OpsSpec: 16 rounds for a 10k-link
+    // chain, 3 for the toy graph; Dedup.lastClusterRounds), and the
+    // calibration twin tells the rest: an r18 re-time measured 6.06 s
+    // at calib_sec 0.047 on a host running 42% slower than r17's bench
+    // (calib 0.033) — calib-normalized ≈ 4.3 s, inside the r16-r17
+    // band. Rounds growing would now fail the spec, never hide in the
+    // wall clock.
     Q(
       "q62_dup_clusters",
       (s, dir) => {

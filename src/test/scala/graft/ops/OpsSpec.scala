@@ -122,6 +122,11 @@ class OpsSpec extends AnyFunSuite {
     val clusters = Dedup.duplicateClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // ROUND-COUNT PIN: the loop's rounds are deterministic for a given
+    // edge set (2 label rounds + 1 convergence-confirming round) — if
+    // this grows, the plan regressed; wall-clock alone can't tell that
+    // from environment noise (the q62 bench watch item)
+    assert(Dedup.lastClusterRounds === 3)
   }
 
   test("duplicateClusters: 10k-link chain converges in O(log diameter) rounds") {
@@ -140,6 +145,12 @@ class OpsSpec extends AnyFunSuite {
     assert(wrong === 0)
     assert(clusters.count() === n + 1)
     assert(secs < 120.0)
+    // ROUND-COUNT PIN (exact, deterministic): pointer jumping settles a
+    // 10,000-link path in 16 rounds — ~log2(10k) label-halving rounds
+    // plus the convergence-confirming one. Plain propagation would take
+    // 10,000; a lost grandparent hop would show up here as a huge jump,
+    // and a subtler regression as any growth at all.
+    assert(Dedup.lastClusterRounds === 16)
   }
 
   test("deduplicateTransitive keeps one survivor per chain cluster") {
