@@ -379,6 +379,160 @@ class ManifestFuzzSpec extends AnyFunSuite {
     runSqlFuzz(0xD17, 40, opMax = 14)
   }
 
+  /** FUZZ SEED 4 — CONCURRENT INTERLEAVINGS: every round launches TWO
+    * racing sessions over the op mix (append / upsert / delete /
+    * DV-delete / compact / restore / properties / analyze) on a start
+    * barrier, and the driver-side model accepts EITHER serialization:
+    * each op carries a composable model function, and the head after
+    * the round must equal fnB(fnA(m)) or fnA(fnB(m)) when both
+    * committed, the winner's effect alone when one lost (losing is
+    * legal ONLY with the engine's typed contention/conflict error —
+    * the table intact at the winner's version), and the unchanged
+    * model when both lost. This hunts the races the targeted
+    * concurrency specs didn't think of: any torn state, silent
+    * half-application, or untyped failure fails the round loudly.
+    */
+  private def runRaceFuzz(seed: Long, rounds: Int): Unit = {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory(s"mlake-racefuzz-$seed").toString + "/table"
+    val rnd = new scala.util.Random(seed)
+    val prevInterval = ManifestLake.CheckpointInterval
+    ManifestLake.CheckpointInterval = 3
+    try {
+      type Model = Map[(String, Long), String]
+      var model: Model = Map.empty
+      val history = scala.collection.mutable.Map.empty[Long, Model]
+      var nextId = 0L
+      def df(rows: Seq[((String, Long), String)]) =
+        rows.map { case ((p, k), v) => (p, k, v) }.toDF("part", "id", "payload")
+      def readNow(v: Option[Long] = None): Model = {
+        val d = v.map(ManifestLake.readVersion(spark, dir, _))
+          .getOrElse(ManifestLake.read(spark, dir))
+        d.collect().map(r =>
+          (r.getAs[String]("part"), r.getAs[Long]("id")) ->
+            r.getAs[String]("payload")).toMap
+      }
+      val seedRows = (0 until 12).map { i =>
+        val key = (s"p${i % 3}", nextId); nextId += 1
+        key -> s"s$i"
+      }
+      ManifestLake.write(spark, df(seedRows), dir, Seq("part"),
+        statsCols = Seq("id"))
+      model = seedRows.toMap
+      history(1L) = model
+      // losing a race is legal ONLY through the engine's typed vocabulary
+      def typedRaceError(e: Throwable): Boolean = {
+        val m = Option(e.getMessage).getOrElse("") +
+          Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+        m.contains("race") || m.contains("contention") ||
+          m.contains("serialize committers") || m.contains("intact")
+      }
+      // one racing op: the engine action plus its composable model fn
+      def mkOp(step: Int, tag: String): (String, () => Unit, Model => Model) =
+        rnd.nextInt(9) match {
+          case 0 | 1 => // append fresh keys
+            val rows = (0 until (1 + rnd.nextInt(3))).map { _ =>
+              val key = (s"p${rnd.nextInt(3)}", nextId); nextId += 1
+              key -> s"a$step$tag"
+            }
+            ("append", () => ManifestLake.write(spark, df(rows), dir,
+              Seq("part"), replace = false, statsCols = Seq("id")): Unit,
+              m => m ++ rows)
+          case 2 => // upsert: update a pre-round key + insert a new one
+            val upd = if (model.isEmpty) Seq.empty
+              else Seq(model.keys.toSeq.sortBy(_._2)
+                .apply(rnd.nextInt(model.size)) -> s"u$step$tag")
+            val ins = { val key = (s"p${rnd.nextInt(3)}", nextId); nextId += 1
+              Seq(key -> s"n$step$tag") }
+            val rows = upd ++ ins
+            ("upsert", () => ManifestLake.upsert(spark, dir, df(rows),
+              Seq("part"), Seq("part", "id")): Unit,
+              m => m ++ rows)
+          case 3 => // row delete (rewrite path)
+            val r = rnd.nextInt(7)
+            ("delete", () => ManifestLake.delete(spark, dir,
+              pmod(col("id"), lit(7L)) === r): Unit,
+              m => m.filterNot { case ((_, id), _) => id % 7 == r })
+          case 4 => // DV delete
+            val r = rnd.nextInt(5)
+            ("dv-delete", () => ManifestLake.delete(spark, dir,
+              pmod(col("id"), lit(5L)) === r, deletionVectors = true): Unit,
+              m => m.filterNot { case ((_, id), _) => id % 5 == r })
+          case 5 => // compact — content no-op
+            ("compact", () => ManifestLake.compact(spark, dir,
+              targetBytes = 1L << 20): Unit, m => m)
+          case 6 => // restore to a pre-round recorded version
+            val targets = history.keys.toSeq.sorted
+            val target = targets(rnd.nextInt(targets.size))
+            ("restore", () => ManifestLake.restore(spark, dir, target): Unit,
+              _ => history(target))
+          case 7 => // properties flip — content no-op
+            val cols = if (rnd.nextBoolean()) "id" else "id,payload"
+            ("properties", () => ManifestLake.setTableProperties(spark, dir,
+              set = Map("graft.statsCols" -> cols)): Unit, m => m)
+          case _ => // analyze backfill — content no-op
+            ("analyze", () => ManifestLake.analyzeStats(spark, dir,
+              Seq("id")): Unit, m => m)
+        }
+      (1 to rounds).foreach { step =>
+        val (nameA, runA, fnA) = mkOp(step, "x")
+        val (nameB, runB, fnB) = mkOp(step, "y")
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        def race(run: () => Unit): Future[Option[Throwable]] = Future {
+          barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          try { run(); None } catch { case e: Throwable => Some(e) }
+        }
+        val (errA, errB) = Await.result(
+          race(runA).zip(race(runB)), 180.seconds)
+        val head = readNow()
+        val ctx = s"seed=$seed step=$step ops=$nameA+$nameB"
+        (errA, errB) match {
+          case (None, None) =>
+            val ab = fnB(fnA(model)); val ba = fnA(fnB(model))
+            assert(head === ab || head === ba,
+              s"$ctx: both committed but the head matches NEITHER " +
+                s"serialization — torn state")
+            model = if (head == ab) ab else ba
+          case (Some(e), None) =>
+            assert(typedRaceError(e), s"$ctx: $nameA lost with an UNTYPED " +
+              s"error: ${e.getMessage}")
+            assert(head === fnB(model),
+              s"$ctx: $nameA failed but its effect leaked")
+            model = fnB(model)
+          case (None, Some(e)) =>
+            assert(typedRaceError(e), s"$ctx: $nameB lost with an UNTYPED " +
+              s"error: ${e.getMessage}")
+            assert(head === fnA(model),
+              s"$ctx: $nameB failed but its effect leaked")
+            model = fnA(model)
+          case (Some(ea), Some(eb)) =>
+            assert(typedRaceError(ea) && typedRaceError(eb),
+              s"$ctx: untyped double failure: ${ea.getMessage} / ${eb.getMessage}")
+            assert(head === model, s"$ctx: both failed but the table moved")
+        }
+        history(ManifestLake.currentVersion(spark, dir).get) = model
+      }
+      // every surviving round-boundary version still reads back exactly
+      val survivors = ManifestLake.versions(spark, dir).map(_._1).toSet
+      history.foreach { case (v, expect) =>
+        if (survivors.contains(v))
+          assert(readNow(Some(v)) === expect,
+            s"seed=$seed: surviving v$v diverged from its recorded content")
+      }
+    } finally ManifestLake.CheckpointInterval = prevInterval
+  }
+
+  test("race fuzz seed 0xF0A: 30 rounds of two-session interleavings accept either serialization, never tear") {
+    runRaceFuzz(0xF0A, 30)
+  }
+
+  test("race fuzz seed 0xBA2: a second 30-round interleaving draw") {
+    runRaceFuzz(0xBA2, 30)
+  }
+
   test("upsert refuses duplicate keys mid-fuzz shape (guard the fuzz's own assumptions)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mlake-fuzz-dup").toString + "/table"
