@@ -685,7 +685,10 @@ final case class GraftWriteToCommand(
           "create it first)"))
     val m = ManifestLake.readManifest(fs, root, v)
     val logical = ManifestLake.logicalSchemaOf(m)
-    val generated = m.generated.map(_._1.toLowerCase).toSet
+    // GENERATED and IDENTITY columns may be omitted — the engine
+    // computes/assigns them (and refuses a SUPPLIED identity itself)
+    val generated = m.generated.map(_._1.toLowerCase).toSet ++
+      m.identity.map(_._1.toLowerCase)
     val aligned =
       if (byName) {
         val byLower = df0.columns.map(c => c.toLowerCase -> c).toMap

@@ -427,15 +427,29 @@ object GraftSqlDml {
   private def splitColumns(cols: Seq[ColumnDefinition], partCols: Seq[String])
       : (org.apache.spark.sql.types.StructType,
          Seq[(String, org.apache.spark.sql.types.DataType, String)],
-         Seq[(String, String)]) = {
+         Seq[(String, String)], Option[(String, Long, Long)]) = {
     cols.foreach { c =>
       require(c.comment.isEmpty,
         "COMMENT is not supported on manifest tables (no comment store)")
       require(c.defaultValue.isEmpty || c.generationExpression.isEmpty,
         s"column ${c.name} cannot carry both DEFAULT and GENERATED")
-      require(c.identityColumnSpec.isEmpty,
-        "identity columns are not supported on manifest tables")
+      c.identityColumnSpec.foreach { spec =>
+        require(!spec.isAllowExplicitInsert,
+          s"column ${c.name}: GENERATED BY DEFAULT AS IDENTITY is not " +
+            "supported on manifest tables — ALWAYS only (the engine assigns)")
+        require(c.dataType == org.apache.spark.sql.types.LongType,
+          s"IDENTITY column ${c.name} must be BIGINT, got ${c.dataType.sql}")
+        require(c.defaultValue.isEmpty && c.generationExpression.isEmpty,
+          s"column ${c.name} cannot combine IDENTITY with DEFAULT/GENERATED")
+      }
     }
+    val identities = cols.collect {
+      case c if c.identityColumnSpec.isDefined =>
+        (c.name, c.identityColumnSpec.get.getStart, c.identityColumnSpec.get.getStep)
+    }
+    require(identities.size <= 1,
+      s"at most one IDENTITY column per manifest table, got " +
+        identities.map(_._1).mkString(", "))
     // CREATE-time column DEFAULTs: (name, original SQL) — literal-only,
     // validated by the engine before any file lands
     val defaults = cols.collect {
@@ -464,7 +478,7 @@ object GraftSqlDml {
     (org.apache.spark.sql.types.StructType(plain.map(c =>
       org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
       gen.map(c => (c.name, c.dataType, c.generationExpression.get)),
-      defaults)
+      defaults, identities.headOption)
   }
 
   /** The manifest path an ALTER TABLE target names — the multipart
@@ -611,9 +625,9 @@ object GraftSqlDml {
         identManifestPath(spark, ident).map { path =>
           val (cons, partCols, stCols, blCols) =
             validateCreateSpec(spec, partitioning)
-          val (plain, gen, defs) = splitColumns(cols, partCols)
+          val (plain, gen, defs, identity) = splitColumns(cols, partCols)
           GraftCreateTableCommand(path, CreateEmpty(plain, ignoreIfExists),
-            gen, partCols, cons, stCols, blCols, defs)
+            gen, partCols, cons, stCols, blCols, defs, identity)
         }
       case CreateTableAsSelect(ident, partitioning, query,
           spec: UnresolvedTableSpec, writeOptions, ignoreIfExists, _) =>
@@ -1107,7 +1121,8 @@ final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
     generated: Seq[(String, org.apache.spark.sql.types.DataType, String)],
     partCols: Seq[String], checkConstraints: Seq[(String, String)],
     statsCols: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty,
-    defaults: Seq[(String, String)] = Seq.empty)
+    defaults: Seq[(String, String)] = Seq.empty,
+    identity: Option[(String, Long, Long)] = None)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = mode match {
     case CreateAsSelect(q, _) => Seq(q)
@@ -1170,8 +1185,11 @@ final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
           ManifestLake.addGeneratedColumn(spark, path, n, dt, e) }
         val vc = checkConstraints.foldLeft(vg) { case (_, (n, e)) =>
           ManifestLake.addConstraint(spark, path, n, e) }
-        defaults.foldLeft(vc) { case (_, (n, sql)) =>
+        val vd = defaults.foldLeft(vc) { case (_, (n, sql)) =>
           ManifestLake.setColumnDefault(spark, path, n, Some(sql)) }
+        identity.map { case (n, start, step) =>
+          ManifestLake.declareIdentity(spark, path, n, start, step)
+        }.getOrElse(vd)
     }
     Seq(Row(v))
   }
@@ -1367,13 +1385,19 @@ final case class GraftShowCreateCommand(path: String)
     val (genPartF, genOtherF) =
       genFields.partition(f => m.partCols.exists(_.equalsIgnoreCase(f.name)))
     val defByName = m.defaults.toMap
+    val identByName = m.identity.map(i => i._1 -> ((i._2, i._3))).toMap
     val colLines = (plainFields ++ genPartF ++ genOtherF).map { f =>
       genByName.get(f.name) match {
         case Some(expr) =>
           s"  ${q(f.name)} ${f.dataType.sql} GENERATED ALWAYS AS ($expr)"
-        case None =>
-          s"  ${q(f.name)} ${f.dataType.sql}" +
-            defByName.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
+        case None => identByName.get(f.name) match {
+          case Some((st, sp)) =>
+            s"  ${q(f.name)} ${f.dataType.sql} GENERATED ALWAYS AS " +
+              s"IDENTITY (START WITH $st INCREMENT BY $sp)"
+          case None =>
+            s"  ${q(f.name)} ${f.dataType.sql}" +
+              defByName.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
+        }
       }
     }
     val consLines = m.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
@@ -1458,8 +1482,17 @@ final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
         s"PARTITION column $k is not a table column") }
     val staticCols = staticPart.map { case (k, value) =>
       byLower(k.toLowerCase) -> value }.toMap
+    // an IDENTITY column is never supplied — the engine assigns it
+    // (GENERATED ALWAYS); it leaves the positional arity too
+    val identityName = m.identity.map(_._1)
+    identityName.foreach { n =>
+      require(!userCols.exists(_.equalsIgnoreCase(n)),
+        s"column $n is GENERATED ALWAYS AS IDENTITY — INSERT cannot " +
+          "assign it; omit the column (the engine assigns)")
+    }
     // the columns the QUERY must supply, in table order
-    val expect = logical.fields.filterNot(f => staticCols.contains(f.name))
+    val expect = logical.fields.filterNot(f => staticCols.contains(f.name) ||
+      identityName.exists(_.equalsIgnoreCase(f.name)))
     val supplied: Seq[(String, Column)] =
       if (userCols.nonEmpty) {
         val actual = userCols.map(c => byLower.getOrElse(c.toLowerCase,
@@ -1474,6 +1507,9 @@ final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
         actual.zip(df.schema.fieldNames.map(col))
       } else if (byName) {
         val qLower = df.schema.fieldNames.map(f => f.toLowerCase -> f).toMap
+        identityName.foreach(n => require(!qLower.contains(n.toLowerCase),
+          s"column $n is GENERATED ALWAYS AS IDENTITY — INSERT BY NAME " +
+            "cannot assign it; omit the column (the engine assigns)"))
         val genNames = m.generated.map(_._1).toSet
         val defNames = m.defaults.map(_._1.toLowerCase).toSet
         expect.toSeq.flatMap { f =>
@@ -1511,6 +1547,8 @@ final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
     val projected = df.select(logical.fields.toSeq.flatMap { f =>
       (staticCols.get(f.name) match {
         case Some(value) => Some(lit(value).cast(f.dataType))
+        case None if identityName.exists(_.equalsIgnoreCase(f.name)) =>
+          None // the engine assigns
         case None => byAssigned.get(f.name).map(_.cast(f.dataType)) match {
           case Some(c) => Some(c)
           case None if (userCols.nonEmpty || byName) && genNames.contains(f.name) =>

@@ -243,7 +243,8 @@ object ManifestLake {
                                          ckptRef: Option[String] = None,
                                          chain: Int = 0,
                                          baseVersions: Seq[Long] = Seq.empty,
-                                         defaults: Seq[(String, String)] = Seq.empty)
+                                         defaults: Seq[(String, String)] = Seq.empty,
+                                         identity: Option[(String, Long, Long, Long)] = None)
 
   /** Published manifests are IMMUTABLE (a version is never rewritten —
     * restore publishes a NEW version), so parsed manifests cache across
@@ -729,6 +730,12 @@ object ManifestLake {
       val i = rest.indexOf('\t')
       rest.substring(0, i) -> rest.substring(i + 1)
     }
+    // GENERATED ALWAYS AS IDENTITY: (column, start, step, watermark) —
+    // watermark is the NEXT base value an assigning write generates from
+    val identity = dmap.get("#identity").map { v =>
+      val ps = v.split("\t")
+      (ps(0), ps(1).toLong, ps(2).toLong, ps(3).toLong)
+    }
     // one-level nested-field renames: (physical root column,
     // logical field name, physical field name)
     val fieldMap = directives.filter(_.startsWith("#fieldmap\t")).map { d =>
@@ -762,7 +769,8 @@ object ManifestLake {
     (Manifest(schema, partCols, filesAll, txns, op, cdf, constraints,
       if (colMapEntries.isEmpty) None else Some(colMapEntries), dropped,
       bloomCols, generated, fieldMap, statsColsDefault,
-      fieldDropped, ckptRef, defaults = defaults), deltaRef, removes)
+      fieldDropped, ckptRef, defaults = defaults, identity = identity),
+      deltaRef, removes)
   }
 
   /** Stats blob: `{"col": ["lo","hi"], …, "#rows": n, "#nulls":
@@ -1058,7 +1066,8 @@ object ManifestLake {
                            statsColsDefault: Seq[String] = Seq.empty,
                            fieldDropped: Seq[(String, String)] = Seq.empty,
                            deltaHint: Option[(Seq[LiveFile], Seq[String])] = None,
-                           defaults: Seq[(String, String)] = Seq.empty): Unit = {
+                           defaults: Seq[(String, String)] = Seq.empty,
+                           identity: Option[(String, Long, Long, Long)] = None): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
     txns.keys.foreach(app => require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
@@ -1102,6 +1111,8 @@ object ManifestLake {
        else Seq(s"#statscols\t${statsColsDefault.mkString(",")}")) ++
       generated.map { case (n, e) => s"#gencol\t$n\t$e" } ++
       defaults.map { case (n, e) => s"#coldefault\t$n\t$e" } ++
+      identity.map { case (n, st, sp, wm) =>
+        s"#identity\t$n\t$st\t$sp\t$wm" }.toSeq ++
       fieldMap.map { case (c, l, ph) => s"#fieldmap\t$c\t$l\t$ph" } ++
       fieldDropped.map { case (c, pp) => s"#fielddropped\t$c\t$pp" } ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
@@ -1350,7 +1361,8 @@ object ManifestLake {
       }
       val resolved = Manifest(schema, partCols, resolvedFiles, txns, op, cdf,
         constraints, colMap.filter(_.nonEmpty), droppedPhys, bloomCols, generated,
-        fieldMap, statsColsDefault, fieldDropped, ckptRefOut, defaults = defaults,
+        fieldMap, statsColsDefault, fieldDropped, ckptRefOut,
+        defaults = defaults, identity = identity,
         chain = delta.map(_._3).getOrElse(0),
         baseVersions =
           delta.map(_ => prevM.get.baseVersions :+ (v - 1)).getOrElse(Seq.empty))
@@ -1683,7 +1695,7 @@ object ManifestLake {
       op = Some("clone"), constraints = srcM.constraints,
       colMap = srcM.colMap, droppedPhys = srcM.droppedPhys,
       bloomCols = srcM.bloomCols, statsColsDefault = srcM.statsColsDefault,
-      generated = srcM.generated, defaults = srcM.defaults,
+      generated = srcM.generated, defaults = srcM.defaults, identity = srcM.identity,
       fieldMap = srcM.fieldMap, fieldDropped = srcM.fieldDropped)
     v
   }
@@ -1944,7 +1956,8 @@ object ManifestLake {
                           partitionCols: Seq[String], replace: Boolean,
                           txn: Option[(String, Long)],
                           statsCols: Seq[String],
-                          bloomCols: Seq[String] = Seq.empty): Long = {
+                          bloomCols: Seq[String] = Seq.empty,
+                          identityRestage: Int = 0): Long = {
     val (fs, root) = fsFor(spark, path)
     val prevV = currentVersion(spark, path)
     val prev = prevV.map(readManifest(fs, root, _))
@@ -1962,9 +1975,29 @@ object ManifestLake {
     // generated columns SURVIVE a replace, like constraints and the txn
     // ledger — the declared contract outlives any one batch
     val genCols = prev.map(_.generated).getOrElse(Seq.empty)
-    val dfG = genCols.foldLeft(df) { case (d, (n, e)) =>
+    val dfG0 = genCols.foldLeft(df) { case (d, (n, e)) =>
       if (d.columns.contains(n)) d
       else d.withColumn(n, expr(e))
+    }
+    // IDENTITY: the engine assigns the declared column (ALWAYS — a
+    // batch carrying it refuses). The distributed assignment gives each
+    // partition its own lane: value = watermark + step * (p + r * P),
+    // decomposed from monotonically_increasing_id (p = mid >> 33,
+    // r = mid & mask) — unique by construction, codegen'd, zero extra
+    // jobs; gaps are expected and documented. The fact survives a
+    // replace (the watermark never resets — values never reuse across
+    // history).
+    val identityPrev = prev.flatMap(_.identity)
+    val dfG = identityPrev match {
+      case Some((n, _, step, wm)) =>
+        require(!dfG0.columns.exists(_.equalsIgnoreCase(n)),
+          s"column $n is GENERATED ALWAYS AS IDENTITY on $path — the " +
+            "engine assigns it; the batch must omit the column")
+        val parts = math.max(dfG0.rdd.getNumPartitions, 1).toLong
+        val mid = monotonically_increasing_id()
+        dfG0.withColumn(n, lit(wm) + lit(step) *
+          (shiftright(mid, 33) + mid.bitwiseAND(lit((1L << 33) - 1)) * lit(parts)))
+      case None => dfG0
     }
     // COLUMN MAPPING: the batch arrives in LOGICAL names; everything
     // below (widen, stats, skipping, the staged files) is PHYSICAL —
@@ -2009,10 +2042,19 @@ object ManifestLake {
     // MIN/MAX STAT TRACKING is sticky too: once declared (at CREATE or
     // on any write), every later commit keeps collecting the columns
     // for its new files — without this, one plain append silently stops
-    // collecting and the skipping ladder degrades file by file
+    // collecting and the skipping ladder degrades file by file.
+    // An IDENTITY column is always in the set: its per-file max is what
+    // advances the watermark (and skips point lookups for free).
+    val identityPhys = identityPrev.map { case (n, _, _, _) =>
+      mapping match {
+        case Some(cm) => (cm.toMap ++ colMapOut.toSeq.flatten.toMap).getOrElse(n, n)
+        case None => n
+      }
+    }
     val statsColsOut =
-      (if (replace) statsColsP
-       else (prev.map(_.statsColsDefault).getOrElse(Seq.empty) ++ statsColsP).distinct)
+      ((if (replace) statsColsP
+        else (prev.map(_.statsColsDefault).getOrElse(Seq.empty) ++ statsColsP).distinct)
+        ++ identityPhys.toSeq).distinct
     // an append joins an existing table, so its shape must match what
     // the manifest records. A legacy HEADERLESS manifest has no recorded
     // shape to check against, and stamping this batch's schema over the
@@ -2135,6 +2177,16 @@ object ManifestLake {
     }
     val withStats = stageStats(spark, fs, root, commitDir, tableSchema,
       statsColsOut, bloomColsOut, partitionCols, staged)
+    // the watermark advances to one past the largest value this write
+    // assigned — read off the staged files' OWN stats, zero extra jobs
+    val newIdentity = identityPrev.map { case (n, st, sp, wm) =>
+      val assigned = for {
+        phys <- identityPhys.toSeq
+        f <- withStats
+        (_, hi) <- f.stats.get(phys)
+      } yield hi.toLong
+      (n, st, sp, if (assigned.isEmpty) wm else assigned.max + sp)
+    }
     // OPTIMISTIC CONCURRENT APPENDS: the checked no-overwrite publish
     // turns a same-version race into a loud loss — and for an APPEND
     // the loss is retryable, because appends never conflict logically:
@@ -2168,6 +2220,7 @@ object ManifestLake {
           statsColsDefault = statsColsOut,
           generated = genCols,
           defaults = curPrev.map(_.defaults).getOrElse(Seq.empty),
+          identity = newIdentity.orElse(curPrev.flatMap(_.identity)),
           fieldMap = curPrev.map(_.fieldMap).getOrElse(Seq.empty),
           fieldDropped = curPrev.map(_.fieldDropped).getOrElse(Seq.empty),
           // an append drops nothing: the delta is exactly the staged
@@ -2187,6 +2240,20 @@ object ManifestLake {
           if (txn.exists { case (app, b) => headM.txns.get(app).exists(_ >= b) }) {
             fs.delete(commitDir, true)
             return headV
+          }
+          // the winner moved the IDENTITY watermark: the values this
+          // batch staged were generated from the OLD one and may
+          // overlap the winner's — withdraw the stage and RE-STAGE from
+          // the new head (bounded; disjoint ranges are the contract,
+          // never an overlapping publish)
+          if (identityPrev.exists(pi => headM.identity.exists(_._4 != pi._4))) {
+            fs.delete(commitDir, true)
+            if (identityRestage >= 5)
+              retriesExhausted(fs, "append", path, Seq.empty,
+                new IllegalStateException(
+                  "identity watermark moved on every restage attempt"))
+            return writePinned(spark, df, path, partitionCols, replace, txn,
+              statsCols, bloomCols, identityRestage + 1)
           }
           // a constraint added by the winner was never checked against
           // this batch — adopting it unvalidated would publish unjudged
@@ -3055,7 +3122,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = curM.statsColsDefault,
-          generated = curM.generated, defaults = curM.defaults, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
+          generated = curM.generated, defaults = curM.defaults, identity = curM.identity, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((withStats, inputPaths.toSeq)))
         return report
       } catch {
@@ -3143,6 +3210,13 @@ object ManifestLake {
                            partitionCols: Seq[String], keyCols: Seq[String],
                            txn: Option[(String, Long)],
                            changeFeed: Boolean): Long = {
+    currentVersion(spark, path).map(readManifest(fs, root, _))
+      .flatMap(_.identity).foreach { case (n, _, _, _) =>
+        throw new IllegalArgumentException(
+          s"table at $path has IDENTITY column $n — upsert cannot assign " +
+            "identity values for inserted keys; append/INSERT new rows " +
+            "(the engine assigns) and UPDATE/DELETE existing ones")
+      }
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     val v = currentVersion(spark, path).getOrElse(0L)
     val manifest0 = if (v == 0L) None else Some(readManifest(fs, root, v))
@@ -3406,7 +3480,7 @@ object ManifestLake {
           constraints = manifest.constraints, colMap = colMapOutU,
           droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
           statsColsDefault = manifest.statsColsDefault,
-          generated = manifest.generated, defaults = manifest.defaults, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
+          generated = manifest.generated, defaults = manifest.defaults, identity = manifest.identity, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
           deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
         return curV
       } catch {
@@ -3486,6 +3560,12 @@ object ManifestLake {
     require(manifest.partCols.nonEmpty,
       "overwritePartitions needs a partitioned table — overwriting a flat " +
         "table is a replace write")
+    manifest.identity.foreach { case (n, _, _, _) =>
+      throw new IllegalArgumentException(
+        s"table at $path has IDENTITY column $n — partition overwrite " +
+          "cannot assign identity values for its batch; append/INSERT " +
+          "new rows (the engine assigns) and DELETE what they supersede")
+    }
     val recorded = manifest.schema.getOrElse(throw new IllegalArgumentException(
       s"table at $path has a headerless legacy manifest — partition " +
         "overwrite needs the recorded schema (run one append or upsert to " +
@@ -3657,7 +3737,7 @@ object ManifestLake {
             constraints = manifest.constraints, colMap = colMapOut,
             droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
           statsColsDefault = manifest.statsColsDefault,
-            generated = manifest.generated, defaults = manifest.defaults, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
+            generated = manifest.generated, defaults = manifest.defaults, identity = manifest.identity, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
             deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
           return curV
         } catch {
@@ -3847,6 +3927,14 @@ object ManifestLake {
     require(plainEqKeys.forall(keyCols.contains),
       s"plainEqKeys ${plainEqKeys.mkString(",")} must be a subset of the " +
         s"merge keys (${keyCols.mkString(",")})")
+    currentVersion(spark, path).map(v0 =>
+      readManifest(fsFor(spark, path)._1, fsFor(spark, path)._2, v0))
+      .flatMap(_.identity).foreach { case (n, _, _, _) =>
+        throw new IllegalArgumentException(
+          s"table at $path has IDENTITY column $n — MERGE cannot assign " +
+            "identity values for inserted rows; append/INSERT new rows " +
+            "(the engine assigns) and UPDATE/DELETE existing ones")
+      }
     matched.foreach {
       case _: MergeInsert => throw new IllegalArgumentException(
         "WHEN MATCHED supports UPDATE and DELETE clauses, not INSERT")
@@ -4218,7 +4306,7 @@ object ManifestLake {
             constraints = manifest.constraints, colMap = manifest.colMap,
             droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
           statsColsDefault = manifest.statsColsDefault,
-            generated = manifest.generated, defaults = manifest.defaults, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
+            generated = manifest.generated, defaults = manifest.defaults, identity = manifest.identity, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
             deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
           return MergeStats(curV, nUpd, nDel, nIns)
         } catch {
@@ -4740,7 +4828,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = curM.statsColsDefault,
-          generated = curM.generated, defaults = curM.defaults, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
+          generated = curM.generated, defaults = curM.defaults, identity = curM.identity, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((staged, candidatePaths.toSeq)))
         return curV
       } catch {
@@ -5058,6 +5146,11 @@ object ManifestLake {
     // inside a struct column (`meta.qual = …` — the Delta nested-SET
     // shape); deeper nesting and array<struct> elements refuse
     val (nestedSet, flatSet) = set.partition(_._1.contains('.'))
+    manifest.identity.foreach { case (n, _, _, _) =>
+      require(!set.keys.exists(_.equalsIgnoreCase(n)),
+        s"column $n is GENERATED ALWAYS AS IDENTITY on $path — UPDATE " +
+          "cannot assign it")
+    }
     flatSet.keys.foreach { c =>
       require(logical.fieldNames.contains(c),
         s"SET column $c is not a table column (${logical.fieldNames.mkString(", ")})")
@@ -5256,7 +5349,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = curM.statsColsDefault,
-          generated = curM.generated, defaults = curM.defaults, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
+          generated = curM.generated, defaults = curM.defaults, identity = curM.identity, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((staged, candidatePaths.toSeq)))
         return curV
       } catch {
@@ -5319,7 +5412,7 @@ object ManifestLake {
       colMap = target.colMap, droppedPhys = target.droppedPhys,
       bloomCols = target.bloomCols,
       statsColsDefault = target.statsColsDefault, generated = target.generated,
-      defaults = target.defaults,
+      defaults = target.defaults, identity = target.identity,
       fieldMap = target.fieldMap, fieldDropped = target.fieldDropped)
     newV
   }
@@ -5388,7 +5481,7 @@ object ManifestLake {
       op = Some("constraint"), constraints = m.constraints + (name -> expression),
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = m.statsColsDefault,
-      generated = m.generated, defaults = m.defaults, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
+      generated = m.generated, defaults = m.defaults, identity = m.identity, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -5406,7 +5499,7 @@ object ManifestLake {
       op = Some("constraint"), constraints = m.constraints - name,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = m.statsColsDefault,
-      generated = m.generated, defaults = m.defaults, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
+      generated = m.generated, defaults = m.defaults, identity = m.identity, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -5487,7 +5580,7 @@ object ManifestLake {
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("properties"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = bloom,
-      statsColsDefault = stats, generated = m.generated, defaults = m.defaults,
+      statsColsDefault = stats, generated = m.generated, defaults = m.defaults, identity = m.identity,
       fieldMap = m.fieldMap, fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -5521,6 +5614,9 @@ object ManifestLake {
     require(!m.generated.exists(_._1.equalsIgnoreCase(f.name)),
       s"column ${f.name} is GENERATED — its value is always computed, " +
         "a DEFAULT could never apply")
+    require(!m.identity.exists(_._1.equalsIgnoreCase(f.name)),
+      s"column ${f.name} is GENERATED ALWAYS AS IDENTITY — the engine " +
+        "assigns it; a DEFAULT could never apply")
     val newDefaults = defaultSql match {
       case Some(sql) =>
         val canonical = canonicalDefaultLiteral(spark, sql, f.dataType, f.name)
@@ -5537,7 +5633,67 @@ object ManifestLake {
       op = Some("properties"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
       statsColsDefault = m.statsColsDefault, generated = m.generated,
-      defaults = newDefaults,
+      defaults = newDefaults, identity = m.identity,
+      fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
+      deltaHint = Some((Seq.empty, Seq.empty)))
+    v + 1
+  }
+
+  /** Declare `column` GENERATED ALWAYS AS IDENTITY — Delta's identity
+    * idiom as a manifest header fact `(column, start, step, watermark)`.
+    * The ENGINE assigns the column on every append/insert (a batch
+    * carrying it refuses — ALWAYS means engine-only), values are
+    * unique and move in `step`'s direction from `start`, and GAPS ARE
+    * EXPECTED (the distributed assignment reserves per-partition
+    * lanes; Delta documents the same). The watermark only ever
+    * advances — a replace does not reset it, so values never reuse
+    * across the table's history and time travel stays unambiguous.
+    *
+    * Declaration is CREATE-shaped: the table must still be EMPTY
+    * (existing rows have no values to adopt — backfill-then-declare
+    * is not served). The column auto-joins the declared stat columns:
+    * the same single stats pass every write already runs is what
+    * advances the watermark (max assigned + step), zero extra jobs.
+    * Concurrent appends get DISJOINT ranges: an append that loses its
+    * commit race to a writer that moved the watermark withdraws its
+    * staged files and RE-STAGES from the new head (bounded retries) —
+    * never publishes overlapping values.
+    */
+  def declareIdentity(spark: SparkSession, path: String, column: String,
+                      start: Long = 1L, step: Long = 1L): Long = {
+    require(step > 0,
+      s"IDENTITY step must be positive, got $step (descending identity " +
+        "is not supported on manifest tables)")
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    val logical = logicalSchemaOf(m)
+    val f = logical.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column $column on $path (columns: " +
+          s"${logical.fieldNames.mkString(", ")})"))
+    require(f.dataType == org.apache.spark.sql.types.LongType,
+      s"IDENTITY column ${f.name} must be BIGINT, got ${f.dataType.sql}")
+    require(m.identity.isEmpty,
+      s"table at $path already has an IDENTITY column " +
+        s"(${m.identity.get._1}) — one per table")
+    require(!m.partCols.exists(_.equalsIgnoreCase(f.name)),
+      s"IDENTITY column ${f.name} cannot be a partition column")
+    require(!m.generated.exists(_._1.equalsIgnoreCase(f.name)) &&
+      !m.defaults.exists(_._1.equalsIgnoreCase(f.name)),
+      s"column ${f.name} already carries a GENERATED/DEFAULT contract")
+    require(m.files.isEmpty,
+      s"IDENTITY declares at CREATE time — the table at $path already " +
+        "holds data and its existing rows have no identity values")
+    val cm = m.colMap.getOrElse(logical.fieldNames.toSeq.map(n => n -> n)).toMap
+    val phys = cm.getOrElse(f.name, f.name)
+    publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
+      op = Some("properties"), constraints = m.constraints,
+      colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
+      statsColsDefault = (m.statsColsDefault :+ phys).distinct,
+      generated = m.generated, defaults = m.defaults,
+      identity = Some((f.name, start, step, start)),
       fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -5647,7 +5803,7 @@ object ManifestLake {
           op = Some("analyze"), constraints = m.constraints, colMap = m.colMap,
           droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = newDefault, generated = m.generated,
-          defaults = m.defaults,
+          defaults = m.defaults, identity = m.identity,
           fieldMap = m.fieldMap, fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)))
         v + 1
       }
@@ -5700,7 +5856,7 @@ object ManifestLake {
               constraints = curM.constraints, colMap = curM.colMap,
               droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
               statsColsDefault = (curM.statsColsDefault ++ phys).distinct,
-              generated = curM.generated, defaults = curM.defaults,
+              generated = curM.generated, defaults = curM.defaults, identity = curM.identity,
               fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
               deltaHint = Some((updated, updated.map(_.path))))
             curV += 1
@@ -5862,6 +6018,9 @@ object ManifestLake {
       },
       defaults = m.defaults.map { case (n, e) =>
         (if (n == oldName) newName else n) -> e
+      },
+      identity = m.identity.map { case (n, st, sp, wm) =>
+        (if (n == oldName) newName else n, st, sp, wm)
       }, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
     v + 1
   }
@@ -5959,7 +6118,7 @@ object ManifestLake {
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols,
       statsColsDefault = m.statsColsDefault, generated = m.generated,
-      defaults = m.defaults,
+      defaults = m.defaults, identity = m.identity,
       fieldMap = newFieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -6065,7 +6224,7 @@ object ManifestLake {
       op = Some("schema"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
-      generated = m.generated, defaults = m.defaults, fieldMap = newFieldMap,
+      generated = m.generated, defaults = m.defaults, identity = m.identity, fieldMap = newFieldMap,
       fieldDropped = m.fieldDropped :+ ((physRoot, curPhysDotted)),
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -6145,7 +6304,7 @@ object ManifestLake {
       op = Some("schema"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
-      generated = m.generated, defaults = m.defaults, fieldMap = newFieldMap,
+      generated = m.generated, defaults = m.defaults, identity = m.identity, fieldMap = newFieldMap,
       fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -6204,6 +6363,7 @@ object ManifestLake {
       statsColsDefault = m.statsColsDefault.filterNot(_ == phys),
       generated = m.generated.filterNot(_._1 == name),
       defaults = m.defaults.filterNot(_._1 == name),
+      identity = m.identity.filterNot(_._1 == name),
       fieldMap = m.fieldMap.filterNot(_._1 == phys),
       fieldDropped = m.fieldDropped.filterNot(_._1 == phys))
     v + 1
@@ -6258,7 +6418,7 @@ object ManifestLake {
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols,
       statsColsDefault = m.statsColsDefault, generated = m.generated,
-      defaults = m.defaults,
+      defaults = m.defaults, identity = m.identity,
       fieldMap = m.fieldMap, fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -6311,6 +6471,9 @@ object ManifestLake {
       return widenNestedField(spark, fs, root, path, v, m, cm, name, newType,
         validateOnly)
     refuseNestedTarget("widenColumnType", name, cm.map(_._1))
+    require(!m.identity.exists(_._1.equalsIgnoreCase(name)),
+      s"column $name is GENERATED ALWAYS AS IDENTITY on $path — the " +
+        "assigner writes BIGINT values; widening it is not supported")
     val phys = cm.find(_._1 == name).map(_._2).getOrElse(
       throw new IllegalArgumentException(
         s"no column named $name on $path (columns: ${cm.map(_._1).mkString(", ")})"))
@@ -6359,7 +6522,7 @@ object ManifestLake {
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols =
         if (renderingStable) m.bloomCols else m.bloomCols.filterNot(_ == phys),
-      generated = m.generated, defaults = m.defaults, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
+      generated = m.generated, defaults = m.defaults, identity = m.identity, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
     v + 1
   }
 
@@ -6446,7 +6609,7 @@ object ManifestLake {
       op = Some("schema"), constraints = m.constraints,
       colMap = newColMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = m.statsColsDefault,
-      generated = m.generated, defaults = m.defaults, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
+      generated = m.generated, defaults = m.defaults, identity = m.identity, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
     v + 1
   }
 
@@ -6551,7 +6714,7 @@ object ManifestLake {
         colMap = newColMap, droppedPhys = m.droppedPhys,
         bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
         generated = m.generated :+ (name -> expression),
-        defaults = m.defaults,
+        defaults = m.defaults, identity = m.identity,
         fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
       v + 1
     } else {
@@ -6593,7 +6756,7 @@ object ManifestLake {
         colMap = newColMap, droppedPhys = m.droppedPhys,
         bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
         generated = m.generated :+ (name -> expression),
-        defaults = m.defaults,
+        defaults = m.defaults, identity = m.identity,
         fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
       newV
     }

@@ -2937,6 +2937,57 @@ object EtlGate {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(doc_id) AS max_id
              |FROM legs GROUP BY leg, lang ORDER BY leg, lang""".stripMargin)),
 
+    // IDENTITY COLUMNS (round 18): GENERATED ALWAYS AS IDENTITY as a
+    // manifest header fact — the engine assigns unique BIGINT values on
+    // the (start, step) lattice, gaps expected, and CONCURRENT appends
+    // receive DISJOINT ranges (a loser whose watermark moved withdraws
+    // and restages — raced live in-line here). Uniqueness and lattice
+    // membership are encoded INTO the compared values (n_ids = n_docs,
+    // lane_ok = true), so the DuckDB hash-match certifies them; the
+    // values themselves are assignment-order-dependent by design and
+    // never compared.
+    Q(
+      "q142_identity_column",
+      (s, dir) => {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val out = scratchDir("graft-gate-identity") + "/table"
+        val t = s"`graft-manifest`.`$out`"
+        s.sql(s"CREATE TABLE $t (lang STRING, " +
+          "id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 3), " +
+          "doc_id BIGINT, n_chars BIGINT) USING `graft-manifest` " +
+          "PARTITIONED BY (lang)")
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("n_chars").cast("long"))
+          .persist()
+        docs.count(): Unit
+        // two RACING appends (one per doc_id parity) — both must land,
+        // with the loser restaging from the winner's watermark
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val legs = Seq(0, 1).map(parity => Future {
+          barrier.await()
+          ManifestLake.write(s,
+            docs.where(pmod(col("doc_id"), lit(2)) === parity), out,
+            Seq("lang"), replace = false)
+        })
+        Await.result(Future.sequence(legs), 300.seconds): Unit
+        docs.unpersist()
+        s.sql(
+          s"""SELECT lang, count(*) AS n_docs,
+             |  count(DISTINCT id) AS n_ids,
+             |  every(id >= 100 AND (id - 100) % 3 = 0) AS lane_ok,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  max(doc_id) AS max_doc
+             |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  count(*) AS n_ids,
+             |  true AS lane_ok,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  max(doc_id) AS max_doc
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // NESTED-FIELD DROP + RE-ADD at depth 2 (round 17): the genomic-
     // evidence shape drops `entries.ev.q` (metadata-only — byte-
     // identical file set REQUIRED IN-LINE), then re-adds the SAME

@@ -1,0 +1,165 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GENERATED ALWAYS AS IDENTITY: engine-assigned BIGINT values from a
+  * manifest header fact (column, start, step, watermark). Values are
+  * unique, move in step's direction, gaps are expected (per-partition
+  * lanes); concurrent appends get DISJOINT ranges via withdraw-and-
+  * restage on a moved watermark; the watermark never resets (a replace
+  * keeps numbering above history).
+  */
+class IdentityColumnSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(tag).toString + "/table"
+
+  private def ids(path: String): Seq[Long] = {
+    import spark.implicits._
+    ManifestLake.read(spark, path).select("id").as[Long].collect().toSeq
+  }
+
+  test("CREATE + INSERT assigns unique stepping values; SHOW CREATE renders the clause") {
+    val dir = freshDir("ident-basic")
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(s"CREATE TABLE $t (grp STRING, " +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 3), " +
+      "payload STRING) USING `graft-manifest` PARTITIONED BY (grp)")
+    spark.sql(s"INSERT INTO $t (grp, payload) VALUES ('a', 'p1'), ('b', 'p2')")
+    spark.sql(s"INSERT INTO $t (grp, payload) VALUES ('a', 'p3')")
+    val got = ids(dir)
+    assert(got.distinct.size === 3, s"values must be unique, got $got")
+    assert(got.forall(v => v >= 100 && (v - 100) % 3 == 0),
+      s"values must sit on the start/step lattice, got $got")
+    // the second statement's values sit strictly above the first's
+    val firstMax = spark.sql(s"SELECT max(id) FROM $t WHERE payload IN ('p1','p2')")
+      .head().getLong(0)
+    val third = spark.sql(s"SELECT id FROM $t WHERE payload = 'p3'")
+      .head().getLong(0)
+    assert(third > firstMax, "later statements number above earlier ones")
+    val ddl = spark.sql(s"SHOW CREATE TABLE $t").head().getString(0)
+    assert(ddl.contains("GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 3)"), ddl)
+    // positional INSERT supplies everything EXCEPT the identity column
+    spark.sql(s"INSERT INTO $t VALUES ('b', 'p4')")
+    assert(ids(dir).distinct.size === 4)
+  }
+
+  test("concurrent appends restage on a moved watermark: both land, ranges disjoint") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir("ident-race")
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(s"CREATE TABLE $t (grp STRING, " +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, payload STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (grp)")
+    (1 to 3).foreach { round =>
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val writes = Seq("x", "y").map(tag => Future {
+        barrier.await()
+        ManifestLake.write(spark,
+          (0 until 50).map(i => (s"g${i % 2}", s"$tag$round-$i"))
+            .toDF("grp", "payload").repartition(4),
+          dir, Seq("grp"), replace = false)
+      })
+      Await.result(Future.sequence(writes), 120.seconds)
+      val got = ids(dir)
+      assert(got.distinct.size === got.size,
+        s"round $round: racing appends produced overlapping identity " +
+          s"values (${got.size} rows, ${got.distinct.size} distinct)")
+    }
+    assert(ids(dir).size === 300)
+  }
+
+  test("watermark survives replace and delete: numbering never reuses live history") {
+    import spark.implicits._
+    val dir = freshDir("ident-replace")
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(s"CREATE TABLE $t (grp STRING, " +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, payload STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (grp)")
+    spark.sql(s"INSERT INTO $t (grp, payload) VALUES ('a', 'old1'), ('a', 'old2')")
+    val oldMax = spark.sql(s"SELECT max(id) FROM $t").head().getLong(0)
+    // a replace keeps the identity contract AND the watermark
+    Seq(("a", "new1")).toDF("grp", "payload").createOrReplaceTempView("ident_repl")
+    spark.sql(s"INSERT OVERWRITE $t (grp, payload) SELECT grp, payload FROM ident_repl")
+    val afterReplace = ids(dir)
+    assert(afterReplace.size === 1 && afterReplace.head > oldMax,
+      s"replace must keep numbering above history, got $afterReplace (old max $oldMax)")
+    // DELETE + re-insert also stays above
+    spark.sql(s"DELETE FROM $t WHERE true")
+    spark.sql(s"INSERT INTO $t (grp, payload) VALUES ('a', 'new2')")
+    assert(ids(dir).head > afterReplace.head)
+  }
+
+  test("refusals: supplied values, upsert/merge/overwrite, UPDATE SET, widen, late declare, BY DEFAULT") {
+    import spark.implicits._
+    val dir = freshDir("ident-refuse")
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(s"CREATE TABLE $t (grp STRING, " +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, payload STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (grp)")
+    spark.sql(s"INSERT INTO $t (grp, payload) VALUES ('a', 'p1')")
+    def refuses(body: => Any, needle: String): Unit = {
+      val e = intercept[Exception](body)
+      assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"expected '$needle' in: ${e.getMessage.take(220)}")
+    }
+    refuses(spark.sql(s"INSERT INTO $t (grp, id, payload) VALUES ('a', 9, 'x')"),
+      "IDENTITY")
+    refuses(ManifestLake.write(spark,
+      Seq(("a", 9L, "x")).toDF("grp", "id", "payload"), dir, Seq("grp"),
+      replace = false), "omit")
+    refuses(ManifestLake.upsert(spark, dir,
+      Seq(("a", 1L, "x")).toDF("grp", "id", "payload"), Seq("grp"),
+      Seq("grp", "id")), "IDENTITY")
+    refuses(spark.sql(s"MERGE INTO $t x USING (SELECT 'a' AS grp, 'm' AS payload) s " +
+      "ON x.grp = s.grp WHEN MATCHED THEN UPDATE SET payload = s.payload"),
+      "IDENTITY")
+    refuses(ManifestLake.overwritePartitions(spark, dir,
+      Seq(("a", 9L, "x")).toDF("grp", "id", "payload")), "IDENTITY")
+    refuses(spark.sql(s"UPDATE $t SET id = 99 WHERE true"), "IDENTITY")
+    refuses(spark.sql(s"ALTER TABLE $t ALTER COLUMN id TYPE DECIMAL(20,0)"),
+      "IDENTITY")
+    refuses(spark.sql(s"ALTER TABLE $t ALTER COLUMN id SET DEFAULT 5"),
+      "IDENTITY")
+    // declaring on a non-empty table refuses (no values to adopt)
+    refuses(ManifestLake.declareIdentity(spark, dir, "payload"), "BIGINT")
+    val dir2 = freshDir("ident-late")
+    ManifestLake.write(spark, Seq(("a", 1L)).toDF("grp", "n"), dir2, Seq("grp"))
+    refuses(ManifestLake.declareIdentity(spark, dir2, "n"), "already holds data")
+    // GENERATED BY DEFAULT AS IDENTITY refuses at CREATE
+    refuses(spark.sql(s"CREATE TABLE `graft-manifest`.`${freshDir("ident-bydef")}` " +
+      "(id BIGINT GENERATED BY DEFAULT AS IDENTITY, x STRING) " +
+      "USING `graft-manifest`"), "ALWAYS")
+  }
+
+  test("rename carries the fact; a shallow clone continues numbering above the source") {
+    import spark.implicits._
+    val dir = freshDir("ident-schema")
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(s"CREATE TABLE $t (grp STRING, " +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, payload STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (grp)")
+    spark.sql(s"INSERT INTO $t (grp, payload) VALUES ('a', 'p1'), ('a', 'p2')")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN id TO row_id")
+    spark.sql(s"INSERT INTO $t (grp, payload) VALUES ('a', 'p3')")
+    val got = ManifestLake.read(spark, dir).select("row_id").as[Long]
+      .collect().toSeq
+    assert(got.distinct.size === 3, s"renamed identity keeps assigning: $got")
+    // a clone carries the fact + watermark: its own inserts stay unique
+    // against the cloned rows
+    val clone = freshDir("ident-clone")
+    ManifestLake.shallowClone(spark, dir, clone)
+    spark.sql(s"INSERT INTO `graft-manifest`.`$clone` (grp, payload) VALUES ('a', 'c1')")
+    val cloneIds = ManifestLake.read(spark, clone).select("row_id").as[Long]
+      .collect().toSeq
+    assert(cloneIds.distinct.size === 4,
+      s"clone-side inserts must not collide with cloned values: $cloneIds")
+  }
+}
