@@ -17,9 +17,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *     horizon onto version retention: every version published inside
   *     the window is kept, plus the boundary version so a
   *     `TIMESTAMP AS OF` read at the horizon still resolves.
-  *   - `OPTIMIZE t [ZORDER BY (c1, c2, …)]` → [[ManifestLake.compact]];
-  *     returns (partition, files_before, files_after) per rewritten
-  *     partition.
+  *   - `OPTIMIZE t [WHERE <partition predicate>] [ZORDER BY (c1, c2, …)]`
+  *     → [[ManifestLake.compact]]; returns (partition, files_before,
+  *     files_after) per rewritten partition. WHERE scopes the rewrite
+  *     to the partitions a partition-column predicate selects — the
+  *     steady-state cadence on a 100 TB table (compact the day that
+  *     just closed, not the table); data-column predicates refuse.
   *   - `RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF 'ts'`
   *     → [[ManifestLake.restore]]; returns the new head version.
   *   - `DESCRIBE HISTORY t [LIMIT n]` → [[ManifestLake.history]],
@@ -66,12 +69,19 @@ object GraftMaintenanceSql {
     // "not ours", never an error; the other three keywords cannot open
     // a vanilla statement, so their failures surface loudly.
     try {
-      val toks = lex(sqlText)
+      // OPTIMIZE may carry a WHERE predicate in FULL SQL (operators the
+      // tiny lexer deliberately refuses) — split it out on raw text,
+      // quote-aware, before lexing; Spark's expression parser serves it
+      val (lexText, whereSql) =
+        if ("(?is)^\\s*OPTIMIZE\\b".r.findFirstIn(sqlText).isDefined)
+          splitOptimizeWhere(sqlText)
+        else (sqlText, None)
+      val toks = lex(lexText)
       toks.headOption.flatMap {
         case Word(w) if w.equalsIgnoreCase("VACUUM") =>
           Some(parseVacuum(spark, toks.tail))
         case Word(w) if w.equalsIgnoreCase("OPTIMIZE") =>
-          Some(parseOptimize(spark, toks.tail))
+          Some(parseOptimize(spark, toks.tail, whereSql))
         case Word(w) if w.equalsIgnoreCase("RESTORE") =>
           Some(parseRestore(spark, toks.tail))
         case Word(w) if w.equalsIgnoreCase("CONVERT") =>
@@ -244,8 +254,52 @@ object GraftMaintenanceSql {
     GraftVacuumCommand(path, keepVersions, retainHours, dryRun)
   }
 
-  private def parseOptimize(spark: SparkSession, toks: List[Tok]): LogicalPlan = {
+  /** Locate the first WHERE keyword OUTSIDE backquoted identifiers and
+    * string literals (a path like `` `/lake/where/t` `` must not trip
+    * it), and return (the statement with the predicate excised, the
+    * predicate's raw SQL up to a quote-aware ZORDER or end-of-text).
+    */
+  private def splitOptimizeWhere(sql: String): (String, Option[String]) = {
+    def keywordAt(i: Int, kw: String): Boolean =
+      sql.regionMatches(true, i, kw, 0, kw.length) &&
+        (i == 0 || { val c = sql(i - 1); !c.isLetterOrDigit && c != '_' }) &&
+        (i + kw.length >= sql.length || {
+          val c = sql(i + kw.length); !c.isLetterOrDigit && c != '_' })
+    def scan(from: Int, kw: String): Int = {
+      var i = from; var bq = false; var sq = false
+      while (i < sql.length) {
+        val c = sql(i)
+        if (bq) { if (c == '`') bq = false }
+        else if (sq) { if (c == '\'') sq = false }
+        else if (c == '`') bq = true
+        else if (c == '\'') sq = true
+        else if (keywordAt(i, kw)) return i
+        i += 1
+      }
+      -1
+    }
+    val w = scan(0, "WHERE")
+    if (w < 0) (sql, None)
+    else {
+      val z = scan(w + 5, "ZORDER")
+      val end = if (z < 0) sql.length else z
+      val pred = sql.substring(w + 5, end).trim
+      require(pred.nonEmpty, "OPTIMIZE ... WHERE needs a predicate")
+      (sql.substring(0, w) + " " + sql.substring(end), Some(pred))
+    }
+  }
+
+  private def parseOptimize(spark: SparkSession, toks: List[Tok],
+                            whereSql: Option[String]): LogicalPlan = {
     val (path, rest0) = target(spark, toks, "OPTIMIZE")
+    // the predicate must PARSE now (statement-time error, not run-time)
+    whereSql.foreach { w =>
+      try { spark.sessionState.sqlParser.parseExpression(w); () }
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"OPTIMIZE ... WHERE predicate does not parse: $w (${e.getMessage})")
+      }
+    }
     val zorder: Seq[String] = rest0 match {
       case Nil => Seq.empty
       case z :: b :: tl if kw(z, "ZORDER") && kw(b, "BY") =>
@@ -267,9 +321,10 @@ object GraftMaintenanceSql {
         require(cols.nonEmpty, "ZORDER BY needs at least one column")
         cols
       case other => throw new IllegalArgumentException(
-        s"OPTIMIZE options are [ZORDER BY (c1, …)]; got: ${other.mkString(" ")}")
+        s"OPTIMIZE options are [WHERE <partition predicate>] " +
+          s"[ZORDER BY (c1, …)]; got: ${other.mkString(" ")}")
     }
-    GraftOptimizeCommand(path, zorder)
+    GraftOptimizeCommand(path, zorder, whereSql)
   }
 
   private def parseRestore(spark: SparkSession, toks: List[Tok]): LogicalPlan = {
@@ -493,17 +548,19 @@ final case class GraftVacuumCommand(path: String, keepVersions: Option[Int],
   * range order; the engine refuses the pointless 1-column curve, so
   * the statement maps it onto clusterBy).
   */
-final case class GraftOptimizeCommand(path: String, zorderBy: Seq[String])
+final case class GraftOptimizeCommand(path: String, zorderBy: Seq[String],
+                                      whereSql: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("partition", StringType, nullable = false)(),
     AttributeReference("files_before", IntegerType, nullable = false)(),
     AttributeReference("files_after", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val where = whereSql.map(org.apache.spark.sql.functions.expr)
     val rewritten =
       if (zorderBy.length == 1)
-        ManifestLake.compact(spark, path, clusterBy = zorderBy)
-      else ManifestLake.compact(spark, path, zOrderBy = zorderBy)
+        ManifestLake.compact(spark, path, clusterBy = zorderBy, where = where)
+      else ManifestLake.compact(spark, path, zOrderBy = zorderBy, where = where)
     rewritten.sortBy(_._1).map { case (p, b, a) => Row(p, b, a) }
   }
 }

@@ -2985,7 +2985,8 @@ object ManifestLake {
               targetBytes: Long = 128L * 1024 * 1024,
               clusterBy: Seq[String] = Seq.empty,
               zOrderBy: Seq[String] = Seq.empty,
-              maxMaskedFraction: Double = 1.0): Seq[(String, Int, Int)] = {
+              maxMaskedFraction: Double = 1.0,
+              where: Option[Column] = None): Seq[(String, Int, Int)] = {
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy and zOrderBy are mutually exclusive layout choices")
     val (fs, root) = fsFor(spark, path)
@@ -3006,7 +3007,29 @@ object ManifestLake {
         s"${zOrderBy.filter(manifest.partCols.contains).mkString(", ")} — " +
         "they are constant within every rewritten partition")
     val live = manifest.files
-    val byPart = live.groupBy(f => partDirOf(f.path))
+    val byPartAll = live.groupBy(f => partDirOf(f.path))
+    // OPTIMIZE … WHERE: scope the rewrite to the partitions a
+    // PARTITION-COLUMN predicate selects — on a 100 TB table the
+    // steady-state compaction cadence is per-partition (the day that
+    // just closed), never a full-table sweep. The predicate must
+    // decide from partition values alone; anything else refuses loudly
+    // (a data-column predicate would silently compact everything or
+    // nothing — Delta refuses the same way).
+    val byPart = where match {
+      case None => byPartAll
+      case Some(pred) =>
+        val schema = logicalSchemaOf(manifest)
+        require(manifest.partCols.nonEmpty,
+          "OPTIMIZE ... WHERE needs a partitioned table — the predicate " +
+            "selects partitions (compact the whole table without WHERE)")
+        matchedPartitionDirs(spark, schema, manifest.partCols, pred,
+          byPartAll.keys.toSeq) match {
+          case Some(keep) => byPartAll.filter { case (d, _) => keep.contains(d) }
+          case None => throw new IllegalArgumentException(
+            "OPTIMIZE ... WHERE must be a deterministic predicate over " +
+              s"partition columns only (${manifest.partCols.mkString(", ")})")
+        }
+    }
     val plans = byPart.toSeq.sortBy(_._1).flatMap { case (part, fls) =>
       val bytes = fls.map(_.bytes).sum
       val want = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt

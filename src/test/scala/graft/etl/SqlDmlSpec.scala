@@ -1270,6 +1270,49 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(df.count() === 9)
   }
 
+  test("OPTIMIZE ... WHERE compacts exactly the selected partitions; data-column predicates refuse") {
+    import spark.implicits._
+    // a path CONTAINING the word "where" must not trip the quote-aware
+    // predicate splitter
+    val dir = Files.createTempDirectory("sqldml-where").toString + "/wherehouse/table"
+    val t = s"`graft-manifest`.`$dir`"
+    // two partitions, heavily fragmented (10 files each)
+    (0 until 10).foreach { i =>
+      ManifestLake.write(spark,
+        Seq(("a", i.toLong, s"pa$i"), ("b", i.toLong, s"pb$i"))
+          .toDF("part", "id", "payload").repartition(1),
+        dir, Seq("part"), replace = i == 0)
+    }
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    def filesByPart(): Map[String, Int] =
+      ManifestLake.readManifest(fs, root,
+        ManifestLake.currentVersion(spark, dir).get)
+        .files.groupBy(f => f.path.split("/").find(_.contains("=")).getOrElse(""))
+        .map { case (k, v) => k -> v.size }
+    assert(filesByPart() === Map("part=a" -> 10, "part=b" -> 10))
+    val before = ManifestLake.read(spark, dir).collect().toSet
+    // compact ONLY part=a; b stays fragmented
+    val report = spark.sql(s"OPTIMIZE $t WHERE part = 'a'").collect()
+    assert(report.map(_.getString(0)).toSeq === Seq("part=a"),
+      s"only the selected partition rewrites, got ${report.toSeq}")
+    assert(report.head.getInt(1) === 10 && report.head.getInt(2) < 10)
+    val after = filesByPart()
+    assert(after("part=b") === 10, "the unselected partition must not move")
+    assert(after("part=a") < 10)
+    assert(ManifestLake.read(spark, dir).collect().toSet === before,
+      "compaction is a content no-op")
+    // WHERE composes with ZORDER BY; an already-compacted selection is a no-op
+    assert(spark.sql(s"OPTIMIZE $t WHERE part = 'a' ZORDER BY (id)").collect()
+      .map(_.getString(0)).forall(_ == "part=a"))
+    // predicates beyond partition columns refuse loudly
+    val e1 = intercept[Exception](spark.sql(s"OPTIMIZE $t WHERE payload = 'x'"))
+    assert(e1.getMessage.contains("partition columns only"))
+    val e2 = intercept[Exception](spark.sql(s"OPTIMIZE $t WHERE part ="))
+    assert(e2.getMessage.contains("does not parse"))
+    // a predicate matching nothing compacts nothing
+    assert(spark.sql(s"OPTIMIZE $t WHERE part = 'zz'").collect().isEmpty)
+  }
+
   test("maintenance statements refuse malformed shapes with the REAL reason, never a generic syntax error") {
     import spark.implicits._
     val dir = freshDir("sqldml-maint-neg")
