@@ -71,6 +71,8 @@ object Graft {
     Op("lake", "column DEFAULT values: CREATE-time DEFAULT lit + ALTER COLUMN SET/DROP DEFAULT (metadata-only header fact, literal-only, ANSI-validated at declare); INSERT/MERGE column lists omitting the column materialize it, explicit NULL stays NULL", "graft.etl.ManifestLake.setColumnDefault", "q140; ColumnDefaultSpec"),
     Op("lake", "SHALLOW CLONE: CREATE [OR REPLACE] TABLE t SHALLOW CLONE s [VERSION AS OF n] — one metadata commit referencing the source's files by absolute path (zero copy); header facts carry, divergence free both ways, clone vacuum can never reap source files", "graft.etl.ManifestLake.shallowClone", "q141; CloneSpec"),
     Op("lake", "IDENTITY columns: GENERATED ALWAYS AS IDENTITY (START WITH/INCREMENT BY) — engine-assigned unique BIGINTs via per-partition lanes, watermark advanced off the write's own file stats, concurrent appends restage to disjoint ranges", "graft.etl.ManifestLake.declareIdentity", "q142; IdentityColumnSpec"),
+    Op("lake", "partition-scoped compaction: OPTIMIZE t WHERE <partition predicate> [ZORDER BY] - the steady-state cadence on a huge table; unselected partitions carry by reference", "graft.etl.ManifestLake.compact(where)", "spec"),
+    Op("lake", "FSCK REPAIR TABLE [DRY RUN]: un-reference data files deleted out-of-band (one listing, never a per-file RPC storm); missing DV sidecars refuse - both repairs would be lossy", "graft.etl.ManifestLake.fsck", "spec"),
     Op("stream", "streaming BY NAME: readStream.table(\"graft.ns.t\") onto the manifest source (checkpoint-interchangeable with the path spelling, readChangeFeed via options) and writeStream.format(\"graft-manifest\").toTable onto the exactly-once sink via the V1-fallback seam", "graft.etl.GraftNamedTable + GraftCatalogRule", "NamedStreamingSpec"),
     Op("stream", "streaming CDC apply: foreachBatch conditional merge, txn-ledger exactly-once across restart", "graft.streaming.EventStreams.manifestMergeSink", "spec"),
     Op("stream", "streaming partition-snapshot sink: each batch swaps exactly its partitions atomically (periodic dimension refresh shape)", "graft.streaming.EventStreams.manifestPartitionOverwriteSink", "spec"),

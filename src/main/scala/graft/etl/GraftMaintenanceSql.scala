@@ -25,6 +25,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *     just closed, not the table); data-column predicates refuse.
   *   - `RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF 'ts'`
   *     → [[ManifestLake.restore]]; returns the new head version.
+  *   - `FSCK REPAIR TABLE t [DRY RUN]` → [[ManifestLake.fsck]]; drops
+  *     references to data files deleted out-of-band (DRY RUN lists).
   *   - `DESCRIBE HISTORY t [LIMIT n]` → [[ManifestLake.history]],
   *     newest first.
   *   - `DESCRIBE DETAIL t` → [[ManifestLake.detail]] — the one-row
@@ -60,7 +62,7 @@ object GraftMaintenanceSql {
     // cheap keyword gate BEFORE lexing: the lexer is deliberately tiny
     // and refuses characters these four statements never carry — it
     // must never see (let alone fail on) general SQL
-    val lead = "(?is)^\\s*(VACUUM|OPTIMIZE|RESTORE|CONVERT|DESC(RIBE)?\\s+(HISTORY|DETAIL))\\b".r
+    val lead = "(?is)^\\s*(VACUUM|OPTIMIZE|RESTORE|CONVERT|FSCK|DESC(RIBE)?\\s+(HISTORY|DETAIL))\\b".r
     if (lead.findFirstIn(sqlText).isEmpty) return None
     val isDescribe = "(?is)^\\s*DESC".r.findFirstIn(sqlText).isDefined
     // DESCRIBE collides with vanilla shapes (`DESCRIBE history
@@ -86,6 +88,8 @@ object GraftMaintenanceSql {
           Some(parseRestore(spark, toks.tail))
         case Word(w) if w.equalsIgnoreCase("CONVERT") =>
           Some(parseConvert(spark, toks.tail))
+        case Word(w) if w.equalsIgnoreCase("FSCK") =>
+          Some(parseFsck(spark, toks.tail))
         case Word(w) if w.equalsIgnoreCase("DESCRIBE") || w.equalsIgnoreCase("DESC") =>
           toks.tail.head match {
             case Word(h) if h.equalsIgnoreCase("DETAIL") =>
@@ -482,6 +486,26 @@ object GraftMaintenanceSql {
     GraftCloneCommand(src, tgt, version, orReplace, ifNotExists)
   }
 
+  /** `FSCK REPAIR TABLE t [DRY RUN]` — drop references to data files
+    * deleted out-of-band; see [[ManifestLake.fsck]].
+    */
+  private def parseFsck(spark: SparkSession, toks: List[Tok]): LogicalPlan = {
+    val afterRepair = toks match {
+      case r :: t :: tl if kw(r, "REPAIR") && kw(t, "TABLE") => tl
+      case other => throw new IllegalArgumentException(
+        s"FSCK spells FSCK REPAIR TABLE <t> [DRY RUN]; got: " +
+          other.mkString(" "))
+    }
+    val (path, rest) = target(spark, afterRepair, "FSCK REPAIR TABLE")
+    val dryRun = rest match {
+      case Nil => false
+      case d :: r :: Nil if kw(d, "DRY") && kw(r, "RUN") => true
+      case other => throw new IllegalArgumentException(
+        s"unexpected trailing tokens in FSCK: ${other.mkString(" ")}")
+    }
+    GraftFsckCommand(path, dryRun)
+  }
+
   /** None (not an exception) when the shape does not parse or the
     * target is not a manifest table — DESCRIBE has vanilla meanings.
     */
@@ -632,6 +656,17 @@ final case class GraftHistoryCommand(path: String, limit: Option[Int])
   * to [[ManifestLake.adopt]]; returns (version, n_files) of the v1
   * manifest built over the existing files.
   */
+/** `FSCK REPAIR TABLE t [DRY RUN]` — lists (and without DRY RUN,
+  * un-references) live entries whose data file vanished out-of-band.
+  */
+final case class GraftFsckCommand(path: String, dryRun: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("missing_file", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    ManifestLake.fsck(spark, path, dryRun).map(Row(_))
+}
+
 /** `CREATE TABLE t SHALLOW CLONE s [VERSION AS OF n]` — dispatches to
   * [[ManifestLake.shallowClone]]; returns the new table's version and
   * how many source files it references (all by reference — the

@@ -5662,6 +5662,65 @@ object ManifestLake {
     v + 1
   }
 
+  /** FSCK — drop manifest references to data files that vanished
+    * OUT-OF-BAND (Delta's `FSCK REPAIR TABLE`): an external deletion
+    * otherwise fails every scan forever, because the manifest is the
+    * source of truth and nothing inside the engine ever deletes a live
+    * file. Returns the missing entries' paths; `dryRun` reports
+    * without publishing. The repair is one metadata commit (op
+    * `fsck`) removing exactly the dangling entries — losing those
+    * rows is the repair's explicit, named cost (they are already
+    * unreadable).
+    *
+    * Existence is checked with ONE recursive listing of the table's
+    * own tree plus a per-file probe for external (clone-referenced)
+    * absolute entries — O(listing + external refs), never a per-file
+    * RPC storm over the whole table. A live entry whose DELETION
+    * VECTOR sidecar is missing REFUSES repair instead: both repairs
+    * are lossy in different directions (dropping the mask resurrects
+    * deleted rows; dropping the entry loses live rows) — the operator
+    * must restore the sidecar or delete the data file first.
+    */
+  def fsck(spark: SparkSession, path: String,
+           dryRun: Boolean = false): Seq[String] = {
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    val rootQ = fs.makeQualified(root).toString
+    val present = scala.collection.mutable.HashSet.empty[String]
+    if (fs.exists(root)) {
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        present += fs.makeQualified(st.getPath).toString
+          .stripPrefix(rootQ).stripPrefix("/")
+      }
+    }
+    def missing(rel: String): Boolean =
+      if (new Path(rel).isAbsolute || rel.contains(":/"))
+        !fs.exists(new Path(root, rel)) // external (clone) refs: probe
+      else !present.contains(rel)
+    val gone = m.files.filter(f => missing(f.path))
+    val dvGone = m.files.filter(f =>
+      !gone.contains(f) && f.dv.exists(missing))
+    require(dvGone.isEmpty,
+      s"FSCK of $path found ${dvGone.length} live file(s) whose deletion-" +
+        "vector sidecar is missing — repairing is ambiguous (dropping the " +
+        "mask would resurrect deleted rows; dropping the entry would lose " +
+        "live rows). Restore the sidecar or delete the data file, then " +
+        s"re-run. Affected: ${dvGone.take(5).map(_.path).mkString(", ")}")
+    if (gone.isEmpty || dryRun) return gone.map(_.path)
+    publish(fs, root, v + 1, m.files.filterNot(gone.contains), m.schema,
+      m.partCols, m.txns, op = Some("fsck"), constraints = m.constraints,
+      colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
+      statsColsDefault = m.statsColsDefault, generated = m.generated,
+      defaults = m.defaults, identity = m.identity,
+      fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
+      deltaHint = Some((Seq.empty, gone.map(_.path))))
+    gone.map(_.path)
+  }
+
   /** Declare `column` GENERATED ALWAYS AS IDENTITY — Delta's identity
     * idiom as a manifest header fact `(column, start, step, watermark)`.
     * The ENGINE assigns the column on every append/insert (a batch

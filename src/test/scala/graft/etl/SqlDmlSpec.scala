@@ -1313,6 +1313,55 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(spark.sql(s"OPTIMIZE $t WHERE part = 'zz'").collect().isEmpty)
   }
 
+  test("FSCK REPAIR TABLE un-references out-of-band deletions; missing DV sidecars refuse") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-fsck")
+    val t = s"`graft-manifest`.`$dir`"
+    (0 until 3).foreach { i =>
+      ManifestLake.write(spark,
+        Seq((s"p${i % 2}", i.toLong, s"v$i")).toDF("part", "id", "payload")
+          .repartition(1),
+        dir, Seq("part"), replace = i == 0)
+    }
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val victim = ManifestLake.readManifest(fs, root,
+      ManifestLake.currentVersion(spark, dir).get)
+      .files.find(_.path.contains("part=p1")).get.path
+    // out-of-band deletion: scans now fail
+    assert(fs.delete(new org.apache.hadoop.fs.Path(root, victim), false))
+    intercept[Exception](ManifestLake.read(spark, dir).collect())
+    // DRY RUN reports without repairing
+    val headBefore = ManifestLake.currentVersion(spark, dir).get
+    val dry = spark.sql(s"FSCK REPAIR TABLE $t DRY RUN").collect()
+      .map(_.getString(0))
+    assert(dry.toSeq === Seq(victim))
+    assert(ManifestLake.currentVersion(spark, dir).get === headBefore)
+    // the repair drops exactly the dangling entry; scans work again
+    assert(spark.sql(s"FSCK REPAIR TABLE $t").collect()
+      .map(_.getString(0)).toSeq === Seq(victim))
+    assert(ManifestLake.read(spark, dir).select("id").as[Long]
+      .collect().toSet === Set(0L, 2L))
+    // idempotent: a clean table reports nothing and publishes nothing
+    val headAfter = ManifestLake.currentVersion(spark, dir).get
+    assert(spark.sql(s"FSCK REPAIR TABLE $t").collect().isEmpty)
+    assert(ManifestLake.currentVersion(spark, dir).get === headAfter)
+    // a live file whose DV sidecar vanished refuses (both repairs lossy)
+    val dvDir = freshDir("sqldml-fsck-dv")
+    ManifestLake.write(spark,
+      (0 until 8).map(i => ("a", i.toLong, s"x$i")).toDF("part", "id", "payload"),
+      dvDir, Seq("part"))
+    ManifestLake.delete(spark, dvDir, col("id") % 2 === 0,
+      deletionVectors = true)
+    val (dfs, droot) = ManifestLake.fsFor(spark, dvDir)
+    val dvRef = ManifestLake.readManifest(dfs, droot,
+      ManifestLake.currentVersion(spark, dvDir).get)
+      .files.flatMap(_.dv).head
+    assert(dfs.delete(new org.apache.hadoop.fs.Path(droot, dvRef), true))
+    val e = intercept[Exception](
+      spark.sql(s"FSCK REPAIR TABLE `graft-manifest`.`$dvDir`").collect())
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("maintenance statements refuse malformed shapes with the REAL reason, never a generic syntax error") {
     import spark.implicits._
     val dir = freshDir("sqldml-maint-neg")
