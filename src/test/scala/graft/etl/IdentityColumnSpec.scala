@@ -139,6 +139,22 @@ class IdentityColumnSpec extends AnyFunSuite {
       "USING `graft-manifest`"), "ALWAYS")
   }
 
+  test("named-catalog spelling: CREATE with IDENTITY + DEFAULT, insert by name") {
+    val wh = java.nio.file.Files.createTempDirectory("ident-wh").toString
+    spark.conf.set("spark.sql.catalog.gident", "graft.etl.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gident.warehouse", wh)
+    spark.sql("CREATE TABLE gident.ns.t (grp STRING, " +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+      "state STRING DEFAULT 'new', payload STRING) PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO gident.ns.t (grp, payload) VALUES ('a', 'p1'), ('a', 'p2')")
+    val rows = spark.sql("SELECT id, state, payload FROM gident.ns.t ORDER BY payload")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.map(_._2).toSeq === Seq("new", "new"))
+    assert(rows.map(_._1).distinct.length === 2, "identity assigned uniquely by name")
+    val ddl = spark.sql("SHOW CREATE TABLE gident.ns.t").head().getString(0)
+    assert(ddl.contains("IDENTITY") && ddl.contains("DEFAULT 'new'"))
+  }
+
   test("rename carries the fact; a shallow clone continues numbering above the source") {
     import spark.implicits._
     val dir = freshDir("ident-schema")
