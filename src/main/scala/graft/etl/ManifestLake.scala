@@ -1830,7 +1830,11 @@ object ManifestLake {
         .stripSuffix("/") + "/")
     def relKey(abs: String): Option[String] = rootPrefix match {
       case Some(pre) if abs.startsWith(pre) => Some(abs.stripPrefix(pre))
-      case Some(_) => None
+      // OUTSIDE the root = a clone-referenced absolute entry: key by the
+      // decoded absolute path — the ANALYZE caller matches it against
+      // its entries scheme-insensitively (the manifest stores the
+      // qualified URI, the reader renders the plain path)
+      case Some(_) => Some(abs)
       case None =>
         val i = abs.lastIndexOf(marker)
         if (i < 0) None else Some(abs.substring(i + 1))
@@ -5914,7 +5918,13 @@ object ManifestLake {
         .parquet(chunk.map(f => new Path(root, f.path).toString): _*)
       val computed = collectStatsOver(spark, scan, physSchema, phys, m.partCols,
         tableRoot = Some(fs.makeQualified(root).toString))
-      val updated = chunk.flatMap(f => computed.get(f.path).map(st =>
+      // clone-referenced absolute entries store the QUALIFIED URI while
+      // the stats pass keys the reader's plain path — match either form
+      def statsFor(f: LiveFile): Option[FileStats] =
+        computed.get(f.path).orElse(
+          try computed.get(new java.net.URI(f.path).getPath)
+          catch { case _: Exception => None })
+      val updated = chunk.flatMap(f => statsFor(f).map(st =>
         f.copy(stats = f.stats ++ st.bounds,
           rows = f.rows.orElse(Some(st.rows)),
           nullCounts = f.nullCounts ++ st.nullCounts,

@@ -139,6 +139,36 @@ class CloneSpec extends AnyFunSuite {
     assert(ManifestLake.currentVersion(spark, vt).contains(1L))
   }
 
+  test("ANALYZE on a clone backfills stats for source-referenced absolute entries") {
+    import spark.implicits._
+    val src = freshDir("clone-analyze-src")
+    val tgt = freshDir("clone-analyze-tgt")
+    // stats-late source: no declared stat columns at write time
+    ManifestLake.write(spark,
+      (0 until 40).map(i => (s"g${i % 2}", i.toLong, s"p$i"))
+        .toDF("grp", "x", "payload").repartition(8), src, Seq("grp"))
+    ManifestLake.shallowClone(spark, src, tgt)
+    assert(liveFiles(tgt).forall(_.stats.isEmpty), "precondition: stats-late")
+    ManifestLake.analyzeStats(spark, tgt, Seq("x"))
+    assert(liveFiles(tgt).forall(_.stats.contains("x")),
+      "the backfill must key absolute (clone-referenced) entries too")
+    // ...and the bounds actually skip
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = ManifestLake.read(spark, tgt).where(col("x") === 7L)
+      assert(df.collect().length === 1)
+      val scanned = df.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metrics("numFiles").value
+      }.sum
+      assert(scanned < liveFiles(tgt).size,
+        s"bounds must skip files ($scanned scanned)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // the SOURCE manifest is untouched (the clone analyzed its own view)
+    assert(liveFiles(src).forall(_.stats.isEmpty))
+  }
+
   test("named-catalog spellings on both sides") {
     val wh = Files.createTempDirectory("clone-wh").toString
     spark.conf.set("spark.sql.catalog.gclone", "graft.etl.GraftCatalog")
