@@ -277,6 +277,37 @@ object Profile {
       spark.stop(); sys.exit(0)
     }
 
+    // CLONE=N: shallow-clone cost at the 100 TB shape — the clone of an
+    // N-file table must cost ONE manifest write (absolutizing N entries
+    // + publish), never data movement, and the clone must plan reads
+    // like the source (cold parse of its own manifest).
+    sys.env.get("CLONE").map(_.toInt).foreach { n =>
+      import graft.etl.ManifestLake
+      val dir = java.nio.file.Files.createTempDirectory("clonesrc").toString + "/t"
+      val tgt = java.nio.file.Files.createTempDirectory("clonetgt").toString + "/t"
+      val (fs, root) = ManifestLake.fsFor(spark, dir)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("lang", "string").add("doc_id", "long").add("n_chars", "long")
+      val files = (0 until n).map { i =>
+        ManifestLake.LiveFile(1000000L + i,
+          f"data/v${i % 512 + 1}%06d/lang=l${i % 32}%02d/part-$i%08d-c000.snappy.parquet",
+          Map("doc_id" -> ((i * 100L).toString, (i * 100L + 99L).toString)))
+      }
+      ManifestLake.publish(fs, root, 1L, files, Some(schema), Seq("lang"))
+      val t0 = System.nanoTime()
+      ManifestLake.shallowClone(spark, dir, tgt)
+      val tClone = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (tfs, troot) = ManifestLake.fsFor(spark, tgt)
+      val m = ManifestLake.readManifest(tfs, troot, 1L)
+      require(m.files.length == n &&
+        m.files.forall(f => new org.apache.hadoop.fs.Path(f.path).isAbsolute ||
+          f.path.contains(":/")))
+      val tRead = (System.nanoTime() - t1) / 1e9
+      println(f"PROFILE clone n=$n clone=$tClone%.2fs clone_cold_read=$tRead%.2fs")
+      spark.stop(); sys.exit(0)
+    }
+
     // MANIFESTSTRESS=K: manifest-lake scaling check — full lifecycle
     // (fragmented write → 10% keyed upsert → compact → vacuum) on the
     // documents table at 1× and K×. Upsert should scale with the BATCH
