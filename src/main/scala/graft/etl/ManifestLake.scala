@@ -1997,9 +1997,17 @@ object ManifestLake {
         require(!dfG0.columns.exists(_.equalsIgnoreCase(n)),
           s"column $n is GENERATED ALWAYS AS IDENTITY on $path — the " +
             "engine assigns it; the batch must omit the column")
-        val parts = math.max(dfG0.rdd.getNumPartitions, 1).toLong
+        // PIN the batch to the exact RDD whose partition count the lane
+        // formula uses: uniqueness needs p < P, and measuring one plan
+        // while the write re-plans another (AQE finalizes per
+        // execution) could let an executed p exceed the measured P.
+        // The RDD hop costs a local Row conversion, no shuffle — and
+        // the caller has already persisted the batch, so finalizing
+        // the plan here does not re-run its upstream at write time.
+        val pinned = spark.createDataFrame(dfG0.rdd, dfG0.schema)
+        val parts = math.max(pinned.rdd.getNumPartitions, 1).toLong
         val mid = monotonically_increasing_id()
-        dfG0.withColumn(n, lit(wm) + lit(step) *
+        pinned.withColumn(n, lit(wm) + lit(step) *
           (shiftright(mid, 33) + mid.bitwiseAND(lit((1L << 33) - 1)) * lit(parts)))
       case None => dfG0
     }
