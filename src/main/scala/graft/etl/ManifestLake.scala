@@ -5438,8 +5438,20 @@ object ManifestLake {
           s"published, or vacuumed); available: ${versions(spark, path).map(_._1).mkString(", ")}")
     val head = currentVersion(spark, path).get
     val target = readManifest(fs, root, v)
-    val headTxns = readManifest(fs, root, head).txns
+    val headM = readManifest(fs, root, head)
+    val headTxns = headM.txns
     val newV = head + 1
+    // the IDENTITY watermark never rolls back: a restore restores the
+    // rows, but re-handing-out ids that live in still-readable history
+    // would break never-reuse (the same id could name two different
+    // rows across time travel) — the watermark carries forward as the
+    // MAX of target and head, like the txn ledger carries from head
+    val identityOut = (target.identity, headM.identity) match {
+      case (Some((n, st, sp, twm)), Some((hn, _, _, hwm)))
+          if n.equalsIgnoreCase(hn) =>
+        Some((n, st, sp, math.max(twm, hwm)))
+      case (t, _) => t
+    }
     // constraints RESTORE with the version (the contract travels with
     // the data that satisfied it) — unlike txns, which carry from head
     publish(fs, root, newV, target.files, target.schema, target.partCols, headTxns,
@@ -5447,7 +5459,7 @@ object ManifestLake {
       colMap = target.colMap, droppedPhys = target.droppedPhys,
       bloomCols = target.bloomCols,
       statsColsDefault = target.statsColsDefault, generated = target.generated,
-      defaults = target.defaults, identity = target.identity,
+      defaults = target.defaults, identity = identityOut,
       fieldMap = target.fieldMap, fieldDropped = target.fieldDropped)
     newV
   }

@@ -139,6 +139,26 @@ class IdentityColumnSpec extends AnyFunSuite {
       "USING `graft-manifest`"), "ALWAYS")
   }
 
+  test("RESTORE never rolls the watermark back: post-restore inserts stay unique vs all history") {
+    import spark.implicits._
+    val dir = freshDir("ident-restore")
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(s"CREATE TABLE $t (grp STRING, " +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, payload STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (grp)")
+    spark.sql(s"INSERT INTO $t (grp, payload) VALUES ('a', 'v2a'), ('a', 'v2b')")
+    val v2 = ManifestLake.currentVersion(spark, dir).get
+    spark.sql(s"INSERT INTO $t (grp, payload) VALUES ('a', 'v3a'), ('a', 'v3b')")
+    val allBefore = ids(dir).toSet
+    ManifestLake.restore(spark, dir, v2)
+    spark.sql(s"INSERT INTO $t (grp, payload) VALUES ('a', 'post')")
+    val postId = spark.sql(s"SELECT id FROM $t WHERE payload = 'post'")
+      .head().getLong(0)
+    assert(!allBefore.contains(postId),
+      s"a post-restore insert must not reuse an id from readable history " +
+        s"(got $postId, history $allBefore)")
+  }
+
   test("named-catalog spelling: CREATE with IDENTITY + DEFAULT, insert by name") {
     val wh = java.nio.file.Files.createTempDirectory("ident-wh").toString
     spark.conf.set("spark.sql.catalog.gident", "graft.etl.GraftCatalog")
