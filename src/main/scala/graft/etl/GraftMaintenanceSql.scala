@@ -27,6 +27,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *     → [[ManifestLake.restore]]; returns the new head version.
   *   - `FSCK REPAIR TABLE t [DRY RUN]` → [[ManifestLake.fsck]]; drops
   *     references to data files deleted out-of-band (DRY RUN lists).
+  *   - `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+  *     [PATTERN = '<glob>'] [FORMAT_OPTIONS (…)] [COPY_OPTIONS
+  *     ('force' = 'true')]` → [[ManifestLake.copyInto]] — idempotent
+  *     batch file ingestion, exactly-once by source-file identity.
   *   - `DESCRIBE HISTORY t [LIMIT n]` → [[ManifestLake.history]],
   *     newest first.
   *   - `DESCRIBE DETAIL t` → [[ManifestLake.detail]] — the one-row
@@ -62,7 +66,7 @@ object GraftMaintenanceSql {
     // cheap keyword gate BEFORE lexing: the lexer is deliberately tiny
     // and refuses characters these four statements never carry — it
     // must never see (let alone fail on) general SQL
-    val lead = "(?is)^\\s*(VACUUM|OPTIMIZE|RESTORE|CONVERT|FSCK|DESC(RIBE)?\\s+(HISTORY|DETAIL))\\b".r
+    val lead = "(?is)^\\s*(VACUUM|OPTIMIZE|RESTORE|CONVERT|FSCK|COPY|DESC(RIBE)?\\s+(HISTORY|DETAIL))\\b".r
     if (lead.findFirstIn(sqlText).isEmpty) return None
     val isDescribe = "(?is)^\\s*DESC".r.findFirstIn(sqlText).isDefined
     // DESCRIBE collides with vanilla shapes (`DESCRIBE history
@@ -90,6 +94,8 @@ object GraftMaintenanceSql {
           Some(parseConvert(spark, toks.tail))
         case Word(w) if w.equalsIgnoreCase("FSCK") =>
           Some(parseFsck(spark, toks.tail))
+        case Word(w) if w.equalsIgnoreCase("COPY") =>
+          Some(parseCopy(spark, toks.tail))
         case Word(w) if w.equalsIgnoreCase("DESCRIBE") || w.equalsIgnoreCase("DESC") =>
           toks.tail.head match {
             case Word(h) if h.equalsIgnoreCase("DETAIL") =>
@@ -153,7 +159,7 @@ object GraftMaintenanceSql {
         val start = i
         while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_')) i += 1
         out += Word(sql.substring(start, i))
-      } else if ("().,;".contains(c)) {
+      } else if ("().,;=".contains(c)) {
         if (c != ';') out += Punct(c)
         i += 1
       } else fail(s"unexpected character '$c'")
@@ -506,6 +512,82 @@ object GraftMaintenanceSql {
     GraftFsckCommand(path, dryRun)
   }
 
+  /** `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+    * [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', …)]
+    * [COPY_OPTIONS ('force' = 'true')]` — idempotent batch file
+    * ingestion; see [[ManifestLake.copyInto]].
+    */
+  private def parseCopy(spark: SparkSession, toks: List[Tok]): LogicalPlan = {
+    val afterInto = toks match {
+      case i :: tl if kw(i, "INTO") => tl
+      case other => throw new IllegalArgumentException(
+        s"COPY spells COPY INTO <t> FROM '<dir>' FILEFORMAT = <fmt> …; " +
+          s"got: ${other.mkString(" ")}")
+    }
+    val (path, rest0) = target(spark, afterInto, "COPY INTO")
+    val (source, rest1) = rest0 match {
+      case f :: Str(dir) :: tl if kw(f, "FROM") => (dir, tl)
+      case other => throw new IllegalArgumentException(
+        s"COPY INTO needs FROM '<dir>' after the table, got: " +
+          other.mkString(" "))
+    }
+    val (format, rest2) = rest1 match {
+      case f :: Punct('=') :: Word(fmt) :: tl if kw(f, "FILEFORMAT") =>
+        (fmt, tl)
+      case other => throw new IllegalArgumentException(
+        s"COPY INTO needs FILEFORMAT = PARQUET|CSV|JSON, got: " +
+          other.mkString(" "))
+    }
+    def optionsList(tl0: List[Tok], what: String)
+        : (Seq[(String, String)], List[Tok]) = {
+      var tl = tl0 match {
+        case Punct('(') :: r => r
+        case other => throw new IllegalArgumentException(
+          s"$what needs a parenthesized list, got: ${other.mkString(" ")}")
+      }
+      val out = Seq.newBuilder[(String, String)]
+      var done = false
+      while (!done) tl match {
+        case Str(k) :: Punct('=') :: Str(v) :: Punct(',') :: r =>
+          out += (k -> v); tl = r
+        case Str(k) :: Punct('=') :: Str(v) :: Punct(')') :: r =>
+          out += (k -> v); tl = r; done = true
+        case Punct(')') :: r => tl = r; done = true
+        case other => throw new IllegalArgumentException(
+          s"$what entries spell 'key' = 'value', got: ${other.mkString(" ")}")
+      }
+      (out.result(), tl)
+    }
+    var rest = rest2
+    var pattern: Option[String] = None
+    var formatOptions = Seq.empty[(String, String)]
+    var copyOptions = Seq.empty[(String, String)]
+    while (rest.nonEmpty) rest match {
+      case p :: Punct('=') :: Str(g) :: tl if kw(p, "PATTERN") =>
+        require(pattern.isEmpty, "PATTERN given twice")
+        pattern = Some(g); rest = tl
+      case fo :: tl if kw(fo, "FORMAT_OPTIONS") =>
+        require(formatOptions.isEmpty, "FORMAT_OPTIONS given twice")
+        val (opts, r) = optionsList(tl, "FORMAT_OPTIONS")
+        formatOptions = opts; rest = r
+      case co :: tl if kw(co, "COPY_OPTIONS") =>
+        require(copyOptions.isEmpty, "COPY_OPTIONS given twice")
+        val (opts, r) = optionsList(tl, "COPY_OPTIONS")
+        copyOptions = opts; rest = r
+      case other => throw new IllegalArgumentException(
+        s"unexpected trailing tokens in COPY INTO: ${other.mkString(" ")}")
+    }
+    val unknownCopyOpts = copyOptions.map(_._1).filterNot(_
+      .equalsIgnoreCase("force"))
+    require(unknownCopyOpts.isEmpty,
+      s"COPY_OPTIONS supports 'force' only; got: ${unknownCopyOpts.mkString(", ")}")
+    val force = copyOptions.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("force") => v.equalsIgnoreCase("true")
+    }.getOrElse(false)
+    GraftCopyIntoCommand(path, source, format, pattern, formatOptions.toMap,
+      force)
+  }
+
   /** None (not an exception) when the shape does not parse or the
     * target is not a manifest table — DESCRIBE has vanilla meanings.
     */
@@ -656,6 +738,29 @@ final case class GraftHistoryCommand(path: String, limit: Option[Int])
   * to [[ManifestLake.adopt]]; returns (version, n_files) of the v1
   * manifest built over the existing files.
   */
+/** `COPY INTO t FROM '<dir>' FILEFORMAT = <fmt> …` — idempotent batch
+  * file ingestion into a manifest table; one commit per invocation,
+  * exactly-once by source-file identity. Returns what happened: the
+  * head version (unchanged on a no-op re-run), files loaded, rows
+  * loaded.
+  */
+final case class GraftCopyIntoCommand(path: String, source: String,
+                                      format: String,
+                                      pattern: Option[String],
+                                      formatOptions: Map[String, String],
+                                      force: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files_loaded", LongType, nullable = false)(),
+    AttributeReference("num_rows_loaded", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = ManifestLake.copyInto(spark, path, source, format, pattern,
+      formatOptions, force)
+    Seq(Row(r.version, r.filesLoaded, r.rowsLoaded))
+  }
+}
+
 /** `FSCK REPAIR TABLE t [DRY RUN]` — lists (and without DRY RUN,
   * un-references) live entries whose data file vanished out-of-band.
   */

@@ -427,25 +427,28 @@ object GraftSqlDml {
   private def splitColumns(cols: Seq[ColumnDefinition], partCols: Seq[String])
       : (org.apache.spark.sql.types.StructType,
          Seq[(String, org.apache.spark.sql.types.DataType, String)],
-         Seq[(String, String)], Option[(String, Long, Long)]) = {
+         Seq[(String, String)], Option[(String, Long, Long, Boolean)]) = {
     cols.foreach { c =>
       require(c.comment.isEmpty,
         "COMMENT is not supported on manifest tables (no comment store)")
       require(c.defaultValue.isEmpty || c.generationExpression.isEmpty,
         s"column ${c.name} cannot carry both DEFAULT and GENERATED")
       c.identityColumnSpec.foreach { spec =>
-        require(!spec.isAllowExplicitInsert,
-          s"column ${c.name}: GENERATED BY DEFAULT AS IDENTITY is not " +
-            "supported on manifest tables — ALWAYS only (the engine assigns)")
         require(c.dataType == org.apache.spark.sql.types.LongType,
           s"IDENTITY column ${c.name} must be BIGINT, got ${c.dataType.sql}")
         require(c.defaultValue.isEmpty && c.generationExpression.isEmpty,
           s"column ${c.name} cannot combine IDENTITY with DEFAULT/GENERATED")
+        // declareIdentity refuses this POST-create — catching it here
+        // keeps an invalid CREATE from leaving a half-created table
+        require(!partCols.exists(_.equalsIgnoreCase(c.name)),
+          s"IDENTITY column ${c.name} cannot be a partition column")
       }
     }
     val identities = cols.collect {
       case c if c.identityColumnSpec.isDefined =>
-        (c.name, c.identityColumnSpec.get.getStart, c.identityColumnSpec.get.getStep)
+        (c.name, c.identityColumnSpec.get.getStart,
+          c.identityColumnSpec.get.getStep,
+          c.identityColumnSpec.get.isAllowExplicitInsert)
     }
     require(identities.size <= 1,
       s"at most one IDENTITY column per manifest table, got " +
@@ -1122,7 +1125,7 @@ final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
     partCols: Seq[String], checkConstraints: Seq[(String, String)],
     statsCols: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty,
     defaults: Seq[(String, String)] = Seq.empty,
-    identity: Option[(String, Long, Long)] = None)
+    identity: Option[(String, Long, Long, Boolean)] = None)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = mode match {
     case CreateAsSelect(q, _) => Seq(q)
@@ -1187,8 +1190,8 @@ final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
           ManifestLake.addConstraint(spark, path, n, e) }
         val vd = defaults.foldLeft(vc) { case (_, (n, sql)) =>
           ManifestLake.setColumnDefault(spark, path, n, Some(sql)) }
-        identity.map { case (n, start, step) =>
-          ManifestLake.declareIdentity(spark, path, n, start, step)
+        identity.map { case (n, start, step, byDefault) =>
+          ManifestLake.declareIdentity(spark, path, n, start, step, byDefault)
         }.getOrElse(vd)
     }
     Seq(Row(v))
@@ -1385,15 +1388,16 @@ final case class GraftShowCreateCommand(path: String)
     val (genPartF, genOtherF) =
       genFields.partition(f => m.partCols.exists(_.equalsIgnoreCase(f.name)))
     val defByName = m.defaults.toMap
-    val identByName = m.identity.map(i => i._1 -> ((i._2, i._3))).toMap
+    val identByName = m.identity.map(i => i._1 -> ((i._2, i._3, i._5))).toMap
     val colLines = (plainFields ++ genPartF ++ genOtherF).map { f =>
       genByName.get(f.name) match {
         case Some(expr) =>
           s"  ${q(f.name)} ${f.dataType.sql} GENERATED ALWAYS AS ($expr)"
         case None => identByName.get(f.name) match {
-          case Some((st, sp)) =>
-            s"  ${q(f.name)} ${f.dataType.sql} GENERATED ALWAYS AS " +
-              s"IDENTITY (START WITH $st INCREMENT BY $sp)"
+          case Some((st, sp, bd)) =>
+            s"  ${q(f.name)} ${f.dataType.sql} GENERATED " +
+              (if (bd) "BY DEFAULT" else "ALWAYS") +
+              s" AS IDENTITY (START WITH $st INCREMENT BY $sp)"
           case None =>
             s"  ${q(f.name)} ${f.dataType.sql}" +
               defByName.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
@@ -1482,17 +1486,20 @@ final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
         s"PARTITION column $k is not a table column") }
     val staticCols = staticPart.map { case (k, value) =>
       byLower(k.toLowerCase) -> value }.toMap
-    // an IDENTITY column is never supplied — the engine assigns it
-    // (GENERATED ALWAYS); it leaves the positional arity too
-    val identityName = m.identity.map(_._1)
-    identityName.foreach { n =>
+    // an ALWAYS identity column is never supplied — the engine assigns
+    // it; it leaves the positional arity too. A BY DEFAULT identity MAY
+    // be supplied (it stays in the positional arity — standard SQL) and
+    // an omitted one is engine-assigned.
+    val identityAlways = m.identity.filterNot(_._5).map(_._1)
+    val identityByDefault = m.identity.filter(_._5).map(_._1)
+    identityAlways.foreach { n =>
       require(!userCols.exists(_.equalsIgnoreCase(n)),
         s"column $n is GENERATED ALWAYS AS IDENTITY — INSERT cannot " +
           "assign it; omit the column (the engine assigns)")
     }
     // the columns the QUERY must supply, in table order
     val expect = logical.fields.filterNot(f => staticCols.contains(f.name) ||
-      identityName.exists(_.equalsIgnoreCase(f.name)))
+      identityAlways.exists(_.equalsIgnoreCase(f.name)))
     val supplied: Seq[(String, Column)] =
       if (userCols.nonEmpty) {
         val actual = userCols.map(c => byLower.getOrElse(c.toLowerCase,
@@ -1507,7 +1514,7 @@ final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
         actual.zip(df.schema.fieldNames.map(col))
       } else if (byName) {
         val qLower = df.schema.fieldNames.map(f => f.toLowerCase -> f).toMap
-        identityName.foreach(n => require(!qLower.contains(n.toLowerCase),
+        identityAlways.foreach(n => require(!qLower.contains(n.toLowerCase),
           s"column $n is GENERATED ALWAYS AS IDENTITY — INSERT BY NAME " +
             "cannot assign it; omit the column (the engine assigns)"))
         val genNames = m.generated.map(_._1).toSet
@@ -1519,6 +1526,9 @@ final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
             // an absent DEFAULTED column materializes its default below
             case None if genNames.contains(f.name) => None
             case None if defNames.contains(f.name.toLowerCase) => None
+            // an absent BY DEFAULT identity is engine-assigned
+            case None if identityByDefault.exists(_.equalsIgnoreCase(f.name)) =>
+              None
             case None => throw new IllegalArgumentException(
               s"INSERT BY NAME query is missing table column ${f.name}")
           }
@@ -1547,12 +1557,16 @@ final case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
     val projected = df.select(logical.fields.toSeq.flatMap { f =>
       (staticCols.get(f.name) match {
         case Some(value) => Some(lit(value).cast(f.dataType))
-        case None if identityName.exists(_.equalsIgnoreCase(f.name)) =>
+        case None if identityAlways.exists(_.equalsIgnoreCase(f.name)) =>
           None // the engine assigns
         case None => byAssigned.get(f.name).map(_.cast(f.dataType)) match {
           case Some(c) => Some(c)
           case None if (userCols.nonEmpty || byName) && genNames.contains(f.name) =>
             None
+          // a column list omitting a BY DEFAULT identity leaves it to
+          // the engine (a NULL fill would store nulls, not assign)
+          case None if (userCols.nonEmpty || byName) &&
+            identityByDefault.exists(_.equalsIgnoreCase(f.name)) => None
           case None => Some(absentFill(f))
         }
       }).map(_.as(f.name))

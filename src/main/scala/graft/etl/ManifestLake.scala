@@ -244,7 +244,7 @@ object ManifestLake {
                                          chain: Int = 0,
                                          baseVersions: Seq[Long] = Seq.empty,
                                          defaults: Seq[(String, String)] = Seq.empty,
-                                         identity: Option[(String, Long, Long, Long)] = None)
+                                         identity: Option[(String, Long, Long, Long, Boolean)] = None)
 
   /** Published manifests are IMMUTABLE (a version is never rewritten —
     * restore publishes a NEW version), so parsed manifests cache across
@@ -730,11 +730,14 @@ object ManifestLake {
       val i = rest.indexOf('\t')
       rest.substring(0, i) -> rest.substring(i + 1)
     }
-    // GENERATED ALWAYS AS IDENTITY: (column, start, step, watermark) —
-    // watermark is the NEXT base value an assigning write generates from
+    // GENERATED [ALWAYS | BY DEFAULT] AS IDENTITY: (column, start,
+    // step, watermark, byDefault) — watermark is the NEXT base value an
+    // assigning write generates from; the optional 5th token marks
+    // BY DEFAULT (absent on pre-existing manifests = ALWAYS)
     val identity = dmap.get("#identity").map { v =>
       val ps = v.split("\t")
-      (ps(0), ps(1).toLong, ps(2).toLong, ps(3).toLong)
+      (ps(0), ps(1).toLong, ps(2).toLong, ps(3).toLong,
+        ps.length > 4 && ps(4) == "bydefault")
     }
     // one-level nested-field renames: (physical root column,
     // logical field name, physical field name)
@@ -1067,7 +1070,7 @@ object ManifestLake {
                            fieldDropped: Seq[(String, String)] = Seq.empty,
                            deltaHint: Option[(Seq[LiveFile], Seq[String])] = None,
                            defaults: Seq[(String, String)] = Seq.empty,
-                           identity: Option[(String, Long, Long, Long)] = None): Unit = {
+                           identity: Option[(String, Long, Long, Long, Boolean)] = None): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
     txns.keys.foreach(app => require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
@@ -1111,8 +1114,8 @@ object ManifestLake {
        else Seq(s"#statscols\t${statsColsDefault.mkString(",")}")) ++
       generated.map { case (n, e) => s"#gencol\t$n\t$e" } ++
       defaults.map { case (n, e) => s"#coldefault\t$n\t$e" } ++
-      identity.map { case (n, st, sp, wm) =>
-        s"#identity\t$n\t$st\t$sp\t$wm" }.toSeq ++
+      identity.map { case (n, st, sp, wm, bd) =>
+        s"#identity\t$n\t$st\t$sp\t$wm" + (if (bd) "\tbydefault" else "") }.toSeq ++
       fieldMap.map { case (c, l, ph) => s"#fieldmap\t$c\t$l\t$ph" } ++
       fieldDropped.map { case (c, pp) => s"#fielddropped\t$c\t$pp" } ++
       txns.toSeq.sortBy(_._1).map { case (app, b) => s"#txn\t$app\t$b" }
@@ -1635,6 +1638,158 @@ object ManifestLake {
     1L
   }
 
+  /** What one COPY INTO invocation did: the published head (unchanged
+    * when everything was already loaded), how many source files this
+    * invocation ingested, and how many rows they contributed.
+    */
+  final case class CopyIntoResult(version: Long, filesLoaded: Long,
+                                  rowsLoaded: Long)
+
+  /** The ledger key one source file's exactly-once fact is recorded
+    * under, and the identity value that detects out-of-band mutation.
+    * Keyed by QUALIFIED path — re-running a COPY skips every path the
+    * ledger already carries; mtime+length fold into the value so a
+    * file REPLACED under the same name refuses loudly instead of
+    * silently staying stale (or silently double-loading).
+    */
+  private def copyKey(qualified: String): String = s"copy:$qualified"
+  private def copyIdentity(mtime: Long, len: Long): Long =
+    mtime * 1000003L + len
+
+  /** COPY INTO — idempotent batch file ingestion, the third Delta
+    * ingestion idiom after streaming and MERGE: "load whatever new
+    * files landed in this directory, exactly once, re-runnable."
+    * Each invocation lists `source`, subtracts the files the table's
+    * ledger already records (by qualified path; see [[copyKey]]), reads
+    * the remainder with `format`, conforms them to the table's LOGICAL
+    * schema (by-name, ANSI store-assignment casts; absent columns
+    * materialize their declared DEFAULT or typed null; GENERATED and
+    * IDENTITY columns stay engine-owned), and appends them in ONE
+    * commit that also records the consumed file identities — the
+    * ledger rides the same `#txn` header facts streaming exactly-once
+    * uses, so it survives every commit kind including replace and
+    * restore-from-head. A re-run with nothing new publishes NO new
+    * version. A file whose mtime/length changed under an already-
+    * loaded path refuses (ambiguous — reload would duplicate its old
+    * rows) unless `force`, which re-ingests every matched file
+    * (Databricks COPY_OPTIONS('force'='true') parity: duplicates are
+    * the caller's explicit choice). Two racing COPYs of overlapping
+    * files publish exactly one: the loser's rebase sees its ledger
+    * keys at the head and withdraws (see the writePinned retry).
+    *
+    * Scale: the listing is one recursive enumeration of the source
+    * tree; the ledger lookup is an in-memory map from the head
+    * manifest; the data path is an ordinary distributed append — no
+    * driver-side row movement anywhere.
+    */
+  def copyInto(spark: SparkSession, path: String, source: String,
+               format: String, pattern: Option[String] = None,
+               formatOptions: Map[String, String] = Map.empty,
+               force: Boolean = false): CopyIntoResult = {
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifested table at $path (COPY INTO needs an existing table — " +
+          "create it first)"))
+    val m = readManifest(fs, root, v)
+    require(m.schema.isDefined,
+      s"table at $path has a headerless legacy manifest — COPY INTO needs " +
+        "the recorded schema (run one append or upsert to adopt a header first)")
+    val fmt = format.toLowerCase
+    require(Set("parquet", "csv", "json").contains(fmt),
+      s"COPY INTO FILEFORMAT must be PARQUET, CSV, or JSON; got $format")
+    val (srcFs, srcRoot) = fsFor(spark, source)
+    require(srcFs.exists(srcRoot),
+      s"COPY INTO source does not exist: $source")
+    val srcRootQ = srcFs.makeQualified(srcRoot).toString
+    val matcher = pattern.map(p =>
+      java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$p"))
+    val found = Seq.newBuilder[(String, Long, Long)] // (qualified, mtime, len)
+    val it = srcFs.listFiles(srcRoot, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val q = srcFs.makeQualified(st.getPath).toString
+      val rel = q.stripPrefix(srcRootQ).stripPrefix("/")
+      val hidden = rel.split("/").exists(s =>
+        s.startsWith("_") || s.startsWith("."))
+      if (!hidden && matcher.forall(_.matches(java.nio.file.Paths.get(rel))))
+        found += ((q, st.getModificationTime, st.getLen))
+    }
+    val matched = found.result().sortBy(_._1)
+    val mutated = matched.filter { case (q, mt, len) =>
+      m.txns.get(copyKey(q)).exists(_ != copyIdentity(mt, len)) }
+    require(force || mutated.isEmpty,
+      s"COPY INTO $path: ${mutated.length} already-loaded source file(s) " +
+        "changed under the same path (mtime/length differ from the loaded " +
+        "identity) — reloading would duplicate their old rows. Repair the " +
+        "source, or pass COPY_OPTIONS ('force' = 'true') to re-ingest " +
+        s"every matched file. Changed: ${mutated.take(5).map(_._1).mkString(", ")}")
+    val candidates =
+      if (force) matched
+      else matched.filterNot { case (q, _, _) => m.txns.contains(copyKey(q)) }
+    if (candidates.isEmpty) return CopyIntoResult(v, 0L, 0L)
+    val ledger = candidates.map { case (q, mt, len) =>
+      copyKey(q) -> copyIdentity(mt, len) }.toMap
+    val paths = candidates.map(_._1)
+    val raw = fmt match {
+      case "parquet" => spark.read
+        .options(Map("mergeSchema" -> "true") ++ formatOptions)
+        .parquet(paths: _*)
+      case "csv" => spark.read
+        .options(Map("header" -> "true", "inferSchema" -> "true") ++ formatOptions)
+        .csv(paths: _*)
+      case "json" => spark.read.options(formatOptions).json(paths: _*)
+    }
+    val logical = logicalSchemaOf(m)
+    val engineOwned = (m.generated.map(_._1) ++ m.identity.map(_._1).toSeq)
+      .map(_.toLowerCase).toSet
+    val drift = raw.columns.filterNot(c =>
+      logical.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(drift.isEmpty,
+      s"COPY INTO $path: source carries column(s) ${drift.mkString(", ")} " +
+        s"the table does not have (table columns: " +
+        s"${logical.fieldNames.mkString(", ")}) — schema drift refuses; " +
+        "ALTER TABLE ... ADD COLUMNS first, then re-run")
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    import org.apache.spark.sql.graftshim.SparkShims
+    val defaultsByName = m.defaults.map { case (n, e) => n.toLowerCase -> e }.toMap
+    val projected = logical.fields.toSeq.flatMap { f =>
+      raw.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(src) =>
+          val ref = UnresolvedAttribute.quoted(src.name)
+          if (src.dataType == f.dataType) Some(SparkShims.column(ref).as(f.name))
+          else {
+            require(Cast.canANSIStoreAssign(src.dataType, f.dataType),
+              s"COPY INTO $path: source column ${src.name} is " +
+                s"${src.dataType.sql}, which cannot store into the table's " +
+                s"${f.dataType.sql}")
+            Some(SparkShims.column(
+              Cast(ref, f.dataType, None, EvalMode.ANSI)).as(f.name))
+          }
+        case None if engineOwned.contains(f.name.toLowerCase) =>
+          None // the engine computes/assigns these on the append
+        case None =>
+          Some(defaultsByName.get(f.name.toLowerCase)
+            .map(d => expr(d).cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType)).as(f.name))
+      }
+    }
+    val batch = raw.select(projected: _*)
+    batch.persist()
+    val newV =
+      try writePinned(spark, batch, path, m.partCols, replace = false,
+        txn = None, statsCols = Seq.empty, copyLedger = ledger)
+      finally { batch.unpersist(); () }
+    val prevPaths = m.files.map(_.path).toSet
+    val added = readManifest(fs, root, newV).files
+      .filterNot(f => prevPaths.contains(f.path))
+    val rows =
+      if (added.forall(_.rows.isDefined)) added.flatMap(_.rows).sum
+      else footerRowCount(fs, root, added)
+    CopyIntoResult(newV, candidates.length.toLong, rows)
+  }
+
   /** SHALLOW CLONE — a NEW table whose v1 is ONE metadata commit whose
     * entries REFERENCE the source's data files (and DV/bloom sidecars)
     * by absolute qualified path: zero data movement, Delta's
@@ -1961,7 +2116,8 @@ object ManifestLake {
                           txn: Option[(String, Long)],
                           statsCols: Seq[String],
                           bloomCols: Seq[String] = Seq.empty,
-                          identityRestage: Int = 0): Long = {
+                          identityRestage: Int = 0,
+                          copyLedger: Map[String, Long] = Map.empty): Long = {
     val (fs, root) = fsFor(spark, path)
     val prevV = currentVersion(spark, path)
     val prev = prevV.map(readManifest(fs, root, _))
@@ -1992,11 +2148,20 @@ object ManifestLake {
     // replace (the watermark never resets — values never reuse across
     // history).
     val identityPrev = prev.flatMap(_.identity)
+    // BY DEFAULT admits a batch that SUPPLIES the column (values pass
+    // through unchanged — uniqueness of supplied values is the
+    // caller's, Delta's documented stance); ALWAYS refuses it. Either
+    // way an omitted column is engine-assigned below.
+    val identitySupplied = identityPrev.exists { case (n, _, _, _, byDefault) =>
+      val has = dfG0.columns.exists(_.equalsIgnoreCase(n))
+      require(!has || byDefault,
+        s"column $n is GENERATED ALWAYS AS IDENTITY on $path — the " +
+          "engine assigns it; the batch must omit the column")
+      has
+    }
     val dfG = identityPrev match {
-      case Some((n, _, step, wm)) =>
-        require(!dfG0.columns.exists(_.equalsIgnoreCase(n)),
-          s"column $n is GENERATED ALWAYS AS IDENTITY on $path — the " +
-            "engine assigns it; the batch must omit the column")
+      case Some(_) if identitySupplied => dfG0
+      case Some((n, _, step, wm, _)) =>
         // PIN the batch to the exact RDD whose partition count the lane
         // formula uses: uniqueness needs p < P, and measuring one plan
         // while the write re-plans another (AQE finalizes per
@@ -2057,7 +2222,7 @@ object ManifestLake {
     // collecting and the skipping ladder degrades file by file.
     // An IDENTITY column is always in the set: its per-file max is what
     // advances the watermark (and skips point lookups for free).
-    val identityPhys = identityPrev.map { case (n, _, _, _) =>
+    val identityPhys = identityPrev.map { case (n, _, _, _, _) =>
       mapping match {
         case Some(cm) => (cm.toMap ++ colMapOut.toSeq.flatten.toMap).getOrElse(n, n)
         case None => n
@@ -2191,13 +2356,38 @@ object ManifestLake {
       statsColsOut, bloomColsOut, partitionCols, staged)
     // the watermark advances to one past the largest value this write
     // assigned — read off the staged files' OWN stats, zero extra jobs
-    val newIdentity = identityPrev.map { case (n, st, sp, wm) =>
+    val newIdentity = identityPrev.map { case (n, st, sp, wm, bd) =>
       val assigned = for {
         phys <- identityPhys.toSeq
         f <- withStats
         (_, hi) <- f.stats.get(phys)
       } yield hi.toLong
-      (n, st, sp, if (assigned.isEmpty) wm else assigned.max + sp)
+      // an ENGINE-ASSIGNED batch that staged rows but recorded NO
+      // identity max must not publish: defaulting to the old watermark
+      // would silently REUSE identity values on the next append (any
+      // future stats-pipeline change dropping the identity hi bound, or
+      // a keying miss, turns into id collisions instead of this loud
+      // withdrawal). A SUPPLIED batch (BY DEFAULT) legitimately records
+      // nothing when the column is all-null — those rows keep null and
+      // the watermark keeps.
+      if (assigned.isEmpty && rowsIn > 0 && !identitySupplied) {
+        fs.delete(commitDir, true)
+        throw new IllegalStateException(
+          s"IDENTITY watermark for $n on $path cannot advance: the batch " +
+            s"staged $rowsIn row(s) but the stats pass recorded no max for " +
+            s"the identity column — publishing would reuse ids; nothing " +
+            s"published, table still at v${v - 1}")
+      }
+      // advance to the smallest LATTICE point strictly above the
+      // batch's max — engine-assigned values are already on the
+      // lattice (this reduces to max + step); supplied values (BY
+      // DEFAULT) may sit anywhere, and future assignments must clear
+      // them while staying on the start/step lattice
+      val hiOpt = assigned.maxOption
+      (n, st, sp, hiOpt match {
+        case Some(hi) if hi >= wm => wm + ((hi - wm) / sp + 1L) * sp
+        case _ => wm
+      }, bd)
     }
     // OPTIMISTIC CONCURRENT APPENDS: the checked no-overwrite publish
     // turns a same-version race into a loud loss — and for an APPEND
@@ -2221,8 +2411,9 @@ object ManifestLake {
         else curPrev.map(_.files).getOrElse(Seq.empty)
       // the txn ledger survives every commit kind — even a replace: a
       // stream's replay detection must not reset because a batch job
-      // rewrote the table underneath it
-      val txns = curPrev.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
+      // rewrote the table underneath it (COPY INTO's per-file entries
+      // ride the same ledger — exactly-once by file identity)
+      val txns = curPrev.map(_.txns).getOrElse(Map.empty) ++ txn.toMap ++ copyLedger
       try {
         publish(fs, root, curV, carried ++ withStats, Some(curSchema), partitionCols,
           txns, op = Some(if (replace) "replace" else "append"),
@@ -2253,6 +2444,18 @@ object ManifestLake {
             fs.delete(commitDir, true)
             return headV
           }
+          // a racing COPY INTO already recorded some of THIS
+          // invocation's source files: rebasing would load them twice —
+          // withdraw instead; a re-run recomputes its candidate set
+          // from the new head and skips what the winner loaded
+          if (copyLedger.keys.exists(headM.txns.contains)) {
+            fs.delete(commitDir, true)
+            throw new IllegalStateException(
+              s"COPY INTO $path lost its race to a concurrent COPY that " +
+                "loaded overlapping source files — nothing published by " +
+                s"this invocation; the table is intact at v$headV. Re-run " +
+                "the COPY (already-loaded files are skipped).", e)
+          }
           // the winner moved the IDENTITY watermark: the values this
           // batch staged were generated from the OLD one and may
           // overlap the winner's — withdraw the stage and RE-STAGE from
@@ -2265,7 +2468,7 @@ object ManifestLake {
                 new IllegalStateException(
                   "identity watermark moved on every restage attempt"))
             return writePinned(spark, df, path, partitionCols, replace, txn,
-              statsCols, bloomCols, identityRestage + 1)
+              statsCols, bloomCols, identityRestage + 1, copyLedger)
           }
           // a constraint added by the winner was never checked against
           // this batch — adopting it unvalidated would publish unjudged
@@ -3246,7 +3449,7 @@ object ManifestLake {
                            txn: Option[(String, Long)],
                            changeFeed: Boolean): Long = {
     currentVersion(spark, path).map(readManifest(fs, root, _))
-      .flatMap(_.identity).foreach { case (n, _, _, _) =>
+      .flatMap(_.identity).foreach { case (n, _, _, _, _) =>
         throw new IllegalArgumentException(
           s"table at $path has IDENTITY column $n — upsert cannot assign " +
             "identity values for inserted keys; append/INSERT new rows " +
@@ -3595,7 +3798,7 @@ object ManifestLake {
     require(manifest.partCols.nonEmpty,
       "overwritePartitions needs a partitioned table — overwriting a flat " +
         "table is a replace write")
-    manifest.identity.foreach { case (n, _, _, _) =>
+    manifest.identity.foreach { case (n, _, _, _, _) =>
       throw new IllegalArgumentException(
         s"table at $path has IDENTITY column $n — partition overwrite " +
           "cannot assign identity values for its batch; append/INSERT " +
@@ -3964,7 +4167,7 @@ object ManifestLake {
         s"merge keys (${keyCols.mkString(",")})")
     currentVersion(spark, path).map(v0 =>
       readManifest(fsFor(spark, path)._1, fsFor(spark, path)._2, v0))
-      .flatMap(_.identity).foreach { case (n, _, _, _) =>
+      .flatMap(_.identity).foreach { case (n, _, _, _, _) =>
         throw new IllegalArgumentException(
           s"table at $path has IDENTITY column $n — MERGE cannot assign " +
             "identity values for inserted rows; append/INSERT new rows " +
@@ -5181,7 +5384,7 @@ object ManifestLake {
     // inside a struct column (`meta.qual = …` — the Delta nested-SET
     // shape); deeper nesting and array<struct> elements refuse
     val (nestedSet, flatSet) = set.partition(_._1.contains('.'))
-    manifest.identity.foreach { case (n, _, _, _) =>
+    manifest.identity.foreach { case (n, _, _, _, _) =>
       require(!set.keys.exists(_.equalsIgnoreCase(n)),
         s"column $n is GENERATED ALWAYS AS IDENTITY on $path — UPDATE " +
           "cannot assign it")
@@ -5447,9 +5650,24 @@ object ManifestLake {
     // rows across time travel) — the watermark carries forward as the
     // MAX of target and head, like the txn ledger carries from head
     val identityOut = (target.identity, headM.identity) match {
-      case (Some((n, st, sp, twm)), Some((hn, _, _, hwm)))
+      case (Some((n, st, sp, twm, tbd)), Some((hn, _, _, hwm, _)))
           if n.equalsIgnoreCase(hn) =>
-        Some((n, st, sp, math.max(twm, hwm)))
+        Some((n, st, sp, math.max(twm, hwm), tbd))
+      // the target PREDATES the declaration: dropping the fact would
+      // let a later re-declare hand out ids that still name DIFFERENT
+      // rows in time-travel-readable history — carry the head's fact
+      // (with its watermark) forward like the txn ledger, as long as
+      // the restored schema still has the column; bump past any values
+      // the restored files themselves carry (per-file stats, if any)
+      case (None, Some((hn, hst, hsp, hwm, hbd)))
+          if logicalSchemaOf(target).fieldNames.exists(_.equalsIgnoreCase(hn)) =>
+        val phys = target.colMap.getOrElse(Seq.empty)
+          .collectFirst { case (l, p) if l.equalsIgnoreCase(hn) => p }
+          .getOrElse(hn)
+        val carried = target.files.flatMap(_.stats.get(phys))
+          .flatMap { case (_, hi) => hi.toLongOption }
+        Some((hn, hst, hsp,
+          if (carried.isEmpty) hwm else math.max(hwm, carried.max + hsp), hbd))
       case (t, _) => t
     }
     // constraints RESTORE with the version (the contract travels with
@@ -5722,9 +5940,13 @@ object ManifestLake {
       }
     }
     def missing(rel: String): Boolean =
-      if (new Path(rel).isAbsolute || rel.contains(":/"))
-        !fs.exists(new Path(root, rel)) // external (clone) refs: probe
-      else !present.contains(rel)
+      if (new Path(rel).isAbsolute || rel.contains(":/")) {
+        // external (clone) refs: probe with the REF's OWN filesystem —
+        // shallowClone explicitly supports a source on a different
+        // scheme/authority, where the table's fs would throw "Wrong FS"
+        val p = new Path(root, rel)
+        !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      } else !present.contains(rel)
     val gone = m.files.filter(f => missing(f.path))
     val dvGone = m.files.filter(f =>
       !gone.contains(f) && f.dv.exists(missing))
@@ -5745,28 +5967,36 @@ object ManifestLake {
     gone.map(_.path)
   }
 
-  /** Declare `column` GENERATED ALWAYS AS IDENTITY — Delta's identity
-    * idiom as a manifest header fact `(column, start, step, watermark)`.
-    * The ENGINE assigns the column on every append/insert (a batch
-    * carrying it refuses — ALWAYS means engine-only), values are
-    * unique and move in `step`'s direction from `start`, and GAPS ARE
-    * EXPECTED (the distributed assignment reserves per-partition
-    * lanes; Delta documents the same). The watermark only ever
-    * advances — a replace does not reset it, so values never reuse
-    * across the table's history and time travel stays unambiguous.
+  /** Declare `column` GENERATED ALWAYS (or, with `byDefault`, BY
+    * DEFAULT) AS IDENTITY — Delta's identity idiom as a manifest
+    * header fact `(column, start, step, watermark, byDefault)`. Under
+    * ALWAYS the ENGINE assigns the column on every append/insert (a
+    * batch carrying it refuses); under BY DEFAULT a batch MAY supply
+    * the column (values pass through — their uniqueness is the
+    * caller's, Delta's documented stance) and an omitted column is
+    * engine-assigned. Engine values are unique, sit on the start/step
+    * lattice, and GAPS ARE EXPECTED (the distributed assignment
+    * reserves per-partition lanes; Delta documents the same). The
+    * watermark only ever advances — past the max of everything
+    * assigned OR supplied (one stats pass, zero extra jobs) — so
+    * values never reuse across the table's history and time travel
+    * stays unambiguous.
     *
-    * Declaration is CREATE-shaped: the table must still be EMPTY
-    * (existing rows have no values to adopt — backfill-then-declare
-    * is not served). The column auto-joins the declared stat columns:
-    * the same single stats pass every write already runs is what
-    * advances the watermark (max assigned + step), zero extra jobs.
+    * Declaration on a NON-EMPTY table is served (the migration shape:
+    * a table with existing keys adopts the contract): the watermark
+    * seeds from the existing column's max via the stats machinery —
+    * per-file stats when present, an [[analyzeStats]] backfill pass
+    * otherwise — aligned up to the start/step lattice, so future
+    * assignments clear every existing value. Existing NULLs stay NULL
+    * (there is no backfill; UPDATE on an identity column refuses).
     * Concurrent appends get DISJOINT ranges: an append that loses its
     * commit race to a writer that moved the watermark withdraws its
     * staged files and RE-STAGES from the new head (bounded retries) —
     * never publishes overlapping values.
     */
   def declareIdentity(spark: SparkSession, path: String, column: String,
-                      start: Long = 1L, step: Long = 1L): Long = {
+                      start: Long = 1L, step: Long = 1L,
+                      byDefault: Boolean = false): Long = {
     require(step > 0,
       s"IDENTITY step must be positive, got $step (descending identity " +
         "is not supported on manifest tables)")
@@ -5789,20 +6019,37 @@ object ManifestLake {
     require(!m.generated.exists(_._1.equalsIgnoreCase(f.name)) &&
       !m.defaults.exists(_._1.equalsIgnoreCase(f.name)),
       s"column ${f.name} already carries a GENERATED/DEFAULT contract")
-    require(m.files.isEmpty,
-      s"IDENTITY declares at CREATE time — the table at $path already " +
-        "holds data and its existing rows have no identity values")
     val cm = m.colMap.getOrElse(logical.fieldNames.toSeq.map(n => n -> n)).toMap
     val phys = cm.getOrElse(f.name, f.name)
-    publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
-      op = Some("properties"), constraints = m.constraints,
-      colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
-      statsColsDefault = (m.statsColsDefault :+ phys).distinct,
-      generated = m.generated, defaults = m.defaults,
-      identity = Some((f.name, start, step, start)),
-      fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
+    // seed the watermark ABOVE every existing value: per-file stats
+    // when present; otherwise one ANALYZE backfill pass (which also
+    // makes the column sticky in statsColsDefault). An all-null or
+    // empty table seeds at start. (A 0-row part file from an empty
+    // CREATE carries no bounds, so the create path costs nothing.)
+    val needStats = m.files.exists(f0 => !f0.stats.contains(phys) &&
+      !f0.nullCounts.contains(phys))
+    val (mSeed, vSeed) =
+      if (!needStats) (m, v)
+      else {
+        val v2 = analyzeStats(spark, path, Seq(f.name))
+        (readManifest(fs, root, v2), v2)
+      }
+    val existingHi = mSeed.files.flatMap(_.stats.get(phys))
+      .flatMap { case (_, hi) => hi.toLongOption }.maxOption
+    val wm = existingHi match {
+      case Some(hi) if hi >= start => start + ((hi - start) / step + 1L) * step
+      case _ => start
+    }
+    publish(fs, root, vSeed + 1, mSeed.files, mSeed.schema, mSeed.partCols,
+      mSeed.txns, op = Some("properties"), constraints = mSeed.constraints,
+      colMap = mSeed.colMap, droppedPhys = mSeed.droppedPhys,
+      bloomCols = mSeed.bloomCols,
+      statsColsDefault = (mSeed.statsColsDefault :+ phys).distinct,
+      generated = mSeed.generated, defaults = mSeed.defaults,
+      identity = Some((f.name, start, step, wm, byDefault)),
+      fieldMap = mSeed.fieldMap, fieldDropped = mSeed.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
-    v + 1
+    vSeed + 1
   }
 
   /** Pre-flight a DEFAULT declaration against a column type WITHOUT a
@@ -5850,7 +6097,15 @@ object ManifestLake {
       case e: Exception => throw new IllegalArgumentException(
         s"DEFAULT for $col does not fit ${to.sql}: $sql (${e.getMessage})")
     }
-    Literal(value, to).sql
+    val rendered = Literal(value, to).sql
+    // the manifest header is line/tab-delimited: a canonical literal
+    // carrying a control character would corrupt it at PUBLISH time —
+    // refuse at declare time instead (CREATE's pre-validation runs
+    // through here too, so no half-created table can result)
+    require(!rendered.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"DEFAULT for $col renders with a tab/newline in its canonical " +
+        s"literal ($sql) — the manifest header cannot store it")
+    rendered
   }
 
   /** METADATA-ONLY stats backfill — the `ANALYZE TABLE` surface:
@@ -5942,7 +6197,10 @@ object ManifestLake {
       // the stats pass keys the reader's plain path — match either form
       def statsFor(f: LiveFile): Option[FileStats] =
         computed.get(f.path).orElse(
-          try computed.get(new java.net.URI(f.path).getPath)
+          // Path handles percent-encoding; raw `new URI(...)` throws on
+          // unencoded characters (a space in the source table's path)
+          // and would silently skip those clone-referenced files' stats
+          try computed.get(new Path(f.path).toUri.getPath)
           catch { case _: Exception => None })
       val updated = chunk.flatMap(f => statsFor(f).map(st =>
         f.copy(stats = f.stats ++ st.bounds,
@@ -6131,8 +6389,8 @@ object ManifestLake {
       defaults = m.defaults.map { case (n, e) =>
         (if (n == oldName) newName else n) -> e
       },
-      identity = m.identity.map { case (n, st, sp, wm) =>
-        (if (n == oldName) newName else n, st, sp, wm)
+      identity = m.identity.map { case (n, st, sp, wm, bd) =>
+        (if (n == oldName) newName else n, st, sp, wm, bd)
       }, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
     v + 1
   }

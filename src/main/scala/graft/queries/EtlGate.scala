@@ -3052,5 +3052,135 @@ object EtlGate {
              |  CAST(sum(coalesce(q, -1)) AS BIGINT) AS sum_q,
              |  CAST(sum(w) AS BIGINT) AS sum_w,
              |  max(doc_id) AS max_id
+             |FROM legs GROUP BY leg, lang ORDER BY leg, lang""".stripMargin)),
+
+    // COPY INTO (round 19): idempotent batch file ingestion — the
+    // third Delta ingestion idiom. Land 3 files → COPY → land 2 more →
+    // COPY (loads ONLY the new files — row counts required in-line) →
+    // re-run COPY (no-op REQUIRED IN-LINE: zero files, zero rows, ZERO
+    // new versions). The table then replays relationally in DuckDB
+    // against the same slices the landings carried.
+    Q(
+      "q143_copy_into",
+      (s, dir) => {
+        val src = scratchDir("graft-gate-copy-src")
+        val out = scratchDir("graft-gate-copy-tgt") + "/table"
+        val t = s"`graft-manifest`.`$out`"
+        s.sql(s"CREATE TABLE $t (lang STRING, doc_id BIGINT, n_chars BIGINT) " +
+          "USING `graft-manifest` PARTITIONED BY (lang)")
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("n_chars").cast("long"))
+        def land(sub: String, k: Int): Long = {
+          val slice = docs.where(pmod(col("doc_id"), lit(3)) === k)
+          slice.coalesce(1).write.parquet(s"$src/$sub")
+          slice.count()
+        }
+        val nA = land("batch1", 0)
+        val r1 = s.sql(s"COPY INTO $t FROM '$src' FILEFORMAT = PARQUET").head()
+        require(r1.getLong(2) == nA,
+          s"q143 gate: first COPY must load the landed rows ($r1 vs $nA)")
+        val nB = land("batch2", 1)
+        val r2 = s.sql(s"COPY INTO $t FROM '$src' FILEFORMAT = PARQUET").head()
+        require(r2.getLong(2) == nB,
+          s"q143 gate: second COPY must load ONLY the new files ($r2 vs $nB)")
+        val vAfter = ManifestLake.currentVersion(s, out).get
+        val r3 = s.sql(s"COPY INTO $t FROM '$src' FILEFORMAT = PARQUET").head()
+        require(r3.getLong(0) == vAfter && r3.getLong(1) == 0L &&
+          r3.getLong(2) == 0L &&
+          ManifestLake.currentVersion(s, out).contains(vAfter),
+          s"q143 gate: a re-run COPY must be a no-op with ZERO new versions " +
+            s"(got $r3, head ${ManifestLake.currentVersion(s, out)})")
+        s.sql(s"""SELECT lang, count(*) AS n_docs,
+                 |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 |  max(doc_id) AS max_id
+                 |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  max(doc_id) AS max_id
+             |FROM documents WHERE doc_id % 3 < 2
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // GENERATED BY DEFAULT AS IDENTITY + declare-on-nonempty (round
+    // 19): a table with EXISTING keys adopts the contract (the
+    // migration shape — the watermark seeds from the existing column's
+    // max via the stats machinery), then mixed explicit/omitted
+    // inserts: omitted rows engine-assign on the start/step lattice
+    // ABOVE everything already in the table; explicit rows pass
+    // through unchanged and push the watermark, so later omitted rows
+    // clear them too. Uniqueness, lattice membership, and watermark
+    // monotonicity are encoded INTO the compared values (n_ids,
+    // lane_ok, above_ok); the deterministic legs (seed, explicit)
+    // compare their id sums directly.
+    Q(
+      "q144_identity_by_default",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-identdef") + "/table"
+        val t = s"`graft-manifest`.`$out`"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("n_chars").cast("long"))
+        // seed: a migrated table with existing keys (id = doc_id*10)
+        ManifestLake.write(s,
+          docs.where(pmod(col("doc_id"), lit(4)) === 0)
+            .withColumn("id", col("doc_id") * 10)
+            .withColumn("leg", lit("seed"))
+            .select(col("lang"), col("doc_id"), col("id"), col("n_chars"),
+              col("leg")),
+          out, Seq("lang"))
+        ManifestLake.declareIdentity(s, out, "id", start = 1L, step = 7L,
+          byDefault = true)
+        docs.createOrReplaceTempView("q144_docs")
+        def insertLeg(k: Int, leg: String, idSql: Option[String]): Unit = s.sql(
+          s"INSERT INTO $t (lang, doc_id, ${idSql.map(_ => "id, ").getOrElse("")}" +
+            s"n_chars, leg) SELECT lang, doc_id, " +
+            s"${idSql.map(e => s"$e, ").getOrElse("")}n_chars, '$leg' " +
+            s"FROM q144_docs WHERE doc_id % 4 = $k"): Unit
+        insertLeg(1, "omit1", None)                       // engine-assigned
+        insertLeg(2, "explicit", Some("doc_id + 900000000")) // supplied
+        insertLeg(3, "omit2", None)    // engine must clear the supplied ids
+        // global uniqueness across ALL legs, required in-line
+        val (n, nd) = {
+          val r = s.sql(s"SELECT count(id), count(DISTINCT id) FROM $t").head()
+          (r.getLong(0), r.getLong(1))
+        }
+        require(n == nd, s"q144 gate: ids must be globally unique ($nd/$n)")
+        // the multipart spelling is not servable inside nested scalar
+        // subqueries — give the final SELECT a plain view
+        ManifestLake.read(s, out).createOrReplaceTempView("q144_t")
+        s.sql(
+          """SELECT leg, lang, count(*) AS n_docs,
+             |  count(DISTINCT id) AS n_ids,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CASE WHEN leg IN ('seed', 'explicit')
+             |       THEN CAST(sum(id) AS BIGINT) ELSE CAST(-1 AS BIGINT)
+             |  END AS id_sum,
+             |  every(CASE WHEN leg IN ('omit1', 'omit2')
+             |             THEN (id - 1) % 7 = 0 ELSE true END) AS lane_ok,
+             |  every(CASE
+             |    WHEN leg = 'omit1' THEN
+             |      id > (SELECT max(id) FROM q144_t WHERE leg = 'seed')
+             |    WHEN leg = 'omit2' THEN
+             |      id > (SELECT max(id) FROM q144_t WHERE leg <> 'omit2')
+             |    ELSE true END) AS above_ok
+             |FROM q144_t GROUP BY leg, lang ORDER BY leg, lang""".stripMargin)
+      },
+      Some("""WITH legs AS (
+             |  SELECT 'seed' AS leg, lang, doc_id, doc_id*10 AS id, n_chars
+             |  FROM documents WHERE doc_id % 4 = 0
+             |  UNION ALL
+             |  SELECT 'omit1', lang, doc_id, NULL, n_chars
+             |  FROM documents WHERE doc_id % 4 = 1
+             |  UNION ALL
+             |  SELECT 'explicit', lang, doc_id, doc_id + 900000000, n_chars
+             |  FROM documents WHERE doc_id % 4 = 2
+             |  UNION ALL
+             |  SELECT 'omit2', lang, doc_id, NULL, n_chars
+             |  FROM documents WHERE doc_id % 4 = 3)
+             |SELECT leg, lang, count(*) AS n_docs, count(*) AS n_ids,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CASE WHEN leg IN ('seed', 'explicit')
+             |       THEN CAST(sum(id) AS BIGINT) ELSE CAST(-1 AS BIGINT)
+             |  END AS id_sum,
+             |  true AS lane_ok, true AS above_ok
              |FROM legs GROUP BY leg, lang ORDER BY leg, lang""".stripMargin)))
 }

@@ -181,4 +181,35 @@ class CloneSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$wh/ns/dst/data").exists(),
       "named clone copies nothing")
   }
+
+  test("FSCK on a clone probes absolute refs with their own filesystem and repairs") {
+    val src = freshDir("clone-fsck-src")
+    val tgt = freshDir("clone-fsck-tgt")
+    ManifestLake.write(spark, batch(0, 40).repartition(4), src, Seq("grp"))
+    ManifestLake.shallowClone(spark, src, tgt)
+    // healthy clone: FSCK probes every absolute entry without throwing
+    assert(ManifestLake.fsck(spark, tgt, dryRun = true).isEmpty)
+    // vanish one SOURCE file out-of-band: the clone's FSCK must see it
+    val victim = liveFiles(tgt).head.path
+    val (fs, _) = ManifestLake.fsFor(spark, tgt)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(victim), false))
+    assert(ManifestLake.fsck(spark, tgt, dryRun = true) === Seq(victim))
+    assert(ManifestLake.fsck(spark, tgt) === Seq(victim))
+    // repaired: the remaining rows scan clean
+    assert(ManifestLake.read(spark, tgt).count() > 0)
+    assert(ManifestLake.fsck(spark, tgt, dryRun = true).isEmpty)
+  }
+
+  test("ANALYZE backfills clone entries whose source path contains a space") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("clone sp src").toString + "/ta ble"
+    val tgt = freshDir("clone-sp-tgt")
+    ManifestLake.write(spark,
+      (0 until 20).map(i => (s"g${i % 2}", i.toLong)).toDF("grp", "x")
+        .repartition(4), src, Seq("grp"))
+    ManifestLake.shallowClone(spark, src, tgt)
+    ManifestLake.analyzeStats(spark, tgt, Seq("x"))
+    assert(liveFiles(tgt).forall(_.stats.contains("x")),
+      "a space in the source path must not silently skip the backfill")
+  }
 }

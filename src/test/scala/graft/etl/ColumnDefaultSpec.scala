@@ -91,6 +91,21 @@ class ColumnDefaultSpec extends AnyFunSuite {
       s"CREATE TABLE `graft-manifest`.`$dir2` (id BIGINT DEFAULT 'abc') " +
         "USING `graft-manifest`"))
     assert(ManifestLake.currentVersion(spark, dir2).isEmpty)
+    // a default whose CANONICAL literal carries a control character
+    // would corrupt the line-oriented manifest header — it must refuse
+    // at declare time (and a CREATE-time one leaves no half-created
+    // table, not a post-create publish failure)
+    val dirCtl = freshDir("defaults-ctl")
+    spark.sql(s"CREATE TABLE `graft-manifest`.`$dirCtl` (s STRING) " +
+      "USING `graft-manifest`")
+    refuses(s"ALTER TABLE `graft-manifest`.`$dirCtl` ALTER COLUMN s " +
+      "SET DEFAULT 'a\nb'", "tab/newline")
+    val dir3 = freshDir("defaults-refuse-ctl")
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE `graft-manifest`.`$dir3` (s STRING DEFAULT 'a\tb') " +
+        "USING `graft-manifest`"))
+    assert(ManifestLake.currentVersion(spark, dir3).isEmpty,
+      "a control-char default must leave no half-created table")
   }
 
   test("rename carries the default; drop column removes it; replace commit keeps it") {

@@ -128,15 +128,64 @@ class IdentityColumnSpec extends AnyFunSuite {
       "IDENTITY")
     refuses(spark.sql(s"ALTER TABLE $t ALTER COLUMN id SET DEFAULT 5"),
       "IDENTITY")
-    // declaring on a non-empty table refuses (no values to adopt)
+    // declaring a non-BIGINT column refuses
     refuses(ManifestLake.declareIdentity(spark, dir, "payload"), "BIGINT")
-    val dir2 = freshDir("ident-late")
-    ManifestLake.write(spark, Seq(("a", 1L)).toDF("grp", "n"), dir2, Seq("grp"))
-    refuses(ManifestLake.declareIdentity(spark, dir2, "n"), "already holds data")
-    // GENERATED BY DEFAULT AS IDENTITY refuses at CREATE
-    refuses(spark.sql(s"CREATE TABLE `graft-manifest`.`${freshDir("ident-bydef")}` " +
-      "(id BIGINT GENERATED BY DEFAULT AS IDENTITY, x STRING) " +
-      "USING `graft-manifest`"), "ALWAYS")
+  }
+
+  test("GENERATED BY DEFAULT: supplied values pass through, omitted assign, watermark clears both") {
+    val dir = freshDir("ident-bydef")
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(s"CREATE TABLE $t (grp STRING, " +
+      "id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 10 INCREMENT BY 5), " +
+      "payload STRING) USING `graft-manifest` PARTITIONED BY (grp)")
+    val ddl = spark.sql(s"SHOW CREATE TABLE $t").head().getString(0)
+    assert(ddl.contains(
+      "GENERATED BY DEFAULT AS IDENTITY (START WITH 10 INCREMENT BY 5)"), ddl)
+    // omitted → engine assigns from the lattice
+    spark.sql(s"INSERT INTO $t (grp, payload) VALUES ('a', 'e1'), ('a', 'e2')")
+    // supplied → values pass through unchanged (even OFF the lattice)
+    spark.sql(s"INSERT INTO $t (grp, id, payload) VALUES ('a', 1003, 's1')")
+    assert(spark.sql(s"SELECT id FROM $t WHERE payload = 's1'")
+      .head().getLong(0) === 1003L)
+    // positional arity INCLUDES a BY DEFAULT identity (standard SQL)
+    spark.sql(s"INSERT INTO $t VALUES ('a', 2000, 's2')")
+    // an explicit NULL stays NULL (supplied values pass through)
+    spark.sql(s"INSERT INTO $t (grp, id, payload) VALUES ('a', NULL, 'sn')")
+    assert(spark.sql(s"SELECT id FROM $t WHERE payload = 'sn'").head().isNullAt(0))
+    // later engine assignments clear every supplied value AND stay on
+    // the start/step lattice
+    spark.sql(s"INSERT INTO $t (grp, payload) VALUES ('a', 'e3')")
+    val e3 = spark.sql(s"SELECT id FROM $t WHERE payload = 'e3'").head().getLong(0)
+    assert(e3 > 2000L && (e3 - 10) % 5 === 0,
+      s"post-supplied assignment must clear 2000 on the lattice, got $e3")
+    val nonNull = spark.sql(s"SELECT id FROM $t WHERE id IS NOT NULL")
+      .collect().map(_.getLong(0)).toSeq
+    assert(nonNull.distinct.size === nonNull.size, s"no collisions: $nonNull")
+  }
+
+  test("declare-on-nonempty seeds the watermark above the existing column max") {
+    import spark.implicits._
+    val dir = freshDir("ident-migrate")
+    val t = s"`graft-manifest`.`$dir`"
+    // a migrated table with EXISTING keys (and one null) — no stats
+    ManifestLake.write(spark,
+      Seq(("a", Some(7L), "m1"), ("b", Some(92L), "m2"), ("a", None, "m3"))
+        .toDF("grp", "id", "payload"), dir, Seq("grp"))
+    ManifestLake.declareIdentity(spark, dir, "id", start = 1L, step = 3L,
+      byDefault = true)
+    spark.sql(s"INSERT INTO $t (grp, payload) VALUES ('a', 'new1'), ('b', 'new2')")
+    val got = spark.sql(s"SELECT payload, id FROM $t WHERE id IS NOT NULL")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("m1") === 7L && got("m2") === 92L,
+      "existing keys must stay untouched")
+    val fresh = Seq(got("new1"), got("new2"))
+    assert(fresh.forall(v => v > 92L && (v - 1) % 3 == 0),
+      s"new assignments must clear the existing max on the lattice: $fresh")
+    assert(spark.sql(s"SELECT id FROM $t WHERE payload = 'm3'").head().isNullAt(0),
+      "existing NULLs stay NULL (no backfill)")
+    // the seeded column is now sticky in stats: a second declare refuses
+    val e = intercept[Exception](ManifestLake.declareIdentity(spark, dir, "id"))
+    assert(e.getMessage.contains("already has an IDENTITY"))
   }
 
   test("RESTORE never rolls the watermark back: post-restore inserts stay unique vs all history") {
@@ -157,6 +206,41 @@ class IdentityColumnSpec extends AnyFunSuite {
     assert(!allBefore.contains(postId),
       s"a post-restore insert must not reuse an id from readable history " +
         s"(got $postId, history $allBefore)")
+  }
+
+  test("RESTORE to a pre-declaration version carries the head's identity fact forward") {
+    val dir = freshDir("ident-predecl")
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(s"CREATE TABLE $t (grp STRING, id BIGINT, payload STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (grp)")          // v1: NO identity
+    ManifestLake.declareIdentity(spark, dir, "id", start = 10L) // v2
+    spark.sql(s"INSERT INTO $t (grp, payload) VALUES ('a', 'p1'), ('a', 'p2')")
+    val allBefore = ids(dir).toSet
+    ManifestLake.restore(spark, dir, 1L)
+    // the fact (and its watermark) must survive the restore — dropping
+    // it would let a re-declare reuse ids still readable in history
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val head = ManifestLake.readManifest(fs, root,
+      ManifestLake.currentVersion(spark, dir).get)
+    assert(head.identity.exists(_._1 == "id"),
+      "restore to a pre-declaration version must carry the head's identity fact")
+    spark.sql(s"INSERT INTO $t (grp, payload) VALUES ('a', 'post')")
+    val postId = spark.sql(s"SELECT id FROM $t WHERE payload = 'post'")
+      .head().getLong(0)
+    assert(!allBefore.contains(postId),
+      s"post-restore ids must not collide with readable history: $postId in $allBefore")
+  }
+
+  test("CREATE refusals fire BEFORE the base write: no half-created table remains") {
+    val dir = freshDir("ident-half")
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE `graft-manifest`.`$dir` (grp STRING, " +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY, payload STRING) " +
+        "USING `graft-manifest` PARTITIONED BY (id)"))
+    assert(e.getMessage.toLowerCase.contains("partition column"),
+      e.getMessage.take(200))
+    assert(ManifestLake.currentVersion(spark, dir).isEmpty,
+      "an invalid IDENTITY declaration must leave no half-created table")
   }
 
   test("named-catalog spelling: CREATE with IDENTITY + DEFAULT, insert by name") {
