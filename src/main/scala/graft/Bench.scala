@@ -223,6 +223,20 @@ object Bench {
           }
         }
       }
+    // Stamp loadavg_after AFTER a decay wait, not at suite end: the
+    // bench's own 32-thread activity dominates the 1-min loadavg at
+    // the moment the last query finishes (r18 published 5.22 and read
+    // as "contended" when most of it was self-load e^{-t/60}-decaying).
+    // Waiting until the load drops below the gate (bounded) makes the
+    // stamp measure the HOST, not the bench; a timeout that leaves it
+    // high is genuine external contention and flips `contended`.
+    val postT0 = System.nanoTime()
+    val postWaitMax = sys.env.getOrElse("SPARK_GRAFT_POST_WAIT_MS", "180000").toLong
+    while (load1() >= math.max(idleGate, 2.0) &&
+      (System.nanoTime() - postT0) / 1e6 < postWaitMax)
+      Thread.sleep(5000)
+    val postWaitSec = math.round((System.nanoTime() - postT0) / 1e7) / 100.0
+    if (load1() >= math.max(idleGate, 2.0)) contended = true
     val loadAfter = loadavg()
     val calibSec = calibrate()
     val qs = results.map { case (k, v, _) =>
@@ -230,12 +244,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val retimed = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // Round-over-round drift, IN the artifact: every line >1.25x or
+    // <0.8x its prev-round published time, with the ratio — so a
+    // per-query move on untouched code is adjudicable from the JSON
+    // alone (the r18 verdict had to re-run r17 code by hand to show
+    // q74/q50/q87 were host noise).
+    val drift = results.collect {
+      case (k, v, _) if !v.isNaN && prev.get(k).exists(p =>
+        p > 0 && v > 0.3 && (v > 1.25 * p || v < 0.8 * p)) =>
+        "\"" + k + "\":" + (math.round(v / prev(k) * 100) / 100.0)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isNaN).sum
     // notes: q70/q71/q83 share a session-memoized k-means codebook that
     // the warm-up pass populates, so their timed runs exclude training —
     // the persisted-codebook deployment shape, stated here so a
     // round-over-round reader doesn't misread memo reuse as engine speed.
-    val artifact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","contended":$contended,"calib_sec":$calibSec,"idle_wait_sec":$idleWaitSec,"regate_wait_sec":$regateWaitSec,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","retimed":$retimed,"notes":"q70/q71/q83 timed runs reuse the memoized k-means codebook (training excluded, persisted-codebook pattern)"}"""
+    val artifact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","contended":$contended,"calib_sec":$calibSec,"idle_wait_sec":$idleWaitSec,"regate_wait_sec":$regateWaitSec,"post_wait_sec":$postWaitSec,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","retimed":$retimed,"drift_vs_prev":$drift,"notes":"q70/q71/q83 timed runs reuse the memoized k-means codebook (training excluded, persisted-codebook pattern); loadavg_after is stamped post-decay-wait; drift_vs_prev lists lines >1.25x or <0.8x last round's published time"}"""
     println(artifact)
     // The driver's BENCH_r{N}.json wrapper keeps only a ~4KB stdout
     // TAIL — every per-query line alphabetically before the cut is lost

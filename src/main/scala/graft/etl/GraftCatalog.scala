@@ -512,19 +512,19 @@ final class GraftCatalogRule(spark: SparkSession)
       case c: CreateTableAsSelect
           if createIdentPath(c.name).isDefined && c.query.resolved &&
             c.tableSpec.isInstanceOf[UnresolvedTableSpec] =>
-        val (cons, partCols, st, bl) = GraftSqlDml.validateCreateSpec(
+        val (cons, partCols, st, bl, cl) = GraftSqlDml.validateCreateSpec(
           c.tableSpec.asInstanceOf[UnresolvedTableSpec], c.partitioning)
         GraftCreateTableCommand(createIdentPath(c.name).get,
           CreateAsSelect(c.query, c.ignoreIfExists),
-          Seq.empty, partCols, cons, st, bl)
+          Seq.empty, partCols, cons, st, bl, clusterCols = cl)
       case r: ReplaceTableAsSelect
           if createIdentPath(r.name).isDefined && r.query.resolved &&
             r.tableSpec.isInstanceOf[UnresolvedTableSpec] =>
-        val (cons, partCols, st, bl) = GraftSqlDml.validateCreateSpec(
+        val (cons, partCols, st, bl, cl) = GraftSqlDml.validateCreateSpec(
           r.tableSpec.asInstanceOf[UnresolvedTableSpec], r.partitioning)
         GraftCreateTableCommand(createIdentPath(r.name).get,
           ReplaceAsSelect(r.query, r.orCreate),
-          Seq.empty, partCols, cons, st, bl)
+          Seq.empty, partCols, cons, st, bl, clusterCols = cl)
       // writeTo verbs FIRST — top-down, so the relation under them is
       // consumed here and never separately rewritten as a read
       case a: AppendData if graftTable(a.table).isDefined && a.query.resolved =>

@@ -17,12 +17,16 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *     horizon onto version retention: every version published inside
   *     the window is kept, plus the boundary version so a
   *     `TIMESTAMP AS OF` read at the horizon still resolves.
-  *   - `OPTIMIZE t [WHERE <partition predicate>] [ZORDER BY (c1, c2, …)]`
-  *     → [[ManifestLake.compact]]; returns (partition, files_before,
-  *     files_after) per rewritten partition. WHERE scopes the rewrite
-  *     to the partitions a partition-column predicate selects — the
-  *     steady-state cadence on a 100 TB table (compact the day that
-  *     just closed, not the table); data-column predicates refuse.
+  *   - `OPTIMIZE t [FULL] [WHERE <partition predicate>]
+  *     [ZORDER BY (c1, c2, …)]` → [[ManifestLake.compact]]; returns
+  *     (partition, files_before, files_after) per rewritten partition.
+  *     WHERE scopes the rewrite to the partitions a partition-column
+  *     predicate selects — the steady-state cadence on a 100 TB table
+  *     (compact the day that just closed, not the table); data-column
+  *     predicates refuse. FULL rewrites every selected partition
+  *     regardless of fragmentation — the verb for applying a
+  *     newly-declared clustering (`CLUSTER BY`) to already-compacted
+  *     data (Delta's liquid re-cluster idiom).
   *   - `RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF 'ts'`
   *     → [[ManifestLake.restore]]; returns the new head version.
   *   - `FSCK REPAIR TABLE t [DRY RUN]` → [[ManifestLake.fsck]]; drops
@@ -55,14 +59,20 @@ object GraftMaintenanceSql {
     * fail there).
     */
   def parse(spark: SparkSession, sqlText: String): Option[LogicalPlan] = {
-    // SHALLOW CLONE leads with CREATE TABLE, which vanilla SQL also
-    // does — claimed only when an identifier run (no '(' — that would
-    // be a column list) sits between TABLE and SHALLOW CLONE, a shape
-    // Spark's grammar cannot parse at all, so failures are loud
+    // SHALLOW/DEEP CLONE leads with CREATE TABLE, which vanilla SQL
+    // also does — claimed only when an identifier run (no '(' — that
+    // would be a column list) sits between TABLE and the CLONE keyword,
+    // a shape Spark's grammar cannot parse at all, so failures are loud
     val cloneLead = ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+" +
-      "(IF\\s+NOT\\s+EXISTS\\s+)?[^(]*?\\bSHALLOW\\s+CLONE\\b").r
+      "(IF\\s+NOT\\s+EXISTS\\s+)?[^(]*?\\b(SHALLOW|DEEP)\\s+CLONE\\b").r
     if (cloneLead.findFirstIn(sqlText).isDefined)
       return Some(parseClone(spark, lex(sqlText)))
+    // ALTER TABLE t MATERIALIZE is not in Spark's grammar (it would
+    // refuse with an opaque syntax error) — claimed only on the exact
+    // shape, so vanilla ALTER statements never reach this path
+    val matLead = "(?is)^\\s*ALTER\\s+TABLE\\s+.+\\bMATERIALIZE\\s*;?\\s*$".r
+    if (matLead.findFirstIn(sqlText).isDefined)
+      return Some(parseMaterialize(spark, lex(sqlText)))
     // cheap keyword gate BEFORE lexing: the lexer is deliberately tiny
     // and refuses characters these four statements never carry — it
     // must never see (let alone fail on) general SQL
@@ -301,7 +311,13 @@ object GraftMaintenanceSql {
 
   private def parseOptimize(spark: SparkSession, toks: List[Tok],
                             whereSql: Option[String]): LogicalPlan = {
-    val (path, rest0) = target(spark, toks, "OPTIMIZE")
+    val (path, restF) = target(spark, toks, "OPTIMIZE")
+    // `OPTIMIZE t FULL` — rewrite every selected partition regardless
+    // of fragmentation (apply a newly-declared clustering)
+    val (full, rest0) = restF match {
+      case f :: tl if kw(f, "FULL") => (true, tl)
+      case tl => (false, tl)
+    }
     // the predicate must PARSE now (statement-time error, not run-time)
     whereSql.foreach { w =>
       try { spark.sessionState.sqlParser.parseExpression(w); () }
@@ -331,10 +347,10 @@ object GraftMaintenanceSql {
         require(cols.nonEmpty, "ZORDER BY needs at least one column")
         cols
       case other => throw new IllegalArgumentException(
-        s"OPTIMIZE options are [WHERE <partition predicate>] " +
+        s"OPTIMIZE options are [FULL] [WHERE <partition predicate>] " +
           s"[ZORDER BY (c1, …)]; got: ${other.mkString(" ")}")
     }
-    GraftOptimizeCommand(path, zorder, whereSql)
+    GraftOptimizeCommand(path, zorder, whereSql, full)
   }
 
   private def parseRestore(spark: SparkSession, toks: List[Tok]): LogicalPlan = {
@@ -469,27 +485,48 @@ object GraftMaintenanceSql {
         "SHALLOW CLONE's new table spells `graft-manifest`.`/path`, a " +
           "quoted path, or a graft catalog name; got: " + other.mkString(" "))
     }
-    val afterShallow = afterTgt match {
-      case sh :: cl :: tl if kw(sh, "SHALLOW") && kw(cl, "CLONE") => tl
+    val (deep, afterKind) = afterTgt match {
+      case sh :: cl :: tl if kw(sh, "SHALLOW") && kw(cl, "CLONE") => (false, tl)
+      case dp :: cl :: tl if kw(dp, "DEEP") && kw(cl, "CLONE") => (true, tl)
       case other => throw new IllegalArgumentException(
-        s"expected SHALLOW CLONE after the new table name, got: " +
-          other.mkString(" "))
+        s"expected SHALLOW CLONE or DEEP CLONE after the new table name, " +
+          s"got: ${other.mkString(" ")}")
     }
-    val (src, rest) = target(spark, afterShallow, "SHALLOW CLONE")
+    val what = if (deep) "DEEP CLONE" else "SHALLOW CLONE"
+    val (src, rest) = target(spark, afterKind, what)
     val version = rest match {
       case Nil => None
       case v :: a :: o :: n :: tl if kw(v, "VERSION") && kw(a, "AS") &&
         kw(o, "OF") =>
-        end(tl, "SHALLOW CLONE"); Some(num(n, "VERSION AS OF"))
+        end(tl, what); Some(num(n, "VERSION AS OF"))
       case t :: a :: o :: Str(ts) :: tl if kw(t, "TIMESTAMP") && kw(a, "AS") &&
         kw(o, "OF") =>
-        end(tl, "SHALLOW CLONE")
+        end(tl, what)
         Some(ManifestLake.versionAtTimestamp(spark, src,
           ManifestDataSource.parseMillis("TIMESTAMP AS OF", ts)))
       case other => throw new IllegalArgumentException(
-        s"unexpected trailing tokens in SHALLOW CLONE: ${other.mkString(" ")}")
+        s"unexpected trailing tokens in $what: ${other.mkString(" ")}")
     }
-    GraftCloneCommand(src, tgt, version, orReplace, ifNotExists)
+    GraftCloneCommand(src, tgt, version, orReplace, ifNotExists, deep)
+  }
+
+  /** `ALTER TABLE t MATERIALIZE` — untether external references in
+    * place; see [[ManifestLake.materialize]].
+    */
+  private def parseMaterialize(spark: SparkSession, toks: List[Tok]): LogicalPlan = {
+    val afterTable = toks match {
+      case a :: t :: tl if kw(a, "ALTER") && kw(t, "TABLE") => tl
+      case other => throw new IllegalArgumentException(
+        s"MATERIALIZE spells ALTER TABLE t MATERIALIZE; got: " +
+          other.mkString(" "))
+    }
+    val (path, rest) = target(spark, afterTable, "MATERIALIZE")
+    rest match {
+      case m :: tl if kw(m, "MATERIALIZE") => end(tl, "MATERIALIZE")
+      case other => throw new IllegalArgumentException(
+        s"expected MATERIALIZE after the table name, got: ${other.mkString(" ")}")
+    }
+    GraftMaterializeCommand(path)
   }
 
   /** `FSCK REPAIR TABLE t [DRY RUN]` — drop references to data files
@@ -655,7 +692,8 @@ final case class GraftVacuumCommand(path: String, keepVersions: Option[Int],
   * the statement maps it onto clusterBy).
   */
 final case class GraftOptimizeCommand(path: String, zorderBy: Seq[String],
-                                      whereSql: Option[String] = None)
+                                      whereSql: Option[String] = None,
+                                      full: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("partition", StringType, nullable = false)(),
@@ -665,8 +703,10 @@ final case class GraftOptimizeCommand(path: String, zorderBy: Seq[String],
     val where = whereSql.map(org.apache.spark.sql.functions.expr)
     val rewritten =
       if (zorderBy.length == 1)
-        ManifestLake.compact(spark, path, clusterBy = zorderBy, where = where)
-      else ManifestLake.compact(spark, path, zOrderBy = zorderBy, where = where)
+        ManifestLake.compact(spark, path, clusterBy = zorderBy, where = where,
+          full = full)
+      else ManifestLake.compact(spark, path, zOrderBy = zorderBy, where = where,
+        full = full)
     rewritten.sortBy(_._1).map { case (p, b, a) => Row(p, b, a) }
   }
 }
@@ -711,7 +751,8 @@ final case class GraftDetailCommand(path: String)
       nullable = false)(),
     AttributeReference("n_writers", LongType, nullable = false)(),
     AttributeReference("constraints", str, nullable = false)(),
-    AttributeReference("column_mapping", str, nullable = false)())
+    AttributeReference("column_mapping", str, nullable = false)(),
+    AttributeReference("clustering_cols", str, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     ManifestLake.detail(spark, path).collect().toSeq
 }
@@ -772,14 +813,16 @@ final case class GraftFsckCommand(path: String, dryRun: Boolean)
     ManifestLake.fsck(spark, path, dryRun).map(Row(_))
 }
 
-/** `CREATE TABLE t SHALLOW CLONE s [VERSION AS OF n]` — dispatches to
-  * [[ManifestLake.shallowClone]]; returns the new table's version and
-  * how many source files it references (all by reference — the
-  * zero-copy contract).
+/** `CREATE TABLE t SHALLOW|DEEP CLONE s [VERSION AS OF n]` — dispatches
+  * to [[ManifestLake.shallowClone]] / [[ManifestLake.deepClone]];
+  * returns the new table's version and how many source files it
+  * references (shallow: all by reference — the zero-copy contract;
+  * deep: all copied into the clone's own tree).
   */
 final case class GraftCloneCommand(sourcePath: String, targetPath: String,
                                    versionAsOf: Option[Long],
-                                   orReplace: Boolean, ifNotExists: Boolean)
+                                   orReplace: Boolean, ifNotExists: Boolean,
+                                   deep: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -787,10 +830,39 @@ final case class GraftCloneCommand(sourcePath: String, targetPath: String,
   override def run(spark: SparkSession): Seq[Row] = {
     require(!(orReplace && ifNotExists),
       "CREATE OR REPLACE and IF NOT EXISTS cannot combine")
-    val v = ManifestLake.shallowClone(spark, sourcePath, targetPath,
-      versionAsOf, orReplace, ifNotExists)
+    val v =
+      if (deep) ManifestLake.deepClone(spark, sourcePath, targetPath,
+        versionAsOf, orReplace, ifNotExists)
+      else ManifestLake.shallowClone(spark, sourcePath, targetPath,
+        versionAsOf, orReplace, ifNotExists)
     val (fs, root) = ManifestLake.fsFor(spark, targetPath)
     Seq(Row(v, ManifestLake.readManifest(fs, root, v).files.length.toLong))
+  }
+}
+
+/** `ALTER TABLE t MATERIALIZE` — dispatches to
+  * [[ManifestLake.materialize]]: copy every external reference into
+  * the table's own tree; no-op (same version back) when nothing is
+  * external. Returns the head version and how many files were copied.
+  */
+final case class GraftMaterializeCommand(path: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_copied", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val before = ManifestLake.currentVersion(spark, path)
+    val v = ManifestLake.materialize(spark, path)
+    val copied =
+      if (before.contains(v)) 0L
+      else {
+        val (fs, root) = ManifestLake.fsFor(spark, path)
+        val prev = ManifestLake.readManifest(fs, root, v - 1)
+          .files.map(_.path).toSet
+        ManifestLake.readManifest(fs, root, v).files
+          .count(f => !prev(f.path)).toLong
+      }
+    Seq(Row(v, copied))
   }
 }
 

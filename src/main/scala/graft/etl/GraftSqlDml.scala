@@ -364,16 +364,18 @@ object GraftSqlDml {
   private[etl] def validateCreateSpec(
       spec: UnresolvedTableSpec,
       partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform])
-      : (Seq[(String, String)], Seq[String], Seq[String], Seq[String]) = {
+      : (Seq[(String, String)], Seq[String], Seq[String], Seq[String],
+         Seq[String]) = {
     // the ONLY recognized properties declare the skipping machinery —
-    // min/max stat columns and bloom tracking, both sticky table facts
-    val known = Set("graft.statscols", "graft.bloomcols")
+    // min/max stat columns, bloom tracking, and clustering keys, all
+    // sticky table facts
+    val known = Set("graft.statscols", "graft.bloomcols", "graft.clustercols")
     val unknown = spec.properties.keys.filterNot(k =>
       known.contains(k.toLowerCase(java.util.Locale.ROOT)))
     require(unknown.isEmpty,
       s"TBLPROPERTIES ${unknown.mkString(", ")} are not supported on " +
-        "manifest tables (recognized: graft.statsCols, graft.bloomCols — " +
-        "comma-separated column lists)")
+        "manifest tables (recognized: graft.statsCols, graft.bloomCols, " +
+        "graft.clusterCols — comma-separated column lists)")
     def propCols(name: String): Seq[String] = spec.properties.collectFirst {
       case (k, v) if k.equalsIgnoreCase(name) =>
         v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
@@ -402,7 +404,28 @@ object GraftSqlDml {
       case other => throw new IllegalArgumentException(
         s"only CHECK constraints are supported on manifest tables, got $other")
     }
-    val partCols = partitioning.map { t =>
+    // `CLUSTER BY (c1, c2)` parses as a ClusterByTransform riding the
+    // partitioning list — split it out as the declared clustering keys
+    // (Delta's liquid-clustering idiom: bare OPTIMIZE lays files out by
+    // them); everything else must be an identity partition transform
+    val (clusterT, partT) = partitioning.partition {
+      case org.apache.spark.sql.connector.expressions.ClusterByTransform(_) => true
+      case _ => false
+    }
+    val clusterCols = clusterT.flatMap {
+      case org.apache.spark.sql.connector.expressions.ClusterByTransform(refs) =>
+        refs.map { r =>
+          require(r.fieldNames().length == 1,
+            s"nested CLUSTER BY columns are not supported: " +
+              s"${r.fieldNames().mkString(".")}")
+          r.fieldNames().head
+        }
+    }
+    require(clusterCols.isEmpty ||
+        propCols("graft.clusterCols").isEmpty,
+      "declare clustering keys ONCE — either CLUSTER BY or " +
+        "TBLPROPERTIES ('graft.clusterCols'), not both")
+    val partCols = partT.map { t =>
       require(t.name == "identity" && t.references().length == 1,
         s"unsupported partition transform $t — manifest tables " +
           "partition by identity columns (for derived partitioning, add a " +
@@ -412,7 +435,8 @@ object GraftSqlDml {
         s"nested partition columns are not supported: ${parts.mkString(".")}")
       parts.head
     }
-    (cons, partCols, statsCols, bloomCols)
+    (cons, partCols, statsCols, bloomCols,
+      if (clusterCols.nonEmpty) clusterCols else propCols("graft.clusterCols"))
   }
 
   /** Plain vs GENERATED column definitions. Generated columns must
@@ -427,7 +451,8 @@ object GraftSqlDml {
   private def splitColumns(cols: Seq[ColumnDefinition], partCols: Seq[String])
       : (org.apache.spark.sql.types.StructType,
          Seq[(String, org.apache.spark.sql.types.DataType, String)],
-         Seq[(String, String)], Option[(String, Long, Long, Boolean)]) = {
+         Seq[(String, String)], Option[(String, Long, Long, Boolean)],
+         Seq[(String, String)]) = {
     cols.foreach { c =>
       require(c.comment.isEmpty,
         "COMMENT is not supported on manifest tables (no comment store)")
@@ -475,13 +500,20 @@ object GraftSqlDml {
         "generated PARTITION columns must be declared before other " +
           "generated columns (they join the schema at creation; later " +
           "generated columns append after)")
-    plain.foreach(c => require(c.nullable || partCols.contains(c.name),
-      s"NOT NULL column ${c.name} is not supported on manifest tables — " +
-        "declare a CHECK (col IS NOT NULL) constraint instead"))
+    // NOT NULL lowers to the reserved-name CHECK pair (GraftNotNull) —
+    // enforcement rides the constraint machinery; the PHYSICAL field
+    // stays nullable (added files validate pre-publish, not by parquet
+    // schema nullability). Partition columns are exempt: hive layout
+    // makes them non-null by construction.
+    val nnCons = cols.collect {
+      case c if !c.nullable && !partCols.exists(_.equalsIgnoreCase(c.name)) =>
+        GraftNotNull.name(c.name) -> GraftNotNull.expr(c.name)
+    }
     (org.apache.spark.sql.types.StructType(plain.map(c =>
-      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
+      org.apache.spark.sql.types.StructField(c.name, c.dataType,
+        c.nullable || !partCols.exists(_.equalsIgnoreCase(c.name))))),
       gen.map(c => (c.name, c.dataType, c.generationExpression.get)),
-      defaults, identities.headOption)
+      defaults, identities.headOption, nnCons)
   }
 
   /** The manifest path an ALTER TABLE target names — the multipart
@@ -574,17 +606,35 @@ object GraftSqlDml {
             AlterDropCols(fields.map(_.name.mkString(".")), ifExists)))
       case AlterColumns(t, specs) =>
         alterTargetPath(spark, t).map { path =>
-          specs.foreach(s => require(s.newNullability.isEmpty &&
+          specs.foreach(s => require(
             s.newComment.isEmpty && s.newPosition.isEmpty,
-            "ALTER COLUMN on a manifest table supports TYPE widening and " +
-              "SET/DROP DEFAULT only (no nullability/comment/position changes)"))
+            "ALTER COLUMN on a manifest table supports TYPE widening, " +
+              "SET/DROP DEFAULT and SET/DROP NOT NULL only " +
+              "(no comment/position changes)"))
+          val (nullish, rest) = specs.partition(_.newNullability.isDefined)
+          require(nullish.isEmpty || rest.isEmpty,
+            "mixing NOT NULL changes with TYPE/DEFAULT changes in one " +
+              "ALTER COLUMN statement is not supported on manifest tables " +
+              "— run them as separate statements")
           val (defaultish, widenish) =
-            specs.partition(s => s.newDefaultExpression.isDefined || s.dropDefault)
+            rest.partition(s => s.newDefaultExpression.isDefined || s.dropDefault)
           require(defaultish.isEmpty || widenish.isEmpty,
             "mixing TYPE changes and DEFAULT changes in one ALTER COLUMN " +
               "statement is not supported on manifest tables — run them " +
               "as separate statements")
-          if (defaultish.nonEmpty) {
+          if (nullish.nonEmpty) {
+            val changes = nullish.map { s =>
+              require(s.newDataType.isEmpty && s.newDefaultExpression.isEmpty &&
+                !s.dropDefault,
+                "combine NOT NULL and TYPE/DEFAULT changes as separate " +
+                  "statements")
+              require(s.column.name.length == 1,
+                s"NOT NULL on a nested field is not supported: " +
+                  s"${s.column.name.mkString(".")}")
+              (s.column.name.head, !s.newNullability.get)
+            }
+            GraftAlterCommand(path, AlterNotNull(changes))
+          } else if (defaultish.nonEmpty) {
             val changes = defaultish.map { s =>
               require(s.newDataType.isEmpty,
                 "combine TYPE and DEFAULT changes as separate statements")
@@ -626,31 +676,47 @@ object GraftSqlDml {
       case CreateTable(ident, cols, partitioning, spec: UnresolvedTableSpec,
           ignoreIfExists) =>
         identManifestPath(spark, ident).map { path =>
-          val (cons, partCols, stCols, blCols) =
+          val (cons, partCols, stCols, blCols, clCols) =
             validateCreateSpec(spec, partitioning)
-          val (plain, gen, defs, identity) = splitColumns(cols, partCols)
+          val (plain, gen, defs, identity, nnCons) = splitColumns(cols, partCols)
+          nnCons.foreach { case (n, _) =>
+            require(!cons.exists(_._1 == n),
+              s"CHECK constraint $n collides with the reserved NOT NULL " +
+                "lowering name — rename the constraint") }
+          // pre-validate CLUSTER BY against the DECLARED columns — an
+          // invalid key must leave no half-created table
+          clCols.foreach { c =>
+            require(cols.exists(_.name.equalsIgnoreCase(c)),
+              s"CLUSTER BY column $c is not a declared column " +
+                s"(columns: ${cols.map(_.name).mkString(", ")})")
+            require(!partCols.exists(_.equalsIgnoreCase(c)),
+              s"CLUSTER BY column $c is a partition column — partitions " +
+                "lay out by directory; cluster on data columns") }
           GraftCreateTableCommand(path, CreateEmpty(plain, ignoreIfExists),
-            gen, partCols, cons, stCols, blCols, defs, identity)
+            gen, partCols, cons ++ nnCons, stCols, blCols, defs, identity,
+            clCols)
         }
       case CreateTableAsSelect(ident, partitioning, query,
           spec: UnresolvedTableSpec, writeOptions, ignoreIfExists, _) =>
         identManifestPath(spark, ident).map { path =>
           require(writeOptions.isEmpty,
             "write options are not supported on manifest CTAS")
-          val (cons, partCols, stCols, blCols) =
+          val (cons, partCols, stCols, blCols, clCols) =
             validateCreateSpec(spec, partitioning)
           GraftCreateTableCommand(path, CreateAsSelect(query, ignoreIfExists),
-            Seq.empty, partCols, cons, stCols, blCols)
+            Seq.empty, partCols, cons, stCols, blCols,
+            clusterCols = clCols)
         }
       case ReplaceTableAsSelect(ident, partitioning, query,
           spec: UnresolvedTableSpec, writeOptions, orCreate, _) =>
         identManifestPath(spark, ident).map { path =>
           require(writeOptions.isEmpty,
             "write options are not supported on manifest REPLACE TABLE")
-          val (cons, partCols, stCols, blCols) =
+          val (cons, partCols, stCols, blCols, clCols) =
             validateCreateSpec(spec, partitioning)
           GraftCreateTableCommand(path, ReplaceAsSelect(query, orCreate),
-            Seq.empty, partCols, cons, stCols, blCols)
+            Seq.empty, partCols, cons, stCols, blCols,
+            clusterCols = clCols)
         }
       // ---- ANALYZE TABLE: metadata-only stats backfill through the
       // engine — bounds/null-counts/value-sets for live files missing
@@ -997,6 +1063,28 @@ final case class GraftMergeCommand(path: String, sourcePlan: LogicalPlan,
 /** One translated ALTER TABLE operation (expressions/types already
   * extracted — the command is a pure dispatch).
   */
+/** NOT NULL as DDL sugar over the CHECK machinery: `col T NOT NULL`
+  * lowers to a reserved-name CHECK constraint (`graft_nn_<col>` →
+  * `` `col` IS NOT NULL ``) so enforcement rides the exact pre-publish
+  * validation every constraint gets — existing-row scan on declare,
+  * per-batch violation counts on write, carried by compaction/restore.
+  * SHOW CREATE / DESCRIBE recognize the lowered pair and render it
+  * back as NOT NULL (and never as a CONSTRAINT line, keeping the
+  * emitted DDL runnable); a hand-declared CHECK with a different name
+  * stays a CHECK. Partition columns are exempt (non-null by layout).
+  */
+private[etl] object GraftNotNull {
+  def name(col: String): String = s"graft_nn_$col"
+  def expr(col: String): String =
+    "`" + col.replace("`", "``") + "` IS NOT NULL"
+  /** Is this recorded (name, expression) pair the lowering of
+    * `NOT NULL` on `col`? Both halves must match — a user constraint
+    * that merely reuses the name renders as the CHECK it is.
+    */
+  def isLowered(col: String, n: String, e: String): Boolean =
+    n == name(col) && e == expr(col)
+}
+
 sealed trait GraftAlterOp
 final case class AlterAddCols(cols: Seq[(String, org.apache.spark.sql.types.DataType)]) extends GraftAlterOp
 final case class AlterRenameCol(from: String, to: String) extends GraftAlterOp
@@ -1005,6 +1093,7 @@ final case class AlterWidenCols(cols: Seq[(String, org.apache.spark.sql.types.Da
 final case class AlterSetDefaults(changes: Seq[(String, Option[String])]) extends GraftAlterOp
 final case class AlterAddConstraint(name: String, conditionSql: String) extends GraftAlterOp
 final case class AlterDropConstraint(name: String, ifExists: Boolean) extends GraftAlterOp
+final case class AlterNotNull(changes: Seq[(String, Boolean)]) extends GraftAlterOp
 
 /** `ALTER TABLE <manifest table> …` — dispatches to the engine's
   * metadata-only schema ops (ADD/RENAME/DROP COLUMN, ALTER COLUMN TYPE
@@ -1082,6 +1171,49 @@ final case class GraftAlterCommand(path: String, op: GraftAlterOp)
         val m = ManifestLake.readManifest(fs, root, head())
         if (!m.constraints.contains(name) && ifExists) head()
         else ManifestLake.dropConstraint(spark, path, name)
+      case AlterNotNull(changes) =>
+        require(changes.map(_._1.toLowerCase).distinct.size == changes.size,
+          "ALTER COLUMN names a column twice")
+        val (fs, root) = ManifestLake.fsFor(spark, path)
+        val m = ManifestLake.readManifest(fs, root, head())
+        val logical = ManifestLake.logicalSchemaOf(m)
+        require(logical.nonEmpty,
+          s"table at $path has a headerless legacy manifest — NOT NULL " +
+            "needs the recorded schema (run one append first)")
+        // pre-validate the WHOLE list before the first commit — each
+        // change is its own atomic version, and a bad second column
+        // must not leave the statement half-applied
+        changes.foreach { case (c, makeNotNull) =>
+          val col = logical.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"no column $c on the table at $path " +
+                s"(columns: ${logical.fieldNames.mkString(", ")})")).name
+          if (makeNotNull) {
+            require(!m.constraints.contains(GraftNotNull.name(col)),
+              if (m.constraints.get(GraftNotNull.name(col))
+                    .exists(e => GraftNotNull.isLowered(col, GraftNotNull.name(col), e)))
+                s"column $col is already NOT NULL"
+              else s"a CHECK constraint already claims the reserved name " +
+                s"${GraftNotNull.name(col)} — drop it before declaring " +
+                s"$col NOT NULL")
+          } else {
+            val e = m.constraints.get(GraftNotNull.name(col))
+            require(e.exists(x => GraftNotNull.isLowered(col, GraftNotNull.name(col), x)),
+              if (e.isDefined)
+                s"constraint ${GraftNotNull.name(col)} on $path is a " +
+                  "hand-declared CHECK, not a NOT NULL lowering — drop it " +
+                  "by name with DROP CONSTRAINT"
+              else s"column $col carries no NOT NULL")
+          }
+        }
+        changes.map { case (c, makeNotNull) =>
+          val col = logical.fields.find(_.name.equalsIgnoreCase(c)).get.name
+          if (makeNotNull)
+            ManifestLake.addConstraint(spark, path,
+              GraftNotNull.name(col), GraftNotNull.expr(col))
+          else
+            ManifestLake.dropConstraint(spark, path, GraftNotNull.name(col))
+        }.last
     }
     Seq(Row(v))
   }
@@ -1125,7 +1257,8 @@ final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
     partCols: Seq[String], checkConstraints: Seq[(String, String)],
     statsCols: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty,
     defaults: Seq[(String, String)] = Seq.empty,
-    identity: Option[(String, Long, Long, Boolean)] = None)
+    identity: Option[(String, Long, Long, Boolean)] = None,
+    clusterCols: Seq[String] = Seq.empty)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = mode match {
     case CreateAsSelect(q, _) => Seq(q)
@@ -1190,9 +1323,12 @@ final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
           ManifestLake.addConstraint(spark, path, n, e) }
         val vd = defaults.foldLeft(vc) { case (_, (n, sql)) =>
           ManifestLake.setColumnDefault(spark, path, n, Some(sql)) }
-        identity.map { case (n, start, step, byDefault) =>
+        val vi = identity.map { case (n, start, step, byDefault) =>
           ManifestLake.declareIdentity(spark, path, n, start, step, byDefault)
         }.getOrElse(vd)
+        if (clusterCols.isEmpty) vi
+        else ManifestLake.setTableProperties(spark, path,
+          set = Map("graft.clusterCols" -> clusterCols.mkString(",")))
     }
     Seq(Row(v))
   }
@@ -1280,8 +1416,13 @@ final case class GraftDescribeCommand(path: String, isExtended: Boolean)
     require(logical.nonEmpty,
       s"table at $path has a headerless legacy manifest — DESCRIBE needs " +
         "the recorded schema (run one append or upsert to adopt a header first)")
+    // the comment column surfaces a lowered NOT NULL (DESCRIBE has no
+    // nullability column of its own; Delta renders it the same way)
+    def notNull(col: String): Boolean = m.constraints.exists { case (n, e) =>
+      GraftNotNull.isLowered(col, n, e) }
     val colRows = logical.fields.toSeq.map(f =>
-      Row(f.name, f.dataType.simpleString, null))
+      Row(f.name, f.dataType.simpleString,
+        if (notNull(f.name)) "not null" else null))
     val partRows =
       if (m.partCols.isEmpty) Seq.empty
       else Row("# Partition Information", "", null) +:
@@ -1299,8 +1440,11 @@ final case class GraftDescribeCommand(path: String, isExtended: Boolean)
         Row("Provider", "graft-manifest", null),
         Row("Version", v.toString, null),
         Row("StatsCols", m.statsColsDefault.mkString(","), null),
-        Row("BloomCols", m.bloomCols.mkString(","), null)) ++
-        m.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+        Row("BloomCols", m.bloomCols.mkString(","), null),
+        Row("ClusterCols", m.clusterCols.mkString(","), null)) ++
+        m.constraints.toSeq.filterNot { case (n, e) =>
+          logical.fieldNames.exists(c => GraftNotNull.isLowered(c, n, e))
+        }.sortBy(_._1).map { case (n, e) =>
           Row(s"Constraint $n", e, null) }
     colRows ++ partRows ++ extRows
   }
@@ -1339,6 +1483,7 @@ final case class GraftShowPropertiesCommand(path: String, key: Option[String])
       "provider" -> "graft-manifest",
       "graft.statsCols" -> m.statsColsDefault.mkString(","),
       "graft.bloomCols" -> m.bloomCols.mkString(","),
+      "graft.clusterCols" -> m.clusterCols.mkString(","),
       "graft.partitionCols" -> m.partCols.mkString(","),
       "graft.version" -> v.toString)
     key match {
@@ -1389,22 +1534,33 @@ final case class GraftShowCreateCommand(path: String)
       genFields.partition(f => m.partCols.exists(_.equalsIgnoreCase(f.name)))
     val defByName = m.defaults.toMap
     val identByName = m.identity.map(i => i._1 -> ((i._2, i._3, i._5))).toMap
+    // a NOT NULL lowered to its reserved CHECK pair renders back as
+    // NOT NULL on the column line (and NOT as a CONSTRAINT line — the
+    // emitted DDL re-lowers it, so emitting both would double-declare)
+    def notNull(col: String): Boolean = m.constraints.exists { case (n, e) =>
+      GraftNotNull.isLowered(col, n, e) }
+    def nn(col: String): String = if (notNull(col)) " NOT NULL" else ""
     val colLines = (plainFields ++ genPartF ++ genOtherF).map { f =>
       genByName.get(f.name) match {
         case Some(expr) =>
-          s"  ${q(f.name)} ${f.dataType.sql} GENERATED ALWAYS AS ($expr)"
+          s"  ${q(f.name)} ${f.dataType.sql}${nn(f.name)} " +
+            s"GENERATED ALWAYS AS ($expr)"
         case None => identByName.get(f.name) match {
           case Some((st, sp, bd)) =>
-            s"  ${q(f.name)} ${f.dataType.sql} GENERATED " +
+            s"  ${q(f.name)} ${f.dataType.sql}${nn(f.name)} GENERATED " +
               (if (bd) "BY DEFAULT" else "ALWAYS") +
               s" AS IDENTITY (START WITH $st INCREMENT BY $sp)"
           case None =>
-            s"  ${q(f.name)} ${f.dataType.sql}" +
+            s"  ${q(f.name)} ${f.dataType.sql}${nn(f.name)}" +
               defByName.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
         }
       }
     }
-    val consLines = m.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+    val lowered = logical.fieldNames.toSet.flatMap((c: String) =>
+      m.constraints.collect {
+        case (n, e) if GraftNotNull.isLowered(c, n, e) => n })
+    val consLines = m.constraints.toSeq.filterNot(c => lowered(c._1))
+      .sortBy(_._1).map { case (n, e) =>
       s"  CONSTRAINT ${q(n)} CHECK ($e)"
     }
     val props = Seq(
@@ -1416,6 +1572,13 @@ final case class GraftShowCreateCommand(path: String)
     stmt ++= "\n)\nUSING `graft-manifest`"
     if (m.partCols.nonEmpty)
       stmt ++= s"\nPARTITIONED BY (${m.partCols.map(q).mkString(", ")})"
+    if (m.clusterCols.nonEmpty) {
+      // clustering keys are recorded physical — render the LOGICAL
+      // names so the emitted DDL re-declares on a fresh (unmapped) table
+      val toLogical = m.colMap.map(_.map(_.swap).toMap).getOrElse(Map.empty)
+      stmt ++= s"\nCLUSTER BY (${m.clusterCols
+        .map(c => q(toLogical.getOrElse(c, c))).mkString(", ")})"
+    }
     if (props.nonEmpty)
       stmt ++= "\nTBLPROPERTIES (" + props.map { case (k, value) =>
         s"'$k' = '$value'" }.mkString(", ") + ")"

@@ -244,7 +244,8 @@ object ManifestLake {
                                          chain: Int = 0,
                                          baseVersions: Seq[Long] = Seq.empty,
                                          defaults: Seq[(String, String)] = Seq.empty,
-                                         identity: Option[(String, Long, Long, Long, Boolean)] = None)
+                                         identity: Option[(String, Long, Long, Long, Boolean)] = None,
+                                         clusterCols: Seq[String] = Seq.empty)
 
   /** Published manifests are IMMUTABLE (a version is never rewritten —
     * restore publishes a NEW version), so parsed manifests cache across
@@ -718,6 +719,11 @@ object ManifestLake {
     val statsColsDefault = dmap.get("#statscols")
       .map(v => if (v.isEmpty) Seq.empty[String] else v.split(",").toSeq)
       .getOrElse(Seq.empty)
+    // declared CLUSTERING keys (physical names): bare OPTIMIZE lays
+    // rewritten files out by these — Delta's liquid-clustering idiom
+    val clusterCols = dmap.get("#clustercols")
+      .map(v => if (v.isEmpty) Seq.empty[String] else v.split(",").toSeq)
+      .getOrElse(Seq.empty)
     val generated = directives.filter(_.startsWith("#gencol\t")).map { d =>
       val rest = d.substring("#gencol\t".length)
       val i = rest.indexOf('\t')
@@ -772,7 +778,8 @@ object ManifestLake {
     (Manifest(schema, partCols, filesAll, txns, op, cdf, constraints,
       if (colMapEntries.isEmpty) None else Some(colMapEntries), dropped,
       bloomCols, generated, fieldMap, statsColsDefault,
-      fieldDropped, ckptRef, defaults = defaults, identity = identity),
+      fieldDropped, ckptRef, defaults = defaults, identity = identity,
+      clusterCols = clusterCols),
       deltaRef, removes)
   }
 
@@ -1070,7 +1077,8 @@ object ManifestLake {
                            fieldDropped: Seq[(String, String)] = Seq.empty,
                            deltaHint: Option[(Seq[LiveFile], Seq[String])] = None,
                            defaults: Seq[(String, String)] = Seq.empty,
-                           identity: Option[(String, Long, Long, Long, Boolean)] = None): Unit = {
+                           identity: Option[(String, Long, Long, Long, Boolean)] = None,
+                           clusterCols: Seq[String] = Seq.empty): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
     txns.keys.foreach(app => require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
@@ -1112,6 +1120,8 @@ object ManifestLake {
       (if (bloomCols.isEmpty) Nil else Seq(s"#bloomcols\t${bloomCols.mkString(",")}")) ++
       (if (statsColsDefault.isEmpty) Nil
        else Seq(s"#statscols\t${statsColsDefault.mkString(",")}")) ++
+      (if (clusterCols.isEmpty) Nil
+       else Seq(s"#clustercols\t${clusterCols.mkString(",")}")) ++
       generated.map { case (n, e) => s"#gencol\t$n\t$e" } ++
       defaults.map { case (n, e) => s"#coldefault\t$n\t$e" } ++
       identity.map { case (n, st, sp, wm, bd) =>
@@ -1365,7 +1375,7 @@ object ManifestLake {
       val resolved = Manifest(schema, partCols, resolvedFiles, txns, op, cdf,
         constraints, colMap.filter(_.nonEmpty), droppedPhys, bloomCols, generated,
         fieldMap, statsColsDefault, fieldDropped, ckptRefOut,
-        defaults = defaults, identity = identity,
+        defaults = defaults, identity = identity, clusterCols = clusterCols,
         chain = delta.map(_._3).getOrElse(0),
         baseVersions =
           delta.map(_ => prevM.get.baseVersions :+ (v - 1)).getOrElse(Seq.empty))
@@ -1850,9 +1860,206 @@ object ManifestLake {
       op = Some("clone"), constraints = srcM.constraints,
       colMap = srcM.colMap, droppedPhys = srcM.droppedPhys,
       bloomCols = srcM.bloomCols, statsColsDefault = srcM.statsColsDefault,
-      generated = srcM.generated, defaults = srcM.defaults, identity = srcM.identity,
+      generated = srcM.generated, defaults = srcM.defaults, identity = srcM.identity, clusterCols = srcM.clusterCols,
       fieldMap = srcM.fieldMap, fieldDropped = srcM.fieldDropped)
     v
+  }
+
+  /** DEEP CLONE — [[shallowClone]]'s complement: the clone COPIES every
+    * referenced data file (and DV/bloom sidecar) into its OWN tree, so
+    * it shares no storage with the source — backup, region migration,
+    * or a clone that must outlive the source's retention (the one
+    * cross-table hazard shallow clones carry). Same header carry as
+    * shallow (schema, partitioning, constraints, mapping, generated,
+    * defaults, identity, stats/bloom declarations, per-file stats);
+    * same fresh-ledger stance (a clone is a new stream target).
+    *
+    * Layout: copies land under ONE fresh unique-suffixed commit dir
+    * (`data/v<N>-<tok>/…` — the exact staging shape optimistic appends
+    * use, so a concurrent vacuum's in-flight grace protects the copy
+    * until the manifest publishes). Each entry NESTS its original path
+    * under that dir, preserving its `data/v…` run: deletion-vector
+    * masks join on the suffix from the LAST `/data/v` marker (the
+    * relocatability contract, [[relPathExpr]]), so the nested copy
+    * derives the same key and copied masks keep applying byte-
+    * unchanged. External (absolute) entries gain an `ext-<hash>/`
+    * segment (hash of the absolute path) so two sources' identical
+    * suffixes cannot collide; the segment carries no '=' so hive
+    * partition parsing ([[partDirOf]]) is undisturbed.
+    *
+    * The copy is DISTRIBUTED — one Spark job over the file list, each
+    * task copying with the session's Hadoop configuration; a 100 TB
+    * clone moves bytes at cluster width, never through the driver.
+    */
+  def deepClone(spark: SparkSession, sourcePath: String, targetPath: String,
+                versionAsOf: Option[Long] = None,
+                orReplace: Boolean = false,
+                ifNotExists: Boolean = false): Long = {
+    val (srcFs, srcRoot) = fsFor(spark, sourcePath)
+    val (fs, root) = fsFor(spark, targetPath)
+    require(srcFs.makeQualified(srcRoot) != fs.makeQualified(root),
+      s"cannot clone $sourcePath onto itself — ALTER TABLE … MATERIALIZE " +
+        "untethers a shallow clone in place")
+    val srcHead = currentVersion(spark, sourcePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifested table at $sourcePath to clone"))
+    versionAsOf.foreach(v => require(v >= 1 && v <= srcHead,
+      s"DEEP CLONE VERSION AS OF $v: source versions are 1..$srcHead"))
+    val srcM = readManifest(srcFs, srcRoot, versionAsOf.getOrElse(srcHead))
+    val existing = currentVersion(spark, targetPath)
+    if (existing.isDefined && ifNotExists) return existing.get
+    require(existing.isEmpty || orReplace,
+      s"manifest table already exists at $targetPath — use CREATE OR " +
+        "REPLACE TABLE ... DEEP CLONE (or IF NOT EXISTS to skip)")
+    val v = existing.map(_ + 1).getOrElse(1L)
+    // already-qualified URIs pass through (a clone-of-a-clone's source
+    // may live on another scheme — makeQualified would refuse Wrong FS)
+    def abs(p: String): String =
+      if (p.contains(":/")) p
+      else srcFs.makeQualified(new Path(srcRoot, p)).toString
+    val (entries, copies) =
+      repathForCopy(srcM.files, abs, v, all = true, "DEEP CLONE")
+    distributedCopy(spark, fs, root, copies)
+    publish(fs, root, v, entries, srcM.schema, srcM.partCols,
+      op = Some("clone"), constraints = srcM.constraints,
+      colMap = srcM.colMap, droppedPhys = srcM.droppedPhys,
+      bloomCols = srcM.bloomCols, statsColsDefault = srcM.statsColsDefault,
+      generated = srcM.generated, defaults = srcM.defaults, identity = srcM.identity, clusterCols = srcM.clusterCols,
+      fieldMap = srcM.fieldMap, fieldDropped = srcM.fieldDropped)
+    v
+  }
+
+  /** `ALTER TABLE … MATERIALIZE` — untether a shallow clone (or a
+    * table with adopted external files) IN PLACE: copy every external
+    * (absolute) reference — data, DV, bloom — into the table's own
+    * tree and publish one commit re-referencing the copies. Rows are
+    * untouched; entries that already live under the root stay where
+    * they are (no copy). After this, source-side VACUUM/deletion can
+    * no longer hurt the table, and the copies are engine-owned (the
+    * table's own vacuum manages them). A table with no external
+    * references is a NO-OP — the head version returns unchanged, no
+    * commit publishes.
+    */
+  def materialize(spark: SparkSession, path: String): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifested table at $path (MATERIALIZE needs an existing table)"))
+    val m = readManifest(fs, root, v)
+    val anyExternal = m.files.exists(f => isExternalRef(f.path) ||
+      f.dv.exists(isExternalRef) || f.bloom.exists(isExternalRef))
+    if (!anyExternal) return v
+    val (entries, copies) =
+      repathForCopy(m.files, p => p, v + 1, all = false, "MATERIALIZE")
+    distributedCopy(spark, fs, root, copies)
+    val oldPaths = m.files.map(_.path).toSet
+    val newPaths = entries.map(_.path).toSet
+    publish(fs, root, v + 1, entries, m.schema, m.partCols, m.txns,
+      op = Some("materialize"), constraints = m.constraints,
+      colMap = m.colMap, droppedPhys = m.droppedPhys,
+      bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
+      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols,
+      fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
+      deltaHint = Some((entries.filterNot(e => oldPaths(e.path)),
+        (oldPaths -- newPaths).toSeq)))
+    v + 1
+  }
+
+  /** Is this manifest reference external — an absolute path or URI
+    * (clone-referenced or adopted-in-place), as opposed to a
+    * root-relative engine-written file?
+    */
+  private def isExternalRef(p: String): Boolean =
+    new Path(p).isAbsolute || p.contains(":/")
+
+  /** Re-path a manifest's entries (data + DV + bloom references) into
+    * ONE fresh unique-suffixed commit dir for a physical copy. `abs`
+    * resolves an entry to its absolute source location; `all` copies
+    * every entry (deep clone) vs only the external ones (materialize,
+    * where `abs` is identity because external refs are already
+    * absolute). Returns the rewritten entries and the deduplicated
+    * (absoluteSource, targetRelative) copy list — DV dirs are shared
+    * across entries, so the mapping must be per-path deterministic.
+    *
+    * The DV contract gate: a DV-masked data file must keep a
+    * `/data/v` run in its post-copy path at the same suffix, or the
+    * mask's derived join key ([[relPathExpr]]: suffix from the LAST
+    * marker) would change and deleted rows would resurrect. Engine-
+    * written files always qualify; a hand-adopted masked file without
+    * the marker refuses loudly.
+    */
+  private def repathForCopy(files: Seq[LiveFile], abs: String => String,
+                            v: Long, all: Boolean, what: String)
+      : (Seq[LiveFile], Seq[(String, String)]) = {
+    val stage = f"$DataDir/v$v%06d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val marker = "/" + DataDir + "/v"
+    def sha8(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    val copies = collection.mutable.LinkedHashMap.empty[String, String]
+    def mapOne(p: String, masked: Boolean): String = {
+      val ext = isExternalRef(p)
+      if (!ext && !all) return p // materialize: local refs stay in place
+      val a = abs(p)
+      val rel =
+        if (!ext) s"$stage/$p"
+        else {
+          val i = a.lastIndexOf(marker)
+          if (i >= 0) s"$stage/ext-${sha8(a)}${a.substring(i)}"
+          else {
+            val name = a.substring(a.lastIndexOf('/') + 1)
+            val pd = partDirOf(p)
+            s"$stage/ext-${sha8(a)}/" + (if (pd.isEmpty) name else s"$pd/$name")
+          }
+        }
+      // masked files must keep their derived join key: the pre-copy
+      // path must carry the marker (the copy then nests it, and the
+      // LAST-marker extraction lands on the preserved inner run)
+      require(!masked ||
+          (if (ext) a.lastIndexOf(marker) >= 0 else ("/" + p).contains(marker)),
+        s"$what: entry $p carries a deletion vector but its path has no " +
+          s"`$marker` run — the mask joins on that suffix and cannot " +
+          "survive a re-path; compact or rewrite the source first")
+      val prev = copies.getOrElseUpdate(rel, a)
+      require(prev == a,
+        s"$what: two distinct sources map to the same target path $rel " +
+          s"($prev vs $a) — clone into a fresh path instead")
+      rel
+    }
+    val entries = files.map { f =>
+      val masked = f.dv.isDefined
+      f.copy(path = mapOne(f.path, masked),
+        dv = f.dv.map(mapOne(_, masked = false)),
+        bloom = f.bloom.map(mapOne(_, masked = false)))
+    }
+    (entries, copies.toSeq.map { case (rel, a) => (a, rel) })
+  }
+
+  /** Copy `(absoluteSource, targetRelative)` pairs into the table tree
+    * as ONE distributed Spark job — a task per slice of the list, each
+    * copying (recursively, for DV dirs) through the session's Hadoop
+    * configuration. Overwrite is on so task RETRIES are idempotent;
+    * the target paths live under a fresh unique-suffixed stage dir, so
+    * nothing readable can be overwritten.
+    */
+  private def distributedCopy(spark: SparkSession, fs: FileSystem, root: Path,
+                              copies: Seq[(String, String)]): Unit = {
+    if (copies.isEmpty) return
+    val serConf = new org.apache.spark.sql.graftshim.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val rootQ = fs.makeQualified(root).toString
+    val slices = math.max(1,
+      math.min(copies.size, spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(copies, slices).foreach {
+      case (srcAbs, dstRel) =>
+        val conf = serConf.value
+        val src = new Path(srcAbs)
+        val sfs = src.getFileSystem(conf)
+        val dst = new Path(rootQ + "/" + dstRel)
+        val dfs = dst.getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(sfs, src, dfs, dst,
+          false, true, conf): Unit
+    }
   }
 
   def write(spark: SparkSession, df: DataFrame, path: String,
@@ -2424,6 +2631,7 @@ object ManifestLake {
           generated = genCols,
           defaults = curPrev.map(_.defaults).getOrElse(Seq.empty),
           identity = newIdentity.orElse(curPrev.flatMap(_.identity)),
+          clusterCols = curPrev.map(_.clusterCols).getOrElse(Seq.empty),
           fieldMap = curPrev.map(_.fieldMap).getOrElse(Seq.empty),
           fieldDropped = curPrev.map(_.fieldDropped).getOrElse(Seq.empty),
           // an append drops nothing: the delta is exactly the staged
@@ -2698,11 +2906,12 @@ object ManifestLake {
       m.constraints.toSeq.sortBy(_._1)
         .map { case (n, e) => s"$n: $e" }.mkString("; "),
       m.colMap.map(_.filter { case (l, p) => l != p }
-        .map { case (l, p) => s"$l->$p" }.mkString(",")).getOrElse("")))
+        .map { case (l, p) => s"$l->$p" }.mkString(",")).getOrElse(""),
+      m.clusterCols.mkString(",")))
       .toDF("version", "op", "n_files", "total_bytes", "partition_cols",
         "n_columns", "bounds_coverage", "null_count_coverage",
         "value_set_coverage", "change_feed", "n_writers", "constraints",
-        "column_mapping")
+        "column_mapping", "clustering_cols")
   }
 
   /** Every published (not-yet-vacuumed) version of the table, oldest
@@ -3201,15 +3410,36 @@ object ManifestLake {
               clusterBy: Seq[String] = Seq.empty,
               zOrderBy: Seq[String] = Seq.empty,
               maxMaskedFraction: Double = 1.0,
-              where: Option[Column] = None): Seq[(String, Int, Int)] = {
+              where: Option[Column] = None,
+              full: Boolean = false): Seq[(String, Int, Int)] = {
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy and zOrderBy are mutually exclusive layout choices")
     val (fs, root) = fsFor(spark, path)
     val v = currentVersion(spark, path).getOrElse(
       return Seq.empty)
     val manifest = readManifest(fs, root, v)
+    // DECLARED CLUSTERING (the CLUSTER BY header fact, Delta's liquid-
+    // clustering idiom): a bare compact / OPTIMIZE lays rewritten files
+    // out by the declared keys without re-spelling them — z-order when
+    // 2+ keys are all curve-encodable (numeric/date/timestamp), else
+    // lexicographic range-clustering. Explicit arguments override the
+    // declaration for this one run.
+    val (clusterEff, zOrderEff) =
+      if (clusterBy.nonEmpty || zOrderBy.nonEmpty) (clusterBy, zOrderBy)
+      else if (manifest.clusterCols.isEmpty) (Seq.empty[String], Seq.empty[String])
+      else {
+        val cc = manifest.clusterCols
+        val zable = manifest.schema.exists(s => cc.forall(c =>
+          s.fields.find(_.name == c).map(_.dataType).exists {
+            case _: org.apache.spark.sql.types.NumericType => true
+            case org.apache.spark.sql.types.DateType => true
+            case org.apache.spark.sql.types.TimestampType => true
+            case _ => false
+          }))
+        if (cc.size >= 2 && zable) (Seq.empty[String], cc) else (cc, Seq.empty[String])
+      }
     manifest.schema.foreach { s =>
-      val missing = zOrderBy.filterNot(s.fieldNames.contains)
+      val missing = zOrderEff.filterNot(s.fieldNames.contains)
       require(missing.isEmpty,
         s"zOrderBy column(s) ${missing.mkString(", ")} not in the recorded " +
           s"schema ${s.fieldNames.mkString(", ")}")
@@ -3217,9 +3447,9 @@ object ManifestLake {
     // a partition column is constant within each rewritten partition —
     // z-ordering on it wastes curve bits at best, and the per-partition
     // file read doesn't even carry it as a data column
-    require(!zOrderBy.exists(manifest.partCols.contains),
+    require(!zOrderEff.exists(manifest.partCols.contains),
       s"zOrderBy cannot include partition column(s) " +
-        s"${zOrderBy.filter(manifest.partCols.contains).mkString(", ")} — " +
+        s"${zOrderEff.filter(manifest.partCols.contains).mkString(", ")} — " +
         "they are constant within every rewritten partition")
     val live = manifest.files
     val byPartAll = live.groupBy(f => partDirOf(f.path))
@@ -3248,7 +3478,11 @@ object ManifestLake {
     val plans = byPart.toSeq.sortBy(_._1).flatMap { case (part, fls) =>
       val bytes = fls.map(_.bytes).sum
       val want = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
-      if (fls.length > want) Some((part, fls, want))
+      // OPTIMIZE … FULL (Delta's liquid re-cluster verb): rewrite every
+      // selected partition regardless of fragmentation — the verb for
+      // applying a NEWLY-declared clustering to already-compacted data
+      if (full && fls.nonEmpty) Some((part, fls, want))
+      else if (fls.length > want) Some((part, fls, want))
       else {
         // DV-AWARE MAINTENANCE (Delta's `REORG … APPLY (PURGE)` analog):
         // a long-lived table under steady deletion-vector deletes never
@@ -3290,7 +3524,7 @@ object ManifestLake {
           spark.read.parquet(fls.map(f => new Path(root, f.path).toString): _*)
         else readFileSlice(spark, path, manifest, fls)
           .drop(manifest.partCols: _*)
-      val cluster = clusterBy.filter(src.columns.contains).map(col)
+      val cluster = clusterEff.filter(src.columns.contains).map(col)
       // same file-count-target stance as Lake.compact: when the scan
       // bin-packs below the target, coalesce can only undershoot — range-
       // repartition on the cluster key (free row-group clustering) or
@@ -3298,7 +3532,7 @@ object ManifestLake {
       // range-repartitions on the z-value (curve-contiguous files are
       // the entire point; a coalesce would interleave curve segments)
       val sorted =
-        if (zOrderBy.nonEmpty) graft.ops.ZOrder.cluster(src, zOrderBy, want)
+        if (zOrderEff.nonEmpty) graft.ops.ZOrder.cluster(src, zOrderEff, want)
         else {
           val shaped =
             if (src.rdd.getNumPartitions < want) {
@@ -3360,7 +3594,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = curM.statsColsDefault,
-          generated = curM.generated, defaults = curM.defaults, identity = curM.identity, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
+          generated = curM.generated, defaults = curM.defaults, identity = curM.identity, clusterCols = curM.clusterCols, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((withStats, inputPaths.toSeq)))
         return report
       } catch {
@@ -3371,13 +3605,23 @@ object ManifestLake {
           val headV = currentVersion(spark, path).getOrElse(throw e)
           val headM = readManifest(fs, root, headV)
           val headPaths = headM.files.map(_.path).toSet
-          if (!inputPaths.forall(headPaths.contains)) {
+          // the rewrite is equivalent ONLY if every input is live at
+          // the head with the SAME deletion-vector state the rewrite
+          // read: a concurrent DV-delete leaves the file live but masks
+          // rows the staged rewrite has already materialized — carrying
+          // the stage forward would silently resurrect them
+          val headDv = headM.files.map(f => f.path -> ((f.dv, f.dvRows))).toMap
+          val snapDv = manifest.files.map(f => f.path -> ((f.dv, f.dvRows))).toMap
+          val dvDrift = inputPaths.exists(p =>
+            headDv.get(p) != snapDv.get(p))
+          if (!inputPaths.forall(headPaths.contains) || dvDrift) {
             fs.delete(commitDir, true)
             throw new IllegalStateException(
-              s"compact of $path lost its race to a commit that rewrote or " +
-                "removed compacted input files — the staged layout bakes in " +
-                "superseded rows and was withdrawn; the table is intact at " +
-                s"v$headV. Re-run compact against the new head.", e)
+              s"compact of $path lost its race to a commit that rewrote, " +
+                "removed, or re-masked compacted input files — the staged " +
+                "layout bakes in superseded rows and was withdrawn; the " +
+                s"table is intact at v$headV. Re-run compact against the " +
+                "new head.", e)
           }
           curM = headM
           curV = headV + 1
@@ -3718,7 +3962,7 @@ object ManifestLake {
           constraints = manifest.constraints, colMap = colMapOutU,
           droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
           statsColsDefault = manifest.statsColsDefault,
-          generated = manifest.generated, defaults = manifest.defaults, identity = manifest.identity, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
+          generated = manifest.generated, defaults = manifest.defaults, identity = manifest.identity, clusterCols = manifest.clusterCols, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
           deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
         return curV
       } catch {
@@ -3975,7 +4219,7 @@ object ManifestLake {
             constraints = manifest.constraints, colMap = colMapOut,
             droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
           statsColsDefault = manifest.statsColsDefault,
-            generated = manifest.generated, defaults = manifest.defaults, identity = manifest.identity, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
+            generated = manifest.generated, defaults = manifest.defaults, identity = manifest.identity, clusterCols = manifest.clusterCols, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
             deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
           return curV
         } catch {
@@ -4544,7 +4788,7 @@ object ManifestLake {
             constraints = manifest.constraints, colMap = manifest.colMap,
             droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
           statsColsDefault = manifest.statsColsDefault,
-            generated = manifest.generated, defaults = manifest.defaults, identity = manifest.identity, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
+            generated = manifest.generated, defaults = manifest.defaults, identity = manifest.identity, clusterCols = manifest.clusterCols, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
             deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
           return MergeStats(curV, nUpd, nDel, nIns)
         } catch {
@@ -5066,7 +5310,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = curM.statsColsDefault,
-          generated = curM.generated, defaults = curM.defaults, identity = curM.identity, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
+          generated = curM.generated, defaults = curM.defaults, identity = curM.identity, clusterCols = curM.clusterCols, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((staged, candidatePaths.toSeq)))
         return curV
       } catch {
@@ -5587,7 +5831,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = curM.statsColsDefault,
-          generated = curM.generated, defaults = curM.defaults, identity = curM.identity, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
+          generated = curM.generated, defaults = curM.defaults, identity = curM.identity, clusterCols = curM.clusterCols, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((staged, candidatePaths.toSeq)))
         return curV
       } catch {
@@ -5678,6 +5922,7 @@ object ManifestLake {
       bloomCols = target.bloomCols,
       statsColsDefault = target.statsColsDefault, generated = target.generated,
       defaults = target.defaults, identity = identityOut,
+      clusterCols = target.clusterCols,
       fieldMap = target.fieldMap, fieldDropped = target.fieldDropped)
     newV
   }
@@ -5746,7 +5991,7 @@ object ManifestLake {
       op = Some("constraint"), constraints = m.constraints + (name -> expression),
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = m.statsColsDefault,
-      generated = m.generated, defaults = m.defaults, identity = m.identity, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
+      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -5764,7 +6009,7 @@ object ManifestLake {
       op = Some("constraint"), constraints = m.constraints - name,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = m.statsColsDefault,
-      generated = m.generated, defaults = m.defaults, identity = m.identity, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
+      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -5799,10 +6044,11 @@ object ManifestLake {
     def keyOf(k: String): String = k.toLowerCase(java.util.Locale.ROOT) match {
       case "graft.statscols" => "stats"
       case "graft.bloomcols" => "bloom"
+      case "graft.clustercols" => "cluster"
       case _ => throw new IllegalArgumentException(
         s"table property $k is not supported on manifest tables " +
-          "(recognized: graft.statsCols, graft.bloomCols — " +
-          "comma-separated column lists)")
+          "(recognized: graft.statsCols, graft.bloomCols, " +
+          "graft.clusterCols — comma-separated column lists)")
     }
     val logical = logicalSchemaOf(m)
     val cm = m.colMap.getOrElse(logical.fieldNames.toSeq.map(n => n -> n)).toMap
@@ -5819,9 +6065,11 @@ object ManifestLake {
       }
     var stats = m.statsColsDefault
     var bloom = m.bloomCols
+    var cluster = m.clusterCols
     set.foreach { case (k, value) => keyOf(k) match {
       case "stats" => stats = resolvePhys(k, value).distinct
       case "bloom" => bloom = resolvePhys(k, value).distinct
+      case "cluster" => cluster = resolvePhys(k, value).distinct
     } }
     unset.foreach { k =>
       val recognized = try Some(keyOf(k)) catch {
@@ -5837,15 +6085,20 @@ object ManifestLake {
           require(bloom.nonEmpty || unsetIfExists,
             s"property $k is not set on $path (UNSET ... IF EXISTS skips silently)")
           bloom = Seq.empty
+        case Some("cluster") =>
+          require(cluster.nonEmpty || unsetIfExists,
+            s"property $k is not set on $path (UNSET ... IF EXISTS skips silently)")
+          cluster = Seq.empty
         case _ => ()
       }
     }
-    if (stats == m.statsColsDefault && bloom == m.bloomCols) return v
+    if (stats == m.statsColsDefault && bloom == m.bloomCols &&
+      cluster == m.clusterCols) return v
     fireRaceHook("properties")
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("properties"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = bloom,
-      statsColsDefault = stats, generated = m.generated, defaults = m.defaults, identity = m.identity,
+      statsColsDefault = stats, generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = cluster,
       fieldMap = m.fieldMap, fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -5898,7 +6151,7 @@ object ManifestLake {
       op = Some("properties"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
       statsColsDefault = m.statsColsDefault, generated = m.generated,
-      defaults = newDefaults, identity = m.identity,
+      defaults = newDefaults, identity = m.identity, clusterCols = m.clusterCols,
       fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -5956,15 +6209,27 @@ object ManifestLake {
         "mask would resurrect deleted rows; dropping the entry would lose " +
         "live rows). Restore the sidecar or delete the data file, then " +
         s"re-run. Affected: ${dvGone.take(5).map(_.path).mkString(", ")}")
-    if (gone.isEmpty || dryRun) return gone.map(_.path)
-    publish(fs, root, v + 1, m.files.filterNot(gone.contains), m.schema,
+    // a vanished BLOOM sidecar is unambiguous the way a DV is not:
+    // blooms are ancillary skip hints (scans already degrade to no-skip
+    // when one is unreadable) — FSCK un-references it so the dangling
+    // ref doesn't live forever
+    val bloomGone = m.files.filter(f =>
+      !gone.contains(f) && f.bloom.exists(missing))
+    // one bloom sidecar serves every file of its commit — report it once
+    val report = gone.map(_.path) ++ bloomGone.flatMap(_.bloom).distinct
+    if ((gone.isEmpty && bloomGone.isEmpty) || dryRun) return report
+    val repaired = bloomGone.map(_.copy(bloom = None))
+    val bloomGonePaths = bloomGone.map(_.path).toSet
+    publish(fs, root, v + 1,
+      m.files.filterNot(f => gone.contains(f) || bloomGonePaths(f.path)) ++
+        repaired, m.schema,
       m.partCols, m.txns, op = Some("fsck"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
       statsColsDefault = m.statsColsDefault, generated = m.generated,
-      defaults = m.defaults, identity = m.identity,
+      defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols,
       fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
-      deltaHint = Some((Seq.empty, gone.map(_.path))))
-    gone.map(_.path)
+      deltaHint = Some((repaired, gone.map(_.path))))
+    report
   }
 
   /** Declare `column` GENERATED ALWAYS (or, with `byDefault`, BY
@@ -6047,6 +6312,7 @@ object ManifestLake {
       statsColsDefault = (mSeed.statsColsDefault :+ phys).distinct,
       generated = mSeed.generated, defaults = mSeed.defaults,
       identity = Some((f.name, start, step, wm, byDefault)),
+      clusterCols = mSeed.clusterCols,
       fieldMap = mSeed.fieldMap, fieldDropped = mSeed.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     vSeed + 1
@@ -6164,7 +6430,7 @@ object ManifestLake {
           op = Some("analyze"), constraints = m.constraints, colMap = m.colMap,
           droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = newDefault, generated = m.generated,
-          defaults = m.defaults, identity = m.identity,
+          defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols,
           fieldMap = m.fieldMap, fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)))
         v + 1
       }
@@ -6226,7 +6492,7 @@ object ManifestLake {
               constraints = curM.constraints, colMap = curM.colMap,
               droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
               statsColsDefault = (curM.statsColsDefault ++ phys).distinct,
-              generated = curM.generated, defaults = curM.defaults, identity = curM.identity,
+              generated = curM.generated, defaults = curM.defaults, identity = curM.identity, clusterCols = curM.clusterCols,
               fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
               deltaHint = Some((updated, updated.map(_.path))))
             curV += 1
@@ -6391,7 +6657,8 @@ object ManifestLake {
       },
       identity = m.identity.map { case (n, st, sp, wm, bd) =>
         (if (n == oldName) newName else n, st, sp, wm, bd)
-      }, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
+      }, clusterCols = m.clusterCols,
+      fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
     v + 1
   }
 
@@ -6488,7 +6755,7 @@ object ManifestLake {
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols,
       statsColsDefault = m.statsColsDefault, generated = m.generated,
-      defaults = m.defaults, identity = m.identity,
+      defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols,
       fieldMap = newFieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -6594,7 +6861,7 @@ object ManifestLake {
       op = Some("schema"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
-      generated = m.generated, defaults = m.defaults, identity = m.identity, fieldMap = newFieldMap,
+      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, fieldMap = newFieldMap,
       fieldDropped = m.fieldDropped :+ ((physRoot, curPhysDotted)),
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -6674,7 +6941,7 @@ object ManifestLake {
       op = Some("schema"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
-      generated = m.generated, defaults = m.defaults, identity = m.identity, fieldMap = newFieldMap,
+      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, fieldMap = newFieldMap,
       fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -6734,6 +7001,7 @@ object ManifestLake {
       generated = m.generated.filterNot(_._1 == name),
       defaults = m.defaults.filterNot(_._1 == name),
       identity = m.identity.filterNot(_._1 == name),
+      clusterCols = m.clusterCols.filterNot(_ == phys),
       fieldMap = m.fieldMap.filterNot(_._1 == phys),
       fieldDropped = m.fieldDropped.filterNot(_._1 == phys))
     v + 1
@@ -6788,7 +7056,7 @@ object ManifestLake {
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols,
       statsColsDefault = m.statsColsDefault, generated = m.generated,
-      defaults = m.defaults, identity = m.identity,
+      defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols,
       fieldMap = m.fieldMap, fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -6892,7 +7160,7 @@ object ManifestLake {
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols =
         if (renderingStable) m.bloomCols else m.bloomCols.filterNot(_ == phys),
-      generated = m.generated, defaults = m.defaults, identity = m.identity, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
+      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
     v + 1
   }
 
@@ -6979,7 +7247,7 @@ object ManifestLake {
       op = Some("schema"), constraints = m.constraints,
       colMap = newColMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = m.statsColsDefault,
-      generated = m.generated, defaults = m.defaults, identity = m.identity, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
+      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
     v + 1
   }
 
@@ -7084,7 +7352,7 @@ object ManifestLake {
         colMap = newColMap, droppedPhys = m.droppedPhys,
         bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
         generated = m.generated :+ (name -> expression),
-        defaults = m.defaults, identity = m.identity,
+        defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols,
         fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
       v + 1
     } else {
@@ -7126,7 +7394,7 @@ object ManifestLake {
         colMap = newColMap, droppedPhys = m.droppedPhys,
         bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
         generated = m.generated :+ (name -> expression),
-        defaults = m.defaults, identity = m.identity,
+        defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols,
         fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
       newV
     }

@@ -2380,7 +2380,7 @@ object EtlGate {
         val dst = scratchDir("graft-gate-sct-dst") + "/table"
         s.sql(
           s"""CREATE TABLE `graft-manifest`.`$src` (
-             |  lang STRING, doc_id BIGINT, text STRING, n_chars BIGINT,
+             |  lang STRING, doc_id BIGINT NOT NULL, text STRING, n_chars BIGINT,
              |  bkt STRING GENERATED ALWAYS AS (CAST(doc_id % 4 AS STRING)),
              |  CONSTRAINT pos_id CHECK (doc_id >= 0))
              |USING `graft-manifest` PARTITIONED BY (bkt)
@@ -2392,6 +2392,8 @@ object EtlGate {
         val stmt = s.sql(s"SHOW CREATE TABLE `graft-manifest`.`$src`")
           .head().getString(0)
         require(stmt.contains("GENERATED ALWAYS AS") &&
+          stmt.contains("`doc_id` BIGINT NOT NULL") &&
+          !stmt.contains("graft_nn_doc_id") &&
           stmt.contains("CONSTRAINT `pos_id` CHECK (doc_id >= 0)") &&
           stmt.contains("PARTITIONED BY (`bkt`)") &&
           stmt.contains("'graft.statsCols' = 'doc_id'"),
@@ -3182,5 +3184,54 @@ object EtlGate {
              |       THEN CAST(sum(id) AS BIGINT) ELSE CAST(-1 AS BIGINT)
              |  END AS id_sum,
              |  true AS lane_ok, true AS above_ok
-             |FROM legs GROUP BY leg, lang ORDER BY leg, lang""".stripMargin)))
+             |FROM legs GROUP BY leg, lang ORDER BY leg, lang""".stripMargin)),
+
+    // DEEP CLONE (round 19): the clone COPIES every referenced file
+    // (incl. DV sidecars) into its own tree — proven in-line by
+    // destroying the source wholesale and requiring the clone to serve
+    // the pinned pre-delete content byte-for-byte (hash-matched vs
+    // DuckDB recomputing the DV-masked row set), with zero external
+    // references left anywhere in the clone's manifest.
+    Q(
+      "q145_deep_clone",
+      (s, dir) => {
+        val src = scratchDir("graft-gate-dclone-src") + "/table"
+        val tgt = scratchDir("graft-gate-dclone-tgt") + "/table"
+        val ts = s"`graft-manifest`.`$src`"
+        val tt = s"`graft-manifest`.`$tgt`"
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("n_chars").cast("long"))
+        ManifestLake.write(s, docs, src, Seq("lang"))                 // v1
+        // a DV-masked source: the clone must carry the mask bytes, not
+        // re-derive them
+        ManifestLake.delete(s, src, pmod(col("doc_id"), lit(5L)) === 0,
+          deletionVectors = true)                                     // v2
+        val row = s.sql(s"CREATE TABLE $tt DEEP CLONE $ts").head()
+        require(row.getLong(0) == 1L && row.getLong(1) > 0,
+          s"q145 gate: deep clone must publish v1 with files, got $row")
+        // every reference is clone-owned: no absolute paths anywhere
+        val (tfs, troot) = ManifestLake.fsFor(s, tgt)
+        ManifestLake.readManifest(tfs, troot, 1L).files.foreach { f =>
+          (Seq(f.path) ++ f.dv ++ f.bloom).foreach(p => require(
+            !new org.apache.hadoop.fs.Path(p).isAbsolute && !p.contains(":/"),
+            s"q145 gate: deep clone must own every reference, got $p"))
+        }
+        // destroy the source wholesale — the deep clone must not notice
+        val (sfs, sroot) = ManifestLake.fsFor(s, src)
+        require(sfs.delete(sroot, true), "q145 gate: source delete failed")
+        s.sql(
+          s"""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),
+             |    16, 10) AS BIGINT)) AS BIGINT) AS id_hash,
+             |  max(doc_id) AS max_id
+             |FROM $tt GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+             |    AS BIGINT) AS id_hash,
+             |  max(doc_id) AS max_id
+             |FROM documents WHERE doc_id % 5 <> 0
+             |GROUP BY lang ORDER BY lang""".stripMargin)))
 }

@@ -51,3 +51,19 @@ object SparkShims {
   */
 trait V1FallbackTableShim
   extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+
+/** Ship the driver's resolved Hadoop configuration into executor tasks
+  * — the standard vehicle for distributed filesystem work (every Spark
+  * datasource does exactly this under the hood via
+  * `org.apache.spark.util.SerializableConfiguration`, which Spark
+  * scopes `private[spark]`; this is its public spelling). Needed by
+  * any operation that touches files from tasks OUTSIDE a datasource
+  * scan — e.g. DEEP CLONE's distributed file copy — because a
+  * `Configuration` built fresh on the executor would lose the
+  * session's filesystem settings (credentials, endpoints, timeouts).
+  */
+final class SerializableHadoopConf(
+    conf: org.apache.hadoop.conf.Configuration) extends Serializable {
+  private val inner = new org.apache.spark.util.SerializableConfiguration(conf)
+  def value: org.apache.hadoop.conf.Configuration = inner.value
+}

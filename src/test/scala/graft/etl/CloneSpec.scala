@@ -212,4 +212,117 @@ class CloneSpec extends AnyFunSuite {
     assert(liveFiles(tgt).forall(_.stats.contains("x")),
       "a space in the source path must not silently skip the backfill")
   }
+
+  test("DEEP CLONE survives source vacuum AND source deletion; DV masks carry byte-unchanged") {
+    import spark.implicits._
+    val src = freshDir("dclone-src")
+    val tgt = freshDir("dclone-tgt")
+    ManifestLake.write(spark, batch(0, 40).repartition(4), src, Seq("grp"))
+    ManifestLake.delete(spark, src, col("x") % 4 === 0, deletionVectors = true)
+    spark.sql(s"ALTER TABLE `graft-manifest`.`$src` ADD CONSTRAINT pos CHECK (x >= 0)")
+    val expect = (0 until 40).map(_.toLong).filterNot(_ % 4 == 0).toSet
+    val res = spark.sql(
+      s"CREATE TABLE `graft-manifest`.`$tgt` DEEP CLONE `graft-manifest`.`$src`")
+      .head()
+    assert(res.getLong(0) === 1L)
+    // every reference is the clone's OWN: no absolute paths anywhere
+    val (tfs, troot) = ManifestLake.fsFor(spark, tgt)
+    val trootQ = tfs.makeQualified(troot).toString
+    liveFiles(tgt).foreach { f =>
+      (Seq(f.path) ++ f.dv ++ f.bloom).foreach(p =>
+        assert(!new org.apache.hadoop.fs.Path(p).isAbsolute &&
+          !p.contains(":/"), s"deep clone must own every reference, got $p"))
+    }
+    assert(spark.sql(s"SELECT x FROM `graft-manifest`.`$tgt`")
+      .as[Long].collect().toSet === expect, "masked rows stay masked")
+    // destroy the source wholesale — the deep clone must not notice
+    val (sfs, sroot) = ManifestLake.fsFor(spark, src)
+    assert(sfs.delete(sroot, true))
+    assert(spark.sql(s"SELECT x FROM `graft-manifest`.`$tgt`")
+      .as[Long].collect().toSet === expect)
+    // header facts carried: the constraint still enforces
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO `graft-manifest`.`$tgt` VALUES ('g0', -1, 'bad')"))
+    assert(e.getMessage.contains("pos"))
+    // clone-side DV deletes keep working on the copied files
+    ManifestLake.delete(spark, tgt, col("x") % 4 === 1, deletionVectors = true)
+    assert(spark.sql(s"SELECT x FROM `graft-manifest`.`$tgt`")
+      .as[Long].collect().toSet === expect.filterNot(_ % 4 == 1))
+  }
+
+  test("DEEP CLONE of a SHALLOW clone copies the external refs in (ext- namespace)") {
+    import spark.implicits._
+    val src = freshDir("dclone2-src")
+    val mid = freshDir("dclone2-mid")
+    val tgt = freshDir("dclone2-tgt")
+    ManifestLake.write(spark, batch(0, 20), src, Seq("grp"))
+    ManifestLake.delete(spark, src, col("x") % 5 === 0, deletionVectors = true)
+    ManifestLake.shallowClone(spark, src, mid)
+    val expect = (0 until 20).map(_.toLong).filterNot(_ % 5 == 0).toSet
+    ManifestLake.deepClone(spark, mid, tgt)
+    assert(liveFiles(tgt).forall(f => !f.path.contains(":/")))
+    // both upstream tables vanish; the deep clone serves unchanged
+    Seq(src, mid).foreach { p =>
+      val (fs0, r0) = ManifestLake.fsFor(spark, p)
+      assert(fs0.delete(r0, true))
+    }
+    assert(spark.sql(s"SELECT x FROM `graft-manifest`.`$tgt`")
+      .as[Long].collect().toSet === expect,
+      "deep clone of a shallow clone must survive both upstreams vanishing")
+  }
+
+  test("DEEP CLONE VERSION AS OF pins; refusals mirror shallow's") {
+    import spark.implicits._
+    val src = freshDir("dclone3-src")
+    val tgt = freshDir("dclone3-tgt")
+    ManifestLake.write(spark, batch(0, 10), src, Seq("grp"))          // v1
+    ManifestLake.write(spark, batch(10, 30), src, Seq("grp"), replace = false) // v2
+    spark.sql(s"CREATE TABLE `graft-manifest`.`$tgt` DEEP CLONE " +
+      s"`graft-manifest`.`$src` VERSION AS OF 1")
+    assert(ManifestLake.read(spark, tgt).count() === 10)
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE `graft-manifest`.`$tgt` DEEP CLONE `graft-manifest`.`$src`"))
+    assert(e.getMessage.contains("already exists"))
+    spark.sql(s"CREATE OR REPLACE TABLE `graft-manifest`.`$tgt` DEEP CLONE " +
+      s"`graft-manifest`.`$src`")
+    assert(ManifestLake.read(spark, tgt).count() === 30)
+    // both target versions stay readable (time travel across replace)
+    assert(spark.read.format("graft-manifest").option("versionAsOf", 1)
+      .load(tgt).count() === 10)
+    val e2 = intercept[Exception](
+      ManifestLake.deepClone(spark, src, src))
+    assert(e2.getMessage.contains("onto itself"))
+  }
+
+  test("ALTER TABLE … MATERIALIZE untethers a shallow clone in place; no-op when local") {
+    import spark.implicits._
+    val src = freshDir("mat-src")
+    val tgt = freshDir("mat-tgt")
+    ManifestLake.write(spark, batch(0, 20).repartition(2), src, Seq("grp"))
+    ManifestLake.delete(spark, src, col("x") % 4 === 0, deletionVectors = true)
+    ManifestLake.shallowClone(spark, src, tgt)
+    // clone-side divergence BEFORE materializing: local append + DV
+    spark.sql(s"INSERT INTO `graft-manifest`.`$tgt` VALUES ('g0', 100, 'new')")
+    val expect = ((0 until 20).map(_.toLong).filterNot(_ % 4 == 0) :+ 100L).toSet
+    val row = spark.sql(s"ALTER TABLE `graft-manifest`.`$tgt` MATERIALIZE").head()
+    assert(row.getLong(1) > 0, "materialize must report copied files")
+    liveFiles(tgt).foreach(f =>
+      (Seq(f.path) ++ f.dv ++ f.bloom).foreach(p =>
+        assert(!p.contains(":/") && !new org.apache.hadoop.fs.Path(p).isAbsolute,
+          s"materialize must leave no external reference, got $p")))
+    // source vanishes; the materialized clone is unbothered
+    val (sfs, sroot) = ManifestLake.fsFor(spark, src)
+    assert(sfs.delete(sroot, true))
+    assert(spark.sql(s"SELECT x FROM `graft-manifest`.`$tgt`")
+      .as[Long].collect().toSet === expect)
+    // a second MATERIALIZE is a version-preserving no-op
+    val head = ManifestLake.currentVersion(spark, tgt).get
+    val again = spark.sql(s"ALTER TABLE `graft-manifest`.`$tgt` MATERIALIZE").head()
+    assert(again.getLong(0) === head && again.getLong(1) === 0L,
+      "materialize on a fully-local table must publish nothing")
+    // vanilla ALTER statements still pass through to Spark untouched
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE nonexistent_tbl ADD COLUMN c INT"))
+    assert(!e.getMessage.contains("MATERIALIZE"))
+  }
 }

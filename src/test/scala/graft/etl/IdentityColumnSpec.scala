@@ -76,6 +76,71 @@ class IdentityColumnSpec extends AnyFunSuite {
     assert(ids(dir).size === 300)
   }
 
+  test("two identity writers racing a REPLACE: every surviving id unique " +
+    "across readable history, watermark never regresses") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir("ident-race-repl")
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(s"CREATE TABLE $t (grp STRING, " +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, payload STRING) " +
+      "USING `graft-manifest` PARTITIONED BY (grp)")
+    spark.sql(s"INSERT INTO $t (grp, payload) VALUES ('g0', 'seed')")
+    def wmOf(): Long = {
+      val (fs, root) = ManifestLake.fsFor(spark, dir)
+      ManifestLake.readManifest(fs, root,
+        ManifestLake.currentVersion(spark, dir).get).identity.get._4
+    }
+    (1 to 3).foreach { round =>
+      val wmBefore = wmOf()
+      val barrier = new java.util.concurrent.CyclicBarrier(3)
+      // a REPLACE that loses the version race fails LOUDLY by contract
+      // (replace never rebases — the caller re-runs); appends restage.
+      // Tolerate exactly that typed loss; anything else is a real bug.
+      def run(fn: () => Unit) = Future {
+        barrier.await()
+        try { fn(); true } catch {
+          case e: IllegalStateException
+            if Option(e.getMessage).exists(m =>
+              m.contains("race") && m.contains("intact")) => false
+        }
+      }
+      def appender(tag: String) = run(() =>
+        ManifestLake.write(spark,
+          (0 until 30).map(i => (s"g${i % 2}", s"$tag$round-$i"))
+            .toDF("grp", "payload").repartition(3),
+          dir, Seq("grp"), replace = false): Unit)
+      val replacer = run(() =>
+        ManifestLake.write(spark,
+          (0 until 10).map(i => (s"g${i % 2}", s"r$round-$i"))
+            .toDF("grp", "payload").repartition(2),
+          dir, Seq("grp"), replace = true): Unit)
+      val landed = Await.result(Future.sequence(
+        Seq(appender("x"), appender("y"), replacer)), 180.seconds)
+      assert(landed.contains(true), s"round $round: nobody committed")
+      assert(wmOf() > wmBefore, s"round $round: watermark must advance")
+      // ids unique across EVERY surviving version (readable history),
+      // not just the head — a replace must never free ids for reuse
+      val all = ManifestLake.versions(spark, dir).map(_._1).flatMap { v =>
+        ManifestLake.readVersion(spark, dir, v)
+          .select("id").as[Long].collect().toSeq.map(v -> _)
+      }
+      val perVersion = all.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      perVersion.foreach { case (v, vi) =>
+        assert(vi.distinct.size === vi.size,
+          s"round $round v$v: duplicate identity values ${vi.groupBy(identity)
+            .filter(_._2.size > 1).keys.take(5).mkString(", ")}")
+      }
+      // cross-version: an id present in two versions must name rows
+      // written by ONE commit (values never reassign) — equivalently,
+      // the watermark after the round clears every id ever seen
+      assert(all.map(_._2).max < wmOf(),
+        s"round $round: watermark must clear every assigned id")
+    }
+  }
+
   test("watermark survives replace and delete: numbering never reuses live history") {
     import spark.implicits._
     val dir = freshDir("ident-replace")

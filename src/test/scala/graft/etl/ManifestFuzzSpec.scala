@@ -392,7 +392,8 @@ class ManifestFuzzSpec extends AnyFunSuite {
     * concurrency specs didn't think of: any torn state, silent
     * half-application, or untyped failure fails the round loudly.
     */
-  private def runRaceFuzz(seed: Long, rounds: Int): Unit = {
+  private def runRaceFuzz(seed: Long, rounds: Int,
+                          extendedMix: Boolean = false): Unit = {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
@@ -432,7 +433,36 @@ class ManifestFuzzSpec extends AnyFunSuite {
       }
       // one racing op: the engine action plus its composable model fn
       def mkOp(step: Int, tag: String): (String, () => Unit, Model => Model) =
-        rnd.nextInt(9) match {
+        rnd.nextInt(if (extendedMix) 12 else 9) match {
+          case 9 => // REPLACE wholesale — the strongest writer
+            val rows = (0 until (2 + rnd.nextInt(3))).map { _ =>
+              val key = (s"p${rnd.nextInt(3)}", nextId); nextId += 1
+              key -> s"r$step$tag"
+            }
+            ("replace", () => ManifestLake.write(spark, df(rows), dir,
+              Seq("part"), replace = true, statsCols = Seq("id")): Unit,
+              _ => rows.toMap)
+          case 10 => // clone OUT of the racing table — content no-op on
+            // it; deep clones also race the distributed copy against
+            // whatever the other session is committing
+            val tgt = Files.createTempDirectory(s"mlake-racefuzz-clone-$seed")
+              .toString + "/t"
+            val deep = rnd.nextBoolean()
+            (if (deep) "deep-clone" else "clone",
+              () => {
+                if (deep) ManifestLake.deepClone(spark, dir, tgt)
+                else ManifestLake.shallowClone(spark, dir, tgt)
+                // whichever version the clone pinned, it must READ —
+                // a torn pin would fail here loudly
+                ManifestLake.read(spark, tgt).count(): Unit
+              }, m => m)
+          case 11 => // fsck / materialize — metadata no-ops on a healthy
+            // local table, racing real committers
+            if (rnd.nextBoolean())
+              ("fsck", () => ManifestLake.fsck(spark, dir): Unit, m => m)
+            else
+              ("materialize", () => ManifestLake.materialize(spark, dir): Unit,
+                m => m)
           case 0 | 1 => // append fresh keys
             val rows = (0 until (1 + rnd.nextInt(3))).map { _ =>
               val key = (s"p${rnd.nextInt(3)}", nextId); nextId += 1
@@ -531,6 +561,15 @@ class ManifestFuzzSpec extends AnyFunSuite {
 
   test("race fuzz seed 0xBA2: a second 30-round interleaving draw") {
     runRaceFuzz(0xBA2, 30)
+  }
+
+  test("race fuzz seed 0x5EED5: the round-19 verbs enter the mix — " +
+    "replace wholesale, shallow/deep clone, fsck, materialize") {
+    runRaceFuzz(0x5EED5, 30, extendedMix = true)
+  }
+
+  test("race fuzz seed 0xD1CE: a second extended-mix draw") {
+    runRaceFuzz(0xD1CE, 30, extendedMix = true)
   }
 
   test("upsert refuses duplicate keys mid-fuzz shape (guard the fuzz's own assumptions)") {
