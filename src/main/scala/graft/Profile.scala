@@ -308,6 +308,54 @@ object Profile {
       spark.stop(); sys.exit(0)
     }
 
+    // DEEPCLONE=N: deep-clone FABRIC cost at scale — the per-file
+    // overhead of the distributed copy job (task scheduling + one
+    // FileSystem copy + the re-pathed publish), measured with N real
+    // tiny files so byte volume is ~0 and the overhead is isolated.
+    // At real scale the byte volume dominates (copying is
+    // bandwidth-bound by construction — one job, cluster-wide); this
+    // probe pins the fixed cost that would remain on a 1M-file table.
+    sys.env.get("DEEPCLONE").map(_.toInt).foreach { n =>
+      import graft.etl.ManifestLake
+      val dir = java.nio.file.Files.createTempDirectory("dclonesrc").toString + "/t"
+      val tgt = java.nio.file.Files.createTempDirectory("dclonetgt").toString + "/t"
+      val (fs, root) = ManifestLake.fsFor(spark, dir)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("lang", "string").add("doc_id", "long")
+      val payload = Array.fill[Byte](128)(42)
+      val files = (0 until n).map { i =>
+        val rel = f"data/v${i % 64 + 1}%06d/lang=l${i % 32}%02d/part-$i%08d-c000.snappy.parquet"
+        val p = new org.apache.hadoop.fs.Path(root, rel)
+        val out = fs.create(p, true)
+        out.write(payload); out.close()
+        ManifestLake.LiveFile(128L, rel)
+      }
+      ManifestLake.publish(fs, root, 1L, files, Some(schema), Seq("lang"))
+      // driver-side baseline: the raw single-thread FileUtil.copy cost
+      // on this filesystem, to separate fabric overhead from fs cost
+      val baseDir = new org.apache.hadoop.fs.Path(root, "basep")
+      val bConf = spark.sessionState.newHadoopConf()
+      val tb = System.nanoTime()
+      (0 until 200).foreach { i =>
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(root, files(i).path), fs,
+          new org.apache.hadoop.fs.Path(baseDir, s"b$i"), false, true, bConf): Unit
+      }
+      val perCopyUs = (System.nanoTime() - tb) / 1e3 / 200
+      val t0 = System.nanoTime()
+      ManifestLake.deepClone(spark, dir, tgt)
+      val tClone = (System.nanoTime() - t0) / 1e9
+      val (tfs, troot) = ManifestLake.fsFor(spark, tgt)
+      val m = ManifestLake.readManifest(tfs, troot, 1L)
+      require(m.files.length == n && m.files.forall(f =>
+        !new org.apache.hadoop.fs.Path(f.path).isAbsolute && !f.path.contains(":/")))
+      require(m.files.forall(f =>
+        tfs.exists(new org.apache.hadoop.fs.Path(troot, f.path))))
+      println(f"PROFILE deepclone n=$n wall=$tClone%.2fs " +
+        f"per_file_us=${tClone * 1e6 / n}%.1f raw_copy_us=$perCopyUs%.1f")
+      spark.stop(); sys.exit(0)
+    }
+
     // MANIFESTSTRESS=K: manifest-lake scaling check — full lifecycle
     // (fragmented write → 10% keyed upsert → compact → vacuum) on the
     // documents table at 1× and K×. Upsert should scale with the BATCH

@@ -27,6 +27,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *     regardless of fragmentation — the verb for applying a
   *     newly-declared clustering (`CLUSTER BY`) to already-compacted
   *     data (Delta's liquid re-cluster idiom).
+  *   - `REORG TABLE t [WHERE <partition predicate>] APPLY (PURGE)` →
+  *     [[ManifestLake.compact]] in purge-only mode: rewrite exactly
+  *     the deletion-vector-masked files (materializing their masks),
+  *     never clean files — Delta's DV-purge verb.
   *   - `RESTORE [TABLE] t [TO] VERSION AS OF n | TIMESTAMP AS OF 'ts'`
   *     → [[ManifestLake.restore]]; returns the new head version.
   *   - `FSCK REPAIR TABLE t [DRY RUN]` → [[ManifestLake.fsck]]; drops
@@ -76,7 +80,7 @@ object GraftMaintenanceSql {
     // cheap keyword gate BEFORE lexing: the lexer is deliberately tiny
     // and refuses characters these four statements never carry — it
     // must never see (let alone fail on) general SQL
-    val lead = "(?is)^\\s*(VACUUM|OPTIMIZE|RESTORE|CONVERT|FSCK|COPY|DESC(RIBE)?\\s+(HISTORY|DETAIL))\\b".r
+    val lead = "(?is)^\\s*(VACUUM|OPTIMIZE|REORG|RESTORE|CONVERT|FSCK|COPY|DESC(RIBE)?\\s+(HISTORY|DETAIL))\\b".r
     if (lead.findFirstIn(sqlText).isEmpty) return None
     val isDescribe = "(?is)^\\s*DESC".r.findFirstIn(sqlText).isDefined
     // DESCRIBE collides with vanilla shapes (`DESCRIBE history
@@ -91,6 +95,8 @@ object GraftMaintenanceSql {
       val (lexText, whereSql) =
         if ("(?is)^\\s*OPTIMIZE\\b".r.findFirstIn(sqlText).isDefined)
           splitOptimizeWhere(sqlText)
+        else if ("(?is)^\\s*REORG\\b".r.findFirstIn(sqlText).isDefined)
+          splitOptimizeWhere(sqlText, stopKw = "APPLY")
         else (sqlText, None)
       val toks = lex(lexText)
       toks.headOption.flatMap {
@@ -98,6 +104,8 @@ object GraftMaintenanceSql {
           Some(parseVacuum(spark, toks.tail))
         case Word(w) if w.equalsIgnoreCase("OPTIMIZE") =>
           Some(parseOptimize(spark, toks.tail, whereSql))
+        case Word(w) if w.equalsIgnoreCase("REORG") =>
+          Some(parseReorg(spark, toks.tail, whereSql))
         case Word(w) if w.equalsIgnoreCase("RESTORE") =>
           Some(parseRestore(spark, toks.tail))
         case Word(w) if w.equalsIgnoreCase("CONVERT") =>
@@ -279,7 +287,8 @@ object GraftMaintenanceSql {
     * it), and return (the statement with the predicate excised, the
     * predicate's raw SQL up to a quote-aware ZORDER or end-of-text).
     */
-  private def splitOptimizeWhere(sql: String): (String, Option[String]) = {
+  private def splitOptimizeWhere(sql: String,
+                                 stopKw: String = "ZORDER"): (String, Option[String]) = {
     def keywordAt(i: Int, kw: String): Boolean =
       sql.regionMatches(true, i, kw, 0, kw.length) &&
         (i == 0 || { val c = sql(i - 1); !c.isLetterOrDigit && c != '_' }) &&
@@ -301,10 +310,10 @@ object GraftMaintenanceSql {
     val w = scan(0, "WHERE")
     if (w < 0) (sql, None)
     else {
-      val z = scan(w + 5, "ZORDER")
+      val z = scan(w + 5, stopKw)
       val end = if (z < 0) sql.length else z
       val pred = sql.substring(w + 5, end).trim
-      require(pred.nonEmpty, "OPTIMIZE ... WHERE needs a predicate")
+      require(pred.nonEmpty, "WHERE needs a predicate")
       (sql.substring(0, w) + " " + sql.substring(end), Some(pred))
     }
   }
@@ -351,6 +360,35 @@ object GraftMaintenanceSql {
           s"[ZORDER BY (c1, …)]; got: ${other.mkString(" ")}")
     }
     GraftOptimizeCommand(path, zorder, whereSql, full)
+  }
+
+  /** `REORG TABLE t [WHERE <partition predicate>] APPLY (PURGE)` —
+    * Delta's deletion-vector purge verb: rewrite exactly the DV-masked
+    * files (materializing their masks), never clean files.
+    */
+  private def parseReorg(spark: SparkSession, toks: List[Tok],
+                         whereSql: Option[String]): LogicalPlan = {
+    val afterTable = toks match {
+      case t :: tl if kw(t, "TABLE") => tl
+      case other => throw new IllegalArgumentException(
+        s"REORG spells REORG TABLE t [WHERE …] APPLY (PURGE); got: " +
+          other.mkString(" "))
+    }
+    val (path, rest) = target(spark, afterTable, "REORG")
+    whereSql.foreach { w =>
+      try { spark.sessionState.sqlParser.parseExpression(w); () }
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"REORG ... WHERE predicate does not parse: $w (${e.getMessage})")
+      }
+    }
+    rest match {
+      case a :: Punct('(') :: p :: Punct(')') :: tl
+        if kw(a, "APPLY") && kw(p, "PURGE") => end(tl, "REORG")
+      case other => throw new IllegalArgumentException(
+        s"REORG TABLE supports APPLY (PURGE) only; got: ${other.mkString(" ")}")
+    }
+    GraftReorgCommand(path, whereSql)
   }
 
   private def parseRestore(spark: SparkSession, toks: List[Tok]): LogicalPlan = {
@@ -691,6 +729,24 @@ final case class GraftVacuumCommand(path: String, keepVersions: Option[Int],
   * range order; the engine refuses the pointless 1-column curve, so
   * the statement maps it onto clusterBy).
   */
+/** `REORG TABLE t [WHERE …] APPLY (PURGE)` — rewrite exactly the
+  * DV-masked files, materializing their masks; returns (partition,
+  * files_before, files_after) per touched partition.
+  */
+final case class GraftReorgCommand(path: String,
+                                   whereSql: Option[String] = None)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("files_before", IntegerType, nullable = false)(),
+    AttributeReference("files_after", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    ManifestLake.compact(spark, path,
+      where = whereSql.map(org.apache.spark.sql.functions.expr),
+      purgeOnly = true)
+      .sortBy(_._1).map { case (p, b, a) => Row(p, b, a) }
+}
+
 final case class GraftOptimizeCommand(path: String, zorderBy: Seq[String],
                                       whereSql: Option[String] = None,
                                       full: Boolean = false)

@@ -3411,7 +3411,8 @@ object ManifestLake {
               zOrderBy: Seq[String] = Seq.empty,
               maxMaskedFraction: Double = 1.0,
               where: Option[Column] = None,
-              full: Boolean = false): Seq[(String, Int, Int)] = {
+              full: Boolean = false,
+              purgeOnly: Boolean = false): Seq[(String, Int, Int)] = {
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy and zOrderBy are mutually exclusive layout choices")
     val (fs, root) = fsFor(spark, path)
@@ -3478,10 +3479,22 @@ object ManifestLake {
     val plans = byPart.toSeq.sortBy(_._1).flatMap { case (part, fls) =>
       val bytes = fls.map(_.bytes).sum
       val want = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
+      // REORG … APPLY (PURGE): rewrite exactly the DV-masked files
+      // (materializing their masks) and NOTHING else — clean files and
+      // fragmentation are explicitly not this verb's business
+      if (purgeOnly) {
+        val masky = fls.filter(_.dvRows.exists(_ > 0))
+        if (masky.isEmpty) None
+        else {
+          val mb = masky.map(_.bytes).sum
+          Some((part, masky, math.max(1L, math.min(masky.length.toLong,
+            math.ceil(mb.toDouble / targetBytes).toLong)).toInt))
+        }
+      }
       // OPTIMIZE … FULL (Delta's liquid re-cluster verb): rewrite every
       // selected partition regardless of fragmentation — the verb for
       // applying a NEWLY-declared clustering to already-compacted data
-      if (full && fls.nonEmpty) Some((part, fls, want))
+      else if (full && fls.nonEmpty) Some((part, fls, want))
       else if (fls.length > want) Some((part, fls, want))
       else {
         // DV-AWARE MAINTENANCE (Delta's `REORG … APPLY (PURGE)` analog):

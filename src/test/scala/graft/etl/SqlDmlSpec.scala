@@ -1529,6 +1529,54 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("REORG TABLE … APPLY (PURGE) rewrites exactly the DV-masked files; " +
+    "clean files stay by reference") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-reorg")
+    val t = s"`graft-manifest`.`$dir`"
+    // two partitions, several files each; DV-delete touches only p0
+    ManifestLake.write(spark,
+      (0 until 40).map(i => (s"p${i % 2}", i.toLong, s"v$i"))
+        .toDF("part", "id", "payload").repartition(4),
+      dir, Seq("part"))
+    ManifestLake.delete(spark, dir,
+      col("part") === "p0" && col("id") % 4 === 0, deletionVectors = true)
+    def files() = {
+      val (fs, root) = ManifestLake.fsFor(spark, dir)
+      ManifestLake.readManifest(fs, root,
+        ManifestLake.currentVersion(spark, dir).get).files
+    }
+    val before = files()
+    val clean = before.filter(_.dv.isEmpty).map(_.path).toSet
+    assert(before.exists(_.dv.isDefined), "setup must mask some files")
+    val expect = ManifestLake.read(spark, dir)
+      .select("id").as[Long].collect().toSet
+    val rows = spark.sql(s"REORG TABLE $t APPLY (PURGE)").collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(0) == "part=p0"),
+      s"only the masked partition may rewrite, got ${rows.mkString(", ")}")
+    val after = files()
+    assert(after.forall(_.dv.isEmpty), "PURGE must materialize every mask")
+    assert(clean.subsetOf(after.map(_.path).toSet),
+      "clean files must carry by reference, not rewrite")
+    assert(ManifestLake.read(spark, dir)
+      .select("id").as[Long].collect().toSet === expect,
+      "content is invariant under the purge")
+    // idempotent: a mask-free table is a no-op (no rows, no commit)
+    val head = ManifestLake.currentVersion(spark, dir).get
+    assert(spark.sql(s"REORG TABLE $t APPLY (PURGE)").collect().isEmpty)
+    assert(ManifestLake.currentVersion(spark, dir).get === head)
+    // WHERE scopes by partition; malformed shapes refuse loudly
+    ManifestLake.delete(spark, dir, col("id") % 9 === 1, deletionVectors = true)
+    val scoped = spark.sql(s"REORG TABLE $t WHERE part = 'p1' APPLY (PURGE)")
+      .collect()
+    assert(scoped.nonEmpty && scoped.forall(_.getString(0) == "part=p1"))
+    assert(files().filter(_.path.contains("part=p0")).exists(_.dv.isDefined),
+      "the unscoped partition keeps its mask")
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"REORG TABLE $t APPLY (VACUUM)"))
+    assert(e.getMessage.contains("APPLY (PURGE)"), e.getMessage)
+  }
+
   test("CLUSTER BY is a header fact: bare OPTIMIZE lays files out by the " +
     "declared keys; renders, flips, and refuses") {
     import spark.implicits._
