@@ -3101,6 +3101,11 @@ object ManifestLake {
       val m = manifestAt(v)
       if (isAppend(v, m))
         added ++= m.files.filterNot(f => prevPaths.contains(f.path))
+      // metadata-shaped commit with the path set unchanged: provably no
+      // new/moved rows — an empty diff, never a feed-killer (see
+      // [[isEmptyMetadataDiff]])
+      else if (m.op.exists(MetadataOps) &&
+        m.files.map(_.path).toSet == prevPaths) ()
       else if (!skipNonAppend)
         throw new IllegalArgumentException(
           s"version $v of $path is ${m.op.map("a " + _).getOrElse("an untagged legacy commit")}, " +
@@ -3180,7 +3185,13 @@ object ManifestLake {
           .withColumn(ChangeTypeCol, lit("insert"))
           .withColumn(CommitVersionCol, lit(v)))
       } else if (m.op.exists(o => o == "compact" || o == "constraint" ||
-        o == "schema" || o == "analyze" || o == "properties")) None
+        o == "schema" || o == "analyze" || o == "properties" ||
+        o == "materialize")) None // layout/metadata-only: rows identical
+      // bloom-only FSCK keeps every entry (path set unchanged) — no row
+      // moved; an entry-DROPPING fsck falls through to the refusal (rows
+      // vanished out-of-band, unrepresentable as change rows)
+      else if (m.op.contains("fsck") && m.files.map(_.path).toSet ==
+        manifestAtOrFail(spark, path, v - 1).files.map(_.path).toSet) None
       else if (m.op.exists(o =>
         o == "upsert" || o == "delete" || o == "merge" || o == "update" ||
         o == "replacepart")) {
@@ -3254,7 +3265,27 @@ object ManifestLake {
     */
   private[graft] def isAppendCommit(v: Long, m: Manifest): Boolean =
     m.op.contains("append") ||
-      (v == 1 && (m.op.contains("replace") || m.op.contains("adopt")))
+      (v == 1 && (m.op.contains("replace") || m.op.contains("adopt") ||
+        m.op.contains("clone")))
+
+  /** Commit kinds that are metadata-shaped: when one of these ALSO
+    * left the live PATH SET unchanged, it provably added/moved no rows
+    * and the append feed serves it as an EMPTY diff instead of failing
+    * the stream — a routine ADD CONSTRAINT / ANALYZE / SET
+    * TBLPROPERTIES / metadata-only ALTER must not kill every consumer
+    * (Delta tolerates metadata-only commits the same way). The path-set
+    * check is load-bearing, not belt-and-braces: a generated-column
+    * BACKFILL rewrites every file under op=schema — rows moved, and the
+    * feed still refuses it.
+    */
+  private val MetadataOps = Set("constraint", "properties", "analyze", "schema")
+
+  private[graft] def isEmptyMetadataDiff(spark: SparkSession, path: String,
+                                         v: Long, m: Manifest): Boolean =
+    v > 1 && m.op.exists(MetadataOps) && {
+      val prev = manifestAtOrFail(spark, path, v - 1)
+      m.files.map(_.path).toSet == prev.files.map(_.path).toSet
+    }
 
   /** The files version `v` ADDED over `v - 1`, path-sorted (chunk
     * boundaries must be deterministic across restarts). A non-append
@@ -3269,7 +3300,8 @@ object ManifestLake {
         if (v <= 1) Set.empty[String]
         else manifestAtOrFail(spark, path, v - 1).files.map(_.path).toSet
       m.files.filterNot(f => prevPaths.contains(f.path)).sortBy(_.path)
-    } else if (skipNonAppend) Seq.empty
+    } else if (isEmptyMetadataDiff(spark, path, v, m)) Seq.empty
+    else if (skipNonAppend) Seq.empty
     else throw new IllegalArgumentException(
       s"version $v of $path is ${m.op.map("a " + _).getOrElse("an untagged legacy commit")}, " +
         "not an append — the change feed is defined only over append-only " +

@@ -64,6 +64,7 @@ class CloneSpec extends AnyFunSuite {
       "state STRING DEFAULT 'new', doubled BIGINT GENERATED ALWAYS AS (id * 2)) " +
       "USING `graft-manifest` PARTITIONED BY (grp)")
     spark.sql(s"ALTER TABLE $ts ADD CONSTRAINT pos CHECK (id >= 0)")
+    spark.sql(s"ALTER TABLE $ts SET TBLPROPERTIES ('graft.clusterCols' = 'id')")
     spark.sql(s"INSERT INTO $ts (grp, id) VALUES ('a', 1)")
     spark.sql(s"ALTER TABLE $ts RENAME COLUMN state TO phase")
     ManifestLake.shallowClone(spark, src, tgt)
@@ -78,6 +79,11 @@ class CloneSpec extends AnyFunSuite {
     val e = intercept[Exception](
       spark.sql(s"INSERT INTO $tt (grp, id) VALUES ('a', -1)"))
     assert(e.getMessage.contains("pos"))
+    // declared clustering keys carry too — the clone's bare OPTIMIZE
+    // inherits the layout contract
+    assert(spark.sql(s"SHOW TBLPROPERTIES $tt").collect()
+      .exists(r => r.getString(0) == "graft.clusterCols" &&
+        r.getString(1) == "id"))
     // the source never saw any of it
     assert(ManifestLake.read(spark, src).count() === 1)
   }
@@ -320,6 +326,15 @@ class CloneSpec extends AnyFunSuite {
     val again = spark.sql(s"ALTER TABLE `graft-manifest`.`$tgt` MATERIALIZE").head()
     assert(again.getLong(0) === head && again.getLong(1) === 0L,
       "materialize on a fully-local table must publish nothing")
+    // the row-level change feed SPANS the materialize commit (rows are
+    // identical — it serves nothing for it, never a refusal). v1's
+    // entries still reference the now-deleted source (time travel to
+    // pre-materialize versions dies with it — the documented hazard
+    // materialize exists to stop accruing), so the window starts after
+    // the clone snapshot.
+    val feed = ManifestLake.readChangeFeed(spark, tgt, 1L, head)
+    assert(feed.where(col("_change_type") === "insert").count() === 1,
+      "the feed must serve the local append and nothing for materialize")
     // vanilla ALTER statements still pass through to Spark untouched
     val e = intercept[Exception](
       spark.sql("ALTER TABLE nonexistent_tbl ADD COLUMN c INT"))

@@ -1386,6 +1386,11 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(ManifestLake.read(spark, blDir).count() === 8,
       "bloom repair must not drop rows")
     assert(spark.sql(s"FSCK REPAIR TABLE $tb").collect().isEmpty)
+    // a bloom-only fsck keeps the path set — the row-level change feed
+    // spans it (serves nothing for it), never refuses
+    assert(ManifestLake.readChangeFeed(spark, blDir, 0L,
+      ManifestLake.currentVersion(spark, blDir).get)
+      .where(col("_change_type") === "insert").count() === 8)
   }
 
   test("maintenance statements refuse malformed shapes with the REAL reason, never a generic syntax error") {

@@ -83,6 +83,56 @@ class ManifestStreamSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata-only commits mid-stream serve an empty diff, never kill " +
+    "the stream; a schema BACKFILL (files rewritten) still refuses") {
+    import spark.implicits._
+    val dir = freshDir("msrc-meta")
+    ManifestLake.write(spark, batch(0, 10), dir, Seq("grp"))
+    val q = spark.readStream.format("graft-manifest").load(dir)
+      .writeStream.format("memory").queryName("msrc_meta").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("msrc_meta").count() === 10)
+      // routine maintenance: constraint + properties + analyze + a
+      // metadata-only ALTER — none may fail the stream or feed a row
+      ManifestLake.addConstraint(spark, dir, "pos_x", "x >= 0")
+      ManifestLake.setTableProperties(spark, dir,
+        set = Map("graft.statsCols" -> "x"))
+      ManifestLake.analyzeStats(spark, dir, Seq("x"))
+      ManifestLake.addColumn(spark, dir, "note",
+        org.apache.spark.sql.types.StringType)
+      q.processAllAvailable()
+      assert(spark.table("msrc_meta").count() === 10,
+        "metadata commits must contribute zero rows")
+      // appends after the maintenance flow normally
+      ManifestLake.write(spark, batch(10, 14).withColumn("note", lit("n")),
+        dir, Seq("grp"), replace = false)
+      q.processAllAvailable()
+      assert(spark.table("msrc_meta").count() === 14)
+      // a generated-column BACKFILL carries op=schema but REWRITES the
+      // files — rows moved, and the feed must refuse, not re-feed
+      ManifestLake.addGeneratedColumn(spark, dir, "x2",
+        org.apache.spark.sql.types.LongType, "x * 2", backfill = true)
+      ManifestLake.write(spark,
+        batch(14, 15).withColumn("note", lit("n")),
+        dir, Seq("grp"), replace = false)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getCause.getMessage.contains("not an append"), e.getCause.getMessage)
+    } finally {
+      if (q.isActive) q.stop()
+      spark.sql("DROP TABLE IF EXISTS msrc_meta")
+    }
+    // the batch twin agrees: readChanges over a range spanning the
+    // metadata commits serves exactly the appended rows
+    val v = ManifestLake.currentVersion(spark, dir).get
+    val changes = ManifestLake.readChanges(spark, dir, 1L, v - 2)
+    assert(changes.count() === 4,
+      "readChanges must span metadata commits and serve only the appends")
+  }
+
   test("checkpointed restart resumes at the committed version — no replay, no loss") {
     import spark.implicits._
     val dir = freshDir("msrc-restart")
