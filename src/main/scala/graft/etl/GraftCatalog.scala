@@ -161,17 +161,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"LOCATION is not supported on manifest catalog tables — the " +
           s"catalog owns the layout (table resolves to $path, got $loc)")
     }
-    props.get("comment").foreach(c => require(c.isEmpty,
-      "COMMENT is not supported on manifest tables (no comment store — " +
-        "it would be silently lost)"))
+    props.get("comment").foreach(c =>
+      require(!c.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
+        "a table COMMENT must not contain tabs or newlines"))
     val unknown = props.keys.filterNot(k =>
       sparkManaged.contains(k.toLowerCase(java.util.Locale.ROOT)) ||
         k.toLowerCase(java.util.Locale.ROOT).startsWith("option.") ||
-        Set("graft.statscols", "graft.bloomcols")
+        Set("graft.statscols", "graft.bloomcols", "graft.clustercols")
           .contains(k.toLowerCase(java.util.Locale.ROOT)))
     require(unknown.isEmpty,
       s"table properties ${unknown.mkString(", ")} are not supported on " +
-        "manifest tables (recognized: graft.statsCols, graft.bloomCols)")
+        "manifest tables (recognized: graft.statsCols, graft.bloomCols, " +
+        "graft.clusterCols)")
     require(props.get("provider").forall(p =>
       p.equalsIgnoreCase("graft-manifest") || p.equalsIgnoreCase("graft_manifest")),
       s"the graft catalog only creates graft-manifest tables " +
@@ -185,6 +186,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     ManifestLake.write(spark, empty, path, partCols,
       statsCols = propCols("graft.statsCols"),
       bloomCols = propCols("graft.bloomCols"))
+    if (propCols("graft.clusterCols").nonEmpty)
+      ManifestLake.setTableProperties(spark, path, set =
+        Map("graft.clusterCols" -> propCols("graft.clusterCols").mkString(","))): Unit
+    props.get("comment").filter(_.nonEmpty).foreach(c =>
+      ManifestLake.setComments(spark, path, table = Some(Some(c))): Unit)
     GraftNamedTable(spark, s"$catalogName.${ident.toString}",
       catalogName +: ident.namespace.toSeq :+ ident.name, path, None)
   }

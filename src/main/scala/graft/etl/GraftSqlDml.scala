@@ -390,9 +390,12 @@ object GraftSqlDml {
       "OPTIONS are not supported on manifest CREATE TABLE")
     require(spec.location.isEmpty,
       "LOCATION is not supported — a manifest table IS its path")
-    require(spec.comment.isEmpty && spec.collation.isEmpty,
-      "COMMENT/COLLATION are not supported on manifest tables (no store " +
-        "— they would be silently lost)")
+    spec.comment.foreach(t =>
+      require(!t.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
+        "a table COMMENT must not contain tabs or newlines"))
+    require(spec.collation.isEmpty,
+      "COLLATION is not supported on manifest tables (no store " +
+        "— it would be silently lost)")
     require(spec.serde.isEmpty && !spec.external,
       "Hive serde / EXTERNAL are not supported on manifest tables")
     val cons = spec.constraints.map {
@@ -452,10 +455,13 @@ object GraftSqlDml {
       : (org.apache.spark.sql.types.StructType,
          Seq[(String, org.apache.spark.sql.types.DataType, String)],
          Seq[(String, String)], Option[(String, Long, Long, Boolean)],
-         Seq[(String, String)]) = {
+         Seq[(String, String)], Seq[(String, String)]) = {
     cols.foreach { c =>
-      require(c.comment.isEmpty,
-        "COMMENT is not supported on manifest tables (no comment store)")
+      // column COMMENTs record as header facts; pre-validate the
+      // charset here so an invalid one leaves no half-created table
+      c.comment.foreach(t =>
+        require(!t.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
+          s"COMMENT on column ${c.name} must not contain tabs or newlines"))
       require(c.defaultValue.isEmpty || c.generationExpression.isEmpty,
         s"column ${c.name} cannot carry both DEFAULT and GENERATED")
       c.identityColumnSpec.foreach { spec =>
@@ -509,11 +515,14 @@ object GraftSqlDml {
       case c if !c.nullable && !partCols.exists(_.equalsIgnoreCase(c.name)) =>
         GraftNotNull.name(c.name) -> GraftNotNull.expr(c.name)
     }
+    val comments = cols.collect {
+      case c if c.comment.isDefined => c.name -> c.comment.get
+    }
     (org.apache.spark.sql.types.StructType(plain.map(c =>
       org.apache.spark.sql.types.StructField(c.name, c.dataType,
         c.nullable || !partCols.exists(_.equalsIgnoreCase(c.name))))),
       gen.map(c => (c.name, c.dataType, c.generationExpression.get)),
-      defaults, identities.headOption, nnCons)
+      defaults, identities.headOption, nnCons, comments)
   }
 
   /** The manifest path an ALTER TABLE target names — the multipart
@@ -583,18 +592,23 @@ object GraftSqlDml {
                 "columns append at the end")
             require(c.default.isEmpty,
               "ADD COLUMN ... DEFAULT is not supported on manifest tables")
-            require(c.comment.isEmpty,
-              "COMMENT is not supported on manifest tables (no comment " +
-                "store — it would be silently lost)")
+            c.comment.foreach(t =>
+              require(!t.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
+                s"COMMENT on column ${c.colName} must not contain tabs " +
+                  "or newlines"))
             require(c.nullable,
               s"added column ${c.colName} must be nullable — existing " +
                 "files carry no values for it")
             // a dotted path adds a field INSIDE a struct/array<struct>
             // — the engine's metadata-only nested add (round 17)
-            ((c.path.map(_.name).getOrElse(Seq.empty) :+ c.colName)
-              .mkString("."), c.dataType)
+            val full = (c.path.map(_.name).getOrElse(Seq.empty) :+ c.colName)
+              .mkString(".")
+            require(c.comment.isEmpty || !full.contains('.'),
+              "COMMENT on a nested field is not supported")
+            ((full, c.dataType), c.comment.map(full -> _))
           }
-          GraftAlterCommand(path, AlterAddCols(adds))
+          GraftAlterCommand(path,
+            AlterAddCols(adds.map(_._1), adds.flatMap(_._2)))
         }
       case RenameColumn(t, field, newName) =>
         alterTargetPath(spark, t).map(path =>
@@ -606,16 +620,28 @@ object GraftSqlDml {
             AlterDropCols(fields.map(_.name.mkString(".")), ifExists)))
       case AlterColumns(t, specs) =>
         alterTargetPath(spark, t).map { path =>
-          specs.foreach(s => require(
-            s.newComment.isEmpty && s.newPosition.isEmpty,
-            "ALTER COLUMN on a manifest table supports TYPE widening, " +
-              "SET/DROP DEFAULT and SET/DROP NOT NULL only " +
-              "(no comment/position changes)"))
-          val (nullish, rest) = specs.partition(_.newNullability.isDefined)
+          specs.foreach(s => require(s.newPosition.isEmpty,
+            "ALTER COLUMN ... FIRST/AFTER is not supported — manifest " +
+              "columns keep their recorded order"))
+          val (commentish, rest0) = specs.partition(_.newComment.isDefined)
+          require(commentish.isEmpty || rest0.isEmpty,
+            "mixing COMMENT changes with other ALTER COLUMN changes in one " +
+              "statement is not supported on manifest tables — run them " +
+              "as separate statements")
+          val (nullish, rest) = rest0.partition(_.newNullability.isDefined)
           require(nullish.isEmpty || rest.isEmpty,
             "mixing NOT NULL changes with TYPE/DEFAULT changes in one " +
               "ALTER COLUMN statement is not supported on manifest tables " +
               "— run them as separate statements")
+          if (commentish.nonEmpty) {
+            val changes = commentish.map { sp =>
+              require(sp.column.name.length == 1,
+                s"COMMENT on a nested field is not supported: " +
+                  s"${sp.column.name.mkString(".")}")
+              sp.column.name.head -> sp.newComment.get
+            }
+            GraftAlterCommand(path, AlterColComments(changes))
+          } else {
           val (defaultish, widenish) =
             rest.partition(s => s.newDefaultExpression.isDefined || s.dropDefault)
           require(defaultish.isEmpty || widenish.isEmpty,
@@ -653,6 +679,7 @@ object GraftSqlDml {
             }
             GraftAlterCommand(path, AlterWidenCols(widens))
           }
+          }
         }
       // ---- SET/UNSET TBLPROPERTIES: the two mutable header facts the
       // engine honors (graft.statsCols / graft.bloomCols) flip on a
@@ -662,6 +689,13 @@ object GraftSqlDml {
       case org.apache.spark.sql.catalyst.plans.logical.SetTableProperties(t, props) =>
         alterTargetPath(spark, t).map(path =>
           GraftSetPropertiesCommand(path, props, Seq.empty, unsetIfExists = false))
+      // ---- COMMENT ON TABLE t IS 'text' | NULL: the table comment as
+      // a header fact (IS NULL drops it)
+      // Spark's parser renders `IS NULL` as the empty string — both
+      // spellings drop the comment (an empty comment stores nothing)
+      case org.apache.spark.sql.catalyst.plans.logical.CommentOnTable(t, text) =>
+        alterTargetPath(spark, t).map(path =>
+          GraftCommentCommand(path, Option(text).filter(_.nonEmpty)))
       case org.apache.spark.sql.catalyst.plans.logical.UnsetTableProperties(t, keys, ifExists) =>
         alterTargetPath(spark, t).map(path =>
           GraftSetPropertiesCommand(path, Map.empty, keys, unsetIfExists = ifExists))
@@ -678,7 +712,8 @@ object GraftSqlDml {
         identManifestPath(spark, ident).map { path =>
           val (cons, partCols, stCols, blCols, clCols) =
             validateCreateSpec(spec, partitioning)
-          val (plain, gen, defs, identity, nnCons) = splitColumns(cols, partCols)
+          val (plain, gen, defs, identity, nnCons, colComments) =
+            splitColumns(cols, partCols)
           nnCons.foreach { case (n, _) =>
             require(!cons.exists(_._1 == n),
               s"CHECK constraint $n collides with the reserved NOT NULL " +
@@ -694,7 +729,7 @@ object GraftSqlDml {
                 "lay out by directory; cluster on data columns") }
           GraftCreateTableCommand(path, CreateEmpty(plain, ignoreIfExists),
             gen, partCols, cons ++ nnCons, stCols, blCols, defs, identity,
-            clCols)
+            clCols, spec.comment, colComments)
         }
       case CreateTableAsSelect(ident, partitioning, query,
           spec: UnresolvedTableSpec, writeOptions, ignoreIfExists, _) =>
@@ -705,7 +740,7 @@ object GraftSqlDml {
             validateCreateSpec(spec, partitioning)
           GraftCreateTableCommand(path, CreateAsSelect(query, ignoreIfExists),
             Seq.empty, partCols, cons, stCols, blCols,
-            clusterCols = clCols)
+            clusterCols = clCols, tableComment = spec.comment)
         }
       case ReplaceTableAsSelect(ident, partitioning, query,
           spec: UnresolvedTableSpec, writeOptions, orCreate, _) =>
@@ -716,7 +751,7 @@ object GraftSqlDml {
             validateCreateSpec(spec, partitioning)
           GraftCreateTableCommand(path, ReplaceAsSelect(query, orCreate),
             Seq.empty, partCols, cons, stCols, blCols,
-            clusterCols = clCols)
+            clusterCols = clCols, tableComment = spec.comment)
         }
       // ---- ANALYZE TABLE: metadata-only stats backfill through the
       // engine — bounds/null-counts/value-sets for live files missing
@@ -1086,7 +1121,8 @@ private[etl] object GraftNotNull {
 }
 
 sealed trait GraftAlterOp
-final case class AlterAddCols(cols: Seq[(String, org.apache.spark.sql.types.DataType)]) extends GraftAlterOp
+final case class AlterAddCols(cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+                              comments: Seq[(String, String)] = Seq.empty) extends GraftAlterOp
 final case class AlterRenameCol(from: String, to: String) extends GraftAlterOp
 final case class AlterDropCols(cols: Seq[String], ifExists: Boolean) extends GraftAlterOp
 final case class AlterWidenCols(cols: Seq[(String, org.apache.spark.sql.types.DataType)]) extends GraftAlterOp
@@ -1094,6 +1130,7 @@ final case class AlterSetDefaults(changes: Seq[(String, Option[String])]) extend
 final case class AlterAddConstraint(name: String, conditionSql: String) extends GraftAlterOp
 final case class AlterDropConstraint(name: String, ifExists: Boolean) extends GraftAlterOp
 final case class AlterNotNull(changes: Seq[(String, Boolean)]) extends GraftAlterOp
+final case class AlterColComments(changes: Seq[(String, String)]) extends GraftAlterOp
 
 /** `ALTER TABLE <manifest table> …` — dispatches to the engine's
   * metadata-only schema ops (ADD/RENAME/DROP COLUMN, ALTER COLUMN TYPE
@@ -1110,7 +1147,7 @@ final case class GraftAlterCommand(path: String, op: GraftAlterOp)
       throw new IllegalArgumentException(
         s"no manifested table at $path (ALTER TABLE needs an existing table)"))
     val v = op match {
-      case AlterAddCols(cols) =>
+      case AlterAddCols(cols, comments) =>
         // pre-validate the WHOLE list before the first commit — each
         // column is its own atomic version, and a bad second name must
         // not leave the statement half-applied (validateOnly runs the
@@ -1120,8 +1157,11 @@ final case class GraftAlterCommand(path: String, op: GraftAlterOp)
           "ADD COLUMNS names a column twice")
         cols.foreach { case (n, dt) =>
           ManifestLake.addColumn(spark, path, n, dt, validateOnly = true) }
-        cols.map { case (n, dt) =>
+        val vAdd = cols.map { case (n, dt) =>
           ManifestLake.addColumn(spark, path, n, dt) }.last
+        if (comments.isEmpty) vAdd
+        else ManifestLake.setComments(spark, path,
+          cols = comments.map { case (n, t) => n -> Some(t) }.toMap)
       case AlterRenameCol(from, to) =>
         ManifestLake.renameColumn(spark, path, from, to)
       case AlterDropCols(cols, ifExists) =>
@@ -1214,6 +1254,11 @@ final case class GraftAlterCommand(path: String, op: GraftAlterOp)
           else
             ManifestLake.dropConstraint(spark, path, GraftNotNull.name(col))
         }.last
+      case AlterColComments(changes) =>
+        require(changes.map(_._1.toLowerCase).distinct.size == changes.size,
+          "ALTER COLUMN names a column twice")
+        ManifestLake.setComments(spark, path,
+          cols = changes.map { case (c, t) => c -> Some(t) }.toMap)
     }
     Seq(Row(v))
   }
@@ -1238,6 +1283,17 @@ final case class GraftSetPropertiesCommand(path: String,
       unsetIfExists)))
 }
 
+/** `COMMENT ON TABLE t IS 'text' | NULL` — set or drop the table
+  * comment ([[ManifestLake.setComments]]); returns the head version.
+  */
+final case class GraftCommentCommand(path: String, text: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestLake.setComments(spark, path, table = Some(text))))
+}
+
 /** How a CREATE-family statement produces the table's first content. */
 sealed trait GraftCreateMode
 final case class CreateEmpty(schema: org.apache.spark.sql.types.StructType,
@@ -1258,7 +1314,9 @@ final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
     statsCols: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty,
     defaults: Seq[(String, String)] = Seq.empty,
     identity: Option[(String, Long, Long, Boolean)] = None,
-    clusterCols: Seq[String] = Seq.empty)
+    clusterCols: Seq[String] = Seq.empty,
+    tableComment: Option[String] = None,
+    colComments: Seq[(String, String)] = Seq.empty)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = mode match {
     case CreateAsSelect(q, _) => Seq(q)
@@ -1326,9 +1384,14 @@ final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
         val vi = identity.map { case (n, start, step, byDefault) =>
           ManifestLake.declareIdentity(spark, path, n, start, step, byDefault)
         }.getOrElse(vd)
-        if (clusterCols.isEmpty) vi
-        else ManifestLake.setTableProperties(spark, path,
-          set = Map("graft.clusterCols" -> clusterCols.mkString(",")))
+        val vcl =
+          if (clusterCols.isEmpty) vi
+          else ManifestLake.setTableProperties(spark, path,
+            set = Map("graft.clusterCols" -> clusterCols.mkString(",")))
+        if (tableComment.isEmpty && colComments.isEmpty) vcl
+        else ManifestLake.setComments(spark, path,
+          table = tableComment.map(Some(_)),
+          cols = colComments.map { case (n, t) => n -> Some(t) }.toMap)
     }
     Seq(Row(v))
   }
@@ -1416,13 +1479,19 @@ final case class GraftDescribeCommand(path: String, isExtended: Boolean)
     require(logical.nonEmpty,
       s"table at $path has a headerless legacy manifest — DESCRIBE needs " +
         "the recorded schema (run one append or upsert to adopt a header first)")
-    // the comment column surfaces a lowered NOT NULL (DESCRIBE has no
-    // nullability column of its own; Delta renders it the same way)
+    // the comment column carries the recorded column COMMENT plus a
+    // lowered NOT NULL marker (DESCRIBE has no nullability column of
+    // its own; Delta renders it the same way)
     def notNull(col: String): Boolean = m.constraints.exists { case (n, e) =>
       GraftNotNull.isLowered(col, n, e) }
-    val colRows = logical.fields.toSeq.map(f =>
+    val colComment = m.extras.collect { case (k, t) if k.startsWith("col:") =>
+      k.stripPrefix("col:") -> t }.toMap
+    val colRows = logical.fields.toSeq.map { f =>
+      val bits = (if (notNull(f.name)) Seq("not null") else Seq.empty) ++
+        colComment.get(f.name)
       Row(f.name, f.dataType.simpleString,
-        if (notNull(f.name)) "not null" else null))
+        if (bits.isEmpty) null else bits.mkString("; "))
+    }
     val partRows =
       if (m.partCols.isEmpty) Seq.empty
       else Row("# Partition Information", "", null) +:
@@ -1442,6 +1511,8 @@ final case class GraftDescribeCommand(path: String, isExtended: Boolean)
         Row("StatsCols", m.statsColsDefault.mkString(","), null),
         Row("BloomCols", m.bloomCols.mkString(","), null),
         Row("ClusterCols", m.clusterCols.mkString(","), null)) ++
+        m.extras.collectFirst { case ("comment", t) =>
+          Row("Comment", t, null) }.toSeq ++
         m.constraints.toSeq.filterNot { case (n, e) =>
           logical.fieldNames.exists(c => GraftNotNull.isLowered(c, n, e))
         }.sortBy(_._1).map { case (n, e) =>
@@ -1485,7 +1556,8 @@ final case class GraftShowPropertiesCommand(path: String, key: Option[String])
       "graft.bloomCols" -> m.bloomCols.mkString(","),
       "graft.clusterCols" -> m.clusterCols.mkString(","),
       "graft.partitionCols" -> m.partCols.mkString(","),
-      "graft.version" -> v.toString)
+      "graft.version" -> v.toString) ++
+      m.extras.collectFirst { case ("comment", t) => "comment" -> t }.toSeq
     key match {
       case Some(k) => props.filter(_._1.equalsIgnoreCase(k)) match {
         case Seq() => Seq(Row(k, s"Table $path does not have property: $k"))
@@ -1540,19 +1612,25 @@ final case class GraftShowCreateCommand(path: String)
     def notNull(col: String): Boolean = m.constraints.exists { case (n, e) =>
       GraftNotNull.isLowered(col, n, e) }
     def nn(col: String): String = if (notNull(col)) " NOT NULL" else ""
+    def lit(t: String): String = "'" + t.replace("'", "''") + "'"
+    val commentByName = m.extras.collect { case (k, t) if k.startsWith("col:") =>
+      k.stripPrefix("col:") -> t }.toMap
+    def cm(col: String): String =
+      commentByName.get(col).map(t => s" COMMENT ${lit(t)}").getOrElse("")
     val colLines = (plainFields ++ genPartF ++ genOtherF).map { f =>
       genByName.get(f.name) match {
         case Some(expr) =>
           s"  ${q(f.name)} ${f.dataType.sql}${nn(f.name)} " +
-            s"GENERATED ALWAYS AS ($expr)"
+            s"GENERATED ALWAYS AS ($expr)" + cm(f.name)
         case None => identByName.get(f.name) match {
           case Some((st, sp, bd)) =>
             s"  ${q(f.name)} ${f.dataType.sql}${nn(f.name)} GENERATED " +
               (if (bd) "BY DEFAULT" else "ALWAYS") +
-              s" AS IDENTITY (START WITH $st INCREMENT BY $sp)"
+              s" AS IDENTITY (START WITH $st INCREMENT BY $sp)" + cm(f.name)
           case None =>
             s"  ${q(f.name)} ${f.dataType.sql}${nn(f.name)}" +
-              defByName.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
+              defByName.get(f.name).map(d => s" DEFAULT $d").getOrElse("") +
+              cm(f.name)
         }
       }
     }
@@ -1570,6 +1648,8 @@ final case class GraftShowCreateCommand(path: String)
     stmt ++= s"CREATE TABLE ${q("graft-manifest")}.${q(path)} (\n"
     stmt ++= (colLines ++ consLines).mkString(",\n")
     stmt ++= "\n)\nUSING `graft-manifest`"
+    m.extras.collectFirst { case ("comment", t) =>
+      stmt ++= s"\nCOMMENT ${lit(t)}" }
     if (m.partCols.nonEmpty)
       stmt ++= s"\nPARTITIONED BY (${m.partCols.map(q).mkString(", ")})"
     if (m.clusterCols.nonEmpty) {

@@ -245,7 +245,8 @@ object ManifestLake {
                                          baseVersions: Seq[Long] = Seq.empty,
                                          defaults: Seq[(String, String)] = Seq.empty,
                                          identity: Option[(String, Long, Long, Long, Boolean)] = None,
-                                         clusterCols: Seq[String] = Seq.empty)
+                                         clusterCols: Seq[String] = Seq.empty,
+                                         extras: Seq[(String, String)] = Seq.empty)
 
   /** Published manifests are IMMUTABLE (a version is never rewritten —
     * restore publishes a NEW version), so parsed manifests cache across
@@ -724,6 +725,13 @@ object ManifestLake {
     val clusterCols = dmap.get("#clustercols")
       .map(v => if (v.isEmpty) Seq.empty[String] else v.split(",").toSeq)
       .getOrElse(Seq.empty)
+    // open-ended key-value header facts (table/column comments today;
+    // anything fact-shaped tomorrow rides the same carry-forward)
+    val extras = directives.filter(_.startsWith("#extra\t")).map { d =>
+      val rest = d.substring("#extra\t".length)
+      val i = rest.indexOf('\t')
+      rest.substring(0, i) -> rest.substring(i + 1)
+    }
     val generated = directives.filter(_.startsWith("#gencol\t")).map { d =>
       val rest = d.substring("#gencol\t".length)
       val i = rest.indexOf('\t')
@@ -779,7 +787,7 @@ object ManifestLake {
       if (colMapEntries.isEmpty) None else Some(colMapEntries), dropped,
       bloomCols, generated, fieldMap, statsColsDefault,
       fieldDropped, ckptRef, defaults = defaults, identity = identity,
-      clusterCols = clusterCols),
+      clusterCols = clusterCols, extras = extras),
       deltaRef, removes)
   }
 
@@ -1078,7 +1086,8 @@ object ManifestLake {
                            deltaHint: Option[(Seq[LiveFile], Seq[String])] = None,
                            defaults: Seq[(String, String)] = Seq.empty,
                            identity: Option[(String, Long, Long, Long, Boolean)] = None,
-                           clusterCols: Seq[String] = Seq.empty): Unit = {
+                           clusterCols: Seq[String] = Seq.empty,
+                           extras: Seq[(String, String)] = Seq.empty): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
     txns.keys.foreach(app => require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
@@ -1088,6 +1097,12 @@ object ManifestLake {
         s"constraint name must be non-empty with no tabs or newlines: $n")
       require(!e.exists(c => c == '\n' || c == '\r'),
         s"constraint expression must not contain newlines: $n")
+    }
+    extras.foreach { case (k, value) =>
+      require(k.nonEmpty && !k.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"header fact key must be non-empty with no tabs or newlines: $k")
+      require(!value.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"header fact $k must not contain tabs or newlines")
     }
     colMap.foreach(_.foreach { case (l, p) =>
       require(l.nonEmpty && p.nonEmpty &&
@@ -1122,6 +1137,7 @@ object ManifestLake {
        else Seq(s"#statscols\t${statsColsDefault.mkString(",")}")) ++
       (if (clusterCols.isEmpty) Nil
        else Seq(s"#clustercols\t${clusterCols.mkString(",")}")) ++
+      extras.map { case (k, value) => s"#extra\t$k\t$value" } ++
       generated.map { case (n, e) => s"#gencol\t$n\t$e" } ++
       defaults.map { case (n, e) => s"#coldefault\t$n\t$e" } ++
       identity.map { case (n, st, sp, wm, bd) =>
@@ -1376,6 +1392,7 @@ object ManifestLake {
         constraints, colMap.filter(_.nonEmpty), droppedPhys, bloomCols, generated,
         fieldMap, statsColsDefault, fieldDropped, ckptRefOut,
         defaults = defaults, identity = identity, clusterCols = clusterCols,
+        extras = extras,
         chain = delta.map(_._3).getOrElse(0),
         baseVersions =
           delta.map(_ => prevM.get.baseVersions :+ (v - 1)).getOrElse(Seq.empty))
@@ -1860,7 +1877,7 @@ object ManifestLake {
       op = Some("clone"), constraints = srcM.constraints,
       colMap = srcM.colMap, droppedPhys = srcM.droppedPhys,
       bloomCols = srcM.bloomCols, statsColsDefault = srcM.statsColsDefault,
-      generated = srcM.generated, defaults = srcM.defaults, identity = srcM.identity, clusterCols = srcM.clusterCols,
+      generated = srcM.generated, defaults = srcM.defaults, identity = srcM.identity, clusterCols = srcM.clusterCols, extras = srcM.extras,
       fieldMap = srcM.fieldMap, fieldDropped = srcM.fieldDropped)
     v
   }
@@ -1924,7 +1941,7 @@ object ManifestLake {
       op = Some("clone"), constraints = srcM.constraints,
       colMap = srcM.colMap, droppedPhys = srcM.droppedPhys,
       bloomCols = srcM.bloomCols, statsColsDefault = srcM.statsColsDefault,
-      generated = srcM.generated, defaults = srcM.defaults, identity = srcM.identity, clusterCols = srcM.clusterCols,
+      generated = srcM.generated, defaults = srcM.defaults, identity = srcM.identity, clusterCols = srcM.clusterCols, extras = srcM.extras,
       fieldMap = srcM.fieldMap, fieldDropped = srcM.fieldDropped)
     v
   }
@@ -1958,7 +1975,7 @@ object ManifestLake {
       op = Some("materialize"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
-      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols,
+      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras,
       fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((entries.filterNot(e => oldPaths(e.path)),
         (oldPaths -- newPaths).toSeq)))
@@ -2632,6 +2649,7 @@ object ManifestLake {
           defaults = curPrev.map(_.defaults).getOrElse(Seq.empty),
           identity = newIdentity.orElse(curPrev.flatMap(_.identity)),
           clusterCols = curPrev.map(_.clusterCols).getOrElse(Seq.empty),
+          extras = curPrev.map(_.extras).getOrElse(Seq.empty),
           fieldMap = curPrev.map(_.fieldMap).getOrElse(Seq.empty),
           fieldDropped = curPrev.map(_.fieldDropped).getOrElse(Seq.empty),
           // an append drops nothing: the delta is exactly the staged
@@ -3639,7 +3657,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = curM.statsColsDefault,
-          generated = curM.generated, defaults = curM.defaults, identity = curM.identity, clusterCols = curM.clusterCols, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
+          generated = curM.generated, defaults = curM.defaults, identity = curM.identity, clusterCols = curM.clusterCols, extras = curM.extras, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((withStats, inputPaths.toSeq)))
         return report
       } catch {
@@ -4007,7 +4025,7 @@ object ManifestLake {
           constraints = manifest.constraints, colMap = colMapOutU,
           droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
           statsColsDefault = manifest.statsColsDefault,
-          generated = manifest.generated, defaults = manifest.defaults, identity = manifest.identity, clusterCols = manifest.clusterCols, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
+          generated = manifest.generated, defaults = manifest.defaults, identity = manifest.identity, clusterCols = manifest.clusterCols, extras = manifest.extras, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
           deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
         return curV
       } catch {
@@ -4264,7 +4282,7 @@ object ManifestLake {
             constraints = manifest.constraints, colMap = colMapOut,
             droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
           statsColsDefault = manifest.statsColsDefault,
-            generated = manifest.generated, defaults = manifest.defaults, identity = manifest.identity, clusterCols = manifest.clusterCols, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
+            generated = manifest.generated, defaults = manifest.defaults, identity = manifest.identity, clusterCols = manifest.clusterCols, extras = manifest.extras, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
             deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
           return curV
         } catch {
@@ -4833,7 +4851,7 @@ object ManifestLake {
             constraints = manifest.constraints, colMap = manifest.colMap,
             droppedPhys = manifest.droppedPhys, bloomCols = manifest.bloomCols,
           statsColsDefault = manifest.statsColsDefault,
-            generated = manifest.generated, defaults = manifest.defaults, identity = manifest.identity, clusterCols = manifest.clusterCols, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
+            generated = manifest.generated, defaults = manifest.defaults, identity = manifest.identity, clusterCols = manifest.clusterCols, extras = manifest.extras, fieldMap = manifest.fieldMap, fieldDropped = manifest.fieldDropped,
             deltaHint = Some((stagedWithStats, inputPaths.toSeq)))
           return MergeStats(curV, nUpd, nDel, nIns)
         } catch {
@@ -5355,7 +5373,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = curM.statsColsDefault,
-          generated = curM.generated, defaults = curM.defaults, identity = curM.identity, clusterCols = curM.clusterCols, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
+          generated = curM.generated, defaults = curM.defaults, identity = curM.identity, clusterCols = curM.clusterCols, extras = curM.extras, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((staged, candidatePaths.toSeq)))
         return curV
       } catch {
@@ -5876,7 +5894,7 @@ object ManifestLake {
           constraints = curM.constraints, colMap = curM.colMap,
           droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
           statsColsDefault = curM.statsColsDefault,
-          generated = curM.generated, defaults = curM.defaults, identity = curM.identity, clusterCols = curM.clusterCols, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
+          generated = curM.generated, defaults = curM.defaults, identity = curM.identity, clusterCols = curM.clusterCols, extras = curM.extras, fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
           deltaHint = Some((staged, candidatePaths.toSeq)))
         return curV
       } catch {
@@ -5967,7 +5985,7 @@ object ManifestLake {
       bloomCols = target.bloomCols,
       statsColsDefault = target.statsColsDefault, generated = target.generated,
       defaults = target.defaults, identity = identityOut,
-      clusterCols = target.clusterCols,
+      clusterCols = target.clusterCols, extras = target.extras,
       fieldMap = target.fieldMap, fieldDropped = target.fieldDropped)
     newV
   }
@@ -6036,7 +6054,7 @@ object ManifestLake {
       op = Some("constraint"), constraints = m.constraints + (name -> expression),
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = m.statsColsDefault,
-      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
+      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -6054,7 +6072,7 @@ object ManifestLake {
       op = Some("constraint"), constraints = m.constraints - name,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = m.statsColsDefault,
-      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
+      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -6144,8 +6162,71 @@ object ManifestLake {
       op = Some("properties"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = bloom,
       statsColsDefault = stats, generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = cluster,
+      extras = m.extras,
       fieldMap = m.fieldMap, fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
+  }
+
+  /** SET (Some(text)) or DROP (None) the table comment and/or column
+    * comments — the COMMENT idiom as `#extra` header facts (`comment`
+    * for the table, `col:<name>` per column, LOGICAL names: renames
+    * carry them, drops remove them, clones copy them). Metadata-only
+    * commit (op=properties — streams span it as an empty diff); text
+    * must be tab/newline-free, the header being line-delimited. A
+    * no-change call publishes nothing. Returns the head version.
+    */
+  def setComments(spark: SparkSession, path: String,
+                  table: Option[Option[String]] = None,
+                  cols: Map[String, Option[String]] = Map.empty): Long = {
+    (table.flatten.toSeq ++ cols.values.flatten).foreach(t =>
+      require(!t.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        "a COMMENT must not contain tabs or newlines (the manifest " +
+          "header is line-delimited)"))
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    require(m.schema.isDefined,
+      s"table at $path has a headerless legacy manifest — comments need " +
+        "the recorded schema (run one append or upsert to adopt a header first)")
+    val logical = logicalSchemaOf(m)
+    var ex = m.extras
+    def put(k: String, value: Option[String]): Unit = value match {
+      case Some(t) => ex = ex.filterNot(_._1 == k) :+ (k -> t)
+      case None => ex = ex.filterNot(_._1 == k)
+    }
+    table.foreach(put("comment", _))
+    cols.foreach { case (c, value) =>
+      val actual = logical.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column $c on the table at $path to comment " +
+            s"(columns: ${logical.fieldNames.mkString(", ")})"))
+      put("col:" + actual, value)
+    }
+    if (ex == m.extras) return v
+    publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
+      op = Some("properties"), constraints = m.constraints,
+      colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
+      statsColsDefault = m.statsColsDefault, generated = m.generated,
+      defaults = m.defaults, identity = m.identity,
+      clusterCols = m.clusterCols, extras = ex,
+      fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
+      deltaHint = Some((Seq.empty, Seq.empty)))
+    v + 1
+  }
+
+  /** The table comment and per-column comments recorded on the head
+    * manifest: (table comment, logical column -> comment).
+    */
+  def comments(spark: SparkSession, path: String)
+      : (Option[String], Map[String, String]) = {
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    (m.extras.collectFirst { case ("comment", t) => t },
+      m.extras.collect { case (k, t) if k.startsWith("col:") =>
+        k.stripPrefix("col:") -> t }.toMap)
   }
 
   /** SET (Some) or DROP (None) a column's DEFAULT value — the
@@ -6196,7 +6277,7 @@ object ManifestLake {
       op = Some("properties"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
       statsColsDefault = m.statsColsDefault, generated = m.generated,
-      defaults = newDefaults, identity = m.identity, clusterCols = m.clusterCols,
+      defaults = newDefaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras,
       fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -6271,7 +6352,7 @@ object ManifestLake {
       m.partCols, m.txns, op = Some("fsck"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
       statsColsDefault = m.statsColsDefault, generated = m.generated,
-      defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols,
+      defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras,
       fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((repaired, gone.map(_.path))))
     report
@@ -6357,7 +6438,7 @@ object ManifestLake {
       statsColsDefault = (mSeed.statsColsDefault :+ phys).distinct,
       generated = mSeed.generated, defaults = mSeed.defaults,
       identity = Some((f.name, start, step, wm, byDefault)),
-      clusterCols = mSeed.clusterCols,
+      clusterCols = mSeed.clusterCols, extras = mSeed.extras,
       fieldMap = mSeed.fieldMap, fieldDropped = mSeed.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     vSeed + 1
@@ -6475,7 +6556,7 @@ object ManifestLake {
           op = Some("analyze"), constraints = m.constraints, colMap = m.colMap,
           droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = newDefault, generated = m.generated,
-          defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols,
+          defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras,
           fieldMap = m.fieldMap, fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)))
         v + 1
       }
@@ -6537,7 +6618,7 @@ object ManifestLake {
               constraints = curM.constraints, colMap = curM.colMap,
               droppedPhys = curM.droppedPhys, bloomCols = curM.bloomCols,
               statsColsDefault = (curM.statsColsDefault ++ phys).distinct,
-              generated = curM.generated, defaults = curM.defaults, identity = curM.identity, clusterCols = curM.clusterCols,
+              generated = curM.generated, defaults = curM.defaults, identity = curM.identity, clusterCols = curM.clusterCols, extras = curM.extras,
               fieldMap = curM.fieldMap, fieldDropped = curM.fieldDropped,
               deltaHint = Some((updated, updated.map(_.path))))
             curV += 1
@@ -6703,6 +6784,9 @@ object ManifestLake {
       identity = m.identity.map { case (n, st, sp, wm, bd) =>
         (if (n == oldName) newName else n, st, sp, wm, bd)
       }, clusterCols = m.clusterCols,
+      extras = m.extras.map { case (k, e) =>
+        (if (k == "col:" + oldName) "col:" + newName else k) -> e
+      },
       fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
     v + 1
   }
@@ -6800,7 +6884,7 @@ object ManifestLake {
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols,
       statsColsDefault = m.statsColsDefault, generated = m.generated,
-      defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols,
+      defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras,
       fieldMap = newFieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -6906,7 +6990,7 @@ object ManifestLake {
       op = Some("schema"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
-      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, fieldMap = newFieldMap,
+      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras, fieldMap = newFieldMap,
       fieldDropped = m.fieldDropped :+ ((physRoot, curPhysDotted)),
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -6986,7 +7070,7 @@ object ManifestLake {
       op = Some("schema"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
-      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, fieldMap = newFieldMap,
+      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras, fieldMap = newFieldMap,
       fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
@@ -7047,6 +7131,7 @@ object ManifestLake {
       defaults = m.defaults.filterNot(_._1 == name),
       identity = m.identity.filterNot(_._1 == name),
       clusterCols = m.clusterCols.filterNot(_ == phys),
+      extras = m.extras.filterNot(_._1 == "col:" + name),
       fieldMap = m.fieldMap.filterNot(_._1 == phys),
       fieldDropped = m.fieldDropped.filterNot(_._1 == phys))
     v + 1
@@ -7101,7 +7186,7 @@ object ManifestLake {
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols = m.bloomCols,
       statsColsDefault = m.statsColsDefault, generated = m.generated,
-      defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols,
+      defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras,
       fieldMap = m.fieldMap, fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }
@@ -7205,7 +7290,7 @@ object ManifestLake {
       colMap = m.colMap, droppedPhys = m.droppedPhys,
       bloomCols =
         if (renderingStable) m.bloomCols else m.bloomCols.filterNot(_ == phys),
-      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
+      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
     v + 1
   }
 
@@ -7292,7 +7377,7 @@ object ManifestLake {
       op = Some("schema"), constraints = m.constraints,
       colMap = newColMap, droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
           statsColsDefault = m.statsColsDefault,
-      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
+      generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
     v + 1
   }
 
@@ -7397,7 +7482,7 @@ object ManifestLake {
         colMap = newColMap, droppedPhys = m.droppedPhys,
         bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
         generated = m.generated :+ (name -> expression),
-        defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols,
+        defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras,
         fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
       v + 1
     } else {
@@ -7439,7 +7524,7 @@ object ManifestLake {
         colMap = newColMap, droppedPhys = m.droppedPhys,
         bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
         generated = m.generated :+ (name -> expression),
-        defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols,
+        defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras,
         fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
       newV
     }

@@ -2380,10 +2380,12 @@ object EtlGate {
         val dst = scratchDir("graft-gate-sct-dst") + "/table"
         s.sql(
           s"""CREATE TABLE `graft-manifest`.`$src` (
-             |  lang STRING, doc_id BIGINT NOT NULL, text STRING, n_chars BIGINT,
+             |  lang STRING COMMENT 'bcp47 tag',
+             |  doc_id BIGINT NOT NULL, text STRING, n_chars BIGINT,
              |  bkt STRING GENERATED ALWAYS AS (CAST(doc_id % 4 AS STRING)),
              |  CONSTRAINT pos_id CHECK (doc_id >= 0))
              |USING `graft-manifest` PARTITIONED BY (bkt)
+             |COMMENT 'gate table'
              |TBLPROPERTIES ('graft.statsCols' = 'doc_id')""".stripMargin)
         graft.Tables.documents(s, dir)
           .select(col("lang"), col("doc_id"), col("text"), col("n_chars"))
@@ -2396,6 +2398,8 @@ object EtlGate {
           !stmt.contains("graft_nn_doc_id") &&
           stmt.contains("CONSTRAINT `pos_id` CHECK (doc_id >= 0)") &&
           stmt.contains("PARTITIONED BY (`bkt`)") &&
+          stmt.contains("COMMENT 'bcp47 tag'") &&
+          stmt.contains("COMMENT 'gate table'") &&
           stmt.contains("'graft.statsCols' = 'doc_id'"),
           s"q133 gate: emitted DDL must carry every recorded clause:\n$stmt")
         s.sql(stmt.replace(src, dst))

@@ -327,17 +327,18 @@ class NamedCatalogSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.storeAssignmentPolicy", "ANSI")
   }
 
-  test("programmatic createTable refuses a USER location/comment instead of silently dropping it") {
+  test("programmatic createTable refuses a USER location; a comment is RECORDED (round 19)") {
     import spark.implicits._
     val eLoc = intercept[Exception] {
       Seq(("aa", 1L)).toDF("grp", "id").writeTo("graft.ns8.badloc")
         .tableProperty("location", "/somewhere/else").create() }
     assert(eLoc.getMessage.contains("LOCATION"), eLoc.getMessage)
     assert(!spark.catalog.tableExists("graft.ns8.badloc"))
-    val eCom = intercept[Exception] {
-      Seq(("aa", 1L)).toDF("grp", "id").writeTo("graft.ns8.badcom")
-        .tableProperty("comment", "a note").create() }
-    assert(eCom.getMessage.contains("COMMENT"), eCom.getMessage)
-    assert(!spark.catalog.tableExists("graft.ns8.badcom"))
+    // comments are header facts now — the property records instead of
+    // refusing, and DESCRIBE/SHOW CREATE render it
+    Seq(("aa", 1L)).toDF("grp", "id").writeTo("graft.ns8.withcom")
+      .tableProperty("comment", "a note").create()
+    val p = GraftCatalog.identPath(spark, Seq("graft", "ns8", "withcom")).get
+    assert(ManifestLake.comments(spark, p)._1.contains("a note"))
   }
 }

@@ -352,10 +352,10 @@ class SqlDmlSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE $t ADD COLUMNS (early STRING FIRST)")
     }
     assert(posn.getMessage.contains("FIRST/AFTER"))
-    val cmt = intercept[IllegalArgumentException] {
-      spark.sql(s"ALTER TABLE $t ADD COLUMNS (c2 STRING COMMENT 'hi')")
-    }
-    assert(cmt.getMessage.contains("COMMENT"))
+    // ADD COLUMN with COMMENT records the fact (round 19) — the
+    // dedicated comments test pins the full surface
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (c2 STRING COMMENT 'hi')")
+    assert(ManifestLake.comments(spark, dir)._2.get("c2").contains("hi"))
     // non-manifest ALTER passes through to Spark's own error
     spark.range(3).createOrReplaceTempView("sqldml_alter_plain")
     intercept[Exception] {
@@ -1532,6 +1532,73 @@ class SqlDmlSpec extends AnyFunSuite {
       assert(headM.files.exists(_.bloom.isDefined),
         "the post-SET append must carry a bloom sidecar")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("COMMENTs are header facts: CREATE/ALTER/COMMENT ON record them, " +
+    "DESCRIBE + SHOW CREATE render, renames carry, drops remove") {
+    val dir = freshDir("sqldml-comment")
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t (
+         |  grp STRING COMMENT 'partition bucket',
+         |  id BIGINT NOT NULL COMMENT 'the key',
+         |  payload STRING)
+         |USING `graft-manifest` PARTITIONED BY (grp)
+         |COMMENT 'round-trip demo table'""".stripMargin)
+    val (tc, cc) = ManifestLake.comments(spark, dir)
+    assert(tc.contains("round-trip demo table"))
+    assert(cc === Map("grp" -> "partition bucket", "id" -> "the key"))
+    // DESCRIBE: comment column carries comment and the NOT NULL marker
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+    assert(desc.exists(r => r.getString(0) == "id" &&
+      r.getString(2) == "not null; the key"), desc.mkString("\n"))
+    assert(desc.exists(r => r.getString(0) == "grp" &&
+      r.getString(2) == "partition bucket"))
+    assert(desc.exists(r => r.getString(0) == "Comment" &&
+      r.getString(1) == "round-trip demo table"))
+    // SHOW TBLPROPERTIES exposes the conventional 'comment' key
+    assert(spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .exists(r => r.getString(0) == "comment" &&
+        r.getString(1) == "round-trip demo table"))
+    // SHOW CREATE renders runnable COMMENT clauses (quote-escaped)
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN payload COMMENT 'it''s text'")
+    val stmt = spark.sql(s"SHOW CREATE TABLE $t").head().getString(0)
+    assert(stmt.contains("`id` BIGINT NOT NULL COMMENT 'the key'"), stmt)
+    assert(stmt.contains("COMMENT 'it''s text'"), stmt)
+    assert(stmt.contains("\nCOMMENT 'round-trip demo table'"), stmt)
+    val dir2 = freshDir("sqldml-comment-rt")
+    spark.sql(stmt.replace(dir, dir2))
+    assert(ManifestLake.comments(spark, dir2) ===
+      ((Some("round-trip demo table"),
+        Map("grp" -> "partition bucket", "id" -> "the key",
+          "payload" -> "it's text"))))
+    // COMMENT ON TABLE sets and IS NULL drops
+    spark.sql(s"COMMENT ON TABLE $t IS 'updated'")
+    assert(ManifestLake.comments(spark, dir)._1.contains("updated"))
+    spark.sql(s"COMMENT ON TABLE $t IS NULL")
+    assert(ManifestLake.comments(spark, dir)._1.isEmpty)
+    // ADD COLUMN with COMMENT records it
+    spark.sql(s"ALTER TABLE $t ADD COLUMN note STRING COMMENT 'freeform'")
+    assert(ManifestLake.comments(spark, dir)._2.get("note").contains("freeform"))
+    // rename carries the fact under the new name; drop removes it
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN note TO remark")
+    assert(ManifestLake.comments(spark, dir)._2.get("remark").contains("freeform"))
+    spark.sql(s"ALTER TABLE $t DROP COLUMN remark")
+    assert(!ManifestLake.comments(spark, dir)._2.contains("remark"))
+    // a comment commit is metadata-only: the stream-safe op kind
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    assert(ManifestLake.readManifest(fs, root,
+      ManifestLake.currentVersion(spark, dir).get).op.contains("schema"))
+    // refusals: control chars, nested fields, mixing with TYPE changes
+    val e1 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t ALTER COLUMN payload COMMENT 'bad\ttext'"))
+    assert(e1.getMessage.contains("tabs or newlines"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t ALTER COLUMN id COMMENT 'x', payload TYPE STRING"))
+    assert(e2.getMessage.contains("separate"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t ALTER COLUMN nope COMMENT 'x'"))
+    assert(e3.getMessage.contains("no column"), e3.getMessage)
   }
 
   test("REORG TABLE … APPLY (PURGE) rewrites exactly the DV-masked files; " +
