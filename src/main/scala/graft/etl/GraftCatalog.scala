@@ -164,15 +164,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     props.get("comment").foreach(c =>
       require(!c.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
         "a table COMMENT must not contain tabs or newlines"))
-    val unknown = props.keys.filterNot(k =>
-      sparkManaged.contains(k.toLowerCase(java.util.Locale.ROOT)) ||
-        k.toLowerCase(java.util.Locale.ROOT).startsWith("option.") ||
-        Set("graft.statscols", "graft.bloomcols", "graft.clustercols")
-          .contains(k.toLowerCase(java.util.Locale.ROOT)))
-    require(unknown.isEmpty,
-      s"table properties ${unknown.mkString(", ")} are not supported on " +
-        "manifest tables (recognized: graft.statsCols, graft.bloomCols, " +
-        "graft.clusterCols)")
+    val unknownGraft = props.keys.filter { k =>
+      val lk = k.toLowerCase(java.util.Locale.ROOT)
+      lk.startsWith("graft.") &&
+        !Set("graft.statscols", "graft.bloomcols", "graft.clustercols").contains(lk)
+    }
+    require(unknownGraft.isEmpty,
+      s"table properties ${unknownGraft.mkString(", ")} are not supported " +
+        "on manifest tables (recognized engine facts: graft.statsCols, " +
+        "graft.bloomCols, graft.clusterCols; non-graft keys store as " +
+        "user properties)")
+    val userProps = props.toSeq.filter { case (k, _) =>
+      val lk = k.toLowerCase(java.util.Locale.ROOT)
+      !lk.startsWith("graft.") && !lk.startsWith("option.") &&
+        !sparkManaged.contains(lk)
+    }
     require(props.get("provider").forall(p =>
       p.equalsIgnoreCase("graft-manifest") || p.equalsIgnoreCase("graft_manifest")),
       s"the graft catalog only creates graft-manifest tables " +
@@ -189,6 +195,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (propCols("graft.clusterCols").nonEmpty)
       ManifestLake.setTableProperties(spark, path, set =
         Map("graft.clusterCols" -> propCols("graft.clusterCols").mkString(","))): Unit
+    if (userProps.nonEmpty)
+      ManifestLake.setTableProperties(spark, path, set = userProps.toMap): Unit
     props.get("comment").filter(_.nonEmpty).foreach(c =>
       ManifestLake.setComments(spark, path, table = Some(Some(c))): Unit)
     GraftNamedTable(spark, s"$catalogName.${ident.toString}",
@@ -518,19 +526,21 @@ final class GraftCatalogRule(spark: SparkSession)
       case c: CreateTableAsSelect
           if createIdentPath(c.name).isDefined && c.query.resolved &&
             c.tableSpec.isInstanceOf[UnresolvedTableSpec] =>
-        val (cons, partCols, st, bl, cl) = GraftSqlDml.validateCreateSpec(
+        val (cons, partCols, st, bl, cl, up, tc) = GraftSqlDml.validateCreateSpec(
           c.tableSpec.asInstanceOf[UnresolvedTableSpec], c.partitioning)
         GraftCreateTableCommand(createIdentPath(c.name).get,
           CreateAsSelect(c.query, c.ignoreIfExists),
-          Seq.empty, partCols, cons, st, bl, clusterCols = cl)
+          Seq.empty, partCols, cons, st, bl, clusterCols = cl,
+          tableComment = tc, userProps = up)
       case r: ReplaceTableAsSelect
           if createIdentPath(r.name).isDefined && r.query.resolved &&
             r.tableSpec.isInstanceOf[UnresolvedTableSpec] =>
-        val (cons, partCols, st, bl, cl) = GraftSqlDml.validateCreateSpec(
+        val (cons, partCols, st, bl, cl, up, tc) = GraftSqlDml.validateCreateSpec(
           r.tableSpec.asInstanceOf[UnresolvedTableSpec], r.partitioning)
         GraftCreateTableCommand(createIdentPath(r.name).get,
           ReplaceAsSelect(r.query, r.orCreate),
-          Seq.empty, partCols, cons, st, bl, clusterCols = cl)
+          Seq.empty, partCols, cons, st, bl, clusterCols = cl,
+          tableComment = tc, userProps = up)
       // writeTo verbs FIRST — top-down, so the relation under them is
       // consumed here and never separately rewritten as a read
       case a: AppendData if graftTable(a.table).isDefined && a.query.resolved =>

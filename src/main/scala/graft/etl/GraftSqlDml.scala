@@ -365,17 +365,30 @@ object GraftSqlDml {
       spec: UnresolvedTableSpec,
       partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform])
       : (Seq[(String, String)], Seq[String], Seq[String], Seq[String],
-         Seq[String]) = {
-    // the ONLY recognized properties declare the skipping machinery —
-    // min/max stat columns, bloom tracking, and clustering keys, all
-    // sticky table facts
+         Seq[String], Seq[(String, String)], Option[String]) = {
+    // graft.* keys are ENGINE facts (the skipping/clustering
+    // machinery, validated below); anything else is a USER property,
+    // recorded verbatim. Unknown graft.* keys refuse — a key in the
+    // engine namespace the engine cannot honor must never be silently
+    // recorded.
     val known = Set("graft.statscols", "graft.bloomcols", "graft.clustercols")
-    val unknown = spec.properties.keys.filterNot(k =>
-      known.contains(k.toLowerCase(java.util.Locale.ROOT)))
-    require(unknown.isEmpty,
-      s"TBLPROPERTIES ${unknown.mkString(", ")} are not supported on " +
-        "manifest tables (recognized: graft.statsCols, graft.bloomCols, " +
-        "graft.clusterCols — comma-separated column lists)")
+    val unknownGraft = spec.properties.keys.filter { k =>
+      val lk = k.toLowerCase(java.util.Locale.ROOT)
+      lk.startsWith("graft.") && !known.contains(lk)
+    }
+    require(unknownGraft.isEmpty,
+      s"TBLPROPERTIES ${unknownGraft.mkString(", ")} are not supported on " +
+        "manifest tables (recognized engine facts: graft.statsCols, " +
+        "graft.bloomCols, graft.clusterCols — comma-separated column " +
+        "lists; non-graft keys store as user properties)")
+    val userProps = spec.properties.toSeq.filter { case (k, _) =>
+      val lk = k.toLowerCase(java.util.Locale.ROOT)
+      !lk.startsWith("graft.") && lk != "comment"
+    }
+    userProps.foreach { case (k, v2) =>
+      require(!k.exists(c => c == '\t' || c == '\n' || c == '\r') &&
+        !v2.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"table property $k must not contain tabs or newlines") }
     def propCols(name: String): Seq[String] = spec.properties.collectFirst {
       case (k, v) if k.equalsIgnoreCase(name) =>
         v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
@@ -438,8 +451,13 @@ object GraftSqlDml {
         s"nested partition columns are not supported: ${parts.mkString(".")}")
       parts.head
     }
+    // writeTo's tableProperty("comment") arrives as a property, the
+    // SQL COMMENT clause as spec.comment — one effective value
+    val comment = spec.comment.orElse(spec.properties.collectFirst {
+      case (k, v2) if k.equalsIgnoreCase("comment") => v2 })
     (cons, partCols, statsCols, bloomCols,
-      if (clusterCols.nonEmpty) clusterCols else propCols("graft.clusterCols"))
+      if (clusterCols.nonEmpty) clusterCols else propCols("graft.clusterCols"),
+      userProps, comment)
   }
 
   /** Plain vs GENERATED column definitions. Generated columns must
@@ -710,7 +728,7 @@ object GraftSqlDml {
       case CreateTable(ident, cols, partitioning, spec: UnresolvedTableSpec,
           ignoreIfExists) =>
         identManifestPath(spark, ident).map { path =>
-          val (cons, partCols, stCols, blCols, clCols) =
+          val (cons, partCols, stCols, blCols, clCols, uProps, tComment) =
             validateCreateSpec(spec, partitioning)
           val (plain, gen, defs, identity, nnCons, colComments) =
             splitColumns(cols, partCols)
@@ -729,29 +747,31 @@ object GraftSqlDml {
                 "lay out by directory; cluster on data columns") }
           GraftCreateTableCommand(path, CreateEmpty(plain, ignoreIfExists),
             gen, partCols, cons ++ nnCons, stCols, blCols, defs, identity,
-            clCols, spec.comment, colComments)
+            clCols, tComment, colComments, uProps)
         }
       case CreateTableAsSelect(ident, partitioning, query,
           spec: UnresolvedTableSpec, writeOptions, ignoreIfExists, _) =>
         identManifestPath(spark, ident).map { path =>
           require(writeOptions.isEmpty,
             "write options are not supported on manifest CTAS")
-          val (cons, partCols, stCols, blCols, clCols) =
+          val (cons, partCols, stCols, blCols, clCols, uProps, tComment) =
             validateCreateSpec(spec, partitioning)
           GraftCreateTableCommand(path, CreateAsSelect(query, ignoreIfExists),
             Seq.empty, partCols, cons, stCols, blCols,
-            clusterCols = clCols, tableComment = spec.comment)
+            clusterCols = clCols, tableComment = tComment,
+            userProps = uProps)
         }
       case ReplaceTableAsSelect(ident, partitioning, query,
           spec: UnresolvedTableSpec, writeOptions, orCreate, _) =>
         identManifestPath(spark, ident).map { path =>
           require(writeOptions.isEmpty,
             "write options are not supported on manifest REPLACE TABLE")
-          val (cons, partCols, stCols, blCols, clCols) =
+          val (cons, partCols, stCols, blCols, clCols, uProps, tComment) =
             validateCreateSpec(spec, partitioning)
           GraftCreateTableCommand(path, ReplaceAsSelect(query, orCreate),
             Seq.empty, partCols, cons, stCols, blCols,
-            clusterCols = clCols, tableComment = spec.comment)
+            clusterCols = clCols, tableComment = tComment,
+            userProps = uProps)
         }
       // ---- ANALYZE TABLE: metadata-only stats backfill through the
       // engine — bounds/null-counts/value-sets for live files missing
@@ -1316,7 +1336,8 @@ final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
     identity: Option[(String, Long, Long, Boolean)] = None,
     clusterCols: Seq[String] = Seq.empty,
     tableComment: Option[String] = None,
-    colComments: Seq[(String, String)] = Seq.empty)
+    colComments: Seq[(String, String)] = Seq.empty,
+    userProps: Seq[(String, String)] = Seq.empty)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = mode match {
     case CreateAsSelect(q, _) => Seq(q)
@@ -1388,7 +1409,11 @@ final case class GraftCreateTableCommand(path: String, mode: GraftCreateMode,
           if (clusterCols.isEmpty) vi
           else ManifestLake.setTableProperties(spark, path,
             set = Map("graft.clusterCols" -> clusterCols.mkString(",")))
-        if (tableComment.isEmpty && colComments.isEmpty) vcl
+        val vup =
+          if (userProps.isEmpty) vcl
+          else ManifestLake.setTableProperties(spark, path,
+            set = userProps.toMap)
+        if (tableComment.isEmpty && colComments.isEmpty) vup
         else ManifestLake.setComments(spark, path,
           table = tableComment.map(Some(_)),
           cols = colComments.map { case (n, t) => n -> Some(t) }.toMap)
@@ -1557,7 +1582,9 @@ final case class GraftShowPropertiesCommand(path: String, key: Option[String])
       "graft.clusterCols" -> m.clusterCols.mkString(","),
       "graft.partitionCols" -> m.partCols.mkString(","),
       "graft.version" -> v.toString) ++
-      m.extras.collectFirst { case ("comment", t) => "comment" -> t }.toSeq
+      m.extras.collectFirst { case ("comment", t) => "comment" -> t }.toSeq ++
+      m.extras.collect { case (k, t) if k.startsWith("prop:") =>
+        k.stripPrefix("prop:") -> t }
     key match {
       case Some(k) => props.filter(_._1.equalsIgnoreCase(k)) match {
         case Seq() => Seq(Row(k, s"Table $path does not have property: $k"))
@@ -1643,7 +1670,9 @@ final case class GraftShowCreateCommand(path: String)
     }
     val props = Seq(
       "graft.statsCols" -> m.statsColsDefault.mkString(","),
-      "graft.bloomCols" -> m.bloomCols.mkString(",")).filter(_._2.nonEmpty)
+      "graft.bloomCols" -> m.bloomCols.mkString(",")).filter(_._2.nonEmpty) ++
+      m.extras.collect { case (k, t) if k.startsWith("prop:") =>
+        k.stripPrefix("prop:") -> t }
     val stmt = new StringBuilder
     stmt ++= s"CREATE TABLE ${q("graft-manifest")}.${q(path)} (\n"
     stmt ++= (colLines ++ consLines).mkString(",\n")
@@ -1661,7 +1690,7 @@ final case class GraftShowCreateCommand(path: String)
     }
     if (props.nonEmpty)
       stmt ++= "\nTBLPROPERTIES (" + props.map { case (k, value) =>
-        s"'$k' = '$value'" }.mkString(", ") + ")"
+        s"${lit(k)} = ${lit(value)}" }.mkString(", ") + ")"
     Seq(Row(stmt.toString))
   }
 }

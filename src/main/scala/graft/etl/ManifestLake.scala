@@ -6104,14 +6104,24 @@ object ManifestLake {
     require(m.schema.isDefined,
       s"table at $path has a headerless legacy manifest — table properties " +
         "need the recorded schema (run one append or upsert to adopt a header first)")
+    // graft.* keys are ENGINE facts (validated, column-resolved);
+    // anything else is a USER property, stored verbatim as an `#extra`
+    // fact (`prop:<key>`) — Delta's arbitrary-TBLPROPERTIES contract.
+    // Unknown graft.* keys still refuse: a key in the engine namespace
+    // the engine cannot honor must never be silently recorded.
     def keyOf(k: String): String = k.toLowerCase(java.util.Locale.ROOT) match {
       case "graft.statscols" => "stats"
       case "graft.bloomcols" => "bloom"
       case "graft.clustercols" => "cluster"
-      case _ => throw new IllegalArgumentException(
+      case lk if lk.startsWith("graft.") => throw new IllegalArgumentException(
         s"table property $k is not supported on manifest tables " +
-          "(recognized: graft.statsCols, graft.bloomCols, " +
-          "graft.clusterCols — comma-separated column lists)")
+          "(recognized engine facts: graft.statsCols, graft.bloomCols, " +
+          "graft.clusterCols — comma-separated column lists; non-graft " +
+          "keys store as user properties)")
+      case lk if lk == "comment" => throw new IllegalArgumentException(
+        "set the table comment with COMMENT ON TABLE t IS 'text' (or the " +
+          "CREATE ... COMMENT clause), not TBLPROPERTIES")
+      case _ => "user"
     }
     val logical = logicalSchemaOf(m)
     val cm = m.colMap.getOrElse(logical.fieldNames.toSeq.map(n => n -> n)).toMap
@@ -6129,10 +6139,16 @@ object ManifestLake {
     var stats = m.statsColsDefault
     var bloom = m.bloomCols
     var cluster = m.clusterCols
+    var ex = m.extras
     set.foreach { case (k, value) => keyOf(k) match {
       case "stats" => stats = resolvePhys(k, value).distinct
       case "bloom" => bloom = resolvePhys(k, value).distinct
       case "cluster" => cluster = resolvePhys(k, value).distinct
+      case "user" =>
+        require(!k.exists(c => c == '\t' || c == '\n' || c == '\r') &&
+          !value.exists(c => c == '\t' || c == '\n' || c == '\r'),
+          s"table property $k must not contain tabs or newlines")
+        ex = ex.filterNot(_._1 == "prop:" + k) :+ ("prop:" + k -> value)
     } }
     unset.foreach { k =>
       val recognized = try Some(keyOf(k)) catch {
@@ -6152,17 +6168,21 @@ object ManifestLake {
           require(cluster.nonEmpty || unsetIfExists,
             s"property $k is not set on $path (UNSET ... IF EXISTS skips silently)")
           cluster = Seq.empty
+        case Some("user") =>
+          require(ex.exists(_._1 == "prop:" + k) || unsetIfExists,
+            s"property $k is not set on $path (UNSET ... IF EXISTS skips silently)")
+          ex = ex.filterNot(_._1 == "prop:" + k)
         case _ => ()
       }
     }
     if (stats == m.statsColsDefault && bloom == m.bloomCols &&
-      cluster == m.clusterCols) return v
+      cluster == m.clusterCols && ex == m.extras) return v
     fireRaceHook("properties")
     publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
       op = Some("properties"), constraints = m.constraints,
       colMap = m.colMap, droppedPhys = m.droppedPhys, bloomCols = bloom,
       statsColsDefault = stats, generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = cluster,
-      extras = m.extras,
+      extras = ex,
       fieldMap = m.fieldMap, fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)))
     v + 1
   }

@@ -559,10 +559,11 @@ class SqlDmlSpec extends AnyFunSuite {
     val m3 = ManifestLake.readManifest(fs, root,
       ManifestLake.currentVersion(spark, dir).get)
     assert(m3.statsColsDefault.isEmpty)
-    // unknown TBLPROPERTIES still refuse
+    // unknown ENGINE-namespace TBLPROPERTIES still refuse (non-graft
+    // keys store as user properties since round 19 — spec'd separately)
     val bad = intercept[IllegalArgumentException] {
       spark.sql(s"CREATE TABLE `graft-manifest`.`${freshDir("sqldml-prop")}` " +
-        "(id BIGINT) TBLPROPERTIES ('foo' = 'bar')")
+        "(id BIGINT) TBLPROPERTIES ('graft.foo' = 'bar')")
     }
     assert(bad.getMessage.contains("graft.statsCols"))
     ()
@@ -1499,9 +1500,10 @@ class SqlDmlSpec extends AnyFunSuite {
       val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       assert(props.get("graft.statsCols").contains("id"))
-      // unknown keys refuse loudly — never silently recorded
+      // unknown ENGINE-namespace keys refuse loudly — never silently
+      // recorded (non-graft keys store as user properties, round 19)
       val e = intercept[IllegalArgumentException] {
-        spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('foo' = 'bar')")
+        spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.foo' = 'bar')")
       }
       assert(e.getMessage.contains("not supported"), e.getMessage)
       // partition columns refuse — they prune by directory
@@ -1532,6 +1534,50 @@ class SqlDmlSpec extends AnyFunSuite {
       assert(headM.files.exists(_.bloom.isDefined),
         "the post-SET append must carry a bloom sidecar")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("user TBLPROPERTIES store verbatim: CREATE + SET + UNSET + renders; " +
+    "unknown graft.* keys still refuse") {
+    import spark.implicits._
+    val dir = freshDir("sqldml-uprops")
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(s"CREATE TABLE $t (id BIGINT) USING `graft-manifest` " +
+      "TBLPROPERTIES ('team' = 'data-eng', 'pipeline.stage' = 'bronze')")
+    def props() = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("team").contains("data-eng"))
+    assert(props().get("pipeline.stage").contains("bronze"))
+    // SET replaces one key, leaves the other; survives an append
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('team' = 'ml')")
+    spark.sql(s"INSERT INTO $t VALUES (1)")
+    assert(props().get("team").contains("ml"))
+    assert(props().get("pipeline.stage").contains("bronze"))
+    // SHOW CREATE renders them runnable; the round-trip carries them
+    val stmt = spark.sql(s"SHOW CREATE TABLE $t").head().getString(0)
+    assert(stmt.contains("'team' = 'ml'") &&
+      stmt.contains("'pipeline.stage' = 'bronze'"), stmt)
+    val dir2 = freshDir("sqldml-uprops-rt")
+    spark.sql(stmt.replace(dir, dir2))
+    assert(spark.sql(s"SHOW TBLPROPERTIES `graft-manifest`.`$dir2`").collect()
+      .exists(r => r.getString(0) == "team" && r.getString(1) == "ml"))
+    // UNSET removes; IF EXISTS tolerates absence; engine keys coexist
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('team')")
+    assert(!props().contains("team"))
+    val e0 = intercept[IllegalArgumentException](
+      spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('team')"))
+    assert(e0.getMessage.contains("not set"), e0.getMessage)
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES IF EXISTS ('team')")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.statsCols' = 'id')")
+    assert(props().get("graft.statsCols").contains("id"))
+    assert(props().get("pipeline.stage").contains("bronze"))
+    // unknown ENGINE-namespace keys refuse — never silently recorded
+    val e1 = intercept[IllegalArgumentException](
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.nope' = 'x')"))
+    assert(e1.getMessage.contains("not supported"), e1.getMessage)
+    // the comment key routes to COMMENT ON, not the property store
+    val e2 = intercept[IllegalArgumentException](
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('comment' = 'x')"))
+    assert(e2.getMessage.contains("COMMENT ON TABLE"), e2.getMessage)
   }
 
   test("COMMENTs are header facts: CREATE/ALTER/COMMENT ON record them, " +
