@@ -52,7 +52,12 @@ private[etl] final class ManifestFileIndex(
     files: Seq[(ManifestLake.LiveFile, FileStatus)],
     bloomLoader: String => Map[(String, String), Array[Byte]] =
       _ => Map.empty,
-    bloomCols: Set[String] = Set.empty)
+    bloomCols: Set[String] = Set.empty,
+    // generated PARTITION columns as (physical name, PHYSICAL-name SQL
+    // expression, physical base column) — the inference seam
+    // [[GraftGeneratedPartitionFilter]] reads to derive partition
+    // predicates from base-column equality filters
+    val genPartExprs: Seq[(String, String, String)] = Seq.empty)
   extends FileIndex {
 
   /** Sidecar loads memoized per index instance — one read per distinct

@@ -2797,8 +2797,36 @@ object ManifestLake {
       (f, new org.apache.hadoop.fs.FileStatus(
         f.bytes, false, 1, 1, 0L, fs.makeQualified(new Path(root, f.path))))
     }
+    // generated PARTITION columns, translated to PHYSICAL names — the
+    // filter-inference seam: an equality filter on the (single) base
+    // column lets the optimizer derive the partition predicate
+    val cm = m.colMap.getOrElse(schema.fieldNames.toSeq.map(n => n -> n))
+    val physOf = cm.toMap
+    val genPart = m.generated.flatMap { case (n, e) =>
+      val phys = physOf.getOrElse(n, n)
+      if (!m.partCols.exists(_.equalsIgnoreCase(phys))) None
+      else {
+        val physExpr =
+          try exprToPhysical(spark, e, cm, m.fieldMap)
+          catch { case scala.util.control.NonFatal(_) => e }
+        val bases =
+          try spark.sessionState.sqlParser.parseExpression(physExpr).collect {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              u.nameParts.mkString(".")
+          }.distinct
+          catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        // single-base expressions only: f(lit) is well-defined from one
+        // equality; multi-base inference would need a cross product
+        bases match {
+          case Seq(one) if dataSchema.fieldNames.contains(one) =>
+            Some((phys, physExpr, one))
+          case _ => None
+        }
+      }
+    }
     val index = new ManifestFileIndex(spark, fs.makeQualified(root), partSchema,
-      dataSchema, statuses, ref => bloomsAt(fs, root, ref), m.bloomCols.toSet)
+      dataSchema, statuses, ref => bloomsAt(fs, root, ref), m.bloomCols.toSet,
+      genPart)
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, partSchema, dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),

@@ -88,6 +88,12 @@ object GraftFunctions {
     // above, which resolves catalog names itself)
     ext.injectResolutionRule(session =>
       new graft.etl.GraftCatalogRule(session))
+    // generated-partition-column filter inference: equality/IN filters
+    // on a generated partition column's base column derive the
+    // partition predicate (Delta's OptimizeGeneratedColumn idiom) —
+    // the 100 TB prune for tables partitioned by a derived bucket/date
+    ext.injectOptimizerRule(session =>
+      new graft.etl.GraftGeneratedPartitionFilter(session))
   }
 
   /** Imperative registration on a live session (idempotent). */
