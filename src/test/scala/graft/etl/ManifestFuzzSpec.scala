@@ -491,9 +491,14 @@ class ManifestFuzzSpec extends AnyFunSuite {
             ("dv-delete", () => ManifestLake.delete(spark, dir,
               pmod(col("id"), lit(5L)) === r, deletionVectors = true): Unit,
               m => m.filterNot { case ((_, id), _) => id % 5 == r })
-          case 5 => // compact — content no-op
-            ("compact", () => ManifestLake.compact(spark, dir,
-              targetBytes = 1L << 20): Unit, m => m)
+          case 5 => // compact — content no-op; the extended mix also
+            // draws the FULL (re-cluster everything) and PURGE-only
+            // (materialize DV masks) modes, racing the same rebase
+            val mode = if (extendedMix) rnd.nextInt(3) else 0
+            (if (mode == 1) "compact-full"
+             else if (mode == 2) "reorg-purge" else "compact",
+              () => ManifestLake.compact(spark, dir, targetBytes = 1L << 20,
+                full = mode == 1, purgeOnly = mode == 2): Unit, m => m)
           case 6 => // restore to a pre-round recorded version
             val targets = history.keys.toSeq.sorted
             val target = targets(rnd.nextInt(targets.size))
