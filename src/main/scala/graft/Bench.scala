@@ -64,6 +64,51 @@ object Bench {
     math.round((System.nanoTime() - t0) / 1e5) / 1e4
   }
 
+  /** Testdata fingerprint: per-table row count + a cheap content hash
+    * (MD5 over each data file's relative name, length, and first 64 KB,
+    * mtime excluded). Stamped into the bench JSON because the driver
+    * REGENERATES the testdata at round start: a per-query move on
+    * byte-unchanged code was previously unadjudicable between host
+    * contention and a shifted data distribution (r18/r19's q74 sat at
+    * ~2x its r17 mark for two rounds with no way to tell which). Two
+    * rounds with equal fingerprints pin any drift on the host; unequal
+    * fingerprints say the DATA moved — different per-stratum work is
+    * then expected, not a regression. Row counts come from parquet
+    * footers (no column reads), the hash from 64 KB per file — the
+    * stamp costs well under a second at sf0.1.
+    */
+  private def fingerprint(spark: SparkSession, sfDir: String): String =
+    try {
+      val dir = new java.io.File(sfDir)
+      val tables = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      tables.map { t =>
+        val rows =
+          try spark.read.parquet(t.getAbsolutePath).count()
+          catch { case _: Throwable => -1L }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def walk(f: java.io.File, rel: String): Unit =
+          if (f.isDirectory)
+            f.listFiles().sortBy(_.getName)
+              .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+              .foreach(c => walk(c, rel + "/" + c.getName))
+          else {
+            md.update(rel.getBytes("UTF-8"))
+            md.update(java.nio.ByteBuffer.allocate(8).putLong(f.length()).array())
+            val in = new java.io.FileInputStream(f)
+            try {
+              val buf = new Array[Byte](65536)
+              val n = in.read(buf)
+              if (n > 0) md.update(buf, 0, n)
+            } finally in.close()
+          }
+        walk(t, t.getName)
+        val h = md.digest().map("%02x".format(_)).mkString.take(16)
+        "\"" + t.getName.stripSuffix(".parquet") +
+          "\":{\"rows\":" + rows + ",\"hash\":\"" + h + "\"}"
+      }.mkString("{", ",", "}")
+    } catch { case _: Throwable => "{}" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -198,13 +243,26 @@ object Bench {
     // those lines. If the re-gate times out still loaded, the artifact
     // stamps "contended": true so the driver KNOWS to discount it
     // rather than misread upper bounds as measurements.
-    def over15(name: String, t: Double): Boolean =
-      !t.isNaN && prev.get(name).exists(p => p > 0 && t > 1.5 * p)
+    // The re-gate triggers at 1.25x (was 1.5x): the r19 verdict's open
+    // watch (q74 at ~2x its r17 mark for two rounds) sat BETWEEN the
+    // drift-report threshold (1.25x, report-only) and the re-gate
+    // threshold (1.5x, re-measured) — drifted enough to flag, not
+    // enough to earn the same-host A/B that would adjudicate it. Now
+    // every line the drift report would flag upward also gets the
+    // minutes-later re-time, and BOTH legs of the A/B are published
+    // (`ab_retime`): first = the min over the suite-time runs, retimed
+    // = the min over the post-decay-wait runs. first≈retimed on a
+    // clean host says the move is real (code or data — see the
+    // testdata fingerprint); retimed << first says the suite-time runs
+    // were contended.
+    def overAb(name: String, t: Double): Boolean =
+      !t.isNaN && prev.get(name).exists(p => p > 0 && t > 1.25 * p)
     val stillSuspect = retimePass.collect {
-      case (n, _, t, _) if over15(n, t) => n
+      case (n, _, t, _) if overAb(n, t) => n
     }.toSet
     var contended = false
     var regateWaitSec = 0.0
+    val abPairs = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results: Seq[(String, Double, Boolean)] =
       if (stillSuspect.isEmpty) retimePass.map { case (n, _, t, s) => (n, t, s) }
       else {
@@ -219,6 +277,7 @@ object Bench {
           else {
             val re = (1 to 2).map(_ => timedRun(fn)).collect { case (tt, true) => tt }
             val best = if (re.nonEmpty) math.min(t, re.min) else t
+            if (re.nonEmpty) abPairs(n) = (t, re.min)
             (n, best, true)
           }
         }
@@ -239,6 +298,7 @@ object Bench {
     if (load1() >= math.max(idleGate, 2.0)) contended = true
     val loadAfter = loadavg()
     val calibSec = calibrate()
+    val fp = fingerprint(spark, sfDir)
     val qs = results.map { case (k, v, _) =>
       "\"" + k + "\":" + (if (v.isNaN) "\"error\"" else v.toString)
     }.mkString("{", ",", "}")
@@ -254,12 +314,16 @@ object Bench {
         p > 0 && v > 0.3 && (v > 1.25 * p || v < 0.8 * p)) =>
         "\"" + k + "\":" + (math.round(v / prev(k) * 100) / 100.0)
     }.mkString("{", ",", "}")
+    val ab = abPairs.map { case (k, (first, re)) =>
+      "\"" + k + "\":{\"first\":" + (math.round(first * 1000) / 1000.0) +
+        ",\"retimed\":" + (math.round(re * 1000) / 1000.0) + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isNaN).sum
     // notes: q70/q71/q83 share a session-memoized k-means codebook that
     // the warm-up pass populates, so their timed runs exclude training —
     // the persisted-codebook deployment shape, stated here so a
     // round-over-round reader doesn't misread memo reuse as engine speed.
-    val artifact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","contended":$contended,"calib_sec":$calibSec,"idle_wait_sec":$idleWaitSec,"regate_wait_sec":$regateWaitSec,"post_wait_sec":$postWaitSec,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","retimed":$retimed,"drift_vs_prev":$drift,"notes":"q70/q71/q83 timed runs reuse the memoized k-means codebook (training excluded, persisted-codebook pattern); loadavg_after is stamped post-decay-wait; drift_vs_prev lists lines >1.25x or <0.8x last round's published time"}"""
+    val artifact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","contended":$contended,"calib_sec":$calibSec,"idle_wait_sec":$idleWaitSec,"regate_wait_sec":$regateWaitSec,"post_wait_sec":$postWaitSec,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","retimed":$retimed,"drift_vs_prev":$drift,"ab_retime":$ab,"testdata":$fp,"notes":"q70/q71/q83 timed runs reuse the memoized k-means codebook (training excluded, persisted-codebook pattern); loadavg_after is stamped post-decay-wait; drift_vs_prev lists lines >1.25x or <0.8x last round's published time; ab_retime pairs each >1.25x-drifted line's suite-time min (first) with its post-decay-wait re-time (retimed); testdata fingerprints the SF dir (per-table rows + content hash) so regenerated-data drift is separable from host drift"}"""
     println(artifact)
     // The driver's BENCH_r{N}.json wrapper keeps only a ~4KB stdout
     // TAIL — every per-query line alphabetically before the cut is lost
