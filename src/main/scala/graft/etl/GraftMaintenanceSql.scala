@@ -37,8 +37,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *     references to data files deleted out-of-band (DRY RUN lists).
   *   - `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
   *     [PATTERN = '<glob>'] [FORMAT_OPTIONS (…)] [COPY_OPTIONS
-  *     ('force' = 'true')]` → [[ManifestLake.copyInto]] — idempotent
-  *     batch file ingestion, exactly-once by source-file identity.
+  *     ('force' = 'true')] [VALIDATE]` → [[ManifestLake.copyInto]] —
+  *     idempotent batch file ingestion, exactly-once by source-file
+  *     identity; FORMAT_OPTIONS ('schema'='<DDL>') pins the CSV/JSON
+  *     read schema (one pass, no inference); VALIDATE dry-runs.
   *   - `DESCRIBE HISTORY t [LIMIT n]` → [[ManifestLake.history]],
   *     newest first.
   *   - `DESCRIBE DETAIL t` → [[ManifestLake.detail]] — the one-row
@@ -589,8 +591,13 @@ object GraftMaintenanceSql {
 
   /** `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
     * [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', …)]
-    * [COPY_OPTIONS ('force' = 'true')]` — idempotent batch file
-    * ingestion; see [[ManifestLake.copyInto]].
+    * [COPY_OPTIONS ('force' = 'true')] [VALIDATE]` — idempotent batch
+    * file ingestion; see [[ManifestLake.copyInto]]. PATTERN is a full
+    * glob over the source-relative path (`**` and `{a,b}` braces, so
+    * one pattern spans sibling directory trees);
+    * FORMAT_OPTIONS ('schema' = '<DDL>') declares the CSV/JSON read
+    * schema (one pass instead of inferSchema's two); VALIDATE dry-runs
+    * every check and reports what would load, committing nothing.
     */
   private def parseCopy(spark: SparkSession, toks: List[Tok]): LogicalPlan = {
     val afterInto = toks match {
@@ -637,7 +644,11 @@ object GraftMaintenanceSql {
     var pattern: Option[String] = None
     var formatOptions = Seq.empty[(String, String)]
     var copyOptions = Seq.empty[(String, String)]
+    var validate = false
     while (rest.nonEmpty) rest match {
+      case v :: tl if kw(v, "VALIDATE") =>
+        require(!validate, "VALIDATE given twice")
+        validate = true; rest = tl
       case p :: Punct('=') :: Str(g) :: tl if kw(p, "PATTERN") =>
         require(pattern.isEmpty, "PATTERN given twice")
         pattern = Some(g); rest = tl
@@ -660,7 +671,7 @@ object GraftMaintenanceSql {
       case (k, v) if k.equalsIgnoreCase("force") => v.equalsIgnoreCase("true")
     }.getOrElse(false)
     GraftCopyIntoCommand(path, source, format, pattern, formatOptions.toMap,
-      force)
+      force, validate)
   }
 
   /** None (not an exception) when the shape does not parse or the
@@ -845,7 +856,8 @@ final case class GraftCopyIntoCommand(path: String, source: String,
                                       format: String,
                                       pattern: Option[String],
                                       formatOptions: Map[String, String],
-                                      force: Boolean)
+                                      force: Boolean,
+                                      validate: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -853,7 +865,7 @@ final case class GraftCopyIntoCommand(path: String, source: String,
     AttributeReference("num_rows_loaded", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val r = ManifestLake.copyInto(spark, path, source, format, pattern,
-      formatOptions, force)
+      formatOptions, force, validate)
     Seq(Row(r.version, r.filesLoaded, r.rowsLoaded))
   }
 }

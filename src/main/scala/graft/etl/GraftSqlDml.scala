@@ -371,7 +371,8 @@ object GraftSqlDml {
     // recorded verbatim. Unknown graft.* keys refuse — a key in the
     // engine namespace the engine cannot honor must never be silently
     // recorded.
-    val known = Set("graft.statscols", "graft.bloomcols", "graft.clustercols")
+    val known = Set("graft.statscols", "graft.bloomcols", "graft.clustercols",
+      "graft.autocompact.targetfilebytes", "graft.autocompact.minnumfiles")
     val unknownGraft = spec.properties.keys.filter { k =>
       val lk = k.toLowerCase(java.util.Locale.ROOT)
       lk.startsWith("graft.") && !known.contains(lk)
@@ -380,10 +381,16 @@ object GraftSqlDml {
       s"TBLPROPERTIES ${unknownGraft.mkString(", ")} are not supported on " +
         "manifest tables (recognized engine facts: graft.statsCols, " +
         "graft.bloomCols, graft.clusterCols — comma-separated column " +
-        "lists; non-graft keys store as user properties)")
+        "lists — and graft.autoCompact.targetFileBytes / " +
+        "graft.autoCompact.minNumFiles; non-graft keys store as user " +
+        "properties)")
+    // the autoCompact keys ride the userProps channel: CREATE applies
+    // them through setTableProperties, the same validated path ALTER
+    // takes — one validator, one store
     val userProps = spec.properties.toSeq.filter { case (k, _) =>
       val lk = k.toLowerCase(java.util.Locale.ROOT)
-      !lk.startsWith("graft.") && lk != "comment"
+      (!lk.startsWith("graft.") || lk.startsWith("graft.autocompact.")) &&
+        lk != "comment"
     }
     userProps.foreach { case (k, v2) =>
       require(!k.exists(c => c == '\t' || c == '\n' || c == '\r') &&
@@ -1583,6 +1590,10 @@ final case class GraftShowPropertiesCommand(path: String, key: Option[String])
       "graft.partitionCols" -> m.partCols.mkString(","),
       "graft.version" -> v.toString) ++
       m.extras.collectFirst { case ("comment", t) => "comment" -> t }.toSeq ++
+      m.extras.collectFirst { case ("autocompact.targetFileBytes", t) =>
+        "graft.autoCompact.targetFileBytes" -> t }.toSeq ++
+      m.extras.collectFirst { case ("autocompact.minNumFiles", t) =>
+        "graft.autoCompact.minNumFiles" -> t }.toSeq ++
       m.extras.collect { case (k, t) if k.startsWith("prop:") =>
         k.stripPrefix("prop:") -> t }
     key match {
@@ -1671,6 +1682,10 @@ final case class GraftShowCreateCommand(path: String)
     val props = Seq(
       "graft.statsCols" -> m.statsColsDefault.mkString(","),
       "graft.bloomCols" -> m.bloomCols.mkString(",")).filter(_._2.nonEmpty) ++
+      m.extras.collectFirst { case ("autocompact.targetFileBytes", t) =>
+        "graft.autoCompact.targetFileBytes" -> t }.toSeq ++
+      m.extras.collectFirst { case ("autocompact.minNumFiles", t) =>
+        "graft.autoCompact.minNumFiles" -> t }.toSeq ++
       m.extras.collect { case (k, t) if k.startsWith("prop:") =>
         k.stripPrefix("prop:") -> t }
     val stmt = new StringBuilder

@@ -77,10 +77,42 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, 
   * concurrent long scans safe during compaction: a scan planned on
   * v(N) keeps reading v(N)'s files while v(N+1) publishes.
   */
+/** A manifest declares `#requires <feature>` facts this reader does not
+  * implement — reading would serve WRONG ROWS silently (required
+  * features are visibility-bearing by contract), so every read path
+  * refuses with this typed error instead. The fix is a library upgrade,
+  * never a retry.
+  */
+final class UnsupportedTableFeatureException(
+    val manifestPath: String, val features: Seq[String])
+  extends UnsupportedOperationException(
+    s"manifest $manifestPath requires table feature(s) " +
+      s"${features.mkString(", ")} this reader does not implement " +
+      s"(implemented: ${ManifestLake.SupportedReaderFeatures.toSeq.sorted.mkString(", ")}) — " +
+      "reading would silently serve wrong rows; upgrade the library to a " +
+      "version that implements the feature(s)")
+
 object ManifestLake {
 
   private val ManifestDir = "_manifest"
   private val DataDir = "data"
+
+  /** Header-fact keys of the opt-in write-time bin-packing knobs
+    * (`graft.autoCompact.targetFileBytes` / `.minNumFiles` as
+    * TBLPROPERTIES). */
+  private val AcBytesKey = "autocompact.targetFileBytes"
+  private val AcFilesKey = "autocompact.minNumFiles"
+  private val DefaultAutoCompactMinFiles = 4
+
+  /** Required table features THIS reader implements — the set
+    * [[UnsupportedTableFeatureException]] gates `#requires` facts
+    * against. Grows with the engine; never shrinks (a shipped feature
+    * name is a format contract). Advisory directives never appear
+    * here: unknown NON-required directives stay ignorable for forward
+    * compatibility ([[readManifest]]).
+    */
+  private[graft] val SupportedReaderFeatures: Set[String] =
+    Set("deletion-vectors")
 
   /** Hidden per-commit dir (`data/v<N>/_cdf/`) holding the row-level
     * change files an upsert stamps — pre/post images + inserts, the
@@ -246,7 +278,8 @@ object ManifestLake {
                                          defaults: Seq[(String, String)] = Seq.empty,
                                          identity: Option[(String, Long, Long, Long, Boolean)] = None,
                                          clusterCols: Seq[String] = Seq.empty,
-                                         extras: Seq[(String, String)] = Seq.empty)
+                                         extras: Seq[(String, String)] = Seq.empty,
+                                         requires: Seq[String] = Seq.empty)
 
   /** Published manifests are IMMUTABLE (a version is never rewritten —
     * restore publishes a NEW version), so parsed manifests cache across
@@ -781,13 +814,28 @@ object ManifestLake {
       val parts = s.split("\t")
       (parts(0).toLong, parts(1).toInt)
     }
+    // READER FEATURE GATING: `#requires\t<feature>` marks a fact this
+    // manifest depends on for CORRECT ROW VISIBILITY (deletion vectors
+    // today; anything load-bearing tomorrow). Unlike advisory
+    // directives — which unknown readers rightly ignore for forward
+    // compatibility — an unrecognized REQUIRED feature must refuse
+    // typed: an older reader silently ignoring a visibility-bearing
+    // fact would serve wrong rows with no error anywhere. The gate
+    // rides THIS chokepoint because every read path (batch scan,
+    // streaming source, SQL, CDC, maintenance, and even writers
+    // reading the previous version) resolves manifests here.
+    val requiresSeq = directives.filter(_.startsWith("#requires\t"))
+      .map(_.substring("#requires\t".length)).distinct
+    val unknownReq = requiresSeq.filterNot(SupportedReaderFeatures.contains)
+    if (unknownReq.nonEmpty)
+      throw new UnsupportedTableFeatureException(p.toString, unknownReq)
     val removes = directives.filter(_.startsWith("#remove\t"))
       .map(_.substring("#remove\t".length))
     (Manifest(schema, partCols, filesAll, txns, op, cdf, constraints,
       if (colMapEntries.isEmpty) None else Some(colMapEntries), dropped,
       bloomCols, generated, fieldMap, statsColsDefault,
       fieldDropped, ckptRef, defaults = defaults, identity = identity,
-      clusterCols = clusterCols, extras = extras),
+      clusterCols = clusterCols, extras = extras, requires = requiresSeq),
       deltaRef, removes)
   }
 
@@ -1087,7 +1135,8 @@ object ManifestLake {
                            defaults: Seq[(String, String)] = Seq.empty,
                            identity: Option[(String, Long, Long, Long, Boolean)] = None,
                            clusterCols: Seq[String] = Seq.empty,
-                           extras: Seq[(String, String)] = Seq.empty): Unit = {
+                           extras: Seq[(String, String)] = Seq.empty,
+                           requires: Seq[String] = Seq.empty): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
     txns.keys.foreach(app => require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
@@ -1125,8 +1174,9 @@ object ManifestLake {
     // writing one shared tmp file
     val tmp = new Path(dir,
       f".tmp-v$v%06d-${java.util.UUID.randomUUID().toString.take(8)}.list.gz")
-    val header = schema.toSeq.flatMap(s =>
+    def mkHeader(reqEff: Seq[String]): Seq[String] = schema.toSeq.flatMap(s =>
       Seq(s"#schema\t${s.json}", s"#partcols\t${partCols.mkString(",")}")) ++
+      reqEff.sorted.map(f => s"#requires\t$f") ++
       op.map(o => s"#op\t$o").toSeq ++
       cdf.map(c => s"#cdf\t$c").toSeq ++
       constraints.toSeq.sortBy(_._1).map { case (n, e) => s"#constraint\t$n\t$e" } ++
@@ -1174,6 +1224,20 @@ object ManifestLake {
         case _: IllegalStateException => None // broken base chain: snapshot
       }
     val prevM: Option[Manifest] = prevMW.map(_._1)
+    // required features are STICKY (monotone per table path): inherited
+    // from the previous version, unioned with the caller's and with
+    // facts this commit itself introduces — no commit path can silently
+    // drop one (a publish that forgot to carry it would re-expose the
+    // silent-wrong-rows hazard the gate exists for). Deletion vectors
+    // auto-stamp: the one current fact whose silent ignorance changes
+    // row visibility.
+    val reqEff = (prevM.toSeq.flatMap(_.requires) ++ requires ++
+      (if (files.exists(_.dv.nonEmpty)) Seq("deletion-vectors") else Nil))
+      .distinct
+    reqEff.foreach(f => require(f.nonEmpty &&
+      !f.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"required-feature name must be non-empty with no tabs or newlines: $f"))
+    val header = mkHeader(reqEff)
     mark("readPrev")
     val delta: Option[(Seq[LiveFile], Seq[String], Int)] = prevM.flatMap { pm =>
       if (pm.chain + 1 >= CheckpointInterval) None
@@ -1712,7 +1776,8 @@ object ManifestLake {
   def copyInto(spark: SparkSession, path: String, source: String,
                format: String, pattern: Option[String] = None,
                formatOptions: Map[String, String] = Map.empty,
-               force: Boolean = false): CopyIntoResult = {
+               force: Boolean = false,
+               validate: Boolean = false): CopyIntoResult = {
     val (fs, root) = fsFor(spark, path)
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
@@ -1725,6 +1790,23 @@ object ManifestLake {
     val fmt = format.toLowerCase
     require(Set("parquet", "csv", "json").contains(fmt),
       s"COPY INTO FILEFORMAT must be PARQUET, CSV, or JSON; got $format")
+    // FORMAT_OPTIONS ('schema' = '<DDL>') — an EXPLICIT read schema for
+    // the self-describing-less formats. At 100 TB of CSV the default
+    // inferSchema is a full second pass over the source before the real
+    // read; a declared schema makes ingestion one pass (and pins types
+    // the sample-based inference could get wrong). Parquet refuses the
+    // option: its footer IS the schema.
+    val schemaHint = formatOptions.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("schema") => v }
+    require(schemaHint.isEmpty || fmt != "parquet",
+      "FORMAT_OPTIONS ('schema') applies to CSV/JSON only — parquet " +
+        "files carry their own schema")
+    val hinted = schemaHint.map { ddl =>
+      try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      catch { case e: Throwable => throw new IllegalArgumentException(
+        s"COPY INTO FORMAT_OPTIONS schema does not parse as DDL: $ddl " +
+          s"(${e.getMessage})") }
+    }
     val (srcFs, srcRoot) = fsFor(spark, source)
     require(srcFs.exists(srcRoot),
       s"COPY INTO source does not exist: $source")
@@ -1758,14 +1840,19 @@ object ManifestLake {
     val ledger = candidates.map { case (q, mt, len) =>
       copyKey(q) -> copyIdentity(mt, len) }.toMap
     val paths = candidates.map(_._1)
+    val readOpts = formatOptions.filterNot(_._1.equalsIgnoreCase("schema"))
     val raw = fmt match {
       case "parquet" => spark.read
-        .options(Map("mergeSchema" -> "true") ++ formatOptions)
+        .options(Map("mergeSchema" -> "true") ++ readOpts)
         .parquet(paths: _*)
-      case "csv" => spark.read
-        .options(Map("header" -> "true", "inferSchema" -> "true") ++ formatOptions)
-        .csv(paths: _*)
-      case "json" => spark.read.options(formatOptions).json(paths: _*)
+      case "csv" =>
+        val r = spark.read.options(Map("header" -> "true") ++
+          (if (hinted.isEmpty) Map("inferSchema" -> "true")
+           else Map.empty[String, String]) ++ readOpts)
+        hinted.fold(r)(r.schema).csv(paths: _*)
+      case "json" =>
+        val r = spark.read.options(readOpts)
+        hinted.fold(r)(r.schema).json(paths: _*)
     }
     val logical = logicalSchemaOf(m)
     val engineOwned = (m.generated.map(_._1) ++ m.identity.map(_._1).toSeq)
@@ -1803,6 +1890,11 @@ object ManifestLake {
       }
     }
     val batch = raw.select(projected: _*)
+    // VALIDATE: the dry run ran every refusal the real load would —
+    // listing + pattern match, mutated-file check, schema drift,
+    // store-assignability — and reports what WOULD load without
+    // reading data rows or publishing a commit.
+    if (validate) return CopyIntoResult(v, candidates.length.toLong, 0L)
     batch.persist()
     val newV =
       try writePinned(spark, batch, path, m.partCols, replace = false,
@@ -1814,6 +1906,7 @@ object ManifestLake {
     val rows =
       if (added.forall(_.rows.isDefined)) added.flatMap(_.rows).sum
       else footerRowCount(fs, root, added)
+    maybeAutoCompact(spark, path, newV)
     CopyIntoResult(newV, candidates.length.toLong, rows)
   }
 
@@ -1877,7 +1970,7 @@ object ManifestLake {
       op = Some("clone"), constraints = srcM.constraints,
       colMap = srcM.colMap, droppedPhys = srcM.droppedPhys,
       bloomCols = srcM.bloomCols, statsColsDefault = srcM.statsColsDefault,
-      generated = srcM.generated, defaults = srcM.defaults, identity = srcM.identity, clusterCols = srcM.clusterCols, extras = srcM.extras,
+      generated = srcM.generated, defaults = srcM.defaults, identity = srcM.identity, clusterCols = srcM.clusterCols, extras = srcM.extras, requires = srcM.requires,
       fieldMap = srcM.fieldMap, fieldDropped = srcM.fieldDropped)
     v
   }
@@ -1941,7 +2034,7 @@ object ManifestLake {
       op = Some("clone"), constraints = srcM.constraints,
       colMap = srcM.colMap, droppedPhys = srcM.droppedPhys,
       bloomCols = srcM.bloomCols, statsColsDefault = srcM.statsColsDefault,
-      generated = srcM.generated, defaults = srcM.defaults, identity = srcM.identity, clusterCols = srcM.clusterCols, extras = srcM.extras,
+      generated = srcM.generated, defaults = srcM.defaults, identity = srcM.identity, clusterCols = srcM.clusterCols, extras = srcM.extras, requires = srcM.requires,
       fieldMap = srcM.fieldMap, fieldDropped = srcM.fieldDropped)
     v
   }
@@ -2089,8 +2182,11 @@ object ManifestLake {
     // concurrently-changing source must not write one row set and
     // verify another); same stance as upsert's pinning
     df.persist()
-    try writePinned(spark, df, path, partitionCols, replace, txn, statsCols, bloomCols)
-    finally { df.unpersist(); () }
+    val v =
+      try writePinned(spark, df, path, partitionCols, replace, txn, statsCols, bloomCols)
+      finally { df.unpersist(); () }
+    maybeAutoCompact(spark, path, v)
+    v
   }
 
   /** Collected per-file stats for one staged file: [min, max] bounds,
@@ -3483,6 +3579,44 @@ object ManifestLake {
     * Returns (partitionRelDir, filesBefore, filesAfter) per rewritten
     * partition.
     */
+  /** Write-time bin packing (Delta's optimizeWrite/autoCompact idiom),
+    * fired AFTER a successful append/upsert/COPY commit when the table
+    * opted in via `graft.autoCompact.targetFileBytes`: any partition
+    * holding at least `graft.autoCompact.minNumFiles` (default 4)
+    * files below the target size gets its SMALL files packed by the
+    * ordinary partition-scoped [[compact]] as a follow-on commit —
+    * streaming sinks and frequent small appends stop accumulating
+    * fragments nobody ever OPTIMIZEs away. Small files ONLY: absorbing
+    * fresh KBs into an already-right-sized file every commit would be
+    * unbounded write amplification. Best-effort by design: the data
+    * commit already succeeded, so a failed or raced follow-on pack
+    * logs and defers to the next write. Driver cost when enabled is
+    * one in-memory group-by over the live set (the manifest is already
+    * parsed and cached) — and self-limiting, because the pack it
+    * triggers is what keeps that set small.
+    */
+  private def maybeAutoCompact(spark: SparkSession, path: String,
+                               v: Long): Unit =
+    try {
+      val (fs, root) = fsFor(spark, path)
+      val m = readManifest(fs, root, v)
+      val target = m.extras.collectFirst { case (AcBytesKey, t) => t.toLong }
+        .getOrElse(return)
+      val minN = m.extras.collectFirst { case (AcFilesKey, t) => t.toInt }
+        .getOrElse(DefaultAutoCompactMinFiles)
+      val hot = m.files.groupBy(f => partDirOf(f.path)).collect {
+        case (d, fls) if fls.count(_.bytes < target) >= minN => d
+      }.toSet
+      if (hot.nonEmpty)
+        compact(spark, path, targetBytes = target,
+          onlyPartDirs = Some(hot), smallOnly = true): Unit
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"graft auto-compact on $path deferred to the next write: " +
+            s"${e.getMessage}")
+    }
+
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,
               clusterBy: Seq[String] = Seq.empty,
@@ -3490,7 +3624,9 @@ object ManifestLake {
               maxMaskedFraction: Double = 1.0,
               where: Option[Column] = None,
               full: Boolean = false,
-              purgeOnly: Boolean = false): Seq[(String, Int, Int)] = {
+              purgeOnly: Boolean = false,
+              onlyPartDirs: Option[Set[String]] = None,
+              smallOnly: Boolean = false): Seq[(String, Int, Int)] = {
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy and zOrderBy are mutually exclusive layout choices")
     val (fs, root) = fsFor(spark, path)
@@ -3539,7 +3675,7 @@ object ManifestLake {
     // decide from partition values alone; anything else refuses loudly
     // (a data-column predicate would silently compact everything or
     // nothing — Delta refuses the same way).
-    val byPart = where match {
+    val byPartScoped = where match {
       case None => byPartAll
       case Some(pred) =>
         val schema = logicalSchemaOf(manifest)
@@ -3554,13 +3690,34 @@ object ManifestLake {
               s"partition columns only (${manifest.partCols.mkString(", ")})")
         }
     }
+    // internal scoping (auto-compact): restrict to the partitions the
+    // triggering commit touched — by RESOLVED partition dir, no
+    // predicate machinery needed
+    val byPart = onlyPartDirs match {
+      case None => byPartScoped
+      case Some(keep) => byPartScoped.filter { case (d, _) => keep.contains(d) }
+    }
     val plans = byPart.toSeq.sortBy(_._1).flatMap { case (part, fls) =>
       val bytes = fls.map(_.bytes).sum
       val want = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
+      // AUTO-COMPACT (write-time bin packing): merge ONLY the files
+      // below the target size — rewriting an already-right-sized file
+      // to absorb a few KB of fresh appends would be unbounded write
+      // amplification on a partition that grows forever. Two small
+      // files are the minimum merge; one alone is a rewrite, not a
+      // merge.
+      if (smallOnly) {
+        val small = fls.filter(_.bytes < targetBytes)
+        val sb = small.map(_.bytes).sum
+        val w = math.max(1L,
+          math.ceil(sb.toDouble / targetBytes).toLong).toInt
+        if (small.length >= 2 && small.length > w) Some((part, small, w))
+        else None
+      }
       // REORG … APPLY (PURGE): rewrite exactly the DV-masked files
       // (materializing their masks) and NOTHING else — clean files and
       // fragmentation are explicitly not this verb's business
-      if (purgeOnly) {
+      else if (purgeOnly) {
         val masky = fls.filter(_.dvRows.exists(_ > 0))
         if (masky.isEmpty) None
         else {
@@ -3770,12 +3927,11 @@ object ManifestLake {
     // so each action reuses one evaluation instead of replaying the
     // caller's upstream plan
     updates.persist()
-    try {
-      upsertPinned(spark, fs, root, path, updates, partitionCols, keyCols, txn, changeFeed)
-    } finally {
-      updates.unpersist()
-      ()
-    }
+    val v =
+      try upsertPinned(spark, fs, root, path, updates, partitionCols, keyCols, txn, changeFeed)
+      finally { updates.unpersist(); () }
+    maybeAutoCompact(spark, path, v)
+    v
   }
 
   private def upsertPinned(spark: SparkSession, fs: FileSystem, root: Path,
@@ -6141,11 +6297,14 @@ object ManifestLake {
       case "graft.statscols" => "stats"
       case "graft.bloomcols" => "bloom"
       case "graft.clustercols" => "cluster"
+      case "graft.autocompact.targetfilebytes" => "acbytes"
+      case "graft.autocompact.minnumfiles" => "acfiles"
       case lk if lk.startsWith("graft.") => throw new IllegalArgumentException(
         s"table property $k is not supported on manifest tables " +
           "(recognized engine facts: graft.statsCols, graft.bloomCols, " +
-          "graft.clusterCols — comma-separated column lists; non-graft " +
-          "keys store as user properties)")
+          "graft.clusterCols, graft.autoCompact.targetFileBytes, " +
+          "graft.autoCompact.minNumFiles; non-graft keys store as user " +
+          "properties)")
       case lk if lk == "comment" => throw new IllegalArgumentException(
         "set the table comment with COMMENT ON TABLE t IS 'text' (or the " +
           "CREATE ... COMMENT clause), not TBLPROPERTIES")
@@ -6172,6 +6331,19 @@ object ManifestLake {
       case "stats" => stats = resolvePhys(k, value).distinct
       case "bloom" => bloom = resolvePhys(k, value).distinct
       case "cluster" => cluster = resolvePhys(k, value).distinct
+      case "acbytes" =>
+        val n = try value.trim.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$k must be a positive byte count, got: $value") }
+        require(n > 0, s"$k must be a positive byte count, got: $value")
+        ex = ex.filterNot(_._1 == AcBytesKey) :+ (AcBytesKey -> n.toString)
+      case "acfiles" =>
+        val n = try value.trim.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$k must be an integer >= 2, got: $value") }
+        require(n >= 2, s"$k must be >= 2 (compacting one file is a " +
+          s"rewrite, not a merge), got: $value")
+        ex = ex.filterNot(_._1 == AcFilesKey) :+ (AcFilesKey -> n.toString)
       case "user" =>
         require(!k.exists(c => c == '\t' || c == '\n' || c == '\r') &&
           !value.exists(c => c == '\t' || c == '\n' || c == '\r'),
@@ -6196,6 +6368,14 @@ object ManifestLake {
           require(cluster.nonEmpty || unsetIfExists,
             s"property $k is not set on $path (UNSET ... IF EXISTS skips silently)")
           cluster = Seq.empty
+        case Some("acbytes") =>
+          require(ex.exists(_._1 == AcBytesKey) || unsetIfExists,
+            s"property $k is not set on $path (UNSET ... IF EXISTS skips silently)")
+          ex = ex.filterNot(_._1 == AcBytesKey)
+        case Some("acfiles") =>
+          require(ex.exists(_._1 == AcFilesKey) || unsetIfExists,
+            s"property $k is not set on $path (UNSET ... IF EXISTS skips silently)")
+          ex = ex.filterNot(_._1 == AcFilesKey)
         case Some("user") =>
           require(ex.exists(_._1 == "prop:" + k) || unsetIfExists,
             s"property $k is not set on $path (UNSET ... IF EXISTS skips silently)")

@@ -66,6 +66,65 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) === 25L)
   }
 
+  test("FORMAT_OPTIONS schema hint pins CSV types — no inference pass") {
+    val src = Files.createTempDirectory("copy-hint").toString
+    // leading-zero codes: inferSchema would type them INT and destroy
+    // the zeros; the declared schema keeps them strings byte-for-byte
+    Files.writeString(Paths.get(s"$src/codes.csv"),
+      "code,x\n00123,1\n00007,2\n99,3\n")
+    val dir = freshDir("copy-hint-tgt")
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(s"CREATE TABLE $t (code STRING, x BIGINT) USING `graft-manifest`")
+    val r = spark.sql(s"COPY INTO $t FROM '$src' FILEFORMAT = CSV " +
+      "FORMAT_OPTIONS ('schema' = 'code STRING, x BIGINT')").head()
+    assert(r.getLong(1) === 1L && r.getLong(2) === 3L, r.toString)
+    assert(spark.sql(s"SELECT code FROM $t ORDER BY x").collect()
+      .map(_.getString(0)).toSeq === Seq("00123", "00007", "99"))
+    // an unparseable DDL refuses loudly
+    val bad = intercept[Exception](spark.sql(
+      s"COPY INTO $t FROM '$src' FILEFORMAT = CSV " +
+        "FORMAT_OPTIONS ('schema' = 'not a ( schema')").collect())
+    assert(bad.getMessage.contains("schema"), bad.getMessage)
+    // parquet refuses the option: the footer IS the schema
+    val pq = intercept[Exception](spark.sql(
+      s"COPY INTO $t FROM '$src' FILEFORMAT = PARQUET " +
+        "FORMAT_OPTIONS ('schema' = 'code STRING')").collect())
+    assert(pq.getMessage.contains("parquet"), pq.getMessage)
+  }
+
+  test("VALIDATE dry-runs every check and commits nothing") {
+    val src = Files.createTempDirectory("copy-val").toString
+    val dir = freshDir("copy-val-tgt")
+    val t = s"`graft-manifest`.`$dir`"
+    spark.sql(s"CREATE TABLE $t (grp STRING, x BIGINT, payload STRING) " +
+      "USING `graft-manifest`")
+    land(src, "b1", 0, 12)
+    val v0 = ManifestLake.currentVersion(spark, dir).get
+    // dry run: reports the would-load file count, moves nothing
+    val dry = spark.sql(
+      s"COPY INTO $t FROM '$src' FILEFORMAT = PARQUET VALIDATE").head()
+    assert(dry.getLong(0) === v0 && dry.getLong(1) === 1L && dry.getLong(2) === 0L,
+      dry.toString)
+    assert(ManifestLake.currentVersion(spark, dir).get === v0,
+      "VALIDATE must not publish a version")
+    assert(spark.sql(s"SELECT count(*) FROM $t").head().getLong(0) === 0L)
+    // schema drift refuses under VALIDATE exactly as the real load would
+    val driftSrc = Files.createTempDirectory("copy-val-drift").toString
+    import spark.implicits._
+    Seq((1L, "x", 2.0)).toDF("x", "grp", "extra_col").coalesce(1)
+      .write.mode("overwrite").parquet(s"$driftSrc/d")
+    val e = intercept[Exception](spark.sql(
+      s"COPY INTO $t FROM '$driftSrc' FILEFORMAT = PARQUET VALIDATE").collect())
+    assert(e.getMessage.contains("extra_col"), e.getMessage)
+    // the real load after a clean VALIDATE ingests everything
+    val real = spark.sql(s"COPY INTO $t FROM '$src' FILEFORMAT = PARQUET").head()
+    assert(real.getLong(1) === 1L && real.getLong(2) === 12L)
+    // a VALIDATE after the load sees nothing new to do
+    val dry2 = spark.sql(
+      s"COPY INTO $t FROM '$src' FILEFORMAT = PARQUET VALIDATE").head()
+    assert(dry2.getLong(1) === 0L)
+  }
+
   test("CSV with FORMAT_OPTIONS; absent columns fill DEFAULTs; identity assigns") {
     val src = Files.createTempDirectory("copy-csv").toString
     Files.writeString(Paths.get(s"$src/one.csv"), "grp,x\na,1\nb,2\n")
