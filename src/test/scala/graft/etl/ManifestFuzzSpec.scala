@@ -393,7 +393,8 @@ class ManifestFuzzSpec extends AnyFunSuite {
     * half-application, or untyped failure fails the round loudly.
     */
   private def runRaceFuzz(seed: Long, rounds: Int,
-                          extendedMix: Boolean = false): Unit = {
+                          extendedMix: Boolean = false,
+                          cdcConsumer: Boolean = false): Unit = {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
@@ -432,8 +433,16 @@ class ManifestFuzzSpec extends AnyFunSuite {
           m.contains("serialize committers") || m.contains("intact")
       }
       // one racing op: the engine action plus its composable model fn
-      def mkOp(step: Int, tag: String): (String, () => Unit, Model => Model) =
-        rnd.nextInt(if (extendedMix) 12 else 9) match {
+      def mkOp(step: Int, tag: String): (String, () => Unit, Model => Model) = {
+        val draw0 = rnd.nextInt(if (extendedMix) 12 else 9)
+        // the CDC-consumer variant draws only feed-compatible verbs:
+        // replace and restore END a change-feed stream typed (the
+        // documented contract — they have no row-level diff), so the
+        // consumer-side fuzz swaps restore for analyze; everything
+        // else (append/upsert/delete/DV-delete/compact/properties)
+        // must flow through the live consumer exactly once
+        val draw = if (cdcConsumer && draw0 == 6) 8 else draw0
+        draw match {
           case 9 => // REPLACE wholesale — the strongest writer
             val rows = (0 until (2 + rnd.nextInt(3))).map { _ =>
               val key = (s"p${rnd.nextInt(3)}", nextId); nextId += 1
@@ -512,6 +521,28 @@ class ManifestFuzzSpec extends AnyFunSuite {
             ("analyze", () => ManifestLake.analyzeStats(spark, dir,
               Seq("id")): Unit, m => m)
         }
+      }
+      // LIVE CDC CONSUMER across the whole fuzzed sequence — the
+      // consumer-side twin of the writer invariants: every change row
+      // each raced commit stamped must arrive EXACTLY ONCE, in commit
+      // order, while the races are in flight. Collected rows replay
+      // against the serialized model at the end.
+      val consumed = new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, Long, String, String, Long)]()
+      val cdcQuery = if (!cdcConsumer) None else Some {
+        spark.readStream.format("graft-manifest")
+          .option("readChangeFeed", "true").option("startingVersion", "0")
+          .load(dir)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation",
+            Files.createTempDirectory(s"racefuzz-cdc-$seed").toString)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.collect().foreach(r => consumed.add((
+              r.getAs[String]("part"), r.getAs[Long]("id"),
+              r.getAs[String]("payload"), r.getAs[String]("_change_type"),
+              r.getAs[Long]("_commit_version")))): Unit
+          }.start()
+      }
       (1 to rounds).foreach { step =>
         val (nameA, runA, fnA) = mkOp(step, "x")
         val (nameB, runB, fnB) = mkOp(step, "y")
@@ -557,6 +588,37 @@ class ManifestFuzzSpec extends AnyFunSuite {
           assert(readNow(Some(v)) === expect,
             s"seed=$seed: surviving v$v diverged from its recorded content")
       }
+      cdcQuery.foreach { q =>
+        try { q.processAllAvailable() } finally q.stop()
+        import scala.jdk.CollectionConverters._
+        val all = consumed.asScala.toSeq
+        // EXACTLY-ONCE: no change row delivered twice across the whole
+        // raced sequence (preimage/postimage are distinct types)
+        val dupes = all.groupBy(r => (r._5, r._4, r._1, r._2))
+          .filter(_._2.size > 1)
+        assert(dupes.isEmpty,
+          s"seed=$seed: change rows delivered more than once: " +
+            s"${dupes.keys.take(5).mkString(", ")}")
+        // REPLAY: folding the consumed changes in commit order must
+        // reproduce the serialized model at every recorded boundary
+        // and at the head — no loss, no reordering, no leaked rows
+        // from losing racers
+        def replay(upTo: Long): Model =
+          all.filter(_._5 <= upTo).groupBy(_._5).toSeq.sortBy(_._1)
+            .foldLeft(Map.empty: Model) { case (m, (_, vr)) =>
+              val dels = vr.filter(_._4 == "delete").map(r => (r._1, r._2))
+              val sets = vr.filter(r =>
+                r._4 == "insert" || r._4 == "update_postimage")
+              (m -- dels) ++ sets.map(r => (r._1, r._2) -> r._3)
+            }
+        assert(replay(Long.MaxValue) === model,
+          s"seed=$seed: CDC replay of the full sequence diverged from the head")
+        history.toSeq.sortBy(_._1).foreach { case (v, expect) =>
+          assert(replay(v) === expect,
+            s"seed=$seed: CDC replay up to v$v diverged from the " +
+              "serialized model at that boundary")
+        }
+      }
     } finally ManifestLake.CheckpointInterval = prevInterval
   }
 
@@ -575,6 +637,12 @@ class ManifestFuzzSpec extends AnyFunSuite {
 
   test("race fuzz seed 0xD1CE: a second extended-mix draw") {
     runRaceFuzz(0xD1CE, 30, extendedMix = true)
+  }
+
+  test("race fuzz seed 0xCDC1: a LIVE change-feed consumer spans 30 raced " +
+    "rounds — every stamped change row arrives exactly once and replays " +
+    "to the serialized model") {
+    runRaceFuzz(0xCDC1, 30, cdcConsumer = true)
   }
 
   test("upsert refuses duplicate keys mid-fuzz shape (guard the fuzz's own assumptions)") {
