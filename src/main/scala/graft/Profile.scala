@@ -28,6 +28,72 @@ object Profile {
     val avgLen = docs.agg(avg(length(col("text")))).head().getDouble(0)
     println(s"PROFILE docs=$n avgLen=$avgLen")
 
+    // DEDUP=N: the MinHash/LSH scale ENVELOPE at the ~N-doc shape —
+    // the LLM-ops twin of the DELTACHAIN manifest probe. Replicates
+    // the corpus to ~N docs in ONE explode branch (per-replica
+    // perturbed text: dense near-dup clusters, the banded-LSH worst
+    // case the bucket cap exists for), then walks the dedup pipeline
+    // stage by stage publishing rows, wall, and SHUFFLE BYTES per
+    // stage. This is the published evidence that "banded, never
+    // all-pairs" holds off the toy SF: band rows must grow exactly
+    // linearly in N (docs x bands), candidate pairs near-linearly
+    // (the cap bounds every bucket), and shuffle volume ~linearly —
+    // a quadratic anywhere surfaces as superlinear bytes long before
+    // it surfaces as wall-clock on a big cluster.
+    sys.env.get("DEDUP").map(_.toLong).foreach { n =>
+      import graft.ops.Dedup
+      graft.functions.GraftFunctions.register(spark)
+      val shufRead = new java.util.concurrent.atomic.AtomicLong
+      val shufWrite = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) {
+              shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+              shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+            }
+          }
+        })
+      val k = math.max(1L, math.ceil(n.toDouble / docs.count()).toLong).toInt
+      val corpus = (if (k == 1) docs.select(col("doc_id"), col("text"))
+        else docs
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), lit(k - 1))).as("__i"))
+          .select((col("doc_id") * k + col("__i")).as("doc_id"),
+            concat(col("text"), lit(" rep"), col("__i")).as("text")))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+      val nDocs = corpus.count()
+      def stage(label: String)(f: => Long): Unit = {
+        val r0 = shufRead.get(); val w0 = shufWrite.get()
+        val t0 = System.nanoTime()
+        val rows = f
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // let straggler task-end events post
+        println(f"PROFILE DEDUP n=$nDocs stage=$label%-12s rows=$rows%-12d " +
+          f"wall=$wall%8.2f s  shufRead=${(shufRead.get() - r0) / 1e6}%9.1f MB  " +
+          f"shufWrite=${(shufWrite.get() - w0) / 1e6}%9.1f MB")
+      }
+      val tAll0 = System.nanoTime()
+      val sh = Dedup.shingleSet(corpus, "doc_id", "text", 8)
+      stage("shingles")(sh.count())
+      val sig = Dedup.minhashSignature(sh, "doc_id", 8).persist()
+      stage("signature")(sig.count())
+      val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
+      stage("bands")(bands.count())
+      stage("candidates")(
+        Dedup.candidatePairs(bands, "doc_id", maxBucket = Some(32)).count())
+      sig.unpersist()
+      stage("full_dedup")(Dedup.deduplicate(corpus, "doc_id", "text",
+        minJaccard = 0.5, maxBucket = Some(32)).count())
+      println(f"PROFILE DEDUP n=$nDocs TOTAL ${(System.nanoTime() - tAll0) / 1e9}%8.2f s " +
+        s"(stages re-run the upstream plan where not persisted; " +
+        s"full_dedup is the end-to-end operator wall)")
+      spark.stop(); sys.exit(0)
+    }
+
     // STRESS=K: dedup scaling check — replicate the corpus K× with
     // per-replica perturbed text (dense near-dup clusters, the LSH
     // worst case the bucket cap exists for) and compare wall-clock of

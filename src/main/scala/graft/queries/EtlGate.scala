@@ -3237,5 +3237,159 @@ object EtlGate {
              |    AS BIGINT) AS id_hash,
              |  max(doc_id) AS max_id
              |FROM documents WHERE doc_id % 5 <> 0
-             |GROUP BY lang ORDER BY lang""".stripMargin)))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Write-time bin packing (round 20): a table opted into
+    // graft.autoCompact packs its small files as follow-on commits —
+    // no one ever runs OPTIMIZE. Six tiny appends per partition;
+    // in-line requires: every partition ends at <= 2 files (vs 6
+    // appended), at least one compact op in the ledger — then the
+    // content replays relationally in DuckDB (the pack moved bytes,
+    // never rows).
+    Q(
+      "q146_auto_compact",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-autocompact") + "/table"
+        val t = s"`graft-manifest`.`$out`"
+        s.sql(s"CREATE TABLE $t (lang STRING, doc_id BIGINT, n_chars BIGINT) " +
+          "USING `graft-manifest` PARTITIONED BY (lang) " +
+          "TBLPROPERTIES ('graft.autoCompact.targetFileBytes' = '1048576', " +
+          "'graft.autoCompact.minNumFiles' = '4')")
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("n_chars").cast("long"))
+        (0 until 6).foreach { k =>
+          ManifestLake.write(s,
+            docs.where(pmod(col("doc_id"), lit(6)) === k).coalesce(1),
+            out, Seq("lang"), replace = false)
+        }
+        val (fs, root) = ManifestLake.fsFor(s, out)
+        val head = ManifestLake.currentVersion(s, out).get
+        val m = ManifestLake.readManifest(fs, root, head)
+        val perPart = m.files
+          .groupBy(_.path.split("/").find(_.startsWith("lang=")).getOrElse(""))
+          .map { case (d, fls) => d -> fls.length }
+        // the 4th append crosses minNumFiles=4 and packs each partition
+        // to one file; appends 5-6 then sit at 3 (packed + 2 new) —
+        // below the re-fire threshold, exactly the bounded-write-
+        // amplification contract
+        require(perPart.values.forall(_ <= 3),
+          s"q146 gate: 6 tiny appends per partition must auto-pack to <= 3 " +
+            s"files, got $perPart")
+        val ops = (1L to head).map(v =>
+          ManifestLake.readManifest(fs, root, v).op.getOrElse(""))
+        require(ops.contains("compact"),
+          s"q146 gate: the ledger must show the follow-on compact commit(s): $ops")
+        s.sql(s"""SELECT lang, count(*) AS n_docs,
+                 |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 |  max(doc_id) AS max_id
+                 |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  max(doc_id) AS max_id
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Generated-partition RANGE inference (round 20): the canonical
+    // 100 TB event-table layout — `day GENERATED AS (CAST(ts AS
+    // DATE))`, queried by a half-open ts range. The executed scan's
+    // numFiles must equal EXACTLY the spanned days' manifest entries
+    // (plan-shape pin in-line), and the rows replay relationally in
+    // DuckDB computing the same ts arithmetic.
+    Q(
+      "q147_genpart_range",
+      (s, dir) => {
+        val out = scratchDir("graft-gate-genrange") + "/table"
+        val t = s"`graft-manifest`.`$out`"
+        s.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, ts TIMESTAMP, " +
+          "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+          "USING `graft-manifest` PARTITIONED BY (day)")
+        graft.Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            expr("timestampadd(HOUR, CAST(doc_id % 240 AS INT), " +
+              "TIMESTAMP '2024-01-01 00:00:00')").as("ts"))
+          .createOrReplaceTempView("q147_src")
+        s.sql(s"INSERT INTO $t (doc_id, lang, ts) SELECT * FROM q147_src")
+        val q = s.sql(
+          s"""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+             |FROM $t
+             |WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+             |  AND ts < TIMESTAMP '2024-01-06 00:00:00'
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+        q.collect()
+        // AQE wraps the final plan, and finalized QUERY STAGES are
+        // leaf nodes whose real subtree hangs off `.plan` — descend
+        // through both or the scan is invisible to collect()
+        def scanOf(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+          p.collect {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              scanOf(a.executedPlan)
+            case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              scanOf(st.plan)
+            case sc: org.apache.spark.sql.execution.FileSourceScanExec => Seq(sc)
+          }.flatten
+        val read = scanOf(q.queryExecution.executedPlan)
+          .head.metrics("numFiles").value
+        val (fs, root) = ManifestLake.fsFor(s, out)
+        val m = ManifestLake.readManifest(fs, root,
+          ManifestLake.currentVersion(s, out).get)
+        val expectFiles = m.files.count(f =>
+          f.path.contains("/day=2024-01-04/") ||
+            f.path.contains("/day=2024-01-05/"))
+        require(expectFiles > 0 && read == expectFiles,
+          s"q147 gate: the ts range must prune to exactly days 04+05 " +
+            s"($read files read, $expectFiles expected of ${m.files.length})")
+        q
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+             |FROM (SELECT doc_id, lang,
+             |        TIMESTAMP '2024-01-01 00:00:00' +
+             |          (doc_id % 240) * INTERVAL 1 HOUR AS ts
+             |      FROM documents)
+             |WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+             |  AND ts < TIMESTAMP '2024-01-06 00:00:00'
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // COPY INTO schema hint + VALIDATE (round 20): CSV ingestion with
+    // a DECLARED read schema (one pass — inference would be a second
+    // full pass over a 100 TB source, and here would DESTROY the
+    // zero-padded codes by typing them numeric), preceded by a
+    // VALIDATE dry run that reports the would-load files and commits
+    // nothing (required in-line). The zero padding surviving into
+    // min/max proves the hint was honored.
+    Q(
+      "q148_copy_schema_hint",
+      (s, dir) => {
+        val src = scratchDir("graft-gate-copyhint")
+        val out = scratchDir("graft-gate-copyhint-tgt") + "/table"
+        val t = s"`graft-manifest`.`$out`"
+        s.sql(s"CREATE TABLE $t (lang STRING, doc_id BIGINT, code STRING) " +
+          "USING `graft-manifest`")
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"),
+            lpad(col("doc_id").cast("string"), 8, "0").as("code"))
+        docs.coalesce(1).write.option("header", "true").csv(s"$src/batch1")
+        val v0 = ManifestLake.currentVersion(s, out).get
+        val copySql = s"COPY INTO $t FROM '$src' FILEFORMAT = CSV " +
+          "FORMAT_OPTIONS ('header' = 'true', " +
+          "'schema' = 'lang STRING, doc_id BIGINT, code STRING')"
+        val dry = s.sql(copySql + " VALIDATE").head()
+        require(dry.getLong(0) == v0 && dry.getLong(1) >= 1 &&
+          dry.getLong(2) == 0L &&
+          ManifestLake.currentVersion(s, out).contains(v0),
+          s"q148 gate: VALIDATE must report the load and commit nothing " +
+            s"(got $dry, head ${ManifestLake.currentVersion(s, out)})")
+        val real = s.sql(copySql).head()
+        require(real.getLong(2) == docs.count(),
+          s"q148 gate: the real COPY must load every landed row ($real)")
+        s.sql(s"""SELECT lang, count(*) AS n_docs,
+                 |  min(code) AS min_code, max(code) AS max_code
+                 |FROM $t GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  min(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS min_code,
+             |  max(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS max_code
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)))
 }
