@@ -83,9 +83,24 @@ object Bench {
       val tables = Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       tables.map { t =>
-        val rows =
-          try spark.read.parquet(t.getAbsolutePath).count()
-          catch { case _: Throwable => -1L }
+        // row counts from parquet FOOTERS, not a Spark read: footer
+        // counts are physical-type-agnostic (events.ts has shipped as
+        // INT64 TIMESTAMP(NANOS), which a bare spark.read refuses at
+        // schema conversion) and cost no job
+        val conf = new org.apache.hadoop.conf.Configuration()
+        def countRows(f: java.io.File): Long =
+          if (f.isDirectory)
+            f.listFiles().filterNot(c =>
+              c.getName.startsWith("_") || c.getName.startsWith("."))
+              .map(countRows).sum
+          else if (!f.getName.endsWith(".parquet")) 0L
+          else {
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+            try r.getRecordCount finally r.close()
+          }
+        val rows = try countRows(t) catch { case _: Throwable => -1L }
         val md = java.security.MessageDigest.getInstance("MD5")
         def walk(f: java.io.File, rel: String): Unit =
           if (f.isDirectory)

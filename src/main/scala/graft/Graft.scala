@@ -73,15 +73,18 @@ object Graft {
     Op("lake", "IDENTITY columns: GENERATED ALWAYS AS IDENTITY (START WITH/INCREMENT BY) — engine-assigned unique BIGINTs via per-partition lanes, watermark advanced off the write's own file stats, concurrent appends restage to disjoint ranges", "graft.etl.ManifestLake.declareIdentity", "q142; IdentityColumnSpec"),
     Op("lake", "partition-scoped compaction: OPTIMIZE t WHERE <partition predicate> [ZORDER BY] - the steady-state cadence on a huge table; unselected partitions carry by reference", "graft.etl.ManifestLake.compact(where)", "spec"),
     Op("lake", "FSCK REPAIR TABLE [DRY RUN]: un-reference data files deleted out-of-band (one listing, never a per-file RPC storm); vanished BLOOM sidecars un-reference (scans already degrade to no-skip); missing DV sidecars refuse - both repairs would be lossy", "graft.etl.ManifestLake.fsck", "spec"),
-    Op("lake", "COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON [PATTERN] [FORMAT_OPTIONS] [COPY_OPTIONS('force')]: idempotent batch file ingestion, exactly-once by source-file identity on the txn ledger; re-runs no-op, mutated files refuse unless force, racing COPYs publish exactly one", "graft.etl.ManifestLake.copyInto", "q143; CopyIntoSpec"),
+    Op("lake", "COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON [PATTERN] [FORMAT_OPTIONS] [COPY_OPTIONS('force')] [VALIDATE]: idempotent batch file ingestion, exactly-once by source-file identity on the txn ledger; re-runs no-op, mutated files refuse unless force, racing COPYs publish exactly one; PATTERN takes full globs (**, {a,b} braces spanning sibling trees); FORMAT_OPTIONS('schema'='<DDL>') pins the CSV/JSON read schema (one pass — inference is a second full pass over a 100 TB source); VALIDATE dry-runs every refusal and commits nothing", "graft.etl.ManifestLake.copyInto", "q143, q148; CopyIntoSpec"),
     Op("lake", "IDENTITY BY DEFAULT + declare-on-nonempty: supplied values pass through with the watermark advancing past max(supplied, assigned); declaring on a table with rows seeds the watermark from the existing column max via the stats machinery", "graft.etl.ManifestLake.declareIdentity(byDefault)", "q144; IdentityColumnSpec"),
     Op("lake", "NOT NULL as first-class DDL: CREATE-time col NOT NULL and ALTER COLUMN SET/DROP NOT NULL lower to a reserved CHECK pair (enforcement rides the constraint machinery); SHOW CREATE/DESCRIBE render it back", "graft.etl.GraftSqlDml (GraftNotNull)", "q133 in-line; SqlDmlSpec"),
     Op("lake", "DEEP CLONE + ALTER TABLE MATERIALIZE: copy every referenced file (data + DV/bloom sidecars) into the clone's own tree via ONE distributed job, DV masks carried byte-unchanged (nested data/v… suffix keeps the join key); MATERIALIZE untethers a shallow clone in place", "graft.etl.ManifestLake.deepClone/materialize", "q145; CloneSpec"),
     Op("lake", "declarative clustering keys (liquid-clustering idiom): CLUSTER BY at CREATE / graft.clusterCols SET/UNSET — bare OPTIMIZE lays files out by the declared keys (z-order for 2+ curve-encodable keys, range otherwise); OPTIMIZE FULL re-clusters already-compacted data", "graft.etl.ManifestLake.compact (declared-key defaulting)", "SqlDmlSpec"),
     Op("lake", "REORG TABLE t [WHERE] APPLY (PURGE): rewrite exactly the DV-masked files (materializing masks), clean files carry by reference", "graft.etl.ManifestLake.compact(purgeOnly)", "SqlDmlSpec"),
     Op("lake", "table + column COMMENTs and arbitrary user TBLPROPERTIES as open-ended #extra header facts: CREATE/ALTER COLUMN COMMENT/COMMENT ON TABLE, non-graft property keys store verbatim; DESCRIBE/SHOW CREATE/SHOW TBLPROPERTIES render runnable round-trips", "graft.etl.ManifestLake.setComments/setTableProperties", "q133 in-line; SqlDmlSpec"),
-    Op("lake", "generated-partition-column filter inference (OptimizeGeneratedColumn idiom): equality/IN filters on the base column derive the partition predicate and prune — sound by the engine's write invariant; range/multi-base shapes skip", "graft.etl.GraftGeneratedPartitionFilter", "GeneratedPartitionFilterSpec"),
+    Op("lake", "generated-partition-column filter inference (OptimizeGeneratedColumn idiom): equality/IN filters on the base column derive the partition predicate and prune — sound by the engine's write invariant; RANGE filters too when the generation shape is provably monotone (CAST-to-DATE, to_date, date_trunc/trunc, year, floor(x/N), substring(s,1,k)) AND the storage cast keeps order (ISO dates as strings yes, numbers as strings no), with strict bounds on discrete bases tightened through the neighbor value so half-open day ranges prune exactly; multi-base/non-monotone shapes skip", "graft.etl.GraftGeneratedPartitionFilter", "q147; GeneratedPartitionFilterSpec"),
     Op("lake", "metadata-only commits never kill a stream: constraint/properties/analyze/metadata-schema commits with an unchanged path set serve an EMPTY diff in both append feeds; a schema backfill (files rewritten) still refuses", "graft.etl.ManifestLake.isEmptyMetadataDiff", "ManifestStreamSourceSpec"),
+    Op("lake", "reader feature gating: #requires <feature> header facts name what a manifest depends on for correct row visibility; an unimplemented required feature refuses typed (UnsupportedTableFeatureException) at the parse chokepoint every read path shares — batch, SQL, streaming, CDC, writers; advisory unknown directives stay ignorable; features are sticky (publish inherits — no commit path can drop one silently), deletion vectors auto-stamp, clones carry", "graft.etl.ManifestLake (SupportedReaderFeatures)", "FeatureGateSpec"),
+    Op("lake", "ALTER TABLE t DROP FEATURE '<name>': remove a provably-unused required feature so older readers regain the table — refuses while evidence remains (live DV masks need REORG APPLY (PURGE) first), the publish-time auto-stamp outruns any drop, historical versions keep their own stamps", "graft.etl.ManifestLake.dropFeature", "FeatureGateSpec"),
+    Op("lake", "write-time bin packing (optimizeWrite/autoCompact idiom): opt-in graft.autoCompact.targetFileBytes/.minNumFiles TBLPROPERTIES — after an append/upsert/COPY commit, partitions holding minNumFiles files under the target get their SMALL files packed as a follow-on commit (right-sized files never rewritten: bounded write amplification); failed or raced packs defer to the next write", "graft.etl.ManifestLake.maybeAutoCompact", "q146; AutoCompactSpec"),
     Op("stream", "streaming BY NAME: readStream.table(\"graft.ns.t\") onto the manifest source (checkpoint-interchangeable with the path spelling, readChangeFeed via options) and writeStream.format(\"graft-manifest\").toTable onto the exactly-once sink via the V1-fallback seam", "graft.etl.GraftNamedTable + GraftCatalogRule", "NamedStreamingSpec"),
     Op("stream", "streaming CDC apply: foreachBatch conditional merge, txn-ledger exactly-once across restart", "graft.streaming.EventStreams.manifestMergeSink", "spec"),
     Op("stream", "streaming partition-snapshot sink: each batch swaps exactly its partitions atomically (periodic dimension refresh shape)", "graft.streaming.EventStreams.manifestPartitionOverwriteSink", "spec"),

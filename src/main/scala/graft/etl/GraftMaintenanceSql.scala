@@ -79,6 +79,13 @@ object GraftMaintenanceSql {
     val matLead = "(?is)^\\s*ALTER\\s+TABLE\\s+.+\\bMATERIALIZE\\s*;?\\s*$".r
     if (matLead.findFirstIn(sqlText).isDefined)
       return Some(parseMaterialize(spark, lex(sqlText)))
+    // ALTER TABLE t DROP FEATURE '<name>' — not in Spark's grammar
+    // (DROP there takes COLUMN/PARTITION/CONSTRAINT); claimed only on
+    // the exact shape
+    val dropFeatLead =
+      "(?is)^\\s*ALTER\\s+TABLE\\s+.+\\bDROP\\s+FEATURE\\b.*$".r
+    if (dropFeatLead.findFirstIn(sqlText).isDefined)
+      return Some(parseDropFeature(spark, lex(sqlText)))
     // cheap keyword gate BEFORE lexing: the lexer is deliberately tiny
     // and refuses characters these four statements never carry — it
     // must never see (let alone fail on) general SQL
@@ -550,6 +557,32 @@ object GraftMaintenanceSql {
     GraftCloneCommand(src, tgt, version, orReplace, ifNotExists, deep)
   }
 
+  /** `ALTER TABLE t DROP FEATURE '<name>'` — remove a provably-unused
+    * required table feature; see [[ManifestLake.dropFeature]]. The
+    * name takes the quoted spellings ('deletion-vectors' or backquoted)
+    * — feature names carry '-', which the tiny lexer's bare words
+    * do not.
+    */
+  private def parseDropFeature(spark: SparkSession,
+                               toks: List[Tok]): LogicalPlan = {
+    val afterTable = toks match {
+      case a :: t :: tl if kw(a, "ALTER") && kw(t, "TABLE") => tl
+      case other => throw new IllegalArgumentException(
+        s"DROP FEATURE spells ALTER TABLE t DROP FEATURE '<name>'; got: " +
+          other.mkString(" "))
+    }
+    val (path, rest) = target(spark, afterTable, "DROP FEATURE")
+    val name = rest match {
+      case d :: f :: Str(nm) :: Nil if kw(d, "DROP") && kw(f, "FEATURE") => nm
+      case d :: f :: Quoted(nm) :: Nil if kw(d, "DROP") && kw(f, "FEATURE") => nm
+      case d :: f :: Word(nm) :: Nil if kw(d, "DROP") && kw(f, "FEATURE") => nm
+      case other => throw new IllegalArgumentException(
+        s"expected DROP FEATURE '<name>' after the table, got: " +
+          other.mkString(" "))
+    }
+    GraftDropFeatureCommand(path, name)
+  }
+
   /** `ALTER TABLE t MATERIALIZE` — untether external references in
     * place; see [[ManifestLake.materialize]].
     */
@@ -906,6 +939,17 @@ final case class GraftCloneCommand(sourcePath: String, targetPath: String,
     val (fs, root) = ManifestLake.fsFor(spark, targetPath)
     Seq(Row(v, ManifestLake.readManifest(fs, root, v).files.length.toLong))
   }
+}
+
+/** `ALTER TABLE t DROP FEATURE '<name>'` — dispatches to
+  * [[ManifestLake.dropFeature]]; returns the new head version.
+  */
+final case class GraftDropFeatureCommand(path: String, feature: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestLake.dropFeature(spark, path, feature)))
 }
 
 /** `ALTER TABLE t MATERIALIZE` — dispatches to

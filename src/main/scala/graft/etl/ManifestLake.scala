@@ -1136,7 +1136,8 @@ object ManifestLake {
                            identity: Option[(String, Long, Long, Long, Boolean)] = None,
                            clusterCols: Seq[String] = Seq.empty,
                            extras: Seq[(String, String)] = Seq.empty,
-                           requires: Seq[String] = Seq.empty): Unit = {
+                           requires: Seq[String] = Seq.empty,
+                           dropRequires: Seq[String] = Seq.empty): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
     txns.keys.foreach(app => require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
@@ -1231,7 +1232,12 @@ object ManifestLake {
     // silent-wrong-rows hazard the gate exists for). Deletion vectors
     // auto-stamp: the one current fact whose silent ignorance changes
     // row visibility.
-    val reqEff = (prevM.toSeq.flatMap(_.requires) ++ requires ++
+    // dropRequires (the DROP FEATURE verb) subtracts AFTER the
+    // inherited union but BEFORE the auto-stamp: a drop can never
+    // outrun the evidence — files still carrying DV masks re-stamp the
+    // fact no matter what the caller asked
+    val reqEff = ((prevM.toSeq.flatMap(_.requires) ++ requires)
+      .filterNot(dropRequires.contains) ++
       (if (files.exists(_.dv.nonEmpty)) Seq("deletion-vectors") else Nil))
       .distinct
     reqEff.foreach(f => require(f.nonEmpty &&
@@ -1456,7 +1462,7 @@ object ManifestLake {
         constraints, colMap.filter(_.nonEmpty), droppedPhys, bloomCols, generated,
         fieldMap, statsColsDefault, fieldDropped, ckptRefOut,
         defaults = defaults, identity = identity, clusterCols = clusterCols,
-        extras = extras,
+        extras = extras, requires = reqEff,
         chain = delta.map(_._3).getOrElse(0),
         baseVersions =
           delta.map(_ => prevM.get.baseVersions :+ (v - 1)).getOrElse(Seq.empty))
@@ -6258,6 +6264,54 @@ object ManifestLake {
           statsColsDefault = m.statsColsDefault,
       generated = m.generated, defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras, fieldMap = m.fieldMap, fieldDropped = m.fieldDropped,
       deltaHint = Some((Seq.empty, Seq.empty)))
+    v + 1
+  }
+
+
+  /** `ALTER TABLE … DROP FEATURE '<name>'` — remove a `#requires`
+    * header fact once the table provably no longer depends on it, so
+    * older readers regain access (the fact is otherwise sticky by
+    * design: [[publish]] carries it forward on every commit). The drop
+    * must be PROVABLE: only features this writer implements can be
+    * verified unused (for `deletion-vectors`, no live entry may carry
+    * a mask — run `REORG TABLE … APPLY (PURGE)` or OPTIMIZE first),
+    * and the publish-time auto-stamp wins over the drop if evidence
+    * remains. Metadata-only commit (op=properties — streams span it as
+    * an empty diff). HISTORICAL versions keep their own stamps: a
+    * time-travel read of a version written while the feature was live
+    * still refuses on an old reader, which is exactly right — those
+    * manifests really do depend on it.
+    */
+  def dropFeature(spark: SparkSession, path: String, feature: String): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifested table at $path"))
+    val m = readManifest(fs, root, v)
+    require(m.requires.contains(feature),
+      s"table at $path does not require feature $feature" +
+        (if (m.requires.isEmpty) " (no required features)"
+         else s" (required: ${m.requires.sorted.mkString(", ")})"))
+    require(SupportedReaderFeatures.contains(feature),
+      s"feature $feature is not one this writer implements — it cannot " +
+        "verify the table no longer depends on it; upgrade the library")
+    feature match {
+      case "deletion-vectors" =>
+        val masked = m.files.count(_.dv.nonEmpty)
+        require(masked == 0,
+          s"$masked live file(s) still carry deletion-vector masks — run " +
+            "REORG TABLE ... APPLY (PURGE) (or OPTIMIZE) to materialize " +
+            "them, then drop the feature")
+      case _ => ()
+    }
+    fireRaceHook("properties")
+    publish(fs, root, v + 1, m.files, m.schema, m.partCols, m.txns,
+      op = Some("properties"), constraints = m.constraints, colMap = m.colMap,
+      droppedPhys = m.droppedPhys, bloomCols = m.bloomCols,
+      statsColsDefault = m.statsColsDefault, generated = m.generated,
+      defaults = m.defaults, identity = m.identity,
+      clusterCols = m.clusterCols, extras = m.extras, fieldMap = m.fieldMap,
+      fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)),
+      dropRequires = Seq(feature))
     v + 1
   }
 

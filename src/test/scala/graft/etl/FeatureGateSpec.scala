@@ -124,4 +124,46 @@ class FeatureGateSpec extends AnyFunSuite {
     // masked read (the DV-aware entry point): 19 survivors + 1 appended
     assert(ManifestLake.read(spark, cloneDir).count() === 20L)
   }
+
+  test("DROP FEATURE: refuses while evidence remains, succeeds after PURGE, history keeps its stamps") {
+    import spark.implicits._
+    val dir = freshDir("fgate-drop")
+    val t = s"`graft-manifest`.`$dir`"
+    ManifestLake.write(spark,
+      (1L to 30L).map(i => (i, s"r$i")).toDF("id", "v"), dir, Seq.empty)
+    ManifestLake.delete(spark, dir,
+      org.apache.spark.sql.functions.col("id") === 3L, deletionVectors = true)
+    val vDv = ManifestLake.currentVersion(spark, dir).get
+    assert(rawManifest(dir, vDv).contains("#requires\tdeletion-vectors"))
+    // masks still live: the drop must refuse with the remedy named
+    val e = intercept[IllegalArgumentException](spark.sql(
+      s"ALTER TABLE $t DROP FEATURE 'deletion-vectors'").collect())
+    assert(e.getMessage.contains("PURGE"), e.getMessage)
+    // an unknown feature refuses too (nothing to verify against)
+    val e2 = intercept[IllegalArgumentException](spark.sql(
+      s"ALTER TABLE $t DROP FEATURE 'no-such-feature'").collect())
+    assert(e2.getMessage.contains("does not require"), e2.getMessage)
+    // REORG ... APPLY (PURGE) materializes every mask; the drop then
+    // succeeds as a metadata-only commit and the HEAD stamp is gone
+    spark.sql(s"REORG TABLE $t APPLY (PURGE)").collect()
+    val vClean = spark.sql(
+      s"ALTER TABLE $t DROP FEATURE 'deletion-vectors'").head().getLong(0)
+    assert(!rawManifest(dir, vClean).contains("#requires"),
+      s"head must drop the fact:\n${rawManifest(dir, vClean)}")
+    // sticky inheritance respects the drop: a later append stays clean
+    ManifestLake.write(spark, Seq((100L, "x")).toDF("id", "v"), dir,
+      Seq.empty, replace = false)
+    val vApp = ManifestLake.currentVersion(spark, dir).get
+    assert(!rawManifest(dir, vApp).contains("#requires"))
+    // but the drop cannot rewrite history: the DV-era manifest keeps
+    // its own stamp (a time-travel read of it genuinely depends on the
+    // feature), and a FRESH DV delete re-stamps no matter the drop
+    assert(rawManifest(dir, vDv).contains("#requires\tdeletion-vectors"))
+    ManifestLake.delete(spark, dir,
+      org.apache.spark.sql.functions.col("id") === 5L, deletionVectors = true)
+    val vDv2 = ManifestLake.currentVersion(spark, dir).get
+    assert(rawManifest(dir, vDv2).contains("#requires\tdeletion-vectors"),
+      "evidence outruns any drop: fresh masks re-stamp")
+    assert(ManifestLake.read(spark, dir).count() === 29L)
+  }
 }
