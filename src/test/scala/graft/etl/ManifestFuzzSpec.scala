@@ -394,7 +394,8 @@ class ManifestFuzzSpec extends AnyFunSuite {
     */
   private def runRaceFuzz(seed: Long, rounds: Int,
                           extendedMix: Boolean = false,
-                          cdcConsumer: Boolean = false): Unit = {
+                          cdcConsumer: Boolean = false,
+                          autoCompact: Boolean = false): Unit = {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
@@ -425,6 +426,17 @@ class ManifestFuzzSpec extends AnyFunSuite {
         statsCols = Seq("id"))
       model = seedRows.toMap
       history(1L) = model
+      // the auto-compact variant: every fuzz append is tiny, so the
+      // write-time pack fires CONSTANTLY as follow-on commits racing
+      // the second session's op — the exact interleaving class the
+      // r19 compact-vs-DV-delete race lived in, now drawn dozens of
+      // times per seed. Packs are content no-ops, so every model
+      // assertion (and the CDC consumer's replay, when combined)
+      // must hold unchanged.
+      if (autoCompact)
+        ManifestLake.setTableProperties(spark, dir, set = Map(
+          "graft.autoCompact.targetFileBytes" -> (1L << 20).toString,
+          "graft.autoCompact.minNumFiles" -> "3")): Unit
       // losing a race is legal ONLY through the engine's typed vocabulary
       def typedRaceError(e: Throwable): Boolean = {
         val m = Option(e.getMessage).getOrElse("") +
@@ -588,6 +600,16 @@ class ManifestFuzzSpec extends AnyFunSuite {
           assert(readNow(Some(v)) === expect,
             s"seed=$seed: surviving v$v diverged from its recorded content")
       }
+      if (autoCompact) {
+        // the variant must not be vacuous: the tiny-append mix has to
+        // have actually drawn follow-on packs into the race
+        val (ffs, froot) = ManifestLake.fsFor(spark, dir)
+        val packs = ManifestLake.versions(spark, dir).map(_._1).count(v =>
+          ManifestLake.readManifest(ffs, froot, v).op.contains("compact"))
+        assert(packs >= 3,
+          s"seed=$seed: expected auto-compact follow-on commits in the " +
+            s"surviving history, found $packs")
+      }
       cdcQuery.foreach { q =>
         try { q.processAllAvailable() } finally q.stop()
         import scala.jdk.CollectionConverters._
@@ -643,6 +665,12 @@ class ManifestFuzzSpec extends AnyFunSuite {
     "rounds — every stamped change row arrives exactly once and replays " +
     "to the serialized model") {
     runRaceFuzz(0xCDC1, 30, cdcConsumer = true)
+  }
+
+  test("race fuzz seed 0xACDC: write-time auto-compact packs fire as " +
+    "follow-on commits racing every op AND a live CDC consumer — " +
+    "content, serialization, and exactly-once all hold") {
+    runRaceFuzz(0xACDC, 30, cdcConsumer = true, autoCompact = true)
   }
 
   test("upsert refuses duplicate keys mid-fuzz shape (guard the fuzz's own assumptions)") {
