@@ -1137,7 +1137,8 @@ object ManifestLake {
                            clusterCols: Seq[String] = Seq.empty,
                            extras: Seq[(String, String)] = Seq.empty,
                            requires: Seq[String] = Seq.empty,
-                           dropRequires: Seq[String] = Seq.empty): Unit = {
+                           dropRequires: Seq[String] = Seq.empty,
+                           forceSnapshot: Boolean = false): Unit = {
     // the header is a tab/newline/comma-delimited text format — reject
     // values that would corrupt it at COMMIT time, not at the next read
     txns.keys.foreach(app => require(!app.exists(c => c == '\t' || c == '\n' || c == '\r'),
@@ -1246,7 +1247,11 @@ object ManifestLake {
     val header = mkHeader(reqEff)
     mark("readPrev")
     val delta: Option[(Seq[LiveFile], Seq[String], Int)] = prevM.flatMap { pm =>
-      if (pm.chain + 1 >= CheckpointInterval) None
+      // forceSnapshot: a DELTA would keep resolving through chain BASES
+      // whose own headers this commit exists to retire (DROP FEATURE:
+      // an old reader walking the chain would refuse on the stamped
+      // base and never see the drop) — write self-contained instead
+      if (forceSnapshot || pm.chain + 1 >= CheckpointInterval) None
       else deltaHint match {
         // EXPLICIT HINT: the committer states its own adds/removes —
         // every committing path constructs `files` as
@@ -6310,8 +6315,8 @@ object ManifestLake {
       statsColsDefault = m.statsColsDefault, generated = m.generated,
       defaults = m.defaults, identity = m.identity,
       clusterCols = m.clusterCols, extras = m.extras, fieldMap = m.fieldMap,
-      fieldDropped = m.fieldDropped, deltaHint = Some((Seq.empty, Seq.empty)),
-      dropRequires = Seq(feature))
+      fieldDropped = m.fieldDropped, dropRequires = Seq(feature),
+      forceSnapshot = true)
     v + 1
   }
 

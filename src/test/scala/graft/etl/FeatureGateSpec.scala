@@ -150,6 +150,12 @@ class FeatureGateSpec extends AnyFunSuite {
       s"ALTER TABLE $t DROP FEATURE 'deletion-vectors'").head().getLong(0)
     assert(!rawManifest(dir, vClean).contains("#requires"),
       s"head must drop the fact:\n${rawManifest(dir, vClean)}")
+    // the drop is a SELF-CONTAINED snapshot, never a delta: a delta
+    // would resolve through chain bases whose headers still carry the
+    // stamp, and an old reader walking the chain would refuse before
+    // ever seeing the drop
+    assert(!rawManifest(dir, vClean).contains("#delta"),
+      "DROP FEATURE must snapshot so old readers never touch a stamped base")
     // sticky inheritance respects the drop: a later append stays clean
     ManifestLake.write(spark, Seq((100L, "x")).toDF("id", "v"), dir,
       Seq.empty, replace = false)
