@@ -1590,6 +1590,8 @@ final case class GraftShowPropertiesCommand(path: String, key: Option[String])
       "graft.partitionCols" -> m.partCols.mkString(","),
       "graft.version" -> v.toString) ++
       m.extras.collectFirst { case ("comment", t) => "comment" -> t }.toSeq ++
+      (if (m.requires.isEmpty) Seq.empty
+       else Seq("graft.requiredFeatures" -> m.requires.sorted.mkString(","))) ++
       m.extras.collectFirst { case ("autocompact.targetFileBytes", t) =>
         "graft.autoCompact.targetFileBytes" -> t }.toSeq ++
       m.extras.collectFirst { case ("autocompact.minNumFiles", t) =>

@@ -116,6 +116,10 @@ class FeatureGateSpec extends AnyFunSuite {
       Seq.empty, replace = false)
     val v3 = ManifestLake.currentVersion(spark, dir).get
     assert(rawManifest(dir, v3).contains("#requires\tdeletion-vectors"))
+    // the property surface shows the gating state
+    val shown = spark.sql(s"SHOW TBLPROPERTIES `graft-manifest`.`$dir`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("graft.requiredFeatures") === Some("deletion-vectors"))
     // and a clone to a fresh root carries it across
     val cloneDir = freshDir("fgate-dv-clone")
     ManifestLake.shallowClone(spark, dir, cloneDir)
