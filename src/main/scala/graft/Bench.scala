@@ -271,7 +271,8 @@ object Bench {
     // testdata fingerprint); retimed << first says the suite-time runs
     // were contended.
     def overAb(name: String, t: Double): Boolean =
-      !t.isNaN && prev.get(name).exists(p => p > 0 && t > 1.25 * p)
+      !t.isNaN && t > 0.3 &&
+        prev.get(name).exists(p => p > 0 && t > 1.25 * p)
     val stillSuspect = retimePass.collect {
       case (n, _, t, _) if overAb(n, t) => n
     }.toSet

@@ -73,7 +73,7 @@ object Graft {
     Op("lake", "IDENTITY columns: GENERATED ALWAYS AS IDENTITY (START WITH/INCREMENT BY) — engine-assigned unique BIGINTs via per-partition lanes, watermark advanced off the write's own file stats, concurrent appends restage to disjoint ranges", "graft.etl.ManifestLake.declareIdentity", "q142; IdentityColumnSpec"),
     Op("lake", "partition-scoped compaction: OPTIMIZE t WHERE <partition predicate> [ZORDER BY] - the steady-state cadence on a huge table; unselected partitions carry by reference", "graft.etl.ManifestLake.compact(where)", "spec"),
     Op("lake", "FSCK REPAIR TABLE [DRY RUN]: un-reference data files deleted out-of-band (one listing, never a per-file RPC storm); vanished BLOOM sidecars un-reference (scans already degrade to no-skip); missing DV sidecars refuse - both repairs would be lossy", "graft.etl.ManifestLake.fsck", "spec"),
-    Op("lake", "COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON [PATTERN] [FORMAT_OPTIONS] [COPY_OPTIONS('force')] [VALIDATE]: idempotent batch file ingestion, exactly-once by source-file identity on the txn ledger; re-runs no-op, mutated files refuse unless force, racing COPYs publish exactly one; PATTERN takes full globs (**, {a,b} braces spanning sibling trees); FORMAT_OPTIONS('schema'='<DDL>') pins the CSV/JSON read schema (one pass — inference is a second full pass over a 100 TB source); VALIDATE dry-runs every refusal and commits nothing", "graft.etl.ManifestLake.copyInto", "q143, q148; CopyIntoSpec"),
+    Op("lake", "COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON [PATTERN] [FORMAT_OPTIONS] [COPY_OPTIONS('force')] [VALIDATE]: idempotent batch file ingestion, exactly-once by source-file identity on the txn ledger; re-runs no-op, mutated files refuse unless force, racing COPYs publish exactly one; PATTERN takes full globs (**, {a,b} braces spanning sibling trees); FORMAT_OPTIONS('schema'='<DDL>') pins the CSV/JSON read schema (one pass — inference is a second full pass over a 100 TB source); VALIDATE dry-runs every metadata refusal (listing/pattern, mutated-file identity, schema drift, store-assignability) without reading rows or committing; data-dependent CHECK/NOT NULL refusals surface on the real load", "graft.etl.ManifestLake.copyInto", "q143, q148; CopyIntoSpec"),
     Op("lake", "IDENTITY BY DEFAULT + declare-on-nonempty: supplied values pass through with the watermark advancing past max(supplied, assigned); declaring on a table with rows seeds the watermark from the existing column max via the stats machinery", "graft.etl.ManifestLake.declareIdentity(byDefault)", "q144; IdentityColumnSpec"),
     Op("lake", "NOT NULL as first-class DDL: CREATE-time col NOT NULL and ALTER COLUMN SET/DROP NOT NULL lower to a reserved CHECK pair (enforcement rides the constraint machinery); SHOW CREATE/DESCRIBE render it back", "graft.etl.GraftSqlDml (GraftNotNull)", "q133 in-line; SqlDmlSpec"),
     Op("lake", "DEEP CLONE + ALTER TABLE MATERIALIZE: copy every referenced file (data + DV/bloom sidecars) into the clone's own tree via ONE distributed job, DV masks carried byte-unchanged (nested data/v… suffix keeps the join key); MATERIALIZE untethers a shallow clone in place", "graft.etl.ManifestLake.deepClone/materialize", "q145; CloneSpec"),

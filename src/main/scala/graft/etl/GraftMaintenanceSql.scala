@@ -40,7 +40,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *     ('force' = 'true')] [VALIDATE]` → [[ManifestLake.copyInto]] —
   *     idempotent batch file ingestion, exactly-once by source-file
   *     identity; FORMAT_OPTIONS ('schema'='<DDL>') pins the CSV/JSON
-  *     read schema (one pass, no inference); VALIDATE dry-runs.
+  *     read schema (one pass, no inference); VALIDATE dry-runs the
+  *     metadata checks without reading rows or committing.
   *   - `DESCRIBE HISTORY t [LIMIT n]` → [[ManifestLake.history]],
   *     newest first.
   *   - `DESCRIBE DETAIL t` → [[ManifestLake.detail]] — the one-row
@@ -83,7 +84,8 @@ object GraftMaintenanceSql {
     // (DROP there takes COLUMN/PARTITION/CONSTRAINT); claimed only on
     // the exact shape
     val dropFeatLead =
-      "(?is)^\\s*ALTER\\s+TABLE\\s+.+\\bDROP\\s+FEATURE\\b.*$".r
+      ("(?is)^\\s*ALTER\\s+TABLE\\s+[^(]+\\bDROP\\s+FEATURE\\s+" +
+        "('[^']*'|`[^`]*`|\\w+)\\s*;?\\s*$").r
     if (dropFeatLead.findFirstIn(sqlText).isDefined)
       return Some(parseDropFeature(spark, lex(sqlText)))
     // cheap keyword gate BEFORE lexing: the lexer is deliberately tiny
@@ -630,7 +632,10 @@ object GraftMaintenanceSql {
     * one pattern spans sibling directory trees);
     * FORMAT_OPTIONS ('schema' = '<DDL>') declares the CSV/JSON read
     * schema (one pass instead of inferSchema's two); VALIDATE dry-runs
-    * every check and reports what would load, committing nothing.
+    * the METADATA checks (listing + pattern, mutated-file identity,
+    * schema drift, store-assignability) and reports what would load,
+    * committing nothing — data-dependent refusals (CHECK constraints,
+    * NOT NULL) surface on the real load, which reads rows.
     */
   private def parseCopy(spark: SparkSession, toks: List[Tok]): LogicalPlan = {
     val afterInto = toks match {

@@ -384,6 +384,22 @@ object GraftSqlDml {
         "lists — and graft.autoCompact.targetFileBytes / " +
         "graft.autoCompact.minNumFiles; non-graft keys store as user " +
         "properties)")
+    // autoCompact VALUES pre-validate here, before any file lands: the
+    // keys ride the userProps channel below (applied through
+    // setTableProperties AFTER the creating write), and a bad value
+    // failing there would leave a half-created table behind
+    spec.properties.foreach { case (k, v0) =>
+      k.toLowerCase(java.util.Locale.ROOT) match {
+        case "graft.autocompact.targetfilebytes" =>
+          require(scala.util.Try(v0.trim.toLong).toOption.exists(_ > 0),
+            s"$k must be a positive byte count, got: $v0")
+        case "graft.autocompact.minnumfiles" =>
+          require(scala.util.Try(v0.trim.toInt).toOption.exists(_ >= 2),
+            s"$k must be >= 2 (compacting one file is a rewrite, not a " +
+              s"merge), got: $v0")
+        case _ => ()
+      }
+    }
     // the autoCompact keys ride the userProps channel: CREATE applies
     // them through setTableProperties, the same validated path ALTER
     // takes — one validator, one store

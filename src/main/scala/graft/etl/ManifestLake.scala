@@ -1901,10 +1901,13 @@ object ManifestLake {
       }
     }
     val batch = raw.select(projected: _*)
-    // VALIDATE: the dry run ran every refusal the real load would —
-    // listing + pattern match, mutated-file check, schema drift,
-    // store-assignability — and reports what WOULD load without
-    // reading data rows or publishing a commit.
+    // VALIDATE: the dry run ran every METADATA refusal the real load
+    // would — listing + pattern match, mutated-file check, schema
+    // drift, store-assignability — and reports what WOULD load without
+    // reading data rows or publishing a commit. Deliberately NOT
+    // covered: data-dependent refusals (CHECK constraints, NOT NULL)
+    // — evaluating them means reading the source, the exact cost a
+    // 100 TB pre-flight exists to avoid; they surface on the real load.
     if (validate) return CopyIntoResult(v, candidates.length.toLong, 0L)
     batch.persist()
     val newV =
@@ -2466,6 +2469,26 @@ object ManifestLake {
     // generated columns SURVIVE a replace, like constraints and the txn
     // ledger — the declared contract outlives any one batch
     val genCols = prev.map(_.generated).getOrElse(Seq.empty)
+    // TZ-PINNED GENERATION enforcement: a timezone-sensitive generated
+    // column (TIMESTAMP base — see addGeneratedColumn) computes
+    // differently in every session zone, so a write under a zone other
+    // than the declared one would fork the partition layout silently.
+    // Refuse typed with the remedy named.
+    prev.foreach { pm =>
+      val physOf = pm.colMap.getOrElse(Seq.empty).toMap
+      pm.generated.foreach { case (n, _) =>
+        val key = "gentz:" + physOf.getOrElse(n, n)
+        pm.extras.collectFirst { case (`key`, tz) => tz }.foreach { tz =>
+          val cur = spark.sessionState.conf.sessionLocalTimeZone
+          require(cur == tz,
+            s"generated column $n on $path was declared under session " +
+              s"timezone $tz and its expression is timezone-sensitive — " +
+              s"writing under $cur would place rows in different " +
+              s"partitions than the declared layout; set " +
+              s"spark.sql.session.timeZone=$tz")
+        }
+      }
+    }
     val dfG0 = genCols.foldLeft(df) { case (d, (n, e)) =>
       if (d.columns.contains(n)) d
       else d.withColumn(n, expr(e))
@@ -2926,7 +2949,19 @@ object ManifestLake {
         // equality; multi-base inference would need a cross product
         bases match {
           case Seq(one) if dataSchema.fieldNames.contains(one) =>
-            Some((phys, physExpr, one))
+            // TZ gate: a TIMESTAMP-based generation is only well-defined
+            // relative to its declared session zone — inference (which
+            // derives ROW predicates, not just prunes) engages only when
+            // this reader's zone matches the recorded pin; unpinned
+            // legacy declarations and mismatched readers scan unpruned,
+            // which is always sound
+            val tzSensitive =
+              dataSchema(one).dataType ==
+                org.apache.spark.sql.types.TimestampType
+            val tzOk = !tzSensitive || m.extras.contains(
+              ("gentz:" + phys,
+                spark.sessionState.conf.sessionLocalTimeZone))
+            if (tzOk) Some((phys, physExpr, one)) else None
           case _ => None
         }
       }
@@ -7418,7 +7453,8 @@ object ManifestLake {
       defaults = m.defaults.filterNot(_._1 == name),
       identity = m.identity.filterNot(_._1 == name),
       clusterCols = m.clusterCols.filterNot(_ == phys),
-      extras = m.extras.filterNot(_._1 == "col:" + name),
+      extras = m.extras.filterNot(e =>
+        e._1 == "col:" + name || e._1 == "gentz:" + phys),
       fieldMap = m.fieldMap.filterNot(_._1 == phys),
       fieldDropped = m.fieldDropped.filterNot(_._1 == phys))
     v + 1
@@ -7760,6 +7796,25 @@ object ManifestLake {
       if (adopting) m.schema.get
       else StructType(m.schema.get.fields :+
         StructField(phys, dataType, nullable = true))
+    // TZ-PINNED GENERATION: an expression over a TIMESTAMP base
+    // renders/converts through the SESSION timezone (CAST(ts AS DATE)
+    // is a different function in every zone), so the layout contract
+    // is only well-defined relative to ONE zone. Record the declaring
+    // session's zone as a header fact: writes under another zone
+    // refuse typed (two writers in different zones would silently fork
+    // the partition layout), and partition-filter inference engages
+    // only when the READER's zone matches — a mismatched reader would
+    // derive WRONG row predicates, not merely miss a prune.
+    // TIMESTAMP_NTZ and DATE bases are zone-free and need no pin.
+    val tzSensitive = analyzed.expressions.exists(_.exists {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.dataType == org.apache.spark.sql.types.TimestampType
+      case _ => false
+    })
+    val extrasOut =
+      if (!tzSensitive) m.extras
+      else m.extras.filterNot(_._1 == "gentz:" + phys) :+
+        ("gentz:" + phys -> spark.sessionState.conf.sessionLocalTimeZone)
     // a table with NO rows adopts metadata-only — files may exist (an
     // empty CREATE stages one zero-row part file) but nothing needs a
     // backfill; parquet footers are the cheap ground truth
@@ -7769,7 +7824,7 @@ object ManifestLake {
         colMap = newColMap, droppedPhys = m.droppedPhys,
         bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
         generated = m.generated :+ (name -> expression),
-        defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras,
+        defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = extrasOut,
         fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
       v + 1
     } else {
@@ -7811,7 +7866,7 @@ object ManifestLake {
         colMap = newColMap, droppedPhys = m.droppedPhys,
         bloomCols = m.bloomCols, statsColsDefault = m.statsColsDefault,
         generated = m.generated :+ (name -> expression),
-        defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = m.extras,
+        defaults = m.defaults, identity = m.identity, clusterCols = m.clusterCols, extras = extrasOut,
         fieldMap = m.fieldMap, fieldDropped = m.fieldDropped)
       newV
     }

@@ -177,6 +177,67 @@ class GeneratedPartitionFilterSpec extends AnyFunSuite {
       s"ISO string day order must prune the ts range ($f of $total)")
   }
 
+  test("timezone pin: tz-sensitive generation refuses mismatched writes; inference disengages, correctness holds") {
+    import spark.implicits._
+    val dir = freshDir("genpart-tz")
+    val t = s"`graft-manifest`.`$dir`"
+    val declaredTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.sql(
+      s"""CREATE TABLE $t (ts TIMESTAMP, v BIGINT,
+         |  day DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))
+         |USING `graft-manifest` PARTITIONED BY (day)""".stripMargin)
+    val rows = for (d <- 0 until 4; h <- 0 until 4)
+      yield (java.sql.Timestamp.valueOf(f"2024-06-${d + 1}%02d 0$h:00:00"),
+        (d * 4 + h).toLong)
+    rows.toDF("ts", "v").createOrReplaceTempView("genpart_tz_src")
+    spark.sql(s"INSERT INTO $t (ts, v) SELECT * FROM genpart_tz_src")
+    val (fs, root) = ManifestLake.fsFor(spark, dir)
+    val total = ManifestLake.readManifest(fs, root,
+      ManifestLake.currentVersion(spark, dir).get).files.length.toLong
+    val rangeSql =
+      s"""SELECT v FROM $t WHERE ts >= TIMESTAMP '2024-06-02 00:00:00'
+         |  AND ts < TIMESTAMP '2024-06-04 00:00:00'""".stripMargin
+    // same-zone reader: inference prunes to the two spanned days
+    val (n0, f0) = filesRead(spark.sql(rangeSql))
+    assert(n0 === 8L && f0 === filesIn(spark, dir,
+      Set("day=2024-06-02", "day=2024-06-03")))
+    val otherTz =
+      if (declaredTz == "America/New_York") "UTC" else "America/New_York"
+    spark.conf.set("spark.sql.session.timeZone", otherTz)
+    try {
+      // a WRITE under another zone refuses typed — CAST(ts AS DATE) is
+      // a different function there and would fork the layout silently
+      val e = intercept[Exception] {
+        ManifestLake.write(spark,
+          Seq((java.sql.Timestamp.valueOf("2024-06-09 01:00:00"), 99L))
+            .toDF("ts", "v"), dir, Seq("day"), replace = false)
+      }
+      assert(e.getMessage.contains("timezone") &&
+        e.getMessage.contains(declaredTz), e.getMessage)
+      // a READ under another zone stays CORRECT: inference disengages
+      // (every file read) instead of deriving a wrong row predicate.
+      // NOTE the timestamp literals themselves re-resolve in the new
+      // zone, so the matching ROW SET shifts — what must hold is that
+      // the result equals the unpruned ground truth, not n0.
+      val (nTz, fTz) = filesRead(spark.sql(rangeSql))
+      assert(fTz === total,
+        s"a mismatched-zone reader must scan unpruned ($fTz of $total)")
+      val truth = spark.sql(
+        s"""SELECT v FROM (SELECT ts, v FROM $t)
+           |WHERE ts >= TIMESTAMP '2024-06-02 00:00:00'
+           |  AND ts < TIMESTAMP '2024-06-04 00:00:00'""".stripMargin)
+        .collect().length.toLong
+      assert(nTz === truth)
+    } finally spark.conf.set("spark.sql.session.timeZone", declaredTz)
+    // back in the declared zone: writes land, inference re-engages
+    ManifestLake.write(spark,
+      Seq((java.sql.Timestamp.valueOf("2024-06-09 01:00:00"), 99L))
+        .toDF("ts", "v"), dir, Seq("day"), replace = false)
+    val (n2, f2) = filesRead(spark.sql(rangeSql))
+    assert(n2 === 8L && f2 === filesIn(spark, dir,
+      Set("day=2024-06-02", "day=2024-06-03")))
+  }
+
   test("non-monotone shapes never prune ranges: numeric-as-string and modulo buckets") {
     import spark.implicits._
     val dir = freshDir("genpart-nomono")

@@ -444,6 +444,13 @@ class ManifestFuzzSpec extends AnyFunSuite {
         m.contains("race") || m.contains("contention") ||
           m.contains("serialize committers") || m.contains("intact")
       }
+      // explicit op-mix compacts that actually PUBLISHED (a non-empty
+      // rewrite report = one commit; most draws no-op on an
+      // already-packed table), so the auto-compact variant's
+      // non-vacuity bar can attribute the remaining compact commits
+      // to the write-time packs. Atomic: two racing compacts may both
+      // publish.
+      val explicitCompactCommits = new java.util.concurrent.atomic.AtomicInteger
       // one racing op: the engine action plus its composable model fn
       def mkOp(step: Int, tag: String): (String, () => Unit, Model => Model) = {
         val draw0 = rnd.nextInt(if (extendedMix) 12 else 9)
@@ -518,8 +525,12 @@ class ManifestFuzzSpec extends AnyFunSuite {
             val mode = if (extendedMix) rnd.nextInt(3) else 0
             (if (mode == 1) "compact-full"
              else if (mode == 2) "reorg-purge" else "compact",
-              () => ManifestLake.compact(spark, dir, targetBytes = 1L << 20,
-                full = mode == 1, purgeOnly = mode == 2): Unit, m => m)
+              () => {
+                val r = ManifestLake.compact(spark, dir,
+                  targetBytes = 1L << 20,
+                  full = mode == 1, purgeOnly = mode == 2)
+                if (r.nonEmpty) explicitCompactCommits.incrementAndGet(): Unit
+              }, m => m)
           case 6 => // restore to a pre-round recorded version
             val targets = history.keys.toSeq.sorted
             val target = targets(rnd.nextInt(targets.size))
@@ -601,14 +612,17 @@ class ManifestFuzzSpec extends AnyFunSuite {
             s"seed=$seed: surviving v$v diverged from its recorded content")
       }
       if (autoCompact) {
-        // the variant must not be vacuous: the tiny-append mix has to
-        // have actually drawn follow-on packs into the race
+        // the variant must not be vacuous: the compact commits in the
+        // surviving history must EXCEED what the op mix's own explicit
+        // compact draws could have published (each draw commits at most
+        // once) — the excess is provably the write-time packs
         val (ffs, froot) = ManifestLake.fsFor(spark, dir)
         val packs = ManifestLake.versions(spark, dir).map(_._1).count(v =>
           ManifestLake.readManifest(ffs, froot, v).op.contains("compact"))
-        assert(packs >= 3,
-          s"seed=$seed: expected auto-compact follow-on commits in the " +
-            s"surviving history, found $packs")
+        assert(packs - explicitCompactCommits.get >= 3,
+          s"seed=$seed: expected >= 3 auto-compact follow-on commits beyond " +
+            s"the ${explicitCompactCommits.get} explicit compact commits, " +
+            s"found $packs compact commits total")
       }
       cdcQuery.foreach { q =>
         try { q.processAllAvailable() } finally q.stop()
