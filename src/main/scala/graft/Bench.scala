@@ -13,32 +13,59 @@ object Bench {
       .split("\\s+").take(3).mkString(" ")
     catch { case _: Throwable => "" }
 
-  /** Per-query seconds from the newest BENCH_r{N}.json in the working
-    * directory, or empty when none exists. The previous round's
-    * numbers are the second leg of the outlier screen: a contention
-    * burst can inflate the warm run AND both timed runs together
-    * (BENCH_r08's q50: published 4.11s, isolated 0.95s — the warm-only
-    * trigger sailed past it because the warm run was inflated too),
-    * but it cannot reach back in time and inflate last round's file.
+  /** Per-query seconds from the previous round's bench artifacts, or
+    * empty when none exists. The previous round's numbers are the
+    * second leg of the outlier screen: a contention burst can inflate
+    * the warm run AND both timed runs together (BENCH_r08's q50:
+    * published 4.11s, isolated 0.95s — the warm-only trigger sailed
+    * past it because the warm run was inflated too), but it cannot
+    * reach back in time and inflate last round's file.
+    *
+    * Source of truth is the repo's own bench_local_r{N}.json twin —
+    * the COMPLETE artifact this bench writes each round — whose
+    * "queries" object is intact. The driver's BENCH_r{N}.json wrapper
+    * is only a fallback (it truncates the stdout to a tail), and the
+    * fallback text is SLICED at "drift_vs_prev" before harvesting:
+    * the wrapper also carries last round's drift_vs_prev/ab_retime
+    * maps whose values are RATIOS, not seconds, and harvesting those
+    * as times shipped a false 2.76x flag on q77 in BENCH_r20 while
+    * the genuinely regressed q21/q51 (truncated out of the r19 tail)
+    * got no screen at all.
     */
-  private def prevRoundTimes(): Map[String, Double] =
-    try {
-      val benches = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      if (benches.isEmpty) Map.empty
-      else {
-        // the driver's BENCH_r{N}.json wraps (and may TRUNCATE) the
-        // bench stdout, so don't rely on an intact "queries":{...}
-        // block — harvest every "qNN_name":seconds pair anywhere in
-        // the file; partial coverage still screens the queries it has
-        val txt = scala.io.Source.fromFile(
-          benches.maxBy(_.getName.replaceAll("\\D", "").toInt)).mkString
-        // quotes may arrive JSON-escaped (\"q34\":0.47) inside the
-        // wrapper's tail string — accept both forms
-        """\\?"(q\d+[A-Za-z0-9_]*)\\?"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  private[graft] def prevRoundTimes(
+      dir: java.io.File = new java.io.File(".")): Map[String, Double] = {
+    def harvest(txt: String): Map[String, Double] =
+      """\\?"(q\d+[A-Za-z0-9_]*)\\?"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    def newest(pattern: String): Option[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches(pattern)) match {
+        case fs if fs.isEmpty => None
+        case fs => Some(fs.maxBy(_.getName.replaceAll("\\D", "").toInt))
       }
-    } catch { case _: Throwable => Map.empty }
+    val fromTwin =
+      try newest("bench_local_r\\d+\\.json").map { f =>
+        val txt = scala.io.Source.fromFile(f).mkString
+        // keep only the "queries":{...} object — the artifact also has
+        // drift_vs_prev/ab_retime maps whose values are ratios
+        val start = txt.indexOf("\"queries\"")
+        val sliced = if (start < 0) "" else {
+          val open = txt.indexOf('{', start)
+          val close = txt.indexOf('}', open)
+          if (open < 0 || close < 0) "" else txt.substring(open, close + 1)
+        }
+        harvest(sliced)
+      }.getOrElse(Map.empty[String, Double])
+      catch { case _: Throwable => Map.empty[String, Double] }
+    if (fromTwin.nonEmpty) fromTwin
+    else try newest("BENCH_r\\d+\\.json").map { f =>
+      val txt = scala.io.Source.fromFile(f).mkString
+      // slice off everything from drift_vs_prev on (ratio maps follow)
+      val cut = txt.indexOf("drift_vs_prev")
+      harvest(if (cut < 0) txt else txt.substring(0, cut))
+    }.getOrElse(Map.empty[String, Double])
+    catch { case _: Throwable => Map.empty[String, Double] }
+  }
 
   /** Single-thread CPU calibration: wall seconds to MD5 a fixed 200k
     * strings. Stamped into the bench JSON as `calib_sec` so a
