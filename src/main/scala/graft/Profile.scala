@@ -23,6 +23,76 @@ object Profile {
       r
     }
 
+    // QUERY=<name>[,warm=sfDir]: per-JOB breakdown of one SparkEntry
+    // query — the measurement the bench's single wall number can't give.
+    // Runs the query once on sf0.001 (JIT/codegen warm, mirroring the
+    // bench), then once on sfDir under a listener that logs every job's
+    // wall, stage/task counts, executor run+CPU time, and shuffle bytes.
+    // At toy SF a query whose executor time is a small fraction of its
+    // wall is JOB-LATENCY-bound (scheduling, AQE re-planning, driver
+    // work), not compute-bound — the distinction that decides whether
+    // an optimization should target the plan or the per-row work.
+    sys.env.get("QUERY").foreach { qname =>
+      val fn = SparkEntry.queries.getOrElse(qname,
+        sys.error(s"unknown query $qname"))
+      try { fn(spark, "/root/testdata/sf0.001").count(); () }
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      case class J(id: Int, t0: Long, var t1: Long = 0L, var stages: Int = 0,
+                   var tasks: Int = 0, var runMs: Long = 0L, var cpuNs: Long = 0L,
+                   var shufR: Long = 0L, var shufW: Long = 0L)
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
+      val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.put(e.jobId, J(e.jobId, e.time))
+            e.stageIds.foreach(s => stageToJob.put(s, e.jobId))
+          }
+          override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            Option(jobs.get(e.jobId)).foreach(_.t1 = e.time)
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            Option(stageToJob.get(e.stageInfo.stageId))
+              .flatMap(j => Option(jobs.get(j))).foreach(_.stages += 1)
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            Option(stageToJob.get(e.stageId)).flatMap(j => Option(jobs.get(j)))
+              .foreach { j =>
+                j.tasks += 1
+                val m = e.taskMetrics
+                if (m != null) {
+                  j.runMs += m.executorRunTime
+                  j.cpuNs += m.executorCpuTime
+                  j.shufR += m.shuffleReadMetrics.totalBytesRead
+                  j.shufW += m.shuffleWriteMetrics.bytesWritten
+                }
+              }
+        })
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      // execute the query's OWN plan (not a count() wrapper) so the
+      // AQE-final executedPlan — with ReusedExchange / AQEShuffleRead
+      // nodes — is inspectable afterwards under PLANFINAL=1
+      val rows = df.queryExecution.executedPlan.execute().count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("PLANFINAL"))
+        println(df.queryExecution.executedPlan.toString)
+      Thread.sleep(500) // drain listener events
+      val js = jobs.values().toArray(Array.empty[J]).sortBy(_.id)
+      println(f"PROFILE QUERY $qname rows=$rows wall=$wall%.2f s jobs=${js.length}")
+      js.foreach { j =>
+        println(f"PROFILE job=${j.id}%-4d wall=${(j.t1 - j.t0) / 1000.0}%7.2f s " +
+          f"stages=${j.stages}%-3d tasks=${j.tasks}%-5d execRun=${j.runMs / 1000.0}%7.2f s " +
+          f"execCpu=${j.cpuNs / 1e9}%7.2f s shufR=${j.shufR / 1e6}%8.2f MB shufW=${j.shufW / 1e6}%8.2f MB")
+      }
+      val sumRun = js.map(_.runMs).sum / 1000.0
+      val sumGap = wall - js.map(j => (j.t1 - j.t0) / 1000.0).sum
+      println(f"PROFILE QUERY $qname total execRun=$sumRun%.2f s, wall outside jobs=$sumGap%.2f s")
+      spark.stop(); sys.exit(0)
+    }
+
     val docs = Tables.documents(spark, sfDir)
     val n = docs.count()
     val avgLen = docs.agg(avg(length(col("text")))).head().getDouble(0)

@@ -71,7 +71,11 @@ object GraftFunctions {
             s"hyperplane_sketch(v, planes): planes must be an integer literal, got $other")
         }
         HyperplaneSketch(e(0), planes)
-      }))
+      }),
+    (FunctionIdentifier("sorted_intersect_count"),
+      info(classOf[SortedIntersectCount], "sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |A ∩ B| of two ascending-sorted duplicate-free bigint arrays"),
+      (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))))
 
   /** For spark.sql.extensions: the native functions plus the SQL DML
     * parser ([[graft.etl.GraftSqlParser]] — `MERGE INTO` / `UPDATE` /
@@ -122,6 +126,9 @@ object GraftFunctions {
 
   def hyperplane_sketch(v: Column, planes: Int): Column =
     call_function("hyperplane_sketch", v, org.apache.spark.sql.functions.lit(planes))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
 }
 
 /** Entry point for `spark.sql.extensions`. */

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** |A ∩ B| over two ASCENDING-SORTED, DUPLICATE-FREE `array<long>`
+  * columns, as one allocation-free merge.
+  *
+  * Why not `size(array_intersect(a, b))`: ArrayIntersect builds a hash
+  * set AND materializes the full intersection array per evaluation, and
+  * the optimizer freely duplicates the expression — pushing the
+  * `__inter > 0` / `jaccard >= t` predicates of the dedup verify into
+  * the join condition left it evaluated up to four times per candidate
+  * pair (measured: the q22 verify stage spent ~4.5 s of single-task CPU
+  * on 41.5k pairs at sf0.1). The merge loop allocates nothing, so even
+  * a duplicated evaluation costs only the comparisons.
+  *
+  * Semantics contract (callers': Dedup sorts its hashed shingle sets at
+  * build time): both inputs sorted ascending with no duplicate
+  * elements — then the merge count equals the set-intersection
+  * cardinality `size(array_intersect(a, b))` exactly. Null array → null.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, array<bigint>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  // freshName for every local — two instances in one codegen scope (the
+  // verify filter + projection) must not redeclare locals (see VecDot)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Called from both interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+}

@@ -72,8 +72,13 @@ object Dedup {
     */
   def shingleHashArrays(docs: DataFrame, id: String, text: String, n: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // sorted ascending at BUILD time (once per doc) so the verify can
+    // count intersections with an allocation-free merge
+    // (sorted_intersect_count) instead of a per-pair hash set — the
+    // sort changes only the internal array ORDER, never the set
     docs.select(col(id),
-      array_distinct(transform(TextOps.charShingles(col(text), n), s => xxhash64(s)))
+      array_sort(
+        array_distinct(transform(TextOps.charShingles(col(text), n), s => xxhash64(s))))
         .as("shl"))
   }
 
@@ -157,27 +162,34 @@ object Dedup {
                      maxBucket: Option[Int] = None): DataFrame = {
     val full = maxBucket match {
       case Some(cap) =>
-        // ONE shuffle on (band, band_hash) serves the whole branch: the
-        // unordered count window sizes every bucket and the ordered lead
-        // window precomputes each row's chain successor over the same
-        // partitioning, so both the under-cap pair branch and the
-        // over-cap chain branch are narrow filters over `sized`. The
-        // self-join's keys equal the window partitioning, so its two
-        // sides canonicalize to the SAME exchange subtree and Spark
-        // reuses it — no per-branch re-shuffles, no persist to leak.
+        // ONE shuffle on (band, band_hash) serves the whole branch, and
+        // there is NO self-join: both windows share one ordered spec
+        // (count over the full frame + lead — one sort), under-cap
+        // buckets fold their ≤cap ids into a sorted array ON THE
+        // WINDOW'S OWN PARTITIONING (groupBy on the window keys needs
+        // no new exchange; the aggregation buffer is bounded by the cap
+        // BEFORE the fold, so a viral bucket can never blow it up) and
+        // expand every a<b pair with codegen HOFs, and over-cap buckets
+        // keep the O(B) chain from the lead column. The previous shape
+        // self-joined the windowed bands relying on exchange reuse that
+        // AQE did not actually deliver — the band shuffle materialized
+        // 3× (measured at sf0.1, ShuffleQueryStages 5/6/7 in the q22
+        // final plan) plus a broadcast build of one join side.
         val byBucket = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))
+          .partitionBy(col("band"), col("band_hash")).orderBy(col(id))
         val sized = bands
-          .withColumn("__bsz", count(lit(1)).over(byBucket))
-          .withColumn("__nxt", lead(col(id), 1).over(byBucket.orderBy(col(id))))
-        val small = sized.where(col("__bsz") <= cap)
-        val smallPairs = small
-          .select(col("band"), col("band_hash"), col(id).as("doc_a"))
-          .join(
-            small.select(col("band"), col("band_hash"), col(id).as("doc_b")),
-            Seq("band", "band_hash"))
-          .where(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"))
+          .withColumn("__bsz", count(lit(1)).over(
+            byBucket.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+          .withColumn("__nxt", lead(col(id), 1).over(byBucket))
+        val smallPairs = sized.where(col("__bsz") <= cap)
+          .groupBy(col("band"), col("band_hash"))
+          .agg(array_sort(collect_list(col(id))).as("__ids"))
+          .select(explode(flatten(transform(col("__ids"), (a, i) =>
+            transform(
+              slice(col("__ids"), i + lit(2), greatest(size(col("__ids")) - i - lit(1), lit(0))),
+              b => struct(a.as("doc_a"), b.as("doc_b")))))).as("__p"))
+          .select(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
         val chained = sized
           .where(col("__bsz") > cap && col("__nxt").isNotNull)
           .select(col(id).as("doc_a"), col("__nxt").as("doc_b"))
@@ -222,24 +234,33 @@ object Dedup {
                         minJaccard: Double): DataFrame =
     jaccardVerifyHashed(cand,
       sets.select(col(id),
-        transform(col("shs"), s => xxhash64(s)).as("shl")),
+        // distinct + sorted: jaccardVerifyHashed's merge-count contract
+        // (shs is a set of strings, but two strings could hash equal)
+        array_sort(array_distinct(transform(col("shs"), s => xxhash64(s)))).as("shl")),
       id, minJaccard)
 
   /** Jaccard verification over per-doc HASHED shingle sets (see
-    * shingleHashArrays): |A∩B| = size(array_intersect) over long
-    * arrays, |A∪B| = |A|+|B|-|A∩B|. Two joins against the compact
-    * per-doc array table; a doc's array is bounded by its text length,
-    * so per-row memory stays small at any corpus scale.
+    * shingleHashArrays): |A∩B| by allocation-free merge over the
+    * SORTED long arrays (sorted_intersect_count — numerically equal to
+    * size(array_intersect) on distinct inputs, without building a hash
+    * set + intersection array per pair: the optimizer pushes the two
+    * predicates into the join condition and evaluates the intersection
+    * up to 4× per candidate, so its per-evaluation cost is what the
+    * verify stage pays). |A∪B| = |A|+|B|-|A∩B|. Two joins against the
+    * compact per-doc array table; a doc's array is bounded by its text
+    * length, so per-row memory stays small at any corpus scale.
     */
   def jaccardVerifyHashed(cand: DataFrame, hsets: DataFrame, id: String,
                           minJaccard: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(cand.sparkSession)
     val jac = round(
       col("__inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("__inter")).cast("double"), 4)
     cand
       .join(hsets.select(col(id).as("doc_a"), col("shl").as("sa")), Seq("doc_a"))
       .join(hsets.select(col(id).as("doc_b"), col("shl").as("sb")), Seq("doc_b"))
-      .withColumn("__inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("__inter",
+        graft.functions.GraftFunctions.sorted_intersect_count(col("sa"), col("sb")))
       // pairs must SHARE a shingle — the structural contract the old
       // shingle equi-join gave for free; without it, minJaccard <= 0
       // would emit every disjoint LSH candidate as (a, b, 0.0)
@@ -476,7 +497,8 @@ object Dedup {
       .select(col(id).as("__cid"), col("shl").as("sa"))
     val drops = cand
       .join(bH, Seq("__bid")).join(cH, Seq("__cid"))
-      .withColumn("__inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("__inter",
+        graft.functions.GraftFunctions.sorted_intersect_count(col("sa"), col("sb")))
       .where(col("__inter") > 0)
       .where(round(col("__inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("__inter")).cast("double"), 4)
