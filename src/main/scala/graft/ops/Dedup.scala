@@ -162,38 +162,30 @@ object Dedup {
                      maxBucket: Option[Int] = None): DataFrame = {
     val full = maxBucket match {
       case Some(cap) =>
-        // ONE shuffle on (band, band_hash) serves the whole branch, and
-        // there is NO self-join: both windows share one ordered spec
-        // (count over the full frame + lead — one sort), under-cap
-        // buckets fold their ≤cap ids into a sorted array ON THE
-        // WINDOW'S OWN PARTITIONING (groupBy on the window keys needs
-        // no new exchange; the aggregation buffer is bounded by the cap
-        // BEFORE the fold, so a viral bucket can never blow it up) and
-        // expand every a<b pair with codegen HOFs, and over-cap buckets
-        // keep the O(B) chain from the lead column. The previous shape
-        // self-joined the windowed bands relying on exchange reuse that
-        // AQE did not actually deliver — the band shuffle materialized
-        // 3× (measured at sf0.1, ShuffleQueryStages 5/6/7 in the q22
-        // final plan) plus a broadcast build of one join side.
+        // ONE window pass over ONE shuffle on (band, band_hash), NO
+        // self-join and NO union: each row carries its bucket size and
+        // the ≤cap member ids FOLLOWING it in id order (a cap-bounded
+        // frame, so a viral bucket can never blow up the per-row
+        // state), and a single projection explodes either every
+        // follower (under-cap bucket → all a<b pairs, each emitted
+        // once by its lower member) or just the first follower
+        // (over-cap bucket → the O(B) consecutive chain). The previous
+        // shape self-joined the windowed bands relying on exchange
+        // reuse that AQE did not actually deliver — the band shuffle
+        // materialized 3× (measured at sf0.1, ShuffleQueryStages 5/6/7
+        // in the q22 final plan) plus a broadcast build of one join
+        // side; a union of filtered branches still materialized it 2×.
         val byBucket = org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("band_hash")).orderBy(col(id))
-        val sized = bands
+        bands
           .withColumn("__bsz", count(lit(1)).over(
             byBucket.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
               org.apache.spark.sql.expressions.Window.unboundedFollowing)))
-          .withColumn("__nxt", lead(col(id), 1).over(byBucket))
-        val smallPairs = sized.where(col("__bsz") <= cap)
-          .groupBy(col("band"), col("band_hash"))
-          .agg(array_sort(collect_list(col(id))).as("__ids"))
-          .select(explode(flatten(transform(col("__ids"), (a, i) =>
-            transform(
-              slice(col("__ids"), i + lit(2), greatest(size(col("__ids")) - i - lit(1), lit(0))),
-              b => struct(a.as("doc_a"), b.as("doc_b")))))).as("__p"))
-          .select(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
-        val chained = sized
-          .where(col("__bsz") > cap && col("__nxt").isNotNull)
-          .select(col(id).as("doc_a"), col("__nxt").as("doc_b"))
-        smallPairs.unionAll(chained)
+          .withColumn("__nxts", collect_list(col(id)).over(byBucket.rowsBetween(1, cap)))
+          .select(
+            col(id).as("doc_a"),
+            explode(when(col("__bsz") <= cap, col("__nxts"))
+              .otherwise(slice(col("__nxts"), 1, 1))).as("doc_b"))
       case None =>
         bands.select(col("band"), col("band_hash"), col(id).as("doc_a"))
           .join(
