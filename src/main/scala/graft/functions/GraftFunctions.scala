@@ -75,7 +75,31 @@ object GraftFunctions {
     (FunctionIdentifier("sorted_intersect_count"),
       info(classOf[SortedIntersectCount], "sorted_intersect_count",
         "sorted_intersect_count(a, b) - |A ∩ B| of two ascending-sorted duplicate-free bigint arrays"),
-      (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))))
+      (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
+    (FunctionIdentifier("word_ngrams"),
+      info(classOf[WordNgrams], "word_ngrams",
+        "word_ngrams(toks, n) - space-joined rolling word n-grams; empty when fewer than n tokens"),
+      (e: Seq[Expression]) => {
+        val n = e(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams(toks, n): n must be an integer literal, got $other")
+        }
+        WordNgrams(e(0), n)
+      }),
+    (FunctionIdentifier("word_ngram_hashes"),
+      info(classOf[WordNgramHashes], "word_ngram_hashes",
+        "word_ngram_hashes(toks, n) - 60-bit md5 hex-prefix of each rolling word n-gram"),
+      (e: Seq[Expression]) => {
+        val n = e(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_ngram_hashes(toks, n): n must be an integer literal, got $other")
+        }
+        WordNgramHashes(e(0), n)
+      }))
 
   /** For spark.sql.extensions: the native functions plus the SQL DML
     * parser ([[graft.etl.GraftSqlParser]] — `MERGE INTO` / `UPDATE` /
@@ -129,6 +153,12 @@ object GraftFunctions {
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
+
+  def word_ngrams(toks: Column, n: Int): Column =
+    call_function("word_ngrams", toks, org.apache.spark.sql.functions.lit(n))
+
+  def word_ngram_hashes(toks: Column, n: Int): Column =
+    call_function("word_ngram_hashes", toks, org.apache.spark.sql.functions.lit(n))
 }
 
 /** Entry point for `spark.sql.extensions`. */

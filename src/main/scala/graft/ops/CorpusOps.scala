@@ -25,13 +25,20 @@ object CorpusOps {
     * partial-aggregated on (id, gram) then id.
     */
   def repetitionStats(docs: DataFrame, id: String, text: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val base = docs.select(col(id), TextOps.tokens(col(text)).as("toks"))
     val scalars = base.select(
       col(id),
       size(col("toks")).cast("long").as("n_tokens"),
       size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
-    val topUni = base
-      .select(col(id), explode(col("toks")).as("tok"))
+    // explode over the INLINE tokens call, not the `toks` attribute:
+    // InferFiltersFromGenerate infers `size(e) > 0` pre-filters only
+    // for attribute generators, and pushing that filter below the
+    // fanout repartition re-evaluates the regex split per row in the
+    // single-partition scan task (measured ~2 s single-threaded at
+    // sf0.1) — for a filter that drops nothing (every doc tokenizes)
+    val topUni = docs
+      .select(col(id), explode(TextOps.tokens(col(text))).as("tok"))
       .groupBy(col(id), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col(id)).agg(max(col("c")).as("top_uni"))
     val topBi = base
@@ -65,6 +72,7 @@ object CorpusOps {
     */
   def ngramContamination(corpus: DataFrame, bench: DataFrame,
                          id: String, text: String, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     def grams(d: DataFrame): DataFrame = d.select(
       col(id),
       explode(TextOps.wordNgrams(TextOps.tokens(col(text)), n)).as("g"))
@@ -97,7 +105,8 @@ object CorpusOps {
     * gram table. Ties rank deterministically (count desc, gram asc).
     */
   def frequentNgrams(docs: DataFrame, id: String, text: String,
-                     n: Int, k: Int): DataFrame =
+                     n: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col(id),
       explode(TextOps.wordNgrams(TextOps.tokens(col(text)), n)).as("gram"))
       .groupBy(col("gram"))
@@ -105,6 +114,7 @@ object CorpusOps {
         count_distinct(col(id)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("gram"))
       .limit(k)
+  }
 
   /** Inverted index over the corpus: one row per term with its
     * document frequency and a CAPPED ascending posting list — the
@@ -212,10 +222,13 @@ object CorpusOps {
     */
   def duplicatedPassages(docs: DataFrame, id: String, text: String,
                          n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // fused span hashing: word_ngram_hashes emits the 60-bit md5
+    // prefixes directly (value-identical to hashing the exploded gram
+    // strings) — no gram string, hex string, or conv decimal per span
     val grams = docs.select(col(id),
-      explode(TextOps.wordNgrams(TextOps.tokens(col(text)), n)).as("__gs"))
-      .select(col(id),
-        conv(substring(md5(col("__gs")), 1, 15), 16, 10).cast("long").as("g"))
+      explode(graft.functions.GraftFunctions.word_ngram_hashes(
+        TextOps.tokens(col(text)), n)).as("g"))
     val dupSpans = grams.select(col(id), col("g")).distinct()
       .groupBy(col("g"))
       .agg(count(lit(1)).as("__df"))
@@ -259,11 +272,12 @@ object CorpusOps {
     */
   def removeDuplicatedPassages(docs: DataFrame, id: String, text: String,
                                n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = docs.select(col(id), TextOps.tokens(col(text)).as("__t"))
     val spans = toks
-      .select(col(id), posexplode(TextOps.wordNgrams(col("__t"), n)))
-      .select(col(id), col("pos").as("__s"),
-        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("g"))
+      .select(col(id), posexplode(graft.functions.GraftFunctions.word_ngram_hashes(
+        col("__t"), n)))
+      .select(col(id), col("pos").as("__s"), col("col").as("g"))
     val dupSpans = spans.select(col(id), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("__df"))
       .where(col("__df") >= 2)
@@ -313,10 +327,15 @@ object CorpusOps {
     */
   def bigramLmScore(docs: DataFrame, train: DataFrame, id: String,
                     text: String, k: Double): DataFrame = {
-    val trainToks = train.select(TextOps.tokens(col(text)).as("toks"))
-    val uni = trainToks.select(explode(col("toks")).as("w1"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // inline tokens() in the generators — an attribute explode invites
+    // InferFiltersFromGenerate's size>0 pre-filter below the fanout
+    // repartition, re-running the regex split single-threaded at the
+    // scan (see repetitionStats)
+    val uni = train.select(explode(TextOps.tokens(col(text))).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val big = trainToks.select(explode(TextOps.wordNgrams(col("toks"), 2)).as("g"))
+    val big = train
+      .select(explode(TextOps.wordNgrams(TextOps.tokens(col(text)), 2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c2"))
     val vocab = uni.agg(count(lit(1)).as("__v"))
     docs

@@ -37,9 +37,19 @@ object TextOps {
 
   /** Word n-grams as space-joined strings over a token array; fewer
     * than `n` tokens yields an empty array (NOT a truncated gram —
-    * contamination checks must never match partial grams).
+    * contamination checks must never match partial grams). Native
+    * codegen'd expression (requires GraftFunctions registration —
+    * callers handle that); [[wordNgramsHof]] is the bit-identical
+    * declarative reference.
     */
   def wordNgrams(toks: Column, n: Int): Column =
+    graft.functions.GraftFunctions.word_ngrams(toks, n)
+
+  /** Declarative reference version of [[wordNgrams]] — interpreted
+    * per element (HOF lambdas don't codegen), kept for the equivalence
+    * spec; hot paths use the native expression.
+    */
+  def wordNgramsHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(
         sequence(lit(1), size(toks) - lit(n - 1)),
