@@ -43,8 +43,25 @@ object Bench {
         case fs if fs.isEmpty => None
         case fs => Some(fs.maxBy(_.getName.replaceAll("\\D", "").toInt))
       }
+    // "previous round" = at most the newest DRIVER round on record:
+    // the current round's own full-run twin (bench_local_r{max+1},
+    // written by an earlier in-round run) must not become the drift
+    // reference, or every screen would compare the round to itself
+    // and a regression vs the previous round would pass unflagged.
+    def prevTwin(): Option[java.io.File] = {
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      val maxBench = files.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .map(_.getName.replaceAll("\\D", "").toInt)
+        .reduceOption(_ max _).getOrElse(Int.MaxValue)
+      val twins = files.filter(_.getName.matches("bench_local_r\\d+\\.json"))
+      val eligible = twins.filter(_.getName.replaceAll("\\D", "").toInt <= maxBench)
+      (if (eligible.nonEmpty) eligible else twins) match {
+        case fs if fs.isEmpty => None
+        case fs => Some(fs.maxBy(_.getName.replaceAll("\\D", "").toInt))
+      }
+    }
     val fromTwin =
-      try newest("bench_local_r\\d+\\.json").map { f =>
+      try prevTwin().map { f =>
         val txt = scala.io.Source.fromFile(f).mkString
         // keep only the "queries":{...} object — the artifact also has
         // drift_vs_prev/ab_retime maps whose values are ratios
@@ -375,7 +392,12 @@ object Bench {
     // is assembling = max recorded round + 1) so every timed line
     // survives for round-over-round diffing regardless of wrapper
     // truncation. Best-effort: a read-only cwd must not fail the bench.
-    try {
+    // ONLY full runs write the twin: a SPARK_GRAFT_ONLY-restricted
+    // profiling run would otherwise clobber the round's twin with its
+    // few queries, and the next run's prevRoundTimes/drift screen
+    // (which reads the newest twin) would silently lose every other
+    // query's previous-round leg.
+    if (only.isEmpty) try {
       val n = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
         .map(_.getName.replaceAll("\\D", "").toInt)

@@ -50,4 +50,24 @@ class BenchPrevTimesSpec extends AnyFunSuite {
   test("empty directory yields empty map") {
     assert(Bench.prevRoundTimes(tempDir()).isEmpty)
   }
+
+  test("the current round's own twin never becomes the drift reference") {
+    val d = tempDir()
+    // newest driver round on record = 20, so bench_local_r21 is THIS
+    // round's own earlier full run — prev must stay the r20 twin, or
+    // the screen compares the round to itself
+    write(d, "BENCH_r20.json", """{"n":20,"tail":"..."}""")
+    write(d, "bench_local_r20.json",
+      """{"metric":"total","value":10.0,"unit":"sec","queries":{"q9_topk":0.112},"sf":"/x"}""")
+    write(d, "bench_local_r21.json",
+      """{"metric":"total","value":9.0,"unit":"sec","queries":{"q9_topk":0.999},"sf":"/x"}""")
+    assert(Bench.prevRoundTimes(d)("q9_topk") == 0.112)
+  }
+
+  test("with no driver wrapper at all the newest twin still serves") {
+    val d = tempDir()
+    write(d, "bench_local_r21.json",
+      """{"metric":"total","value":9.0,"unit":"sec","queries":{"q9_topk":0.999},"sf":"/x"}""")
+    assert(Bench.prevRoundTimes(d)("q9_topk") == 0.999)
+  }
 }
