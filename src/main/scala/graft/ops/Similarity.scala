@@ -273,25 +273,37 @@ object Similarity {
   private def assignDetail(emb: DataFrame, id: String, vec: String,
                            codebook: DataFrame): DataFrame = {
     val cb = codebook.select(col("cell"), col("cvec"))
-    // k and dim are two cheap actions against a localCheckpointed or
-    // memoized codebook (k rows by construction)
-    val k = cb.count()
-    if (k == 0)
+    // ONE bounded action decides the path AND feeds the literal fold:
+    // take(literalFoldMaxFloats + 1) pulls at most the rows a literal
+    // fold could ever use plus one sentinel (a dim-1 worst case), so
+    // emptiness, k, and dim all come from the same probe — the
+    // previous count()+head()+collect() cost three codebook jobs per
+    // assignment call (and three codebook scans at scale), once per
+    // Lloyd iteration on the k-means path.
+    val probe = cb.take(literalFoldMaxFloats.toInt + 1)
+    if (probe.isEmpty)
       emb.limit(0).select(col(id), col(vec),
         lit(null).cast("long").as("cell"),
         lit(null).cast("double").as("cell_sim"))
     else {
-      val dim = cb.select(size(col("cvec"))).head().getInt(0)
-      if (k * dim <= literalFoldMaxFloats) assignLiteral(emb, id, vec, cb)
+      val k = probe.length.toLong
+      val dim = probe.head.getSeq[Float](1).length.toLong
+      if (k <= literalFoldMaxFloats && k * dim <= literalFoldMaxFloats)
+        assignLiteral(emb, id, vec,
+          probe.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
       else assignBroadcast(emb, id, vec, cb)
     }
   }
 
   /** Literal-fold assignment (small codebook; see [[assignDetail]]). */
   private[graft] def assignLiteral(emb: DataFrame, id: String, vec: String,
-                                   cb: DataFrame): DataFrame = {
-    val cells = cb.select(col("cell"), col("cvec")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+                                   cb: DataFrame): DataFrame =
+    assignLiteral(emb, id, vec,
+      cb.select(col("cell"), col("cvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+
+  private def assignLiteral(emb: DataFrame, id: String, vec: String,
+                            cells: Array[(Long, Array[Float])]): DataFrame = {
     val scored = array(cells.map { case (cell, cvec) =>
       struct(
         cosine(col(vec), typedLit(cvec)).as("cell_sim"),
@@ -371,7 +383,11 @@ object Similarity {
     // pinned in the cache manager).
     val codebook = ivfCodebook(emb, id, vec, cells).localCheckpoint()
     val assigned = assignTo(emb, id, vec, codebook)
+    // the probe is ONE stored row consumed by two broadcast sides
+    // (cell ranking + final re-rank) — materialize it once instead of
+    // re-scanning the embedding table per consumer
     val probe = emb.where(col(id) === queryId).select(col(vec).as("qv"))
+      .localCheckpoint()
     // rank only NON-EMPTY cells against the probe: a cell can lose all
     // members after refinement, and an empty cell at the top of the
     // ranking would silently burn nprobe budget
