@@ -1852,18 +1852,28 @@ object ManifestLake {
       copyKey(q) -> copyIdentity(mt, len) }.toMap
     val paths = candidates.map(_._1)
     val readOpts = formatOptions.filterNot(_._1.equalsIgnoreCase("schema"))
+    // VALIDATE without a declared schema: CSV/JSON schema INFERENCE is
+    // a full scan of the source, the exact cost the 100 TB pre-flight
+    // exists to avoid — the dry run infers from the FIRST matched file
+    // only (parquet merges footers, which is metadata-only either
+    // way). A column that first appears in a later file is caught by
+    // the real load's drift refusal, not the dry run; the schema hint
+    // makes VALIDATE exhaustive AND scan-free.
+    val schemaPaths =
+      if (validate && hinted.isEmpty && fmt != "parquet") paths.take(1)
+      else paths
     val raw = fmt match {
       case "parquet" => spark.read
         .options(Map("mergeSchema" -> "true") ++ readOpts)
-        .parquet(paths: _*)
+        .parquet(schemaPaths: _*)
       case "csv" =>
         val r = spark.read.options(Map("header" -> "true") ++
           (if (hinted.isEmpty) Map("inferSchema" -> "true")
            else Map.empty[String, String]) ++ readOpts)
-        hinted.fold(r)(r.schema).csv(paths: _*)
+        hinted.fold(r)(r.schema).csv(schemaPaths: _*)
       case "json" =>
         val r = spark.read.options(readOpts)
-        hinted.fold(r)(r.schema).json(paths: _*)
+        hinted.fold(r)(r.schema).json(schemaPaths: _*)
     }
     val logical = logicalSchemaOf(m)
     val engineOwned = (m.generated.map(_._1) ++ m.identity.map(_._1).toSeq)
@@ -3650,8 +3660,25 @@ object ManifestLake {
         .getOrElse(return)
       val minN = m.extras.collectFirst { case (AcFilesKey, t) => t.toInt }
         .getOrElse(DefaultAutoCompactMinFiles)
+      // only the partitions the TRIGGERING commit touched are pack
+      // candidates: write-time compaction bounds each commit's
+      // follow-on work by that commit's own fan-out, so the first
+      // append after SET TBLPROPERTIES can never synchronously pack an
+      // entire fragmented table inside the write call. Partitions
+      // fragmented by history pack when next written — or via an
+      // explicit OPTIMIZE, which remains the whole-table verb. The
+      // previous version is a cached read (the commit path itself just
+      // parsed it); v == 1 has no previous, so everything is "touched".
+      val touched: Set[String] =
+        if (v <= 1L) m.files.map(f => partDirOf(f.path)).toSet
+        else {
+          val prevPaths = readManifest(fs, root, v - 1).files.map(_.path).toSet
+          m.files.collect {
+            case f if !prevPaths.contains(f.path) => partDirOf(f.path)
+          }.toSet
+        }
       val hot = m.files.groupBy(f => partDirOf(f.path)).collect {
-        case (d, fls) if fls.count(_.bytes < target) >= minN => d
+        case (d, fls) if touched(d) && fls.count(_.bytes < target) >= minN => d
       }.toSet
       if (hot.nonEmpty)
         compact(spark, path, targetBytes = target,
