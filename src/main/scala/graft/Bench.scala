@@ -54,8 +54,12 @@ object Bench {
         .map(_.getName.replaceAll("\\D", "").toInt)
         .reduceOption(_ max _).getOrElse(Int.MaxValue)
       val twins = files.filter(_.getName.matches("bench_local_r\\d+\\.json"))
-      val eligible = twins.filter(_.getName.replaceAll("\\D", "").toInt <= maxBench)
-      (if (eligible.nonEmpty) eligible else twins) match {
+      // no twin at-or-below the newest driver round ⇒ NO twin (fall
+      // through to the wrapper): the only twin on disk may be the
+      // current round's own (round > maxBench), and comparing against
+      // it would read drift 1.0 everywhere — the self-comparison this
+      // cap exists to prevent
+      twins.filter(_.getName.replaceAll("\\D", "").toInt <= maxBench) match {
         case fs if fs.isEmpty => None
         case fs => Some(fs.maxBy(_.getName.replaceAll("\\D", "").toInt))
       }
@@ -404,6 +408,13 @@ object Bench {
         .reduceOption(_ max _).getOrElse(0) + 1
       val w = new java.io.PrintWriter(f"bench_local_r$n%02d.json", "UTF-8")
       try w.println(artifact) finally w.close()
+      // ALSO a fixed-name copy: the driver's BENCH_r{N}.json wrapper
+      // keeps only a stdout TAIL, and BENCH_r20's carried no parseable
+      // artifact at all (parsed: null → an empty PERF comparison). A
+      // constant filename gives any wrapper a truncation-proof place to
+      // read the complete line, independent of round numbering.
+      val wl = new java.io.PrintWriter("bench_latest.json", "UTF-8")
+      try wl.println(artifact) finally wl.close()
     } catch { case _: Throwable => () }
     spark.stop()
   }

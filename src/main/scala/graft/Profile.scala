@@ -4,15 +4,21 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.ops.Dedup
 
-/** Throwaway stage-by-stage profiler for the minhash family (not part
-  * of the library; deleted after use).
+/** Stage-by-stage measurement tool (kept, like Explain/ScalingProbe;
+  * never driver-run and never on a query path): per-job breakdowns of
+  * one gate query (QUERY=), plus the scale-envelope probes (DEDUP=,
+  * STRESS=, SEMSTRESS=, INCSTRESS=, LAKESTRESS=, DELTACHAIN=,
+  * MANIFESTREAD=, CLONE=, DEEPCLONE=, MANIFESTSTRESS=).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // honor the driver's core-count contract like Bench/Verify (default
+    // 32 = this sandbox's cores); never hardcode the master
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1859,6 +1859,18 @@ object ManifestLake {
     // way). A column that first appears in a later file is caught by
     // the real load's drift refusal, not the dry run; the schema hint
     // makes VALIDATE exhaustive AND scan-free.
+    val firstFileOnlyValidate =
+      validate && hinted.isEmpty && fmt != "parquet" && paths.length > 1
+    if (firstFileOnlyValidate)
+      // operators must know the pre-flight verdict is NOT exhaustive on
+      // this path: drift or an incompatible inferred type appearing only
+      // in a later file is caught by the real load, not this dry run —
+      // declare a schema hint to make VALIDATE exhaustive and scan-free
+      System.err.println(
+        s"COPY INTO $path VALIDATE: no declared schema — dry-run drift/" +
+          s"type checks inferred from the FIRST matched file only (of " +
+          s"${paths.length}); the real load still drift-checks every file. " +
+          "Pass a schema hint for an exhaustive, scan-free pre-flight.")
     val schemaPaths =
       if (validate && hinted.isEmpty && fmt != "parquet") paths.take(1)
       else paths

@@ -54,8 +54,33 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 object SortedIntersectCount {
+  /** Debug-mode input validation (-Dgraft.dedup.checkSorted=true): the
+    * merge count silently UNDERCOUNTS on unsorted or duplicate-bearing
+    * input, so a caller outside the repo's sorted-at-build pipelines
+    * (e.g. hashed shingle sets persisted before the sort moved to build
+    * time) can flip this on and get a loud error instead of silently
+    * wrong Jaccards. A static final boolean, so the JIT drops the
+    * check entirely from the hot merge when off (the default).
+    */
+  private final val CheckSorted: Boolean =
+    java.lang.Boolean.getBoolean("graft.dedup.checkSorted")
+
+  private[functions] def requireStrictlyAscending(a: ArrayData): Unit = {
+    var i = 1
+    val n = a.numElements()
+    while (i < n) {
+      if (a.getLong(i) <= a.getLong(i - 1))
+        throw new IllegalArgumentException(
+          "sorted_intersect_count: input array must be strictly ascending " +
+            s"(duplicate-free); violation at index $i " +
+            s"(${a.getLong(i - 1)} then ${a.getLong(i)})")
+      i += 1
+    }
+  }
+
   /** Called from both interpreted eval and generated code. */
   def compute(a: ArrayData, b: ArrayData): Long = {
+    if (CheckSorted) { requireStrictlyAscending(a); requireStrictlyAscending(b) }
     val n = a.numElements()
     val m = b.numElements()
     var i = 0

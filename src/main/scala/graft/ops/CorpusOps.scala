@@ -407,9 +407,17 @@ object CorpusOps {
   def temperatureSample(docs: DataFrame, stratum: String, id: String,
                         alpha: Double): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"need 0 <= alpha <= 1, got $alpha")
+    // the corpus-wide min rides a single-partition window over the
+    // strata-sized aggregate instead of a crossJoin(agg(counts)) — the
+    // latter plans the stratum-count scan TWICE (once under the min,
+    // once under the rates); the window costs one exchange of a
+    // strata-sized table and the documents scan runs once here
     val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n_stratum"))
-    val minN = counts.agg(min(col("n_stratum")).as("__nmin"))
-    val rates = counts.crossJoin(broadcast(minN))
+    val whole = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("__nmin", min(col("n_stratum")).over(whole))
       .select(col(stratum), col("n_stratum"),
         pow(col("__nmin").cast("double") / col("n_stratum").cast("double"),
           1.0 - alpha).as("keep_rate"))
@@ -448,8 +456,17 @@ object CorpusOps {
     // inner join: unweighted strata leave the mixture here
     val scaled = counts.join(broadcast(w), Seq(stratum))
       .withColumn("__cap", col("n_stratum").cast("double") / col("__w"))
-    val t = scaled.agg(min(col("__cap")).as("__t"))
-    val rates = scaled.crossJoin(broadcast(t))
+    // the mixture cap T = min over strata rides a single-partition
+    // window over the strata-sized `scaled` instead of a
+    // crossJoin(agg(scaled)) — the latter plans the stratum-count scan
+    // TWICE (plans/r22/q102_mixture_before.txt: three documents scans);
+    // the window costs one exchange of a strata-sized table and the
+    // documents scan runs once here
+    val whole = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rates = scaled
+      .withColumn("__t", min(col("__cap")).over(whole))
       .select(col(stratum), col("n_stratum"),
         least(lit(1.0),
           col("__w") * col("__t") / col("n_stratum").cast("double")).as("keep_rate"))
@@ -527,15 +544,25 @@ object CorpusOps {
         .drop("__tok")
     val ct = bucketed(target, Seq.empty).groupBy(col("__b"))
       .agg(count(lit(1)).as("__ct"))
-    val srcToks = bucketed(docs, Seq(col(id)))
-    val cs = srcToks.groupBy(col("__b")).agg(count(lit(1)).as("__cs"))
-    srcToks
+    // per-document bucket HISTOGRAM first: (id, bucket) → k. The source
+    // bucket totals then derive from the histogram (Σ k per bucket) and
+    // the per-document masses from k-weighted sums — so the corpus is
+    // tokenized ONCE for both (the two histogram subtrees are
+    // canonically identical and share one exchange via ReusedExchange),
+    // where the previous shape tokenized it twice (bucket totals pass +
+    // scoring pass — three Generate subtrees in
+    // plans/r22/q103_importance_before.txt). All integer sums, so
+    // masses are bit-identical: Σ_tokens (c(b)+1) = Σ_b k_b·(c(b)+1).
+    val srcHist = bucketed(docs, Seq(col(id)))
+      .groupBy(col(id), col("__b")).agg(count(lit(1)).as("__k"))
+    val cs = srcHist.groupBy(col("__b")).agg(sum(col("__k")).as("__cs"))
+    srcHist
       .join(broadcast(ct), Seq("__b"), "left")
       .join(broadcast(cs), Seq("__b")) // own-corpus buckets always present
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("__ct"), lit(0L)) + lit(1L)).as("target_mass"),
-        sum(col("__cs") + lit(1L)).as("source_mass"))
+      .agg(sum(col("__k")).as("n_tokens"),
+        sum(col("__k") * (coalesce(col("__ct"), lit(0L)) + lit(1L))).as("target_mass"),
+        sum(col("__k") * (col("__cs") + lit(1L))).as("source_mass"))
       .withColumn("importance",
         col("target_mass").cast("double") / col("source_mass").cast("double"))
   }
@@ -606,27 +633,44 @@ object CorpusOps {
   def bm25(docs: DataFrame, id: String, text: String, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    val toks = docs.select(col(id), TextOps.tokens(col(text)).as("toks"))
-    val lens = toks.select(col(id), size(col("toks")).cast("long").as("dl"))
-    val stats = lens.agg(count(lit(1)).as("__n"),
-      avg(col("dl")).as("__avgdl"))
-    val hits = toks
-      .select(col(id), explode(col("toks")).as("term"))
-      .where(col("term").isin(terms: _*))
-    val tf = hits.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
-    val df = hits.select(col(id), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf
-      .join(broadcast(df), Seq("term"))
-      .join(lens, Seq(id))
+    // Single-pass shape: per-term tf is a PER-ROW array expression
+    // (size minus size-after-remove — codegen'd collection ops, no
+    // HOF lambda), so the whole per-document state (dl, tf per query
+    // term) comes out of ONE projection with no explode, no (doc, term)
+    // shuffle, and no distinct; df then falls out of the same global
+    // aggregate that computes N/avgdl (df_t = #docs with tf_t > 0),
+    // broadcast back as one row. The previous formulation tokenized
+    // the corpus FOUR times (lens, stats, tf, df — four scans in
+    // plans/r22/q72_bm25_before.txt); this one tokenizes twice (stats
+    // pass + scoring pass), the floor without caching, and the only
+    // remaining shuffles are the single-row aggregate and the caller's
+    // ordering. Per-query-term columns: query term lists are small by
+    // construction (same contract as the isin filter this replaces).
+    val perDoc = docs
+      .select(col(id), TextOps.tokens(col(text)).as("__toks"))
+      .select(Seq(col(id), size(col("__toks")).cast("long").as("dl")) ++
+        terms.indices.map(i =>
+          (size(col("__toks")) -
+            size(array_remove(col("__toks"), lit(terms(i)))))
+            .cast("long").as(s"__tf$i")): _*)
+    val statAggs = Seq(
+      count(lit(1)).as("__n"), avg(col("dl")).as("__avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i")
+      val df = col(s"__df$i")
+      when(tf > 0,
+        log(lit(1.0) + (col("__n") - df + lit(0.5)) / (df + lit(0.5))) *
+          (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    perDoc
+      .where(terms.indices.map(i => col(s"__tf$i") > 0).reduce(_ || _))
       .crossJoin(broadcast(stats))
-      .select(col(id),
-        (log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
-          .as("s"))
-      .groupBy(col(id))
-      .agg(round(sum(col("s")), 4).as("bm25"))
+      .select(col(id), round(score, 4).as("bm25"))
   }
 
   /** Sequence packing — the tokenization-prep step that concatenates

@@ -24,17 +24,26 @@ object Dedup {
     docs.groupBy(md5(col(text)).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(id)).as("keep_id"))
 
-  /** The min-id row per content hash, as a HASH AGGREGATE: min_by
-    * keeps the whole survivor row with partial (map-side) combine and
-    * no sort — the row_number-window formulation shuffles the same
-    * bytes but then SORTS every partition just to pick rank 1. Ids are
-    * unique, so the min_by choice is deterministic.
+  /** The min-id row per content hash: a HASH aggregation over (hash →
+    * min id) ONLY, then a semi-join pulling the survivor rows back.
+    * The min_by(struct(allCols)) formulation this replaces carried the
+    * full row (text included) through the aggregation buffers, and a
+    * struct buffer is not hash-agg mutable, so it planned as a
+    * SortAggregate — full-text rows SORTED on both sides of the
+    * exchange (measured: the (4)-(8) subtree in
+    * plans/r22/q36_dedup_corpus_before.txt), a spill magnet at corpus
+    * scale. Here the aggregation shuffles 24-byte (md5, id) pairs with
+    * map-side combine and no sort anywhere; the survivor-id list is
+    * ids-only, and the one exchange that carries full rows (the
+    * semi-join probe, hash-partitioned on the unique id) moves them
+    * once, unsorted. Ids are unique, so "row whose id is the group
+    * min" selects exactly the min_by row.
     */
   private def exactSurvivorRows(docs: DataFrame, id: String, text: String): DataFrame = {
-    val cols = docs.columns
-    docs.groupBy(md5(col(text)).as("__h"))
-      .agg(min_by(struct(cols.map(col): _*), col(id)).as("__r"))
-      .select(cols.map(c => col(s"__r.$c")): _*)
+    val keep = docs.groupBy(md5(col(text)).as("__h"))
+      .agg(min(col(id)).as("__keep"))
+      .select(col("__keep").as(id))
+    docs.join(keep, Seq(id), "left_semi")
   }
 
   /** One row per document with its DISTINCT shingle array — the
@@ -186,6 +195,12 @@ object Dedup {
             col(id).as("doc_a"),
             explode(when(col("__bsz") <= cap, col("__nxts"))
               .otherwise(slice(col("__nxts"), 1, 1))).as("doc_b"))
+          // correctness rests on id uniqueness within a (band, band_hash)
+          // bucket — guaranteed by lshBands output, but the public
+          // `bands` parameter carries no such contract, and a duplicate
+          // (band, band_hash, id) row would emit a self-pair the old
+          // self-join's a<b filter dropped. Cheap codegen'd guard.
+          .where(col("doc_a") =!= col("doc_b"))
       case None =>
         bands.select(col("band"), col("band_hash"), col(id).as("doc_a"))
           .join(
@@ -508,13 +523,23 @@ object Dedup {
     */
   def simhash(docs: DataFrame, id: String, text: String, bits: Int): DataFrame = {
     require(bits <= 32, "md5 hex has 32 digits")
+    // md5 hex PROJECTED once per token occurrence below the aggregate:
+    // written as `bits` md5Bit(tok, j) aggregate inputs, the digest
+    // expression appears `bits` times in the agg update expressions and
+    // its single evaluation rests on codegen subexpression elimination;
+    // the explicit projection guarantees one digest per token in every
+    // execution mode (bit-identical: md5Bit(tok, j) ≡ high bit of the
+    // j-th hex digit of this projected hash).
     val toks = docs.select(col(id),
       explode(TextOps.tokens(col(text))).as("tok"))
+      .select(col(id), md5(col("tok")).as("__h"))
+    def hiBit(j: Int) = substring(col("__h"), j, 1)
+      .isin("8", "9", "a", "b", "c", "d", "e", "f")
     val sums = toks.groupBy(col(id))
       .agg(
-        sum(when(TextOps.md5Bit(col("tok"), 1), 1).otherwise(-1)).as("b1"),
+        sum(when(hiBit(1), 1).otherwise(-1)).as("b1"),
         (2 to bits).map(j =>
-          sum(when(TextOps.md5Bit(col("tok"), j), 1).otherwise(-1)).as(s"b$j")): _*)
+          sum(when(hiBit(j), 1).otherwise(-1)).as(s"b$j")): _*)
     sums.select(col(id),
       concat((1 to bits).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*)
         .as("simhash"))
@@ -559,7 +584,22 @@ object Dedup {
     val widths = (0 until bands).map(j => base + (if (j < rem) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
     def side(asId: String): DataFrame = {
-      val exploded = sketches.select(
+      // spread the sketch rows to cluster parallelism BEFORE the band
+      // fan-out: the explode → band join → popcount verify chain is
+      // compute-amplifying (bands× rows, then quadratic pairing inside
+      // each bucket), but its INPUT bytes are tiny (id + bits chars per
+      // doc), so AQE coalesces the upstream sketch exchange to one
+      // partition and the whole join tail runs serial (measured at
+      // sf0.1: 3 single-task jobs ≈ 2 s wall). A keyless round-robin
+      // REPARTITION_BY_NUM is never AQE-coalesced and never collapsed
+      // as redundant (a keyed one on the sketch id is — the sketch
+      // aggregate is already hash-partitioned on it); it moves only the
+      // skinny sketch rows and both sides share it (one canonical
+      // exchange — ReusedExchange — since the sides differ only in
+      // aliases).
+      val spread = sketches.repartition(
+        sketches.sparkSession.sparkContext.defaultParallelism)
+      val exploded = spread.select(
         col(id).as(asId),
         conv(col("simhash"), 2, 10).cast("long").as(s"__v_$asId"),
         posexplode(array((0 until bands).map(j =>

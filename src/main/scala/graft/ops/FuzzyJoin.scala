@@ -122,7 +122,20 @@ object FuzzyJoin {
     // every candidate passes the exact levenshtein verify below.
     graft.functions.GraftFunctions.register(left.sparkSession)
     def side(df: DataFrame, key: String): DataFrame = {
-      val exploded = df.select(col(key)).where(col(key).isNotNull).distinct()
+      // spread the distinct keys to cluster parallelism BEFORE the
+      // neighborhood fan-out: the explode amplifies each key to ~len^d
+      // variants (~200× at d=2) and the candidate join + levenshtein
+      // verify ride on top, but the distinct keys themselves are tiny,
+      // so AQE coalesces the distinct's exchange to one partition and
+      // the whole blocked join runs serial (measured at sf0.1: two
+      // single-task jobs ≈ 3.1 s CPU on q86). A keyless round-robin
+      // REPARTITION_BY_NUM exchange is never AQE-coalesced AND never
+      // collapsed as redundant (a keyed repartition on the distinct key
+      // is — the child is already hash-partitioned on it); it moves
+      // only the distinct keys, once, evenly.
+      val keys = df.select(col(key)).where(col(key).isNotNull).distinct()
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      val exploded = keys
         .select(col(key),
           explode(graft.functions.GraftFunctions.deletion_hashes(col(key), maxDist)).as("__v"))
       maxBucket match {

@@ -42,8 +42,49 @@ object Multimodal {
     * thousands-of-rows-per-partition turns the decode probe into
     * filesystem churn. The bytes are already in memory; cache there.
     */
+  /** Magic-byte pre-gate for [[decodeImage]]: a SUPERSET of the header
+    * prefixes the stock JDK ImageIO readers' `canDecodeInput` accepts
+    * (PNG 0x89, JPEG FFD8, GIF "GI", BMP "BM", TIFF "II"/"MM", WBMP
+    * 00 00). A payload failing this can never be claimed by a stock
+    * reader, so skipping the full SPI probe cannot change the decode
+    * outcome — it only removes the per-row reader-iteration cost that
+    * dominated the feature pass on text corpora (measured at sf0.1:
+    * the q33 probe stage spent ~69 s of task time at ~3 s of CPU — the
+    * gap is ImageIO probe machinery, not compute). Supersets, never
+    * exact signatures: a matching prefix just falls through to the
+    * real probe, which stays the deciding authority. Deployments that
+    * register third-party ImageIO plugins with other magics can turn
+    * the gate off (-Dgraft.media.sniffGate=false).
+    */
+  private final val SniffGate: Boolean =
+    !"false".equalsIgnoreCase(System.getProperty("graft.media.sniffGate", "true"))
+
+  private def mayBeImage(b: Array[Byte]): Boolean =
+    b.length >= 2 && {
+      val b0 = b(0) & 0xff; val b1 = b(1) & 0xff
+      (b0 == 0x89) ||                    // PNG
+        (b0 == 0xff && b1 == 0xd8) ||    // JPEG
+        (b0 == 'G' && b1 == 'I') ||      // GIF
+        (b0 == 'B' && b1 == 'M') ||      // BMP
+        (b0 == 'I' && b1 == 'I') ||      // TIFF little-endian
+        (b0 == 'M' && b1 == 'M') ||      // TIFF big-endian
+        (b0 == 0x00 && b1 == 0x00)       // WBMP (no real magic)
+    }
+
+  /** Magic-byte pre-gate for [[decodeAudio]], same contract as
+    * [[mayBeImage]]: a superset of the stock JDK sampled-audio SPI
+    * headers (WAV "RIFF", AIFF/AIFC "FORM", AU ".snd").
+    */
+  private def mayBeAudio(b: Array[Byte]): Boolean =
+    b.length >= 4 && {
+      def at(s: String): Boolean =
+        s.zipWithIndex.forall { case (c, i) => b(i) == c.toByte }
+      at("RIFF") || at("FORM") || at(".snd")
+    }
+
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(
+    if (SniffGate && !mayBeImage(bytes)) None
+    else try Option(javax.imageio.ImageIO.read(
       new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))))
     catch { case _: Exception => None }
@@ -132,7 +173,8 @@ object Multimodal {
     * audio — callers fall back to the stub path.
     */
   def decodeAudio(bytes: Array[Byte]): Option[Array[Double]] =
-    try {
+    if (SniffGate && !mayBeAudio(bytes)) None
+    else try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val fmt = in.getFormat
@@ -462,7 +504,8 @@ object Multimodal {
     */
   private def imageIoFrames(bytes: Array[Byte], pick: Int => IndexedSeq[Int])
       : Option[IndexedSeq[(Int, java.awt.image.BufferedImage)]] =
-    try {
+    if (SniffGate && !mayBeImage(bytes)) None
+    else try {
       // memory-backed stream, NOT ImageIO.createImageInputStream: the
       // registry default is a disk-cached stream (temp file per
       // payload) — see decodeImage

@@ -40,7 +40,12 @@ object TextOps {
     * contamination checks must never match partial grams). Native
     * codegen'd expression (requires GraftFunctions registration —
     * callers handle that); [[wordNgramsHof]] is the bit-identical
-    * declarative reference.
+    * declarative reference on NON-NULL input. NULL-input divergence
+    * (spec-pinned): the native expression null-propagates (NULL token
+    * array → NULL), while the HOF's when/otherwise yields an empty
+    * array — indistinguishable to every current caller (all explode the
+    * result, and explode emits no rows for NULL and empty alike), but a
+    * non-explode caller over nullable text must pick a side explicitly.
     */
   def wordNgrams(toks: Column, n: Int): Column =
     graft.functions.GraftFunctions.word_ngrams(toks, n)

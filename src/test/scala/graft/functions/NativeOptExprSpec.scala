@@ -84,4 +84,33 @@ class NativeOptExprSpec extends AnyFunSuite {
       "SELECT sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L))").head()
     assert(r.isNullAt(0))
   }
+
+  test("word_ngrams NULL-input divergence is pinned: native null-propagates, HOF yields empty") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val nullDoc = Seq((0L, Option.empty[String])).toDF("doc_id", "text")
+    val r = nullDoc.select(
+      TextOps.wordNgrams(TextOps.tokens(col("text")), 2).as("native"),
+      TextOps.wordNgramsHof(TextOps.tokens(col("text")), 2).as("hof")).head()
+    assert(r.isNullAt(0), "native word_ngrams must null-propagate on NULL tokens")
+    assert(r.getSeq[String](1) === Seq.empty,
+      "HOF reference yields an empty array on NULL tokens — documented divergence")
+    // the divergence is invisible to explode()-side callers: no rows either way
+    assert(nullDoc.select(explode(TextOps.wordNgrams(TextOps.tokens(col("text")), 2))).count() === 0L)
+    assert(nullDoc.select(explode(TextOps.wordNgramsHof(TextOps.tokens(col("text")), 2))).count() === 0L)
+  }
+
+  test("sorted_intersect_count debug guard rejects unsorted and duplicate-bearing arrays") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def arr(xs: Long*): ArrayData = ArrayData.toArrayData(xs.toArray)
+    // strictly ascending passes
+    SortedIntersectCount.requireStrictlyAscending(arr(-3L, 0L, 7L))
+    SortedIntersectCount.requireStrictlyAscending(arr())
+    intercept[IllegalArgumentException] {
+      SortedIntersectCount.requireStrictlyAscending(arr(5L, 3L))
+    }
+    intercept[IllegalArgumentException] {
+      SortedIntersectCount.requireStrictlyAscending(arr(1L, 1L, 2L))
+    }
+  }
 }

@@ -269,6 +269,83 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(2L) === expect)
   }
 
+  test("bm25 single-pass shape equals the multi-pass reference on every edge shape") {
+    // equivalence pin for the round-22 restructure (per-term tf columns
+    // + df folded into the stats row, replacing the explode → tf/df
+    // shuffles): both shapes must agree to the published 4-dp rounding,
+    // including repeated terms, absent terms, one-token docs, and docs
+    // with no hits (absent from BOTH)
+    val docs = Seq(
+      (1L, "join join join pad pad"),
+      (2L, "join"),
+      (3L, "window dup dup window join"),
+      (4L, "pad pad pad pad pad pad pad pad pad pad pad pad"),
+      (5L, "dup"),
+      (6L, "x")
+    ).toDF("doc_id", "text")
+    val terms = Seq("join", "dup", "window", "absentterm")
+    val k1 = 1.2; val b = 0.75
+    // the pre-restructure formulation, verbatim
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val lens = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("__n"), avg(col("dl")).as("__avgdl"))
+    val hits = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+    val tf = hits.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = hits.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val reference = tf
+      .join(broadcast(dfT), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+          .as("s"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 4).as("bm25"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = CorpusOps.bm25(docs, "doc_id", "text", terms, k1, b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === reference)
+  }
+
+  test("importanceMass histogram shape equals the per-token reference") {
+    // equivalence pin for the round-22 restructure (per-doc bucket
+    // histogram shared between the bucket totals and the masses):
+    // integer masses must be bit-identical to the direct per-token sum
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta beta beta"),
+      (3L, "delta"),
+      (4L, "alpha delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val target = docs.where(col("doc_id") <= 2L)
+    val buckets = 7 // tiny: forces collisions so k > 1 per (doc, bucket)
+    def bucketOf(df: org.apache.spark.sql.DataFrame, keep: Seq[org.apache.spark.sql.Column]) =
+      df.select(keep :+ explode(TextOps.tokens(col("text"))).as("__tok"): _*)
+        .withColumn("__b",
+          pmod(conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long"),
+            lit(buckets.toLong)))
+        .drop("__tok")
+    val ct = bucketOf(target, Seq.empty).groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val srcToks = bucketOf(docs, Seq(col("doc_id")))
+    val cs = srcToks.groupBy(col("__b")).agg(count(lit(1)).as("__cs"))
+    val reference = srcToks
+      .join(broadcast(ct), Seq("__b"), "left")
+      .join(broadcast(cs), Seq("__b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__ct"), lit(0L)) + lit(1L)).as("target_mass"),
+        sum(col("__cs") + lit(1L)).as("source_mass"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = CorpusOps.importanceMass(docs, target, "doc_id", "text", buckets)
+      .select(col("doc_id"), col("n_tokens"), col("target_mass"), col("source_mass"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === reference)
+  }
+
   test("packSequences: id-order offsets, straddlers bin by start, bins never cross shards") {
     // 3-token docs, bin of 8 tokens, shard of 4 docs
     val docs = (0L until 8L).map(i => (i, "tok tok tok")).toDF("doc_id", "text")
