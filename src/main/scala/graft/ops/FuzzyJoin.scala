@@ -132,9 +132,18 @@ object FuzzyJoin {
       // REPARTITION_BY_NUM exchange is never AQE-coalesced AND never
       // collapsed as redundant (a keyed repartition on the distinct key
       // is — the child is already hash-partitioned on it); it moves
-      // only the distinct keys, once, evenly.
-      val keys = df.select(col(key)).where(col(key).isNotNull).distinct()
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      // only the distinct keys, once, evenly. Depth-2 only: the d=2
+      // neighborhood amplifies ~len²/2 ≈ 200-400× (one advisory-sized
+      // partition of keys becomes tens of GB of probe work — always
+      // worth one extra skinny exchange), while d=1's ~len× fan-out is
+      // modest enough that the exchange's fixed stage latency LOST to
+      // the serial tail it removes (measured at sf0.1: q85 0.28 → 0.48 s
+      // spread vs q86 1.27 → 0.68 s spread).
+      val distinctKeys = df.select(col(key)).where(col(key).isNotNull).distinct()
+      val keys =
+        if (maxDist >= 2)
+          distinctKeys.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        else distinctKeys
       val exploded = keys
         .select(col(key),
           explode(graft.functions.GraftFunctions.deletion_hashes(col(key), maxDist)).as("__v"))
